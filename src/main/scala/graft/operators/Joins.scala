@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join operators: semi/anti watch-list filtering, broadcast dimension
+  * attach, as-of join, range join, and a salt-replicated join for skewed
+  * keys.
+  *
+  * Design for scale: every join here either (a) broadcasts the small side so
+  * the fact table never shuffles, or (b) when both sides are big, shuffles
+  * once on the join key and lets AQE handle skew. No driver-side collects.
+  */
+object Joins {
+
+  /** Keep fact rows whose `keyCol` appears in the watch-list dimension.
+    * Broadcast LEFT SEMI join — the Spark-native form of the reference's
+    * hot-address hash semi-join. The dim is deduped so the semi join's
+    * build side stays minimal.
+    */
+  def semiFilter(fact: DataFrame, keyCol: String, watch: DataFrame,
+                 watchCol: String): DataFrame = {
+    // rename inside so watch may derive from the same scan as fact
+    val w = watch.select(col(watchCol).as("__watch_key")).distinct()
+    fact.join(broadcast(w), fact(keyCol) === col("__watch_key"), "left_semi")
+  }
+
+  /** Keep fact rows whose `keyCol` does NOT appear in the dimension
+    * (NOT EXISTS). */
+  def antiFilter(fact: DataFrame, keyCol: String, dim: DataFrame,
+                 dimCol: String): DataFrame = {
+    val w = dim.select(col(dimCol).as("__watch_key")).distinct()
+    fact.join(broadcast(w), fact(keyCol) === col("__watch_key"), "left_anti")
+  }
+
+  /** Semi-join over array columns: keep rows where ANY element of any of the
+    * given array columns is in the watch set. For a small watch set this is
+    * a single codegen'd `arrays_overlap` against a literal array — zero
+    * shuffle, matching the reference's short-circuit OR over three address
+    * arrays. For big watch sets prefer explode + [[semiFilter]].
+    */
+  def arraysOverlapFilter(fact: DataFrame, arrayCols: Seq[String],
+                          watch: Seq[String]): DataFrame = {
+    val all = concat(arrayCols.map(col): _*)
+    fact.filter(arrays_overlap(all, lit(watch.toArray)))
+  }
+
+  /** Attach columns from a small dimension by equality key (broadcast LEFT
+    * OUTER) — the reference's Redis price-map lookup. `valueCols` are the
+    * dim columns to carry over; rows with no match get NULLs.
+    */
+  def attachDim(fact: DataFrame, factKey: String, dim: DataFrame,
+                dimKey: String, valueCols: Seq[String]): DataFrame = {
+    val d = dim.select(col(dimKey).as("__dim_key") +: valueCols.map(col): _*)
+    fact.join(broadcast(d), fact(factKey) === col("__dim_key"), "left_outer")
+      .drop("__dim_key")
+  }
+
+  /** As-of join: for each left row, the latest right-side `valueCol` with
+    * `rightTs <= leftTs` within the same key. Implemented as a union +
+    * single sort-based window pass (one shuffle on the key, no per-row range
+    * probe) — this is the plan that survives 100× scale-up, unlike a
+    * theta-join which would be O(n·m) per key.
+    *
+    * Both inputs must share the key column name; `tsCol` must be present in
+    * both. Ties (equal ts): the right row sorts BEFORE the left row, so a
+    * quote at exactly the fact's timestamp is visible to it.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, valueCol: String, outCol: String,
+               tieBreak: Column): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__asof_v", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(col(keyCol), col(tsCol))
+      .withColumn("__side", lit(0))
+      .withColumn("__asof_v", right(valueCol))
+    val leftCols = left.columns
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("__side") :+ col("__asof_v")): _*)
+      .unionByName(
+        r.select(col(keyCol), col(tsCol), col("__side"), col("__asof_v")),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__side").asc, tieBreak.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(outCol, last(col("__asof_v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__asof_v")
+  }
+
+  /** Range join: pairs where `leftVal` falls in `[lo, hi]` from the right
+    * side, pre-filtered by an equi-key so Catalyst plans a hash join with a
+    * residual range predicate instead of a cartesian product.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, equiKey: String,
+                leftVal: Column, lo: Column, hi: Column): DataFrame =
+    left.join(right, left(equiKey) === right(equiKey) &&
+      leftVal >= lo && leftVal <= hi)
+
+  /** Skew-resistant join of a big fact against a small dim: the dim is
+    * replicated `salts` times and the fact picks a deterministic salt, so a
+    * single hot key spreads over `salts` reducers. Result set is identical
+    * to the plain equi-join. With AQE's skew-join handling this is often
+    * unnecessary, but it is the explicit form for when AQE is off or the
+    * skew is in a broadcast-ineligible join.
+    */
+  def saltedJoin(fact: DataFrame, factKey: String, saltSource: Column,
+                 dim: DataFrame, dimKey: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(salts)).cast("int"))
+    val saltedDim = dim
+      .withColumn("__salt", explode(lit((0 until salts).toArray)))
+    saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("__salt") === saltedDim("__salt"))
+      .drop(saltedDim(dimKey)).drop(saltedDim("__salt")).drop("__salt")
+  }
+
+  /** Positional lookup: explode `arrayCol` with its index and tag each
+    * position that hits the watch-list — the reference's accountIndex →
+    * hot-address map build. Returns (original cols..., pos, elem, hit) where
+    * hit is the element when watch-listed else NULL.
+    */
+  def positionalTag(df: DataFrame, arrayCol: String, watch: Seq[String])
+      : DataFrame =
+    df.select(col("*"), posexplode(col(arrayCol)).as(Seq("pos", "elem")))
+      .withColumn("hit", Tagging.isinTag(col("elem"), watch))
+}
