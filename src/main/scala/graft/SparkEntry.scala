@@ -165,7 +165,107 @@ object SparkEntry {
 
     // Flagship: the SURVEY §7.2 token-flow slice (semi-join → pre/post
     // merge → tags → broadcast price attach → projection).
-    "q13_tokenflow" -> ((s, d) => TokenFlows.eventLedger(s, d))
+    "q13_tokenflow" -> ((s, d) => TokenFlows.eventLedger(s, d)),
+
+    // String scalar functions (O16/O18/O26/O33 family): regex extract,
+    // split-count, substring, concat, case transforms.
+    "q14_strings" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select($"doc_id",
+          regexp_extract($"text", "^(\\w+)", 1).as("first_word"),
+          size(split($"text", " ")).as("n_words"),
+          upper(substring($"source", 1, 3)).as("src3"),
+          concat($"lang", lit(":"), $"source").as("lang_src"),
+          (instr($"text", "spark") > 0).as("mentions_spark"),
+          length($"text").as("len"))
+        .orderBy($"doc_id")
+    }),
+
+    // Date/time scalar functions (O28/O34 family).
+    "q15_dates" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"yr", $"mo")
+    }),
+
+    // JSON extraction (§2.2 collapsed): props is a JSON string column.
+    "q16_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k_val", get_json_object($"props", "$.k").cast("int"))
+        .groupBy($"k_val")
+        .agg(count(lit(1)).as("n"), round(avg($"value"), 2).as("avg_value"))
+        .orderBy($"k_val")
+    }),
+
+    // O22: positional join — per-user event sequence with position index
+    // (collect sorted → posexplode; oracle = row_number - 1).
+    "q17_positional" -> ((s, d) => {
+      val e = Tables.events(s, d).filter($"user_id" < 20)
+      e.groupBy($"user_id")
+        .agg(sort_array(collect_list(
+          struct($"ts", $"event_id", $"event_type"))).as("seq"))
+        .select($"user_id", posexplode($"seq").as(Seq("pos", "ev")))
+        .select($"user_id", $"pos", $"ev.event_type".as("event_type"),
+          $"ev.event_id".as("event_id"))
+        .orderBy($"user_id", $"pos")
+    }),
+
+    // As-of join: each click sees the latest prior-or-simultaneous
+    // purchase value of the same user. Sort-based single-pass (no per-row
+    // range probe) — the formulation that survives 100× scale.
+    "q18_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id", $"value")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      Joins.asOfJoin(clicks, purchases, "user_id", "ts", "value",
+          "last_purchase", $"event_id")
+        .select($"user_id", $"event_id", $"value", $"last_purchase")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Range join with an equi-key prefilter: lineitems shipped within 30
+    // days of their order's date (hash join + residual range predicate).
+    "q19_range_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      Joins.rangeJoin(li, o, li("l_orderkey") === o("o_orderkey"),
+          li("l_shipdate"), o("o_orderdate"),
+          o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(year($"o_orderdate").as("yr"))
+        .agg(count(lit(1)).as("n_fast_lines"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"))
+        .orderBy($"yr")
+    }),
+
+    // Skew-safe salted join (result identical to the plain equi-join):
+    // events (5-key skew) against a per-type dim derived from itself.
+    "q20_salted_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val dim = e.groupBy($"event_type")
+        .agg(round(avg($"value"), 2).as("price"))
+      Joins.saltedJoin(e, "event_type", $"event_id", dim, "event_type", 8)
+        .groupBy($"event_type", $"price")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
+    // O37/O38: guarded derived scalars (div-by-zero defaulting, casts).
+    "q21_scalars" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter($"l_orderkey" % 997 === 0)
+        .select($"l_orderkey", $"l_linenumber",
+          round($"l_extendedprice" * (lit(1) - $"l_discount") *
+            (lit(1) + $"l_tax"), 2).as("charge"),
+          when($"l_discount" > 0, round($"l_tax" / $"l_discount", 4))
+            .otherwise(0.0).as("tax_ratio"),
+          $"l_quantity".cast("int").as("qty_int"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -278,7 +378,76 @@ object SparkEntry {
         |  WHERE event_type = 'error' AND value > 97
         |ORDER BY user_id""".stripMargin,
 
-    "q13_tokenflow" -> TokenFlows.eventLedgerOracle
+    "q13_tokenflow" -> TokenFlows.eventLedgerOracle,
+
+    "q14_strings" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '^(\w+)', 1) AS first_word,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  upper(substr(source, 1, 3)) AS src3,
+        |  concat(lang, ':', source) AS lang_src,
+        |  (strpos(text, 'spark') > 0) AS mentions_spark,
+        |  CAST(length(text) AS INT) AS len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q15_dates" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q16_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  count(*) AS n, round(avg(value), 2) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY k_val""".stripMargin,
+
+    "q17_positional" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) - 1 AS INT) AS pos,
+        |  event_type, event_id
+        |FROM events WHERE user_id < 20 ORDER BY user_id, pos""".stripMargin,
+
+    "q18_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *, last_value(CASE WHEN side = 0 THEN value END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase
+        |  FROM u)
+        |SELECT user_id, event_id, value, last_purchase FROM w
+        |WHERE side = 1 ORDER BY user_id, event_id""".stripMargin,
+
+    "q19_range_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  count(*) AS n_fast_lines,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q20_salted_join" ->
+      """WITH dim AS (SELECT event_type, round(avg(value), 2) AS price
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, d.price, count(*) AS n
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin,
+
+    "q21_scalars" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2)
+        |    AS charge,
+        |  CASE WHEN l_discount > 0 THEN round(l_tax / l_discount, 4)
+        |       ELSE 0.0 END AS tax_ratio,
+        |  CAST(l_quantity AS INT) AS qty_int
+        |FROM lineitem WHERE l_orderkey % 997 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

@@ -72,15 +72,13 @@ object Joins {
                tieBreak: Column): DataFrame = {
     val l = left.withColumn("__side", lit(1))
       .withColumn("__asof_v", lit(null).cast(right.schema(valueCol).dataType))
-    val r = right.select(col(keyCol), col(tsCol))
+    val r = right.select(col(keyCol), col(tsCol),
+        col(valueCol).as("__asof_v"))
       .withColumn("__side", lit(0))
-      .withColumn("__asof_v", right(valueCol))
     val leftCols = left.columns
     val unioned = l.select(
       (leftCols.map(col) :+ col("__side") :+ col("__asof_v")): _*)
-      .unionByName(
-        r.select(col(keyCol), col(tsCol), col("__side"), col("__asof_v")),
-        allowMissingColumns = true)
+      .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("__side").asc, tieBreak.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -94,10 +92,9 @@ object Joins {
     * side, pre-filtered by an equi-key so Catalyst plans a hash join with a
     * residual range predicate instead of a cartesian product.
     */
-  def rangeJoin(left: DataFrame, right: DataFrame, equiKey: String,
+  def rangeJoin(left: DataFrame, right: DataFrame, equi: Column,
                 leftVal: Column, lo: Column, hi: Column): DataFrame =
-    left.join(right, left(equiKey) === right(equiKey) &&
-      leftVal >= lo && leftVal <= hi)
+    left.join(right, equi && leftVal >= lo && leftVal <= hi)
 
   /** Skew-resistant join of a big fact against a small dim: the dim is
     * replicated `salts` times and the fact picks a deterministic salt, so a
@@ -108,14 +105,15 @@ object Joins {
     */
   def saltedJoin(fact: DataFrame, factKey: String, saltSource: Column,
                  dim: DataFrame, dimKey: String, salts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
+    val saltedFact = fact.withColumn("__fsalt",
       pmod(xxhash64(saltSource), lit(salts)).cast("int"))
     val saltedDim = dim
-      .withColumn("__salt", explode(lit((0 until salts).toArray)))
+      .withColumnRenamed(dimKey, "__dim_key")
+      .withColumn("__dsalt", explode(lit((0 until salts).toArray)))
     saltedFact.join(saltedDim,
-        saltedFact(factKey) === saltedDim(dimKey) &&
-          saltedFact("__salt") === saltedDim("__salt"))
-      .drop(saltedDim(dimKey)).drop(saltedDim("__salt")).drop("__salt")
+        saltedFact(factKey) === col("__dim_key") &&
+          col("__fsalt") === col("__dsalt"))
+      .drop("__dim_key", "__fsalt", "__dsalt")
   }
 
   /** Positional lookup: explode `arrayCol` with its index and tag each
