@@ -31,12 +31,12 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+          Fns.roundU(sum($"l_quantity"), 2).as("sum_qty"),
+          Fns.roundU(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          Fns.roundU(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
             .as("sum_disc_price"),
-          round(avg($"l_quantity"), 2).as("avg_qty"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
+          Fns.roundU(avg($"l_quantity"), 2).as("avg_qty"),
+          Fns.roundU(avg($"l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -49,7 +49,7 @@ object SparkEntry {
           $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
           $"l_quantity" < 24)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity",
-          round($"l_extendedprice" * $"l_discount", 4).as("revenue"))
+          Fns.roundU($"l_extendedprice" * $"l_discount", 4).as("revenue"))
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
@@ -62,7 +62,7 @@ object SparkEntry {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy($"c_mktsegment")
         .agg(
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+          Fns.roundU(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
             .as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"c_mktsegment")
@@ -75,7 +75,7 @@ object SparkEntry {
       Joins.semiFilter(o, "o_orderkey", bigDisc, "l_orderkey")
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum($"o_totalprice"), 2).as("sum_price"))
+          Fns.roundU(sum($"o_totalprice"), 2).as("sum_price"))
         .orderBy($"o_orderpriority")
     }),
 
@@ -138,7 +138,7 @@ object SparkEntry {
     "q10_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+        .agg(Fns.roundU(sum($"l_quantity"), 2).as("sum_qty"),
           count(lit(1)).as("n_rows"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
@@ -187,7 +187,7 @@ object SparkEntry {
         .groupBy(year($"o_orderdate").as("yr"),
           month($"o_orderdate").as("mo"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum($"o_totalprice"), 2).as("sum_price"))
+          Fns.roundU(sum($"o_totalprice"), 2).as("sum_price"))
         .orderBy($"yr", $"mo")
     }),
 
@@ -196,7 +196,7 @@ object SparkEntry {
       Tables.events(s, d)
         .withColumn("k_val", get_json_object($"props", "$.k").cast("int"))
         .groupBy($"k_val")
-        .agg(count(lit(1)).as("n"), round(avg($"value"), 2).as("avg_value"))
+        .agg(count(lit(1)).as("n"), Fns.roundU(avg($"value"), 2).as("avg_value"))
         .orderBy($"k_val")
     }),
 
@@ -238,7 +238,7 @@ object SparkEntry {
           o("o_orderdate") + expr("INTERVAL 30 DAYS"))
         .groupBy(year($"o_orderdate").as("yr"))
         .agg(count(lit(1)).as("n_fast_lines"),
-          round(sum($"l_extendedprice"), 2).as("sum_price"))
+          Fns.roundU(sum($"l_extendedprice"), 2).as("sum_price"))
         .orderBy($"yr")
     }),
 
@@ -247,7 +247,7 @@ object SparkEntry {
     "q20_salted_join" -> ((s, d) => {
       val e = Tables.events(s, d)
       val dim = e.groupBy($"event_type")
-        .agg(round(avg($"value"), 2).as("price"))
+        .agg(Fns.roundU(avg($"value"), 2).as("price"))
       Joins.saltedJoin(e, "event_type", $"event_id", dim, "event_type", 8)
         .groupBy($"event_type", $"price")
         .agg(count(lit(1)).as("n"))
@@ -259,12 +259,138 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .filter($"l_orderkey" % 997 === 0)
         .select($"l_orderkey", $"l_linenumber",
-          round($"l_extendedprice" * (lit(1) - $"l_discount") *
+          Fns.roundU($"l_extendedprice" * (lit(1) - $"l_discount") *
             (lit(1) + $"l_tax"), 2).as("charge"),
-          when($"l_discount" > 0, round($"l_tax" / $"l_discount", 4))
+          when($"l_discount" > 0, Fns.roundU($"l_tax" / $"l_discount", 4))
             .otherwise(0.0).as("tax_ratio"),
           $"l_quantity".cast("int").as("qty_int"))
         .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // --- LLM-data-pipeline extras (north star; BASELINE.json) ---
+
+    // Exact dedup: hash group-by on content digest; only the 128-bit
+    // digest shuffles, never the text.
+    "q22_dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy($"content_hash")
+    }),
+
+    // MinHash+LSH near-dup candidates (rows-only check: hash family is
+    // engine-specific). est_jaccard = signature agreement fraction.
+    "q23_dedup_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // candidates via banded MinHash (r=2), then exact-Jaccard verify of
+      // the top candidates — the full near-dup pipeline shape.
+      val cands = Dedup.minHashCandidates(docs, "text", "doc_id",
+          shingleWords = 2, k = 32, bands = 16)
+        .orderBy($"est_jaccard".desc, $"id_a", $"id_b")
+        .limit(200)
+      Dedup.exactJaccard(docs, "text", "doc_id", cands, shingleWords = 2)
+        .select($"id_a", $"id_b", $"est_jaccard", $"jaccard")
+        .orderBy($"jaccard".desc, $"id_a", $"id_b")
+        .limit(100)
+    }),
+
+    // Exact word-3-gram Jaccard on a defined pair set (consecutive doc
+    // ids) — the verification step of near-dup dedup, SQL-oracle-able.
+    "q24_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select($"doc_id".as("id_a"))
+        .join(docs.select($"doc_id".as("id_b")),
+          col("id_b") === col("id_a") + 1)
+      Dedup.exactJaccard(docs, "text", "doc_id", pairs, shingleWords = 3)
+        .select($"id_a", $"id_b", $"jaccard")
+        .orderBy($"id_a")
+    }),
+
+    // SimHash fingerprints via a native Catalyst Expression (rows-only:
+    // engine-specific hash). Emits fingerprint + hamming distance to the
+    // next doc — the building block of simhash near-dup clustering.
+    "q25_simhash" -> ((s, d) => {
+      import graft.functions.TextHashes
+      val fp = Tables.documents(s, d).select($"doc_id", $"lang",
+        TextHashes.simhash64(split(trim($"text"), "\\s+")).as("simhash"),
+        TextHashes.rollingFingerprint($"text").as("fingerprint"))
+      // partitioned window: hamming distance to the next doc in the same
+      // language — keyed, so the sort distributes (no global window).
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      fp.withColumn("next_hash", lead($"simhash", 1).over(w))
+        .withColumn("hamming_next",
+          when($"next_hash".isNotNull,
+            bit_count($"simhash".bitwiseXOR($"next_hash"))))
+        .drop("next_hash")
+        .orderBy($"doc_id")
+    }),
+
+    // Brute-force cosine top-5 neighbors for 5 query vectors (exact ANN
+    // baseline; broadcast queries, one corpus scan).
+    "q26_embed_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter($"vec_id" < 5)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        .orderBy($"query_id", $"rk")
+    }),
+
+    // IVF approximate ANN: 10 deterministic centroids, probe 3 cells
+    // (rows-only: approximate by construction).
+    "q27_embed_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val queries = emb.filter($"vec_id" < 5)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          centroids, "cid", "cvec", queries, "vec_id", "embedding",
+          k = 5, nprobe = 3)
+        .orderBy($"query_id", $"rk")
+    }),
+
+    // Text quality scoring + token counting (C4/Gopher-style filters).
+    "q28_text_quality" -> ((s, d) => {
+      Tables.documents(s, d).select($"doc_id",
+          TextAnalysis.tokenCountWs($"text").as("n_tokens_ws"),
+          TextAnalysis.tokenCountBpe($"text").as("n_tokens_bpe"),
+          Fns.roundU(TextAnalysis.stopwordRatio($"text"), 4).as("stopword_ratio"),
+          Fns.roundU(TextAnalysis.meanWordLen($"text"), 4).as("mean_word_len"),
+          TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language-ID heuristic + per-language corpus stats.
+    "q29_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("pred_lang", TextAnalysis.langIdHeuristic($"text"))
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          Fns.roundU(avg(length($"text")), 2).as("avg_len"))
+        .orderBy($"lang", $"pred_lang")
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata. The
+    // decode is a DETERMINISTIC STUB (no codecs in container); the binary
+    // column, schema and batch shape are real. Oracle covers the real
+    // parts (payload size).
+    "q30_multimodal_meta" -> ((s, d) => {
+      val withPayload = Tables.documents(s, d)
+        .withColumn("payload", Multimodal.toPayload($"text"))
+      withPayload.select($"doc_id",
+          octet_length($"payload").as("n_bytes"),
+          Multimodal.fakeDecodeImageMeta($"payload").as("meta"),
+          size(Multimodal.sampleFrames($"payload", 4, 16)).as("n_frames"))
+        .select($"doc_id", $"n_bytes", $"meta.width".as("width"),
+          $"meta.height".as("height"), $"n_frames")
+        .orderBy($"doc_id")
+    }),
+
+    // Approximate distinct (HLL) — rows-only: sketch implementations are
+    // engine-specific. Paired with q09's exact counts for calibration.
+    "q31_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          approx_count_distinct($"l_orderkey").as("approx_orders"))
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -276,18 +402,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 2) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS sum_disc_price,
+        |  floor((avg(l_quantity)) * 100 + 0.5) / 100.0 AS avg_qty,
+        |  floor((avg(l_discount)) * 10000 + 0.5) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        |  round(l_extendedprice * l_discount, 4) AS revenue
+        |  floor((l_extendedprice * l_discount) * 10000 + 0.5) / 10000.0 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -296,7 +422,7 @@ object SparkEntry {
 
     "q03_join_agg" ->
       """SELECT c_mktsegment,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -304,7 +430,7 @@ object SparkEntry {
 
     "q04_semi_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS sum_price
+        |  floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
@@ -357,7 +483,7 @@ object SparkEntry {
 
     "q10_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |  floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
@@ -393,12 +519,12 @@ object SparkEntry {
     "q15_dates" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
         |  CAST(month(o_orderdate) AS INT) AS mo,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |  count(*) AS n_orders, floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
 
     "q16_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-        |  count(*) AS n, round(avg(value), 2) AS avg_value
+        |  count(*) AS n, floor((avg(value)) * 100 + 0.5) / 100.0 AS avg_value
         |FROM events GROUP BY 1 ORDER BY k_val""".stripMargin,
 
     "q17_positional" ->
@@ -426,14 +552,14 @@ object SparkEntry {
     "q19_range_join" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
         |  count(*) AS n_fast_lines,
-        |  round(sum(l_extendedprice), 2) AS sum_price
+        |  floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "q20_salted_join" ->
-      """WITH dim AS (SELECT event_type, round(avg(value), 2) AS price
+      """WITH dim AS (SELECT event_type, floor((avg(value)) * 100 + 0.5) / 100.0 AS price
         |  FROM events GROUP BY event_type)
         |SELECT e.event_type, d.price, count(*) AS n
         |FROM events e JOIN dim d ON e.event_type = d.event_type
@@ -441,13 +567,104 @@ object SparkEntry {
 
     "q21_scalars" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2)
+        |  floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100.0
         |    AS charge,
-        |  CASE WHEN l_discount > 0 THEN round(l_tax / l_discount, 4)
+        |  CASE WHEN l_discount > 0 THEN floor((l_tax / l_discount) * 10000 + 0.5) / 10000.0
         |       ELSE 0.0 END AS tax_ratio,
         |  CAST(l_quantity AS INT) AS qty_int
         |FROM lineitem WHERE l_orderkey % 997 = 0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q22_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q24_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+        |  FROM toks),
+        |sh AS (SELECT doc_id, unnest(gs) AS g FROM shl),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |inter AS (
+        |  SELECT p.id_a, p.id_b, count(*) AS ni
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.id_a
+        |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.g = sa.g
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1)
+        |SELECT p.id_a, p.id_b,
+        |  floor((CAST(coalesce(ni, 0) AS DOUBLE) /
+        |        (za.ns + zb.ns - coalesce(ni, 0))) * 10000 + 0.5) / 10000.0 AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter USING (id_a, id_b)
+        |JOIN sizes za ON za.doc_id = p.id_a
+        |JOIN sizes zb ON zb.doc_id = p.id_b
+        |ORDER BY id_a""".stripMargin,
+
+    "q26_embed_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS s
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, s, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+        |  floor((s) * 10000 + 0.5) / 10000.0 AS sim
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "q28_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, toks,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','and',
+        |      'of','to','in','is','it','that'))) AS DOUBLE)
+        |      / len(toks) AS stop_ratio,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g'))
+        |      AS DOUBLE) / length(text) AS punct_ratio
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT)
+        |    AS n_tokens_bpe,
+        |  floor((stop_ratio) * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+        |  floor((CAST(list_sum(list_transform(toks, x -> length(x)))
+        |    AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000.0 AS mean_word_len,
+        |  floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+        |    + least(stop_ratio * 5.0, 1.0) * 0.3
+        |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2) * 10000 + 0.5) / 10000.0 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q29_lang_id" ->
+      """WITH m AS (
+        |  SELECT lang, length(text) AS len,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x IN ('the','a','an','and','of','to','in','is','it',
+        |      'that'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN stop_ratio >= 0.03 THEN 'en' ELSE 'other' END
+        |    AS pred_lang,
+        |  count(*) AS n_docs, floor((avg(len)) * 100 + 0.5) / 100.0 AS avg_len
+        |FROM m GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

@@ -3,7 +3,7 @@ package graft.domain
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Fns, Tables}
 import graft.operators.{Joins, Tagging}
 
 /** The flagship "token-flow ledger" re-expressed over the driver's star
@@ -47,7 +47,7 @@ object TokenFlows {
     // broadcast back — the stream–static dim join of the reference, made
     // deterministic (snapshot semantics; SURVEY.md §3.3).
     val prices = e.groupBy(col("event_type"))
-      .agg(round(avg(col("value")), 2).as("price"))
+      .agg(Fns.roundU(avg(col("value")), 2).as("price"))
 
     val withDims = Joins.attachDim(merged, "event_type", prices,
       "event_type", Seq("price"))
@@ -83,7 +83,7 @@ object TokenFlows {
       |    count(*) AS n_events
       |  FROM ranked GROUP BY user_id, event_type),
       |prices AS (
-      |  SELECT event_type, round(avg(value), 2) AS price
+      |  SELECT event_type, floor((avg(value)) * 100 + 0.5) / 100.0 AS price
       |  FROM events GROUP BY event_type)
       |SELECT m.user_id, m.event_type,
       |  concat(m.user_id, '-', m.event_type, '-', '1') AS signature,

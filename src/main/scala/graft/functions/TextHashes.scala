@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom scalar expressions for document fingerprinting. Implemented as
+  * native Catalyst `Expression`s (not Scala UDFs) so they evaluate on
+  * Catalyst's internal row format without SerDe; hashing reuses Spark's own
+  * XxHash64Function so SimHash bits are consistent with the `xxhash64`
+  * SQL builtin (seed 42).
+  */
+
+/** 64-bit SimHash over an array of string tokens: each token votes its
+  * xxhash64 bit pattern +1/-1 per bit position; the sign of each
+  * accumulator becomes the output bit. Near-identical token multisets give
+  * near-identical (low Hamming distance) fingerprints.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(
+          arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Polynomial rolling-hash fingerprint of a string (base-31 Horner over
+  * UTF-8 bytes, wrapping 64-bit arithmetic). The classic content-defined
+  * document fingerprint; stable across partitions/engines by construction.
+  */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = 31L * h + bytes(i)
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : RollingFingerprint = copy(child = c)
+}
+
+object TextHashes {
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def rollingFingerprint(text: Column): Column =
+    Bridge.column(RollingFingerprint(Bridge.expression(text)))
+}

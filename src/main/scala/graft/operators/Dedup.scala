@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact (hash group-by),
+  * MinHash+LSH near-dup candidates, and exact n-gram Jaccard verification.
+  *
+  * Scale design: everything is a hash-shuffle on a short key (digest or
+  * band hash) — never an all-pairs comparison. The LSH band join is the
+  * only quadratic step and it is quadratic only within a bucket, which the
+  * banding parameters keep tiny. This is the standard shape used at
+  * 100 TB (e.g. the C4/RefinedWeb dedup recipes).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest. Emits one row per distinct
+    * digest with the surviving (minimum) id and the duplicate count. The
+    * map-side partial agg means the full text never shuffles — only its
+    * 128-bit digest. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Character n-gram shingle set (distinct). */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(text) - n, lit(0))),
+      i => text.substr(i + 1, lit(n))))
+
+  /** Word n-gram shingle set (distinct), from whitespace tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Hash family: xxhash64(seed_i, shingle) — one 64-bit hash per (seed,
+    * shingle), min per seed. */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(shingles, sh => xxhash64(s, sh))))
+
+  /** LSH band keys: split the k-length signature into `bands` bands of
+    * `rowsPerBand` and hash each band. Two docs sharing any band key are
+    * candidates. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("bkey")))
+
+  /** Candidate near-dup pairs via MinHash LSH. Returns (id_a, id_b,
+    * est_jaccard) with id_a < id_b, est_jaccard = fraction of agreeing
+    * signature positions. One shuffle on the band key; bucket joins are
+    * local. */
+  def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        shingleWords: Int = 3, k: Int = 32,
+                        bands: Int = 16, maxBucket: Int = 64): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSig = df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleWords).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), k))
+    val banded = withSig.select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    // Skew guard: a band key shared by a huge fraction of the corpus (a
+    // stop-shingle) would make the bucket join quadratic in that bucket.
+    // Cap bucket size — oversized buckets carry no dedup signal anyway.
+    val okBuckets = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
+      .select(col("band"), col("bkey"))
+    val pruned = banded.join(okBuckets, Seq("band", "bkey"))
+    val a = pruned.select(col("band"), col("bkey"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val b = pruned.select(col("band"), col("bkey"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), p => p)).cast("double") / k).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between the word-shingle sets of given id
+    * pairs (verification step after LSH candidate generation). `pairs`
+    * must have columns id_a, id_b. */
+  def exactJaccard(df: DataFrame, textCol: String, idCol: String,
+                   pairs: DataFrame, shingleWords: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("__jid"),
+      wordShingles(col(textCol), shingleWords).as("__jsh"))
+    pairs
+      .join(sets.withColumnRenamed("__jid", "id_a")
+        .withColumnRenamed("__jsh", "sh_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("__jid", "id_b")
+        .withColumnRenamed("__jsh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.Fns.roundU(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .drop("sh_a", "sh_b")
+  }
+}

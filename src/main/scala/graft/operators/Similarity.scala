@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, and an IVF (inverted-file) variant as the scale path.
+  *
+  * The dot product is a codegen'd `zip_with` + `aggregate` over the float
+  * arrays cast to double — no UDF, so the whole scan stays in
+  * WholeStageCodegen. At cluster scale the brute-force form is a broadcast
+  * nested loop (queries broadcast, corpus partition-local); IVF cuts the
+  * scanned fraction to nprobe/ncells.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two numeric arrays, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` is a
+    * small DataFrame (qid, qvec) that gets broadcast; the corpus is
+    * scanned once, partition-locally. Excludes self-matches by id. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(qvecCol).as("__qvec"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cvec"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("__cvec"), col("__qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        graft.Fns.roundU(col("sim"), 4).as("sim"))
+  }
+
+  /** Assign each vector to its nearest centroid (IVF cell). `centroids`
+    * is broadcast; assignment is an argmax over the broadcast list —
+    * shuffle-free. */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, cidCol: String, cvecCol: String)
+      : DataFrame = {
+    val c = centroids.select(col(cidCol).as("cell_id"),
+      col(cvecCol).as("__centroid"))
+    val scored = corpus.join(broadcast(c))
+      .withColumn("__csim", cosine(col(vecCol), col("__centroid")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("cell_id").asc)
+    scored.withColumn("__crk", row_number().over(w))
+      .filter(col("__crk") === 1)
+      .drop("__centroid", "__csim", "__crk")
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` nearest cells per query and
+    * run exact scoring only inside those cells. Returns the same shape as
+    * [[bruteForceTopK]]; recall < 1 by construction. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, cidCol: String, cvecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nprobe: Int): DataFrame = {
+    val assigned = assignCells(corpus, idCol, vecCol, centroids, cidCol,
+      cvecCol)
+    // per-query probe list: nprobe nearest centroids
+    val c = centroids.select(col(cidCol).as("cell_id"),
+      col(cvecCol).as("__centroid"))
+    val qCells = queries.select(col(qidCol).as("query_id"),
+        col(qvecCol).as("__qvec"))
+      .join(broadcast(c))
+      .withColumn("__csim", cosine(col("__qvec"), col("__centroid")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("cell_id").asc)
+    val probes = qCells.withColumn("__crk", row_number().over(wq))
+      .filter(col("__crk") <= nprobe)
+      .select(col("query_id"), col("__qvec"), col("cell_id"))
+    // scan only the probed cells
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("__qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"),
+        graft.Fns.roundU(col("sim"), 4).as("sim"))
+  }
+}
