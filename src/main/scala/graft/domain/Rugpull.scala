@@ -1,0 +1,180 @@
+package graft.domain
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tagging
+
+/** The reference's end-to-end query surface over real nested block JSON:
+  * the per-block token-flow ledger (hot path), pool detection (regex log
+  * scan), and price derivation. Batch forms here; streaming wrappers in
+  * [[graft.streaming.Streams]].
+  *
+  * Everything is one declarative plan per query — Spark distributes what
+  * the reference hand-wove across processes/threads (SURVEY.md §3.1).
+  */
+object Rugpull {
+
+  /** Parse raw block JSON lines (one getBlock response per line) with the
+    * pruned explicit schema. */
+  def parseBlocks(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(BlockSchema.block).json(path)
+
+  /** The flagship token-flow ledger (SURVEY.md §0). Output schema matches
+    * FIXTURES.md §4:
+    * timestamp, wallet, signature, mint, pre_balance, post_balance,
+    * baseVault, quoteVault, baseMint, quoteMint, base_price, quote_price.
+    *
+    * Semantics preserved from the reference:
+    *  - tx qualifies iff any address in accountKeys ∪ writable ∪ readonly
+    *    is watch-listed (hash semi-join, O20);
+    *  - accountIndex addresses the concatenation accountKeys ++ writable
+    *    ++ readonly (positional lookup join, O22);
+    *  - row key = hot-address-at-index if present else balance owner (O23);
+    *  - duplicate (wallet, mint) within a side: LAST occurrence wins (O24);
+    *  - empty balance string ⇒ SQL NULL; row emitted iff either side
+    *    non-empty (O25);
+    *  - signature = blockTime-txIdx-1 (O26).
+    *
+    * @param blocks      parsed block DataFrame (schema [[BlockSchema.block]])
+    * @param hot         watch-list dimension: column `addr`
+    * @param watchlists  dimension (kind ∈ {BASE_VAULTS, QUOTE_VAULTS,
+    *                    BASE_MINTS, QUOTE_MINTS}, addr)
+    * @param prices      dimension (vault, side ∈ {base, quote}, price_usd)
+    */
+  def tokenFlows(blocks: DataFrame, hot: DataFrame, watchlists: DataFrame,
+                 prices: DataFrame): DataFrame = {
+    val txs = blocks.select(
+        col("result.blockTime").as("timestamp"),
+        posexplode(col("result.transactions")).as(Seq("txIdx", "tx")))
+      .withColumn("allAddrs", concat(
+        coalesce(col("tx.transaction.message.accountKeys"),
+          array().cast("array<string>")),
+        coalesce(col("tx.meta.loadedAddresses.writable"),
+          array().cast("array<string>")),
+        coalesce(col("tx.meta.loadedAddresses.readonly"),
+          array().cast("array<string>"))))
+
+    // Semi-join + positional lookup in ONE pass: explode addresses with
+    // their index, broadcast-join the hot list, and fold the hits back
+    // into a pos→addr map per tx. Transactions with no hit disappear at
+    // the inner join — the reference's early-exit filter, distributed.
+    val hotDim = broadcast(hot.select(col("addr").as("__hot_addr"))
+      .distinct())
+    val hits = txs.select(col("timestamp"), col("txIdx"),
+        posexplode(col("allAddrs")).as(Seq("pos", "addr")))
+      .join(hotDim, col("addr") === col("__hot_addr"), "inner")
+      .groupBy(col("timestamp"), col("txIdx"))
+      .agg(map_from_entries(collect_list(
+        struct(col("pos"), col("addr")))).as("hotAt"))
+
+    val hotTxs = txs.join(hits, Seq("timestamp", "txIdx"), "inner")
+
+    // Side-tagged balance entries with their within-array position (the
+    // LWW ordering key). Missing uiAmountString ⇒ null ⇒ treated like the
+    // reference's empty string.
+    def side(s: String, arr: Column): Column =
+      coalesce(transform(arr, (b, i) => struct(
+        lit(s).as("side"), i.as("entryIdx"),
+        b.getField("accountIndex").as("accountIndex"),
+        b.getField("mint").as("mint"),
+        b.getField("owner").as("owner"),
+        b.getField("uiTokenAmount").getField("uiAmountString").as("bal"))),
+        array().cast(
+          "array<struct<side:string,entryIdx:int,accountIndex:int," +
+            "mint:string,owner:string,bal:string>>"))
+
+    val entries = hotTxs.select(col("timestamp"), col("txIdx"),
+        col("hotAt"),
+        explode(concat(side("pre", col("tx.meta.preTokenBalances")),
+          side("post", col("tx.meta.postTokenBalances")))).as("e"))
+      .select(col("timestamp"), col("txIdx"),
+        Tagging.coalesceKey(col("hotAt")(col("e.accountIndex")),
+          col("e.owner")).as("wallet"),
+        col("e.mint").as("mint"), col("e.side").as("side"),
+        col("e.entryIdx").as("entryIdx"), col("e.bal").as("bal"))
+      .filter(col("wallet").isNotNull)
+
+    // O24: last-write-wins pre/post pivot — one hash aggregate with
+    // map-side combine (no window sort, no join).
+    val merged = entries
+      .groupBy(col("timestamp"), col("txIdx"), col("wallet"), col("mint"))
+      .agg(
+        max_by(when(col("side") === "pre", coalesce(col("bal"), lit(""))),
+          when(col("side") === "pre", col("entryIdx"))).as("pre_raw"),
+        max_by(when(col("side") === "post", coalesce(col("bal"), lit(""))),
+          when(col("side") === "post", col("entryIdx"))).as("post_raw"))
+      .withColumn("pre_balance", Tagging.emptyToNull(col("pre_raw")))
+      .withColumn("post_balance", Tagging.emptyToNull(col("post_raw")))
+      .filter(col("pre_balance").isNotNull || col("post_balance").isNotNull)
+      .withColumn("signature", Tagging.surrogateKey(col("timestamp"),
+        col("txIdx"), lit("1")))
+
+    // Enrichment: four membership tags + two price attaches, all
+    // broadcast left joins against tiny dims (O29/O30).
+    def tag(df: DataFrame, kind: String, keyCol: String,
+            outName: String): DataFrame =
+      Tagging.isinTagJoin(df, keyCol,
+        watchlists.filter(col("kind") === kind), "addr", outName)
+
+    def price(df: DataFrame, sideName: String, outName: String)
+        : DataFrame = {
+      val p = prices.filter(col("side") === sideName)
+        .select(col("vault").as(s"__pv_$sideName"),
+          col("price_usd").as(outName))
+      df.join(broadcast(p),
+        df("wallet") === col(s"__pv_$sideName"), "left_outer")
+        .drop(s"__pv_$sideName")
+    }
+
+    val tagged = price(price(
+      tag(tag(tag(tag(merged,
+        "BASE_VAULTS", "wallet", "baseVault"),
+        "QUOTE_VAULTS", "wallet", "quoteVault"),
+        "BASE_MINTS", "mint", "baseMint"),
+        "QUOTE_MINTS", "mint", "quoteMint"),
+      "base", "base_price"), "quote", "quote_price")
+
+    tagged.select(col("timestamp"), col("wallet"), col("signature"),
+      col("mint"), col("pre_balance"), col("post_balance"),
+      col("baseVault"), col("quoteVault"), col("baseMint"),
+      col("quoteMint"), col("base_price"), col("quote_price"))
+  }
+
+  /** Pool-detection filter (O33): a tx qualifies if its joined log text
+    * contains a watched program id AND matches `Instruction: <name>\b` for
+    * one of that program's instruction names. Emits candidate txs with
+    * their accountKeys for downstream metadata resolution. */
+  def detectPools(blocks: DataFrame,
+                  programs: Map[String, Seq[String]]): DataFrame = {
+    val txs = blocks.select(col("result.blockTime").as("blockTime"),
+        posexplode(col("result.transactions")).as(Seq("txIdx", "tx")))
+      .withColumn("logText",
+        array_join(coalesce(col("tx.meta.logMessages"),
+          array().cast("array<string>")), " "))
+    val cond = programs.map { case (prog, instrs) =>
+      col("logText").contains(prog) &&
+        col("logText").rlike(instrs.map(i => s"Instruction: $i\\b")
+          .mkString("|"))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    txs.filter(cond)
+      .select(col("blockTime"), col("txIdx"),
+        col("tx.transaction.message.accountKeys").as("accountKeys"))
+  }
+
+  /** Pool freshness filter (O34): keep pools opened within `windowSec` of
+    * `now` (an explicit column, not wall-clock, for determinism). */
+  def freshPools(pools: DataFrame, now: Column,
+                 windowSec: Long = 300L): DataFrame =
+    pools.filter(now - col("openTime") <= windowSec)
+
+  /** Price derivation (O37/O38): quote USD price from base USD and the
+    * native pair price, guarded against zero/empty. */
+  def derivedQuotePrice(baseUsd: Column, priceNative: Column): Column = {
+    // try_cast: empty/malformed price strings degrade to 0.0 instead of
+    // failing the job under ANSI mode (reference: float(str or 0)).
+    val native = coalesce(priceNative.try_cast("double"), lit(0.0))
+    val base = coalesce(baseUsd.try_cast("double"), lit(0.0))
+    when(native > 0, base / native).otherwise(0.0)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.domain.{BlockSchema, Rugpull}
+
+/** Structured Streaming forms of the reference's pipelines. The reference
+  * hand-built micro-batching (shared-memory mailbox + poll loops, SURVEY.md
+  * §1.1); here each arriving block file is a micro-batch and backpressure,
+  * retries and exactly-once sink semantics come from the engine.
+  */
+object Streams {
+
+  /** Price event for stateful change suppression (shape of the reference's
+    * prices_channel payloads). */
+  case class PriceEvent(pair: String, ts: Long, basePrice: Double,
+                        quotePrice: Double)
+
+  /** Streaming token-flow ledger: watch a directory for block JSON files,
+    * run the flagship query per micro-batch, hand each batch to `sink`.
+    * Dimensions are re-read per batch via the closure — the stream–static
+    * join semantics of the reference (dims re-fetched every chunk, O9).
+    */
+  def tokenFlowsStream(spark: SparkSession, blocksDir: String,
+                       hot: DataFrame, watchlists: DataFrame,
+                       prices: DataFrame)
+                      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val blocks = spark.readStream
+      .schema(BlockSchema.block)
+      .option("maxFilesPerTrigger", 1) // one block file per micro-batch
+      .json(blocksDir)
+    blocks.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(Rugpull.tokenFlows(batch, hot, watchlists, prices), id)
+      }
+      .start()
+  }
+
+  /** Stateful change suppression (exact reference semantics, O35): emit a
+    * price event iff the pair is unseen or base/quote moved >`threshold`
+    * relative to the LAST EMITTED event. State = last emitted prices per
+    * pair. Works on both streaming and batch Datasets (same code path).
+    */
+  def suppressPrices(events: Dataset[PriceEvent], threshold: Double)
+      : Dataset[PriceEvent] = {
+    import events.sparkSession.implicits._
+
+    def moved(prev: Double, cur: Double): Boolean =
+      math.abs(cur - prev) > math.abs(prev) * threshold
+
+    events.groupByKey(_.pair)
+      .flatMapGroupsWithState[(Double, Double), PriceEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[(Double, Double)]) =>
+          // within a batch, process in event order
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.pair))
+          val out = Seq.newBuilder[PriceEvent]
+          var last = state.getOption
+          sorted.foreach { e =>
+            val emit = last match {
+              case None => true
+              case Some((b, q)) =>
+                moved(b, e.basePrice) || moved(q, e.quotePrice)
+            }
+            if (emit) {
+              out += e
+              last = Some((e.basePrice, e.quotePrice))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Windowed event-time aggregation with a watermark — the general
+    * streaming aggregation the reference lacked (SURVEY.md §2.4): counts
+    * and value sums per tumbling window per key, late data bounded by the
+    * watermark. */
+  def windowedEventStats(events: DataFrame, tsCol: String, keyCol: String,
+                         valueCol: String, window_ : String,
+                         watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.SparkSpec
+
+class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  test("Tagging.emptyToNull: empty string becomes NULL, others pass") {
+    val r = Seq("", "x", " ").toDF("c")
+      .select(Tagging.emptyToNull($"c").as("c")).collect().map(_.getString(0))
+    assert(r.toSeq === Seq(null, "x", " "))
+  }
+
+  test("Tagging.coalesceKey prefers non-empty preferred, falls back") {
+    val r = Seq(("", "fb"), ("p", "fb"), ("", ""))
+      .toDF("a", "b")
+      .select(Tagging.coalesceKey($"a", $"b").as("k"))
+      .collect().map(_.getString(0))
+    assert(r.toSeq === Seq("fb", "p", null))
+  }
+
+  test("Joins.semiFilter keeps only watch-listed keys") {
+    val fact = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val watch = Seq(1, 3).toDF("wk")
+    val r = Joins.semiFilter(fact, "k", watch, "wk")
+      .collect().map(_.getInt(0)).sorted
+    assert(r.toSeq === Seq(1, 3))
+  }
+
+  test("Joins.asOfJoin picks latest right value at or before left ts") {
+    val left = Seq(("u", 10L, 1L), ("u", 20L, 2L), ("u", 5L, 3L))
+      .toDF("k", "ts", "id")
+    val right = Seq(("u", 8L, 100.0), ("u", 15L, 200.0), ("u", 20L, 300.0))
+      .toDF("k", "ts", "v")
+    val r = Joins.asOfJoin(left, right, "k", "ts", "v", "asof", $"id")
+      .orderBy($"id").select($"id", $"asof").collect()
+    assert(r.map(x => (x.getLong(0), Option(x.get(1)))).toSeq === Seq(
+      (1L, Some(100.0)),   // ts=10 → right@8
+      (2L, Some(300.0)),   // ts=20 → right@20 (tie: right visible)
+      (3L, None)))         // ts=5 → nothing before
+  }
+
+  test("PrePostMerge.mergeAgg last-write-wins and full-outer") {
+    val tagged = Seq(
+      ("k1", "pre", 1.0, 1), ("k1", "pre", 2.0, 2), // LWW → 2.0
+      ("k1", "post", 9.0, 1),
+      ("k2", "pre", 5.0, 1),                        // pre-only
+      ("k3", "post", 7.0, 1))                       // post-only
+      .toDF("k", "side", "v", "ord")
+    val m = PrePostMerge.mergeAgg(tagged, Seq("k"), "side", "v", $"ord")
+      .orderBy($"k").collect()
+    assert(m.map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+      .toSeq === Seq(
+      ("k1", Some(2.0), Some(9.0)),
+      ("k2", Some(5.0), None),
+      ("k3", None, Some(7.0))))
+  }
+
+  test("PrePostMerge.merge (window+join form) agrees with mergeAgg") {
+    val pre = Seq(("k1", 1.0, 1), ("k1", 2.0, 2), ("k2", 5.0, 1))
+      .toDF("k", "v", "ord")
+    val post = Seq(("k1", 9.0, 1), ("k3", 7.0, 1)).toDF("k", "v", "ord")
+    val m = PrePostMerge.merge(pre, post, Seq("k"), "v", Seq($"ord"))
+      .orderBy($"k").collect()
+    assert(m.map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+      .toSeq === Seq(
+      ("k1", Some(2.0), Some(9.0)),
+      ("k2", Some(5.0), None),
+      ("k3", None, Some(7.0))))
+  }
+
+  test("ChangeSuppression.suppress compares to last EMITTED value") {
+    // 100 → 105 (suppressed, 5%) → 112 (emitted vs 100: 12%) → 113
+    // (suppressed vs 112) → 130 (emitted vs 112: 16%)
+    val df = Seq(("p", 1L, 1L, 100.0), ("p", 2L, 2L, 105.0),
+      ("p", 3L, 3L, 112.0), ("p", 4L, 4L, 113.0), ("p", 5L, 5L, 130.0))
+      .toDF("k", "ts", "id", "v")
+    val r = ChangeSuppression.suppress(df, "k", "ts", "id", "v", 0.1)
+      .orderBy("ts").collect().map(_.getDouble(3))
+    assert(r.toSeq === Seq(100.0, 112.0, 130.0))
+  }
+
+  test("ChangeSuppression.lagFilter compares to previous OBSERVED value") {
+    // same series: 105 suppressed (vs 100), 112 suppressed (vs 105: 6.7%)!
+    val df = Seq(("p", 1L, 1L, 100.0), ("p", 2L, 2L, 105.0),
+      ("p", 3L, 3L, 112.0), ("p", 4L, 4L, 113.0), ("p", 5L, 5L, 130.0))
+      .toDF("k", "ts", "id", "v")
+    val r = ChangeSuppression.lagFilter(df, "k", $"ts", "v", 0.1)
+      .orderBy("ts").collect().map(_.getDouble(3))
+    assert(r.toSeq === Seq(100.0, 130.0))
+  }
+
+  test("Dedup.exactGroups collapses identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("id", "t")
+    val r = Dedup.exactGroups(df, "t", "id").orderBy($"keep_id").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq ===
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("Dedup.minHashCandidates surfaces a planted near-dup pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = (Seq((1L, base), (2L, base + " phi")) ++
+      (3L to 40L).map(i => (i, s"totally different doc number $i with " +
+        s"unique words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")))
+      .toDF("id", "t")
+    val cands = Dedup.minHashCandidates(docs, "t", "id", shingleWords = 2,
+      k = 32, bands = 16)
+    val pairs = cands.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("Dedup.exactJaccard computes the true set similarity") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("id", "t")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.exactJaccard(docs, "t", "id", pairs, shingleWords = 2)
+      .collect()(0).getAs[Double]("jaccard")
+    // 2-gram sets: {ab,bc,cd} vs {ab,bc,ce}: |∩|=2 |∪|=4 → 0.5
+    assert(j === 0.5)
+  }
+
+  test("Similarity.cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine($"a", $"b").as("same"),
+      Similarity.cosine($"a", $"c").as("orth")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("TextAnalysis token counts and ratios") {
+    val r = Seq("the cat sat on the mat").toDF("t").select(
+      TextAnalysis.tokenCountWs($"t").as("ws"),
+      TextAnalysis.stopwordRatio($"t").as("sr")).collect()(0)
+    assert(r.getInt(0) === 6)
+    assert(math.abs(r.getDouble(1) - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("SimHash: similar token sets have low hamming distance") {
+    import graft.functions.TextHashes
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog entirely today"),
+      ("b", "the quick brown fox jumps over the lazy dog entirely"),
+      ("c", "completely unrelated words about spark catalyst execution"))
+      .toDF("id", "t")
+      .select($"id", TextHashes.simhash64(split($"t", " ")).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import Streams.PriceEvent
+
+  test("suppressPrices: batch Dataset, >10% moves only") {
+    val events = Seq(
+      PriceEvent("p1", 1, 100.0, 1.0),
+      PriceEvent("p1", 2, 104.0, 1.0),  // suppressed
+      PriceEvent("p1", 3, 115.0, 1.0),  // base moved 15% vs 100
+      PriceEvent("p1", 4, 115.0, 1.2),  // quote moved 20% vs 1.0
+      PriceEvent("p2", 1, 5.0, 2.0)     // first for p2
+    ).toDS()
+    val out = Streams.suppressPrices(events, 0.1)
+      .collect().map(e => (e.pair, e.ts)).toSet
+    assert(out === Set(("p1", 1L), ("p1", 3L), ("p1", 4L), ("p2", 1L)))
+  }
+
+  test("suppressPrices: streaming carries state across micro-batches") {
+    val dir = Files.createTempDirectory("graft-prices").toFile
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.writeString(dir.toPath.resolve(name), lines.mkString("\n"))
+    // batch 1: first event emits; batch 2: small move must be suppressed
+    // USING STATE FROM batch 1 (this is what the lag-window form can't do
+    // across batches).
+    write("b1.json", Seq("""{"pair":"p1","ts":1,"basePrice":100.0,"quotePrice":1.0}"""))
+    val schema = "pair STRING, ts LONG, basePrice DOUBLE, quotePrice DOUBLE"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      .as[PriceEvent]
+    val q = Streams.suppressPrices(stream, 0.1)
+      .writeStream.format("memory").queryName("suppressed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      write("b2.json", Seq(
+        """{"pair":"p1","ts":2,"basePrice":104.0,"quotePrice":1.0}""",
+        """{"pair":"p1","ts":3,"basePrice":120.0,"quotePrice":1.0}"""))
+      q.processAllAvailable()
+      val rows = spark.table("suppressed").orderBy("ts")
+        .collect().map(_.getAs[Long]("ts"))
+      assert(rows.toSeq === Seq(1L, 3L)) // ts=2 suppressed via state
+    } finally q.stop()
+  }
+
+  test("tokenFlowsStream runs the flagship per micro-batch") {
+    val dir = Files.createTempDirectory("graft-stream-blocks").toFile
+    val block =
+      """{"result":{"blockTime":1700000001,"transactions":[
+        |{"transaction":{"message":{"accountKeys":["HOT1"]}},
+        |"meta":{"loadedAddresses":{"writable":[],"readonly":[]},
+        |"preTokenBalances":[{"accountIndex":0,"mint":"M1","owner":"W1",
+        |"uiTokenAmount":{"uiAmountString":"3"}}],
+        |"postTokenBalances":[],"logMessages":[]}}]}}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.writeString(dir.toPath.resolve("b1.json"), block)
+    val hot = Seq("HOT1").toDF("addr")
+    val watchlists = Seq(("BASE_VAULTS", "HOT1")).toDF("kind", "addr")
+    val prices = Seq(("HOT1", "base", 2.0)).toDF("vault", "side", "price_usd")
+    var batches = Vector.empty[Array[org.apache.spark.sql.Row]]
+    val q = Streams.tokenFlowsStream(spark, dir.getAbsolutePath,
+      hot, watchlists, prices) { (df: DataFrame, _: Long) =>
+      batches :+= df.collect()
+    }
+    q.awaitTermination(60000)
+    val rows = batches.flatten
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("wallet") === "HOT1")
+    assert(rows(0).getAs[String]("pre_balance") === "3")
+  }
+
+  test("windowedEventStats: tumbling window with watermark") {
+    val events = Seq(
+      ("2024-01-01 00:00:10", "a", 1.0),
+      ("2024-01-01 00:00:50", "a", 2.0),
+      ("2024-01-01 00:01:10", "a", 4.0))
+      .toDF("ts_s", "k", "v")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val r = Streams.windowedEventStats(events, "ts", "k", "v",
+      "1 minute", "10 minutes")
+      .select($"k", $"n", $"sum_value").orderBy($"sum_value").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+      .toSeq === Seq(("a", 2L, 3.0), ("a", 1L, 4.0)))
+  }
+}
