@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.{CosineSim, MinHashSig, RollingFingerprint, SimHash64, WordShingles}
+
+/** SQL registration of graft's native expressions, two ways:
+  *  - [[GraftExtensions]] for session build time
+  *    (`.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.GraftExtensions`);
+  *  - [[GraftFunctions.register]] for a live session (the extensions path
+  *    only applies when the session is constructed).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> ((args: Seq[Expression]) => SimHash64(args.head)),
+    "rolling_fingerprint" ->
+      ((args: Seq[Expression]) => RollingFingerprint(args.head)),
+    "cosine_sim" -> ((args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    "word_shingles" -> ((args: Seq[Expression]) =>
+      WordShingles(args(0), intArg(args(1), "word_shingles(n)"))),
+    "minhash_sig" -> ((args: Seq[Expression]) =>
+      MinHashSig(args(0), intArg(args(1), "minhash_sig(k)"))))
+
+  /** Make all graft SQL functions available in a live session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      Bridge.registerTempFunction(spark, name, b)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), b))
+    }
+}

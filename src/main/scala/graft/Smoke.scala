@@ -13,6 +13,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
     val df = SparkEntry.entry(spark)
     val n = df.count()
     df.show(10, truncate = false)

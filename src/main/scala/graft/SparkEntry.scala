@@ -283,7 +283,7 @@ object SparkEntry {
       // candidates via banded MinHash (r=2), then exact-Jaccard verify of
       // the top candidates — the full near-dup pipeline shape.
       val cands = Dedup.minHashCandidates(docs, "text", "doc_id",
-          shingleWords = 2, k = 32, bands = 16)
+          shingleWords = 3, k = 32, bands = 8)
         .orderBy($"est_jaccard".desc, $"id_a", $"id_b")
         .limit(200)
       Dedup.exactJaccard(docs, "text", "doc_id", cands, shingleWords = 2)

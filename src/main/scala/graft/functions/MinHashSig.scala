@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** MinHash signature as a single native expression: k min-hashes over a
+  * string-array column in ONE pass (shingle-outer, seed-inner loop).
+  *
+  * The pure-SQL formulation (`transform(sequence(0,k-1), s ->
+  * array_min(transform(shingles, sh -> xxhash64(s, sh))))`) is quadratic
+  * in plan size: projection collapse inlines the shingle-building
+  * subexpression into every one of the k seed branches, so shingling runs
+  * k× per row and every hop is an interpreted higher-order function. This
+  * expression evaluates the shingle array once and runs k×|shingles| XXH64
+  * calls in a tight loop — measured ~100× faster at sf0.1.
+  *
+  * Hash family matches the SQL builtin chain xxhash64(seed_i, shingle):
+  * h_i(s) = XXH64(s, XXH64(int32 i, 42)).
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private lazy val seedHashes: Array[Long] =
+    Array.tabulate(k)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val sh = arr.getUTF8String(i)
+        var s = 0
+        while (s < k) {
+          val h = XxHash64Function.hash(sh, StringType, seedHashes(s))
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+object MinHashSig {
+  def apply(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles), k))
+}

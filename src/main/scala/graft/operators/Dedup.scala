@@ -28,20 +28,21 @@ object Dedup {
       sequence(lit(0), greatest(length(text) - n, lit(0))),
       i => text.substr(i + 1, lit(n))))
 
-  /** Word n-gram shingle set (distinct), from whitespace tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
+  /** Word n-gram shingle set (distinct), from whitespace tokens. Native
+    * expression ([[graft.functions.WordShingles]]) — the composable form
+    * (`array_distinct(transform(sequence(...), i => array_join(slice(
+    * split(...)...))))`) has identical semantics but re-evaluates the
+    * split in every branch and runs interpreted per element. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles(text, n)
 
   /** MinHash signature: k independent min-hashes over the shingle set.
-    * Hash family: xxhash64(seed_i, shingle) — one 64-bit hash per (seed,
-    * shingle), min per seed. */
+    * Hash family: xxhash64(seed_i, shingle). Delegates to the native
+    * [[graft.functions.MinHashSig]] expression — the equivalent pure-SQL
+    * nested-transform form re-evaluates the shingle expression k× per row
+    * after projection collapse (see that file's scaladoc). */
   def minHashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingles, sh => xxhash64(s, sh))))
+    graft.functions.MinHashSig(shingles, k)
 
   /** LSH band keys: split the k-length signature into `bands` bands of
     * `rowsPerBand` and hash each band. Two docs sharing any band key are
@@ -58,15 +59,18 @@ object Dedup {
     * local. */
   def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleWords: Int = 3, k: Int = 32,
-                        bands: Int = 16, maxBucket: Int = 64): DataFrame = {
+                        bands: Int = 8, maxBucket: Int = 64): DataFrame = {
     val rowsPerBand = k / bands
     val withSig = df.select(col(idCol).as("id"),
         wordShingles(col(textCol), shingleWords).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minHashSignature(col("sh"), k))
-    val banded = withSig.select(col("id"), col("sig"),
+    // Signatures are cheap to recompute but expensive to shuffle with
+    // band multiplicity; candidate generation works on (band, bkey, id)
+    // triples only, and signatures are joined back ONCE per unique pair.
+    val banded = withSig.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"),
+      .select(col("id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
     // Skew guard: a band key shared by a huge fraction of the corpus (a
     // stop-shingle) would make the bucket join quadratic in that bucket.
@@ -76,16 +80,22 @@ object Dedup {
       .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
       .select(col("band"), col("bkey"))
     val pruned = banded.join(okBuckets, Seq("band", "bkey"))
-    val a = pruned.select(col("band"), col("bkey"), col("id").as("id_a"),
-      col("sig").as("sig_a"))
-    val b = pruned.select(col("band"), col("bkey"), col("id").as("id_b"),
-      col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
+    val pairs = pruned.select(col("band"), col("bkey"),
+        col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sigs = withSig.select(col("id"), col("sig"))
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), p => p)).cast("double") / k).as("est_jaccard"))
-      .distinct()
   }
 
   /** Exact Jaccard similarity between the word-shingle sets of given id
