@@ -391,6 +391,80 @@ object SparkEntry {
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
           approx_count_distinct($"l_orderkey").as("approx_orders"))
         .orderBy($"l_returnflag")
+    }),
+
+    // CUBE grouping sets (all 4 combinations).
+    "q32_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Fns.roundU(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // Exact median per group via rank selection (avg of the two middle
+    // ranks — engine-independent arithmetic, unlike interpolated
+    // percentile implementations).
+    "q33_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice")
+      val ranked = Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_extendedprice")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy($"l_returnflag")))
+      ranked.filter(expr("rn = (n + 1) div 2 OR rn = n div 2 + 1"))
+        .groupBy($"l_returnflag")
+        .agg(Fns.roundU(avg($"l_extendedprice"), 2).as("median_price"),
+          count(lit(1)).as("n_mid"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Map-typed processing: per-user map<event_type, count>, then lookup.
+    "q34_map_funcs" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter($"user_id" < 30)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"user_id")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct($"event_type", $"n")))).as("m"))
+        .select($"user_id",
+          element_at($"m", "click").as("n_click"),
+          element_at($"m", "purchase").as("n_purchase"),
+          size($"m").as("n_types"))
+        .orderBy($"user_id")
+    }),
+
+    // Embedding near-duplicate pairs: same-label blocking + exact cosine
+    // threshold (the verification step of embedding dedup; oracle-able).
+    "q35_embed_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = emb.select($"vec_id".as("id_a"), $"label",
+        $"embedding".as("va"))
+      val b = emb.select($"vec_id".as("id_b"), $"label",
+        $"embedding".as("vb"))
+      a.join(b, Seq("label"))
+        .filter($"id_a" < $"id_b")
+        .withColumn("sim", Similarity.cosine($"va", $"vb"))
+        .filter($"sim" >= 0.35)
+        .select($"label", $"id_a", $"id_b",
+          Fns.roundU($"sim", 4).as("sim"))
+        .orderBy($"label", $"id_a", $"id_b")
+    }),
+
+    // O35 exact semantics (previous-EMITTED comparison) as a batch query —
+    // the flatMapGroups path; deterministic but not expressible in
+    // non-recursive SQL, so rows-only.
+    "q36_suppress_stateful" -> ((s, d) => {
+      val purchases = Tables.events(s, d)
+        .filter($"event_type" === "purchase")
+        .withColumn("ts_us",
+          unix_micros($"ts"))
+      ChangeSuppression.suppress(purchases, "user_id", "ts_us", "event_id",
+          "value", 0.1)
+        .orderBy($"user_id", $"ts_us")
     })
   )
 
@@ -664,7 +738,50 @@ object SparkEntry {
         |  CASE WHEN stop_ratio >= 0.03 THEN 'en' ELSE 'other' END
         |    AS pred_lang,
         |  count(*) AS n_docs, floor((avg(len)) * 100 + 0.5) / 100.0 AS avg_len
-        |FROM m GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+        |FROM m GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+
+    "q32_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q33_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  floor((avg(l_extendedprice)) * 100 + 0.5) / 100.0
+        |    AS median_price,
+        |  count(*) AS n_mid
+        |FROM ranked
+        |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q34_map_funcs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events
+        |  WHERE user_id < 30 GROUP BY 1, 2)
+        |SELECT user_id,
+        |  max(CASE WHEN event_type = 'click' THEN n END) AS n_click,
+        |  max(CASE WHEN event_type = 'purchase' THEN n END) AS n_purchase,
+        |  CAST(count(*) AS INT) AS n_types
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q35_embed_neardup" ->
+      """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000.0
+        |    AS sim
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label
+        |  AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) >= 0.35
+        |ORDER BY a.label, id_a, id_b""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

@@ -75,11 +75,14 @@ object Dedup {
     // Skew guard: a band key shared by a huge fraction of the corpus (a
     // stop-shingle) would make the bucket join quadratic in that bucket.
     // Cap bucket size — oversized buckets carry no dedup signal anyway.
-    val okBuckets = banded.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("__bsz"))
+    // Window count (not groupBy + join-back) so the scan subtree isn't
+    // duplicated into an extra plan branch.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey"))
+    val pruned = banded
+      .withColumn("__bsz", count(lit(1)).over(wBucket))
       .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
-      .select(col("band"), col("bkey"))
-    val pruned = banded.join(okBuckets, Seq("band", "bkey"))
+      .drop("__bsz")
     val pairs = pruned.select(col("band"), col("bkey"),
         col("id").as("id_a"))
       .join(pruned.select(col("band"), col("bkey"), col("id").as("id_b")),
