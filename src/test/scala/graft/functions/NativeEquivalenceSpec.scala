@@ -1,0 +1,73 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+/** Seeded-random equivalence: each native expression must agree exactly
+  * with the composable-SQL formulation it replaced (the rewrite is a
+  * performance change, not a semantics change).
+  */
+class NativeEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private val vocab = Vector("spark", "row", "agg", "join", "the", "a",
+    "batch", "window", "merge", "scan", "data", "col", "x1", "y2")
+
+  private def randText(): String =
+    Seq.fill(rnd.nextInt(30) + 1)(vocab(rnd.nextInt(vocab.size)))
+      .mkString(" ")
+
+  test("WordShingles == composable split/slice/array_join form") {
+    val texts = Seq.fill(200)(randText()) :+ "solo" :+ "a b" :+ "  x  y  "
+    val df = texts.toDF("t")
+    for (n <- Seq(2, 3, 5)) {
+      val toks = split(trim($"t"), "\\s+")
+      val composable = array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      val diff = df.select(
+          WordShingles($"t", n).as("nat"), composable.as("sql"))
+        .filter(not($"nat" === $"sql")).count()
+      assert(diff === 0, s"n=$n")
+    }
+  }
+
+  test("MinHashSig == nested-transform xxhash64 form") {
+    val df = Seq.fill(100)(randText()).toDF("t")
+      .select(WordShingles($"t", 2).as("sh"))
+    val k = 16
+    val composable = transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform($"sh", x => xxhash64(s, x))))
+    val diff = df.select(MinHashSig($"sh", k).as("nat"),
+        composable.as("sql"))
+      .filter(not($"nat" === $"sql")).count()
+    assert(diff === 0)
+  }
+
+  test("CosineSim == zip_with/aggregate form (bit-identical)") {
+    val vecs = Seq.fill(100)((
+      Array.fill(16)(rnd.nextFloat() * 2 - 1),
+      Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val composable = dot($"a", $"b") /
+      (sqrt(dot($"a", $"a")) * sqrt(dot($"b", $"b")))
+    val diff = df.select(CosineSim($"a", $"b").as("nat"),
+        composable.as("sql"))
+      .filter($"nat" =!= $"sql").count() // exact double equality
+    assert(diff === 0)
+  }
+
+  test("Similarity.cosine handles double arrays too") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val r = df.select(Similarity.cosine($"a", $"b")).collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
