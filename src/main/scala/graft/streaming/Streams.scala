@@ -87,4 +87,23 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+
+  /** Watermarked stream–stream interval join: each left event pairs with
+    * right events of the same key whose event time is within
+    * [leftTs - lookback, leftTs]. Both sides need watermarks so the
+    * engine can bound join state — the scale property that matters with
+    * unbounded streams. Columns: left(key, lts, ...), right(key, rts,
+    * ...); caller ensures distinct names apart from the key. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String, lookback: String,
+                   watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(keyCol, s"__r_$keyCol")
+    l.join(r, expr(
+      s"""$keyCol = __r_$keyCol AND
+         |$rightTs >= $leftTs - INTERVAL $lookback AND
+         |$rightTs <= $leftTs""".stripMargin))
+      .drop(s"__r_$keyCol")
+  }
 }

@@ -77,6 +77,37 @@ class StreamsSpec extends SparkSpec {
     assert(rows(0).getAs[String]("pre_balance") === "3")
   }
 
+  test("intervalJoin: stream-stream join with bounded state") {
+    val dir = Files.createTempDirectory("graft-ssj").toFile
+    Files.writeString(dir.toPath.resolve("clicks.json"),
+      Seq("""{"user":1,"cts":"2024-01-01T00:05:00Z","page":"p1"}""",
+        """{"user":1,"cts":"2024-01-01T00:20:00Z","page":"p2"}""")
+        .mkString("\n"))
+    val pdir = Files.createTempDirectory("graft-ssj-p").toFile
+    Files.writeString(pdir.toPath.resolve("purch.json"),
+      Seq("""{"user":1,"pts":"2024-01-01T00:04:00Z","amount":5.0}""",
+        """{"user":1,"pts":"2024-01-01T00:19:00Z","amount":9.0}""")
+        .mkString("\n"))
+    val clicks = spark.readStream
+      .schema("user LONG, cts TIMESTAMP, page STRING")
+      .json(dir.getAbsolutePath)
+    val purchases = spark.readStream
+      .schema("user LONG, pts TIMESTAMP, amount DOUBLE")
+      .json(pdir.getAbsolutePath)
+    val joined = Streams.intervalJoin(clicks, purchases, "user",
+      "cts", "pts", "10 minutes", "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select($"page", $"amount").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      // each click sees only the purchase within its 10-minute lookback
+      assert(rows === Set(("p1", 5.0), ("p2", 9.0)))
+    } finally q.stop()
+  }
+
   test("windowedEventStats: tumbling window with watermark") {
     val events = Seq(
       ("2024-01-01 00:00:10", "a", 1.0),
