@@ -185,7 +185,8 @@ object SparkEntry {
     "q15_dates" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(year($"o_orderdate").as("yr"),
-          month($"o_orderdate").as("mo"))
+          month($"o_orderdate").as("mo"),
+          date_format($"o_orderdate", "yyyy-MM").as("month_str"))
         .agg(count(lit(1)).as("n_orders"),
           Fns.roundU(sum($"o_totalprice"), 2).as("sum_price"))
         .orderBy($"yr", $"mo")
@@ -594,8 +595,9 @@ object SparkEntry {
     "q15_dates" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
         |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  strftime(o_orderdate, '%Y-%m') AS month_str,
         |  count(*) AS n_orders, floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price
-        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo""".stripMargin,
 
     "q16_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -48,4 +48,41 @@ object Multimodal {
   def sampleFrames(payload: Column, n: Int, frameBytes: Int): Column =
     transform(sequence(lit(0), lit(n - 1)),
       i => payload.substr(i * frameBytes + 1, lit(frameBytes)))
+
+  /** Decoded media metadata record (the output contract of a codec). */
+  case class MediaMeta(id: Long, width: Int, height: Int, channels: Int,
+                       n_bytes: Int)
+
+  /** The pluggable-codec decode path: partition-local batch iteration
+    * over (id, payload) rows — the Scala analog of mapInPandas. A real
+    * deployment injects a JNI/OpenCV/ffmpeg-backed `codec`; the codec is
+    * constructed once per partition (not per row), which is where the
+    * batch-shape contract matters for model/codec initialization cost.
+    */
+  def decodePartitions(df: DataFrame, idCol: String, payloadCol: String)
+                      (codec: Array[Byte] => (Int, Int, Int))
+      : Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition codec setup would go here (e.g. native handle)
+        rows.map { case (id, bytes) =>
+          val (w, h, c) = codec(bytes)
+          MediaMeta(id, w, h, c, bytes.length)
+        }
+      }
+  }
+
+  /** STUB codec for environments without media libraries: deterministic
+    * header fake from the payload bytes. */
+  def stubCodec(bytes: Array[Byte]): (Int, Int, Int) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31L * h + bytes(i); i += 1 }
+    (math.floorMod(h, 1920L).toInt + 1,
+      math.floorMod(h * 31L, 1080L).toInt + 1,
+      math.floorMod(h * 7L, 3L).toInt + 1)
+  }
 }
