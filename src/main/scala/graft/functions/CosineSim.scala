@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   * Returns NULL if either array is empty or a norm is zero.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -53,6 +54,45 @@ case class CosineSim(left: Expression, right: Expression)
     }
     if (na == 0.0 || nb == 0.0) null
     else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Generated code: the same fused loop, inlined into whole-stage
+    * codegen so the ANN scan never leaves generated code. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    def getter(e: Expression, arr: String, i: String): String =
+      if (isFloat(e)) s"(double) $arr.getFloat($i)"
+      else s"$arr.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.isNullAt($i) ? 0.0 : ${getter(left, a, i)};
+         |    double $y = $b.isNullAt($i) ? 0.0 : ${getter(right, b, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} =
+         |      $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(
