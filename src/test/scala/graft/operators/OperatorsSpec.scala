@@ -30,6 +30,26 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(r.toSeq === Seq(1, 3))
   }
 
+  test("Joins.arraysOverlapFilter matches any of several array columns") {
+    val df = Seq(
+      (1, Seq("a", "b"), Seq.empty[String]),
+      (2, Seq.empty[String], Seq("hot1")),
+      (3, Seq("x"), Seq("y")))
+      .toDF("id", "keys", "loaded")
+    val r = Joins.arraysOverlapFilter(df, Seq("keys", "loaded"),
+      Seq("hot1", "b")).select("id").collect().map(_.getInt(0)).sorted
+    assert(r.toSeq === Seq(1, 2))
+  }
+
+  test("Joins.positionalTag indexes the array and tags watch-list hits") {
+    val df = Seq((7, Seq("cold", "hot", "cold2"))).toDF("id", "arr")
+    val r = Joins.positionalTag(df, "arr", Seq("hot"))
+      .select("pos", "elem", "hit").collect()
+      .map(x => (x.getInt(0), x.getString(1), Option(x.getString(2))))
+    assert(r.toSeq === Seq((0, "cold", None), (1, "hot", Some("hot")),
+      (2, "cold2", None)))
+  }
+
   test("Joins.asOfJoin picks latest right value at or before left ts") {
     val left = Seq(("u", 10L, 1L), ("u", 20L, 2L), ("u", 5L, 3L))
       .toDF("k", "ts", "id")
