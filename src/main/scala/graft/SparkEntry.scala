@@ -467,6 +467,36 @@ object SparkEntry {
       ChangeSuppression.suppress(purchases, "user_id", "ts_us", "event_id",
           "value", 0.1)
         .orderBy($"user_id", $"ts_us")
+    }),
+
+    // Sessionization via Spark's session_window (30-min gap), oracled by
+    // the classic gaps-and-islands SQL derivation — the streaming-native
+    // session operator, validated in batch.
+    "q37_sessionize" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter($"user_id" < 40)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          Fns.roundU(sum($"value"), 2).as("sum_value"))
+        .select($"user_id", $"w.start".as("session_start"),
+          $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
+    // Window frames: per-user running total and moving average over the
+    // last 3 events (ROWS BETWEEN frames).
+    "q38_running_frames" -> ((s, d) => {
+      val byUser = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .filter($"user_id" < 15)
+        .select($"user_id", $"event_id", $"value",
+          Fns.roundU(sum($"value").over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)), 2)
+            .as("running_total"),
+          Fns.roundU(sum($"value").over(byUser.rowsBetween(-2, 0)), 2)
+            .as("sum_last3"))
+        .orderBy($"user_id", $"event_id")
     })
   )
 
@@ -784,7 +814,40 @@ object SparkEntry {
         |  AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |  CAST(b.embedding AS DOUBLE[])) >= 0.35
-        |ORDER BY a.label, id_a, id_b""".stripMargin
+        |ORDER BY a.label, id_a, id_b""".stripMargin,
+
+    "q37_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events
+        |  WHERE user_id < 40),
+        |flags AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flags)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q38_running_frames" ->
+      """SELECT user_id, event_id, value,
+        |  floor((sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100
+        |    + 0.5) / 100.0 AS running_total,
+        |  floor((sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100 + 0.5)
+        |    / 100.0 AS sum_last3
+        |FROM events WHERE user_id < 15
+        |ORDER BY user_id, event_id""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

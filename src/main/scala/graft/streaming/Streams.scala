@@ -88,6 +88,15 @@ object Streams {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
+  /** Streaming exact dedup with bounded state: duplicates of the same
+    * keys arriving within the watermark horizon are dropped; state for
+    * old keys is evicted once the watermark passes — the property that
+    * lets exact dedup run forever on an unbounded stream. */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked stream–stream interval join: each left event pairs with
     * right events of the same key whose event time is within
     * [leftTs - lookback, leftTs]. Both sides need watermarks so the

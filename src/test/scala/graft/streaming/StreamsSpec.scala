@@ -77,6 +77,31 @@ class StreamsSpec extends SparkSpec {
     assert(rows(0).getAs[String]("pre_balance") === "3")
   }
 
+  test("streamingDedup drops duplicate keys across micro-batches") {
+    val dir = Files.createTempDirectory("graft-sdedup").toFile
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.writeString(dir.toPath.resolve(name), lines.mkString("\n"))
+    write("b1.json", Seq(
+      """{"doc":"d1","ts":"2024-01-01T00:00:00Z"}""",
+      """{"doc":"d1","ts":"2024-01-01T00:00:01Z"}"""))
+    val stream = spark.readStream.schema("doc STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+    val q = Streams.streamingDedup(stream, Seq("doc"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second batch: dup of d1 (dropped via state) + fresh d2
+      write("b2.json", Seq(
+        """{"doc":"d1","ts":"2024-01-01T00:10:00Z"}""",
+        """{"doc":"d2","ts":"2024-01-01T00:10:00Z"}"""))
+      q.processAllAvailable()
+      val docs = spark.table("sdedup").collect()
+        .map(_.getAs[String]("doc")).sorted
+      assert(docs.toSeq === Seq("d1", "d2"))
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream join with bounded state") {
     val dir = Files.createTempDirectory("graft-ssj").toFile
     Files.writeString(dir.toPath.resolve("clicks.json"),
