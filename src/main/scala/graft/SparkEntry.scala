@@ -497,6 +497,35 @@ object SparkEntry {
           Fns.roundU(sum($"value").over(byUser.rowsBetween(-2, 0)), 2)
             .as("sum_last3"))
         .orderBy($"user_id", $"event_id")
+    }),
+
+    // C4/Gopher-style corpus filter: keep documents passing quality,
+    // length and stopword gates; report per-language keep rates.
+    "q39_corpus_filter" -> ((s, d) => {
+      val scored = Tables.documents(s, d).withColumn("keep",
+        TextAnalysis.qualityScore($"text") >= 0.5 &&
+          length($"text") >= 120 &&
+          TextAnalysis.stopwordRatio($"text") >= 0.01)
+      scored.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          Fns.roundU(avg(when($"keep", length($"text"))), 2)
+            .as("avg_kept_len"))
+        .orderBy($"lang")
+    }),
+
+    // IVF with TRAINED centroids: 2 Lloyd iterations of k-means over the
+    // corpus, then probe-limited search (rows-only: iterative float
+    // means are not SQL-oracle-able).
+    "q40_embed_ann_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.kmeans(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val queries = emb.filter($"vec_id" < 5)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          centroids, "cell_id", "cvec", queries, "vec_id", "embedding",
+          k = 5, nprobe = 2)
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -847,7 +876,33 @@ object SparkEntry {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100 + 0.5)
         |    / 100.0 AS sum_last3
         |FROM events WHERE user_id < 15
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q39_corpus_filter" ->
+      """WITH m AS (
+        |  SELECT lang, text, length(text) AS len,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x IN ('the','a','an','and','of','to','in','is','it',
+        |      'that'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS stop_ratio,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g'))
+        |      AS DOUBLE) / length(text) AS punct_ratio
+        |  FROM documents),
+        |scored AS (
+        |  SELECT lang, len,
+        |    (floor((least(CAST(len AS DOUBLE) / 500.0, 1.0) * 0.5
+        |      + least(stop_ratio * 5.0, 1.0) * 0.3
+        |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2) * 10000
+        |      + 0.5) / 10000.0 >= 0.5
+        |     AND len >= 120 AND stop_ratio >= 0.01) AS keep
+        |  FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  floor((avg(CASE WHEN keep THEN len END)) * 100 + 0.5) / 100.0
+        |    AS avg_kept_len
+        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

@@ -69,6 +69,54 @@ object Similarity {
     corpus.join(best, Seq(idCol))
   }
 
+  /** Lloyd's k-means over an embedding column — trains the IVF centroid
+    * table. Deterministic: initial centroids are the first k vectors by
+    * id; each iteration is one distributed job (broadcast centroids →
+    * narrow assign → mean per cell). Empty cells keep their previous
+    * centroid. Iterations are a driver-side loop, but per-iteration state
+    * is only k vectors — the corpus is scanned, never collected.
+    */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int): DataFrame = {
+    var centroids = corpus.orderBy(col(idCol)).limit(k)
+      .select(row_number().over(
+          Window.orderBy(col(idCol))).cast("long").as("cell_id"),
+        col(vecCol).as("cvec"))
+      .cache()
+    var i = 0
+    while (i < iters) {
+      val assigned = assignCells(
+        corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+        centroids, "cell_id", "cvec")
+      // elementwise mean: posexplode to (cell, pos, v), mean per
+      // (cell, pos), re-assemble in position order — a narrow shuffle on
+      // (cell, pos) instead of collecting vectors anywhere.
+      val means = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("p", "v")))
+        .groupBy(col("cell_id"), col("p"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("p"), col("m"))))
+          .as("pm"))
+        .select(col("cell_id"),
+          transform(col("pm"), x => x.getField("m").cast("float"))
+            .as("cvec"))
+      val next = centroids.select(col("cell_id"),
+          col("cvec").as("__old"))
+        .join(means.withColumnRenamed("cvec", "__new")
+          .withColumnRenamed("cell_id", "__mc"),
+          col("cell_id") === col("__mc"), "left_outer")
+        .select(col("cell_id"),
+          coalesce(col("__new"), col("__old")).as("cvec"))
+        .cache()
+      next.count() // materialize before unpersisting the parent
+      centroids.unpersist()
+      centroids = next
+      i += 1
+    }
+    centroids
+  }
+
   /** IVF approximate top-k: probe the `nprobe` nearest cells per query and
     * run exact scoring only inside those cells. Returns the same shape as
     * [[bruteForceTopK]]; recall < 1 by construction. */

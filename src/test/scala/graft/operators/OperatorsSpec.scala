@@ -154,6 +154,29 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("Similarity.kmeans separates two obvious clusters") {
+    // two tight cosine clusters: near (1,0,...) and near (0,1,...)
+    val mk = (base: Int, j: Int) => {
+      val v = Array.fill(4)(0.01f * (j + 1))
+      v(base) = 1.0f
+      v
+    }
+    val rows = (0 until 10).map(j => (j.toLong, mk(0, j))) ++
+      (10 until 20).map(j => (j.toLong, mk(1, j - 10)))
+    val df = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeans(df, "vec_id", "embedding", 2, 3)
+    assert(centroids.count() === 2)
+    val assigned = Similarity.assignCells(df, "vec_id", "embedding",
+      centroids, "cell_id", "cvec")
+    val cells = assigned.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell_id")))
+      .toMap
+    // all of cluster A in one cell, all of cluster B in the other
+    assert((0L until 10L).map(cells).toSet.size === 1)
+    assert((10L until 20L).map(cells).toSet.size === 1)
+    assert(cells(0L) !== cells(10L))
+  }
+
   test("TextAnalysis token counts and ratios") {
     val r = Seq("the cat sat on the mat").toDF("t").select(
       TextAnalysis.tokenCountWs($"t").as("ws"),
