@@ -405,19 +405,31 @@ object SparkEntry {
           $"o_orderpriority".asc_nulls_first)
     }),
 
-    // Exact median per group via rank selection (avg of the two middle
-    // ranks — engine-independent arithmetic, unlike interpolated
-    // percentile implementations).
+    // Exact median per group via the VALUE DISTRIBUTION, not a row sort:
+    // count per (group, value) — a fully-parallel hash aggregate — then
+    // rank-select over the per-group distinct values (orders of
+    // magnitude smaller than the rows). A row_number window partitioned
+    // by a 3-value group key would sort whole groups in 3 tasks — the
+    // plan that dies at 100 TB. Same output as rank-based median: avg of
+    // the values at ranks (n+1)/2 and n/2+1.
     "q33_percentiles" -> ((s, d) => {
-      val w = Window.partitionBy($"l_returnflag")
-        .orderBy($"l_extendedprice")
-      val ranked = Tables.lineitem(s, d)
-        .select($"l_returnflag", $"l_extendedprice")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1))
-          .over(Window.partitionBy($"l_returnflag")))
-      ranked.filter(expr("rn = (n + 1) div 2 OR rn = n div 2 + 1"))
-        .groupBy($"l_returnflag")
+      val counts = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_extendedprice")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+      val cum = counts
+        .withColumn("cum_end", sum($"c").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cum_start", $"cum_end" - $"c" + 1)
+        .withColumn("n", sum($"c").over(
+          Window.partitionBy($"l_returnflag")))
+      val targets = cum
+        .select($"l_returnflag", $"l_extendedprice", $"cum_start",
+          $"cum_end",
+          explode(array_distinct(array(expr("(n + 1) div 2"),
+            expr("n div 2 + 1")))).as("r"))
+        .filter($"r" >= $"cum_start" && $"r" <= $"cum_end")
+      targets.groupBy($"l_returnflag")
         .agg(Fns.roundU(avg($"l_extendedprice"), 2).as("median_price"),
           count(lit(1)).as("n_mid"))
         .orderBy($"l_returnflag")
