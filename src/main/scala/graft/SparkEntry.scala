@@ -530,7 +530,10 @@ object SparkEntry {
     // corpus, then probe-limited search (rows-only: iterative float
     // means are not SQL-oracle-able).
     "q40_embed_ann_kmeans" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      // cache: the trainer scans the corpus once per Lloyd iteration and
+      // the search scans it again — at cluster scale this is the
+      // standard persist-for-iterative-ML pattern
+      val emb = Tables.embeddings(s, d).cache()
       val centroids = Similarity.kmeans(emb, "vec_id", "embedding",
         k = 8, iters = 2)
       val queries = emb.filter($"vec_id" < 5)
