@@ -541,6 +541,36 @@ object SparkEntry {
           centroids, "cell_id", "cvec", queries, "vec_id", "embedding",
           k = 5, nprobe = 2)
         .orderBy($"query_id", $"rk")
+    }),
+
+    // Ranking-function suite: rank/dense_rank/percent_rank/ntile/
+    // cume_dist over one window (the analytic functions §2.4 lists as
+    // absent from the reference).
+    "q41_rank_suite" -> ((s, d) => {
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, d)
+        .filter($"o_orderkey" % 100 === 0)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          Fns.roundU(percent_rank().over(w), 6).as("prnk"),
+          ntile(4).over(w).as("quartile"),
+          Fns.roundU(cume_dist().over(w), 6).as("cdist"))
+        .orderBy($"o_orderpriority", $"rnk")
+    }),
+
+    // Fuzzy matching: Levenshtein edit distance between consecutive
+    // docs' prefixes — the string-similarity primitive of fuzzy dedup.
+    "q42_fuzzy_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", substring($"text", 1, 40).as("prefix"))
+      val a = docs.select($"doc_id".as("id_a"), $"prefix".as("pa"))
+      val b = docs.select($"doc_id".as("id_b"), $"prefix".as("pb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select($"id_a", $"id_b",
+          levenshtein($"pa", $"pb").as("edit_dist"))
+        .orderBy($"id_a")
     })
   )
 
@@ -917,7 +947,28 @@ object SparkEntry {
         |    AS n_kept,
         |  floor((avg(CASE WHEN keep THEN len END)) * 100 + 0.5) / 100.0
         |    AS avg_kept_len
-        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q41_rank_suite" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000.0
+        |    AS prnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000.0
+        |    AS cdist
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q42_fuzzy_match" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+        |    AS INT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

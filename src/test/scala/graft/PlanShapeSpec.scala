@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape regression guards: the scale properties ENGINE.md claims
+  * (pushdown, broadcasts, bounded shuffles) asserted against the actual
+  * physical plans, so a refactor that silently degrades a plan fails CI
+  * rather than a future 100 TB run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): SparkPlan = {
+    val df: DataFrame = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.executedPlan
+  }
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T])
+      : Seq[T] = {
+    // unwrap AQE wrapper; we assert on the initial physical plan
+    val root = p match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    root.collect(pf) ++ root.collect {
+      case s if s.subqueries.nonEmpty => s.subqueries.flatMap(collectAll(_)(pf))
+    }.flatten
+  }
+
+  test("q02: filters and projection reach the parquet scan") {
+    val scans = collectAll(plan("q02_filter_pushdown")) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual"),
+      scan.metadata("PushedFilters"))
+    // column pruning: only the 6 needed columns, not the full 11
+    assert(scan.schema.fieldNames.length <= 6,
+      scan.schema.fieldNames.mkString(","))
+  }
+
+  test("q03: both dimension joins broadcast (fact never shuffles for joins)") {
+    val p = plan("q03_join_agg")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(bhj.length === 2, s"expected 2 broadcast joins, got:\n$p")
+    assert(smj.isEmpty)
+  }
+
+  test("q13 flagship: exactly one fact shuffle (the group-by key)") {
+    val shuffles = collectAll(plan("q13_tokenflow")) {
+      case s: ShuffleExchangeExec => s
+    }
+    // fact agg + tiny dim-side aggs + final orderBy range exchange are
+    // acceptable; the guard is that no unexpected join shuffle appears
+    val bhj = collectAll(plan("q13_tokenflow")) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "flagship dims must broadcast")
+    assert(shuffles.length <= 4, s"shuffle explosion:\n${shuffles.length}")
+  }
+
+  test("q33 median: no row-level sort window (distribution form)") {
+    val wins = collectAll(plan("q33_percentiles")) { case w: WindowExec => w }
+    // windows run over per-(group,value) DISTINCT rows, which is fine;
+    // the guard: every window's child schema carries the count column,
+    // i.e. it is the compacted distribution, not raw lineitem rows
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.child.schema.fieldNames.exists(
+      n => n == "c" || n.startsWith("cum") || n == "n")),
+      wins.map(_.child.schema.fieldNames.mkString(",")).mkString(" | "))
+  }
+
+  test("q26 ANN: corpus scan reads only id + vector columns") {
+    val scans = collectAll(plan("q26_embed_topk")) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.forall(_.schema.fieldNames.length <= 2),
+      scans.map(_.schema.fieldNames.mkString(",")).mkString(" | "))
+  }
+}
