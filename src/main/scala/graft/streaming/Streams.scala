@@ -88,6 +88,37 @@ object Streams {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
+  /** The SURVEY §3.2 dimension-build pipeline, streaming form: watch the
+    * block stream, regex-detect pool-creation transactions (O33), and
+    * upsert the candidates into a parquet registry snapshot via
+    * [[graft.operators.Registry.snapshotUpserter]] — the Spark analog of
+    * the reference's regex-scan → Redis SADD side process. The main
+    * ledger query then re-reads the snapshot per micro-batch (O9
+    * semantics). */
+  def poolRegistryStream(spark: SparkSession, blocksDir: String,
+                         programs: Map[String, Seq[String]],
+                         registryPath: String): StreamingQuery = {
+    val blocks = spark.readStream
+      .schema(BlockSchema.block)
+      .option("maxFilesPerTrigger", 1)
+      .json(blocksDir)
+    val upsert = graft.operators.Registry.snapshotUpserter(
+      registryPath, Seq("pool_address"), "blockTime")
+    blocks.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pools = Rugpull.detectPools(batch, programs)
+          // candidate pool address: first accountKey of the matched tx
+          // (metadata resolution is the out-of-scope REST call, O7)
+          .select(col("blockTime"),
+            col("accountKeys").getItem(0).as("pool_address"))
+          .filter(col("pool_address").isNotNull)
+        upsert(pools, id)
+      }
+      .start()
+  }
+
   /** Streaming exact dedup with bounded state: duplicates of the same
     * keys arriving within the watermark horizon are dropped; state for
     * old keys is evicted once the watermark passes — the property that

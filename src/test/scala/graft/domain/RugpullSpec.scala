@@ -139,6 +139,25 @@ class RugpullSpec extends SparkSpec {
     assert(r(0).getAs[Int]("txIdx") === 4)
   }
 
+  test("malformed and empty block lines degrade to zero rows, no crash") {
+    val dir = Files.createTempDirectory("graft-badblocks").toFile
+    Files.writeString(dir.toPath.resolve("bad.json"),
+      Seq("{not valid json at all",
+        """{"result": null}""",
+        """{"result": {"blockTime": 5, "transactions": null}}""",
+        """{"unrelated": 1}""").mkString("\n"))
+    val blocks = Rugpull.parseBlocks(spark, dir.getAbsolutePath)
+    val hot = Seq("X").toDF("addr")
+    val empty = spark.emptyDataFrame
+      .withColumn("kind", lit("")).withColumn("addr", lit(""))
+      .limit(0)
+    val watch = Seq.empty[(String, String)].toDF("kind", "addr")
+    val prices = Seq.empty[(String, String, Double)]
+      .toDF("vault", "side", "price_usd")
+    assert(Rugpull.tokenFlows(blocks, hot, watch, prices).count() === 0)
+    assert(Rugpull.detectPools(blocks, Map("P" -> Seq("I"))).count() === 0)
+  }
+
   test("freshPools keeps only young pools") {
     val pools = Seq(("P1", 1000L), ("P2", 800L))
       .toDF("pool_address", "openTime")

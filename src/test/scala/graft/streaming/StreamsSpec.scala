@@ -133,6 +133,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("poolRegistryStream maintains the registry across micro-batches") {
+    val blocksDir = Files.createTempDirectory("graft-poolreg").toFile
+    val registry = Files.createTempDirectory("graft-reg").toFile
+      .getAbsolutePath + "/pools"
+    def blk(t: Long, key: String, log: String): String =
+      s"""{"result":{"blockTime":$t,"transactions":[
+         |{"transaction":{"message":{"accountKeys":["$key"]}},
+         |"meta":{"loadedAddresses":{"writable":[],"readonly":[]},
+         |"preTokenBalances":[],"postTokenBalances":[],
+         |"logMessages":["Program RAY invoke","$log"]}}]}}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.writeString(blocksDir.toPath.resolve("b1.json"),
+      blk(100, "POOL_X", "Instruction: Initialize2"))
+    Files.writeString(blocksDir.toPath.resolve("b2.json"),
+      blk(200, "POOL_X", "Instruction: Initialize2") + "\n" +
+        blk(200, "POOL_Y", "Instruction: Initialize2") + "\n" +
+        blk(200, "NOT_A_POOL", "Instruction: Swap"))
+    val q = Streams.poolRegistryStream(spark, blocksDir.getAbsolutePath,
+      Map("RAY" -> Seq("Initialize2")), registry)
+    q.awaitTermination(60000)
+    val reg = spark.read.parquet(registry)
+      .collect().map(r => (r.getAs[String]("pool_address"),
+        r.getAs[Long]("blockTime"))).toMap
+    // POOL_X upserted to its latest sighting; Swap tx filtered out
+    assert(reg === Map("POOL_X" -> 200L, "POOL_Y" -> 200L))
+  }
+
   test("windowedEventStats: tumbling window with watermark") {
     val events = Seq(
       ("2024-01-01 00:00:10", "a", 1.0),
