@@ -1,21 +1,28 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{CosineSim, MinHashSig, SimHash64, WordShingles}
 
-/** Throwaway plan-audit harness (not part of the library surface). */
+/** Throwaway codegen-audit harness (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      // fail loudly instead of silently interpreting on codegen bugs
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.01"
-    for (q <- Seq("q02_filter_pushdown", "q03_join_agg", "q13_tokenflow",
-        "q23_dedup_minhash_lsh")) {
-      println(s"========== $q ==========")
-      println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
-    }
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = Seq("the quick brown fox", "jumps over the lazy dog")
+      .toDF("t")
+      .select(MinHashSig(WordShingles(col("t"), 2), 8).as("sig"),
+        graft.functions.TextHashes.simhash64(split(col("t"), " ")).as("sh"))
+    df.show(2, truncate = false)
+    val v = Seq((Array(1.0f, 2.0f), Array(2.0f, 1.0f))).toDF("a", "b")
+      .select(CosineSim($"a", $"b").as("c"))
+    v.show()
+    println("[scratch] codegen OK (no fallback)")
     spark.stop()
   }
 }

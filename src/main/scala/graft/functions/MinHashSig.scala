@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * h_i(s) = XXH64(s, XXH64(int32 i, 42)).
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
@@ -46,6 +46,41 @@ case class MinHashSig(child: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Generated code: same double loop, inlined into whole-stage codegen
+    * (hash calls go through the same XxHash64Function as eval). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val seedsRef = ctx.addReferenceObj("seeds", seedHashes, "long[]")
+    val xxh = XxHash64Function.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val stringTypeRef = ctx.addReferenceObj("stringType", StringType,
+      StringType.getClass.getName.stripSuffix("$"))
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val sh = ctx.freshName("sh")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $sh =
+         |      $a.getUTF8String($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $h = $xxh.hash($sh, $stringTypeRef, $seedsRef[$j]);
+         |      if ($h < $mins[$j]) $mins[$j] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig =

@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * near-identical (low Hamming distance) fingerprints.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -48,6 +48,38 @@ case class SimHash64(child: Expression)
       b += 1
     }
     out
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val xxh = XxHash64Function.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val stringTypeRef = ctx.addReferenceObj("stringType", StringType,
+      StringType.getClass.getName.stripSuffix("$"))
+    nullSafeCodeGen(ctx, ev, a => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $acc = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = $xxh.hash($a.getUTF8String($i), $stringTypeRef, 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $acc[$b]++; else $acc[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($acc[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
