@@ -571,6 +571,50 @@ object SparkEntry {
         .select($"id_a", $"id_b",
           levenshtein($"pa", $"pb").as("edit_dist"))
         .orderBy($"id_a")
+    }),
+
+    // Native PIVOT: per-user-bucket event counts pivoted by type.
+    "q43_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("bucket", ($"user_id" % 10).cast("int"))
+        .groupBy($"bucket")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"bucket")
+    }),
+
+    // Deterministic per-group bottom-k sample via the custom BottomK
+    // Aggregator (O(k) buffer, map-side combine — no group sort). The
+    // sampling key is md5(text), so the SQL oracle can replicate it.
+    "q44_group_sample" -> ((s, d) => {
+      implicit val enc: org.apache.spark.sql.Encoder[(String, String, Long)] =
+        s.implicits.newProductEncoder
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), md5(col("text")).as("h"), col("doc_id"))
+        .as[(String, String, Long)]
+      val bk = new BottomK(3)
+      docs.groupByKey(_._1)(s.implicits.newStringEncoder)
+        .mapValues(t => (t._2, t._3))(s.implicits.newProductEncoder)
+        .agg(bk.toColumn.name("sample"))
+        .toDF("lang", "sample")
+        .select(col("lang"),
+          posexplode(col("sample")).as(Seq("rk", "doc_id")))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // Explicit GROUPING SETS (neither rollup nor cube): totals by status
+    // and, separately, by priority — one pass.
+    "q45_grouping_sets" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupingSets(
+          Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Fns.roundU(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
     })
   )
 
@@ -968,7 +1012,31 @@ object SparkEntry {
         |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
         |    AS INT) AS edit_dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        |ORDER BY id_a""".stripMargin
+        |ORDER BY id_a""".stripMargin,
+
+    "q43_pivot" ->
+      """SELECT CAST(user_id % 10 AS INT) AS bucket,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q44_group_sample" ->
+      """SELECT lang, CAST(rn - 1 AS INT) AS rk, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY lang, rk""".stripMargin,
+
+    "q45_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark
