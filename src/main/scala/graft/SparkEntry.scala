@@ -615,6 +615,18 @@ object SparkEntry {
           Fns.roundU(sum($"o_totalprice"), 2).as("sum_price"))
         .orderBy($"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // UNPIVOT (melt): wide per-flag aggregates back to long form.
+    "q46_unpivot" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(Fns.roundU(sum($"l_quantity"), 2).as("qty"),
+          Fns.roundU(sum($"l_extendedprice"), 2).as("price"),
+          Fns.roundU(sum($"l_tax"), 2).as("tax"))
+      wide.unpivot(Array($"l_returnflag"),
+          Array($"qty", $"price", $"tax"), "metric", "val")
+        .orderBy($"l_returnflag", $"metric")
     })
   )
 
@@ -1036,7 +1048,22 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST,
-        |  o_orderpriority ASC NULLS FIRST""".stripMargin
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q46_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS qty,
+        |    floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS price,
+        |    floor((sum(l_tax)) * 100 + 0.5) / 100.0 AS tax
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, val FROM (
+        |  SELECT l_returnflag, 'qty' AS metric, qty AS val FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price', price FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'tax', tax FROM wide)
+        |ORDER BY l_returnflag, metric""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark
