@@ -627,6 +627,25 @@ object SparkEntry {
       wide.unpivot(Array($"l_returnflag"),
           Array($"qty", $"price", $"tax"), "metric", "val")
         .orderBy($"l_returnflag", $"metric")
+    }),
+
+    // SQL-parser surface: the same engine driven through spark.sql with
+    // a correlated scalar subquery (orders whose priciest line exceeds
+    // 90% of the order total).
+    "q47_sql_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      // 0.5D/100.0D: Spark SQL parses bare decimal literals as DECIMAL
+      // (the DataFrame API uses double lits), which would widen the
+      // output type away from the oracle's DOUBLE
+      s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |  (SELECT floor(max(l_extendedprice) * 100 + 0.5D) / 100.0D
+          |   FROM v_lineitem WHERE l_orderkey = o_orderkey) AS max_line
+          |FROM v_orders
+          |WHERE (SELECT max(l_extendedprice) FROM v_lineitem
+          |       WHERE l_orderkey = o_orderkey) > o_totalprice * 0.9D
+          |ORDER BY o_orderkey""".stripMargin)
     })
   )
 
@@ -1063,7 +1082,16 @@ object SparkEntry {
         |  SELECT l_returnflag, 'price', price FROM wide
         |  UNION ALL
         |  SELECT l_returnflag, 'tax', tax FROM wide)
-        |ORDER BY l_returnflag, metric""".stripMargin
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q47_sql_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT floor(max(l_extendedprice) * 100 + 0.5) / 100.0
+        |   FROM lineitem WHERE l_orderkey = o_orderkey) AS max_line
+        |FROM orders
+        |WHERE (SELECT max(l_extendedprice) FROM lineitem
+        |       WHERE l_orderkey = o_orderkey) > o_totalprice * 0.9
+        |ORDER BY o_orderkey""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark
