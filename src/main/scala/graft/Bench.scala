@@ -12,8 +12,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
     // Warm-up: pay JVM/codegen/scan-setup cost outside the timed region
-    // so the first query's number isn't session startup.
-    SparkEntry.entry(spark).count()
+    // so the first query's number isn't session startup. Uses only the
+    // configured sfDir (no hardcoded dataset path).
+    spark.range(100000).selectExpr("sum(id % 7)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -20,10 +20,4 @@ object Fns {
     val p = math.pow(10, digits)
     floor(c * p + 0.5) / p
   }
-
-  /** SQL spelling of [[roundU]] for DuckDB oracles. */
-  def roundUSql(expr: String, digits: Int): String = {
-    val p = math.pow(10, digits).toLong
-    s"floor(($expr) * $p + 0.5) / $p.0"
-  }
 }

@@ -287,7 +287,7 @@ object SparkEntry {
           shingleWords = 3, k = 32, bands = 8)
         .orderBy($"est_jaccard".desc, $"id_a", $"id_b")
         .limit(200)
-      Dedup.exactJaccard(docs, "text", "doc_id", cands, shingleWords = 2)
+      Dedup.exactJaccard(docs, "text", "doc_id", cands, shingleWords = 3)
         .select($"id_a", $"id_b", $"est_jaccard", $"jaccard")
         .orderBy($"jaccard".desc, $"id_a", $"id_b")
         .limit(100)
@@ -444,9 +444,11 @@ object SparkEntry {
         .groupBy($"user_id")
         .agg(map_from_entries(sort_array(collect_list(
           struct($"event_type", $"n")))).as("m"))
+        // try_element_at: ANSI-mode element_at throws on a missing key;
+        // the oracle's CASE yields NULL — match that
         .select($"user_id",
-          element_at($"m", "click").as("n_click"),
-          element_at($"m", "purchase").as("n_purchase"),
+          try_element_at($"m", lit("click")).as("n_click"),
+          try_element_at($"m", lit("purchase")).as("n_purchase"),
           size($"m").as("n_types"))
         .orderBy($"user_id")
     }),
@@ -896,7 +898,8 @@ object SparkEntry {
         |      AS DOUBLE) / length(text) AS punct_ratio
         |  FROM base)
         |SELECT doc_id,
-        |  CAST(len(toks) AS INT) AS n_tokens_ws,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(toks) AS INT) END AS n_tokens_ws,
         |  CAST(len(regexp_extract_all(text,
         |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT)
         |    AS n_tokens_bpe,

@@ -44,7 +44,17 @@ object Rugpull {
     */
   def tokenFlows(blocks: DataFrame, hot: DataFrame, watchlists: DataFrame,
                  prices: DataFrame): DataFrame = {
-    val txs = blocks.select(
+    // Per-block identity: blockTime alone is NOT unique (Solana emits
+    // multiple blocks per second at second resolution). Without it, two
+    // blocks sharing a blockTime would merge their tx0/tx1/... into one
+    // group — duplicate positional-map keys or silently fused balances.
+    // The surrogate signature stays blockTime-txIdx-1 (reference
+    // behavior, which tolerates signature collisions) but grouping keys
+    // include __block_id.
+    val txs = blocks
+      .withColumn("__block_id", monotonically_increasing_id())
+      .select(
+        col("__block_id"),
         col("result.blockTime").as("timestamp"),
         posexplode(col("result.transactions")).as(Seq("txIdx", "tx")))
       .withColumn("allAddrs", concat(
@@ -61,14 +71,14 @@ object Rugpull {
     // the inner join — the reference's early-exit filter, distributed.
     val hotDim = broadcast(hot.select(col("addr").as("__hot_addr"))
       .distinct())
-    val hits = txs.select(col("timestamp"), col("txIdx"),
+    val hits = txs.select(col("__block_id"), col("txIdx"),
         posexplode(col("allAddrs")).as(Seq("pos", "addr")))
       .join(hotDim, col("addr") === col("__hot_addr"), "inner")
-      .groupBy(col("timestamp"), col("txIdx"))
+      .groupBy(col("__block_id"), col("txIdx"))
       .agg(map_from_entries(collect_list(
         struct(col("pos"), col("addr")))).as("hotAt"))
 
-    val hotTxs = txs.join(hits, Seq("timestamp", "txIdx"), "inner")
+    val hotTxs = txs.join(hits, Seq("__block_id", "txIdx"), "inner")
 
     // Side-tagged balance entries with their within-array position (the
     // LWW ordering key). Missing uiAmountString ⇒ null ⇒ treated like the
@@ -84,11 +94,11 @@ object Rugpull {
           "array<struct<side:string,entryIdx:int,accountIndex:int," +
             "mint:string,owner:string,bal:string>>"))
 
-    val entries = hotTxs.select(col("timestamp"), col("txIdx"),
-        col("hotAt"),
+    val entries = hotTxs.select(col("__block_id"), col("timestamp"),
+        col("txIdx"), col("hotAt"),
         explode(concat(side("pre", col("tx.meta.preTokenBalances")),
           side("post", col("tx.meta.postTokenBalances")))).as("e"))
-      .select(col("timestamp"), col("txIdx"),
+      .select(col("__block_id"), col("timestamp"), col("txIdx"),
         Tagging.coalesceKey(col("hotAt")(col("e.accountIndex")),
           col("e.owner")).as("wallet"),
         col("e.mint").as("mint"), col("e.side").as("side"),
@@ -98,7 +108,8 @@ object Rugpull {
     // O24: last-write-wins pre/post pivot — one hash aggregate with
     // map-side combine (no window sort, no join).
     val merged = entries
-      .groupBy(col("timestamp"), col("txIdx"), col("wallet"), col("mint"))
+      .groupBy(col("__block_id"), col("timestamp"), col("txIdx"),
+        col("wallet"), col("mint"))
       .agg(
         max_by(when(col("side") === "pre", coalesce(col("bal"), lit(""))),
           when(col("side") === "pre", col("entryIdx"))).as("pre_raw"),

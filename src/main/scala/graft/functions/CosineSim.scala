@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -36,7 +35,11 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // ragged arrays → NULL (matching the zip_with/aggregate composable
+    // form, where zip_with null-pads and the null poisons the sum) —
+    // a truncated-prefix similarity would be silently wrong data
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     if (n == 0) return null
     val fa = isFloat(left)
     val fb = isFloat(right)
@@ -74,8 +77,8 @@ case class CosineSim(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |if ($n == 0) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n == 0) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;

@@ -60,6 +60,9 @@ object Dedup {
   def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleWords: Int = 3, k: Int = 32,
                         bands: Int = 8, maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must divide evenly into bands=$bands " +
+        "(a remainder would silently drop signature positions from LSH)")
     val rowsPerBand = k / bands
     val withSig = df.select(col(idCol).as("id"),
         wordShingles(col(textCol), shingleWords).as("sh"))

@@ -42,9 +42,17 @@ object Registry {
   def snapshotUpserter(path: String, keys: Seq[String], ord: String)
       : (DataFrame, Long) => Unit = { (batch, _) =>
     val spark = batch.sparkSession
-    val merged =
-      try upsert(spark.read.parquet(path), batch, keys, ord)
-      catch { case _: Exception => batch } // first batch: no snapshot yet
+    // Only a MISSING snapshot means "first batch". Any other read
+    // failure (corrupt files, transient FS errors) must propagate —
+    // swallowing it would silently reset the registry to this batch,
+    // losing every previously upserted key.
+    val merged = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        upsert(spark.read.parquet(path), batch, keys, ord)
+      else batch
+    }
     // write-then-swap: parquet overwrite is not atomic mid-job, so stage
     // to a sibling dir and rename (single-FS rename is atomic enough for
     // the local/dev case; production would use a table format's commit)

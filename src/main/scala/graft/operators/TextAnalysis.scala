@@ -25,11 +25,13 @@ object TextAnalysis {
     size(regexp_extract_all(text,
       lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0)))
 
-  /** Fraction of whitespace tokens that are stopwords. */
+  /** Fraction of whitespace tokens that are stopwords. (Guard is on the
+    * trimmed length: split of an empty string yields [""], so a
+    * size(toks)==0 check would never fire.) */
   def stopwordRatio(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
     val stops = filter(toks, t => t.isin(StopWords: _*))
-    when(size(toks) === 0, 0.0)
+    when(length(trim(text)) === 0, 0.0)
       .otherwise(size(stops).cast("double") / size(toks).cast("double"))
   }
 
@@ -42,7 +44,7 @@ object TextAnalysis {
   /** Mean word length over whitespace tokens. */
   def meanWordLen(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
-    when(size(toks) === 0, 0.0).otherwise(
+    when(length(trim(text)) === 0, 0.0).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(toks).cast("double"))
   }

@@ -139,6 +139,30 @@ class RugpullSpec extends SparkSpec {
     assert(r(0).getAs[Int]("txIdx") === 4)
   }
 
+  test("two blocks sharing a blockTime do not collide or merge") {
+    val dir = Files.createTempDirectory("graft-samebt").toFile
+    def blk(owner: String, amt: String): String =
+      s"""{"result":{"blockTime":42,"transactions":[
+         |{"transaction":{"message":{"accountKeys":["VAULT_S"]}},
+         |"meta":{"loadedAddresses":{"writable":[],"readonly":[]},
+         |"preTokenBalances":[{"accountIndex":5,"mint":"M","owner":"$owner",
+         |"uiTokenAmount":{"uiAmountString":"$amt"}}],
+         |"postTokenBalances":[],"logMessages":[]}}]}}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.writeString(dir.toPath.resolve("blocks.json"),
+      blk("WA", "1") + "\n" + blk("WB", "2"))
+    val blocks = Rugpull.parseBlocks(spark, dir.getAbsolutePath)
+    val out = Rugpull.tokenFlows(blocks,
+      Seq("VAULT_S").toDF("addr"),
+      Seq.empty[(String, String)].toDF("kind", "addr"),
+      Seq.empty[(String, String, Double)].toDF("vault", "side", "price_usd"))
+      .collect()
+    // both blocks' tx0 rows survive independently (same signature is
+    // reference behavior; the rows themselves must not merge or crash)
+    assert(out.length === 2)
+    assert(out.map(_.getAs[String]("wallet")).toSet === Set("WA", "WB"))
+  }
+
   test("malformed and empty block lines degrade to zero rows, no crash") {
     val dir = Files.createTempDirectory("graft-badblocks").toFile
     Files.writeString(dir.toPath.resolve("bad.json"),

@@ -65,6 +65,12 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("CosineSim: ragged arrays yield NULL (as the composable form does)") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(CosineSim($"a", $"b").as("c")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("Similarity.cosine handles double arrays too") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
     val r = df.select(Similarity.cosine($"a", $"b")).collect()(0).getDouble(0)
