@@ -800,7 +800,7 @@ object SparkEntry {
         |w AS (
         |  SELECT *, last_value(CASE WHEN side = 0 THEN value END
         |      IGNORE NULLS) OVER (PARTITION BY user_id
-        |      ORDER BY ts, side
+        |      ORDER BY ts, side, value
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS last_purchase
         |  FROM u)

@@ -48,11 +48,19 @@ object Rugpull {
     // multiple blocks per second at second resolution). Without it, two
     // blocks sharing a blockTime would merge their tx0/tx1/... into one
     // group — duplicate positional-map keys or silently fused balances.
+    // The id must also be DETERMINISTIC under re-evaluation: this plan
+    // branches (txs → hits, then txs ⋈ hits), and a non-deterministic id
+    // (monotonically_increasing_id) re-evaluates independently per branch,
+    // silently pairing hits with the wrong block after any upstream
+    // repartition. A content hash is stable across re-evaluation; two
+    // byte-identical blocks collapse into one group, which yields the
+    // identical (deduplicated) ledger rows — idempotent re-ingest.
     // The surrogate signature stays blockTime-txIdx-1 (reference
     // behavior, which tolerates signature collisions) but grouping keys
     // include __block_id.
     val txs = blocks
-      .withColumn("__block_id", monotonically_increasing_id())
+      .withColumn("__block_id", xxhash64(col("result.blockTime"),
+        to_json(col("result.transactions"))))
       .select(
         col("__block_id"),
         col("result.blockTime").as("timestamp"),
@@ -172,6 +180,47 @@ object Rugpull {
       .select(col("blockTime"), col("txIdx"),
         col("tx.transaction.message.accountKeys").as("accountKeys"))
   }
+
+  /** Pool-metadata resolution contract (O6/O7): the reference resolves a
+    * candidate tx's accountKeys through a REST API into the full 5-field
+    * pool payload — pool_address, base/quote mint, base/quote vault
+    * (reference: SERVER/combined_subscriber.py:78-84). The HTTP call is
+    * out of engine scope, so resolution is PLUGGABLE: any transform from
+    * [[detectPools]] candidates (blockTime, txIdx, accountKeys) to the
+    * payload schema
+    * (blockTime, pool_address, base_mint, quote_mint, base_vault,
+    * quote_vault). [[stubResolver]] is the deterministic default used on
+    * fixtures; a production deployment swaps in a resolver that joins a
+    * REST-fed metadata table — nothing downstream changes.
+    */
+  type PoolResolver = DataFrame => DataFrame
+
+  /** STUB resolver: reads the payload positionally out of accountKeys.
+    * Deterministic and total (missing positions ⇒ NULL); candidates
+    * without a resolvable pool_address are dropped, like a failed REST
+    * lookup in the reference. */
+  val stubResolver: PoolResolver = cands =>
+    cands.select(col("blockTime"),
+        try_element_at(col("accountKeys"), lit(1)).as("pool_address"),
+        try_element_at(col("accountKeys"), lit(2)).as("base_mint"),
+        try_element_at(col("accountKeys"), lit(3)).as("quote_mint"),
+        try_element_at(col("accountKeys"), lit(4)).as("base_vault"),
+        try_element_at(col("accountKeys"), lit(5)).as("quote_vault"))
+      .filter(col("pool_address").isNotNull)
+
+  /** Explode a 5-field pool-registry snapshot into the (kind, addr)
+    * watch-list dimension [[tokenFlows]] consumes — the SURVEY §3.2 loop:
+    * detected pools feed the next micro-batch's vault/mint tagging. */
+  def registryToWatchlists(registry: DataFrame): DataFrame =
+    registry.select(explode(array(
+        struct(lit("BASE_VAULTS").as("kind"), col("base_vault").as("addr")),
+        struct(lit("QUOTE_VAULTS").as("kind"), col("quote_vault").as("addr")),
+        struct(lit("BASE_MINTS").as("kind"), col("base_mint").as("addr")),
+        struct(lit("QUOTE_MINTS").as("kind"), col("quote_mint").as("addr"))))
+        .as("e"))
+      .select(col("e.kind").as("kind"), col("e.addr").as("addr"))
+      .filter(col("addr").isNotNull)
+      .distinct()
 
   /** Pool freshness filter (O34): keep pools opened within `windowSec` of
     * `now` (an explicit column, not wall-clock, for determinism). */

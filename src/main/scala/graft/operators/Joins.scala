@@ -42,7 +42,11 @@ object Joins {
     */
   def arraysOverlapFilter(fact: DataFrame, arrayCols: Seq[String],
                           watch: Seq[String]): DataFrame = {
-    val all = concat(arrayCols.map(col): _*)
+    // concat() is NULL if ANY input array is NULL — a row with one missing
+    // array column must still match on the others (per-array OR semantics),
+    // so each array is coalesced to empty first.
+    val all = concat(arrayCols.map(c =>
+      coalesce(col(c), array().cast("array<string>"))): _*)
     fact.filter(arrays_overlap(all, lit(watch.toArray)))
   }
 
@@ -79,8 +83,13 @@ object Joins {
     val unioned = l.select(
       (leftCols.map(col) :+ col("__side") :+ col("__asof_v")): _*)
       .unionByName(r, allowMissingColumns = true)
+    // __asof_v as the final sort key makes ties among right rows sharing
+    // (key, ts) deterministic (largest value wins) — tieBreak is NULL on
+    // the right side so it only orders left rows, where order is
+    // irrelevant to the running last(). The oracle mirrors this.
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("__side").asc, tieBreak.asc)
+      .orderBy(col(tsCol).asc, col("__side").asc, tieBreak.asc,
+        col("__asof_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(outCol, last(col("__asof_v"), ignoreNulls = true).over(w))

@@ -60,8 +60,16 @@ object Registry {
     merged.write.mode(SaveMode.Overwrite).parquet(staged)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(staged)
     val dst = new org.apache.hadoop.fs.Path(path)
+    // The staged dir is complete at this point, so a crash between delete
+    // and rename can always be recovered from .staged; what must NOT
+    // happen is a silently ignored failed rename — the next batch would
+    // see no snapshot and reset the registry to itself.
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"registry snapshot rename failed: $staged -> $path " +
+          "(previous snapshot deleted; staged data intact)")
   }
 }

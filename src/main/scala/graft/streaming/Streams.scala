@@ -97,7 +97,9 @@ object Streams {
     * semantics). */
   def poolRegistryStream(spark: SparkSession, blocksDir: String,
                          programs: Map[String, Seq[String]],
-                         registryPath: String): StreamingQuery = {
+                         registryPath: String,
+                         resolver: Rugpull.PoolResolver =
+                           Rugpull.stubResolver): StreamingQuery = {
     val blocks = spark.readStream
       .schema(BlockSchema.block)
       .option("maxFilesPerTrigger", 1)
@@ -108,13 +110,9 @@ object Streams {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val pools = Rugpull.detectPools(batch, programs)
-          // candidate pool address: first accountKey of the matched tx
-          // (metadata resolution is the out-of-scope REST call, O7)
-          .select(col("blockTime"),
-            col("accountKeys").getItem(0).as("pool_address"))
-          .filter(col("pool_address").isNotNull)
-        upsert(pools, id)
+        // detect → resolve (pluggable; REST in the reference, stub here)
+        // → upsert the 5-field payload keyed on pool_address
+        upsert(resolver(Rugpull.detectPools(batch, programs)), id)
       }
       .start()
   }

@@ -160,6 +160,63 @@ class StreamsSpec extends SparkSpec {
     assert(reg === Map("POOL_X" -> 200L, "POOL_Y" -> 200L))
   }
 
+  test("detected pool's payload tags the next batch's ledger (§3.2 loop)") {
+    import graft.domain.Rugpull
+    val blocksDir = Files.createTempDirectory("graft-poolloop").toFile
+    val registry = Files.createTempDirectory("graft-regloop").toFile
+      .getAbsolutePath + "/pools"
+    // batch 1: a pool-creation tx whose accountKeys carry the full
+    // 5-field payload (pool, baseMint, quoteMint, baseVault, quoteVault)
+    val createTx =
+      """{"result":{"blockTime":100,"transactions":[
+        |{"transaction":{"message":{"accountKeys":
+        |["POOL_1","BMINT_1","QMINT_1","BVAULT_1","QVAULT_1"]}},
+        |"meta":{"loadedAddresses":{"writable":[],"readonly":[]},
+        |"preTokenBalances":[],"postTokenBalances":[],
+        |"logMessages":["Program RAY invoke",
+        |"Program log: Instruction: Initialize2"]}}]}}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.writeString(blocksDir.toPath.resolve("b1.json"), createTx)
+    val q = Streams.poolRegistryStream(spark, blocksDir.getAbsolutePath,
+      Map("RAY" -> Seq("Initialize2")), registry)
+    q.awaitTermination(60000)
+
+    val reg = spark.read.parquet(registry)
+    val payload = reg.collect()
+    assert(payload.length === 1)
+    assert(payload(0).getAs[String]("pool_address") === "POOL_1")
+    assert(payload(0).getAs[String]("base_vault") === "BVAULT_1")
+    assert(payload(0).getAs[String]("quote_mint") === "QMINT_1")
+
+    // next micro-batch: a swap touching the NEW pool's base vault must
+    // come out of the ledger tagged with that vault and mint — the
+    // registry built in batch 1 closes the loop as the watch/tag dims.
+    val ledgerDir = Files.createTempDirectory("graft-poolloop2").toFile
+    val swapTx =
+      """{"result":{"blockTime":200,"transactions":[
+        |{"transaction":{"message":{"accountKeys":["BVAULT_1"]}},
+        |"meta":{"loadedAddresses":{"writable":[],"readonly":[]},
+        |"preTokenBalances":[{"accountIndex":0,"mint":"BMINT_1",
+        |"owner":"TRADER","uiTokenAmount":{"uiAmountString":"5"}}],
+        |"postTokenBalances":[],"logMessages":[]}}]}}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.writeString(ledgerDir.toPath.resolve("b2.json"), swapTx)
+    val watchlists = Rugpull.registryToWatchlists(reg)
+    val hot = watchlists
+      .filter($"kind".isin("BASE_VAULTS", "QUOTE_VAULTS"))
+      .select($"addr")
+    val prices = Seq(("BVAULT_1", "base", 2.0))
+      .toDF("vault", "side", "price_usd")
+    val ledger = Rugpull.tokenFlows(
+      Rugpull.parseBlocks(spark, ledgerDir.getAbsolutePath),
+      hot, watchlists, prices).collect()
+    assert(ledger.length === 1)
+    assert(ledger(0).getAs[String]("wallet") === "BVAULT_1")
+    assert(ledger(0).getAs[String]("baseVault") === "BVAULT_1")
+    assert(ledger(0).getAs[String]("baseMint") === "BMINT_1")
+    assert(ledger(0).getAs[Double]("base_price") === 2.0)
+  }
+
   test("windowedEventStats: tumbling window with watermark") {
     val events = Seq(
       ("2024-01-01 00:00:10", "a", 1.0),
