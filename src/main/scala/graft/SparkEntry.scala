@@ -201,16 +201,17 @@ object SparkEntry {
         .orderBy($"k_val")
     }),
 
-    // O22: positional join — per-user event sequence with position index
-    // (collect sorted → posexplode; oracle = row_number - 1).
+    // O22: positional join — per-user event sequence with position index.
+    // Window form (row_number - 1): a per-key sort that streams, with no
+    // per-group array materialization — a collect_list form would buffer a
+    // user's whole history in one aggregation buffer, the thing that OOMs
+    // on a hot key at scale.
     "q17_positional" -> ((s, d) => {
-      val e = Tables.events(s, d).filter($"user_id" < 20)
-      e.groupBy($"user_id")
-        .agg(sort_array(collect_list(
-          struct($"ts", $"event_id", $"event_type"))).as("seq"))
-        .select($"user_id", posexplode($"seq").as(Seq("pos", "ev")))
-        .select($"user_id", $"pos", $"ev.event_type".as("event_type"),
-          $"ev.event_id".as("event_id"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d).filter($"user_id" < 20)
+        .select($"user_id",
+          (row_number().over(w) - 1).as("pos"),
+          $"event_type", $"event_id")
         .orderBy($"user_id", $"pos")
     }),
 
@@ -405,33 +406,16 @@ object SparkEntry {
           $"o_orderpriority".asc_nulls_first)
     }),
 
-    // Exact median per group via the VALUE DISTRIBUTION, not a row sort:
-    // count per (group, value) — a fully-parallel hash aggregate — then
-    // rank-select over the per-group distinct values (orders of
-    // magnitude smaller than the rows). A row_number window partitioned
-    // by a 3-value group key would sort whole groups in 3 tasks — the
-    // plan that dies at 100 TB. Same output as rank-based median: avg of
-    // the values at ranks (n+1)/2 and n/2+1.
+    // Exact median per group via the multi-level histogram (see
+    // operators.Percentiles): every stage a parallel hash aggregate or a
+    // window over ≤4096 rows per group, regardless of data size. The
+    // previous distinct-value form was still a near-row-level sort here —
+    // l_extendedprice is near-unique, so 3 tasks each sorted ~n/3 values.
     "q33_percentiles" -> ((s, d) => {
-      val counts = Tables.lineitem(s, d)
-        .groupBy($"l_returnflag", $"l_extendedprice")
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
-      val cum = counts
-        .withColumn("cum_end", sum($"c").over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("cum_start", $"cum_end" - $"c" + 1)
-        .withColumn("n", sum($"c").over(
-          Window.partitionBy($"l_returnflag")))
-      val targets = cum
-        .select($"l_returnflag", $"l_extendedprice", $"cum_start",
-          $"cum_end",
-          explode(array_distinct(array(expr("(n + 1) div 2"),
-            expr("n div 2 + 1")))).as("r"))
-        .filter($"r" >= $"cum_start" && $"r" <= $"cum_end")
-      targets.groupBy($"l_returnflag")
-        .agg(Fns.roundU(avg($"l_extendedprice"), 2).as("median_price"),
-          count(lit(1)).as("n_mid"))
+      Percentiles.exactMedian(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice")
+        .select($"l_returnflag",
+          Fns.roundU($"median", 2).as("median_price"), $"n_mid")
         .orderBy($"l_returnflag")
     }),
 
@@ -455,14 +439,12 @@ object SparkEntry {
 
     // Embedding near-duplicate pairs: same-label blocking + exact cosine
     // threshold (the verification step of embedding dedup; oracle-able).
+    // Triangle-partitioned self-join (Similarity.blockedSelfJoin): result
+    // identical to the naive label join, but a skewed label's quadratic
+    // comparisons spread over 36 chunk-pair tasks instead of one reducer.
     "q35_embed_neardup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val a = emb.select($"vec_id".as("id_a"), $"label",
-        $"embedding".as("va"))
-      val b = emb.select($"vec_id".as("id_b"), $"label",
-        $"embedding".as("vb"))
-      a.join(b, Seq("label"))
-        .filter($"id_a" < $"id_b")
+      Similarity.blockedSelfJoin(Tables.embeddings(s, d), "label",
+          "vec_id", "embedding", chunks = 8)
         .withColumn("sim", Similarity.cosine($"va", $"vb"))
         .filter($"sim" >= 0.35)
         .select($"label", $"id_a", $"id_b",

@@ -17,13 +17,23 @@ class BottomK(k: Int)
   private def trim(xs: List[(String, Long)]): List[(String, Long)] =
     xs.sortBy(x => (x._1, x._2)).take(k)
 
+  // Lazy trim: let the buffer grow to 2k and compact in one sort, so the
+  // per-row cost is amortized O(1) allocations instead of a sort per row.
+  // Correctness is unchanged — any element outside the smallest k can
+  // never re-enter, and finish() always trims.
   override def reduce(b: List[(String, Long)], a: (String, Long))
-      : List[(String, Long)] = trim(a :: b)
+      : List[(String, Long)] = {
+    val nb = a :: b
+    if (nb.lengthCompare(2 * k) > 0) trim(nb) else nb
+  }
 
   override def merge(x: List[(String, Long)], y: List[(String, Long)])
-      : List[(String, Long)] = trim(x ::: y)
+      : List[(String, Long)] = {
+    val m = x ::: y
+    if (m.lengthCompare(2 * k) > 0) trim(m) else m
+  }
 
-  override def finish(b: List[(String, Long)]): Seq[Long] = b.map(_._2)
+  override def finish(b: List[(String, Long)]): Seq[Long] = trim(b).map(_._2)
 
   override def bufferEncoder: Encoder[List[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -35,23 +35,32 @@ object ChangeSuppression {
 
   /** Exact reference semantics: previous-EMITTED comparison. Emits the first
     * row per key and every row whose value moved > threshold relative to the
-    * last emitted one. One shuffle (groupByKey) + per-key in-memory sort —
-    * fine when a single key's history fits an executor; for unbounded keys
-    * use the streaming variant with state timeouts.
+    * last emitted one.
+    *
+    * Secondary-sort formulation: one shuffle on the key, then a
+    * WITHIN-PARTITION sort on (key, ts, id) and a streaming group-scan in
+    * `mapPartitions`. A key's history is never materialized — Spark's
+    * external sorter spills the partition sort to disk if needed, and the
+    * scan holds O(1) state (current key + last emitted value). This is the
+    * form that survives an unbounded-history key; for unbounded STREAMS use
+    * the flatMapGroupsWithState twin in graft.streaming.
     */
   def suppress(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
                valueCol: String, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val projected = df.select(
-      col(keyCol).cast("string"), col(tsCol).cast("long"),
-      col(idCol).cast("long"), col(valueCol).cast("double"))
+    df.select(
+        col(keyCol).cast("string").as("__k"), col(tsCol).cast("long").as("__t"),
+        col(idCol).cast("long").as("__i"), col(valueCol).cast("double").as("__v"))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"), col("__i"))
       .as[(String, Long, Long, Double)]
-    projected.groupByKey(_._1)
-      .flatMapGroups { (key, rows) =>
-        val sorted = rows.toVector.sortBy(r => (r._2, r._3))
+      .mapPartitions { rows =>
+        // rows arrive clustered by key and ts-ordered within a key
+        var curKey: String = null
         var lastEmitted = Double.NaN
-        sorted.iterator.filter { r =>
+        rows.filter { r =>
+          if (r._1 != curKey) { curKey = r._1; lastEmitted = Double.NaN }
           val emit = lastEmitted.isNaN ||
             math.abs(r._4 - lastEmitted) > math.abs(lastEmitted) * threshold
           if (emit) lastEmitted = r._4

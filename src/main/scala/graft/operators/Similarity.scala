@@ -117,6 +117,50 @@ object Similarity {
     centroids
   }
 
+  /** Exact all-pairs within blocks, skew-distributed: the triangle-
+    * partitioned self-join. A plain `a ⋈ b ON a.block = b.block` serializes
+    * a hot block's |B|² comparisons into ONE reducer — the plan that dies
+    * on a skewed block at 100 TB. Here each row gets a deterministic chunk
+    * `c = hash(id) mod chunks`, and every chunk pair (i ≤ j) becomes an
+    * independent join task: rows serve as the left side of tasks (c, j≥c)
+    * and the right side of tasks (i≤c, c), so the quadratic work spreads
+    * over chunks·(chunks+1)/2 reducers at the cost of ~chunks/2×
+    * replication of the vectors through the shuffle.
+    *
+    * Exactness is the point: LSH/IVF re-blocking trades recall and changes
+    * the output set (at a low similarity cutoff its recall is far from 1);
+    * this keeps the result IDENTICAL to the naive self-join — each
+    * unordered pair emitted exactly once with id_a < id_b. For corpora
+    * where the vector replication dominates, raise `chunks` only as far as
+    * the skew demands, or pre-filter blocks by size and route only the hot
+    * ones through here.
+    */
+  def blockedSelfJoin(df: DataFrame, blockCol: String, idCol: String,
+                      vecCol: String, chunks: Int): DataFrame = {
+    val base = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+        col(vecCol).as("__vec"))
+      .withColumn("__c", pmod(xxhash64(col("__id")), lit(chunks)).cast("int"))
+    val left = base
+      .withColumn("__j", explode(sequence(col("__c"), lit(chunks - 1))))
+      .select(col("__blk"), col("__c").as("__i"), col("__j"),
+        col("__id").as("id_a"), col("__vec").as("va"))
+    val right = base
+      .withColumn("__i", explode(sequence(lit(0), col("__c"))))
+      .select(col("__blk"), col("__i"), col("__c").as("__j"),
+        col("__id").as("id_b"), col("__vec").as("vb"))
+    left.join(right, Seq("__blk", "__i", "__j"))
+      // same-chunk task (i == j) holds both orderings + self-pairs; the
+      // id guard keeps exactly one. Cross-chunk tasks are already unique.
+      .filter(col("__i") =!= col("__j") || col("id_a") < col("id_b"))
+      .select(col("__blk").as(blockCol),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        when(col("id_a") < col("id_b"), col("va")).otherwise(col("vb"))
+          .as("va"),
+        when(col("id_a") < col("id_b"), col("vb")).otherwise(col("va"))
+          .as("vb"))
+  }
+
   /** IVF approximate top-k: probe the `nprobe` nearest cells per query and
     * run exact scoring only inside those cells. Returns the same shape as
     * [[bruteForceTopK]]; recall < 1 by construction. */

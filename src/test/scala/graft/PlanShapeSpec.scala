@@ -67,14 +67,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.length <= 4, s"shuffle explosion:\n${shuffles.length}")
   }
 
-  test("q33 median: no row-level sort window (distribution form)") {
+  test("q33 median: windows only over histogram/distribution aggregates") {
     val wins = collectAll(plan("q33_percentiles")) { case w: WindowExec => w }
-    // windows run over per-(group,value) DISTINCT rows, which is fine;
-    // the guard: every window's child schema carries the count column,
-    // i.e. it is the compacted distribution, not raw lineitem rows
+    // the guard: every window's input is a counted aggregate (__c from
+    // the per-(group,bucket) histogram or the final distinct-value
+    // resolve) — never raw lineitem rows. A row-level sort window
+    // re-appearing here is the single-digit-partition plan that dies at
+    // 100 TB.
     assert(wins.nonEmpty)
-    assert(wins.forall(_.child.schema.fieldNames.exists(
-      n => n == "c" || n.startsWith("cum") || n == "n")),
+    assert(wins.forall(_.child.schema.fieldNames.contains("__c")),
       wins.map(_.child.schema.fieldNames.mkString(",")).mkString(" | "))
   }
 

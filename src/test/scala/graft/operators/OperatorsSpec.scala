@@ -103,6 +103,26 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(r.toSeq === Seq(100.0, 112.0, 130.0))
   }
 
+  test("ChangeSuppression.suppress streams a large single-key history") {
+    // one hot key with 50k rows, shuffled input order: the secondary-sort
+    // form must restore ts order and match the sequential reference
+    val n = 50000
+    val rng = new scala.util.Random(11)
+    val series = (1 to n).map(i => (i.toLong, 100.0 + rng.nextInt(40)))
+    val df = rng.shuffle(series)
+      .map { case (ts, v) => ("hot", ts, ts, v) }.toDF("k", "ts", "id", "v")
+    val got = ChangeSuppression.suppress(df, "k", "ts", "id", "v", 0.1)
+      .orderBy("ts").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    var last = Double.NaN
+    val expect = series.filter { case (_, v) =>
+      val emit = last.isNaN || math.abs(v - last) > math.abs(last) * 0.1
+      if (emit) last = v
+      emit
+    }
+    assert(got.length === expect.length)
+    assert(got.toSeq === expect.toSeq)
+  }
+
   test("ChangeSuppression.lagFilter compares to previous OBSERVED value") {
     // same series: 105 suppressed (vs 100), 112 suppressed (vs 105: 6.7%)!
     val df = Seq(("p", 1L, 1L, 100.0), ("p", 2L, 2L, 105.0),
@@ -183,6 +203,62 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       TextAnalysis.stopwordRatio($"t").as("sr")).collect()(0)
     assert(r.getInt(0) === 6)
     assert(math.abs(r.getDouble(1) - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("Percentiles.exactMedian matches sort-based median per group") {
+    // odd count, even count, duplicated values, single-value group, and a
+    // group larger than the bucket count at levels=2/nBuckets=4 so every
+    // histogram level actually narrows
+    val rng = new scala.util.Random(7)
+    val data =
+      (1 to 101).map(i => ("odd", rng.nextDouble() * 1000)) ++
+      (1 to 100).map(i => ("even", rng.nextDouble() * 1000)) ++
+      Seq.fill(50)(("dup", 5.0)) ++ Seq(("dup", 1.0), ("dup", 9.0)) ++
+      Seq(("one", 42.0))
+    val df = data.toDF("g", "v")
+    val got = Percentiles.exactMedian(df, "g", "v", nBuckets = 4, levels = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("median"), r.getAs[Long]("n_mid"))).toMap
+    def sortMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val (r1, r2) = ((s.length + 1) / 2, s.length / 2 + 1)
+      (s(r1 - 1) + s(r2 - 1)) / 2
+    }
+    for (g <- Seq("odd", "even", "dup", "one")) {
+      val expect = sortMedian(data.filter(_._1 == g).map(_._2))
+      assert(math.abs(got(g)._1 - expect) < 1e-12, s"group $g")
+    }
+    assert(got("odd")._2 === 1L)  // odd n: one rank target
+    assert(got("even")._2 === 2L) // even n: two rank targets
+    assert(got("one")._2 === 1L)
+  }
+
+  test("Similarity.blockedSelfJoin equals naive all-pairs, bounded tasks") {
+    // one hot block (60 rows) + a small block: output must be identical
+    // to the naive self-join, each unordered pair exactly once
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 60).map(i => ("hot", i.toLong,
+        Array.fill(4)(rng.nextFloat()))) ++
+      (0 until 5).map(i => ("cold", (100 + i).toLong,
+        Array.fill(4)(rng.nextFloat())))
+    val df = rows.toDF("label", "vec_id", "embedding")
+    val got = Similarity.blockedSelfJoin(df, "label", "vec_id",
+        "embedding", chunks = 4)
+      .select($"label", $"id_a", $"id_b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val naive = for {
+      Seq(a, b) <- rows.combinations(2).toSeq
+      if a._1 == b._1
+    } yield (a._1, math.min(a._2, b._2), math.max(a._2, b._2))
+    assert(got.length === naive.length) // exactly-once: no dup, no loss
+    assert(got.toSet === naive.toSet)
+    // chunk-pair distribution: every task key holds ≤ ~2·(B/chunks) rows
+    // per side, so no single reducer sees the whole hot block
+    val chunkSizes = df.filter($"label" === "hot")
+      .select(pmod(xxhash64($"vec_id"), lit(4)).cast("int").as("c"))
+      .groupBy($"c").count().collect().map(_.getLong(1))
+    assert(chunkSizes.length === 4 && chunkSizes.max <= 30,
+      chunkSizes.mkString(","))
   }
 
   test("SimHash: similar token sets have low hamming distance") {
