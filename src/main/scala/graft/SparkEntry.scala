@@ -370,19 +370,20 @@ object SparkEntry {
         .orderBy($"lang", $"pred_lang")
     }),
 
-    // Multimodal plumbing: opaque binary payload + typed metadata. The
-    // decode is a DETERMINISTIC STUB (no codecs in container); the binary
-    // column, schema and batch shape are real. Oracle covers the real
-    // parts (payload size).
+    // Multimodal plumbing: opaque binary payload + frame slicing over it.
+    // Every output column is deterministic byte arithmetic on the payload
+    // (size, count of non-empty sampled frames, total sampled bytes), so
+    // the query is fully DuckDB-oracle-able. The decode stub (hash-fake,
+    // engine-specific by construction) is exercised in MultimodalSpec.
     "q30_multimodal_meta" -> ((s, d) => {
       val withPayload = Tables.documents(s, d)
         .withColumn("payload", Multimodal.toPayload($"text"))
+        .withColumn("frames", Multimodal.sampleFrames($"payload", 4, 16))
       withPayload.select($"doc_id",
           octet_length($"payload").as("n_bytes"),
-          Multimodal.fakeDecodeImageMeta($"payload").as("meta"),
-          size(Multimodal.sampleFrames($"payload", 4, 16)).as("n_frames"))
-        .select($"doc_id", $"n_bytes", $"meta.width".as("width"),
-          $"meta.height".as("height"), $"n_frames")
+          size(filter($"frames", f => octet_length(f) > 0)).as("n_frames"),
+          aggregate($"frames", lit(0), (acc, f) => acc + octet_length(f))
+            .as("frame_bytes"))
         .orderBy($"doc_id")
     }),
 
@@ -453,8 +454,9 @@ object SparkEntry {
     }),
 
     // O35 exact semantics (previous-EMITTED comparison) as a batch query —
-    // the flatMapGroups path; deterministic but not expressible in
-    // non-recursive SQL, so rows-only.
+    // the secondary-sort mapPartitions path. Inherently sequential per
+    // key, but still SQL-expressible via a RECURSIVE CTE walking each
+    // key's rows in rank order — so it gets a real DuckDB oracle.
     "q36_suppress_stateful" -> ((s, d) => {
       val purchases = Tables.events(s, d)
         .filter($"event_type" === "purchase")
@@ -462,6 +464,9 @@ object SparkEntry {
           unix_micros($"ts"))
       ChangeSuppression.suppress(purchases, "user_id", "ts_us", "event_id",
           "value", 0.1)
+        // suppress carries its key as string internally; restore the type
+        .select($"user_id".cast("long").as("user_id"), $"ts_us",
+          $"event_id", $"value")
         .orderBy($"user_id", $"ts_us")
     }),
 
@@ -847,6 +852,77 @@ object SparkEntry {
         |JOIN sizes za ON za.doc_id = p.id_a
         |JOIN sizes zb ON zb.doc_id = p.id_b
         |ORDER BY id_a""".stripMargin,
+
+    // Full IVF mirror: deterministic centroids (vec_id % 50 = 0), argmax
+    // cell assignment, top-3 probe, exact scoring inside probed cells —
+    // the approximation is in the ALGORITHM, not the engine, so the
+    // oracle replicates it step for step.
+    "q27_embed_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cell_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |a AS (
+        |  SELECT e.vec_id, e.embedding, c.cell_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(c.cvec AS DOUBLE[])) AS csim
+        |  FROM embeddings e CROSS JOIN c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cell_id ASC) AS arn FROM a)
+        |  WHERE arn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 5),
+        |qc AS (
+        |  SELECT q.query_id, q.qv, c.cell_id,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |        CAST(c.cvec AS DOUBLE[])) DESC, c.cell_id ASC) AS crk
+        |  FROM q CROSS JOIN c),
+        |probes AS (SELECT query_id, qv, cell_id FROM qc WHERE crk <= 3),
+        |scored AS (
+        |  SELECT p.query_id, s.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+        |      CAST(p.qv AS DOUBLE[])) AS sim
+        |  FROM assigned s JOIN probes p ON s.cell_id = p.cell_id
+        |  WHERE s.vec_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+        |  floor(sim * 10000 + 0.5) / 10000.0 AS sim
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "q30_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(least(4, (octet_length(encode(text)) + 15) // 16) AS INT)
+        |    AS n_frames,
+        |  CAST(least(octet_length(encode(text)), 64) AS INT)
+        |    AS frame_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Previous-EMITTED change suppression is sequential per key — the
+    // oracle walks each key's rank-ordered rows with a recursive CTE,
+    // carrying the last emitted value.
+    "q36_suppress_stateful" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |walk AS (
+        |  SELECT user_id, rn, ts_us, event_id, value,
+        |    value AS last_emit, true AS emitted
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.rn, b.ts_us, b.event_id, b.value,
+        |    CASE WHEN abs(b.value - w.last_emit) > abs(w.last_emit) * 0.1
+        |         THEN b.value ELSE w.last_emit END,
+        |    abs(b.value - w.last_emit) > abs(w.last_emit) * 0.1
+        |  FROM walk w JOIN base b
+        |    ON b.user_id = w.user_id AND b.rn = w.rn + 1)
+        |SELECT user_id, ts_us, event_id, value FROM walk WHERE emitted
+        |ORDER BY user_id, ts_us""".stripMargin,
 
     "q26_embed_topk" ->
       """WITH q AS (
