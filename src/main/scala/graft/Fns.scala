@@ -20,4 +20,17 @@ object Fns {
     val p = math.pow(10, digits)
     floor(c * p + 0.5) / p
   }
+
+  /** Canonical high-precision amount type (SURVEY §1.2/§7.4d): crypto
+    * balances carry up to 18 fractional digits at magnitudes where a
+    * double has already lost the low digits (doubles hold ~15.95
+    * significant digits; an 18-decimal token amount above 1.0 exceeds
+    * that). The reference dodges the problem by keeping balances as
+    * strings end-to-end; the analytical path here casts them losslessly
+    * to DECIMAL(38,18) so sums/deltas are exact. */
+  val AmountType = "decimal(38,18)"
+
+  /** Lossless string→DECIMAL(38,18) amount cast; malformed input degrades
+    * to NULL (try_cast) instead of failing the job under ANSI mode. */
+  def toAmount(c: Column): Column = c.try_cast(AmountType)
 }

@@ -618,6 +618,24 @@ object SparkEntry {
         .orderBy($"l_returnflag", $"metric")
     }),
 
+    // DECIMAL(38,18) exact arithmetic (SURVEY §7.4d): synthetic amounts
+    // with 18 fractional digits summed per group. The group sums carry
+    // ~24 significant digits — a double pipeline would corrupt the low
+    // digits, so a hash-match here PROVES the decimal path is lossless
+    // end-to-end (string → decimal cast → sum → parquet).
+    "q48_decimal_sums" -> ((s, d) => {
+      val amount = concat(
+        $"l_quantity".cast("int").cast("string"), lit("."),
+        lpad((($"l_orderkey" * 1000000007L + $"l_partkey") %
+          1000000000000000000L).cast("string"), 18, "0"))
+        .cast(Fns.AmountType)
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", amount.as("amount"))
+        .groupBy($"l_returnflag")
+        .agg(sum($"amount").as("sum_amount"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
     // SQL-parser surface: the same engine driven through spark.sql with
     // a correlated scalar subquery (orders whose priciest line exceeds
     // 90% of the order total).
@@ -1144,6 +1162,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT l_returnflag, 'tax', tax FROM wide)
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q48_decimal_sums" ->
+      """WITH amt AS (
+        |  SELECT l_returnflag,
+        |    CAST(concat(CAST(CAST(l_quantity AS INT) AS VARCHAR), '.',
+        |      lpad(CAST((l_orderkey * 1000000007 + l_partkey)
+        |        % 1000000000000000000 AS VARCHAR), 18, '0'))
+        |      AS DECIMAL(38,18)) AS amount
+        |  FROM lineitem)
+        |SELECT l_returnflag, sum(amount) AS sum_amount, count(*) AS n
+        |FROM amt GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q47_sql_subquery" ->
       """SELECT o_orderkey, o_totalprice,

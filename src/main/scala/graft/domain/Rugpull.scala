@@ -181,6 +181,23 @@ object Rugpull {
         col("tx.transaction.message.accountKeys").as("accountKeys"))
   }
 
+  /** Decimal enrichment of the ledger (SURVEY §7.4d): exact
+    * DECIMAL(38,18) amounts and the per-row flow delta, computed
+    * losslessly from the string balances. Kept OUT of [[tokenFlows]]'s
+    * output so the FIXTURES.md §4 schema contract stays byte-identical
+    * with the reference; analytical consumers opt in here. */
+  def withDecimalBalances(ledger: DataFrame): DataFrame =
+    ledger
+      .withColumn("pre_amount", graft.Fns.toAmount(col("pre_balance")))
+      .withColumn("post_amount", graft.Fns.toAmount(col("post_balance")))
+      // subtraction of two DECIMAL(38,18) would need precision 39, so
+      // Spark truncates the result scale to 17 — one digit lost. Casting
+      // the operands to (37,18) first (one fewer integral digit, still
+      // 10^19 whole tokens) makes the difference land exactly in (38,18).
+      .withColumn("delta_amount",
+        coalesce(col("post_amount"), lit(0)).try_cast("decimal(37,18)") -
+          coalesce(col("pre_amount"), lit(0)).try_cast("decimal(37,18)"))
+
   /** Pool-metadata resolution contract (O6/O7): the reference resolves a
     * candidate tx's accountKeys through a REST API into the full 5-field
     * pool payload — pool_address, base/quote mint, base/quote vault

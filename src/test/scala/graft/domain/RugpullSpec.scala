@@ -128,6 +128,27 @@ class RugpullSpec extends SparkSpec {
       "baseMint", "quoteMint", "base_price", "quote_price"))
   }
 
+  test("withDecimalBalances: exact beyond double precision") {
+    // 18-fractional-digit amount at a magnitude where a double has
+    // already lost the tail: the decimal path must keep every digit
+    val big = "123456789012345678.123456789012345678"
+    val df = Seq((big, "0.000000000000000001"))
+      .toDF("pre_balance", "post_balance")
+    val r = Rugpull.withDecimalBalances(df).collect()(0)
+    assert(r.getAs[java.math.BigDecimal]("pre_amount").toPlainString === big)
+    assert(r.getAs[java.math.BigDecimal]("delta_amount").toPlainString ===
+      "-123456789012345678.123456789012345677")
+    // the same value through a double corrupts the low digits
+    assert(BigDecimal(big.toDouble) != BigDecimal(big))
+    // malformed input degrades to NULL, not a job failure (ANSI mode)
+    val bad = Seq(("not-a-number", null.asInstanceOf[String]))
+      .toDF("pre_balance", "post_balance")
+    val rb = Rugpull.withDecimalBalances(bad).collect()(0)
+    assert(rb.getAs[java.math.BigDecimal]("pre_amount") == null)
+    assert(rb.getAs[java.math.BigDecimal]("delta_amount")
+      .compareTo(java.math.BigDecimal.ZERO) === 0)
+  }
+
   test("detectPools matches program id + instruction regex") {
     val dir = Files.createTempDirectory("graft-blocks2").toFile
     Files.writeString(dir.toPath.resolve("b0.json"), blockJson)
