@@ -17,7 +17,8 @@ object Scratch {
     val df = Seq("the quick brown fox", "jumps over the lazy dog")
       .toDF("t")
       .select(MinHashSig(WordShingles(col("t"), 2), 8).as("sig"),
-        graft.functions.TextHashes.simhash64(split(col("t"), " ")).as("sh"))
+        graft.functions.TextHashes.simhash64(split(col("t"), " ")).as("sh"),
+        graft.functions.TextHashes.rollingFingerprint(col("t")).as("fp"))
     df.show(2, truncate = false)
     val v = Seq((Array(1.0f, 2.0f), Array(2.0f, 1.0f))).toDF("a", "b")
       .select(CosineSim($"a", $"b").as("c"))

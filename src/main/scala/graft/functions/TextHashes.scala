@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -89,9 +88,10 @@ case class SimHash64(child: Expression)
 /** Polynomial rolling-hash fingerprint of a string (base-31 Horner over
   * UTF-8 bytes, wrapping 64-bit arithmetic). The classic content-defined
   * document fingerprint; stable across partitions/engines by construction.
+  * Full codegen — the loop inlines into the stage, no fallback.
   */
 case class RollingFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fingerprint"
 
@@ -105,6 +105,24 @@ case class RollingFingerprint(child: Expression)
     }
     h
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $a.getBytes();
+         |long $h = 1125899906842597L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = 31L * $h + $bytes[$i];
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression)
       : RollingFingerprint = copy(child = c)

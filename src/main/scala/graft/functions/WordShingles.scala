@@ -2,8 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,15 +15,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * first-occurrence-ordered distinct. One pass, no per-element
   * interpreted lambdas — the SQL form costs ~3.5s per branch at sf0.1 and
   * is re-evaluated in every plan branch that needs shingles.
+  *
+  * Codegen delegates to the static [[WordShingles.compute]] — a
+  * CodegenFallback here would kick the ENTIRE enclosing operator out of
+  * WholeStageCodegen (CollapseCodegenStages rejects operators containing
+  * any fallback expression), de-compiling every other expression in the
+  * dedup pipelines' scan stages.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val obj = WordShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $obj.compute($a, $n);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+object WordShingles {
+  /** The whole shingling pass as one static call, shared by interpreted
+    * eval and generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString.trim
     val toks = text.split("\\s+")
     val upper = math.max(toks.length - n, 0)
     val seen = new java.util.LinkedHashSet[String]()
@@ -51,11 +74,6 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(c: Expression): WordShingles =
-    copy(child = c)
-}
-
-object WordShingles {
   def apply(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
 }
