@@ -636,6 +636,36 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // Exact p25/p50/p75 per group via the same multi-level histogram
+    // (type-1 nearest-rank), each quantile narrowing its own range.
+    "q50_quantiles" -> ((s, d) => {
+      Percentiles.exactQuantiles(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        .select($"l_returnflag", $"q", $"value")
+        .orderBy($"l_returnflag", $"q")
+    }),
+
+    // Delta-style MERGE / CDC apply (operators.Merge): fold a change batch
+    // (upserts, deletes, inserts of new keys, last-writer-wins within the
+    // batch) into a keyed snapshot — winning change via hash aggregate +
+    // one full-outer join, no window, no driver state.
+    "q49_cdc_apply" -> ((s, d) => {
+      val target = Tables.customer(s, d)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      val key = when($"o_orderkey" % 100 === 0, $"o_custkey" + 1000000)
+        .otherwise($"o_custkey")
+      val changes = Tables.orders(s, d)
+        .filter($"o_orderkey" % 50 === 0)
+        .select(key.as("c_custkey"),
+          concat(lit("cust-"), key.cast("string")).as("c_name"),
+          $"o_totalprice".as("c_acctbal"),
+          when($"o_orderstatus" === "F", "D").otherwise("U").as("op"),
+          $"o_orderkey".as("ord"))
+      Merge.applyChanges(target, changes, Seq("c_custkey"),
+          Seq("c_name", "c_acctbal"), "op", "ord")
+        .orderBy($"c_custkey")
+    }),
+
     // SQL-parser surface: the same engine driven through spark.sql with
     // a correlated scalar subquery (orders whose priciest line exceeds
     // 90% of the order total).
@@ -1162,6 +1192,43 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT l_returnflag, 'tax', tax FROM wide)
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q50_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(q AS DOUBLE) AS q,
+        |  l_extendedprice AS value
+        |FROM ranked, (VALUES (0.25), (0.5), (0.75)) AS qs(q)
+        |WHERE rn = greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT))
+        |ORDER BY l_returnflag, q""".stripMargin,
+
+    "q49_cdc_apply" ->
+      """WITH target AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |changes AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS c_custkey,
+        |    concat('cust-', CAST(CASE WHEN o_orderkey % 100 = 0
+        |      THEN o_custkey + 1000000 ELSE o_custkey END AS VARCHAR))
+        |      AS c_name,
+        |    o_totalprice AS c_acctbal,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderkey AS ord
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |win AS (
+        |  SELECT c_custkey, c_name, c_acctbal, op FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY ord DESC) AS rn FROM changes) WHERE rn = 1)
+        |SELECT coalesce(t.c_custkey, w.c_custkey) AS c_custkey,
+        |  CASE WHEN w.op = 'U' THEN w.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN w.op = 'U' THEN w.c_acctbal ELSE t.c_acctbal END
+        |    AS c_acctbal
+        |FROM target t FULL OUTER JOIN win w ON t.c_custkey = w.c_custkey
+        |WHERE coalesce(w.op, 'U') <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
 
     "q48_decimal_sums" ->
       """WITH amt AS (

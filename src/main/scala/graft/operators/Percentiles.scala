@@ -110,4 +110,76 @@ object Percentiles {
       .agg(avg(col("__v")).as("median"), count(lit(1)).as("n_mid"))
       .withColumnRenamed("__g", grpCol)
   }
+
+  /** Exact discrete quantiles (type-1 / nearest-rank: the value at rank
+    * ⌈q·n⌉, min 1) per group, same multi-level histogram machinery as
+    * [[exactMedian]] but keyed by (group × quantile): every quantile
+    * narrows its own active range independently, so far-apart quantiles
+    * (p25 vs p99) don't force one wide range. Returns
+    * (grpCol, q: double, value: double), one row per group × quantile.
+    * Cost: rows replicate × |qs| through the histogram aggregates — the
+    * quantile count is a constant, the data size is not.
+    */
+  def exactQuantiles(df: DataFrame, grpCol: String, valCol: String,
+                     qs: Seq[Double], nBuckets: Int = 4096,
+                     levels: Int = 2): DataFrame = {
+    require(qs.nonEmpty && qs.forall(x => x > 0 && x <= 1))
+    val rows = df.select(col(grpCol).as("__g"),
+        col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+
+    val stats = rows.groupBy(col("__g")).agg(
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+      count(lit(1)).as("__n"))
+    var state = stats
+      .select(col("__g"), col("__lo"), col("__hi"), col("__n"),
+        explode(lit(qs.toArray)).as("__q"))
+      .withColumn("__r", greatest(lit(1L),
+        ceil(col("__q") * col("__n")).cast("long")))
+      .select(col("__g"), col("__q"), col("__lo"), col("__hi"),
+        lit(0L).as("__off"), col("__r"))
+
+    var level = 0
+    while (level < levels) {
+      val st = broadcast(state)
+      val w = (col("__hi") - col("__lo")) / nBuckets
+      val bucketed = rows.join(st, Seq("__g"))
+        .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .withColumn("__b",
+          when(w <= 0.0, 0).otherwise(least(
+            floor((col("__v") - col("__lo")) / w).cast("int"),
+            lit(nBuckets - 1))))
+      val hist = bucketed
+        .groupBy(col("__g"), col("__q"), col("__b"))
+        .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmin"),
+          max(col("__v")).as("__bmax"),
+          first(col("__off")).as("__off"), first(col("__r")).as("__r"))
+      val wb = Window.partitionBy(col("__g"), col("__q"))
+        .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, 0)
+      state = hist
+        .withColumn("__ce", sum(col("__c")).over(wb))
+        .withColumn("__cs", col("__ce") - col("__c") + 1)
+        .filter((col("__r") - col("__off"))
+          .between(col("__cs"), col("__ce")))
+        .select(col("__g"), col("__q"), col("__bmin").as("__lo"),
+          col("__bmax").as("__hi"),
+          (col("__off") + col("__cs") - 1).as("__off"), col("__r"))
+      level += 1
+    }
+
+    val st = broadcast(state)
+    val sel = rows.join(st, Seq("__g"))
+      .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+    val vals = sel.groupBy(col("__g"), col("__q"), col("__v")).agg(
+      count(lit(1)).as("__c"), first(col("__off")).as("__off"),
+      first(col("__r")).as("__r"))
+    val wv = Window.partitionBy(col("__g"), col("__q")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vals
+      .withColumn("__ce", sum(col("__c")).over(wv) + col("__off"))
+      .withColumn("__cs", col("__ce") - col("__c") + 1)
+      .filter(col("__r").between(col("__cs"), col("__ce")))
+      .select(col("__g").as(grpCol), col("__q").as("q"),
+        col("__v").as("value"))
+  }
 }

@@ -88,6 +88,21 @@ object Streams {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
+  /** Session-window aggregation with a watermark — the streaming-native
+    * form of the batch sessionization (q37). Sessions merge as events
+    * arrive; a session is finalized (and emitted, in append mode) once
+    * the watermark passes its close. State per key is bounded by the
+    * watermark horizon — the property that lets sessionization run
+    * forever on an unbounded stream. */
+  def sessionStats(events: DataFrame, tsCol: String, keyCol: String,
+                   valueCol: String, gap: String, watermark: String)
+      : DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** The SURVEY §3.2 dimension-build pipeline, streaming form: watch the
     * block stream, regex-detect pool-creation transactions (O33), and
     * upsert the candidates into a parquet registry snapshot via

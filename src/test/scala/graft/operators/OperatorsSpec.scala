@@ -233,6 +233,24 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got("one")._2 === 1L)
   }
 
+  test("Merge.applyChanges: upsert, delete, insert, passthrough, LWW") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, "a2", 11.0, "U", 5L),  // update (stale)
+      (1L, "a3", 12.0, "U", 9L),  // update (wins: higher ord)
+      (2L, "x", 0.0, "D", 1L),    // delete
+      (4L, "d", 40.0, "U", 2L),   // insert of a new key
+      (5L, "e", 50.0, "D", 3L))   // delete of an absent key: no row
+      .toDF("k", "name", "bal", "op", "ord")
+    val r = Merge.applyChanges(target, changes, Seq("k"),
+        Seq("name", "bal"), "op", "ord")
+      .orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+    assert(r.toSeq === Seq((1L, "a3", 12.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)))
+  }
+
   test("Similarity.blockedSelfJoin equals naive all-pairs, bounded tasks") {
     // one hot block (60 rows) + a small block: output must be identical
     // to the naive self-join, each unordered pair exactly once
@@ -259,6 +277,23 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       .groupBy($"c").count().collect().map(_.getLong(1))
     assert(chunkSizes.length === 4 && chunkSizes.max <= 30,
       chunkSizes.mkString(","))
+  }
+
+  test("Percentiles.exactQuantiles matches sort-based nearest-rank") {
+    val rng = new scala.util.Random(13)
+    val data = (1 to 333).map(_ => ("g1", rng.nextDouble() * 100)) ++
+      (1 to 100).map(_ => ("g2", rng.nextDouble())) ++
+      Seq.fill(40)(("flat", 7.0))
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.99)
+    val got = Percentiles.exactQuantiles(data.toDF("g", "v"), "g", "v",
+        qs, nBuckets = 4, levels = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (g <- Seq("g1", "g2", "flat"); q <- qs) {
+      val s = data.filter(_._1 == g).map(_._2).sorted
+      val expect = s(math.max(1, math.ceil(q * s.length).toLong).toInt - 1)
+      assert(got((g, q)) === expect, s"($g, $q)")
+    }
   }
 
   test("SimHash: similar token sets have low hamming distance") {

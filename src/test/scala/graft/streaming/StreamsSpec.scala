@@ -217,6 +217,37 @@ class StreamsSpec extends SparkSpec {
     assert(ledger(0).getAs[Double]("base_price") === 2.0)
   }
 
+  test("sessionStats: streaming session windows close via watermark") {
+    val dir = Files.createTempDirectory("graft-sess").toFile
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.writeString(dir.toPath.resolve(name), lines.mkString("\n"))
+    // batch 1: two events 40s apart → one session (gap 30 min)
+    write("b1.json", Seq(
+      """{"u":"a","ts":"2024-01-01T00:00:10Z","v":1.0}""",
+      """{"u":"a","ts":"2024-01-01T00:00:50Z","v":2.0}"""))
+    val stream = spark.readStream
+      .schema("u STRING, ts TIMESTAMP, v DOUBLE")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+    val q = Streams.sessionStats(stream, "ts", "u", "v",
+        "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits nothing until the watermark passes the close
+      assert(spark.table("sessions").count() === 0)
+      // batch 2: far-future event pushes the watermark past session end
+      write("b2.json",
+        Seq("""{"u":"b","ts":"2024-01-01T02:00:00Z","v":9.0}"""))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[String]("u") === "a")
+      assert(rows(0).getAs[Long]("n_events") === 2L)
+      assert(rows(0).getAs[Double]("sum_value") === 3.0)
+    } finally q.stop()
+  }
+
   test("windowedEventStats: tumbling window with watermark") {
     val events = Seq(
       ("2024-01-01 00:00:10", "a", 1.0),
