@@ -314,7 +314,7 @@ object SparkEntry {
       val fp = Tables.documents(s, d).select($"doc_id", $"lang",
         TextHashes.simhash64(split(trim($"text"), "\\s+")).as("simhash"),
         TextHashes.rollingFingerprint($"text").as("fingerprint"),
-        size(Dedup.charShingles($"text", 5)).as("n_char_shingles"))
+        TextHashes.charShingleCount($"text", 5).as("n_char_shingles"))
       // partitioned window: hamming distance to the next doc in the same
       // language — keyed, so the sort distributes (no global window).
       val w = Window.partitionBy($"lang").orderBy($"doc_id")

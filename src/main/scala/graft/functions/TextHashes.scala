@@ -128,9 +128,53 @@ case class RollingFingerprint(child: Expression)
       : RollingFingerprint = copy(child = c)
 }
 
+/** Count of DISTINCT character n-gram shingles in one pass — equivalent
+  * to `size(array_distinct(transform(sequence(0, greatest(len-n, 0)),
+  * i -> substr(text, i+1, n))))` but without materializing the shingle
+  * array, and codegen-friendly (higher-order functions are
+  * CodegenFallback, which would de-compile the whole enclosing stage).
+  * Substrings via UTF8String.substringSQL — exactly the builtin substr
+  * semantics (code-point indexed, end-clipped).
+  */
+case class CharShingleCount(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "char_shingle_count"
+
+  override def nullSafeEval(input: Any): Any =
+    CharShingleCount.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val obj = CharShingleCount.getClass.getName.stripSuffix("$") +
+      "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $obj.compute($a, $n);")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : CharShingleCount = copy(child = c)
+}
+
+object CharShingleCount {
+  def compute(s: UTF8String, n: Int): Int = {
+    val upper = math.max(s.numChars() - n, 0)
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i <= upper) {
+      seen.add(s.substringSQL(i + 1, n))
+      i += 1
+    }
+    seen.size
+  }
+}
+
 object TextHashes {
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
   def rollingFingerprint(text: Column): Column =
     Bridge.column(RollingFingerprint(Bridge.expression(text)))
+  def charShingleCount(text: Column, n: Int): Column =
+    Bridge.column(CharShingleCount(Bridge.expression(text), n))
 }

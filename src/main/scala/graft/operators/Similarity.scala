@@ -88,19 +88,14 @@ object Similarity {
       val assigned = assignCells(
         corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
         centroids, "cell_id", "cvec")
-      // elementwise mean: posexplode to (cell, pos, v), mean per
-      // (cell, pos), re-assemble in position order — a narrow shuffle on
-      // (cell, pos) instead of collecting vectors anywhere.
+      // elementwise mean as ONE hash aggregate (VectorMean): a dim-length
+      // buffer per cell with map-side combine — only |partitions|·k
+      // buffers shuffle, vs |corpus|·dim narrow rows for the posexplode
+      // formulation. This is the per-iteration cost that dominates
+      // k-means at cluster scale.
       val means = assigned
-        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("p", "v")))
-        .groupBy(col("cell_id"), col("p"))
-        .agg(avg(col("v")).as("m"))
         .groupBy(col("cell_id"))
-        .agg(array_sort(collect_list(struct(col("p"), col("m"))))
-          .as("pm"))
-        .select(col("cell_id"),
-          transform(col("pm"), x => x.getField("m").cast("float"))
-            .as("cvec"))
+        .agg(graft.functions.VectorMean(col(vecCol)).as("cvec"))
       val next = centroids.select(col("cell_id"),
           col("cvec").as("__old"))
         .join(means.withColumnRenamed("cvec", "__new")

@@ -49,6 +49,36 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("CharShingleCount == size(array_distinct(transform(substr))) form") {
+    val texts = Seq.fill(200)(randText()) ++
+      Seq("", "ab", "aaaa", "déjà vu déjà", "日本語のテキストです")
+    val df = texts.toDF("t")
+    for (n <- Seq(2, 5)) {
+      val composable = size(array_distinct(transform(
+        sequence(lit(0), greatest(length($"t") - n, lit(0))),
+        i => $"t".substr(i + 1, lit(n)))))
+      val diff = df.select(
+          TextHashes.charShingleCount($"t", n).as("nat"),
+          composable.as("sql"))
+        .filter($"nat" =!= $"sql").count()
+      assert(diff === 0, s"n=$n")
+    }
+  }
+
+  test("VectorMean == posexplode/avg-per-position form") {
+    val vecs = Seq.tabulate(50)(i =>
+      (i % 3).toLong -> Array.fill(8)(rnd.nextFloat()))
+    val df = vecs.toDF("k", "v")
+    val nat = df.groupBy($"k").agg(VectorMean($"v").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val model = vecs.groupBy(_._1).map { case (k, xs) =>
+      k -> (0 until 8).map(p =>
+        (xs.map(_._2(p).toDouble).sum / xs.size).toFloat)
+    }
+    for ((k, m) <- model; p <- 0 until 8)
+      assert(math.abs(nat(k)(p) - m(p)) < 1e-6f, s"k=$k p=$p")
+  }
+
   test("CosineSim == zip_with/aggregate form (bit-identical)") {
     val vecs = Seq.fill(100)((
       Array.fill(16)(rnd.nextFloat() * 2 - 1),
