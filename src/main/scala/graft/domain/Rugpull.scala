@@ -58,9 +58,12 @@ object Rugpull {
     // The surrogate signature stays blockTime-txIdx-1 (reference
     // behavior, which tolerates signature collisions) but grouping keys
     // include __block_id.
+    // xxhash64 hashes the parsed struct natively — no to_json
+    // serialization of multi-MB blocks, which would run once per plan
+    // branch on the hot path.
     val txs = blocks
       .withColumn("__block_id", xxhash64(col("result.blockTime"),
-        to_json(col("result.transactions"))))
+        col("result.transactions")))
       .select(
         col("__block_id"),
         col("result.blockTime").as("timestamp"),

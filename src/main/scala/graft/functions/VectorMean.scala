@@ -15,40 +15,46 @@ import org.apache.spark.sql.functions.udaf
   * cross the wire. Buffer lives as an object inside Spark's typed-
   * imperative aggregation; it is serialized only on spill/shuffle.
   */
-class VectorMean extends Aggregator[Seq[Float], (Array[Double], Long),
+class VectorMean extends Aggregator[Seq[Float], (Array[Double], Array[Long]),
     Seq[Float]] {
 
-  override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+  override def zero: (Array[Double], Array[Long]) =
+    (Array.empty[Double], Array.empty[Long])
 
-  override def reduce(b: (Array[Double], Long), a: Seq[Float])
-      : (Array[Double], Long) = {
+  // Per-POSITION contributor counts, so ragged inputs average each
+  // position over exactly the vectors that have it (the posexplode/avg
+  // semantics) and the result is independent of partition merge order.
+  private def grow(b: (Array[Double], Array[Long]), n: Int)
+      : (Array[Double], Array[Long]) =
+    if (b._1.length >= n) b
+    else (java.util.Arrays.copyOf(b._1, n), java.util.Arrays.copyOf(b._2, n))
+
+  override def reduce(b: (Array[Double], Array[Long]), a: Seq[Float])
+      : (Array[Double], Array[Long]) = {
     if (a == null) b
     else {
-      val acc = if (b._1.length > 0) b._1 else new Array[Double](a.length)
-      val m = math.min(acc.length, a.length)
+      val g = grow(b, a.length)
       var i = 0
-      while (i < m) { acc(i) += a(i); i += 1 }
-      (acc, b._2 + 1)
+      while (i < a.length) { g._1(i) += a(i); g._2(i) += 1; i += 1 }
+      g
     }
   }
 
-  override def merge(x: (Array[Double], Long), y: (Array[Double], Long))
-      : (Array[Double], Long) = {
-    if (x._2 == 0) y
-    else if (y._2 == 0) x
-    else {
-      val m = math.min(x._1.length, y._1.length)
-      var i = 0
-      while (i < m) { x._1(i) += y._1(i); i += 1 }
-      (x._1, x._2 + y._2)
-    }
+  override def merge(x: (Array[Double], Array[Long]),
+                     y: (Array[Double], Array[Long]))
+      : (Array[Double], Array[Long]) = {
+    val g = grow(x, y._1.length)
+    var i = 0
+    while (i < y._1.length) { g._1(i) += y._1(i); g._2(i) += y._2(i); i += 1 }
+    g
   }
 
-  override def finish(b: (Array[Double], Long)): Seq[Float] =
-    if (b._2 == 0L) null
-    else b._1.map(v => (v / b._2).toFloat).toSeq
+  override def finish(b: (Array[Double], Array[Long])): Seq[Float] =
+    if (b._1.length == 0) null
+    else b._1.indices.map(i =>
+      if (b._2(i) == 0) 0f else (b._1(i) / b._2(i)).toFloat)
 
-  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+  override def bufferEncoder: Encoder[(Array[Double], Array[Long])] =
     ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Float]] = ExpressionEncoder()
 }

@@ -23,11 +23,16 @@ object Registry {
 
   /** Set-union upsert (O8/O36): union of current and updates with
     * LAST-writer-wins per key (updates beat current; within updates, the
-    * greatest `ord` wins). Idempotent like SADD/HSET. */
+    * greatest `ord` wins). Idempotent like SADD/HSET. Schema drift is
+    * tolerated (allowMissingColumns): a snapshot written by an older
+    * producer gains NULLs for new payload columns instead of failing the
+    * stream on its first post-upgrade batch — the O31 tolerance rule
+    * applied to the registry itself. */
   def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String],
              ord: String): DataFrame = {
     val u = current.withColumn("__gen", lit(0))
-      .unionByName(updates.withColumn("__gen", lit(1)))
+      .unionByName(updates.withColumn("__gen", lit(1)),
+        allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__gen").desc, col(ord).desc)
     u.withColumn("__rn", row_number().over(w))
@@ -42,30 +47,36 @@ object Registry {
   def snapshotUpserter(path: String, keys: Seq[String], ord: String)
       : (DataFrame, Long) => Unit = { (batch, _) =>
     val spark = batch.sparkSession
-    // Only a MISSING snapshot means "first batch". Any other read
-    // failure (corrupt files, transient FS errors) must propagate —
-    // swallowing it would silently reset the registry to this batch,
-    // losing every previously upserted key.
-    val merged = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        upsert(spark.read.parquet(path), batch, keys, ord)
-      else batch
-    }
-    // write-then-swap: parquet overwrite is not atomic mid-job, so stage
-    // to a sibling dir and rename (single-FS rename is atomic enough for
-    // the local/dev case; production would use a table format's commit)
-    val staged = path + ".staged"
-    merged.write.mode(SaveMode.Overwrite).parquet(staged)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val src = new org.apache.hadoop.fs.Path(staged)
     val dst = new org.apache.hadoop.fs.Path(path)
-    // The staged dir is complete at this point, so a crash between delete
-    // and rename can always be recovered from .staged; what must NOT
-    // happen is a silently ignored failed rename — the next batch would
-    // see no snapshot and reset the registry to itself.
+    val staged = path + ".staged"
+    val src = new org.apache.hadoop.fs.Path(staged)
+    // Current state: the snapshot, or — after a crash between delete and
+    // rename — the completed staged dir (it is always fully written
+    // before the snapshot is touched, so reading it back recovers every
+    // previously upserted key). Only when NEITHER exists is this truly
+    // the first batch. Any other read failure (corrupt files, transient
+    // FS errors) must propagate — swallowing it would silently reset the
+    // registry to this batch.
+    val merged =
+      if (fs.exists(dst)) upsert(spark.read.parquet(path), batch, keys, ord)
+      else if (fs.exists(src))
+        upsert(spark.read.parquet(staged), batch, keys, ord)
+      else batch
+    // write-then-swap: parquet overwrite is not atomic mid-job, so stage
+    // to a sibling dir and rename (single-FS rename is atomic enough for
+    // the local/dev case; production would use a table format's commit).
+    // Order of failure windows: staged write fails → snapshot untouched;
+    // crash after delete → staged recovers (above); rename fails → throw
+    // loudly, staged intact.
+    val tmp = path + ".writing"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(src, true)
+    if (!fs.rename(tmpPath, src))
+      throw new java.io.IOException(
+        s"registry stage rename failed: $tmp -> $staged")
     fs.delete(dst, true)
     if (!fs.rename(src, dst))
       throw new java.io.IOException(

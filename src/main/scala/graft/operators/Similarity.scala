@@ -132,8 +132,13 @@ object Similarity {
     */
   def blockedSelfJoin(df: DataFrame, blockCol: String, idCol: String,
                       vecCol: String, chunks: Int): DataFrame = {
+    // null ids are dropped up front — the naive form's id_a < id_b
+    // comparison silently excludes them, and without this filter a null
+    // id would slip through cross-chunk tasks as a spurious (x, x) pair
+    // after least/greatest
     val base = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
         col(vecCol).as("__vec"))
+      .filter(col("__id").isNotNull)
       .withColumn("__c", pmod(xxhash64(col("__id")), lit(chunks)).cast("int"))
     val left = base
       .withColumn("__j", explode(sequence(col("__c"), lit(chunks - 1))))

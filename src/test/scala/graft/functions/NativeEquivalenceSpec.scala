@@ -79,6 +79,19 @@ class NativeEquivalenceSpec extends SparkSpec {
       assert(math.abs(nat(k)(p) - m(p)) < 1e-6f, s"k=$k p=$p")
   }
 
+  test("VectorMean: ragged vectors average per position over contributors") {
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f)),
+      (1L, Array(3.0f, 3.0f, 3.0f)),
+      (1L, Array.empty[Float]))
+      .toDF("k", "v")
+      // partition per row: the result must not depend on merge order
+      .repartition(3)
+    val r = df.groupBy($"k").agg(VectorMean($"v").as("m"))
+      .collect()(0).getSeq[Float](1)
+    assert(r.toSeq === Seq(2.0f, 2.0f, 3.0f))
+  }
+
   test("CosineSim == zip_with/aggregate form (bit-identical)") {
     val vecs = Seq.fill(100)((
       Array.fill(16)(rnd.nextFloat() * 2 - 1),
