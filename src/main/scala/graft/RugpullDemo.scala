@@ -72,16 +72,20 @@ object RugpullDemo {
     val prices = Seq(("POOL_VAULT_A", "base", 0.031),
       ("POOL_VAULT_Q", "quote", 1.0)).toDF("vault", "side", "price_usd")
 
-    println("=== batch token-flow ledger ===")
+    println("=== batch token-flow ledger (with exact decimal amounts) ===")
     val blocks = Rugpull.parseBlocks(spark, dir.toString)
-    Rugpull.tokenFlows(blocks, hot, watchlists, prices)
+    Rugpull.withDecimalBalances(
+        Rugpull.tokenFlows(blocks, hot, watchlists, prices))
       .orderBy($"signature", $"wallet", $"mint")
       .show(20, truncate = false)
 
-    println("=== detected pool-creation txs ===")
-    Rugpull.detectPools(blocks,
-        Map("RAY_AMM" -> Seq("Initialize2", "InitializeInstruction2")))
-      .show(5, truncate = false)
+    println("=== detected pools -> resolved payload -> watch-lists ===")
+    val pools = Rugpull.detectPools(blocks,
+      Map("RAY_AMM" -> Seq("Initialize2", "InitializeInstruction2")))
+    val payload = Rugpull.stubResolver(pools)
+    payload.show(5, truncate = false)
+    Rugpull.registryToWatchlists(payload).orderBy($"kind", $"addr")
+      .show(10, truncate = false)
 
     println("=== streaming ledger (per micro-batch) ===")
     val q = Streams.tokenFlowsStream(spark, dir.toString, hot, watchlists,

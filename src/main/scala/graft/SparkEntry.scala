@@ -636,6 +636,35 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // Int8 symmetric quantization of the embedding corpus — the 4×-
+    // smaller storage path for a 100 TB vector store — with its error
+    // measured against the exact vectors. Quantizer is floor(x·127/
+    // max_abs + 0.5): plain IEEE ops, so the DuckDB oracle reproduces
+    // every quantized value bit-for-bit.
+    "q51_embed_quantize" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("exact",
+          transform($"embedding", x => x.cast("double")))
+        .withColumn("max_abs",
+          array_max(transform($"exact", x => abs(x))))
+        .filter($"max_abs" > 0)
+      val withQ = emb
+        .withColumn("qvec", transform($"exact", x =>
+          floor(x * 127.0 / $"max_abs" + 0.5)))
+        .withColumn("deq", transform($"qvec", x =>
+          x * $"max_abs" / 127.0))
+      val scored = withQ.select($"label",
+        (aggregate(zip_with($"exact", $"deq",
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v)
+          / size($"exact")).as("mse"),
+        Similarity.cosine($"exact", $"deq").as("cs"))
+      scored.groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          Fns.roundU(avg($"mse") * 1e6, 4).as("avg_mse_ppm"),
+          Fns.roundU(avg($"cs"), 6).as("avg_cos"))
+        .orderBy($"label")
+    }),
+
     // Exact p25/p50/p75 per group via the same multi-level histogram
     // (type-1 nearest-rank), each quantile narrowing its own range.
     "q50_quantiles" -> ((s, d) => {
@@ -1192,6 +1221,30 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT l_returnflag, 'tax', tax FROM wide)
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q51_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT label,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS exact,
+        |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding])
+        |      AS max_abs
+        |  FROM embeddings),
+        |dq AS (
+        |  SELECT label, exact, max_abs,
+        |    [floor(x * 127.0 / max_abs + 0.5) * max_abs / 127.0
+        |      for x in exact] AS deq
+        |  FROM q WHERE max_abs > 0),
+        |m AS (
+        |  SELECT label,
+        |    list_sum([pow(exact[i] - deq[i], 2)
+        |      for i in range(1, len(exact) + 1)]) / len(exact) AS mse,
+        |    list_cosine_similarity(exact, deq) AS cs
+        |  FROM dq)
+        |SELECT label, count(*) AS n,
+        |  floor((avg(mse) * 1000000.0) * 10000 + 0.5) / 10000.0
+        |    AS avg_mse_ppm,
+        |  floor((avg(cs)) * 1000000 + 0.5) / 1000000.0 AS avg_cos
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "q50_quantiles" ->
       """WITH ranked AS (

@@ -53,6 +53,32 @@ object Dedup {
         xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))
           .as("bkey")))
 
+  /** Pick (bands, rowsPerBand) for a target Jaccard threshold: an LSH
+    * banding (b, r) has its S-curve inflection at t ≈ (1/b)^(1/r) —
+    * pairs above t are likely candidates, below likely not. Given the
+    * signature length k, choose the divisor split whose inflection sits
+    * closest to the requested threshold (low thresholds → many short
+    * bands for recall; high thresholds → few long bands for precision).
+    * This is how the banding parameters should scale with the corpus's
+    * duplication profile instead of being hand-picked per job. */
+  def lshParams(k: Int, threshold: Double): (Int, Int) = {
+    require(k > 0 && threshold > 0 && threshold < 1)
+    val bands = (1 to k).filter(k % _ == 0).minBy { b =>
+      val r = k / b
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+    (bands, k / bands)
+  }
+
+  /** [[minHashCandidates]] with banding auto-tuned for a target Jaccard
+    * threshold via [[lshParams]]. */
+  def minHashCandidatesAt(df: DataFrame, textCol: String, idCol: String,
+                          threshold: Double, shingleWords: Int = 3,
+                          k: Int = 32, maxBucket: Int = 64): DataFrame = {
+    val (bands, _) = lshParams(k, threshold)
+    minHashCandidates(df, textCol, idCol, shingleWords, k, bands, maxBucket)
+  }
+
   /** Candidate near-dup pairs via MinHash LSH. Returns (id_a, id_b,
     * est_jaccard) with id_a < id_b, est_jaccard = fraction of agreeing
     * signature positions. One shuffle on the band key; bucket joins are

@@ -279,6 +279,20 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       chunkSizes.mkString(","))
   }
 
+  test("Dedup.lshParams: inflection tracks the threshold monotonically") {
+    // low threshold → more/shorter bands (recall); high → fewer/longer
+    val (bLow, rLow) = Dedup.lshParams(32, 0.2)
+    val (bMid, rMid) = Dedup.lshParams(32, 0.6)
+    val (bHigh, rHigh) = Dedup.lshParams(32, 0.95)
+    assert(bLow >= bMid && bMid >= bHigh)
+    assert(rLow <= rMid && rMid <= rHigh)
+    assert(bLow * rLow === 32 && bMid * rMid === 32 && bHigh * rHigh === 32)
+    // the chosen split's inflection is the closest among divisors
+    val (b, r) = Dedup.lshParams(32, 0.6)
+    val t = math.pow(1.0 / b, 1.0 / r)
+    assert(math.abs(t - 0.6) < 0.25, s"inflection $t for (b=$b, r=$r)")
+  }
+
   test("Percentiles.exactQuantiles matches sort-based nearest-rank") {
     val rng = new scala.util.Random(13)
     val data = (1 to 333).map(_ => ("g1", rng.nextDouble() * 100)) ++
