@@ -79,6 +79,36 @@ class PlanShapeSpec extends SparkSpec {
       wins.map(_.child.schema.fieldNames.mkString(",")).mkString(" | "))
   }
 
+  test("q35 near-dup: join keys carry the chunk pair (skew-distributed)") {
+    val p = plan("q35_embed_neardup")
+    // at sf0.001 the tiny side broadcasts; at scale the same 3-part key
+    // hash-partitions. Either way the KEY must be (block, chunk_i,
+    // chunk_j) — the property that spreads a hot block over chunk-pair
+    // tasks instead of one reducer on the bare block key.
+    val keys =
+      collectAll(p) { case j: SortMergeJoinExec => j.leftKeys } ++
+      collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.leftKeys
+      } ++
+      collectAll(p) { case j: BroadcastHashJoinExec => j.leftKeys }
+    assert(keys.nonEmpty, s"expected an equi self-join:\n$p")
+    assert(keys.exists(_.length >= 3), keys.map(_.length).mkString(","))
+  }
+
+  test("q49 CDC apply: hash-aggregated winner, no window sort") {
+    val p = plan("q49_cdc_apply")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, s"MERGE must not window-sort changes:\n$p")
+  }
+
+  test("q50 quantiles: windows only over histogram aggregates") {
+    val wins = collectAll(plan("q50_quantiles")) { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.child.schema.fieldNames.contains("__c")),
+      wins.map(_.child.schema.fieldNames.mkString(",")).mkString(" | "))
+  }
+
   test("q26 ANN: corpus scan reads only id + vector columns") {
     val scans = collectAll(plan("q26_embed_topk")) {
       case f: FileSourceScanExec => f

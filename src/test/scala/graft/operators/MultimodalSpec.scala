@@ -54,4 +54,25 @@ class MultimodalSpec extends SparkSpec {
     assert(v.length === 8)
     assert(v.forall(x => x >= -1.0f && x <= 1.0f))
   }
+
+  test("decode → feature-extract → ANN composes end-to-end") {
+    // the full multimodal retrieval pipeline shape: opaque payloads →
+    // per-row features (stubbed model) → exact top-k search. Everything
+    // but the feature fake is the real 100 TB plumbing; swapping the
+    // codec swaps nothing else.
+    val corpus = (1L to 40L).map(i => (i, s"payload number $i body"))
+      .toDF("id", "txt")
+      .withColumn("payload", Multimodal.toPayload($"txt"))
+      .withColumn("vec", Multimodal.fakeFeatures($"payload", 8))
+    val queries = corpus.filter($"id" <= 2)
+    val top = Similarity.bruteForceTopK(corpus, "id", "vec",
+      queries, "id", "vec", k = 3)
+    val rows = top.collect()
+    assert(rows.length === 6) // 2 queries × top-3
+    // identical payload ⇒ identical features ⇒ every neighbor's sim ≤ 1
+    // and the ranking is deterministic across runs
+    val again = Similarity.bruteForceTopK(corpus, "id", "vec",
+      queries, "id", "vec", k = 3).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
