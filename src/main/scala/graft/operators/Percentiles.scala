@@ -101,10 +101,15 @@ object Percentiles {
       .select(col("__g"), col("__q"), col("__v"))
   }
 
+  // The (group, value) working set is read levels+2 times (stats, each
+  // histogram level, resolve) — persist it like any multi-pass algorithm
+  // (k-means does the same): a 2-column columnar cache, spilling to disk
+  // when it doesn't fit, beats re-decoding the source parquet per pass.
   private def cleanRows(df: DataFrame, grpCol: String, valCol: String)
       : DataFrame =
     df.select(col(grpCol).as("__g"), col(valCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def groupStats(rows: DataFrame): DataFrame =
     rows.groupBy(col("__g")).agg(
