@@ -282,10 +282,12 @@ object SparkEntry {
     // engine-specific). est_jaccard = signature agreement fraction.
     "q23_dedup_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // candidates via banded MinHash (r=2), then exact-Jaccard verify of
-      // the top candidates — the full near-dup pipeline shape.
-      val cands = Dedup.minHashCandidates(docs, "text", "doc_id",
-          shingleWords = 3, k = 32, bands = 8)
+      // candidates via threshold-tuned banded MinHash (lshParams picks
+      // (bands=8, rows=4) for t=0.6: inflection (1/8)^(1/4) ≈ 0.59),
+      // then exact-Jaccard verify of the top candidates — the full
+      // near-dup pipeline shape.
+      val cands = Dedup.minHashCandidatesAt(docs, "text", "doc_id",
+          threshold = 0.6, shingleWords = 3, k = 32)
         .orderBy($"est_jaccard".desc, $"id_a", $"id_b")
         .limit(200)
       Dedup.exactJaccard(docs, "text", "doc_id", cands, shingleWords = 3)
