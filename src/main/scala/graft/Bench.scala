@@ -19,11 +19,19 @@ object Bench {
     // Sink via the noop data source: every projection/expression executes
     // (a bare count() lets Catalyst prune unused deterministic projections,
     // so projection-heavy queries would never run their hot loops).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Best-of-2 per query: the min strips JIT/page-cache cold-start noise
+    // (single-run numbers on this box swing ±30%) and approximates the
+    // plan's steady-state cost, which is what matters for comparisons.
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(once(name, fn), once(name, fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
