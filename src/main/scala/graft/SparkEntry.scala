@@ -638,6 +638,26 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // Duplicate-CLUSTER resolution — the final step of corpus dedup:
+    // exact-verified near-dup pairs (rare-shingle candidates, Jaccard ≥
+    // 0.5) → connected components (iterative min-label propagation) →
+    // one canonical survivor per cluster. Deterministic end to end, so
+    // the oracle rebuilds the same graph and walks it with a recursive
+    // CTE.
+    "q52_dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.rareShinglePairs(docs, "text", "doc_id",
+        shingleWords = 3, maxDf = 10)
+      val near = Dedup.exactJaccard(docs, "text", "doc_id", cands,
+          shingleWords = 3)
+        .filter($"jaccard" >= 0.5)
+        .select($"id_a", $"id_b")
+      Dedup.dupClusters(near, "id_a", "id_b")
+        .groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_docs"), min($"node").as("keep_id"))
+        .orderBy($"cluster_id")
+    }),
+
     // Int8 symmetric quantization of the embedding corpus — the 4×-
     // smaller storage path for a 100 TB vector store — with its error
     // measured against the exact vectors. Quantizer is floor(x·127/
@@ -1223,6 +1243,50 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT l_returnflag, 'tax', tax FROM wide)
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // Same graph, same labels: candidates by rare-shingle co-occurrence,
+    // exact-Jaccard edge filter, then reachability min-label via a
+    // recursive CTE.
+    "q52_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+        |  FROM toks),
+        |sh AS (SELECT doc_id, unnest(gs) AS g FROM shl),
+        |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 10),
+        |cand AS (
+        |  SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+        |  FROM sh sa JOIN rare USING (g) JOIN sh sb USING (g)
+        |  WHERE sb.doc_id > sa.doc_id),
+        |inter AS (
+        |  SELECT p.id_a, p.id_b, count(*) AS ni FROM cand p
+        |  JOIN sh sa ON sa.doc_id = p.id_a
+        |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.g = sa.g
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+        |near AS (
+        |  SELECT p.id_a, p.id_b FROM cand p
+        |  JOIN inter USING (id_a, id_b)
+        |  JOIN sizes za ON za.doc_id = p.id_a
+        |  JOIN sizes zb ON zb.doc_id = p.id_b
+        |  WHERE CAST(ni AS DOUBLE) / (za.ns + zb.ns - ni) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM near
+        |  UNION SELECT id_b, id_a FROM near),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |cc AS (
+        |  SELECT node, node AS label FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, c.label
+        |  FROM cc c JOIN edges e ON e.src = c.node),
+        |labeled AS (SELECT node, min(label) AS cluster_id FROM cc
+        |  GROUP BY node)
+        |SELECT cluster_id, count(*) AS n_docs,
+        |  min(node) AS keep_id
+        |FROM labeled GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q51_embed_quantize" ->
       """WITH q AS (

@@ -130,6 +130,78 @@ object Dedup {
           (x, y) => x === y), p => p)).cast("double") / k).as("est_jaccard"))
   }
 
+  /** Deterministic near-dup candidate pairs by RARE-shingle co-occurrence:
+    * pairs sharing at least one shingle with document frequency ≤ `maxDf`.
+    * Complete for any Jaccard threshold worth verifying — a high-overlap
+    * pair shares most of its shingles, and near-dup CLUSTERS are small, so
+    * their shared shingles are rare; frequent (stop) shingles carry no
+    * dedup signal and capping them keeps the self-join linear. Unlike
+    * MinHash banding this is exact (no hash family), so the output is
+    * reproducible in plain SQL — the oracle-able candidate generator.
+    */
+  def rareShinglePairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleWords: Int = 3, maxDf: Int = 10): DataFrame = {
+    val sh = df.select(col(idCol).as("__rid"),
+      explode(wordShingles(col(textCol), shingleWords)).as("__rg"))
+    val rare = sh.groupBy(col("__rg"))
+      .agg(count(lit(1)).as("__rdf")).filter(col("__rdf") <= maxDf)
+      .select(col("__rg"))
+    val r = sh.join(rare, Seq("__rg"))
+    r.select(col("__rg"), col("__rid").as("id_a"))
+      .join(r.select(col("__rg"), col("__rid").as("id_b")), Seq("__rg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Duplicate-CLUSTER resolution: connected components over a near-dup
+    * pair graph — the final step of corpus dedup (pairs alone don't say
+    * which docs to drop; the canonical survivor is per component). Returns
+    * (node, cluster_id) with cluster_id = the component's minimum id.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * label among itself and its neighbors (one join + hash aggregate),
+    * until a round changes nothing. Rounds = graph diameter — near-dup
+    * components are near-cliques (diameter 2-3), so this converges in a
+    * handful of distributed passes with no driver-side graph state; each
+    * round's labels are persisted and the loop's only driver traffic is
+    * the changed-row count. (For adversarial long-chain graphs the
+    * log-round star-contraction variant would replace the loop body; the
+    * join+agg round shape is the same.)
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("src"),
+          col("label").as("__nl")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("__nl")).as("__nmin"))
+      val next = labels
+        .join(neighborMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__nmin"), col("label")))
+            .as("label"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.select(col("node"), col("label").as("__old")),
+          Seq("node"))
+        .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
   /** Exact Jaccard similarity between the word-shingle sets of given id
     * pairs (verification step after LSH candidate generation). `pairs`
     * must have columns id_a, id_b. */

@@ -279,6 +279,20 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       chunkSizes.mkString(","))
   }
 
+  test("Dedup.dupClusters: components via multi-round label propagation") {
+    // chain 1-2-3-4-5 (diameter 4 → several propagation rounds), star
+    // 10-{11,12,13}, isolated pair (20,21)
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (12L, 10L), (10L, 13L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L))
+    assert(got(20L) === 20L && got(21L) === 20L)
+    assert(got.size === 11)
+  }
+
   test("Dedup.lshParams: inflection tracks the threshold monotonically") {
     // low threshold → more/shorter bands (recall); high → fewer/longer
     val (bLow, rLow) = Dedup.lshParams(32, 0.2)
