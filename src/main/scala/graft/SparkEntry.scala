@@ -652,9 +652,11 @@ object SparkEntry {
           shingleWords = 3)
         .filter($"jaccard" >= 0.5)
         .select($"id_a", $"id_b")
+      // cluster_id doubles as the canonical survivor: it IS the
+      // component's minimum doc id
       Dedup.dupClusters(near, "id_a", "id_b")
         .groupBy($"cluster_id")
-        .agg(count(lit(1)).as("n_docs"), min($"node").as("keep_id"))
+        .agg(count(lit(1)).as("n_docs"))
         .orderBy($"cluster_id")
     }),
 
@@ -1272,7 +1274,8 @@ object SparkEntry {
         |  JOIN inter USING (id_a, id_b)
         |  JOIN sizes za ON za.doc_id = p.id_a
         |  JOIN sizes zb ON zb.doc_id = p.id_b
-        |  WHERE CAST(ni AS DOUBLE) / (za.ns + zb.ns - ni) >= 0.5),
+        |  WHERE floor((CAST(ni AS DOUBLE) / (za.ns + zb.ns - ni))
+        |    * 10000 + 0.5) / 10000.0 >= 0.5),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM near
         |  UNION SELECT id_b, id_a FROM near),
@@ -1284,8 +1287,7 @@ object SparkEntry {
         |  FROM cc c JOIN edges e ON e.src = c.node),
         |labeled AS (SELECT node, min(label) AS cluster_id FROM cc
         |  GROUP BY node)
-        |SELECT cluster_id, count(*) AS n_docs,
-        |  min(node) AS keep_id
+        |SELECT cluster_id, count(*) AS n_docs
         |FROM labeled GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q51_embed_quantize" ->

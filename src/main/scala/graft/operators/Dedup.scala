@@ -132,12 +132,18 @@ object Dedup {
 
   /** Deterministic near-dup candidate pairs by RARE-shingle co-occurrence:
     * pairs sharing at least one shingle with document frequency ≤ `maxDf`.
-    * Complete for any Jaccard threshold worth verifying — a high-overlap
-    * pair shares most of its shingles, and near-dup CLUSTERS are small, so
-    * their shared shingles are rare; frequent (stop) shingles carry no
-    * dedup signal and capping them keeps the self-join linear. Unlike
-    * MinHash banding this is exact (no hash family), so the output is
-    * reproducible in plain SQL — the oracle-able candidate generator.
+    * Unlike MinHash banding this is exact (no hash family), so the output
+    * is reproducible in plain SQL — the oracle-able candidate generator.
+    *
+    * Recall contract: COMPLETE only for pairs whose shared shingles
+    * include one with df ≤ maxDf — i.e. duplicate clusters of at most
+    * ~maxDf members. A boilerplate document copied more than maxDf times
+    * shares ONLY high-df shingles and produces no candidates; collapse
+    * exact duplicates first ([[exactGroups]], keeping one representative
+    * per digest) so surviving near-dup clusters are small, or raise
+    * maxDf at the cost of a heavier self-join. Frequent (stop) shingles
+    * carry no pair signal either way — capping them is what keeps the
+    * self-join linear.
     */
   def rareShinglePairs(df: DataFrame, textCol: String, idCol: String,
                        shingleWords: Int = 3, maxDf: Int = 10): DataFrame = {
@@ -199,6 +205,11 @@ object Dedup {
       labels = next
       converged = changed == 0
     }
+    // the result cache is already materialized (the convergence count ran
+    // over it); edges are only lineage now — recomputable if the result
+    // is ever evicted — so release them. The returned DataFrame itself
+    // stays persisted: callers done with it may .unpersist().
+    edges.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 

@@ -102,14 +102,17 @@ object Percentiles {
   }
 
   // The (group, value) working set is read levels+2 times (stats, each
-  // histogram level, resolve) — persist it like any multi-pass algorithm
-  // (k-means does the same): a 2-column columnar cache, spilling to disk
-  // when it doesn't fit, beats re-decoding the source parquet per pass.
+  // histogram level, resolve). Deliberately NOT persisted here: an
+  // operator-internal cache has no unpersist point (the returned plan
+  // still needs it), leaks across invocations, and lets the CacheManager
+  // silently share state between queries with the same projection —
+  // misleading any benchmark. Callers doing repeated percentile work
+  // over one input should persist that input at the call site, where
+  // the lifecycle is theirs.
   private def cleanRows(df: DataFrame, grpCol: String, valCol: String)
       : DataFrame =
     df.select(col(grpCol).as("__g"), col(valCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def groupStats(rows: DataFrame): DataFrame =
     rows.groupBy(col("__g")).agg(
