@@ -44,32 +44,44 @@ object Registry {
     * the foreachBatch upsert pattern (O8/O10): read current snapshot,
     * merge the micro-batch with [[upsert]], atomically replace. Callers
     * pass this to `writeStream.foreachBatch`. */
-  def snapshotUpserter(path: String, keys: Seq[String], ord: String)
+  /** Streaming MERGE: maintain a keyed parquet snapshot from a stream of
+    * CDC change batches (upserts AND deletes) — [[Merge.applyChanges]]
+    * per micro-batch with the same crash-safe write-stage-swap as
+    * [[snapshotUpserter]]. The streaming-lakehouse apply loop, minus the
+    * table format. */
+  def snapshotApplier(path: String, keys: Seq[String],
+                      valueCols: Seq[String], opCol: String, ord: String)
       : (DataFrame, Long) => Unit = { (batch, _) =>
-    val spark = batch.sparkSession
+    swapSnapshot(path, batch.sparkSession) { current =>
+      current match {
+        case Some(t) => Merge.applyChanges(t, batch, keys, valueCols,
+          opCol, ord)
+        case None =>
+          // first batch: apply against an empty target of the same shape
+          val empty = batch.select(
+            (keys.map(col) ++ valueCols.map(col)): _*).limit(0)
+          Merge.applyChanges(empty, batch, keys, valueCols, opCol, ord)
+      }
+    }
+  }
+
+  /** Read-modify-swap of a parquet snapshot: hand the current state (None
+    * on true first run; recovered from .staged after a crash between
+    * delete and rename) to `f`, stage the result, atomically promote.
+    * Shared by [[snapshotUpserter]] and [[snapshotApplier]]. */
+  private def swapSnapshot(path: String,
+                           spark: org.apache.spark.sql.SparkSession)
+                          (f: Option[DataFrame] => DataFrame): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val staged = path + ".staged"
     val src = new org.apache.hadoop.fs.Path(staged)
-    // Current state: the snapshot, or — after a crash between delete and
-    // rename — the completed staged dir (it is always fully written
-    // before the snapshot is touched, so reading it back recovers every
-    // previously upserted key). Only when NEITHER exists is this truly
-    // the first batch. Any other read failure (corrupt files, transient
-    // FS errors) must propagate — swallowing it would silently reset the
-    // registry to this batch.
-    val merged =
-      if (fs.exists(dst)) upsert(spark.read.parquet(path), batch, keys, ord)
-      else if (fs.exists(src))
-        upsert(spark.read.parquet(staged), batch, keys, ord)
-      else batch
-    // write-then-swap: parquet overwrite is not atomic mid-job, so stage
-    // to a sibling dir and rename (single-FS rename is atomic enough for
-    // the local/dev case; production would use a table format's commit).
-    // Order of failure windows: staged write fails → snapshot untouched;
-    // crash after delete → staged recovers (above); rename fails → throw
-    // loudly, staged intact.
+    val current =
+      if (fs.exists(dst)) Some(spark.read.parquet(path))
+      else if (fs.exists(src)) Some(spark.read.parquet(staged))
+      else None
+    val merged = f(current)
     val tmp = path + ".writing"
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -82,5 +94,18 @@ object Registry {
       throw new java.io.IOException(
         s"registry snapshot rename failed: $staged -> $path " +
           "(previous snapshot deleted; staged data intact)")
+  }
+
+  def snapshotUpserter(path: String, keys: Seq[String], ord: String)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    // Current state resolution and the crash-safe write-stage-swap live
+    // in swapSnapshot: the snapshot, or the completed .staged dir after
+    // a crash between delete and rename, or None only on a true first
+    // batch. Any other read failure (corrupt files, transient FS errors)
+    // propagates — swallowing it would silently reset the registry.
+    swapSnapshot(path, batch.sparkSession) {
+      case Some(current) => upsert(current, batch, keys, ord)
+      case None => batch
+    }
   }
 }

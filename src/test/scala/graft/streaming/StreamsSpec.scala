@@ -217,6 +217,56 @@ class StreamsSpec extends SparkSpec {
     assert(ledger(0).getAs[Double]("base_price") === 2.0)
   }
 
+  test("snapshotApplier: streaming MERGE with upserts and deletes") {
+    val changesDir = Files.createTempDirectory("graft-cdc").toFile
+    val snap = Files.createTempDirectory("graft-cdc-snap").toFile
+      .getAbsolutePath + "/t"
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.writeString(changesDir.toPath.resolve(name),
+        lines.mkString("\n"))
+    // batch 1: insert k=1, k=2
+    write("c1.json", Seq(
+      """{"k":1,"v":"a","op":"U","ord":1}""",
+      """{"k":2,"v":"b","op":"U","ord":2}"""))
+    val stream = spark.readStream
+      .schema("k LONG, v STRING, op STRING, ord LONG")
+      .option("maxFilesPerTrigger", 1).json(changesDir.getAbsolutePath)
+    val apply = graft.operators.Registry.snapshotApplier(
+      snap, Seq("k"), Seq("v"), "op", "ord")
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toFile
+      .getAbsolutePath
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        apply(b, id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(snap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "a", 2L -> "b"))
+    // batch 2: update k=1, delete k=2, insert k=3 — applied over the
+    // snapshot maintained from batch 1
+    write("c2.json", Seq(
+      """{"k":1,"v":"a2","op":"U","ord":3}""",
+      """{"k":2,"v":"x","op":"D","ord":4}""",
+      """{"k":3,"v":"c","op":"U","ord":5}"""))
+    // same checkpoint: the restarted stream resumes AFTER c1 and applies
+    // only the new change file
+    val q2 = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        apply(b, id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(snap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "a2", 3L -> "c"))
+  }
+
   test("sessionStats: streaming session windows close via watermark") {
     val dir = Files.createTempDirectory("graft-sess").toFile
     def write(name: String, lines: Seq[String]): Unit =
