@@ -147,8 +147,14 @@ object Dedup {
     */
   def rareShinglePairs(df: DataFrame, textCol: String, idCol: String,
                        shingleWords: Int = 3, maxDf: Int = 10): DataFrame = {
+    // shingles reduce to 64-bit hashes BEFORE any shuffle: the df count,
+    // the rarity join and the pair self-join all move 8-byte keys
+    // instead of shingle strings. A 64-bit collision can only ADD a
+    // candidate pair (the exact-Jaccard verification downstream is the
+    // gate), never drop one, so the verified edge set is unaffected.
     val sh = df.select(col(idCol).as("__rid"),
-      explode(wordShingles(col(textCol), shingleWords)).as("__rg"))
+        explode(wordShingles(col(textCol), shingleWords)).as("__rg0"))
+      .select(col("__rid"), xxhash64(col("__rg0")).as("__rg"))
     val rare = sh.groupBy(col("__rg"))
       .agg(count(lit(1)).as("__rdf")).filter(col("__rdf") <= maxDf)
       .select(col("__rg"))
@@ -177,8 +183,12 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // pairs is typically an EXPENSIVE pipeline (candidate generation +
+    // exact verification); the symmetric-edge union references it twice,
+    // so cache it for the one materialization and drop it at the end
+    val p = pairs.persist(MEMORY_AND_DISK)
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
@@ -206,10 +216,11 @@ object Dedup {
       converged = changed == 0
     }
     // the result cache is already materialized (the convergence count ran
-    // over it); edges are only lineage now — recomputable if the result
-    // is ever evicted — so release them. The returned DataFrame itself
-    // stays persisted: callers done with it may .unpersist().
+    // over it); pairs/edges are only lineage now — recomputable if the
+    // result is ever evicted — so release them. The returned DataFrame
+    // itself stays persisted: callers done with it may .unpersist().
     edges.unpersist()
+    p.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
