@@ -648,6 +648,10 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val cands = Dedup.rareShinglePairs(docs, "text", "doc_id",
         shingleWords = 3, maxDf = 10)
+      // array-form verification: near-dup candidates share MOST of their
+      // shingles, so the count-based variant's intersection join emits
+      // nearly as many narrow rows as the arrays carry — measured slower
+      // here (see exactJaccardCounts scaladoc for when counts win)
       val near = Dedup.exactJaccard(docs, "text", "doc_id", cands,
           shingleWords = 3)
         .filter($"jaccard" >= 0.5)

@@ -224,6 +224,47 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
+  /** [[exactJaccard]] by COUNTS instead of array joins: intersection
+    * sizes come from a narrow (pair × shared-shingle-hash) join-aggregate
+    * and union sizes from per-doc set sizes, so no shingle array ever
+    * shuffles onto the pair set. Shingles compare by xxhash64 (a
+    * collision can only nudge one intersection count by 1 in ~2^-64 of
+    * pairs). Output schema and values match [[exactJaccard]].
+    *
+    * When to prefer which (measured): for NEAR-DUP candidates the pairs
+    * share most of their shingles, so this join emits nearly as many
+    * narrow rows as the arrays carry plus an extra shuffle — the array
+    * form wins (q52: 4.9s vs 10.1s at sf0.1). Counts win when the pair
+    * set is mostly LOW-overlap (e.g. scoring an unfiltered blocking
+    * output where typical intersections are a few shingles) or when
+    * documents are so large that per-pair array attach can't fit the
+    * shuffle comfortably. */
+  def exactJaccardCounts(df: DataFrame, textCol: String, idCol: String,
+                         pairs: DataFrame, shingleWords: Int = 3)
+      : DataFrame = {
+    val sh = df.select(col(idCol).as("__jid"),
+        explode(wordShingles(col(textCol), shingleWords)).as("__jg0"))
+      .select(col("__jid"), xxhash64(col("__jg0")).as("__jg"))
+    val sizes = sh.groupBy(col("__jid")).agg(count(lit(1)).as("__jn"))
+    val ni = pairs
+      .join(sh.select(col("__jid").as("id_a"), col("__jg")), Seq("id_a"))
+      .join(sh.select(col("__jid").as("id_b"), col("__jg")),
+        Seq("id_b", "__jg"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__ni"))
+    pairs
+      .join(ni, Seq("id_a", "id_b"), "left_outer")
+      .join(sizes.select(col("__jid").as("id_a"), col("__jn").as("__na")),
+        Seq("id_a"))
+      .join(sizes.select(col("__jid").as("id_b"), col("__jn").as("__nb")),
+        Seq("id_b"))
+      .withColumn("jaccard", graft.Fns.roundU(
+        coalesce(col("__ni"), lit(0L)).cast("double") /
+          (col("__na") + col("__nb") - coalesce(col("__ni"), lit(0L)))
+            .cast("double"), 4))
+      .drop("__ni", "__na", "__nb")
+  }
+
   /** Exact Jaccard similarity between the word-shingle sets of given id
     * pairs (verification step after LSH candidate generation). `pairs`
     * must have columns id_a, id_b. */

@@ -279,6 +279,26 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       chunkSizes.mkString(","))
   }
 
+  test("Dedup.exactJaccardCounts == array-join exactJaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a lazy dog"),
+      (3L, "completely different text about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val arrayForm = res(Dedup.exactJaccard(docs, "text", "doc_id", pairs, 3))
+    val countForm = res(
+      Dedup.exactJaccardCounts(docs, "text", "doc_id", pairs, 3))
+    assert(arrayForm === countForm)
+    assert(arrayForm((1L, 4L)) === 1.0) // identical docs
+    assert(arrayForm((1L, 3L)) === 0.0) // disjoint
+  }
+
   test("Dedup.dupClusters: components via multi-round label propagation") {
     // chain 1-2-3-4-5 (diameter 4 → several propagation rounds), star
     // 10-{11,12,13}, isolated pair (20,21)
