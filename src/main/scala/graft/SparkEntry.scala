@@ -648,10 +648,13 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val cands = Dedup.rareShinglePairs(docs, "text", "doc_id",
         shingleWords = 3, maxDf = 10)
-      // array-form verification: near-dup candidates share MOST of their
-      // shingles, so the count-based variant's intersection join emits
-      // nearly as many narrow rows as the arrays carry — measured slower
-      // here (see exactJaccardCounts scaladoc for when counts win)
+      // array-form verification directly: this corpus has near-uniform
+      // doc lengths, so the (lossless) sizeCompatiblePairs length filter
+      // prunes almost nothing here and its joins are pure overhead
+      // (measured 8.7s vs 4.9s); on length-varied corpora insert it
+      // between candidates and verification. The count-based Jaccard
+      // variant is likewise slower for near-dup candidates (they share
+      // most shingles — see exactJaccardCounts scaladoc).
       val near = Dedup.exactJaccard(docs, "text", "doc_id", cands,
           shingleWords = 3)
         .filter($"jaccard" >= 0.5)

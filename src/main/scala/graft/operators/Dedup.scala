@@ -265,6 +265,31 @@ object Dedup {
       .drop("__ni", "__na", "__nb")
   }
 
+  /** Length-filter pruning (the classic size bound from the set-
+    * similarity-join literature): Jaccard(A,B) ≤ min(|A|,|B|) /
+    * max(|A|,|B|), so a pair whose shingle-set sizes are too far apart
+    * can never reach `threshold` — drop it BEFORE attaching the arrays.
+    * Provably lossless for a downstream `jaccard ≥ threshold` filter:
+    * only pairs with an upper bound strictly below `threshold` are
+    * removed. Pass the PRE-ROUNDING threshold margin (e.g. 0.4999 for a
+    * rounded-to-4-digits ≥ 0.5 filter) so boundary pairs survive to the
+    * exact computation. Sizes join is two narrow broadcasts/hash joins —
+    * tiny next to the array shuffle it saves. */
+  def sizeCompatiblePairs(df: DataFrame, textCol: String, idCol: String,
+                          pairs: DataFrame, shingleWords: Int,
+                          threshold: Double): DataFrame = {
+    val sizes = df.select(col(idCol).as("__sid"),
+      size(wordShingles(col(textCol), shingleWords)).as("__sn"))
+    pairs
+      .join(sizes.select(col("__sid").as("id_a"), col("__sn").as("__sna")),
+        Seq("id_a"))
+      .join(sizes.select(col("__sid").as("id_b"), col("__sn").as("__snb")),
+        Seq("id_b"))
+      .filter(least(col("__sna"), col("__snb")).cast("double") /
+        greatest(col("__sna"), col("__snb")).cast("double") >= threshold)
+      .drop("__sna", "__snb")
+  }
+
   /** Exact Jaccard similarity between the word-shingle sets of given id
     * pairs (verification step after LSH candidate generation). `pairs`
     * must have columns id_a, id_b. */

@@ -279,6 +279,33 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       chunkSizes.mkString(","))
   }
 
+  test("Dedup.sizeCompatiblePairs: lossless length-filter pruning") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),          // 8 3-gram shingles
+      (2L, "a b c d e f g h i k"),          // same size, high overlap
+      (3L, "a b c"),                        // 1 shingle — size-incompatible
+      (4L, "z y x w v u t s r q"))          // same size, zero overlap
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.sizeCompatiblePairs(docs, "text", "doc_id", pairs,
+        3, 0.4999).select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,3) provably cannot reach 0.5 (1/8 size ratio); (1,4) must
+    // SURVIVE pruning despite zero overlap — the filter may only use
+    // the size bound, never the contents
+    assert(kept === Set((1L, 2L), (1L, 4L)))
+    // end-to-end losslessness: pruned-then-exact equals exact-then-filter
+    val full = Dedup.exactJaccard(docs, "text", "doc_id", pairs, 3)
+      .filter($"jaccard" >= 0.5).select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Dedup.exactJaccard(docs, "text", "doc_id",
+        Dedup.sizeCompatiblePairs(docs, "text", "doc_id", pairs, 3,
+          0.4999), 3)
+      .filter($"jaccard" >= 0.5).select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === pruned)
+  }
+
   test("Dedup.exactJaccardCounts == array-join exactJaccard") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
