@@ -22,21 +22,39 @@ object Bench {
     // Best-of-2 per query: the min strips JIT/page-cache cold-start noise
     // (single-run numbers on this box swing ±30%) and approximates the
     // plan's steady-state cost, which is what matters for comparisons.
+    // A failed query records -1.0 (never its elapsed time): a query that
+    // throws immediately must read as a FAILURE in the JSON, not a
+    // near-zero "speedup". Failed names are also listed under "errors".
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+      } finally {
+        // Queries may persist call-site intermediates with no later
+        // unpersist point (e.g. q52's shingle-set table). Clearing here
+        // (outside the timed region) keeps every run independent: no
+        // cross-query cache accumulation evicting a later query's working
+        // set, and no run-2 reuse of run-1's caches flattering the min.
+        spark.catalog.clearCache()
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
+      val (a, b) = (once(name, fn), once(name, fn))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

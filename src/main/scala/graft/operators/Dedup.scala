@@ -149,9 +149,13 @@ object Dedup {
                        shingleWords: Int = 3, maxDf: Int = 10): DataFrame = {
     // shingles reduce to 64-bit hashes BEFORE any shuffle: the df count,
     // the rarity join and the pair self-join all move 8-byte keys
-    // instead of shingle strings. A 64-bit collision can only ADD a
-    // candidate pair (the exact-Jaccard verification downstream is the
-    // gate), never drop one, so the verified edge set is unaffected.
+    // instead of shingle strings. A collision in the join keys can only
+    // ADD a candidate pair (the exact-Jaccard verification downstream is
+    // the gate). A collision in the df count is the one way a pair can
+    // DROP: two distinct shingles merging inflates the combined df, which
+    // can push a genuinely rare shingle above maxDf — probability
+    // ~2^-64 per shingle pair, accepted; compute df on exact shingle
+    // strings (hashing only the join keys) if even that is unacceptable.
     val sh = df.select(col(idCol).as("__rid"),
         explode(wordShingles(col(textCol), shingleWords)).as("__rg0"))
       .select(col("__rid"), xxhash64(col("__rg0")).as("__rg"))
@@ -194,6 +198,9 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(MEMORY_AND_DISK)
+    // the handle persist() was called on (labels itself may be a
+    // projection over it, which unpersist would not match)
+    var cached = labels
     var converged = false
     while (!converged) {
       val neighborMin = edges
@@ -201,18 +208,21 @@ object Dedup {
           col("label").as("__nl")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("__nl")).as("__nmin"))
+      // the update join already sees old and new label side by side, so
+      // the convergence flag rides along — no separate old-vs-new compare
+      // join per round
       val next = labels
         .join(neighborMin, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("label"), coalesce(col("__nmin"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("__nmin"), col("label")) < col("label"))
+            .as("__chg"))
         .persist(MEMORY_AND_DISK)
-      val changed = next
-        .join(labels.select(col("node"), col("label").as("__old")),
-          Seq("node"))
-        .filter(col("label") =!= col("__old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("__chg")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
     }
     // the result cache is already materialized (the convergence count ran
@@ -306,5 +316,69 @@ object Dedup {
         graft.Fns.roundU(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
       .drop("sh_a", "sh_b")
+  }
+
+  /** Per-doc shingle set reduced to 64-BIT HASHES: (id, sh: array<long>).
+    * The one scan-and-shingle pass for a whole dedup pipeline — candidate
+    * generation ([[rareShinglePairsFromSets]]) and exact verification
+    * ([[jaccardFromSets]]) both derive from it, so a call site that runs
+    * candidates AND verification should compute this ONCE and persist it
+    * (the lifecycle is the caller's, per the no-operator-internal-cache
+    * policy). Hashing up front means no downstream stage ever shuffles a
+    * shingle string: an 8-byte long per shingle instead of ~25 bytes of
+    * text, and long equality instead of string compares in every join and
+    * intersection. Jaccard over the hashed sets differs from the
+    * string-set value only on a 64-bit collision (~2^-64 per shingle
+    * pair — accepted and documented at [[rareShinglePairs]]). */
+  def hashedShingleSets(df: DataFrame, textCol: String, idCol: String,
+                        shingleWords: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(wordShingles(col(textCol), shingleWords),
+        g => xxhash64(g)).as("sh"))
+
+  /** [[rareShinglePairs]] over a precomputed [[hashedShingleSets]] table —
+    * same output (modulo the documented hash-collision cases) in ONE
+    * aggregation instead of three extra shuffles: the df-count, the
+    * rarity join-back and the pair self-join collapse into a capped
+    * collect per shingle ([[graft.functions.CollectCapped]] — state stays
+    * bounded even on a stop-shingle key) followed by a local i<j pair
+    * expansion (at most C(maxDf,2) rows per surviving shingle) and the
+    * pair distinct. Null ids are filtered up front (they can never form
+    * a pair; the join form dropped them via the `<` predicate). */
+  def rareShinglePairsFromSets(sets: DataFrame, maxDf: Int = 10)
+      : DataFrame = {
+    val ids = col("__ids")
+    val pairCombos = flatten(transform(sequence(lit(0), size(ids) - 2),
+      i => transform(sequence(i + 1, size(ids) - 1),
+        j => struct(element_at(ids, i + 1).as("x"),
+          element_at(ids, j + 1).as("y")))))
+    sets.select(explode(col("sh")).as("__rg"), col("id"))
+      .filter(col("id").isNotNull)
+      .groupBy(col("__rg"))
+      .agg(graft.functions.CollectCapped(maxDf)(col("id")).as("__ids"))
+      .filter(ids.isNotNull && size(ids) >= 2)
+      .select(explode(pairCombos).as("__p"))
+      .select(least(col("__p.x"), col("__p.y")).as("id_a"),
+        greatest(col("__p.x"), col("__p.y")).as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for candidate pairs over a precomputed
+    * [[hashedShingleSets]] table. Attaches the long-hash arrays (3-4×
+    * lighter on the wire than the string arrays [[exactJaccard]] ships)
+    * and computes |A∩B| / (|A| + |B| - |A∩B|) — the union size comes from
+    * the set sizes, not an array_union allocation, since the sets are
+    * distinct by construction. Output schema matches [[exactJaccard]]:
+    * pairs' columns + jaccard (rounded half-up to 4). */
+  def jaccardFromSets(sets: DataFrame, pairs: DataFrame): DataFrame = {
+    val ni = size(array_intersect(col("__ja"), col("__jb")))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("__ja")),
+        Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("__jb")),
+        Seq("id_b"))
+      .withColumn("jaccard", graft.Fns.roundU(ni.cast("double") /
+        (size(col("__ja")) + size(col("__jb")) - ni).cast("double"), 4))
+      .drop("__ja", "__jb")
   }
 }

@@ -109,10 +109,17 @@ object Percentiles {
   // misleading any benchmark. Callers doing repeated percentile work
   // over one input should persist that input at the call site, where
   // the lifecycle is theirs.
+  // NULL, NaN AND ±Infinity are all excluded: an infinite value would
+  // make the bucket width infinite, collapsing every level to one bucket
+  // — still correct, but the final rank-select would then scan ALL
+  // distinct values, silently losing the bounded-stage guarantee. Like
+  // NaN, Infinity has no meaningful rank anyway.
   private def cleanRows(df: DataFrame, grpCol: String, valCol: String)
       : DataFrame =
     df.select(col(grpCol).as("__g"), col(valCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__v") =!= Double.PositiveInfinity &&
+        col("__v") =!= Double.NegativeInfinity)
 
   private def groupStats(rows: DataFrame): DataFrame =
     rows.groupBy(col("__g")).agg(

@@ -164,6 +164,45 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(j === 0.5)
   }
 
+  test("CollectCapped keeps complete small groups, nulls out hot keys") {
+    val df = ((1L to 6L).map(v => ("hot", v)) ++
+      Seq(("cold", 10L), ("cold", 11L), ("lone", 7L))).toDF("k", "v")
+      .repartition(4) // force partial/merge paths
+    val out = df.groupBy($"k")
+      .agg(graft.functions.CollectCapped(3)($"v").as("ids"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[Long](1)).map(_.sorted)).toMap
+    assert(out("hot") === None)          // 6 members > cap 3 → NULL
+    assert(out("cold") === Some(Seq(10L, 11L))) // complete, untruncated
+    assert(out("lone") === Some(Seq(7L)))
+  }
+
+  test("set-based candidate gen + verify match the string-based forms") {
+    // 30 docs: one planted near-dup pair sharing rare shingles, the rest
+    // unique; plus a stop shingle present in every doc (df > maxDf).
+    val stop = "common filler words here"
+    val docs = (Seq(
+      (1L, s"$stop the quick brown fox jumps over the lazy dog today"),
+      (2L, s"$stop the quick brown fox jumps over the lazy cat today")) ++
+      (3L to 30L).map(i => (i, s"$stop unique u${i}a u${i}b u${i}c " +
+        s"u${i}d u${i}e u${i}f u${i}g")))
+      .toDF("doc_id", "text")
+    val sets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
+    val fromSets = Dedup.rareShinglePairsFromSets(sets, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromStrings = Dedup.rareShinglePairs(docs, "text", "doc_id",
+      shingleWords = 3, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromSets === fromStrings)
+    assert(fromSets.contains((1L, 2L)))
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val jHash = Dedup.jaccardFromSets(sets, pairs)
+      .collect()(0).getAs[Double]("jaccard")
+    val jStr = Dedup.exactJaccard(docs, "text", "doc_id", pairs, 3)
+      .collect()(0).getAs[Double]("jaccard")
+    assert(jHash === jStr)
+  }
+
   test("Similarity.cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
       .toDF("a", "b", "c")
