@@ -758,6 +758,52 @@ object SparkEntry {
           |WHERE (SELECT max(l_extendedprice) FROM v_lineitem
           |       WHERE l_orderkey = o_orderkey) > o_totalprice * 0.9D
           |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Train/eval CONTAMINATION screen: per eval document (source=src0),
+    // the fraction of its 3-gram shingles present anywhere in the rest
+    // of the corpus (the "training set"). The screen every benchmark
+    // eval runs before trusting its numbers. Shingles compare by 64-bit
+    // hash (collision odds ~2^-64, same accepted class as q52).
+    "q53_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = Dedup.hashedShingleSets(
+        docs.filter($"source" =!= "src0"), "text", "doc_id", 3)
+      val eval = Dedup.hashedShingleSets(
+        docs.filter($"source" === "src0"), "text", "doc_id", 3)
+      Dedup.containment(train, eval)
+        .select($"id".as("doc_id"), $"n_shingles", $"n_matched",
+          $"containment")
+        .orderBy($"doc_id")
+    }),
+
+    // Gopher-style repetition filters: duplicate-word fraction and
+    // most-frequent-token share per document, joined with a keep/drop
+    // verdict at the classic thresholds.
+    "q54_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "text", "doc_id")
+        .withColumn("keep",
+          $"dup_ratio" <= 0.9 && $"top_token_frac" <= 0.2)
+        .orderBy($"doc_id")
+    }),
+
+    // Scrubbing pass (the PII-redaction mechanics on a corpus with no
+    // real PII: denylisted terms stand in for the e-mail/phone regexes):
+    // per source, how many documents are hit, total redactions, and the
+    // before/after average lengths.
+    "q55_denylist_scrub" -> ((s, d) => {
+      val pat = "\\b(spark|customer)\\b"
+      Tables.documents(s, d)
+        .select($"source",
+          TextAnalysis.matchCount($"text", pat).as("n_hits"),
+          length($"text").as("len_before"),
+          length(TextAnalysis.redact($"text", pat)).as("len_after"))
+        .groupBy($"source")
+        .agg(sum(when($"n_hits" > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+          sum($"n_hits").as("total_hits"),
+          Fns.roundU(avg($"len_before"), 2).as("avg_len_before"),
+          Fns.roundU(avg($"len_after"), 2).as("avg_len_after"))
+        .orderBy($"source")
     })
   )
 
@@ -1399,7 +1445,65 @@ object SparkEntry {
         |FROM orders
         |WHERE (SELECT max(l_extendedprice) FROM lineitem
         |       WHERE l_orderkey = o_orderkey) > o_totalprice * 0.9
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Shingle construction mirrors q52's (exact strings; the Spark side
+    // compares 64-bit hashes — identical counts modulo ~2^-64 collisions)
+    "q53_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(t[i:i+2], ' ')
+        |      for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+        |  FROM toks),
+        |sh AS (SELECT doc_id, source, unnest(gs) AS g FROM shl),
+        |train AS (SELECT DISTINCT g FROM sh WHERE source <> 'src0'),
+        |ev AS (SELECT doc_id, g FROM sh WHERE source = 'src0')
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(t.g) AS BIGINT) AS n_matched,
+        |  floor(CAST(count(t.g) AS DOUBLE) / count(*) * 10000 + 0.5)
+        |    / 10000.0 AS containment
+        |FROM ev e LEFT JOIN train t ON e.g = t.g
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    "q54_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |st AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top_c
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_distinct,
+        |  floor((1 - CAST(n_distinct AS DOUBLE) / n_words) * 10000 + 0.5)
+        |    / 10000.0 AS dup_ratio,
+        |  floor(CAST(top_c AS DOUBLE) / n_words * 10000 + 0.5)
+        |    / 10000.0 AS top_token_frac,
+        |  (floor((1 - CAST(n_distinct AS DOUBLE) / n_words) * 10000 + 0.5)
+        |     / 10000.0 <= 0.9
+        |   AND floor(CAST(top_c AS DOUBLE) / n_words * 10000 + 0.5)
+        |     / 10000.0 <= 0.2) AS keep
+        |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q55_denylist_scrub" ->
+      """WITH scrub AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '\b(spark|customer)\b')) AS n_hits,
+        |    length(text) AS len_before,
+        |    length(trim(regexp_replace(regexp_replace(text,
+        |      '\b(spark|customer)\b', '', 'g'), ' {2,}', ' ', 'g')))
+        |      AS len_after
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_hit,
+        |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+        |  floor(avg(len_before) * 100 + 0.5) / 100.0 AS avg_len_before,
+        |  floor(avg(len_after) * 100 + 0.5) / 100.0 AS avg_len_after
+        |FROM scrub GROUP BY source ORDER BY source""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

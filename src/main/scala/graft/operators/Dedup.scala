@@ -363,6 +363,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Train/eval CONTAMINATION check — the n-gram containment screen run
+    * before any benchmark evaluation of a model trained on the corpus:
+    * for each eval document, the fraction of its shingles that appear
+    * anywhere in the training corpus. containment ≈ 1 means the eval doc
+    * is (nearly) memorizable from training data.
+    *
+    * Both inputs are [[hashedShingleSets]] tables. The train side
+    * collapses to a DISTINCT single-column long table (map-side combine;
+    * at 100 TB this is the one big shuffle and it moves 8-byte keys
+    * only), the eval side explodes to (id, shingle) rows, and one
+    * left join + per-doc count aggregate yields the containment. For
+    * repeated screening against a fixed training corpus, persist the
+    * distinct train table — or replace the join with a bloom filter
+    * built over it (one false-positive-bounded scan, no shuffle of the
+    * eval side) when an approximate upper bound is acceptable.
+    *
+    * Returns (id, n_shingles, n_matched, containment∈[0,1] rounded
+    * half-up to 4). */
+  def containment(trainSets: DataFrame, evalSets: DataFrame): DataFrame = {
+    val train = trainSets.select(explode(col("sh")).as("__g")).distinct()
+    evalSets.select(col("id"), explode(col("sh")).as("__g"))
+      .join(train.withColumn("__hit", lit(1)), Seq("__g"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_matched"))
+      .withColumn("containment",
+        graft.Fns.roundU(col("n_matched").cast("double") /
+          col("n_shingles").cast("double"), 4))
+  }
+
   /** Exact Jaccard for candidate pairs over a precomputed
     * [[hashedShingleSets]] table. Attaches the long-hash arrays (3-4×
     * lighter on the wire than the string arrays [[exactJaccard]] ships)

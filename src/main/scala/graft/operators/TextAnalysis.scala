@@ -65,4 +65,50 @@ object TextAnalysis {
     * linguistic accuracy.) */
   def langIdHeuristic(text: Column): Column =
     when(stopwordRatio(text) >= 0.03, "en").otherwise("other")
+
+  /** Per-document repetition metrics (the Gopher-style repetition
+    * filters): duplicate-word fraction and most-frequent-token share. A
+    * document whose top token covers a large share of its length is
+    * boilerplate/spam-shaped and gets filtered before training.
+    *
+    * Distributed as explode → two hash aggregates ((doc, token) counts,
+    * then per-doc rollup) — per-group state is a handful of counters, so
+    * a pathologically long document costs rows, never aggregation-buffer
+    * memory (the array-based per-row form would hold the whole token
+    * multiset per document).
+    *
+    * Returns (idCol, n_words, n_distinct, dup_ratio, top_token_frac),
+    * ratios rounded half-up to 4. Documents with no tokens are absent
+    * (they have no repetition to measure). */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      idCol: String): org.apache.spark.sql.DataFrame = {
+    val cnt = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    cnt.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__c")).as("__top"))
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        graft.Fns.roundU(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_words").cast("double"), 4).as("dup_ratio"),
+        graft.Fns.roundU(col("__top").cast("double") /
+          col("n_words").cast("double"), 4).as("top_token_frac"))
+  }
+
+  /** Number of matches of `pattern` in the text — the counting half of a
+    * scrubbing pass (PII regexes, denylisted terms). */
+  def matchCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Redact every match of `pattern` and re-normalize whitespace (so a
+    * removed token doesn't leave a double space behind). `replacement`
+    * is literal — use a marker like "<PII>" to keep offsets auditable, or
+    * "" to drop matches outright. */
+  def redact(text: Column, pattern: String,
+             replacement: String = ""): Column =
+    trim(regexp_replace(regexp_replace(text, pattern, replacement),
+      " {2,}", " "))
 }

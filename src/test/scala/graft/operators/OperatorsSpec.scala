@@ -203,6 +203,48 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(jHash === jStr)
   }
 
+  test("Dedup.containment flags eval docs covered by the train corpus") {
+    val train = Seq((1L, "a b c d e f"), (2L, "g h i j k l"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b c d e f"),   // fully contained
+      (11L, "x y z w v u"))   // disjoint
+      .toDF("doc_id", "text")
+    val r = Dedup.containment(
+        Dedup.hashedShingleSets(train, "text", "doc_id", 2),
+        Dedup.hashedShingleSets(eval, "text", "doc_id", 2))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(10L) === ((5L, 5L, 1.0)))
+    assert(r(11L) === ((5L, 0L, 0.0)))
+  }
+
+  test("TextAnalysis.repetitionStats measures dup and top-token ratios") {
+    val docs = Seq(
+      (1L, "a a a a b"),        // 5 words, 2 distinct, top=4
+      (2L, "p q r s"),          // no repetition
+      (3L, "   "))              // token-less: absent from output
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "text", "doc_id")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(1L) === ((5L, 2L, 0.6, 0.8)))
+    assert(r(2L) === ((4L, 4L, 0.0, 0.25)))
+    assert(!r.contains(3L))
+  }
+
+  test("TextAnalysis.redact scrubs matches and renormalizes spacing") {
+    val df = Seq("mail me at bob@x.com or sue@y.org today").toDF("t")
+    val pat = "[a-z]+@[a-z.]+[a-z]"
+    val r = df.select(
+      TextAnalysis.redact($"t", pat).as("clean"),
+      TextAnalysis.redact($"t", pat, "<PII>").as("marked"),
+      TextAnalysis.matchCount($"t", pat).as("n")).collect()(0)
+    assert(r.getString(0) === "mail me at or today")
+    assert(r.getString(1) === "mail me at <PII> or <PII> today")
+    assert(r.getInt(2) === 2)
+  }
+
   test("Similarity.cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
       .toDF("a", "b", "c")
