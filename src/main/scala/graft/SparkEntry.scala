@@ -415,6 +415,10 @@ object SparkEntry {
     // previous distinct-value form was still a near-row-level sort here —
     // l_extendedprice is near-unique, so 3 tasks each sorted ~n/3 values.
     "q33_percentiles" -> ((s, d) => {
+      // NOT persisted at the call site despite the levels+2 re-reads:
+      // measured at sf0.1, re-scanning the column-pruned parquet beats
+      // the row-format cache scan (2-col scan is cheaper than cache
+      // materialization + InMemoryTableScan for this few passes).
       Percentiles.exactMedian(Tables.lineitem(s, d), "l_returnflag",
           "l_extendedprice")
         .select($"l_returnflag",
@@ -714,6 +718,7 @@ object SparkEntry {
     // Exact p25/p50/p75 per group via the same multi-level histogram
     // (type-1 nearest-rank), each quantile narrowing its own range.
     "q50_quantiles" -> ((s, d) => {
+      // not persisted — same measured call as q33
       Percentiles.exactQuantiles(Tables.lineitem(s, d), "l_returnflag",
           "l_extendedprice", Seq(0.25, 0.5, 0.75))
         .select($"l_returnflag", $"q", $"value")

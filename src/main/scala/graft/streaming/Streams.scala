@@ -103,6 +103,80 @@ object Streams {
       .select(col(keyCol), col("w.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Keyed value sample for [[runningQuantiles]]. */
+  case class KeyedValue(key: String, value: Double)
+
+  /** Fixed-memory per-key quantile sketch state: an equal-width histogram
+    * whose range is learned from the first batch (padded) and frozen;
+    * later out-of-range values clamp into the edge bins. */
+  case class QSketch(lo: Double, hi: Double, n: Long, bins: Array[Long])
+
+  /** Per-key quantile estimates emitted once per key per micro-batch. */
+  case class QuantileEstimate(key: String, n: Long, q: Seq[Double],
+                              value: Seq[Double])
+
+  /** RUNNING QUANTILES over an unbounded keyed stream — the streaming twin
+    * of the batch [[graft.operators.Percentiles]] histogram: per-key state
+    * is a fixed `nBins`-bin histogram (nBins longs + bounds), merged
+    * incrementally per micro-batch, so state never grows with stream
+    * length — the property that lets a latency-percentile or
+    * price-distribution monitor run forever. Each trigger emits the
+    * current estimate for every key that received data.
+    *
+    * Estimates are exact to within one bin width of the learned range
+    * (the first batch's [min, max] padded by half its span; values beyond
+    * it clamp to the edge bins, biasing tail quantiles toward the clamp
+    * point — acceptable for monitoring, not for billing). Deterministic
+    * given the batch sequence. Works on batch Datasets too (same code
+    * path, one "batch").
+    */
+  def runningQuantiles(events: Dataset[KeyedValue], qs: Seq[Double],
+                       nBins: Int = 64): Dataset[QuantileEstimate] = {
+    require(qs.nonEmpty && qs.forall(x => x > 0 && x <= 1))
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[QSketch, QuantileEstimate](
+        GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[QSketch]) =>
+          val vs = rows.map(_.value).filter(v => !v.isNaN && !v.isInfinite)
+            .toArray
+          if (state.getOption.isEmpty && vs.isEmpty)
+            // nothing finite yet: no range to learn, no state to keep
+            QuantileEstimate(key, 0L, qs, qs.map(_ => Double.NaN))
+          else {
+            val s0 = state.getOption.getOrElse {
+              // learn the range from the first batch, pad by half the
+              // span so near-future drift stays in-range
+              val lo0 = vs.min; val hi0 = vs.max
+              val pad = math.max((hi0 - lo0) / 2, 1e-9)
+              QSketch(lo0 - pad, hi0 + pad, 0L, new Array[Long](nBins))
+            }
+            val w = (s0.hi - s0.lo) / nBins
+            vs.foreach { v =>
+              val idx = math.min(nBins - 1,
+                math.max(0, ((v - s0.lo) / w).toInt))
+              s0.bins(idx) += 1
+            }
+            val s = s0.copy(n = s0.n + vs.length)
+            state.update(s)
+            // nearest-rank with linear interpolation inside the bin
+            val est = qs.map { q =>
+              val target = math.max(1L, math.ceil(q * s.n).toLong)
+              var cum = 0L
+              var i = 0
+              var found = Double.NaN
+              while (i < nBins && found.isNaN) {
+                if (cum + s.bins(i) >= target)
+                  found = s.lo + (i + (target - cum).toDouble / s.bins(i)) * w
+                cum += s.bins(i); i += 1
+              }
+              found
+            }
+            QuantileEstimate(key, s.n, qs, est)
+          }
+      }
+  }
+
   /** The SURVEY §3.2 dimension-build pipeline, streaming form: watch the
     * block stream, regex-detect pool-creation transactions (O33), and
     * upsert the candidates into a parquet registry snapshot via

@@ -11,6 +11,50 @@ class StreamsSpec extends SparkSpec {
   import spark.implicits._
   import Streams.PriceEvent
 
+  test("runningQuantiles: bounded sketch refines across micro-batches") {
+    val dir = Files.createTempDirectory("graft-quant").toFile
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.writeString(dir.toPath.resolve(name), lines.mkString("\n"))
+    write("b1.json",
+      (0 to 100).map(v => s"""{"key":"k1","value":$v.0}"""))
+    val stream = spark.readStream.schema("key STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      .as[Streams.KeyedValue]
+    val q = Streams.runningQuantiles(stream, Seq(0.5, 0.9))
+      .writeStream.format("memory").queryName("quant")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("quant").orderBy(desc("n")).collect()(0)
+      assert(b1.getAs[Long]("n") === 101L)
+      val est1 = b1.getAs[scala.collection.Seq[Double]]("value")
+      // range [-50,150] over 64 bins → width 3.125; uniform 0..100 has
+      // true p50=50, p90=90 — estimates must land within ~1.5 bins
+      assert(math.abs(est1(0) - 50.0) <= 5.0)
+      assert(math.abs(est1(1) - 90.0) <= 5.0)
+      // batch 2: a burst of far-out-of-range values clamps into the top
+      // bin USING THE FROZEN RANGE from batch 1's state
+      write("b2.json",
+        (1 to 100).map(_ => s"""{"key":"k1","value":2000.0}"""))
+      q.processAllAvailable()
+      val b2 = spark.table("quant").orderBy(desc("n")).collect()(0)
+      assert(b2.getAs[Long]("n") === 201L)
+      val est2 = b2.getAs[scala.collection.Seq[Double]]("value")
+      // rank 101 of 201 = the top of the original uniform block (~100)
+      assert(math.abs(est2(0) - 100.0) <= 5.0)
+      // p90 sits in the clamp bin: reported near the frozen hi (150),
+      // the documented tail bias
+      assert(est2(1) > 140.0 && est2(1) <= 150.0)
+    } finally q.stop()
+  }
+
+  test("runningQuantiles: same code path runs on a batch Dataset") {
+    val ds = (1 to 99).map(v => Streams.KeyedValue("k", v.toDouble)).toDS()
+    val r = Streams.runningQuantiles(ds, Seq(0.5)).collect()(0)
+    assert(r.n === 99L)
+    assert(math.abs(r.value.head - 50.0) <= 3.0)
+  }
+
   test("suppressPrices: batch Dataset, >10% moves only") {
     val events = Seq(
       PriceEvent("p1", 1, 100.0, 1.0),
