@@ -792,6 +792,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Sequence packing (GPT-style pretraining layout): per language, the
+    // corpus token stream concatenates in doc_id order and splits at
+    // every 1000-token context boundary; stats per window. Runs on the
+    // distributed two-phase prefix sum (operators.Packing), NOT a
+    // per-language window sort — a 5-language corpus would otherwise
+    // pack on 5 tasks at any cluster size.
+    "q56_token_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select($"lang", $"doc_id",
+          TextAnalysis.tokenCountWs($"text").as("n_tok"))
+      Packing.tokenPacking(docs, "lang", "doc_id", "n_tok", budget = 1000L)
+        .orderBy($"lang", $"pack_id")
+    }),
+
     // Scrubbing pass (the PII-redaction mechanics on a corpus with no
     // real PII: denylisted terms stand in for the e-mail/phone regexes):
     // per source, how many documents are hit, total redactions, and the
@@ -1492,6 +1506,25 @@ object SparkEntry {
         |   AND floor(CAST(top_c AS DOUBLE) / n_words * 10000 + 0.5)
         |     / 10000.0 <= 0.2) AS keep
         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q56_token_packing" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT lang, (cum - n_tok) // 1000 AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(CASE WHEN n_tok > 0
+        |    AND (cum - 1) // 1000 > (cum - n_tok) // 1000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 
     "q55_denylist_scrub" ->
       """WITH scrub AS (

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing for LLM pretraining: concatenate each group's token
+  * stream in a deterministic document order and chunk it into fixed-size
+  * context windows. The core primitive is a DISTRIBUTED PREFIX SUM —
+  * the sequential-looking computation Spark's window functions can only
+  * express as one sort task per group key (a 5-language corpus would run
+  * on 5 tasks at any cluster size).
+  */
+object Packing {
+
+  /** Running total of `valCol` over rows ordered by (grpCols, ordCols),
+    * restarting at every group — equal to `sum(val) OVER (PARTITION BY
+    * grp ORDER BY ord ROWS UNBOUNDED PRECEDING)` but parallel in the
+    * TOTAL row count, not in the number of groups:
+    *
+    *  1. range-repartition + sort by (grp, ord) — the one shuffle;
+    *  2. per-(partition, group) totals — a tiny aggregate (≤ partitions ×
+    *     groups-touching-that-partition rows) collected to the driver;
+    *  3. each row's prefix = its partition's group offset (broadcast map)
+    *     plus a running counter inside its sorted partition (streamed,
+    *     no per-group state beyond one counter).
+    *
+    * The classic two-phase parallel scan, so a single group spanning the
+    * whole 100 TB input still computes on every core. Driver/broadcast
+    * state is O(partitions × spanning groups) — partition-boundary
+    * crossings, not group cardinality.
+    *
+    * The input is materialized twice (offset job + final pass re-run the
+    * shuffle); callers chaining further passes should persist the result.
+    * Output = input columns + `outCol` (running total INCLUDING the
+    * current row). Nulls in `valCol` count as 0.
+    */
+  def prefixSum(df: DataFrame, grpCols: Seq[String], ordCols: Seq[String],
+                valCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val keyCols = (grpCols ++ ordCols).map(col)
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df
+      .repartitionByRange(n, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val grpIdx = grpCols.indices
+    // (pid, grpKey) -> partition-local group total; small by construction
+    val totals = sorted
+      .groupBy((col("__pid") +: grpCols.map(col)): _*)
+      .agg(sum(coalesce(col(valCol).cast("long"), lit(0L))).as("__t"))
+      .collect()
+      .map(r => (r.getInt(0), grpIdx.map(i => r.get(i + 1)).toVector,
+        r.getLong(grpIdx.size + 1)))
+    // offset for (grp, pid) = sum of the group's totals in partitions < pid
+    val offsets: Map[(Vector[Any], Int), Long] = totals
+      .groupBy(_._2)
+      .flatMap { case (g, parts) =>
+        val byPid = parts.sortBy(_._1)
+        var acc = 0L
+        byPid.map { case (pid, _, t) =>
+          val r = ((g, pid), acc); acc += t; r
+        }
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val inSchema = sorted.schema
+    val outSchema = inSchema.add(outCol, LongType, nullable = false)
+    val pidPos = inSchema.fieldIndex("__pid")
+    val valPos = inSchema.fieldIndex(valCol)
+    val grpPos = grpCols.map(inSchema.fieldIndex)
+    val res = sorted.mapPartitions { it =>
+      // rows arrive sorted by (grp, ord): one running counter, reset on
+      // group change — no map of per-group state
+      var curGrp: Vector[Any] = null
+      var running = 0L
+      var offset = 0L
+      it.map { row =>
+        val g = grpPos.map(row.get).toVector
+        if (g != curGrp) {
+          curGrp = g
+          running = 0L
+          offset = bc.value.getOrElse((g, row.getInt(pidPos)), 0L)
+        }
+        val v = row.get(valPos) match {
+          case null => 0L
+          case x: Number => x.longValue()
+        }
+        running += v
+        Row.fromSeq(row.toSeq :+ (offset + running))
+      }
+    }(Encoders.row(outSchema))
+    res.drop("__pid")
+  }
+
+  /** Token-stream packing stats per context window: documents concatenate
+    * in `ordCol` order within each `grpCol` stream and split at every
+    * `budget`-token boundary (the GPT-style pretraining layout — documents
+    * DO straddle windows). Returns one row per (grp, pack_id) with the
+    * number of documents STARTING in the window, their token sum, and how
+    * many straddle into the next window. `tokCol` must be a non-negative
+    * per-document token count. */
+  def tokenPacking(df: DataFrame, grpCol: String, ordCol: String,
+                   tokCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val cum = prefixSum(df, Seq(grpCol), Seq(ordCol), tokCol, "__cum")
+    cum
+      .withColumn("__start", col("__cum") - col(tokCol))
+      .withColumn("pack_id", expr(s"__start div ${budget}L"))
+      .withColumn("__splits",
+        when(col(tokCol) > 0 &&
+          expr(s"(__cum - 1L) div ${budget}L") > col("pack_id"), 1L)
+          .otherwise(0L))
+      .groupBy(col(grpCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokCol).cast("long")).as("sum_tokens"),
+        sum(col("__splits")).as("n_split"))
+  }
+}

@@ -245,6 +245,30 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(r.getInt(2) === 2)
   }
 
+  test("Packing.prefixSum equals the window running sum, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (s"g${i % 3}", i.toLong, (i % 7).toLong))
+      .toDF("g", "ord", "v").repartition(13) // scrambled input
+    val viaOp = Packing.prefixSum(df, Seq("g"), Seq("ord"), "v", "cum")
+      .select($"g", $"ord", $"cum")
+    val w = Window.partitionBy($"g").orderBy($"ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val viaWin = df.select($"g", $"ord", sum($"v").over(w).as("cum"))
+    assert(viaOp.except(viaWin).isEmpty && viaWin.except(viaOp).isEmpty)
+  }
+
+  test("Packing.tokenPacking window stats match a hand-computed layout") {
+    // stream g: docs of 4,3,5 tokens, budget 6 → doc1 [0,3] pack0;
+    // doc2 [4,6] starts pack0, straddles into pack1; doc3 [7,11] pack1
+    val docs = Seq(("g", 1L, 4), ("g", 2L, 3), ("g", 3L, 5))
+      .toDF("lang", "doc_id", "n_tok")
+    val r = Packing.tokenPacking(docs, "lang", "doc_id", "n_tok", 6L)
+      .orderBy($"pack_id")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.toSeq === Seq((0L, 2L, 7L, 1L), (1L, 1L, 5L, 0L)))
+  }
+
   test("Similarity.cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
       .toDF("a", "b", "c")
