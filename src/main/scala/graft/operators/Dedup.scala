@@ -393,6 +393,37 @@ object Dedup {
           col("n_shingles").cast("double"), 4))
   }
 
+  /** [[containment]]'s no-shuffle scale path: the train shingle set
+    * collapses into a broadcast Bloom filter (built by treeAggregate —
+    * the train side never shuffles at all) and each eval shingle probes
+    * it locally, so the screen's only shuffle is the per-doc count
+    * aggregate of the EVAL side — the small side by definition.
+    *
+    * The result is an UPPER BOUND: false positives inflate n_matched by
+    * at most ~fpp·n_shingles (no false negatives), which is the safe
+    * direction for a contamination screen — docs flagged clean really
+    * are. Filter size is ~1.44·log2(1/fpp) bits per distinct train
+    * shingle (≈1.2 GB per billion shingles at 1%) — past broadcast
+    * comfort, shard the filter by shingle-hash range and probe the
+    * matching shard.
+    *
+    * Same output schema as [[containment]]. */
+  def containmentApprox(trainSets: DataFrame, evalSets: DataFrame,
+                        expectedItems: Long, fpp: Double = 0.01)
+      : DataFrame = {
+    val bf = trainSets.select(explode(col("sh")).as("__g"))
+      .stat.bloomFilter("__g", expectedItems, fpp)
+    val bc = trainSets.sparkSession.sparkContext.broadcast(bf)
+    val probe = udf((h: Long) => bc.value.mightContainLong(h))
+    evalSets.select(col("id"), explode(col("sh")).as("__g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(probe(col("__g")), 1L).otherwise(0L)).as("n_matched"))
+      .withColumn("containment",
+        graft.Fns.roundU(col("n_matched").cast("double") /
+          col("n_shingles").cast("double"), 4))
+  }
+
   /** Exact Jaccard for candidate pairs over a precomputed
     * [[hashedShingleSets]] table. Attaches the long-hash arrays (3-4×
     * lighter on the wire than the string arrays [[exactJaccard]] ships)

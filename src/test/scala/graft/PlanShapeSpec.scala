@@ -109,6 +109,34 @@ class PlanShapeSpec extends SparkSpec {
       wins.map(_.child.schema.fieldNames.mkString(",")).mkString(" | "))
   }
 
+  test("q56 packing: no window sort anywhere (prefix sum is two-phase)") {
+    // the point of Packing.prefixSum: the cumulative sum must NOT appear
+    // as a per-language WindowExec (5 groups → 5 tasks at any cluster
+    // size); a window creeping back in is the scale regression
+    val wins = collectAll(plan("q56_token_packing")) { case w: WindowExec => w }
+    assert(wins.isEmpty, wins.mkString(" | "))
+  }
+
+  test("q53 contamination: only 8-byte shingle keys reach its joins") {
+    // the join input schemas must be (id/hash) longs only — a text or
+    // shingle-string column in a join branch means the corpus is being
+    // shuffled
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val p = plan("q53_contamination")
+    val joinChildren = collectAll(p) {
+      case j: SortMergeJoinExec => j.children
+      case j: BroadcastHashJoinExec => j.children
+      case j: ShuffledHashJoinExec => j.children
+    }.flatten
+    assert(joinChildren.nonEmpty)
+    joinChildren.foreach { c =>
+      assert(c.schema.fields.forall(f =>
+        f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType),
+        c.schema.fieldNames.mkString(","))
+    }
+  }
+
   test("q26 ANN: corpus scan reads only id + vector columns") {
     val scans = collectAll(plan("q26_embed_topk")) {
       case f: FileSourceScanExec => f

@@ -219,6 +219,26 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(r(11L) === ((5L, 0L, 0.0)))
   }
 
+  test("containmentApprox upper-bounds exact containment, no false negs") {
+    val train = (1L to 40L).map(i =>
+      (i, s"train doc t${i}a t${i}b t${i}c t${i}d t${i}e"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "train doc t1a t1b t1c t1d t1e"),   // contained
+      (101L, "novel words only q r s t u v w"))  // disjoint
+      .toDF("doc_id", "text")
+    val tr = Dedup.hashedShingleSets(train, "text", "doc_id", 2)
+    val ev = Dedup.hashedShingleSets(eval, "text", "doc_id", 2)
+    val exact = Dedup.containment(tr, ev)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val approx = Dedup.containmentApprox(tr, ev, expectedItems = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // no false negatives: approx >= exact per doc; and the fully
+    // contained doc must read exactly 1.0
+    exact.foreach { case (id, e) => assert(approx(id) >= e) }
+    assert(approx(100L) === 1.0)
+  }
+
   test("TextAnalysis.repetitionStats measures dup and top-token ratios") {
     val docs = Seq(
       (1L, "a a a a b"),        // 5 words, 2 distinct, top=4
