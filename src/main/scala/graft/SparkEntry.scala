@@ -806,6 +806,68 @@ object SparkEntry {
         .orderBy($"lang", $"pack_id")
     }),
 
+    // Corpus MIXING plan: per-source sampling rates that spend a fixed
+    // token budget proportionally to mean quality (the "data mixture"
+    // step before training). The cross-source normalizer is a broadcast
+    // scalar join, not an unpartitioned window.
+    "q57_mix_plan" -> ((s, d) => {
+      val budget = 500000.0
+      val perSrc = Tables.documents(s, d)
+        .select($"source",
+          TextAnalysis.tokenCountWs($"text").cast("long").as("n_tok"),
+          TextAnalysis.qualityScore($"text").as("q"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          avg($"q").as("mean_q"))
+      val norm = perSrc.agg(
+        sum($"mean_q" * $"n_tokens").as("__wtot"))
+      perSrc.crossJoin(broadcast(norm))
+        .withColumn("rate", least(lit(1.0),
+          lit(budget) * $"mean_q" * $"n_tokens" / $"__wtot"
+            / $"n_tokens"))
+        .select($"source", $"n_docs", $"n_tokens",
+          Fns.roundU($"mean_q", 4).as("mean_quality"),
+          Fns.roundU($"rate", 6).as("rate"),
+          Fns.roundU($"rate" * $"n_tokens", 2).as("expected_tokens"))
+        .orderBy($"source")
+    }),
+
+    // Quality-filter FUNNEL: the chained keep/drop report every corpus
+    // pipeline publishes — how many documents survive each successive
+    // filter (and with them, how many tokens).
+    "q58_filter_funnel" -> ((s, d) => {
+      val toks = TextAnalysis.tokenCountWs($"text").cast("long")
+      val flags = Tables.documents(s, d).select(
+        toks.as("n_tok"),
+        (toks >= 30).as("f_len"),
+        (Fns.roundU(TextAnalysis.stopwordRatio($"text"), 4) <= 0.5)
+          .as("f_stop"),
+        (Fns.roundU(TextAnalysis.punctRatio($"text"), 4) <= 0.1)
+          .as("f_punct"))
+      val staged = flags.select($"n_tok",
+        lit(true).as("s0"),
+        $"f_len".as("s1"),
+        ($"f_len" && $"f_stop").as("s2"),
+        ($"f_len" && $"f_stop" && $"f_punct").as("s3"))
+      staged.agg(
+          sum(when($"s0", 1L).otherwise(0L)).as("c0"),
+          sum(when($"s0", $"n_tok").otherwise(0L)).as("t0"),
+          sum(when($"s1", 1L).otherwise(0L)).as("c1"),
+          sum(when($"s1", $"n_tok").otherwise(0L)).as("t1"),
+          sum(when($"s2", 1L).otherwise(0L)).as("c2"),
+          sum(when($"s2", $"n_tok").otherwise(0L)).as("t2"),
+          sum(when($"s3", 1L).otherwise(0L)).as("c3"),
+          sum(when($"s3", $"n_tok").otherwise(0L)).as("t3"))
+        .selectExpr(
+          """stack(4,
+            |'0_all', c0, t0,
+            |'1_min_len', c1, t1,
+            |'2_stopword', c2, t2,
+            |'3_punct', c3, t3) AS (stage, n_docs, n_tokens)"""
+            .stripMargin)
+        .orderBy($"stage")
+    }),
+
     // Scrubbing pass (the PII-redaction mechanics on a corpus with no
     // real PII: denylisted terms stand in for the e-mail/phone regexes):
     // per source, how many documents are hit, total redactions, and the
@@ -1506,6 +1568,85 @@ object SparkEntry {
         |   AND floor(CAST(top_c AS DOUBLE) / n_words * 10000 + 0.5)
         |     / 10000.0 <= 0.2) AS keep
         |FROM st ORDER BY doc_id""".stripMargin,
+
+    // quality/stop/punct expressions mirror q28's; rate arithmetic keeps
+    // Spark's exact operation order (rounded only at output)
+    "q57_mix_plan" ->
+      """WITH base AS (
+        |  SELECT source, text,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(toks) END AS n_tok,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','and',
+        |      'of','to','in','is','it','that'))) AS DOUBLE)
+        |      / len(toks) AS stop_ratio,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g'))
+        |      AS DOUBLE) / length(text) AS punct_ratio,
+        |    text
+        |  FROM base),
+        |q AS (
+        |  SELECT source, n_tok,
+        |    floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+        |      + least(stop_ratio * 5.0, 1.0) * 0.3
+        |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2)
+        |      * 10000 + 0.5) / 10000.0 AS quality
+        |  FROM m),
+        |s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    avg(quality) AS mean_q
+        |  FROM q GROUP BY source),
+        |w AS (SELECT sum(mean_q * n_tokens) AS wtot FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  floor(mean_q * 10000 + 0.5) / 10000.0 AS mean_quality,
+        |  floor(least(1.0, 500000.0 * mean_q * n_tokens / wtot / n_tokens)
+        |    * 1000000 + 0.5) / 1000000.0 AS rate,
+        |  floor(least(1.0, 500000.0 * mean_q * n_tokens / wtot / n_tokens)
+        |    * n_tokens * 100 + 0.5) / 100.0 AS expected_tokens
+        |FROM s, w ORDER BY source""".stripMargin,
+
+    "q58_filter_funnel" ->
+      """WITH base AS (
+        |  SELECT text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(toks) END AS n_tok,
+        |    floor((CAST(len(list_filter(toks, x -> x IN ('the','a','an',
+        |      'and','of','to','in','is','it','that'))) AS DOUBLE)
+        |      / len(toks)) * 10000 + 0.5) / 10000.0 AS stop_r,
+        |    floor((CAST(length(text) -
+        |      length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g'))
+        |      AS DOUBLE) / length(text)) * 10000 + 0.5) / 10000.0 AS punct_r
+        |  FROM base),
+        |f AS (
+        |  SELECT n_tok, n_tok >= 30 AS f_len, stop_r <= 0.5 AS f_stop,
+        |    punct_r <= 0.1 AS f_punct
+        |  FROM m),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS c0,
+        |    CAST(sum(n_tok) AS BIGINT) AS t0,
+        |    CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN f_len THEN n_tok ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN f_len AND f_stop THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN f_len AND f_stop THEN n_tok ELSE 0 END)
+        |      AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN f_len AND f_stop AND f_punct THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN f_len AND f_stop AND f_punct THEN n_tok
+        |      ELSE 0 END) AS BIGINT) AS t3
+        |  FROM f)
+        |SELECT '0_all' AS stage, c0 AS n_docs, t0 AS n_tokens FROM a
+        |UNION ALL SELECT '1_min_len', c1, t1 FROM a
+        |UNION ALL SELECT '2_stopword', c2, t2 FROM a
+        |UNION ALL SELECT '3_punct', c3, t3 FROM a
+        |ORDER BY stage""".stripMargin,
 
     "q56_token_packing" ->
       """WITH d AS (

@@ -175,17 +175,25 @@ object Dedup {
     * which docs to drop; the canonical survivor is per component). Returns
     * (node, cluster_id) with cluster_id = the component's minimum id.
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * label among itself and its neighbors (one join + hash aggregate),
-    * until a round changes nothing. Rounds = graph diameter — near-dup
-    * components are near-cliques (diameter 2-3), so this converges in a
-    * handful of distributed passes with no driver-side graph state; each
-    * round's labels are persisted and the loop's only driver traffic is
-    * the changed-row count. (For adversarial long-chain graphs the
-    * log-round star-contraction variant would replace the loop body; the
-    * join+agg round shape is the same.)
+    * Iterative min-label propagation WITH POINTER DOUBLING: each round a
+    * node takes the min of its own label, its neighbors' labels, and its
+    * label's label (one extra self-join — every label is a node id in
+    * the same component, so chasing it stays within the component and
+    * labels only ever decrease toward the true minimum). Neighbor
+    * propagation alone needs diameter rounds — an adversarial
+    * 10,000-link chain is 10,000 shuffles; the label-of-label hop
+    * doubles the reach each round, so convergence is O(log diameter)
+    * (the [[dupClustersStats]] spec pins this on a long chain). All
+    * state is distributed; each round's labels are persisted and the
+    * loop's only driver traffic is the changed-row count.
     */
-  def dupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    dupClustersStats(pairs, aCol, bCol)._1
+
+  /** [[dupClusters]] plus the number of rounds the loop ran (exposed for
+    * convergence tests and job-level metrics). */
+  def dupClustersStats(pairs: DataFrame, aCol: String, bCol: String)
+      : (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pairs is typically an EXPENSIVE pipeline (candidate generation +
     // exact verification); the symmetric-edge union references it twice,
@@ -202,23 +210,39 @@ object Dedup {
     // projection over it, which unpersist would not match)
     var cached = labels
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val neighborMin = edges
         .join(labels.select(col("node").as("src"),
           col("label").as("__nl")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("__nl")).as("__nmin"))
+      // pointer doubling: look up the current label's OWN label (left
+      // join on labels keyed by node=label) and take the min of all three
+      val grandparent = labels
+        .select(col("node").as("__gnode"), col("label").as("__gl"))
       // the update join already sees old and new label side by side, so
       // the convergence flag rides along — no separate old-vs-new compare
       // join per round
+      // localCheckpoint, not persist: the round references `labels` three
+      // times, so bare caching grows the logical plan 3^rounds — plan
+      // stringification alone OOMs past ~9 rounds. The eager checkpoint
+      // materializes the round AND truncates lineage to the stored
+      // blocks. (Trade: an executor loss mid-algorithm fails the job
+      // instead of recomputing — the standard iterative-graph trade; a
+      // cluster deployment would set a reliable checkpoint dir.)
       val next = labels
         .join(neighborMin, Seq("node"), "left_outer")
+        .join(grandparent, col("label") === col("__gnode"), "left_outer")
         .select(col("node"),
-          least(col("label"), coalesce(col("__nmin"), col("label")))
-            .as("label"),
-          (coalesce(col("__nmin"), col("label")) < col("label"))
+          least(col("label"),
+            least(coalesce(col("__nmin"), col("label")),
+              coalesce(col("__gl"), col("label")))).as("label"),
+          (least(coalesce(col("__nmin"), col("label")),
+            coalesce(col("__gl"), col("label"))) < col("label"))
             .as("__chg"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.filter(col("__chg")).count()
       cached.unpersist()
       cached = next
@@ -231,7 +255,7 @@ object Dedup {
     // itself stays persisted: callers done with it may .unpersist().
     edges.unpersist()
     p.unpersist()
-    labels.select(col("node"), col("label").as("cluster_id"))
+    (labels.select(col("node"), col("label").as("cluster_id")), rounds)
   }
 
   /** [[exactJaccard]] by COUNTS instead of array joins: intersection

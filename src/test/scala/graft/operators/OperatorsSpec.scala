@@ -164,6 +164,21 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(j === 0.5)
   }
 
+  test("dupClusters pointer doubling: long chain converges in O(log n)") {
+    // a 200-link chain is the adversarial case for plain neighbor-min
+    // propagation (200 rounds = 200 shuffles); pointer doubling must
+    // finish in ~log2(200)+slack rounds with the correct single cluster
+    val n = 200
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val (df, rounds) = Dedup.dupClustersStats(pairs, "id_a", "id_b")
+    val labels = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === n)
+    assert(labels.forall(_._2 == 0L))
+    assert(rounds <= 12, s"rounds=$rounds")
+    df.unpersist()
+  }
+
   test("CollectCapped keeps complete small groups, nulls out hot keys") {
     val df = ((1L to 6L).map(v => ("hot", v)) ++
       Seq(("cold", 10L), ("cold", 11L), ("lone", 7L))).toDF("k", "v")
