@@ -32,17 +32,30 @@ object GraftFunctions {
     "minhash_sig" -> ((args: Seq[Expression]) =>
       MinHashSig(args(0), intArg(args(1), "minhash_sig(k)"))))
 
-  /** Make all graft SQL functions available in a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Make all graft SQL functions, the custom planner strategy and the
+    * optimizer rule available in a live session (idempotent — safe to
+    * call once per suite on a shared session). */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       Bridge.registerTempFunction(spark, name, b)
     }
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies
+        .filterNot(_ == graft.plans.TopKStrategy) :+ graft.plans.TopKStrategy
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.PushFilterThroughTopK) :+
+        graft.plans.PushFilterThroughTopK
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), b))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
+  }
 }

@@ -765,6 +765,21 @@ object SparkEntry {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // Per-key top-k through the CUSTOM PLAN (plans.TopKPerKey: logical
+    // node → TopKStrategy → partial/final bounded-heap SparkPlans): only
+    // k rows per key per partition reach the shuffle and nothing sorts —
+    // q07 is the same semantics through the window composition.
+    "q59_topk_native" -> ((s, d) => {
+      graft.plans.TopKPerKey(
+          Tables.lineitem(s, d).select($"l_returnflag", $"l_extendedprice",
+            $"l_orderkey", $"l_linenumber"),
+          Seq("l_returnflag"),
+          Seq($"l_extendedprice".desc, $"l_orderkey".asc,
+            $"l_linenumber".asc), k = 5)
+        .orderBy($"l_returnflag", $"l_extendedprice".desc, $"l_orderkey",
+          $"l_linenumber")
+    }),
+
     // Train/eval CONTAMINATION screen: per eval document (source=src0),
     // the fraction of its 3-gram shingles present anywhere in the rest
     // of the corpus (the "training set"). The screen every benchmark
@@ -1568,6 +1583,18 @@ object SparkEntry {
         |   AND floor(CAST(top_c AS DOUBLE) / n_words * 10000 + 0.5)
         |     / 10000.0 <= 0.2) AS keep
         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q59_topk_native" ->
+      """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+        |FROM (
+        |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |      AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 5
+        |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey,
+        |  l_linenumber""".stripMargin,
 
     // quality/stop/punct expressions mirror q28's; rate arithmetic keeps
     // Spark's exact operation order (rounded only at output)

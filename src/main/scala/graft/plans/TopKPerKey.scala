@@ -1,0 +1,143 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.Bridge
+
+/** Whole-operator custom plan: per-key top-k WITHOUT a per-key sort.
+  *
+  * The compositional form (`row_number` window + filter, q07) sorts every
+  * key's full row set — at 100 TB the shuffle carries every row and each
+  * task sorts its whole partition to keep k of them. This operator plans
+  * as TWO physical stages, shaped like a partial/final aggregate:
+  *
+  *   partial: per input partition, a bounded k-heap per key — only
+  *            `k · keys-per-partition` rows survive to the shuffle;
+  *   final:   the same heaps after a hash exchange on the keys — exact
+  *            per-key top-k, no sort anywhere, state bounded by k.
+  *
+  * This is the (c) rung of the custom-operator ladder (logical node +
+  * strategy + physical node + optimizer rule via SparkSessionExtensions /
+  * experimental methods), used when composition can't express the
+  * OPERATOR'S COST — the semantics are expressible with a window, the
+  * bounded-heap plan is not.
+  *
+  * The ordering must be TOTAL (include a tiebreaker column) for
+  * deterministic output. Output rows are the surviving rows, unordered —
+  * callers sort for presentation.
+  */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                      child: LogicalPlan) extends UnaryNode {
+  require(k > 0)
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
+    copy(child = c)
+}
+
+object TopKPerKey {
+  /** API entry: top `k` rows per `keyCols` group under `orderCols`
+    * (construct with `col(...).desc` / `.asc`; append a unique tiebreaker
+    * for determinism). */
+  def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+            k: Int): DataFrame = {
+    val keys = keyCols.map(UnresolvedAttribute(_))
+    val sorts = orderCols.map(Bridge.toCatalyst).map {
+      case s: SortOrder => s
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    Bridge.ofRows(df.sparkSession,
+      TopKPerKey(keys, sorts, k, df.queryExecution.logical))
+  }
+}
+
+/** Physical per-key bounded-heap selection. `partial = true` runs before
+  * the exchange (any distribution, output is a superset candidate set);
+  * `partial = false` requires clustering on the keys and emits the exact
+  * top-k. */
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+                          k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyExprs = keys
+    val sortExprs = order
+    val childOutput = child.output
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
+      val ord = new LazilyGeneratedOrdering(sortExprs, childOutput)
+      // per-key max-heap under `ord`: the root is the WORST survivor, so
+      // a better row evicts it in O(log k); state = k rows per key seen
+      // in this partition, never the partition's row count
+      val heaps = mutable.HashMap.empty[UnsafeRow,
+        mutable.PriorityQueue[UnsafeRow]]
+      it.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow](
+              ord.asInstanceOf[Ordering[UnsafeRow]])
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < kLocal) heap.enqueue(rowProj(row).copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(rowProj(row).copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+}
+
+/** Plans [[TopKPerKey]] as partial → (exchange via required
+  * distribution) → final. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true,
+          planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Optimizer rule: a filter on the KEY columns commutes with per-key
+  * top-k (dropping whole groups never changes the survivors of other
+  * groups), so push it below the operator where it can keep descending
+  * toward the scan. A filter on non-key columns must NOT move (it would
+  * change which rows compete). */
+object PushFilterThroughTopK extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, t @ TopKPerKey(keys, _, _, child))
+        if f.references.nonEmpty &&
+          f.references.subsetOf(
+            org.apache.spark.sql.catalyst.expressions.AttributeSet(
+              keys.flatMap(_.references))) =>
+      t.copy(child = Filter(cond, child))
+  }
+}

@@ -13,10 +13,26 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → catalyst conversion (expression() returns a lazy
+    * ColumnNode wrapper that only the Dataset API paths unwrap; a custom
+    * logical node needs the real expression tree — e.g. a catalyst
+    * SortOrder from `col.desc` — up front). */
+  def toCatalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Register a function builder into a LIVE session's registry (the
     * extensions path only applies at session build time). */
   def registerTempFunction(spark: org.apache.spark.sql.SparkSession,
       name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Wrap a custom logical plan in a DataFrame (Dataset.ofRows is
+    * `private[sql]`) — the entry point for library-defined operators that
+    * plan through a custom SparkStrategy. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

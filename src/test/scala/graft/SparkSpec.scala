@@ -18,6 +18,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s) // SQL functions + planner strategy + rule
     s
   }
 }
