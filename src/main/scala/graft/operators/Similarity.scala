@@ -40,10 +40,22 @@ object Similarity {
         col(vecCol).as("__cvec"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("__cvec"), col("__qvec")))
+    rankTopK(scored, k)
+  }
+
+  /** Shared tail of the top-k searches: keep k rows per query via the
+    * custom bounded-heap plan ([[graft.plans.TopKPerKey]] — a window here
+    * would sort |scored| rows on |queries| tasks at any cluster size),
+    * then rank the surviving k·|queries| rows with a now-trivial window.
+    * `scored` must have (query_id, neighbor_id, sim); ties break by
+    * neighbor_id so the output is total-ordered and deterministic. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val kept = graft.plans.TopKPerKey(
+      scored.select(col("query_id"), col("neighbor_id"), col("sim")),
+      Seq("query_id"), Seq(col("sim").desc, col("neighbor_id").asc), k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    kept.withColumn("rk", row_number().over(w))
       .select(col("query_id"), col("rk"), col("neighbor_id"),
         graft.Fns.roundU(col("sim"), 4).as("sim"))
   }
@@ -187,11 +199,7 @@ object Similarity {
       .join(broadcast(probes), Seq("cell_id"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("__qvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(idCol).asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"),
-        graft.Fns.roundU(col("sim"), 4).as("sim"))
+      .withColumnRenamed(idCol, "neighbor_id")
+    rankTopK(scored, k)
   }
 }

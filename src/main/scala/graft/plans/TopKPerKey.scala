@@ -50,6 +50,11 @@ object TopKPerKey {
     * for determinism). */
   def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
             k: Int): DataFrame = {
+    // self-registering: extraStrategies is session-mutable, so callers
+    // (and operators composing this) need no setup step
+    val exp = df.sparkSession.experimental
+    if (!exp.extraStrategies.contains(TopKStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
     val keys = keyCols.map(UnresolvedAttribute(_))
     val sorts = orderCols.map(Bridge.toCatalyst).map {
       case s: SortOrder => s
