@@ -786,11 +786,14 @@ object SparkEntry {
     // eval runs before trusting its numbers. Shingles compare by 64-bit
     // hash (collision odds ~2^-64, same accepted class as q52).
     "q53_contamination" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val train = Dedup.hashedShingleSets(
-        docs.filter($"source" =!= "src0"), "text", "doc_id", 3)
-      val eval = Dedup.hashedShingleSets(
-        docs.filter($"source" === "src0"), "text", "doc_id", 3)
+      // ONE scan-and-shingle pass with `source` carried along, persisted;
+      // the train/eval split filters the RESULT (two separate
+      // hashedShingleSets calls would scan and shingle the corpus twice)
+      val sets = Dedup.hashedShingleSets(Tables.documents(s, d),
+          "text", "doc_id", 3, carryCols = Seq("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val train = sets.filter($"source" =!= "src0").select($"id", $"sh")
+      val eval = sets.filter($"source" === "src0").select($"id", $"sh")
       Dedup.containment(train, eval)
         .select($"id".as("doc_id"), $"n_shingles", $"n_matched",
           $"containment")

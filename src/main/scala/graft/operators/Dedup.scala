@@ -244,15 +244,22 @@ object Dedup {
             .as("__chg"))
         .localCheckpoint(true)
       val changed = next.filter(col("__chg")).count()
+      // round 1's seed labels live in the CacheManager (unpersist);
+      // later rounds are checkpointed RDD blocks, which unpersist does
+      // NOT reach — free them explicitly or every round leaks a full
+      // label-table copy until driver GC
       cached.unpersist()
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(cached)
       cached = next
       labels = next.select(col("node"), col("label"))
       converged = changed == 0
     }
-    // the result cache is already materialized (the convergence count ran
-    // over it); pairs/edges are only lineage now — recomputable if the
-    // result is ever evicted — so release them. The returned DataFrame
-    // itself stays persisted: callers done with it may .unpersist().
+    // the result is already materialized (the convergence count ran over
+    // it); pairs/edges are only lineage now — recomputable if the result
+    // is ever evicted — so release them. The returned DataFrame's
+    // checkpointed blocks are freed by the ContextCleaner once the
+    // caller drops the reference (or eagerly via
+    // Bridge.unpersistCheckpoint).
     edges.unpersist()
     p.unpersist()
     (labels.select(col("node"), col("label").as("cluster_id")), rounds)
@@ -355,10 +362,15 @@ object Dedup {
     * string-set value only on a 64-bit collision (~2^-64 per shingle
     * pair — accepted and documented at [[rareShinglePairs]]). */
   def hashedShingleSets(df: DataFrame, textCol: String, idCol: String,
-                        shingleWords: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
+                        shingleWords: Int = 3,
+                        carryCols: Seq[String] = Nil): DataFrame =
+    // carryCols lets one shingling pass serve multiple downstream
+    // splits (e.g. a train/eval partition by source): shingle once,
+    // persist, filter the RESULT — instead of scanning and shingling
+    // the corpus once per split
+    df.select(col(idCol).as("id") +: carryCols.map(col) :+
       transform(wordShingles(col(textCol), shingleWords),
-        g => xxhash64(g)).as("sh"))
+        g => xxhash64(g)).as("sh"): _*)
 
   /** [[rareShinglePairs]] over a precomputed [[hashedShingleSets]] table —
     * same output (modulo the documented hash-collision cases) in ONE
@@ -367,8 +379,11 @@ object Dedup {
     * collect per shingle ([[graft.functions.CollectCapped]] — state stays
     * bounded even on a stop-shingle key) followed by a local i<j pair
     * expansion (at most C(maxDf,2) rows per surviving shingle) and the
-    * pair distinct. Null ids are filtered up front (they can never form
-    * a pair; the join form dropped them via the `<` predicate). */
+    * pair distinct. Null-id rows COUNT toward a shingle's df (they make
+    * it less rare, matching the join form, where nulls fall out only at
+    * the `<` predicate) but never appear in a pair; internally they ride
+    * as a Long.MinValue sentinel through the capped collect, so a
+    * corpus using Long.MinValue as a REAL id is not supported here. */
   def rareShinglePairsFromSets(sets: DataFrame, maxDf: Int = 10)
       : DataFrame = {
     val ids = col("__ids")
@@ -376,11 +391,13 @@ object Dedup {
       i => transform(sequence(i + 1, size(ids) - 1),
         j => struct(element_at(ids, i + 1).as("x"),
           element_at(ids, j + 1).as("y")))))
-    sets.select(explode(col("sh")).as("__rg"), col("id"))
-      .filter(col("id").isNotNull)
+    sets.select(explode(col("sh")).as("__rg"),
+        coalesce(col("id"), lit(Long.MinValue)).as("id"))
       .groupBy(col("__rg"))
-      .agg(graft.functions.CollectCapped(maxDf)(col("id")).as("__ids"))
-      .filter(ids.isNotNull && size(ids) >= 2)
+      .agg(graft.functions.CollectCapped(maxDf)(col("id")).as("__ids0"))
+      .filter(col("__ids0").isNotNull)
+      .withColumn("__ids", array_remove(col("__ids0"), Long.MinValue))
+      .filter(size(ids) >= 2)
       .select(explode(pairCombos).as("__p"))
       .select(least(col("__p.x"), col("__p.y")).as("id_a"),
         greatest(col("__p.x"), col("__p.y")).as("id_b"))

@@ -30,8 +30,15 @@ object Packing {
     * state is O(partitions × spanning groups) — partition-boundary
     * crossings, not group cardinality.
     *
-    * The input is materialized twice (offset job + final pass re-run the
-    * shuffle); callers chaining further passes should persist the result.
+    * The sorted input is PERSISTED inside the operator — not only to
+    * avoid re-running the shuffle, but for CORRECTNESS: the offsets job
+    * and the final pass are separate executions, and repartitionByRange
+    * picks boundaries from a per-execution reservoir sample, so without
+    * one materialized partitioning a boundary row could land in
+    * partition p during the offsets job and p+1 during the final pass,
+    * silently mismatching its broadcast offset. The cache is released
+    * by the session-level cache clear (Bench/Verify do this per query);
+    * callers managing their own lifecycle may clearCache() when done.
     * Output = input columns + `outCol` (running total INCLUDING the
     * current row). Nulls in `valCol` count as 0.
     */
@@ -44,6 +51,7 @@ object Packing {
       .repartitionByRange(n, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grpIdx = grpCols.indices
     // (pid, grpKey) -> partition-local group total; small by construction
     val totals = sorted

@@ -105,10 +105,15 @@ object TextAnalysis {
 
   /** Redact every match of `pattern` and re-normalize whitespace (so a
     * removed token doesn't leave a double space behind). `replacement`
-    * is literal — use a marker like "<PII>" to keep offsets auditable, or
-    * "" to drop matches outright. */
+    * is literal — quoted against java.util.regex group references, so a
+    * marker like "<$PII>" inserts exactly that text instead of throwing
+    * (and "$0" can never silently re-insert the matched PII). */
   def redact(text: Column, pattern: String,
-             replacement: String = ""): Column =
-    trim(regexp_replace(regexp_replace(text, pattern, replacement),
+             replacement: String = ""): Column = {
+    val quoted =
+      if (replacement.isEmpty) replacement
+      else java.util.regex.Matcher.quoteReplacement(replacement)
+    trim(regexp_replace(regexp_replace(text, pattern, quoted),
       " {2,}", " "))
+  }
 }

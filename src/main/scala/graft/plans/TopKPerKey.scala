@@ -35,6 +35,13 @@ import org.apache.spark.sql.graft.Bridge
   * The ordering must be TOTAL (include a tiebreaker column) for
   * deterministic output. Output rows are the surviving rows, unordered —
   * callers sort for presentation.
+  *
+  * Restriction: keys group by RAW binary equality (no floating-point
+  * normalization — Spark's NormalizeFloatingNumbers rule does not know
+  * this node), so a float/double key column containing both 0.0 and
+  * -0.0 (or differing NaN bit patterns) would split a group the window
+  * composition treats as one. Use integral/string keys, or normalize
+  * float keys upstream.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                       child: LogicalPlan) extends UnaryNode {
@@ -131,15 +138,24 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
-/** Optimizer rule: a filter on the KEY columns commutes with per-key
-  * top-k (dropping whole groups never changes the survivors of other
-  * groups), so push it below the operator where it can keep descending
-  * toward the scan. A filter on non-key columns must NOT move (it would
-  * change which rows compete). */
+/** Optimizer rule: a deterministic filter on ATTRIBUTE keys commutes
+  * with per-key top-k (dropping whole groups never changes the survivors
+  * of other groups), so push it below the operator where it can keep
+  * descending toward the scan.
+  *
+  * The guards are load-bearing: (1) keys must be bare attributes — for a
+  * derived key like `col % 10`, a filter on `col` touches only key
+  * *references* yet distinguishes rows WITHIN a group, so pushing it
+  * changes who competes; (2) the condition must be deterministic (a
+  * pushed `rand()` would evaluate before selection instead of after —
+  * same requirement as Spark's own PushDownPredicates); (3) non-key
+  * filters never move. */
 object PushFilterThroughTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, t @ TopKPerKey(keys, _, _, child))
-        if f.references.nonEmpty &&
+        if cond.deterministic &&
+          keys.forall(_.isInstanceOf[Attribute]) &&
+          f.references.nonEmpty &&
           f.references.subsetOf(
             org.apache.spark.sql.catalyst.expressions.AttributeSet(
               keys.flatMap(_.references))) =>

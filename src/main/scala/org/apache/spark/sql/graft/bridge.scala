@@ -27,6 +27,18 @@ object Bridge {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
 
+  /** Unpersist the RDD blocks behind a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` only talks to the CacheManager, which has no
+    * entry for a LogicalRDD-backed checkpoint — without this, every
+    * round of an iterative algorithm leaks a full checkpointed copy
+    * until driver GC. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Wrap a custom logical plan in a DataFrame (Dataset.ofRows is
     * `private[sql]`) — the entry point for library-defined operators that
     * plan through a custom SparkStrategy. */

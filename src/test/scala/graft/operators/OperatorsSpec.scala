@@ -274,10 +274,34 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     val r = df.select(
       TextAnalysis.redact($"t", pat).as("clean"),
       TextAnalysis.redact($"t", pat, "<PII>").as("marked"),
-      TextAnalysis.matchCount($"t", pat).as("n")).collect()(0)
+      TextAnalysis.matchCount($"t", pat).as("n"),
+      // $ and \ in the marker must be literal, never group references
+      // ("$0" re-inserting the matched PII is the nightmare case)
+      TextAnalysis.redact($"t", pat, "<$0\\>").as("dollar")).collect()(0)
     assert(r.getString(0) === "mail me at or today")
     assert(r.getString(1) === "mail me at <PII> or <PII> today")
     assert(r.getInt(2) === 2)
+    assert(r.getString(3) === "mail me at <$0\\> or <$0\\> today")
+  }
+
+  test("rareShinglePairsFromSets: null ids count toward df, never pair") {
+    // shingle "x y z" is shared by two real docs + one null-id doc;
+    // with maxDf = 2 the null row pushes df to 3 → NO candidates, same
+    // as the string-based join form (nulls fall out only at the pair
+    // predicate there)
+    val docs = Seq[(Option[Long], String)](
+      (Some(1L), "x y z"), (Some(2L), "x y z"), (None, "x y z"))
+      .toDF("doc_id", "text")
+    val sets = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
+    val viaSets = Dedup.rareShinglePairsFromSets(sets, maxDf = 2).count()
+    val viaStrings = Dedup.rareShinglePairs(docs, "text", "doc_id",
+      shingleWords = 3, maxDf = 2).count()
+    assert(viaSets === viaStrings)
+    assert(viaSets === 0L)
+    // at maxDf = 3 the pair of REAL docs emerges; the null never pairs
+    val pairs3 = Dedup.rareShinglePairsFromSets(sets, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs3 === Seq((1L, 2L)))
   }
 
   test("Packing.prefixSum equals the window running sum, any partitioning") {
