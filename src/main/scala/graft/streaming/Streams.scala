@@ -177,6 +177,63 @@ object Streams {
       }
   }
 
+  /** Keyed item occurrence for [[runningHeavyHitters]]. */
+  case class ItemEvent(key: String, item: String)
+
+  /** Space-Saving counter state: item → (count, overestimate). */
+  case class HHState(counts: Map[String, (Long, Long)])
+
+  /** Per-key heavy-hitter report, one row per key per micro-batch.
+    * `err(i)` bounds how much `count(i)` may overestimate the true
+    * frequency (0 while the counter table never overflowed). */
+  case class HeavyHitters(key: String, items: Seq[String],
+                          counts: Seq[Long], errs: Seq[Long])
+
+  /** STREAMING TOP-K (heavy hitters) — the unbounded-stream counterpart
+    * of the batch [[graft.plans.TopKPerKey]]: per key, the `k` most
+    * frequent items so far, tracked by the Space-Saving sketch in AT
+    * MOST `m` counters per key however many distinct items flow past.
+    * When a new item meets a full table it REPLACES the minimum counter
+    * and inherits its count (+1), recording that count as its possible
+    * overestimate — the classic guarantee: any item with true frequency
+    * > N/m is in the table, and every count is exact to within its err.
+    * Emits the current top-k per key each trigger.
+    *
+    * Rows within a micro-batch are processed in (item) sorted order so
+    * results are deterministic under shuffle — arrival order within one
+    * batch is not meaningful anyway. Works on batch Datasets too (one
+    * "batch"). */
+  def runningHeavyHitters(events: Dataset[ItemEvent], k: Int, m: Int)
+      : Dataset[HeavyHitters] = {
+    require(k >= 1 && m >= k,
+      s"need m >= k >= 1 counters, got k=$k m=$m")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[HHState, HeavyHitters](
+        GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[HHState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+          rows.map(_.item).toArray.sorted.foreach { item =>
+            counts.get(item) match {
+              case Some((c, e)) => counts += item -> (c + 1, e)
+              case None if counts.size < m => counts += item -> (1L, 0L)
+              case None =>
+                // evict the minimum counter (ties by item for
+                // determinism); the newcomer inherits its count
+                val (minItem, (minC, _)) =
+                  counts.minBy { case (i, (c, _)) => (c, i) }
+                counts -= minItem
+                counts += item -> (minC + 1, minC)
+            }
+          }
+          state.update(HHState(counts))
+          val top = counts.toSeq
+            .sortBy { case (i, (c, _)) => (-c, i) }.take(k)
+          HeavyHitters(key, top.map(_._1), top.map(_._2._1),
+            top.map(_._2._2))
+      }
+  }
+
   /** The SURVEY §3.2 dimension-build pipeline, streaming form: watch the
     * block stream, regex-detect pool-creation transactions (O33), and
     * upsert the candidates into a parquet registry snapshot via

@@ -48,6 +48,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningHeavyHitters: exact when counters suffice, bounded evict") {
+    val dir = Files.createTempDirectory("graft-hh").toFile
+    def write(name: String, items: Seq[String]): Unit =
+      Files.writeString(dir.toPath.resolve(name),
+        items.map(i => s"""{"key":"k1","item":"$i"}""").mkString("\n"))
+    write("b1.json", Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+    val stream = spark.readStream.schema("key STRING, item STRING")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      .as[Streams.ItemEvent]
+    val q = Streams.runningHeavyHitters(stream, k = 2, m = 3)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("hh").collect().last
+      // m=3 holds all distinct items: exact counts, zero error
+      assert(b1.getAs[scala.collection.Seq[String]]("items").toSeq ===
+        Seq("a", "b"))
+      assert(b1.getAs[scala.collection.Seq[Long]]("counts").toSeq ===
+        Seq(5L, 3L))
+      assert(b1.getAs[scala.collection.Seq[Long]]("errs").toSeq ===
+        Seq(0L, 0L))
+      // batch 2: a NEW item floods in past the full table — it must
+      // evict the current minimum (c:1) and carry its count as err,
+      // while the true heavy item a stays exact FROM STATE
+      write("b2.json", Seq.fill(10)("d"))
+      q.processAllAvailable()
+      val b2 = spark.table("hh").orderBy(desc("counts")).collect()
+        .maxBy(_.getAs[scala.collection.Seq[Long]]("counts").head)
+      val items2 = b2.getAs[scala.collection.Seq[String]]("items").toSeq
+      val counts2 = b2.getAs[scala.collection.Seq[Long]]("counts").toSeq
+      assert(items2 === Seq("d", "a"))
+      assert(counts2 === Seq(11L, 5L)) // d inherited c's 1 + 10 arrivals
+      assert(b2.getAs[scala.collection.Seq[Long]]("errs").toSeq ===
+        Seq(1L, 0L))
+    } finally q.stop()
+  }
+
   test("runningQuantiles: same code path runs on a batch Dataset") {
     val ds = (1 to 99).map(v => Streams.KeyedValue("k", v.toDouble)).toDS()
     val r = Streams.runningQuantiles(ds, Seq(0.5)).collect()(0)
