@@ -780,6 +780,26 @@ object SparkEntry {
           $"l_linenumber")
     }),
 
+    // Corpus snapshot diff (data versioning): the "new" snapshot is a
+    // deterministic rewrite of the current corpus — every 7th doc
+    // dropped, every 10th (surviving) doc's text edited, five new docs
+    // appended — and the diff reports the per-doc verdict. Only
+    // (key, md5) pairs shuffle, never text.
+    "q60_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newSnap = docs.filter($"doc_id" % 7 =!= 0)
+        .withColumn("text",
+          when($"doc_id" % 10 === 0, concat($"text", lit(" edited")))
+            .otherwise($"text"))
+        .select($"doc_id", $"text")
+        .unionByName(docs.filter($"doc_id" < 5)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      Diff.snapshotDiff(docs.select($"doc_id", $"text"), newSnap,
+          "doc_id", df => md5(df("text")))
+        .filter($"change" =!= "unchanged")
+        .orderBy($"doc_id")
+    }),
+
     // Train/eval CONTAMINATION screen: per eval document (source=src0),
     // the fraction of its 3-gram shingles present anywhere in the rest
     // of the corpus (the "training set"). The screen every benchmark
@@ -1586,6 +1606,28 @@ object SparkEntry {
         |   AND floor(CAST(top_c AS DOUBLE) / n_words * 10000 + 0.5)
         |     / 10000.0 <= 0.2) AS keep
         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q60_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |new AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 0 THEN text || ' edited'
+        |             ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp
+        |  FROM documents WHERE doc_id < 5)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp <> n.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        |WHERE (CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp <> n.fp THEN 'changed'
+        |       ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
 
     "q59_topk_native" ->
       """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber

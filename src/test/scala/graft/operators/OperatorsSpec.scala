@@ -328,6 +328,17 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(r.toSeq === Seq((0L, 2L, 7L, 1L), (1L, 1L, 5L, 0L)))
   }
 
+  test("Diff.snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("id", "text")
+    val d = Diff.snapshotDiff(oldSnap, newSnap, "id", df => md5(df("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("Similarity.cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
       .toDF("a", "b", "c")
