@@ -137,6 +137,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q60 diff: join branches carry key + fingerprint only, no text") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val joinChildren = collectAll(plan("q60_corpus_diff")) {
+      case j: SortMergeJoinExec => j.children
+      case j: BroadcastHashJoinExec => j.children
+      case j: ShuffledHashJoinExec => j.children
+    }.flatten
+    assert(joinChildren.nonEmpty)
+    joinChildren.foreach { c =>
+      assert(c.schema.fields.length <= 2 &&
+        c.schema.fieldNames.forall(n => n == "doc_id" || n.startsWith("__fp")),
+        c.schema.fieldNames.mkString(","))
+    }
+  }
+
   test("q26 ANN: corpus scan reads only id + vector columns") {
     val scans = collectAll(plan("q26_embed_topk")) {
       case f: FileSourceScanExec => f
