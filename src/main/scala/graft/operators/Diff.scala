@@ -23,13 +23,20 @@ object Diff {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
                    fingerprint: DataFrame => Column): DataFrame = {
-    val o = oldDf.select(col(keyCol), fingerprint(oldDf).as("__fp_old"))
-    val n = newDf.select(col(keyCol), fingerprint(newDf).as("__fp_new"))
+    // presence is tracked by explicit markers, NOT by fingerprint
+    // nullability: a row whose fingerprint evaluates to NULL (e.g.
+    // md5 of a NULL text) is still PRESENT, and must compare as
+    // changed/unchanged via null-safe equality rather than read as a
+    // missing row
+    val o = oldDf.select(col(keyCol), fingerprint(oldDf).as("__fp_old"),
+      lit(true).as("__in_old"))
+    val n = newDf.select(col(keyCol), fingerprint(newDf).as("__fp_new"),
+      lit(true).as("__in_new"))
     o.join(n, Seq(keyCol), "full_outer")
       .select(col(keyCol),
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old") =!= col("__fp_new"), "changed")
-          .otherwise("unchanged").as("change"))
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__fp_old") <=> col("__fp_new"), "unchanged")
+          .otherwise("changed").as("change"))
   }
 }

@@ -183,9 +183,11 @@ object Streams {
   /** Space-Saving counter state: item → (count, overestimate). */
   case class HHState(counts: Map[String, (Long, Long)])
 
-  /** Per-key heavy-hitter report, one row per key per micro-batch.
-    * `err(i)` bounds how much `count(i)` may overestimate the true
-    * frequency (0 while the counter table never overflowed). */
+  /** Per-key heavy-hitter report, one row per key OBSERVED in the
+    * micro-batch (a key with no arrivals in a trigger emits nothing
+    * that trigger — its last report stands). `err(i)` bounds how much
+    * `count(i)` may overestimate the true frequency (0 while the
+    * counter table never overflowed). */
   case class HeavyHitters(key: String, items: Seq[String],
                           counts: Seq[Long], errs: Seq[Long])
 
@@ -213,17 +215,29 @@ object Streams {
         GroupStateTimeout.NoTimeout()) {
         (key, rows, state: GroupState[HHState]) =>
           var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
-          rows.map(_.item).toArray.sorted.foreach { item =>
+          // pre-aggregate the batch to per-item occurrence counts (a
+          // heavy-hitter stream is skewed by definition — sorting every
+          // occurrence would be O(n log n) on millions of repeats of a
+          // few items), then apply Space-Saving per DISTINCT item in
+          // sorted order. Batch-equivalent to per-occurrence processing:
+          // sorted order groups an item's occurrences consecutively, so
+          // a monitored item adds its whole batch count, and an evicting
+          // newcomer takes (minC + batchCount, minC) — identical to
+          // batchCount sequential arrivals.
+          val batch = scala.collection.mutable.Map.empty[String, Long]
+          rows.foreach(r => batch.update(r.item,
+            batch.getOrElse(r.item, 0L) + 1L))
+          batch.toArray.sortBy(_._1).foreach { case (item, c) =>
             counts.get(item) match {
-              case Some((c, e)) => counts += item -> (c + 1, e)
-              case None if counts.size < m => counts += item -> (1L, 0L)
+              case Some((c0, e)) => counts += item -> (c0 + c, e)
+              case None if counts.size < m => counts += item -> (c, 0L)
               case None =>
                 // evict the minimum counter (ties by item for
                 // determinism); the newcomer inherits its count
                 val (minItem, (minC, _)) =
-                  counts.minBy { case (i, (c, _)) => (c, i) }
+                  counts.minBy { case (i, (cc, _)) => (cc, i) }
                 counts -= minItem
-                counts += item -> (minC + 1, minC)
+                counts += item -> (minC + c, minC)
             }
           }
           state.update(HHState(counts))

@@ -117,19 +117,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(wins.isEmpty, wins.mkString(" | "))
   }
 
-  test("q53 contamination: only 8-byte shingle keys reach its joins") {
-    // the join input schemas must be (id/hash) longs only — a text or
-    // shingle-string column in a join branch means the corpus is being
-    // shuffled
+  // every equi-join exec's input plans — shared by the narrow-join
+  // guards so a new join exec variant only needs adding here
+  private def joinChildren(q: String): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
-    val p = plan("q53_contamination")
-    val joinChildren = collectAll(p) {
+    val cs = collectAll(plan(q)) {
       case j: SortMergeJoinExec => j.children
       case j: BroadcastHashJoinExec => j.children
       case j: ShuffledHashJoinExec => j.children
     }.flatten
-    assert(joinChildren.nonEmpty)
-    joinChildren.foreach { c =>
+    assert(cs.nonEmpty, s"no equi-joins found in $q's plan")
+    cs
+  }
+
+  test("q53 contamination: only 8-byte shingle keys reach its joins") {
+    // the join input schemas must be (id/hash) longs only — a text or
+    // shingle-string column in a join branch means the corpus is being
+    // shuffled
+    joinChildren("q53_contamination").foreach { c =>
       assert(c.schema.fields.forall(f =>
         f.dataType == org.apache.spark.sql.types.LongType ||
           f.dataType == org.apache.spark.sql.types.IntegerType),
@@ -137,17 +142,11 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q60 diff: join branches carry key + fingerprint only, no text") {
-    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
-    val joinChildren = collectAll(plan("q60_corpus_diff")) {
-      case j: SortMergeJoinExec => j.children
-      case j: BroadcastHashJoinExec => j.children
-      case j: ShuffledHashJoinExec => j.children
-    }.flatten
-    assert(joinChildren.nonEmpty)
-    joinChildren.foreach { c =>
-      assert(c.schema.fields.length <= 2 &&
-        c.schema.fieldNames.forall(n => n == "doc_id" || n.startsWith("__fp")),
+  test("q60 diff: join branches carry key+fingerprint+marker, no text") {
+    joinChildren("q60_corpus_diff").foreach { c =>
+      assert(c.schema.fields.length <= 3 &&
+        c.schema.fieldNames.forall(n => n == "doc_id" ||
+          n.startsWith("__fp") || n.startsWith("__in")),
         c.schema.fieldNames.mkString(","))
     }
   }

@@ -11,10 +11,22 @@ class StreamsSpec extends SparkSpec {
   import spark.implicits._
   import Streams.PriceEvent
 
+  /** Atomic drop into a stream-watched directory: write outside, then
+    * ATOMIC_MOVE in. A plain Files.writeString races the running
+    * FileStreamSource, which can list-and-ingest a half-written file
+    * (and never re-read it) — an intermittent CI failure. */
+  private def dropFile(dir: java.io.File, name: String,
+                       content: String): Unit = {
+    val tmp = Files.createTempFile(dir.toPath.getParent, s".$name", ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, dir.toPath.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   test("runningQuantiles: bounded sketch refines across micro-batches") {
     val dir = Files.createTempDirectory("graft-quant").toFile
     def write(name: String, lines: Seq[String]): Unit =
-      Files.writeString(dir.toPath.resolve(name), lines.mkString("\n"))
+      dropFile(dir, name, lines.mkString("\n"))
     write("b1.json",
       (0 to 100).map(v => s"""{"key":"k1","value":$v.0}"""))
     val stream = spark.readStream.schema("key STRING, value DOUBLE")
@@ -51,7 +63,7 @@ class StreamsSpec extends SparkSpec {
   test("runningHeavyHitters: exact when counters suffice, bounded evict") {
     val dir = Files.createTempDirectory("graft-hh").toFile
     def write(name: String, items: Seq[String]): Unit =
-      Files.writeString(dir.toPath.resolve(name),
+      dropFile(dir, name,
         items.map(i => s"""{"key":"k1","item":"$i"}""").mkString("\n"))
     write("b1.json", Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
     val stream = spark.readStream.schema("key STRING, item STRING")
@@ -109,7 +121,7 @@ class StreamsSpec extends SparkSpec {
   test("suppressPrices: streaming carries state across micro-batches") {
     val dir = Files.createTempDirectory("graft-prices").toFile
     def write(name: String, lines: Seq[String]): Unit =
-      Files.writeString(dir.toPath.resolve(name), lines.mkString("\n"))
+      dropFile(dir, name, lines.mkString("\n"))
     // batch 1: first event emits; batch 2: small move must be suppressed
     // USING STATE FROM batch 1 (this is what the lag-window form can't do
     // across batches).
@@ -162,7 +174,7 @@ class StreamsSpec extends SparkSpec {
   test("streamingDedup drops duplicate keys across micro-batches") {
     val dir = Files.createTempDirectory("graft-sdedup").toFile
     def write(name: String, lines: Seq[String]): Unit =
-      Files.writeString(dir.toPath.resolve(name), lines.mkString("\n"))
+      dropFile(dir, name, lines.mkString("\n"))
     write("b1.json", Seq(
       """{"doc":"d1","ts":"2024-01-01T00:00:00Z"}""",
       """{"doc":"d1","ts":"2024-01-01T00:00:01Z"}"""))
@@ -304,7 +316,7 @@ class StreamsSpec extends SparkSpec {
     val snap = Files.createTempDirectory("graft-cdc-snap").toFile
       .getAbsolutePath + "/t"
     def write(name: String, lines: Seq[String]): Unit =
-      Files.writeString(changesDir.toPath.resolve(name),
+      dropFile(changesDir, name,
         lines.mkString("\n"))
     // batch 1: insert k=1, k=2
     write("c1.json", Seq(
@@ -352,7 +364,7 @@ class StreamsSpec extends SparkSpec {
   test("sessionStats: streaming session windows close via watermark") {
     val dir = Files.createTempDirectory("graft-sess").toFile
     def write(name: String, lines: Seq[String]): Unit =
-      Files.writeString(dir.toPath.resolve(name), lines.mkString("\n"))
+      dropFile(dir, name, lines.mkString("\n"))
     // batch 1: two events 40s apart → one session (gap 30 min)
     write("b1.json", Seq(
       """{"u":"a","ts":"2024-01-01T00:00:10Z","v":1.0}""",
