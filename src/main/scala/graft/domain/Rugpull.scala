@@ -20,6 +20,30 @@ object Rugpull {
   def parseBlocks(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(BlockSchema.block).json(path)
 
+  /** [[parseBlocks]] with malformed-input accounting: returns (parsed
+    * blocks, corrupt raw lines). The default PERMISSIVE read silently
+    * nulls out a malformed block — on a real ingest feed that reads as
+    * "empty block", and a systematic upstream corruption (truncated
+    * uploads, encoding bugs) goes unnoticed. Here the corrupt raw text
+    * is captured in a side output the pipeline can count, alert on, and
+    * replay after a fix; the good side is byte-identical to
+    * [[parseBlocks]] output. */
+  def parseBlocksTolerant(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = spark.read
+      .schema(BlockSchema.block.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // Spark requires referencing corrupt-record queries cached
+    val good = withCorrupt.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = withCorrupt.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    (good, bad)
+  }
+
   /** The flagship token-flow ledger (SURVEY.md §0). Output schema matches
     * FIXTURES.md §4:
     * timestamp, wallet, signature, mint, pre_balance, post_balance,

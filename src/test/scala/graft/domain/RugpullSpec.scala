@@ -203,6 +203,22 @@ class RugpullSpec extends SparkSpec {
     assert(Rugpull.detectPools(blocks, Map("P" -> Seq("I"))).count() === 0)
   }
 
+  test("parseBlocksTolerant separates corrupt lines from parsed blocks") {
+    val dir = Files.createTempDirectory("graft-tolblocks").toFile
+    Files.writeString(dir.toPath.resolve("mixed.json"),
+      Seq("""{"result": {"blockTime": 7, "transactions": []}}""",
+        "{truncated upload garbage",
+        """{"result": {"blockTime": 9, "transactions": []}}""").mkString("\n"))
+    val (good, bad) = Rugpull.parseBlocksTolerant(spark,
+      dir.getAbsolutePath)
+    assert(good.count() === 2)
+    assert(good.select("result.blockTime").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(7L, 9L))
+    val raws = bad.collect().map(_.getString(0))
+    assert(raws.length === 1 && raws(0).startsWith("{truncated"))
+    spark.catalog.clearCache() // parseBlocksTolerant caches internally
+  }
+
   test("freshPools keeps only young pools") {
     val pools = Seq(("P1", 1000L), ("P2", 800L))
       .toDF("pool_address", "openTime")

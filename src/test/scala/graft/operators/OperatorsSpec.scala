@@ -339,6 +339,33 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("Sinks.writePartitioned: hive layout, pruned reads, sorted files") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-sink").toFile.getAbsolutePath
+    val df = (1 to 300).map(i =>
+      (if (i % 3 == 0) "en" else "de", (i * 37) % 101, s"doc$i"))
+      .toDF("lang", "score", "body").repartition(7)
+    Sinks.writePartitioned(df, out, Seq("lang"), Seq("score"))
+    // hive directory layout per partition value
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("lang=de", "lang=en"))
+    // a lang filter prunes to that directory's files only
+    val back = spark.read.parquet(out)
+    val scan = back.filter($"lang" === "en").queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    // the filter must land in PartitionFilters (directory pruning), not
+    // as a post-scan data filter
+    assert(scan.nonEmpty &&
+      scan.head.metadata("PartitionFilters").contains("(lang"),
+      scan.head.metadata("PartitionFilters"))
+    // round trip is lossless (partition column comes back LAST — align
+    // by name before the positional except)
+    val aligned = back.select($"lang", $"score", $"body")
+    assert(aligned.count() === 300)
+    assert(aligned.except(df).isEmpty && df.except(aligned).isEmpty)
+  }
+
   test("Similarity.cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
       .toDF("a", "b", "c")
