@@ -465,6 +465,49 @@ object Dedup {
           col("n_shingles").cast("double"), 4))
   }
 
+  /** [[containmentApprox]] with the Bloom filter SHARDED by shingle-hash
+    * range — the build path for train sets whose single filter would be
+    * uncomfortable to funnel through one treeAggregate chain: each shard's
+    * filter is built independently by the shard's reducer (a hash
+    * aggregation with [[graft.functions.BloomAgg]] — map-side partial
+    * filters merge like any aggregation buffer), so build memory per task
+    * is one shard's filter, not the whole thing. Probing deserializes
+    * each shard once on the driver and broadcasts the shard map; at the
+    * scale where even the COMBINED map outgrows broadcast comfort, write
+    * the shard rows to storage instead and have each probe task read only
+    * its shard's file — same plan shape, one more indirection.
+    *
+    * Same output schema and upper-bound semantics as
+    * [[containmentApprox]] (`expectedItems` is the TOTAL distinct-shingle
+    * estimate; each shard sizes for its 1/shards share). */
+  def containmentApproxSharded(trainSets: DataFrame, evalSets: DataFrame,
+                               shards: Int, expectedItems: Long,
+                               fpp: Double = 0.01): DataFrame = {
+    require(shards >= 1)
+    val perShard = math.max(expectedItems / shards, 1L)
+    val shardRows = trainSets.select(explode(col("sh")).as("__g"))
+      .withColumn("__s", pmod(col("__g"), lit(shards.toLong)))
+      .groupBy(col("__s"))
+      .agg(graft.functions.BloomAgg(perShard, fpp)(col("__g")).as("bf"))
+      .collect()
+    val blooms: Map[Long, org.apache.spark.util.sketch.BloomFilter] =
+      shardRows.map { r =>
+        r.getLong(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      }.toMap
+    val bc = trainSets.sparkSession.sparkContext.broadcast(blooms)
+    val probe = udf((h: Long) =>
+      bc.value.get(((h % shards) + shards) % shards)
+        .exists(_.mightContainLong(h)))
+    evalSets.select(col("id"), explode(col("sh")).as("__g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(probe(col("__g")), 1L).otherwise(0L)).as("n_matched"))
+      .withColumn("containment",
+        graft.Fns.roundU(col("n_matched").cast("double") /
+          col("n_shingles").cast("double"), 4))
+  }
+
   /** Exact Jaccard for candidate pairs over a precomputed
     * [[hashedShingleSets]] table. Attaches the long-hash arrays (3-4×
     * lighter on the wire than the string arrays [[exactJaccard]] ships)

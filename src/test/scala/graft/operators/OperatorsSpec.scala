@@ -254,6 +254,28 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(approx(100L) === 1.0)
   }
 
+  test("containmentApproxSharded matches the bound of the single filter") {
+    val train = (1L to 60L).map(i =>
+      (i, s"train doc t${i}a t${i}b t${i}c t${i}d t${i}e"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "train doc t7a t7b t7c t7d t7e"),   // contained
+      (101L, "nothing shared here at all okay")) // disjoint
+      .toDF("doc_id", "text")
+    val tr = Dedup.hashedShingleSets(train, "text", "doc_id", 2)
+    val ev = Dedup.hashedShingleSets(eval, "text", "doc_id", 2)
+    val exact = Dedup.containment(tr, ev)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val sharded = Dedup.containmentApproxSharded(tr, ev, shards = 4,
+      expectedItems = 2000)
+    val s = sharded.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // upper bound with no false negatives, and full containment exact
+    exact.foreach { case (id, e) => assert(s(id) >= e) }
+    assert(s(100L) === 1.0)
+    assert(sharded.columns.toSeq ===
+      Seq("id", "n_shingles", "n_matched", "containment"))
+  }
+
   test("TextAnalysis.repetitionStats measures dup and top-token ratios") {
     val docs = Seq(
       (1L, "a a a a b"),        // 5 words, 2 distinct, top=4
