@@ -336,6 +336,25 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       .rowsBetween(Window.unboundedPreceding, 0)
     val viaWin = df.select($"g", $"ord", sum($"v").over(w).as("cum"))
     assert(viaOp.except(viaWin).isEmpty && viaWin.except(viaOp).isEmpty)
+    spark.catalog.clearCache() // prefixSum persists its sorted input
+  }
+
+  test("Packing.prefixSum: negatives, nulls, many groups — still window") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 800).map { i =>
+      (s"g${i % 37}", i.toLong,
+        if (i % 11 == 0) None else Some(rnd.nextInt(201).toLong - 100))
+    }.toDF("g", "ord", "v").repartition(9)
+    val viaOp = Packing.prefixSum(df, Seq("g"), Seq("ord"), "v", "cum")
+      .select($"g", $"ord", $"cum")
+    val w = Window.partitionBy($"g").orderBy($"ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // operator treats null v as 0 — mirror with coalesce
+    val viaWin = df.select($"g", $"ord",
+      sum(coalesce($"v", lit(0L))).over(w).as("cum"))
+    assert(viaOp.except(viaWin).isEmpty && viaWin.except(viaOp).isEmpty)
+    spark.catalog.clearCache() // prefixSum persists its sorted input
   }
 
   test("Packing.tokenPacking window stats match a hand-computed layout") {

@@ -52,6 +52,26 @@ class TopKPerKeySpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty)
   }
 
+  test("null keys, null order values, and tiny groups match the window") {
+    // nulls in the ORDER column exercise SortOrder null placement (desc
+    // → nulls last in both forms); a null KEY is its own group for a
+    // window and must be for the heaps too; groups smaller than k must
+    // surface whole
+    val messy = Seq[(Option[String], Option[Int], Long)](
+      (Some("a"), Some(3), 1), (Some("a"), None, 2), (Some("a"), Some(9), 3),
+      (Some("a"), Some(1), 4), (None, Some(5), 5), (None, None, 6),
+      (Some("tiny"), Some(2), 7))
+      .toDF("key", "value", "tie").repartition(5)
+    val topk = TopKPerKey(messy, Seq("key"),
+      Seq($"value".desc, $"tie".asc), k = 2)
+      .select($"key", $"value", $"tie")
+    val w = Window.partitionBy($"key").orderBy($"value".desc, $"tie".asc)
+    val viaWin = messy.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).select($"key", $"value", $"tie")
+    assert(topk.except(viaWin).isEmpty && viaWin.except(topk).isEmpty)
+    assert(topk.count() === viaWin.count())
+  }
+
   test("key-only filters push below the operator; value filters do not") {
     val topk = TopKPerKey(data, Seq("key"), Seq($"value".desc, $"tie".asc), 3)
     val keyFiltered = topk.filter($"key" === "k1")
