@@ -29,6 +29,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("mh") === 8)
   }
 
+  test("register injects the top-k strategy and pushdown rule (idempotent)") {
+    GraftFunctions.register(spark) // second call must not duplicate
+    GraftFunctions.register(spark)
+    assert(spark.experimental.extraStrategies
+      .count(_ == graft.plans.TopKStrategy) === 1)
+    assert(spark.experimental.extraOptimizations
+      .count(_ == graft.plans.PushFilterThroughTopK) === 1)
+  }
+
+  test("build-time extensions object injects strategy + rule") {
+    // the withExtensions path can't run on the shared test SparkContext
+    // (getOrCreate would return the existing session, ignoring the
+    // extensions) — so assert directly on what the extensions object
+    // injects, via the package-internal build accessors
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.graft.TestBridge
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(TestBridge.plannerStrategies(ext, spark)
+      .contains(graft.plans.TopKStrategy))
+    assert(TestBridge.optimizerRules(ext, spark)
+      .contains(graft.plans.PushFilterThroughTopK))
+  }
+
   test("SQL simhash64 equals the Column API form") {
     import graft.functions.TextHashes
     import org.apache.spark.sql.functions._

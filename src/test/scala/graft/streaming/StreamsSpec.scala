@@ -98,6 +98,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming contamination screen: stream docs vs batch train bloom") {
+    import graft.operators.Dedup
+    // train corpus is batch; its Bloom filter builds once (eagerly, at
+    // stream definition time) and every arriving eval doc probes it —
+    // the production shape for screening a live eval/ingest feed
+    val train = (1L to 30L).map(i =>
+      (i, s"train doc t${i}a t${i}b t${i}c t${i}d t${i}e"))
+      .toDF("doc_id", "text")
+    val trainSets = Dedup.hashedShingleSets(train, "text", "doc_id", 2)
+    val dir = Files.createTempDirectory("graft-contam").toFile
+    dropFile(dir, "b1.json", Seq(
+      """{"doc_id":100,"text":"train doc t3a t3b t3c t3d t3e"}""",
+      """{"doc_id":101,"text":"completely novel words only here"}""")
+      .mkString("\n"))
+    val evalStream = spark.readStream
+      .schema("doc_id LONG, text STRING").json(dir.getAbsolutePath)
+    val evalSets = Dedup.hashedShingleSets(evalStream, "text", "doc_id", 2)
+    val q = Dedup.containmentApprox(trainSets, evalSets,
+        expectedItems = 1000)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("contam").collect()
+        .map(x => x.getAs[Long]("id") -> x.getAs[Double]("containment"))
+        .toMap
+      assert(r(100L) === 1.0)
+      assert(r(101L) < 0.5)
+    } finally q.stop()
+  }
+
   test("runningQuantiles: same code path runs on a batch Dataset") {
     val ds = (1 to 99).map(v => Streams.KeyedValue("k", v.toDouble)).toDS()
     val r = Streams.runningQuantiles(ds, Seq(0.5)).collect()(0)
