@@ -29,11 +29,33 @@ object Sinks {
     * columns. */
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String],
-                       sortCols: Seq[String]): Unit =
+                       sortCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
     df.repartition(partitionCols.map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write
       .partitionBy(partitionCols: _*)
-      .mode("overwrite")
+      .mode(mode)
       .parquet(path)
+
+  /** Streaming form: each micro-batch lands APPEND-mode into the same
+    * hive-partitioned sorted layout (foreachBatch → [[writePartitioned]])
+    * — the continuous-ingest path into the lake directory the batch
+    * readers prune against. Exactly-once comes from the checkpointed
+    * batch id, same as any foreachBatch sink; files accumulate one per
+    * partition value per batch (compact periodically with a batch
+    * [[writePartitioned]] rewrite when batch cadence makes them small).
+    */
+  def partitionedStreamSink(stream: DataFrame, path: String,
+                            checkpoint: String,
+                            partitionCols: Seq[String],
+                            sortCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        writePartitioned(batch, path, partitionCols, sortCols,
+          mode = "append")
+      }
+      .start()
 }

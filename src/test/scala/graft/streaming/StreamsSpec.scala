@@ -129,6 +129,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("partitionedStreamSink: micro-batches append into hive layout") {
+    import graft.operators.Sinks
+    val dir = Files.createTempDirectory("graft-psink-in").toFile
+    val out = Files.createTempDirectory("graft-psink-out").toFile
+      .getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-psink-ck").toFile
+      .getAbsolutePath
+    dropFile(dir, "b1.json", Seq(
+      """{"lang":"en","doc_id":1,"body":"x"}""",
+      """{"lang":"de","doc_id":2,"body":"y"}""").mkString("\n"))
+    val stream = spark.readStream
+      .schema("lang STRING, doc_id LONG, body STRING")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+    val q = Sinks.partitionedStreamSink(stream, out, ckpt,
+      Seq("lang"), Seq("doc_id"))
+    try {
+      q.processAllAvailable()
+      dropFile(dir, "b2.json",
+        Seq("""{"lang":"en","doc_id":3,"body":"z"}""").mkString("\n"))
+      q.processAllAvailable()
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(dirs.toSeq === Seq("lang=de", "lang=en"))
+      val back = spark.read.parquet(out)
+      assert(back.count() === 3) // batch 2 APPENDED, not overwrote
+      assert(back.filter($"lang" === "en").count() === 2)
+    } finally q.stop()
+  }
+
   test("runningQuantiles: same code path runs on a batch Dataset") {
     val ds = (1 to 99).map(v => Streams.KeyedValue("k", v.toDouble)).toDS()
     val r = Streams.runningQuantiles(ds, Seq(0.5)).collect()(0)
