@@ -39,13 +39,7 @@ object GraftFunctions {
     builders.foreach { case (name, b) =>
       Bridge.registerTempFunction(spark, name, b)
     }
-    spark.experimental.extraStrategies =
-      spark.experimental.extraStrategies
-        .filterNot(_ == graft.plans.TopKStrategy) :+ graft.plans.TopKStrategy
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations
-        .filterNot(_ == graft.plans.PushFilterThroughTopK) :+
-        graft.plans.PushFilterThroughTopK
+    graft.plans.TopKPerKey.ensureRegistered(spark)
   }
 }
 

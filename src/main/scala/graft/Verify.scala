@@ -16,7 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only: SPARK_GRAFT_ONLY=q56,q57 restricts the run to matching
+    // query-name prefixes (the driver never sets it — full run there).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

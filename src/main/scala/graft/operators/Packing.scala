@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -19,8 +20,9 @@ object Packing {
     * TOTAL row count, not in the number of groups:
     *
     *  1. range-repartition + sort by (grp, ord) — the one shuffle;
-    *  2. per-(partition, group) totals — a tiny aggregate (≤ partitions ×
-    *     groups-touching-that-partition rows) collected to the driver;
+    *  2. per-(partition, group) totals (a distributed aggregate), FILTERED
+    *     to groups spanning more than one partition — at most partitions-1
+    *     of them under range partitioning — then collected to the driver;
     *  3. each row's prefix = its partition's group offset (broadcast map)
     *     plus a running counter inside its sorted partition (streamed,
     *     no per-group state beyond one counter).
@@ -53,21 +55,35 @@ object Packing {
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grpIdx = grpCols.indices
-    // (pid, grpKey) -> partition-local group total; small by construction
+    // (pid, grpKey) -> partition-local group total. Only groups that SPAN
+    // more than one partition can contribute a nonzero cross-partition
+    // offset, and range partitioning bounds those to at most partitions-1
+    // boundary-crossing groups — so the spanning filter (computed
+    // distributedly, over the already-aggregated totals) caps the collect
+    // at O(partitions × spanning groups), independent of group
+    // cardinality. Non-spanning groups fall through to the map's
+    // default offset of 0.
+    val wg = Window.partitionBy(grpCols.map(col): _*)
     val totals = sorted
       .groupBy((col("__pid") +: grpCols.map(col)): _*)
       .agg(sum(coalesce(col(valCol).cast("long"), lit(0L))).as("__t"))
+      .withColumn("__npid", count(lit(1)).over(wg))
+      .filter(col("__npid") > 1)
+      .select((col("__pid") +: grpCols.map(col)) :+ col("__t"): _*)
       .collect()
       .map(r => (r.getInt(0), grpIdx.map(i => r.get(i + 1)).toVector,
         r.getLong(grpIdx.size + 1)))
-    // offset for (grp, pid) = sum of the group's totals in partitions < pid
+    // offset for (grp, pid) = sum of the group's totals in partitions < pid;
+    // zero offsets (each group's first partition) are dropped — the
+    // broadcast holds only the entries that change a row's prefix
     val offsets: Map[(Vector[Any], Int), Long] = totals
       .groupBy(_._2)
       .flatMap { case (g, parts) =>
         val byPid = parts.sortBy(_._1)
         var acc = 0L
-        byPid.map { case (pid, _, t) =>
-          val r = ((g, pid), acc); acc += t; r
+        byPid.flatMap { case (pid, _, t) =>
+          val r = if (acc != 0L) Some(((g, pid), acc)) else None
+          acc += t; r
         }
       }
     val bc = spark.sparkContext.broadcast(offsets)

@@ -36,7 +36,11 @@ import org.apache.spark.sql.expressions.Window
   *
   * Semantics notes: NULL and NaN values are excluded (NaN is a
   * missing-measurement sentinel, not an orderable value — a NaN max would
-  * poison every bucket width). A NULL GROUP KEY is a group like any other
+  * poison every bucket width). ±Infinity IS ranked, matching the window
+  * form: infinite values are counted into per-group bands (every -Inf
+  * sorts below every finite value, every +Inf above) and only the finite
+  * values run the histogram, so an infinite bucket width never arises. A
+  * NULL GROUP KEY is a group like any other
   * (all internal joins are null-safe). No broadcast hints: the per-(group ×
   * target) state is tiny for low-cardinality keys and AQE picks broadcast
   * itself; a hint would force high-cardinality-group states through the
@@ -109,22 +113,57 @@ object Percentiles {
   // misleading any benchmark. Callers doing repeated percentile work
   // over one input should persist that input at the call site, where
   // the lifecycle is theirs.
-  // NULL, NaN AND ±Infinity are all excluded: an infinite value would
-  // make the bucket width infinite, collapsing every level to one bucket
-  // — still correct, but the final rank-select would then scan ALL
-  // distinct values, silently losing the bounded-stage guarantee. Like
-  // NaN, Infinity has no meaningful rank anyway.
+  // NULL and NaN are excluded (missing-measurement sentinels, not
+  // orderable values). ±Infinity IS rankable — see [[infBands]]: infinite
+  // values never enter the histogram (an infinite range would collapse
+  // every level to one bucket), but they are COUNTED, and a rank target
+  // landing inside the -Inf prefix or +Inf suffix of the ordered group
+  // answers directly.
   private def cleanRows(df: DataFrame, grpCol: String, valCol: String)
       : DataFrame =
     df.select(col(grpCol).as("__g"), col(valCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
-        col("__v") =!= Double.PositiveInfinity &&
-        col("__v") =!= Double.NegativeInfinity)
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
 
+  private def finite(c: Column): Column =
+    c =!= Double.PositiveInfinity && c =!= Double.NegativeInfinity
+
+  /** Per group: finite value range, total count `__n` (finite + infinite),
+    * and the infinite bands — `__nneg` values of -Inf below every finite
+    * value, `__npos` of +Inf above. `__lo`/`__hi` are null for a group
+    * with no finite values (every target then answers from a band). */
   private def groupStats(rows: DataFrame): DataFrame =
     rows.groupBy(col("__g")).agg(
-      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
-      count(lit(1)).as("__n"))
+      min(when(finite(col("__v")), col("__v"))).as("__lo"),
+      max(when(finite(col("__v")), col("__v"))).as("__hi"),
+      count(lit(1)).as("__n"),
+      sum(when(col("__v") === Double.NegativeInfinity, 1L).otherwise(0L))
+        .as("__nneg"),
+      sum(when(col("__v") === Double.PositiveInfinity, 1L).otherwise(0L))
+        .as("__npos"))
+
+  /** Split state rows (carrying `__r` over the FULL ordered group,
+    * infinities included) into direct answers — targets inside the -Inf
+    * prefix (`__r <= __nneg`) or +Inf suffix (`__r > __n - __npos`) —
+    * and histogram work, whose rank shifts to be relative to the finite
+    * values only. Returns the union'd (__g, __q, __v) result. */
+  private def rankSelectWithInf(rows: DataFrame, state0: DataFrame,
+                                nBuckets: Int, levels: Int): DataFrame = {
+    val direct = state0
+      .filter(col("__r") <= col("__nneg") ||
+        col("__r") > col("__n") - col("__npos"))
+      .select(col("__g"), col("__q"),
+        when(col("__r") <= col("__nneg"), Double.NegativeInfinity)
+          .otherwise(Double.PositiveInfinity).as("__v"))
+    val finiteState = state0
+      .filter(col("__r") > col("__nneg") &&
+        col("__r") <= col("__n") - col("__npos"))
+      .withColumn("__r", col("__r") - col("__nneg"))
+      .select(col("__g"), col("__q"), col("__lo"), col("__hi"),
+        lit(0L).as("__off"), col("__r"))
+    rankSelect(rows.filter(finite(col("__v"))), finiteState,
+      nBuckets, levels)
+      .unionByName(direct)
+  }
 
   /** Exact median per group. Returns (grpCol, median: double, n_mid) where
     * n_mid is how many rank targets were read (2 for even n, 1 for odd) —
@@ -136,12 +175,12 @@ object Percentiles {
     // one state row per DISTINCT target rank (1 for odd n, 2 for even);
     // __q carries the rank itself so the core's keying stays unique
     val state0 = groupStats(rows)
-      .select(col("__g"), col("__lo"), col("__hi"),
+      .select(col("__g"), col("__lo"), col("__hi"), col("__n"),
+        col("__nneg"), col("__npos"),
         explode(array_distinct(array(expr("(__n + 1) div 2"),
           expr("__n div 2 + 1")))).as("__r"))
-      .select(col("__g"), col("__r").cast("double").as("__q"),
-        col("__lo"), col("__hi"), lit(0L).as("__off"), col("__r"))
-    rankSelect(rows, state0, nBuckets, levels)
+      .withColumn("__q", col("__r").cast("double"))
+    rankSelectWithInf(rows, state0, nBuckets, levels)
       .groupBy(col("__g"))
       .agg(avg(col("__v")).as("median"), count(lit(1)).as("n_mid"))
       .withColumnRenamed("__g", grpCol)
@@ -160,12 +199,10 @@ object Percentiles {
     val rows = cleanRows(df, grpCol, valCol)
     val state0 = groupStats(rows)
       .select(col("__g"), col("__lo"), col("__hi"), col("__n"),
-        explode(lit(qs.toArray)).as("__q"))
+        col("__nneg"), col("__npos"), explode(lit(qs.toArray)).as("__q"))
       .withColumn("__r", greatest(lit(1L),
         ceil(col("__q") * col("__n")).cast("long")))
-      .select(col("__g"), col("__q"), col("__lo"), col("__hi"),
-        lit(0L).as("__off"), col("__r"))
-    rankSelect(rows, state0, nBuckets, levels)
+    rankSelectWithInf(rows, state0, nBuckets, levels)
       .select(col("__g").as(grpCol), col("__q").as("q"),
         col("__v").as("value"))
   }

@@ -38,14 +38,38 @@ object Sinks {
       .mode(mode)
       .parquet(path)
 
-  /** Streaming form: each micro-batch lands APPEND-mode into the same
-    * hive-partitioned sorted layout (foreachBatch → [[writePartitioned]])
-    * — the continuous-ingest path into the lake directory the batch
-    * readers prune against. Exactly-once comes from the checkpointed
-    * batch id, same as any foreachBatch sink; files accumulate one per
-    * partition value per batch (compact periodically with a batch
-    * [[writePartitioned]] rewrite when batch cadence makes them small).
-    */
+  /** One micro-batch's IDEMPOTENT landing: rows go under an extra
+    * trailing `__batch_id=<id>` partition level and the write is a
+    * DYNAMIC partition overwrite, so replaying a batch (failure between
+    * write and checkpoint commit) rewrites exactly its own
+    * `partition/__batch_id=<id>/` directories instead of appending
+    * duplicates. Top-level pruning directories are unchanged — readers
+    * filtering on `partitionCols` prune as before and see `__batch_id`
+    * as one extra column. */
+  private[graft] def writeBatch(batch: DataFrame, batchId: Long,
+                                path: String, partitionCols: Seq[String],
+                                sortCols: Seq[String]): Unit =
+    batch.withColumn("__batch_id", lit(batchId))
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .partitionBy((partitionCols :+ "__batch_id"): _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Streaming form: each micro-batch lands into the same
+    * hive-partitioned sorted layout (foreachBatch → [[writeBatch]]) —
+    * the continuous-ingest path into the lake directory the batch
+    * readers prune against. EXACTLY-ONCE: the checkpoint dedupes batch
+    * ids across restarts, and [[writeBatch]] keys the filesystem state
+    * on the batch id (dynamic overwrite of `__batch_id=<id>`
+    * partitions), so the one replay window foreachBatch leaves open — a
+    * batch re-run after its write but before its checkpoint commit —
+    * rewrites the same directories instead of duplicating rows. Files
+    * accumulate one per partition value per batch (compact periodically
+    * with a batch [[writePartitioned]] rewrite when batch cadence makes
+    * them small). */
   def partitionedStreamSink(stream: DataFrame, path: String,
                             checkpoint: String,
                             partitionCols: Seq[String],
@@ -53,9 +77,8 @@ object Sinks {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        writePartitioned(batch, path, partitionCols, sortCols,
-          mode = "append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeBatch(batch, batchId, path, partitionCols, sortCols)
       }
       .start()
 }

@@ -52,16 +52,32 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 }
 
 object TopKPerKey {
+
+  /** Idempotent, thread-safe registration of BOTH the planner strategy and
+    * the filter-pushdown rule on a live session. `extraStrategies` /
+    * `extraOptimizations` setters are plain read-modify-writes on
+    * session-shared state, so concurrent first uses from two threads could
+    * otherwise lose or duplicate an entry; the lock serializes them.
+    * (Session-build-time injection via `GraftExtensions` needs none of
+    * this.) */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      val exp = spark.experimental
+      if (!exp.extraStrategies.contains(TopKStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+      if (!exp.extraOptimizations.contains(PushFilterThroughTopK))
+        exp.extraOptimizations =
+          exp.extraOptimizations :+ PushFilterThroughTopK
+    }
+
   /** API entry: top `k` rows per `keyCols` group under `orderCols`
     * (construct with `col(...).desc` / `.asc`; append a unique tiebreaker
     * for determinism). */
   def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
             k: Int): DataFrame = {
-    // self-registering: extraStrategies is session-mutable, so callers
-    // (and operators composing this) need no setup step
-    val exp = df.sparkSession.experimental
-    if (!exp.extraStrategies.contains(TopKStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    // self-registering (strategy + pushdown rule): session-mutable, so
+    // callers (and operators composing this) need no setup step
+    ensureRegistered(df.sparkSession)
     val keys = keyCols.map(UnresolvedAttribute(_))
     val sorts = orderCols.map(Bridge.toCatalyst).map {
       case s: SortOrder => s
@@ -75,7 +91,21 @@ object TopKPerKey {
 /** Physical per-key bounded-heap selection. `partial = true` runs before
   * the exchange (any distribution, output is a superset candidate set);
   * `partial = false` requires clustering on the keys and emits the exact
-  * top-k. */
+  * top-k.
+  *
+  * MEMORY: heap state is k rows × DISTINCT KEYS SEEN IN THE PARTITION —
+  * bounded by k per key, but the keys-per-partition factor matters: on a
+  * near-unique key column it approaches the partition's row count. The
+  * PARTIAL stage therefore FLUSHES: when held rows reach
+  * `spark.graft.topk.partialMaxRows` (default 1M), it emits everything
+  * held and starts fresh — correct because a partial's contract is only
+  * "a superset containing each key's true top-k": every row it ever
+  * dropped was dominated by k retained same-key rows, each of which is
+  * either emitted in some flush or replaced by a strictly better row, so
+  * k dominators always reach the final stage. The FINAL stage must be
+  * exact and cannot flush; its state is k × distinct-keys-per-hash-
+  * partition with no spill path — for near-unique keys prefer the window
+  * composition, whose SortExec spills. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
                           k: Int, partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
@@ -96,32 +126,61 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortExprs = order
     val childOutput = child.output
+    val flushAt =
+      if (partial)
+        conf.getConfString("spark.graft.topk.partialMaxRows", "1048576")
+          .toInt.max(1)
+      else Int.MaxValue // final stage must be exact: never flush early
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val ord = new LazilyGeneratedOrdering(sortExprs, childOutput)
-      // per-key max-heap under `ord`: the root is the WORST survivor, so
-      // a better row evicts it in O(log k); state = k rows per key seen
-      // in this partition, never the partition's row count
-      val heaps = mutable.HashMap.empty[UnsafeRow,
-        mutable.PriorityQueue[UnsafeRow]]
-      it.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[UnsafeRow](
-              ord.asInstanceOf[Ordering[UnsafeRow]])
-            heaps.put(key.copy(), h)
-            h
+      new Iterator[InternalRow] {
+        // per-key max-heap under `ord`: the root is the WORST survivor,
+        // so a better row evicts it in O(log k); `held` counts rows
+        // across all heaps (evictions replace, so only first-k inserts
+        // grow it)
+        private var heaps = mutable.HashMap.empty[UnsafeRow,
+          mutable.PriorityQueue[UnsafeRow]]
+        private var held = 0
+        private var drain: Iterator[InternalRow] = Iterator.empty
+
+        private def insert(row: InternalRow): Unit = {
+          val key = keyProj(row)
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None =>
+              val h = mutable.PriorityQueue.empty[UnsafeRow](
+                ord.asInstanceOf[Ordering[UnsafeRow]])
+              heaps.put(key.copy(), h)
+              h
+          }
+          if (heap.size < kLocal) {
+            heap.enqueue(rowProj(row).copy()); held += 1
+          } else if (ord.compare(row, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(rowProj(row).copy())
+          }
         }
-        if (heap.size < kLocal) heap.enqueue(rowProj(row).copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(rowProj(row).copy())
+
+        private def flush(): Iterator[InternalRow] = {
+          val old = heaps
+          heaps = mutable.HashMap.empty
+          held = 0
+          old.valuesIterator.flatMap(_.iterator)
         }
+
+        private def advance(): Unit = {
+          while (!drain.hasNext && it.hasNext) {
+            insert(it.next())
+            if (held >= flushAt) drain = flush()
+          }
+          if (!drain.hasNext && !it.hasNext && held > 0) drain = flush()
+        }
+
+        override def hasNext: Boolean = { advance(); drain.hasNext }
+        override def next(): InternalRow = { advance(); drain.next() }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
     }, preservesPartitioning = true)
   }
 }

@@ -476,6 +476,65 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got("one")._2 === 1L)
   }
 
+  test("Percentiles rank ±Infinity like the sort-based form") {
+    // Infinities are rankable (unlike NaN): a rank target inside the
+    // -Inf prefix / +Inf suffix answers directly, finite targets run the
+    // histogram. Groups cover: target in the -Inf band, in the +Inf band,
+    // straddling (even-n median of -Inf and a finite → -Inf), and a group
+    // of ONLY infinities (no finite range at all).
+    val data: Seq[(String, Double)] =
+      Seq.fill(6)(("neg", Double.NegativeInfinity)) ++
+        (1 to 5).map(i => ("neg", i.toDouble)) ++           // median = -Inf
+      (1 to 5).map(i => ("pos", i.toDouble)) ++
+        Seq.fill(6)(("pos", Double.PositiveInfinity)) ++    // median = +Inf
+      Seq(("strad", Double.NegativeInfinity), ("strad", 4.0)) ++ // avg→-Inf
+      Seq(("allinf", Double.PositiveInfinity),
+        ("allinf", Double.NegativeInfinity),
+        ("allinf", Double.PositiveInfinity))                // median = +Inf
+    val df = data.toDF("g", "v")
+    val med = Percentiles.exactMedian(df, "g", "v", nBuckets = 4, levels = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("median")).toMap
+    def sortMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      (s((s.length + 1) / 2 - 1) + s(s.length / 2)) / 2
+    }
+    for (g <- Seq("neg", "pos", "strad", "allinf"))
+      assert(med(g) === sortMedian(data.filter(_._1 == g).map(_._2)),
+        s"group $g")
+    // quantiles: q=0.1 of "neg" is -Inf, q=0.9 of "pos" is +Inf, and the
+    // finite mid-quantiles still resolve through the histogram
+    val qs = Percentiles.exactQuantiles(df, "g", "v", Seq(0.1, 0.6, 0.9),
+        nBuckets = 4, levels = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    def nearestRank(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      s(math.max(1, math.ceil(q * s.length).toInt) - 1)
+    }
+    for (g <- Seq("neg", "pos", "strad", "allinf"); q <- Seq(0.1, 0.6, 0.9))
+      assert(qs((g, q)) === nearestRank(data.filter(_._1 == g).map(_._2), q),
+        s"group $g q=$q")
+  }
+
+  test("Sinks.writeBatch: replaying a batch id is idempotent") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-wb").toFile.getAbsolutePath
+    val b0 = Seq(("en", 1L, "x"), ("de", 2L, "y")).toDF("lang", "doc_id", "b")
+    val b1 = Seq(("en", 3L, "z")).toDF("lang", "doc_id", "b")
+    Sinks.writeBatch(b0, 0L, out, Seq("lang"), Seq("doc_id"))
+    Sinks.writeBatch(b1, 1L, out, Seq("lang"), Seq("doc_id"))
+    // replay of batch 0 (failure between write and checkpoint commit):
+    // dynamic overwrite of its own __batch_id partitions — no duplicates
+    Sinks.writeBatch(b0, 0L, out, Seq("lang"), Seq("doc_id"))
+    val back = spark.read.parquet(out)
+    assert(back.count() === 3)
+    assert(back.select("doc_id").as[Long].collect().sorted === Array(1L, 2L, 3L))
+    // pruning layout intact: lang=... is still the top directory level
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("lang=de", "lang=en"))
+  }
+
   test("Merge.applyChanges: upsert, delete, insert, passthrough, LWW") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "bal")

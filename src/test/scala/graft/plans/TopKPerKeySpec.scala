@@ -72,6 +72,23 @@ class TopKPerKeySpec extends SparkSpec {
     assert(topk.count() === viaWin.count())
   }
 
+  test("partial-stage flush at tiny partialMaxRows still exact") {
+    // force many flushes: threshold far below k × keys-per-partition —
+    // every flush emits a superset candidate set; the final stage must
+    // still produce exactly the window form's survivors
+    spark.conf.set("spark.graft.topk.partialMaxRows", "7")
+    try {
+      val topk = TopKPerKey(data, Seq("key"),
+        Seq($"value".desc, $"tie".asc), k = 5)
+        .select($"key", $"value", $"tie")
+      val w = Window.partitionBy($"key").orderBy($"value".desc, $"tie".asc)
+      val viaWin = data.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5).select($"key", $"value", $"tie")
+      assert(topk.except(viaWin).isEmpty && viaWin.except(topk).isEmpty)
+      assert(topk.count() === 35)
+    } finally spark.conf.unset("spark.graft.topk.partialMaxRows")
+  }
+
   test("key-only filters push below the operator; value filters do not") {
     val topk = TopKPerKey(data, Seq("key"), Seq($"value".desc, $"tie".asc), 3)
     val keyFiltered = topk.filter($"key" === "k1")
