@@ -906,6 +906,55 @@ object SparkEntry {
         .orderBy($"stage")
     }),
 
+    // Deterministic TRAIN/VAL/TEST split (80/10/10): the assignment is a
+    // pure int64-arithmetic hash projection (operators.Sampling), so any
+    // engine — and any future rerun over a grown corpus — reproduces it;
+    // no shuffle happens before the per-(lang, split) rollup.
+    "q61_stratified_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select($"lang", $"doc_id",
+          TextAnalysis.tokenCountWs($"text").cast("long").as("n_tok"))
+      Sampling.stratifiedSplit(docs, "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .orderBy($"lang", $"split")
+    }),
+
+    // Consistent per-language sample: the 5 docs with the lowest id hash
+    // per lang — a stable "random" draw (same winners on every rerun and
+    // under corpus growth). Runs through the native TopKPerKey plan:
+    // only k candidates per lang per partition reach the shuffle.
+    "q62_consistent_sample" -> ((s, d) => {
+      Sampling.consistentSamplePerGroup(
+          Tables.documents(s, d).select($"lang", $"doc_id"),
+          Seq("lang"), "doc_id", k = 5)
+        .select($"lang", $"doc_id", $"__h".as("h"))
+        .orderBy($"lang", $"h", $"doc_id")
+    }),
+
+    // TF-IDF top terms per language: tf over (lang, term), exact document
+    // frequency over the corpus, score = tf * ln(N/df). Term stats are
+    // vocabulary-sized (≪ corpus) — the scans shuffle only (term, count)
+    // pairs, and the per-lang top-5 selection is the bounded-heap plan,
+    // not a vocabulary sort.
+    "q63_tfidf_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.filter(length(trim($"text")) > 0)
+        .select($"lang", $"doc_id",
+          explode(split(trim($"text"), "\\s+")).as("term"))
+      val tf = tok.groupBy($"lang", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"))
+      val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(ndocs))
+        .select($"lang", $"term", $"tf", $"df",
+          Fns.roundU($"tf" * log($"n_docs" / $"df"), 6).as("score"))
+      graft.plans.TopKPerKey(scored, Seq("lang"),
+          Seq($"score".desc, $"term".asc), k = 5)
+        .orderBy($"lang", $"score".desc, $"term")
+    }),
+
     // Scrubbing pass (the PII-redaction mechanics on a corpus with no
     // real PII: denylisted terms stand in for the e-mail/phone regexes):
     // per source, how many documents are hit, total redactions, and the
@@ -1738,6 +1787,57 @@ object SparkEntry {
         |    AND (cum - 1) // 1000 > (cum - n_tok) // 1000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split
         |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
+    "q61_stratified_split" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |    doc_id % 2147483647 * 2654435761 % 4294967296 % 100 AS b
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, n_tok,
+        |    CASE WHEN b < 80 THEN 'train'
+        |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM d)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q62_consistent_sample" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    doc_id % 2147483647 * 2654435761 % 4294967296 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM d)
+        |SELECT lang, doc_id, CAST(h AS BIGINT) AS h
+        |FROM r WHERE rn <= 5 ORDER BY lang, h, doc_id""".stripMargin,
+
+    "q63_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (
+        |  SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term),
+        |dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT lang, term, tf, df,
+        |    floor(tf * ln(n_docs / df) * 1000000 + 0.5) / 1000000.0 AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT lang, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT lang, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rn <= 5 ORDER BY lang, score DESC, term""".stripMargin,
 
     "q55_denylist_scrub" ->
       """WITH scrub AS (

@@ -158,4 +158,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans.forall(_.schema.fieldNames.length <= 2),
       scans.map(_.schema.fieldNames.mkString(",")).mkString(" | "))
   }
+
+  test("q61 split: assignment is a pure projection — no pre-agg shuffle") {
+    // the split column must not cost a shuffle of its own: the only
+    // exchanges are the (lang, split) rollup and the final order
+    val shuffles = collectAll(plan("q61_stratified_split")) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.length <= 2, s"split projection added shuffles:" +
+      s" ${shuffles.length}")
+  }
+
+  test("q62/q63 sample+tfidf run the bounded-heap plan, not a window") {
+    for (q <- Seq("q62_consistent_sample", "q63_tfidf_terms")) {
+      val p = plan(q)
+      val topk = collectAll(p) {
+        case t: graft.plans.TopKPerKeyExec => t
+      }
+      assert(topk.map(_.partial).sorted === Seq(false, true), s"$q:\n$p")
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+        s"$q selects per-key rows via a window sort")
+    }
+  }
 }

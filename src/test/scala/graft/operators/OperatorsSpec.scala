@@ -476,6 +476,47 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got("one")._2 === 1L)
   }
 
+  test("Sampling.stratifiedSplit: stable under growth, fractions enforced") {
+    val small = (0L until 400L).toDF("id")
+    val grown = (0L until 1000L).toDF("id")
+    val fr = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSplit(df, "id", fr)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(small)
+    val b = assign(grown)
+    // growing the corpus never reassigns an existing id — the property
+    // random splits lack
+    assert(a.forall { case (id, s) => b(id) == s })
+    // rough proportions (hash is uniform-ish; exact counts are fixed by
+    // determinism, the band just guards against a broken hash)
+    val n = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 700 && n("train") < 900, n.toString)
+    assert(n("val") + n("test") === 1000 - n("train"))
+    // every row assigned when fractions sum to 100
+    assert(b.values.forall(s => fr.exists(_._1 == s)))
+    // partial fractions leave a null remainder instead of inventing one
+    val part = Sampling.stratifiedSplit(small, "id", Seq("sample" -> 10))
+      .filter($"split".isNull).count()
+    assert(part > 300)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(small, "id", Seq("a" -> 60, "b" -> 50))
+    }
+  }
+
+  test("Sampling.consistentSamplePerGroup matches the window form") {
+    val df = (1 to 500).map(i => (s"g${i % 4}", i.toLong * 7))
+      .toDF("g", "id").repartition(6)
+    val got = Sampling.consistentSamplePerGroup(df, Seq("g"), "id", 3)
+      .select($"g", $"id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+      .orderBy(Sampling.consistentHash($"id").asc, $"id".asc)
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).select($"g", $"id")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.count() === 12)
+  }
+
   test("Percentiles rank ±Infinity like the sort-based form") {
     // Infinities are rankable (unlike NaN): a rank target inside the
     // -Inf prefix / +Inf suffix answers directly, finite targets run the
