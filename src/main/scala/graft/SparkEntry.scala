@@ -955,6 +955,36 @@ object SparkEntry {
         .orderBy($"lang", $"score".desc, $"term")
     }),
 
+    // MIXTURE MATERIALIZATION: q57 computes the per-source sampling
+    // rates; this query actually draws the sample — deterministically,
+    // as a hash-threshold Bernoulli (keep iff hash(doc_id) mod 1e6 <
+    // rate·1e6), so the drawn corpus is reproducible by any engine and
+    // stable across reruns. Rates are a per-source broadcast; the only
+    // fact shuffle is the final rollup.
+    "q64_mixture_sample" -> ((s, d) => {
+      val budget = 500000.0
+      val scored = Tables.documents(s, d)
+        .select($"source", $"doc_id",
+          TextAnalysis.tokenCountWs($"text").cast("long").as("n_tok"),
+          TextAnalysis.qualityScore($"text").as("q"))
+      val perSrc = scored.groupBy($"source")
+        .agg(sum($"n_tok").as("n_tokens"), avg($"q").as("mean_q"))
+      val norm = perSrc.agg(sum($"mean_q" * $"n_tokens").as("__wtot"))
+      val rates = perSrc.crossJoin(broadcast(norm))
+        .select($"source",
+          Fns.roundU(least(lit(1.0),
+            lit(budget) * $"mean_q" * $"n_tokens" / $"__wtot"
+              / $"n_tokens"), 6).as("rate"))
+      scored.join(broadcast(rates), "source")
+        .filter(Sampling.consistentHash($"doc_id") % lit(1000000L) <
+          Fns.roundU($"rate" * 1e6, 0).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum($"n_tok").as("tokens_sampled"),
+          first($"rate").as("rate"))
+        .orderBy($"source")
+    }),
+
     // Scrubbing pass (the PII-redaction mechanics on a corpus with no
     // real PII: denylisted terms stand in for the e-mail/phone regexes):
     // per source, how many documents are hit, total redactions, and the
@@ -1729,6 +1759,50 @@ object SparkEntry {
         |  floor(least(1.0, 500000.0 * mean_q * n_tokens / wtot / n_tokens)
         |    * n_tokens * 100 + 0.5) / 100.0 AS expected_tokens
         |FROM s, w ORDER BY source""".stripMargin,
+
+    "q64_mixture_sample" ->
+      """WITH base AS (
+        |  SELECT source, doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(toks) END AS n_tok,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','and',
+        |      'of','to','in','is','it','that'))) AS DOUBLE)
+        |      / len(toks) AS stop_ratio,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[.,!?;:''"()\-]', '', 'g'))
+        |      AS DOUBLE) / length(text) AS punct_ratio,
+        |    text
+        |  FROM base),
+        |q AS (
+        |  SELECT source, doc_id, n_tok,
+        |    floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+        |      + least(stop_ratio * 5.0, 1.0) * 0.3
+        |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2)
+        |      * 10000 + 0.5) / 10000.0 AS quality
+        |  FROM m),
+        |s AS (
+        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    avg(quality) AS mean_q
+        |  FROM q GROUP BY source),
+        |w AS (SELECT sum(mean_q * n_tokens) AS wtot FROM s),
+        |r AS (
+        |  SELECT source,
+        |    floor(least(1.0, 500000.0 * mean_q * n_tokens / wtot
+        |      / n_tokens) * 1000000 + 0.5) / 1000000.0 AS rate
+        |  FROM s, w),
+        |kept AS (
+        |  SELECT q.source, q.n_tok, r.rate
+        |  FROM q JOIN r ON q.source = r.source
+        |  WHERE q.doc_id % 2147483647 * 2654435761 % 4294967296 % 1000000
+        |    < CAST(floor(r.rate * 1000000 + 0.5) AS BIGINT))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_sampled,
+        |  CAST(min(rate) AS DOUBLE) AS rate
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
     "q58_filter_funnel" ->
       """WITH base AS (

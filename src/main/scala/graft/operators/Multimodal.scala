@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC FAKE (clearly marked below): metadata and features are
-  * derived from xxhash64 of the payload bytes. Everything around it — the
-  * binary column representation, schemas, batch shapes, partition-local
-  * execution — is the real Spark plumbing a codec-backed implementation
-  * would drop into (swap `fakeDecode*` for a mapPartitions over a JNI/
-  * Python codec and nothing else changes).
+  * Two decode tiers:
+  *  - METADATA decode is REAL ([[decodeHeaders]]): actual PNG/JPEG/GIF/
+  *    BMP/WAV container headers parsed with plain byte arithmetic — the
+  *    filter/route/stats stages of a multimodal pipeline need nothing
+  *    more, and need no native libraries.
+  *  - PIXEL/SAMPLE decode needs native codecs the environment lacks, so
+  *    that tier is a DETERMINISTIC FAKE (clearly marked `fake*` below):
+  *    features derived from xxhash64 of the payload. The surrounding
+  *    plumbing — binary representation, schemas, batch shapes,
+  *    per-partition codec lifecycle ([[decodePartitions]]) — is the real
+  *    contract a JNI/ffmpeg-backed codec drops into unchanged.
   */
 object Multimodal {
 
@@ -71,6 +75,37 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val (w, h, c) = codec(bytes)
           MediaMeta(id, w, h, c, bytes.length)
+        }
+      }
+  }
+
+  /** Decoded-or-not header record: `format` and the metadata are null
+    * for payloads no parser recognizes (corrupt rows are DATA at scale,
+    * not exceptions). */
+  case class HeaderMeta(id: Long, format: Option[String],
+                        width: Option[Int], height: Option[Int],
+                        channels: Option[Int], n_bytes: Int)
+
+  /** REAL metadata decode — no stub: parses actual PNG/JPEG/GIF/BMP/WAV
+    * container headers ([[graft.functions.MediaHeaders]], plain byte
+    * arithmetic, no native codecs) partition-locally. Unknown formats
+    * yield null metadata and flow on. This replaces the fake-decode path
+    * wherever only container metadata (dims, channels, sample rate) is
+    * needed — i.e. the filter/route/stats stages of a multimodal corpus
+    * pipeline; pixel-level features still need [[decodePartitions]] with
+    * an injected native codec. */
+  def decodeHeaders(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[HeaderMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val info = graft.functions.MediaHeaders.parse(bytes)
+          HeaderMeta(id, info.map(_.format), info.map(_.width),
+            info.map(_.height), info.map(_.channels),
+            if (bytes == null) 0 else bytes.length)
         }
       }
   }

@@ -248,6 +248,39 @@ object Streams {
       }
   }
 
+  /** Scored item for [[runningTopK]]. */
+  case class ScoredEvent(key: String, id: String, score: Double)
+
+  /** Per-key leaderboard after each trigger (ids ordered score desc,
+    * id asc on ties). */
+  case class TopK(key: String, ids: Seq[String], scores: Seq[Double])
+
+  /** STREAMING VALUE-ORDERED TOP-K — the unbounded-stream twin of the
+    * batch [[graft.plans.TopKPerKey]] plan: per key, the k
+    * highest-scoring EVENTS seen so far, in EXACTLY k rows of state per
+    * key forever (contrast [[runningHeavyHitters]], which ranks by
+    * frequency under a sketch bound). Each trigger emits the keys that
+    * received arrivals; an idle key's last report stands. Merging is a
+    * total order (score desc, id asc), so results are deterministic
+    * under shuffle and batch boundaries: any arrival order yields the
+    * same leaderboard. Works on batch Datasets too (one "batch" —
+    * equivalent to the TopKPerKey plan on the same input). */
+  def runningTopK(events: Dataset[ScoredEvent], k: Int): Dataset[TopK] = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[Seq[(Double, String)], TopK](
+        GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[Seq[(Double, String)]]) =>
+          val best = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(r => (r.score, r.id)))
+            .sortBy { case (s, i) => (-s, i) }
+            .take(k)
+          state.update(best)
+          TopK(key, best.map(_._2), best.map(_._1))
+      }
+  }
+
   /** The SURVEY §3.2 dimension-build pipeline, streaming form: watch the
     * block stream, regex-detect pool-creation transactions (O33), and
     * upsert the candidates into a parquet registry snapshot via

@@ -55,6 +55,49 @@ class MultimodalSpec extends SparkSpec {
     assert(v.forall(x => x >= -1.0f && x <= 1.0f))
   }
 
+  test("decodeHeaders parses REAL png/gif/bmp/wav/jpeg container bytes") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // a real 3×2 truecolor PNG header (signature + IHDR prefix)
+    val png = bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 3, 0, 0, 0, 2, 8, 2, 0, 0, 0)
+    // GIF89a, 7×5 logical screen
+    val gif = "GIF89a".getBytes("ISO-8859-1") ++ bytes(7, 0, 5, 0, 0, 0, 0, 0)
+    // BMP with BITMAPINFOHEADER: 9×4, 24bpp
+    val bmp = bytes('B', 'M') ++ Array.fill[Byte](16)(0) ++
+      bytes(9, 0, 0, 0, 4, 0, 0, 0, 1, 0, 24, 0) ++ Array.fill[Byte](4)(0)
+    // WAV fmt chunk: stereo, 44100 Hz, 16-bit
+    val wav = "RIFF".getBytes("ISO-8859-1") ++ bytes(0, 0, 0, 0) ++
+      "WAVEfmt ".getBytes("ISO-8859-1") ++ bytes(16, 0, 0, 0, 1, 0, 2, 0,
+      0x44, 0xac, 0, 0, 0x10, 0xb1, 2, 0, 4, 0, 16, 0)
+    // JPEG: SOI, APP0 stub, SOF0 frame 12×34, 3 components
+    val jpg = bytes(0xff, 0xd8, 0xff, 0xe0, 0, 4, 0, 0,
+      0xff, 0xc0, 0, 11, 8, 0, 34, 0, 12, 3, 0, 0, 0, 0, 0)
+    val junk = "not an image at all".getBytes("UTF-8")
+    val payloads = Seq(1L -> png, 2L -> gif, 3L -> bmp, 4L -> wav,
+      5L -> jpg, 6L -> junk).toDF("id", "payload")
+    val metas = Multimodal.decodeHeaders(payloads, "id", "payload")
+      .collect().map(m => m.id -> m).toMap
+    assert(metas(1L).format === Some("png"))
+    assert((metas(1L).width, metas(1L).height, metas(1L).channels) ===
+      (Some(3), Some(2), Some(3)))
+    assert(metas(2L).format === Some("gif"))
+    assert((metas(2L).width, metas(2L).height) === (Some(7), Some(5)))
+    assert(metas(3L).format === Some("bmp"))
+    assert((metas(3L).width, metas(3L).height, metas(3L).channels) ===
+      (Some(9), Some(4), Some(3)))
+    assert(metas(4L).format === Some("wav"))
+    assert((metas(4L).width, metas(4L).height, metas(4L).channels) ===
+      (Some(44100), Some(16), Some(2)))
+    assert(metas(5L).format === Some("jpeg"))
+    assert((metas(5L).width, metas(5L).height, metas(5L).channels) ===
+      (Some(12), Some(34), Some(3)))
+    // unknown format: null metadata, byte length still reported — the
+    // corrupt-payload row flows on as data
+    assert(metas(6L).format === None)
+    assert(metas(6L).n_bytes === junk.length)
+  }
+
   test("decode → feature-extract → ANN composes end-to-end") {
     // the full multimodal retrieval pipeline shape: opaque payloads →
     // per-row features (stubbed model) → exact top-k search. Everything

@@ -98,6 +98,51 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTopK: k-bounded leaderboard merges across micro-batches") {
+    val dir = Files.createTempDirectory("graft-rtopk").toFile
+    def write(name: String, rows: Seq[(String, Double)]): Unit =
+      dropFile(dir, name, rows.map { case (id, s) =>
+        s"""{"key":"k1","id":"$id","score":$s}""" }.mkString("\n"))
+    write("b1.json", Seq("a" -> 5.0, "b" -> 9.0, "c" -> 1.0, "d" -> 7.0))
+    val stream = spark.readStream
+      .schema("key STRING, id STRING, score DOUBLE")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      .as[Streams.ScoredEvent]
+    val q = Streams.runningTopK(stream, k = 3)
+      .writeStream.format("memory").queryName("rtopk")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("rtopk").collect().last
+      assert(b1.getAs[scala.collection.Seq[String]]("ids").toSeq ===
+        Seq("b", "d", "a"))
+      // batch 2: one new entrant beats the floor, one doesn't; survivors
+      // come FROM STATE (b, d were not re-sent)
+      write("b2.json", Seq("e" -> 8.0, "f" -> 2.0))
+      q.processAllAvailable()
+      val b2 = spark.table("rtopk").collect().last
+      assert(b2.getAs[scala.collection.Seq[String]]("ids").toSeq ===
+        Seq("b", "e", "d"))
+      assert(b2.getAs[scala.collection.Seq[Double]]("scores").toSeq ===
+        Seq(9.0, 8.0, 7.0))
+    } finally q.stop()
+  }
+
+  test("runningTopK: batch twin equals the TopKPerKey plan") {
+    val ds = (1 to 200).map(i =>
+      Streams.ScoredEvent(s"g${i % 3}", s"id$i", (i * 37 % 101).toDouble))
+      .toDS()
+    val viaState = Streams.runningTopK(ds, k = 4).collect()
+      .map(t => t.key -> t.ids).toMap
+    val viaPlan = graft.plans.TopKPerKey(ds.toDF(), Seq("key"),
+        Seq($"score".desc, $"id".asc), k = 4)
+      .orderBy($"key", $"score".desc, $"id")
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getString(1)).toSeq }
+    assert(viaState.keySet === viaPlan.keySet)
+    viaPlan.foreach { case (g, ids) => assert(viaState(g) === ids, g) }
+  }
+
   test("streaming contamination screen: stream docs vs batch train bloom") {
     import graft.operators.Dedup
     // train corpus is batch; its Bloom filter builds once (eagerly, at
