@@ -23,8 +23,10 @@ import org.apache.spark.sql.expressions.Window
   *      window) → the buckets holding the target ranks become the next
   *      level's active range. Each level narrows the range ~`nBuckets`×.
   *   3. resolve: rank-select over the distinct values inside the final
-  *      range — ~n/nBuckets^levels rows, e.g. 4096² ≈ 1.7e7× reduction at
-  *      the default (levels=2), so a 10^12-row group resolves over ~10^5.
+  *      range — ~n/nBuckets^levels rows. The default level count is
+  *      AUTO-SIZED from the input's estimated size ([[AutoLevels]]): one
+  *      level up to ~1e9 rows, three at 10^13 — small inputs skip scans
+  *      they don't need, huge ones keep every stage bounded.
   *
   * Bucket boundaries are never trusted for selection — each level's next
   * range is the located buckets' ACTUAL (min, max) values and membership is
@@ -141,6 +143,27 @@ object Percentiles {
       sum(when(col("__v") === Double.PositiveInfinity, 1L).otherwise(0L))
         .as("__npos"))
 
+  /** Sentinel for `levels`: choose the histogram depth from the input's
+    * estimated size. */
+  val AutoLevels: Int = -1
+
+  /** Depth for [[AutoLevels]]: estimated input rows (Catalyst size stats
+    * — no job runs) vs what one more level buys. With `l` levels the
+    * final resolve rank-selects over ~n/nBuckets^l values per target; we
+    * allow it ~64·nBuckets, so `l` grows only past 64·nBuckets^(l+1)
+    * estimated rows (1.07e9 at the 4096 default — sf-scale inputs run
+    * ONE level, a 10^13-row corpus runs three). The RESULT is
+    * levels-invariant (exactness never depends on depth, only plan cost
+    * does), so a coarse byte-based estimate is safe by construction. */
+  private def autoLevels(rows: DataFrame, nBuckets: Int): Int = {
+    val estRows = (rows.queryExecution.optimizedPlan.stats.sizeInBytes
+      / 16).max(BigInt(1)) // (__g, __v) ≈ 16 bytes
+    var l = 1
+    var cap = BigInt(nBuckets) * 64 * nBuckets
+    while (estRows > cap && l < 4) { l += 1; cap *= nBuckets }
+    l
+  }
+
   /** Split state rows (carrying `__r` over the FULL ordered group,
     * infinities included) into direct answers — targets inside the -Inf
     * prefix (`__r <= __nneg`) or +Inf suffix (`__r > __n - __npos`) —
@@ -170,8 +193,10 @@ object Percentiles {
     * median = avg of the values at ranks (n+1)/2 and n/2+1, the classic
     * definition. */
   def exactMedian(df: DataFrame, grpCol: String, valCol: String,
-                  nBuckets: Int = 4096, levels: Int = 2): DataFrame = {
+                  nBuckets: Int = 4096,
+                  levels: Int = AutoLevels): DataFrame = {
     val rows = cleanRows(df, grpCol, valCol)
+    val lv = if (levels < 0) autoLevels(rows, nBuckets) else levels
     // one state row per DISTINCT target rank (1 for odd n, 2 for even);
     // __q carries the rank itself so the core's keying stays unique
     val state0 = groupStats(rows)
@@ -180,7 +205,7 @@ object Percentiles {
         explode(array_distinct(array(expr("(__n + 1) div 2"),
           expr("__n div 2 + 1")))).as("__r"))
       .withColumn("__q", col("__r").cast("double"))
-    rankSelectWithInf(rows, state0, nBuckets, levels)
+    rankSelectWithInf(rows, state0, nBuckets, lv)
       .groupBy(col("__g"))
       .agg(avg(col("__v")).as("median"), count(lit(1)).as("n_mid"))
       .withColumnRenamed("__g", grpCol)
@@ -194,15 +219,16 @@ object Percentiles {
     * count is a constant, the data size is not. */
   def exactQuantiles(df: DataFrame, grpCol: String, valCol: String,
                      qs: Seq[Double], nBuckets: Int = 4096,
-                     levels: Int = 2): DataFrame = {
+                     levels: Int = AutoLevels): DataFrame = {
     require(qs.nonEmpty && qs.forall(x => x > 0 && x <= 1))
     val rows = cleanRows(df, grpCol, valCol)
+    val lv = if (levels < 0) autoLevels(rows, nBuckets) else levels
     val state0 = groupStats(rows)
       .select(col("__g"), col("__lo"), col("__hi"), col("__n"),
         col("__nneg"), col("__npos"), explode(lit(qs.toArray)).as("__q"))
       .withColumn("__r", greatest(lit(1L),
         ceil(col("__q") * col("__n")).cast("long")))
-    rankSelectWithInf(rows, state0, nBuckets, levels)
+    rankSelectWithInf(rows, state0, nBuckets, lv)
       .select(col("__g").as(grpCol), col("__q").as("q"),
         col("__v").as("value"))
   }
