@@ -33,12 +33,17 @@ object MediaHeaders {
   private def startsWith(b: Array[Byte], sig: Array[Int]): Boolean =
     b.length >= sig.length && sig.indices.forall(i => u8(b, i) == sig(i))
 
+  // magic-byte signatures hoisted out of the per-row parse loop
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+  private val Gif87 = "GIF87a".map(_.toInt).toArray
+  private val Gif89 = "GIF89a".map(_.toInt).toArray
+  private val Riff = "RIFF".map(_.toInt).toArray
+
   /** PNG: 8-byte signature, then the IHDR chunk at a fixed offset —
     * width/height big-endian at 16/20, color type at 25 mapping to the
     * channel count. */
   private def png(b: Array[Byte]): Option[MediaInfo] =
-    if (!startsWith(b, Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
-      || b.length < 26) None
+    if (!startsWith(b, PngSig) || b.length < 26) None
     else {
       val channels = u8(b, 25) match {
         case 0 => 1 // grayscale
@@ -80,29 +85,52 @@ object MediaHeaders {
     * 6-byte signature; GIF frames decode to RGB. */
   private def gif(b: Array[Byte]): Option[MediaInfo] =
     if (b.length >= 10 &&
-      (startsWith(b, "GIF87a".map(_.toInt).toArray) ||
-        startsWith(b, "GIF89a".map(_.toInt).toArray)))
+      (startsWith(b, Gif87) || startsWith(b, Gif89)))
       Some(MediaInfo("gif", le16(b, 6), le16(b, 8), 3))
     else None
 
-  /** BMP: BITMAPINFOHEADER dims at 18/22 (height may be negative for
-    * top-down rows), bits-per-pixel at 28 → channel count. */
-  private def bmp(b: Array[Byte]): Option[MediaInfo] =
-    if (b.length >= 30 && u8(b, 0) == 'B' && u8(b, 1) == 'M')
-      Some(MediaInfo("bmp", le32(b, 18), math.abs(le32(b, 22)),
-        math.max(1, le16(b, 28) / 8)))
-    else None
+  /** BMP: the DIB header size at offset 14 must be a known layout —
+    * bare "BM" text would otherwise classify arbitrary blobs as bitmaps.
+    * BITMAPINFOHEADER family (40/52/56/108/124): int32 dims at 18/22
+    * (height may be negative for top-down rows), bits-per-pixel at 28.
+    * Legacy BITMAPCOREHEADER (12): uint16 dims at 18/20, bpp at 24. */
+  private def bmp(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 26 || u8(b, 0) != 'B' || u8(b, 1) != 'M') return None
+    le32(b, 14) match {
+      case 12 =>
+        Some(MediaInfo("bmp", le16(b, 18), le16(b, 20),
+          math.max(1, le16(b, 24) / 8)))
+      case 40 | 52 | 56 | 108 | 124 if b.length >= 30 =>
+        Some(MediaInfo("bmp", le32(b, 18), math.abs(le32(b, 22)),
+          math.max(1, le16(b, 28) / 8)))
+      case _ => None
+    }
+  }
 
-  /** WAV (RIFF/WAVE with a leading fmt chunk): channels at 22, sample
-    * rate at 24, bits per sample at 34. Reported as width = sample rate,
-    * height = bits per sample. */
-  private def wav(b: Array[Byte]): Option[MediaInfo] =
-    if (b.length >= 36 &&
-      startsWith(b, "RIFF".map(_.toInt).toArray) &&
-      b.length > 15 && u8(b, 8) == 'W' && u8(b, 9) == 'A' &&
-      u8(b, 10) == 'V' && u8(b, 11) == 'E')
-      Some(MediaInfo("wav", le32(b, 24), le16(b, 34), le16(b, 22)))
-    else None
+  /** WAV: RIFF/WAVE container, then a WALK of the chunk list to the
+    * `fmt ` chunk (real files often lead with JUNK/bext/LIST chunks —
+    * assuming fmt sits first would read those bytes as garbage
+    * metadata). Chunks are [id 4][size 4][payload size, word-aligned].
+    * Reported as width = sample rate, height = bits per sample. */
+  private def wav(b: Array[Byte]): Option[MediaInfo] = {
+    if (b.length < 36 || !startsWith(b, Riff) ||
+      u8(b, 8) != 'W' || u8(b, 9) != 'A' ||
+      u8(b, 10) != 'V' || u8(b, 11) != 'E') return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0) return None // corrupt length
+      if (u8(b, i) == 'f' && u8(b, i + 1) == 'm' &&
+        u8(b, i + 2) == 't' && u8(b, i + 3) == ' ') {
+        return if (size >= 16 && i + 8 + 16 <= b.length)
+          Some(MediaInfo("wav", le32(b, i + 12), le16(b, i + 22),
+            le16(b, i + 10)))
+        else None
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
 
   /** Try every known container; None for unknown/corrupt payloads. */
   def parse(bytes: Array[Byte]): Option[MediaInfo] =

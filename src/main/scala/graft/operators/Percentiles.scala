@@ -158,10 +158,17 @@ object Percentiles {
   private def autoLevels(rows: DataFrame, nBuckets: Int): Int = {
     val estRows = (rows.queryExecution.optimizedPlan.stats.sizeInBytes
       / 16).max(BigInt(1)) // (__g, __v) ≈ 16 bytes
-    var l = 1
-    var cap = BigInt(nBuckets) * 64 * nBuckets
-    while (estRows > cap && l < 4) { l += 1; cap *= nBuckets }
-    l
+    // stat-less sources (RDD-backed, JDBC) report defaultSizeInBytes =
+    // Long.MaxValue — "estimate unknown", not "astronomically large".
+    // No real input exceeds ~1e14 rows; past that, fall back to the
+    // fixed depth rather than planning 4 levels for a possibly tiny df.
+    if (estRows > BigInt("100000000000000")) 2
+    else {
+      var l = 1
+      var cap = BigInt(nBuckets) * 64 * nBuckets
+      while (estRows > cap && l < 4) { l += 1; cap *= nBuckets }
+      l
+    }
   }
 
   /** Split state rows (carrying `__r` over the FULL ordered group,

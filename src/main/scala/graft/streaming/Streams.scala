@@ -268,13 +268,24 @@ object Streams {
   def runningTopK(events: Dataset[ScoredEvent], k: Int): Dataset[TopK] = {
     require(k >= 1, s"need k >= 1, got $k")
     import events.sparkSession.implicits._
+    // Spark SQL double semantics, so the batch twin really is TopKPerKey
+    // with score.desc: NaN sorts GREATER than any value (Scala's default
+    // tuple sortBy would bury NaN last — negation maps NaN to NaN) and
+    // -0.0 ties 0.0 (so the id tiebreaker, not the sign bit, decides).
+    val ord: Ordering[(Double, String)] = new Ordering[(Double, String)] {
+      private def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+      override def compare(a: (Double, String), b: (Double, String)): Int = {
+        val c = java.lang.Double.compare(norm(b._1), norm(a._1)) // desc
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    }
     events.groupByKey(_.key)
       .mapGroupsWithState[Seq[(Double, String)], TopK](
         GroupStateTimeout.NoTimeout()) {
         (key, rows, state: GroupState[Seq[(Double, String)]]) =>
           val best = (state.getOption.getOrElse(Seq.empty) ++
             rows.map(r => (r.score, r.id)))
-            .sortBy { case (s, i) => (-s, i) }
+            .sorted(ord)
             .take(k)
           state.update(best)
           TopK(key, best.map(_._2), best.map(_._1))

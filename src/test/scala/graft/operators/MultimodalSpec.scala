@@ -63,19 +63,28 @@ class MultimodalSpec extends SparkSpec {
       0, 0, 0, 3, 0, 0, 0, 2, 8, 2, 0, 0, 0)
     // GIF89a, 7×5 logical screen
     val gif = "GIF89a".getBytes("ISO-8859-1") ++ bytes(7, 0, 5, 0, 0, 0, 0, 0)
-    // BMP with BITMAPINFOHEADER: 9×4, 24bpp
-    val bmp = bytes('B', 'M') ++ Array.fill[Byte](16)(0) ++
-      bytes(9, 0, 0, 0, 4, 0, 0, 0, 1, 0, 24, 0) ++ Array.fill[Byte](4)(0)
-    // WAV fmt chunk: stereo, 44100 Hz, 16-bit
+    // BMP with BITMAPINFOHEADER (DIB size 40): 9×4, 24bpp
+    val bmp = bytes('B', 'M') ++ Array.fill[Byte](12)(0) ++
+      bytes(40, 0, 0, 0, 9, 0, 0, 0, 4, 0, 0, 0, 1, 0, 24, 0)
+    // legacy BITMAPCOREHEADER (DIB size 12): uint16 dims 6×3, 8bpp
+    val bmpCore = bytes('B', 'M') ++ Array.fill[Byte](12)(0) ++
+      bytes(12, 0, 0, 0, 6, 0, 3, 0, 1, 0, 8, 0) ++ Array.fill[Byte](2)(0)
+    // WAV with a JUNK chunk BEFORE fmt (the real-world layout that
+    // breaks fixed-offset readers): stereo, 44100 Hz, 16-bit
     val wav = "RIFF".getBytes("ISO-8859-1") ++ bytes(0, 0, 0, 0) ++
-      "WAVEfmt ".getBytes("ISO-8859-1") ++ bytes(16, 0, 0, 0, 1, 0, 2, 0,
+      "WAVEJUNK".getBytes("ISO-8859-1") ++ bytes(4, 0, 0, 0, 9, 9, 9, 9) ++
+      "fmt ".getBytes("ISO-8859-1") ++ bytes(16, 0, 0, 0, 1, 0, 2, 0,
       0x44, 0xac, 0, 0, 0x10, 0xb1, 2, 0, 4, 0, 16, 0)
     // JPEG: SOI, APP0 stub, SOF0 frame 12×34, 3 components
     val jpg = bytes(0xff, 0xd8, 0xff, 0xe0, 0, 4, 0, 0,
       0xff, 0xc0, 0, 11, 8, 0, 34, 0, 12, 3, 0, 0, 0, 0, 0)
     val junk = "not an image at all".getBytes("UTF-8")
+    // starts with "BM" but has no valid DIB header size — must NOT
+    // classify as bmp (the arbitrary-blob false positive)
+    val bmText = "BMW sales figures for the quarter exceed".getBytes("UTF-8")
     val payloads = Seq(1L -> png, 2L -> gif, 3L -> bmp, 4L -> wav,
-      5L -> jpg, 6L -> junk).toDF("id", "payload")
+      5L -> jpg, 6L -> junk, 7L -> bmpCore, 8L -> bmText)
+      .toDF("id", "payload")
     val metas = Multimodal.decodeHeaders(payloads, "id", "payload")
       .collect().map(m => m.id -> m).toMap
     assert(metas(1L).format === Some("png"))
@@ -96,6 +105,12 @@ class MultimodalSpec extends SparkSpec {
     // corrupt-payload row flows on as data
     assert(metas(6L).format === None)
     assert(metas(6L).n_bytes === junk.length)
+    // legacy core-header BMP parses its 16-bit dims
+    assert(metas(7L).format === Some("bmp"))
+    assert((metas(7L).width, metas(7L).height, metas(7L).channels) ===
+      (Some(6), Some(3), Some(1)))
+    // "BM"-prefixed text is NOT a bitmap
+    assert(metas(8L).format === None)
   }
 
   test("decode → feature-extract → ANN composes end-to-end") {

@@ -128,9 +128,12 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("runningTopK: batch twin equals the TopKPerKey plan") {
-    val ds = (1 to 200).map(i =>
+  test("runningTopK: batch twin equals the TopKPerKey plan (incl. NaN)") {
+    // NaN scores sort GREATEST in Spark SQL ordering — the stateful form
+    // must agree (Scala's default tuple sort would bury NaN last)
+    val ds = ((1 to 200).map(i =>
       Streams.ScoredEvent(s"g${i % 3}", s"id$i", (i * 37 % 101).toDouble))
+      ++ Seq(Streams.ScoredEvent("g0", "idnan", Double.NaN)))
       .toDS()
     val viaState = Streams.runningTopK(ds, k = 4).collect()
       .map(t => t.key -> t.ids).toMap
