@@ -391,11 +391,25 @@ object SparkEntry {
 
     // Approximate distinct (HLL) — rows-only: sketch implementations are
     // engine-specific. Paired with q09's exact counts for calibration.
+    // Approx distinct WITH an oracle: the HLL++ estimate itself is
+    // engine-specific (no SQL oracle can reproduce Spark's hash), but
+    // its ERROR BOUND is the portable contract — so the query emits the
+    // exact counts plus a deterministic within-10% check of the
+    // estimate, and DuckDB oracles exact counts + literal TRUE. A
+    // drifting HLL implementation fails the hash compare loudly.
     "q31_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
-          approx_count_distinct($"l_orderkey").as("approx_orders"))
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          approx_count_distinct($"l_partkey").as("__ap"),
+          approx_count_distinct($"l_orderkey").as("__ao"))
+        .select($"l_returnflag", $"n_parts", $"n_orders",
+          (abs($"__ap" - $"n_parts") <= $"n_parts" * 0.1)
+            .as("approx_parts_ok"),
+          (abs($"__ao" - $"n_orders") <= $"n_orders" * 0.1)
+            .as("approx_orders_ok"))
         .orderBy($"l_returnflag")
     }),
 
@@ -1349,6 +1363,14 @@ object SparkEntry {
         |    AS pred_lang,
         |  count(*) AS n_docs, floor((avg(len)) * 100 + 0.5) / 100.0 AS avg_len
         |FROM m GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+
+    "q31_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  TRUE AS approx_parts_ok, TRUE AS approx_orders_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q32_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
