@@ -969,6 +969,32 @@ object SparkEntry {
         .orderBy($"lang", $"score".desc, $"term")
     }),
 
+    // Dedup SURVIVORSHIP: after q52's clustering, CHOOSE the canonical
+    // doc per duplicate cluster (longest tokenized text, ties → lowest
+    // id) and account for what dedup keeps vs drops — the decision step
+    // every dedup pipeline needs after finding the clusters. Selection
+    // is one hash aggregate (max_by over a total ordering key), not a
+    // per-cluster window sort.
+    "q65_dedup_survivorship" -> ((s, d) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = Tables.documents(s, d)
+      val sets = Dedup.hashedShingleSets(docs, "text", "doc_id",
+        shingleWords = 3).persist(MEMORY_AND_DISK)
+      val near = Dedup
+        .jaccardFromSets(sets, Dedup.rareShinglePairsFromSets(sets, 10))
+        .filter($"jaccard" >= 0.5)
+        .select($"id_a", $"id_b")
+      val members = Dedup.dupClusters(near, "id_a", "id_b")
+        .join(docs.select($"doc_id".as("node"),
+          TextAnalysis.tokenCountWs($"text").cast("long").as("n_tok")),
+          "node")
+      Dedup.survivorship(members, "cluster_id", "node", "n_tok")
+        .select($"cluster_id", $"survivor_id", $"n_members",
+          $"weight_kept".as("tokens_kept"),
+          $"weight_dropped".as("tokens_dropped"))
+        .orderBy($"cluster_id")
+    }),
+
     // MIXTURE MATERIALIZATION: q57 computes the per-source sampling
     // rates; this query actually draws the sample — deterministically,
     // as a hash-threshold Bernoulli (keep iff hash(doc_id) mod 1e6 <
@@ -1577,6 +1603,65 @@ object SparkEntry {
         |  GROUP BY node)
         |SELECT cluster_id, count(*) AS n_docs
         |FROM labeled GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q65_dedup_survivorship" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+        |  FROM toks),
+        |sh AS (SELECT doc_id, unnest(gs) AS g FROM shl),
+        |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 10),
+        |cand AS (
+        |  SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+        |  FROM sh sa JOIN rare USING (g) JOIN sh sb USING (g)
+        |  WHERE sb.doc_id > sa.doc_id),
+        |inter AS (
+        |  SELECT p.id_a, p.id_b, count(*) AS ni FROM cand p
+        |  JOIN sh sa ON sa.doc_id = p.id_a
+        |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.g = sa.g
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+        |near AS (
+        |  SELECT p.id_a, p.id_b FROM cand p
+        |  JOIN inter USING (id_a, id_b)
+        |  JOIN sizes za ON za.doc_id = p.id_a
+        |  JOIN sizes zb ON zb.doc_id = p.id_b
+        |  WHERE floor((CAST(ni AS DOUBLE) / (za.ns + zb.ns - ni))
+        |    * 10000 + 0.5) / 10000.0 >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM near
+        |  UNION SELECT id_b, id_a FROM near),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |cc AS (
+        |  SELECT node, node AS label FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, c.label
+        |  FROM cc c JOIN edges e ON e.src = c.node),
+        |labeled AS (SELECT node, min(label) AS cluster_id FROM cc
+        |  GROUP BY node),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        |mem AS (
+        |  SELECT l.cluster_id, l.node AS doc_id, tk.n_tok
+        |  FROM labeled l JOIN tk ON tk.doc_id = l.node),
+        |r AS (
+        |  SELECT cluster_id, doc_id, n_tok, row_number() OVER (
+        |    PARTITION BY cluster_id ORDER BY n_tok DESC, doc_id) AS rn
+        |  FROM mem)
+        |SELECT cluster_id,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(max(CASE WHEN rn = 1 THEN n_tok END) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(sum(n_tok) - max(CASE WHEN rn = 1 THEN n_tok END)
+        |    AS BIGINT) AS tokens_dropped
+        |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q51_embed_quantize" ->
       """WITH q AS (

@@ -265,6 +265,24 @@ object Dedup {
     (labels.select(col("node"), col("label").as("cluster_id")), rounds)
   }
 
+  /** SURVIVORSHIP after clustering: per cluster, keep the member with
+    * the largest `weightCol` (quality-based canonicalization — e.g.
+    * token count; ties break to the LOWEST id for determinism) and
+    * report what deduplication keeps vs drops. One hash aggregate with
+    * map-side combine — no window, no per-cluster sort; the max_by
+    * ordering key `(weight, -id)` is total because ids are unique.
+    * Output: (clusterCol, survivor_id, n_members, weight_kept,
+    * weight_dropped). */
+  def survivorship(members: DataFrame, clusterCol: String, idCol: String,
+                   weightCol: String): DataFrame =
+    members.groupBy(col(clusterCol)).agg(
+      max_by(col(idCol),
+        struct(col(weightCol), (-col(idCol)).as("__nid")))
+        .as("survivor_id"),
+      count(lit(1)).as("n_members"),
+      max(col(weightCol)).as("weight_kept"),
+      (sum(col(weightCol)) - max(col(weightCol))).as("weight_dropped"))
+
   /** [[exactJaccard]] by COUNTS instead of array joins: intersection
     * sizes come from a narrow (pair × shared-shingle-hash) join-aggregate
     * and union sizes from per-doc set sizes, so no shingle array ever

@@ -476,6 +476,28 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got("one")._2 === 1L)
   }
 
+  test("Dedup.survivorship: heaviest member wins, ties break to lowest id") {
+    val members = Seq(
+      // cluster 1: clear weight winner
+      (1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 3L),
+      // cluster 2: weight tie — lowest id must win
+      (2L, 20L, 7L), (2L, 21L, 7L),
+      // singleton cluster: keeps itself, drops nothing
+      (3L, 30L, 4L)).toDF("cluster_id", "id", "w")
+    val r = Dedup.survivorship(members, "cluster_id", "id", "w")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) === ((11L, 3L, 9L, 8L)))
+    assert(r(2L) === ((20L, 2L, 7L, 7L)))
+    assert(r(3L) === ((30L, 1L, 4L, 0L)))
+    // no window in the plan: survivor selection is a hash aggregate
+    val p = Dedup.survivorship(members, "cluster_id", "id", "w")
+      .queryExecution.executedPlan
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+  }
+
   test("Sampling.stratifiedSplit: stable under growth, fractions enforced") {
     val small = (0L until 400L).toDF("id")
     val grown = (0L until 1000L).toDF("id")
