@@ -1904,7 +1904,8 @@ object SparkEntry {
         |kept AS (
         |  SELECT q.source, q.n_tok, r.rate
         |  FROM q JOIN r ON q.source = r.source
-        |  WHERE q.doc_id % 2147483647 * 2654435761 % 4294967296 % 1000000
+        |  WHERE (q.doc_id % 2147483647 + 2147483647) % 2147483647
+        |    * 2654435761 % 4294967296 % 1000000
         |    < CAST(floor(r.rate * 1000000 + 0.5) AS BIGINT))
         |SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
         |  CAST(sum(n_tok) AS BIGINT) AS tokens_sampled,
@@ -1974,7 +1975,8 @@ object SparkEntry {
         |  SELECT lang,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
-        |    doc_id % 2147483647 * 2654435761 % 4294967296 % 100 AS b
+        |    (doc_id % 2147483647 + 2147483647) % 2147483647
+        |    * 2654435761 % 4294967296 % 100 AS b
         |  FROM documents),
         |s AS (
         |  SELECT lang, n_tok,
@@ -1988,7 +1990,8 @@ object SparkEntry {
     "q62_consistent_sample" ->
       """WITH d AS (
         |  SELECT lang, doc_id,
-        |    doc_id % 2147483647 * 2654435761 % 4294967296 AS h
+        |    (doc_id % 2147483647 + 2147483647) % 2147483647
+        |    * 2654435761 % 4294967296 AS h
         |  FROM documents),
         |r AS (
         |  SELECT lang, doc_id, h,

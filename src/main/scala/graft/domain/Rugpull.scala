@@ -199,8 +199,13 @@ object Rugpull {
         array_join(coalesce(col("tx.meta.logMessages"),
           array().cast("array<string>")), " "))
     val cond = programs.map { case (prog, instrs) =>
-      col("logText").contains(prog) &&
-        col("logText").rlike(instrs.map(i => s"Instruction: $i\\b")
+      // empty instruction list matches NOTHING (an empty rlike pattern
+      // would match everything); names are regex-quoted so a literal
+      // like "Init(v2)" can't change the pattern's meaning
+      if (instrs.isEmpty) lit(false)
+      else col("logText").contains(prog) &&
+        col("logText").rlike(instrs.map(i =>
+            "Instruction: " + java.util.regex.Pattern.quote(i) + "\\b")
           .mkString("|"))
     }.reduceOption(_ || _).getOrElse(lit(false))
     txs.filter(cond)

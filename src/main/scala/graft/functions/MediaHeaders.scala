@@ -116,15 +116,18 @@ object MediaHeaders {
     if (b.length < 36 || !startsWith(b, Riff) ||
       u8(b, 8) != 'W' || u8(b, 9) != 'A' ||
       u8(b, 10) != 'V' || u8(b, 11) != 'E') return None
-    var i = 12
+    // walk with LONG indices: the uint32 size field of a corrupt chunk
+    // can be ~2^31, and Int stepping would wrap negative — passing the
+    // loop guard and crashing the task instead of returning None
+    var i = 12L
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (size < 0) return None // corrupt length
-      if (u8(b, i) == 'f' && u8(b, i + 1) == 'm' &&
-        u8(b, i + 2) == 't' && u8(b, i + 3) == ' ') {
+      val at = i.toInt
+      val size = le32(b, at + 4).toLong & 0xffffffffL // uint32
+      if (u8(b, at) == 'f' && u8(b, at + 1) == 'm' &&
+        u8(b, at + 2) == 't' && u8(b, at + 3) == ' ') {
         return if (size >= 16 && i + 8 + 16 <= b.length)
-          Some(MediaInfo("wav", le32(b, i + 12), le16(b, i + 22),
-            le16(b, i + 10)))
+          Some(MediaInfo("wav", le32(b, at + 12), le16(b, at + 22),
+            le16(b, at + 10)))
         else None
       }
       i += 8 + size + (size & 1) // chunks are word-aligned

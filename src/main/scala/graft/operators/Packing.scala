@@ -127,8 +127,12 @@ object Packing {
                    tokCol: String, budget: Long): DataFrame = {
     require(budget > 0)
     val cum = prefixSum(df, Seq(grpCol), Seq(ordCol), tokCol, "__cum")
+    // coalesce to match prefixSum's null-as-0 contract: a NULL token
+    // count would null __start and collapse the row into a spurious
+    // pack_id=NULL group
     cum
-      .withColumn("__start", col("__cum") - col(tokCol))
+      .withColumn("__start",
+        col("__cum") - coalesce(col(tokCol).cast("long"), lit(0L)))
       .withColumn("pack_id", expr(s"__start div ${budget}L"))
       .withColumn("__splits",
         when(col(tokCol) > 0 &&

@@ -228,11 +228,15 @@ object Percentiles {
                      qs: Seq[Double], nBuckets: Int = 4096,
                      levels: Int = AutoLevels): DataFrame = {
     require(qs.nonEmpty && qs.forall(x => x > 0 && x <= 1))
+    // duplicates MUST collapse: a repeated q would duplicate its
+    // (__g, __q) state row, and the histogram join would then count
+    // every data row twice for that key — silently wrong ranks
+    val qd = qs.distinct
     val rows = cleanRows(df, grpCol, valCol)
     val lv = if (levels < 0) autoLevels(rows, nBuckets) else levels
     val state0 = groupStats(rows)
       .select(col("__g"), col("__lo"), col("__hi"), col("__n"),
-        col("__nneg"), col("__npos"), explode(lit(qs.toArray)).as("__q"))
+        col("__nneg"), col("__npos"), explode(lit(qd.toArray)).as("__q"))
       .withColumn("__r", greatest(lit(1L),
         ceil(col("__q") * col("__n")).cast("long")))
     rankSelectWithInf(rows, state0, nBuckets, lv)

@@ -65,9 +65,14 @@ object Registry {
     }
   }
 
-  /** Read-modify-swap of a parquet snapshot: hand the current state (None
-    * on true first run; recovered from .staged after a crash between
-    * delete and rename) to `f`, stage the result, atomically promote.
+  /** Read-modify-swap of a parquet snapshot: hand the current state
+    * (None on true first run) to `f`, stage the result, atomically
+    * promote. A crash between delete and rename leaves a completed
+    * `.staged` and no live dir; that interrupted promote is COMPLETED
+    * FIRST, so the live dir — never the staged copy — is the durable
+    * state for the rest of this run (reading from .staged and then
+    * deleting it to stage new output would otherwise leave a window
+    * where a second crash silently resets the registry to empty).
     * Shared by [[snapshotUpserter]] and [[snapshotApplier]]. */
   private def swapSnapshot(path: String,
                            spark: org.apache.spark.sql.SparkSession)
@@ -77,9 +82,11 @@ object Registry {
     val dst = new org.apache.hadoop.fs.Path(path)
     val staged = path + ".staged"
     val src = new org.apache.hadoop.fs.Path(staged)
+    if (!fs.exists(dst) && fs.exists(src) && !fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"registry recovery rename failed: $staged -> $path")
     val current =
       if (fs.exists(dst)) Some(spark.read.parquet(path))
-      else if (fs.exists(src)) Some(spark.read.parquet(staged))
       else None
     val merged = f(current)
     val tmp = path + ".writing"
@@ -99,13 +106,17 @@ object Registry {
   def snapshotUpserter(path: String, keys: Seq[String], ord: String)
       : (DataFrame, Long) => Unit = { (batch, _) =>
     // Current state resolution and the crash-safe write-stage-swap live
-    // in swapSnapshot: the snapshot, or the completed .staged dir after
-    // a crash between delete and rename, or None only on a true first
-    // batch. Any other read failure (corrupt files, transient FS errors)
-    // propagates — swallowing it would silently reset the registry.
+    // in swapSnapshot: an interrupted promote's completed .staged dir is
+    // re-promoted before reading, so current is the live snapshot or
+    // None only on a true first batch. Any other read failure (corrupt
+    // files, transient FS errors) propagates — swallowing it would
+    // silently reset the registry.
     swapSnapshot(path, batch.sparkSession) {
       case Some(current) => upsert(current, batch, keys, ord)
-      case None => batch
+      // first batch still needs the per-key LWW dedup: a batch can carry
+      // the same key twice (two creation txs in one block file), and
+      // writing it verbatim would violate the keyed-registry invariant
+      case None => upsert(batch.limit(0), batch, keys, ord)
     }
   }
 }

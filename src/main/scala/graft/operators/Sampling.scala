@@ -19,15 +19,18 @@ object Sampling {
   /** Knuth multiplicative hash of a NON-NEGATIVE int64 id into
     * [0, 2^32): `((id % 2147483647) * 2654435761) % 2^32`.
     *
-    * The pre-reduction mod 2^31-1 keeps the product under 2^63 (no int64
-    * overflow — Spark 4's ANSI mode would throw, other engines would
-    * silently wrap, and wrapped values would no longer agree across
-    * engines). Injective for id < 2^31-1; beyond that ids still spread
-    * uniformly, which is what split/sample assignment needs. Negative ids
-    * are rejected by the modulus sign (document ids are surrogate keys —
-    * non-negative by construction). */
+    * The pre-reduction mod 2^31-1 (POSITIVE modulus, so a negative id
+    * hashes into the same [0, 2^31-1) domain instead of poisoning every
+    * downstream range test with a negative value) keeps the product
+    * under 2^63 — no int64 overflow: Spark 4's ANSI mode would throw,
+    * other engines would silently wrap, and wrapped values would no
+    * longer agree across engines. Injective for 0 ≤ id < 2^31-1; beyond
+    * that ids still spread uniformly, which is what split/sample
+    * assignment needs. SQL mirror:
+    * `(id % 2147483647 + 2147483647) % 2147483647 * 2654435761
+    *  % 4294967296`. */
   def consistentHash(id: Column): Column =
-    id % lit(2147483647L) * lit(2654435761L) % lit(4294967296L)
+    pmod(id, lit(2147483647L)) * lit(2654435761L) % lit(4294967296L)
 
   /** Stable train/val/test (or any) split: `fractions` are (name, pct)
     * with pcts summing to ≤ 100; a document's bucket = hash mod 100

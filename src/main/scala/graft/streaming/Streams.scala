@@ -56,8 +56,12 @@ object Streams {
       .flatMapGroupsWithState[(Double, Double), PriceEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, rows, state: GroupState[(Double, Double)]) =>
-          // within a batch, process in event order
-          val sorted = rows.toSeq.sortBy(e => (e.ts, e.pair))
+          // within a batch, process in event order; price fields break
+          // timestamp ties (pair is the grouping key — constant here —
+          // so it cannot), keeping emission deterministic under
+          // whatever order the shuffle delivered equal-ts events
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts, e.basePrice, e.quotePrice))
           val out = Seq.newBuilder[PriceEvent]
           var last = state.getOption
           sorted.foreach { e =>

@@ -521,6 +521,13 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     val part = Sampling.stratifiedSplit(small, "id", Seq("sample" -> 10))
       .filter($"split".isNull).count()
     assert(part > 300)
+    // out-of-contract negative ids still hash into [0, 2^32) (pmod), so
+    // every row gets a real split instead of a silent null
+    val neg = Sampling.stratifiedSplit(
+      Seq(-1L, -42L, -2147483650L).toDF("id"), "id", fr)
+    assert(neg.filter($"split".isNull).count() === 0)
+    assert(neg.select(Sampling.consistentHash($"id").as("h"))
+      .filter($"h" < 0).count() === 0)
     intercept[IllegalArgumentException] {
       Sampling.stratifiedSplit(small, "id", Seq("a" -> 60, "b" -> 50))
     }
