@@ -951,7 +951,9 @@ object SparkEntry {
     // frequency over the corpus, score = tf * ln(N/df). Term stats are
     // vocabulary-sized (≪ corpus) — the scans shuffle only (term, count)
     // pairs, and the per-lang top-5 selection is the bounded-heap plan,
-    // not a vocabulary sort.
+    // not a vocabulary sort. Exact df (countDistinct) is the oracle-able
+    // choice; at extreme vocabulary scale swap in approx_count_distinct
+    // — one line, same plan shape minus the distinct expand.
     "q63_tfidf_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tok = docs.filter(length(trim($"text")) > 0)
