@@ -533,6 +533,27 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("Sampling.consistentHash matches its SQL mirror over random ids") {
+    // the documented portability contract: any engine evaluating
+    // (id % m + m) % m * 2654435761 % 2^32 reproduces the Column form —
+    // checked over random ids including negatives and the extremes
+    val rng = new scala.util.Random(11)
+    val ids = (Seq.fill(2000)(rng.nextLong()) ++
+      Seq(Long.MinValue, Long.MaxValue, 0L, -1L, 2147483646L,
+        2147483647L)).distinct
+    val got = ids.toDF("id")
+      .select($"id", Sampling.consistentHash($"id").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def mirror(id: Long): Long = {
+      val m = 2147483647L
+      ((id % m) + m) % m * 2654435761L % 4294967296L
+    }
+    ids.foreach { id =>
+      assert(got(id) === mirror(id), s"id=$id")
+      assert(got(id) >= 0L && got(id) < 4294967296L, s"range id=$id")
+    }
+  }
+
   test("Sampling.consistentSamplePerGroup matches the window form") {
     val df = (1 to 500).map(i => (s"g${i % 4}", i.toLong * 7))
       .toDF("g", "id").repartition(6)
