@@ -46,6 +46,60 @@ class RecallSpec extends SparkSpec {
         (truth -- cands).take(5).mkString(","))
   }
 
+  test("q25 SimHash hamming distance tracks true text similarity") {
+    // the semantic gate behind q25's rows-only status: near-duplicate
+    // pairs (word-3-gram Jaccard >= 0.7, the q23 ground truth) must sit
+    // at SMALL hamming distance, and unrelated pairs at ~32 bits (the
+    // random-64-bit expectation). Deterministic: fixed data, fixed hash.
+    import graft.functions.TextHashes
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select($"doc_id",
+      explode(Dedup.wordShingles($"text", 3)).as("g"))
+    val rare = sh.join(
+      sh.groupBy($"g").agg(count(lit(1)).as("df")).filter($"df" <= 10),
+      Seq("g"))
+    val truthPairs = rare.select($"g", $"doc_id".as("id_a"))
+      .join(rare.select($"g", $"doc_id".as("id_b")), Seq("g"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").distinct()
+    val near = Dedup.exactJaccard(docs, "text", "doc_id", truthPairs, 3)
+      .filter($"jaccard" >= 0.7).select($"id_a", $"id_b")
+    assert(near.count() > 0, "ground truth empty — test is vacuous")
+
+    val fp = docs.select($"doc_id",
+      TextHashes.simhash64(split(trim($"text"), "\\s+")).as("h"))
+    def hamming(pairsDf: org.apache.spark.sql.DataFrame): Seq[Long] =
+      pairsDf
+        .join(fp.select($"doc_id".as("id_a"), $"h".as("ha")), "id_a")
+        .join(fp.select($"doc_id".as("id_b"), $"h".as("hb")), "id_b")
+        .select(bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("d"))
+        .collect().map(_.getLong(0)).toSeq
+    val nearD = hamming(near)
+    // unrelated baseline: consecutive doc ids that are NOT true near-dups
+    val nearSet = near.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unrelated = docs.select($"doc_id".as("id_a"))
+      .withColumn("id_b", $"id_a" + 1)
+      .join(docs.select($"doc_id".as("id_b")), "id_b")
+      .filter(!($"id_a" === $"id_b"))
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(nearSet.contains).take(200)
+    val unrelD = hamming(unrelated.toSeq
+      .toDF("id_a", "id_b"))
+    val nearAvg = nearD.sum.toDouble / nearD.size
+    val unrelAvg = unrelD.sum.toDouble / unrelD.size
+    // NOTE: unrelated same-corpus pairs do NOT sit at the random-64-bit
+    // expectation (~32): every doc draws from the same small vocabulary,
+    // so fingerprints correlate (~18 bits here). That is exactly why a
+    // simhash near-dup THRESHOLD must be calibrated per corpus — the
+    // gate asserts the property that matters: true near-dups sit low in
+    // absolute terms AND clearly below the unrelated baseline.
+    assert(nearAvg < 16.0, s"near-dup avg hamming $nearAvg")
+    assert(nearAvg < unrelAvg - 6.0,
+      s"no separation: near=$nearAvg unrelated=$unrelAvg")
+  }
+
   test("q27 (IVF) and q40 (k-means IVF) recall@5 vs q26 exact top-k") {
     def pairs(q: String): Set[(Long, Long)] =
       SparkEntry.queries(q)(spark, sf).collect()
