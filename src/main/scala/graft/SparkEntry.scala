@@ -1027,6 +1027,32 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Unigram-LM SURPRISAL (the CCNet/KenLM-style perplexity quality
+    // filter, unigram order): train per-language token probabilities
+    // from the corpus itself, score every document's mean per-token
+    // surprisal -ln p(t), and report the per-source quality profile.
+    // The model is vocabulary-sized — it broadcasts — so the corpus
+    // never shuffles to be scored; only (source, doc) sums do.
+    "q66_lm_surprisal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.filter(length(trim($"text")) > 0)
+        .select($"lang", $"source", $"doc_id",
+          explode(split(trim($"text"), "\\s+")).as("term"))
+      val counts = tok.groupBy($"lang", $"term")
+        .agg(count(lit(1)).as("__c"))
+      val totals = counts.groupBy($"lang").agg(sum($"__c").as("__n"))
+      val probs = counts.join(totals, "lang")
+        .select($"lang", $"term", ($"__c" / $"__n").as("__p"))
+      val perDoc = tok.join(broadcast(probs), Seq("lang", "term"))
+        .groupBy($"source", $"doc_id")
+        .agg(sum(-log($"__p")).as("__ll"), count(lit(1)).as("__nt"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          Fns.roundU(avg($"__ll" / $"__nt"), 4).as("avg_surprisal"),
+          Fns.roundU(exp(avg($"__ll" / $"__nt")), 2).as("perplexity"))
+        .orderBy($"source")
+    }),
+
     // Scrubbing pass (the PII-redaction mechanics on a corpus with no
     // real PII: denylisted terms stand in for the e-mail/phone regexes):
     // per source, how many documents are hit, total redactions, and the
@@ -1913,6 +1939,28 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS tokens_sampled,
         |  CAST(min(rate) AS DOUBLE) AS rate
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    "q66_lm_surprisal" ->
+      """WITH tok AS (
+        |  SELECT lang, source, doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |counts AS (
+        |  SELECT lang, term, count(*) AS c FROM tok GROUP BY lang, term),
+        |totals AS (SELECT lang, sum(c) AS n FROM counts GROUP BY lang),
+        |probs AS (
+        |  SELECT counts.lang, term, CAST(c AS DOUBLE) / n AS p
+        |  FROM counts JOIN totals ON counts.lang = totals.lang),
+        |perdoc AS (
+        |  SELECT tok.source, tok.doc_id,
+        |    sum(-ln(p)) AS ll, count(*) AS nt
+        |  FROM tok JOIN probs
+        |    ON tok.lang = probs.lang AND tok.term = probs.term
+        |  GROUP BY tok.source, tok.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  floor(avg(ll / nt) * 10000 + 0.5) / 10000.0 AS avg_surprisal,
+        |  floor(exp(avg(ll / nt)) * 100 + 0.5) / 100.0 AS perplexity
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
 
     "q58_filter_funnel" ->
       """WITH base AS (

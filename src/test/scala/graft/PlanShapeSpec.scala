@@ -169,6 +169,14 @@ class PlanShapeSpec extends SparkSpec {
       s" ${shuffles.length}")
   }
 
+  test("q66 LM scoring: the model broadcasts — corpus never join-shuffles") {
+    val p = plan("q66_lm_surprisal")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(bhj.nonEmpty, s"probs model must broadcast:\n$p")
+    assert(smj.isEmpty, s"corpus shuffled for a join:\n$p")
+  }
+
   test("q62/q63 sample+tfidf run the bounded-heap plan, not a window") {
     for (q <- Seq("q62_consistent_sample", "q63_tfidf_terms")) {
       val p = plan(q)
