@@ -13,7 +13,7 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
-    for (q <- Seq("q61_stratified_split", "q62_consistent_sample",
+    for (q <- Seq("q61_stratified_split", "q62_consistent_sample", "q66_lm_surprisal",
       "q63_tfidf_terms", "q64_mixture_sample", "q65_dedup_survivorship")) {
       val df = SparkEntry.queries(q)(spark, d)
       df.collect()

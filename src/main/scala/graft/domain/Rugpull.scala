@@ -201,11 +201,14 @@ object Rugpull {
     val cond = programs.map { case (prog, instrs) =>
       // empty instruction list matches NOTHING (an empty rlike pattern
       // would match everything); names are regex-quoted so a literal
-      // like "Init(v2)" can't change the pattern's meaning
+      // like "Init(v2)" can't change the pattern's meaning. The
+      // boundary is (?!\w), not \b: after a non-word final char like
+      // ')' \b would REQUIRE a following word char, silently
+      // unmatching exactly those quoted names.
       if (instrs.isEmpty) lit(false)
       else col("logText").contains(prog) &&
         col("logText").rlike(instrs.map(i =>
-            "Instruction: " + java.util.regex.Pattern.quote(i) + "\\b")
+            "Instruction: " + java.util.regex.Pattern.quote(i) + "(?!\\w)")
           .mkString("|"))
     }.reduceOption(_ || _).getOrElse(lit(false))
     txs.filter(cond)

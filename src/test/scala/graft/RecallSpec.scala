@@ -14,13 +14,15 @@ class RecallSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("q23 MinHash-LSH candidates recover true high-Jaccard pairs") {
-    val docs = Tables.documents(spark, sf)
-    // Exhaustive ground truth: any pair with word-3-gram Jaccard ≥ 0.7
-    // must share rare shingles (a 0.7-Jaccard pair shares most of its
-    // shingles, and near-dup pairs are pairs — their shared shingles
-    // have document frequency ≈ 2), so pairs sharing a shingle with
-    // df ≤ 10 is a complete candidate superset for truth at this bar.
+  /** Exhaustive near-dup ground truth, built INDEPENDENTLY of the
+    * operators under test (exact shingle strings, no hashed join keys):
+    * any pair with word-3-gram Jaccard ≥ 0.7 must share rare shingles
+    * (a 0.7-Jaccard pair shares most of its shingles, and near-dup
+    * pairs are pairs — their shared shingles have document frequency
+    * ≈ 2), so pairs sharing a shingle with df ≤ 10 form a complete
+    * candidate superset for truth at this bar. */
+  private def trueNearDupPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val sh = docs.select($"doc_id",
       explode(Dedup.wordShingles($"text", 3)).as("g"))
     val rare = sh.join(
@@ -30,9 +32,14 @@ class RecallSpec extends SparkSpec {
       .join(rare.select($"g", $"doc_id".as("id_b")), Seq("g"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b").distinct()
-    val truth = Dedup.exactJaccard(docs, "text", "doc_id", truthPairs, 3)
+    Dedup.exactJaccard(docs, "text", "doc_id", truthPairs, 3)
       .filter($"jaccard" >= 0.7)
-      .select($"id_a", $"id_b").collect()
+      .select($"id_a", $"id_b")
+  }
+
+  test("q23 MinHash-LSH candidates recover true high-Jaccard pairs") {
+    val docs = Tables.documents(spark, sf)
+    val truth = trueNearDupPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truth.nonEmpty, "ground truth is empty — test is vacuous")
 
@@ -53,17 +60,7 @@ class RecallSpec extends SparkSpec {
     // random-64-bit expectation). Deterministic: fixed data, fixed hash.
     import graft.functions.TextHashes
     val docs = Tables.documents(spark, sf)
-    val sh = docs.select($"doc_id",
-      explode(Dedup.wordShingles($"text", 3)).as("g"))
-    val rare = sh.join(
-      sh.groupBy($"g").agg(count(lit(1)).as("df")).filter($"df" <= 10),
-      Seq("g"))
-    val truthPairs = rare.select($"g", $"doc_id".as("id_a"))
-      .join(rare.select($"g", $"doc_id".as("id_b")), Seq("g"))
-      .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b").distinct()
-    val near = Dedup.exactJaccard(docs, "text", "doc_id", truthPairs, 3)
-      .filter($"jaccard" >= 0.7).select($"id_a", $"id_b")
+    val near = trueNearDupPairs(docs)
     assert(near.count() > 0, "ground truth empty — test is vacuous")
 
     val fp = docs.select($"doc_id",

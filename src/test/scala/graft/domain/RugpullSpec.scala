@@ -160,6 +160,29 @@ class RugpullSpec extends SparkSpec {
     assert(r(0).getAs[Int]("txIdx") === 4)
   }
 
+  test("detectPools: quoted names with regex chars match; empty list never") {
+    val dir = Files.createTempDirectory("graft-blocks3").toFile
+    def blk(log: String): String =
+      s"""{"result":{"blockTime":9,"transactions":[
+         |{"transaction":{"message":{"accountKeys":["K"]}},
+         |"meta":{"loadedAddresses":{"writable":[],"readonly":[]},
+         |"preTokenBalances":[],"postTokenBalances":[],
+         |"logMessages":["Program PROGX invoke",
+         |"Program log: Instruction: $log"]}}]}}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.writeString(dir.toPath.resolve("b.json"),
+      blk("Init(v2) success") + "\n" + blk("Init(v2)x trailing-word") +
+        "\n" + blk("Initialize"))
+    val blocks = Rugpull.parseBlocks(spark, dir.getAbsolutePath)
+    // a name ending in ')' must match when followed by a non-word char
+    // (the \\b form silently never matched it) but NOT when glued to
+    // more word chars; parens must be literal, not a regex group
+    assert(Rugpull.detectPools(blocks,
+      Map("PROGX" -> Seq("Init(v2)"))).count() === 1)
+    // an empty instruction list matches nothing, not everything
+    assert(Rugpull.detectPools(blocks, Map("PROGX" -> Nil)).count() === 0)
+  }
+
   test("two blocks sharing a blockTime do not collide or merge") {
     val dir = Files.createTempDirectory("graft-samebt").toFile
     def blk(owner: String, amt: String): String =

@@ -31,16 +31,21 @@ def rows(con, path):
 
 def main(a, b):
     con = duckdb.connect()
-    names = sorted(n for n in os.listdir(a)
-                   if os.path.isdir(os.path.join(a, n)))
+    # union of both runs: a query that FAILED in one run (Verify writes
+    # no dir for it) must surface as a diff, not be silently skipped
+    def dirs(root):
+        return {n for n in os.listdir(root)
+                if os.path.isdir(os.path.join(root, n))}
+    names = sorted(dirs(a) | dirs(b))
     n_pass = n_fail = 0
     for name in names:
-        pb = os.path.join(b, name)
-        if not os.path.isdir(pb):
-            print(f"FAIL {name}: missing in {b}")
+        pa, pb = os.path.join(a, name), os.path.join(b, name)
+        if not os.path.isdir(pa) or not os.path.isdir(pb):
+            missing = a if not os.path.isdir(pa) else b
+            print(f"FAIL {name}: missing in {missing}")
             n_fail += 1
             continue
-        ca, ra = rows(con, os.path.join(a, name))
+        ca, ra = rows(con, pa)
         cb, rb = rows(con, pb)
         if ca != cb:
             print(f"FAIL {name}: column mismatch {ca} vs {cb}")
