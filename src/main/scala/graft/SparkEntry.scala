@@ -1070,6 +1070,66 @@ object SparkEntry {
           Fns.roundU(avg($"len_before"), 2).as("avg_len_before"),
           Fns.roundU(avg($"len_after"), 2).as("avg_len_after"))
         .orderBy($"source")
+    }),
+
+    // Cross-document BOILERPLATE accounting: 2-gram spans occurring in
+    // ≥5% of the corpus are chrome, not content; per source, how much of
+    // each document is made of them and how many docs are mostly (≥90%)
+    // boilerplate. The threshold is relative to corpus size so the
+    // report means the same thing after 100× growth; shingles travel as
+    // 64-bit hashes (operators.TextAnalysis.boilerplateDocStats).
+    "q67_boilerplate_ngrams" -> ((s, d) => {
+      TextAnalysis.boilerplateDocStats(Tables.documents(s, d),
+          "text", "doc_id", nGram = 2, minDfFrac = 0.05,
+          carryCols = Seq("source"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          Fns.roundU(avg($"boiler_frac"), 4).as("avg_boiler_frac"),
+          sum(when($"boiler_frac" >= 0.9, 1L).otherwise(0L))
+            .as("n_mostly_boiler"))
+        .orderBy($"source")
+    }),
+
+    // INCREMENTAL dedup — the ingestion admission screen: which docs of
+    // an incoming batch (src0 stands in) near-duplicate something the
+    // existing corpus (every other source) already has, and their best
+    // match. ONE rare-shingle aggregation over the union generates
+    // cross-boundary candidates (df counts both sides on purpose: a
+    // shingle common in the corpus is non-discriminative even if new to
+    // the batch); exact Jaccard verifies; a max_by hash aggregate picks
+    // the canonical match — no per-doc window sort.
+    "q69_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val sets = Dedup.hashedShingleSets(Tables.documents(s, d),
+          "text", "doc_id", 3, carryCols = Seq("source"))
+        .persist(MEMORY_AND_DISK)
+      val pairs = Dedup.crossCorpusPairsFromSets(
+        sets.filter($"source" === "src0").select($"id", $"sh"),
+        sets.filter($"source" =!= "src0").select($"id", $"sh"),
+        maxDf = 10)
+      Dedup.jaccardFromSets(sets.select($"id", $"sh"),
+          pairs.select($"new_id".as("id_a"), $"corpus_id".as("id_b")))
+        .filter($"jaccard" >= 0.5)
+        .groupBy($"id_a")
+        .agg(max_by($"id_b", struct($"jaccard", -$"id_b"))
+            .as("match_id"),
+          max($"jaccard").as("jaccard"),
+          count(lit(1)).as("n_matches"))
+        .select($"id_a".as("new_id"), $"match_id", $"jaccard",
+          $"n_matches")
+        .orderBy($"new_id")
+    }),
+
+    // Random-hyperplane LSH index over the embedding corpus: the
+    // bit-signature blocking key for vector near-dup search, with
+    // DERIVED (hash-seeded) hyperplanes so every engine reproduces the
+    // same buckets — the exactly-testable counterpart of q23's MinHash
+    // banding. Output is the bucket-occupancy/purity report, bounded by
+    // 2^nBits rows at any corpus size.
+    "q68_embed_rp_lsh" -> ((s, d) => {
+      Similarity.rpLshBucketStats(Tables.embeddings(s, d),
+          "embedding", "label", nBits = 8, dims = 64)
+        .orderBy($"bucket")
     })
   )
 
@@ -2088,7 +2148,121 @@ object SparkEntry {
         |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
         |  floor(avg(len_before) * 100 + 0.5) / 100.0 AS avg_len_before,
         |  floor(avg(len_after) * 100 + 0.5) / 100.0 AS avg_len_after
-        |FROM scrub GROUP BY source ORDER BY source""".stripMargin
+        |FROM scrub GROUP BY source ORDER BY source""".stripMargin,
+
+    // 2-gram lists mirror q53's 3-gram construction; threshold is
+    // ceil(0.05 · N) with N = total corpus docs
+    "q67_boilerplate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(t[i:i+1], ' ')
+        |      for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS gs
+        |  FROM toks),
+        |sh AS (SELECT doc_id, source, unnest(gs) AS g FROM shl),
+        |dfc AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |pd AS (
+        |  SELECT doc_id, source, count(*) AS n_shingles,
+        |    sum(CASE WHEN df >= CAST(ceil(0.05 * n_docs) AS BIGINT)
+        |      THEN 1 ELSE 0 END) AS n_boiler
+        |  FROM sh JOIN dfc USING (g) CROSS JOIN n
+        |  GROUP BY doc_id, source),
+        |fr AS (
+        |  SELECT source,
+        |    floor(CAST(n_boiler AS DOUBLE) / n_shingles * 10000 + 0.5)
+        |      / 10000.0 AS boiler_frac
+        |  FROM pd)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  floor(avg(boiler_frac) * 10000 + 0.5) / 10000.0
+        |    AS avg_boiler_frac,
+        |  CAST(sum(CASE WHEN boiler_frac >= 0.9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mostly_boiler
+        |FROM fr GROUP BY source ORDER BY source""".stripMargin,
+
+    // union-wide rare shingles, candidates cut to cross-source pairs,
+    // exact Jaccard on ROUNDED values (matching jaccardFromSets), best
+    // match by (jaccard desc, corpus id asc)
+    "q69_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(t[i:i+2], ' ')
+        |      for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+        |  FROM toks),
+        |sh AS (SELECT doc_id, source, unnest(gs) AS g FROM shl),
+        |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 10),
+        |cand AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN sa.source = 'src0' THEN sa.doc_id
+        |         ELSE sb.doc_id END AS new_id,
+        |    CASE WHEN sa.source = 'src0' THEN sb.doc_id
+        |         ELSE sa.doc_id END AS corpus_id
+        |  FROM sh sa JOIN rare USING (g) JOIN sh sb USING (g)
+        |  WHERE sb.doc_id > sa.doc_id
+        |    AND (sa.source = 'src0') <> (sb.source = 'src0')),
+        |inter AS (
+        |  SELECT p.new_id, p.corpus_id, count(*) AS ni FROM cand p
+        |  JOIN sh sa ON sa.doc_id = p.new_id
+        |  JOIN sh sb ON sb.doc_id = p.corpus_id AND sb.g = sa.g
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+        |near AS (
+        |  SELECT p.new_id, p.corpus_id,
+        |    floor((CAST(ni AS DOUBLE) / (za.ns + zb.ns - ni))
+        |      * 10000 + 0.5) / 10000.0 AS j
+        |  FROM cand p
+        |  JOIN inter USING (new_id, corpus_id)
+        |  JOIN sizes za ON za.doc_id = p.new_id
+        |  JOIN sizes zb ON zb.doc_id = p.corpus_id),
+        |hit AS (SELECT * FROM near WHERE j >= 0.5),
+        |best AS (
+        |  SELECT new_id, corpus_id, j,
+        |    row_number() OVER (PARTITION BY new_id
+        |      ORDER BY j DESC, corpus_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY new_id) AS n_matches
+        |  FROM hit)
+        |SELECT new_id, corpus_id AS match_id, j AS jaccard,
+        |  CAST(n_matches AS BIGINT) AS n_matches
+        |FROM best WHERE rn = 1 ORDER BY new_id""".stripMargin,
+
+    // plane component (i,d) = ±1 by the same multiplicative-hash
+    // arithmetic as the Spark side; list_reduce is a left fold, matching
+    // Spark's aggregate() accumulation order bit for bit
+    "q68_embed_rp_lsh" ->
+      """WITH sig AS (
+        |  SELECT vec_id, label,
+        |    [CASE WHEN list_reduce(
+        |        [CASE WHEN ((i*64+d)*2654435761) % 4294967296
+        |              < 2147483648 THEN 1.0 ELSE -1.0 END
+        |         * CAST(embedding[d+1] AS DOUBLE)
+        |         for d in range(0, 64)], (a,b) -> a+b) >= 0
+        |     THEN 1 ELSE 0 END for i in range(0, 8)] AS bits
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, label,
+        |    list_reduce(bits, (a,b) -> a*2+b) AS bucket
+        |  FROM sig),
+        |lc AS (SELECT bucket, label, count(*) AS c
+        |  FROM b GROUP BY bucket, label),
+        |bs AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_vecs,
+        |    CAST(count(*) AS BIGINT) AS n_labels, max(c) AS maxc
+        |  FROM lc GROUP BY bucket),
+        |tl AS (SELECT lc.bucket, min(lc.label) AS top_label
+        |  FROM lc JOIN bs ON lc.bucket = bs.bucket AND lc.c = bs.maxc
+        |  GROUP BY lc.bucket)
+        |SELECT CAST(bs.bucket AS BIGINT) AS bucket, n_vecs, n_labels,
+        |  top_label,
+        |  floor(CAST(maxc AS DOUBLE) / n_vecs * 10000 + 0.5) / 10000.0
+        |    AS purity
+        |FROM bs JOIN tl ON bs.bucket = tl.bucket
+        |ORDER BY bs.bucket""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

@@ -422,6 +422,50 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL dedup: near-dup candidate pairs BETWEEN an incoming
+    * batch and an existing corpus — the admission screen an ingestion
+    * pipeline runs before adding documents (within-batch and
+    * within-corpus duplicates are someone else's job: [[dupClusters]]).
+    * Both inputs are [[hashedShingleSets]] tables with ids unique ACROSS
+    * the two — a shared id would make a pair's side ambiguous, so this
+    * is a hard contract (same class as the Long.MinValue reservation in
+    * [[rareShinglePairsFromSets]]); prefix or offset one side's ids if
+    * the corpora number independently.
+    *
+    * Candidates come from ONE rare-shingle aggregation over the union —
+    * document frequency deliberately counts BOTH sides, so a shingle
+    * common in the corpus is correctly non-discriminative even if rare
+    * in the batch — then pairs are cut to those crossing the
+    * batch/corpus boundary by two narrow (id, side) hash joins. The
+    * C(maxDf,2) same-side combos generated and dropped are bounded per
+    * shingle and never see text. Returns (new_id, corpus_id).
+    *
+    * Recall contract is inherited from [[rareShinglePairsFromSets]]:
+    * complete for pairs sharing a shingle with union-df ≤ maxDf — i.e.
+    * content duplicated at most ~maxDf times across batch+corpus;
+    * collapse exact duplicates first for heavily-copied content. */
+  def crossCorpusPairsFromSets(newSets: DataFrame, corpusSets: DataFrame,
+                               maxDf: Int = 10): DataFrame = {
+    val tagged = newSets.select(col("id"), col("sh"))
+      .withColumn("__side", lit("n"))
+      .unionByName(corpusSets.select(col("id"), col("sh"))
+        .withColumn("__side", lit("c")))
+    val sides = tagged.select(col("id"), col("__side"))
+    val pairs = rareShinglePairsFromSets(tagged.select(col("id"),
+      col("sh")), maxDf)
+    pairs
+      .join(sides.select(col("id").as("id_a"), col("__side").as("__sa")),
+        Seq("id_a"))
+      .join(sides.select(col("id").as("id_b"), col("__side").as("__sb")),
+        Seq("id_b"))
+      .filter(col("__sa") =!= col("__sb"))
+      .select(
+        when(col("__sa") === "n", col("id_a")).otherwise(col("id_b"))
+          .as("new_id"),
+        when(col("__sa") === "n", col("id_b")).otherwise(col("id_a"))
+          .as("corpus_id"))
+  }
+
   /** Train/eval CONTAMINATION check — the n-gram containment screen run
     * before any benchmark evaluation of a model trained on the corpus:
     * for each eval document, the fraction of its shingles that appear

@@ -173,6 +173,69 @@ object Similarity {
           .as("vb"))
   }
 
+  /** Random-hyperplane (sign) LSH bucket id for an embedding — the
+    * bit-signature counterpart of MinHash for vectors (Charikar's SimHash
+    * applied to real-valued embeddings): bit i is the side of hyperplane
+    * i the vector falls on, and vectors sharing all `nBits` sides land in
+    * the same bucket. Cosine-similar vectors agree on most hyperplanes,
+    * so bucket collision probability is (1 - θ/π)^nBits — the blocking
+    * key for near-dup embedding search that replaces an all-pairs join.
+    *
+    * The "random" hyperplanes are DERIVED, not sampled: component d of
+    * plane i is ±1 by a Knuth multiplicative hash of (i·dims + d) — plain
+    * integer arithmetic any engine (and any future rerun) reproduces, so
+    * bucket assignments are portable and the whole operator stays
+    * exactly-testable (unlike a seeded RNG, whose stream is
+    * implementation-defined). ±1 planes lose nothing vs Gaussian ones
+    * for LSH purposes (the signs are what matter) and keep the dot
+    * product mul-free in codegen.
+    *
+    * Everything is one pure Column expression (nested higher-order
+    * functions, no UDF): the corpus scan computes buckets inside
+    * WholeStageCodegen and the only shuffle downstream of it is whatever
+    * aggregation the caller hangs on the bucket key. */
+  def rpLshBucket(vec: Column, nBits: Int, dims: Int): Column = {
+    require(nBits >= 1 && nBits <= 62, "bucket id must fit a long")
+    val bits = transform(sequence(lit(0), lit(nBits - 1)), i => {
+      val dot = aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
+        (acc, dd) => acc +
+          when((i * dims + dd).cast("long") * 2654435761L % 4294967296L
+            < 2147483648L, 1.0).otherwise(-1.0) *
+          element_at(vec, dd + 1).cast("double"))
+      when(dot >= 0, 1L).otherwise(0L)
+    })
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+  }
+
+  /** Bucket-occupancy report for an [[rpLshBucket]] index over a labeled
+    * corpus: per bucket, the member count, distinct-label count, majority
+    * label (ties → smallest label) and purity (majority share). The
+    * output is bounded by 2^nBits rows whatever the corpus size; the
+    * plan is two hash aggregates on (bucket [, label]) — the vectors
+    * themselves never shuffle. Purity far above 1/|labels| is the
+    * working-ness check for the LSH blocking before trusting it as a
+    * join key. */
+  def rpLshBucketStats(corpus: DataFrame, vecCol: String, labelCol: String,
+                       nBits: Int, dims: Int): DataFrame = {
+    val lc = corpus
+      .select(rpLshBucket(col(vecCol), nBits, dims).as("bucket"),
+        col(labelCol).as("__lbl"))
+      .groupBy(col("bucket"), col("__lbl"))
+      .agg(count(lit(1)).as("__c"))
+    lc.groupBy(col("bucket"))
+      .agg(sum(col("__c")).as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        // majority label, ties to the SMALLEST label: max over the
+        // total order (count asc, -label asc)
+        max_by(col("__lbl"), struct(col("__c"), -col("__lbl")))
+          .as("top_label"),
+        max(col("__c")).as("__maxc"))
+      .select(col("bucket"), col("n_vecs"), col("n_labels"),
+        col("top_label"),
+        graft.Fns.roundU(col("__maxc").cast("double") /
+          col("n_vecs").cast("double"), 4).as("purity"))
+  }
+
   /** IVF approximate top-k: probe the `nprobe` nearest cells per query and
     * run exact scoring only inside those cells. Returns the same shape as
     * [[bruteForceTopK]]; recall < 1 by construction. */

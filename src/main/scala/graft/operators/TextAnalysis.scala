@@ -98,6 +98,47 @@ object TextAnalysis {
           col("n_words").cast("double"), 4).as("top_token_frac"))
   }
 
+  /** Cross-document BOILERPLATE accounting — the span-level inverse of
+    * rare-shingle dedup: an n-gram that appears in a large fraction of
+    * the corpus (nav text, license headers, templated chrome) carries no
+    * training signal, and a document made mostly of such n-grams is a
+    * drop candidate. Per document: its distinct n-gram count, how many of
+    * those are "boilerplate" (document frequency ≥ `minDfFrac` of the
+    * corpus), and the boilerplate fraction.
+    *
+    * The threshold is RELATIVE to corpus size (df ≥ ⌈minDfFrac·N⌉), so
+    * the operator's meaning survives corpus growth — an absolute df
+    * cutoff silently reclassifies everything at 100× the data. Plan
+    * shape: shingles reduce to 64-bit hashes before the shuffle
+    * ([[graft.operators.Dedup.hashedShingleSets]]), the df table is
+    * vocabulary-sized with map-side combine, the corpus count rides in
+    * as a broadcast scalar, and the join back to (doc, shingle) rows is
+    * on the 8-byte hash — no text shuffles anywhere.
+    *
+    * Returns (id, carryCols..., n_shingles, n_boiler, boiler_frac
+    * rounded half-up to 4); documents with no shingles are absent. */
+  def boilerplateDocStats(df: org.apache.spark.sql.DataFrame,
+                          textCol: String, idCol: String, nGram: Int = 2,
+                          minDfFrac: Double = 0.05,
+                          carryCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = Dedup.hashedShingleSets(df, textCol, idCol, nGram, carryCols)
+      .select(col("id") +: carryCols.map(col) :+
+        explode(col("sh")).as("__g"): _*)
+    val dfc = sh.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val ndocs = df.agg(count(lit(1)).as("__n"))
+    sh.join(dfc, "__g")
+      .crossJoin(broadcast(ndocs))
+      .groupBy(col("id") +: carryCols.map(col): _*)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >=
+          ceil(lit(minDfFrac) * col("__n")).cast("long"), 1L)
+          .otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        graft.Fns.roundU(col("n_boiler").cast("double") /
+          col("n_shingles").cast("double"), 4))
+  }
+
   /** Number of matches of `pattern` in the text — the counting half of a
     * scrubbing pass (PII regexes, denylisted terms). */
   def matchCount(text: Column, pattern: String): Column =

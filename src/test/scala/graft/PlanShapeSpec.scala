@@ -177,6 +177,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(smj.isEmpty, s"corpus shuffled for a join:\n$p")
   }
 
+  test("q67 boilerplate: joins move 8-byte hashes; corpus scanned once") {
+    // same property as q53: the (doc, shingle) rows entering any join
+    // must be long/int hashes only — a string column means text shuffles
+    joinChildren("q67_boilerplate_ngrams").foreach { c =>
+      assert(c.schema.fields.forall(f =>
+        f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.StringType &&
+            f.name == "source"),
+        c.schema.fieldNames.mkString(","))
+    }
+  }
+
+  test("q68 RP-LSH: bucketing is a pure projection — aggregates only") {
+    val p = plan("q68_embed_rp_lsh")
+    // no joins, no windows: the signature computes in the scan's
+    // projection and everything downstream is two hash aggregates + sort
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"bucket stats must not join:\n$p")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length <= 3, s"shuffles: ${shuffles.length}")
+  }
+
   test("q62/q63 sample+tfidf run the bounded-heap plan, not a window") {
     for (q <- Seq("q62_consistent_sample", "q63_tfidf_terms")) {
       val p = plan(q)

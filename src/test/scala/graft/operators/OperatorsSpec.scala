@@ -776,4 +776,129 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
   }
+
+  test("Similarity.rpLshBucket: range, determinism, sign semantics") {
+    val rng = new scala.util.Random(17)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id",
+        Similarity.rpLshBucket($"embedding", nBits = 6, dims = 8)
+          .as("bucket"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // range: 6 bits → [0, 64)
+    assert(got.values.forall(b => b >= 0 && b < 64))
+    // deterministic: a second evaluation produces identical buckets
+    val again = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id",
+        Similarity.rpLshBucket($"embedding", nBits = 6, dims = 8)
+          .as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === again)
+    // sign semantics against a scala-side replay of the same arithmetic
+    def planeSign(i: Int, d: Int, dims: Int): Double =
+      if ((i.toLong * dims + d) * 2654435761L % 4294967296L
+        < 2147483648L) 1.0 else -1.0
+    val expected = vecs.map { case (id, v) =>
+      val bits = (0 until 6).map { i =>
+        val dot = (0 until 8).foldLeft(0.0)((acc, d) =>
+          acc + planeSign(i, d, 8) * v(d).toDouble)
+        if (dot >= 0) 1L else 0L
+      }
+      id -> bits.foldLeft(0L)((acc, b) => acc * 2 + b)
+    }.toMap
+    assert(got === expected)
+    // a vector and its negation land in complementary buckets
+    val pair = Seq((0L, Array(0.5f, -0.25f, 0.75f, 0.1f)),
+      (1L, Array(-0.5f, 0.25f, -0.75f, -0.1f)))
+      .toDF("vec_id", "embedding")
+      .select(Similarity.rpLshBucket($"embedding", 4, 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert((pair(0) ^ pair(1)) === 15L) // all 4 bits flip
+  }
+
+  test("Similarity.rpLshBucketStats: totals, purity, tie to min label") {
+    // two well-separated clusters (opposite orthants) + one stray
+    val base = Array(1.0f, 1.0f, 1.0f, 1.0f)
+    val rows =
+      (0 until 10).map(i => (i.toLong, base.map(_ + i * 0.001f), 1)) ++
+      (0 until 10).map(i =>
+        (100L + i, base.map(x => -x - i * 0.001f), 2)) ++
+      Seq((200L, base.map(_ + 0.5f), 7)) // joins cluster-1's bucket
+    val stats = Similarity.rpLshBucketStats(
+      rows.toDF("vec_id", "embedding", "label"),
+      "embedding", "label", nBits = 5, dims = 4).collect()
+    assert(stats.map(_.getAs[Long]("n_vecs")).sum === 21L)
+    // near-identical vectors collapse into one bucket per cluster
+    assert(stats.length === 2)
+    val byTop = stats.map(r => r.getAs[Int]("top_label") ->
+      (r.getAs[Long]("n_vecs"), r.getAs[Double]("purity"))).toMap
+    assert(byTop(1) === ((11L, 0.9091))) // 10 of label 1 + the stray
+    assert(byTop(2) === ((10L, 1.0)))
+    // majority tie → smallest label wins
+    val tied = Seq((0L, base, 5), (1L, base, 3))
+      .toDF("vec_id", "embedding", "label")
+    val t = Similarity.rpLshBucketStats(tied, "embedding", "label", 3, 4)
+      .collect()
+    assert(t.length === 1 && t(0).getAs[Int]("top_label") === 3)
+  }
+
+  test("Dedup.crossCorpusPairsFromSets: boundary-only pairs, shared df") {
+    // batch doc 1 near-dups corpus doc 10; batch docs 1,2 near-dup EACH
+    // OTHER (within-batch — must NOT appear); corpus docs 10,11 likewise
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "totally different words here now"))
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon theta"),
+      (12L, "unrelated corpus content entirely"))
+    val bs = Dedup.hashedShingleSets(batch.toDF("doc_id", "text"),
+      "text", "doc_id", 3)
+    val cs = Dedup.hashedShingleSets(corpus.toDF("doc_id", "text"),
+      "text", "doc_id", 3)
+    val got = Dedup.crossCorpusPairsFromSets(bs, cs, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair crosses the boundary, new side first
+    assert(got.forall { case (n, c) => n < 10 && c >= 10 })
+    // the true cross matches are present
+    assert(got.contains((1L, 10L)) && got.contains((2L, 11L)))
+    // nothing within-batch or within-corpus leaks through
+    assert(!got.exists { case (a, b) => a < 10 && b < 10 } &&
+      !got.exists { case (a, b) => a >= 10 && b >= 10 })
+    // df counts BOTH sides: a shingle rare in the batch but common
+    // across the union is non-discriminative. With maxDf=1 nothing
+    // shared can be rare (every shared shingle has union-df ≥ 2 — only
+    // single-side shingles have df 1, and they pair nothing).
+    val none = Dedup.crossCorpusPairsFromSets(bs, cs, maxDf = 1)
+      .count()
+    assert(none === 0L)
+  }
+
+  test("TextAnalysis.boilerplateDocStats: relative threshold, fractions") {
+    // 10 docs all share the 2-gram "common span"; each has unique filler.
+    // At minDfFrac=0.5 (threshold ceil(0.5*12)=6 of 12 docs) the shared
+    // 2-gram is boilerplate, unique ones are not; 2 extra docs without it
+    // dilute nothing.
+    val docs = (0 until 10).map(i =>
+        (i.toLong, s"common span u$i v$i")) ++
+      Seq((100L, "lonely text one"), (101L, "other words two"))
+    val stats = TextAnalysis.boilerplateDocStats(
+      docs.toDF("doc_id", "text"), "text", "doc_id",
+      nGram = 2, minDfFrac = 0.5)
+    val m = stats.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_boiler"),
+        r.getAs[Double]("boiler_frac"))).toMap
+    // "common span u0 v0" → 2-grams: "common span", "span u0", "u0 v0"
+    for (i <- 0 until 10)
+      assert(m(i.toLong) === ((3L, 1L, 0.3333)), s"doc $i")
+    assert(m(100L) === ((2L, 0L, 0.0)))
+    // raising the threshold above the shared df declassifies it
+    val none = TextAnalysis.boilerplateDocStats(
+        docs.toDF("doc_id", "text"), "text", "doc_id",
+        nGram = 2, minDfFrac = 0.99)
+      .agg(sum($"n_boiler")).collect()(0).getLong(0)
+    assert(none === 0L)
+  }
 }
