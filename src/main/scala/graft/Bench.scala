@@ -45,15 +45,19 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val (a, b) = (once(name, fn), once(name, fn))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    // Fixed name order: HashMap iteration reshuffles whenever the query
+    // set changes, silently moving queries relative to session warmup —
+    // sorted order keeps per-query numbers comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val (a, b) = (once(name, fn), once(name, fn))
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -979,17 +979,23 @@ object SparkEntry {
     // per-cluster window sort.
     "q65_dedup_survivorship" -> ((s, d) => {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // n_tok rides through the ONE scan-and-shingle pass (carryCols),
+      // so the survivorship join reads the persisted set table instead
+      // of re-scanning and re-tokenizing the corpus
       val docs = Tables.documents(s, d)
+        .withColumn("n_tok",
+          TextAnalysis.tokenCountWs($"text").cast("long"))
       val sets = Dedup.hashedShingleSets(docs, "text", "doc_id",
-        shingleWords = 3).persist(MEMORY_AND_DISK)
+        shingleWords = 3, carryCols = Seq("n_tok"))
+        .persist(MEMORY_AND_DISK)
+      val pairSets = sets.select($"id", $"sh")
       val near = Dedup
-        .jaccardFromSets(sets, Dedup.rareShinglePairsFromSets(sets, 10))
+        .jaccardFromSets(pairSets,
+          Dedup.rareShinglePairsFromSets(pairSets, 10))
         .filter($"jaccard" >= 0.5)
         .select($"id_a", $"id_b")
       val members = Dedup.dupClusters(near, "id_a", "id_b")
-        .join(docs.select($"doc_id".as("node"),
-          TextAnalysis.tokenCountWs($"text").cast("long").as("n_tok")),
-          "node")
+        .join(sets.select($"id".as("node"), $"n_tok"), "node")
       Dedup.survivorship(members, "cluster_id", "node", "n_tok")
         .select($"cluster_id", $"survivor_id", $"n_members",
           $"weight_kept".as("tokens_kept"),
