@@ -1126,6 +1126,30 @@ object SparkEntry {
         .orderBy($"new_id")
     }),
 
+    // VOCABULARY COVERAGE curve — the tokenizer-budget question: how
+    // much of the corpus token stream do the top-k terms cover? Term
+    // counts are a vocabulary-sized shuffle with map-side combine; the
+    // top-20 selection is TakeOrdered (bounded heap per partition, no
+    // vocabulary sort); the running-coverage window runs over 20 rows
+    // post-limit, so the unpartitioned Window is bounded by construction.
+    "q70_vocab_coverage" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+        .select(explode(split(trim($"text"), "\\s+")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum($"cnt").as("__tot"))
+      val w = Window.orderBy($"cnt".desc, $"term".asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      counts.orderBy($"cnt".desc, $"term".asc).limit(20)
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"cnt".desc, $"term".asc)))
+        .withColumn("coverage", Fns.roundU(
+          sum($"cnt").over(w).cast("double") / $"__tot", 6))
+        .select($"rank", $"term", $"cnt", $"coverage")
+        .orderBy($"rank")
+    }),
+
     // Random-hyperplane LSH index over the embedding corpus: the
     // bit-signature blocking key for vector near-dup search, with
     // DERIVED (hash-seeded) hyperplanes so every engine reproduces the
@@ -2188,6 +2212,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN boiler_frac >= 0.9 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_mostly_boiler
         |FROM fr GROUP BY source ORDER BY source""".stripMargin,
+
+    "q70_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |tot AS (SELECT sum(cnt) AS t FROM counts),
+        |top AS (
+        |  SELECT term, cnt FROM counts
+        |  ORDER BY cnt DESC, term LIMIT 20),
+        |r AS (
+        |  SELECT term, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT)
+        |      AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM top)
+        |SELECT rank, term, CAST(cnt AS BIGINT) AS cnt,
+        |  floor(CAST(cum AS DOUBLE) / t * 1000000 + 0.5) / 1000000.0
+        |    AS coverage
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
 
     // union-wide rare shingles, candidates cut to cross-source pairs,
     // exact Jaccard on ROUNDED values (matching jaccardFromSets), best

@@ -334,6 +334,49 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming INGESTION ADMISSION screen: each micro-batch of incoming
+    * documents is near-dup-screened against a STATIC existing corpus
+    * before being admitted — the streaming form of
+    * [[graft.operators.Dedup.crossCorpusPairsFromSets]]. Per batch, the
+    * batch's shingle sets join the (persisted) corpus sets through the
+    * shared rare-shingle candidate generation, exact Jaccard verifies,
+    * and `onBatch` receives (new_id, corpus_id, jaccard) rows ≥
+    * `threshold` — the reject list for that batch.
+    *
+    * The corpus side is analyzed ONCE here and persisted: per-batch work
+    * is proportional to the batch, not the corpus (the union df-count
+    * aggregation re-reads the corpus sets from cache). At cluster scale
+    * the corpus sets table would live bucketed on disk instead —
+    * same plan, storage-backed. */
+  def admissionScreen(docs: DataFrame, corpus: DataFrame, textCol: String,
+                      idCol: String, shingleWords: Int = 3,
+                      maxDf: Int = 10, threshold: Double = 0.5)
+                     (onBatch: (DataFrame, Long) => Unit)
+      : StreamingQuery = {
+    import graft.operators.Dedup
+    val corpusSets = Dedup.hashedShingleSets(corpus, textCol, idCol,
+        shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val batchSets = Dedup.hashedShingleSets(batch, textCol, idCol,
+          shingleWords)
+        val pairs = Dedup.crossCorpusPairsFromSets(batchSets, corpusSets,
+          maxDf)
+        val hits = Dedup.jaccardFromSets(
+            batchSets.unionByName(corpusSets),
+            pairs.select(col("new_id").as("id_a"),
+              col("corpus_id").as("id_b")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
+            col("jaccard"))
+        onBatch(hits, id)
+      }
+      .start()
+  }
+
   /** Watermarked stream–stream interval join: each left event pairs with
     * right events of the same key whose event time is within
     * [leftTs - lookback, leftTs]. Both sides need watermarks so the

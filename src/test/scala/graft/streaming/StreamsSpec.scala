@@ -513,4 +513,44 @@ class StreamsSpec extends SparkSpec {
     assert(r.map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
       .toSeq === Seq(("a", 2L, 3.0), ("a", 1L, 4.0)))
   }
+
+  test("admissionScreen: per-batch near-dup reject list vs static corpus") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta"),
+      (101L, "one two three four five six seven"),
+      (102L, "completely different corpus content here now"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-admit").toFile
+    // batch 1: doc 1 duplicates corpus 100, doc 2 is novel
+    dropFile(dir, "b1.json", Seq(
+      """{"doc_id":1,"text":"alpha beta gamma delta epsilon zeta eta"}""",
+      """{"doc_id":2,"text":"novel words that match nothing at all"}""")
+      .mkString("\n"))
+    val incoming = spark.readStream
+      .schema("doc_id LONG, text STRING").json(dir.getAbsolutePath)
+    val rejects = collection.mutable.Map[Long, Seq[(Long, Long, Double)]]()
+    def screen() = Streams.admissionScreen(incoming, corpus,
+      "text", "doc_id") { (hits, id) =>
+      rejects.synchronized {
+        rejects(id) = hits.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      }
+    }
+    val q1 = screen()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(rejects(0L) === Seq((1L, 100L, 1.0)))
+    // batch 2 (a NEW AvailableNow run over the grown directory — the
+    // restartable form): doc 3 near-dups corpus 101; novel doc 2 from
+    // batch 1 must not reappear as a hit
+    dropFile(dir, "b2.json",
+      """{"doc_id":3,"text":"one two three four five six eight"}""")
+    rejects.clear()
+    val q2 = screen()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = rejects.values.flatten.toSet
+    assert(all.contains((3L, 101L, 0.5)) ||
+      all.exists(h => h._1 == 3L && h._2 == 101L && h._3 >= 0.5),
+      all.toString)
+    assert(!all.exists(_._1 == 2L))
+  }
 }
