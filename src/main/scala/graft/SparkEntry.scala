@@ -2102,7 +2102,7 @@ object SparkEntry {
         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM d)
-        |SELECT lang, (cum - n_tok) // 1000 AS pack_id,
+        |SELECT lang, CAST((cum - n_tok) // 1000 AS BIGINT) AS pack_id,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
         |  CAST(sum(CASE WHEN n_tok > 0

@@ -338,25 +338,38 @@ object Streams {
     * documents is near-dup-screened against a STATIC existing corpus
     * before being admitted — the streaming form of
     * [[graft.operators.Dedup.crossCorpusPairsFromSets]]. Per batch, the
-    * batch's shingle sets join the (persisted) corpus sets through the
-    * shared rare-shingle candidate generation, exact Jaccard verifies,
-    * and `onBatch` receives (new_id, corpus_id, jaccard) rows ≥
-    * `threshold` — the reject list for that batch.
+    * batch's shingle sets join the corpus sets through the shared
+    * rare-shingle candidate generation, exact Jaccard verifies, and
+    * `onBatch` receives (new_id, corpus_id, jaccard) rows ≥ `threshold`
+    * — the reject list for that batch.
     *
-    * The corpus side is analyzed ONCE here and persisted: per-batch work
-    * is proportional to the batch, not the corpus (the union df-count
-    * aggregation re-reads the corpus sets from cache). At cluster scale
-    * the corpus sets table would live bucketed on disk instead —
-    * same plan, storage-backed. */
-  def admissionScreen(docs: DataFrame, corpus: DataFrame, textCol: String,
+    * `corpusSets` is a caller-prepared
+    * [[graft.operators.Dedup.hashedShingleSets]] table (same
+    * `shingleWords` as this call) whose cache lifecycle is the CALLER's —
+    * persist it before starting the query and unpersist after stopping
+    * (the no-operator-internal-cache policy; an internal persist would
+    * outlive the returned StreamingQuery and leak across calls). Hard
+    * contract inherited from [[graft.operators.Dedup
+    * .crossCorpusPairsFromSets]]: batch ids and corpus ids must be
+    * DISJOINT — a shared id makes jaccardFromSets' id joins fan out over
+    * the union and emit duplicated/wrong rows. Prefix or offset one
+    * side's ids if the two number independently.
+    *
+    * Per-batch cost: shingling is proportional to the BATCH, but the
+    * rare-shingle df aggregation runs over batch ∪ corpus, so every
+    * micro-batch re-aggregates the corpus sets (from cache when
+    * persisted) — O(|batch| + |corpus|) per batch. That union-wide df is
+    * what makes a shingle common in the corpus non-discriminative even
+    * when rare in the batch. At cluster scale the corpus sets table
+    * lives bucketed on disk and the df side becomes a pre-aggregated
+    * (shingle, df, capped-ids) table maintained incrementally. */
+  def admissionScreen(docs: DataFrame, corpusSets: DataFrame,
+                      textCol: String,
                       idCol: String, shingleWords: Int = 3,
                       maxDf: Int = 10, threshold: Double = 0.5)
                      (onBatch: (DataFrame, Long) => Unit)
       : StreamingQuery = {
     import graft.operators.Dedup
-    val corpusSets = Dedup.hashedShingleSets(corpus, textCol, idCol,
-        shingleWords)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())

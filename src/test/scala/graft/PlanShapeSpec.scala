@@ -177,7 +177,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(smj.isEmpty, s"corpus shuffled for a join:\n$p")
   }
 
-  test("q67 boilerplate: joins move 8-byte hashes; corpus scanned once") {
+  test("q67 boilerplate: joins move 8-byte hashes, never shingle text") {
     // same property as q53: the (doc, shingle) rows entering any join
     // must be long/int hashes only — a string column means text shuffles
     joinChildren("q67_boilerplate_ngrams").foreach { c =>

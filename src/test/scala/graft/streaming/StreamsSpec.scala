@@ -529,28 +529,35 @@ class StreamsSpec extends SparkSpec {
     val incoming = spark.readStream
       .schema("doc_id LONG, text STRING").json(dir.getAbsolutePath)
     val rejects = collection.mutable.Map[Long, Seq[(Long, Long, Double)]]()
-    def screen() = Streams.admissionScreen(incoming, corpus,
+    // caller-owned corpus-sets lifecycle: prepare + persist once, reuse
+    // across both query runs, unpersist at the end
+    val corpusSets = graft.operators.Dedup
+      .hashedShingleSets(corpus, "text", "doc_id")
+      .persist()
+    def screen() = Streams.admissionScreen(incoming, corpusSets,
       "text", "doc_id") { (hits, id) =>
       rejects.synchronized {
         rejects(id) = hits.collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       }
     }
-    val q1 = screen()
-    try q1.processAllAvailable() finally q1.stop()
-    assert(rejects(0L) === Seq((1L, 100L, 1.0)))
-    // batch 2 (a NEW AvailableNow run over the grown directory — the
-    // restartable form): doc 3 near-dups corpus 101; novel doc 2 from
-    // batch 1 must not reappear as a hit
-    dropFile(dir, "b2.json",
-      """{"doc_id":3,"text":"one two three four five six eight"}""")
-    rejects.clear()
-    val q2 = screen()
-    try q2.processAllAvailable() finally q2.stop()
-    val all = rejects.values.flatten.toSet
-    assert(all.contains((3L, 101L, 0.5)) ||
-      all.exists(h => h._1 == 3L && h._2 == 101L && h._3 >= 0.5),
-      all.toString)
-    assert(!all.exists(_._1 == 2L))
+    try {
+      val q1 = screen()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(rejects(0L) === Seq((1L, 100L, 1.0)))
+      // batch 2 (a NEW AvailableNow run over the grown directory — the
+      // restartable form): doc 3 near-dups corpus 101; novel doc 2 from
+      // batch 1 must not reappear as a hit
+      dropFile(dir, "b2.json",
+        """{"doc_id":3,"text":"one two three four five six eight"}""")
+      rejects.clear()
+      val q2 = screen()
+      try q2.processAllAvailable() finally q2.stop()
+      val all = rejects.values.flatten.toSet
+      assert(all.contains((3L, 101L, 0.5)) ||
+        all.exists(h => h._1 == 3L && h._2 == 101L && h._3 >= 0.5),
+        all.toString)
+      assert(!all.exists(_._1 == 2L))
+    } finally corpusSets.unpersist()
   }
 }
