@@ -1160,6 +1160,116 @@ object SparkEntry {
       Similarity.rpLshBucketStats(Tables.embeddings(s, d),
           "embedding", "label", nBits = 8, dims = 64)
         .orderBy($"bucket")
+    }),
+
+    // SEMANTIC dedup (SemDeDup shape): embeddings bucket into IVF cells
+    // (deterministic first-mod-50 centroids, like q27, so the whole
+    // pipeline — including the "approximate" blocking — is exactly
+    // DuckDB-oracle-able), near-dup pairs form ONLY within a cell
+    // (triangle-partitioned against cell skew), connected components
+    // resolve pair → cluster, and each cluster keeps its most central
+    // member (highest cosine to the cell centroid, ties → lowest id).
+    // The within-cell restriction is the scale move: candidate work is
+    // sum of cell sizes squared, not corpus squared.
+    "q71_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))
+      val assigned = Similarity.assignCells(emb, "vec_id", "embedding",
+        cents, "cell_id", "cvec")
+      val withCsim = assigned.join(broadcast(cents), Seq("cell_id"))
+        .select($"vec_id", $"cell_id",
+          Similarity.cosine($"embedding", $"cvec").as("__csim"))
+      val pairs = Similarity.blockedSelfJoin(
+          assigned.select($"cell_id", $"vec_id", $"embedding"),
+          "cell_id", "vec_id", "embedding", chunks = 4)
+        .withColumn("sim", Similarity.cosine($"va", $"vb"))
+        .filter($"sim" >= 0.35)
+        .select($"id_a", $"id_b")
+      Dedup.dupClusters(pairs, "id_a", "id_b")
+        .join(withCsim.withColumnRenamed("vec_id", "node"), Seq("node"))
+        .groupBy($"cluster_id")
+        .agg(min($"cell_id").as("cell_id"),
+          count(lit(1)).as("n_members"),
+          max_by($"node", struct($"__csim", (-$"node").as("__ni")))
+            .as("survivor_id"),
+          Fns.roundU(max($"__csim"), 4).as("max_centroid_sim"))
+        .orderBy($"cluster_id")
+    }),
+
+    // Token-window CHUNKING: documents → fixed-size overlapping token
+    // windows (32 tokens, stride 24) — the training-example prep step.
+    // The chunker is one pure Column expression evaluated inside the
+    // scan projection (TextAnalysis.tokenChunks); the md5 of each
+    // chunk's text pins content equality cross-engine, not just counts.
+    "q72_doc_chunking" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter($"doc_id" < 40 && length(trim($"text")) > 0)
+        .select($"doc_id",
+          explode(TextAnalysis.tokenChunks($"text", 32, 24)).as("ch"))
+        .select($"doc_id", $"ch.chunk_id".as("chunk_id"),
+          size($"ch.toks").as("n_tok"),
+          element_at($"ch.toks", 1).as("first_tok"),
+          element_at($"ch.toks", -1).as("last_tok"),
+          md5(array_join($"ch.toks", " ")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // ANONYMIZATION pass over a structured user table: md5 pseudonyms
+    // for the direct identifier, banded balances, and k-anonymity
+    // suppression (k=5) of the (nation, segment) quasi-identifier —
+    // groups smaller than k collapse to '*'. The group-count table is
+    // domain-bounded, so it broadcasts and the fact never shuffles.
+    "q73_anonymize" -> ((s, d) => {
+      Anonymize.suppressSmallGroups(Tables.customer(s, d),
+          Seq("c_nationkey", "c_mktsegment"), k = 5)
+        .filter($"c_custkey" < 200)
+        .select($"c_custkey",
+          Anonymize.pseudonym($"c_name").as("pseudonym"),
+          floor($"c_acctbal" / 1000).cast("long").as("bal_band"),
+          $"c_nationkey".as("nation_q"),
+          $"c_mktsegment".as("segment_q"),
+          $"k_ok")
+        .orderBy($"c_custkey")
+    }),
+
+    // LEAKAGE-SAFE train/val/test split: near-dup clusters (the q52/q65
+    // pipeline head) are the assignment unit — the split hashes the
+    // CLUSTER id, not the doc id, so two near-duplicate documents can
+    // never land in different splits (the eval-contamination mode a
+    // doc-id split allows). Singleton docs are their own cluster. The
+    // report carries its own audit: n_leaky_clusters counts clusters
+    // straddling splits and is 0 by construction.
+    "q74_leakage_split" -> ((s, d) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = Tables.documents(s, d).withColumn("n_tok",
+        TextAnalysis.tokenCountWs($"text").cast("long"))
+      val sets = Dedup.hashedShingleSets(docs, "text", "doc_id",
+        shingleWords = 3, carryCols = Seq("n_tok"))
+        .persist(MEMORY_AND_DISK)
+      val pairSets = sets.select($"id", $"sh")
+      val near = Dedup
+        .jaccardFromSets(pairSets,
+          Dedup.rareShinglePairsFromSets(pairSets, 10))
+        .filter($"jaccard" >= 0.5)
+        .select($"id_a", $"id_b")
+      val clusters = Dedup.dupClusters(near, "id_a", "id_b")
+      val withCluster = sets.select($"id", $"n_tok")
+        .join(clusters.withColumnRenamed("node", "id"), Seq("id"),
+          "left_outer")
+        .withColumn("cluster_id", coalesce($"cluster_id", $"id"))
+      val split = Sampling.stratifiedSplit(withCluster, "cluster_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val leak = split.groupBy($"cluster_id")
+        .agg(countDistinct($"split").as("__ns"))
+        .agg(coalesce(sum(when($"__ns" > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_leaky_clusters"))
+      split.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("n_tokens"),
+          countDistinct($"cluster_id").as("n_clusters"))
+        .crossJoin(broadcast(leak))
+        .orderBy($"split")
     })
   )
 
@@ -2313,7 +2423,153 @@ object SparkEntry {
         |  floor(CAST(maxc AS DOUBLE) / n_vecs * 10000 + 0.5) / 10000.0
         |    AS purity
         |FROM bs JOIN tl ON bs.bucket = tl.bucket
-        |ORDER BY bs.bucket""".stripMargin
+        |ORDER BY bs.bucket""".stripMargin,
+
+    // q71: cell assignment replicates q27's argmax (csim DESC, cell ASC);
+    // components replicate q52's recursive-CTE reachability; the survivor
+    // is row_number 1 over (csim DESC, node ASC) = Spark's max_by key.
+    "q71_semantic_dedup" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT vec_id AS cell_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |a AS (
+        |  SELECT e.vec_id, e.embedding, c.cell_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(c.cvec AS DOUBLE[])) AS csim
+        |  FROM embeddings e CROSS JOIN c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell_id, csim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cell_id ASC) AS arn FROM a)
+        |  WHERE arn = 1),
+        |near AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM assigned x JOIN assigned y
+        |    ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |    CAST(y.embedding AS DOUBLE[])) >= 0.35),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM near
+        |  UNION SELECT id_b, id_a FROM near),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |cc AS (
+        |  SELECT node, node AS label FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, c2.label
+        |  FROM cc c2 JOIN edges e ON e.src = c2.node),
+        |labeled AS (SELECT node, min(label) AS cluster_id FROM cc
+        |  GROUP BY node),
+        |mem AS (
+        |  SELECT l.cluster_id, l.node, s.cell_id, s.csim
+        |  FROM labeled l JOIN assigned s ON s.vec_id = l.node),
+        |surv AS (
+        |  SELECT cluster_id, node, row_number() OVER (
+        |    PARTITION BY cluster_id ORDER BY csim DESC, node ASC) AS rn
+        |  FROM mem),
+        |agg AS (
+        |  SELECT cluster_id, CAST(min(cell_id) AS BIGINT) AS cell_id,
+        |    CAST(count(*) AS BIGINT) AS n_members,
+        |    floor(max(csim) * 10000 + 0.5) / 10000.0 AS max_centroid_sim
+        |  FROM mem GROUP BY cluster_id)
+        |SELECT agg.cluster_id, agg.cell_id, agg.n_members,
+        |  surv.node AS survivor_id, agg.max_centroid_sim
+        |FROM agg JOIN surv ON surv.cluster_id = agg.cluster_id
+        |  AND surv.rn = 1
+        |ORDER BY agg.cluster_id""".stripMargin,
+
+    "q72_doc_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE doc_id < 40 AND length(trim(text)) > 0),
+        |st AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s FROM toks),
+        |ch AS (
+        |  SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+        |    t[s+1:s+32] AS c FROM st)
+        |SELECT doc_id, chunk_id, CAST(len(c) AS INT) AS n_tok,
+        |  c[1] AS first_tok, c[-1] AS last_tok,
+        |  md5(array_to_string(c, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q73_anonymize" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS qn
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_custkey, md5(c_name) AS pseudonym,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CASE WHEN qn >= 5 THEN CAST(c.c_nationkey AS VARCHAR)
+        |       ELSE '*' END AS nation_q,
+        |  CASE WHEN qn >= 5 THEN c.c_mktsegment ELSE '*' END AS segment_q,
+        |  qn >= 5 AS k_ok
+        |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)
+        |WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
+
+    // q74: q52's recursive-CTE clusters, singleton docs fall back to
+    // their own id, split arithmetic copied from q61's hash mirror.
+    "q74_leakage_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+        |  FROM toks),
+        |sh AS (SELECT doc_id, unnest(gs) AS g FROM shl),
+        |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 10),
+        |cand AS (
+        |  SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+        |  FROM sh sa JOIN rare USING (g) JOIN sh sb USING (g)
+        |  WHERE sb.doc_id > sa.doc_id),
+        |inter AS (
+        |  SELECT p.id_a, p.id_b, count(*) AS ni FROM cand p
+        |  JOIN sh sa ON sa.doc_id = p.id_a
+        |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.g = sa.g
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+        |near AS (
+        |  SELECT p.id_a, p.id_b FROM cand p
+        |  JOIN inter USING (id_a, id_b)
+        |  JOIN sizes za ON za.doc_id = p.id_a
+        |  JOIN sizes zb ON zb.doc_id = p.id_b
+        |  WHERE floor((CAST(ni AS DOUBLE) / (za.ns + zb.ns - ni))
+        |    * 10000 + 0.5) / 10000.0 >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM near
+        |  UNION SELECT id_b, id_a FROM near),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |cc AS (
+        |  SELECT node, node AS label FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, c.label
+        |  FROM cc c JOIN edges e ON e.src = c.node),
+        |labeled AS (SELECT node, min(label) AS cluster_id FROM cc
+        |  GROUP BY node),
+        |allc AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(d.text), '\s+')) END
+        |      AS n_tok,
+        |    coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN labeled l ON l.node = d.doc_id),
+        |sp AS (
+        |  SELECT *, (cluster_id % 2147483647 + 2147483647) % 2147483647
+        |    * 2654435761 % 4294967296 % 100 AS b
+        |  FROM allc),
+        |spl AS (
+        |  SELECT *, CASE WHEN b < 80 THEN 'train'
+        |    WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM sp),
+        |leak AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_leaky_clusters
+        |  FROM (SELECT cluster_id, count(DISTINCT split) AS ns
+        |    FROM spl GROUP BY 1))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        |  leak.n_leaky_clusters
+        |FROM spl, leak
+        |GROUP BY split, leak.n_leaky_clusters ORDER BY split""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

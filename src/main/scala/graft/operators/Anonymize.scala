@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy operators for training-data pipelines: stable pseudonymization
+  * and k-anonymity suppression — the pass run over user-derived tables
+  * before they may feed a corpus. Counterpart to the regex scrub in
+  * [[TextAnalysis.redact]] (free text) for STRUCTURED identifiers.
+  *
+  * Scale design: suppression needs only the quasi-identifier group
+  * counts, a table bounded by the quasi-identifier DOMAIN (not the data),
+  * so it broadcasts and the fact table never shuffles — the whole pass is
+  * a projection over one scan at any corpus size.
+  */
+object Anonymize {
+
+  /** Stable pseudonym for an identifier: md5 hex of its string form.
+    * Deterministic and engine-portable (any SQL engine reproduces it), so
+    * joins BETWEEN pseudonymized tables still line up. This is
+    * pseudonymization, not anonymization — re-identification is a
+    * dictionary attack away for low-entropy identifiers; pair it with
+    * [[suppressSmallGroups]] for the quasi-identifiers. */
+  def pseudonym(c: Column): Column = md5(c.cast("string"))
+
+  /** k-anonymity suppression over quasi-identifier columns: rows whose
+    * quasi-identifier combination is shared by fewer than `k` rows get
+    * every quasi column replaced by `sentinel` (cast to string, since the
+    * sentinel must inhabit every column's domain); an appended `k_ok`
+    * boolean records which rows survived untouched. Non-quasi columns
+    * pass through unchanged — drop or pseudonymize direct identifiers
+    * separately.
+    *
+    * One aggregation over the quasi columns (domain-bounded output,
+    * broadcast back) — the data-sized side of the join is a broadcast
+    * hash join, so no fact shuffle. */
+  def suppressSmallGroups(df: DataFrame, quasiCols: Seq[String], k: Int,
+                          sentinel: String = "*"): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    val cnt = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__qn"))
+    df.join(broadcast(cnt), quasiCols)
+      .select(df.columns.map { c =>
+        if (quasiCols.contains(c))
+          when(col("__qn") >= k, col(c).cast("string"))
+            .otherwise(lit(sentinel)).as(c)
+        else col(c)
+      } :+ (col("__qn") >= k).as("k_ok"): _*)
+  }
+}

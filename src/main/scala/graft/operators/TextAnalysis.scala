@@ -139,6 +139,30 @@ object TextAnalysis {
           col("n_shingles").cast("double"), 4))
   }
 
+  /** Fixed-size token windows with overlap — the training-example prep
+    * step that turns documents into model-ready sequences. Returns an
+    * array of (chunk_id, toks) structs where chunk i covers whitespace
+    * tokens [i·stride, i·stride + chunk); stride < chunk gives the
+    * standard overlapping windows and the last window may be short.
+    * Blank text yields an empty array (an explode drops the document).
+    *
+    * Pure Column expression: chunking happens inside the scan's
+    * projection, so the 100 TB form is `explode(tokenChunks(...))` — one
+    * narrow codegen'd pass per document, no shuffle until whatever the
+    * caller hangs downstream. Output size is ~|text|·(chunk/stride), so
+    * the overlap factor — not the operator — is the storage knob. */
+  def tokenChunks(text: Column, chunk: Int, stride: Int): Column = {
+    require(chunk >= 1 && stride >= 1,
+      s"chunk=$chunk and stride=$stride must be >= 1")
+    val toks = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0,
+      array().cast("array<struct<chunk_id:bigint,toks:array<string>>>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - 1, lit(stride)),
+        s => struct((s / stride).cast("long").as("chunk_id"),
+          slice(toks, s + 1, lit(chunk)).as("toks"))))
+  }
+
   /** Number of matches of `pattern` in the text — the counting half of a
     * scrubbing pass (PII regexes, denylisted terms). */
   def matchCount(text: Column, pattern: String): Column =

@@ -203,6 +203,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.length <= 3, s"shuffles: ${shuffles.length}")
   }
 
+  test("q72 chunking: pure projection — no joins, at most the sort") {
+    val p = plan("q72_doc_chunking")
+    assert(collectAll(p) {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"chunking must not join:\n$p")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length <= 1, s"chunking shuffled: ${shuffles.length}")
+  }
+
+  test("q73 anonymize: group counts broadcast — fact never sort-merges") {
+    val p = plan("q73_anonymize")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"quasi-group counts must broadcast:\n$p")
+    assert(collectAll(p) { case j: SortMergeJoinExec => j }.isEmpty,
+      s"customer shuffled for the suppression join:\n$p")
+  }
+
   test("q62/q63 sample+tfidf run the bounded-heap plan, not a window") {
     for (q <- Seq("q62_consistent_sample", "q63_tfidf_terms")) {
       val p = plan(q)

@@ -901,4 +901,85 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       .agg(sum($"n_boiler")).collect()(0).getLong(0)
     assert(none === 0L)
   }
+
+  test("TextAnalysis.tokenChunks: overlap, short tail, blank text") {
+    // 10 tokens, chunk 4, stride 3 → starts 0,3,6,9; last two short
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "  "), (3L, "solo"))
+      .toDF("id", "text")
+    val rows = df.select($"id",
+        explode(TextAnalysis.tokenChunks($"text", 4, 3)).as("ch"))
+      .select($"id", $"ch.chunk_id", $"ch.toks")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2)))
+    assert(!rows.exists(_._1 == 2L), "blank text must yield no chunks")
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(doc1(0)._3 === Seq("t1", "t2", "t3", "t4"))
+    assert(doc1(1)._3 === Seq("t4", "t5", "t6", "t7"), "1-token overlap")
+    assert(doc1(3)._3 === Seq("t10"), "short tail window")
+    assert(rows.filter(_._1 == 3L).map(_._3.toSeq).toSeq ===
+      Seq(Seq("solo")))
+  }
+
+  test("Anonymize: small quasi groups suppress, pseudonyms are stable") {
+    val df = Seq(
+      (1L, "alice", "US", "A"), (2L, "bob", "US", "A"),
+      (3L, "carol", "US", "A"), (4L, "dave", "FR", "B"))
+      .toDF("id", "name", "country", "seg")
+    val out = Anonymize.suppressSmallGroups(df, Seq("country", "seg"),
+        k = 3)
+      .select($"id", Anonymize.pseudonym($"name").as("p"),
+        $"country", $"seg", $"k_ok")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).sortBy(_._1)
+    // the (US, A) group has 3 members → kept; (FR, B) has 1 → suppressed
+    assert(out(0)._3 === "US" && out(0)._4 === "A" && out(0)._5)
+    assert(out(3)._3 === "*" && out(3)._4 === "*" && !out(3)._5)
+    // md5 is the documented, engine-portable pseudonym
+    assert(out(0)._2 ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("alice".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    // same input → same pseudonym across calls (stability)
+    val again = Anonymize.suppressSmallGroups(df, Seq("country", "seg"),
+        k = 3)
+      .select(Anonymize.pseudonym($"name").as("p")).collect()
+      .map(_.getString(0)).sorted
+    assert(again.toSeq === out.map(_._2).sorted.toSeq)
+  }
+
+  test("cluster-keyed split never separates near-dup pairs") {
+    // ids picked so a DOC-keyed split WOULD separate them: hash buckets
+    // of 7 and 95 land in different q61-style ranges
+    def bucket(id: Long) = (id % 2147483647L) * 2654435761L %
+      4294967296L % 100L
+    val (a, b) = (0L to 200L).flatMap(x => (0L to 200L).collect {
+      case y if x < y && (bucket(x) < 80) != (bucket(y) < 80) => (x, y)
+    }).head
+    val pairs = Seq((a, b)).toDF("id_a", "id_b")
+    val clustered = Dedup.dupClusters(pairs, "id_a", "id_b")
+    val split = Sampling.stratifiedSplit(clustered, "cluster_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val perCluster = split.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("ns"))
+      .collect().map(_.getLong(1))
+    assert(perCluster.forall(_ == 1L),
+      "a near-dup cluster straddled splits")
+    // sanity: the same pair under a DOC-keyed split does straddle
+    val docSplit = Sampling.stratifiedSplit(
+      Seq(a, b).toDF("node"), "node",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(docSplit.select(countDistinct($"split")).collect()(0)
+      .getLong(0) === 2L)
+  }
+
+  test("Anonymize.suppressSmallGroups keeps non-quasi columns intact") {
+    val df = Seq((1L, 10.5, "US"), (2L, 2.0, "FR")).toDF("id", "v", "c")
+    val out = Anonymize.suppressSmallGroups(df, Seq("c"), k = 2)
+      .orderBy($"id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getDouble(1)).toSeq === Seq(10.5, 2.0))
+    assert(out.map(_.getString(2)).toSeq === Seq("*", "*"))
+  }
 }
