@@ -203,8 +203,16 @@ object Dedup {
       .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed labels with the CLOSED-NEIGHBORHOOD minimum (same one
+    // aggregation the plain distinct would cost): for the dominant
+    // shallow-graph case — isolated near-dup pairs and small stars —
+    // every node starts at its component minimum, so the loop converges
+    // on its first no-change round instead of spending a round
+    // propagating. Deeper graphs lose nothing: the seed is exactly the
+    // state after a round-0 neighbor-min pass.
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("node"), least(col("node"), col("__mn")).as("label"))
       .persist(MEMORY_AND_DISK)
     // the handle persist() was called on (labels itself may be a
     // projection over it, which unpersist would not match)
