@@ -1172,11 +1172,15 @@ object SparkEntry {
     // The within-cell restriction is the scale move: candidate work is
     // sum of cell sizes squared, not corpus squared.
     "q71_semantic_dedup" -> ((s, d) => {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))
+      // referenced by BOTH the centroid-sim projection and the pair
+      // join: persist so the argmax assignment runs once, not twice
       val assigned = Similarity.assignCells(emb, "vec_id", "embedding",
-        cents, "cell_id", "cvec")
+          cents, "cell_id", "cvec")
+        .persist(MEMORY_AND_DISK)
       val withCsim = assigned.join(broadcast(cents), Seq("cell_id"))
         .select($"vec_id", $"cell_id",
           Similarity.cosine($"embedding", $"cvec").as("__csim"))
