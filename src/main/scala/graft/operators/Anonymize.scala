@@ -36,15 +36,32 @@ object Anonymize {
     * hash join, so no fact shuffle. */
   def suppressSmallGroups(df: DataFrame, quasiCols: Seq[String], k: Int,
                           sentinel: String = "*"): DataFrame = {
-    require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
-    val cnt = df.groupBy(quasiCols.map(col): _*)
+    val census = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__qn"))
-    df.join(broadcast(cnt), quasiCols)
+    suppressWithCensus(df, census, quasiCols, k, sentinel)
+  }
+
+  /** [[suppressSmallGroups]] against a PRECOMPUTED quasi-group census —
+    * the form a STREAM uses: group sizes can't be counted over an
+    * unbounded stream (and a per-micro-batch count would make
+    * suppression depend on batch slicing), so the census comes from a
+    * reference snapshot and each arriving row probes it as a
+    * stream-static broadcast join. Combinations ABSENT from the census
+    * count as size 0 and suppress — the safe direction for data the
+    * census has never vouched for. `census` must carry `quasiCols` plus
+    * a `__qn` count column (what [[suppressSmallGroups]] computes
+    * internally); the caller owns its refresh cadence, per the
+    * no-operator-internal-state policy. */
+  def suppressWithCensus(df: DataFrame, census: DataFrame,
+                         quasiCols: Seq[String], k: Int,
+                         sentinel: String = "*"): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    val ok = coalesce(col("__qn"), lit(0L)) >= k
+    df.join(broadcast(census), quasiCols, "left_outer")
       .select(df.columns.map { c =>
         if (quasiCols.contains(c))
-          when(col("__qn") >= k, col(c).cast("string"))
-            .otherwise(lit(sentinel)).as(c)
+          when(ok, col(c).cast("string")).otherwise(lit(sentinel)).as(c)
         else col(c)
-      } :+ (col("__qn") >= k).as("k_ok"): _*)
+      } :+ ok.as("k_ok"): _*)
   }
 }

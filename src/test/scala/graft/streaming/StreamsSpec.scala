@@ -560,4 +560,67 @@ class StreamsSpec extends SparkSpec {
       assert(!all.exists(_._1 == 2L))
     } finally corpusSets.unpersist()
   }
+
+  test("tokenChunks composes with a stream: chunks emit per micro-batch") {
+    // the chunker is a pure projection, so it runs on a streaming scan
+    // unchanged — the streaming form of q72's training-example prep
+    val dir = Files.createTempDirectory("graft-chunk").toFile
+    dropFile(dir, "b1.json",
+      """{"doc_id":1,"text":"a b c d e f g"}""")
+    val docs = spark.readStream.schema("doc_id LONG, text STRING")
+      .json(dir.getAbsolutePath)
+    val chunks = docs.select($"doc_id",
+        explode(graft.operators.TextAnalysis.tokenChunks($"text", 4, 3))
+          .as("ch"))
+      .select($"doc_id", $"ch.chunk_id".as("chunk_id"), $"ch.toks")
+    val q = chunks.writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chunks").orderBy($"doc_id", $"chunk_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[String](2).mkString(" ")))
+      // 7 tokens, chunk 4 / stride 3 → windows at 0, 3, 6
+      assert(got.toSeq === Seq((1L, 0L, "a b c d"), (1L, 1L, "d e f g"),
+        (1L, 2L, "g")))
+      // a later batch chunks independently of the first
+      dropFile(dir, "b2.json",
+        """{"doc_id":2,"text":"x y z"}""")
+      q.processAllAvailable()
+      val d2 = spark.table("chunks").filter($"doc_id" === 2)
+        .collect().map(r => r.getSeq[String](2).mkString(" "))
+      assert(d2.toSeq === Seq("x y z"))
+    } finally q.stop()
+  }
+
+  test("suppressWithCensus anonymizes a stream against a static census") {
+    import graft.operators.Anonymize
+    val dir = Files.createTempDirectory("graft-anon").toFile
+    // census snapshot: (US, A) is a big group, (FR, B) too small, and
+    // (DE, C) is absent entirely — absent must suppress, not leak
+    val census = Seq(("US", "A", 10L), ("FR", "B", 2L))
+      .toDF("country", "seg", "__qn")
+    dropFile(dir, "b1.json", Seq(
+      """{"id":1,"country":"US","seg":"A"}""",
+      """{"id":2,"country":"FR","seg":"B"}""",
+      """{"id":3,"country":"DE","seg":"C"}""").mkString("\n"))
+    val stream = spark.readStream
+      .schema("id LONG, country STRING, seg STRING")
+      .json(dir.getAbsolutePath)
+    val q = Anonymize.suppressWithCensus(stream, census,
+        Seq("country", "seg"), k = 5)
+      .writeStream.format("memory").queryName("anon")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("anon").orderBy($"id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getBoolean(3)))
+      assert(got.toSeq === Seq(
+        (1L, "US", "A", true),    // census size 10 ≥ k
+        (2L, "*", "*", false),    // census size 2 < k
+        (3L, "*", "*", false)))   // absent from census → size 0
+    } finally q.stop()
+  }
 }
