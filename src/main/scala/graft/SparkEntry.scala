@@ -1165,33 +1165,40 @@ object SparkEntry {
     // SEMANTIC dedup (SemDeDup shape): embeddings bucket into IVF cells
     // (deterministic first-mod-50 centroids, like q27, so the whole
     // pipeline — including the "approximate" blocking — is exactly
-    // DuckDB-oracle-able), near-dup pairs form ONLY within a cell
-    // (triangle-partitioned against cell skew), connected components
-    // resolve pair → cluster, and each cluster keeps its most central
-    // member (highest cosine to the cell centroid, ties → lowest id).
-    // The within-cell restriction is the scale move: candidate work is
-    // sum of cell sizes squared, not corpus squared.
+    // DuckDB-oracle-able), near-dup pairs form only within a SHARED
+    // cell, connected components resolve pair → cluster, and each
+    // cluster keeps its most central member (highest cosine to its
+    // primary centroid, ties → lowest id). Blocking is MULTI-PROBE
+    // (each vector in its 3 nearest cells): single-cell blocking loses
+    // boundary-straddling pairs (recall 0.32 at these settings vs 0.91
+    // probed — RecallSpec gates this), while candidate work stays
+    // N²·nprobe/ncells, not N². The pair join itself is
+    // triangle-partitioned against cell skew.
     "q71_semantic_dedup" -> ((s, d) => {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))
-      // referenced by BOTH the centroid-sim projection and the pair
-      // join: persist so the argmax assignment runs once, not twice
-      val assigned = Similarity.assignCells(emb, "vec_id", "embedding",
-          cents, "cell_id", "cvec")
+      // feeds the pair join AND the primary-cell report: persist so the
+      // probe selection runs once
+      val probed = Similarity.assignCellsMulti(emb, "vec_id", "embedding",
+          cents, "cell_id", "cvec", nprobe = 3)
         .persist(MEMORY_AND_DISK)
-      val withCsim = assigned.join(broadcast(cents), Seq("cell_id"))
-        .select($"vec_id", $"cell_id",
-          Similarity.cosine($"embedding", $"cvec").as("__csim"))
+      val prim = probed.groupBy($"vec_id")
+        .agg(max_by($"cell_id", struct($"cell_sim",
+            (-$"cell_id").as("__n"))).as("cell_id"),
+          max($"cell_sim").as("__csim"))
+      // a pair sharing two probed cells would emit twice → distinct
+      // BEFORE clustering; sim is identical from either cell
       val pairs = Similarity.blockedSelfJoin(
-          assigned.select($"cell_id", $"vec_id", $"embedding"),
+          probed.select($"cell_id", $"vec_id", $"embedding"),
           "cell_id", "vec_id", "embedding", chunks = 4)
         .withColumn("sim", Similarity.cosine($"va", $"vb"))
         .filter($"sim" >= 0.35)
         .select($"id_a", $"id_b")
+        .distinct()
       Dedup.dupClusters(pairs, "id_a", "id_b")
-        .join(withCsim.withColumnRenamed("vec_id", "node"), Seq("node"))
+        .join(prim.withColumnRenamed("vec_id", "node"), Seq("node"))
         .groupBy($"cluster_id")
         .agg(min($"cell_id").as("cell_id"),
           count(lit(1)).as("n_members"),
@@ -2429,9 +2436,11 @@ object SparkEntry {
         |FROM bs JOIN tl ON bs.bucket = tl.bucket
         |ORDER BY bs.bucket""".stripMargin,
 
-    // q71: cell assignment replicates q27's argmax (csim DESC, cell ASC);
-    // components replicate q52's recursive-CTE reachability; the survivor
-    // is row_number 1 over (csim DESC, node ASC) = Spark's max_by key.
+    // q71: probe ranking replicates q27's (csim DESC, cell ASC) order,
+    // kept to rank ≤ 3 (the multi-probe blocking) with rank 1 as the
+    // primary cell; components replicate q52's recursive-CTE
+    // reachability; the survivor is row_number 1 over (csim DESC,
+    // node ASC) = Spark's max_by key.
     "q71_semantic_dedup" ->
       """WITH RECURSIVE c AS (
         |  SELECT vec_id AS cell_id, embedding AS cvec
@@ -2441,14 +2450,16 @@ object SparkEntry {
         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |      CAST(c.cvec AS DOUBLE[])) AS csim
         |  FROM embeddings e CROSS JOIN c),
-        |assigned AS (
-        |  SELECT vec_id, embedding, cell_id, csim FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY csim DESC, cell_id ASC) AS arn FROM a)
-        |  WHERE arn = 1),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cell_id ASC) AS arn FROM a),
+        |probed AS (
+        |  SELECT vec_id, embedding, cell_id FROM ranked WHERE arn <= 3),
+        |prim AS (
+        |  SELECT vec_id, cell_id, csim FROM ranked WHERE arn = 1),
         |near AS (
-        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
-        |  FROM assigned x JOIN assigned y
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM probed x JOIN probed y
         |    ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
         |  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
         |    CAST(y.embedding AS DOUBLE[])) >= 0.35),
@@ -2464,7 +2475,7 @@ object SparkEntry {
         |  GROUP BY node),
         |mem AS (
         |  SELECT l.cluster_id, l.node, s.cell_id, s.csim
-        |  FROM labeled l JOIN assigned s ON s.vec_id = l.node),
+        |  FROM labeled l JOIN prim s ON s.vec_id = l.node),
         |surv AS (
         |  SELECT cluster_id, node, row_number() OVER (
         |    PARTITION BY cluster_id ORDER BY csim DESC, node ASC) AS rn

@@ -116,4 +116,40 @@ class RecallSpec extends SparkSpec {
     assert(recalls("q27_embed_ann_ivf") >= 0.45, recalls.toString)
     assert(recalls("q40_embed_ann_kmeans") >= 0.8, recalls.toString)
   }
+
+  test("q71 multi-probe blocking recovers boundary-straddling pairs") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))
+    // exhaustive ground truth: every unordered pair with cosine ≥ 0.35
+    val right = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val truth = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+      .crossJoin(right).filter($"id_a" < $"id_b")
+      .filter(Similarity.cosine($"va", $"vb") >= 0.35)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "ground truth empty — test is vacuous")
+    def blockedPairs(nprobe: Int): Set[(Long, Long)] =
+      Similarity.assignCellsMulti(emb, "vec_id", "embedding",
+          cents, "cell_id", "cvec", nprobe)
+        .select($"cell_id", $"vec_id", $"embedding").as("x")
+        .join(Similarity.assignCellsMulti(emb, "vec_id", "embedding",
+            cents, "cell_id", "cvec", nprobe)
+          .select($"cell_id".as("cb"), $"vec_id".as("id_b"),
+            $"embedding".as("vb")),
+          $"cell_id" === $"cb" && $"vec_id" < $"id_b")
+        .filter(Similarity.cosine($"embedding", $"vb") >= 0.35)
+        .select($"vec_id", $"id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = (truth & blockedPairs(1)).size.toDouble / truth.size
+    val probed = (truth & blockedPairs(3)).size.toDouble / truth.size
+    info(f"blocking recall: nprobe=1 $single%.3f, nprobe=3 $probed%.3f" +
+      s" over ${truth.size} true pairs")
+    // measured at these fixed settings: 0.32 single vs 0.91 probed —
+    // the gate pins both the q71 floor and the single-probe gap that
+    // motivates multi-probe
+    assert(probed >= 0.85, f"multi-probe recall $probed%.3f")
+    assert(probed > single + 0.3, f"single $single%.3f probed $probed%.3f")
+  }
 }
