@@ -1281,6 +1281,21 @@ object SparkEntry {
           countDistinct($"cluster_id").as("n_clusters"))
         .crossJoin(broadcast(leak))
         .orderBy($"split")
+    }),
+
+    // Repeated-SPAN coverage (exact-substring dedup signal): per doc,
+    // the token fraction covered by an 8-token span occurring >= 2
+    // times anywhere in the corpus — the suffix-array signal from the
+    // dedup literature, re-expressed as hash joins. Docs near 1.0 are
+    // copies; mid-range docs share passages. Spans travel as 64-bit
+    // hashes; only docs with any coverage are reported.
+    "q75_span_dedup" -> ((s, d) => {
+      TextAnalysis.spanDupStats(Tables.documents(s, d), "text", "doc_id",
+          spanTok = 8)
+        .filter($"span_dup_frac" > 0)
+        .select($"id".as("doc_id"), $"n_tok".cast("long").as("n_tok"),
+          $"n_cov", $"span_dup_frac")
+        .orderBy($"doc_id")
     })
   )
 
@@ -2584,7 +2599,40 @@ object SparkEntry {
         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
         |  leak.n_leaky_clusters
         |FROM spl, leak
-        |GROUP BY split, leak.n_leaky_clusters ORDER BY split""".stripMargin
+        |GROUP BY split, leak.n_leaky_clusters ORDER BY split""".stripMargin,
+
+    // q75: DuckDB counts span occurrences on the strings themselves;
+    // Spark on 64-bit hashes of the same strings — counts agree
+    // modulo the documented 2^-64 collision direction (coverage can
+    // only gain)
+    "q75_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |spans AS (
+        |  SELECT doc_id, i AS p, array_to_string(t[i+1:i+8], ' ') AS g
+        |  FROM toks, unnest(range(0, greatest(len(t)-8+1, 0))) AS u(i)),
+        |dup AS (SELECT g FROM spans GROUP BY g HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, cp
+        |  FROM spans s JOIN dup USING (g),
+        |    unnest(range(s.p, s.p+8)) AS c(cp)),
+        |n AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS n_tok
+        |  FROM documents d),
+        |r AS (
+        |  SELECT n.doc_id, n.n_tok, CAST(count(cov.cp) AS BIGINT)
+        |    AS n_cov
+        |  FROM n LEFT JOIN cov ON cov.doc_id = n.doc_id
+        |  GROUP BY n.doc_id, n.n_tok)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, n_cov,
+        |  floor((CASE WHEN n_tok = 0 THEN 0
+        |    ELSE CAST(n_cov AS DOUBLE) / n_tok END) * 10000 + 0.5)
+        |    / 10000.0 AS span_dup_frac
+        |FROM r WHERE n_cov > 0 ORDER BY doc_id""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

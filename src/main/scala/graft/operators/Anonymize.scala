@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
   * and k-anonymity suppression — the pass run over user-derived tables
   * before they may feed a corpus. Counterpart to the regex scrub in
   * [[TextAnalysis.redact]] (free text) for STRUCTURED identifiers.
+  * Echoes the reference's hash-keyed identifier handling (watch-list
+  * addresses resolve through an xxHash-keyed map rather than raw
+  * strings, `RECEIVER/file_utils.cpp:18`, `RECEIVER/common.h:55-64`)
+  * re-expressed as corpus-level pseudonymization with a portable hash.
   *
   * Scale design: suppression needs only the quasi-identifier group
   * counts, a table bounded by the quasi-identifier DOMAIN (not the data),

@@ -163,6 +163,58 @@ object TextAnalysis {
           slice(toks, s + 1, lit(chunk)).as("toks"))))
   }
 
+  /** Repeated-SPAN coverage — the exact-substring dedup signal (the
+    * "Deduplicating Training Data Makes Language Models Better" family):
+    * for each document, the fraction of its tokens covered by some
+    * `spanTok`-token span that occurs at least `minOccur` times in the
+    * corpus (counting all occurrences, same- or cross-document). A doc
+    * near 1.0 is (mostly) a copy; a mid-range doc shares long passages.
+    * Complements [[boilerplateDocStats]]: that counts short n-grams by
+    * document frequency, this measures POSITIONAL coverage by long
+    * repeated spans — the suffix-array signal, re-expressed in joins.
+    *
+    * Scale shape: spans reduce to 64-bit hashes inside the scan
+    * projection, so the occurrence count, the duplicated-span join and
+    * the coverage explode all move (long, int) rows — never text. The
+    * coverage step amplifies rows by `spanTok` but stays narrow, and
+    * every stage is a hash aggregate or hash join on the span hash. A
+    * hash collision can only ADD coverage (~2^-64 per span pair — the
+    * [[graft.operators.Dedup.rareShinglePairs]] trade, accepted).
+    *
+    * Returns one row per document: (id, n_tok, n_cov, span_dup_frac
+    * rounded half-up to 4); docs shorter than `spanTok` report 0. */
+  def spanDupStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String, spanTok: Int, minOccur: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(spanTok >= 2 && minOccur >= 2, "need spanTok and minOccur >= 2")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol).as("id"),
+      when(length(trim(col(textCol))) === 0, 0)
+        .otherwise(size(toks)).as("n_tok"), trim(col(textCol)).as("__t"))
+    val spans = base.filter(col("n_tok") >= spanTok)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), col("n_tok") - spanTok),
+        i => struct(i.cast("int").as("p"),
+          xxhash64(array_join(slice(split(col("__t"), "\\s+"), i + 1,
+            lit(spanTok)), " ")).as("h")))).as("s"))
+      .select(col("id"), col("s.p").as("p"), col("s.h").as("h"))
+    val dup = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("__oc")).filter(col("__oc") >= minOccur)
+      .select(col("h"))
+    val cov = spans.join(dup, "h")
+      .select(col("id"), explode(sequence(col("p"),
+        col("p") + spanTok - 1)).as("__cp"))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("n_cov"))
+    base.select(col("id"), col("n_tok"))
+      .join(cov, Seq("id"), "left_outer")
+      .select(col("id"), col("n_tok"),
+        coalesce(col("n_cov"), lit(0L)).as("n_cov"))
+      .withColumn("span_dup_frac", graft.Fns.roundU(
+        when(col("n_tok") === 0, 0.0).otherwise(
+          col("n_cov").cast("double") / col("n_tok").cast("double")), 4))
+  }
+
   /** Number of matches of `pattern` in the text — the counting half of a
     * scrubbing pass (PII regexes, denylisted terms). */
   def matchCount(text: Column, pattern: String): Column =

@@ -222,6 +222,16 @@ class PlanShapeSpec extends SparkSpec {
       s"customer shuffled for the suppression join:\n$p")
   }
 
+  test("q75 span coverage: joins move integral keys, never span text") {
+    joinChildren("q75_span_dedup").foreach { c =>
+      assert(c.schema.fields.forall(f =>
+        f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.DoubleType),
+        c.schema.fieldNames.mkString(","))
+    }
+  }
+
   test("q62/q63 sample+tfidf run the bounded-heap plan, not a window") {
     for (q <- Seq("q62_consistent_sample", "q63_tfidf_terms")) {
       val p = plan(q)

@@ -974,6 +974,31 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       .getLong(0) === 2L)
   }
 
+  test("TextAnalysis.spanDupStats: positional coverage, short docs, none") {
+    // docs 1 and 2 share the 4-token span "a b c d" at different
+    // positions; doc 3 is unrelated; doc 4 is shorter than the span
+    val docs = Seq(
+      (1L, "a b c d x y z"),      // covered positions 0-3 of 7
+      (2L, "q r a b c d"),        // covered positions 2-5 of 6
+      (3L, "k l m n o p"),        // nothing repeated
+      (4L, "a b c"))              // too short for a 4-token span
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.spanDupStats(docs, "text", "doc_id", spanTok = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_cov"), r.getAs[Double]("span_dup_frac"))).toMap
+    assert(m(1L) === ((4L, 0.5714)))
+    assert(m(2L) === ((4L, 0.6667)))
+    assert(m(3L) === ((0L, 0.0)))
+    assert(m(4L) === ((0L, 0.0)))
+    // overlapping repeated spans merge their coverage, not double-count
+    val rep = Seq((1L, "a b c a b c a b c"), (2L, "a b c a b c"))
+      .toDF("doc_id", "text")
+    val r2 = TextAnalysis.spanDupStats(rep, "text", "doc_id", spanTok = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("span_dup_frac")).toMap
+    assert(r2(1L) === 1.0 && r2(2L) === 1.0)
+  }
+
   test("Anonymize.suppressSmallGroups keeps non-quasi columns intact") {
     val df = Seq((1L, 10.5, "US"), (2L, 2.0, "FR")).toDF("id", "v", "c")
     val out = Anonymize.suppressSmallGroups(df, Seq("c"), k = 2)
