@@ -66,11 +66,19 @@ object Bench {
         name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the tail of the sbt log; with 75 queries a
+    // full-name, full-precision line (~3.5 KB) overflows that window and
+    // the summary JSON arrives truncated (unparseable). Keys are therefore
+    // the qNN prefix (unique by construction — every query name starts
+    // qNN_) and seconds are rounded to ms, keeping the line ~1 KB.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => s"\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
