@@ -187,15 +187,21 @@ object TextAnalysis {
                    idCol: String, spanTok: Int, minOccur: Int = 2)
       : org.apache.spark.sql.DataFrame = {
     require(spanTok >= 2 && minOccur >= 2, "need spanTok and minOccur >= 2")
-    val toks = split(trim(col(textCol)), "\\s+")
+    // Tokenize ONCE per row into a materialized column. The span lambda
+    // below slices from this array; inlining `split` there instead would
+    // re-split the whole text per span position (HOFs are interpreted —
+    // no subexpression elimination inside the lambda), turning span
+    // generation quadratic in document length.
     val base = df.select(col(idCol).as("id"),
-      when(length(trim(col(textCol))) === 0, 0)
-        .otherwise(size(toks)).as("n_tok"), trim(col(textCol)).as("__t"))
+        when(length(trim(col(textCol))) === 0,
+            array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")).as("__toks"))
+      .select(col("id"), size(col("__toks")).as("n_tok"), col("__toks"))
     val spans = base.filter(col("n_tok") >= spanTok)
       .select(col("id"), explode(transform(
         sequence(lit(0), col("n_tok") - spanTok),
         i => struct(i.cast("int").as("p"),
-          xxhash64(array_join(slice(split(col("__t"), "\\s+"), i + 1,
+          xxhash64(array_join(slice(col("__toks"), i + 1,
             lit(spanTok)), " ")).as("h")))).as("s"))
       .select(col("id"), col("s.p").as("p"), col("s.h").as("h"))
     val dup = spans.groupBy(col("h"))
