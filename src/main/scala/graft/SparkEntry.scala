@@ -1296,6 +1296,85 @@ object SparkEntry {
         .select($"id".as("doc_id"), $"n_tok".cast("long").as("n_tok"),
           $"n_cov", $"span_dup_frac")
         .orderBy($"doc_id")
+    }),
+
+    // Balanced SHARD layout for data loaders: rank docs by token count
+    // (descending) and deal them round-robin over 8 shards — the
+    // longest-processing-time greedy that keeps every shard's token
+    // total within a few percent (LPT round-robin). The global rank is
+    // Packing.prefixSum of 1 (a distributed two-phase scan — rank
+    // position parallelizes over the full corpus), NOT an unpartitioned
+    // row_number window, which would serialize 100 TB through one task.
+    "q76_shard_layout" -> ((s, d) => {
+      val nShards = 8
+      val docs = Tables.documents(s, d)
+        .select($"doc_id",
+          TextAnalysis.tokenCountWs($"text").cast("long").as("n_tok"))
+        .withColumn("__g", lit(1))
+        .withColumn("__negtok", -$"n_tok")
+      val ranked = Packing.prefixSum(docs, Seq("__g"),
+          Seq("__negtok", "doc_id"), "__g", "rk")
+      val perShard = ranked
+        .select((($"rk" - 1) % nShards).as("shard_id"), $"n_tok")
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+      val mean = perShard.agg(avg($"sum_tokens").as("__mt"))
+      perShard.crossJoin(broadcast(mean))
+        .select($"shard_id", $"n_docs", $"sum_tokens",
+          Fns.roundU($"sum_tokens" / $"__mt", 4).as("balance_ratio"))
+        .orderBy($"shard_id")
+    }),
+
+    // LEXICAL-DIVERSITY profile: per-document type-token ratio and
+    // unigram entropy (gibberish and template text sit at the extremes
+    // of both), aggregated per source. Entropy uses the streaming-
+    // friendly identity  H = ln n − (Σ c·ln c)/n  — everything is a
+    // hash aggregate with map-side combine over (doc, term) counts; no
+    // per-doc term list ever materializes.
+    "q77_lexical_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cnt = docs.filter(length(trim($"text")) > 0)
+        .select($"source", $"doc_id",
+          explode(split(trim($"text"), "\\s+")).as("term"))
+        .groupBy($"source", $"doc_id", $"term")
+        .agg(count(lit(1)).as("__c"))
+      val perDoc = cnt.groupBy($"source", $"doc_id")
+        .agg(sum($"__c").as("__n"), count(lit(1)).as("__ty"),
+          sum($"__c".cast("double") * log($"__c")).as("__slc"))
+        .select($"source",
+          ($"__ty".cast("double") / $"__n").as("__ttr"),
+          (log($"__n") - $"__slc" / $"__n").as("__ent"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          Fns.roundU(avg($"__ttr"), 4).as("avg_ttr"),
+          Fns.roundU(avg($"__ent"), 4).as("avg_entropy"))
+        .orderBy($"source")
+    }),
+
+    // Matryoshka-style TRUNCATION audit: how much of each embedding's
+    // norm survives keeping the first 16 of 64 dims. cos(full, zero-
+    // padded truncation) reduces analytically to ‖head‖/‖full‖, so the
+    // report is one narrow projection + per-label aggregate — the cheap
+    // pre-check before committing a 4× vector-storage cut (the q51
+    // quantization trade, along the dimension axis instead of the
+    // precision axis).
+    "q78_embed_truncate" -> ((s, d) => {
+      val keep = 16
+      val emb = Tables.embeddings(s, d)
+        .select($"label",
+          transform($"embedding", x => x.cast("double")).as("__e"))
+        .withColumn("__nf", sqrt(aggregate(col("__e"), lit(0.0),
+          (acc, v) => acc + v * v)))
+        .withColumn("__nh", sqrt(aggregate(slice(col("__e"), 1, keep),
+          lit(0.0), (acc, v) => acc + v * v)))
+        .filter($"__nf" > 0)
+        .withColumn("__cos", $"__nh" / $"__nf")
+      emb.groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          Fns.roundU(avg($"__cos"), 6).as("avg_cos_trunc"),
+          Fns.roundU(min($"__cos"), 6).as("min_cos_trunc"),
+          Fns.roundU(avg($"__cos" * $"__cos"), 6).as("avg_energy_kept"))
+        .orderBy($"label")
     })
   )
 
@@ -2632,7 +2711,63 @@ object SparkEntry {
         |  floor((CASE WHEN n_tok = 0 THEN 0
         |    ELSE CAST(n_cov AS DOUBLE) / n_tok END) * 10000 + 0.5)
         |    / 10000.0 AS span_dup_frac
-        |FROM r WHERE n_cov > 0 ORDER BY doc_id""".stripMargin
+        |FROM r WHERE n_cov > 0 ORDER BY doc_id""".stripMargin,
+
+    "q76_shard_layout" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT n_tok,
+        |    (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 8
+        |      AS shard_id
+        |  FROM d),
+        |s AS (
+        |  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |  FROM r GROUP BY shard_id)
+        |SELECT shard_id, n_docs, sum_tokens,
+        |  floor((sum_tokens / (SELECT avg(sum_tokens) FROM s)) * 10000
+        |    + 0.5) / 10000.0 AS balance_ratio
+        |FROM s ORDER BY shard_id""".stripMargin,
+
+    "q77_lexical_stats" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, unnest(string_split_regex(trim(text),
+        |    '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT source, doc_id, term, count(*) AS c
+        |  FROM tok GROUP BY source, doc_id, term),
+        |p AS (
+        |  SELECT source,
+        |    CAST(count(*) AS DOUBLE) / sum(c) AS ttr,
+        |    ln(sum(c)) - sum(CAST(c AS DOUBLE) * ln(c)) / sum(c) AS ent
+        |  FROM c GROUP BY source, doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  floor((avg(ttr)) * 10000 + 0.5) / 10000.0 AS avg_ttr,
+        |  floor((avg(ent)) * 10000 + 0.5) / 10000.0 AS avg_entropy
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q78_embed_truncate" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |      for x in embedding])) AS nf,
+        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |      for x in embedding[1:16]])) AS nh
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, nh / nf AS cos FROM e WHERE nf > 0)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  floor((avg(cos)) * 1000000 + 0.5) / 1000000.0 AS avg_cos_trunc,
+        |  floor((min(cos)) * 1000000 + 0.5) / 1000000.0 AS min_cos_trunc,
+        |  floor((avg(cos * cos)) * 1000000 + 0.5) / 1000000.0
+        |    AS avg_energy_kept
+        |FROM c GROUP BY label ORDER BY label""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

@@ -177,6 +177,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(smj.isEmpty, s"corpus shuffled for a join:\n$p")
   }
 
+  test("q76 shard layout: global rank runs the distributed scan, not a window") {
+    // an unpartitioned row_number would serialize the corpus through one
+    // task; prefixSum ranks with a range-partitioned two-phase scan
+    val p = plan("q76_shard_layout")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      s"unpartitioned window in the rank path:\n$p")
+  }
+
+  test("q77 lexical stats: hash aggregates only — no window, no join") {
+    val p = plan("q77_lexical_stats")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"per-doc stats must not join:\n$p")
+  }
+
+  test("q78 truncation audit: norm math stays in the scan projection") {
+    val p = plan("q78_embed_truncate")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    // one shuffle for the per-label aggregate, one for the final sort
+    val ex = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(ex.length <= 2, s"expected <= 2 exchanges, got ${ex.length}:\n$p")
+  }
+
   test("q67 boilerplate: joins move 8-byte hashes, never shingle text") {
     // same property as q53: the (doc, shingle) rows entering any join
     // must be long/int hashes only — a string column means text shuffles
