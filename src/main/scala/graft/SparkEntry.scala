@@ -1375,6 +1375,41 @@ object SparkEntry {
           Fns.roundU(min($"__cos"), 6).as("min_cos_trunc"),
           Fns.roundU(avg($"__cos" * $"__cos"), 6).as("avg_energy_kept"))
         .orderBy($"label")
+    }),
+
+    // BPE-style PAIR COUNTING — the inner loop of tokenizer training:
+    // corpus-wide adjacent-token-pair frequencies, top 20. The pair
+    // stream is generated inside the scan projection (sliced from the
+    // one materialized token array); counts are a hash aggregate with
+    // map-side combine, and the final selection is a bounded
+    // TakeOrdered, not a vocabulary sort. A full BPE trainer is this
+    // query in a driver loop: count → merge best pair → re-tokenize.
+    "q79_bpe_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(when(length(trim($"text")) === 0,
+            array().cast("array<string>"))
+          .otherwise(split(trim($"text"), "\\s+")).as("__t"))
+        .filter(size($"__t") >= 2)
+      docs.select(explode(transform(
+          sequence(lit(0), size($"__t") - 2),
+          i => struct(element_at($"__t", i + 1).as("a"),
+            element_at($"__t", i + 2).as("b")))).as("p"))
+        .groupBy($"p.a".as("first_tok"), $"p.b".as("second_tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"first_tok", $"second_tok")
+        .limit(20)
+    }),
+
+    // Duplicate-span PROVENANCE: q75 says HOW MUCH of a doc is
+    // duplicated; this says WHO introduced each duplicated span (the
+    // lowest-id doc containing it) — copies score all-inherited,
+    // boilerplate sources all-introduced. Spans travel as 64-bit
+    // hashes; per-span state is one (min_id, count) pair.
+    "q80_span_provenance" -> ((s, d) => {
+      TextAnalysis.spanProvenance(Tables.documents(s, d), "text",
+          "doc_id", spanTok = 8)
+        .select($"id".as("doc_id"), $"n_introduced", $"n_inherited")
+        .orderBy($"doc_id")
     })
   )
 
@@ -2767,7 +2802,43 @@ object SparkEntry {
         |  floor((min(cos)) * 1000000 + 0.5) / 1000000.0 AS min_cos_trunc,
         |  floor((avg(cos * cos)) * 1000000 + 0.5) / 1000000.0
         |    AS avg_energy_kept
-        |FROM c GROUP BY label ORDER BY label""".stripMargin
+        |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
+    "q79_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |p AS (
+        |  SELECT t[i] AS first_tok, t[i+1] AS second_tok
+        |  FROM t, unnest(range(1, len(t))) AS u(i))
+        |SELECT first_tok, second_tok, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY first_tok, second_tok
+        |ORDER BY n DESC, first_tok, second_tok LIMIT 20""".stripMargin,
+
+    // q80: same string-vs-64-bit-hash duality as q75 — DuckDB attributes
+    // span strings, Spark their xxhash64; identical modulo the 2^-64
+    // collision direction
+    "q80_span_provenance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |spans AS (
+        |  SELECT doc_id, array_to_string(t[i+1:i+8], ' ') AS g
+        |  FROM toks, unnest(range(0, greatest(len(t)-8+1, 0))) AS u(i)),
+        |dup AS (
+        |  SELECT g, min(doc_id) AS first_doc
+        |  FROM spans GROUP BY g HAVING count(*) >= 2),
+        |d AS (SELECT DISTINCT doc_id, g FROM spans),
+        |r AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(CASE WHEN d.doc_id = dup.first_doc
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_introduced,
+        |    CAST(sum(CASE WHEN d.doc_id <> dup.first_doc
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inherited
+        |  FROM d JOIN dup USING (g)
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_introduced, n_inherited
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 
   // sugar so the query bodies read like notebook Spark

@@ -183,27 +183,45 @@ object TextAnalysis {
     *
     * Returns one row per document: (id, n_tok, n_cov, span_dup_frac
     * rounded half-up to 4); docs shorter than `spanTok` report 0. */
-  def spanDupStats(df: org.apache.spark.sql.DataFrame, textCol: String,
-                   idCol: String, spanTok: Int, minOccur: Int = 2)
-      : org.apache.spark.sql.DataFrame = {
-    require(spanTok >= 2 && minOccur >= 2, "need spanTok and minOccur >= 2")
-    // Tokenize ONCE per row into a materialized column. The span lambda
-    // below slices from this array; inlining `split` there instead would
-    // re-split the whole text per span position (HOFs are interpreted —
-    // no subexpression elimination inside the lambda), turning span
-    // generation quadratic in document length.
-    val base = df.select(col(idCol).as("id"),
+  /** Tokenized base table for the span family: (id, n_tok, __toks).
+    * Tokenizes ONCE per row into a materialized column — span lambdas
+    * slice from this array; inlining `split` there instead would
+    * re-split the whole text per span position (HOFs are interpreted —
+    * no subexpression elimination inside the lambda), turning span
+    * generation quadratic in document length. */
+  private def tokenBase(df: org.apache.spark.sql.DataFrame,
+                        textCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"),
         when(length(trim(col(textCol))) === 0,
             array().cast("array<string>"))
           .otherwise(split(trim(col(textCol)), "\\s+")).as("__toks"))
       .select(col("id"), size(col("__toks")).as("n_tok"), col("__toks"))
-    val spans = base.filter(col("n_tok") >= spanTok)
+
+  /** Every `spanTok`-token span of every document as (id, p, h): start
+    * position p (0-based) and the 64-bit hash h of the space-joined
+    * span. The hashed currency of the span family — downstream
+    * occurrence counts, coverage and provenance all move (long, int)
+    * rows, never text. */
+  def spanHashes(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 idCol: String, spanTok: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(spanTok >= 2, "need spanTok >= 2")
+    tokenBase(df, textCol, idCol).filter(col("n_tok") >= spanTok)
       .select(col("id"), explode(transform(
         sequence(lit(0), col("n_tok") - spanTok),
         i => struct(i.cast("int").as("p"),
           xxhash64(array_join(slice(col("__toks"), i + 1,
             lit(spanTok)), " ")).as("h")))).as("s"))
       .select(col("id"), col("s.p").as("p"), col("s.h").as("h"))
+  }
+
+  def spanDupStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String, spanTok: Int, minOccur: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(spanTok >= 2 && minOccur >= 2, "need spanTok and minOccur >= 2")
+    val base = tokenBase(df, textCol, idCol)
+    val spans = spanHashes(df, textCol, idCol, spanTok)
     val dup = spans.groupBy(col("h"))
       .agg(count(lit(1)).as("__oc")).filter(col("__oc") >= minOccur)
       .select(col("h"))
@@ -219,6 +237,36 @@ object TextAnalysis {
       .withColumn("span_dup_frac", graft.Fns.roundU(
         when(col("n_tok") === 0, 0.0).otherwise(
           col("n_cov").cast("double") / col("n_tok").cast("double")), 4))
+  }
+
+  /** Duplicate-span PROVENANCE: for every span duplicated ≥ `minOccur`
+    * times corpus-wide (q75's signal), attribute it to the document
+    * with the LOWEST id containing it — the "original" under a stable
+    * ordering — and report per document how many distinct duplicated
+    * spans it introduced vs inherited. Copies show high inherited and
+    * zero introduced; templates/boilerplate sources show the reverse.
+    * Every stage is a hash aggregate or hash join on the 64-bit span
+    * hash (the [[spanHashes]] currency); the per-span state is one
+    * (min_id, count) pair, so no posting list materializes. Returns
+    * (id, n_introduced, n_inherited) for docs touching any dup span. */
+  def spanProvenance(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     idCol: String, spanTok: Int, minOccur: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(spanTok >= 2 && minOccur >= 2, "need spanTok and minOccur >= 2")
+    val spans = spanHashes(df, textCol, idCol, spanTok)
+    // dup decides on TOTAL occurrences (same- or cross-doc, matching
+    // spanDupStats); provenance then counts each (doc, span) once
+    val dup = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("__oc"), min(col("id")).as("__first"))
+      .filter(col("__oc") >= minOccur)
+      .select(col("h"), col("__first"))
+    spans.select(col("id"), col("h")).distinct()
+      .join(dup, "h")
+      .groupBy(col("id"))
+      .agg(sum(when(col("id") === col("__first"), 1L).otherwise(0L))
+          .as("n_introduced"),
+        sum(when(col("id") =!= col("__first"), 1L).otherwise(0L))
+          .as("n_inherited"))
   }
 
   /** Number of matches of `pattern` in the text — the counting half of a

@@ -202,6 +202,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(ex.length <= 2, s"expected <= 2 exchanges, got ${ex.length}:\n$p")
   }
 
+  test("q79 BPE pairs: aggregate + bounded TakeOrdered — no join, no window") {
+    val p = plan("q79_bpe_pairs")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"pair counting must not join:\n$p")
+  }
+
+  test("q80 span provenance: joins move 8-byte hashes, never span text") {
+    joinChildren("q80_span_provenance").foreach { c =>
+      assert(c.schema.fields.forall(f =>
+        f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType),
+        c.schema.fieldNames.mkString(","))
+    }
+  }
+
   test("q67 boilerplate: joins move 8-byte hashes, never shingle text") {
     // same property as q53: the (doc, shingle) rows entering any join
     // must be long/int hashes only — a string column means text shuffles

@@ -999,6 +999,30 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(r2(1L) === 1.0 && r2(2L) === 1.0)
   }
 
+  test("TextAnalysis.spanProvenance: originals introduce, copies inherit") {
+    // doc 1 is the original; doc 5 copies its span; doc 3 repeats a
+    // span of its own (self-duplication attributes to itself); doc 7
+    // has nothing duplicated and must not appear
+    val docs = Seq(
+      (1L, "a b c d x y z"),            // introduces "a b c d"
+      (5L, "q r a b c d"),              // inherits it
+      (3L, "u v w u v w u v w"),        // self-repeat: introduces its own
+      (7L, "k l m n o p"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.spanProvenance(docs, "text", "doc_id",
+        spanTok = 4, minOccur = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_introduced"), r.getAs[Long]("n_inherited")))
+      .toMap
+    assert(m(1L) === ((1L, 0L)))
+    assert(m(5L) === ((0L, 1L)))
+    // "u v w u v w u v w" with span 4: spans at 0..5; repeats are
+    // ("u v w u"@0,3), ("v w u v"@1,4), ("w u v w"@2,5) — 3 distinct
+    // duplicated spans, all introduced by doc 3 itself
+    assert(m(3L) === ((3L, 0L)))
+    assert(!m.contains(7L))
+  }
+
   test("Anonymize.suppressSmallGroups keeps non-quasi columns intact") {
     val df = Seq((1L, 10.5, "US"), (2L, 2.0, "FR")).toDF("id", "v", "c")
     val out = Anonymize.suppressSmallGroups(df, Seq("c"), k = 2)
