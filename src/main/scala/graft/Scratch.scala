@@ -2,16 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
 /** Throwaway profiling/debug harness (not part of the library surface).
-  * Currently: stage-level timing of the q52 dedup pipeline at sf0.1 —
-  * where do the ~6 s go (shingling, candidates, verify, cluster loop)? */
+  * Currently: q81 profile variants — expand-based multi-distinct vs
+  * per-column pruned-scan aggregates. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
@@ -20,32 +20,29 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    // warm-up
     spark.range(100000).selectExpr("sum(id % 7)").collect()
-    spark.read.parquet(s"$d/documents.parquet").limit(1).count()
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
     for (_ <- 1 to 2) {
-      val sets = operators.Dedup.hashedShingleSets(
-        Tables.documents(spark, d), "text", "doc_id", shingleWords = 3)
-        .persist(MEMORY_AND_DISK)
-      t("sets materialize")(sets.count())
-      val cands = t("candidates") {
-        val c = operators.Dedup.rareShinglePairsFromSets(sets, maxDf = 10)
-          .persist(MEMORY_AND_DISK)
-        c.count(); c
+      t("expand multi-distinct") {
+        val li = Tables.lineitem(spark, d)
+        val aggs = cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+            countDistinct(col(c)).as(s"__nd_$c"),
+            min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
+        }
+        li.agg(count(lit(1)).as("__n"), aggs: _*).collect()
       }
-      val near = t("jaccard verify") {
-        val n = operators.Dedup.jaccardFromSets(sets, cands)
-          .filter(col("jaccard") >= 0.5)
-          .select(col("id_a"), col("id_b")).persist(MEMORY_AND_DISK)
-        n.count(); n
-      }
-      val (labels, rounds) =
-        operators.Dedup.dupClustersStats(near, "id_a", "id_b")
-      t(s"cluster loop (rounds=$rounds)")(labels.count())
-      t("final agg") {
-        labels.groupBy(col("cluster_id"))
-          .agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("cluster_id")).collect()
+      t("per-column pruned scans") {
+        val li = Tables.lineitem(spark, d)
+        val perCol = cols.map { c =>
+          li.select(col(c)).agg(count(lit(1)).as(s"__n_$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+            countDistinct(col(c)).as(s"__nd_$c"),
+            min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
+        }
+        perCol.reduce(_.crossJoin(_)).collect()
       }
       spark.catalog.clearCache(); System.gc()
     }

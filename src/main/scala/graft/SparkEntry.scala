@@ -1400,6 +1400,58 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ANALYZE-style COLUMN PROFILE — the stats-collection pass an
+    // engine runs for its optimizer and a pipeline runs as its data
+    // contract check: per column, null count, exact distinct count,
+    // min/max (canonical strings). One PRUNED SCAN PER COLUMN, not one
+    // multi-distinct aggregate: on columnar storage the per-column
+    // scans read the same total bytes as a single 4-column scan, while
+    // Spark's multi-distinct form EXPANDs every row ×(k+1) and
+    // shuffles the multiplied rows — measured 5.5 s vs 0.8 s at sf0.1.
+    // Each column's distinct count shuffles only its distinct values
+    // (partial agg collapses), so the per-column form is also the one
+    // whose shuffle is bounded by cardinality, not row count.
+    "q81_table_profile" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag",
+        "l_shipdate")
+      val li = Tables.lineitem(s, d)
+      cols.map { c =>
+        li.select(col(c)).agg(count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_val"),
+            max(col(c)).cast("string").as("max_val"))
+          .select(lit(c).as("col_name"), $"n_rows", $"n_null",
+            $"n_distinct", $"min_val", $"max_val")
+      }.reduce(_.unionByName(_)).orderBy($"col_name")
+    }),
+
+    // Event FUNNEL: first view → first later click → first later
+    // purchase per user, strictly ordered by event time — the classic
+    // product-analytics conversion query. Three per-user min
+    // aggregates chained by co-partitioned user_id joins; no windows,
+    // no per-user event arrays.
+    "q82_event_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("vt"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts" > $"vt")
+        .groupBy($"user_id").agg(min($"ts").as("ct"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts" > $"ct")
+        .groupBy($"user_id").agg(min($"ts").as("pt"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+        .select($"n_viewed", $"n_clicked", $"n_purchased",
+          Fns.roundU($"n_clicked".cast("double") / $"n_viewed", 4)
+            .as("click_rate"),
+          Fns.roundU($"n_purchased".cast("double") / $"n_clicked", 4)
+            .as("purchase_rate"))
+    }),
+
     // Duplicate-span PROVENANCE: q75 says HOW MUCH of a doc is
     // duplicated; this says WHO introduced each duplicated span (the
     // lowest-id doc containing it) — copies score all-inherited,
@@ -2803,6 +2855,66 @@ object SparkEntry {
         |  floor((avg(cos * cos)) * 1000000 + 0.5) / 1000000.0
         |    AS avg_energy_kept
         |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
+    "q81_table_profile" ->
+      """SELECT 'l_orderkey' AS col_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT),
+        |  CAST(min(l_quantity) AS VARCHAR),
+        |  CAST(max(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |  CAST(min(l_returnflag) AS VARCHAR),
+        |  CAST(max(l_returnflag) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(DISTINCT l_shipdate) AS BIGINT),
+        |  CAST(min(l_shipdate) AS VARCHAR),
+        |  CAST(max(l_shipdate) AS VARCHAR)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
+
+    "q82_event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS vt FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS ct
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.vt
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS pt
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.ct
+        |  GROUP BY e.user_id),
+        |n AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased)
+        |SELECT n_viewed, n_clicked, n_purchased,
+        |  floor((CAST(n_clicked AS DOUBLE) / n_viewed) * 10000 + 0.5)
+        |    / 10000.0 AS click_rate,
+        |  floor((CAST(n_purchased AS DOUBLE) / n_clicked) * 10000 + 0.5)
+        |    / 10000.0 AS purchase_rate
+        |FROM n""".stripMargin,
 
     "q79_bpe_pairs" ->
       """WITH t AS (

@@ -12,7 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // static conf (see Bench): the 78-query run generates several
+      // static conf (see Bench): the full query run generates several
       // hundred codegen classes; the default 100-entry LRU recompiles
       // hot stages mid-run
       .config("spark.sql.codegen.cache.maxEntries", "5000")

@@ -220,6 +220,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q81 profile: one single-column pruned scan per profiled column") {
+    // columnar storage: 4 one-column scans read the same bytes as one
+    // 4-column scan, and each branch's shuffle is bounded by that
+    // column's cardinality (the expand-based multi-distinct form
+    // shuffles every row ×(k+1) instead)
+    val scans = collectAll(plan("q81_table_profile")) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.length === 4, s"expected 4 scans, got ${scans.length}")
+    scans.foreach { sc =>
+      assert(sc.schema.fieldNames.length === 1,
+        s"scan not pruned to one column: ${sc.schema.fieldNames.mkString(",")}")
+    }
+  }
+
+  test("q82 funnel: per-user min chaining — no window, no event arrays") {
+    val p = plan("q82_event_funnel")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(!p.toString.contains("collect_list"), "per-user array materialized")
+  }
+
   test("q67 boilerplate: joins move 8-byte hashes, never shingle text") {
     // same property as q53: the (doc, shingle) rows entering any join
     // must be long/int hashes only — a string column means text shuffles
