@@ -396,6 +396,50 @@ object Streams {
     * engine can bound join state — the scale property that matters with
     * unbounded streams. Columns: left(key, lts, ...), right(key, rts,
     * ...); caller ensures distinct names apart from the key. */
+  /** Funnel input event (micro timestamp; shape of q82's batch input). */
+  case class FunnelEvent(user_id: Long, event_type: String, ts: Long)
+
+  /** Per-user funnel position: the timestamps of the first view, the
+    * first later click and the first later purchase; -1 = not reached.
+    * `stage` is the number of completed steps (0-3). */
+  case class FunnelStage(user_id: Long, stage: Int, vt: Long, ct: Long,
+                         pt: Long)
+
+  /** STREAMING conversion funnel — the incremental twin of batch q82
+    * (first view → first later click → first later purchase, strictly
+    * increasing event time). Per-user state is exactly three
+    * timestamps, independent of stream length; each micro-batch folds
+    * its rows in (ts, event_type) order and emits the user's updated
+    * stage. Matches the batch query whenever a user's events arrive in
+    * nondecreasing event-time order across batches (the standard
+    * streaming-funnel contract: a late-arriving EARLIER view could
+    * have admitted an earlier click in the batch form — late data
+    * needs the batch recompute, not more state). */
+  def funnelStages(events: Dataset[FunnelEvent]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long), FunnelStage](
+        GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          var (vt, ct, pt) = state.getOption.getOrElse((-1L, -1L, -1L))
+          // deterministic fold: event-time order, type as tiebreak —
+          // a view and click sharing a timestamp can never chain
+          // (strict > below), matching the batch form
+          rows.toSeq.sortBy(e => (e.ts, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view" if vt < 0 => vt = e.ts
+              case "click" if vt >= 0 && ct < 0 && e.ts > vt => ct = e.ts
+              case "purchase" if ct >= 0 && pt < 0 && e.ts > ct =>
+                pt = e.ts
+              case _ => ()
+            }
+          }
+          state.update((vt, ct, pt))
+          val stage = Seq(vt, ct, pt).count(_ >= 0)
+          FunnelStage(user, stage, vt, ct, pt)
+      }
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String, lookback: String,
                    watermark: String): DataFrame = {

@@ -213,6 +213,69 @@ class StreamsSpec extends SparkSpec {
     assert(math.abs(r.value.head - 50.0) <= 3.0)
   }
 
+  test("funnelStages: per-user funnel advances across micro-batches") {
+    val dir = Files.createTempDirectory("graft-funnel").toFile
+    val stream = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts LONG")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      .as[Streams.FunnelEvent]
+    val q = Streams.funnelStages(stream)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      // batch 1: u1 views then clicks; u2 only views; u3's click has no
+      // prior view (must not count)
+      dropFile(dir, "b1.json", Seq(
+        """{"user_id":1,"event_type":"view","ts":10}""",
+        """{"user_id":1,"event_type":"click","ts":20}""",
+        """{"user_id":2,"event_type":"view","ts":10}""",
+        """{"user_id":3,"event_type":"click","ts":10}""").mkString("\n"))
+      q.processAllAvailable()
+      val s1 = spark.table("funnel").groupBy($"user_id")
+        .agg(max($"stage").as("stage")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(s1 === Map(1L -> 2, 2L -> 1, 3L -> 0))
+      // batch 2: u1 purchases (ts AFTER the click — converts); u2's
+      // purchase without a click stays at stage 1; u3 views (stage 1,
+      // its old click cannot retroactively chain)
+      dropFile(dir, "b2.json", Seq(
+        """{"user_id":1,"event_type":"purchase","ts":30}""",
+        """{"user_id":2,"event_type":"purchase","ts":30}""",
+        """{"user_id":3,"event_type":"view","ts":30}""").mkString("\n"))
+      q.processAllAvailable()
+      val s2 = spark.table("funnel").groupBy($"user_id")
+        .agg(max($"stage").as("stage")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(s2 === Map(1L -> 3, 2L -> 1, 3L -> 1))
+    } finally q.stop()
+  }
+
+  test("funnelStages: batch Dataset path matches the q82 aggregates") {
+    // pseudo-random event log; same-ts collisions exercise the strict->
+    val evs = (0 until 400).map { i =>
+      val t = (i * 2654435761L) % 97
+      Streams.FunnelEvent(i % 23,
+        Seq("view", "click", "purchase", "error")((i / 23 + i) % 4), t)
+    }
+    val stages = Streams.funnelStages(evs.toDS()).collect()
+    // reference semantics, computed independently: min view, min later
+    // click, min later purchase per user
+    val byUser = evs.groupBy(_.user_id)
+    val expected = byUser.map { case (u, es) =>
+      val vt = es.filter(_.event_type == "view").map(_.ts)
+        .minOption.getOrElse(-1L)
+      val ct = if (vt < 0) -1L
+        else es.filter(e => e.event_type == "click" && e.ts > vt)
+          .map(_.ts).minOption.getOrElse(-1L)
+      val pt = if (ct < 0) -1L
+        else es.filter(e => e.event_type == "purchase" && e.ts > ct)
+          .map(_.ts).minOption.getOrElse(-1L)
+      u -> ((vt, ct, pt))
+    }
+    assert(stages.map(s => s.user_id -> ((s.vt, s.ct, s.pt))).toMap
+      === expected)
+  }
+
   test("suppressPrices: batch Dataset, >10% moves only") {
     val events = Seq(
       PriceEvent("p1", 1, 100.0, 1.0),
