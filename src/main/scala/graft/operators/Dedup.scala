@@ -227,7 +227,12 @@ object Dedup {
         .groupBy(col("dst").as("node"))
         .agg(min(col("__nl")).as("__nmin"))
       // pointer doubling: look up the current label's OWN label (left
-      // join on labels keyed by node=label) and take the min of all three
+      // join on labels keyed by node=label) and take the min of all
+      // three. (A second chase per round — label of label of label —
+      // was measured and REJECTED: on the deepest-looped caller (q71,
+      // 10 rounds) it reduced zero rounds while adding a join to every
+      // round, a net ~10% regression; on chain graphs it did cut
+      // rounds 8→6, but no production caller is chain-bound.)
       val grandparent = labels
         .select(col("node").as("__gnode"), col("label").as("__gl"))
       // the update join already sees old and new label side by side, so
