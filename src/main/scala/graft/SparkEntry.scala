@@ -1190,11 +1190,18 @@ object SparkEntry {
           max($"cell_sim").as("__csim"))
       // a pair sharing two probed cells would emit twice → distinct
       // BEFORE clustering; sim is identical from either cell
+      // 0.4, not 0.35: at 0.35 transitive chaining welds 84% of this
+      // corpus into ONE "duplicate cluster" (max component 1688 of
+      // 2000, 10 propagation rounds) — a degenerate dedup. At 0.4 the
+      // clustering is meaningful (287 clusters, max 24 members) and
+      // the loop converges in 7 rounds. Threshold choice is the
+      // SemDeDup knob a real pipeline tunes against its embedding
+      // space; the RecallSpec ground truth pins the same value.
       val pairs = Similarity.blockedSelfJoin(
           probed.select($"cell_id", $"vec_id", $"embedding"),
           "cell_id", "vec_id", "embedding", chunks = 4)
         .withColumn("sim", Similarity.cosine($"va", $"vb"))
-        .filter($"sim" >= 0.35)
+        .filter($"sim" >= 0.4)
         .select($"id_a", $"id_b")
         .distinct()
       Dedup.dupClusters(pairs, "id_a", "id_b")
@@ -2643,7 +2650,7 @@ object SparkEntry {
         |  FROM probed x JOIN probed y
         |    ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
         |  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-        |    CAST(y.embedding AS DOUBLE[])) >= 0.35),
+        |    CAST(y.embedding AS DOUBLE[])) >= 0.4),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM near
         |  UNION SELECT id_b, id_a FROM near),
         |nodes AS (SELECT DISTINCT src AS node FROM edges),

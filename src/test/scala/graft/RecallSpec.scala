@@ -122,11 +122,12 @@ class RecallSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
     val cents = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))
-    // exhaustive ground truth: every unordered pair with cosine ≥ 0.35
+    // exhaustive ground truth: every unordered pair with cosine ≥ 0.4
+    // (q71's verify threshold — see the q71 comment for why not 0.35)
     val right = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
     val truth = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
       .crossJoin(right).filter($"id_a" < $"id_b")
-      .filter(Similarity.cosine($"va", $"vb") >= 0.35)
+      .filter(Similarity.cosine($"va", $"vb") >= 0.4)
       .select($"id_a", $"id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truth.nonEmpty, "ground truth empty — test is vacuous")
@@ -139,14 +140,14 @@ class RecallSpec extends SparkSpec {
           .select($"cell_id".as("cb"), $"vec_id".as("id_b"),
             $"embedding".as("vb")),
           $"cell_id" === $"cb" && $"vec_id" < $"id_b")
-        .filter(Similarity.cosine($"embedding", $"vb") >= 0.35)
+        .filter(Similarity.cosine($"embedding", $"vb") >= 0.4)
         .select($"vec_id", $"id_b").distinct().collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val single = (truth & blockedPairs(1)).size.toDouble / truth.size
     val probed = (truth & blockedPairs(3)).size.toDouble / truth.size
     info(f"blocking recall: nprobe=1 $single%.3f, nprobe=3 $probed%.3f" +
       s" over ${truth.size} true pairs")
-    // measured at these fixed settings: 0.32 single vs 0.91 probed —
+    // measured at these fixed settings: 0.26 single vs 0.92 probed —
     // the gate pins both the q71 floor and the single-probe gap that
     // motivates multi-probe
     assert(probed >= 0.85, f"multi-probe recall $probed%.3f")
