@@ -398,13 +398,22 @@ object SparkEntry {
     // estimate, and DuckDB oracles exact counts + literal TRUE. A
     // drifting HLL implementation fails the hash compare loudly.
     "q31_approx_distinct" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy($"l_returnflag")
-        .agg(
-          countDistinct($"l_partkey").as("n_parts"),
-          countDistinct($"l_orderkey").as("n_orders"),
-          approx_count_distinct($"l_partkey").as("__ap"),
+      // exact distincts as SEPARATE two-stage branches joined on the
+      // group key, not one multi-distinct aggregate: Spark plans two
+      // countDistincts in one agg via EXPAND (every row ×3 through the
+      // shuffle); per-branch, each shuffle carries only that column's
+      // distinct (flag, value) pairs — the q81 pruned-scan trade, per
+      // aggregate. The HLL sketches ride the cheap single-pass branch.
+      val li = Tables.lineitem(s, d)
+      def exactDistinct(c: String, as: String) =
+        li.select($"l_returnflag", col(c)).distinct()
+          .groupBy($"l_returnflag").agg(count(lit(1)).as(as))
+      val approx = li.groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("__ap"),
           approx_count_distinct($"l_orderkey").as("__ao"))
+      exactDistinct("l_partkey", "n_parts")
+        .join(exactDistinct("l_orderkey", "n_orders"), "l_returnflag")
+        .join(approx, "l_returnflag")
         .select($"l_returnflag", $"n_parts", $"n_orders",
           (abs($"__ap" - $"n_parts") <= $"n_parts" * 0.1)
             .as("approx_parts_ok"),
