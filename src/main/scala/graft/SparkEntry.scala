@@ -1468,6 +1468,25 @@ object SparkEntry {
             .as("purchase_rate"))
     }),
 
+    // OHLC BARS — the market-data resample the reference's price feed
+    // implies (SURVEY §3.3 price path): per (type, hour) open/high/
+    // low/close/volume. Open/close are order-sensitive — min_by/max_by
+    // over the total (ts, event_id) key keeps them ONE hash aggregate
+    // (no per-bar sort, no window); a bar's state is five numbers
+    // however many trades it holds. Streams.priceBars is the
+    // watermarked streaming twin.
+    "q83_ohlc_bars" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy($"event_type",
+          window($"ts", "1 hour").getField("start").as("bar_start"))
+        .agg(min_by($"value", struct($"ts", $"event_id")).as("open"),
+          max($"value").as("high"), min($"value").as("low"),
+          max_by($"value", struct($"ts", $"event_id")).as("close"),
+          count(lit(1)).as("n_trades"),
+          Fns.roundU(sum($"value"), 2).as("volume"))
+        .orderBy($"event_type", $"bar_start")
+    }),
+
     // Duplicate-span PROVENANCE: q75 says HOW MUCH of a doc is
     // duplicated; this says WHO introduced each duplicated span (the
     // lowest-id doc containing it) — copies score all-inherited,
@@ -2931,6 +2950,24 @@ object SparkEntry {
         |  floor((CAST(n_purchased AS DOUBLE) / n_clicked) * 10000 + 0.5)
         |    / 10000.0 AS purchase_rate
         |FROM n""".stripMargin,
+
+    "q83_ohlc_bars" ->
+      """WITH r AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bar_start, value,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      date_trunc('hour', ts) ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC)
+        |      AS rd
+        |  FROM events)
+        |SELECT event_type, bar_start,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS n_trades,
+        |  floor((sum(value)) * 100 + 0.5) / 100.0 AS volume
+        |FROM r GROUP BY event_type, bar_start
+        |ORDER BY event_type, bar_start""".stripMargin,
 
     "q79_bpe_pairs" ->
       """WITH t AS (

@@ -92,6 +92,33 @@ object Streams {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
+  /** Streaming OHLC bars — the market-data resample of the reference's
+    * price feed (q83's batch semantics on an unbounded stream): per
+    * (key, tumbling window) open/high/low/close/volume, finalized once
+    * the watermark passes the bar close. Open/close are min_by/max_by
+    * over the total (ts, idCol) key, so a bar's state is five numbers
+    * however many trades it holds — no per-bar buffering, no window
+    * sort, and the same declarative aggregate runs batch or streaming.
+    */
+  def priceBars(events: DataFrame, tsCol: String, keyCol: String,
+                idCol: String, valueCol: String, bar: String,
+                watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      // group on the window STRUCT (not its start field): the streaming
+      // planner recognizes the time column for watermark-based bar
+      // finalization through the struct only
+      .groupBy(col(keyCol), window(col(tsCol), bar).as("__w"))
+      .agg(min_by(col(valueCol), struct(col(tsCol), col(idCol)))
+          .as("open"),
+        max(col(valueCol)).as("high"), min(col(valueCol)).as("low"),
+        max_by(col(valueCol), struct(col(tsCol), col(idCol)))
+          .as("close"),
+        count(lit(1)).as("n_trades"), sum(col(valueCol)).as("volume"))
+      .select(col(keyCol), col("__w.start").as("bar_start"), col("open"),
+        col("high"), col("low"), col("close"), col("n_trades"),
+        col("volume"))
+
   /** Session-window aggregation with a watermark — the streaming-native
     * form of the batch sessionization (q37). Sessions merge as events
     * arrive; a session is finalized (and emitted, in append mode) once

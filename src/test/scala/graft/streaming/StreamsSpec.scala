@@ -276,6 +276,41 @@ class StreamsSpec extends SparkSpec {
       === expected)
   }
 
+  test("priceBars: watermark finalizes OHLC bars in append mode") {
+    val dir = Files.createTempDirectory("graft-bars").toFile
+    val stream = spark.readStream
+      .schema("pair STRING, id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+    val q = Streams.priceBars(stream, "ts", "pair", "id", "value",
+        bar = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("bars")
+      .outputMode("append").start()
+    try {
+      // hour-1 trades arrive out of price order: open must be the
+      // EARLIEST trade (3.0), close the latest (2.0) — not min/max
+      dropFile(dir, "b1.json", Seq(
+        """{"pair":"p1","id":1,"ts":"2024-01-01T10:05:00Z","value":3.0}""",
+        """{"pair":"p1","id":2,"ts":"2024-01-01T10:20:00Z","value":9.0}""",
+        """{"pair":"p1","id":3,"ts":"2024-01-01T10:40:00Z","value":1.0}""",
+        """{"pair":"p1","id":4,"ts":"2024-01-01T10:55:00Z","value":2.0}""")
+        .mkString("\n"))
+      q.processAllAvailable()
+      assert(spark.table("bars").count() === 0, "bar emitted before close")
+      // an hour-12 trade advances the watermark far past hour 10's close
+      dropFile(dir, "b2.json",
+        """{"pair":"p1","id":5,"ts":"2024-01-01T12:30:00Z","value":5.0}""")
+      q.processAllAvailable()
+      val rows = spark.table("bars").collect()
+      assert(rows.length === 1, rows.mkString(";"))
+      val r = rows(0)
+      assert(r.getAs[Double]("open") === 3.0)
+      assert(r.getAs[Double]("high") === 9.0)
+      assert(r.getAs[Double]("low") === 1.0)
+      assert(r.getAs[Double]("close") === 2.0)
+      assert(r.getAs[Long]("n_trades") === 4L)
+    } finally q.stop()
+  }
+
   test("suppressPrices: batch Dataset, >10% moves only") {
     val events = Seq(
       PriceEvent("p1", 1, 100.0, 1.0),
