@@ -1468,6 +1468,26 @@ object SparkEntry {
             .as("purchase_rate"))
     }),
 
+    // DRAIN ALERTS — the reference's actual detection signal as a
+    // query: a watch-listed key whose post balance collapsed vs its
+    // pre balance (the liquidity-pull signature, SURVEY §0) with the
+    // USD impact priced through the ledger's dim join. Pure filter +
+    // hash aggregate over the q13 ledger — the alerting layer costs
+    // nothing beyond the pipeline it reads.
+    "q84_drain_alerts" -> ((s, d) => {
+      val drained = TokenFlows.eventLedger(s, d)
+        .filter($"pre_value" > 0 && $"post_value".isNotNull)
+        .withColumn("drop_frac",
+          ($"pre_value" - $"post_value") / $"pre_value")
+        .filter($"drop_frac" >= 0.5)
+      drained.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_drained"),
+          Fns.roundU(max($"drop_frac"), 4).as("worst_drop"),
+          Fns.roundU(sum(($"pre_value" - $"post_value") * $"price"), 2)
+            .as("usd_impact"))
+        .orderBy($"user_id")
+    }),
+
     // OHLC BARS — the market-data resample the reference's price feed
     // implies (SURVEY §3.3 price path): per (type, hour) open/high/
     // low/close/volume. Open/close are order-sensitive — min_by/max_by
@@ -2950,6 +2970,22 @@ object SparkEntry {
         |  floor((CAST(n_purchased AS DOUBLE) / n_clicked) * 10000 + 0.5)
         |    / 10000.0 AS purchase_rate
         |FROM n""".stripMargin,
+
+    "q84_drain_alerts" ->
+      s"""WITH drained AS (
+        |  SELECT user_id,
+        |    (pre_value - post_value) / pre_value AS drop_frac,
+        |    (pre_value - post_value) * price AS impact
+        |  FROM (
+        |${TokenFlows.eventLedgerOracle.linesIterator
+            .map("    " + _).mkString("\n")}
+        |  ) ledger
+        |  WHERE pre_value > 0 AND post_value IS NOT NULL
+        |    AND (pre_value - post_value) / pre_value >= 0.5)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_drained,
+        |  floor((max(drop_frac)) * 10000 + 0.5) / 10000.0 AS worst_drop,
+        |  floor((sum(impact)) * 100 + 0.5) / 100.0 AS usd_impact
+        |FROM drained GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q83_ohlc_bars" ->
       """WITH r AS (
