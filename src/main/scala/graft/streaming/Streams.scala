@@ -423,6 +423,49 @@ object Streams {
     * engine can bound join state — the scale property that matters with
     * unbounded streams. Columns: left(key, lts, ...), right(key, rts,
     * ...); caller ensures distinct names apart from the key. */
+  /** Balance observation for the streaming drain monitor. */
+  case class BalanceEvent(key: String, ts: Long, balance: Double)
+
+  /** Drain alert: `peak` is the highest balance seen for the key when
+    * the collapse was detected, `current` the observation that tripped
+    * the threshold. */
+  case class DrainAlert(key: String, ts: Long, peak: Double,
+                        current: Double, drop_frac: Double)
+
+  /** STREAMING drain monitor — the real-time form of q84 (and of the
+    * reference's whole purpose): track each key's PEAK balance and
+    * alert the first time an observation drops ≥ `threshold` below it.
+    * State per key is (peak, alerted) — two values forever, however
+    * long the stream. Alert-at-most-once per drawdown: the flag
+    * re-arms only after the balance recovers above the threshold line,
+    * so a pool oscillating around the line doesn't spam (the
+    * change-suppression idea, O35, applied to the alerting layer). */
+  def drainAlerts(events: Dataset[BalanceEvent], threshold: Double)
+      : Dataset[DrainAlert] = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[(Double, Boolean), DrainAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[(Double, Boolean)]) =>
+          var (peak, alerted) = state.getOption.getOrElse((0.0, false))
+          val out = scala.collection.mutable.ArrayBuffer[DrainAlert]()
+          rows.toSeq.sortBy(_.ts).foreach { e =>
+            if (e.balance > peak) peak = e.balance
+            val drop = if (peak > 0) (peak - e.balance) / peak else 0.0
+            if (drop >= threshold) {
+              if (!alerted) {
+                out += DrainAlert(key, e.ts, peak, e.balance,
+                  math.rint(drop * 10000) / 10000)
+                alerted = true
+              }
+            } else alerted = false
+          }
+          state.update((peak, alerted))
+          out.iterator
+      }
+  }
+
   /** Funnel input event (micro timestamp; shape of q82's batch input). */
   case class FunnelEvent(user_id: Long, event_type: String, ts: Long)
 

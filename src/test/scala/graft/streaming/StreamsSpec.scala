@@ -276,6 +276,44 @@ class StreamsSpec extends SparkSpec {
       === expected)
   }
 
+  test("drainAlerts: fires once per drawdown, re-arms on recovery") {
+    val dir = Files.createTempDirectory("graft-drain").toFile
+    val stream = spark.readStream
+      .schema("key STRING, ts LONG, balance DOUBLE")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      .as[Streams.BalanceEvent]
+    val q = Streams.drainAlerts(stream, threshold = 0.5)
+      .writeStream.format("memory").queryName("drains")
+      .outputMode("append").start()
+    try {
+      // p1 builds a peak of 100 then collapses to 30 (70% drop, one
+      // alert) and keeps falling (no second alert while down); p2 dips
+      // but never crosses 50%
+      dropFile(dir, "b1.json", Seq(
+        """{"key":"p1","ts":1,"balance":100.0}""",
+        """{"key":"p1","ts":2,"balance":30.0}""",
+        """{"key":"p1","ts":3,"balance":10.0}""",
+        """{"key":"p2","ts":1,"balance":80.0}""",
+        """{"key":"p2","ts":2,"balance":45.0}""").mkString("\n"))
+      q.processAllAvailable()
+      val a1 = spark.table("drains").collect()
+      assert(a1.length === 1, a1.mkString(";"))
+      assert(a1(0).getAs[String]("key") === "p1")
+      assert(a1(0).getAs[Double]("current") === 30.0)
+      assert(a1(0).getAs[Double]("drop_frac") === 0.7)
+      // batch 2: p1 recovers above the line (re-arms), then collapses
+      // again → exactly one more alert
+      dropFile(dir, "b2.json", Seq(
+        """{"key":"p1","ts":4,"balance":90.0}""",
+        """{"key":"p1","ts":5,"balance":20.0}""").mkString("\n"))
+      q.processAllAvailable()
+      val a2 = spark.table("drains").orderBy($"ts").collect()
+      assert(a2.length === 2, a2.mkString(";"))
+      assert(a2(1).getAs[Long]("ts") === 5L)
+      assert(a2(1).getAs[Double]("peak") === 100.0)
+    } finally q.stop()
+  }
+
   test("priceBars: watermark finalizes OHLC bars in append mode") {
     val dir = Files.createTempDirectory("graft-bars").toFile
     val stream = spark.readStream
