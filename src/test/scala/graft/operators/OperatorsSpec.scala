@@ -974,6 +974,26 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       .getLong(0) === 2L)
   }
 
+  test("span family: empty/whitespace/short inputs yield clean zeros") {
+    // empty text, pure whitespace, and below-span-length docs must not
+    // throw, must not emit spans, and must report n_tok consistently
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "a b c"), (4L, (1 to 10)
+      .map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.spanHashes(docs, "text", "doc_id", 4)
+      .filter($"id" =!= 4L).count() === 0)
+    val stats = TextAnalysis.spanDupStats(docs, "text", "doc_id", 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_tok"), r.getAs[Long]("n_cov"))).toMap
+    assert(stats(1L) === ((0, 0L)))
+    assert(stats(2L) === ((0, 0L)))
+    assert(stats(3L) === ((3, 0L)))
+    assert(stats(4L) === ((10, 0L)))
+    // provenance on a corpus with no duplicated span: empty result
+    assert(TextAnalysis.spanProvenance(docs, "text", "doc_id", 4)
+      .count() === 0)
+  }
+
   test("TextAnalysis.spanDupStats: positional coverage, short docs, none") {
     // docs 1 and 2 share the 4-token span "a b c d" at different
     // positions; doc 3 is unrelated; doc 4 is shorter than the span
