@@ -241,6 +241,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toString.contains("collect_list"), "per-user array materialized")
   }
 
+  test("q83 OHLC: one hash aggregate, no per-bar window sort") {
+    val p = plan("q83_ohlc_bars")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      s"open/close must be min_by/max_by, not a window:\n$p")
+    assert(collectAll(p) {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty)
+  }
+
+  test("q84 drain alerts: detection layer adds no window to the ledger") {
+    val p = plan("q84_drain_alerts")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      s"alerting must stay filter + hash aggregate:\n$p")
+  }
+
   test("q67 boilerplate: joins move 8-byte hashes, never shingle text") {
     // same property as q53: the (doc, shingle) rows entering any join
     // must be long/int hashes only — a string column means text shuffles
