@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling/debug harness (not part of the library surface).
-  * Currently: q71 pair-graph structure — component count/sizes vs sim
-  * threshold. */
+  * Currently: dedup-pipeline scaling probe — the q52 chain at 1× and
+  * 10× corpus size (10× = the sf0.1 documents unioned with shifted
+  * ids; measurement only, no files written). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,32 +16,33 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, d)
-    val cents = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
-    val probed = operators.Similarity.assignCellsMulti(emb, "vec_id",
-        "embedding", cents, "cell_id", "cvec", nprobe = 3)
-      .persist()
-    probed.count()
-    for (thr <- Seq(0.4, 0.45, 0.5, 0.55)) {
-      val pairs = operators.Similarity.blockedSelfJoin(
-          probed.select(col("cell_id"), col("vec_id"), col("embedding")),
-          "cell_id", "vec_id", "embedding", chunks = 4)
-        .withColumn("sim", operators.Similarity.cosine(col("va"), col("vb")))
-        .filter(col("sim") >= thr)
+    spark.range(100000).selectExpr("sum(id % 7)").collect()
+    def pipeline(mult: Int): Double = {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val base = Tables.documents(spark, d)
+      val docs = (0 until mult).map { k =>
+        base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_.unionByName(_))
+      val t0 = System.nanoTime()
+      val sets = operators.Dedup.hashedShingleSets(docs, "text", "doc_id",
+        shingleWords = 3).persist(MEMORY_AND_DISK)
+      val cands = operators.Dedup.rareShinglePairsFromSets(sets, maxDf = 10)
+      val near = operators.Dedup.jaccardFromSets(sets, cands)
+        .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
-        .distinct().persist()
-      val np = pairs.count()
-      val (labels, rounds) =
-        operators.Dedup.dupClustersStats(pairs, "id_a", "id_b")
-      val sizes = labels.groupBy(col("cluster_id")).count()
-        .agg(count(lit(1)).as("ncl"), max(col("count")).as("maxsz"),
-          sum(col("count")).as("nodes")).collect()(0)
-      println(s"[scratch] thr=$thr pairs=$np rounds=$rounds " +
-        s"clusters=${sizes.getLong(0)} max_size=${sizes.getLong(1)} " +
-        s"nodes=${sizes.getLong(2)}")
-      pairs.unpersist()
+      val n = operators.Dedup.dupClusters(near, "id_a", "id_b")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs")).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      println(f"[scratch] mult=$mult clusters=$n t=$dt%.2f s")
+      dt
     }
+    pipeline(1); pipeline(1)   // warm
+    val t1 = pipeline(1)
+    val t10 = pipeline(10)
+    println(f"[scratch] 10x corpus => ${t10 / t1}%.1fx time")
     spark.stop()
   }
 }
