@@ -1468,6 +1468,47 @@ object SparkEntry {
             .as("purchase_rate"))
     }),
 
+    // FEATURE CORRELATION matrix — the ML-prep stats pass: Pearson
+    // corr for every numeric column pair in ONE scan (corr is a
+    // sufficient-statistics aggregate — sums/products with map-side
+    // combine — so k² pairs cost one pass, no per-pair rescans), then
+    // the wide row unpivots to (col_a, col_b, corr).
+    "q85_feature_corr" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) =>
+        Fns.roundU(corr(col(a), col(b)), 6).as(s"__c_${a}_$b")
+      }
+      val stacked = pairs.map { case (a, b) =>
+        s"'$a', '$b', __c_${a}_$b"
+      }.mkString(", ")
+      Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${pairs.length}, $stacked) as " +
+          "(col_a, col_b, pearson_corr)")
+        .orderBy($"col_a", $"col_b")
+    }),
+
+    // Per-group OLS — group-wise linear fit from sufficient statistics
+    // (regr_slope/regr_intercept are single-pass aggregates): price as
+    // a function of quantity per return flag. The 1-D least-squares
+    // fit needs NO iterative solver, so "train a model per group"
+    // stays one hash aggregate at any data size.
+    "q86_group_regression" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Fns.roundU(regr_slope($"l_extendedprice", $"l_quantity"), 4)
+            .as("slope"),
+          Fns.roundU(regr_intercept($"l_extendedprice", $"l_quantity"), 2)
+            .as("intercept"),
+          Fns.roundU(corr($"l_extendedprice", $"l_quantity"), 6)
+            .as("fit_corr"))
+        .orderBy($"l_returnflag")
+    }),
+
     // DRAIN ALERTS — the reference's actual detection signal as a
     // query: a watch-listed key whose post balance collapsed vs its
     // pre balance (the liquidity-pull signature, SURVEY §0) with the
@@ -2970,6 +3011,42 @@ object SparkEntry {
         |  floor((CAST(n_purchased AS DOUBLE) / n_clicked) * 10000 + 0.5)
         |    / 10000.0 AS purchase_rate
         |FROM n""".stripMargin,
+
+    "q85_feature_corr" ->
+      """WITH w AS (SELECT
+        |  floor((corr(l_quantity, l_extendedprice)) * 1000000 + 0.5)
+        |    / 1000000.0 AS c_qty_price,
+        |  floor((corr(l_quantity, l_discount)) * 1000000 + 0.5)
+        |    / 1000000.0 AS c_qty_disc,
+        |  floor((corr(l_quantity, l_tax)) * 1000000 + 0.5)
+        |    / 1000000.0 AS c_qty_tax,
+        |  floor((corr(l_extendedprice, l_discount)) * 1000000 + 0.5)
+        |    / 1000000.0 AS c_price_disc,
+        |  floor((corr(l_extendedprice, l_tax)) * 1000000 + 0.5)
+        |    / 1000000.0 AS c_price_tax,
+        |  floor((corr(l_discount, l_tax)) * 1000000 + 0.5)
+        |    / 1000000.0 AS c_disc_tax
+        |FROM lineitem)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |  c_qty_price AS pearson_corr FROM w
+        |UNION ALL SELECT 'l_quantity', 'l_discount', c_qty_disc FROM w
+        |UNION ALL SELECT 'l_quantity', 'l_tax', c_qty_tax FROM w
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount', c_price_disc
+        |  FROM w
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax', c_price_tax FROM w
+        |UNION ALL SELECT 'l_discount', 'l_tax', c_disc_tax FROM w
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q86_group_regression" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  floor((regr_slope(l_extendedprice, l_quantity)) * 10000 + 0.5)
+        |    / 10000.0 AS slope,
+        |  floor((regr_intercept(l_extendedprice, l_quantity)) * 100
+        |    + 0.5) / 100.0 AS intercept,
+        |  floor((corr(l_extendedprice, l_quantity)) * 1000000 + 0.5)
+        |    / 1000000.0 AS fit_corr
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q84_drain_alerts" ->
       s"""WITH drained AS (
