@@ -1468,6 +1468,22 @@ object SparkEntry {
             .as("purchase_rate"))
     }),
 
+    // TRENDING top-k — per (type, hour) leaders through the native
+    // TopKPerKey plan on a COMPOSITE key (the custom operator
+    // generalizes past single-column keys): only k candidate rows per
+    // (type, hour) per partition reach the shuffle, vs a window sort
+    // of every (type, hour, user) count row.
+    "q87_trending" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy($"event_type",
+          window($"ts", "1 hour").getField("start").as("hr"),
+          $"user_id")
+        .agg(count(lit(1)).as("n"))
+      graft.plans.TopKPerKey(counts, Seq("event_type", "hr"),
+          Seq($"n".desc, $"user_id".asc), k = 3)
+        .orderBy($"event_type", $"hr", $"n".desc, $"user_id")
+    }),
+
     // FEATURE CORRELATION matrix — the ML-prep stats pass: Pearson
     // corr for every numeric column pair in ONE scan (corr is a
     // sufficient-statistics aggregate — sums/products with map-side
@@ -3011,6 +3027,19 @@ object SparkEntry {
         |  floor((CAST(n_purchased AS DOUBLE) / n_clicked) * 10000 + 0.5)
         |    / 10000.0 AS purchase_rate
         |FROM n""".stripMargin,
+
+    "q87_trending" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, user_id,
+        |    count(*) AS n
+        |  FROM events GROUP BY event_type, hr, user_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, hr
+        |    ORDER BY n DESC, user_id ASC) AS rk
+        |  FROM c)
+        |SELECT event_type, hr, user_id, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rk <= 3
+        |ORDER BY event_type, hr, n DESC, user_id""".stripMargin,
 
     "q85_feature_corr" ->
       """WITH w AS (SELECT

@@ -312,6 +312,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q87 trending: composite-key TopKPerKey, no window sort") {
+    val p = plan("q87_trending")
+    val topk = collectAll(p) {
+      case t: graft.plans.TopKPerKeyExec => t
+    }
+    assert(topk.map(_.partial).sorted === Seq(false, true), s"$p")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      s"per-(type, hour) leaders selected via a window sort:\n$p")
+  }
+
   test("q62/q63 sample+tfidf run the bounded-heap plan, not a window") {
     for (q <- Seq("q62_consistent_sample", "q63_tfidf_terms")) {
       val p = plan(q)
