@@ -110,6 +110,34 @@ object Multimodal {
       }
   }
 
+  /** Decoded pixel-feature record for payloads the pure-JVM BMP codec
+    * handles; non-BMP/corrupt payloads are dropped (route them to
+    * [[decodePartitions]] with a real codec instead). */
+  case class BmpFeatureRow(id: Long, width: Int, height: Int,
+                           mean_r: Double, mean_g: Double, mean_b: Double,
+                           mean_luma: Double)
+
+  /** REAL pixel-tier decode for uncompressed 24-bit BMP payloads
+    * ([[graft.functions.BmpPixels]] — plain byte arithmetic, no codec
+    * library): per-image channel means + Rec.601 luma, partition-local.
+    * This is the fake-free slice of the pixel tier; formats that need
+    * libffmpeg/libjpeg still go through [[decodePartitions]]'s injected
+    * codec with the same batch shape. */
+  def decodeBmpFeatures(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[BmpFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.BmpPixels.decode(bytes).map(f =>
+            BmpFeatureRow(id, f.width, f.height, f.meanR, f.meanG,
+              f.meanB, f.meanLuma))
+        }
+      }
+  }
+
   /** STUB codec for environments without media libraries: deterministic
     * header fake from the payload bytes. */
   def stubCodec(bytes: Array[Byte]): (Int, Int, Int) = {

@@ -113,6 +113,32 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(8L).format === None)
   }
 
+  test("decodeBmpFeatures: real pixel decode, byte-exact means") {
+    import graft.functions.BmpPixels
+    // 3×2 image (odd width ⇒ rows pad 9→12 bytes — the classic decoder
+    // trap) with known pixels: top row solid red, bottom row ramp
+    val img1 = BmpPixels.encode(3, 2, (x, y) =>
+      if (y == 0) (255, 0, 0) else (x * 10, x * 20, x * 30))
+    // 2×2 solid mid-gray
+    val img2 = BmpPixels.encode(2, 2, (_, _) => (100, 100, 100))
+    val corrupt = "BMnot really a bitmap".getBytes("UTF-8")
+    val df = Seq((1L, img1), (2L, img2), (3L, corrupt), (4L, null))
+      .toDF("id", "payload")
+    val f = Multimodal.decodeBmpFeatures(df, "id", "payload")
+      .collect().map(r => r.id -> r).toMap
+    // undecodable rows drop, they don't poison the batch
+    assert(f.keySet === Set(1L, 2L))
+    assert((f(1L).width, f(1L).height) === ((3, 2)))
+    // means over all 6 pixels: r = (255*3 + 0+10+20)/6, etc.
+    assert(math.abs(f(1L).mean_r - (255 * 3 + 30) / 6.0) < 1e-9)
+    assert(math.abs(f(1L).mean_g - (0 + 20 + 40) / 6.0) < 1e-9)
+    assert(math.abs(f(1L).mean_b - (0 + 30 + 60) / 6.0) < 1e-9)
+    assert(math.abs(f(2L).mean_luma - 100.0) < 1e-9)
+    // the encoded fixture also satisfies the header parser (same file)
+    assert(graft.functions.MediaHeaders.parse(img1)
+      .map(m => (m.format, m.width, m.height)) === Some(("bmp", 3, 2)))
+  }
+
   test("decode → feature-extract → ANN composes end-to-end") {
     // the full multimodal retrieval pipeline shape: opaque payloads →
     // per-row features (stubbed model) → exact top-k search. Everything
