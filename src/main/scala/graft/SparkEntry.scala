@@ -1468,6 +1468,32 @@ object SparkEntry {
             .as("purchase_rate"))
     }),
 
+    // BMP DECODE roundtrip — the pixel tier under the ORACLE: build
+    // real 24-bit BMP payloads from a closed-form pixel function (the
+    // UDF is the image GENERATOR — fixture construction, not a hot
+    // path), decode them with the real byte-arithmetic codec
+    // (Multimodal.decodeBmpFeatures), and report channel means. DuckDB
+    // never parses BMP: it computes the same means directly from the
+    // pixel formula — so padding, row-order or channel-order bugs in
+    // the decoder break the hash, not just a spec.
+    "q88_bmp_decode" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.BmpPixels.encode(
+        (4 + id % 5).toInt, (3 + id % 3).toInt,
+        (x, y) => (((id + x * 7 + y * 13) % 256).toInt,
+          ((id * 3 + x * 11 + y) % 256).toInt,
+          ((id * 7 + x + y * 5) % 256).toInt)))
+      val imgs = Tables.documents(s, d).filter($"doc_id" < 50)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeBmpFeatures(imgs, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"width", $"height",
+          Fns.roundU($"mean_r", 4).as("mean_r"),
+          Fns.roundU($"mean_g", 4).as("mean_g"),
+          Fns.roundU($"mean_b", 4).as("mean_b"),
+          Fns.roundU($"mean_luma", 4).as("mean_luma"))
+        .orderBy($"doc_id")
+    }),
+
     // TRENDING top-k — per (type, hour) leaders through the native
     // TopKPerKey plan on a COMPOSITE key (the custom operator
     // generalizes past single-column keys): only k candidate rows per
@@ -3027,6 +3053,32 @@ object SparkEntry {
         |  floor((CAST(n_purchased AS DOUBLE) / n_clicked) * 10000 + 0.5)
         |    / 10000.0 AS purchase_rate
         |FROM n""".stripMargin,
+
+    // q88: the oracle reproduces the pixel FORMULA, not the file bytes
+    "q88_bmp_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS width,
+        |    CAST(3 + doc_id % 3 AS INT) AS height
+        |  FROM documents WHERE doc_id < 50),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |    (doc_id + x.i * 7 + y.i * 13) % 256 AS r,
+        |    (doc_id * 3 + x.i * 11 + y.i) % 256 AS g,
+        |    (doc_id * 7 + x.i + y.i * 5) % 256 AS b
+        |  FROM d, unnest(range(0, width)) AS x(i),
+        |    unnest(range(0, height)) AS y(i)),
+        |m AS (
+        |  SELECT doc_id, width, height,
+        |    avg(CAST(r AS DOUBLE)) AS mr, avg(CAST(g AS DOUBLE)) AS mg,
+        |    avg(CAST(b AS DOUBLE)) AS mb
+        |  FROM px GROUP BY doc_id, width, height)
+        |SELECT doc_id, width, height,
+        |  floor(mr * 10000 + 0.5) / 10000.0 AS mean_r,
+        |  floor(mg * 10000 + 0.5) / 10000.0 AS mean_g,
+        |  floor(mb * 10000 + 0.5) / 10000.0 AS mean_b,
+        |  floor((0.299 * mr + 0.587 * mg + 0.114 * mb) * 10000 + 0.5)
+        |    / 10000.0 AS mean_luma
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q87_trending" ->
       """WITH c AS (
