@@ -20,6 +20,10 @@ object Scratch {
     def pipeline(mult: Int): Double = {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val base = Tables.documents(spark, d)
+      // the replica offset must exceed the id range or replicas collide
+      // into spurious duplicate ids and corrupt the measured factor
+      val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      require(maxId < 1000000L, s"replica offset too small for maxId=$maxId")
       val docs = (0 until mult).map { k =>
         base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
           col("text"))

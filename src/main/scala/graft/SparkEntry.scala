@@ -405,8 +405,12 @@ object SparkEntry {
       // distinct (flag, value) pairs — the q81 pruned-scan trade, per
       // aggregate. The HLL sketches ride the cheap single-pass branch.
       val li = Tables.lineitem(s, d)
+      // isNotNull BEFORE the distinct: distinct() keeps a NULL as a
+      // value, but count(DISTINCT c) — the semantics being replaced,
+      // and the oracle's — excludes it
       def exactDistinct(c: String, as: String) =
-        li.select($"l_returnflag", col(c)).distinct()
+        li.select($"l_returnflag", col(c)).filter(col(c).isNotNull)
+          .distinct()
           .groupBy($"l_returnflag").agg(count(lit(1)).as(as))
       val approx = li.groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey").as("__ap"),
@@ -1179,7 +1183,7 @@ object SparkEntry {
     // cluster keeps its most central member (highest cosine to its
     // primary centroid, ties → lowest id). Blocking is MULTI-PROBE
     // (each vector in its 3 nearest cells): single-cell blocking loses
-    // boundary-straddling pairs (recall 0.32 at these settings vs 0.91
+    // boundary-straddling pairs (recall 0.26 at these settings vs 0.92
     // probed — RecallSpec gates this), while candidate work stays
     // N²·nprobe/ncells, not N². The pair join itself is
     // triangle-partitioned against cell skew.
@@ -1308,7 +1312,10 @@ object SparkEntry {
     "q75_span_dedup" -> ((s, d) => {
       TextAnalysis.spanDupStats(Tables.documents(s, d), "text", "doc_id",
           spanTok = 8)
-        .filter($"span_dup_frac" > 0)
+        // filter on the COUNT, not the rounded fraction: a very long
+        // doc's tiny coverage rounds to 0.0000 but must still report
+        // (the oracle filters WHERE n_cov > 0)
+        .filter($"n_cov" > 0)
         .select($"id".as("doc_id"), $"n_tok".cast("long").as("n_tok"),
           $"n_cov", $"span_dup_frac")
         .orderBy($"doc_id")
@@ -1402,9 +1409,7 @@ object SparkEntry {
     // query in a driver loop: count → merge best pair → re-tokenize.
     "q79_bpe_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .select(when(length(trim($"text")) === 0,
-            array().cast("array<string>"))
-          .otherwise(split(trim($"text"), "\\s+")).as("__t"))
+        .select(TextAnalysis.wsTokens($"text").as("__t"))
         .filter(size($"__t") >= 2)
       docs.select(explode(transform(
           sequence(lit(0), size($"__t") - 2),

@@ -85,27 +85,39 @@ object Similarity {
     * each vector lands in its `nprobe` nearest cells (one output row per
     * (vector, cell), ties by lowest cell_id), plus a `cell_sim` column
     * with the vector↔centroid cosine. Single-cell blocking misses the
-    * near-dup pairs that straddle a cell boundary (measured recall 0.32
-    * at the q71 settings); probing 3 cells lifts recall to ~0.91 while
-    * keeping candidate work at N²·nprobe/ncells instead of N². The
-    * per-vector top-nprobe selection runs through the
-    * [[graft.plans.TopKPerKey]] bounded-heap plan — only nprobe narrow
-    * (id, cell, sim) rows per vector per partition reach the shuffle,
-    * and the vector column itself joins back afterwards (it never rides
-    * through the selection shuffle). */
+    * near-dup pairs that straddle a cell boundary (measured recall 0.26
+    * at the q71 settings); probing 3 cells lifts recall to ~0.92 while
+    * keeping candidate work at N²·nprobe/ncells instead of N².
+    *
+    * The selection is a NARROW projection, not an aggregation: the
+    * centroid table (bounded by the IVF premise — ncells ≪ corpus)
+    * broadcasts as ONE array row, each vector scores it in-projection
+    * and keeps its top-nprobe via array_sort+slice. No shuffle at all —
+    * the previous TopKPerKey form grouped on the near-unique vector id,
+    * exactly the unspillable final-stage case that plan's own doc warns
+    * against. Per-row cost is ncells·dim + ncells·log(ncells). */
   def assignCellsMulti(corpus: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame, cidCol: String,
                        cvecCol: String, nprobe: Int): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
-    val c = centroids.select(col(cidCol).as("cell_id"),
-      col(cvecCol).as("__centroid"))
-    val scored = corpus.select(col(idCol), col(vecCol))
-      .join(broadcast(c))
-      .select(col(idCol), col("cell_id"),
-        cosine(col(vecCol), col("__centroid")).as("cell_sim"))
-    val top = graft.plans.TopKPerKey(scored, Seq(idCol),
-      Seq(col("cell_sim").desc, col("cell_id").asc), nprobe)
-    corpus.join(top, Seq(idCol))
+    val carr = centroids
+      .select(struct(col(cidCol).as("cell_id"), col(cvecCol).as("__cv"))
+        .as("__c"))
+      .agg(collect_list(col("__c")).as("__cents"))
+    val outCols = corpus.columns.map(col)
+    corpus.crossJoin(broadcast(carr))
+      .withColumn("__scored", transform(col("__cents"), c =>
+        struct(cosine(col(vecCol), c.getField("__cv")).as("cell_sim"),
+          c.getField("cell_id").as("cell_id"))))
+      .withColumn("__top", slice(array_sort(col("__scored"), (l, r) =>
+        when(l.getField("cell_sim") > r.getField("cell_sim"), -1)
+          .when(l.getField("cell_sim") < r.getField("cell_sim"), 1)
+          .when(l.getField("cell_id") < r.getField("cell_id"), -1)
+          .when(l.getField("cell_id") > r.getField("cell_id"), 1)
+          .otherwise(0)), 1, nprobe))
+      .select(outCols :+ explode(col("__top")).as("__t"): _*)
+      .select(outCols :+ col("__t.cell_id").as("cell_id") :+
+        col("__t.cell_sim").as("cell_sim"): _*)
   }
 
   /** Lloyd's k-means over an embedding column — trains the IVF centroid

@@ -192,11 +192,17 @@ object TextAnalysis {
   private def tokenBase(df: org.apache.spark.sql.DataFrame,
                         textCol: String, idCol: String)
       : org.apache.spark.sql.DataFrame =
-    df.select(col(idCol).as("id"),
-        when(length(trim(col(textCol))) === 0,
-            array().cast("array<string>"))
-          .otherwise(split(trim(col(textCol)), "\\s+")).as("__toks"))
+    df.select(col(idCol).as("id"), wsTokens(col(textCol)).as("__toks"))
       .select(col("id"), size(col("__toks")).as("n_tok"), col("__toks"))
+
+  /** Blank-safe whitespace tokenizer: the empty array for empty or
+    * all-whitespace text (a bare `split(trim(""), "\\s+")` yields
+    * `[""]`, silently counting one phantom token). THE tokenization for
+    * the span family and the token-level queries — change whitespace
+    * semantics here, once. */
+  def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
 
   /** Every `spanTok`-token span of every document as (id, p, h): start
     * position p (0-based) and the 64-bit hash h of the space-joined

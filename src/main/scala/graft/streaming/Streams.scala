@@ -455,8 +455,11 @@ object Streams {
             val drop = if (peak > 0) (peak - e.balance) / peak else 0.0
             if (drop >= threshold) {
               if (!alerted) {
+                // half-up, matching q84's Fns.roundU convention (rint
+                // rounds half-to-even and would disagree with the batch
+                // twin on exact .00005 boundaries)
                 out += DrainAlert(key, e.ts, peak, e.balance,
-                  math.rint(drop * 10000) / 10000)
+                  math.floor(drop * 10000 + 0.5) / 10000)
                 alerted = true
               }
             } else alerted = false
