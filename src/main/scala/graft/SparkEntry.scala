@@ -1499,6 +1499,50 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // MAX DRAWDOWN per user — the risk metric behind q84's alert
+    // threshold: largest peak-to-trough value drop over each user's
+    // purchase history. Running peak is a rows-frame window
+    // PARTITIONED BY USER — high-cardinality key, so every partition's
+    // sort is small and parallel (the unpartitioned-window taboo does
+    // not apply).
+    "q89_max_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .filter($"event_type" === "purchase")
+        .withColumn("peak", max($"value").over(w))
+        .filter($"peak" > 0)
+        .withColumn("dd", ($"peak" - $"value") / $"peak")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_obs"),
+          Fns.roundU(max($"dd"), 4).as("max_drawdown"))
+        .orderBy($"user_id")
+    }),
+
+    // WINSORIZED mean — robust aggregation composed from the exact
+    // histogram quantiles: per-group p05/p95 bounds (each a parallel
+    // multi-level histogram, q33's machinery) broadcast back onto the
+    // facts, values clipped, then a plain mean. The robust-stats pass
+    // quality-score pipelines run to stop outliers steering thresholds.
+    "q90_winsorized_mean" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qs = Percentiles.exactQuantiles(li, "l_returnflag",
+          "l_extendedprice", Seq(0.05, 0.95))
+      val bounds = qs.groupBy($"l_returnflag")
+        .agg(min(when($"q" === 0.05, $"value")).as("__lo"),
+          min(when($"q" === 0.95, $"value")).as("__hi"))
+      li.select($"l_returnflag", $"l_extendedprice")
+        .join(broadcast(bounds), "l_returnflag")
+        .select($"l_returnflag",
+          least(greatest($"l_extendedprice", $"__lo"), $"__hi")
+            .as("__clipped"), $"l_extendedprice")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Fns.roundU(avg($"l_extendedprice"), 2).as("raw_mean"),
+          Fns.roundU(avg($"__clipped"), 2).as("winsorized_mean"))
+        .orderBy($"l_returnflag")
+    }),
+
     // TRENDING top-k — per (type, hour) leaders through the native
     // TopKPerKey plan on a COMPOSITE key (the custom operator
     // generalizes past single-column keys): only k candidate rows per
@@ -3084,6 +3128,42 @@ object SparkEntry {
         |  floor((0.299 * mr + 0.587 * mg + 0.114 * mb) * 10000 + 0.5)
         |    / 10000.0 AS mean_luma
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q89_max_drawdown" ->
+      """WITH p AS (
+        |  SELECT user_id, value,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |  floor((max((peak - value) / peak)) * 10000 + 0.5) / 10000.0
+        |    AS max_drawdown
+        |FROM p WHERE peak > 0 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q90: the nearest-rank (type-1) bound formula matches q50's oracle
+    "q90_winsorized_mean" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag,
+        |    max(CASE WHEN rn = greatest(1,
+        |      CAST(ceil(0.05 * n) AS BIGINT)) THEN l_extendedprice END)
+        |      AS lo,
+        |    max(CASE WHEN rn = greatest(1,
+        |      CAST(ceil(0.95 * n) AS BIGINT)) THEN l_extendedprice END)
+        |      AS hi
+        |  FROM ranked GROUP BY l_returnflag)
+        |SELECT r.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  floor((avg(r.l_extendedprice)) * 100 + 0.5) / 100.0
+        |    AS raw_mean,
+        |  floor((avg(least(greatest(r.l_extendedprice, b.lo), b.hi)))
+        |    * 100 + 0.5) / 100.0 AS winsorized_mean
+        |FROM ranked r JOIN b USING (l_returnflag)
+        |GROUP BY r.l_returnflag ORDER BY r.l_returnflag""".stripMargin,
 
     "q87_trending" ->
       """WITH c AS (
