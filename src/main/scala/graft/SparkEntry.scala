@@ -1499,6 +1499,38 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // BIGRAM surprisal — q66's LM quality filter at order 2: the
+    // conditional model p(w2|w1) = c(w1,w2)/c(w1) is trained from the
+    // corpus and scored against it in one pipeline. Unlike q66's
+    // vocabulary-sized unigram table, a bigram model is NOT
+    // broadcast-sized — it JOINS on the (w1,w2) key, co-partitioned
+    // with the corpus bigram stream (both sides shuffle once on the
+    // same key). Self-trained scoring has no OOV, so no backoff branch.
+    "q91_bigram_surprisal" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select($"source", $"doc_id",
+          TextAnalysis.wsTokens($"text").as("__t"))
+        .filter(size($"__t") >= 2)
+      val bi = toks.select($"source", $"doc_id",
+          explode(transform(sequence(lit(0), size($"__t") - 2),
+            i => struct(element_at($"__t", i + 1).as("w1"),
+              element_at($"__t", i + 2).as("w2")))).as("b"))
+        .select($"source", $"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("__c12"))
+      val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("__c1"))
+      val model = c2.join(c1, "w1")
+        .select($"w1", $"w2",
+          ($"__c12".cast("double") / $"__c1").as("__p"))
+      bi.join(model, Seq("w1", "w2"))
+        .groupBy($"source", $"doc_id")
+        .agg(sum(-log($"__p")).as("__ll"), count(lit(1)).as("__nb"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          Fns.roundU(avg($"__ll" / $"__nb"), 4).as("avg_surprisal"),
+          Fns.roundU(exp(avg($"__ll" / $"__nb")), 2).as("perplexity"))
+        .orderBy($"source")
+    }),
+
     // MAX DRAWDOWN per user — the risk metric behind q84's alert
     // threshold: largest peak-to-trough value drop over each user's
     // purchase history. Running peak is a rows-frame window
@@ -3128,6 +3160,27 @@ object SparkEntry {
         |  floor((0.299 * mr + 0.587 * mg + 0.114 * mb) * 10000 + 0.5)
         |    / 10000.0 AS mean_luma
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q91_bigram_surprisal" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bi AS (
+        |  SELECT source, doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM t, unnest(range(1, len(t))) AS u(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+        |m AS (
+        |  SELECT w1, w2, CAST(c12 AS DOUBLE) / c1 AS p
+        |  FROM c2 JOIN c1 USING (w1)),
+        |pd AS (
+        |  SELECT source, doc_id, sum(-ln(p)) AS ll, count(*) AS nb
+        |  FROM bi JOIN m USING (w1, w2) GROUP BY source, doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  floor((avg(ll / nb)) * 10000 + 0.5) / 10000.0 AS avg_surprisal,
+        |  floor((exp(avg(ll / nb))) * 100 + 0.5) / 100.0 AS perplexity
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
 
     "q89_max_drawdown" ->
       """WITH p AS (
