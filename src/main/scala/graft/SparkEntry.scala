@@ -1499,6 +1499,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // SCD TYPE-2 apply — q49's history-keeping sibling (the other half
+    // of warehouse dimension maintenance): changed keys CLOSE their
+    // open row at the change timestamp and append the new version;
+    // identical-value changes are no-ops (no interval churn). Same
+    // scale shape as the SCD-1 merge: winner-per-key hash aggregate +
+    // one keyed outer join; history rows never enter the join.
+    "q92_scd2_apply" -> ((s, d) => {
+      val target = Tables.customer(s, d)
+        .select($"c_custkey", $"c_acctbal".as("val"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val key = when($"o_orderkey" % 100 === 0, $"o_custkey" + 1000000)
+        .otherwise($"o_custkey")
+      val changes = Tables.orders(s, d)
+        .filter($"o_orderkey" % 50 === 0)
+        .select(key.as("c_custkey"), $"o_totalprice".as("val"),
+          $"o_orderkey".as("ts"))
+        .groupBy($"c_custkey")
+        .agg(max_by($"val", $"ts").as("val"), max($"ts").as("ts"))
+      Merge.applyScd2(target, changes, Seq("c_custkey"), Seq("val"),
+          "ts", "valid_from", "valid_to")
+        .orderBy($"c_custkey", $"valid_from")
+    }),
+
     // BIGRAM surprisal — q66's LM quality filter at order 2: the
     // conditional model p(w2|w1) = c(w1,w2)/c(w1) is trained from the
     // corpus and scored against it in one pipeline. Unlike q66's
@@ -3160,6 +3183,39 @@ object SparkEntry {
         |  floor((0.299 * mr + 0.587 * mg + 0.114 * mb) * 10000 + 0.5)
         |    / 10000.0 AS mean_luma
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q92_scd2_apply" ->
+      """WITH target AS (
+        |  SELECT c_custkey, c_acctbal AS val,
+        |    CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(NULL AS BIGINT) AS valid_to
+        |  FROM customer),
+        |ch0 AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 1000000
+        |    ELSE o_custkey END AS c_custkey,
+        |    o_totalprice AS val, o_orderkey AS ts
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |ch AS (
+        |  SELECT c_custkey, val, ts FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY ts DESC) AS rn FROM ch0) WHERE rn = 1),
+        |keep AS (
+        |  SELECT t.c_custkey, t.val, t.valid_from, t.valid_to
+        |  FROM target t LEFT JOIN ch USING (c_custkey)
+        |  WHERE ch.ts IS NULL OR t.val = ch.val),
+        |closed AS (
+        |  SELECT t.c_custkey, t.val, t.valid_from,
+        |    CAST(ch.ts AS BIGINT) AS valid_to
+        |  FROM target t JOIN ch USING (c_custkey)
+        |  WHERE t.val <> ch.val),
+        |ins AS (
+        |  SELECT ch.c_custkey, ch.val, CAST(ch.ts AS BIGINT)
+        |    AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM ch LEFT JOIN target t USING (c_custkey)
+        |  WHERE t.c_custkey IS NULL OR t.val <> ch.val)
+        |SELECT * FROM keep UNION ALL SELECT * FROM closed
+        |UNION ALL SELECT * FROM ins
+        |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "q91_bigram_surprisal" ->
       """WITH t AS (

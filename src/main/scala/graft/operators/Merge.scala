@@ -48,4 +48,58 @@ object Merge {
             when(col("__op") === "U", col(s"__cvals.$c"))
               .otherwise(target(c)).as(c))): _*)
   }
+
+  /** SCD TYPE-2 apply — [[applyChanges]]'s history-keeping sibling (the
+    * slowly-changing-dimension staple): instead of overwriting a
+    * changed key's row, CLOSE it (set `validToCol` = the change's
+    * `tsCol`) and append the new version as the open row. `target` rows
+    * carry (`keys`, `valueCols`, `validFromCol`, `validToCol`) with
+    * NULL `validToCol` marking the current version; `changes` carry
+    * (`keys`, `valueCols`, `tsCol`), at most one change per key per
+    * batch (pre-collapse with a LWW aggregate for multi-change
+    * batches — the [[applyChanges]] winner step).
+    *
+    * A change IDENTICAL to the key's open version is a no-op (no
+    * empty-interval churn); closed history rows always pass through
+    * untouched. Same scale shape as the SCD-1 form: one hash-keyed
+    * outer join between the open rows and the batch — history rows
+    * never enter the join.
+    */
+  def applyScd2(target: DataFrame, changes: DataFrame, keys: Seq[String],
+                valueCols: Seq[String], tsCol: String,
+                validFromCol: String, validToCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val closed = target.filter(col(validToCol).isNotNull)
+    val open = target.filter(col(validToCol).isNull)
+    val ch = changes.select(
+      (keys.map(k => col(k).as(s"__ck_$k")) :+
+        col(tsCol).as("__ts") :+
+        struct(valueCols.map(col): _*).as("__cv")): _*)
+    val joinCond = keys.map(k => open(k) === ch(s"__ck_$k"))
+      .reduce(_ && _)
+    val sameVals = valueCols
+      .map(c => col(s"__cv.$c") <=> open(c)).reduce(_ && _)
+    val j = open.join(ch, joinCond, "full_outer")
+    val openCols = (keys.map(k => coalesce(open(k), ch(s"__ck_$k")).as(k))
+      ++ valueCols.map(c => open(c).as(c))) :+
+      col(validFromCol) :+ col(validToCol)
+    // unchanged open rows (no matching change, or identical values)
+    val keep = j.filter(col("__ts").isNull ||
+        (open(keys.head).isNotNull && sameVals))
+      .select(openCols: _*)
+    // open rows superseded by a REAL change: close at the change ts
+    val close = j.filter(col("__ts").isNotNull &&
+        open(keys.head).isNotNull && !sameVals)
+      .select((keys.map(k => open(k).as(k)) ++
+        valueCols.map(c => open(c).as(c))) :+
+        col(validFromCol) :+ col("__ts").as(validToCol): _*)
+    // the new open version (changed keys + brand-new keys)
+    val insert = j.filter(col("__ts").isNotNull &&
+        (open(keys.head).isNull || !sameVals))
+      .select((keys.map(k => col(s"__ck_$k").as(k)) ++
+        valueCols.map(c => col(s"__cv.$c").as(c))) :+
+        col("__ts").as(validFromCol) :+
+        lit(null).cast(changes.schema(tsCol).dataType).as(validToCol): _*)
+    closed.unionByName(keep).unionByName(close).unionByName(insert)
+  }
 }

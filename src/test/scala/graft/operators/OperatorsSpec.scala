@@ -644,6 +644,33 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       (4L, "d", 40.0)))
   }
 
+  test("Merge.applyScd2: close+append, no-op identical, history intact") {
+    // history: k=1 has a closed v1 and an open v2; k=2 open; k=3 open
+    val target = Seq(
+      (1L, "a1", 0L, Some(10L)),   // closed history row
+      (1L, "a2", 10L, None),       // open
+      (2L, "b1", 0L, None),        // open, will get an IDENTICAL change
+      (3L, "c1", 0L, None))        // open, no change
+      .toDF("k", "v", "valid_from", "valid_to")
+    val changes = Seq(
+      (1L, "a3", 20L),             // real change: close a2, append a3
+      (2L, "b1", 25L),             // identical values: must be a NO-OP
+      (9L, "z1", 30L))             // brand-new key
+      .toDF("k", "v", "ts")
+    val r = Merge.applyScd2(target, changes, Seq("k"), Seq("v"),
+        "ts", "valid_from", "valid_to")
+      .orderBy($"k", $"valid_from").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3)))
+    assert(r.toSeq === Seq(
+      (1L, "a1", 0L, 10L),         // untouched history
+      (1L, "a2", 10L, 20L),        // closed at the change ts
+      (1L, "a3", 20L, -1L),        // the new open version
+      (2L, "b1", 0L, -1L),         // no-op: interval NOT churned
+      (3L, "c1", 0L, -1L),         // passthrough
+      (9L, "z1", 30L, -1L)))       // new key opens
+  }
+
   test("Similarity.blockedSelfJoin equals naive all-pairs, bounded tasks") {
     // one hot block (60 rows) + a small block: output must be identical
     // to the naive self-join, each unordered pair exactly once
