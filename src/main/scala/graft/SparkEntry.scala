@@ -1522,6 +1522,32 @@ object SparkEntry {
         .orderBy($"c_custkey", $"valid_from")
     }),
 
+    // POINT-IN-TIME read over the q92 versioned table — time travel as
+    // a pure interval filter (valid_from ≤ T < valid_to): the payoff
+    // of SCD-2's close-and-append discipline is that any historical
+    // snapshot is one predicate, no log replay. T sits between change
+    // timestamps so both pre- and post-change versions are exercised.
+    "q93_time_travel" -> ((s, d) => {
+      val asOf = 15000L
+      val target = Tables.customer(s, d)
+        .select($"c_custkey", $"c_acctbal".as("val"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val key = when($"o_orderkey" % 100 === 0, $"o_custkey" + 1000000)
+        .otherwise($"o_custkey")
+      val changes = Tables.orders(s, d)
+        .filter($"o_orderkey" % 50 === 0)
+        .select(key.as("c_custkey"), $"o_totalprice".as("val"),
+          $"o_orderkey".as("ts"))
+        .groupBy($"c_custkey")
+        .agg(max_by($"val", $"ts").as("val"), max($"ts").as("ts"))
+      Merge.applyScd2(target, changes, Seq("c_custkey"), Seq("val"),
+          "ts", "valid_from", "valid_to")
+        .filter($"valid_from" <= asOf &&
+          ($"valid_to".isNull || $"valid_to" > asOf))
+        .select($"c_custkey", $"val", $"valid_from")
+        .orderBy($"c_custkey")
+    }),
+
     // BIGRAM surprisal — q66's LM quality filter at order 2: the
     // conditional model p(w2|w1) = c(w1,w2)/c(w1) is trained from the
     // corpus and scored against it in one pipeline. Unlike q66's
@@ -3183,6 +3209,43 @@ object SparkEntry {
         |  floor((0.299 * mr + 0.587 * mg + 0.114 * mb) * 10000 + 0.5)
         |    / 10000.0 AS mean_luma
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q93_time_travel" ->
+      """WITH target AS (
+        |  SELECT c_custkey, c_acctbal AS val,
+        |    CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(NULL AS BIGINT) AS valid_to
+        |  FROM customer),
+        |ch0 AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 1000000
+        |    ELSE o_custkey END AS c_custkey,
+        |    o_totalprice AS val, o_orderkey AS ts
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |ch AS (
+        |  SELECT c_custkey, val, ts FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY ts DESC) AS rn FROM ch0) WHERE rn = 1),
+        |keep AS (
+        |  SELECT t.c_custkey, t.val, t.valid_from, t.valid_to
+        |  FROM target t LEFT JOIN ch USING (c_custkey)
+        |  WHERE ch.ts IS NULL OR t.val = ch.val),
+        |closed AS (
+        |  SELECT t.c_custkey, t.val, t.valid_from,
+        |    CAST(ch.ts AS BIGINT) AS valid_to
+        |  FROM target t JOIN ch USING (c_custkey)
+        |  WHERE t.val <> ch.val),
+        |ins AS (
+        |  SELECT ch.c_custkey, ch.val, CAST(ch.ts AS BIGINT)
+        |    AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM ch LEFT JOIN target t USING (c_custkey)
+        |  WHERE t.c_custkey IS NULL OR t.val <> ch.val),
+        |v AS (
+        |  SELECT * FROM keep UNION ALL SELECT * FROM closed
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT c_custkey, val, valid_from
+        |FROM v WHERE valid_from <= 15000
+        |  AND (valid_to IS NULL OR valid_to > 15000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q92_scd2_apply" ->
       """WITH target AS (
