@@ -1499,6 +1499,38 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // REFERENTIAL-INTEGRITY audit — orphan counts across every FK edge
+    // of the star schema (the data-contract check a warehouse runs
+    // after each load): per edge, child rows whose key has no parent,
+    // via LEFT ANTI joins aggregated to one report row each. The
+    // parent side ships only its distinct key column; small parents
+    // broadcast, big ones hash-join on the key.
+    "q94_fk_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String) = {
+        val orphans = child.select(col(ck))
+          .join(parent.select(col(pk).as(ck)).distinct(), Seq(ck),
+            "left_anti")
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk_edge"), $"n_rows", $"n_orphans",
+            Fns.roundU($"n_orphans".cast("double") / $"n_rows", 6)
+              .as("orphan_rate"))
+      }
+      Seq(
+        edge("lineitem.orderkey->orders", li, "l_orderkey",
+          ord, "o_orderkey"),
+        edge("lineitem.partkey->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        edge("lineitem.suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        edge("orders.custkey->customer", ord, "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .reduce(_.unionByName(_)).orderBy($"fk_edge")
+    }),
+
     // SCD TYPE-2 apply — q49's history-keeping sibling (the other half
     // of warehouse dimension maintenance): changed keys CLOSE their
     // open row at the change timestamp and append the new version;
@@ -3209,6 +3241,53 @@ object SparkEntry {
         |  floor((0.299 * mr + 0.587 * mg + 0.114 * mb) * 10000 + 0.5)
         |    / 10000.0 AS mean_luma
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q94_fk_audit" ->
+      """SELECT 'lineitem.orderkey->orders' AS fk_edge,
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |    AS n_orphans,
+        |  floor((CAST((SELECT count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey)) AS DOUBLE)
+        |    / (SELECT count(*) FROM lineitem)) * 1000000 + 0.5)
+        |    / 1000000.0 AS orphan_rate
+        |UNION ALL
+        |SELECT 'lineitem.partkey->part',
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM part p
+        |      WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+        |  floor((CAST((SELECT count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM part p
+        |      WHERE p.p_partkey = l.l_partkey)) AS DOUBLE)
+        |    / (SELECT count(*) FROM lineitem)) * 1000000 + 0.5)
+        |    / 1000000.0
+        |UNION ALL
+        |SELECT 'lineitem.suppkey->supplier',
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |      WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT),
+        |  floor((CAST((SELECT count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |      WHERE s.s_suppkey = l.l_suppkey)) AS DOUBLE)
+        |    / (SELECT count(*) FROM lineitem)) * 1000000 + 0.5)
+        |    / 1000000.0
+        |UNION ALL
+        |SELECT 'orders.custkey->customer',
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |  CAST((SELECT count(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |  floor((CAST((SELECT count(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey)) AS DOUBLE)
+        |    / (SELECT count(*) FROM orders)) * 1000000 + 0.5)
+        |    / 1000000.0
+        |ORDER BY fk_edge""".stripMargin,
 
     "q93_time_travel" ->
       """WITH target AS (
