@@ -64,17 +64,26 @@ object Merge {
     * untouched. Same scale shape as the SCD-1 form: one hash-keyed
     * outer join between the open rows and the batch — history rows
     * never enter the join.
+    *
+    * Invariants the CALLER owns (violations are amplified, not
+    * detected — the join is keyed, so it cannot see them): at most one
+    * OPEN row per key in `target` (N open rows for a changed key would
+    * close and re-open N times), and non-null `tsCol` on every change
+    * (a null ts cannot order an interval).
     */
   def applyScd2(target: DataFrame, changes: DataFrame, keys: Seq[String],
                 valueCols: Seq[String], tsCol: String,
                 validFromCol: String, validToCol: String): DataFrame = {
-    val keyCols = keys.map(col)
     val closed = target.filter(col(validToCol).isNotNull)
     val open = target.filter(col(validToCol).isNull)
+    // __hit marks join presence — NOT __ts nullability, which would
+    // misroute a (invalid but survivable) null-ts change into `keep`
+    // and emit a phantom all-null row
     val ch = changes.select(
       (keys.map(k => col(k).as(s"__ck_$k")) :+
-        col(tsCol).as("__ts") :+
+        col(tsCol).as("__ts") :+ lit(true).as("__hit") :+
         struct(valueCols.map(col): _*).as("__cv")): _*)
+    val toType = target.schema(validToCol).dataType
     val joinCond = keys.map(k => open(k) === ch(s"__ck_$k"))
       .reduce(_ && _)
     val sameVals = valueCols
@@ -84,22 +93,25 @@ object Merge {
       ++ valueCols.map(c => open(c).as(c))) :+
       col(validFromCol) :+ col(validToCol)
     // unchanged open rows (no matching change, or identical values)
-    val keep = j.filter(col("__ts").isNull ||
+    val keep = j.filter(col("__hit").isNull ||
         (open(keys.head).isNotNull && sameVals))
       .select(openCols: _*)
-    // open rows superseded by a REAL change: close at the change ts
-    val close = j.filter(col("__ts").isNotNull &&
+    // open rows superseded by a REAL change: close at the change ts.
+    // valid_to casts to the TARGET's interval type so the union never
+    // silently widens the dimension schema
+    val close = j.filter(col("__hit").isNotNull &&
         open(keys.head).isNotNull && !sameVals)
       .select((keys.map(k => open(k).as(k)) ++
         valueCols.map(c => open(c).as(c))) :+
-        col(validFromCol) :+ col("__ts").as(validToCol): _*)
+        col(validFromCol) :+ col("__ts").cast(toType).as(validToCol): _*)
     // the new open version (changed keys + brand-new keys)
-    val insert = j.filter(col("__ts").isNotNull &&
+    val insert = j.filter(col("__hit").isNotNull &&
         (open(keys.head).isNull || !sameVals))
       .select((keys.map(k => col(s"__ck_$k").as(k)) ++
         valueCols.map(c => col(s"__cv.$c").as(c))) :+
-        col("__ts").as(validFromCol) :+
-        lit(null).cast(changes.schema(tsCol).dataType).as(validToCol): _*)
+        col("__ts").cast(target.schema(validFromCol).dataType)
+          .as(validFromCol) :+
+        lit(null).cast(toType).as(validToCol): _*)
     closed.unionByName(keep).unionByName(close).unionByName(insert)
   }
 }
