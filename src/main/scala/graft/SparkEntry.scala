@@ -415,13 +415,27 @@ object SparkEntry {
       val approx = li.groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey").as("__ap"),
           approx_count_distinct($"l_orderkey").as("__ao"))
-      exactDistinct("l_partkey", "n_parts")
-        .join(exactDistinct("l_orderkey", "n_orders"), "l_returnflag")
-        .join(approx, "l_returnflag")
-        .select($"l_returnflag", $"n_parts", $"n_orders",
-          (abs($"__ap" - $"n_parts") <= $"n_parts" * 0.1)
+      // LEFT-join the exact branches ONTO the approx branch: approx
+      // covers every group, while exactDistinct drops a group whose
+      // values are all NULL (its isNotNull filter empties it) — an
+      // inner join would drop that group entirely where count(DISTINCT)
+      // reports 0. Null-safe key compare so a NULL returnflag group
+      // still lines up. coalesce(...,0) restores the 0 counts.
+      val ep = exactDistinct("l_partkey", "n_parts")
+        .withColumnRenamed("l_returnflag", "__rfp")
+      val eo = exactDistinct("l_orderkey", "n_orders")
+        .withColumnRenamed("l_returnflag", "__rfo")
+      approx
+        .join(ep, $"l_returnflag" <=> $"__rfp", "left")
+        .join(eo, $"l_returnflag" <=> $"__rfo", "left")
+        .select($"l_returnflag",
+          coalesce($"n_parts", lit(0L)).as("n_parts"),
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          (abs($"__ap" - coalesce($"n_parts", lit(0L)))
+            <= coalesce($"n_parts", lit(0L)) * 0.1)
             .as("approx_parts_ok"),
-          (abs($"__ao" - $"n_orders") <= $"n_orders" * 0.1)
+          (abs($"__ao" - coalesce($"n_orders", lit(0L)))
+            <= coalesce($"n_orders", lit(0L)) * 0.1)
             .as("approx_orders_ok"))
         .orderBy($"l_returnflag")
     }),
@@ -1496,6 +1510,32 @@ object SparkEntry {
           Fns.roundU($"mean_g", 4).as("mean_g"),
           Fns.roundU($"mean_b", 4).as("mean_b"),
           Fns.roundU($"mean_luma", 4).as("mean_luma"))
+        .orderBy($"doc_id")
+    }),
+
+    // WAV/PCM DECODE — the audio sample tier under the ORACLE, same
+    // treatment as q88's pixel tier: build real 16-bit PCM WAV payloads
+    // from a closed-form sample function (the UDF is fixture synthesis,
+    // bounded to 50 rows — not a hot path), decode them with the real
+    // byte-arithmetic codec (Multimodal.decodeWavFeatures), and report
+    // per-clip amplitude stats. DuckDB never parses WAV: it computes
+    // the same stats directly from the sample formula — so chunk-walk,
+    // interleaving or sign-extension bugs in the decoder break the
+    // hash, not just a spec. With this the multimodal fake tier is
+    // video-only.
+    "q95_wav_decode" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.WavPcm.encode(
+        8000 + (id % 3).toInt * 4000, 1 + (id % 2).toInt,
+        40 + (id % 11).toInt,
+        (t, c) => ((id * 31 + t * 1667 + c * 7919) % 2001).toInt - 1000))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 50)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeWavFeatures(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"sample_rate", $"n_channels",
+          $"n_frames",
+          Fns.roundU($"mean_amp", 4).as("mean_amp"),
+          Fns.roundU($"rms", 4).as("rms"), $"peak")
         .orderBy($"doc_id")
     }),
 
@@ -3234,6 +3274,30 @@ object SparkEntry {
         |  floor(mb * 10000 + 0.5) / 10000.0 AS mean_b,
         |  floor((0.299 * mr + 0.587 * mg + 0.114 * mb) * 10000 + 0.5)
         |    / 10000.0 AS mean_luma
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q95: the oracle reproduces the sample FORMULA, not the WAV bytes
+    "q95_wav_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS n_channels,
+        |    CAST(40 + doc_id % 11 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (
+        |  SELECT doc_id, sample_rate, n_channels, n_frames,
+        |    CAST((doc_id * 31 + t.i * 1667 + c.i * 7919) % 2001 - 1000
+        |      AS DOUBLE) AS v
+        |  FROM d, unnest(range(0, CAST(n_frames AS INT))) AS t(i),
+        |    unnest(range(0, n_channels)) AS c(i)),
+        |m AS (
+        |  SELECT doc_id, sample_rate, n_channels, n_frames,
+        |    avg(v) AS ma, sqrt(avg(v * v)) AS r,
+        |    CAST(max(abs(v)) AS INT) AS peak
+        |  FROM s GROUP BY doc_id, sample_rate, n_channels, n_frames)
+        |SELECT doc_id, sample_rate, n_channels, n_frames,
+        |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
+        |  floor(r * 10000 + 0.5) / 10000.0 AS rms, peak
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q94_fk_audit" ->

@@ -104,11 +104,15 @@ object Merge {
       .select((keys.map(k => open(k).as(k)) ++
         valueCols.map(c => open(c).as(c))) :+
         col(validFromCol) :+ col("__ts").cast(toType).as(validToCol): _*)
-    // the new open version (changed keys + brand-new keys)
+    // the new open version (changed keys + brand-new keys). Value
+    // columns cast to the TARGET's types, same reason as valid_to: a
+    // change batch with e.g. DOUBLE where the dimension holds DECIMAL
+    // must not silently widen the schema through the union
     val insert = j.filter(col("__hit").isNotNull &&
         (open(keys.head).isNull || !sameVals))
       .select((keys.map(k => col(s"__ck_$k").as(k)) ++
-        valueCols.map(c => col(s"__cv.$c").as(c))) :+
+        valueCols.map(c =>
+          col(s"__cv.$c").cast(target.schema(c).dataType).as(c))) :+
         col("__ts").cast(target.schema(validFromCol).dataType)
           .as(validFromCol) :+
         lit(null).cast(toType).as(validToCol): _*)

@@ -12,12 +12,17 @@ import org.apache.spark.sql.functions._
   *    BMP/WAV container headers parsed with plain byte arithmetic — the
   *    filter/route/stats stages of a multimodal pipeline need nothing
   *    more, and need no native libraries.
-  *  - PIXEL/SAMPLE decode needs native codecs the environment lacks, so
-  *    that tier is a DETERMINISTIC FAKE (clearly marked `fake*` below):
-  *    features derived from xxhash64 of the payload. The surrounding
-  *    plumbing — binary representation, schemas, batch shapes,
-  *    per-partition codec lifecycle ([[decodePartitions]]) — is the real
-  *    contract a JNI/ffmpeg-backed codec drops into unchanged.
+  *  - PIXEL/SAMPLE decode is REAL for the formats plain byte arithmetic
+  *    can handle: uncompressed 24-bit BMP pixels
+  *    ([[decodeBmpFeatures]]) and 16-bit PCM WAV samples
+  *    ([[decodeWavFeatures]]) — the image and audio tiers carry no
+  *    fake. Only formats that genuinely need native codecs
+  *    (JPEG/PNG pixels, compressed audio, all video) keep the
+  *    DETERMINISTIC FAKE tier (clearly marked `fake*` below): features
+  *    derived from xxhash64 of the payload. The surrounding plumbing —
+  *    binary representation, schemas, batch shapes, per-partition codec
+  *    lifecycle ([[decodePartitions]]) — is the real contract a
+  *    JNI/ffmpeg-backed codec drops into unchanged.
   */
 object Multimodal {
 
@@ -134,6 +139,33 @@ object Multimodal {
           graft.functions.BmpPixels.decode(bytes).map(f =>
             BmpFeatureRow(id, f.width, f.height, f.meanR, f.meanG,
               f.meanB, f.meanLuma))
+        }
+      }
+  }
+
+  /** Decoded audio-feature record for payloads the pure-JVM PCM codec
+    * handles; compressed/float audio and corrupt payloads are dropped
+    * (route them to [[decodePartitions]] with a real codec instead). */
+  case class WavFeatureRow(id: Long, sample_rate: Int, n_channels: Int,
+                           n_frames: Long, mean_amp: Double, rms: Double,
+                           peak: Int)
+
+  /** REAL sample-tier decode for 16-bit PCM WAV payloads
+    * ([[graft.functions.WavPcm]] — plain byte arithmetic, no codec
+    * library): per-clip mean/RMS/peak amplitude, partition-local. With
+    * [[decodeBmpFeatures]] this leaves only video (and natively-coded
+    * image/audio formats) on the fake tier. */
+  def decodeWavFeatures(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[WavFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.WavPcm.decode(bytes).map(f =>
+            WavFeatureRow(id, f.sampleRate, f.channels, f.nFrames,
+              f.meanAmp, f.rms, f.peak))
         }
       }
   }

@@ -450,7 +450,11 @@ object Streams {
         (key, rows, state: GroupState[(Double, Boolean)]) =>
           var (peak, alerted) = state.getOption.getOrElse((0.0, false))
           val out = scala.collection.mutable.ArrayBuffer[DrainAlert]()
-          rows.toSeq.sortBy(_.ts).foreach { e =>
+          // (ts, balance) secondary sort: two observations sharing a
+          // timestamp would otherwise fold in arrival order, making the
+          // emitted peak/current/drop_frac nondeterministic across runs
+          // (funnelStages' (ts, event_type) tiebreak, applied here)
+          rows.toSeq.sortBy(e => (e.ts, e.balance)).foreach { e =>
             if (e.balance > peak) peak = e.balance
             val drop = if (peak > 0) (peak - e.balance) / peak else 0.0
             if (drop >= threshold) {

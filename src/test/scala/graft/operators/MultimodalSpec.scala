@@ -139,6 +139,55 @@ class MultimodalSpec extends SparkSpec {
       .map(m => (m.format, m.width, m.height)) === Some(("bmp", 3, 2)))
   }
 
+  test("decodeWavFeatures: real PCM sample decode, byte-exact stats") {
+    import graft.functions.WavPcm
+    // stereo, 2 frames: L=[100, -100], R=[200, -200] — interleaving and
+    // sign-extension both exercised
+    val clip1 = WavPcm.encode(8000, 2, 2,
+      (t, c) => (if (t == 0) 1 else -1) * (100 + c * 100))
+    // mono constant amplitude
+    val clip2 = WavPcm.encode(44100, 1, 5, (_, _) => -32768)
+    val corrupt = "RIFFnot really audio".getBytes("UTF-8")
+    val df = Seq((1L, clip1), (2L, clip2), (3L, corrupt), (4L, null))
+      .toDF("id", "payload")
+    val f = Multimodal.decodeWavFeatures(df, "id", "payload")
+      .collect().map(r => r.id -> r).toMap
+    // undecodable rows drop, they don't poison the batch
+    assert(f.keySet === Set(1L, 2L))
+    assert((f(1L).sample_rate, f(1L).n_channels, f(1L).n_frames) ===
+      ((8000, 2, 2L)))
+    assert(math.abs(f(1L).mean_amp - 0.0) < 1e-9) // symmetric samples
+    assert(math.abs(f(1L).rms -
+      math.sqrt((100.0 * 100 * 2 + 200.0 * 200 * 2) / 4)) < 1e-9)
+    assert(f(1L).peak === 200)
+    // int16 min survives sign extension (the 0x8000 edge)
+    assert((f(2L).sample_rate, f(2L).n_channels) === ((44100, 1)))
+    assert(math.abs(f(2L).mean_amp - (-32768.0)) < 1e-9)
+    assert(f(2L).peak === 32768)
+    // the encoded fixture also satisfies the header parser (same file)
+    assert(graft.functions.MediaHeaders.parse(clip1)
+      .map(m => (m.format, m.width, m.channels)) ===
+      Some(("wav", 8000, 2)))
+  }
+
+  test("decodeWavFeatures walks past leading JUNK chunks") {
+    import graft.functions.WavPcm
+    // splice a JUNK chunk between WAVE and fmt — the layout fixed-offset
+    // readers misparse; decode must chunk-walk to fmt and data
+    val base = WavPcm.encode(16000, 1, 3, (t, _) => t * 10)
+    val junk = "JUNK".getBytes("ISO-8859-1") ++
+      Array[Byte](4, 0, 0, 0, 9, 9, 9, 9)
+    val spliced = base.take(12) ++ junk ++ base.drop(12)
+    // fix the RIFF size field (offset 4, LE) for the longer payload
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte
+    spliced(5) = ((total >> 8) & 0xff).toByte
+    val f = graft.functions.WavPcm.decode(spliced)
+    assert(f.map(x => (x.sampleRate, x.channels, x.nFrames)) ===
+      Some((16000, 1, 3L)))
+    assert(f.get.peak === 20)
+  }
+
   test("decode → feature-extract → ANN composes end-to-end") {
     // the full multimodal retrieval pipeline shape: opaque payloads →
     // per-row features (stubbed model) → exact top-k search. Everything
