@@ -546,11 +546,20 @@ object Dedup {
     * filter is built independently by the shard's reducer (a hash
     * aggregation with [[graft.functions.BloomAgg]] — map-side partial
     * filters merge like any aggregation buffer), so build memory per task
-    * is one shard's filter, not the whole thing. Probing deserializes
-    * each shard once on the driver and broadcasts the shard map; at the
-    * scale where even the COMBINED map outgrows broadcast comfort, write
-    * the shard rows to storage instead and have each probe task read only
-    * its shard's file — same plan shape, one more indirection.
+    * is one shard's filter, not the whole thing.
+    *
+    * Probing COGROUPs the filter rows with the probe rows on the shard
+    * id: each task receives one shard's serialized filter plus every
+    * probe whose shingle hashes into that shard, deserializes the filter
+    * once, and streams the probes through it. The filters never visit
+    * the driver and are never broadcast — the whole dataflow is
+    * shuffles on (shard, digest) keys, which is the property sharding
+    * exists to buy. The trade: probe-stage parallelism is bounded by
+    * `shards` (each shard's filter lives in exactly one task), so pick
+    * shards ≥ the cluster's task slots when probe volume dominates; for
+    * a build-once / probe-many corpus screen, persist the filters with
+    * [[writeShardedBloom]] and probe via [[containmentApproxStored]],
+    * which keeps full probe parallelism.
     *
     * Same output schema and upper-bound semantics as
     * [[containmentApprox]] (`expectedItems` is the TOTAL distinct-shingle
@@ -559,25 +568,128 @@ object Dedup {
                                shards: Int, expectedItems: Long,
                                fpp: Double = 0.01): DataFrame = {
     require(shards >= 1)
+    val spark = trainSets.sparkSession
+    import spark.implicits._
     val perShard = math.max(expectedItems / shards, 1L)
-    val shardRows = trainSets.select(explode(col("sh")).as("__g"))
+    val shardFilters = trainSets.select(explode(col("sh")).as("__g"))
       .withColumn("__s", pmod(col("__g"), lit(shards.toLong)))
       .groupBy(col("__s"))
       .agg(graft.functions.BloomAgg(perShard, fpp)(col("__g")).as("bf"))
-      .collect()
-    val blooms: Map[Long, org.apache.spark.util.sketch.BloomFilter] =
-      shardRows.map { r =>
-        r.getLong(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-      }.toMap
-    val bc = trainSets.sparkSession.sparkContext.broadcast(blooms)
-    val probe = udf((h: Long) =>
-      bc.value.get(((h % shards) + shards) % shards)
-        .exists(_.mightContainLong(h)))
-    evalSets.select(col("id"), explode(col("sh")).as("__g"))
+      .as[(Long, Array[Byte])]
+    val probes = evalSets
+      .select(col("id").cast("long"), explode(col("sh")).as("__g"))
+      .select(col("id"), col("__g"),
+        pmod(col("__g"), lit(shards.toLong)).as("__s"))
+      .as[(Long, Long, Long)]
+    val hits = probes.groupByKey(_._3)
+      .cogroup(shardFilters.groupByKey(_._1)) { (_, probeRows, filterRows) =>
+        // at most one filter row per shard (it's a groupBy output); a
+        // shard no train shingle hashed into simply misses everything
+        val bf = filterRows.nextOption().map(r =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r._2)))
+        bf match {
+          case Some(f) => probeRows.map { case (id, g, _) =>
+            (id, if (f.mightContainLong(g)) 1L else 0L) }
+          case None => probeRows.map { case (id, _, _) => (id, 0L) }
+        }
+      }
+    hits.toDF("id", "__hit")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(probe(col("__g")), 1L).otherwise(0L)).as("n_matched"))
+        sum(col("__hit")).as("n_matched"))
+      .withColumn("containment",
+        graft.Fns.roundU(col("n_matched").cast("double") /
+          col("n_shingles").cast("double"), 4))
+  }
+
+  /** Build-and-persist half of the storage-backed contamination screen:
+    * each shard's Bloom filter is built by its reducer task
+    * ([[graft.functions.BloomAgg]]) and written by that same task to
+    * `dir/shard-<s>.bloom` through the Hadoop filesystem API — works
+    * unchanged on local disk, HDFS, or an object store, and the filter
+    * bytes never pass through the driver. Build once, then screen any
+    * number of eval corpora with [[containmentApproxStored]] — the
+    * amortization that motivates persisting filters at all. */
+  def writeShardedBloom(trainSets: DataFrame, shards: Int,
+                        expectedItems: Long, dir: String,
+                        fpp: Double = 0.01): Unit = {
+    require(shards >= 1)
+    val spark = trainSets.sparkSession
+    import spark.implicits._
+    val perShard = math.max(expectedItems / shards, 1L)
+    // SerializableWritable ships the Hadoop conf to executors (the conf
+    // itself isn't Serializable); public DeveloperApi
+    val confW = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    trainSets.select(explode(col("sh")).as("__g"))
+      .withColumn("__s", pmod(col("__g"), lit(shards.toLong)))
+      .groupBy(col("__s"))
+      .agg(graft.functions.BloomAgg(perShard, fpp)(col("__g")).as("bf"))
+      .as[(Long, Array[Byte])]
+      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+        if (it.hasNext) {
+          val base = new org.apache.hadoop.fs.Path(dir)
+          val fs = base.getFileSystem(confW.value)
+          it.foreach { case (s, bytes) =>
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(base, s"shard-$s.bloom"), true)
+            try out.write(bytes) finally out.close()
+          }
+        }
+      }
+  }
+
+  /** Probe half of the storage-backed screen: each probe task reads ONLY
+    * the shard files its partition's shingles hash into (probes are
+    * pre-partitioned by shard id, so a task touches a handful of shards
+    * and caches each deserialized filter for the partition's lifetime).
+    * No driver-side filter assembly, no broadcast, and — unlike the
+    * cogroup form — probe parallelism is the full shuffle width, not
+    * `shards`: many tasks may read the same shard file concurrently,
+    * which storage serves trivially. A missing shard file means no train
+    * shingle hashed there: those probes miss, they don't fail.
+    *
+    * `shards` must equal the value passed to [[writeShardedBloom]].
+    * Same output schema and upper-bound semantics as
+    * [[containmentApprox]]. */
+  def containmentApproxStored(evalSets: DataFrame, shards: Int,
+                              dir: String): DataFrame = {
+    require(shards >= 1)
+    val spark = evalSets.sparkSession
+    import spark.implicits._
+    val confW = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val probes = evalSets
+      .select(col("id").cast("long"), explode(col("sh")).as("__g"))
+      .select(col("id"), col("__g"),
+        pmod(col("__g"), lit(shards.toLong)).as("__s"))
+      .repartition(col("__s"))
+      .as[(Long, Long, Long)]
+    val hits = probes.mapPartitions { it =>
+      val cache = scala.collection.mutable.Map[
+        Long, Option[org.apache.spark.util.sketch.BloomFilter]]()
+      var fs: org.apache.hadoop.fs.FileSystem = null
+      it.map { case (id, g, s) =>
+        val bf = cache.getOrElseUpdate(s, {
+          if (fs == null)
+            fs = new org.apache.hadoop.fs.Path(dir)
+              .getFileSystem(confW.value)
+          val p = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(dir), s"shard-$s.bloom")
+          if (fs.exists(p)) {
+            val in = fs.open(p)
+            try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+            finally in.close()
+          } else None
+        })
+        (id, if (bf.exists(_.mightContainLong(g))) 1L else 0L)
+      }
+    }
+    hits.toDF("id", "__hit")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("__hit")).as("n_matched"))
       .withColumn("containment",
         graft.Fns.roundU(col("n_matched").cast("double") /
           col("n_shingles").cast("double"), 4))

@@ -276,6 +276,51 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       Seq("id", "n_shingles", "n_matched", "containment"))
   }
 
+  test("storage-backed Bloom shards: write once, probe without driver") {
+    val train = (1L to 60L).map(i =>
+      (i, s"train doc t${i}a t${i}b t${i}c t${i}d t${i}e"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "train doc t7a t7b t7c t7d t7e"),   // contained
+      (101L, "nothing shared here at all okay")) // disjoint
+      .toDF("doc_id", "text")
+    val tr = Dedup.hashedShingleSets(train, "text", "doc_id", 2)
+    val ev = Dedup.hashedShingleSets(eval, "text", "doc_id", 2)
+    val exact = Dedup.containment(tr, ev)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("bloom_shards").toString
+    try {
+      Dedup.writeShardedBloom(tr, shards = 4, expectedItems = 2000, dir)
+      // the reducer tasks wrote one file per non-empty shard
+      // ignore Hadoop LocalFileSystem's .crc sidecars
+      val files = new java.io.File(dir).list().toSeq
+        .filterNot(_.startsWith("."))
+      assert(files.nonEmpty && files.forall(_.matches("shard-\\d+\\.bloom")))
+      val stored = Dedup.containmentApproxStored(ev, shards = 4, dir)
+      val s = stored.collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      // same upper-bound contract as the single-filter and cogroup forms
+      exact.foreach { case (id, e) => assert(s(id) >= e) }
+      assert(s(100L) === 1.0)
+      assert(stored.columns.toSeq ===
+        Seq("id", "n_shingles", "n_matched", "containment"))
+      // shard count mismatch ≠ silent wrong answers is NOT detectable
+      // here (filters are opaque), but a missing dir must not throw:
+      // every probe simply misses
+      val empty = java.nio.file.Files
+        .createTempDirectory("bloom_none").toString
+      val none = Dedup.containmentApproxStored(ev, shards = 4, empty)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(none.values.forall(_ === 0.0))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("TextAnalysis.repetitionStats measures dup and top-token ratios") {
     val docs = Seq(
       (1L, "a a a a b"),        // 5 words, 2 distinct, top=4
