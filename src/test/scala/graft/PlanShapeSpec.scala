@@ -333,4 +333,62 @@ class PlanShapeSpec extends SparkSpec {
         s"$q selects per-key rows via a window sort")
     }
   }
+
+  test("skew: AQE splits the plain join; the salted join needs no split") {
+    // The two skew mechanisms must COMPOSE, not fight: AQE's
+    // OptimizeSkewedJoin splits oversized shuffle partitions at runtime
+    // (sort-merge/shuffled-hash only), while Joins.saltedJoin pre-spreads
+    // the hot key in the logical plan. Under the bench config (AQE on,
+    // skewJoin on — Spark's defaults, Bench.scala sets neither off):
+    //  - a plain skewed SMJ gets the runtime split (skew=true in the
+    //    final adaptive plan) — proof the runtime guard is live;
+    //  - the SAME data through saltedJoin shows NO skew=true: the salt
+    //    already uniformized the partitions, so AQE finds nothing to
+    //    split and cannot double-apply. See ENGINE.md §config.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force SMJ (no broadcast) and lower only the BYTE floors so the
+      // tiny test partitions are legible to the detector. The relative
+      // skewedPartitionFactor stays at its default (5× median): that
+      // ratio is exactly what separates the two cases — the plain
+      // join's hot partition is ~60× the median, the salted join's
+      // partitions sit within ~2× of each other
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "2KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+      assert(
+        spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+      // 20k-row fact, 95% on one hot key; 50-key dim
+      val fact = spark.range(20000)
+        .select((when($"id" % 20 =!= 0, lit(1L)).otherwise($"id" % 50))
+          .as("k"), $"id".as("payload"))
+      val dim = spark.range(50).select($"id".as("k"), ($"id" * 10).as("v"))
+      def finalPlan(df: DataFrame): String = {
+        df.collect() // AQE finalizes only on execution
+        df.queryExecution.executedPlan.toString
+      }
+      val plain = fact.join(dim, "k")
+      assert(finalPlan(plain).contains("skew=true"),
+        "runtime skew handling never engaged on the hot-key join")
+      val salted = operators.Joins.saltedJoin(fact, "k", $"payload",
+        dim, "k", salts = 8)
+      assert(!finalPlan(salted).contains("skew=true"),
+        "AQE split a salted join — the mechanisms are double-applying")
+      // and salting preserved the join's semantics
+      assert(salted.count() === plain.count())
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
