@@ -1,12 +1,28 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
 /** Throwaway profiling/debug harness (not part of the library surface).
-  * Currently: dedup-pipeline scaling probe — the q52 chain at 1× and
-  * 10× corpus size (10× = the sf0.1 documents unioned with shifted
-  * ids; measurement only, no files written). */
+  * Scaling probes: the heavy query chains at 1× and 10× corpus size,
+  * in-memory (no files written), growth factors printed for
+  * ENGINE.md §measured-scaling.
+  *
+  * Replication model per chain:
+  *  - text chains (q52 dedup, q74 leakage split, q75 span dedup):
+  *    docs unioned with shifted ids — exact copies. Worst case on
+  *    purpose: shingle df and span counts saturate, which must hit the
+  *    designed guards (df cap, span-hash joins), not a blowup.
+  *  - q71 semantic dedup: exact vector copies are DEGENERATE (every
+  *    replica pairs with every other at sim 1.0 — a 100× pair blowup
+  *    that measures data pathology, not the plan), so each replica k
+  *    applies a deterministic per-k sign flip to the embedding dims.
+  *    Sign flips are isometries: sims WITHIN a replica equal the
+  *    originals (same duplicate rate per replica — the "10× corpus at
+  *    the same dup rate" a real crawl produces), while cross-replica
+  *    sims scramble to unrelated values.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,36 +33,134 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
     spark.range(100000).selectExpr("sum(id % 7)").collect()
-    def pipeline(mult: Int): Double = {
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val base = Tables.documents(spark, d)
-      // the replica offset must exceed the id range or replicas collide
-      // into spurious duplicate ids and corrupt the measured factor
-      val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
-      require(maxId < 1000000L, s"replica offset too small for maxId=$maxId")
-      val docs = (0 until mult).map { k =>
-        base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
-          col("text"))
-      }.reduce(_.unionByName(_))
+
+    def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      val sets = operators.Dedup.hashedShingleSets(docs, "text", "doc_id",
-        shingleWords = 3).persist(MEMORY_AND_DISK)
-      val cands = operators.Dedup.rareShinglePairsFromSets(sets, maxDf = 10)
-      val near = operators.Dedup.jaccardFromSets(sets, cands)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id_a"), col("id_b"))
-      val n = operators.Dedup.dupClusters(near, "id_a", "id_b")
-        .groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_docs")).count()
+      body
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache(); System.gc()
-      println(f"[scratch] mult=$mult clusters=$n t=$dt%.2f s")
       dt
     }
-    pipeline(1); pipeline(1)   // warm
-    val t1 = pipeline(1)
-    val t10 = pipeline(10)
-    println(f"[scratch] 10x corpus => ${t10 / t1}%.1fx time")
+
+    // the replica offset must exceed the id range or replicas collide
+    // into spurious duplicate ids and corrupt the measured factor
+    def replicate(base: DataFrame, idCol: String, mult: Int)
+                 (project: (Int, DataFrame) => DataFrame): DataFrame = {
+      val maxId = base.agg(max(col(idCol))).collect()(0).getLong(0)
+      require(maxId < 1000000L, s"replica offset too small for maxId=$maxId")
+      (0 until mult).map { k =>
+        project(k, base)
+          .withColumn(idCol, col(idCol) + lit(k * 1000000L))
+      }.reduce(_.unionByName(_))
+    }
+
+    def replicateDocs(mult: Int): DataFrame =
+      replicate(Tables.documents(spark, d), "doc_id", mult)(
+        (_, df) => df.select(col("doc_id"), col("text")))
+
+    def replicateEmb(mult: Int): DataFrame =
+      replicate(Tables.embeddings(spark, d), "vec_id", mult) { (k, df) =>
+        val emb =
+          if (k == 0) col("embedding")
+          else transform(col("embedding"), (x, i) =>
+            (x * when(pmod(xxhash64(i, lit(k)), lit(2)) === 0, 1.0f)
+              .otherwise(-1.0f)).cast("float"))
+        df.select(col("vec_id"), emb.as("embedding"))
+      }
+
+    /** q52-shape dedup chain (shingle → rare-pair → verify → cluster). */
+    def dedupChain(mult: Int): Double = {
+      val docs = replicateDocs(mult)
+      timed {
+        val sets = operators.Dedup.hashedShingleSets(docs, "text",
+          "doc_id", shingleWords = 3).persist(MEMORY_AND_DISK)
+        val cands = operators.Dedup.rareShinglePairsFromSets(sets, maxDf = 10)
+        val near = operators.Dedup.jaccardFromSets(sets, cands)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"))
+        val n = operators.Dedup.dupClusters(near, "id_a", "id_b")
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_docs")).count()
+        println(s"[scratch]   dedup mult=$mult clusters=$n")
+      }
+    }
+
+    /** q74 leakage-safe split: the q52 head plus cluster-keyed
+      * stratified split and the leak audit. */
+    def leakageChain(mult: Int): Double = {
+      val docs = replicateDocs(mult).withColumn("n_tok",
+        operators.TextAnalysis.tokenCountWs(col("text")).cast("long"))
+      timed {
+        val sets = operators.Dedup.hashedShingleSets(docs, "text",
+            "doc_id", shingleWords = 3, carryCols = Seq("n_tok"))
+          .persist(MEMORY_AND_DISK)
+        val pairSets = sets.select(col("id"), col("sh"))
+        val near = operators.Dedup
+          .jaccardFromSets(pairSets,
+            operators.Dedup.rareShinglePairsFromSets(pairSets, 10))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"))
+        val clusters = operators.Dedup.dupClusters(near, "id_a", "id_b")
+        val withCluster = sets.select(col("id"), col("n_tok"))
+          .join(clusters.withColumnRenamed("node", "id"), Seq("id"),
+            "left_outer")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+        val split = operators.Sampling.stratifiedSplit(withCluster,
+          "cluster_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        val rows = split.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            countDistinct(col("cluster_id")).as("n_clusters")).count()
+        println(s"[scratch]   leakage mult=$mult splits=$rows")
+      }
+    }
+
+    /** q75 span-coverage chain (span hashes → global counts → per-doc
+      * coverage). */
+    def spanChain(mult: Int): Double = {
+      val docs = replicateDocs(mult)
+      timed {
+        val n = operators.TextAnalysis.spanDupStats(docs, "text",
+            "doc_id", spanTok = 8)
+          .filter(col("n_cov") > 0).count()
+        println(s"[scratch]   span mult=$mult covered_docs=$n")
+      }
+    }
+
+    /** q71 semantic dedup (multi-probe IVF blocking → pair verify →
+      * clusters); centroid count scales with the corpus like the query
+      * itself (vec_id % 50), keeping per-cell density constant — the
+      * standard IVF sizing. */
+    def semanticChain(mult: Int): Double = {
+      val emb = replicateEmb(mult)
+      timed {
+        val cents = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+        val probed = operators.Similarity.assignCellsMulti(emb, "vec_id",
+            "embedding", cents, "cell_id", "cvec", nprobe = 3)
+          .persist(MEMORY_AND_DISK)
+        val pairs = operators.Similarity.blockedSelfJoin(
+            probed.select(col("cell_id"), col("vec_id"), col("embedding")),
+            "cell_id", "vec_id", "embedding", chunks = 4)
+          .withColumn("sim", operators.Similarity.cosine(col("va"), col("vb")))
+          .filter(col("sim") >= 0.4)
+          .select(col("id_a"), col("id_b"))
+          .distinct()
+        val n = operators.Dedup.dupClusters(pairs, "id_a", "id_b").count()
+        println(s"[scratch]   semantic mult=$mult cluster_rows=$n")
+      }
+    }
+
+    val probes: Seq[(String, Int => Double)] = Seq(
+      "dedup" -> dedupChain, "leakage" -> leakageChain,
+      "span" -> spanChain, "semantic" -> semanticChain)
+    val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
+    probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
+      f(1); f(1) // warm
+      val t1 = f(1)
+      val t10 = f(10)
+      println(f"[scratch] $name: 1x=$t1%.2f s  10x=$t10%.2f s  " +
+        f"=> ${t10 / t1}%.1fx time")
+    }
     spark.stop()
   }
 }
