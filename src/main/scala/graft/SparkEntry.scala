@@ -1539,6 +1539,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // TWO-LEVEL IVF ANN — q27 with a coarse quantizer in front of both
+    // the data-side assignment and the query probes (the standard fix
+    // for flat assignment's points × ncells cost, the one super-linear
+    // stage the round-6 replication probe measured). Candidate cells
+    // come only from each vector's 2 nearest coarse centroids (cells
+    // routed to their 2 nearest coarse parents); selection within the
+    // candidates is byte-identical to flat (RecallSpec pins exact
+    // parity at full coarse probe). Fully deterministic, so the oracle
+    // reproduces the whole two-level funnel in SQL.
+    "q96_ann_two_level" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cells = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val coarse = emb.filter($"vec_id" % 200 === 0)
+        .select($"vec_id".as("gid"), $"embedding".as("gvec"))
+      val queries = emb.filter($"vec_id" < 5)
+      Similarity.ivfTopKTwoLevel(emb, "vec_id", "embedding",
+          cells, "cid", "cvec", coarse, "gid", "gvec",
+          queries, "vec_id", "embedding",
+          k = 5, wCoarse = 2, nprobeCoarse = 2, nprobe = 3)
+        .orderBy($"query_id", $"rk")
+    }),
+
     // REFERENTIAL-INTEGRITY audit — orphan counts across every FK edge
     // of the star schema (the data-contract check a warehouse runs
     // after each load): per edge, child rows whose key has no parent,
@@ -3299,6 +3322,62 @@ object SparkEntry {
         |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
         |  floor(r * 10000 + 0.5) / 10000.0 AS rms, peak
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q96: the full two-level IVF funnel (cell→coarse routing, per-point
+    // coarse probes, candidate-restricted assignment and query probes)
+    // reproduced in SQL
+    "q96_ann_two_level" ->
+      """WITH c AS (SELECT vec_id AS cell_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |g AS (SELECT vec_id AS gid, embedding AS gvec
+        |  FROM embeddings WHERE vec_id % 200 = 0),
+        |cg AS (
+        |  SELECT cell_id, cvec, gid FROM (
+        |    SELECT c.cell_id, c.cvec, g.gid,
+        |      row_number() OVER (PARTITION BY c.cell_id ORDER BY
+        |        list_cosine_similarity(CAST(c.cvec AS DOUBLE[]),
+        |          CAST(g.gvec AS DOUBLE[])) DESC, g.gid ASC) AS grn
+        |    FROM c CROSS JOIN g)
+        |  WHERE grn <= 2),
+        |pg AS (
+        |  SELECT vec_id, embedding, gid FROM (
+        |    SELECT e.vec_id, e.embedding, g.gid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(g.gvec AS DOUBLE[])) DESC, g.gid ASC) AS prn
+        |    FROM embeddings e CROSS JOIN g)
+        |  WHERE prn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id, p.embedding, cg.cell_id, cg.cvec
+        |  FROM pg p JOIN cg ON p.gid = cg.gid),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell_id FROM (
+        |    SELECT vec_id, embedding, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY
+        |        list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |          CAST(cvec AS DOUBLE[])) DESC, cell_id ASC) AS arn
+        |    FROM cand)
+        |  WHERE arn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, cell_id FROM (
+        |    SELECT vec_id, embedding, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY
+        |        list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |          CAST(cvec AS DOUBLE[])) DESC, cell_id ASC) AS crk
+        |    FROM cand WHERE vec_id < 5)
+        |  WHERE crk <= 3),
+        |scored AS (
+        |  SELECT p.query_id, s.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+        |      CAST(p.qv AS DOUBLE[])) AS sim
+        |  FROM assigned s JOIN probes p ON s.cell_id = p.cell_id
+        |  WHERE s.vec_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+        |  floor(sim * 10000 + 0.5) / 10000.0 AS sim
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q94_fk_audit" ->
       """SELECT 'lineitem.orderkey->orders' AS fk_edge,

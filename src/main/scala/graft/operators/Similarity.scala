@@ -96,6 +96,22 @@ object Similarity {
     * the previous TopKPerKey form grouped on the near-unique vector id,
     * exactly the unspillable final-stage case that plan's own doc warns
     * against. Per-row cost is ncells·dim + ncells·log(ncells). */
+  /** Score a vector against an array of (cell_id, __cv) structs and keep
+    * the top `n` as (cell_sim, cell_id) structs — descending sim, ties
+    * by lowest cell_id. The shared selection core of [[assignCellsMulti]]
+    * and [[assignCellsTwoLevel]]; pure projection, codegen-friendly. */
+  private def topCells(vec: Column, cents: Column, n: Int): Column =
+    slice(array_sort(
+      transform(cents, c =>
+        struct(cosine(vec, c.getField("__cv")).as("cell_sim"),
+          c.getField("cell_id").as("cell_id"))),
+      (l, r) =>
+        when(l.getField("cell_sim") > r.getField("cell_sim"), -1)
+          .when(l.getField("cell_sim") < r.getField("cell_sim"), 1)
+          .when(l.getField("cell_id") < r.getField("cell_id"), -1)
+          .when(l.getField("cell_id") > r.getField("cell_id"), 1)
+          .otherwise(0)), 1, n)
+
   def assignCellsMulti(corpus: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame, cidCol: String,
                        cvecCol: String, nprobe: Int): DataFrame = {
@@ -106,15 +122,67 @@ object Similarity {
       .agg(collect_list(col("__c")).as("__cents"))
     val outCols = corpus.columns.map(col)
     corpus.crossJoin(broadcast(carr))
-      .withColumn("__scored", transform(col("__cents"), c =>
-        struct(cosine(col(vecCol), c.getField("__cv")).as("cell_sim"),
-          c.getField("cell_id").as("cell_id"))))
-      .withColumn("__top", slice(array_sort(col("__scored"), (l, r) =>
-        when(l.getField("cell_sim") > r.getField("cell_sim"), -1)
-          .when(l.getField("cell_sim") < r.getField("cell_sim"), 1)
-          .when(l.getField("cell_id") < r.getField("cell_id"), -1)
-          .when(l.getField("cell_id") > r.getField("cell_id"), 1)
-          .otherwise(0)), 1, nprobe))
+      .withColumn("__top", topCells(col(vecCol), col("__cents"), nprobe))
+      .select(outCols :+ explode(col("__top")).as("__t"): _*)
+      .select(outCols :+ col("__t.cell_id").as("cell_id") :+
+        col("__t.cell_sim").as("cell_sim"): _*)
+  }
+
+  /** TWO-LEVEL multi-probe cell assignment — [[assignCellsMulti]] with a
+    * coarse quantizer in front, the standard IVF fix for the one
+    * super-linear stage the replication probe exposed: flat assignment
+    * is points × ncells work, and at a realistic nlist ∝ N that curve is
+    * quadratic. Here each vector scores only the ncoarse coarse
+    * centroids (level 1), then the cells ROUTED to its `nprobeCoarse`
+    * nearest coarse cells (level 2) — per-row work drops from ncells·dim
+    * to (ncoarse + nprobeCoarse·ncells/ncoarse·wCoarse)·dim, minimized
+    * at ncoarse ≈ √ncells.
+    *
+    * Routing: every cell centroid is attached to its `wCoarse` nearest
+    * coarse centroids (wCoarse ≥ 2 recovers most boundary cells that
+    * level-1 pruning would miss). Both levels and the final selection
+    * are broadcast projections — no shuffle anywhere, same property as
+    * the flat form. Output schema and tie-breaks are IDENTICAL to
+    * [[assignCellsMulti]]; with `nprobeCoarse` = ncoarse the candidate
+    * set is every cell and the output is exactly equal (the parity the
+    * spec pins). Approximation enters only through coarse pruning —
+    * gated by the recall test, and by q96's oracle which reproduces the
+    * full two-level selection in SQL. */
+  def assignCellsTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                          cells: DataFrame, cidCol: String, cvecCol: String,
+                          coarse: DataFrame, gidCol: String,
+                          gvecCol: String, wCoarse: Int, nprobeCoarse: Int,
+                          nprobe: Int): DataFrame = {
+    require(wCoarse >= 1 && nprobeCoarse >= 1 && nprobe >= 1)
+    // (1) route cells → coarse: tiny (ncells rows), flat assignment
+    val routes = assignCellsMulti(
+      cells.select(col(cidCol).as("__cell"), col(cvecCol).as("__cv")),
+      "__cell", "__cv", coarse, gidCol, gvecCol, wCoarse)
+    // coarse id → its routed cells, as ONE broadcast map row
+    val gmap = routes
+      .groupBy(col("cell_id").as("__gid"))
+      .agg(collect_list(struct(col("__cell").as("cell_id"),
+        col("__cv"))).as("__cells"))
+      .agg(map_from_arrays(collect_list(col("__gid")),
+        collect_list(col("__cells"))).as("__gmap"))
+    // coarse centroids as one broadcast array row (level-1 scoring)
+    val garr = coarse
+      .select(struct(col(gidCol).as("cell_id"), col(gvecCol).as("__cv"))
+        .as("__g"))
+      .agg(collect_list(col("__g")).as("__gcents"))
+    val outCols = corpus.columns.map(col)
+    corpus.crossJoin(broadcast(garr)).crossJoin(broadcast(gmap))
+      // level 1: nearest coarse cells — ncoarse·dim per row
+      .withColumn("__topg",
+        topCells(col(vecCol), col("__gcents"), nprobeCoarse))
+      // level 2 candidates: union of the probed coarse cells' routed
+      // cells; array_distinct because wCoarse routing can surface the
+      // same cell via two probed coarse parents
+      .withColumn("__cands", array_distinct(flatten(
+        transform(col("__topg"), g => coalesce(
+          element_at(col("__gmap"), g.getField("cell_id")),
+          array())))))
+      .withColumn("__top", topCells(col(vecCol), col("__cands"), nprobe))
       .select(outCols :+ explode(col("__top")).as("__t"): _*)
       .select(outCols :+ col("__t.cell_id").as("cell_id") :+
         col("__t.cell_sim").as("cell_sim"): _*)
@@ -297,6 +365,40 @@ object Similarity {
       .filter(col("__crk") <= nprobe)
       .select(col("query_id"), col("__qvec"), col("cell_id"))
     // scan only the probed cells
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("__qvec")))
+      .withColumnRenamed(idCol, "neighbor_id")
+    rankTopK(scored, k)
+  }
+
+  /** [[ivfTopK]] with the TWO-LEVEL quantizer on both sides: corpus
+    * vectors assign to their best candidate cell and queries pick their
+    * `nprobe` probe cells through [[assignCellsTwoLevel]]'s coarse →
+    * routed-cells funnel, so per-vector assignment work is
+    * O(√ncells·dim) instead of O(ncells·dim) — at nlist ∝ corpus size,
+    * the difference between a linear and a quadratic total assignment
+    * stage (the replication probe's one super-linear finding). Scan,
+    * scoring and ranking are identical to [[ivfTopK]]; the candidate
+    * funnel is the only approximation on top of flat IVF, and q96's
+    * DuckDB oracle reproduces the entire two-level selection in SQL. */
+  def ivfTopKTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                      cells: DataFrame, cidCol: String, cvecCol: String,
+                      coarse: DataFrame, gidCol: String, gvecCol: String,
+                      queries: DataFrame, qidCol: String, qvecCol: String,
+                      k: Int, wCoarse: Int, nprobeCoarse: Int,
+                      nprobe: Int): DataFrame = {
+    val assigned = assignCellsTwoLevel(corpus, idCol, vecCol,
+        cells, cidCol, cvecCol, coarse, gidCol, gvecCol,
+        wCoarse, nprobeCoarse, nprobe = 1)
+      .drop("cell_sim")
+    val probes = assignCellsTwoLevel(
+        queries.select(col(qidCol).as("query_id"),
+          col(qvecCol).as("__qvec")),
+        "query_id", "__qvec", cells, cidCol, cvecCol,
+        coarse, gidCol, gvecCol, wCoarse, nprobeCoarse, nprobe)
+      .select(col("query_id"), col("__qvec"), col("cell_id"))
     val scored = assigned
       .join(broadcast(probes), Seq("cell_id"))
       .filter(col(idCol) =!= col("query_id"))

@@ -153,4 +153,34 @@ class RecallSpec extends SparkSpec {
     assert(probed >= 0.85, f"multi-probe recall $probed%.3f")
     assert(probed > single + 0.3, f"single $single%.3f probed $probed%.3f")
   }
+
+  test("two-level IVF: full coarse probe equals flat; pruning keeps recall") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val cells = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))
+    // 3 coarse centroids over the 10 cells (ncoarse ≈ √ncells)
+    val coarse = emb.filter($"vec_id" % 200 === 0)
+      .select($"vec_id".as("gid"), $"embedding".as("gvec"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"vec_id", $"cell_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = rows(Similarity.assignCellsMulti(emb, "vec_id",
+      "embedding", cells, "cell_id", "cvec", nprobe = 3))
+    // PARITY: probing every coarse cell (nprobeCoarse = ncoarse) makes
+    // the candidate set every cell — the output must EQUAL the flat
+    // assignment, tie-breaks included. This pins the selection logic;
+    // only coarse pruning below is an approximation.
+    val full = rows(Similarity.assignCellsTwoLevel(emb, "vec_id",
+      "embedding", cells, "cell_id", "cvec", coarse, "gid", "gvec",
+      wCoarse = 1, nprobeCoarse = 3, nprobe = 3))
+    assert(full === flat, "two-level with full coarse probe diverged")
+    // PRUNED: 2 of 3 coarse probes, cells routed to 2 coarse parents
+    val pruned = rows(Similarity.assignCellsTwoLevel(emb, "vec_id",
+      "embedding", cells, "cell_id", "cvec", coarse, "gid", "gvec",
+      wCoarse = 2, nprobeCoarse = 2, nprobe = 3))
+    val overlap = (pruned & flat).size.toDouble / flat.size
+    info(f"two-level pruned assignment overlap vs flat: $overlap%.3f")
+    assert(overlap >= 0.8, f"coarse pruning lost too much: $overlap%.3f")
+  }
 }
