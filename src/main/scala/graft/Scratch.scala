@@ -130,13 +130,24 @@ object Scratch {
       * clusters); centroid count scales with the corpus like the query
       * itself (vec_id % 50), keeping per-cell density constant — the
       * standard IVF sizing. */
-    def semanticChain(mult: Int): Double = {
+    def semanticChain(mult: Int): Double = semanticChainImpl(mult, twoLevel = false)
+    def semanticChain2(mult: Int): Double = semanticChainImpl(mult, twoLevel = true)
+
+    def semanticChainImpl(mult: Int, twoLevel: Boolean): Double = {
       val emb = replicateEmb(mult)
       timed {
         val cents = emb.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
-        val probed = operators.Similarity.assignCellsMulti(emb, "vec_id",
-            "embedding", cents, "cell_id", "cvec", nprobe = 3)
+        val probed = (if (twoLevel) {
+          // coarse quantizer = every 10th cell; assignment work drops
+          // from points × ncells to points × (ncoarse + routed cells)
+          val coarse = emb.filter(col("vec_id") % 500 === 0)
+            .select(col("vec_id").as("gid"), col("embedding").as("gvec"))
+          operators.Similarity.assignCellsTwoLevel(emb, "vec_id",
+            "embedding", cents, "cell_id", "cvec", coarse, "gid", "gvec",
+            wCoarse = 2, nprobeCoarse = 2, nprobe = 3)
+        } else operators.Similarity.assignCellsMulti(emb, "vec_id",
+            "embedding", cents, "cell_id", "cvec", nprobe = 3))
           .persist(MEMORY_AND_DISK)
         val pairs = operators.Similarity.blockedSelfJoin(
             probed.select(col("cell_id"), col("vec_id"), col("embedding")),
@@ -146,13 +157,14 @@ object Scratch {
           .select(col("id_a"), col("id_b"))
           .distinct()
         val n = operators.Dedup.dupClusters(pairs, "id_a", "id_b").count()
-        println(s"[scratch]   semantic mult=$mult cluster_rows=$n")
+        println(s"[scratch]   semantic(two=$twoLevel) mult=$mult cluster_rows=$n")
       }
     }
 
     val probes: Seq[(String, Int => Double)] = Seq(
       "dedup" -> dedupChain, "leakage" -> leakageChain,
-      "span" -> spanChain, "semantic" -> semanticChain)
+      "span" -> spanChain, "semantic" -> semanticChain,
+      "semantic2" -> semanticChain2)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm
