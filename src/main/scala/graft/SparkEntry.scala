@@ -1562,6 +1562,20 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // SPAN-REMOVAL transform — the exact-substring dedup STEP (q75
+    // measures the signal; this applies it): every token covered by an
+    // 8-token span occurring >= 2 times corpus-wide is dropped and the
+    // doc rebuilt from the survivors. The md5 of the rebuilt text pins
+    // the transform content cross-engine — an off-by-one in span
+    // coverage or token order breaks the hash, not just the counts.
+    "q97_span_removal" -> ((s, d) => {
+      TextAnalysis.removeDupSpans(Tables.documents(s, d), "text",
+          "doc_id", spanTok = 8)
+        .select($"id".as("doc_id"), $"n_tok", $"n_kept", $"n_removed",
+          md5($"kept_text").as("kept_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // REFERENTIAL-INTEGRITY audit — orphan counts across every FK edge
     // of the star schema (the data-contract check a warehouse runs
     // after each load): per edge, child rows whose key has no parent,
@@ -3322,6 +3336,41 @@ object SparkEntry {
         |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
         |  floor(r * 10000 + 0.5) / 10000.0 AS rms, peak
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q97: dup decided on span TEXT (the hash is an engine-side
+    // optimization); kept text rebuilt with string_agg ORDER BY pos
+    "q97_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, i AS p, array_to_string(t[i+1:i+8], ' ') AS g
+        |  FROM toks, unnest(range(0, greatest(len(t)-8+1, 0))) AS u(i)),
+        |dup AS (SELECT g FROM spans GROUP BY g HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, cp
+        |  FROM spans s JOIN dup USING (g),
+        |    unnest(range(s.p, s.p+8)) AS c(cp)),
+        |tok AS (
+        |  SELECT doc_id, i AS pos, t[i+1] AS tk
+        |  FROM toks, unnest(range(0, len(t))) AS u(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tk
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.cp
+        |  WHERE cov.cp IS NULL),
+        |k AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(tk, ' ' ORDER BY pos)) AS kept_md5
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tok,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(t.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(k.kept_md5, md5('')) AS kept_md5
+        |FROM toks t LEFT JOIN k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // q96: the full two-level IVF funnel (cell→coarse routing, per-point
     // coarse probes, candidate-restricted assignment and query probes)

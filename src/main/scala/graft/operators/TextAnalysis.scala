@@ -245,6 +245,48 @@ object TextAnalysis {
           col("n_cov").cast("double") / col("n_tok").cast("double")), 4))
   }
 
+  /** Duplicate-span REMOVAL — the TRANSFORM the q75 signal exists for
+    * (the exact-substring dedup step of the RefinedWeb/C4 recipes):
+    * drop every token covered by any `spanTok`-token span occurring ≥
+    * `minOccur` times corpus-wide, and rebuild the document from the
+    * surviving tokens (single-space joined — whitespace normalizes,
+    * which the paired oracle reproduces by construction).
+    *
+    * Scale shape: occurrence counting and the start-position join move
+    * only (id, 64-bit hash, int) rows — the [[spanHashes]] currency;
+    * the reconstruction is a projection over each doc's own token
+    * array with a per-doc covered-position array (bounded by n_tok)
+    * collected from ONE hash aggregate. The corpus text itself never
+    * shuffles — only span hashes and start positions do.
+    *
+    * Returns (id, n_tok, n_kept, n_removed, kept_text); every input
+    * doc appears (docs with no duplicated span keep all tokens). */
+  def removeDupSpans(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     idCol: String, spanTok: Int, minOccur: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(spanTok >= 2 && minOccur >= 2, "need spanTok and minOccur >= 2")
+    val base = tokenBase(df, textCol, idCol)
+    val spans = spanHashes(df, textCol, idCol, spanTok)
+    val dup = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("__oc")).filter(col("__oc") >= minOccur)
+      .select(col("h"))
+    // per-doc duplicated-span START positions, one bounded array each
+    val starts = spans.join(dup, "h")
+      .groupBy(col("id")).agg(collect_set(col("p")).as("__starts"))
+    base.join(starts, Seq("id"), "left_outer")
+      .withColumn("__cov", coalesce(
+        array_distinct(flatten(transform(col("__starts"),
+          s => sequence(s, s + spanTok - 1)))),
+        array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__toks"),
+        (_, i) => !array_contains(col("__cov"), i.cast("int"))))
+      .select(col("id"), col("n_tok").cast("long").as("n_tok"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("n_tok") - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        array_join(col("__kept"), " ").as("kept_text"))
+  }
+
   /** Duplicate-span PROVENANCE: for every span duplicated ≥ `minOccur`
     * times corpus-wide (q75's signal), attribute it to the document
     * with the LOWEST id containing it — the "original" under a stable

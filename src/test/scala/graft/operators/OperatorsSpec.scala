@@ -321,6 +321,26 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("TextAnalysis.removeDupSpans cuts covered tokens, keeps the rest") {
+    val span = (1 to 8).map(i => s"m$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span x y"),        // span at pos 0 → keep "x y"
+      (2L, s"z $span w"),        // same span at pos 1 → keep "z w"
+      (3L, "too short to span"), // < 8 tokens: untouched
+      (4L, s"$span $span"))      // same-doc repeat: fully removed
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.removeDupSpans(docs, "text", "doc_id", 8)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("n_tok"), x.getAs[Long]("n_removed"),
+          x.getAs[String]("kept_text"))).toMap
+    assert(r(1L) === ((10L, 8L, "x y")))
+    assert(r(2L) === ((10L, 8L, "z w")))
+    assert(r(3L) === ((4L, 0L, "too short to span")))
+    // the two same-doc occurrences count toward minOccur and the
+    // boundary-crossing spans (each unique) must NOT extend coverage
+    assert(r(4L) === ((16L, 16L, "")))
+  }
+
   test("TextAnalysis.repetitionStats measures dup and top-token ratios") {
     val docs = Seq(
       (1L, "a a a a b"),        // 5 words, 2 distinct, top=4
