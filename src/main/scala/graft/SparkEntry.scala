@@ -1562,6 +1562,34 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // DETERMINISTIC TRAINING-ORDER shuffle — the "global shuffle before
+    // sharding" step of a training-data pipeline: every doc gets a
+    // position in a seeded pseudo-random permutation (order by
+    // md5(seed || doc_id) — portable across engines, reproducible
+    // across runs), then deals into 8 loader shards round-robin by
+    // position. The global position is Packing.prefixSum — a
+    // distributed two-phase scan — NOT an unpartitioned row_number
+    // window, which would serialize the corpus through one task. The
+    // per-shard doc_id sums are permutation checksums: any divergence
+    // in the hash order or the rank assignment moves some doc to a
+    // different shard and breaks the hash compare.
+    "q98_training_order" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select($"doc_id",
+          md5(concat(lit("seed1:"), $"doc_id".cast("string")))
+            .as("__h"))
+        .withColumn("__g", lit(1))
+      val ranked = Packing.prefixSum(docs, Seq("__g"),
+        Seq("__h", "doc_id"), "__g", "pos")
+      ranked
+        .select((($"pos" - 1) % 8).as("shard_id"), $"pos", $"doc_id")
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"pos").as("first_pos"), max($"pos").as("last_pos"),
+          sum($"doc_id").as("docid_sum"))
+        .orderBy($"shard_id")
+    }),
+
     // SPAN-REMOVAL transform — the exact-substring dedup STEP (q75
     // measures the signal; this applies it): every token covered by an
     // 8-token span occurring >= 2 times corpus-wide is dropped and the
@@ -3336,6 +3364,20 @@ object SparkEntry {
         |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
         |  floor(r * 10000 + 0.5) / 10000.0 AS rms, peak
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q98: the same permutation from row_number over the same md5 keys
+    "q98_training_order" ->
+      """WITH r AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5('seed1:' || CAST(doc_id AS VARCHAR)) ASC,
+        |      doc_id ASC) AS pos
+        |  FROM documents)
+        |SELECT (pos - 1) % 8 AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(pos) AS BIGINT) AS first_pos,
+        |  CAST(max(pos) AS BIGINT) AS last_pos,
+        |  CAST(sum(doc_id) AS BIGINT) AS docid_sum
+        |FROM r GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     // q97: dup decided on span TEXT (the hash is an engine-side
     // optimization); kept text rebuilt with string_agg ORDER BY pos

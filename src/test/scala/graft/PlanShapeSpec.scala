@@ -334,6 +334,45 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q96 two-level ANN: assignment is broadcast-only (no SMJ)") {
+    // both quantizer levels and the candidate funnel must stay
+    // broadcast projections; a sort-merge join appearing here means a
+    // quantizer table stopped broadcasting and the corpus shuffled
+    val p = plan("q96_ann_two_level")
+    assert(collectAll(p) { case j: SortMergeJoinExec => j }.isEmpty,
+      s"two-level funnel sort-merges:\n$p")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty)
+  }
+
+  test("q97 span removal: corpus text never enters a join") {
+    // occurrence counting and the coverage join move (id, hash, pos)
+    // only; the doc's token array must meet its covered positions via
+    // a join keyed on the integral id, never on strings
+    val p = plan("q97_span_removal")
+    val joins = collectAll(p) { case j: SortMergeJoinExec => j } ++
+      collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val keyTypes = (j match {
+        case s: SortMergeJoinExec => s.leftKeys
+        case b: BroadcastHashJoinExec => b.leftKeys
+      }).map(_.dataType.typeName)
+      assert(keyTypes.forall(t => t == "long" || t == "integer"),
+        s"span-removal join keys carry $keyTypes:\n$j")
+    }
+  }
+
+  test("q98 training order: distributed rank, no unpartitioned window") {
+    // the global permutation position must come from the two-phase
+    // prefix-sum scan; a row_number window with an empty partition
+    // spec is the one-task plan the query exists to avoid
+    val wins = collectAll(plan("q98_training_order")) {
+      case w: WindowExec => w
+    }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in training order:\n${wins.mkString}")
+  }
+
   test("skew: AQE splits the plain join; the salted join needs no split") {
     // The two skew mechanisms must COMPOSE, not fight: AQE's
     // OptimizeSkewedJoin splits oversized shuffle partitions at runtime
