@@ -1562,6 +1562,30 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // PER-SOURCE QUALITY GATE — the "keep the best X% of each source"
+    // curation step: per-source p25 quality threshold from the exact
+    // histogram quantiles (q33/q50's machinery — every stage a bounded
+    // hash agg at any corpus size), broadcast back onto the docs, keep
+    // docs at/above their source's threshold. Per-source thresholds
+    // (not a global cutoff) because sources have different quality
+    // distributions — a global bar empties the weakest source.
+    "q99_quality_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          TextAnalysis.qualityScore($"text").as("quality"))
+      val thr = Percentiles.exactQuantiles(docs, "source", "quality",
+          Seq(0.25))
+        .select($"source", $"value".as("q25"))
+      docs.join(broadcast(thr), Seq("source"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"quality" >= $"q25", 1L).otherwise(0L)).as("n_kept"),
+          Fns.roundU(max($"q25"), 4).as("threshold"))
+        .withColumn("kept_frac",
+          Fns.roundU($"n_kept".cast("double") / $"n_docs", 4))
+        .orderBy($"source")
+    }),
+
     // DETERMINISTIC TRAINING-ORDER shuffle — the "global shuffle before
     // sharding" step of a training-data pipeline: every doc gets a
     // position in a seeded pseudo-random permutation (order by
@@ -3364,6 +3388,41 @@ object SparkEntry {
         |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
         |  floor(r * 10000 + 0.5) / 10000.0 AS rms, peak
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q99: quality formula from q28's oracle, nearest-rank p25 from
+    // q50's oracle pattern, gate + report
+    "q99_quality_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+        |      + least(CAST(len(list_filter(
+        |          string_split_regex(trim(text), '\s+'),
+        |          x -> x IN ('the','a','an','and','of','to','in','is',
+        |            'it','that'))) AS DOUBLE)
+        |        / len(string_split_regex(trim(text), '\s+')) * 5.0, 1.0)
+        |        * 0.3
+        |      + (1.0 - least(CAST(length(text) - length(regexp_replace(
+        |          text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE)
+        |        / length(text) * 5.0, 1.0)) * 0.2) * 10000 + 0.5)
+        |      / 10000.0 AS quality
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM m),
+        |thr AS (
+        |  SELECT source, quality AS q25 FROM ranked
+        |  WHERE rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT)))
+        |SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN m.quality >= t.q25 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  floor(max(t.q25) * 10000 + 0.5) / 10000.0 AS threshold,
+        |  floor((CAST(sum(CASE WHEN m.quality >= t.q25 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0 AS kept_frac
+        |FROM m JOIN thr t USING (source)
+        |GROUP BY m.source ORDER BY m.source""".stripMargin,
 
     // q98: the same permutation from row_number over the same md5 keys
     "q98_training_order" ->
