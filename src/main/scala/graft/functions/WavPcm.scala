@@ -43,21 +43,26 @@ object WavPcm {
     // walk doesn't assume order. Long indices: a corrupt uint32 chunk
     // size (~2^31) would wrap an Int cursor negative and pass the guard
     // (the MediaHeaders.wav lesson applied here).
-    var fmtAt = -1; var dataAt = -1; var dataLen = 0L
+    var fmtAt = -1; var fmtSize = 0L; var dataAt = -1; var dataLen = 0L
     var i = 12L
     while (i + 8 <= b.length && (fmtAt < 0 || dataAt < 0)) {
       val at = i.toInt
       val size = le32(b, at + 4).toLong & 0xffffffffL
       val id = (u8(b, at), u8(b, at + 1), u8(b, at + 2), u8(b, at + 3))
-      if (id == ('f'.toInt, 'm'.toInt, 't'.toInt, ' '.toInt)) fmtAt = at
-      else if (id == ('d'.toInt, 'a'.toInt, 't'.toInt, 'a'.toInt)) {
+      if (id == ('f'.toInt, 'm'.toInt, 't'.toInt, ' '.toInt)) {
+        fmtAt = at; fmtSize = size
+      } else if (id == ('d'.toInt, 'a'.toInt, 't'.toInt, 'a'.toInt)) {
         dataAt = at + 8
         dataLen = math.min(size, b.length.toLong - dataAt)
       }
       i += 8 + size + (size & 1)
     }
     if (fmtAt < 0 || dataAt < 0) return None
-    if (fmtAt + 24 > b.length) return None
+    // the chunk's own declared size must cover the 16 PCM format bytes:
+    // a short fmt chunk followed by other chunks would otherwise read
+    // the NEXT chunk's bytes as format fields and return plausible
+    // garbage instead of None
+    if (fmtSize < 16 || fmtAt + 24 > b.length) return None
     val audioFormat = le16(b, fmtAt + 8)
     val channels = le16(b, fmtAt + 10)
     val sampleRate = le32(b, fmtAt + 12)

@@ -632,21 +632,35 @@ object Dedup {
           val base = new org.apache.hadoop.fs.Path(dir)
           val fs = base.getFileSystem(confW.value)
           it.foreach { case (s, bytes) =>
-            val out = fs.create(
-              new org.apache.hadoop.fs.Path(base, s"shard-$s.bloom"), true)
+            // write-then-rename commit: a retried or speculative task
+            // attempt writing the final path directly could leave a
+            // truncated/interleaved file that readFrom later chokes on.
+            // Each attempt writes a unique temp name; the rename is the
+            // atomic commit, and a loser whose rename fails (another
+            // attempt already committed the shard) just cleans up.
+            val tmp = new org.apache.hadoop.fs.Path(base,
+              s".shard-$s.${java.util.UUID.randomUUID()}.tmp")
+            val out = fs.create(tmp, true)
             try out.write(bytes) finally out.close()
+            val dst = new org.apache.hadoop.fs.Path(base, s"shard-$s.bloom")
+            if (!fs.rename(tmp, dst)) {
+              if (!fs.exists(dst))
+                throw new java.io.IOException(s"commit failed for $dst")
+              fs.delete(tmp, false)
+            }
           }
         }
       }
   }
 
-  /** Probe half of the storage-backed screen: each probe task reads ONLY
-    * the shard files its partition's shingles hash into (probes are
-    * pre-partitioned by shard id, so a task touches a handful of shards
-    * and caches each deserialized filter for the partition's lifetime).
-    * No driver-side filter assembly, no broadcast, and — unlike the
-    * cogroup form — probe parallelism is the full shuffle width, not
-    * `shards`: many tasks may read the same shard file concurrently,
+  /** Probe half of the storage-backed screen: probes are partitioned by
+    * (shard, salt) where the salt fans each shard over
+    * ~shufflePartitions/shards buckets — parallelism stays at the full
+    * shuffle width even with few shards (a bare repartition(__s) would
+    * cap it at `shards`), while each task still touches only the ~1-2
+    * shard files its bucket covers, caching each deserialized filter
+    * for the partition's lifetime. No driver-side filter assembly, no
+    * broadcast; many tasks may read the same shard file concurrently,
     * which storage serves trivially. A missing shard file means no train
     * shingle hashed there: those probes miss, they don't fail.
     *
@@ -660,11 +674,18 @@ object Dedup {
     import spark.implicits._
     val confW = new org.apache.spark.SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
+    val slots = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt / shards)
     val probes = evalSets
       .select(col("id").cast("long"), explode(col("sh")).as("__g"))
       .select(col("id"), col("__g"),
         pmod(col("__g"), lit(shards.toLong)).as("__s"))
-      .repartition(col("__s"))
+      // xxhash64 (not another pmod of __g) for the salt: a modulus
+      // sharing factors with `shards` would make the salt a function of
+      // the shard id and collapse the fan-out
+      .withColumn("__salt", pmod(xxhash64(col("__g")), lit(slots.toLong)))
+      .repartition(col("__s"), col("__salt"))
+      .drop("__salt")
       .as[(Long, Long, Long)]
     val hits = probes.mapPartitions { it =>
       val cache = scala.collection.mutable.Map[

@@ -86,8 +86,15 @@ object Merge {
     val toType = target.schema(validToCol).dataType
     val joinCond = keys.map(k => open(k) === ch(s"__ck_$k"))
       .reduce(_ && _)
+    // compare AS-STORED: the change value is cast to the target's type
+    // before the comparison, mirroring what insert will store. Comparing
+    // pre-cast would route a change that is identical AFTER the cast
+    // (e.g. DOUBLE 1.234 into DECIMAL(10,2) holding 1.23) to
+    // close+insert — a zero-information version per replay, breaking
+    // both no-op suppression and idempotence
     val sameVals = valueCols
-      .map(c => col(s"__cv.$c") <=> open(c)).reduce(_ && _)
+      .map(c => col(s"__cv.$c").cast(target.schema(c).dataType)
+        <=> open(c)).reduce(_ && _)
     val j = open.join(ch, joinCond, "full_outer")
     val openCols = (keys.map(k => coalesce(open(k), ch(s"__ck_$k")).as(k))
       ++ valueCols.map(c => open(c).as(c))) :+

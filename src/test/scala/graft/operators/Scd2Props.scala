@@ -92,6 +92,27 @@ object Scd2Props extends Properties("graft.scd2") {
       got == want && chained && oneOpen
     }
 
+  property("a change identical only AFTER the target-type cast is a no-op") =
+    org.scalacheck.Prop.secure {
+      // DOUBLE 1.234 into a DECIMAL(10,2) dimension holding 1.23: the
+      // stored value would be unchanged, so the change must route to
+      // `keep` (compare as-stored), not close+insert a zero-information
+      // version on every replay
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val target = Seq((1L, "1.23", 10L))
+        .toDF("k", "__v", "valid_from")
+        .select($"k", $"__v".cast("decimal(10,2)").as("val"),
+          $"valid_from", lit(null).cast("long").as("valid_to"))
+      val changes = Seq((1L, 1.234, 20L)).toDF("k", "val", "ts")
+      val out = Merge.applyScd2(target, changes, Seq("k"), Seq("val"),
+        "ts", "valid_from", "valid_to")
+      val rows = out.collect()
+      rows.length == 1 && rows(0).isNullAt(3) &&
+        rows(0).getLong(2) == 10L &&
+        rows(0).getDecimal(1).toPlainString == "1.23"
+    }
+
   property("re-applying the last batch is a no-op") =
     forAll(genBatches) { batches =>
       val once = applyAll(batches)
