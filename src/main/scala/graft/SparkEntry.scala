@@ -1562,6 +1562,20 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // Z-ORDER LAYOUT audit — multi-dimensional clustering (the lakehouse
+    // OPTIMIZE ZORDER technique): bucket rows by Morton z-value prefix
+    // of (partkey, suppkey) and report BOTH dimensions' min/max per
+    // bucket — the per-file stats a z-ordered write exposes, bounded in
+    // both columns so predicates on either side prune. The z-value is a
+    // flat OR chain of masked shifts (whole-stage codegen, no UDF);
+    // DuckDB recomputes it bit-for-bit, so an interleaving error breaks
+    // the hash.
+    "q100_zorder_layout" -> ((s, d) => {
+      Layout.zOrderBuckets(Tables.lineitem(s, d), "l_partkey",
+          "l_suppkey", bits = 16, shift = 16)
+        .orderBy($"bucket_id")
+    }),
+
     // PER-SOURCE QUALITY GATE — the "keep the best X% of each source"
     // curation step: per-source p25 quality threshold from the exact
     // histogram quantiles (q33/q50's machinery — every stage a bounded
@@ -3388,6 +3402,20 @@ object SparkEntry {
         |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
         |  floor(r * 10000 + 0.5) / 10000.0 AS rms, peak
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q100: the Morton interleave recomputed bit-for-bit in SQL (sum of
+    // disjoint bit terms == the OR chain)
+    "q100_zorder_layout" ->
+      """WITH z AS (
+        |  SELECT l_partkey AS x, l_suppkey AS y,
+        |    (SELECT sum(((((l_partkey & 65535) >> u.i) & 1) << (2*u.i))
+        |              + ((((l_suppkey & 65535) >> u.i) & 1) << (2*u.i+1)))
+        |     FROM range(0, 16) u(i)) AS zv
+        |  FROM lineitem)
+        |SELECT zv >> 16 AS bucket_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+        |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+        |FROM z GROUP BY bucket_id ORDER BY bucket_id""".stripMargin,
 
     // q99: quality formula from q28's oracle, nearest-rank p25 from
     // q50's oracle pattern, gate + report

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) interleaving, the
+  * lakehouse OPTIMIZE ZORDER technique. Sorting files by ONE column
+  * gives min/max pruning on that column only; sorting by the
+  * interleaved bit pattern of TWO columns gives bounded min/max ranges
+  * on BOTH — so a predicate on either column (or both) skips most
+  * files. The z-value is pure bit arithmetic (codegen-friendly, no UDF)
+  * and the layout apply is repartitionByRange + sortWithinPartitions on
+  * it — one range shuffle, the same cost as a single-column layout.
+  *
+  * Reference behavior: none (the reference has no storage layout
+  * stage); this is SURVEY §2.4-class coverage for the warehouse side.
+  */
+object Layout {
+
+  /** Morton z-value of two non-negative ints using the low `bits` bits
+    * of each: bit i of x lands at position 2i, bit i of y at 2i+1. The
+    * loop unrolls at plan-build time into a flat OR chain of masked
+    * shifts — whole-stage codegen keeps it in registers. */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits in [1,31]")
+    val xm = x.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    val ym = y.cast("long").bitwiseAND(lit((1L << bits) - 1))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(xm.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(ym.bitwiseAND(lit(1L << i)), i + 1))
+    }
+  }
+
+  /** Bucket rows by z-value prefix (bucket = z >> shift) and report each
+    * bucket's row count and BOTH dimensions' min/max — the per-file
+    * stats a z-ordered write would expose to pruning. The audit form of
+    * the layout: bounded ranges in both columns per bucket are exactly
+    * what makes two-sided pruning work. */
+  def zOrderBuckets(df: DataFrame, xCol: String, yCol: String,
+                    bits: Int, shift: Int): DataFrame = {
+    require(shift >= 0 && shift < 2 * bits, "shift in [0, 2*bits)")
+    df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .withColumn("__z", zValue(col("__x"), col("__y"), bits))
+      .groupBy(shiftright(col("__z"), shift).as("bucket_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+  }
+
+  /** Apply the layout: range-partition and sort by z-value so each
+    * output file covers one contiguous z-range — bounded min/max in
+    * both dimensions per file. `files` controls output granularity the
+    * way a compaction target would. The z column is dropped after the
+    * sort; it exists only to order the write. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                    files: Int, path: String): Unit = {
+    require(files >= 1)
+    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave, independently written. */
+  private def mortonRef(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("zValue matches the reference interleave on a seeded sample") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((rnd.nextInt(1 << 16).toLong,
+      rnd.nextInt(1 << 16).toLong)) :+ ((0L, 0L)) :+ ((65535L, 65535L))
+    val got = pairs.toDF("x", "y")
+      .select($"x", $"y", Layout.zValue($"x", $"y", 16).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === mortonRef(r.getLong(0), r.getLong(1), 16),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // masking: bits above the budget must not leak into the z-value
+    val masked = Seq((65536L + 3L, 2L)).toDF("x", "y")
+      .select(Layout.zValue($"x", $"y", 16)).collect()(0).getLong(0)
+    assert(masked === mortonRef(3L, 2L, 16))
+  }
+
+  test("writeZOrdered bounds BOTH dims per file; x-sort bounds only x") {
+    // full 64x64 grid → 4 files. A z-ordered write splits the z-range
+    // into 4 contiguous chunks = spatial quadrants: each file covers
+    // about half of EACH dimension. A plain x-sorted write makes files
+    // with a quarter of x but ALL of y — the one-sided layout whose
+    // pruning z-order exists to beat.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toFile
+    val zPath = s"$dir/z"
+    val xPath = s"$dir/x"
+    try {
+      Layout.writeZOrdered(grid, "x", "y", bits = 6, files = 4, zPath)
+      grid.repartitionByRange(4, $"x").sortWithinPartitions($"x")
+        .write.parquet(xPath)
+      def fileRanges(path: String): Array[(Long, Long)] =
+        spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg((max($"x") - min($"x")).as("xr"),
+            (max($"y") - min($"y")).as("yr"))
+          .collect().map(r => (r.getAs[Number]("xr").longValue(),
+            r.getAs[Number]("yr").longValue()))
+      val z = fileRanges(zPath)
+      val xs = fileRanges(xPath)
+      assert(z.length === 4 && xs.length === 4)
+      // z layout: every file's y-range is bounded well below the full
+      // 0..63 span (quadrants → ~31). x is bounded on all but possibly
+      // ONE file: repartitionByRange picks sampled (not quadrant-
+      // aligned) split points, and a file straddling a top-level z
+      // boundary spans x — the known straddle cost of range-splitting
+      // a Morton curve, which per-file min/max stats still prune.
+      assert(z.forall(_._2 <= 40), z.mkString(","))
+      assert(z.count(_._1 <= 40) >= 3, z.mkString(","))
+      // x-sorted layout: x tightly bounded but y spans the whole domain
+      assert(xs.forall(_._1 <= 20), xs.mkString(","))
+      assert(xs.forall(_._2 >= 60), xs.mkString(","))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+}
