@@ -373,6 +373,54 @@ class PlanShapeSpec extends SparkSpec {
       s"unpartitioned window in training order:\n${wins.mkString}")
   }
 
+  test("runtime bloom filter injects on a selective non-broadcast join") {
+    // The engine-native sibling of the explicit Bloom operators in
+    // Dedup: at the bench config (runtime.bloomFilter.enabled is
+    // Spark's default true), a shuffle join against a selectively
+    // filtered build side gets a runtime BloomFilterMightContain
+    // predicate injected on the stream side — rows that can't join die
+    // BEFORE the shuffle. This pins that the config keeps the
+    // optimization live, so the library's big fact-dim joins get row
+    // pruning for free where broadcasting is off the table.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled") === "true")
+    val restore = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("rbloom").toString
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // production default is 10GB — injection only pays off on a scan
+      // big enough to beat the filter's cost. Zero it here so the
+      // MECHANISM is testable on a toy scan; at the bench config the
+      // default governs, which is exactly the right behavior at 100 TB
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      // parquet-backed (the injection needs size stats from the scan)
+      spark.range(400000).selectExpr("id AS k", "id % 97 AS tag")
+        .write.parquet(s"$dir/fact")
+      spark.range(100000).selectExpr("id AS k", "id % 13 AS f")
+        .write.parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter($"f" === 3)
+      val j = fact.join(dim, "k")
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter injected:\n${opt.take(2000)}")
+    } finally {
+      restore.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("skew: AQE splits the plain join; the salted join needs no split") {
     // The two skew mechanisms must COMPOSE, not fight: AQE's
     // OptimizeSkewedJoin splits oversized shuffle partitions at runtime
