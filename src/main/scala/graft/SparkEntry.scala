@@ -1562,6 +1562,23 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // WEIGHTED sample without replacement (Efraimidis–Spirakis A-ES),
+    // 5 docs per source, weight = quality score: the quality-weighted
+    // draw a curated-corpus pipeline uses where q62's uniform draw
+    // isn't enough. key = u^(1/w) with u from the engine-independent
+    // consistent hash — deterministic, replayable, and top-k selected
+    // through the bounded-heap plan (no per-group sort).
+    "q101_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select($"source", $"doc_id",
+          (TextAnalysis.qualityScore($"text") + 0.01).as("w"))
+      Sampling.weightedSamplePerGroup(docs, Seq("source"), "doc_id",
+          "w", k = 5)
+        .select($"source", $"doc_id", Fns.roundU($"w", 4).as("w"),
+          Fns.roundU($"__esk", 4).as("es_key"))
+        .orderBy($"source", $"es_key".desc, $"doc_id")
+    }),
+
     // Z-ORDER LAYOUT audit — multi-dimensional clustering (the lakehouse
     // OPTIMIZE ZORDER technique): bucket rows by Morton z-value prefix
     // of (partkey, suppkey) and report BOTH dimensions' min/max per
@@ -3402,6 +3419,39 @@ object SparkEntry {
         |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
         |  floor(r * 10000 + 0.5) / 10000.0 AS rms, peak
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q101: A-ES keys from the same consistent hash + quality formula;
+    // ln(u)/w ordering mirrored exactly
+    "q101_weighted_sample" ->
+      """WITH m AS (
+        |  SELECT source, doc_id,
+        |    floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+        |      + least(CAST(len(list_filter(
+        |          string_split_regex(trim(text), '\s+'),
+        |          x -> x IN ('the','a','an','and','of','to','in','is',
+        |            'it','that'))) AS DOUBLE)
+        |        / len(string_split_regex(trim(text), '\s+')) * 5.0, 1.0)
+        |        * 0.3
+        |      + (1.0 - least(CAST(length(text) - length(regexp_replace(
+        |          text, '[.,!?;:''"()\-]', '', 'g')) AS DOUBLE)
+        |        / length(text) * 5.0, 1.0)) * 0.2) * 10000 + 0.5)
+        |      / 10000.0 + 0.01 AS w
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT source, doc_id, w,
+        |    ln((((doc_id % 2147483647 + 2147483647) % 2147483647
+        |      * 2654435761 % 4294967296) + 1) / 4294967296.0) / w
+        |      AS esk
+        |  FROM m),
+        |r AS (
+        |  SELECT source, doc_id, w, esk, row_number() OVER (
+        |    PARTITION BY source ORDER BY esk DESC, doc_id ASC) AS rn
+        |  FROM keyed)
+        |SELECT source, doc_id,
+        |  floor(w * 10000 + 0.5) / 10000.0 AS w,
+        |  floor(esk * 10000 + 0.5) / 10000.0 AS es_key
+        |FROM r WHERE rn <= 5
+        |ORDER BY source, es_key DESC, doc_id""".stripMargin,
 
     // q100: the Morton interleave recomputed bit-for-bit in SQL (sum of
     // disjoint bit terms == the OR chain)

@@ -62,4 +62,30 @@ object Sampling {
     graft.plans.TopKPerKey(hashed, grpCols,
       Seq(col("__h").asc, col(idCol).asc), k)
   }
+
+  /** WEIGHTED sample without replacement, k per group — the
+    * Efraimidis–Spirakis A-ES scheme: each row draws u ∈ (0,1] from
+    * the consistent hash and competes on key = u^(1/w); the k largest
+    * keys win, giving inclusion probability proportional to weight
+    * with NO replacement and no sequential scan. Ordered here by the
+    * monotone-equivalent ln(u)/w (avoids pow's tiny-exponent underflow
+    * for large weights). Deterministic and engine-replayable like
+    * every draw in this file: u is integer arithmetic, the only float
+    * op is one log. Runs through the [[graft.plans.TopKPerKey]]
+    * bounded-heap plan — k candidates per group per partition reach
+    * the shuffle. Output gains `__esk` (the selection key) for audit.
+    * Weights must be strictly positive; enforce upstream (a zero
+    * weight would divide to -Infinity and simply never win, but NaN
+    * poisons the heap ordering). */
+  def weightedSamplePerGroup(df: DataFrame, grpCols: Seq[String],
+                             idCol: String, weightCol: String, k: Int)
+      : DataFrame = {
+    // +1: hash range [0, 2^32) → u in (0, 1] — ln(0) is the NaN/-Inf
+    // trap this dodges
+    val u = (consistentHash(col(idCol)) + 1).cast("double") /
+      lit(4294967296.0)
+    val keyed = df.withColumn("__esk", log(u) / col(weightCol))
+    graft.plans.TopKPerKey(keyed, grpCols,
+      Seq(col("__esk").desc, col(idCol).asc), k)
+  }
 }

@@ -632,6 +632,33 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got.count() === 12)
   }
 
+  test("Sampling.weightedSamplePerGroup: window parity + weight bias") {
+    // ids with weight 10 vs weight 0.1 in one group: the A-ES draw must
+    // (a) equal the window formulation exactly and (b) actually prefer
+    // heavy rows — across ids 1..400, the 10 winners should be mostly
+    // heavy (each heavy row's inclusion odds are ~100x a light row's)
+    val df = (1L to 400L).map(i =>
+      ("g", i, if (i % 2 == 0) 10.0 else 0.1)).toDF("g", "id", "w")
+      .repartition(6)
+    val got = Sampling.weightedSamplePerGroup(df, Seq("g"), "id", "w", 10)
+      .select($"g", $"id")
+    val u = (Sampling.consistentHash($"id") + 1).cast("double") /
+      4294967296.0
+    val win = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+      .orderBy((log(u) / $"w").desc, $"id".asc)
+    val want = df.withColumn("rn", row_number().over(win))
+      .filter($"rn" <= 10).select($"g", $"id")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    val ids = got.collect().map(_.getLong(1))
+    assert(ids.length === 10)
+    assert(ids.count(_ % 2 == 0) >= 8,
+      s"weighted draw ignored weights: ${ids.mkString(",")}")
+    // deterministic: the same corpus draws the same sample
+    val again = Sampling.weightedSamplePerGroup(df, Seq("g"), "id",
+      "w", 10).select($"id").collect().map(_.getLong(0)).sorted
+    assert(again.toSeq === ids.sorted.toSeq)
+  }
+
   test("Percentiles rank ±Infinity like the sort-based form") {
     // Infinities are rankable (unlike NaN): a rank target inside the
     // -Inf prefix / +Inf suffix answers directly, finite targets run the
