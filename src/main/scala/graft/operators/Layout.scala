@@ -62,4 +62,58 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** One planned compaction bin. */
+  case class CompactionBin(bin_id: Int, path: String, bytes: Long)
+
+  /** Small-files compaction PLAN: first-fit-decreasing bin-packing of a
+    * directory's parquet files into ~`targetBytes` bins. Planning runs
+    * on the driver over file METADATA only — O(files) names and sizes,
+    * the same listing every table scan performs; no data moves until
+    * [[compact]] applies the plan. A file larger than `targetBytes`
+    * gets its own bin (splitting is the scan's job, not the packer's).
+    */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, targetBytes: Long): Seq[CompactionBin] = {
+    require(targetBytes > 0)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.toString, f.getLen))
+      .sortBy { case (path, len) => (-len, path) } // FFD, ties by name
+    val bins = scala.collection.mutable.ArrayBuffer[(Long,
+      scala.collection.mutable.ArrayBuffer[(String, Long)])]()
+    files.foreach { case (path, len) =>
+      bins.find(_._1 + len <= targetBytes) match {
+        case Some(b) =>
+          val i = bins.indexOf(b)
+          bins(i) = (b._1 + len, b._2 += ((path, len)))
+        case None =>
+          bins += ((len,
+            scala.collection.mutable.ArrayBuffer((path, len))))
+      }
+    }
+    bins.zipWithIndex.flatMap { case ((_, fs0), i) =>
+      fs0.map { case (path, len) => CompactionBin(i, path, len) }
+    }.toSeq
+  }
+
+  /** Apply a compaction: rewrite the directory's files as one file per
+    * planned bin. Each bin's files are read and coalesced by their own
+    * job (bins are independent — at cluster scale submit them
+    * concurrently), so memory is bounded by one bin and a failed bin
+    * retries alone. Output goes to `outDir`; the input directory is
+    * left untouched (swap/retire is the caller's transactional step,
+    * matching Registry.snapshotUpserter's swap discipline). */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              outDir: String, targetBytes: Long): Seq[CompactionBin] = {
+    val plan = compactionPlan(spark, dir, targetBytes)
+    plan.groupBy(_.bin_id).foreach { case (bin, files) =>
+      spark.read.parquet(files.map(_.path): _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(f"$outDir/bin-$bin%05d")
+    }
+    plan
+  }
 }

@@ -373,6 +373,14 @@ class PlanShapeSpec extends SparkSpec {
       s"unpartitioned window in training order:\n${wins.mkString}")
   }
 
+  test("q101 weighted sample runs the bounded-heap plan, not a window") {
+    val p = plan("q101_weighted_sample")
+    val topk = collectAll(p) { case t: graft.plans.TopKPerKeyExec => t }
+    assert(topk.map(_.partial).sorted === Seq(false, true), s"$p")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "weighted sample fell back to a window sort")
+  }
+
   test("runtime bloom filter injects on a selective non-broadcast join") {
     // The engine-native sibling of the explicit Bloom operators in
     // Dedup: at the bench config (runtime.bloomFilter.enabled is

@@ -36,6 +36,47 @@ class LayoutSpec extends SparkSpec {
     assert(masked === mortonRef(3L, 2L, 16))
   }
 
+  test("compaction: FFD bins respect target, apply preserves content") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toFile
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    try {
+      // 24 deliberately tiny files (one row group each)
+      (0 until 24).foreach { i =>
+        spark.range(i * 100, i * 100 + 100).toDF("id")
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val nIn = new java.io.File(in).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(nIn >= 20, s"fixture produced only $nIn files")
+      val target = 4L * new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).max
+      val plan = Layout.compactionPlan(spark, in, target)
+      assert(plan.map(_.path).distinct.length === nIn, "plan must cover every file")
+      // no bin over target unless it is a single oversized file
+      plan.groupBy(_.bin_id).values.foreach { files =>
+        assert(files.map(_.bytes).sum <= target || files.length == 1)
+      }
+      val nBins = plan.map(_.bin_id).distinct.length
+      assert(nBins < nIn, s"compaction planned $nBins bins for $nIn files")
+      Layout.compact(spark, in, out, target)
+      // content identical, one file per bin
+      val before = spark.read.parquet(in).collect().map(_.getLong(0)).sorted
+      val after = spark.read.parquet(s"$out/bin-*").collect()
+        .map(_.getLong(0)).sorted
+      assert(after.toSeq === before.toSeq)
+      val outFiles = new java.io.File(out).listFiles().flatMap(b =>
+        Option(b.listFiles()).getOrElse(Array())).count(
+        _.getName.endsWith(".parquet"))
+      assert(outFiles === nBins)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("writeZOrdered bounds BOTH dims per file; x-sort bounds only x") {
     // full 64x64 grid → 4 files. A z-ordered write splits the z-range
     // into 4 contiguous chunks = spatial quadrants: each file covers
