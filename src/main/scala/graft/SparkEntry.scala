@@ -1562,6 +1562,25 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // DATA-QUALITY EXPECTATIONS report — declarative contracts
+    // (Deequ-style) evaluated as ONE shared-scan aggregate for every
+    // row-level rule plus one bounded branch per uniqueness/FK rule:
+    // the post-load assertion suite of a warehouse, next to q94's FK
+    // audit. metric = violation fraction; ok = metric <= threshold.
+    "q102_quality_report" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Quality.report(li, Seq(
+        Quality.NotNull("ship_date_not_null", "l_shipdate"),
+        Quality.InRange("quantity_1_50", "l_quantity", 1, 50),
+        Quality.InRange("tax_0_08", "l_tax", 0.0, 0.08, maxFrac = 0.5),
+        Quality.Matches("returnflag_domain", "l_returnflag", "^[ARN]$"),
+        Quality.Predicate("price_positive", $"l_extendedprice" <= 0),
+        Quality.Unique("orderkey_linenumber_key",
+          Seq("l_orderkey", "l_linenumber")),
+        Quality.ForeignKey("orderkey_fk", "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")))
+    }),
+
     // WEIGHTED sample without replacement (Efraimidis–Spirakis A-ES),
     // 5 docs per source, weight = quality score: the quality-weighted
     // draw a curated-corpus pipeline uses where q62's uniform draw
@@ -3419,6 +3438,62 @@ object SparkEntry {
         |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
         |  floor(r * 10000 + 0.5) / 10000.0 AS rms, peak
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q102: each rule's violation fraction recomputed as plain SQL
+    // aggregates; rounding mirrors Fns.roundU at 6 decimals
+    "q102_quality_report" ->
+      """WITH rows_m AS (
+        |  SELECT
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS ship_null,
+        |    sum(CASE WHEN l_quantity IS NOT NULL
+        |      AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END)
+        |      AS qty_out,
+        |    sum(CASE WHEN l_tax IS NOT NULL
+        |      AND (l_tax < 0.0 OR l_tax > 0.08) THEN 1 ELSE 0 END)
+        |      AS tax_out,
+        |    sum(CASE WHEN l_returnflag IS NOT NULL AND NOT
+        |      regexp_matches(l_returnflag, '^[ARN]$') THEN 1 ELSE 0 END)
+        |      AS rf_bad,
+        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+        |      AS price_bad,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem),
+        |uq AS (
+        |  SELECT coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)
+        |      AS dups,
+        |    CAST(coalesce(sum(c), 0) AS DOUBLE) AS n
+        |  FROM (SELECT count(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)),
+        |fk AS (
+        |  SELECT sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS orphans,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |SELECT rule, metric, threshold, metric <= threshold AS ok FROM (
+        |  SELECT 'ship_date_not_null' AS rule,
+        |    floor(ship_null / n * 1000000 + 0.5) / 1000000.0 AS metric,
+        |    0.0 AS threshold FROM rows_m
+        |  UNION ALL SELECT 'quantity_1_50',
+        |    floor(qty_out / n * 1000000 + 0.5) / 1000000.0, 0.0
+        |    FROM rows_m
+        |  UNION ALL SELECT 'tax_0_08',
+        |    floor(tax_out / n * 1000000 + 0.5) / 1000000.0, 0.5
+        |    FROM rows_m
+        |  UNION ALL SELECT 'returnflag_domain',
+        |    floor(rf_bad / n * 1000000 + 0.5) / 1000000.0, 0.0
+        |    FROM rows_m
+        |  UNION ALL SELECT 'price_positive',
+        |    floor(price_bad / n * 1000000 + 0.5) / 1000000.0, 0.0
+        |    FROM rows_m
+        |  UNION ALL SELECT 'orderkey_linenumber_key',
+        |    floor(dups / greatest(n, 1) * 1000000 + 0.5) / 1000000.0,
+        |    0.0 FROM uq
+        |  UNION ALL SELECT 'orderkey_fk',
+        |    floor(orphans / n * 1000000 + 0.5) / 1000000.0, 0.0 FROM fk)
+        |ORDER BY rule""".stripMargin,
 
     // q101: A-ES keys from the same consistent hash + quality formula;
     // ln(u)/w ordering mirrored exactly
