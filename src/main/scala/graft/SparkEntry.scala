@@ -1562,6 +1562,22 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // SLIDING (hopping) event-time windows — the one window flavor the
+    // suite hadn't pinned (q83/q87 are tumbling, q37 is session):
+    // 2-hour windows sliding hourly, so each event lands in exactly 2
+    // windows. Spark's window() replicates rows per overlapping window
+    // inside the scan projection, then it's one hash aggregate — the
+    // oracle reproduces the same epoch-aligned window arithmetic.
+    "q103_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy($"event_type", window($"ts", "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          Fns.roundU(sum($"value"), 2).as("sum_value"))
+        .select($"event_type", $"w.start".as("w_start"), $"n",
+          $"sum_value")
+        .orderBy($"event_type", $"w_start")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -3438,6 +3454,18 @@ object SparkEntry {
         |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
         |  floor(r * 10000 + 0.5) / 10000.0 AS rms, peak
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q103: every event replicated into its 2 overlapping hour-aligned
+    // windows, then the same aggregate
+    "q103_sliding_window" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    date_trunc('hour', ts) - to_hours(u.i) AS w_start
+        |  FROM events, range(0, 2) u(i))
+        |SELECT event_type, w_start, CAST(count(*) AS BIGINT) AS n,
+        |  floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value
+        |FROM w GROUP BY event_type, w_start
+        |ORDER BY event_type, w_start""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals
