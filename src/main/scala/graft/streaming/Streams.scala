@@ -40,6 +40,24 @@ object Streams {
       .start()
   }
 
+  /** Streaming DATA-QUALITY monitor: evaluate a
+    * [[graft.operators.Quality]] rule set on every micro-batch and hand
+    * the per-batch report (plus the batch id) to `onReport` — the
+    * ingestion-time form of the q102 contract check, where a violated
+    * contract should gate ADMISSION (quarantine the batch) rather than
+    * surface in a morning report. The report is rules-sized (a handful
+    * of rows), so the callback can cheaply collect and alert/abort. */
+  def qualityMonitor(df: DataFrame,
+                     rules: Seq[graft.operators.Quality.Rule])
+                    (onReport: (DataFrame, Long) => Unit)
+      : StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onReport(graft.operators.Quality.report(batch, rules), id)
+      }
+      .start()
+
   /** Stateful change suppression (exact reference semantics, O35): emit a
     * price event iff the pair is unseen or base/quote moved >`threshold`
     * relative to the LAST EMITTED event. State = last emitted prices per

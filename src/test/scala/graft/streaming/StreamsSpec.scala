@@ -697,6 +697,43 @@ class StreamsSpec extends SparkSpec {
     } finally corpusSets.unpersist()
   }
 
+  test("qualityMonitor: per-batch contract reports, bad batch flagged") {
+    import graft.operators.Quality
+    val dir = Files.createTempDirectory("graft-qm").toFile
+    val reports = scala.collection.mutable.Map[Long, Map[String,
+      (Double, Boolean)]]()
+    val stream = spark.readStream
+      .schema("id LONG, email STRING")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+    val q = Streams.qualityMonitor(stream, Seq(
+      Quality.NotNull("email_nn", "email", maxFrac = 0.25),
+      Quality.Unique("id_key", Seq("id")))) { (rep, id) =>
+      reports.synchronized {
+        reports(id) = rep.collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getBoolean(3))).toMap
+      }
+    }
+    try {
+      // batch 0: clean
+      dropFile(dir, "b1.json", Seq(
+        """{"id":1,"email":"a@x.com"}""",
+        """{"id":2,"email":"b@x.com"}""").mkString("\n"))
+      q.processAllAvailable()
+      // batch 1: half nulls + a duplicated id — both contracts break
+      dropFile(dir, "b2.json", Seq(
+        """{"id":3,"email":null}""",
+        """{"id":3,"email":null}""",
+        """{"id":4,"email":"d@x.com"}""",
+        """{"id":5,"email":"e@x.com"}""").mkString("\n"))
+      q.processAllAvailable()
+      val got = reports.synchronized(reports.toMap)
+      assert(got(0L)("email_nn") === ((0.0, true)))
+      assert(got(0L)("id_key") === ((0.0, true)))
+      assert(got(1L)("email_nn") === ((0.5, false)))
+      assert(got(1L)("id_key") === ((0.5, false)))
+    } finally q.stop()
+  }
+
   test("tokenChunks composes with a stream: chunks emit per micro-batch") {
     // the chunker is a pure projection, so it runs on a streaming scan
     // unchanged — the streaming form of q72's training-example prep
