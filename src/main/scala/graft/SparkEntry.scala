@@ -3468,7 +3468,9 @@ object SparkEntry {
         |ORDER BY event_type, w_start""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
-    // aggregates; rounding mirrors Fns.roundU at 6 decimals
+    // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is
+    // decided on the RAW fraction (rounding is display-only), matching
+    // Quality.report
     "q102_quality_report" ->
       """WITH rows_m AS (
         |  SELECT
@@ -3500,27 +3502,28 @@ object SparkEntry {
         |  FROM lineitem l LEFT JOIN
         |    (SELECT DISTINCT o_orderkey FROM orders) o
         |    ON l.l_orderkey = o.o_orderkey)
-        |SELECT rule, metric, threshold, metric <= threshold AS ok FROM (
+        |SELECT rule, metric, threshold, raw <= threshold AS ok FROM (
         |  SELECT 'ship_date_not_null' AS rule,
         |    floor(ship_null / n * 1000000 + 0.5) / 1000000.0 AS metric,
-        |    0.0 AS threshold FROM rows_m
+        |    0.0 AS threshold, ship_null / n AS raw FROM rows_m
         |  UNION ALL SELECT 'quantity_1_50',
-        |    floor(qty_out / n * 1000000 + 0.5) / 1000000.0, 0.0
-        |    FROM rows_m
+        |    floor(qty_out / n * 1000000 + 0.5) / 1000000.0, 0.0,
+        |    qty_out / n FROM rows_m
         |  UNION ALL SELECT 'tax_0_08',
-        |    floor(tax_out / n * 1000000 + 0.5) / 1000000.0, 0.5
-        |    FROM rows_m
+        |    floor(tax_out / n * 1000000 + 0.5) / 1000000.0, 0.5,
+        |    tax_out / n FROM rows_m
         |  UNION ALL SELECT 'returnflag_domain',
-        |    floor(rf_bad / n * 1000000 + 0.5) / 1000000.0, 0.0
-        |    FROM rows_m
+        |    floor(rf_bad / n * 1000000 + 0.5) / 1000000.0, 0.0,
+        |    rf_bad / n FROM rows_m
         |  UNION ALL SELECT 'price_positive',
-        |    floor(price_bad / n * 1000000 + 0.5) / 1000000.0, 0.0
-        |    FROM rows_m
+        |    floor(price_bad / n * 1000000 + 0.5) / 1000000.0, 0.0,
+        |    price_bad / n FROM rows_m
         |  UNION ALL SELECT 'orderkey_linenumber_key',
         |    floor(dups / greatest(n, 1) * 1000000 + 0.5) / 1000000.0,
-        |    0.0 FROM uq
+        |    0.0, dups / greatest(n, 1) FROM uq
         |  UNION ALL SELECT 'orderkey_fk',
-        |    floor(orphans / n * 1000000 + 0.5) / 1000000.0, 0.0 FROM fk)
+        |    floor(orphans / n * 1000000 + 0.5) / 1000000.0, 0.0,
+        |    orphans / n FROM fk)
         |ORDER BY rule""".stripMargin,
 
     // q101: A-ES keys from the same consistent hash + quality formula;

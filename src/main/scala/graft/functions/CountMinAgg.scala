@@ -36,9 +36,12 @@ class CountMinAgg(depth: Int, width: Int)
 
   override def reduce(b: Array[Long], key: String): Array[Long] = {
     if (key != null) {
+      // encode the key to UTF-8 ONCE per row, not once per depth row —
+      // reduce is the per-input hot path
+      val u = UTF8String.fromString(key)
       var r = 0
       while (r < depth) {
-        b(r * width + CountMinAgg.cell(key, r, width)) += 1L
+        b(r * width + CountMinAgg.cellU(u, r, width)) += 1L
         r += 1
       }
     }
@@ -60,13 +63,17 @@ class CountMinAgg(depth: Int, width: Int)
 }
 
 object CountMinAgg {
-  /** Row `r`'s cell index for `key` (Murmur3, seed = r). */
-  private[functions] def cell(key: String, r: Int, width: Int): Int = {
-    val u = UTF8String.fromString(key)
+  /** Row `r`'s cell index for an already-encoded key (Murmur3,
+    * seed = r). Callers hoist the UTF-8 encode out of the depth loop. */
+  private[functions] def cellU(u: UTF8String, r: Int, width: Int): Int = {
     val h = Murmur3_x86_32.hashUnsafeBytes(
       u.getBaseObject, u.getBaseOffset, u.numBytes(), r)
     math.floorMod(h, width)
   }
+
+  /** Row `r`'s cell index for `key` (Murmur3, seed = r). */
+  private[functions] def cell(key: String, r: Int, width: Int): Int =
+    cellU(UTF8String.fromString(key), r, width)
 
   /** Untyped-agg entry:
     * `df.groupBy(g).agg(CountMinAgg(d, w)(col("key")))`. */
@@ -79,10 +86,11 @@ object CountMinAgg {
   def estimate(sketch: Array[Long], key: String, depth: Int,
                width: Int): Long = {
     require(sketch.length == depth * width, "sketch shape mismatch")
+    val u = UTF8String.fromString(key)
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {
-      val v = sketch(r * width + cell(key, r, width))
+      val v = sketch(r * width + cellU(u, r, width))
       if (v < best) best = v
       r += 1
     }

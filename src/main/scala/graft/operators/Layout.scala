@@ -85,13 +85,14 @@ object Layout {
     val bins = scala.collection.mutable.ArrayBuffer[(Long,
       scala.collection.mutable.ArrayBuffer[(String, Long)])]()
     files.foreach { case (path, len) =>
-      bins.find(_._1 + len <= targetBytes) match {
-        case Some(b) =>
-          val i = bins.indexOf(b)
-          bins(i) = (b._1 + len, b._2 += ((path, len)))
-        case None =>
-          bins += ((len,
-            scala.collection.mutable.ArrayBuffer((path, len))))
+      // single pass: indexWhere yields the bin AND its index together
+      val i = bins.indexWhere(_._1 + len <= targetBytes)
+      if (i >= 0) {
+        val b = bins(i)
+        bins(i) = (b._1 + len, b._2 += ((path, len)))
+      } else {
+        bins += ((len,
+          scala.collection.mutable.ArrayBuffer((path, len))))
       }
     }
     bins.zipWithIndex.flatMap { case ((_, fs0), i) =>

@@ -49,10 +49,17 @@ object Quality {
                         parentCol: String, maxFrac: Double = 0.0)
       extends Rule
 
-  private def violFrac(viol: Column): Column =
-    graft.Fns.roundU(
-      sum(when(viol, 1L).otherwise(0L)).cast("double") /
-        count(lit(1)).cast("double"), 6)
+  /** RAW (unrounded) violation fraction. The pass/fail decision is made
+    * on this value — rounding is display-only, applied to the reported
+    * `metric` afterwards. Deciding on the rounded value would let a
+    * zero-tolerance rule (maxFrac = 0) pass a table whose violation
+    * fraction is positive but below 5e-7 — one bad row in 3M rows
+    * silently admitted. Empty input coalesces to 0/1 = 0.0 (vacuously
+    * clean) so every rule kind reports (0.0, ok=true) rather than the
+    * row-level branches going NULL while Unique reports 0.0. */
+  private def violFracRaw(viol: Column): Column =
+    coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L)).cast("double") /
+      greatest(count(lit(1)), lit(1L)).cast("double")
 
   /** Evaluate all rules; returns (rule, metric, threshold, ok) ordered
     * by rule name. */
@@ -68,17 +75,20 @@ object Quality {
         !col(r.col).rlike(r.regex))
       case r: Predicate => (r: Rule, r.violation)
     }
-    // all row-level rules ride ONE aggregate over one scan
+    // all row-level rules ride ONE aggregate over one scan; each rule
+    // carries its raw fraction (for the ok decision) alongside the
+    // rounded display metric
     val rowReport: Option[DataFrame] =
       if (rowRules.isEmpty) None
       else Some {
         val aggs = rowRules.map { case (r, viol) =>
-          violFrac(viol).as(r.name)
+          violFracRaw(viol).as(r.name)
         }
         val one = df.agg(aggs.head, aggs.tail: _*)
         one.select(explode(array(rowRules.map { case (r, _) =>
-          struct(lit(r.name).as("rule"), col(r.name).as("metric"),
-            lit(r.maxFrac).as("threshold"))
+          struct(lit(r.name).as("rule"),
+            graft.Fns.roundU(col(r.name), 6).as("metric"),
+            lit(r.maxFrac).as("threshold"), col(r.name).as("__raw"))
         }: _*)).as("__r")).select(col("__r.*"))
       }
     val uniqueReports = rules.collect { case r: Unique =>
@@ -91,19 +101,23 @@ object Quality {
         .select(lit(r.name).as("rule"),
           graft.Fns.roundU(col("__dups").cast("double") /
             greatest(col("__n"), lit(1L)).cast("double"), 6).as("metric"),
-          lit(r.maxFrac).as("threshold"))
+          lit(r.maxFrac).as("threshold"),
+          (col("__dups").cast("double") /
+            greatest(col("__n"), lit(1L)).cast("double")).as("__raw"))
     }
     val fkReports = rules.collect { case r: ForeignKey =>
       df.select(col(r.col))
         .join(r.parent.select(col(r.parentCol).as(r.col),
           lit(true).as("__hit")).distinct(), Seq(r.col), "left_outer")
-        .agg(violFrac(col("__hit").isNull).as("metric"))
-        .select(lit(r.name).as("rule"), col("metric"),
-          lit(r.maxFrac).as("threshold"))
+        .agg(violFracRaw(col("__hit").isNull).as("__raw"))
+        .select(lit(r.name).as("rule"),
+          graft.Fns.roundU(col("__raw"), 6).as("metric"),
+          lit(r.maxFrac).as("threshold"), col("__raw"))
     }
     (rowReport.toSeq ++ uniqueReports ++ fkReports)
       .reduce(_.unionByName(_))
-      .withColumn("ok", col("metric") <= col("threshold"))
+      .withColumn("ok", col("__raw") <= col("threshold"))
+      .drop("__raw")
       .orderBy(col("rule"))
   }
 }

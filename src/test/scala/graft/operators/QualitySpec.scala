@@ -51,4 +51,37 @@ class QualitySpec extends SparkSpec {
     assert(r.forall(_.getBoolean(3)), r.mkString(";"))
     assert(r.forall(_.getDouble(1) === 0.0))
   }
+
+  test("zero-tolerance fails on a violation below display rounding") {
+    // 1 NULL in 3M rows: raw fraction 3.3e-7 rounds to metric 0.0 at 6
+    // decimals, but ok must be decided on the RAW fraction — a
+    // maxFrac=0 rule with any violation fails. (The admission-gate bug
+    // class: rounding meant for display must not admit a bad batch.)
+    val df = spark.range(3000000)
+      .select(when($"id" === 0L, lit(null)).otherwise($"id").as("v"))
+    val r = Quality.report(df, Seq(Quality.NotNull("v_nn", "v")))
+      .collect().head
+    assert(r.getDouble(1) === 0.0)     // displayed metric rounds to 0
+    assert(r.getBoolean(3) === false)  // but the rule fails
+  }
+
+  test("empty input reports 0.0/ok=true for every rule kind") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "tag")
+    val parent = Seq(1L).toDF("pid")
+    val r = Quality.report(empty, Seq(
+      Quality.NotNull("tag_nn", "tag"),
+      Quality.InRange("id_range", "id", 0, 10),
+      Quality.Matches("tag_shape", "tag", "^[a-z]+$"),
+      Quality.Predicate("id_pos", $"id" < 0),
+      Quality.Unique("id_key", Seq("id")),
+      Quality.ForeignKey("id_fk", "id", parent, "pid")))
+      .collect()
+    assert(r.length === 6)
+    // no branch may go NULL while another reports 0.0 — consumers
+    // (Streams.qualityMonitor callbacks) read metric/ok unconditionally
+    r.foreach { row =>
+      assert(!row.isNullAt(1) && row.getDouble(1) === 0.0, row.toString)
+      assert(!row.isNullAt(3) && row.getBoolean(3), row.toString)
+    }
+  }
 }
