@@ -1578,6 +1578,38 @@ object SparkEntry {
         .orderBy($"event_type", $"w_start")
     }),
 
+    // Y4M FRAME DECODE — the video frame tier under the ORACLE, same
+    // treatment as q88 (BMP pixels) and q95 (WAV samples): build real
+    // YUV4MPEG2 streams from closed-form per-plane pixel functions
+    // (the UDF is fixture synthesis, bounded to 50 rows — not a hot
+    // path), decode them with the real byte-arithmetic codec
+    // (Multimodal.decodeY4mFeatures), and report plane means plus
+    // inter-frame luma motion. DuckDB never parses y4m: it computes
+    // the same stats directly from the pixel formulas — so header
+    // grammar, plane-order, chroma-size or frame-walk bugs in the
+    // decoder break the hash, not just a spec. With this every
+    // multimodal tier (image/audio/video) has an oracled fake-free
+    // decode path.
+    "q104_y4m_decode" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.Y4mFrames.encode(
+        (4 + id % 3 * 2).toInt, (4 + id % 2 * 2).toInt,
+        (24 + id % 2 * 6).toInt, 1, (2 + id % 4).toInt,
+        (f, x, y) => ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt,
+        (f, u, v) => ((id * 5 + f * 11 + u * 3 + v * 19) % 256).toInt,
+        (f, u, v) => ((id * 7 + f * 13 + u * 17 + v * 3) % 256).toInt))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 50)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeY4mFeatures(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"width", $"height", $"fps_num",
+          $"n_frames",
+          Fns.roundU($"mean_y", 4).as("mean_y"),
+          Fns.roundU($"mean_cb", 4).as("mean_cb"),
+          Fns.roundU($"mean_cr", 4).as("mean_cr"),
+          Fns.roundU($"motion", 4).as("motion"))
+        .orderBy($"doc_id")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -3466,6 +3498,53 @@ object SparkEntry {
         |  floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value
         |FROM w GROUP BY event_type, w_start
         |ORDER BY event_type, w_start""".stripMargin,
+
+    // q104: the oracle reproduces the per-plane pixel FORMULAS, not the
+    // y4m bytes — luma/chroma means on their own grids, motion as the
+    // mean abs luma difference between consecutive frames
+    "q104_y4m_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 3 * 2 AS INT) AS width,
+        |    CAST(4 + doc_id % 2 * 2 AS INT) AS height,
+        |    CAST(24 + doc_id % 2 * 6 AS INT) AS fps_num,
+        |    CAST(2 + doc_id % 4 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 50),
+        |ym AS (
+        |  SELECT doc_id, avg(CAST(
+        |      (doc_id * 31 + f.i * 17 + x.i * 7 + y.i * 13) % 256
+        |      AS DOUBLE)) AS my
+        |  FROM d, unnest(range(0, nf)) AS f(i),
+        |    unnest(range(0, width)) AS x(i),
+        |    unnest(range(0, height)) AS y(i)
+        |  GROUP BY doc_id),
+        |cm AS (
+        |  SELECT doc_id,
+        |    avg(CAST((doc_id * 5 + f.i * 11 + u.i * 3 + v.i * 19) % 256
+        |      AS DOUBLE)) AS mcb,
+        |    avg(CAST((doc_id * 7 + f.i * 13 + u.i * 17 + v.i * 3) % 256
+        |      AS DOUBLE)) AS mcr
+        |  FROM d, unnest(range(0, nf)) AS f(i),
+        |    unnest(range(0, width // 2)) AS u(i),
+        |    unnest(range(0, height // 2)) AS v(i)
+        |  GROUP BY doc_id),
+        |mo AS (
+        |  SELECT doc_id, avg(abs(
+        |    CAST((doc_id * 31 + f.i * 17 + x.i * 7 + y.i * 13) % 256
+        |      AS DOUBLE) -
+        |    CAST((doc_id * 31 + (f.i - 1) * 17 + x.i * 7 + y.i * 13) % 256
+        |      AS DOUBLE))) AS mot
+        |  FROM d, unnest(range(1, nf)) AS f(i),
+        |    unnest(range(0, width)) AS x(i),
+        |    unnest(range(0, height)) AS y(i)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, width, height, fps_num, nf AS n_frames,
+        |  floor(my * 10000 + 0.5) / 10000.0 AS mean_y,
+        |  floor(mcb * 10000 + 0.5) / 10000.0 AS mean_cb,
+        |  floor(mcr * 10000 + 0.5) / 10000.0 AS mean_cr,
+        |  floor(mot * 10000 + 0.5) / 10000.0 AS motion
+        |FROM d JOIN ym USING (doc_id) JOIN cm USING (doc_id)
+        |  JOIN mo USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is

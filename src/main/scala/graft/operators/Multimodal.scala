@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   *    BMP/WAV container headers parsed with plain byte arithmetic — the
   *    filter/route/stats stages of a multimodal pipeline need nothing
   *    more, and need no native libraries.
-  *  - PIXEL/SAMPLE decode is REAL for the formats plain byte arithmetic
-  *    can handle: uncompressed 24-bit BMP pixels
-  *    ([[decodeBmpFeatures]]) and 16-bit PCM WAV samples
-  *    ([[decodeWavFeatures]]) — the image and audio tiers carry no
-  *    fake. Only formats that genuinely need native codecs
-  *    (JPEG/PNG pixels, compressed audio, all video) keep the
-  *    DETERMINISTIC FAKE tier (clearly marked `fake*` below): features
-  *    derived from xxhash64 of the payload. The surrounding plumbing —
+  *  - PIXEL/SAMPLE/FRAME decode is REAL for the formats plain byte
+  *    arithmetic can handle: uncompressed 24-bit BMP pixels
+  *    ([[decodeBmpFeatures]]), 16-bit PCM WAV samples
+  *    ([[decodeWavFeatures]]) and uncompressed YUV4MPEG2 video frames
+  *    ([[decodeY4mFeatures]]) — all three modality tiers (image,
+  *    audio, video) have a fake-free slice. Only formats that
+  *    genuinely need native codecs (JPEG/PNG pixels, compressed
+  *    audio, coded video) keep the DETERMINISTIC FAKE tier (clearly
+  *    marked `fake*` below): features derived from xxhash64 of the
+  *    payload. The surrounding plumbing —
   *    binary representation, schemas, batch shapes, per-partition codec
   *    lifecycle ([[decodePartitions]]) — is the real contract a
   *    JNI/ffmpeg-backed codec drops into unchanged.
@@ -166,6 +168,37 @@ object Multimodal {
           graft.functions.WavPcm.decode(bytes).map(f =>
             WavFeatureRow(id, f.sampleRate, f.channels, f.nFrames,
               f.meanAmp, f.rms, f.peak))
+        }
+      }
+  }
+
+  /** Decoded video-frame-feature record for payloads the pure-JVM
+    * YUV4MPEG2 codec handles; coded video (H.264/VP9/…) and corrupt
+    * payloads are dropped (route them to [[decodePartitions]] with a
+    * real codec instead). */
+  case class Y4mFeatureRow(id: Long, width: Int, height: Int,
+                           fps_num: Int, fps_den: Int, n_frames: Int,
+                           mean_y: Double, mean_cb: Double,
+                           mean_cr: Double, motion: Double)
+
+  /** REAL frame-tier decode for uncompressed YUV4MPEG2 video payloads
+    * ([[graft.functions.Y4mFrames]] — plain byte arithmetic, no codec
+    * library): per-clip plane means + inter-frame luma motion,
+    * partition-local. With [[decodeBmpFeatures]] and
+    * [[decodeWavFeatures]] every modality tier now has a fake-free
+    * decode path; only natively-coded formats go through
+    * [[decodePartitions]]'s injected codec. */
+  def decodeY4mFeatures(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[Y4mFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.Y4mFrames.decode(bytes).map(f =>
+            Y4mFeatureRow(id, f.width, f.height, f.fpsNum, f.fpsDen,
+              f.nFrames, f.meanY, f.meanCb, f.meanCr, f.motion))
         }
       }
   }
