@@ -1610,6 +1610,28 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // BPE tokenizer APPLY — the other half of q79's pair counting:
+    // derive a deterministic 20-merge char table from the corpus (one
+    // aggregation), broadcast it, tokenize every document with the
+    // greedy public BPE algorithm, report per-language token budgets
+    // and fertility. ENGINE-HASH by construction (a greedy merge loop
+    // has no SQL form — the q23/q25 treatment): gated by TokenizeSpec's
+    // hand-computed fixtures + fixed-point/concatenation invariants,
+    // not a DuckDB oracle.
+    "q105_bpe_tokenize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Tokenize.deriveCharMerges(docs, "text", 20)
+      Tokenize.bpeStats(docs, "doc_id", "text", merges, "a", "b", "rank")
+        .join(docs.select($"doc_id", $"lang"), "doc_id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_words").as("n_words"),
+          sum($"n_tokens").as("n_tokens"),
+          Fns.roundU(avg($"fertility"), 4).as("avg_fertility"),
+          Fns.roundU(avg($"mean_token_len"), 4).as("avg_token_len"))
+        .orderBy($"lang")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:

@@ -274,12 +274,22 @@ object TextAnalysis {
     val starts = spans.join(dup, "h")
       .groupBy(col("id")).agg(collect_set(col("p")).as("__starts"))
     base.join(starts, Seq("id"), "left_outer")
-      .withColumn("__cov", coalesce(
-        array_distinct(flatten(transform(col("__starts"),
-          s => sequence(s, s + spanTok - 1)))),
-        array().cast("array<int>")))
-      .withColumn("__kept", filter(col("__toks"),
-        (_, i) => !array_contains(col("__cov"), i.cast("int"))))
+      // kept text = complement of the coverage union. All spans have
+      // the SAME length, so starts sorted ascending give ends sorted
+      // ascending — the union is a monotone interval chain and the
+      // complement is gap i = [previous span's end, this span's
+      // start), plus the head gap [0, s_0) and tail gap [s_last+k, n).
+      // Overlapping spans clamp to an empty slice via greatest(len,0).
+      // O(n_tok + k log k) per doc — no per-token membership scan (the
+      // q75 quadratic-per-doc lesson applied to the transform).
+      .withColumn("__s", array_sort(coalesce(col("__starts"),
+        array().cast("array<int>"))))
+      .withColumn("__from", concat(array(lit(0)),
+        transform(col("__s"), s => s + spanTok)))
+      .withColumn("__to", concat(col("__s"),
+        array(size(col("__toks")))))
+      .withColumn("__kept", flatten(zip_with(col("__from"), col("__to"),
+        (a, b) => slice(col("__toks"), a + 1, greatest(b - a, lit(0))))))
       .select(col("id"), col("n_tok").cast("long").as("n_tok"),
         size(col("__kept")).cast("long").as("n_kept"),
         (col("n_tok") - size(col("__kept"))).cast("long")
