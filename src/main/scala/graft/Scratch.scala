@@ -161,10 +161,65 @@ object Scratch {
       }
     }
 
+    /** q97 span-removal transform: the q75 head plus per-doc
+      * interval-complement reconstruction. */
+    def spanRemovalChain(mult: Int): Double = {
+      val docs = replicateDocs(mult)
+      timed {
+        val r = operators.TextAnalysis.removeDupSpans(docs, "text",
+            "doc_id", spanTok = 8)
+          .agg(sum(col("n_removed")).as("nr"), count(lit(1)).as("n"))
+          .collect()(0)
+        println(s"[scratch]   spanRemoval mult=$mult docs=${r.getLong(1)} " +
+          s"removed=${r.getLong(0)}")
+      }
+    }
+
+    /** q99 per-source quality gate: exact histogram quantiles →
+      * broadcast threshold → keep report. Source cardinality stays
+      * fixed as the corpus grows (real pipelines add docs, not
+      * sources), so the quantile state must stay bounded. */
+    def qualityGateChain(mult: Int): Double = {
+      // replicas keep their base doc's source: the source set stays
+      // fixed while the corpus grows, exactly a crawl's shape
+      val docs = replicate(Tables.documents(spark, d), "doc_id", mult)(
+        (_, df) => df.select(col("doc_id"), col("text"), col("source")))
+      timed {
+        val scored = docs.select(col("doc_id"), col("source"),
+          operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+        val thr = operators.Percentiles.exactQuantiles(scored, "source",
+            "quality", Seq(0.25))
+          .select(col("source"), col("value").as("q25"))
+        val n = scored.join(broadcast(thr), Seq("source"))
+          .groupBy(col("source"))
+          .agg(sum(when(col("quality") >= col("q25"), 1L).otherwise(0L))
+            .as("n_kept")).count()
+        println(s"[scratch]   qualityGate mult=$mult sources=$n")
+      }
+    }
+
+    /** q105 BPE apply: corpus-derived merge table (one aggregation) +
+      * broadcast tokenize pass. Pure map-side compute after the small
+      * derive agg — the probe checks the tokenize pass scales linearly
+      * and the derive agg's pair domain stays bounded. */
+    def bpeChain(mult: Int): Double = {
+      val docs = replicateDocs(mult)
+      timed {
+        val merges = operators.Tokenize.deriveCharMerges(docs, "text", 20)
+        val r = operators.Tokenize.bpeStats(docs, "doc_id", "text",
+            merges, "a", "b", "rank")
+          .agg(sum(col("n_tokens")).as("nt"), count(lit(1)).as("n"))
+          .collect()(0)
+        println(s"[scratch]   bpe mult=$mult docs=${r.getLong(1)} " +
+          s"tokens=${r.getLong(0)}")
+      }
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
       "dedup" -> dedupChain, "leakage" -> leakageChain,
       "span" -> spanChain, "semantic" -> semanticChain,
-      "semantic2" -> semanticChain2)
+      "semantic2" -> semanticChain2, "spanRemoval" -> spanRemovalChain,
+      "qualityGate" -> qualityGateChain, "bpe" -> bpeChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm
