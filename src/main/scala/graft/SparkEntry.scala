@@ -1632,6 +1632,37 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    // INCREMENTAL AGGREGATE MAINTENANCE — materialized-view delta
+    // merge (self-maintainable-view theory: counts/sums maintain under
+    // inserts AND retracts with no base-table rescan). Base = the
+    // pricing summary over 90% of lineitem; the delta batch inserts
+    // the held-out 10% and retracts every 7th base row. The oracle
+    // recomputes the aggregate FROM SCRATCH over the effective row
+    // set — the maintained view must hash-match it exactly, which is
+    // the defining identity of incremental view maintenance.
+    "q106_agg_delta" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select($"l_returnflag",
+        $"l_linestatus", $"l_quantity", $"l_extendedprice",
+        $"l_orderkey")
+      val baseAgg = li.filter($"l_orderkey" % 10 =!= 0)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"l_quantity").as("sum_qty"),
+          sum($"l_extendedprice").as("sum_price"))
+      val delta = li.filter($"l_orderkey" % 10 === 0)
+        .withColumn("__op", lit("I"))
+        .unionByName(li.filter($"l_orderkey" % 10 =!= 0 &&
+          $"l_orderkey" % 7 === 0).withColumn("__op", lit("D")))
+      Merge.applyAggDelta(baseAgg, delta,
+          Seq("l_returnflag", "l_linestatus"), "n_rows",
+          Seq("sum_qty" -> "l_quantity",
+            "sum_price" -> "l_extendedprice"), "__op")
+        .select($"l_returnflag", $"l_linestatus", $"n_rows",
+          Fns.roundU($"sum_qty", 2).as("sum_qty"),
+          Fns.roundU($"sum_price", 2).as("sum_price"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -3567,6 +3598,19 @@ object SparkEntry {
         |FROM d JOIN ym USING (doc_id) JOIN cm USING (doc_id)
         |  JOIN mo USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // q106: the oracle recomputes the aggregate from scratch over the
+    // effective set — (base minus retracts) plus inserts collapses to
+    // one predicate: kept iff inserted (%10=0) or not retracted (%7<>0)
+    "q106_agg_delta" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey % 10 = 0 OR l_orderkey % 7 <> 0
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is

@@ -49,6 +49,51 @@ object Merge {
               .otherwise(target(c)).as(c))): _*)
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view delta
+    * merge (classic self-maintainable-view theory: counts and sums are
+    * maintainable under inserts AND deletes without touching the base
+    * table). Given a materialized per-key aggregate
+    * (`countCol` + the `sums` columns) and a CDC delta batch of raw
+    * rows — `opCol` = 'I' (insert) or 'D' (retract) — produce the
+    * updated aggregate.
+    *
+    * Scale shape: the delta batch collapses to per-key signed partials
+    * in ONE hash aggregate (map-side combine), then joins the
+    * materialized aggregate — whose row count is the GROUP cardinality,
+    * not the base table's — with one full-outer hash join. The base
+    * table is never read; that is the point. Derived measures (avg =
+    * sum/count) recompute from the maintained sufficient statistics.
+    *
+    * `sums` maps each maintained sum column in `baseAgg` to the raw
+    * delta column feeding it. Keys whose count reaches zero drop (the
+    * group vanished). A NEGATIVE count means the caller retracted rows
+    * never inserted — a data-contract violation; those keys also drop,
+    * and the q94/q102 contract layer is where such batches get caught.
+    */
+  def applyAggDelta(baseAgg: DataFrame, delta: DataFrame,
+                    keys: Seq[String], countCol: String,
+                    sums: Seq[(String, String)], opCol: String)
+      : DataFrame = {
+    // unknown ops fail LOUD at execution, not silently drop: a typo'd
+    // op silently ignored would desynchronize the view from its base
+    val sign = when(col(opCol) === "I", 1L)
+      .when(col(opCol) === "D", -1L)
+      .otherwise(raise_error(concat(
+        lit("applyAggDelta: op must be I or D, got "), col(opCol))))
+    val dAgg = delta.groupBy(keys.map(col): _*).agg(
+      sum(sign).as("__dn"),
+      sums.map { case (aggC, rawC) =>
+        sum(sign * col(rawC)).as(s"__d_$aggC") }: _*)
+    baseAgg.join(dAgg, keys, "full_outer")
+      .select((keys.map(col) :+
+        (coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"),
+          lit(0L))).as(countCol)) ++
+        sums.map { case (aggC, _) =>
+          (coalesce(col(aggC), lit(0)) + coalesce(col(s"__d_$aggC"),
+            lit(0))).as(aggC) }: _*)
+      .filter(col(countCol) > 0)
+  }
+
   /** SCD TYPE-2 apply — [[applyChanges]]'s history-keeping sibling (the
     * slowly-changing-dimension staple): instead of overwriting a
     * changed key's row, CLOSE it (set `validToCol` = the change's

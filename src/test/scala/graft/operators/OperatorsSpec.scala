@@ -736,6 +736,43 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       (4L, "d", 40.0)))
   }
 
+  test("Merge.applyAggDelta: insert/retract maintenance equals rescan") {
+    val base = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 7.0))
+      .toDF("k", "v")
+    val baseAgg = base.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val delta = Seq(
+      ("a", 30.0, "I"),   // new row in existing group
+      ("b", 5.0, "D"),    // retract b's only row → group vanishes
+      ("d", 1.0, "I"),    // brand-new group
+      ("d", 2.0, "I"))
+      .toDF("k", "v", "op")
+    val r = Merge.applyAggDelta(baseAgg, delta, Seq("k"), "n",
+        Seq("sv" -> "v"), "op")
+      .orderBy($"k").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    // must equal the from-scratch aggregate over (base − retracts + inserts)
+    assert(r.toSeq === Seq(("a", 3L, 60.0), ("c", 1L, 7.0),
+      ("d", 2L, 3.0)))
+  }
+
+  test("Merge.applyAggDelta: over-retraction drops the key; bad op is loud") {
+    val baseAgg = Seq(("a", 1L, 5.0)).toDF("k", "n", "sv")
+    // retracting 2 rows from a 1-row group: negative count → dropped
+    val over = Seq(("a", 5.0, "D"), ("a", 5.0, "D"), ("a", 5.0, "D"))
+      .toDF("k", "v", "op")
+    assert(Merge.applyAggDelta(baseAgg, over, Seq("k"), "n",
+      Seq("sv" -> "v"), "op").count() === 0)
+    val bad = Seq(("a", 5.0, "X")).toDF("k", "v", "op")
+    val e = intercept[Exception] {
+      Merge.applyAggDelta(baseAgg, bad, Seq("k"), "n",
+        Seq("sv" -> "v"), "op").collect()
+    }
+    assert(e.getMessage.contains("applyAggDelta") ||
+      e.getCause != null && e.getCause.getMessage.contains("applyAggDelta"),
+      e.getMessage)
+  }
+
   test("Merge.applyScd2: close+append, no-op identical, history intact") {
     // history: k=1 has a closed v1 and an open v2; k=2 open; k=3 open
     val target = Seq(
