@@ -65,6 +65,29 @@ object Registry {
     }
   }
 
+  /** Streaming INCREMENTAL VIEW maintenance: keep a parquet
+    * materialized aggregate current from a stream of CDC batches (raw
+    * rows tagged `opCol` = I/D) — [[Merge.applyAggDelta]] per
+    * micro-batch under the same crash-safe write-stage-swap as
+    * [[snapshotApplier]]. The stored view is sized by GROUP
+    * cardinality; no base table exists anywhere — the streaming form
+    * of q106's maintenance identity. */
+  def aggViewApplier(path: String, keys: Seq[String], countCol: String,
+                     sums: Seq[(String, String)], opCol: String)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    swapSnapshot(path, batch.sparkSession) { current =>
+      val base = current.getOrElse {
+        // true first batch: an empty view whose count/sum types are
+        // exactly what the maintained aggregate of this delta implies
+        batch.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as(countCol),
+            sums.map { case (aggC, rawC) => sum(col(rawC)).as(aggC) }: _*)
+          .limit(0)
+      }
+      Merge.applyAggDelta(base, batch, keys, countCol, sums, opCol)
+    }
+  }
+
   /** Read-modify-swap of a parquet snapshot: hand the current state
     * (None on true first run) to `f`, stage the result, atomically
     * promote. A crash between delete and rename leaves a completed
@@ -73,7 +96,8 @@ object Registry {
     * state for the rest of this run (reading from .staged and then
     * deleting it to stage new output would otherwise leave a window
     * where a second crash silently resets the registry to empty).
-    * Shared by [[snapshotUpserter]] and [[snapshotApplier]]. */
+    * Shared by [[snapshotUpserter]], [[snapshotApplier]] and
+    * [[aggViewApplier]]. */
   private def swapSnapshot(path: String,
                            spark: org.apache.spark.sql.SparkSession)
                           (f: Option[DataFrame] => DataFrame): Unit = {
