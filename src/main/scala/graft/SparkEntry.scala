@@ -1663,6 +1663,29 @@ object SparkEntry {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // LAST-TOUCH ATTRIBUTION — the marketing-analytics staple: each
+    // purchase credits the user's latest view/click at-or-before it;
+    // revenue rolls up by credited touch type, purchases with no prior
+    // touch report as unattributed. Pure REUSE of the q18 as-of join
+    // (union + one window pass, one shuffle on user_id — never a
+    // per-purchase range probe), with its tie discipline: touches sort
+    // before same-ts purchases, equal-ts touches resolve to the
+    // greatest type, all mirrored in the oracle.
+    "q107_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id", $"value")
+      val touches = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id", $"ts", $"event_type")
+      Joins.asOfJoin(purchases, touches, "user_id", "ts", "event_type",
+          "credited", tieBreak = $"event_id")
+        .groupBy(coalesce($"credited", lit("unattributed"))
+          .as("credited"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Fns.roundU(sum($"value"), 2).as("revenue"))
+        .orderBy($"credited")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -3611,6 +3634,28 @@ object SparkEntry {
         |WHERE l_orderkey % 10 = 0 OR l_orderkey % 7 <> 0
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // q107: the q18 union-window derivation with purchase/touch sides
+    // swapped; same tie discipline (touch before same-ts purchase,
+    // greatest type among equal-ts touches)
+    "q107_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+        |    CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      AS touch
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |w AS (
+        |  SELECT *, last_value(touch IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, side, touch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS credited
+        |  FROM u)
+        |SELECT coalesce(credited, 'unattributed') AS credited,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  floor((sum(value)) * 100 + 0.5) / 100.0 AS revenue
+        |FROM w WHERE side = 1
+        |GROUP BY 1 ORDER BY credited""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is
