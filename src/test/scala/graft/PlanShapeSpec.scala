@@ -381,6 +381,44 @@ class PlanShapeSpec extends SparkSpec {
       "weighted sample fell back to a window sort")
   }
 
+  test("q104 y4m: documents scan reads only doc_id (payloads synthesized)") {
+    // the decode query synthesizes payloads from doc_id — if the scan
+    // reads text/lang too, column pruning through the UDF projection
+    // and mapPartitions boundary has regressed
+    val scans = collectAll(plan("q104_y4m_decode")) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.schema.fieldNames.toSeq === Seq("doc_id")),
+      scans.map(_.schema.fieldNames.mkString(",")).mkString(";"))
+  }
+
+  test("q106 IVM: one view join, hash-aggregated delta, no window") {
+    // the maintenance identity: delta collapses to signed partials in
+    // a hash aggregate (never a window sort), and the view is touched
+    // by exactly ONE join — a second join would mean the base table
+    // crept back into the incremental path
+    val p = plan("q106_agg_delta")
+    val joins = collectAll(p) { case j: SortMergeJoinExec => j } ++
+      collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(joins.length === 1, s"expected exactly 1 join:\n$p")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "IVM plan picked up a window sort")
+  }
+
+  test("q107 attribution: as-of is union+window, no join operator") {
+    // the credited touch comes from ONE per-user window over the
+    // unioned stream — a join-shaped plan (per-purchase range probe)
+    // is exactly what asOfJoin exists to avoid
+    val p = plan("q107_attribution")
+    assert(collectAll(p) { case j: SortMergeJoinExec => j }.isEmpty &&
+      collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"attribution plan contains a join:\n$p")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.length === 1 && wins.head.partitionSpec.nonEmpty,
+      s"expected one user-partitioned window:\n$wins")
+  }
+
   test("runtime bloom filter injects on a selective non-broadcast join") {
     // The engine-native sibling of the explicit Bloom operators in
     // Dedup: at the bench config (runtime.bloomFilter.enabled is
