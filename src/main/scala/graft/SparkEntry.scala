@@ -1686,6 +1686,38 @@ object SparkEntry {
         .orderBy($"credited")
     }),
 
+    // SKETCH-ACCELERATED EXACT HEAVY HITTERS — the two-phase pattern
+    // that makes "every key with count >= T, exactly" affordable at
+    // 100 TB: phase 1 builds ONE Count-Min sketch (fixed 256 KB of
+    // state however many keys exist) and keeps only rows whose key the
+    // sketch says MIGHT reach T — sound, because CM never
+    // underestimates, so the survivor set is a superset of the truth;
+    // phase 2 exact-counts only the survivors, so the shuffle carries
+    // candidate-key rows instead of the whole key domain. The FINAL
+    // output is exact and engine-independent (the sketch only prunes),
+    // which is why this query rides a plain GROUP BY/HAVING oracle
+    // while the sketch itself (q-less, engine-hash) stays spec-gated.
+    // The probe is deliberately a Scala UDF over the broadcast sketch:
+    // depth array lookups per row against 256 KB of shared state —
+    // the expression-literal alternative would embed the sketch in the
+    // plan.
+    "q108_sketch_heavy" -> ((s, d) => {
+      val T = 45L
+      val depth = 4; val width = 8192
+      val li = Tables.lineitem(s, d).select($"l_partkey")
+      val sketch = li.agg(graft.functions.CountMinAgg(depth, width)(
+          $"l_partkey".cast("string")).as("sk"))
+        .collect()(0).getSeq[Long](0).toArray
+      val bc = s.sparkContext.broadcast(sketch)
+      val mayReachT = udf((k: Long) => graft.functions.CountMinAgg
+        .estimate(bc.value, k.toString, depth, width) >= T)
+      li.filter(mayReachT($"l_partkey"))
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" >= T)
+        .orderBy($"l_partkey")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -3656,6 +3688,13 @@ object SparkEntry {
         |  floor((sum(value)) * 100 + 0.5) / 100.0 AS revenue
         |FROM w WHERE side = 1
         |GROUP BY 1 ORDER BY credited""".stripMargin,
+
+    // q108: the sketch only PRUNES — the exact output is plain
+    // GROUP BY/HAVING, which is the point of the two-phase pattern
+    "q108_sketch_heavy" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45
+        |ORDER BY l_partkey""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is
