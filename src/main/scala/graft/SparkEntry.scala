@@ -1718,6 +1718,30 @@ object SparkEntry {
         .orderBy($"l_partkey")
     }),
 
+    // COHORT RETENTION — the product-analytics matrix: users cohorted
+    // by first-activity week, retention = fraction of the cohort
+    // active k weeks later. Window-free: first-week and activity are
+    // two hash aggregates over (user, week) — the distinct collapses
+    // per-user event volume BEFORE any join, so the retention join
+    // moves at most users × weeks rows however many raw events exist.
+    "q109_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select($"user_id", date_trunc("week", $"ts").as("w"))
+      val act = ev.distinct()
+      val firstw = act.groupBy($"user_id").agg(min($"w").as("cw"))
+      val sizes = firstw.groupBy($"cw").agg(count(lit(1)).as("n_users"))
+      act.join(firstw, "user_id")
+        .select($"cw", (datediff($"w", $"cw") / 7).cast("int").as("off"))
+        .filter($"off" <= 4)
+        .groupBy($"cw", $"off").agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cw")
+        .select($"cw".cast("date").as("cohort_week"),
+          $"off".as("week_offset"), $"n_active", $"n_users",
+          Fns.roundU($"n_active".cast("double") / $"n_users", 4)
+            .as("retention"))
+        .orderBy($"cohort_week", $"week_offset")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -3695,6 +3719,28 @@ object SparkEntry {
       """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45
         |ORDER BY l_partkey""".stripMargin,
+
+    // q109: same derivation — distinct (user, week) activity, min week
+    // as the cohort, day-diff // 7 as the offset
+    "q109_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events),
+        |f AS (SELECT user_id, min(w) AS cw FROM a GROUP BY user_id),
+        |cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM f GROUP BY cw),
+        |j AS (
+        |  SELECT f.cw, CAST(date_diff('day', f.cw, a.w) // 7 AS INT)
+        |    AS off
+        |  FROM a JOIN f USING (user_id))
+        |SELECT CAST(j.cw AS DATE) AS cohort_week, off AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_active, n_users,
+        |  floor((count(*) / CAST(n_users AS DOUBLE)) * 10000 + 0.5)
+        |    / 10000.0 AS retention
+        |FROM j JOIN cs USING (cw) WHERE off <= 4
+        |GROUP BY j.cw, off, n_users
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is
