@@ -88,6 +88,40 @@ object Registry {
     }
   }
 
+  /** Streaming SCD TYPE-2 maintenance: keep a parquet dimension-history
+    * table current from a stream of change batches —
+    * [[Merge.applyScd2]] per micro-batch under the crash-safe
+    * write-stage-swap. Completes the streaming lakehouse trio
+    * (snapshotApplier = SCD-1 MERGE, aggViewApplier = IVM, this =
+    * history). Within-batch granularity is the micro-batch: multiple
+    * changes to one key in a single batch pre-collapse to the
+    * last-writer (max `tsCol`) BEFORE the apply — applyScd2's
+    * one-change-per-key contract — so intermediate within-batch
+    * versions are not historized. If every intermediate version must
+    * be kept, shrink the trigger interval; the versioning grain IS the
+    * batch. */
+  def scd2Applier(path: String, keys: Seq[String], valueCols: Seq[String],
+                  tsCol: String, validFromCol: String, validToCol: String)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    swapSnapshot(path, batch.sparkSession) { current =>
+      // LWW collapse to one change per key (hash aggregate, no window)
+      val winner = batch.groupBy(keys.map(col): _*)
+        .agg(max_by(struct((valueCols :+ tsCol).map(col): _*),
+          col(tsCol)).as("__w"))
+        .select(keys.map(col) ++
+          (valueCols :+ tsCol).map(c => col(s"__w.$c").as(c)): _*)
+      val target = current.getOrElse {
+        // true first batch: empty history typed from the batch itself
+        // (valid_from/valid_to take the change-ts type)
+        batch.select(keys.map(col) ++ valueCols.map(col) :+
+          col(tsCol).as(validFromCol) :+
+          col(tsCol).as(validToCol): _*).limit(0)
+      }
+      Merge.applyScd2(target, winner, keys, valueCols, tsCol,
+        validFromCol, validToCol)
+    }
+  }
+
   /** Read-modify-swap of a parquet snapshot: hand the current state
     * (None on true first run) to `f`, stage the result, atomically
     * promote. A crash between delete and rename leaves a completed

@@ -651,6 +651,52 @@ class StreamsSpec extends SparkSpec {
       .toMap === Map("a" -> ((1L, 10.0)), "c" -> ((1L, 7.0))))
   }
 
+  test("scd2Applier: streaming history maintenance across restarts") {
+    val changesDir = Files.createTempDirectory("graft-scd2").toFile
+    val hist = Files.createTempDirectory("graft-scd2-hist").toFile
+      .getAbsolutePath + "/h"
+    def write(name: String, lines: Seq[String]): Unit =
+      dropFile(changesDir, name, lines.mkString("\n"))
+    // batch 1: k=1 changes twice IN the batch (LWW collapses to v1b —
+    // the batch is the versioning grain), k=2 once
+    write("c1.json", Seq(
+      """{"k":1,"v":"v1a","ts":10}""",
+      """{"k":1,"v":"v1b","ts":11}""",
+      """{"k":2,"v":"w1","ts":12}"""))
+    val stream = spark.readStream
+      .schema("k LONG, v STRING, ts LONG")
+      .option("maxFilesPerTrigger", 1).json(changesDir.getAbsolutePath)
+    val apply = graft.operators.Registry.scd2Applier(
+      hist, Seq("k"), Seq("v"), "ts", "valid_from", "valid_to")
+    val ckpt = Files.createTempDirectory("graft-scd2-ckpt").toFile
+      .getAbsolutePath
+    def run(): Unit = {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          apply(b, id)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    run()
+    def rows() = spark.read.parquet(hist).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(rows() === Set((1L, "v1b", 11L, -1L), (2L, "w1", 12L, -1L)))
+    // batch 2 after a restart: k=1 really changes (close + append),
+    // k=2 gets an IDENTICAL change (must be a no-op, no version churn)
+    write("c2.json", Seq(
+      """{"k":1,"v":"v2","ts":20}""",
+      """{"k":2,"v":"w1","ts":21}"""))
+    run()
+    assert(rows() === Set(
+      (1L, "v1b", 11L, 20L),   // closed at the change ts
+      (1L, "v2", 20L, -1L),    // new open version
+      (2L, "w1", 12L, -1L)))   // untouched: identical change suppressed
+  }
+
   test("sessionStats: streaming session windows close via watermark") {
     val dir = Files.createTempDirectory("graft-sess").toFile
     def write(name: String, lines: Seq[String]): Unit =
