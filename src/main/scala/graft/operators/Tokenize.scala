@@ -31,13 +31,27 @@ object Tokenize {
 
   /** Apply `ranks` to one pre-split word. Deterministic: ties in rank
     * cannot occur (ranks are distinct by construction in [[bpeStats]];
-    * duplicated pairs in a caller-built map keep the map's value). */
+    * duplicated pairs in a caller-built map keep the map's value).
+    *
+    * Initial units are Unicode CODE POINTS, not UTF-16 chars: a
+    * surrogate-pair character (emoji, supplementary CJK) must enter as
+    * one unit, both because half-surrogate "tokens" are not strings a
+    * model can use and because [[deriveCharMerges]]'s Spark-side
+    * `substr` indexes by code point — the two sides must agree on what
+    * a character is. */
   def tokenizeWord(word: String,
                    ranks: Map[(String, String), Int]): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var toks = new Array[String](word.length)
+    var toks = new Array[String](word.codePointCount(0, word.length))
     var i = 0
-    while (i < word.length) { toks(i) = word.substring(i, i + 1); i += 1 }
+    var at = 0
+    while (at < word.length) {
+      val cp = word.codePointAt(at)
+      val n = Character.charCount(cp)
+      toks(i) = word.substring(at, at + n)
+      at += n
+      i += 1
+    }
     var done = toks.length < 2 || ranks.isEmpty
     while (!done) {
       // lowest-rank adjacent pair present in the word
@@ -109,7 +123,11 @@ object Tokenize {
             val t = tokenizeWord(w, rk)
             nTok += t.length
             var i = 0
-            while (i < t.length) { tokLen += t(i).length; i += 1 }
+            while (i < t.length) {
+              // code points, matching tokenizeWord's unit of character
+              tokLen += t(i).codePointCount(0, t(i).length)
+              i += 1
+            }
           }
           (id, words.length.toLong, nTok, tokLen)
         }

@@ -55,6 +55,19 @@ class TokenizeSpec extends SparkSpec {
     }
   }
 
+  test("surrogate-pair characters stay whole code points") {
+    // U+1F600 is a surrogate pair in UTF-16: with no merges it must
+    // come back as ONE token, not two broken half-surrogates — and
+    // merges over it must work like any other character
+    val emoji = new String(Character.toChars(0x1F600))
+    val word = s"a${emoji}b"
+    assert(Tokenize.tokenizeWord(word, Map.empty).toSeq ===
+      Seq("a", emoji, "b"))
+    val merged = Tokenize.tokenizeWord(word, Map(("a", emoji) -> 0))
+    assert(merged.toSeq === Seq(s"a$emoji", "b"))
+    assert(merged.mkString === word)
+  }
+
   test("bpeStats computes counts, fertility and token length per doc") {
     val docs = Seq((1L, "abcab abcd"), (2L, ""), (3L, "xyz"))
       .toDF("doc_id", "text")
