@@ -1742,6 +1742,18 @@ object SparkEntry {
         .orderBy($"cohort_week", $"week_offset")
     }),
 
+    // JOIN-SKEW diagnostICS — the pre-flight report that decides
+    // whether a join key needs salting (q20) or AQE's skew split
+    // before a 100 TB run finds out the hard way: per-key counts
+    // collapse in one hash aggregate (the shuffle carries distinct
+    // keys, not rows), one bounded aggregate derives the straggler
+    // factor and the leveling salt count.
+    "q110_skew_report" -> ((s, d) => {
+      Layout.skewReport(Tables.events(s, d), "user_id")
+        .select($"n_rows", $"n_keys", $"max_count", $"top_key",
+          $"avg_count", $"skew_ratio", $"suggested_salts")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -3741,6 +3753,25 @@ object SparkEntry {
         |FROM j JOIN cs USING (cw) WHERE off <= 4
         |GROUP BY j.cw, off, n_users
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // q110: per-key counts then shape stats; the top key resolves by
+    // (count desc, key desc) — the Spark side's max_by struct order
+    "q110_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, count(*) AS c FROM events GROUP BY 1),
+        |t AS (SELECT CAST(key AS VARCHAR) AS top_key FROM c
+        |  ORDER BY c DESC, key DESC LIMIT 1),
+        |s AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_count FROM c)
+        |SELECT n_rows, n_keys, max_count, top_key,
+        |  floor((n_rows / CAST(n_keys AS DOUBLE)) * 100 + 0.5) / 100.0
+        |    AS avg_count,
+        |  floor((max_count * CAST(n_keys AS DOUBLE) / n_rows) * 100
+        |    + 0.5) / 100.0 AS skew_ratio,
+        |  CAST(ceil(max_count * CAST(n_keys AS DOUBLE) / n_rows) AS INT)
+        |    AS suggested_salts
+        |FROM s, t""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is

@@ -63,6 +63,35 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** JOIN-SKEW diagnostics: the report that decides whether a key needs
+    * salting (or AQE's skew split) BEFORE the 100 TB run discovers it
+    * the hard way. Per-key counts collapse in one hash aggregate (the
+    * shuffle carries distinct keys, not rows), then one bounded
+    * aggregate computes the shape: the max/avg ratio is the straggler
+    * factor — a partition holding the hottest key does `skew_ratio`×
+    * the average reducer's work — and `suggested_salts` is the
+    * replication factor that levels it (ceil of the hottest key's
+    * share of an average reducer, the q20 salted-join parameter).
+    * `top_key` names the culprit for the log line. */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("__c"))
+    counts.agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__c")).as("max_count"),
+        max_by(col("key").cast("string"), struct(col("__c"), col("key")))
+          .as("top_key"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        col("top_key"),
+        graft.Fns.roundU(col("n_rows").cast("double") / col("n_keys"), 2)
+          .as("avg_count"),
+        graft.Fns.roundU(col("max_count").cast("double") *
+          col("n_keys") / col("n_rows"), 2).as("skew_ratio"),
+        ceil(col("max_count").cast("double") * col("n_keys") /
+          col("n_rows")).cast("int").as("suggested_salts"))
+  }
+
   /** One planned compaction bin. */
   case class CompactionBin(bin_id: Int, path: String, bytes: Long)
 
