@@ -80,12 +80,23 @@ object Merge {
       .when(col(opCol) === "D", -1L)
       .otherwise(raise_error(concat(
         lit("applyAggDelta: op must be I or D, got "), col(opCol))))
+    // delta keys renamed + joined with <=> (null-safe): groupBy puts
+    // null keys in ONE group, so the view join must match them too —
+    // a usingColumns join compares with ===, under which the base's
+    // null-key group and the delta's never meet and the view splits
+    // into two null rows, breaking the from-scratch identity
     val dAgg = delta.groupBy(keys.map(col): _*).agg(
-      sum(sign).as("__dn"),
-      sums.map { case (aggC, rawC) =>
-        sum(sign * col(rawC)).as(s"__d_$aggC") }: _*)
-    baseAgg.join(dAgg, keys, "full_outer")
-      .select((keys.map(col) :+
+        sum(sign).as("__dn"),
+        sums.map { case (aggC, rawC) =>
+          sum(sign * col(rawC)).as(s"__d_$aggC") }: _*)
+      .select((keys.map(k => col(k).as(s"__dk_$k")) :+ col("__dn")) ++
+        sums.map { case (aggC, _) => col(s"__d_$aggC") }: _*)
+    val joinCond = keys.map(k => baseAgg(k) <=> dAgg(s"__dk_$k"))
+      .reduce(_ && _)
+    baseAgg.join(dAgg, joinCond, "full_outer")
+      .select((keys.map(k =>
+        when(col("__dn").isNotNull, dAgg(s"__dk_$k"))
+          .otherwise(baseAgg(k)).as(k)) :+
         (coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"),
           lit(0L))).as(countCol)) ++
         sums.map { case (aggC, _) =>

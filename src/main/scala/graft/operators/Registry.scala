@@ -74,17 +74,34 @@ object Registry {
     * of q106's maintenance identity. */
   def aggViewApplier(path: String, keys: Seq[String], countCol: String,
                      sums: Seq[(String, String)], opCol: String)
-      : (DataFrame, Long) => Unit = { (batch, _) =>
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
     swapSnapshot(path, batch.sparkSession) { current =>
-      val base = current.getOrElse {
-        // true first batch: an empty view whose count/sum types are
-        // exactly what the maintained aggregate of this delta implies
-        batch.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as(countCol),
-            sums.map { case (aggC, rawC) => sum(col(rawC)).as(aggC) }: _*)
-          .limit(0)
+      // foreachBatch is AT-LEAST-ONCE: a crash between the snapshot
+      // promote and the checkpoint commit re-delivers the same batch,
+      // and delta ADDITION (unlike snapshotApplier's LWW upsert or
+      // scd2Applier's identical-change suppression) has no natural
+      // idempotence — a replayed batch applied twice corrupts the view
+      // forever. Every view row therefore carries the last-applied
+      // batch id; a replay detects itself and rewrites the view
+      // unchanged (the rare-crash cost is one rewrite, not a wrong
+      // answer).
+      val applied = current.exists(c =>
+        c.limit(1).select(col("__last_batch")).collect()
+          .headOption.exists(_.getLong(0) >= batchId))
+      if (applied) current.get
+      else {
+        val base = current.map(_.drop("__last_batch")).getOrElse {
+          // true first batch: an empty view whose count/sum types are
+          // exactly what the maintained aggregate of this delta implies
+          batch.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as(countCol),
+              sums.map { case (aggC, rawC) =>
+                sum(col(rawC)).as(aggC) }: _*)
+            .limit(0)
+        }
+        Merge.applyAggDelta(base, batch, keys, countCol, sums, opCol)
+          .withColumn("__last_batch", lit(batchId))
       }
-      Merge.applyAggDelta(base, batch, keys, countCol, sums, opCol)
     }
   }
 
@@ -104,10 +121,15 @@ object Registry {
                   tsCol: String, validFromCol: String, validToCol: String)
       : (DataFrame, Long) => Unit = { (batch, _) =>
     swapSnapshot(path, batch.sparkSession) { current =>
-      // LWW collapse to one change per key (hash aggregate, no window)
+      // LWW collapse to one change per key (hash aggregate, no
+      // window). The ordering key includes the VALUE struct after ts:
+      // two same-key changes at the same ts (second-granularity CDC)
+      // must pick the same winner on every replay — max_by on ts alone
+      // is scan-order-dependent, and a replayed batch choosing the
+      // other value would historize a phantom version
       val winner = batch.groupBy(keys.map(col): _*)
         .agg(max_by(struct((valueCols :+ tsCol).map(col): _*),
-          col(tsCol)).as("__w"))
+          struct(col(tsCol) +: valueCols.map(col): _*)).as("__w"))
         .select(keys.map(col) ++
           (valueCols :+ tsCol).map(c => col(s"__w.$c").as(c)): _*)
       val target = current.getOrElse {
@@ -130,8 +152,8 @@ object Registry {
     * state for the rest of this run (reading from .staged and then
     * deleting it to stage new output would otherwise leave a window
     * where a second crash silently resets the registry to empty).
-    * Shared by [[snapshotUpserter]], [[snapshotApplier]] and
-    * [[aggViewApplier]]. */
+    * Shared by [[snapshotUpserter]], [[snapshotApplier]],
+    * [[aggViewApplier]] and [[scd2Applier]]. */
   private def swapSnapshot(path: String,
                            spark: org.apache.spark.sql.SparkSession)
                           (f: Option[DataFrame] => DataFrame): Unit = {

@@ -132,8 +132,8 @@ object Tokenize {
           (id, words.length.toLong, nTok, tokLen)
         }
       }
-      .toDF("doc_id", "n_words", "n_tokens", "__tok_len")
-      .select($"doc_id", $"n_words", $"n_tokens",
+      .toDF(idCol, "n_words", "n_tokens", "__tok_len")
+      .select(col(idCol), $"n_words", $"n_tokens",
         when($"n_words" > 0,
           $"n_tokens".cast("double") / $"n_words").otherwise(0.0)
           .as("fertility"),

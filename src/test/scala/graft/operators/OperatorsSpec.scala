@@ -756,6 +756,20 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       ("d", 2L, 3.0)))
   }
 
+  test("Merge.applyAggDelta: null keys merge into one group") {
+    // groupBy puts null keys in ONE group; the view join must match
+    // them too (null-safe join), or the view splits into two null rows
+    val baseAgg = Seq((Option.empty[String], 1L, 5.0),
+      (Option("x"), 2L, 8.0)).toDF("k", "n", "sv")
+    val delta = Seq((Option.empty[String], 10.0, "I"))
+      .toDF("k", "v", "op")
+    val r = Merge.applyAggDelta(baseAgg, delta, Seq("k"), "n",
+        Seq("sv" -> "v"), "op").collect()
+      .map(x => (if (x.isNullAt(0)) "<null>" else x.getString(0),
+        x.getLong(1), x.getDouble(2))).toSet
+    assert(r === Set(("<null>", 2L, 15.0), ("x", 2L, 8.0)))
+  }
+
   test("Merge.applyAggDelta: over-retraction drops the key; bad op is loud") {
     val baseAgg = Seq(("a", 1L, 5.0)).toDF("k", "n", "sv")
     // retracting 2 rows from a 1-row group: negative count → dropped

@@ -634,9 +634,20 @@ class StreamsSpec extends SparkSpec {
       q.awaitTermination(60000)
     }
     run()
-    assert(spark.read.parquet(view).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
-      .toMap === Map("a" -> ((2L, 30.0)), "b" -> ((1L, 5.0))))
+    def state() = spark.read.parquet(view).collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("sv")))).toMap
+    assert(state() === Map("a" -> ((2L, 30.0)), "b" -> ((1L, 5.0))))
+    // foreachBatch is at-least-once: RE-DELIVER batch 0 (crash between
+    // snapshot promote and checkpoint commit) — the view must detect
+    // the replay via its recorded batch id and stay unchanged, not
+    // double-apply the delta
+    import spark.implicits._
+    val replay = Seq(("a", 10.0, "I"), ("a", 20.0, "I"), ("b", 5.0, "I"))
+      .toDF("k", "v", "op")
+    apply(replay, 0L)
+    assert(state() === Map("a" -> ((2L, 30.0)), "b" -> ((1L, 5.0))),
+      "replayed micro-batch was double-applied")
     // batch 2 resumes from the checkpoint: retract one a-row, retract
     // b entirely (group vanishes), open group c
     write("c2.json", Seq(
@@ -646,9 +657,7 @@ class StreamsSpec extends SparkSpec {
     run()
     // the maintained view equals aggregating every surviving row from
     // scratch — the IVM identity across micro-batches AND restarts
-    assert(spark.read.parquet(view).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
-      .toMap === Map("a" -> ((1L, 10.0)), "c" -> ((1L, 7.0))))
+    assert(state() === Map("a" -> ((1L, 10.0)), "c" -> ((1L, 7.0))))
   }
 
   test("scd2Applier: streaming history maintenance across restarts") {
