@@ -1754,6 +1754,30 @@ object SparkEntry {
           $"avg_count", $"skew_ratio", $"suggested_salts")
     }),
 
+    // MARKET-BASKET co-occurrence — item-pair support counts, the
+    // frequent-itemset k=2 pass: distinct items per order, pairs
+    // generated INSIDE the scan projection from each order's own
+    // sorted item array (a<b by construction — no self-join, no
+    // duplicate/reversed pairs), one hash aggregate over pairs, then
+    // the bounded top-20. The basket cap (slice to 8 items, vacuous on
+    // TPC-H's <=7-line orders) is the quadratic guard a real
+    // transaction log needs: pair fanout is bounded per order however
+    // large one degenerate basket gets.
+    "q111_basket_pairs" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey").distinct()
+        .groupBy($"l_orderkey")
+        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 8)
+          .as("__items"))
+      items.select(explode(flatten(transform($"__items", (x, i) =>
+          transform(slice($"__items", i + 2, size($"__items")),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy($"p.a".as("part_a"), $"p.b".as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"n_orders".desc, $"part_a", $"part_b")
+        .limit(20)
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -3772,6 +3796,22 @@ object SparkEntry {
         |  CAST(ceil(max_count * CAST(n_keys AS DOUBLE) / n_rows) AS INT)
         |    AS suggested_salts
         |FROM s, t""".stripMargin,
+
+    // q111: pair generation as a capped self-join (the SQL dual of the
+    // array form); the cap's row_number mirrors the sorted-slice
+    "q111_basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 8)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM capped a JOIN capped b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is
