@@ -1778,6 +1778,46 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // LONGEST ACTIVITY STREAK — gaps-and-islands over distinct
+    // activity dates (the engagement metric): date minus per-user
+    // row_number is constant within a run of consecutive days, so
+    // islands fall out of one user-partitioned window + two hash
+    // aggregates; output is the per-streak-length user histogram.
+    "q112_activity_streaks" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("d")).distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"d")
+      act.withColumn("__g", date_sub($"d", row_number().over(w)))
+        .groupBy($"user_id", $"__g").agg(count(lit(1)).as("len"))
+        .groupBy($"user_id").agg(max($"len").as("max_streak"))
+        .groupBy($"max_streak").agg(count(lit(1)).as("n_users"))
+        .orderBy($"max_streak")
+    }),
+
+    // EVENT-TYPE TRANSITION MATRIX — the first-order Markov view of
+    // user behavior: per user, each event's type paired with its
+    // predecessor's (lag over the user-partitioned, totally-ordered
+    // stream), transition counts + per-source-state probabilities.
+    // One window pass + one hash aggregate; the (ts, event_id) order
+    // key makes equal-ts neighbors deterministic.
+    "q113_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      val t = Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("__from", lag($"event_type", 1).over(w))
+        .filter($"__from".isNotNull)
+        .groupBy($"__from".as("from_type"),
+          $"event_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = t.groupBy($"from_type")
+        .agg(sum($"n").as("__tot"))
+      t.join(totals, "from_type")
+        .select($"from_type", $"to_type", $"n",
+          Fns.roundU($"n".cast("double") / $"__tot", 4).as("p"))
+        .orderBy($"from_type", $"to_type")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -3812,6 +3852,38 @@ object SparkEntry {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // q112: same gaps-and-islands derivation (date minus row_number)
+    "q112_activity_streaks" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |i AS (
+        |  SELECT user_id, d - CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY d) AS INT) AS g
+        |  FROM a),
+        |l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        |  FROM i GROUP BY user_id, g),
+        |m AS (SELECT user_id, max(len) AS max_streak FROM l
+        |  GROUP BY user_id)
+        |SELECT max_streak, CAST(count(*) AS BIGINT) AS n_users
+        |FROM m GROUP BY max_streak ORDER BY max_streak""".stripMargin,
+
+    // q113: lag over the same (ts, event_id) total order
+    "q113_event_transitions" ->
+      """WITH t AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  floor((c.n / CAST(s.tot AS DOUBLE)) * 10000 + 0.5) / 10000.0
+        |    AS p
+        |FROM c JOIN s USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is
