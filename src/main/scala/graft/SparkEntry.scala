@@ -1818,6 +1818,180 @@ object SparkEntry {
         .orderBy($"from_type", $"to_type")
     }),
 
+    // TOKEN PMI — pointwise mutual information of token pairs
+    // co-occurring within a document, the collocation-mining staple.
+    // The scale contract: pair fanout is bounded by the top-V vocabulary
+    // (df-ranked, broadcast), NOT by document length — a 1M-token
+    // degenerate doc contributes at most V(V-1)/2 pairs because pairs
+    // are generated from the per-doc VOCAB-INTERSECTED sorted set, the
+    // q111 projection trick (a<b by construction, no self-join). df
+    // lookups ride the same broadcast vocab; the only wide shuffle
+    // carries (term_a, term_b) pairs, never text.
+    "q114_token_pmi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+      val tok = docs.select($"doc_id",
+          explode(split(trim($"text"), "\\s+")).as("term"))
+        .distinct()
+      val vocab = tok.groupBy($"term").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"term").limit(100)
+      val arrs = tok.join(broadcast(vocab.select($"term")), "term")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_set($"term")).as("__t"))
+      val pairs = arrs.select(explode(flatten(transform($"__t",
+          (x, i) => transform(slice($"__t", i + 2, size($"__t")),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy($"p.a".as("term_a"), $"p.b".as("term_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 5)
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      pairs
+        .join(broadcast(vocab.select($"term".as("term_a"),
+          $"df".as("df_a"))), "term_a")
+        .join(broadcast(vocab.select($"term".as("term_b"),
+          $"df".as("df_b"))), "term_b")
+        .crossJoin(broadcast(nd))
+        .select($"term_a", $"term_b", $"n_ab",
+          Fns.roundU(log(($"n_ab" * $"n_docs").cast("double") /
+            ($"df_a" * $"df_b")), 6).as("pmi"))
+        .orderBy($"pmi".desc, $"term_a", $"term_b")
+        .limit(30)
+    }),
+
+    // FUNNEL TIME-TO-CONVERT — latency from each user's first 'view'
+    // to their first subsequent 'purchase', exact p50/p90 per signup-
+    // week cohort through the multi-level histogram (q33/q50's
+    // operator): every stage a bounded hash aggregate, no per-cohort
+    // row sort, so the same plan holds when a cohort has 100M
+    // converters. Latency travels as MICROSECONDS (exact long in both
+    // engines — no float epoch division to disagree over).
+    "q115_funnel_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(v, "user_id")
+        .filter($"ts" > $"v_ts")
+        .groupBy($"user_id").agg(min($"ts").as("p_ts"), min($"v_ts").as("v_ts"))
+      val lat = p.select(
+        date_trunc("week", $"v_ts").cast("date").as("cohort_week"),
+        (unix_micros($"p_ts") - unix_micros($"v_ts"))
+          .cast("double").as("lat"))
+      Percentiles.exactQuantiles(lat, "cohort_week", "lat",
+          Seq(0.5, 0.9))
+        .withColumnRenamed("value", "lat_us")
+        .orderBy($"cohort_week", $"q")
+    }),
+
+    // ROLLING 7-DAY DISTINCT ACTIVE USERS — the DAU/WAU dashboard
+    // metric. COUNT(DISTINCT) over a range window doesn't exist in
+    // Spark (and the self-join-per-day alternative rescans 7× per
+    // day); the scalable form is CONTRIBUTION EXPANSION: each distinct
+    // (user, day) activity emits the ≤7 window days it contributes to,
+    // distinct again, count per day. Blowup is a constant 7× on the
+    // deduped activity table (not the raw events), every stage a hash
+    // aggregate — the plan is identical at 100 TB.
+    "q116_rolling_active" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("d")).distinct()
+      val contrib = act.select($"user_id",
+          explode(sequence($"d", date_add($"d", 6))).as("day"))
+        .distinct()
+      val bounds = act.agg(max($"d").as("__max_d"))
+      contrib.join(broadcast(bounds))
+        .filter($"day" <= $"__max_d")
+        .groupBy($"day").agg(count(lit(1)).as("active_7d"))
+        .orderBy($"day")
+    }),
+
+    // EWMA ANOMALY SCAN — exponentially-weighted moving average over
+    // each event type's daily count series, flagging days that deviate
+    // >50% from the prior smoothed level. alpha = 0.5 ON PURPOSE: the
+    // closed form ewma_t = 0.5^t · Σ c_i·x_i with c_0 = 1,
+    // c_i = 2^(i-1) keeps every intermediate an exactly-representable
+    // scaled integer (powers of two are exact doubles), so the
+    // recursive definition, this window form, and the oracle's SQL all
+    // agree BIT-FOR-BIT — no libm in the loop. One partitioned window
+    // pass; series length per key is bounded by the calendar, not the
+    // data. Exactness bound: partial sums are integers and stay exact
+    // while x̄·2^(L-1) < 2^53 (L = series length) — ~40 days at these
+    // daily volumes; past that, restart the recurrence per window
+    // (e.g. monthly) rather than trusting one unbounded closed form.
+    "q117_ewma_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val scored = daily
+        .withColumn("__i", row_number().over(w) - 1)
+        .withColumn("__c", when($"__i" === 0, lit(1.0))
+          .otherwise(pow(lit(2.0), $"__i" - 1)))
+        .withColumn("__s", sum($"x" * $"__c").over(w))
+        .withColumn("ewma", pow(lit(0.5), $"__i") * $"__s")
+        .withColumn("__prev", lag($"ewma", 1).over(w))
+        .withColumn("dev",
+          abs($"x" - $"__prev") / $"__prev")
+      scored.select($"event_type", $"day", $"x",
+          Fns.roundU($"ewma", 4).as("ewma"),
+          Fns.roundU(coalesce($"dev", lit(0.0)), 4).as("dev"),
+          coalesce($"dev" > 0.5, lit(false)).as("anomaly"))
+        .orderBy($"event_type", $"day")
+    }),
+
+    // INVERTED-INDEX POSTING LISTS — the search-index build step:
+    // term → document frequency + delta-encoded posting list (sorted
+    // doc ids, first id then gaps — the classic index compression
+    // layout). Postings assemble per term from the term's OWN sorted
+    // id array in one projection; only the top-20 df-ranked terms
+    // materialize strings, and the heavy shuffle carries (term,
+    // doc_id) pairs. A real index would shard terms and write
+    // varint-packed gap bytes; the gap derivation is the same.
+    "q118_posting_lists" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id",
+          explode(split(trim($"text"), "\\s+")).as("term"))
+        .distinct()
+      tok.groupBy($"term")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_set($"doc_id")).as("__ids"))
+        .orderBy($"df".desc, $"term").limit(20)
+        .select($"term", $"df",
+          array_join(expr(
+            "transform(__ids, (x, i) -> " +
+              "CAST(IF(i = 0, x, x - __ids[i-1]) AS STRING))"),
+            ",").as("postings"))
+        .orderBy($"df".desc, $"term")
+    }),
+
+    // CHI-SQUARED INDEPENDENCE — is event mix independent of user
+    // segment? Pearson chi² over the (event_type × user_id mod 3)
+    // contingency table: observed from one hash aggregate, expected
+    // from broadcast marginals, the statistic one bounded sum. The
+    // contingency table is |types|·|segments| cells regardless of row
+    // count — the classic reduce-then-test shape.
+    "q119_chi_squared" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy($"event_type", pmod($"user_id", lit(3)).as("seg"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy($"event_type").agg(sum($"o").as("__rt"))
+      val colT = cells.groupBy($"seg").agg(sum($"o").as("__ct"))
+      val tot = cells.agg(sum($"o").as("__n"))
+      cells.join(broadcast(rowT), "event_type")
+        .join(broadcast(colT), "seg")
+        .crossJoin(broadcast(tot))
+        .select(($"__rt" * $"__ct" / $"__n").as("__e"), $"o",
+          $"event_type", $"seg")
+        .agg(
+          // 4 digits, not 6: the 15-cell double sum's addition order
+          // is engine/partitioning-dependent (~1e-15 relative jitter);
+          // the coarser grid keeps the rounding boundary far away
+          Fns.roundU(sum(($"o" - $"__e") * ($"o" - $"__e") / $"__e"), 4)
+            .as("chi2"),
+          ((countDistinct($"event_type") - 1) *
+            (countDistinct($"seg") - 1)).as("dof"))
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -3884,6 +4058,148 @@ object SparkEntry {
         |    AS p
         |FROM c JOIN s USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // q114: pair generation as the SQL self-join dual of the array
+    // projection; same top-100 df-ranked vocab, same ln() PMI
+    "q114_token_pmi" ->
+      """WITH docs AS (
+        |  SELECT * FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, t.term FROM docs,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t(term)),
+        |vocab AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok
+        |  GROUP BY 1 ORDER BY df DESC, term LIMIT 100),
+        |tv AS (SELECT tok.doc_id, tok.term FROM tok
+        |  JOIN vocab USING (term)),
+        |p AS (
+        |  SELECT a.term AS term_a, b.term AS term_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM tv a JOIN tv b
+        |    ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |nd AS (SELECT count(*) AS n_docs FROM docs)
+        |SELECT term_a, term_b, n_ab,
+        |  floor(ln(CAST(n_ab * n_docs AS DOUBLE)
+        |      / CAST(va.df * vb.df AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000.0 AS pmi
+        |FROM p
+        |JOIN vocab va ON va.term = p.term_a
+        |JOIN vocab vb ON vb.term = p.term_b
+        |CROSS JOIN nd
+        |ORDER BY pmi DESC, term_a, term_b LIMIT 30""".stripMargin,
+
+    // q115: nearest-rank (type-1) quantile at ⌈q·n⌉ min 1, the
+    // histogram operator's contract; latency in exact microseconds
+    "q115_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts, min(v.v_ts) AS v_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+        |  GROUP BY 1),
+        |l AS (
+        |  SELECT CAST(date_trunc('week', v_ts) AS DATE) AS cohort_week,
+        |    CAST(epoch_us(p_ts) - epoch_us(v_ts) AS DOUBLE) AS lat
+        |  FROM p),
+        |r AS (
+        |  SELECT cohort_week, lat,
+        |    row_number() OVER (PARTITION BY cohort_week
+        |      ORDER BY lat) AS rn,
+        |    count(*) OVER (PARTITION BY cohort_week) AS n
+        |  FROM l),
+        |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE),
+        |    CAST(0.9 AS DOUBLE)]) AS q)
+        |SELECT r.cohort_week, qs.q, r.lat AS lat_us
+        |FROM r CROSS JOIN qs
+        |WHERE r.rn = greatest(1, CAST(ceil(qs.q * r.n) AS BIGINT))
+        |ORDER BY cohort_week, q""".stripMargin,
+
+    // q116: same contribution expansion (activity day emits its 7
+    // covered window days), deduped, counted
+    "q116_rolling_active" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (
+        |  SELECT DISTINCT user_id, d + CAST(x.i AS INTEGER) AS day
+        |  FROM a, unnest(generate_series(0, 6)) AS x(i)),
+        |b AS (SELECT max(d) AS max_d FROM a)
+        |SELECT c.day, CAST(count(*) AS BIGINT) AS active_7d
+        |FROM c CROSS JOIN b WHERE c.day <= b.max_d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q117: identical closed form — 0.5^t · running Σ x_i·2^(i-1);
+    // powers of two are exact doubles so both engines agree exactly
+    "q117_ewma_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |i AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) - 1 AS idx
+        |  FROM daily),
+        |s AS (
+        |  SELECT *, pow(0.5, idx) * sum(x * CASE WHEN idx = 0 THEN 1.0
+        |      ELSE pow(2.0, idx - 1) END) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS ewma
+        |  FROM i),
+        |p AS (
+        |  SELECT *, lag(ewma) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS prev
+        |  FROM s)
+        |SELECT event_type, day, x,
+        |  floor(ewma * 10000 + 0.5) / 10000.0 AS ewma,
+        |  floor(coalesce(abs(x - prev) / prev, 0.0) * 10000 + 0.5)
+        |    / 10000.0 AS dev,
+        |  coalesce(abs(x - prev) / prev > 0.5, false) AS anomaly
+        |FROM p ORDER BY event_type, day""".stripMargin,
+
+    // q118: gap encoding via lag (the window dual of the array form);
+    // first posting is the raw id (lag coalesced to 0)
+    "q118_posting_lists" ->
+      """WITH docs AS (
+        |  SELECT * FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, t.term FROM docs,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t(term)),
+        |top AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok
+        |  GROUP BY 1 ORDER BY df DESC, term LIMIT 20),
+        |g AS (
+        |  SELECT tok.term, tok.doc_id,
+        |    tok.doc_id - coalesce(lag(tok.doc_id) OVER (
+        |      PARTITION BY tok.term ORDER BY tok.doc_id), 0) AS gap
+        |  FROM tok JOIN top USING (term))
+        |SELECT g.term, top.df,
+        |  string_agg(CAST(g.gap AS VARCHAR), ','
+        |    ORDER BY g.doc_id) AS postings
+        |FROM g JOIN top USING (term)
+        |GROUP BY 1, 2 ORDER BY df DESC, term""".stripMargin,
+
+    // q119: Pearson chi² from the same contingency marginals
+    "q119_chi_squared" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id % 3 AS seg,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT seg, sum(o) AS c FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM cells),
+        |e AS (
+        |  SELECT cells.event_type, cells.seg, cells.o,
+        |    rt.r * ct.c / CAST(n.n AS DOUBLE) AS ex
+        |  FROM cells JOIN rt USING (event_type)
+        |  JOIN ct USING (seg) CROSS JOIN n)
+        |SELECT
+        |  floor(sum((o - ex) * (o - ex) / ex) * 10000 + 0.5)
+        |    / 10000.0 AS chi2,
+        |  CAST((count(DISTINCT event_type) - 1) *
+        |    (count(DISTINCT seg) - 1) AS BIGINT) AS dof
+        |FROM e""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is
