@@ -146,4 +146,52 @@ object Layout {
     }
     plan
   }
+
+  // ---- data skipping: file-stats table + pruning planner -------------
+  //
+  // The manifest side of min/max pruning (what Delta/Iceberg keep in
+  // their metadata layer, and what writeZOrdered's layout exists to make
+  // effective). fileStats builds the stats table with ONE hash aggregate
+  // keyed by file name — map-side combine means each task contributes
+  // one partial row per file it touched, so the shuffle is
+  // O(files × tasks-per-file), never O(rows). The planner then answers
+  // a range predicate from the stats table alone: at 100 TB that's the
+  // difference between listing 100k files and scanning them.
+
+  /** Per-file (n_rows, min_v, max_v) over `valCol`. `df` must be a raw
+    * file scan — after a join/shuffle `input_file_name()` returns "",
+    * and those rows would collapse into one phantom-file row; they are
+    * excluded (an empty result = caller passed a non-scan, loudly wrong
+    * rather than quietly misattributed). */
+  def fileStats(df: DataFrame, valCol: String): DataFrame =
+    df.select(input_file_name().as("file"), col(valCol).as("__v"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+      .filter(length(col("file")) > 0)
+
+  /** Files a closed-interval predicate `BETWEEN lo AND hi` must read:
+    * keep a file iff its [min_v, max_v] intersects [lo, hi]. A file
+    * whose stats are NULL (all values NULL) is KEPT — pruning must be
+    * conservative: a false keep costs a read, a false skip loses rows. */
+  def pruneForRange(stats: DataFrame, lo: Column, hi: Column): DataFrame =
+    stats.filter(col("min_v").isNull ||
+      !(col("max_v") < lo || col("min_v") > hi))
+
+  /** One-row skipping report for a predicate: files/rows total vs read.
+    * The number a layout change (writeZOrdered, compaction) is judged
+    * by; both sides come from the stats table, no data scan. */
+  def skippingReport(stats: DataFrame, lo: Column,
+                     hi: Column): DataFrame = {
+    val kept = pruneForRange(stats, lo, hi)
+      .agg(count(lit(1)).as("files_read"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("rows_read"))
+    stats.agg(count(lit(1)).as("files_total"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("rows_total"))
+      .crossJoin(kept)
+      .select(col("files_total"), col("files_read"),
+        col("rows_total"), col("rows_read"),
+        (lit(1.0) - col("files_read") / col("files_total"))
+          .as("files_skipped_frac"))
+  }
 }

@@ -108,11 +108,57 @@ class LayoutSpec extends SparkSpec {
       // aligned) split points, and a file straddling a top-level z
       // boundary spans x — the known straddle cost of range-splitting
       // a Morton curve, which per-file min/max stats still prune.
+      // thresholds leave slack for split-point jitter:
+      // repartitionByRange's reservoir seed mixes in the RDD id, so
+      // unrelated earlier jobs in the suite shift the sampled splits
+      // by a few z-values
       assert(z.forall(_._2 <= 40), z.mkString(","))
-      assert(z.count(_._1 <= 40) >= 3, z.mkString(","))
+      assert(z.count(_._1 <= 48) >= 3, z.mkString(","))
       // x-sorted layout: x tightly bounded but y spans the whole domain
       assert(xs.forall(_._1 <= 20), xs.mkString(","))
       assert(xs.forall(_._2 >= 60), xs.mkString(","))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("fileStats + pruneForRange: complete (no lost rows) and effective") {
+    val dir = java.nio.file.Files.createTempDirectory("skip").toFile
+    val in = s"$dir/in"
+    try {
+      // 8 range-partitioned files over id — the layout min/max pruning
+      // is built for
+      spark.range(0, 8000).toDF("id")
+        .repartitionByRange(8, $"id").sortWithinPartitions($"id")
+        .write.parquet(in)
+      val scan = spark.read.parquet(in)
+      val stats = Layout.fileStats(scan, "id")
+      assert(stats.count() === 8)
+      // total rows accounted
+      assert(stats.agg(sum($"n_rows")).collect()(0).getLong(0) === 8000)
+      val (lo, hi) = (2100L, 2900L)
+      val kept = Layout.pruneForRange(stats, lit(lo), lit(hi))
+        .select($"file").collect().map(_.getString(0))
+      assert(kept.nonEmpty && kept.length < 8,
+        s"expected real pruning, kept ${kept.length}/8")
+      // completeness: reading ONLY kept files yields exactly the
+      // full-scan answer for the predicate
+      val full = scan.filter($"id".between(lo, hi))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val pruned = spark.read.parquet(kept: _*)
+        .filter($"id".between(lo, hi))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(pruned === full)
+      val rep = Layout.skippingReport(stats, lit(lo), lit(hi)).collect()(0)
+      assert(rep.getAs[Long]("files_total") === 8)
+      assert(rep.getAs[Long]("files_read") === kept.length.toLong)
+      assert(rep.getAs[Double]("files_skipped_frac") > 0.5)
+      // post-shuffle input → empty stats, not a phantom-file row
+      val shuffled = scan.groupBy($"id").count()
+      assert(Layout.fileStats(shuffled, "id").count() === 0)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
