@@ -1992,6 +1992,114 @@ object SparkEntry {
             (countDistinct($"seg") - 1)).as("dof"))
     }),
 
+    // CALENDAR GAP-FILL + FORWARD FILL — the time-series ETL staple:
+    // build the dense user×day spine (users crossJoin a BROADCAST
+    // calendar — the calendar is bounded by the clock, not the data),
+    // left-join the sparse daily facts, carry the last observation
+    // forward with an ignore-nulls window. Leading gaps (before a
+    // user's first activity) fill with 0. Per-user series length is
+    // calendar-bounded, so the window partitions stay small at any
+    // data scale.
+    "q120_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter($"user_id" < 40)
+      val daily = ev.groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(Fns.roundU(sum($"value"), 4).as("v"))
+      val cal = ev.agg(min(to_date($"ts")).as("__lo"),
+          max(to_date($"ts")).as("__hi"))
+        .select(explode(sequence($"__lo", $"__hi")).as("day"))
+      val spine = ev.select($"user_id").distinct()
+        .crossJoin(broadcast(cal))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day",
+          coalesce(last($"v", ignoreNulls = true).over(w), lit(0.0))
+            .as("v_ffill"),
+          $"v".isNull.as("is_gap"))
+        .orderBy($"user_id", $"day")
+    }),
+
+    // PAGERANK — power iteration over the customer↔supplier
+    // co-transaction graph (undirected: both edge directions), 3
+    // iterations at d = 0.85 through [[operators.Graph.pageRank]]:
+    // per iteration one ranks⋈edges join + one per-destination hash
+    // aggregate, dangling mass redistributed from a broadcast 1-row
+    // aggregate, lineage checkpointed on cadence — the iterative-
+    // DataFrame shape that scales to billion-edge graphs. Top 20 by
+    // ROUNDED rank (rounding first makes the order/limit boundary
+    // immune to double addition-order jitter in the contribution sums).
+    "q121_pagerank" -> ((s, d) => {
+      val eDir = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          $"l_orderkey" === $"o_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("cust"),
+          concat(lit("s"), $"l_suppkey").as("supp"))
+        .distinct()
+      val edges = eDir.select($"cust".as("src"), $"supp".as("dst"))
+        .union(eDir.select($"supp".as("src"), $"cust".as("dst")))
+      Graph.pageRank(edges, "src", "dst", damping = 0.85, iters = 3)
+        .select($"node", Fns.roundU($"rank" * 1000, 6).as("rank_pm"))
+        .orderBy($"rank_pm".desc, $"node")
+        .limit(20)
+    }),
+
+    // MAD ROBUST OUTLIERS — median absolute deviation per return flag:
+    // med = exact median(price), mad = exact median(|price − med|),
+    // outliers counted at the 3·MAD fence. Both medians go through the
+    // multi-level histogram (q33's operator — bounded hash aggregates,
+    // no per-group sort), composed: the second pass scans with the
+    // 3-row med table broadcast on. The robust-statistics alternative
+    // to q90's winsorized mean.
+    "q122_mad_outliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_extendedprice")
+      val med = Percentiles.exactMedian(li, "l_returnflag",
+          "l_extendedprice")
+        .select($"l_returnflag", $"median".as("__med"))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .select($"l_returnflag",
+          abs($"l_extendedprice" - $"__med").as("__dev"))
+      val mad = Percentiles.exactMedian(dev, "l_returnflag", "__dev")
+        .select($"l_returnflag", $"median".as("__mad"))
+      li.join(broadcast(med), "l_returnflag")
+        .join(broadcast(mad), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(Fns.roundU(max($"__med"), 2).as("median_price"),
+          Fns.roundU(max($"__mad"), 2).as("mad"),
+          sum(when(abs($"l_extendedprice" - $"__med") >
+            lit(3.0) * $"__mad", 1L).otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // BENFORD FIRST-DIGIT AUDIT — fraud-screening staple: the leading
+    // digit distribution of order totals vs Benford's log law. Digit
+    // extraction is a LIBM-FREE decade CASE (log10 would put each
+    // engine's math library in the hash path; nested division by
+    // exact powers of 10 keeps both engines on identical IEEE ops).
+    // One scan, 9-row output, expected freqs from ln (display-only,
+    // rounded).
+    "q123_benford" -> ((s, d) => {
+      val x = $"o_totalprice"
+      val mag = when(x >= 1000000, x / 1000000)
+        .when(x >= 100000, x / 100000)
+        .when(x >= 10000, x / 10000)
+        .when(x >= 1000, x / 1000)
+        .when(x >= 100, x / 100)
+        .when(x >= 10, x / 10)
+        .otherwise(x)
+      val tot = Tables.orders(s, d)
+        .filter($"o_totalprice" >= 1)
+        .select(floor(mag).cast("int").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val all = tot.agg(sum($"n").as("__tot"))
+      tot.crossJoin(broadcast(all))
+        .select($"digit", $"n",
+          Fns.roundU($"n" / $"__tot".cast("double"), 4).as("obs_frac"),
+          Fns.roundU(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)),
+            4).as("benford_frac"))
+        .orderBy($"digit")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -4200,6 +4308,125 @@ object SparkEntry {
         |  CAST((count(DISTINCT event_type) - 1) *
         |    (count(DISTINCT seg) - 1) AS BIGINT) AS dof
         |FROM e""".stripMargin,
+
+    // q120: same spine + IGNORE NULLS carry-forward window
+    "q120_gap_fill" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 40),
+        |daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    floor(sum(value) * 10000 + 0.5) / 10000.0 AS v
+        |  FROM ev GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT unnest(generate_series(min(CAST(ts AS DATE)),
+        |    max(CAST(ts AS DATE)), INTERVAL 1 DAY)) AS day FROM ev),
+        |spine AS (
+        |  SELECT u.user_id, CAST(c.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN cal c),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.v
+        |  FROM spine s LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, day,
+        |  coalesce(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+        |    AS v_ffill,
+        |  v IS NULL AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
+    // q121: the 3 power iterations unrolled as CTEs — same uniform
+    // start, same (1-d)/N + d·Σ r/deg update; the undirected edge set
+    // has no sinks so the dangling term is identically zero
+    "q121_pagerank" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS cust,
+        |    's' || l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT cust AS src, supp AS dst FROM ed
+        |  UNION ALL SELECT supp, cust FROM ed),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / nn.n AS r
+        |  FROM deg CROSS JOIN nn),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 / max(nn.n) + 0.85 * sum(p.r / deg.deg) AS r
+        |  FROM e JOIN r0 p ON e.src = p.node
+        |  JOIN deg ON e.src = deg.src CROSS JOIN nn
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 / max(nn.n) + 0.85 * sum(p.r / deg.deg) AS r
+        |  FROM e JOIN r1 p ON e.src = p.node
+        |  JOIN deg ON e.src = deg.src CROSS JOIN nn
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 / max(nn.n) + 0.85 * sum(p.r / deg.deg) AS r
+        |  FROM e JOIN r2 p ON e.src = p.node
+        |  JOIN deg ON e.src = deg.src CROSS JOIN nn
+        |  GROUP BY e.dst)
+        |SELECT node,
+        |  floor(r * 1000 * 1000000 + 0.5) / 1000000.0 AS rank_pm
+        |FROM r3 ORDER BY rank_pm DESC, node LIMIT 20""".stripMargin,
+
+    // q122: both medians via the ranked middle-pair average (the q33
+    // dual), composed exactly like the Spark side
+    "q122_mad_outliers" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_extendedprice FROM lineitem),
+        |r1 AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM li),
+        |med AS (
+        |  SELECT l_returnflag, avg(l_extendedprice) AS med FROM r1
+        |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1),
+        |dv AS (
+        |  SELECT li.l_returnflag,
+        |    abs(li.l_extendedprice - med.med) AS dev
+        |  FROM li JOIN med USING (l_returnflag)),
+        |r2 AS (
+        |  SELECT l_returnflag, dev,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM dv),
+        |mad AS (
+        |  SELECT l_returnflag, avg(dev) AS mad FROM r2
+        |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1)
+        |SELECT li.l_returnflag,
+        |  floor(max(med.med) * 100 + 0.5) / 100.0 AS median_price,
+        |  floor(max(mad.mad) * 100 + 0.5) / 100.0 AS mad,
+        |  CAST(sum(CASE WHEN abs(li.l_extendedprice - med.med)
+        |    > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM li JOIN med USING (l_returnflag)
+        |JOIN mad USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q123: identical libm-free decade CASE for the leading digit;
+    // Benford expectation from ln on both sides (display-rounded)
+    "q123_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(floor(CASE
+        |      WHEN o_totalprice >= 1000000 THEN o_totalprice / 1000000
+        |      WHEN o_totalprice >= 100000 THEN o_totalprice / 100000
+        |      WHEN o_totalprice >= 10000 THEN o_totalprice / 10000
+        |      WHEN o_totalprice >= 1000 THEN o_totalprice / 1000
+        |      WHEN o_totalprice >= 100 THEN o_totalprice / 100
+        |      WHEN o_totalprice >= 10 THEN o_totalprice / 10
+        |      ELSE o_totalprice END) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM digits GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM c)
+        |SELECT digit, n,
+        |  floor(n / CAST(tot AS DOUBLE) * 10000 + 0.5) / 10000.0
+        |    AS obs_frac,
+        |  floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 10000 + 0.5)
+        |    / 10000.0 AS benford_frac
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference power iteration (plain Scala maps). */
+  private def pageRankRef(edges: Seq[(String, String)], d: Double,
+                          iters: Int): Map[String, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.length }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val in = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => r(s) / out(s) }.sum
+      }
+      r = nodes.map(v => v -> ((1.0 - d) / n +
+        d * (in.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches reference on a seeded digraph WITH sinks") {
+    val rnd = new scala.util.Random(11)
+    // 30 nodes, ~90 random edges; nodes 27..29 get no out-edges (sinks)
+    val edges = Seq.fill(90)(
+      (s"n${rnd.nextInt(27)}", s"n${rnd.nextInt(30)}"))
+      .filter { case (a, b) => a != b }.distinct
+    assert(edges.map(_._2).distinct.exists(d =>
+      !edges.map(_._1).contains(d)), "fixture must contain a sink")
+    val ref = pageRankRef(edges, 0.85, 10)
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        damping = 0.85, iters = 10, checkpointEvery = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (node, rank) =>
+      assert(math.abs(rank - ref(node)) < 1e-9,
+        s"$node: $rank vs ${ref(node)}")
+    }
+    // mass conservation: the dangling redistribution keeps Σr = 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+}
