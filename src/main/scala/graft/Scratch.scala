@@ -215,11 +215,61 @@ object Scratch {
       }
     }
 
+    /** q114 PMI: tokenize → distinct → vocab cap → per-doc pair
+      * projection. The probe checks the vocab cap does its job: pair
+      * volume is bounded by docs × V², so 10× docs must be ~linear. */
+    def pmiChain(mult: Int): Double = {
+      val docs = replicateDocs(mult)
+      timed {
+        val tok = docs.filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .distinct()
+        val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("term")).limit(100)
+        val arrs = tok.join(broadcast(vocab.select(col("term"))), "term")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("term"))).as("t"))
+        val n = arrs.select(explode(flatten(transform(col("t"),
+            (x, i) => transform(slice(col("t"), i + 2, size(col("t"))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .groupBy(col("p.a"), col("p.b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5).count()
+        println(s"[scratch]   pmi mult=$mult pairs=$n")
+      }
+    }
+
+    /** q121 PageRank: replicas are DISCONNECTED graph copies (node ids
+      * suffixed per replica) — rank mass stays within each copy, so
+      * 10× edges is 10× join/agg volume through the same 3 iterations,
+      * the pure edge-scaling measurement. */
+    def pagerankChain(mult: Int): Double = {
+      val eDir = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cust"),
+          concat(lit("s"), col("l_suppkey")).as("supp"))
+        .distinct()
+      val rep = (0 until mult).map { k =>
+        eDir.select(concat(col("cust"), lit(s"_$k")).as("cust"),
+          concat(col("supp"), lit(s"_$k")).as("supp"))
+      }.reduce(_.unionByName(_))
+      timed {
+        val edges = rep.select(col("cust").as("src"), col("supp").as("dst"))
+          .union(rep.select(col("supp").as("src"), col("cust").as("dst")))
+        val n = operators.Graph.pageRank(edges, "src", "dst",
+          damping = 0.85, iters = 3).count()
+        println(s"[scratch]   pagerank mult=$mult nodes=$n")
+      }
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
       "dedup" -> dedupChain, "leakage" -> leakageChain,
       "span" -> spanChain, "semantic" -> semanticChain,
       "semantic2" -> semanticChain2, "spanRemoval" -> spanRemovalChain,
-      "qualityGate" -> qualityGateChain, "bpe" -> bpeChain)
+      "qualityGate" -> qualityGateChain, "bpe" -> bpeChain,
+      "pmi" -> pmiChain, "pagerank" -> pagerankChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm

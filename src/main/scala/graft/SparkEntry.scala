@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2098,6 +2098,56 @@ object SparkEntry {
           Fns.roundU(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)),
             4).as("benford_frac"))
         .orderBy($"digit")
+    }),
+
+    // BITMAP INDEX — segmented bitmap index over low-cardinality
+    // columns, the warehouse alternative to row scans for categorical
+    // predicates: doc positions pack into 64-bit words (word_idx =
+    // id div 64), one bitmap row per (key, word); the lang×source
+    // count matrix is then bitmap-AND + popcount over co-keyed word
+    // segments — query cost is |keys|·N/64 words, and the word join
+    // co-partitions on word_idx. The ORACLE computes the same matrix
+    // by plain GROUP BY, so the hash compare proves the bitmap
+    // machinery (pack, AND, popcount) exact, not just self-consistent.
+    // Positions require a dense id domain (documents: ids are 0..N-1);
+    // sparse ids would first densify via zipWithIndex-style ranking.
+    "q124_bitmap_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def index(keyCol: Column) = docs
+        .select(keyCol.as("key"), expr("doc_id div 64").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(doc_id % 64 AS INT))").as("bit"))
+        .groupBy($"key", $"w").agg(expr("bit_or(bit)").as("bits"))
+      val langIdx = index($"lang").withColumnsRenamed(
+        Map("key" -> "lang", "bits" -> "__lb"))
+      val srcIdx = index($"source").withColumnsRenamed(
+        Map("key" -> "source", "bits" -> "__sb"))
+      langIdx.join(srcIdx, "w")
+        .groupBy($"lang", $"source")
+        .agg(sum(bit_count($"__lb".bitwiseAND($"__sb")))
+          .cast("long").as("n_docs"))
+        .filter($"n_docs" > 0)
+        .orderBy($"lang", $"source")
+    }),
+
+    // EVENT TRIGRAMS — the k=3 sequential-pattern mining pass over
+    // each user's totally-ordered stream: two leads in ONE window
+    // pass (no self-joins), then a hash aggregate over the bounded
+    // |types|³ trigram domain. (ts, event_id) ordering makes equal-ts
+    // neighbors deterministic, as in q113.
+    "q125_event_trigrams" -> ((s, d) => {
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("__t1", lead($"event_type", 1).over(w))
+        .withColumn("__t2", lead($"event_type", 2).over(w))
+        .filter($"__t2".isNotNull)
+        .groupBy($"event_type".as("e1"), $"__t1".as("e2"),
+          $"__t2".as("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"e1", $"e2", $"e3")
+        .limit(20)
     }),
 
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
@@ -4427,6 +4477,26 @@ object SparkEntry {
         |  floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 10000 + 0.5)
         |    / 10000.0 AS benford_frac
         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // q124: the matrix by plain GROUP BY — the oracle deliberately
+    // does NOT mirror the bitmaps; equality proves the index exact
+    "q124_bitmap_index" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY lang, source""".stripMargin,
+
+    // q125: same two leads over the same (ts, event_id) total order
+    "q125_event_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is

@@ -32,23 +32,36 @@ object Graph {
     * Fixed iteration count (not convergence-tested) on purpose: the
     * result is a deterministic function of the graph, so it can be
     * oracle-checked, and at cluster scale a convergence test is one
-    * extra aggregate the caller can layer on top. */
+    * extra aggregate the caller can layer on top.
+    *
+    * Each iteration's rank table is EAGERLY localCheckpoint'ed. Not
+    * optional: ranks_k feeds iteration k+1 twice (dangling aggregate +
+    * contribution join), so a lazy chain re-evaluates ranks_k twice,
+    * ranks_{k-1} four times — 2^k re-derivations of the caller's edge
+    * build. Materializing per iteration makes each round one pass, the
+    * [[Dedup.dupClusters]] discipline; the checkpointed state is one
+    * (node, rank) row per node, never the edges. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               damping: Double = 0.85, iters: Int = 3,
-               checkpointEvery: Int = 5): DataFrame = {
+               damping: Double = 0.85, iters: Int = 3): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
+    // edges also evaluate once per iteration (contrib join) — truncate
+    // whatever lineage the caller handed in and keep the slim
+    // (src, dst) projection instead of re-deriving it per round
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct()
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct()
-    val outDeg = e.groupBy(col("__src").as("node"))
-      .agg(count(lit(1)).as("__deg"))
-    // degree rides the rank table so the per-iteration join is
-    // ranks⋈edges only; left join keeps sink nodes (deg NULL)
-    val base = nodes.join(outDeg, Seq("node"), "left")
-    val nN = nodes.count()
+      .distinct().localCheckpoint()
+    // node set and out-degree in ONE shuffle: src rows carry weight 1,
+    // dst rows weight 0 (keeps pure sinks in the node set); a zero sum
+    // IS the sink marker (NULL __deg), replacing the three-shuffle
+    // distinct ∪ + groupBy + left-join build. Degree rides the rank
+    // table so the per-iteration join is ranks⋈edges only.
+    val base = e.select(col("__src").as("node"), lit(1L).as("__s"))
+      .unionAll(e.select(col("__dst").as("node"), lit(0L).as("__s")))
+      .groupBy(col("node"))
+      .agg(when(sum(col("__s")) > 0, sum(col("__s"))).as("__deg"))
+      .localCheckpoint()
+    val nN = base.count()
     var ranks = base.withColumn("rank", lit(1.0 / nN))
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       val dangling = ranks.filter(col("__deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       val contrib = ranks.filter(col("__deg").isNotNull)
@@ -62,8 +75,7 @@ object Graph {
           (lit((1.0 - damping) / nN) +
             lit(damping) * (coalesce(col("__in"), lit(0.0)) +
               col("__dm") / nN)).as("rank"))
-      if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
+        .localCheckpoint()
     }
     ranks.select(col("node"), col("rank"))
   }

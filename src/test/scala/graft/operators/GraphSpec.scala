@@ -36,7 +36,7 @@ class GraphSpec extends SparkSpec {
       !edges.map(_._1).contains(d)), "fixture must contain a sink")
     val ref = pageRankRef(edges, 0.85, 10)
     val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
-        damping = 0.85, iters = 10, checkpointEvery = 4)
+        damping = 0.85, iters = 10)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got.keySet === ref.keySet)
     got.foreach { case (node, rank) =>
