@@ -2150,6 +2150,274 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ASSOCIATION RULES — q111's pair supports promoted to the full
+    // market-basket rule mining pass: confidence(a→b) = n_ab/n_a and
+    // lift = n_ab·N / (n_a·n_b) for every pair above min support.
+    // One extra hash aggregate (per-item supports over the SAME capped
+    // item set as the pairs — a rule's denominators must count the
+    // baskets its numerator could have come from, so the cap applies
+    // to both or conf can exceed 1) and two broadcast-sized joins on
+    // the item key; the pair table itself is the q111 bounded-fanout
+    // derivation, so the whole chain stays cap-bounded per basket.
+    "q126_assoc_rules" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey").distinct()
+        .groupBy($"l_orderkey")
+        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 8)
+          .as("__items"))
+        .persist()
+      val nBaskets = items.count()
+      val itemSupp = items.select(explode($"__items").as("item"))
+        .groupBy($"item").agg(count(lit(1)).as("__n"))
+      val pairs = items.select(explode(flatten(transform($"__items",
+          (x, i) => transform(slice($"__items", i + 2, size($"__items")),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy($"p.a".as("part_a"), $"p.b".as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 3)
+      pairs
+        .join(itemSupp.withColumnsRenamed(
+          Map("item" -> "part_a", "__n" -> "__na")), "part_a")
+        .join(itemSupp.withColumnsRenamed(
+          Map("item" -> "part_b", "__n" -> "__nb")), "part_b")
+        .select($"part_a", $"part_b", $"n_ab",
+          Fns.roundU($"n_ab" / $"__na", 6).as("conf_ab"),
+          Fns.roundU($"n_ab" / $"__nb", 6).as("conf_ba"),
+          // lift in DOUBLE end-to-end: a long na*nb product overflows
+          // once per-item supports pass ~3e9 baskets; the double form
+          // is exact below 2^53 so it still hash-matches the oracle's
+          // integer-product form at test SFs
+          Fns.roundU($"n_ab".cast("double") * lit(nBaskets.toDouble)
+            / ($"__na".cast("double") * $"__nb".cast("double")), 6)
+            .as("lift"))
+        .orderBy($"lift".desc, $"part_a", $"part_b")
+        .limit(20)
+    }),
+
+    // AUTOCORRELATION (ACF lags 1–3) — the time-series diagnostic
+    // over each event type's daily-count series: lag windows are
+    // PARTITIONED by (event_type) so no global sort exists, and the
+    // three lags ride one sorted window pass (three lag() calls share
+    // the frame); corr() is Spark's numerically-stable covariance
+    // aggregate, one hash agg per lag after the unpivot. Lags step
+    // over OBSERVED days (gaps collapse), the convention the oracle
+    // mirrors; a calendar-spine variant would densify first.
+    "q127_daily_acf" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val lagged = daily.select($"event_type", $"n",
+        lag($"n", 1).over(w).as("__l1"),
+        lag($"n", 2).over(w).as("__l2"),
+        lag($"n", 3).over(w).as("__l3"))
+      val acf = (1 to 3).map { k =>
+        lagged.filter(col(s"__l$k").isNotNull)
+          .groupBy($"event_type")
+          .agg(lit(k).as("lag_k"),
+            Fns.roundU(corr($"n", col(s"__l$k")), 6).as("acf"),
+            count(lit(1)).as("n_obs"))
+      }.reduce(_.unionByName(_))
+      acf.select($"event_type", $"lag_k", $"acf", $"n_obs")
+        .orderBy($"event_type", $"lag_k")
+    }),
+
+    // CONCURRENCY SWEEP-LINE — how many sessions are open at once,
+    // and for how long: the interval-stabbing aggregate behind
+    // capacity planning. Sessions (q37's session_window) emit ±1
+    // boundary deltas; collapsing to per-timestamp NET deltas makes
+    // the timeline unique, so the running level is a prefix sum over
+    // ONE global order — computed by Packing.prefixSum (two-phase
+    // scan), NOT a single-partition window. The interval length needs
+    // lead(ts) over the same order; rather than a second window, rank
+    // each boundary (prefixSum of 1) and shuffle-join rank→rank+1 —
+    // every stage stays partition-parallel however long the timeline.
+    // Output: per concurrency level, total open time and interval
+    // count — the level-duration histogram.
+    "q128_concurrency_sweep" -> ((s, d) => {
+      val sess = Tables.events(s, d)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("__n"))
+        .select($"w.start".as("__st"), $"w.end".as("__en"))
+      val net = sess.select($"__st".as("ts"), lit(1L).as("__d"))
+        .unionAll(sess.select($"__en".as("ts"), lit(-1L).as("__d")))
+        .groupBy($"ts").agg(sum($"__d").as("__net"))
+        .withColumn("__g", lit(1)).withColumn("__one", lit(1L))
+      val run = Packing.prefixSum(net, Seq("__g"), Seq("ts"),
+        "__net", "concurrency")
+      val rk = Packing.prefixSum(run, Seq("__g"), Seq("ts"),
+        "__one", "__rk")
+      val nxt = rk.select(($"__rk" - 1).as("__rk2"), $"ts".as("__nxt"))
+      rk.join(nxt, $"__rk" === $"__rk2")
+        .filter($"concurrency" >= 1)
+        .groupBy($"concurrency")
+        .agg(sum(unix_micros($"__nxt") - unix_micros($"ts"))
+          .as("total_us"),
+          count(lit(1)).as("n_intervals"))
+        .orderBy($"concurrency")
+    }),
+
+    // SKYLINE (Pareto frontier) — parts where no other part is both
+    // cheaper-or-equal and larger-or-equal (strict in one): the
+    // multi-objective shortlist query. The naive form is an all-pairs
+    // NOT EXISTS (the oracle — quadratic, fine for DuckDB at sf0.01);
+    // the engine's plan is the bucket-pruned scan: collapse to
+    // distinct prices (hash agg, max size each), bucket prices into
+    // ≤1024 fixed-width bins, take each bin's best size, cum-max over
+    // the BIN table (≤1024 rows — the only single-task window, sized
+    // by the bin count, not the data), then a per-bin window finds
+    // prices beating both the in-bin prefix best and the
+    // strictly-lower-bins best. Frontier ⇔ msize(p) > best size at
+    // any cheaper price — the 2-D dominance test in O(n) after the
+    // per-price collapse.
+    "q129_skyline" -> ((s, d) => {
+      val pts = Tables.part(s, d)
+        .select($"p_retailprice".as("price"), $"p_size".as("size"))
+      val dp = pts.groupBy($"price", $"size")
+        .agg(count(lit(1)).as("n_parts"))
+      // n_parts is unique per (price,size), so max(struct) picks the
+      // max size and carries its count
+      val perPrice = dp.groupBy($"price")
+        .agg(max(struct($"size", $"n_parts")).as("__m"))
+        .select($"price", $"__m.size".as("__msize"),
+          $"__m.n_parts".as("__nat"))
+      val Array(bounds) = pts.agg(min($"price").as("lo"),
+        max($"price").as("hi")).collect()
+      val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+      val width = math.max((hi - lo) / 1024.0, 1e-9)
+      val bucketed = perPrice.withColumn("__b",
+        least(floor(($"price" - lit(lo)) / lit(width)), lit(1023.0)))
+      val binBest = bucketed.groupBy($"__b")
+        .agg(max($"__msize").as("__bb"))
+      val wBins = Window.orderBy($"__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val below = binBest.withColumn("__below", max($"__bb").over(wBins))
+        .select($"__b", $"__below")
+      val wIn = Window.partitionBy($"__b").orderBy($"price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(below, Seq("__b"))
+        .withColumn("__prev", max($"__msize").over(wIn))
+        .filter($"__msize" > coalesce(
+          greatest(coalesce($"__prev", lit(Int.MinValue)),
+            coalesce($"__below", lit(Int.MinValue))),
+          lit(Int.MinValue)))
+        .select($"price", $"__msize".as("size"),
+          $"__nat".as("n_parts"))
+        .orderBy($"price")
+    }),
+
+    // HYBRID RETRIEVAL (RRF) — the modern search stack in one query:
+    // query-by-example over the doc corpus, lexical token-Jaccard via
+    // an INVERTED-INDEX join (never query×corpus — candidates only
+    // where a token is shared) fused with embedding cosine via
+    // reciprocal-rank fusion 1/(60+rank). Both modality top-50 lists
+    // come from the bounded-heap TopKPerKey plan, so no stage sorts a
+    // per-query candidate set on one task; the fuse is a full-outer
+    // join on (query, doc) with a missing modality contributing 0 —
+    // the standard RRF treatment. At web scale the lexical index join
+    // takes a df-cap on tokens (stopword pruning bounds posting
+    // lists); the tiny synthetic vocabulary here makes that cap moot.
+    "q130_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select($"doc_id",
+          explode(array_distinct(split(trim($"text"), "\\s+"))).as("t"))
+        .persist()
+      val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("__sz"))
+      val qt = toks.filter($"doc_id" < 3)
+        .select($"doc_id".as("query_id"), $"t")
+      val inter = qt.join(toks, "t")
+        .filter($"doc_id" =!= $"query_id")
+        .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("__ni"))
+      val qsz = sizes.select($"doc_id".as("query_id"),
+        $"__sz".as("__qs"))
+      val scored = inter
+        .join(broadcast(qsz), "query_id")
+        .join(sizes, "doc_id")
+        .withColumn("__jac", $"__ni" / ($"__qs" + $"__sz" - $"__ni"))
+      val lexKept = graft.plans.TopKPerKey(
+        scored.select($"query_id", $"doc_id", $"__jac"),
+        Seq("query_id"), Seq($"__jac".desc, $"doc_id".asc), 50)
+      val wl = Window.partitionBy($"query_id")
+        .orderBy($"__jac".desc, $"doc_id".asc)
+      val lexTop = lexKept.withColumn("__rl", row_number().over(wl))
+        .select($"query_id", $"doc_id", $"__rl")
+      val emb = Tables.embeddings(s, d)
+      val semTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 50)
+        .select($"query_id", $"neighbor_id".as("doc_id"),
+          $"rk".as("__rs"))
+      val fused = lexTop
+        .join(semTop, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf", Fns.roundU(
+          coalesce(lit(1.0) / (lit(60.0) + $"__rl"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + $"__rs"), lit(0.0)), 6))
+      val wf = Window.partitionBy($"query_id")
+        .orderBy($"rrf".desc, $"doc_id".asc)
+      fused.withColumn("rk", row_number().over(wf)).filter($"rk" <= 10)
+        .select($"query_id", $"rk", $"doc_id", $"rrf")
+        .orderBy($"query_id", $"rk")
+    }),
+
+    // TRIANGLE COUNT + global clustering coefficient — the graph
+    // cohesion metric over the parts co-purchase graph (q111's capped
+    // basket pairs as the edge set). The naive 3-way self-join
+    // enumerates every triangle 6 times and wedges explode at hub
+    // nodes; DEGREE ORIENTATION (point each edge at the higher
+    // (degree, id) endpoint) gives every triangle exactly one source
+    // node and caps oriented out-degree at O(√m), so the wedge join —
+    // the only quadratic-risk stage — is bounded per node however
+    // skewed the raw degrees. Wedge closes iff the oriented (v, w)
+    // edge exists: one more semi-join. n_wedges uses RAW degrees
+    // (deg·(deg−1)/2), the clustering-coefficient denominator.
+    "q131_triangles" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey").distinct()
+        .groupBy($"l_orderkey")
+        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 8)
+          .as("__items"))
+        .select(explode(flatten(transform($"__items", (x, i) =>
+          transform(slice($"__items", i + 2, size($"__items")),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b")).distinct()
+        .persist()
+      val deg = edges.select($"a".as("n")).unionAll(
+          edges.select($"b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      // orient a→b iff (deg(a), a) < (deg(b), b); carry the dst's
+      // (deg, id) key so the wedge join can order endpoints without a
+      // global relabeling pass
+      val withDeg = edges
+        .join(deg.withColumnsRenamed(Map("n" -> "a", "deg" -> "__da")),
+          "a")
+        .join(deg.withColumnsRenamed(Map("n" -> "b", "deg" -> "__db")),
+          "b")
+      val oriented = withDeg.select(
+          when(struct($"__da", $"a") < struct($"__db", $"b"),
+            struct($"a".as("src"), $"b".as("dst"),
+              struct($"__db".as("d"), $"b".as("i")).as("k")))
+          .otherwise(
+            struct($"b".as("src"), $"a".as("dst"),
+              struct($"__da".as("d"), $"a".as("i")).as("k")))
+          .as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.k".as("k"))
+        .persist()
+      val e1 = oriented.select($"src", $"dst".as("v"), $"k".as("kv"))
+      val e2 = oriented.select($"src", $"dst".as("w"), $"k".as("kw"))
+      val wedges = e1.join(e2, Seq("src")).filter($"kv" < $"kw")
+      val closing = oriented.select($"src".as("v"), $"dst".as("w"))
+      val nTri = wedges.join(closing, Seq("v", "w"), "left_semi").count()
+      // deg·(deg−1) is even, so the /2 is exact in double; cast to
+      // long per row BEFORE the sum so the total stays integer-exact
+      val nWedge = deg.agg(
+        sum(($"deg" * ($"deg" - 1) / 2).cast("long"))).collect()(0)
+        .getLong(0)
+      val cc = if (nWedge > 0) 3.0 * nTri / nWedge else 0.0
+      import s.implicits._
+      Seq((nTri, nWedge,
+          math.floor(cc * 1e6 + 0.5) / 1e6))
+        .toDF("n_triangles", "n_wedges", "global_cc")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -4497,6 +4765,197 @@ object SparkEntry {
         |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
         |FROM t WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
         |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
+    // q126: same capped basket derivation as q111; supports from the
+    // same capped set; round(x, 6) vs Fns.roundU as everywhere else
+    "q126_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 8),
+        |nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM capped),
+        |supp AS (SELECT l_partkey AS item, count(*) AS ns
+        |  FROM capped GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, n_ab,
+        |  round(n_ab / sa.ns, 6) AS conf_ab,
+        |  round(n_ab / sb.ns, 6) AS conf_ba,
+        |  round(n_ab * nb.n / (sa.ns * sb.ns), 6) AS lift
+        |FROM pairs JOIN supp sa ON sa.item = part_a
+        |JOIN supp sb ON sb.item = part_b CROSS JOIN nb
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // q127: same lag-over-observed-days convention; corr is Pearson r
+    // on both engines (denominator normalization cancels)
+    "q127_daily_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(n, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+        |    lag(n, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3
+        |  FROM daily),
+        |u AS (
+        |  SELECT event_type, 1 AS lag_k, round(corr(n, l1), 6) AS acf,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM lagged WHERE l1 IS NOT NULL GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, 2, round(corr(n, l2), 6),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM lagged WHERE l2 IS NOT NULL GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, 3, round(corr(n, l3), 6),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM lagged WHERE l3 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, lag_k, acf, n_obs FROM u
+        |ORDER BY event_type, lag_k""".stripMargin,
+
+    // q128: q37's manual sessionization (gap >= 30 min starts a new
+    // session, end = last event + 30 min), then the plain-window form
+    // of the sweep: net delta per ts, running sum + lead over the
+    // global order — what the engine computes via the two-phase scan
+    "q128_concurrency_sweep" ->
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flags),
+        |iv AS (
+        |  SELECT min(ts) AS st, max(ts) + INTERVAL 30 MINUTE AS en
+        |  FROM sess GROUP BY user_id, sid),
+        |net AS (
+        |  SELECT ts, CAST(sum(d) AS BIGINT) AS net FROM (
+        |    SELECT st AS ts, 1 AS d FROM iv
+        |    UNION ALL SELECT en, -1 FROM iv)
+        |  GROUP BY ts),
+        |run AS (
+        |  SELECT ts,
+        |    sum(net) OVER (ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        |    lead(ts) OVER (ORDER BY ts) AS nxt
+        |  FROM net)
+        |SELECT CAST(c AS BIGINT) AS concurrency,
+        |  CAST(sum(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS total_us,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM run WHERE nxt IS NOT NULL AND c >= 1
+        |GROUP BY 1 ORDER BY concurrency""".stripMargin,
+
+    // q129: the declarative dominance form — NOT EXISTS a point
+    // cheaper-or-equal AND larger-or-equal, strict in one coordinate;
+    // quadratic over distinct (price, size) pairs, which is exactly
+    // why the engine runs the bucket-pruned linear plan instead
+    "q129_skyline" ->
+      """WITH pt AS (
+        |  SELECT p_retailprice AS price, p_size AS size FROM part),
+        |dp AS (SELECT price, size, CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM pt GROUP BY 1, 2)
+        |SELECT price, size, n_parts FROM dp d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM dp q
+        |  WHERE q.price <= d.price AND q.size >= d.size
+        |    AND (q.price < d.price OR q.size > d.size))
+        |ORDER BY price""".stripMargin,
+
+    // q130: same two ranked lists (token Jaccard, embedding cosine)
+    // fused by 1/(60+rank); CAST to DOUBLE everywhere DuckDB would
+    // otherwise run DECIMAL arithmetic (1.0/(60+r) as a decimal
+    // divides with different rounding than the engine's double)
+    "q130_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    string_split_regex(trim(text), '\s+'))) AS t
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+        |qt AS (SELECT doc_id AS query_id, t FROM toks WHERE doc_id < 3),
+        |inter AS (
+        |  SELECT q.query_id, x.doc_id, count(*) AS ni
+        |  FROM qt q JOIN toks x ON x.t = q.t AND x.doc_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT i.query_id, i.doc_id,
+        |    row_number() OVER (PARTITION BY i.query_id
+        |      ORDER BY CAST(i.ni AS DOUBLE) / (sq.sz + sd.sz - i.ni)
+        |        DESC, i.doc_id) AS rl
+        |  FROM inter i JOIN sizes sq ON sq.doc_id = i.query_id
+        |  JOIN sizes sd ON sd.doc_id = i.doc_id),
+        |sem AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(
+        |        CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rs
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 3),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rl), 0)
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rs), 0), 6)
+        |      AS rrf
+        |  FROM (SELECT * FROM lex WHERE rl <= 50) l
+        |  FULL OUTER JOIN (SELECT * FROM sem WHERE rs <= 50) s
+        |    ON s.query_id = l.query_id AND s.doc_id = l.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+        |SELECT query_id, rk, doc_id, rrf FROM r WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin,
+
+    // q131: same capped pair edges, same (deg, id) orientation — the
+    // oracle pays the naive wedge join the engine's orientation bounds
+    "q131_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 8),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+        |  GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |      THEN e.a ELSE e.b END AS src,
+        |    CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |      THEN e.b ELSE e.a END AS dst,
+        |    CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |      THEN db.deg ELSE da.deg END AS ddeg
+        |  FROM edges e JOIN deg da ON da.n = e.a
+        |  JOIN deg db ON db.n = e.b),
+        |tri AS (
+        |  SELECT count(*) AS n FROM o e1
+        |  JOIN o e2 ON e2.src = e1.src
+        |    AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+        |  WHERE EXISTS (SELECT 1 FROM o e3
+        |    WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+        |wg AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n
+        |  FROM deg)
+        |SELECT CAST(tri.n AS BIGINT) AS n_triangles,
+        |  wg.n AS n_wedges,
+        |  floor(CAST(3.0 AS DOUBLE) * tri.n / wg.n * 1e6 + 0.5) / 1e6
+        |    AS global_cc
+        |FROM tri CROSS JOIN wg""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is
