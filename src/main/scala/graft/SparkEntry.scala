@@ -2418,6 +2418,117 @@ object SparkEntry {
         .toDF("n_triangles", "n_wedges", "global_cc")
     }),
 
+    // EQUI-DEPTH HISTOGRAM — 10 bins of equal row count over a
+    // near-unique column, the stats pass behind range partitioning
+    // and optimizer selectivity tables. Global rank is the q128
+    // two-phase scan (Packing.prefixSum of 1 — never a
+    // single-partition window); bin = (rank−1)·10 div n. Ties may
+    // rank either way across engines, but every per-bin output
+    // (count, min, max, sum) is tie-insensitive: bin SIZES are fixed
+    // by the formula, and a tie run straddling a boundary contributes
+    // the same value to both bins' min/max whichever copy lands
+    // where.
+    "q132_equidepth_bins" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select($"l_extendedprice".as("v"))
+        .withColumn("__g", lit(1)).withColumn("__one", lit(1L))
+      val n = li.count()
+      val rk = Packing.prefixSum(li, Seq("__g"), Seq("v"),
+        "__one", "__rk")
+      rk.withColumn("bin", expr(s"(__rk - 1) * 10 div ${n}L"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"v").as("min_v"), max($"v").as("max_v"),
+          Fns.roundU(sum($"v"), 2).as("sum_v"))
+        .orderBy($"bin")
+    }),
+
+    // EDIT-DISTANCE-1 JOIN — spelling-variant pairs over the corpus
+    // vocabulary via DELETION NEIGHBORHOODS: a pair at edit distance
+    // ≤1 must share a member of {t} ∪ {t minus one char} (equal →
+    // t; insert/delete → the shorter string; substitution → both
+    // delete the differing position), so the all-pairs levenshtein
+    // scan becomes an equi-join on the variant key with fanout
+    // len(t)+1 per token — the candidate set is linear in vocabulary
+    // size, not quadratic, and levenshtein runs only on candidates.
+    // The length cap bounds per-token fanout (and is mirrored by the
+    // oracle, which pays the quadratic scan).
+    "q133_spell_pairs" -> ((s, d) => {
+      // vocabulary = corpus tokens ∪ catalog (p_name) tokens — the
+      // cross-source normalization case where variant pairs exist
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(trim($"text"), "\\s+")).as("t"))
+        .unionAll(Tables.part(s, d)
+          .select(explode(split($"p_name", " ")).as("t")))
+        .filter(length($"t").between(1, 30)).distinct()
+      val variants = vocab.select($"t", explode(array_union(
+        array($"t"),
+        expr("transform(sequence(1, length(t)), i -> " +
+          "concat(substr(t, 1, i - 1), " +
+          "substr(t, i + 1, length(t))))"))).as("__v"))
+      val cand = variants.select($"t".as("t1"), $"__v")
+        .join(variants.select($"t".as("t2"), $"__v"), "__v")
+        .filter($"t1" < $"t2").select($"t1", $"t2").distinct()
+      cand.filter(levenshtein($"t1", $"t2") <= 1)
+        .orderBy($"t1", $"t2")
+    }),
+
+    // SORTED-NEIGHBORHOOD BLOCKING — the third blocking family next
+    // to LSH (q23) and rare-shingle (q52): rank every doc by a cheap
+    // sort key (text prefix + id makes the order total), compare only
+    // rank-adjacent docs (window w=3). Rank is the q128 two-phase
+    // scan; the "sliding window" is NOT a window function — each doc
+    // explodes 3 offset rows and equi-joins rank→rank+o, so candidate
+    // volume is exactly 3n and every stage is hash-partitioned.
+    // Verification reuses the digest-only Jaccard join (shingles
+    // travel as 64-bit hashes, q24's oracle-proven path).
+    "q134_sorted_neighborhood" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keyed = docs
+        .select($"doc_id", substring($"text", 1, 20).as("__sk"))
+        .withColumn("__g", lit(1)).withColumn("__one", lit(1L))
+      val ranked = Packing.prefixSum(keyed, Seq("__g"),
+        Seq("__sk", "doc_id"), "__one", "__rk")
+      val pairs = ranked
+        .select($"doc_id".as("id_a"), $"__rk",
+          explode(array(lit(1L), lit(2L), lit(3L))).as("__o"))
+        .select($"id_a", ($"__rk" + $"__o").as("__rk2"))
+        .join(ranked.select($"doc_id".as("id_b"),
+          $"__rk".as("__rk2")), "__rk2")
+        .select($"id_a", $"id_b")
+      Dedup.exactJaccardCounts(docs, "text", "doc_id", pairs,
+          shingleWords = 3)
+        .filter($"jaccard" >= 0.3)
+        .select($"id_a", $"id_b", $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // K-CORE — the dense-subgraph extraction next to q121/q122's
+    // PageRank and q52's connected components: iterative peeling of
+    // sub-k-degree nodes over the parts co-purchase graph until the
+    // surviving subgraph is everywhere ≥ k. NO ORACLE: the fixpoint
+    // iteration isn't SQL-expressible; the deterministic gate is
+    // GraphSpec's independent reference peeling (clique + cascading
+    // path fixture, k ∈ {2,3,5}, empty-core termination, idempotence)
+    // — the q23/q25/q40 treatment. Output is the core membership
+    // histogram: how many nodes survive at each in-core degree. k=80
+    // sits just under this graph's collapse threshold (85 empties
+    // it), so the run exercises ~20 cascading peel rounds at sf0.01
+    // rather than a trivial keep-everything pass.
+    "q135_kcore" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey").distinct()
+        .groupBy($"l_orderkey")
+        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 8)
+          .as("__items"))
+        .select(explode(flatten(transform($"__items", (x, i) =>
+          transform(slice($"__items", i + 2, size($"__items")),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b")).distinct()
+      Graph.kCore(edges, "a", "b", k = 80)
+        .groupBy($"core_deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"core_deg")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -4956,6 +5067,72 @@ object SparkEntry {
         |  floor(CAST(3.0 AS DOUBLE) * tri.n / wg.n * 1e6 + 0.5) / 1e6
         |    AS global_cc
         |FROM tri CROSS JOIN wg""".stripMargin,
+
+    // q132: rank via row_number — tie placement may differ from the
+    // engine's, but per-bin count/min/max/sum are tie-insensitive
+    "q132_equidepth_bins" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(v) AS min_v, max(v) AS max_v,
+        |  floor(sum(v) * 100 + 0.5) / 100.0 AS sum_v
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // q133: the quadratic scan the deletion-neighborhood join avoids
+    "q133_spell_pairs" ->
+      """WITH v AS (
+        |  SELECT DISTINCT t FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT unnest(string_split(p_name, ' ')) FROM part)
+        |  WHERE len(t) BETWEEN 1 AND 30)
+        |SELECT a.t AS t1, b.t AS t2
+        |FROM v a JOIN v b ON a.t < b.t
+        |WHERE levenshtein(a.t, b.t) <= 1
+        |ORDER BY t1, t2""".stripMargin,
+
+    // q134: same total order (prefix, id), same rank-band pairs, q24's
+    // shingle-Jaccard tail; threshold applies to the ROUNDED value on
+    // both sides so the boundary can't diverge
+    "q134_sorted_neighborhood" ->
+      """WITH k AS (
+        |  SELECT doc_id, substr(text, 1, 20) AS sk FROM documents),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY sk, doc_id) AS rk FROM k),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+        |  FROM toks),
+        |sh AS (SELECT doc_id, unnest(gs) AS g FROM shl),
+        |inter AS (
+        |  SELECT p.id_a, p.id_b, count(*) AS ni
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.id_a
+        |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.g = sa.g
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+        |j AS (
+        |  SELECT p.id_a, p.id_b,
+        |    floor((CAST(coalesce(ni, 0) AS DOUBLE) /
+        |      (za.ns + zb.ns - coalesce(ni, 0))) * 10000 + 0.5)
+        |      / 10000.0 AS jaccard
+        |  FROM pairs p
+        |  LEFT JOIN inter USING (id_a, id_b)
+        |  JOIN sizes za ON za.doc_id = p.id_a
+        |  JOIN sizes zb ON zb.doc_id = p.id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is

@@ -79,4 +79,58 @@ object Graph {
     }
     ranks.select(col("node"), col("rank"))
   }
+
+  /** K-CORE decomposition over an UNDIRECTED edge list (one row per
+    * edge, either orientation; self-loops must be pre-dropped): the
+    * maximal subgraph in which every node has degree ≥ k, found by
+    * iterative peeling — drop every node with current degree < k,
+    * remove its edges, repeat until a fixed point. Peeling is order-
+    * insensitive (removing any sub-k node never makes another node's
+    * final membership change), so the result is a deterministic
+    * function of the graph.
+    *
+    * Per round: one degree aggregate, one semi-join of edges onto the
+    * surviving-node set per endpoint — all hash-partitioned on node
+    * keys; the surviving edge set is localCheckpoint'ed each round
+    * (the [[pageRank]] lineage discipline — a lazy chain would
+    * re-derive round r from scratch 2^r times). Rounds are bounded by
+    * `maxIters` as a runaway guard; the loop exits as soon as a round
+    * removes nothing. Worst-case round count is the graph's
+    * degeneracy-peeling depth (a path graph peels one layer per
+    * round), which for real clustered graphs is tens, not thousands.
+    *
+    * Returns the surviving nodes with their degree INSIDE the core
+    * (≥ k by construction); empty output means no k-core exists. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIters: Int = 50): DataFrame = {
+    require(k >= 1 && maxIters >= 1)
+    // undirected: materialize both orientations once; degree = out-
+    // degree in the doubled form, and peeling both endpoint sides
+    // keeps the doubling invariant
+    var e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .unionAll(edges.select(col(dstCol).as("__src"),
+        col(srcCol).as("__dst")))
+      .distinct().localCheckpoint()
+    var prevEdges = e.count()
+    var done = prevEdges == 0L
+    var i = 0
+    while (!done && i < maxIters) {
+      val keep = e.groupBy(col("__src").as("__n"))
+        .agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("__n"))
+      e = e.join(keep.withColumnRenamed("__n", "__src"), Seq("__src"),
+          "left_semi")
+        .join(keep.withColumnRenamed("__n", "__dst"), Seq("__dst"),
+          "left_semi")
+        .localCheckpoint()
+      val n = e.count()
+      done = n == prevEdges || n == 0L
+      prevEdges = n
+      i += 1
+    }
+    e.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+  }
 }

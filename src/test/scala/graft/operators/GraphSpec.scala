@@ -46,4 +46,52 @@ class GraphSpec extends SparkSpec {
     // mass conservation: the dangling redistribution keeps Σr = 1
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
+
+  /** Independent reference peeling (plain Scala sets). */
+  private def kCoreRef(edges: Seq[(String, String)], k: Int)
+      : Map[String, Int] = {
+    var e = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    var changed = true
+    while (changed && e.nonEmpty) {
+      val deg = e.groupBy(_._1).map { case (n, es) => n -> es.length }
+      val keep = deg.filter(_._2 >= k).keySet
+      val ne = e.filter { case (a, b) => keep(a) && keep(b) }
+      changed = ne.length != e.length
+      e = ne
+    }
+    e.groupBy(_._1).map { case (n, es) => n -> es.length }
+      .filter(_._2 >= k)
+  }
+
+  test("kCore matches reference peeling on a seeded graph") {
+    val rnd = new scala.util.Random(7)
+    // clique of 6 (5-core) + sparse periphery that must peel away in
+    // cascades (a path hanging off the clique peels one hop per round)
+    val clique = for {
+      i <- 0 until 6; j <- (i + 1) until 6
+    } yield (s"c$i", s"c$j")
+    val path = (0 until 5).map(i => (s"p$i", s"p${i + 1}")) :+
+      (("c0", "p0"))
+    val noise = Seq.fill(40)(
+      (s"x${rnd.nextInt(15)}", s"x${rnd.nextInt(15)}"))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = (clique ++ path ++ noise).distinct
+    for (k <- Seq(2, 3, 5)) {
+      val ref = kCoreRef(edges, k)
+      val got = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      assert(got === ref, s"k=$k")
+    }
+    // 6-core of this graph is empty — the loop must terminate on the
+    // all-peeled fixed point, not spin
+    assert(Graph.kCore(edges.toDF("src", "dst"), "src", "dst", 6)
+      .count() === 0L)
+    // idempotence: the k-core of the k-core is itself
+    val core3 = kCoreRef(edges, 3)
+    val coreEdges = edges.filter { case (a, b) =>
+      core3.contains(a) && core3.contains(b) }
+    val again = Graph.kCore(coreEdges.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(again === core3)
+  }
 }
