@@ -2370,10 +2370,13 @@ object SparkEntry {
     // edge exists: one more semi-join. n_wedges uses RAW degrees
     // (deg·(deg−1)/2), the clustering-coefficient denominator.
     "q131_triangles" -> ((s, d) => {
+      // cap 5 (vs q111's 8): triangle cost grows ~m^1.5, so the edge
+      // cap is the query's cost dial — measured 10.0 s → 3 s-ish at
+      // sf0.1 from 8→5 while exercising the identical plan
       val edges = Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_partkey").distinct()
         .groupBy($"l_orderkey")
-        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 8)
+        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 5)
           .as("__items"))
         .select(explode(flatten(transform($"__items", (x, i) =>
           transform(slice($"__items", i + 2, size($"__items")),
@@ -2510,21 +2513,21 @@ object SparkEntry {
     // GraphSpec's independent reference peeling (clique + cascading
     // path fixture, k ∈ {2,3,5}, empty-core termination, idempotence)
     // — the q23/q25/q40 treatment. Output is the core membership
-    // histogram: how many nodes survive at each in-core degree. k=80
-    // sits just under this graph's collapse threshold (85 empties
-    // it), so the run exercises ~20 cascading peel rounds at sf0.01
-    // rather than a trivial keep-everything pass.
+    // histogram: how many nodes survive at each in-core degree. The
+    // cap-5 graph's degree distribution is SF-stable (parts grow with
+    // orders), so k=40 peels real cascades at every test SF without
+    // emptying the core (collapse sits near 50; probed per-SF).
     "q135_kcore" -> ((s, d) => {
       val edges = Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_partkey").distinct()
         .groupBy($"l_orderkey")
-        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 8)
+        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 5)
           .as("__items"))
         .select(explode(flatten(transform($"__items", (x, i) =>
           transform(slice($"__items", i + 2, size($"__items")),
             y => struct(x.as("a"), y.as("b")))))).as("p"))
         .select($"p.a".as("a"), $"p.b".as("b")).distinct()
-      Graph.kCore(edges, "a", "b", k = 80)
+      Graph.kCore(edges, "a", "b", k = 40)
         .groupBy($"core_deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy($"core_deg")
     }),
@@ -5036,7 +5039,7 @@ object SparkEntry {
         |capped AS (
         |  SELECT l_orderkey, l_partkey FROM (
         |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
-        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 8),
+        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 5),
         |edges AS (
         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
         |  FROM capped a JOIN capped b

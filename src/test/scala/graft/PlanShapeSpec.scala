@@ -524,4 +524,59 @@ class PlanShapeSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q128 sweep line: running level is prefix-scan, not a window") {
+    // the whole point of the sweep-line build: both the level and the
+    // rank come from Packing.prefixSum two-phase scans, and the lead
+    // is a rank equi-join — a global-order window would serialize the
+    // timeline onto one task
+    val wins = collectAll(plan("q128_concurrency_sweep")) {
+      case w: WindowExec => w
+    }
+    assert(wins.isEmpty,
+      s"sweep line fell back to a window:\n${wins.mkString}")
+  }
+
+  test("q129 skyline: the only unpartitioned window is the bin table") {
+    // per-bin prefix max is partitioned by __b; the cross-bin cum-max
+    // runs over the ≤1024-row bin aggregate — exactly ONE
+    // unpartitioned window is the designed plan, and its input must
+    // be post-aggregate (bounded), not the raw part scan
+    val wins = collectAll(plan("q129_skyline")) { case w: WindowExec => w }
+    val (global, perBin) = wins.partition(_.partitionSpec.isEmpty)
+    assert(global.length === 1 && perBin.nonEmpty, s"$wins")
+    val hasAgg = global.head.exists {
+      case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        true
+      case _ => false
+    }
+    assert(hasAgg, "cross-bin window reads pre-aggregate (unbounded) rows")
+  }
+
+  test("q130 hybrid RRF: both modality top-50s run the bounded heap") {
+    val p = plan("q130_hybrid_rrf")
+    val topk = collectAll(p) { case t: graft.plans.TopKPerKeyExec => t }
+    // two modalities × (partial, final)
+    assert(topk.map(_.partial).count(identity) === 2 &&
+      topk.map(_.partial).count(!_) === 2, s"heap execs: ${topk.length}")
+    // windows remain only for ranking the ≤50-row survivors and the
+    // ≤100-row fused list — all partitioned by query
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in the RRF chain")
+  }
+
+  test("q131 triangles: wedge join is equi-hash, never nested-loop") {
+    // degree orientation only bounds the wedge join if it IS an
+    // equi-join on src; a planner fallback to nested-loop/cartesian
+    // would be the quadratic plan the orientation exists to avoid
+    val p = plan("q131_triangles")
+    val bad = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        j.nodeName
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi join in triangle plan: $bad")
+  }
 }
