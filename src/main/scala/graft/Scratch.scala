@@ -264,12 +264,102 @@ object Scratch {
       }
     }
 
+    /** q131 triangles: disconnected graph copies (node ids suffixed
+      * per replica, the q121 model) — triangle/wedge counts scale
+      * exactly 10×, so the probe isolates how the oriented wedge join
+      * grows with edge volume at FIXED per-node degree. */
+    def triangleChain(mult: Int): Double = {
+      val base = Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 5)
+          .as("items"))
+        .select(explode(flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + 2, size(col("items"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+        .persist(MEMORY_AND_DISK)
+      base.count()
+      val rep = (0 until mult).map { k =>
+        base.select(concat(col("a"), lit(s"_$k")).as("a"),
+          concat(col("b"), lit(s"_$k")).as("b"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val edges = rep.persist(MEMORY_AND_DISK)
+        val deg = edges.select(col("a").as("n")).unionAll(
+            edges.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val withDeg = edges
+          .join(deg.withColumnsRenamed(Map("n" -> "a", "deg" -> "da")), "a")
+          .join(deg.withColumnsRenamed(Map("n" -> "b", "deg" -> "db")), "b")
+        val oriented = withDeg.select(
+            when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+              struct(col("a").as("src"), col("b").as("dst"),
+                struct(col("db").as("d"), col("b").as("i")).as("k")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+              struct(col("da").as("d"), col("a").as("i")).as("k")))
+            .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.k").as("k"))
+          .persist(MEMORY_AND_DISK)
+        val e1 = oriented.select(col("src"), col("dst").as("v"),
+          col("k").as("kv"))
+        val e2 = oriented.select(col("src"), col("dst").as("w"),
+          col("k").as("kw"))
+        val wedges = e1.join(e2, Seq("src")).filter(col("kv") < col("kw"))
+        val closing = oriented.select(col("src").as("v"),
+          col("dst").as("w"))
+        val n = wedges.join(closing, Seq("v", "w"), "left_semi").count()
+        println(s"[scratch]   triangles mult=$mult n=$n")
+        edges.unpersist(); oriented.unpersist()
+      }
+      base.unpersist()
+      r
+    }
+
+    /** q128 sweep: replicas shift user ids AND time (each replica its
+      * own day offset) — 10× sessions over a 10×-longer timeline, the
+      * shape a longer retention window produces; prefix-scan stages
+      * must grow linearly. */
+    def sweepChain(mult: Int): Double = {
+      val ev = Tables.events(spark, d)
+        .select(col("user_id"), col("ts")).persist(MEMORY_AND_DISK)
+      ev.count()
+      val rep = (0 until mult).map { k =>
+        ev.select((col("user_id") + lit(k * 1000000L)).as("user_id"),
+          (col("ts") + expr(s"INTERVAL ${k * 400} DAYS")).as("ts"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val sess = rep
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("st"), col("w.end").as("en"))
+        val net = sess.select(col("st").as("ts"), lit(1L).as("dl"))
+          .unionAll(sess.select(col("en").as("ts"), lit(-1L).as("dl")))
+          .groupBy(col("ts")).agg(sum(col("dl")).as("net"))
+          .withColumn("g", lit(1)).withColumn("one", lit(1L))
+        val run = operators.Packing.prefixSum(net, Seq("g"), Seq("ts"),
+          "net", "conc")
+        val rk = operators.Packing.prefixSum(run, Seq("g"), Seq("ts"),
+          "one", "rk")
+        val nxt = rk.select((col("rk") - 1).as("rk2"), col("ts").as("nxt"))
+        val n = rk.join(nxt, col("rk") === col("rk2"))
+          .filter(col("conc") >= 1)
+          .groupBy(col("conc")).agg(count(lit(1)).as("n")).count()
+        println(s"[scratch]   sweep mult=$mult levels=$n")
+      }
+      ev.unpersist()
+      r
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
       "dedup" -> dedupChain, "leakage" -> leakageChain,
       "span" -> spanChain, "semantic" -> semanticChain,
       "semantic2" -> semanticChain2, "spanRemoval" -> spanRemovalChain,
       "qualityGate" -> qualityGateChain, "bpe" -> bpeChain,
-      "pmi" -> pmiChain, "pagerank" -> pagerankChain)
+      "pmi" -> pmiChain, "pagerank" -> pagerankChain,
+      "triangles" -> triangleChain, "sweep" -> sweepChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm
