@@ -2532,6 +2532,77 @@ object SparkEntry {
         .orderBy($"core_deg")
     }),
 
+    // SNAPSHOT DIFF — the q93 payoff applied twice: reconstruct the
+    // dimension at two derived times T1 < T2 from ONE SCD-2 table
+    // (interval predicates, no log replay) and classify every key as
+    // added / changed / unchanged between them (removed can't occur
+    // in a close-and-append dimension — no delete path — so its
+    // absence is itself checked by the oracle's hash). One keyed
+    // full-outer join between the two snapshots; the history table is
+    // scanned once and both interval filters prune from the same
+    // cached pass.
+    "q136_snapshot_diff" -> ((s, d) => {
+      val (target, changes) = scd2Fixture(s, d)
+      val hist = Merge.applyScd2(target, changes, Seq("c_custkey"),
+        Seq("val"), "ts", "valid_from", "valid_to").persist()
+      // integer div on BOTH sides: a double-division + cast would
+      // truncate here but ROUND in DuckDB's BIGINT cast, skewing the
+      // derived snapshot times by one
+      val ts = changes.agg(expr("max(ts) div 3").as("__t1"),
+        expr("max(ts) * 2 div 3").as("__t2"))
+      def snap(t: Column) = hist.crossJoin(broadcast(ts))
+        .filter($"valid_from" <= t && ($"valid_to".isNull ||
+          $"valid_to" > t))
+      val s1 = snap($"__t1").select($"c_custkey", $"val".as("__v1"))
+      val s2 = snap($"__t2").select($"c_custkey", $"val".as("__v2"))
+      s1.join(s2, Seq("c_custkey"), "full_outer")
+        .select(when($"__v1".isNull, "added")
+          .when($"__v2".isNull, "removed")
+          .when($"__v1" === $"__v2", "unchanged")
+          .otherwise("changed").as("status"))
+        .groupBy($"status").agg(count(lit(1)).as("n_keys"))
+        .orderBy($"status")
+    }),
+
+    // CUPED adjusted A/B readout — the experimentation-platform
+    // variance-reduction staple: per-user post-period metric Y
+    // adjusted by the pre-period covariate X as Y − θ·(X − E[X]),
+    // θ = cov(X,Y)/var(X), which shrinks variance by corr² without
+    // biasing the mean. Pre/post split and variant assignment are
+    // derived (ts median; user_id parity), θ comes from ONE global
+    // 1-row aggregate (broadcast), and the readout is a per-variant
+    // hash agg — three bounded aggregates over one user-level table,
+    // nothing user-count-sized ever leaves the executors.
+    "q137_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("__us"), $"value")
+      // pre/post boundary = timeline midpoint from an EXACT 1-row agg
+      // (a percentile_approx sketch here would be engine-specific and
+      // unoraclable)
+      val mid = ev.agg(expr("(min(__us) + max(__us)) div 2")
+        .as("__mid"))
+      val user = ev.crossJoin(broadcast(mid))
+        .groupBy($"user_id")
+        .agg(sum(when($"__us" < $"__mid", $"value").otherwise(0.0))
+          .as("__x"),
+          sum(when($"__us" >= $"__mid", $"value").otherwise(0.0))
+            .as("__y"))
+        .withColumn("variant", ($"user_id" % 2).cast("int"))
+      val theta = user.agg(
+        (covar_pop($"__x", $"__y") / var_pop($"__x")).as("__theta"),
+        avg($"__x").as("__mx"))
+      user.crossJoin(broadcast(theta))
+        .groupBy($"variant")
+        .agg(count(lit(1)).as("n_users"),
+          Fns.roundU(avg($"__y"), 6).as("raw_mean"),
+          Fns.roundU(avg($"__y" - $"__theta" * ($"__x" - $"__mx")), 6)
+            .as("cuped_mean"),
+          Fns.roundU(stddev_pop($"__y"), 6).as("raw_sd"),
+          Fns.roundU(stddev_pop($"__y" - $"__theta" *
+            ($"__x" - $"__mx")), 6).as("cuped_sd"))
+        .orderBy($"variant")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -5136,6 +5207,82 @@ object SparkEntry {
         |  JOIN sizes zb ON zb.doc_id = p.id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q136: q92's SCD-2 CTEs verbatim, then two interval snapshots
+    // and the keyed diff — the oracle recomputes the whole history
+    "q136_snapshot_diff" ->
+      """WITH target AS (
+        |  SELECT c_custkey, c_acctbal AS val,
+        |    CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(NULL AS BIGINT) AS valid_to
+        |  FROM customer),
+        |ch0 AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 1000000
+        |    ELSE o_custkey END AS c_custkey,
+        |    o_totalprice AS val, o_orderkey AS ts
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |ch AS (
+        |  SELECT c_custkey, val, ts FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY ts DESC) AS rn FROM ch0) WHERE rn = 1),
+        |keep AS (
+        |  SELECT t.c_custkey, t.val, t.valid_from, t.valid_to
+        |  FROM target t LEFT JOIN ch USING (c_custkey)
+        |  WHERE ch.ts IS NULL OR t.val = ch.val),
+        |closed AS (
+        |  SELECT t.c_custkey, t.val, t.valid_from,
+        |    CAST(ch.ts AS BIGINT) AS valid_to
+        |  FROM target t JOIN ch USING (c_custkey)
+        |  WHERE t.val <> ch.val),
+        |ins AS (
+        |  SELECT ch.c_custkey, ch.val, CAST(ch.ts AS BIGINT)
+        |    AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM ch LEFT JOIN target t USING (c_custkey)
+        |  WHERE t.c_custkey IS NULL OR t.val <> ch.val),
+        |hist AS (
+        |  SELECT * FROM keep UNION ALL SELECT * FROM closed
+        |  UNION ALL SELECT * FROM ins),
+        |tt AS (SELECT max(ts) // 3 AS t1,
+        |  max(ts) * 2 // 3 AS t2 FROM ch),
+        |s1 AS (SELECT c_custkey, val AS v1 FROM hist CROSS JOIN tt
+        |  WHERE valid_from <= t1
+        |    AND (valid_to IS NULL OR valid_to > t1)),
+        |s2 AS (SELECT c_custkey, val AS v2 FROM hist CROSS JOIN tt
+        |  WHERE valid_from <= t2
+        |    AND (valid_to IS NULL OR valid_to > t2))
+        |SELECT CASE WHEN v1 IS NULL THEN 'added'
+        |    WHEN v2 IS NULL THEN 'removed'
+        |    WHEN v1 = v2 THEN 'unchanged'
+        |    ELSE 'changed' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n_keys
+        |FROM s1 FULL OUTER JOIN s2 USING (c_custkey)
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // q137: same derived boundary/variant, same population moments;
+    // CAST mirrors keep DuckDB in double arithmetic throughout
+    "q137_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mid AS (
+        |  SELECT (min(us) + max(us)) // 2 AS m FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN us < m THEN value ELSE 0.0 END) AS x,
+        |    sum(CASE WHEN us >= m THEN value ELSE 0.0 END) AS y,
+        |    CAST(user_id % 2 AS INT) AS variant
+        |  FROM ev CROSS JOIN mid GROUP BY user_id),
+        |th AS (
+        |  SELECT covar_pop(x, y) / var_pop(x) AS theta,
+        |    avg(x) AS mx FROM u)
+        |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+        |  floor(avg(y) * 1e6 + 0.5) / 1e6 AS raw_mean,
+        |  floor(avg(y - theta * (x - mx)) * 1e6 + 0.5) / 1e6
+        |    AS cuped_mean,
+        |  floor(stddev_pop(y) * 1e6 + 0.5) / 1e6 AS raw_sd,
+        |  floor(stddev_pop(y - theta * (x - mx)) * 1e6 + 0.5) / 1e6
+        |    AS cuped_sd
+        |FROM u CROSS JOIN th
+        |GROUP BY variant ORDER BY variant""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is
