@@ -1764,15 +1764,8 @@ object SparkEntry {
     // transaction log needs: pair fanout is bounded per order however
     // large one degenerate basket gets.
     "q111_basket_pairs" -> ((s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select($"l_orderkey", $"l_partkey").distinct()
-        .groupBy($"l_orderkey")
-        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 8)
-          .as("__items"))
-      items.select(explode(flatten(transform($"__items", (x, i) =>
-          transform(slice($"__items", i + 2, size($"__items")),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .groupBy($"p.a".as("part_a"), $"p.b".as("part_b"))
+      basketPairs(cappedBaskets(s, d, cap = 8))
+        .groupBy($"a".as("part_a"), $"b".as("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy($"n_orders".desc, $"part_a", $"part_b")
         .limit(20)
@@ -2160,19 +2153,15 @@ object SparkEntry {
     // the item key; the pair table itself is the q111 bounded-fanout
     // derivation, so the whole chain stays cap-bounded per basket.
     "q126_assoc_rules" -> ((s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select($"l_orderkey", $"l_partkey").distinct()
-        .groupBy($"l_orderkey")
-        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 8)
-          .as("__items"))
-        .persist()
+      // persisted because three branches (count, supports, pairs)
+      // share it within the returned plan; released by the session
+      // cache clear Verify/Bench run per query
+      val items = cappedBaskets(s, d, cap = 8).persist()
       val nBaskets = items.count()
       val itemSupp = items.select(explode($"__items").as("item"))
         .groupBy($"item").agg(count(lit(1)).as("__n"))
-      val pairs = items.select(explode(flatten(transform($"__items",
-          (x, i) => transform(slice($"__items", i + 2, size($"__items")),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .groupBy($"p.a".as("part_a"), $"p.b".as("part_b"))
+      val pairs = basketPairs(items)
+        .groupBy($"a".as("part_a"), $"b".as("part_b"))
         .agg(count(lit(1)).as("n_ab"))
         .filter($"n_ab" >= 3)
       pairs
@@ -2319,6 +2308,9 @@ object SparkEntry {
     // lists); the tiny synthetic vocabulary here makes that cap moot.
     "q130_hybrid_rrf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // persisted: feeds sizes + both sides of the index join within
+      // the returned plan; released by the per-query session cache
+      // clear (Verify/Bench), per the call-site-persist convention
       val toks = docs.select($"doc_id",
           explode(array_distinct(split(trim($"text"), "\\s+"))).as("t"))
         .persist()
@@ -2371,18 +2363,10 @@ object SparkEntry {
     // (deg·(deg−1)/2), the clustering-coefficient denominator.
     "q131_triangles" -> ((s, d) => {
       // cap 5 (vs q111's 8): triangle cost grows ~m^1.5, so the edge
-      // cap is the query's cost dial — measured 10.0 s → 3 s-ish at
-      // sf0.1 from 8→5 while exercising the identical plan
-      val edges = Tables.lineitem(s, d)
-        .select($"l_orderkey", $"l_partkey").distinct()
-        .groupBy($"l_orderkey")
-        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 5)
-          .as("__items"))
-        .select(explode(flatten(transform($"__items", (x, i) =>
-          transform(slice($"__items", i + 2, size($"__items")),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .select($"p.a".as("a"), $"p.b".as("b")).distinct()
-        .persist()
+      // cap is the query's cost dial — exercises the identical plan
+      // on a 2.5× sparser graph
+      val edges = basketPairs(cappedBaskets(s, d, cap = 5))
+        .distinct().persist()
       val deg = edges.select($"a".as("n")).unionAll(
           edges.select($"b".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
@@ -2415,6 +2399,11 @@ object SparkEntry {
         sum(($"deg" * ($"deg" - 1) / 2).cast("long"))).collect()(0)
         .getLong(0)
       val cc = if (nWedge > 0) 3.0 * nTri / nWedge else 0.0
+      // both actions have run — release the two persists NOW rather
+      // than leaving 841k-edge tables squatting until the session
+      // cache clear (the review-documented q52 cache-pressure mode)
+      edges.unpersist()
+      oriented.unpersist()
       import s.implicits._
       Seq((nTri, nWedge,
           math.floor(cc * 1e6 + 0.5) / 1e6))
@@ -2518,15 +2507,7 @@ object SparkEntry {
     // orders), so k=40 peels real cascades at every test SF without
     // emptying the core (collapse sits near 50; probed per-SF).
     "q135_kcore" -> ((s, d) => {
-      val edges = Tables.lineitem(s, d)
-        .select($"l_orderkey", $"l_partkey").distinct()
-        .groupBy($"l_orderkey")
-        .agg(slice(sort_array(collect_set($"l_partkey")), 1, 5)
-          .as("__items"))
-        .select(explode(flatten(transform($"__items", (x, i) =>
-          transform(slice($"__items", i + 2, size($"__items")),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .select($"p.a".as("a"), $"p.b".as("b")).distinct()
+      val edges = basketPairs(cappedBaskets(s, d, cap = 5)).distinct()
       Graph.kCore(edges, "a", "b", k = 40)
         .groupBy($"core_deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy($"core_deg")
@@ -2543,6 +2524,8 @@ object SparkEntry {
     // cached pass.
     "q136_snapshot_diff" -> ((s, d) => {
       val (target, changes) = scd2Fixture(s, d)
+      // persisted: both interval snapshots prune from this one pass;
+      // released by the per-query session cache clear
       val hist = Merge.applyScd2(target, changes, Seq("c_custkey"),
         Seq("val"), "ts", "valid_from", "valid_to").persist()
       // integer div on BOTH sides: a double-division + cast would
@@ -5845,6 +5828,32 @@ object SparkEntry {
       .agg(max_by($"val", $"ts").as("val"), max($"ts").as("ts"))
     (target, changes)
   }
+
+  /** Capped basket item sets over distinct (order, part) rows — ONE
+    * derivation for the whole market-basket/graph family (q111 pair
+    * supports, q126 rules, q131 triangles, q135 k-core), so the cap
+    * and dedup order can never drift between the queries (q126's
+    * supports/pairs consistency depends on exactly that). `cap`
+    * bounds per-basket pair fanout at cap·(cap−1)/2 however large one
+    * degenerate basket gets; the sorted slice makes WHICH items
+    * survive the cap deterministic. */
+  private def cappedBaskets(s: SparkSession, d: String, cap: Int)
+      : org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_orderkey")
+      .agg(slice(sort_array(collect_set($"l_partkey")), 1, cap)
+        .as("__items"))
+
+  /** One row per within-basket item pair (a < b — the items arrive
+    * sorted), NOT deduped across baskets: q111/q126 count pair
+    * support per basket; graph consumers `.distinct()` to edges. */
+  private def basketPairs(items: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    items.select(explode(flatten(transform($"__items", (x, i) =>
+        transform(slice($"__items", i + 2, size($"__items")),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
 
   // sugar so the query bodies read like notebook Spark
   private implicit class Sym(val sc: StringContext) {

@@ -61,6 +61,14 @@ object Graph {
       .localCheckpoint()
     val nN = base.count()
     var ranks = base.withColumn("rank", lit(1.0 / nN))
+    // each round's checkpoint is freed once the NEXT round has
+    // materialized (localCheckpoint is eager): Dataset.unpersist only
+    // talks to the CacheManager, so the RDD blocks behind a checkpoint
+    // need the Bridge helper or every round leaks a full rank-table
+    // copy until driver GC (the dupClusters discipline). prevCk starts
+    // null because round 1's input is a lazy projection OVER base —
+    // walking ITS plan would free base, which every round still joins.
+    var prevCk: DataFrame = null
     for (_ <- 1 to iters) {
       val dangling = ranks.filter(col("__deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
@@ -76,7 +84,14 @@ object Graph {
             lit(damping) * (coalesce(col("__in"), lit(0.0)) +
               col("__dm") / nN)).as("rank"))
         .localCheckpoint()
+      if (prevCk != null)
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(prevCk)
+      prevCk = ranks
     }
+    // the loop no longer references the inputs; only the FINAL rank
+    // checkpoint (the return value, caller-owned) stays resident
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(base)
     ranks.select(col("node"), col("rank"))
   }
 
@@ -93,11 +108,13 @@ object Graph {
     * surviving-node set per endpoint — all hash-partitioned on node
     * keys; the surviving edge set is localCheckpoint'ed each round
     * (the [[pageRank]] lineage discipline — a lazy chain would
-    * re-derive round r from scratch 2^r times). Rounds are bounded by
-    * `maxIters` as a runaway guard; the loop exits as soon as a round
-    * removes nothing. Worst-case round count is the graph's
-    * degeneracy-peeling depth (a path graph peels one layer per
-    * round), which for real clustered graphs is tens, not thousands.
+    * re-derive round r from scratch 2^r times), and each round frees
+    * the previous round's checkpoint blocks. The loop exits as soon
+    * as a round removes nothing; if the fixed point is not reached
+    * within `maxIters` the operator THROWS rather than return a
+    * plausible-looking non-core (a path graph peels one layer per
+    * round, so deep chains legitimately need a higher `maxIters`;
+    * real clustered graphs peel in tens of rounds).
     *
     * Returns the surviving nodes with their degree INSIDE the core
     * (≥ k by construction); empty output means no k-core exists. */
@@ -128,16 +145,30 @@ object Graph {
         .agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k)
         .select(col("__n"))
-      e = e.join(keep.withColumnRenamed("__n", "__src"), Seq("__src"),
+      val next = e
+        .join(keep.withColumnRenamed("__n", "__src"), Seq("__src"),
           "left_semi")
         .join(keep.withColumnRenamed("__n", "__dst"), Seq("__dst"),
           "left_semi")
         .localCheckpoint()
-      val n = e.count()
+      val n = next.count()
+      // free the previous round's checkpoint blocks (Bridge, not
+      // unpersist — see pageRank); next is already materialized so
+      // nothing can recompute through the truncated lineage
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
+      e = next
       done = n == prevEdges || n == 0L
       prevEdges = n
       i += 1
     }
+    // FAIL LOUD on a truncated peel: returning the intermediate edge
+    // set would be a plausible-looking NON-core (nodes still below k
+    // survive on a long peeling chain — a 2(maxIters+2)-node path
+    // graph at k=2 peels one layer per round). The scaladoc's
+    // "deterministic function of the graph" contract forbids that.
+    if (!done) throw new IllegalStateException(
+      s"kCore(k=$k) did not reach a fixed point in $maxIters rounds; " +
+        "raise maxIters for deep-peeling graphs")
     e.groupBy(col("__src").as("node"))
       .agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)

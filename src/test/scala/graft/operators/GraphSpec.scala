@@ -94,4 +94,19 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
     assert(again === core3)
   }
+
+  test("kCore throws on a peel deeper than maxIters (no silent non-core)") {
+    // a 14-node path at k=2 peels exactly one layer from each end per
+    // round (7 rounds to empty); maxIters=3 must throw, not return the
+    // still-degree-2 middle as a fake 2-core
+    val path = (0 until 13).map(i => (s"p$i", s"p${i + 1}"))
+    val ex = intercept[IllegalStateException] {
+      Graph.kCore(path.toDF("src", "dst"), "src", "dst", k = 2,
+        maxIters = 3).count()
+    }
+    assert(ex.getMessage.contains("fixed point"))
+    // with enough rounds the same graph resolves to the true empty core
+    assert(Graph.kCore(path.toDF("src", "dst"), "src", "dst", k = 2,
+      maxIters = 20).count() === 0L)
+  }
 }
