@@ -2586,6 +2586,85 @@ object SparkEntry {
         .orderBy($"variant")
     }),
 
+    // KAPLAN–MEIER survival curve — churn analysis with CENSORING
+    // done right: a customer's observed lifetime is first→last order
+    // date, they "die" (churn) only if silent for 90+ days before the
+    // dataset ends, and still-active customers are CENSORED at their
+    // observed lifetime (they leave the risk set without counting as
+    // churn) — exactly what a plain lifetime CDF gets wrong. The
+    // per-customer collapse is a hash aggregate; everything after
+    // runs on the DURATION-bucketed table — two windows over at most
+    // date-span rows (bounded by the calendar, not the data), so the
+    // estimator's sequential product (as exp∘Σln) never touches
+    // row-scale data.
+    "q138_kaplan_meier" -> ((s, d) => {
+      val ud = Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(min(to_date($"o_orderdate")).as("__f"),
+          max(to_date($"o_orderdate")).as("__l"))
+      val mx = ud.agg(max($"__l").as("__mx"))
+      val u = ud.crossJoin(broadcast(mx))
+        .select(datediff($"__l", $"__f").as("dur"),
+          (datediff($"__mx", $"__l") < 90).as("__cens"))
+      val byDur = u.groupBy($"dur")
+        .agg(sum(when($"__cens", 0L).otherwise(1L)).as("n_deaths"),
+          sum(when($"__cens", 1L).otherwise(0L)).as("n_censored"))
+      val total = u.count()
+      val wPrev = Window.orderBy($"dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCur = Window.orderBy($"dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byDur
+        .withColumn("n_risk", lit(total) - coalesce(
+          sum($"n_deaths" + $"n_censored").over(wPrev), lit(0L)))
+        .withColumn("survival", Fns.roundU(exp(sum(
+          when($"n_deaths" > 0,
+            log(lit(1.0) - $"n_deaths".cast("double") / $"n_risk"))
+            .otherwise(0.0)).over(wCur)), 6))
+        .select($"dur", $"n_risk", $"n_deaths", $"n_censored",
+          $"survival")
+        .orderBy($"dur")
+    }),
+
+    // TERM-DISTRIBUTION KL DIVERGENCE — corpus drift detection: for
+    // each language, KL(P‖Q) both directions between its add-one-
+    // smoothed term distribution and the REST of the corpus, over the
+    // shared vocabulary. The rest-counts come from one total-counts
+    // table (c_rest = c_tot − c_lang — never a per-lang anti-join),
+    // the langs×vocab spine is linear in vocabulary size, and the
+    // divergence is a hash aggregate per language.
+    "q139_term_kl" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+        .select($"lang", explode(split(trim($"text"), "\\s+")).as("t"))
+      val cl = toks.groupBy($"lang", $"t").agg(count(lit(1)).as("__cl"))
+        .persist()
+      val ct = cl.groupBy($"t").agg(sum($"__cl").as("__ct"))
+      val nl = cl.groupBy($"lang").agg(sum($"__cl").as("__nl"))
+      val tot = ct.agg(sum($"__ct").as("__nt"),
+        count(lit(1)).as("__v"))
+      val spine = nl.select($"lang", $"__nl")
+        .crossJoin(ct.select($"t", $"__ct"))
+      spine
+        .join(cl, Seq("lang", "t"), "left")
+        .crossJoin(broadcast(tot))
+        .select($"lang", $"__nl", $"__nt", $"__v",
+          coalesce($"__cl", lit(0L)).as("__c"),
+          ($"__ct" - coalesce($"__cl", lit(0L))).as("__cr"))
+        .select($"lang",
+          (($"__c" + 1).cast("double") / ($"__nl" + $"__v")).as("__p"),
+          (($"__cr" + 1).cast("double") /
+            ($"__nt" - $"__nl" + $"__v")).as("__q"),
+          $"__c")
+        .groupBy($"lang")
+        .agg(sum(when($"__c" > 0, 1L).otherwise(0L)).as("n_terms"),
+          Fns.roundU(sum($"__p" * log($"__p" / $"__q")), 6)
+            .as("kl_pq"),
+          Fns.roundU(sum($"__q" * log($"__q" / $"__p")), 6)
+            .as("kl_qp"))
+        .orderBy($"lang")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -5266,6 +5345,72 @@ object SparkEntry {
         |    AS cuped_sd
         |FROM u CROSS JOIN th
         |GROUP BY variant ORDER BY variant""".stripMargin,
+
+    // q138: same churn rule (90+ days silent before dataset end),
+    // same risk-set windows, same exp∘Σln product form
+    "q138_kaplan_meier" ->
+      """WITH ud AS (
+        |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+        |    max(CAST(o_orderdate AS DATE)) AS l
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(l) AS m FROM ud),
+        |u AS (SELECT l - f AS dur, (m - l) < 90 AS cens
+        |  FROM ud CROSS JOIN mx),
+        |tot AS (SELECT count(*) AS n FROM u),
+        |bydur AS (
+        |  SELECT dur,
+        |    CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_deaths,
+        |    CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT *, tot.n - coalesce(sum(n_deaths + n_censored)
+        |      OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM bydur CROSS JOIN tot),
+        |s AS (
+        |  SELECT *, exp(sum(CASE WHEN n_deaths > 0
+        |      THEN ln(1 - CAST(n_deaths AS DOUBLE) / n_risk)
+        |      ELSE 0.0 END) OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS sv
+        |  FROM r)
+        |SELECT CAST(dur AS INT) AS dur, CAST(n_risk AS BIGINT)
+        |  AS n_risk, n_deaths, n_censored,
+        |  floor(sv * 1e6 + 0.5) / 1e6 AS survival
+        |FROM s ORDER BY dur""".stripMargin,
+
+    // q139: same smoothing, same rest-by-subtraction derivation
+    "q139_term_kl" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |cl AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT t, sum(c) AS ct FROM cl GROUP BY 1),
+        |nl AS (SELECT lang, sum(c) AS nl FROM cl GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nt, count(*) AS v FROM ct),
+        |spine AS (
+        |  SELECT nl.lang, nl.nl, ct.t, ct.ct FROM nl CROSS JOIN ct),
+        |pq AS (
+        |  SELECT sp.lang,
+        |    CAST(coalesce(cl.c, 0) + 1 AS DOUBLE) / (sp.nl + tot.v)
+        |      AS p,
+        |    CAST(sp.ct - coalesce(cl.c, 0) + 1 AS DOUBLE)
+        |      / (tot.nt - sp.nl + tot.v) AS q,
+        |    coalesce(cl.c, 0) AS c
+        |  FROM spine sp
+        |  LEFT JOIN cl ON cl.lang = sp.lang AND cl.t = sp.t
+        |  CROSS JOIN tot)
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_terms,
+        |  floor(sum(p * ln(p / q)) * 1e6 + 0.5) / 1e6 AS kl_pq,
+        |  floor(sum(q * ln(q / p)) * 1e6 + 0.5) / 1e6 AS kl_qp
+        |FROM pq GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is
