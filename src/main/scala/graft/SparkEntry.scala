@@ -2665,6 +2665,68 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    // STAR-SCHEMA 5-WAY JOIN (TPC-H Q5's shape) — local supplier
+    // volume: revenue where customer and supplier sit in the same
+    // nation, per nation in one region-year. THE canonical join-order
+    // test: the fact table (lineitem) must join dimensions smallest-
+    // outward with every dimension BROADCAST (region→nation prunes
+    // before touching the fact; customer and supplier hash maps ride
+    // the fact scan), so the only shuffle in the whole plan is the
+    // final per-nation aggregate. The c_nationkey = s_nationkey
+    // equality lands as a broadcast-side filter, never a
+    // fact-vs-fact shuffle. Guarded by PlanShapeSpec.
+    "q140_star_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(year($"o_orderdate") === 1995)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter($"r_name" === "ASIA")
+      val asiaNations = n.join(broadcast(r),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup.withColumnRenamed("s_nationkey", "__sn")),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"__sn")
+        .join(broadcast(asiaNations), $"__sn" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(Fns.roundU(sum($"l_extendedprice" * (lit(1) - $"l_discount")),
+          2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"revenue".desc, $"n_name")
+    }),
+
+    // MARKET SHARE (TPC-H Q8's shape) — a ratio of conditional
+    // aggregates per group: one nation's share of a region's revenue
+    // per year. The share is sum(CASE)/sum(*) inside ONE aggregate —
+    // never two scans joined back — and the join tree reuses q140's
+    // broadcast-chain discipline.
+    "q141_market_share" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter($"r_name" === "AMERICA")
+      val amNations = n.join(broadcast(r),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(amNations), $"c_nationkey" === $"n_nationkey")
+        .select(year($"o_orderdate").as("yr"),
+          ($"l_extendedprice" * (lit(1) - $"l_discount")).as("__v"),
+          ($"n_name" === "BRAZIL").as("__tgt"))
+        .groupBy($"yr")
+        .agg(Fns.roundU(sum(when($"__tgt", $"__v").otherwise(0.0)), 2)
+          .as("brazil_rev"),
+          Fns.roundU(sum($"__v"), 2).as("region_rev"),
+          Fns.roundU(sum(when($"__tgt", $"__v").otherwise(0.0))
+            / sum($"__v"), 6).as("mkt_share"))
+        .orderBy($"yr")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -5411,6 +5473,43 @@ object SparkEntry {
         |  floor(sum(p * ln(p / q)) * 1e6 + 0.5) / 1e6 AS kl_pq,
         |  floor(sum(q * ln(q / p)) * 1e6 + 0.5) / 1e6 AS kl_qp
         |FROM pq GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q140: Q5's declarative form
+    "q140_star_join" ->
+      """SELECT n_name,
+        |  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+        |    / 100.0 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1995
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // q141: Q8's conditional-aggregate ratio in one pass
+    "q141_market_share" ->
+      """SELECT year(o_orderdate) AS yr,
+        |  floor(sum(CASE WHEN n_name = 'BRAZIL'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |    * 100 + 0.5) / 100.0 AS brazil_rev,
+        |  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+        |    / 100.0 AS region_rev,
+        |  floor(sum(CASE WHEN n_name = 'BRAZIL'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)) * 1e6 + 0.5)
+        |    / 1e6 AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA'
+        |GROUP BY 1 ORDER BY yr""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is

@@ -566,6 +566,23 @@ class PlanShapeSpec extends SparkSpec {
       "unpartitioned window in the RRF chain")
   }
 
+  test("q140 star join: every dimension broadcasts; one shuffle total") {
+    // the canonical join-order property: region→nation prune, then
+    // customer/supplier/nation hash maps ride the fact scan — the
+    // ONLY exchange in the plan is the final per-nation aggregate.
+    // (orders⋈lineitem also broadcasts at this SF; at cluster scale
+    // that one becomes a shuffle join and the assert below pins just
+    // the dimension joins + shuffle budget, not the orders side.)
+    val p = plan("q140_star_join")
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"sort-merge join in the star plan:\n$smj")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.length >= 4, s"expected ≥4 broadcast joins, got ${bhj.length}")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.length <= 2,
+      s"star join shuffles ${shuffles.length}× (want ≤2: agg + sort)")
+  }
+
   test("q131 triangles: wedge join is equi-hash, never nested-loop") {
     // degree orientation only bounds the wedge join if it IS an
     // equi-join on src; a planner fallback to nested-loop/cartesian
