@@ -2727,6 +2727,22 @@ object SparkEntry {
         .orderBy($"yr")
     }),
 
+    // WEIGHTED MEDIAN — quantity-weighted price per returnflag: the
+    // smallest price whose cumulative QUANTITY reaches half the
+    // group's total, i.e. "the price at which half the units moved" —
+    // a row median answers the wrong question whenever weights vary.
+    // Percentiles.weightedMedian generalizes the histogram family's
+    // rank target from row counts to weight mass: per-bucket weight
+    // sums (hash agg), a ≤nBuckets-row window locates the crossing
+    // bucket, per-value collapse + a bounded window resolve inside
+    // it. Integer weights keep every cumulative comparison exact on
+    // both engines.
+    "q142_weighted_median" -> ((s, d) => {
+      Percentiles.weightedMedian(Tables.lineitem(s, d),
+          "l_returnflag", "l_extendedprice", "l_quantity")
+        .orderBy($"l_returnflag")
+    }),
+
     // DATA-QUALITY EXPECTATIONS report — declarative contracts
     // (Deequ-style) evaluated as ONE shared-scan aggregate for every
     // row-level rule plus one bounded branch per uniqueness/FK rule:
@@ -5510,6 +5526,24 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'AMERICA'
         |GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    // q142: the declarative cum-weight form (row-scale window — the
+    // plan the histogram operator exists to avoid)
+    "q142_weighted_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(l_quantity AS DOUBLE) AS w
+        |  FROM lineitem WHERE l_quantity > 0),
+        |tw AS (SELECT g, sum(w) AS tot FROM r GROUP BY 1),
+        |vw AS (SELECT g, v, sum(w) AS vw FROM r GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, v, sum(vw) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vw)
+        |SELECT c.g AS l_returnflag, min(v) AS weighted_median
+        |FROM c JOIN tw ON tw.g = c.g
+        |WHERE cum >= tot / 2
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     // q102: each rule's violation fraction recomputed as plain SQL
     // aggregates; rounding mirrors Fns.roundU at 6 decimals. ok is

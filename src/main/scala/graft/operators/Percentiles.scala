@@ -243,4 +243,70 @@ object Percentiles {
       .select(col("__g").as(grpCol), col("__q").as("q"),
         col("__v").as("value"))
   }
+
+  /** Exact WEIGHTED median per group: the smallest value whose
+    * cumulative weight reaches half the group's total — the estimator
+    * behind duration-weighted latencies and quantity-weighted prices,
+    * where a plain median over rows answers the wrong question.
+    *
+    * Same bounded-stage discipline as the unweighted family, with the
+    * rank target generalized from row counts to WEIGHT MASS: one
+    * histogram level buckets the value range and aggregates per-bucket
+    * weight sums (hash agg with map-side combine), a window over
+    * ≤ `nBuckets` rows per group locates the bucket where the running
+    * weight crosses W/2, and the resolve stage rank-selects over the
+    * DISTINCT VALUES inside that bucket's actual [min, max] — per-value
+    * weight sums first, so repeated values collapse before the final
+    * bounded window. Weight skew concentrating mass in one bucket only
+    * widens the resolve input to that bucket's distinct-value count
+    * (~n/nBuckets for a spread measure); the multi-level escalation of
+    * [[exactMedian]] applies the same way if that ever dominates, and
+    * is deliberately not pre-built here.
+    *
+    * NULL/NaN values and NULL or non-positive weights are excluded
+    * (a zero weight cannot move the median; a negative one makes the
+    * cumulative function non-monotone and the median ill-defined). */
+  def weightedMedian(df: DataFrame, grpCol: String, valCol: String,
+                     wCol: String, nBuckets: Int = 4096): DataFrame = {
+    val rows = df.select(col(grpCol).as("__g"),
+        col(valCol).cast("double").as("__v"),
+        col(wCol).cast("double").as("__w"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__w").isNotNull && col("__w") > 0 && finite(col("__v")))
+    val stats = rows.groupBy(col("__g"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+        sum(col("__w")).as("__tw"))
+    // bucket by fixed width over the group's range; the located
+    // bucket's ACTUAL min/max drive the resolve predicate (never the
+    // bucket arithmetic — the IEEE discipline of the row family)
+    val b = rows.join(stats, Seq("__g"))
+      .withColumn("__b", least(lit(nBuckets - 1),
+        greatest(lit(0), floor((col("__v") - col("__lo")) * nBuckets /
+          (col("__hi") - col("__lo") + lit(Double.MinPositiveValue)))
+          .cast("int"))))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__w")).as("__bw"), min(col("__v")).as("__bmin"),
+        max(col("__v")).as("__bmax"))
+    val wb = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val located = b.join(stats.select(col("__g"), col("__tw")), Seq("__g"))
+      .withColumn("__before", coalesce(sum(col("__bw")).over(wb), lit(0.0)))
+      .filter(col("__before") < col("__tw") / 2 &&
+        col("__before") + col("__bw") >= col("__tw") / 2)
+      .select(col("__g"), col("__bmin"), col("__bmax"),
+        (col("__tw") / 2 - col("__before")).as("__need"))
+    // resolve over distinct values inside the located bucket
+    val inRange = rows.join(located, Seq("__g"))
+      .filter(col("__v") >= col("__bmin") && col("__v") <= col("__bmax"))
+      .groupBy(col("__g"), col("__need"), col("__v"))
+      .agg(sum(col("__w")).as("__vw"))
+    val wv = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    inRange
+      .withColumn("__cum", sum(col("__vw")).over(wv))
+      .filter(col("__cum") >= col("__need"))
+      .groupBy(col("__g"))
+      .agg(min(col("__v")).as("weighted_median"))
+      .withColumnRenamed("__g", grpCol)
+  }
 }

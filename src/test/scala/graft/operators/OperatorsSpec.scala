@@ -541,6 +541,42 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got("one")._2 === 1L)
   }
 
+  test("Percentiles.weightedMedian matches the brute cum-weight reference") {
+    // spread group, weight-skewed group (one heavy value dominates),
+    // duplicated values whose weights must collapse before ranking, a
+    // boundary group where the cum weight lands EXACTLY on W/2, and a
+    // singleton; nBuckets=4 so the located bucket genuinely narrows
+    val rng = new scala.util.Random(13)
+    val data =
+      (1 to 200).map(_ => ("spread", rng.nextDouble() * 1000,
+        rng.nextInt(9) + 1.0)) ++
+      ((1 to 50).map(_ => ("skew", rng.nextDouble() * 10, 1.0)) :+
+        (("skew", 999.0, 1000.0))) ++
+      Seq(("dup", 5.0, 3.0), ("dup", 5.0, 3.0), ("dup", 1.0, 2.0),
+        ("dup", 9.0, 1.0)) ++
+      Seq(("half", 1.0, 2.0), ("half", 2.0, 2.0)) ++ // cum(1.0)=W/2
+      Seq(("one", 42.0, 7.0))
+    val df = data.toDF("g", "v", "w")
+    def ref(xs: Seq[(Double, Double)]): Double = {
+      val total = xs.map(_._2).sum
+      val sorted = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0.0
+      sorted.find { case (_, w) => cum += w; cum >= total / 2 }.get._1
+    }
+    val got = Percentiles.weightedMedian(df, "g", "v", "w", nBuckets = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (g <- Seq("spread", "skew", "dup", "half", "one")) {
+      val expect = ref(data.filter(_._1 == g).map(t => (t._2, t._3)))
+      assert(got(g) === expect, s"group $g")
+    }
+    // zero/negative weights and null values are excluded, not summed
+    val guarded = Seq(("z", 1.0, 0.0), ("z", 2.0, -3.0), ("z", 7.0, 1.0))
+      .toDF("g", "v", "w")
+    assert(Percentiles.weightedMedian(guarded, "g", "v", "w")
+      .collect().map(r => r.getDouble(1)).toSeq === Seq(7.0))
+  }
+
   test("Dedup.survivorship: heaviest member wins, ties break to lowest id") {
     val members = Seq(
       // cluster 1: clear weight winner
