@@ -3116,6 +3116,61 @@ object SparkEntry {
           "doc_id", spanTok = 8)
         .select($"id".as("doc_id"), $"n_introduced", $"n_inherited")
         .orderBy($"doc_id")
+    }),
+
+    // SPEARMAN RANK CORRELATION — the monotone-association companion to
+    // q85's Pearson matrix: rho over fractional (average) ranks per
+    // returnflag. The point of the query is the RANKING PLAN: no
+    // per-group window sort anywhere — ranks come from a (group, value)
+    // compaction + the distributed prefix scan (Stats.avgRanks /
+    // Packing.prefixSum), then shuffle-join back and one corr aggregate.
+    // The oracle ranks with rank() + (tied-1)/2 windows, which DuckDB
+    // can afford at sf0.01.
+    "q143_spearman" -> ((s, d) => {
+      Stats.spearman(Tables.lineitem(s, d), "l_returnflag",
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          Seq(("l_quantity", "l_extendedprice"),
+            ("l_quantity", "l_discount"),
+            ("l_extendedprice", "l_discount")))
+        .orderBy($"l_returnflag")
+    }),
+
+    // OUT-OF-FOLD TARGET ENCODING — the leakage-safe categorical
+    // encoder of a feature pipeline (CatBoost/Kaggle style): fold f's
+    // encoding of a category uses only the OTHER folds' rows (a target
+    // mean must never see the row it encodes — the training-serving
+    // leak q74 guards at the split level, applied to features), with
+    // m-estimate smoothing toward the out-of-fold GLOBAL mean so rare
+    // categories don't memorize their own targets. ONE (cat, fold)
+    // hash aggregate is the only data-sized stage; category totals,
+    // fold totals, the global total and the blend all run over its
+    // ≤ |cats|·k rows. Folds ride the engine-independent consistent
+    // hash (replayable; the oracle reproduces them exactly), partial
+    // sums ride DECIMAL so out-of-fold subtraction is exact on both
+    // engines, and the final blend casts to double in one shared
+    // expression shape — bit-identical results.
+    "q144_target_encoding" -> ((s, d) => {
+      val pf = Tables.orders(s, d)
+        .select($"o_orderpriority".as("cat"),
+          (Sampling.consistentHash($"o_orderkey") % 5).as("fold"),
+          $"o_totalprice".cast("decimal(18,2)").as("__t"))
+        .groupBy($"cat", $"fold")
+        .agg(sum($"__t").as("__sdec"), count(lit(1)).as("n_rows"))
+      val catTot = pf.groupBy($"cat")
+        .agg(sum($"__sdec").as("__csdec"), sum($"n_rows").as("__cn"))
+      val foldTot = pf.groupBy($"fold")
+        .agg(sum($"__sdec").as("__fsdec"), sum($"n_rows").as("__fn"))
+      val allTot = pf.agg(sum($"__sdec").as("__gsdec"),
+        sum($"n_rows").as("__gn"))
+      pf.join(catTot, Seq("cat")).join(foldTot, Seq("fold"))
+        .crossJoin(broadcast(allTot))
+        .select($"cat", $"fold", $"n_rows",
+          Fns.roundU(
+            (($"__csdec".cast("double") - $"__sdec".cast("double"))
+              + lit(20.0) * (($"__gsdec".cast("double")
+                - $"__fsdec".cast("double")) / ($"__gn" - $"__fn")))
+              / (($"__cn" - $"n_rows") + lit(20.0)), 4).as("enc"))
+        .orderBy($"cat", $"fold")
     })
   )
 
@@ -6083,7 +6138,50 @@ object SparkEntry {
         |  FROM d JOIN dup USING (g)
         |  GROUP BY d.doc_id)
         |SELECT doc_id, n_introduced, n_inherited
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q143_spearman" ->
+      """WITH rk AS (SELECT l_returnflag,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |    + (count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |       - 1) / 2.0 AS rq,
+        |  rank() OVER (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice)
+        |    + (count(*) OVER (PARTITION BY l_returnflag,
+        |                      l_extendedprice) - 1) / 2.0 AS rp,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
+        |    + (count(*) OVER (PARTITION BY l_returnflag, l_discount)
+        |       - 1) / 2.0 AS rd
+        |FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  floor((corr(rq, rp)) * 1000000 + 0.5) / 1000000.0
+        |    AS rho_l_quantity_l_extendedprice,
+        |  floor((corr(rq, rd)) * 1000000 + 0.5) / 1000000.0
+        |    AS rho_l_quantity_l_discount,
+        |  floor((corr(rp, rd)) * 1000000 + 0.5) / 1000000.0
+        |    AS rho_l_extendedprice_l_discount
+        |FROM rk GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q144_target_encoding" ->
+      """WITH pf AS (
+        |  SELECT o_orderpriority AS cat,
+        |    (o_orderkey % 2147483647 + 2147483647) % 2147483647
+        |      * 2654435761 % 4294967296 % 5 AS fold,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sdec,
+        |    count(*) AS n_rows
+        |  FROM orders GROUP BY 1, 2),
+        |ct AS (SELECT cat, sum(sdec) AS csdec, sum(n_rows) AS cn
+        |       FROM pf GROUP BY cat),
+        |ft AS (SELECT fold, sum(sdec) AS fsdec, sum(n_rows) AS fn
+        |       FROM pf GROUP BY fold),
+        |gt AS (SELECT sum(sdec) AS gsdec, sum(n_rows) AS gn FROM pf)
+        |SELECT pf.cat, pf.fold, CAST(pf.n_rows AS BIGINT) AS n_rows,
+        |  floor(((CAST(csdec AS DOUBLE) - CAST(sdec AS DOUBLE))
+        |    + 20.0 * ((CAST(gsdec AS DOUBLE) - CAST(fsdec AS DOUBLE))
+        |        / (gn - fn)))
+        |    / ((cn - pf.n_rows) + 20.0) * 10000 + 0.5) / 10000.0 AS enc
+        |FROM pf JOIN ct USING (cat) JOIN ft USING (fold), gt
+        |ORDER BY cat, fold""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
