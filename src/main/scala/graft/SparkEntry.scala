@@ -3171,6 +3171,158 @@ object SparkEntry {
                 - $"__fsdec".cast("double")) / ($"__gn" - $"__fn")))
               / (($"__cn" - $"n_rows") + lit(20.0)), 4).as("enc"))
         .orderBy($"cat", $"fold")
+    }),
+
+    // GAINS / LIFT TABLE — the model-calibration readout: rank
+    // customers by score (acctbal), cut into deciles, report each
+    // decile's positive rate (placed an URGENT order), cumulative
+    // capture and lift. Decile BOUNDARIES come from the exact-quantile
+    // histogram (Percentiles.exactQuantiles, rank = ceil(q·n) — q50's
+    // convention, mirrored in the oracle) so no global row sort ever
+    // runs: assignment is a broadcast of 9 boundary values folded over
+    // each row, the cumulative window covers ≤ 10 decile rows. Ties at
+    // a boundary fall to the LOWER bucket on both engines (strict >).
+    "q145_gains_table" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select($"c_custkey", $"c_acctbal")
+      val pos = Tables.orders(s, d)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey").distinct()
+      val scored = cust
+        .join(pos.withColumnRenamed("o_custkey", "__pk"),
+          $"c_custkey" === $"__pk", "left")
+        .select($"c_acctbal", $"__pk".isNotNull.cast("long").as("__y"))
+      val bounds = Percentiles.exactQuantiles(
+          cust.withColumn("__g", lit(1)), "__g", "c_acctbal",
+          (1 to 9).map(_ / 10.0))
+        .agg(sort_array(collect_list($"value")).as("__bs"))
+      val g = scored.crossJoin(broadcast(bounds))
+        // decile 1 = top scores: 10 − (#boundaries strictly below x)
+        .select($"__y", (lit(10) - aggregate($"__bs", lit(0),
+          (acc, b) => acc + when($"c_acctbal" > b, 1).otherwise(0)))
+          .as("decile"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_cust"), sum($"__y").as("n_pos"))
+      val tot = g.agg(sum($"n_cust").as("__tn"), sum($"n_pos").as("__tp"))
+      // ≤ 10 rows past this point: the unpartitioned window is bounded
+      val w = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.crossJoin(broadcast(tot))
+        .select($"decile", $"n_cust", $"n_pos",
+          Fns.roundU($"n_pos" / $"n_cust", 6).as("pos_rate"),
+          Fns.roundU(sum($"n_pos").over(w) / $"__tp", 6)
+            .as("cum_capture"),
+          Fns.roundU(($"n_pos" / $"n_cust") / ($"__tp" / $"__tn"), 6)
+            .as("lift"))
+        .orderBy($"decile")
+    }),
+
+    // REVENUE CONCENTRATION — HHI and Gini of supplier revenue per
+    // nation: the market-structure readout (is one supplier taking the
+    // nation's volume?). Per-supplier revenue sums ride DECIMAL so both
+    // engines agree bit-for-bit BEFORE any ranking — Gini needs a rank
+    // over revenue, and FP-noisy sums would make near-tied suppliers
+    // rank differently per engine. Ranks come from Stats.avgRanks (the
+    // q143 prefix-scan — no per-nation window sort); HHI is one
+    // share² aggregate. Gini uses the average-rank form
+    // 2·Σ(r·x)/(n·Σx) − (n+1)/n, correct under ties.
+    "q146_concentration" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .select($"s_suppkey", $"s_nationkey")
+      val n = Tables.nation(s, d).select($"n_nationkey", $"n_name")
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", $"s_suppkey")
+        .agg(sum($"l_extendedprice".cast("decimal(18,2)")
+          * (lit(1).cast("decimal(3,2)")
+            - $"l_discount".cast("decimal(3,2)"))).as("__rev"))
+      val ranked = rev.join(
+        Stats.avgRanks(rev, "n_name", "__rev"), Seq("n_name", "__rev"))
+      // totals/denominators sum the DECIMAL (exact, then one cast);
+      // only Σx² and Σr·x are double sums — their noise washes out in
+      // the normalizing division. x*x, not pow(x,2): pow may differ
+      // from the product by an ulp across engines.
+      val revd = $"__rev".cast("double")
+      ranked.groupBy($"n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          Fns.roundU(sum($"__rev").cast("double"), 2).as("total_rev"),
+          Fns.roundU(sum(revd * revd) * 10000.0
+            / (sum($"__rev").cast("double")
+              * sum($"__rev").cast("double")), 4).as("hhi"),
+          Fns.roundU(lit(2.0) * sum($"__rk___rev" * revd)
+            / (count(lit(1)) * sum($"__rev").cast("double"))
+            - (count(lit(1)) + 1.0) / count(lit(1)), 6).as("gini"))
+        .orderBy($"n_name")
+    }),
+
+    // CUSUM CHANGEPOINT — per-user level-shift detector over the daily
+    // event-count series: S_i = Σ_{j≤i}(x_j − mean), changepoint = the
+    // day maximizing |S_i| (earliest on ties). The window partitions
+    // by user and spans its OBSERVED days — bounded by the calendar,
+    // not the data (q127's per-day discipline). The argmax is a
+    // max/join pair, not a second window. The peak search runs on the
+    // INTEGER numerator n·cum_i − i·total (= n·S_i, same argmax, zero
+    // FP): comparing doubles for the argmax would make a near-tied
+    // |S| flip the changepoint date on an ulp; the one division by n
+    // happens after the max, on an exact integer.
+    "q147_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("d"))
+        .groupBy($"user_id", $"d").agg(count(lit(1)).as("__x"))
+      val wm = Window.partitionBy($"user_id")
+      val wo = Window.partitionBy($"user_id").orderBy($"d")
+      val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cusum = daily
+        .withColumn("__n", count(lit(1)).over(wm))
+        .filter($"__n" >= 20)
+        .withColumn("__tot", sum($"__x").over(wm))
+        .withColumn("__cum", sum($"__x").over(wc))
+        .withColumn("__i", row_number().over(wo))
+        .select($"user_id", $"d", $"__n",
+          abs($"__n" * $"__cum" - $"__i" * $"__tot").as("__abs"))
+      val peak = cusum.groupBy($"user_id")
+        .agg(max($"__abs").as("__mx"), max($"__n").as("n_days"))
+      cusum.join(peak, Seq("user_id"))
+        .filter($"__abs" === $"__mx")
+        .groupBy($"user_id", $"n_days", $"__mx")
+        .agg(min($"d").as("cp_date"))
+        .select($"user_id", $"n_days", $"cp_date",
+          Fns.roundU($"__mx".cast("double") / $"n_days", 6)
+            .as("max_abs_cusum"))
+        .orderBy($"user_id")
+    }),
+
+    // ADAMIC-ADAR LINK PREDICTION — scores for NON-edges at distance 2
+    // in the q131 co-purchase graph: AA(a,b) = Σ_{w ∈ N(a)∩N(b)}
+    // 1/ln(deg w). The pair fan-out explodes through hubs (deg² pairs
+    // per node), and hubs contribute least (1/ln deg → 0) — so wedge
+    // centers are DEGREE-CAPPED at 50, bounding per-node fanout at
+    // 50²/2 pairs however dense the graph; the cap is part of the
+    // query's contract and the oracle applies the same one. Existing
+    // edges are removed with a left-anti join; top 20 by (score, pair).
+    "q148_adamic_adar" -> ((s, d) => {
+      val edges = basketPairs(cappedBaskets(s, d, 5)).distinct()
+      val adj = edges.select($"a".as("w"), $"b".as("n"))
+        .union(edges.select($"b".as("w"), $"a".as("n")))
+      val deg = adj.groupBy($"w").agg(count(lit(1)).as("__deg"))
+        .filter($"__deg".between(2, 50))
+      val centers = adj.join(deg, Seq("w"))
+      val pairs = centers.alias("x")
+        .join(centers.alias("y"), Seq("w"))
+        .filter($"x.n" < $"y.n")
+        .select($"x.n".as("a"), $"y.n".as("b"),
+          (lit(1.0) / log($"x.__deg")).as("__c"))
+      // round BEFORE the cut: the top-20 threshold must sit on the
+      // rounded score both engines agree on, not a raw double sum
+      // whose last ulp depends on reduction order
+      val scores = pairs.groupBy($"a", $"b")
+        .agg(Fns.roundU(sum($"__c"), 6).as("aa"),
+          count(lit(1)).as("n_common"))
+        .join(edges, Seq("a", "b"), "left_anti")
+      graft.plans.TopKPerKey(scores.withColumn("__g", lit(1)), Seq("__g"),
+          Seq($"aa".desc, $"a".asc, $"b".asc), 20)
+        .select($"a", $"b", $"n_common", $"aa")
+        .orderBy($"aa".desc, $"a", $"b")
     })
   )
 
@@ -6181,7 +6333,129 @@ object SparkEntry {
         |        / (gn - fn)))
         |    / ((cn - pf.n_rows) + 20.0) * 10000 + 0.5) / 10000.0 AS enc
         |FROM pf JOIN ct USING (cat) JOIN ft USING (fold), gt
-        |ORDER BY cat, fold""".stripMargin
+        |ORDER BY cat, fold""".stripMargin,
+
+    // q145: decile boundaries via q50's rank = ceil(q·n) convention;
+    // boundary ties fall to the lower bucket (strict >) on both sides
+    "q145_gains_table" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderpriority = '1-URGENT'),
+        |ranked AS (
+        |  SELECT c_acctbal, row_number() OVER (ORDER BY c_acctbal) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM customer),
+        |bounds AS (
+        |  SELECT c_acctbal AS b
+        |  FROM ranked, (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),
+        |                       (0.7),(0.8),(0.9)) qs(q)
+        |  WHERE rn = greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n)
+        |    AS BIGINT))),
+        |dec AS (
+        |  SELECT CASE WHEN p.o_custkey IS NULL THEN 0 ELSE 1 END AS y,
+        |    10 - (SELECT count(*) FROM bounds WHERE c.c_acctbal > b)
+        |      AS decile
+        |  FROM customer c LEFT JOIN pos p ON c.c_custkey = p.o_custkey),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |        CAST(sum(y) AS BIGINT) AS n_pos FROM dec GROUP BY decile),
+        |t AS (SELECT CAST(sum(n_cust) AS DOUBLE) AS tn,
+        |        CAST(sum(n_pos) AS DOUBLE) AS tp FROM g)
+        |SELECT decile, n_cust, n_pos,
+        |  floor(CAST(n_pos AS DOUBLE) / n_cust * 1000000 + 0.5)
+        |    / 1000000.0 AS pos_rate,
+        |  floor(CAST(sum(n_pos) OVER (ORDER BY decile) AS DOUBLE) / tp
+        |    * 1000000 + 0.5) / 1000000.0 AS cum_capture,
+        |  floor((CAST(n_pos AS DOUBLE) / n_cust) / (tp / tn)
+        |    * 1000000 + 0.5) / 1000000.0 AS lift
+        |FROM g, t ORDER BY decile""".stripMargin,
+
+    // q146: per-supplier revenue as DECIMAL (exact, so ranks agree),
+    // avg-rank via the q143 rank()+ties/2 identity
+    "q146_concentration" ->
+      """WITH rev AS (
+        |  SELECT n_name, s_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2))
+        |        - CAST(l_discount AS DECIMAL(3,2)))) AS r
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT n_name, CAST(r AS DOUBLE) AS rd, r,
+        |    rank() OVER (PARTITION BY n_name ORDER BY r)
+        |      + (count(*) OVER (PARTITION BY n_name, r) - 1) / 2.0 AS rr
+        |  FROM rev)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  floor(CAST(sum(r) AS DOUBLE) * 100 + 0.5) / 100.0 AS total_rev,
+        |  floor(sum(rd * rd) * 10000.0
+        |    / (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE))
+        |    * 10000 + 0.5) / 10000.0 AS hhi,
+        |  floor((2.0 * sum(rr * rd)
+        |      / (count(*) * CAST(sum(r) AS DOUBLE))
+        |      - (count(*) + 1.0) / count(*))
+        |    * 1000000 + 0.5) / 1000000.0 AS gini
+        |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // q147: integer numerator n·cum − i·total — exact argmax, the one
+    // division happens after the max
+    "q147_cusum" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, d,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(x) OVER (PARTITION BY user_id) AS tot,
+        |    sum(x) OVER (PARTITION BY user_id ORDER BY d) AS cum,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS i
+        |  FROM daily),
+        |a AS (
+        |  SELECT user_id, d, n, abs(n * cum - i * tot) AS ab
+        |  FROM c WHERE n >= 20),
+        |p AS (SELECT user_id, max(ab) AS mx, max(n) AS nd
+        |      FROM a GROUP BY user_id)
+        |SELECT a.user_id, CAST(p.nd AS BIGINT) AS n_days,
+        |  min(a.d) AS cp_date,
+        |  floor(CAST(p.mx AS DOUBLE) / p.nd * 1000000 + 0.5)
+        |    / 1000000.0 AS max_abs_cusum
+        |FROM a JOIN p ON a.user_id = p.user_id AND a.ab = p.mx
+        |GROUP BY a.user_id, p.nd, p.mx
+        |ORDER BY a.user_id""".stripMargin,
+
+    // q148: q131's capped basket graph; deg cap 2..50 on wedge
+    // centers is part of the query contract; scores rounded BEFORE
+    // the top-20 cut on both engines
+    "q148_adamic_adar" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 5),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |adj AS (
+        |  SELECT a AS w, b AS n FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |deg AS (
+        |  SELECT w, count(*) AS deg FROM adj GROUP BY w
+        |  HAVING count(*) BETWEEN 2 AND 50),
+        |ctr AS (SELECT adj.w, adj.n, deg.deg FROM adj JOIN deg USING (w)),
+        |pr AS (
+        |  SELECT x.n AS a, y.n AS b, 1.0 / ln(x.deg) AS c
+        |  FROM ctr x JOIN ctr y ON x.w = y.w AND x.n < y.n),
+        |sc AS (
+        |  SELECT a, b, floor(sum(c) * 1000000 + 0.5) / 1000000.0 AS aa,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM pr GROUP BY a, b),
+        |ne AS (
+        |  SELECT sc.a, sc.b, sc.n_common, sc.aa
+        |  FROM sc LEFT JOIN edges e ON sc.a = e.a AND sc.b = e.b
+        |  WHERE e.a IS NULL)
+        |SELECT a, b, n_common, aa FROM ne
+        |ORDER BY aa DESC, a, b LIMIT 20""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
