@@ -3323,6 +3323,94 @@ object SparkEntry {
           Seq($"aa".desc, $"a".asc, $"b".asc), 20)
         .select($"a", $"b", $"n_common", $"aa")
         .orderBy($"aa".desc, $"a", $"b")
+    }),
+
+    // BFS HOP DISTANCE — level-synchronous frontier expansion from the
+    // 10 lowest-numbered parts of the co-purchase graph, capped at 4
+    // hops (Graph.bfsHops). Per round the work is frontier⋈adjacency +
+    // one anti-join against visited — proportional to edges TOUCHED,
+    // never the whole graph. The oracle is a recursive SQL walk with
+    // the same cap: (node, walk-length) pairs are finite under the
+    // cap, and min(walk length) = hop distance.
+    "q149_bfs_hops" -> ((s, d) => {
+      val edges = basketPairs(cappedBaskets(s, d, 5)).distinct()
+      val seeds = edges.select($"a".as("node"))
+        .union(edges.select($"b".as("node")))
+        .distinct().orderBy($"node").limit(10)
+      Graph.bfsHops(edges, "a", "b", seeds, "node", maxHops = 4)
+        .groupBy($"hops")
+        .agg(count(lit(1)).as("n_parts"),
+          min($"node").as("min_part"), max($"node").as("max_part"))
+        .orderBy($"hops")
+    }),
+
+    // TIME-WEIGHTED AVERAGE (TWAP) — per-user mean of `value` weighted
+    // by how long each observation was current (micros until the next
+    // event; the last observation carries no weight). The tie order
+    // under equal timestamps CHANGES the answer (the first of two
+    // same-ts events gets weight 0), so the window orders by
+    // (ts, event_id) — a total order both engines replay identically.
+    // Integer-micros weights keep Σw exact; only Σ(v·w) is a double.
+    "q150_twap" -> ((s, d) => {
+      val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("__wt",
+          lead(unix_micros($"ts"), 1).over(wo) - unix_micros($"ts"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"__wt").as("span_micros"),
+          sum($"value" * $"__wt").as("__vw"))
+        .filter($"span_micros" > 0)
+        .select($"user_id", $"n_events", $"span_micros",
+          Fns.roundU($"__vw" / $"span_micros", 6).as("twap"))
+        .orderBy($"user_id")
+    }),
+
+    // FUNCTIONAL-DEPENDENCY PROFILE — does A determine B? For each
+    // candidate (determinant → dependent) pair: group count, how many
+    // groups see >1 dependent value, the worst fan-out, and the
+    // verdict. The distinct runs on (A, B) PAIRS then regroups on A —
+    // the two-stage exact-distinct plan (map-side combine on both
+    // stages, no count(DISTINCT) expand, skew on a hot A key stays in
+    // the second, already-compacted stage). One true FD (o_orderkey →
+    // o_custkey) pins the holds=true path.
+    "q151_fd_profile" -> ((s, d) => {
+      def audit(df: DataFrame, det: String, dep: String) =
+        df.select(col(det).as("__k"), col(dep).as("__v")).distinct()
+          .groupBy($"__k").agg(count(lit(1)).as("__nd"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when($"__nd" > 1, 1L).otherwise(0L)).as("n_violating"),
+            max($"__nd").as("max_distinct"))
+          .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+            $"n_groups", $"n_violating", $"max_distinct",
+            ($"n_violating" === 0).as("fd_holds"))
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      audit(li, "l_orderkey", "l_returnflag")
+        .unionAll(audit(li, "l_orderkey", "l_suppkey"))
+        .unionAll(audit(li, "l_partkey", "l_linestatus"))
+        .unionAll(audit(ord, "o_orderkey", "o_custkey"))
+        .unionAll(audit(ord, "o_custkey", "o_orderpriority"))
+        .orderBy($"determinant", $"dependent")
+    }),
+
+    // K-ANONYMITY AUDIT — the release-safety readout for the
+    // anonymize family (q73): bucket every customer into its
+    // quasi-identifier equivalence class (nation, segment, coarse
+    // balance band) and report the class-size histogram with the
+    // at-risk flag (size < k = 5). Two hash aggregates, nothing else.
+    "q152_k_anonymity" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 1000).as("__b"))
+        .agg(count(lit(1)).as("cls_size"))
+        .groupBy($"cls_size")
+        .agg(count(lit(1)).as("n_classes"))
+        .select($"cls_size", $"n_classes",
+          ($"cls_size" * $"n_classes").as("n_rows"),
+          ($"cls_size" < 5).as("at_risk"))
+        .orderBy($"cls_size")
     })
   )
 
@@ -6455,7 +6543,107 @@ object SparkEntry {
         |  FROM sc LEFT JOIN edges e ON sc.a = e.a AND sc.b = e.b
         |  WHERE e.a IS NULL)
         |SELECT a, b, n_common, aa FROM ne
-        |ORDER BY aa DESC, a, b LIMIT 20""".stripMargin
+        |ORDER BY aa DESC, a, b LIMIT 20""".stripMargin,
+
+    // q149: recursive walk capped at 4 steps; min(walk length) = hop
+    // distance; UNION dedups (node, d) pairs so the recursion is finite
+    "q149_bfs_hops" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 5),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |adj AS (
+        |  SELECT a AS w, b AS n FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |seeds AS (
+        |  SELECT n FROM (SELECT a AS n FROM edges
+        |                 UNION SELECT b FROM edges)
+        |  ORDER BY n LIMIT 10),
+        |walk(n, d) AS (
+        |  SELECT n, 0 FROM seeds
+        |  UNION
+        |  SELECT adj.n, walk.d + 1 FROM walk JOIN adj ON adj.w = walk.n
+        |  WHERE walk.d < 4),
+        |dist AS (SELECT n, min(d) AS hops FROM walk GROUP BY n)
+        |SELECT hops, CAST(count(*) AS BIGINT) AS n_parts,
+        |  min(n) AS min_part, max(n) AS max_part
+        |FROM dist GROUP BY hops ORDER BY hops""".stripMargin,
+
+    // q150: weights are integer micros; (ts, event_id) total order so
+    // zero-weight ties land on the same row on both engines
+    "q150_twap" ->
+      """WITH w AS (
+        |  SELECT user_id, value,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS wt
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(wt) AS BIGINT) AS span_micros,
+        |  floor(sum(value * wt) / sum(wt) * 1000000 + 0.5)
+        |    / 1000000.0 AS twap
+        |FROM w GROUP BY user_id HAVING sum(wt) > 0
+        |ORDER BY user_id""".stripMargin,
+
+    // q151: same two-stage distinct as the engine (DISTINCT pairs then
+    // regroup) — not count(DISTINCT), so NULL semantics can never skew
+    "q151_fd_profile" ->
+      """WITH
+        |a1 AS (SELECT l_orderkey AS k, count(*) AS nd FROM
+        |  (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem)
+        |  GROUP BY 1),
+        |a2 AS (SELECT l_orderkey AS k, count(*) AS nd FROM
+        |  (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |  GROUP BY 1),
+        |a3 AS (SELECT l_partkey AS k, count(*) AS nd FROM
+        |  (SELECT DISTINCT l_partkey, l_linestatus FROM lineitem)
+        |  GROUP BY 1),
+        |a4 AS (SELECT o_orderkey AS k, count(*) AS nd FROM
+        |  (SELECT DISTINCT o_orderkey, o_custkey FROM orders)
+        |  GROUP BY 1),
+        |a5 AS (SELECT o_custkey AS k, count(*) AS nd FROM
+        |  (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+        |  GROUP BY 1),
+        |u AS (
+        |  SELECT 'l_orderkey' AS determinant, 'l_returnflag' AS dependent,
+        |    count(*) AS n_groups,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(max(nd) AS BIGINT) AS max_distinct FROM a1
+        |  UNION ALL
+        |  SELECT 'l_orderkey', 'l_suppkey', count(*),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nd) AS BIGINT) FROM a2
+        |  UNION ALL
+        |  SELECT 'l_partkey', 'l_linestatus', count(*),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nd) AS BIGINT) FROM a3
+        |  UNION ALL
+        |  SELECT 'o_orderkey', 'o_custkey', count(*),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nd) AS BIGINT) FROM a4
+        |  UNION ALL
+        |  SELECT 'o_custkey', 'o_orderpriority', count(*),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nd) AS BIGINT) FROM a5)
+        |SELECT determinant, dependent, n_groups, n_violating,
+        |  max_distinct, n_violating = 0 AS fd_holds
+        |FROM u ORDER BY determinant, dependent""".stripMargin,
+
+    "q152_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT count(*) AS cls_size
+        |  FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000))
+        |SELECT cls_size, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(cls_size * count(*) AS BIGINT) AS n_rows,
+        |  cls_size < 5 AS at_risk
+        |FROM cls GROUP BY cls_size ORDER BY cls_size""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -173,4 +173,62 @@ object Graph {
       .agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)
   }
+
+  /** Multi-source BFS hop distance over an UNDIRECTED edge list:
+    * returns `(node, hops)` for every node reachable from `seeds`
+    * within `maxHops` hops (seeds themselves at hops 0; unreachable
+    * nodes are absent). Level-synchronous frontier expansion — the
+    * textbook distributed BFS: each round is one hash join of the
+    * frontier onto the adjacency list plus one anti-join against the
+    * visited set, all partitioned on the node key, so a round's cost
+    * is proportional to the edges TOUCHED by the frontier, never the
+    * whole graph. The frontier and visited set are localCheckpoint'ed
+    * per round and the previous round's blocks are freed through the
+    * Bridge ([[pageRank]] discipline); the loop exits early once a
+    * frontier comes back empty. Bounded `maxHops` keeps the result
+    * oracle-checkable (a recursive SQL walk with the same cap) and is
+    * the honest cluster contract: unbounded BFS on a 100 TB graph is
+    * a diameter-length chain of barriers.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String,
+              maxHops: Int): DataFrame = {
+    require(maxHops >= 1)
+    val norm = edges.select(
+        least(col(srcCol), col(dstCol)).as("__lo"),
+        greatest(col(srcCol), col(dstCol)).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
+      .distinct()
+    val adj = norm.select(col("__lo").as("__w"), col("__hi").as("__n"))
+      .unionAll(norm.select(col("__hi").as("__w"),
+        col("__lo").as("__n")))
+      .localCheckpoint()
+    var frontier = seeds.select(col(seedCol).as("node")).distinct()
+      .localCheckpoint()
+    var visited = frontier.withColumn("hops", lit(0)).localCheckpoint()
+    var h = 1
+    var done = false
+    while (!done && h <= maxHops) {
+      val next = adj
+        .join(frontier.withColumnRenamed("node", "__w"), Seq("__w"))
+        .select(col("__n").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
+      frontier = next
+      if (frontier.isEmpty) { done = true }
+      else {
+        val nv = visited
+          .unionAll(frontier.withColumn("hops", lit(h)))
+          .localCheckpoint()
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(visited)
+        visited = nv
+      }
+      h += 1
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adj)
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
+    // the final visited checkpoint is the return value, caller-owned
+    visited
+  }
 }

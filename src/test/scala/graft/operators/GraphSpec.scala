@@ -109,4 +109,24 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(path.toDF("src", "dst"), "src", "dst", k = 2,
       maxIters = 20).count() === 0L)
   }
+
+  test("bfsHops: hop distances, cap truncation, unreachable absent") {
+    // two components: a 7-node path p0..p6 plus a disjoint triangle;
+    // seed at p0 — hop = index along the path, triangle unreachable
+    val path = (0 until 6).map(i => (s"p$i", s"p${i + 1}"))
+    val tri = Seq(("t0", "t1"), ("t1", "t2"), ("t0", "t2"))
+    val edges = (path ++ tri).toDF("src", "dst")
+    val seeds = Seq("p0").toDF("node")
+    val got = Graph.bfsHops(edges, "src", "dst", seeds, "node", 4)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === (0 to 4).map(i => s"p$i" -> i).toMap) // p5,p6 > cap
+    // multi-source takes the MIN distance across seeds; early exit
+    // (frontier empties at hop 3) must still return complete results
+    val both = Graph.bfsHops(edges, "src", "dst",
+        Seq("p0", "p6", "t0").toDF("node"), "node", 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(both === Map("p0" -> 0, "p6" -> 0, "t0" -> 0,
+      "p1" -> 1, "p5" -> 1, "t1" -> 1, "t2" -> 1,
+      "p2" -> 2, "p4" -> 2, "p3" -> 3))
+  }
 }
