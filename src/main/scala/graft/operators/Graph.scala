@@ -199,9 +199,14 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("__hi"))
       .filter(col("__lo") =!= col("__hi"))
       .distinct()
+    // hash-partition the doubled adjacency on the probe key BEFORE the
+    // checkpoint: LogicalRDD keeps the partitioning, so when a round's
+    // frontier is too big to broadcast the join reuses this layout and
+    // only the frontier shuffles — the graph never moves again
     val adj = norm.select(col("__lo").as("__w"), col("__hi").as("__n"))
       .unionAll(norm.select(col("__hi").as("__w"),
         col("__lo").as("__n")))
+      .repartition(col("__w"))
       .localCheckpoint()
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
       .localCheckpoint()
