@@ -3411,6 +3411,108 @@ object SparkEntry {
           ($"cls_size" * $"n_classes").as("n_rows"),
           ($"cls_size" < 5).as("at_risk"))
         .orderBy($"cls_size")
+    }),
+
+    // PSI DRIFT — population stability index of the order-value
+    // distribution, 1995 reference vs year-2000 current: the
+    // model-monitoring staple. Bins are the REFERENCE window's exact
+    // deciles (q145's histogram bounds + broadcast fold — no sort);
+    // both windows bin through the same 9 broadcast values. Counts are
+    // +1-smoothed so an empty current bin contributes a finite,
+    // well-defined term instead of ln(0); the ref spine has all 10
+    // bins by construction (its own deciles), so a left join + fill 0
+    // completes the current side.
+    "q153_psi_drift" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select($"o_orderdate", $"o_totalprice")
+      val ref = ord.filter($"o_orderdate" >= "1995-01-01"
+        && $"o_orderdate" < "1996-01-01").select($"o_totalprice")
+      val cur = ord.filter($"o_orderdate" >= "2000-01-01"
+        && $"o_orderdate" < "2001-01-01").select($"o_totalprice")
+      val bounds = Percentiles.exactQuantiles(
+          ref.withColumn("__g", lit(1)), "__g", "o_totalprice",
+          (1 to 9).map(_ / 10.0))
+        .agg(sort_array(collect_list($"value")).as("__bs"))
+      def binned(df: DataFrame, as: String) = df
+        .crossJoin(broadcast(bounds))
+        .select((lit(10) - aggregate($"__bs", lit(0),
+          (acc, b) => acc + when($"o_totalprice" > b, 1).otherwise(0)))
+          .as("bin"))
+        .groupBy($"bin").agg(count(lit(1)).as(as))
+      val j = binned(ref, "n_ref")
+        .join(binned(cur, "n_cur"), Seq("bin"), "left")
+        .na.fill(0L, Seq("n_cur"))
+      val tot = j.agg(sum($"n_ref").as("__tr"), sum($"n_cur").as("__tc"))
+      j.crossJoin(broadcast(tot))
+        .select($"bin", $"n_ref", $"n_cur",
+          (($"n_ref" + 1) / ($"__tr" + 10)).as("__pr"),
+          (($"n_cur" + 1) / ($"__tc" + 10)).as("__pc"))
+        .select($"bin", $"n_ref", $"n_cur",
+          Fns.roundU($"__pr", 6).as("p_ref"),
+          Fns.roundU($"__pc", 6).as("p_cur"),
+          Fns.roundU(($"__pc" - $"__pr") * log($"__pc" / $"__pr"), 6)
+            .as("psi_term"))
+        .orderBy($"bin")
+    }),
+
+    // EVENT-TYPE DISTRIBUTION PROFILE — per-user entropy, Gini
+    // impurity, dominant-type share: the "is this account a bot"
+    // shape readout. Two hash aggregates and a join; every p is an
+    // exact long/long ratio and the per-user double sums run over at
+    // most #event-types terms.
+    "q154_type_entropy" -> ((s, d) => {
+      val cnt = Tables.events(s, d)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("__n"))
+      val tot = cnt.groupBy($"user_id")
+        .agg(sum($"__n").as("__t"), count(lit(1)).as("n_types"),
+          max($"__n").as("__mx"))
+      cnt.join(tot, Seq("user_id"))
+        .select($"user_id", $"n_types", $"__mx", $"__t",
+          ($"__n" / $"__t").as("__p"))
+        .groupBy($"user_id", $"n_types", $"__mx", $"__t")
+        .agg(sum(-$"__p" * log($"__p")).as("__H"),
+          sum($"__p" * $"__p").as("__S"))
+        .select($"user_id", $"n_types",
+          Fns.roundU($"__mx" / $"__t", 6).as("top_share"),
+          Fns.roundU($"__H", 6).as("entropy"),
+          Fns.roundU(lit(1.0) - $"__S", 6).as("gini_impurity"))
+        .orderBy($"user_id")
+    }),
+
+    // ZIPF FIT — least-squares slope of ln(freq) on ln(rank) over the
+    // top-200 corpus terms (natural text ⇒ slope ≈ −1; synthetic or
+    // templated text bends it). The top-200 cut rides the bounded-heap
+    // TopKPerKey plan under a (freq desc, term) total order — integer
+    // freqs, so the cut is engine-exact; the closed-form regression
+    // runs over exactly 200 rows, and the single-partition rank window
+    // is bounded by that 200.
+    "q155_zipf_slope" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+        .select(explode(split(trim($"text"), "\\s+")).as("term"))
+      val freq = tok.groupBy($"term").agg(count(lit(1)).as("freq"))
+      val top = graft.plans.TopKPerKey(freq.withColumn("__g", lit(1)),
+        Seq("__g"), Seq($"freq".desc, $"term".asc), 200)
+      val xy = top
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"freq".desc, $"term")))
+        .select(log($"rank".cast("double")).as("x"),
+          log($"freq".cast("double")).as("y"))
+      val a = xy.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      a.select($"n",
+          (($"n" * $"sxy" - $"sx" * $"sy")
+            / ($"n" * $"sxx" - $"sx" * $"sx")).as("__m"),
+          $"sx", $"sy", $"sxy", $"sxx", $"syy")
+        .select($"n".as("n_terms"),
+          Fns.roundU($"__m", 6).as("slope"),
+          Fns.roundU(($"sy" - $"__m" * $"sx") / $"n", 6).as("intercept"),
+          Fns.roundU(($"n" * $"sxy" - $"sx" * $"sy")
+            * ($"n" * $"sxy" - $"sx" * $"sy")
+            / (($"n" * $"sxx" - $"sx" * $"sx")
+              * ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
     })
   )
 
@@ -6643,7 +6745,101 @@ object SparkEntry {
         |SELECT cls_size, CAST(count(*) AS BIGINT) AS n_classes,
         |  CAST(cls_size * count(*) AS BIGINT) AS n_rows,
         |  cls_size < 5 AS at_risk
-        |FROM cls GROUP BY cls_size ORDER BY cls_size""".stripMargin
+        |FROM cls GROUP BY cls_size ORDER BY cls_size""".stripMargin,
+
+    // q153: bins from the reference window's exact deciles (q145
+    // convention); +1 smoothing so empty current bins stay finite
+    "q153_psi_drift" ->
+      """WITH ref AS (
+        |  SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |cur AS (
+        |  SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |    AND o_orderdate < TIMESTAMP '2001-01-01'),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |         count(*) OVER () AS n FROM ref),
+        |bounds AS (
+        |  SELECT v AS b
+        |  FROM rk, (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),
+        |                   (0.7),(0.8),(0.9)) qs(q)
+        |  WHERE rn = greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n)
+        |    AS BIGINT))),
+        |rb AS (SELECT 10 - (SELECT count(*) FROM bounds WHERE r.v > b)
+        |         AS bin FROM ref r),
+        |cb AS (SELECT 10 - (SELECT count(*) FROM bounds WHERE c.v > b)
+        |         AS bin FROM cur c),
+        |rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref
+        |       FROM rb GROUP BY bin),
+        |cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur
+        |       FROM cb GROUP BY bin),
+        |j AS (SELECT rc.bin, n_ref, coalesce(n_cur, 0) AS n_cur
+        |      FROM rc LEFT JOIN cc USING (bin)),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |        CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
+        |p AS (SELECT bin, n_ref, n_cur,
+        |        (n_ref + 1) / CAST(tr + 10 AS DOUBLE) AS pr,
+        |        (n_cur + 1) / CAST(tc + 10 AS DOUBLE) AS pc
+        |      FROM j, t)
+        |SELECT bin, n_ref, n_cur,
+        |  floor(pr * 1000000 + 0.5) / 1000000.0 AS p_ref,
+        |  floor(pc * 1000000 + 0.5) / 1000000.0 AS p_cur,
+        |  floor((pc - pr) * ln(pc / pr) * 1000000 + 0.5)
+        |    / 1000000.0 AS psi_term
+        |FROM p ORDER BY bin""".stripMargin,
+
+    "q154_type_entropy" ->
+      """WITH cnt AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT user_id, CAST(sum(n) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(max(n) AS BIGINT) AS mx
+        |  FROM cnt GROUP BY 1),
+        |p AS (
+        |  SELECT cnt.user_id, tot.n_types, tot.mx, tot.t,
+        |    CAST(n AS DOUBLE) / t AS p
+        |  FROM cnt JOIN tot USING (user_id))
+        |SELECT user_id, n_types,
+        |  floor(CAST(mx AS DOUBLE) / t * 1000000 + 0.5)
+        |    / 1000000.0 AS top_share,
+        |  floor(sum(-p * ln(p)) * 1000000 + 0.5)
+        |    / 1000000.0 AS entropy,
+        |  floor((1.0 - sum(p * p)) * 1000000 + 0.5)
+        |    / 1000000.0 AS gini_impurity
+        |FROM p GROUP BY user_id, n_types, mx, t
+        |ORDER BY user_id""".stripMargin,
+
+    // q155: top-200 cut under a (freq desc, term) total order —
+    // integer freqs make the cut engine-exact
+    "q155_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |freq AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+        |top AS (SELECT term, freq FROM freq
+        |        ORDER BY freq DESC, term LIMIT 200),
+        |xy AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+        |      AS DOUBLE)) AS x,
+        |    ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM top),
+        |a AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM xy),
+        |m AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS sl
+        |      FROM a)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  floor(sl * 1000000 + 0.5) / 1000000.0 AS slope,
+        |  floor((sy - sl * sx) / n * 1000000 + 0.5)
+        |    / 1000000.0 AS intercept,
+        |  floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        |    * 1000000 + 0.5) / 1000000.0 AS r2
+        |FROM m""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
