@@ -3513,6 +3513,94 @@ object SparkEntry {
             * ($"n" * $"sxy" - $"sx" * $"sy")
             / (($"n" * $"sxx" - $"sx" * $"sx")
               * ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+    }),
+
+    // COHORT LTV CURVE — cumulative revenue per first-order cohort,
+    // normalized by cohort size: the retention economics readout
+    // (q109's retention matrix, revenue-weighted). Monthly revenue
+    // sums ride DECIMAL then cast once; the cumulative window runs
+    // per cohort over AGGREGATED month rows — bounded by the
+    // calendar, never the data — and the double cumsum folds in the
+    // same age order on both engines.
+    "q156_ltv_curve" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderdate", $"o_totalprice")
+      val first = ord.groupBy($"o_custkey")
+        .agg(min($"o_orderdate").as("__f"))
+      val sizes = first
+        .groupBy(date_format($"__f", "yyyy-MM").as("cohort"))
+        .agg(count(lit(1)).as("n_customers"))
+      val r = ord.join(first, Seq("o_custkey"))
+        .groupBy(date_format($"__f", "yyyy-MM").as("cohort"),
+          ((year($"o_orderdate") - year($"__f")) * 12
+            + (month($"o_orderdate") - month($"__f"))).as("age"))
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+          .cast("double").as("__mrev"))
+      val wc = Window.partitionBy($"cohort").orderBy($"age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.withColumn("__cum", sum($"__mrev").over(wc))
+        .join(sizes, Seq("cohort"))
+        .filter($"age" <= 12)
+        .select($"cohort", $"age", $"n_customers",
+          Fns.roundU($"__mrev", 2).as("month_rev"),
+          Fns.roundU($"__cum" / $"n_customers", 6).as("cum_ltv_per_cust"))
+        .orderBy($"cohort", $"age")
+    }),
+
+    // PARETO 80/20 — per nation, the minimal top-customer set covering
+    // 80% of revenue. NO per-nation sort: revenue becomes exact cents
+    // (DECIMAL×100 → long) and the descending cumulative comes from
+    // the distributed prefix scan ordered by (−cents, custkey) — a
+    // total order, so the crossing is engine-exact. The 80% test is
+    // pure integer arithmetic (5·cum_before < 4·total), never a
+    // floating threshold.
+    "q157_pareto" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey", $"c_custkey")
+        .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100)
+          .cast("long").as("__u"))
+        .withColumn("__nu", -$"__u")
+      val cum = Packing.prefixSum(rev, Seq("c_nationkey"),
+        Seq("__nu", "c_custkey"), "__u", "__cum")
+      val tot = rev.groupBy($"c_nationkey").agg(sum($"__u").as("__t"))
+      cum.join(tot, Seq("c_nationkey"))
+        .withColumn("__in", lit(5) * ($"__cum" - $"__u") < lit(4) * $"__t")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when($"__in", 1L).otherwise(0L)).as("n_top"),
+          sum(when($"__in", $"__u").otherwise(0L)).as("__cov"),
+          max($"__t").as("__tt"))
+        .select($"c_nationkey", $"n_customers", $"n_top",
+          Fns.roundU($"n_top" / $"n_customers", 6).as("top_frac"),
+          Fns.roundU($"__cov" / $"__tt", 6).as("covered_share"))
+        .orderBy($"c_nationkey")
+    }),
+
+    // PURCHASE INTERVALS — per repeat customer, the gap statistics
+    // between consecutive orders. The lag window partitions by
+    // customer and is bounded by that customer's order count; ties on
+    // order date break on o_orderkey so both engines see the same
+    // neighbor. Gaps are integer days — every stat except the mean is
+    // integer-exact, and the mean is one exact-ratio division.
+    "q158_purchase_intervals" -> ((s, d) => {
+      val wo = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+        .withColumn("__gap", datediff($"o_orderdate",
+          lag($"o_orderdate", 1).over(wo)))
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          min($"__gap").as("min_gap_days"),
+          max($"__gap").as("max_gap_days"),
+          sum($"__gap").as("__sg"), count($"__gap").as("__ng"))
+        .filter($"n_orders" >= 2)
+        .select($"o_custkey", $"n_orders", $"min_gap_days",
+          $"max_gap_days",
+          Fns.roundU($"__sg" / $"__ng", 6).as("mean_gap_days"))
+        .orderBy($"o_custkey")
     })
   )
 
@@ -6839,7 +6927,80 @@ object SparkEntry {
         |  floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         |    * 1000000 + 0.5) / 1000000.0 AS r2
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // q156: double cumsum folds in the same age order on both engines;
+    // month revenue is DECIMAL then one cast
+    "q156_ltv_curve" ->
+      """WITH f AS (
+        |  SELECT o_custkey, min(o_orderdate) AS fd FROM orders
+        |  GROUP BY 1),
+        |sizes AS (
+        |  SELECT strftime(fd, '%Y-%m') AS cohort,
+        |    CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT strftime(f.fd, '%Y-%m') AS cohort,
+        |    (year(o.o_orderdate) - year(f.fd)) * 12
+        |      + (month(o.o_orderdate) - month(f.fd)) AS age,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS mrev
+        |  FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort, age, mrev,
+        |    sum(mrev) OVER (PARTITION BY cohort ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r)
+        |SELECT c.cohort, c.age, s.n_customers,
+        |  floor(mrev * 100 + 0.5) / 100.0 AS month_rev,
+        |  floor(cum / s.n_customers * 1000000 + 0.5)
+        |    / 1000000.0 AS cum_ltv_per_cust
+        |FROM c JOIN sizes s USING (cohort)
+        |WHERE age <= 12 ORDER BY cohort, age""".stripMargin,
+
+    // q157: exact cents, integer 80% test 5*(cum-u) < 4*t under a
+    // (u DESC, custkey) total order
+    "q157_pareto" ->
+      """WITH rev AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS u
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT c_nationkey, u,
+        |    sum(u) OVER (PARTITION BY c_nationkey
+        |      ORDER BY u DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(u) OVER (PARTITION BY c_nationkey) AS t
+        |  FROM rev)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CASE WHEN 5 * (cum - u) < 4 * t THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top,
+        |  floor(CAST(sum(CASE WHEN 5 * (cum - u) < 4 * t
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    * 1000000 + 0.5) / 1000000.0 AS top_frac,
+        |  floor(CAST(sum(CASE WHEN 5 * (cum - u) < 4 * t
+        |      THEN u ELSE 0 END) AS DOUBLE) / max(t)
+        |    * 1000000 + 0.5) / 1000000.0 AS covered_share
+        |FROM c GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q158_purchase_intervals" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    date_diff('day',
+        |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS gap
+        |  FROM orders)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(gap) AS INT) AS min_gap_days,
+        |  CAST(max(gap) AS INT) AS max_gap_days,
+        |  floor(CAST(sum(gap) AS DOUBLE) / count(gap)
+        |    * 1000000 + 0.5) / 1000000.0 AS mean_gap_days
+        |FROM g GROUP BY o_custkey HAVING count(*) >= 2
+        |ORDER BY o_custkey""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
