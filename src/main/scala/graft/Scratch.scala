@@ -353,13 +353,52 @@ object Scratch {
       r
     }
 
+    /** q149 BFS: disconnected graph copies with the SAME 10 seeds in
+      * every replica — the reachable set, the frontier, and the edges
+      * touched per round all scale 10×, so linear growth is the pass
+      * criterion for the "per-round cost ∝ touched edges" claim. */
+    def bfsChain(mult: Int): Double = {
+      val base = Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 5)
+          .as("items"))
+        .select(explode(flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + 2, size(col("items"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+        .persist(MEMORY_AND_DISK)
+      base.count()
+      val seeds0 = base.select(col("a").as("node"))
+        .unionAll(base.select(col("b").as("node")))
+        .distinct().orderBy(col("node")).limit(10)
+        .persist(MEMORY_AND_DISK)
+      seeds0.count()
+      val rep = (0 until mult).map { k =>
+        base.select(concat(col("a"), lit(s"_$k")).as("a"),
+          concat(col("b"), lit(s"_$k")).as("b"))
+      }.reduce(_.unionByName(_))
+      val repSeeds = (0 until mult).map { k =>
+        seeds0.select(concat(col("node"), lit(s"_$k")).as("node"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val out = operators.Graph.bfsHops(rep, "a", "b", repSeeds,
+          "node", 4)
+        val n = out.count()
+        println(s"[scratch]   bfs mult=$mult visited=$n")
+      }
+      seeds0.unpersist(); base.unpersist()
+      r
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
       "dedup" -> dedupChain, "leakage" -> leakageChain,
       "span" -> spanChain, "semantic" -> semanticChain,
       "semantic2" -> semanticChain2, "spanRemoval" -> spanRemovalChain,
       "qualityGate" -> qualityGateChain, "bpe" -> bpeChain,
       "pmi" -> pmiChain, "pagerank" -> pagerankChain,
-      "triangles" -> triangleChain, "sweep" -> sweepChain)
+      "triangles" -> triangleChain, "sweep" -> sweepChain,
+      "bfs" -> bfsChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm
