@@ -3601,6 +3601,87 @@ object SparkEntry {
           $"max_gap_days",
           Fns.roundU($"__sg" / $"__ng", 6).as("mean_gap_days"))
         .orderBy($"o_custkey")
+    }),
+
+    // kNN LABEL EVAL — does embedding-space proximity predict the
+    // label? For 50 query vectors: exact top-5 neighbors (q26's
+    // brute-force baseline — the IVF path is the scale swap-in),
+    // majority vote with the (count desc, label asc) tie-break, and
+    // the per-query verdict. The vote's argmax is one max-of-struct
+    // aggregate — count ties resolve to the SMALLEST label on both
+    // engines via the negated-label struct field, no per-query sort.
+    "q159_knn_label_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < 50), "vec_id", "embedding", k = 5)
+      val lbl = emb.select($"vec_id", $"label")
+      top.join(lbl.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"))
+        .groupBy($"query_id", $"label").agg(count(lit(1)).as("__c"))
+        .groupBy($"query_id")
+        .agg(max(struct($"__c", (-$"label").as("__nl"))).as("__w"))
+        .select($"query_id", (-$"__w.__nl").as("pred_label"))
+        .join(lbl.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "true_label"), Seq("query_id"))
+        .select($"query_id", $"true_label", $"pred_label",
+          ($"pred_label" === $"true_label").as("correct"))
+        .orderBy($"query_id")
+    }),
+
+    // DAY-OF-WEEK SEASONALITY — per event type, each weekday's average
+    // daily volume relative to the type's overall average (observed
+    // days only, so a type absent on Mondays is a data fact, not a
+    // divide-by-zero). Every ratio is long/long exact; dow is
+    // normalized to 0=Sunday on both engines.
+    "q160_dow_seasonality" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("__n"))
+      val tot = daily.groupBy($"event_type")
+        .agg(sum($"__n").as("__tn"), count(lit(1)).as("__td"))
+      daily.groupBy($"event_type", (dayofweek($"d") - 1).as("dow"))
+        .agg(sum($"__n").as("n_events"), count(lit(1)).as("n_days"))
+        .join(tot, Seq("event_type"))
+        .select($"event_type", $"dow", $"n_events", $"n_days",
+          Fns.roundU(($"n_events" / $"n_days") / ($"__tn" / $"__td"), 6)
+            .as("seasonality_index"))
+        .orderBy($"event_type", $"dow")
+    }),
+
+    // TIME-DECAY MULTI-TOUCH ATTRIBUTION — q107's last-touch sibling:
+    // every view/click in the 7 days before a purchase shares the
+    // purchase value, weighted 1/(1+whole-hours-before). The weight is
+    // the correctly-rounded reciprocal of an exact integer (micros
+    // div), so per-touch weights are bit-identical cross-engine; the
+    // join is keyed on user_id (fan-out bounded per user), never a
+    // time-only cross join. Purchases with no touch in the window
+    // surface as the 'unattributed' row — value is conserved.
+    "q161_decay_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pur = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("__pid"),
+          unix_micros($"ts").as("__pt"), $"value")
+      val tch = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id".as("__u"), $"event_type",
+          unix_micros($"ts").as("__tt"))
+      val j = pur.join(tch,
+        $"user_id" === $"__u" && $"__tt" <= $"__pt"
+          && $"__tt" > $"__pt" - lit(7L * 86400L * 1000000L))
+        .withColumn("__w", lit(1.0)
+          / (lit(1L) + expr("(__pt - __tt) div 3600000000")))
+      val sw = j.groupBy($"__pid").agg(sum($"__w").as("__sw"))
+      val credited = j.join(sw, Seq("__pid"))
+        .groupBy($"event_type".as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum($"value" * $"__w" / $"__sw").as("__cv"))
+      val untouched = pur
+        .join(j.select($"__pid").distinct(), Seq("__pid"), "left_anti")
+        .agg(count(lit(1)).as("n_touches"), sum($"value").as("__cv"))
+        .select(lit("unattributed").as("channel"), $"n_touches", $"__cv")
+      credited.unionByName(untouched)
+        .select($"channel", $"n_touches",
+          Fns.roundU($"__cv", 4).as("credited_value"))
+        .orderBy($"channel")
     })
   )
 
@@ -7000,7 +7081,88 @@ object SparkEntry {
         |  floor(CAST(sum(gap) AS DOUBLE) / count(gap)
         |    * 1000000 + 0.5) / 1000000.0 AS mean_gap_days
         |FROM g GROUP BY o_custkey HAVING count(*) >= 2
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // q159: q26's exact-cosine ranking + majority vote; count ties
+    // resolve to the smallest label on both engines
+    "q159_knn_label_eval" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv,
+        |    label AS true_label
+        |  FROM embeddings WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q.query_id, q.true_label, e.vec_id AS nid,
+        |    e.label AS nl,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qv AS DOUBLE[])) AS s
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY s DESC, nid) AS rk
+        |  FROM scored),
+        |v AS (
+        |  SELECT query_id, true_label, nl, count(*) AS c
+        |  FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT query_id, true_label, nl AS pred_label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY c DESC, nl) AS pr
+        |  FROM v)
+        |SELECT query_id, CAST(true_label AS INT) AS true_label,
+        |  CAST(pred_label AS INT) AS pred_label,
+        |  pred_label = true_label AS correct
+        |FROM p WHERE pr = 1 ORDER BY query_id""".stripMargin,
+
+    // q160: DuckDB dayofweek is already 0=Sunday; Spark's is shifted
+    // by one in the engine
+    "q160_dow_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(count(*) AS BIGINT) AS td
+        |  FROM daily GROUP BY 1),
+        |g AS (
+        |  SELECT event_type, dayofweek(d) AS dow,
+        |    CAST(sum(n) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT g.event_type, CAST(dow AS INT) AS dow, n_events, n_days,
+        |  floor((CAST(n_events AS DOUBLE) / n_days)
+        |      / (CAST(tn AS DOUBLE) / td) * 1000000 + 0.5)
+        |    / 1000000.0 AS seasonality_index
+        |FROM g JOIN tot USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
+
+    // q161: weights are correctly-rounded reciprocals of exact integer
+    // hour counts — bit-identical cross-engine
+    "q161_decay_attribution" ->
+      """WITH pur AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pt, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id AS u, event_type, epoch_us(ts) AS tt
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT pid, value, event_type,
+        |    1.0 / (1 + (pt - tt) // 3600000000) AS w
+        |  FROM pur JOIN tch ON user_id = u AND tt <= pt
+        |    AND tt > pt - 604800000000),
+        |sw AS (SELECT pid, sum(w) AS sw FROM j GROUP BY pid),
+        |cr AS (
+        |  SELECT j.event_type AS channel,
+        |    CAST(count(*) AS BIGINT) AS n_touches,
+        |    sum(j.value * j.w / sw.sw) AS cv
+        |  FROM j JOIN sw USING (pid) GROUP BY 1),
+        |un AS (
+        |  SELECT 'unattributed' AS channel,
+        |    CAST(count(*) AS BIGINT) AS n_touches, sum(value) AS cv
+        |  FROM pur WHERE pid NOT IN (SELECT DISTINCT pid FROM j)),
+        |u AS (SELECT * FROM cr UNION ALL SELECT * FROM un)
+        |SELECT channel, n_touches,
+        |  floor(cv * 10000 + 0.5) / 10000.0 AS credited_value
+        |FROM u ORDER BY channel""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
