@@ -596,4 +596,54 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"non-equi join in triangle plan: $bad")
   }
+
+  test("q145/q153 deciles: bounded windows only — assignment is a fold") {
+    // the gains table and PSI both derive decile bounds from the
+    // exact-quantile histogram and assign rows via a 9-value broadcast
+    // fold; a row-level sort window sneaking in would be the
+    // single-task quantile plan the histogram replaces. Windows may
+    // touch only post-aggregate inputs (histogram state / ≤10 decile
+    // rows), never a raw table column like o_totalprice or c_acctbal.
+    for ((q, rawCol) <- Seq("q145_gains_table" -> "c_acctbal",
+        "q153_psi_drift" -> "o_totalprice")) {
+      val wins = collectAll(plan(q)) { case w: WindowExec => w }
+      assert(wins.forall(w =>
+        !w.child.schema.fieldNames.contains(rawCol)),
+        s"$q: window over raw $rawCol rows")
+    }
+  }
+
+  test("q146 concentration: dims broadcast; ranks carry no window sort") {
+    // supplier/nation must ride the lineitem scan as hash maps, and
+    // the per-nation ranks come from the prefix-scan (avgRanks) — a
+    // WindowExec over per-supplier revenue rows would be the
+    // sort-per-nation plan avgRanks exists to avoid
+    // (prefixSum's internal boundary window collects eagerly at build
+    // time and never appears in the returned plan — window-free HERE
+    // means the ranks really are the two-phase scan)
+    val p = plan("q146_concentration")
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"sort-merge join in q146:\n$smj")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, "q146 rank fell back to a window sort")
+  }
+
+  test("q157 Pareto: descending cumulative is prefix-scan, not a window") {
+    val wins = collectAll(plan("q157_pareto")) { case w: WindowExec => w }
+    assert(wins.isEmpty, "q157 fell back to a revenue-row window")
+  }
+
+  // (q149's BFS rounds execute eagerly via localCheckpoint during
+  // query construction, so its final plan is just the post-BFS
+  // aggregate — the per-round join shape is exercised by GraphSpec
+  // and the Scratch replication probe instead.)
+  test("q148 Adamic-Adar: equi-joins only, never nested-loop") {
+    val bad = collectAll(plan("q148_adamic_adar")) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        j.nodeName
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi join in q148: $bad")
+  }
 }
