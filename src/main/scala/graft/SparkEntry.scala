@@ -3682,6 +3682,89 @@ object SparkEntry {
         .select($"channel", $"n_touches",
           Fns.roundU($"__cv", 4).as("credited_value"))
         .orderBy($"channel")
+    }),
+
+    // PR CURVE — precision/recall/F1 at each of the 9 decile
+    // thresholds of the q145 score. One decile assignment (broadcast
+    // fold), one ≤10-row pos/neg table, and every threshold's
+    // confusion matrix falls out of a cumulative window over that
+    // bounded table — never a per-threshold rescan, never a score
+    // sort. All counts integer; the three ratios are the only doubles.
+    "q162_pr_curve" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select($"c_custkey", $"c_acctbal")
+      val pos = Tables.orders(s, d)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey").distinct()
+      val scored = cust
+        .join(pos.withColumnRenamed("o_custkey", "__pk"),
+          $"c_custkey" === $"__pk", "left")
+        .select($"c_acctbal", $"__pk".isNotNull.cast("long").as("__y"))
+      val bounds = Percentiles.exactQuantiles(
+          cust.withColumn("__g", lit(1)), "__g", "c_acctbal",
+          (1 to 9).map(_ / 10.0))
+        .agg(sort_array(collect_list($"value")).as("__bs"))
+      val dec = scored.crossJoin(broadcast(bounds))
+        .select($"__y", (lit(10) - aggregate($"__bs", lit(0),
+          (acc, b) => acc + when($"c_acctbal" > b, 1).otherwise(0)))
+          .as("__dec"))
+        .groupBy($"__dec")
+        .agg(sum($"__y").as("__p"), sum(lit(1L) - $"__y").as("__n"))
+      val tot = dec.agg(sum($"__p").as("__tp_all"))
+      // ≤ 10 decile rows: cumulative TP/FP from the top is bounded
+      val w = Window.orderBy($"__dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.crossJoin(broadcast(tot))
+        .select($"__dec", $"__tp_all",
+          sum($"__p").over(w).as("__tp"), sum($"__n").over(w).as("__fp"))
+        // threshold k predicts positive on deciles 1..(10-k): row
+        // __dec = 10-k carries threshold k's cumulative counts
+        .filter($"__dec" <= 9)
+        .select((lit(10) - $"__dec").as("threshold_rank"),
+          $"__tp".as("tp"), $"__fp".as("fp"),
+          ($"__tp_all" - $"__tp").as("fn"))
+        .select($"threshold_rank", $"tp", $"fp", $"fn",
+          Fns.roundU($"tp" / ($"tp" + $"fp"), 6).as("precision"),
+          Fns.roundU($"tp" / ($"tp" + $"fn"), 6).as("recall"),
+          Fns.roundU(lit(2.0) * $"tp"
+            / (lit(2.0) * $"tp" + $"fp" + $"fn"), 6).as("f1"))
+        .orderBy($"threshold_rank")
+    }),
+
+    // TWO-SAMPLE KS TEST — D = max |F_A − F_B| between the 1995 and
+    // 2000 order-value distributions (q153's windows, the exact
+    // companion to its binned PSI). INTEGER-EXACT: the argmax runs on
+    // |cumA·nB − cumB·nA| (cross-multiplied longs, never a float
+    // CDF), cumulative counts come from the distributed prefix scan
+    // over the per-value aggregate — no global sort of raw rows, and
+    // the one division happens after the max.
+    "q163_ks_test" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select($"o_orderdate", $"o_totalprice")
+      def win(lo: String, hi: String) = ord
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .select($"o_totalprice".as("v"))
+      val cnt = win("1995-01-01", "1996-01-01")
+        .select($"v", lit(1L).as("__a"), lit(0L).as("__b"))
+        .unionAll(win("2000-01-01", "2001-01-01")
+          .select($"v", lit(0L).as("__a"), lit(1L).as("__b")))
+        .groupBy($"v")
+        .agg(sum($"__a").as("__ca"), sum($"__b").as("__cb"))
+        .withColumn("__g", lit(1))
+      val cum = Packing.prefixSum(
+        Packing.prefixSum(cnt, Seq("__g"), Seq("v"), "__ca", "__cumA"),
+        Seq("__g"), Seq("v"), "__cb", "__cumB")
+      val tot = cnt.agg(sum($"__ca").as("__na"), sum($"__cb").as("__nb"))
+      val diff = cum.crossJoin(broadcast(tot))
+        .select($"v", $"__na", $"__nb",
+          abs($"__cumA" * $"__nb" - $"__cumB" * $"__na").as("__dn"))
+      val mx = diff.groupBy($"__na", $"__nb")
+        .agg(max($"__dn").as("__mx"))
+      diff.join(mx, Seq("__na", "__nb"))
+        .filter($"__dn" === $"__mx")
+        .groupBy($"__na", $"__nb", $"__mx")
+        .agg(min($"v").as("ks_at_value"))
+        .select($"__na".as("n_a"), $"__nb".as("n_b"), $"ks_at_value",
+          Fns.roundU($"__mx" / ($"__na" * $"__nb"), 6).as("ks_stat"))
     })
   )
 
@@ -7162,7 +7245,75 @@ object SparkEntry {
         |u AS (SELECT * FROM cr UNION ALL SELECT * FROM un)
         |SELECT channel, n_touches,
         |  floor(cv * 10000 + 0.5) / 10000.0 AS credited_value
-        |FROM u ORDER BY channel""".stripMargin
+        |FROM u ORDER BY channel""".stripMargin,
+
+    // q162: q145's decile bounds; each threshold's confusion matrix
+    // from the cumulative over the 10-row decile table
+    "q162_pr_curve" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderpriority = '1-URGENT'),
+        |ranked AS (
+        |  SELECT c_acctbal, row_number() OVER (ORDER BY c_acctbal) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM customer),
+        |bounds AS (
+        |  SELECT c_acctbal AS b
+        |  FROM ranked, (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),
+        |                       (0.7),(0.8),(0.9)) qs(q)
+        |  WHERE rn = greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n)
+        |    AS BIGINT))),
+        |dec AS (
+        |  SELECT CASE WHEN p.o_custkey IS NULL THEN 0 ELSE 1 END AS y,
+        |    10 - (SELECT count(*) FROM bounds WHERE c.c_acctbal > b)
+        |      AS d
+        |  FROM customer c LEFT JOIN pos p ON c.c_custkey = p.o_custkey),
+        |g AS (SELECT d, CAST(sum(y) AS BIGINT) AS p,
+        |        CAST(sum(1 - y) AS BIGINT) AS nn FROM dec GROUP BY d),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS tpall FROM g),
+        |c AS (SELECT d, sum(p) OVER (ORDER BY d) AS tp,
+        |        sum(nn) OVER (ORDER BY d) AS fp FROM g)
+        |SELECT CAST(10 - d AS INT) AS threshold_rank,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(tpall - tp AS BIGINT) AS fn,
+        |  floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000 + 0.5)
+        |    / 1000000.0 AS precision,
+        |  floor(CAST(tp AS DOUBLE) / (tp + (tpall - tp))
+        |    * 1000000 + 0.5) / 1000000.0 AS recall,
+        |  floor(2.0 * tp / (2.0 * tp + fp + (tpall - tp))
+        |    * 1000000 + 0.5) / 1000000.0 AS f1
+        |FROM c, t WHERE d <= 9 ORDER BY threshold_rank""".stripMargin,
+
+    // q163: integer-exact argmax on |cumA*nB - cumB*nA|; the one
+    // division happens after the max
+    "q163_ks_test" ->
+      """WITH a AS (
+        |  SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |b AS (
+        |  SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |    AND o_orderdate < TIMESTAMP '2001-01-01'),
+        |cnt AS (
+        |  SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+        |    CAST(sum(ib) AS BIGINT) AS cb
+        |  FROM (SELECT v, 1 AS ia, 0 AS ib FROM a
+        |        UNION ALL SELECT v, 0, 1 FROM b)
+        |  GROUP BY v),
+        |c AS (
+        |  SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+        |    sum(cb) OVER (ORDER BY v) AS cumb
+        |  FROM cnt),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |        CAST(sum(cb) AS BIGINT) AS nb FROM cnt),
+        |dd AS (SELECT v, na, nb, abs(cuma * nb - cumb * na) AS dn
+        |       FROM c, t),
+        |m AS (SELECT max(dn) AS mx FROM dd)
+        |SELECT dd.na AS n_a, dd.nb AS n_b, min(v) AS ks_at_value,
+        |  floor(CAST(m.mx AS DOUBLE) / (dd.na * dd.nb)
+        |    * 1000000 + 0.5) / 1000000.0 AS ks_stat
+        |FROM dd, m WHERE dn = mx
+        |GROUP BY dd.na, dd.nb, m.mx""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
