@@ -3765,6 +3765,61 @@ object SparkEntry {
         .agg(min($"v").as("ks_at_value"))
         .select($"__na".as("n_a"), $"__nb".as("n_b"), $"ks_at_value",
           Fns.roundU($"__mx" / ($"__na" * $"__nb"), 6).as("ks_stat"))
+    }),
+
+    // EXACT DISTRIBUTED AUC — of the q145 score/label pair, via the
+    // rank-sum (Mann-Whitney) identity: AUC = (ΣR⁺ − nP(nP+1)/2) /
+    // (nP·nN). NO sort of raw rows: average ranks come from the
+    // per-value aggregate + distributed prefix scan, carried DOUBLED
+    // (2·rank = 2·cum − (cnt−1)) so tie midpoints stay integer — the
+    // whole computation is long arithmetic until the final division.
+    "q164_auc_exact" -> ((s, d) => {
+      val pos = Tables.orders(s, d)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey").distinct()
+      val scored = Tables.customer(s, d)
+        .join(pos.withColumnRenamed("o_custkey", "__pk"),
+          $"c_custkey" === $"__pk", "left")
+        .select($"c_acctbal", $"__pk".isNotNull.cast("long").as("__y"))
+      val cnts = scored.groupBy($"c_acctbal")
+        .agg(count(lit(1)).as("__cnt"), sum($"__y").as("__pos"))
+        .withColumn("__g", lit(1))
+      val cum = Packing.prefixSum(cnts, Seq("__g"), Seq("c_acctbal"),
+          "__cnt", "__cum")
+        .withColumn("__r2", lit(2) * $"__cum" - ($"__cnt" - 1))
+      cum.agg(sum($"__pos" * $"__r2").as("__s2"),
+          sum($"__pos").as("__np"),
+          sum($"__cnt" - $"__pos").as("__nn"))
+        .select($"__np".as("n_pos"), $"__nn".as("n_neg"),
+          Fns.roundU(($"__s2" - $"__np" * ($"__np" + 1))
+            / (lit(2.0) * $"__np" * $"__nn"), 6).as("auc"))
+    }),
+
+    // COHEN'S KAPPA — chance-corrected agreement between two document
+    // quality raters (char-length vs token-count heuristics): the
+    // labeling-pipeline QA readout. One scan, one 2×2 confusion
+    // aggregate; po/pe are exact long ratios and kappa is two
+    // correctly-rounded divisions — deterministic cross-engine.
+    "q165_cohens_kappa" -> ((s, d) => {
+      val m = Tables.documents(s, d).select(
+        ($"n_chars" > 200).as("__a"),
+        (when(length(trim($"text")) === 0, 0)
+          .otherwise(size(split(trim($"text"), "\\s+"))) >= 30).as("__b"))
+      m.agg(count(lit(1)).as("__n"),
+          sum(when($"__a" && $"__b", 1L).otherwise(0L)).as("n11"),
+          sum(when($"__a" && !$"__b", 1L).otherwise(0L)).as("n10"),
+          sum(when(!$"__a" && $"__b", 1L).otherwise(0L)).as("n01"),
+          sum(when(!$"__a" && !$"__b", 1L).otherwise(0L)).as("n00"))
+        .select($"n11", $"n10", $"n01", $"n00",
+          (($"n11" + $"n00") / $"__n").as("__po"),
+          ((($"n11" + $"n10") * ($"n11" + $"n01")
+            + ($"n01" + $"n00") * ($"n10" + $"n00"))
+            / ($"__n" * $"__n")).as("__pe"))
+        .select($"n11", $"n10", $"n01", $"n00",
+          Fns.roundU($"__po", 6).as("p_observed"),
+          Fns.roundU($"__pe", 6).as("p_expected"),
+          Fns.roundU(($"__po" - $"__pe") / (lit(1.0) - $"__pe"), 6)
+            .as("kappa"))
     })
   )
 
@@ -7313,7 +7368,64 @@ object SparkEntry {
         |  floor(CAST(m.mx AS DOUBLE) / (dd.na * dd.nb)
         |    * 1000000 + 0.5) / 1000000.0 AS ks_stat
         |FROM dd, m WHERE dn = mx
-        |GROUP BY dd.na, dd.nb, m.mx""".stripMargin
+        |GROUP BY dd.na, dd.nb, m.mx""".stripMargin,
+
+    // q164: rank-sum AUC with doubled ranks — long arithmetic until
+    // the final division
+    "q164_auc_exact" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderpriority = '1-URGENT'),
+        |s AS (
+        |  SELECT c_acctbal AS v,
+        |    CASE WHEN p.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+        |  FROM customer c LEFT JOIN pos p ON c.c_custkey = p.o_custkey),
+        |cnts AS (
+        |  SELECT v, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS posn
+        |  FROM s GROUP BY v),
+        |c AS (
+        |  SELECT v, cnt, posn, sum(cnt) OVER (ORDER BY v) AS cum
+        |  FROM cnts),
+        |a AS (
+        |  SELECT CAST(sum(posn * (2 * cum - (cnt - 1))) AS BIGINT) AS s2,
+        |    CAST(sum(posn) AS BIGINT) AS np,
+        |    CAST(sum(cnt - posn) AS BIGINT) AS nn
+        |  FROM c)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  floor(CAST(s2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn)
+        |    * 1000000 + 0.5) / 1000000.0 AS auc
+        |FROM a""".stripMargin,
+
+    // q165: exact long ratios, two correctly-rounded divisions
+    "q165_cohens_kappa" ->
+      """WITH m AS (
+        |  SELECT n_chars > 200 AS a,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |      >= 30 AS b
+        |  FROM documents),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM m),
+        |r AS (
+        |  SELECT n11, n10, n01, n00,
+        |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+        |    CAST((n11 + n10) * (n11 + n01)
+        |      + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n) AS pe
+        |  FROM g)
+        |SELECT n11, n10, n01, n00,
+        |  floor(po * 1000000 + 0.5) / 1000000.0 AS p_observed,
+        |  floor(pe * 1000000 + 0.5) / 1000000.0 AS p_expected,
+        |  floor((po - pe) / (1.0 - pe) * 1000000 + 0.5)
+        |    / 1000000.0 AS kappa
+        |FROM r""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
