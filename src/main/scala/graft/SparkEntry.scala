@@ -3820,6 +3820,27 @@ object SparkEntry {
           Fns.roundU($"__pe", 6).as("p_expected"),
           Fns.roundU(($"__po" - $"__pe") / (lit(1.0) - $"__pe"), 6)
             .as("kappa"))
+    }),
+
+    // WEIGHTED SHORTEST PATH — bounded-hop Bellman-Ford over the
+    // co-purchase graph with deterministic integer edge weights
+    // (Graph.ssspHops): q149's frontier discipline generalized from
+    // hop counting to min-plus relaxation — each round proposes only
+    // from nodes that IMPROVED last round, so round cost tracks the
+    // still-converging subgraph, not the whole graph. Integer costs
+    // keep every relaxation exact; the oracle is the same DP unrolled
+    // (d_k = min(d_{k-1}, relax(d_{k-1}))), four explicit rounds.
+    "q166_sssp" -> ((s, d) => {
+      val edges = basketPairs(cappedBaskets(s, d, 5)).distinct()
+        .withColumn("w", lit(1L) + ($"a" + $"b") % 5)
+      val seeds = edges.select($"a".as("node"))
+        .union(edges.select($"b".as("node")))
+        .distinct().orderBy($"node").limit(10)
+      Graph.ssspHops(edges, "a", "b", "w", seeds, "node", maxHops = 4)
+        .groupBy($"dist")
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"node").as("min_node"), max($"node").as("max_node"))
+        .orderBy($"dist")
     })
   )
 
@@ -7425,7 +7446,50 @@ object SparkEntry {
         |  floor(pe * 1000000 + 0.5) / 1000000.0 AS p_expected,
         |  floor((po - pe) / (1.0 - pe) * 1000000 + 0.5)
         |    / 1000000.0 AS kappa
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // q166: the same bounded-hop DP unrolled — d_k(v) = cheapest walk
+    // of <= k edges; integer weights keep it exact
+    "q166_sssp" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 5),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |we AS (SELECT a, b, 1 + (a + b) % 5 AS w FROM edges),
+        |adj AS (
+        |  SELECT a AS s, b AS n, w FROM we
+        |  UNION ALL SELECT b, a, w FROM we),
+        |seeds AS (
+        |  SELECT n FROM (SELECT a AS n FROM edges
+        |                 UNION SELECT b FROM edges)
+        |  ORDER BY n LIMIT 10),
+        |d0 AS (SELECT n AS node, CAST(0 AS BIGINT) AS c FROM seeds),
+        |d1 AS (SELECT node, min(c) AS c FROM (
+        |  SELECT node, c FROM d0
+        |  UNION ALL SELECT adj.n, d0.c + adj.w FROM d0
+        |    JOIN adj ON adj.s = d0.node) GROUP BY node),
+        |d2 AS (SELECT node, min(c) AS c FROM (
+        |  SELECT node, c FROM d1
+        |  UNION ALL SELECT adj.n, d1.c + adj.w FROM d1
+        |    JOIN adj ON adj.s = d1.node) GROUP BY node),
+        |d3 AS (SELECT node, min(c) AS c FROM (
+        |  SELECT node, c FROM d2
+        |  UNION ALL SELECT adj.n, d2.c + adj.w FROM d2
+        |    JOIN adj ON adj.s = d2.node) GROUP BY node),
+        |d4 AS (SELECT node, min(c) AS c FROM (
+        |  SELECT node, c FROM d3
+        |  UNION ALL SELECT adj.n, d3.c + adj.w FROM d3
+        |    JOIN adj ON adj.s = d3.node) GROUP BY node)
+        |SELECT CAST(c AS BIGINT) AS dist,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(node) AS min_node, max(node) AS max_node
+        |FROM d4 GROUP BY c ORDER BY dist""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -236,4 +236,70 @@ object Graph {
     // the final visited checkpoint is the return value, caller-owned
     visited
   }
+
+  /** Bounded-hop single/multi-source shortest path over an UNDIRECTED
+    * weighted edge list (LONG weights ≥ 0 — integer costs keep every
+    * relaxation exact, so the result is engine-checkable): returns
+    * `(node, dist)` for nodes reachable from `seeds` within `maxHops`
+    * edges, `dist` = cheapest such path. Level-synchronous Bellman-Ford
+    * relaxation: each round joins the CHANGED frontier (not the full
+    * distance table) onto the adjacency, takes the per-node min of the
+    * proposals, and keeps only strict improvements — so a round's cost
+    * is proportional to edges touched by still-improving nodes, and
+    * the loop exits early once nothing improves. Same checkpoint/free
+    * discipline as [[bfsHops]]; the hop cap is the honest cluster
+    * contract (and what makes a recursive-walk SQL oracle finite).
+    */
+  def ssspHops(edges: DataFrame, srcCol: String, dstCol: String,
+               wCol: String, seeds: DataFrame, seedCol: String,
+               maxHops: Int): DataFrame = {
+    require(maxHops >= 1)
+    val norm = edges.select(
+        least(col(srcCol), col(dstCol)).as("__lo"),
+        greatest(col(srcCol), col(dstCol)).as("__hi"),
+        col(wCol).cast("long").as("__w"))
+      .filter(col("__lo") =!= col("__hi") && col("__w") >= 0)
+      .groupBy(col("__lo"), col("__hi"))
+      .agg(min(col("__w")).as("__w")) // parallel edges: cheapest wins
+    val adj = norm.select(col("__lo").as("__s"), col("__hi").as("__n"),
+        col("__w"))
+      .unionAll(norm.select(col("__hi").as("__s"),
+        col("__lo").as("__n"), col("__w")))
+      .repartition(col("__s"))
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var h = 1
+    var done = false
+    while (!done && h <= maxHops) {
+      // proposals from the frontier only; min per node, then keep
+      // strict improvements vs the current distance table
+      val next = adj
+        .join(frontier.withColumnRenamed("node", "__s"), Seq("__s"))
+        .groupBy(col("__n").as("node"))
+        .agg(min(col("dist") + col("__w")).as("__cand"))
+        .join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("__cand") < col("dist"))
+        .select(col("node"), col("__cand").as("dist"))
+        .localCheckpoint()
+      if (frontier ne dist)
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
+      frontier = next
+      if (frontier.isEmpty) { done = true }
+      else {
+        val nd = dist.join(frontier.select(col("node")), Seq("node"),
+            "left_anti")
+          .unionAll(frontier)
+          .localCheckpoint()
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(dist)
+        dist = nd
+      }
+      h += 1
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adj)
+    if (frontier ne dist)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
+    dist
+  }
 }

@@ -129,4 +129,21 @@ class GraphSpec extends SparkSpec {
       "p1" -> 1, "p5" -> 1, "t1" -> 1, "t2" -> 1,
       "p2" -> 2, "p4" -> 2, "p3" -> 3))
   }
+
+  test("ssspHops: relaxation beats the direct edge; hop cap binds") {
+    // a-b direct costs 10, but a-c-b costs 2 — the cheap route needs
+    // 2 hops, so maxHops=1 must report 10 and maxHops>=2 report 2.
+    // d hangs off b (cheapest a→d = 3 via 3 hops); parallel a-b edge
+    // of cost 7 checks the min-of-parallel-edges normalization.
+    val edges = Seq(("a", "b", 10L), ("a", "b", 7L), ("a", "c", 1L),
+      ("c", "b", 1L), ("b", "d", 1L)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    def run(h: Int) = Graph.ssspHops(edges, "src", "dst", "w",
+        seeds, "node", h)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(1) === Map("a" -> 0, "b" -> 7, "c" -> 1))
+    assert(run(2) === Map("a" -> 0, "b" -> 2, "c" -> 1, "d" -> 8))
+    // early exit: nothing improves after round 3 even with slack cap
+    assert(run(10) === Map("a" -> 0, "b" -> 2, "c" -> 1, "d" -> 3))
+  }
 }
