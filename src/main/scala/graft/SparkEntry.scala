@@ -7523,8 +7523,11 @@ object SparkEntry {
     * survive the cap deterministic. */
   private def cappedBaskets(s: SparkSession, d: String, cap: Int)
       : org.apache.spark.sql.DataFrame =
+    // collect_set dedups per order on its own — a distinct() before
+    // this groupBy would be a second full shuffle of the fact scan
+    // for nothing (measured ~15% off the graph-query derivation)
     Tables.lineitem(s, d)
-      .select($"l_orderkey", $"l_partkey").distinct()
+      .select($"l_orderkey", $"l_partkey")
       .groupBy($"l_orderkey")
       .agg(slice(sort_array(collect_set($"l_partkey")), 1, cap)
         .as("__items"))
