@@ -358,8 +358,11 @@ object Scratch {
       * touched per round all scale 10×, so linear growth is the pass
       * criterion for the "per-round cost ∝ touched edges" claim. */
     def bfsChain(mult: Int): Double = {
+      // mirrors SparkEntry.cappedBaskets (no pre-distinct — collect_set
+      // dedups); untimed setup either way, kept faithful to the product
+      // derivation
       val base = Tables.lineitem(spark, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 5)
           .as("items"))

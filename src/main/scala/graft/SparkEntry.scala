@@ -2606,21 +2606,33 @@ object SparkEntry {
       val u = ud.crossJoin(broadcast(mx))
         .select(datediff($"__l", $"__f").as("dur"),
           (datediff($"__mx", $"__l") < 90).as("__cens"))
+      // persisted: the totals aggregate and the window chain both read
+      // it; released by the per-query session cache clear
       val byDur = u.groupBy($"dur")
         .agg(sum(when($"__cens", 0L).otherwise(1L)).as("n_deaths"),
           sum(when($"__cens", 1L).otherwise(0L)).as("n_censored"))
-      val total = u.count()
+        .persist()
+      val tot = byDur.agg(sum($"n_deaths" + $"n_censored").as("__n"))
       val wPrev = Window.orderBy($"dur")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wCur = Window.orderBy($"dur")
         .rowsBetween(Window.unboundedPreceding, 0)
-      byDur
-        .withColumn("n_risk", lit(total) - coalesce(
+      // a row where EVERY at-risk member dies (n_deaths == n_risk) has
+      // survival factor 0: Spark's log(0) is NULL (sum would silently
+      // DROP it — survival wrongly stays flat) while the oracle's ln(0)
+      // is -inf, so both sides carry an explicit cumulative dead flag
+      // and pin survival to 0.0 from that row on; the log sum then only
+      // ever sees strictly positive factors
+      byDur.crossJoin(broadcast(tot))
+        .withColumn("n_risk", $"__n" - coalesce(
           sum($"n_deaths" + $"n_censored").over(wPrev), lit(0L)))
-        .withColumn("survival", Fns.roundU(exp(sum(
-          when($"n_deaths" > 0,
-            log(lit(1.0) - $"n_deaths".cast("double") / $"n_risk"))
-            .otherwise(0.0)).over(wCur)), 6))
+        .withColumn("__dead", max(when($"n_deaths" === $"n_risk", 1)
+          .otherwise(0)).over(wCur))
+        .withColumn("survival", when($"__dead" === 1, lit(0.0))
+          .otherwise(Fns.roundU(exp(sum(
+            when($"n_deaths" > 0 && $"n_deaths" < $"n_risk",
+              log(lit(1.0) - $"n_deaths".cast("double") / $"n_risk"))
+              .otherwise(0.0)).over(wCur)), 6)))
         .select($"dur", $"n_risk", $"n_deaths", $"n_censored",
           $"survival")
         .orderBy($"dur")
@@ -3183,23 +3195,11 @@ object SparkEntry {
     // each row, the cumulative window covers ≤ 10 decile rows. Ties at
     // a boundary fall to the LOWER bucket on both engines (strict >).
     "q145_gains_table" -> ((s, d) => {
-      val cust = Tables.customer(s, d).select($"c_custkey", $"c_acctbal")
-      val pos = Tables.orders(s, d)
-        .filter($"o_orderpriority" === "1-URGENT")
-        .select($"o_custkey").distinct()
-      val scored = cust
-        .join(pos.withColumnRenamed("o_custkey", "__pk"),
-          $"c_custkey" === $"__pk", "left")
-        .select($"c_acctbal", $"__pk".isNotNull.cast("long").as("__y"))
-      val bounds = Percentiles.exactQuantiles(
-          cust.withColumn("__g", lit(1)), "__g", "c_acctbal",
-          (1 to 9).map(_ / 10.0))
-        .agg(sort_array(collect_list($"value")).as("__bs"))
+      val scored = urgentScored(s, d)
+      val bounds = decileBounds(
+        Tables.customer(s, d).select($"c_acctbal"), "c_acctbal")
       val g = scored.crossJoin(broadcast(bounds))
-        // decile 1 = top scores: 10 − (#boundaries strictly below x)
-        .select($"__y", (lit(10) - aggregate($"__bs", lit(0),
-          (acc, b) => acc + when($"c_acctbal" > b, 1).otherwise(0)))
-          .as("decile"))
+        .select($"__y", decileOf($"c_acctbal").as("decile"))
         .groupBy($"decile")
         .agg(count(lit(1)).as("n_cust"), sum($"__y").as("n_pos"))
       val tot = g.agg(sum($"n_cust").as("__tn"), sum($"n_pos").as("__tp"))
@@ -3429,15 +3429,10 @@ object SparkEntry {
         && $"o_orderdate" < "1996-01-01").select($"o_totalprice")
       val cur = ord.filter($"o_orderdate" >= "2000-01-01"
         && $"o_orderdate" < "2001-01-01").select($"o_totalprice")
-      val bounds = Percentiles.exactQuantiles(
-          ref.withColumn("__g", lit(1)), "__g", "o_totalprice",
-          (1 to 9).map(_ / 10.0))
-        .agg(sort_array(collect_list($"value")).as("__bs"))
+      val bounds = decileBounds(ref, "o_totalprice")
       def binned(df: DataFrame, as: String) = df
         .crossJoin(broadcast(bounds))
-        .select((lit(10) - aggregate($"__bs", lit(0),
-          (acc, b) => acc + when($"o_totalprice" > b, 1).otherwise(0)))
-          .as("bin"))
+        .select(decileOf($"o_totalprice").as("bin"))
         .groupBy($"bin").agg(count(lit(1)).as(as))
       val j = binned(ref, "n_ref")
         .join(binned(cur, "n_cur"), Seq("bin"), "left")
@@ -3691,22 +3686,11 @@ object SparkEntry {
     // bounded table — never a per-threshold rescan, never a score
     // sort. All counts integer; the three ratios are the only doubles.
     "q162_pr_curve" -> ((s, d) => {
-      val cust = Tables.customer(s, d).select($"c_custkey", $"c_acctbal")
-      val pos = Tables.orders(s, d)
-        .filter($"o_orderpriority" === "1-URGENT")
-        .select($"o_custkey").distinct()
-      val scored = cust
-        .join(pos.withColumnRenamed("o_custkey", "__pk"),
-          $"c_custkey" === $"__pk", "left")
-        .select($"c_acctbal", $"__pk".isNotNull.cast("long").as("__y"))
-      val bounds = Percentiles.exactQuantiles(
-          cust.withColumn("__g", lit(1)), "__g", "c_acctbal",
-          (1 to 9).map(_ / 10.0))
-        .agg(sort_array(collect_list($"value")).as("__bs"))
+      val scored = urgentScored(s, d)
+      val bounds = decileBounds(
+        Tables.customer(s, d).select($"c_acctbal"), "c_acctbal")
       val dec = scored.crossJoin(broadcast(bounds))
-        .select($"__y", (lit(10) - aggregate($"__bs", lit(0),
-          (acc, b) => acc + when($"c_acctbal" > b, 1).otherwise(0)))
-          .as("__dec"))
+        .select($"__y", decileOf($"c_acctbal").as("__dec"))
         .groupBy($"__dec")
         .agg(sum($"__y").as("__p"), sum(lit(1L) - $"__y").as("__n"))
       val tot = dec.agg(sum($"__p").as("__tp_all"))
@@ -3774,14 +3758,7 @@ object SparkEntry {
     // (2·rank = 2·cum − (cnt−1)) so tie midpoints stay integer — the
     // whole computation is long arithmetic until the final division.
     "q164_auc_exact" -> ((s, d) => {
-      val pos = Tables.orders(s, d)
-        .filter($"o_orderpriority" === "1-URGENT")
-        .select($"o_custkey").distinct()
-      val scored = Tables.customer(s, d)
-        .join(pos.withColumnRenamed("o_custkey", "__pk"),
-          $"c_custkey" === $"__pk", "left")
-        .select($"c_acctbal", $"__pk".isNotNull.cast("long").as("__y"))
-      val cnts = scored.groupBy($"c_acctbal")
+      val cnts = urgentScored(s, d).groupBy($"c_acctbal")
         .agg(count(lit(1)).as("__cnt"), sum($"__y").as("__pos"))
         .withColumn("__g", lit(1))
       val cum = Packing.prefixSum(cnts, Seq("__g"), Seq("c_acctbal"),
@@ -6174,7 +6151,12 @@ object SparkEntry {
         |      AS n_risk
         |  FROM bydur CROSS JOIN tot),
         |s AS (
-        |  SELECT *, exp(sum(CASE WHEN n_deaths > 0
+        |  SELECT *,
+        |    max(CASE WHEN n_deaths = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS dead,
+        |    exp(sum(CASE WHEN n_deaths > 0 AND n_deaths < n_risk
         |      THEN ln(1 - CAST(n_deaths AS DOUBLE) / n_risk)
         |      ELSE 0.0 END) OVER (ORDER BY dur
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
@@ -6182,7 +6164,8 @@ object SparkEntry {
         |  FROM r)
         |SELECT CAST(dur AS INT) AS dur, CAST(n_risk AS BIGINT)
         |  AS n_risk, n_deaths, n_censored,
-        |  floor(sv * 1e6 + 0.5) / 1e6 AS survival
+        |  CASE WHEN dead = 1 THEN 0.0
+        |       ELSE floor(sv * 1e6 + 0.5) / 1e6 END AS survival
         |FROM s ORDER BY dur""".stripMargin,
 
     // q139: same smoothing, same rest-by-subtraction derivation
@@ -7521,6 +7504,36 @@ object SparkEntry {
     * bounds per-basket pair fanout at cap·(cap−1)/2 however large one
     * degenerate basket gets; the sorted slice makes WHICH items
     * survive the cap deterministic. */
+  /** Urgent-order score/label pair shared by the model-eval suite
+    * (q145 gains, q162 PR curve, q164 AUC): one row per customer with
+    * the acctbal score and __y = placed a 1-URGENT order. */
+  private def urgentScored(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val pos = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct()
+    Tables.customer(s, d)
+      .join(pos.withColumnRenamed("o_custkey", "__pk"),
+        $"c_custkey" === $"__pk", "left")
+      .select($"c_acctbal", $"__pk".isNotNull.cast("long").as("__y"))
+  }
+
+  /** The 9 exact decile bounds of valCol as ONE sorted-array row
+    * (q50's rank = ceil(q·n) convention) — broadcast it and assign
+    * with [[decileOf]]; ties at a boundary fall to the lower bucket
+    * (strict >) on both engines. Shared by q145/q153/q162. */
+  private def decileBounds(df: org.apache.spark.sql.DataFrame,
+      valCol: String): org.apache.spark.sql.DataFrame =
+    Percentiles.exactQuantiles(df.withColumn("__g", lit(1)), "__g",
+        valCol, (1 to 9).map(_ / 10.0))
+      .agg(sort_array(collect_list($"value")).as("__bs"))
+
+  /** Decile 1 = top values: 10 − (#bounds strictly below x). */
+  private def decileOf(x: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    lit(10) - aggregate($"__bs", lit(0),
+      (acc, b) => acc + when(x > b, 1).otherwise(0))
+
   private def cappedBaskets(s: SparkSession, d: String, cap: Int)
       : org.apache.spark.sql.DataFrame =
     // collect_set dedups per order on its own — a distinct() before

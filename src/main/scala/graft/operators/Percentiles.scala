@@ -274,8 +274,7 @@ object Percentiles {
       .filter(col("__v").isNotNull && !isnan(col("__v")) &&
         col("__w").isNotNull && col("__w") > 0 && finite(col("__v")))
     val stats = rows.groupBy(col("__g"))
-      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
-        sum(col("__w")).as("__tw"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
     // bucket by fixed width over the group's range; the located
     // bucket's ACTUAL min/max drive the resolve predicate (never the
     // bucket arithmetic — the IEEE discipline of the row family)
@@ -289,12 +288,21 @@ object Percentiles {
         max(col("__v")).as("__bmax"))
     val wb = Window.partitionBy(col("__g")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val located = b.join(stats.select(col("__g"), col("__tw")), Seq("__g"))
+    // the half-mass target derives from the SAME windowed fold as the
+    // running cumulative (not the stats-join total, which sums in a
+    // different reduction order): the last bucket then satisfies
+    // __before + __bw == __twb as an exact IEEE identity, so the
+    // locate filter can never come up empty on fractional weights
+    // landing an ulp short of an exact W/2 crossing
+    val wall = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val located = b
+      .withColumn("__twb", sum(col("__bw")).over(wall))
       .withColumn("__before", coalesce(sum(col("__bw")).over(wb), lit(0.0)))
-      .filter(col("__before") < col("__tw") / 2 &&
-        col("__before") + col("__bw") >= col("__tw") / 2)
+      .filter(col("__before") < col("__twb") / 2 &&
+        col("__before") + col("__bw") >= col("__twb") / 2)
       .select(col("__g"), col("__bmin"), col("__bmax"),
-        (col("__tw") / 2 - col("__before")).as("__need"))
+        (col("__twb") / 2 - col("__before")).as("__need"))
     // resolve over distinct values inside the located bucket
     val inRange = rows.join(located, Seq("__g"))
       .filter(col("__v") >= col("__bmin") && col("__v") <= col("__bmax"))
@@ -302,9 +310,17 @@ object Percentiles {
       .agg(sum(col("__w")).as("__vw"))
     val wv = Window.partitionBy(col("__g")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    val wvAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // clamp the threshold to the bucket's actual max cumulative: the
+    // per-value sums fold in value order while __bw folded in row
+    // order, so an exact-boundary crossing can differ by an ulp — the
+    // clamp guarantees the last value matches instead of silently
+    // dropping the whole group
     inRange
       .withColumn("__cum", sum(col("__vw")).over(wv))
-      .filter(col("__cum") >= col("__need"))
+      .withColumn("__mxc", max(col("__cum")).over(wvAll))
+      .filter(col("__cum") >= least(col("__need"), col("__mxc")))
       .groupBy(col("__g"))
       .agg(min(col("__v")).as("weighted_median"))
       .withColumnRenamed("__g", grpCol)
