@@ -3818,6 +3818,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nodes"),
           min($"node").as("min_node"), max($"node").as("max_node"))
         .orderBy($"dist")
+    }),
+
+    // PNG PIXEL DECODE — the COMPRESSED-format counterpart to q88's
+    // BMP tier: real zlib inflate (the JDK's own Inflater) + all five
+    // PNG scanline unfilters, under the oracle. Fixtures cycle filter
+    // type per row (y % 5) and alternate grayscale/RGB, so a wrong
+    // Paeth predictor or sub-filter stride breaks the hash, not just a
+    // spec. DuckDB never parses PNG — it computes the same stats from
+    // the generation formula. The fixture UDF is synthesis, bounded to
+    // 50 rows; decode is the real per-partition path.
+    "q167_png_decode" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.PngPixels.encode(
+        (4 + id % 5).toInt, (6 + id % 4).toInt, id % 2 == 0,
+        (x, y) => (((id + x * 7 + y * 13) % 256).toInt,
+          ((id * 3 + x * 11 + y) % 256).toInt,
+          ((id * 7 + x + y * 5) % 256).toInt)))
+      val imgs = Tables.documents(s, d).filter($"doc_id" < 50)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodePngFeatures(imgs, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"width", $"height", $"channels",
+          Fns.roundU($"mean_r", 4).as("mean_r"),
+          Fns.roundU($"mean_g", 4).as("mean_g"),
+          Fns.roundU($"mean_b", 4).as("mean_b"),
+          Fns.roundU($"mean_luma", 4).as("mean_luma"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -7472,7 +7498,41 @@ object SparkEntry {
         |SELECT CAST(c AS BIGINT) AS dist,
         |  CAST(count(*) AS BIGINT) AS n_nodes,
         |  min(node) AS min_node, max(node) AS max_node
-        |FROM d4 GROUP BY c ORDER BY dist""".stripMargin
+        |FROM d4 GROUP BY c ORDER BY dist""".stripMargin,
+
+    // q167: the oracle reproduces the pixel FORMULA, never the PNG
+    // bytes — inflate/unfilter bugs break the hash
+    "q167_png_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS width,
+        |    CAST(6 + doc_id % 4 AS INT) AS height,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT)
+        |      AS channels
+        |  FROM documents WHERE doc_id < 50),
+        |px AS (
+        |  SELECT doc_id, width, height, channels,
+        |    (doc_id + x.i * 7 + y.i * 13) % 256 AS r,
+        |    (doc_id * 3 + x.i * 11 + y.i) % 256 AS g,
+        |    (doc_id * 7 + x.i + y.i * 5) % 256 AS b
+        |  FROM d, unnest(range(0, width)) AS x(i),
+        |    unnest(range(0, height)) AS y(i)),
+        |m AS (
+        |  SELECT doc_id, width, height, channels,
+        |    avg(CAST(r AS DOUBLE)) AS mr0, avg(CAST(g AS DOUBLE)) AS mg0,
+        |    avg(CAST(b AS DOUBLE)) AS mb0
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |mm AS (
+        |  SELECT doc_id, width, height, channels, mr0 AS mr,
+        |    CASE WHEN channels = 1 THEN mr0 ELSE mg0 END AS mg,
+        |    CASE WHEN channels = 1 THEN mr0 ELSE mb0 END AS mb
+        |  FROM m)
+        |SELECT doc_id, width, height, channels,
+        |  floor(mr * 10000 + 0.5) / 10000.0 AS mean_r,
+        |  floor(mg * 10000 + 0.5) / 10000.0 AS mean_g,
+        |  floor(mb * 10000 + 0.5) / 10000.0 AS mean_b,
+        |  floor((0.299 * mr + 0.587 * mg + 0.114 * mb) * 10000 + 0.5)
+        |    / 10000.0 AS mean_luma
+        |FROM mm ORDER BY doc_id""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -12,16 +12,18 @@ import org.apache.spark.sql.functions._
   *    BMP/WAV container headers parsed with plain byte arithmetic — the
   *    filter/route/stats stages of a multimodal pipeline need nothing
   *    more, and need no native libraries.
-  *  - PIXEL/SAMPLE/FRAME decode is REAL for the formats plain byte
-  *    arithmetic can handle: uncompressed 24-bit BMP pixels
-  *    ([[decodeBmpFeatures]]), 16-bit PCM WAV samples
+  *  - PIXEL/SAMPLE/FRAME decode is REAL for the formats the JVM can
+  *    handle without native codecs: uncompressed 24-bit BMP pixels
+  *    ([[decodeBmpFeatures]]), PNG pixels — zlib inflate via the
+  *    JDK's Inflater plus all five scanline filters
+  *    ([[decodePngFeatures]]), 16-bit PCM WAV samples
   *    ([[decodeWavFeatures]]) and uncompressed YUV4MPEG2 video frames
   *    ([[decodeY4mFeatures]]) — all three modality tiers (image,
-  *    audio, video) have a fake-free slice. Only formats that
-  *    genuinely need native codecs (JPEG/PNG pixels, compressed
-  *    audio, coded video) keep the DETERMINISTIC FAKE tier (clearly
-  *    marked `fake*` below): features derived from xxhash64 of the
-  *    payload. The surrounding plumbing —
+  *    audio, video) have a fake-free slice, including one COMPRESSED
+  *    format. Only formats that genuinely need native codecs (JPEG
+  *    pixels, compressed audio, coded video) keep the DETERMINISTIC
+  *    FAKE tier (clearly marked `fake*` below): features derived from
+  *    xxhash64 of the payload. The surrounding plumbing —
   *    binary representation, schemas, batch shapes, per-partition codec
   *    lifecycle ([[decodePartitions]]) — is the real contract a
   *    JNI/ffmpeg-backed codec drops into unchanged.
@@ -141,6 +143,34 @@ object Multimodal {
           graft.functions.BmpPixels.decode(bytes).map(f =>
             BmpFeatureRow(id, f.width, f.height, f.meanR, f.meanG,
               f.meanB, f.meanLuma))
+        }
+      }
+  }
+
+  /** Decoded pixel-feature record for payloads the pure-JVM PNG codec
+    * handles (8-bit gray/RGB, non-interlaced); other profiles and
+    * corrupt payloads are dropped. */
+  case class PngFeatureRow(id: Long, width: Int, height: Int,
+                           channels: Int, mean_r: Double, mean_g: Double,
+                           mean_b: Double, mean_luma: Double)
+
+  /** REAL pixel-tier decode for PNG payloads
+    * ([[graft.functions.PngPixels]] — the DEFLATE half is the JDK's
+    * own `Inflater`, the filter half is plain byte arithmetic): the
+    * compressed-format proof that the pixel tier's fake boundary is a
+    * codec-availability line, not a plumbing line. Partition-local,
+    * same batch shape as the other decoders. */
+  def decodePngFeatures(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[PngFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.PngPixels.decode(bytes).map(f =>
+            PngFeatureRow(id, f.width, f.height, f.channels, f.meanR,
+              f.meanG, f.meanB, f.meanLuma))
         }
       }
   }

@@ -139,6 +139,39 @@ class MultimodalSpec extends SparkSpec {
       .map(m => (m.format, m.width, m.height)) === Some(("bmp", 3, 2)))
   }
 
+  test("decodePngFeatures: real inflate+unfilter decode, all 5 filters") {
+    import graft.functions.PngPixels
+    // 3×6 RGB: six rows ⇒ the fixture's y%5 filter cycle exercises
+    // None/Sub/Up/Average/Paeth AND a second None row whose up-row was
+    // Paeth-filtered — a wrong reconstruction anywhere corrupts the
+    // means downstream of that row
+    val rgb = PngPixels.encode(3, 6, gray = false,
+      (x, y) => (x * 40 + y, (x * 90 + y * 2) % 256, 255 - x * 10 - y))
+    // 4×5 grayscale (1 byte/px ⇒ bpp-stride left-neighbor logic)
+    val g = PngPixels.encode(4, 5, gray = true,
+      (x, y) => ((x * 37 + y * 91) % 256, 0, 0))
+    val corrupt = rgb.take(40) // truncated zlib stream
+    val df = Seq((1L, rgb), (2L, g), (3L, corrupt), (4L, null))
+      .toDF("id", "payload")
+    val f = Multimodal.decodePngFeatures(df, "id", "payload")
+      .collect().map(r => r.id -> r).toMap
+    assert(f.keySet === Set(1L, 2L))
+    assert((f(1L).width, f(1L).height, f(1L).channels) === ((3, 6, 3)))
+    val px = for (x <- 0 until 3; y <- 0 until 6)
+      yield (x * 40 + y, (x * 90 + y * 2) % 256, 255 - x * 10 - y)
+    assert(math.abs(f(1L).mean_r - px.map(_._1).sum / 18.0) < 1e-9)
+    assert(math.abs(f(1L).mean_g - px.map(_._2).sum / 18.0) < 1e-9)
+    assert(math.abs(f(1L).mean_b - px.map(_._3).sum / 18.0) < 1e-9)
+    val gm = (for (x <- 0 until 4; y <- 0 until 5)
+      yield (x * 37 + y * 91) % 256).sum / 20.0
+    assert((f(2L).channels, f(2L).mean_r) === ((1, gm)))
+    assert(math.abs(f(2L).mean_luma - (0.299 * gm + 0.587 * gm
+      + 0.114 * gm)) < 1e-12)
+    // the encoded fixture also satisfies the header parser (same file)
+    assert(graft.functions.MediaHeaders.parse(rgb)
+      .map(m => (m.format, m.width, m.height)) === Some(("png", 3, 6)))
+  }
+
   test("decodeWavFeatures: real PCM sample decode, byte-exact stats") {
     import graft.functions.WavPcm
     // stereo, 2 frames: L=[100, -100], R=[200, -200] — interleaving and
