@@ -3844,6 +3844,61 @@ object SparkEntry {
           Fns.roundU($"mean_b", 4).as("mean_b"),
           Fns.roundU($"mean_luma", 4).as("mean_luma"))
         .orderBy($"doc_id")
+    }),
+
+    // MUTUAL INFORMATION — I(returnflag; quantity) from the joint
+    // count table: the feature-selection readout (is this column
+    // informative about that one?). Every log argument is a ratio of
+    // exact LONG products ((cnt·n)/(cx·cy)) — the joint/marginal
+    // structure is three hash aggregates and two broadcast joins, and
+    // the ≤ |X|·|Y| cell sum is the only float accumulation.
+    "q168_mutual_info" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select($"l_returnflag".as("x"), $"l_quantity".cast("int").as("y"))
+      val joint = li.groupBy($"x", $"y").agg(count(lit(1)).as("__c"))
+      val mx = joint.groupBy($"x").agg(sum($"__c").as("__cx"))
+      val my = joint.groupBy($"y").agg(sum($"__c").as("__cy"))
+      val n = joint.agg(sum($"__c").as("__n"),
+        count(lit(1)).as("n_cells"))
+      joint.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+        .crossJoin(broadcast(n))
+        .select($"n_cells", $"__n",
+          (($"__c" / $"__n")
+            * log(($"__c" * $"__n") / ($"__cx" * $"__cy"))).as("__t"),
+          ($"__c" / $"__n" * log($"__n" / $"__cx")).as("__hx0"),
+          ($"__c" / $"__n" * log($"__n" / $"__cy")).as("__hy0"))
+        .groupBy($"n_cells", $"__n")
+        .agg(sum($"__t").as("__mi"), sum($"__hx0").as("__hx"),
+          sum($"__hy0").as("__hy"))
+        .select($"n_cells",
+          Fns.roundU($"__mi", 6).as("mi_nats"),
+          Fns.roundU($"__hx", 6).as("h_x"),
+          Fns.roundU($"__hy", 6).as("h_y"),
+          Fns.roundU($"__mi" / least($"__hx", $"__hy"), 6)
+            .as("normalized_mi"))
+    }),
+
+    // LEAD-LAG CROSS-CORRELATION — corr(view volume at t, purchase
+    // volume at t+L) for L in −3..+3: does engagement LEAD conversion?
+    // q127's ACF generalized to two series. The 7 lags ride ONE
+    // exploded join keyed on (shifted) day — never seven rescans — and
+    // day counts are exact longs; corr is the only float.
+    "q169_xcorr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("__n"))
+      val a = daily.filter($"event_type" === "view")
+        .select($"d", $"__n".as("__na"))
+      val b = daily.filter($"event_type" === "purchase")
+        .select(explode(sequence(lit(-3), lit(3))).as("lag_days"),
+          $"d", $"__n".as("__nb"))
+        .select($"lag_days", date_add($"d", -$"lag_days").as("d"),
+          $"__nb")
+      a.join(b, Seq("d"))
+        .groupBy($"lag_days")
+        .agg(count(lit(1)).as("n_obs"),
+          Fns.roundU(corr($"__na", $"__nb"), 6).as("xcorr"))
+        .orderBy($"lag_days")
     })
   )
 
@@ -7532,7 +7587,52 @@ object SparkEntry {
         |  floor(mb * 10000 + 0.5) / 10000.0 AS mean_b,
         |  floor((0.299 * mr + 0.587 * mg + 0.114 * mb) * 10000 + 0.5)
         |    / 10000.0 AS mean_luma
-        |FROM mm ORDER BY doc_id""".stripMargin
+        |FROM mm ORDER BY doc_id""".stripMargin,
+
+    // q168: every log argument is a ratio of exact long products
+    "q168_mutual_info" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS x, CAST(l_quantity AS INT) AS y
+        |  FROM lineitem),
+        |joint AS (SELECT x, y, count(*) AS c FROM li GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx
+        |       FROM joint GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy
+        |       FROM joint GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+        |         CAST(count(*) AS BIGINT) AS n_cells FROM joint),
+        |cells AS (
+        |  SELECT n_cells, nn,
+        |    (c / nn) * ln((c * nn) / (cx * cy)) AS t,
+        |    c / nn * ln(nn / cx) AS hx0,
+        |    c / nn * ln(nn / cy) AS hy0
+        |  FROM joint JOIN mx USING (x) JOIN my USING (y), nt),
+        |a AS (
+        |  SELECT n_cells, sum(t) AS mi, sum(hx0) AS hx, sum(hy0) AS hy
+        |  FROM cells GROUP BY n_cells, nn)
+        |SELECT n_cells,
+        |  floor(mi * 1000000 + 0.5) / 1000000.0 AS mi_nats,
+        |  floor(hx * 1000000 + 0.5) / 1000000.0 AS h_x,
+        |  floor(hy * 1000000 + 0.5) / 1000000.0 AS h_y,
+        |  floor(mi / least(hx, hy) * 1000000 + 0.5)
+        |    / 1000000.0 AS normalized_mi
+        |FROM a""".stripMargin,
+
+    // q169: one exploded join, shifted-day key; counts exact longs
+    "q169_xcorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT d, n AS na FROM daily WHERE event_type = 'view'),
+        |b AS (
+        |  SELECT l.lag_days, d - l.lag_days AS d2, n AS nb
+        |  FROM daily, (VALUES (-3),(-2),(-1),(0),(1),(2),(3))
+        |    l(lag_days)
+        |  WHERE event_type = 'purchase')
+        |SELECT lag_days, CAST(count(*) AS BIGINT) AS n_obs,
+        |  floor(corr(na, nb) * 1000000 + 0.5) / 1000000.0 AS xcorr
+        |FROM a JOIN b ON a.d = b.d2
+        |GROUP BY lag_days ORDER BY lag_days""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
