@@ -3899,6 +3899,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_obs"),
           Fns.roundU(corr($"__na", $"__nb"), 6).as("xcorr"))
         .orderBy($"lag_days")
+    }),
+
+    // POINT-IN-TIME JOIN — every fact matched to the dimension VERSION
+    // valid at its timestamp (q93 reads one snapshot; this is the
+    // general dimensional join a backfill actually runs). One shuffle
+    // join on the key plus the interval predicate; the SCD-2 intervals
+    // partition the timeline, so each fact lands on exactly one
+    // version — the oracle rebuilds the same history in SQL and the
+    // fact counts prove no version is double-matched or dropped.
+    "q170_pit_join" -> ((s, d) => {
+      val (target, changes) = scd2Fixture(s, d)
+      val hist = Merge.applyScd2(target, changes, Seq("c_custkey"),
+        Seq("val"), "ts", "valid_from", "valid_to")
+      val facts = Tables.orders(s, d)
+        .select($"o_custkey".as("c_custkey"), $"o_orderkey".as("__ts"))
+      facts.join(hist, Seq("c_custkey"))
+        .filter($"valid_from" <= $"__ts" &&
+          ($"valid_to".isNull || $"valid_to" > $"__ts"))
+        .groupBy(($"valid_from" > 0).as("on_updated_version"))
+        .agg(count(lit(1)).as("n_facts"),
+          countDistinct($"c_custkey").as("n_customers"),
+          Fns.roundU(sum($"val"), 2).as("sum_version_val"))
+        .orderBy($"on_updated_version")
     })
   )
 
@@ -7632,7 +7655,53 @@ object SparkEntry {
         |SELECT lag_days, CAST(count(*) AS BIGINT) AS n_obs,
         |  floor(corr(na, nb) * 1000000 + 0.5) / 1000000.0 AS xcorr
         |FROM a JOIN b ON a.d = b.d2
-        |GROUP BY lag_days ORDER BY lag_days""".stripMargin
+        |GROUP BY lag_days ORDER BY lag_days""".stripMargin,
+
+    // q170: q92's history rebuild + the interval match per fact
+    "q170_pit_join" ->
+      """WITH target AS (
+        |  SELECT c_custkey, c_acctbal AS val,
+        |    CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(NULL AS BIGINT) AS valid_to
+        |  FROM customer),
+        |ch0 AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 1000000
+        |    ELSE o_custkey END AS c_custkey,
+        |    o_totalprice AS val, o_orderkey AS ts
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |ch AS (
+        |  SELECT c_custkey, val, ts FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY ts DESC) AS rn FROM ch0) WHERE rn = 1),
+        |keep AS (
+        |  SELECT t.c_custkey, t.val, t.valid_from, t.valid_to
+        |  FROM target t LEFT JOIN ch USING (c_custkey)
+        |  WHERE ch.ts IS NULL OR t.val = ch.val),
+        |closed AS (
+        |  SELECT t.c_custkey, t.val, t.valid_from,
+        |    CAST(ch.ts AS BIGINT) AS valid_to
+        |  FROM target t JOIN ch USING (c_custkey)
+        |  WHERE t.val <> ch.val),
+        |ins AS (
+        |  SELECT ch.c_custkey, ch.val, CAST(ch.ts AS BIGINT)
+        |    AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM ch LEFT JOIN target t USING (c_custkey)
+        |  WHERE t.c_custkey IS NULL OR t.val <> ch.val),
+        |hist AS (
+        |  SELECT * FROM keep UNION ALL SELECT * FROM closed
+        |  UNION ALL SELECT * FROM ins),
+        |f AS (SELECT o_custkey AS c_custkey, o_orderkey AS ts
+        |      FROM orders),
+        |j AS (
+        |  SELECT h.valid_from > 0 AS on_updated_version,
+        |    f.c_custkey, h.val
+        |  FROM f JOIN hist h ON f.c_custkey = h.c_custkey
+        |    AND h.valid_from <= f.ts
+        |    AND (h.valid_to IS NULL OR h.valid_to > f.ts))
+        |SELECT on_updated_version, CAST(count(*) AS BIGINT) AS n_facts,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+        |  floor(sum(val) * 100 + 0.5) / 100.0 AS sum_version_val
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
