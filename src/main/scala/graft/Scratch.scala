@@ -394,6 +394,45 @@ object Scratch {
       r
     }
 
+    /** q166 SSSP: the bfs probe's model (same-seeds disconnected
+      * copies) with integer weights derived BEFORE replication — the
+      * relaxation traffic scales 10× and sublinear time is the
+      * frontier-only-proposals claim holding. */
+    def ssspChain(mult: Int): Double = {
+      val base = Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 5)
+          .as("items"))
+        .select(explode(flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + 2, size(col("items"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+        .withColumn("w", lit(1L) + (col("a") + col("b")) % 5)
+        .persist(MEMORY_AND_DISK)
+      base.count()
+      val seeds0 = base.select(col("a").as("node"))
+        .unionAll(base.select(col("b").as("node")))
+        .distinct().orderBy(col("node")).limit(10)
+        .persist(MEMORY_AND_DISK)
+      seeds0.count()
+      val rep = (0 until mult).map { k =>
+        base.select(concat(col("a"), lit(s"_$k")).as("a"),
+          concat(col("b"), lit(s"_$k")).as("b"), col("w"))
+      }.reduce(_.unionByName(_))
+      val repSeeds = (0 until mult).map { k =>
+        seeds0.select(concat(col("node"), lit(s"_$k")).as("node"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val out = operators.Graph.ssspHops(rep, "a", "b", "w",
+          repSeeds, "node", 4)
+        val n = out.count()
+        println(s"[scratch]   sssp mult=$mult reached=$n")
+      }
+      seeds0.unpersist(); base.unpersist()
+      r
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
       "dedup" -> dedupChain, "leakage" -> leakageChain,
       "span" -> spanChain, "semantic" -> semanticChain,
@@ -401,7 +440,7 @@ object Scratch {
       "qualityGate" -> qualityGateChain, "bpe" -> bpeChain,
       "pmi" -> pmiChain, "pagerank" -> pagerankChain,
       "triangles" -> triangleChain, "sweep" -> sweepChain,
-      "bfs" -> bfsChain)
+      "bfs" -> bfsChain, "sssp" -> ssspChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm
