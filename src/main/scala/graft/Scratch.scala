@@ -357,11 +357,15 @@ object Scratch {
       * every replica — the reachable set, the frontier, and the edges
       * touched per round all scale 10×, so linear growth is the pass
       * criterion for the "per-round cost ∝ touched edges" claim. */
-    def bfsChain(mult: Int): Double = {
-      // mirrors SparkEntry.cappedBaskets (no pre-distinct — collect_set
-      // dedups); untimed setup either way, kept faithful to the product
-      // derivation
-      val base = Tables.lineitem(spark, d)
+    /** Shared traversal-probe model (q149 BFS / q166 SSSP): the
+      * product basket-pair graph (mirrors SparkEntry.cappedBaskets —
+      * no pre-distinct, collect_set dedups), disconnected replica
+      * copies with the SAME 10 seeds suffixed into every replica, so
+      * reachable set / frontier / touched edges all scale exactly
+      * `mult`×. Runs `body(repEdges, repSeeds)` timed. */
+    def traversalProbe(name: String, mult: Int, withWeight: Boolean)
+                      (body: (DataFrame, DataFrame) => Long): Double = {
+      val pairs = Tables.lineitem(spark, d)
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 5)
@@ -370,68 +374,45 @@ object Scratch {
           transform(slice(col("items"), i + 2, size(col("items"))),
             y => struct(x.as("a"), y.as("b")))))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
-        .persist(MEMORY_AND_DISK)
+      // weights derive from the ORIGINAL long ids, before the replica
+      // suffix turns ids into strings
+      val base = (if (withWeight)
+          pairs.withColumn("w", lit(1L) + (col("a") + col("b")) % 5)
+        else pairs).persist(MEMORY_AND_DISK)
       base.count()
       val seeds0 = base.select(col("a").as("node"))
         .unionAll(base.select(col("b").as("node")))
         .distinct().orderBy(col("node")).limit(10)
         .persist(MEMORY_AND_DISK)
       seeds0.count()
+      val wCols = if (withWeight) Seq(col("w")) else Nil
       val rep = (0 until mult).map { k =>
-        base.select(concat(col("a"), lit(s"_$k")).as("a"),
-          concat(col("b"), lit(s"_$k")).as("b"))
+        base.select(Seq(concat(col("a"), lit(s"_$k")).as("a"),
+          concat(col("b"), lit(s"_$k")).as("b")) ++ wCols: _*)
       }.reduce(_.unionByName(_))
       val repSeeds = (0 until mult).map { k =>
         seeds0.select(concat(col("node"), lit(s"_$k")).as("node"))
       }.reduce(_.unionByName(_))
       val r = timed {
-        val out = operators.Graph.bfsHops(rep, "a", "b", repSeeds,
-          "node", 4)
-        val n = out.count()
-        println(s"[scratch]   bfs mult=$mult visited=$n")
+        val n = body(rep, repSeeds)
+        println(s"[scratch]   $name mult=$mult reached=$n")
       }
       seeds0.unpersist(); base.unpersist()
       r
     }
 
-    /** q166 SSSP: the bfs probe's model (same-seeds disconnected
-      * copies) with integer weights derived BEFORE replication — the
-      * relaxation traffic scales 10× and sublinear time is the
-      * frontier-only-proposals claim holding. */
-    def ssspChain(mult: Int): Double = {
-      val base = Tables.lineitem(spark, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 5)
-          .as("items"))
-        .select(explode(flatten(transform(col("items"), (x, i) =>
-          transform(slice(col("items"), i + 2, size(col("items"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
-        .withColumn("w", lit(1L) + (col("a") + col("b")) % 5)
-        .persist(MEMORY_AND_DISK)
-      base.count()
-      val seeds0 = base.select(col("a").as("node"))
-        .unionAll(base.select(col("b").as("node")))
-        .distinct().orderBy(col("node")).limit(10)
-        .persist(MEMORY_AND_DISK)
-      seeds0.count()
-      val rep = (0 until mult).map { k =>
-        base.select(concat(col("a"), lit(s"_$k")).as("a"),
-          concat(col("b"), lit(s"_$k")).as("b"), col("w"))
-      }.reduce(_.unionByName(_))
-      val repSeeds = (0 until mult).map { k =>
-        seeds0.select(concat(col("node"), lit(s"_$k")).as("node"))
-      }.reduce(_.unionByName(_))
-      val r = timed {
-        val out = operators.Graph.ssspHops(rep, "a", "b", "w",
-          repSeeds, "node", 4)
-        val n = out.count()
-        println(s"[scratch]   sssp mult=$mult reached=$n")
+    def bfsChain(mult: Int): Double =
+      traversalProbe("bfs", mult, withWeight = false) { (rep, seeds) =>
+        operators.Graph.bfsHops(rep, "a", "b", seeds, "node", 4).count()
       }
-      seeds0.unpersist(); base.unpersist()
-      r
-    }
+
+    /** q166 SSSP: the bfs probe's model with integer weights —
+      * sublinear time is the frontier-only-proposals claim holding. */
+    def ssspChain(mult: Int): Double =
+      traversalProbe("sssp", mult, withWeight = true) { (rep, seeds) =>
+        operators.Graph.ssspHops(rep, "a", "b", "w", seeds, "node", 4)
+          .count()
+      }
 
     val probes: Seq[(String, Int => Double)] = Seq(
       "dedup" -> dedupChain, "leakage" -> leakageChain,

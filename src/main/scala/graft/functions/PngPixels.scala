@@ -63,7 +63,10 @@ object PngPixels {
     var ended = false
     while (!ended && off + 8 <= b.length) {
       val len = be32(b, off)
-      if (len < 0 || off + 8 + len + 4 > b.length) return None
+      // bounds math in LONG: a crafted len near Int.MaxValue wraps the
+      // Int sum negative and would sail past this guard into an
+      // uncaught out-of-bounds — corrupt payloads are DATA (None)
+      if (len < 0 || off.toLong + 8 + len + 4 > b.length) return None
       val typ = new String(b, off + 4, 4, "US-ASCII")
       if (typ == "IDAT") idat.write(b, off + 8, len)
       else if (typ == "IEND") ended = true
@@ -81,7 +84,11 @@ object PngPixels {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // needsDictionary: an FDICT zlib header makes inflate return 0
+        // with input remaining, forever — without this check the loop
+        // never exits and the executor thread hangs
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated stream or preset-dictionary zlib
         got += n
       }
       if (got != raw.length) return None

@@ -150,8 +150,40 @@ class MultimodalSpec extends SparkSpec {
     // 4×5 grayscale (1 byte/px ⇒ bpp-stride left-neighbor logic)
     val g = PngPixels.encode(4, 5, gray = true,
       (x, y) => ((x * 37 + y * 91) % 256, 0, 0))
-    val corrupt = rgb.take(40) // truncated zlib stream
-    val df = Seq((1L, rgb), (2L, g), (3L, corrupt), (4L, null))
+    // corrupt fixtures that pass the outer guards and die INSIDE the
+    // chunk walk / inflate loop — each is DATA (dropped), never a hang
+    // or an exception:
+    // (a) truncated zlib INSIDE a structurally-valid IDAT chunk (len
+    //     field rewritten to match, IEND intact) — must reach the
+    //     inflate loop and bail on needsInput, not the chunk walk
+    val iend = rgb.takeRight(12)
+    val truncIdat = {
+      val origLen = ((rgb(33) & 0xff) << 24) | ((rgb(34) & 0xff) << 16) |
+        ((rgb(35) & 0xff) << 8) | (rgb(36) & 0xff)
+      val nl = origLen - 6
+      rgb.take(33) ++
+        Array[Byte]((nl >>> 24).toByte, (nl >>> 16).toByte,
+          (nl >>> 8).toByte, nl.toByte, 'I', 'D', 'A', 'T') ++
+        rgb.slice(41, 41 + nl) ++ Array[Byte](0, 0, 0, 0) ++ iend
+    }
+    // (b) zlib header with the FDICT bit — inflate returns 0 forever
+    //     unless needsDictionary() is checked
+    val fdict = {
+      val c = rgb.clone()
+      val idatData = 8 + 25 + 8 // sig + IHDR chunk + IDAT len/type
+      c(idatData) = 0x78.toByte; c(idatData + 1) = 0x20.toByte
+      c
+    }
+    // (c) declared chunk length near Int.MaxValue — Int bounds math
+    //     would wrap negative and walk out of the array
+    val hugeLen = {
+      val c = rgb.clone()
+      c(33) = 0x7f.toByte; c(34) = 0xff.toByte
+      c(35) = 0xff.toByte; c(36) = 0xf0.toByte
+      c
+    }
+    val df = Seq((1L, rgb), (2L, g), (3L, rgb.take(40)), (4L, null),
+        (5L, truncIdat), (6L, fdict), (7L, hugeLen))
       .toDF("id", "payload")
     val f = Multimodal.decodePngFeatures(df, "id", "payload")
       .collect().map(r => r.id -> r).toMap
