@@ -3922,6 +3922,28 @@ object SparkEntry {
           countDistinct($"c_custkey").as("n_customers"),
           Fns.roundU(sum($"val"), 2).as("sum_version_val"))
         .orderBy($"on_updated_version")
+    }),
+
+    // QQ POINTS — ventile-by-ventile comparison of the two q153/q163
+    // windows: the POINTWISE member of the drift trio (PSI = binned
+    // mass, KS = sup-norm, QQ = where in the range the shift lives).
+    // Two exact-quantile histogram passes (no sorts), one 19-row join.
+    "q171_qq_points" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select($"o_orderdate", $"o_totalprice")
+      def win(lo: String, hi: String) = ord
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .select($"o_totalprice")
+      val qs = (1 to 19).map(_ / 20.0)
+      def quant(df: DataFrame) = Percentiles.exactQuantiles(
+        df.withColumn("__g", lit(1)), "__g", "o_totalprice", qs)
+      quant(win("1995-01-01", "1996-01-01"))
+        .select($"q", $"value".as("v_ref"))
+        .join(quant(win("2000-01-01", "2001-01-01"))
+          .select($"q", $"value".as("v_cur")), Seq("q"))
+        .select($"q", $"v_ref", $"v_cur",
+          Fns.roundU($"v_cur" - $"v_ref", 2).as("shift"))
+        .orderBy($"q")
     })
   )
 
@@ -7701,7 +7723,31 @@ object SparkEntry {
         |SELECT on_updated_version, CAST(count(*) AS BIGINT) AS n_facts,
         |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
         |  floor(sum(val) * 100 + 0.5) / 100.0 AS sum_version_val
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q171: q50's rank = ceil(q·n) convention on both windows
+    "q171_qq_points" ->
+      """WITH ref AS (
+        |  SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |cur AS (
+        |  SELECT o_totalprice AS v FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |    AND o_orderdate < TIMESTAMP '2001-01-01'),
+        |qs AS (SELECT CAST(i AS DOUBLE) / 20 AS q
+        |       FROM unnest(range(1, 20)) t(i)),
+        |ra AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |         count(*) OVER () AS n FROM ref),
+        |rb AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |         count(*) OVER () AS n FROM cur),
+        |qa AS (SELECT q, v AS v_ref FROM ra, qs
+        |       WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))),
+        |qb AS (SELECT q, v AS v_cur FROM rb, qs
+        |       WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT)))
+        |SELECT q, v_ref, v_cur,
+        |  floor((v_cur - v_ref) * 100 + 0.5) / 100.0 AS shift
+        |FROM qa JOIN qb USING (q) ORDER BY q""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
