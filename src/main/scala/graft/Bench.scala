@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       // static conf, default 100: the full query suite generates several
       // hundred codegen classes, so the default LRU recompiles hot
       // stages mid-suite — later queries pay Janino time that isolated

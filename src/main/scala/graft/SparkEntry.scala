@@ -3944,6 +3944,119 @@ object SparkEntry {
         .select($"q", $"v_ref", $"v_cur",
           Fns.roundU($"v_cur" - $"v_ref", 2).as("shift"))
         .orderBy($"q")
+    }),
+
+    // WELCH TWO-SAMPLE T — the drift trio's SIGNIFICANCE readout: PSI/
+    // KS/QQ (q153/q163/q171) say the windows differ; this says whether
+    // the MEAN shift clears sampling noise (unequal variances assumed —
+    // Welch–Satterthwaite df, plus Cohen's d for effect size). ONE scan
+    // with conditional projections feeds one 6-value reduce; every
+    // emitted stat is a RATIO of aggregates (never a raw variance), so
+    // the cross-engine float agreement is relative-error-tight.
+    "q172_welch_ttest" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select($"o_orderdate", $"o_totalprice")
+      def win(lo: String, hi: String) =
+        when($"o_orderdate" >= lo && $"o_orderdate" < hi,
+          $"o_totalprice")
+      val st = ord
+        .select(win("1995-01-01", "1996-01-01").as("a"),
+          win("2000-01-01", "2001-01-01").as("b"))
+        .agg(count($"a").as("n_ref"), avg($"a").as("__ma"),
+          var_samp($"a").as("__va"),
+          count($"b").as("n_cur"), avg($"b").as("__mb"),
+          var_samp($"b").as("__vb"))
+      val sa = $"__va" / $"n_ref"
+      val sb = $"__vb" / $"n_cur"
+      st.select($"n_ref", $"n_cur",
+        Fns.roundU($"__ma", 2).as("mean_ref"),
+        Fns.roundU($"__mb", 2).as("mean_cur"),
+        Fns.roundU(($"__mb" - $"__ma") / sqrt(sa + sb), 6).as("t_stat"),
+        Fns.roundU(pow(sa + sb, 2) /
+          (pow(sa, 2) / ($"n_ref" - 1) + pow(sb, 2) / ($"n_cur" - 1)),
+          4).as("df_welch"),
+        Fns.roundU(($"__mb" - $"__ma") /
+          sqrt((($"n_ref" - 1) * $"__va" + ($"n_cur" - 1) * $"__vb") /
+            ($"n_ref" + $"n_cur" - 2)), 6).as("cohens_d"))
+    }),
+
+    // ONE-WAY ANOVA — does order priority move the money? F over the
+    // o_orderpriority groups of o_totalprice: one per-group hash
+    // aggregate (k rows out however many rows in), SSW from the
+    // per-group sample variances, SSB from the count-weighted mean
+    // spread — the grand pass is a reduce of the k group rows, never a
+    // second fact scan. Emitted stats are ratios (F, η²), not raw sums
+    // of squares, for cross-engine float tightness.
+    "q173_anova_f" -> ((s, d) => {
+      val grp = Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("__ng"), avg($"o_totalprice").as("__mg"),
+          var_samp($"o_totalprice").as("__vg"))
+      val tot = grp.agg(sum($"__ng").as("__n"),
+        count(lit(1)).as("k_groups"),
+        sum($"__ng" * $"__mg").as("__s"))
+      grp.crossJoin(broadcast(tot))
+        .select($"k_groups", $"__n",
+          ($"__ng" * pow($"__mg" - $"__s" / $"__n", 2)).as("__b"),
+          (($"__ng" - 1) * $"__vg").as("__w"))
+        .groupBy($"k_groups", $"__n")
+        .agg(sum($"__b").as("__ssb"), sum($"__w").as("__ssw"))
+        .select($"k_groups", $"__n".as("n"),
+          Fns.roundU(($"__ssb" / ($"k_groups" - 1)) /
+            ($"__ssw" / ($"__n" - $"k_groups")), 6).as("f_stat"),
+          Fns.roundU($"__ssb" / ($"__ssb" + $"__ssw"), 6).as("eta_sq"))
+    }),
+
+    // CRAMÉR'S V — q119's chi² made comparable across table shapes:
+    // the returnflag × linestatus association normalized to [0,1] by
+    // n·(min(r,c)−1). The contingency table is one hash aggregate
+    // (≤ |flags|·|statuses| cells regardless of row count); expecteds
+    // come from broadcast marginals; observed counts stay exact longs
+    // until the single chi² division.
+    "q174_cramers_v" -> ((s, d) => {
+      val obs = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag".as("r"), $"l_linestatus".as("c"))
+        .agg(count(lit(1)).as("__o"))
+      val mr = obs.groupBy($"r").agg(sum($"__o").as("__nr"))
+      val mc = obs.groupBy($"c").agg(sum($"__o").as("__nc"))
+      val nt = obs.agg(sum($"__o").as("__n"),
+        countDistinct($"r").as("r_levels"),
+        countDistinct($"c").as("c_levels"))
+      obs.join(broadcast(mr), Seq("r")).join(broadcast(mc), Seq("c"))
+        .crossJoin(broadcast(nt))
+        .select($"__n", $"r_levels", $"c_levels",
+          (pow($"__o" - $"__nr" * $"__nc" / $"__n", 2) /
+            ($"__nr" * $"__nc" / $"__n")).as("__x"))
+        .groupBy($"__n", $"r_levels", $"c_levels")
+        .agg(sum($"__x").as("__chi2"))
+        .select($"__n".as("n"), $"r_levels", $"c_levels",
+          Fns.roundU($"__chi2", 4).as("chi2"),
+          Fns.roundU(sqrt($"__chi2" / ($"__n" *
+            (least($"r_levels", $"c_levels") - 1))), 6).as("cramers_v"))
+    }),
+
+    // CALIBRATION CURVE + BRIER — the model-eval suite's missing
+    // member: q162/q164 grade RANKING (PR, AUC); this grades the
+    // PROBABILITIES themselves. Scores normalize to [0,1] by the
+    // broadcast min/max, bins reuse the q145 exact-decile machinery
+    // (decile of the normalized score = decile of the raw score — the
+    // map is monotone, so the bounds come straight off c_acctbal), and
+    // each bin reports mean predicted vs observed rate plus its Brier
+    // contribution. Two broadcasts and two hash aggregates end to end.
+    "q175_calibration" -> ((s, d) => {
+      val scored = urgentScored(s, d)
+      val mm = scored.agg(min($"c_acctbal").as("__lo"),
+        max($"c_acctbal").as("__hi"))
+      scored.crossJoin(broadcast(decileBounds(scored, "c_acctbal")))
+        .crossJoin(broadcast(mm))
+        .select(decileOf($"c_acctbal").as("decile"), $"__y",
+          (($"c_acctbal" - $"__lo") / ($"__hi" - $"__lo")).as("__p"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_cust"),
+          Fns.roundU(avg($"__p"), 6).as("mean_pred"),
+          Fns.roundU(avg($"__y"), 6).as("pos_rate"),
+          Fns.roundU(avg(pow($"__p" - $"__y", 2)), 6).as("bin_brier"))
+        .orderBy($"decile")
     })
   )
 
@@ -7747,7 +7860,105 @@ object SparkEntry {
         |       WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT)))
         |SELECT q, v_ref, v_cur,
         |  floor((v_cur - v_ref) * 100 + 0.5) / 100.0 AS shift
-        |FROM qa JOIN qb USING (q) ORDER BY q""".stripMargin
+        |FROM qa JOIN qb USING (q) ORDER BY q""".stripMargin,
+
+    "q172_welch_ttest" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, avg(o_totalprice) AS m,
+        |    var_samp(o_totalprice) AS v
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |b AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, avg(o_totalprice) AS m,
+        |    var_samp(o_totalprice) AS v
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |    AND o_orderdate < TIMESTAMP '2001-01-01')
+        |SELECT a.n AS n_ref, b.n AS n_cur,
+        |  floor(a.m * 100 + 0.5) / 100.0 AS mean_ref,
+        |  floor(b.m * 100 + 0.5) / 100.0 AS mean_cur,
+        |  floor((b.m - a.m) / sqrt(a.v / a.n + b.v / b.n)
+        |    * 1000000 + 0.5) / 1000000.0 AS t_stat,
+        |  floor((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)
+        |      / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+        |        + (b.v / b.n) * (b.v / b.n) / (b.n - 1))
+        |    * 10000 + 0.5) / 10000.0 AS df_welch,
+        |  floor((b.m - a.m)
+        |      / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+        |        / (a.n + b.n - 2))
+        |    * 1000000 + 0.5) / 1000000.0 AS cohens_d
+        |FROM a, b""".stripMargin,
+
+    "q173_anova_f" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS ng,
+        |    avg(o_totalprice) AS mg, var_samp(o_totalprice) AS vg
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS k_groups,
+        |        sum(ng * mg) AS s FROM g),
+        |x AS (SELECT k_groups, n,
+        |        ng * (mg - s / n) * (mg - s / n) AS b,
+        |        (ng - 1) * vg AS w FROM g, t),
+        |a AS (SELECT k_groups, n, sum(b) AS ssb, sum(w) AS ssw
+        |      FROM x GROUP BY 1, 2)
+        |SELECT k_groups, n,
+        |  floor((ssb / (k_groups - 1)) / (ssw / (n - k_groups))
+        |    * 1000000 + 0.5) / 1000000.0 AS f_stat,
+        |  floor(ssb / (ssb + ssw) * 1000000 + 0.5) / 1000000.0 AS eta_sq
+        |FROM a""".stripMargin,
+
+    "q174_cramers_v" ->
+      """WITH obs AS (
+        |  SELECT l_returnflag AS r, l_linestatus AS c,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |mr AS (SELECT r, CAST(sum(o) AS BIGINT) AS nr FROM obs GROUP BY 1),
+        |mc AS (SELECT c, CAST(sum(o) AS BIGINT) AS nc FROM obs GROUP BY 1),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT r) AS BIGINT) AS r_levels,
+        |         CAST(count(DISTINCT c) AS BIGINT) AS c_levels FROM obs),
+        |x AS (SELECT n, r_levels, c_levels,
+        |        (o - nr * nc / CAST(n AS DOUBLE))
+        |          * (o - nr * nc / CAST(n AS DOUBLE))
+        |          / (nr * nc / CAST(n AS DOUBLE)) AS xx
+        |      FROM obs JOIN mr USING (r) JOIN mc USING (c), nt),
+        |a AS (SELECT n, r_levels, c_levels, sum(xx) AS chi2
+        |      FROM x GROUP BY 1, 2, 3)
+        |SELECT n, r_levels, c_levels,
+        |  floor(chi2 * 10000 + 0.5) / 10000.0 AS chi2,
+        |  floor(sqrt(chi2 / (n * (least(r_levels, c_levels) - 1)))
+        |    * 1000000 + 0.5) / 1000000.0 AS cramers_v
+        |FROM a""".stripMargin,
+
+    "q175_calibration" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderpriority = '1-URGENT'),
+        |sc AS (
+        |  SELECT c_acctbal,
+        |    CASE WHEN p.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+        |  FROM customer c LEFT JOIN pos p ON c.c_custkey = p.o_custkey),
+        |ranked AS (
+        |  SELECT c_acctbal, row_number() OVER (ORDER BY c_acctbal) AS rn,
+        |    count(*) OVER () AS n FROM sc),
+        |bounds AS (
+        |  SELECT c_acctbal AS b
+        |  FROM ranked, (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),
+        |                       (0.7),(0.8),(0.9)) qs(q)
+        |  WHERE rn = greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n)
+        |    AS BIGINT))),
+        |mm AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM sc),
+        |dec AS (
+        |  SELECT 10 - (SELECT count(*) FROM bounds WHERE s.c_acctbal > b)
+        |      AS decile,
+        |    y, (s.c_acctbal - lo) / (hi - lo) AS p
+        |  FROM sc s, mm)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |  floor(avg(p) * 1000000 + 0.5) / 1000000.0 AS mean_pred,
+        |  floor(avg(CAST(y AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000.0 AS pos_rate,
+        |  floor(avg((p - y) * (p - y)) * 1000000 + 0.5)
+        |    / 1000000.0 AS bin_brier
+        |FROM dec GROUP BY decile ORDER BY decile""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -21,15 +21,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects. Read it as a long (legacy conf) and convert to a proper
-    * TimestampType losslessly — the generator's values are µs-aligned.
-    * Integer `div` (not `/`) to avoid double rounding on epoch-nanos.
+  /** events.ts has shipped in two physical layouts across generator
+    * versions: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read as a long via the legacy conf and convert losslessly; integer
+    * `div`, not `/`, so epoch-nanos never round through a double) and
+    * TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+    * TIMESTAMP_NTZ — cast to TimestampType so downstream time arithmetic
+    * sees ONE type; sessions run UTC, so the cast is value-identity).
+    * Dispatch on the LOADED dtype rather than pinning a layout: the same
+    * query code must run against either vintage of the dataset.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ (or future vintages): align on TimestampType
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
