@@ -414,7 +414,72 @@ object Scratch {
           .count()
       }
 
+    /** q178 local clustering: triangleChain's graph and orientation,
+      * but the per-node tail (inner closing join + corner explode +
+      * count) instead of the semi-join count — the probe separates
+      * the shared core from the per-node tail so a regression in
+      * either is attributable. */
+    def lccChain(mult: Int): Double = {
+      val base = Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 5)
+          .as("items"))
+        .select(explode(flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + 2, size(col("items"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+        .persist(MEMORY_AND_DISK)
+      base.count()
+      val rep = (0 until mult).map { k =>
+        base.select(concat(col("a"), lit(s"_$k")).as("a"),
+          concat(col("b"), lit(s"_$k")).as("b"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val edges = rep.persist(MEMORY_AND_DISK)
+        val deg = edges.select(col("a").as("n")).unionAll(
+            edges.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+        val withDeg = edges
+          .join(deg.withColumnsRenamed(
+            Map("n" -> "a", "degree" -> "da")), "a")
+          .join(deg.withColumnsRenamed(
+            Map("n" -> "b", "degree" -> "db")), "b")
+        val oriented = withDeg.select(
+            when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+              struct(col("a").as("src"), col("b").as("dst"),
+                struct(col("db").as("d"), col("b").as("i")).as("k")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+              struct(col("da").as("d"), col("a").as("i")).as("k")))
+            .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.k").as("k"))
+          .persist(MEMORY_AND_DISK)
+        val t0 = System.nanoTime()
+        oriented.count()
+        val tCore = (System.nanoTime() - t0) / 1e9
+        val e1 = oriented.select(col("src"), col("dst").as("v"),
+          col("k").as("kv"))
+        val e2 = oriented.select(col("src"), col("dst").as("w"),
+          col("k").as("kw"))
+        val closing = oriented.select(col("src").as("v"),
+          col("dst").as("w"))
+        val t1 = System.nanoTime()
+        val nNodes = e1.join(e2, Seq("src")).filter(col("kv") < col("kw"))
+          .join(closing.hint("shuffle_hash"), Seq("v", "w"))
+          .select(explode(array(col("src"), col("v"), col("w"))).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("t")).count()
+        val tTail = (System.nanoTime() - t1) / 1e9
+        println(f"[scratch]   lcc mult=$mult nodesWithTri=$nNodes " +
+          f"core=$tCore%.2f s tail=$tTail%.2f s")
+        edges.unpersist(); oriented.unpersist()
+      }
+      base.unpersist()
+      r
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
+      "lcc" -> lccChain,
       "dedup" -> dedupChain, "leakage" -> leakageChain,
       "span" -> spanChain, "semantic" -> semanticChain,
       "semantic2" -> semanticChain2, "spanRemoval" -> spanRemovalChain,

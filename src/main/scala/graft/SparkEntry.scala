@@ -4057,6 +4057,174 @@ object SparkEntry {
           Fns.roundU(avg($"__y"), 6).as("pos_rate"),
           Fns.roundU(avg(pow($"__p" - $"__y", 2)), 6).as("bin_brier"))
         .orderBy($"decile")
+    }),
+
+    // ITEM-ITEM COLLABORATIVE FILTERING — "orders with X also carried
+    // Y": cosine similarity between items over the capped basket
+    // incidence (cos = cooc/√(n_a·n_b)). Reuses the ONE shared basket
+    // derivation (q111's cap 8) so pair supports agree with the
+    // market-basket family by construction. The support floor (≥2)
+    // kills the singleton-pair noise tier BEFORE the similarity joins,
+    // and the score is rounded BEFORE the top-k cut (q148's lesson:
+    // the cut must sit on a value both engines agree on, not a raw
+    // double whose last ulp depends on reduction order).
+    "q176_item_cf" -> ((s, d) => {
+      val capped = cappedBaskets(s, d, cap = 8).persist()
+      val cnt = capped.select(explode($"__items").as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("__cn"))
+      val cooc = basketPairs(capped)
+        .groupBy($"a", $"b").agg(count(lit(1)).as("n_both"))
+        .filter($"n_both" >= 2)
+      val scored = cooc
+        .join(cnt.withColumnsRenamed(Map("n" -> "a", "__cn" -> "__ca")),
+          "a")
+        .join(cnt.withColumnsRenamed(Map("n" -> "b", "__cn" -> "__cb")),
+          "b")
+        .select($"a".as("part_a"), $"b".as("part_b"), $"n_both",
+          Fns.roundU($"n_both" / sqrt($"__ca" * $"__cb"), 6).as("cosine"))
+      graft.plans.TopKPerKey(scored.withColumn("__g", lit(1)), Seq("__g"),
+          Seq($"cosine".desc, $"part_a".asc, $"part_b".asc), 20)
+        .select($"part_a", $"part_b", $"n_both", $"cosine")
+        .orderBy($"cosine".desc, $"part_a", $"part_b")
+    }),
+
+    // TPC-H Q22 SHAPE — "cold customers worth a call": above-average
+    // positive balances in a fixed nation set, no order in the
+    // dataset's final year (this generator gives EVERY customer
+    // historical orders, so Q22's "never ordered" is vacuous —
+    // recency keeps the identical plan and a real answer), grouped
+    // by nation. The classic three-part plan survives any scale: a
+    // 1-row average broadcast (never a correlated re-scan), a LEFT
+    // ANTI join whose probe side is date-pruned AT THE SCAN before
+    // anything shuffles, and a k-row group readout. No c_phone in
+    // this star schema, so nationkey plays Q22's country-code role.
+    "q177_cold_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter($"c_nationkey".isin(1, 3, 7, 11, 13, 17, 19))
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      val avgBal = cust.filter($"c_acctbal" > 0)
+        .agg(avg($"c_acctbal").as("__ab"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter($"c_acctbal" > $"__ab")
+        .join(Tables.orders(s, d)
+            .filter($"o_orderdate" >= "2001-01-01")
+            .select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey".as("nation"))
+        .agg(count(lit(1)).as("numcust"),
+          Fns.roundU(sum($"c_acctbal"), 2).as("totacctbal"))
+        .orderBy($"nation")
+    }),
+
+    // LOCAL CLUSTERING COEFFICIENT — q131's triangle machinery taken
+    // per-node: how clique-like is each part's co-purchase
+    // neighborhood (2·tri/(deg·(deg−1))). Same degree-oriented wedge
+    // join (work bounded by Σ d_out², the skew guard), but the
+    // closing edge is an INNER join — the orientation rule puts the
+    // closing edge at exactly (v,w), so each triangle lands exactly
+    // once — and fans out to its three corners through one explode.
+    // Degree ≥4 keeps the report on nodes where the denominator
+    // means something; the cut rides the rounded coefficient.
+    "q178_local_clustering" -> ((s, d) => {
+      val edges = basketPairs(cappedBaskets(s, d, cap = 5))
+        .distinct().persist()
+      val deg = edges.select($"a".as("n")).unionAll(
+          edges.select($"b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("degree"))
+      val withDeg = edges
+        .join(deg.withColumnsRenamed(Map("n" -> "a", "degree" -> "__da")),
+          "a")
+        .join(deg.withColumnsRenamed(Map("n" -> "b", "degree" -> "__db")),
+          "b")
+      val oriented = withDeg.select(
+          when(struct($"__da", $"a") < struct($"__db", $"b"),
+            struct($"a".as("src"), $"b".as("dst"),
+              struct($"__db".as("d"), $"b".as("i")).as("k")))
+          .otherwise(
+            struct($"b".as("src"), $"a".as("dst"),
+              struct($"__da".as("d"), $"a".as("i")).as("k")))
+          .as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.k".as("k"))
+        .persist()
+      val e1 = oriented.select($"src", $"dst".as("v"), $"k".as("kv"))
+      val e2 = oriented.select($"src", $"dst".as("w"), $"k".as("kw"))
+      val closing = oriented.select($"src".as("v"), $"dst".as("w"))
+      // shuffle_hash on the closing side: left to itself Spark sort-
+      // merges this join, i.e. SORTS the full wedge stream (tens of
+      // millions of rows) to meet an 841k-row build side — the hint
+      // swaps that for a hash build of the small side and a streaming
+      // probe of the wedges (measured 8.8 → 5.8 s on the sf0.1 tail;
+      // q131's left_semi gets the hash plan without being asked)
+      val triPerNode = e1.join(e2, Seq("src")).filter($"kv" < $"kw")
+        .join(closing.hint("shuffle_hash"), Seq("v", "w"))
+        .select(explode(array($"src", $"v", $"w")).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("n_tri"))
+      val scored = deg.filter($"degree" >= 4)
+        .join(triPerNode, Seq("n"), "left")
+        .na.fill(0L, Seq("n_tri"))
+        .select($"n".as("part"), $"degree", $"n_tri",
+          Fns.roundU(lit(2.0) * $"n_tri" /
+            ($"degree" * ($"degree" - 1)), 6).as("coef"))
+      graft.plans.TopKPerKey(scored.withColumn("__g", lit(1)), Seq("__g"),
+          Seq($"coef".desc, $"part".asc), 20)
+        .select($"part", $"degree", $"n_tri", $"coef")
+        .orderBy($"coef".desc, $"part")
+    }),
+
+    // MULTI-FEATURE OLS VIA NORMAL EQUATIONS — ŷ = β0 + β1·acctbal +
+    // β2·n_items over every order, closed form: ONE scan reduces to
+    // the covariance sufficient statistics, and the 2×2 Cramer solve
+    // + R² happen on that single row. Covariance form, NOT raw
+    // ΣxᵢxⱼE: centering is built into the one-pass aggregate, so the
+    // solve conditions on spreads (~1e3) instead of raw second
+    // moments (~1e9) and the cross-engine float agreement stays
+    // relative-error-tight. q86's "a model per group with no
+    // iterative solver", one feature wider — the same recipe extends
+    // to any k with a k×k driver-side solve over k(k+3)/2 aggregates.
+    "q179_ols_normal_eq" -> ((s, d) => {
+      val ni = Tables.lineitem(s, d).groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("__k"))
+      val rows = Tables.orders(s, d)
+        .join(ni, $"o_orderkey" === $"l_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"o_totalprice".as("__y"), $"c_acctbal".as("__x1"),
+          $"__k".cast("double").as("__x2"))
+      val st = rows.agg(count(lit(1)).as("n"),
+        avg($"__y").as("__my"), avg($"__x1").as("__m1"),
+        avg($"__x2").as("__m2"),
+        var_samp($"__x1").as("__v11"), var_samp($"__x2").as("__v22"),
+        covar_samp($"__x1", $"__x2").as("__v12"),
+        covar_samp($"__x1", $"__y").as("__c1"),
+        covar_samp($"__x2", $"__y").as("__c2"),
+        var_samp($"__y").as("__vy"))
+      val det = $"__v11" * $"__v22" - $"__v12" * $"__v12"
+      val b1 = ($"__c1" * $"__v22" - $"__c2" * $"__v12") / det
+      val b2 = ($"__c2" * $"__v11" - $"__c1" * $"__v12") / det
+      st.select($"n",
+        Fns.roundU($"__my" - b1 * $"__m1" - b2 * $"__m2", 4).as("b0"),
+        Fns.roundU(b1, 6).as("b1"),
+        Fns.roundU(b2, 6).as("b2"),
+        Fns.roundU((b1 * $"__c1" + b2 * $"__c2") / $"__vy", 6).as("r2"))
+    }),
+
+    // DEGREE ASSORTATIVITY — do hub parts co-purchase with hubs (r>0)
+    // or with the periphery (r<0)? Newman's r, literally corr() over
+    // both orientations of each edge's endpoint degrees: degrees are
+    // exact longs from one hash aggregate joined twice, and the
+    // correlation is a one-pass sufficient-statistics reduce. One
+    // more single-row readout of the q111 co-purchase graph's shape
+    // (q131 closure, q135 cores, q148 affinity, this one mixing).
+    "q180_assortativity" -> ((s, d) => {
+      val edges = basketPairs(cappedBaskets(s, d, cap = 5)).distinct()
+      val dir = edges.select($"a".as("s"), $"b".as("t"))
+        .unionAll(edges.select($"b".as("s"), $"a".as("t")))
+      val degS = dir.groupBy($"s").agg(count(lit(1)).as("__ds"))
+      val degT = degS.select($"s".as("t"), $"__ds".as("__dt"))
+      dir.join(degS, Seq("s")).join(degT, Seq("t"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+          count_distinct($"s").as("n_nodes"),
+          Fns.roundU(corr($"__ds".cast("double"),
+            $"__dt".cast("double")), 6).as("assortativity"))
     })
   )
 
@@ -7958,7 +8126,130 @@ object SparkEntry {
         |    / 1000000.0 AS pos_rate,
         |  floor(avg((p - y) * (p - y)) * 1000000 + 0.5)
         |    / 1000000.0 AS bin_brier
-        |FROM dec GROUP BY decile ORDER BY decile""".stripMargin
+        |FROM dec GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q176_item_cf" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 8),
+        |cnt AS (SELECT l_partkey AS n, CAST(count(*) AS BIGINT) AS cn
+        |        FROM capped GROUP BY 1),
+        |cooc AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (
+        |  SELECT pa, pb, n_both,
+        |    floor(n_both / sqrt(CAST(ca.cn * cb.cn AS DOUBLE))
+        |      * 1000000 + 0.5) / 1000000.0 AS cosine
+        |  FROM cooc JOIN cnt ca ON pa = ca.n JOIN cnt cb ON pb = cb.n)
+        |SELECT pa AS part_a, pb AS part_b, n_both, cosine
+        |FROM sc ORDER BY cosine DESC, part_a, part_b LIMIT 20"""
+        .stripMargin,
+
+    "q177_cold_customers" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_nationkey IN (1, 3, 7, 11, 13, 17, 19)),
+        |ab AS (SELECT avg(c_acctbal) AS a FROM cust WHERE c_acctbal > 0)
+        |SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS numcust,
+        |  floor(sum(c_acctbal) * 100 + 0.5) / 100.0 AS totacctbal
+        |FROM cust, ab
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q178_local_clustering" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 5),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+        |  GROUP BY n),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY n),
+        |sc AS (
+        |  SELECT deg.n AS part, degree, coalesce(n_tri, 0) AS n_tri,
+        |    floor(2.0 * coalesce(n_tri, 0) / (degree * (degree - 1))
+        |      * 1000000 + 0.5) / 1000000.0 AS coef
+        |  FROM deg LEFT JOIN tn ON deg.n = tn.n WHERE degree >= 4)
+        |SELECT part, degree, n_tri, coef FROM sc
+        |ORDER BY coef DESC, part LIMIT 20""".stripMargin,
+
+    "q179_ols_normal_eq" ->
+      """WITH ni AS (
+        |  SELECT l_orderkey, CAST(count(*) AS DOUBLE) AS k
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT o_totalprice AS y, c_acctbal AS x1, k AS x2
+        |  FROM orders JOIN ni ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, avg(y) AS my,
+        |    avg(x1) AS m1, avg(x2) AS m2,
+        |    var_samp(x1) AS v11, var_samp(x2) AS v22,
+        |    covar_samp(x1, x2) AS v12,
+        |    covar_samp(x1, y) AS c1, covar_samp(x2, y) AS c2,
+        |    var_samp(y) AS vy
+        |  FROM r),
+        |b AS (
+        |  SELECT n, my, m1, m2, c1, c2, vy,
+        |    (c1 * v22 - c2 * v12) / (v11 * v22 - v12 * v12) AS b1,
+        |    (c2 * v11 - c1 * v12) / (v11 * v22 - v12 * v12) AS b2
+        |  FROM st)
+        |SELECT n,
+        |  floor((my - b1 * m1 - b2 * m2) * 10000 + 0.5) / 10000.0 AS b0,
+        |  floor(b1 * 1000000 + 0.5) / 1000000.0 AS b1,
+        |  floor(b2 * 1000000 + 0.5) / 1000000.0 AS b2,
+        |  floor((b1 * c1 + b2 * c2) / vy * 1000000 + 0.5)
+        |    / 1000000.0 AS r2
+        |FROM b""".stripMargin,
+
+    "q180_assortativity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 5),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |dir AS (SELECT a AS s, b AS t FROM edges
+        |        UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d
+        |        FROM dir GROUP BY 1),
+        |p AS (
+        |  SELECT ds.d AS x, dt.d AS y
+        |  FROM dir JOIN deg ds ON dir.s = ds.s
+        |  JOIN deg dt ON dir.t = dt.s)
+        |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  floor(corr(x, y) * 1000000 + 0.5) / 1000000.0 AS assortativity
+        |FROM p""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
