@@ -3982,28 +3982,30 @@ object SparkEntry {
 
     // ONE-WAY ANOVA — does order priority move the money? F over the
     // o_orderpriority groups of o_totalprice: one per-group hash
-    // aggregate (k rows out however many rows in), SSW from the
-    // per-group sample variances, SSB from the count-weighted mean
-    // spread — the grand pass is a reduce of the k group rows, never a
-    // second fact scan. Emitted stats are ratios (F, η²), not raw sums
-    // of squares, for cross-engine float tightness.
+    // aggregate (k rows out however many rows in), then ONE reduce of
+    // those k rows — SSW from the per-group sample variances, SSB in
+    // moment form (Σn·m² − (Σn·m)²/N, exactly Σn(m−m̄)² in exact
+    // arithmetic). The moment form is what keeps the plan to a SINGLE
+    // fact scan (PlanShapeSpec-pinned): the centered form needs the
+    // grand mean first, i.e. the k-row table twice, and Catalyst
+    // plans that as a second scan. Its cancellation costs ~6 of 16
+    // digits here (terms ~1e15 vs SSB ~1e9) — both engines lose the
+    // SAME digits, so the rounded ratios still agree.
     "q173_anova_f" -> ((s, d) => {
-      val grp = Tables.orders(s, d)
+      Tables.orders(s, d)
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("__ng"), avg($"o_totalprice").as("__mg"),
           var_samp($"o_totalprice").as("__vg"))
-      val tot = grp.agg(sum($"__ng").as("__n"),
-        count(lit(1)).as("k_groups"),
-        sum($"__ng" * $"__mg").as("__s"))
-      grp.crossJoin(broadcast(tot))
-        .select($"k_groups", $"__n",
-          ($"__ng" * pow($"__mg" - $"__s" / $"__n", 2)).as("__b"),
-          (($"__ng" - 1) * $"__vg").as("__w"))
-        .groupBy($"k_groups", $"__n")
-        .agg(sum($"__b").as("__ssb"), sum($"__w").as("__ssw"))
-        .select($"k_groups", $"__n".as("n"),
-          Fns.roundU(($"__ssb" / ($"k_groups" - 1)) /
-            ($"__ssw" / ($"__n" - $"k_groups")), 6).as("f_stat"),
+        .agg(sum($"__ng").as("__n"), count(lit(1)).as("__k"),
+          sum($"__ng" * $"__mg").as("__s1"),
+          sum($"__ng" * $"__mg" * $"__mg").as("__s2"),
+          sum(($"__ng" - 1) * $"__vg").as("__ssw"))
+        .select($"__k".as("k_groups"), $"__n".as("n"),
+          (($"__s2" - $"__s1" * $"__s1" / $"__n")).as("__ssb"),
+          $"__ssw", $"__k", $"__n")
+        .select($"k_groups", $"n",
+          Fns.roundU(($"__ssb" / ($"__k" - 1)) /
+            ($"__ssw" / ($"__n" - $"__k")), 6).as("f_stat"),
           Fns.roundU($"__ssb" / ($"__ssb" + $"__ssw"), 6).as("eta_sq"))
     }),
 
@@ -8063,12 +8065,9 @@ object SparkEntry {
         |  FROM orders GROUP BY 1),
         |t AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
         |        CAST(count(*) AS BIGINT) AS k_groups,
-        |        sum(ng * mg) AS s FROM g),
-        |x AS (SELECT k_groups, n,
-        |        ng * (mg - s / n) * (mg - s / n) AS b,
-        |        (ng - 1) * vg AS w FROM g, t),
-        |a AS (SELECT k_groups, n, sum(b) AS ssb, sum(w) AS ssw
-        |      FROM x GROUP BY 1, 2)
+        |        sum(ng * mg) AS s1, sum(ng * mg * mg) AS s2,
+        |        sum((ng - 1) * vg) AS ssw FROM g),
+        |a AS (SELECT k_groups, n, s2 - s1 * s1 / n AS ssb, ssw FROM t)
         |SELECT k_groups, n,
         |  floor((ssb / (k_groups - 1)) / (ssw / (n - k_groups))
         |    * 1000000 + 0.5) / 1000000.0 AS f_stat,

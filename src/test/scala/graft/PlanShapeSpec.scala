@@ -646,4 +646,70 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"non-equi join in q148: $bad")
   }
+
+  test("q178 local clustering: closing join hash-builds, never sorts " +
+      "the wedge stream") {
+    // the shuffle_hash hint is the query's scale property: without it
+    // Spark sort-merges the closing join, i.e. SORTS every wedge (the
+    // 10x replication probe measured 16.9x growth from that sort vs
+    // 4.4x with the hash build). A refactor dropping the hint must
+    // fail here, not in a future bench.
+    val p = plan("q178_local_clustering")
+    val shj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        => j
+    }
+    assert(shj.nonEmpty, s"closing join lost its hash build:\n$p")
+    val bad = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        j.nodeName
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi join in q178: $bad")
+  }
+
+  test("q176 item-CF: top-20 cut runs the bounded heap, no window sort") {
+    val p = plan("q176_item_cf")
+    val topk = collectAll(p) { case t: graft.plans.TopKPerKeyExec => t }
+    assert(topk.nonEmpty, "q176 lost its TopKPerKey cut")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, "q176 fell back to a window sort")
+  }
+
+  test("q177 cold customers: date filter reaches the orders scan; " +
+      "average is a broadcast, not a re-scan") {
+    val p = plan("q177_cold_customers")
+    val orderScans = collectAll(p) { case f: FileSourceScanExec => f }
+      .filter(_.schema.fieldNames.contains("o_custkey"))
+    assert(orderScans.nonEmpty)
+    assert(orderScans.forall(
+        _.metadata("PushedFilters").contains("GreaterThanOrEqual")),
+      orderScans.map(_.metadata("PushedFilters")).mkString(" | "))
+    // the scalar average must arrive as a broadcast side, never as a
+    // correlated per-row subquery re-scanning customer
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    val bnl = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+    }
+    assert(bhj.nonEmpty || bnl.nonEmpty, s"no broadcast in q177:\n$p")
+  }
+
+  test("q173 ANOVA: one fact scan — the grand pass reduces the k group " +
+      "rows, it does not re-read orders") {
+    val scans = collectAll(plan("q173_anova_f")) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.length === 1,
+      s"q173 scanned the fact ${scans.length} times")
+  }
+
+  test("q172 Welch t: both windows ride ONE conditional-projection scan") {
+    val scans = collectAll(plan("q172_welch_ttest")) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.length === 1,
+      s"q172 scanned orders ${scans.length} times")
+  }
 }
