@@ -4227,6 +4227,84 @@ object SparkEntry {
           count_distinct($"s").as("n_nodes"),
           Fns.roundU(corr($"__ds".cast("double"),
             $"__dt".cast("double")), 6).as("assortativity"))
+    }),
+
+    // HIERARCHY SUBTREE ROLLUP — revenue rolled to every ancestor of
+    // a 3-level part taxonomy (node = partkey div 10^k, the
+    // digit-prefix tree that catalog/geo/org hierarchies flatten to).
+    // The FIXED-DEPTH path idiom: each per-part revenue row explodes
+    // to its ≤3 ancestors ONCE, so subtree totals for the whole tree
+    // come out of one hash aggregate — no per-level re-aggregation,
+    // no iterative climb (that is for unbounded-depth graphs: q149/
+    // q166). Work is depth × part rows into one shuffle regardless of
+    // fanout; per-level leaders ride the bounded heap, and the cut
+    // sits on the ROUNDED total (the q148 rule).
+    "q181_hierarchy_rollup" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy($"l_partkey")
+        .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .as("__rev"), count(lit(1)).as("__nl"))
+      val anc = rev.select(explode(array(
+          struct(lit(1).as("level"),
+            expr("l_partkey div 1000").as("node")),
+          struct(lit(2).as("level"),
+            expr("l_partkey div 100").as("node")),
+          struct(lit(3).as("level"),
+            expr("l_partkey div 10").as("node")))).as("a"),
+          $"__rev", $"__nl")
+        .select($"a.level".as("level"), $"a.node".as("node"),
+          $"__rev", $"__nl")
+      val sub = anc.groupBy($"level", $"node")
+        .agg(Fns.roundU(sum($"__rev"), 2).as("subtree_rev"),
+          sum($"__nl").as("n_lines"), count(lit(1)).as("n_parts"))
+      graft.plans.TopKPerKey(sub, Seq("level"),
+          Seq($"subtree_rev".desc, $"node".asc), 5)
+        .select($"level", $"node", $"subtree_rev", $"n_lines",
+          $"n_parts")
+        .orderBy($"level", $"subtree_rev".desc, $"node")
+    }),
+
+    // RFM SEGMENTATION — the classic CRM cube: per customer Recency
+    // (days since last order vs the corpus max date), Frequency
+    // (order count), Monetary (lifetime totalprice), each scored 1-5
+    // by EXACT quintile bounds (q50's histogram machinery over the
+    // per-customer aggregate — bounds are actual data values, so both
+    // engines cut at bit-identical points), assigned by the q145
+    // broadcast-fold. One fact aggregate, three 1-row broadcasts, and
+    // a ≤125-cell readout — no windows, no sorts, at any scale.
+    "q182_rfm" -> ((s, d) => {
+      val mx = Tables.orders(s, d).agg(max($"o_orderdate").as("__mx"))
+      val cust = Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("__last"),
+          count(lit(1)).as("__f"), sum($"o_totalprice").as("__m"),
+          // cell money reports as an EXACT decimal sum (q48's rule):
+          // a rounded double avg sat on a .005 boundary at sf0.01 and
+          // hash-mismatched on summation order alone
+          sum($"o_totalprice".cast("decimal(18,2)")).as("__md"))
+        .crossJoin(broadcast(mx))
+        .select($"o_custkey",
+          datediff($"__mx", $"__last").cast("long").as("__r"),
+          $"__f", $"__m", $"__md")
+      def qb(c: String) = Percentiles
+        .exactQuantiles(cust.withColumn("__g", lit(1)), "__g", c,
+          Seq(0.2, 0.4, 0.6, 0.8))
+        .agg(sort_array(collect_list($"value")).as("__bs" + c))
+      def score(x: org.apache.spark.sql.Column,
+          bs: org.apache.spark.sql.Column) =
+        lit(1) + aggregate(bs, lit(0),
+          (acc, b) => acc + when(x > b, 1).otherwise(0))
+      cust.crossJoin(broadcast(qb("__r")))
+        .crossJoin(broadcast(qb("__f")))
+        .crossJoin(broadcast(qb("__m")))
+        // recency inverts: score 5 = most recent (smallest gap)
+        .select((lit(6) - score($"__r", $"__bs__r")).as("r_score"),
+          score($"__f", $"__bs__f").as("f_score"),
+          score($"__m", $"__bs__m").as("m_score"), $"__md")
+        .groupBy($"r_score", $"f_score", $"m_score")
+        .agg(count(lit(1)).as("n_cust"),
+          sum($"__md").as("sum_monetary"))
+        .orderBy($"r_score", $"f_score", $"m_score")
     })
   )
 
@@ -8248,7 +8326,70 @@ object SparkEntry {
         |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
         |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
         |  floor(corr(x, y) * 1000000 + 0.5) / 1000000.0 AS assortativity
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    "q181_hierarchy_rollup" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS r,
+        |    CAST(count(*) AS BIGINT) AS nl
+        |  FROM lineitem GROUP BY 1),
+        |anc AS (
+        |  SELECT 1 AS level, l_partkey // 1000 AS node, r, nl FROM rev
+        |  UNION ALL
+        |  SELECT 2, l_partkey // 100, r, nl FROM rev
+        |  UNION ALL
+        |  SELECT 3, l_partkey // 10, r, nl FROM rev),
+        |sub AS (
+        |  SELECT level, node,
+        |    floor(sum(r) * 100 + 0.5) / 100.0 AS subtree_rev,
+        |    CAST(sum(nl) AS BIGINT) AS n_lines,
+        |    CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM anc GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY level
+        |    ORDER BY subtree_rev DESC, node) AS rn FROM sub)
+        |SELECT level, node, subtree_rev, n_lines, n_parts FROM rk
+        |WHERE rn <= 5 ORDER BY level, subtree_rev DESC, node"""
+        .stripMargin,
+
+    "q182_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+        |cust AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      CAST((SELECT m FROM mx) AS DATE)) AS r,
+        |    CAST(count(*) AS BIGINT) AS f, sum(o_totalprice) AS mny,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS md
+        |  FROM orders GROUP BY 1),
+        |qs AS (SELECT CAST(q AS DOUBLE) AS q
+        |       FROM (VALUES (0.2),(0.4),(0.6),(0.8)) v(q)),
+        |rb AS (
+        |  SELECT v AS b FROM (
+        |    SELECT r AS v, row_number() OVER (ORDER BY r) AS rn,
+        |      count(*) OVER () AS n FROM cust), qs
+        |  WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))),
+        |fb AS (
+        |  SELECT v AS b FROM (
+        |    SELECT f AS v, row_number() OVER (ORDER BY f) AS rn,
+        |      count(*) OVER () AS n FROM cust), qs
+        |  WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))),
+        |mb AS (
+        |  SELECT v AS b FROM (
+        |    SELECT mny AS v, row_number() OVER (ORDER BY mny) AS rn,
+        |      count(*) OVER () AS n FROM cust), qs
+        |  WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))),
+        |sc AS (
+        |  SELECT
+        |    6 - (1 + (SELECT count(*) FROM rb WHERE c.r > b)) AS r_score,
+        |    1 + (SELECT count(*) FROM fb WHERE c.f > b) AS f_score,
+        |    1 + (SELECT count(*) FROM mb WHERE c.mny > b) AS m_score,
+        |    md
+        |  FROM cust c)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  sum(md) AS sum_monetary
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
