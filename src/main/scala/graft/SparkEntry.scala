@@ -4305,6 +4305,108 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"),
           sum($"__md").as("sum_monetary"))
         .orderBy($"r_score", $"f_score", $"m_score")
+    }),
+
+    // FORECAST BACKTEST — grade the seasonal-naive forecaster
+    // (ŷ_t = y_{t-7}) over the 2000 evaluation year: MAE/MAPE/bias/
+    // RMSE of daily revenue. The series is ONE bounded hash aggregate
+    // (a row per day, however many fact rows feed it), the 7-day
+    // shift is an equi-JOIN of that table against itself shifted —
+    // q169's shifted-day idiom, no window over the raw facts — and
+    // the scorecard is a single reduce. The eval harness generalizes:
+    // swap the fc branch for any per-day prediction table.
+    "q183_forecast_backtest" -> ((s, d) => {
+      val days = Tables.orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("__d"))
+        .agg(sum($"o_totalprice").as("__v"))
+      val fc = days.select(date_add($"__d", 7).as("__d"),
+        $"__v".as("__f"))
+      days.filter($"__d" >= "2000-01-01" && $"__d" < "2001-01-01")
+        .join(fc, Seq("__d"))
+        .agg(count(lit(1)).as("n_days"),
+          Fns.roundU(avg(abs($"__v" - $"__f")), 2).as("mae"),
+          Fns.roundU(avg(abs($"__v" - $"__f") / $"__v"), 6).as("mape"),
+          Fns.roundU(avg($"__v" - $"__f"), 2).as("bias"),
+          Fns.roundU(sqrt(avg(pow($"__v" - $"__f", 2))), 2).as("rmse"))
+    }),
+
+    // PRICE-VOLUME-MIX BRIDGE — the FP&A waterfall: per brand, how
+    // much of the 1999→2000 revenue change is volume (base price ×
+    // quantity shift) vs price ((new−base price) × new quantity, the
+    // cross term folded into price per convention; brands absent from
+    // a period contribute their whole revenue as volume). ONE
+    // conditional-projection scan of the two-year slice (the q172
+    // shape: never a scan per period) into one per-brand aggregate;
+    // part rides the scan as a broadcast. The identity delta = price
+    // + volume holds per row by construction — an oracle-checked
+    // waterfall that can't leak.
+    "q184_pvm_bridge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= "1999-01-01"
+          && $"l_shipdate" < "2001-01-01")
+        .join(broadcast(Tables.part(s, d)
+          .select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+      val base = $"l_shipdate" < "2000-01-01"
+      val rv = $"l_extendedprice" * (lit(1) - $"l_discount")
+      li.groupBy($"p_brand")
+        .agg(sum(when(base, rv)).as("__r0"),
+          sum(when(base, $"l_quantity")).as("__q0"),
+          sum(when(!base, rv)).as("__r1"),
+          sum(when(!base, $"l_quantity")).as("__q1"))
+        .na.fill(0.0, Seq("__r0", "__q0", "__r1", "__q1"))
+        .select($"p_brand".as("brand"),
+          Fns.roundU($"__r0", 2).as("rev_base"),
+          Fns.roundU($"__r1", 2).as("rev_cur"),
+          Fns.roundU($"__r1" - $"__r0", 2).as("delta"),
+          Fns.roundU(when($"__q0" > 0 && $"__q1" > 0,
+            ($"__r1" / $"__q1" - $"__r0" / $"__q0") * $"__q1")
+            .otherwise(0.0), 2).as("price_effect"),
+          Fns.roundU(when($"__q0" > 0,
+            ($"__r0" / $"__q0") * ($"__q1" - $"__q0"))
+            .otherwise($"__r1"), 2).as("volume_effect"))
+        .orderBy($"brand")
+    }),
+
+    // GROWTH ACCOUNTING — the SaaS-board quarterly customer ledger:
+    // every active (customer, quarter) is exactly one of new (first
+    // quarter ever), retained (also active the quarter before) or
+    // resurrected; churn is charged to the quarter a previously
+    // active customer went quiet. All set algebra on exact ints: one
+    // distinct activity table, a min-aggregate for first quarters,
+    // the quarter-1 comparison as a self equi-join on the shifted
+    // key (never a per-customer window), churn as an anti-join of
+    // the shifted table against activity. Integer counts end to end
+    // — no float surface at all.
+    "q185_growth_accounting" -> ((s, d) => {
+      val act = Tables.orders(s, d)
+        .select($"o_custkey".as("c"),
+          (year($"o_orderdate") * 4 + quarter($"o_orderdate") - 1)
+            .as("qi"))
+        .distinct().persist()
+      val firstq = act.groupBy($"c").agg(min($"qi").as("__fq"))
+      val shifted = act.select($"c", ($"qi" + 1).as("qi"))
+      // shifted is distinct by construction (act is), so the left
+      // join marks prev-quarter activity without row multiplication
+      val statused = act.join(firstq, Seq("c"))
+        .join(shifted.withColumn("__p", lit(1)), Seq("c", "qi"), "left")
+        .groupBy($"qi")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when($"qi" === $"__fq", 1).otherwise(0)).as("n_new"),
+          sum(when($"qi" =!= $"__fq" && $"__p".isNotNull, 1)
+            .otherwise(0)).as("n_retained"),
+          sum(when($"qi" =!= $"__fq" && $"__p".isNull, 1)
+            .otherwise(0)).as("n_resurrected"))
+      val churn = shifted.join(act, Seq("c", "qi"), "left_anti")
+        .groupBy($"qi").agg(count(lit(1)).as("n_churned"))
+      statused.join(churn, Seq("qi"), "left")
+        .na.fill(0L, Seq("n_churned"))
+        .select((($"qi" / 4).cast("int")).as("year"),
+          ($"qi" % 4 + 1).as("quarter"),
+          $"n_active", $"n_new", $"n_retained", $"n_resurrected",
+          $"n_churned",
+          ($"n_new" + $"n_resurrected" - $"n_churned").as("net"))
+        .orderBy($"year", $"quarter")
     })
   )
 
@@ -8389,7 +8491,85 @@ object SparkEntry {
         |SELECT r_score, f_score, m_score,
         |  CAST(count(*) AS BIGINT) AS n_cust,
         |  sum(md) AS sum_monetary
-        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q183_forecast_backtest" ->
+      """WITH days AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS dd,
+        |    sum(o_totalprice) AS v
+        |  FROM orders GROUP BY 1),
+        |fc AS (SELECT dd + 7 AS dd, v AS f FROM days),
+        |e AS (
+        |  SELECT d.v, fc.f FROM days d JOIN fc USING (dd)
+        |  WHERE d.dd >= DATE '2000-01-01' AND d.dd < DATE '2001-01-01')
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(avg(abs(v - f)) * 100 + 0.5) / 100.0 AS mae,
+        |  floor(avg(abs(v - f) / v) * 1000000 + 0.5)
+        |    / 1000000.0 AS mape,
+        |  floor(avg(v - f) * 100 + 0.5) / 100.0 AS bias,
+        |  floor(sqrt(avg((v - f) * (v - f))) * 100 + 0.5)
+        |    / 100.0 AS rmse
+        |FROM e""".stripMargin,
+
+    "q184_pvm_bridge" ->
+      """WITH li AS (
+        |  SELECT p_brand, l_shipdate,
+        |    l_extendedprice * (1 - l_discount) AS rv, l_quantity AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |    AND l_shipdate < TIMESTAMP '2001-01-01'),
+        |g AS (
+        |  SELECT p_brand,
+        |    coalesce(sum(CASE WHEN l_shipdate < TIMESTAMP '2000-01-01'
+        |      THEN rv END), 0) AS r0,
+        |    coalesce(sum(CASE WHEN l_shipdate < TIMESTAMP '2000-01-01'
+        |      THEN q END), 0) AS q0,
+        |    coalesce(sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01'
+        |      THEN rv END), 0) AS r1,
+        |    coalesce(sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01'
+        |      THEN q END), 0) AS q1
+        |  FROM li GROUP BY 1)
+        |SELECT p_brand AS brand,
+        |  floor(r0 * 100 + 0.5) / 100.0 AS rev_base,
+        |  floor(r1 * 100 + 0.5) / 100.0 AS rev_cur,
+        |  floor((r1 - r0) * 100 + 0.5) / 100.0 AS delta,
+        |  floor((CASE WHEN q0 > 0 AND q1 > 0
+        |      THEN (r1 / q1 - r0 / q0) * q1 ELSE 0 END)
+        |    * 100 + 0.5) / 100.0 AS price_effect,
+        |  floor((CASE WHEN q0 > 0 THEN (r0 / q0) * (q1 - q0)
+        |      ELSE r1 END) * 100 + 0.5) / 100.0 AS volume_effect
+        |FROM g ORDER BY brand""".stripMargin,
+
+    "q185_growth_accounting" ->
+      """WITH act AS (
+        |  SELECT DISTINCT o_custkey AS c,
+        |    year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS qi
+        |  FROM orders),
+        |firstq AS (SELECT c, min(qi) AS fq FROM act GROUP BY 1),
+        |shifted AS (SELECT c, qi + 1 AS qi FROM act),
+        |st AS (
+        |  SELECT a.qi, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN a.qi = f.fq THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN a.qi <> f.fq AND s.c IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN a.qi <> f.fq AND s.c IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM act a JOIN firstq f ON a.c = f.c
+        |  LEFT JOIN shifted s ON a.c = s.c AND a.qi = s.qi
+        |  GROUP BY 1),
+        |ch AS (
+        |  SELECT s.qi, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM shifted s
+        |  WHERE NOT EXISTS (SELECT 1 FROM act a
+        |    WHERE a.c = s.c AND a.qi = s.qi)
+        |  GROUP BY 1)
+        |SELECT CAST(st.qi // 4 AS INT) AS year, st.qi % 4 + 1 AS quarter,
+        |  n_active, n_new, n_retained, n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned,
+        |  n_new + n_resurrected - coalesce(n_churned, 0) AS net
+        |FROM st LEFT JOIN ch ON st.qi = ch.qi
+        |ORDER BY year, quarter""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
