@@ -712,4 +712,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans.length === 1,
       s"q172 scanned orders ${scans.length} times")
   }
+
+  test("q181 hierarchy rollup: per-level top-5 runs the bounded heap " +
+      "over ONE lineitem scan") {
+    val p = plan("q181_hierarchy_rollup")
+    val topk = collectAll(p) { case t: graft.plans.TopKPerKeyExec => t }
+    assert(topk.nonEmpty, "q181 lost its TopKPerKey cut")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    assert(scans.length === 1,
+      s"q181 scanned lineitem ${scans.length} times — the ancestor " +
+        "explode exists so the tree never re-aggregates per level")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, "q181 fell back to a window sort")
+  }
+
+  test("q182 RFM: windows only over histogram state — scores fold " +
+      "against broadcast quintile bounds") {
+    // exactQuantiles' internal windows run over (__q, bucket) counted
+    // aggregate state (the q33 convention); a window whose input is
+    // the raw per-customer table would be the sort-based scorer this
+    // query's broadcast fold replaces
+    val wins = collectAll(plan("q182_rfm")) { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.child.schema.fieldNames.contains("__c")),
+      wins.map(_.child.schema.fieldNames.mkString(",")).mkString(" | "))
+  }
+
+  test("q184 PVM bridge: one fact scan for both periods; part " +
+      "broadcasts") {
+    val p = plan("q184_pvm_bridge")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+      .filter(_.schema.fieldNames.exists(_.startsWith("l_")))
+    assert(scans.length === 1,
+      s"q184 scanned lineitem ${scans.length} times — the periods " +
+        "must ride one conditional-projection scan")
+    assert(scans.head.metadata("PushedFilters")
+      .contains("GreaterThanOrEqual"), scans.head.metadata("PushedFilters"))
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "part dim must broadcast")
+  }
+
+  test("q185 growth accounting: set algebra only — no windows, " +
+      "equi-joins only") {
+    val p = plan("q185_growth_accounting")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, "q185 grew a per-customer window")
+    val bad = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        j.nodeName
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi join in q185: $bad")
+  }
 }
