@@ -478,8 +478,97 @@ object Scratch {
       r
     }
 
+    /** q176 item-CF: capped baskets replicated with disjoint item
+      * spaces — co-occurrence pairs, item counts, the two count
+      * joins and the bounded top-k must all grow linearly in
+      * baskets. */
+    def itemcfChain(mult: Int): Double = {
+      val base = Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 8)
+          .as("items"))
+        .persist(MEMORY_AND_DISK)
+      base.count()
+      val rep = (0 until mult).map { k =>
+        base.select((col("l_orderkey") + lit(k * 10000000L))
+            .as("l_orderkey"),
+          transform(col("items"), x => concat(x, lit(s"_$k")))
+            .as("items"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val capped = rep.persist(MEMORY_AND_DISK)
+        val cnt = capped.select(explode(col("items")).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("cn"))
+        val cooc = capped
+          .select(explode(flatten(transform(col("items"), (x, i) =>
+            transform(slice(col("items"), i + 2, size(col("items"))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_both"))
+          .filter(col("n_both") >= 2)
+        val scored = cooc
+          .join(cnt.withColumnsRenamed(Map("n" -> "a", "cn" -> "ca")),
+            "a")
+          .join(cnt.withColumnsRenamed(Map("n" -> "b", "cn" -> "cb")),
+            "b")
+          .select(col("a"), col("b"), col("n_both"),
+            (col("n_both") / sqrt(col("ca") * col("cb"))).as("cos"))
+        val n = graft.plans.TopKPerKey(
+            scored.withColumn("g", lit(1)), Seq("g"),
+            Seq(col("cos").desc, col("a").asc, col("b").asc), 20)
+          .count()
+        println(s"[scratch]   itemcf mult=$mult topk=$n")
+        capped.unpersist()
+      }
+      base.unpersist()
+      r
+    }
+
+    /** q185 growth accounting: orders replicated with disjoint
+      * customer spaces over the SAME timeline (a bigger business,
+      * not a longer one) — activity, first-quarter, shifted-join and
+      * churn anti-join all must grow linearly in customers. */
+    def growthChain(mult: Int): Double = {
+      val base = Tables.orders(spark, d)
+        .select(col("o_custkey").as("c"),
+          (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate"))
+            - 1).as("qi"))
+        .distinct().persist(MEMORY_AND_DISK)
+      base.count()
+      val rep = (0 until mult).map { k =>
+        base.select((col("c") + lit(k * 10000000L)).as("c"), col("qi"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val act = rep.persist(MEMORY_AND_DISK)
+        val firstq = act.groupBy(col("c")).agg(min(col("qi")).as("fq"))
+        val shifted = act.select(col("c"), (col("qi") + 1).as("qi"))
+        val statused = act.join(firstq, Seq("c"))
+          .join(shifted.withColumn("p", lit(1)), Seq("c", "qi"), "left")
+          .groupBy(col("qi"))
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("qi") === col("fq"), 1).otherwise(0))
+              .as("n_new"))
+        val t0 = System.nanoTime()
+        statused.count()
+        val tS = (System.nanoTime() - t0) / 1e9
+        val churn = shifted.join(act, Seq("c", "qi"), "left_anti")
+          .groupBy(col("qi")).agg(count(lit(1)).as("n_churned"))
+        val t1 = System.nanoTime()
+        churn.count()
+        val tC = (System.nanoTime() - t1) / 1e9
+        val n = statused.join(churn, Seq("qi"), "left").count()
+        println(f"[scratch]   growth mult=$mult quarters=$n " +
+          f"statused=$tS%.2f s churn=$tC%.2f s")
+        act.unpersist()
+      }
+      base.unpersist()
+      r
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
-      "lcc" -> lccChain,
+      "lcc" -> lccChain, "itemcf" -> itemcfChain,
+      "growth" -> growthChain,
       "dedup" -> dedupChain, "leakage" -> leakageChain,
       "span" -> spanChain, "semantic" -> semanticChain,
       "semantic2" -> semanticChain2, "spanRemoval" -> spanRemovalChain,
