@@ -28,6 +28,10 @@ object Scratch {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // UTC like every other entry point: Tables.events' NTZ-vintage
+      // cast is timezone-dependent, and probe numbers must be produced
+      // under the same clock Bench/Verify use
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

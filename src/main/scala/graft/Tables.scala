@@ -38,9 +38,17 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampType => df
-      case _ => // TIMESTAMP_NTZ (or future vintages): align on TimestampType
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // value-identity under the pinned UTC sessions
         df.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        // an unknown vintage must fail LOUDLY: a blind cast would turn
+        // malformed values into NULLs (or reinterpret integers as epoch
+        // seconds) and every downstream time computation would be
+        // silently wrong — the exact failure this dispatch exists to
+        // prevent
+        sys.error(s"events.ts: unsupported parquet vintage $other")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
