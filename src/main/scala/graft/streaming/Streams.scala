@@ -535,6 +535,48 @@ object Streams {
       }
   }
 
+  case class ActivityEvent(user_id: Long, qi: Int)
+
+  case class LifecycleTransition(user_id: Long, qi: Int, status: String)
+
+  /** STREAMING customer-lifecycle ledger — the incremental twin of
+    * batch q185's new/retained/resurrected classification: per user,
+    * the first active quarter emits `new`, a quarter directly after
+    * the last active one emits `retained`, a later gap-jumping
+    * quarter emits `resurrected`. State is two ints per user forever
+    * (first and last active quarter). Each micro-batch folds its
+    * rows in quarter order; repeat observations of an
+    * already-counted quarter emit nothing, so replays are idempotent
+    * per quarter. Matches the batch query whenever a user's quarters
+    * arrive in nondecreasing order across batches (the funnelStages
+    * contract); CHURN is inherently an absence signal — noticing it
+    * requires a clock, not an event — and stays with the batch form
+    * by design. */
+  def lifecycleTransitions(events: Dataset[ActivityEvent])
+      : Dataset[LifecycleTransition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Int), LifecycleTransition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[(Int, Int)]) =>
+          var (first, last) = state.getOption.getOrElse((-1, -1))
+          val out =
+            scala.collection.mutable.ArrayBuffer[LifecycleTransition]()
+          rows.toSeq.map(_.qi).distinct.sorted.foreach { qi =>
+            if (first < 0) {
+              first = qi; last = qi
+              out += LifecycleTransition(user, qi, "new")
+            } else if (qi > last) {
+              out += LifecycleTransition(user, qi,
+                if (qi == last + 1) "retained" else "resurrected")
+              last = qi
+            } // qi <= last: replay/late observation — nothing to emit
+          }
+          state.update((first, last))
+          out.iterator
+      }
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String, lookback: String,
                    watermark: String): DataFrame = {

@@ -314,6 +314,62 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lifecycleTransitions: new/retained/resurrected across " +
+      "micro-batches; replays emit nothing") {
+    val dir = Files.createTempDirectory("graft-lifecycle").toFile
+    val stream = spark.readStream
+      .schema("user_id LONG, qi INT")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      .as[Streams.ActivityEvent]
+    val q = Streams.lifecycleTransitions(stream)
+      .writeStream.format("memory").queryName("lifecycle")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 active q1+q2 (new, retained — in-batch fold);
+      // u2 active q1 only; duplicate q1 row for u1 collapses
+      dropFile(dir, "b1.json", Seq(
+        """{"user_id":1,"qi":1}""",
+        """{"user_id":1,"qi":1}""",
+        """{"user_id":1,"qi":2}""",
+        """{"user_id":2,"qi":1}""").mkString("\n"))
+      q.processAllAvailable()
+      val s1 = spark.table("lifecycle").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(s1 === Set((1L, 1, "new"), (1L, 2, "retained"),
+        (2L, 1, "new")))
+      // batch 2: u1 jumps q2→q4 (resurrected); u2 replays q1 (no
+      // emission); u3 appears (new)
+      dropFile(dir, "b2.json", Seq(
+        """{"user_id":1,"qi":4}""",
+        """{"user_id":2,"qi":1}""",
+        """{"user_id":3,"qi":4}""").mkString("\n"))
+      q.processAllAvailable()
+      val s2 = spark.table("lifecycle").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(s2 === s1 ++ Set((1L, 4, "resurrected"), (3L, 4, "new")))
+    } finally q.stop()
+  }
+
+  test("lifecycleTransitions: batch Dataset path matches q185's " +
+      "classification on a pseudo-random activity log") {
+    // same activity-table shape as q185 (distinct (user, quarter)),
+    // replayed through the fold in one batch — every (user, quarter)
+    // must classify exactly as the batch set algebra does
+    val acts = (0 until 600).map { i =>
+      Streams.ActivityEvent(i % 37, ((i * 2654435761L) % 12).toInt)
+    }
+    val got = Streams.lifecycleTransitions(acts.toDS()).collect()
+      .map(t => (t.user_id, t.qi) -> t.status).toMap
+    val expected = acts.groupBy(_.user_id).flatMap { case (u, es) =>
+      val qs = es.map(_.qi).distinct.sorted
+      qs.zipWithIndex.map { case (qi, i) =>
+        (u, qi) -> (if (i == 0) "new"
+          else if (qi == qs(i - 1) + 1) "retained" else "resurrected")
+      }
+    }
+    assert(got === expected)
+  }
+
   test("priceBars: watermark finalizes OHLC bars in append mode") {
     val dir = Files.createTempDirectory("graft-bars").toFile
     val stream = spark.readStream
