@@ -4407,6 +4407,43 @@ object SparkEntry {
           $"n_churned",
           ($"n_new" + $"n_resurrected" - $"n_churned").as("net"))
         .orderBy($"year", $"quarter")
+    }),
+
+    // EMBEDDING DIMENSION PROFILE — the embedding-QA readout (dead or
+    // collapsed dimensions, off-center means): per-dim mean/variance/
+    // zero-fraction through DimStatsAgg, ONE typed hash aggregate
+    // whose buffer is (sums, Gram triangle, zero counts) — ~33 KB at
+    // d=64 — with map-side combine, so |partitions| buffers cross the
+    // wire however many vectors flow in. The composable alternative
+    // (double posexplode self-join) shuffles N·d² rows — the plan
+    // that dies first at corpus scale. Variance is the population
+    // form G_ii/n − mean², mirrored exactly by the oracle's
+    // avg(v²) − avg(v)².
+    "q186_embed_dim_profile" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .agg(graft.functions.DimStatsAgg($"embedding").as("__p"))
+        .select(explode($"__p.dims").as("__s"))
+        .select($"__s.i".as("dim"),
+          Fns.roundU($"__s.mean", 6).as("mean"),
+          Fns.roundU($"__s.variance", 6).as("variance"),
+          Fns.roundU($"__s.zero_frac", 6).as("zero_frac"))
+        .orderBy($"dim")
+    }),
+
+    // DIMENSION CORRELATION HOTSPOTS — q186's pair tier: the top-10
+    // most-correlated dimension pairs (redundancy → the truncation/
+    // PCA candidates q78 would drop first). Same single DimStatsAgg
+    // reduce; the d(d−1)/2 upper-triangle cells explode from the one
+    // reduced row (2016 cells at d=64 — driver-free, bounded), the
+    // cut rides |rounded corr| with an (i, j) tiebreak.
+    "q187_embed_dim_corr" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .agg(graft.functions.DimStatsAgg($"embedding").as("__p"))
+        .select(explode($"__p.pairs").as("__q"))
+        .select($"__q.i".as("i"), $"__q.j".as("j"),
+          Fns.roundU($"__q.corr", 6).as("corr"))
+        .orderBy(abs($"corr").desc, $"i", $"j")
+        .limit(10)
     })
   )
 
@@ -8569,7 +8606,38 @@ object SparkEntry {
         |  coalesce(n_churned, 0) AS n_churned,
         |  n_new + n_resurrected - coalesce(n_churned, 0) AS net
         |FROM st LEFT JOIN ch ON st.qi = ch.qi
-        |ORDER BY year, quarter""".stripMargin
+        |ORDER BY year, quarter""".stripMargin,
+
+    "q186_embed_dim_profile" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(i AS INT) AS i,
+        |    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, embedding,
+        |    unnest(range(len(embedding))) AS i FROM embeddings))
+        |SELECT i AS dim,
+        |  floor(avg(v) * 1000000 + 0.5) / 1000000.0 AS mean,
+        |  floor((avg(v * v) - avg(v) * avg(v)) * 1000000 + 0.5)
+        |    / 1000000.0 AS variance,
+        |  floor(avg(CASE WHEN v = 0 THEN 1.0 ELSE 0.0 END)
+        |    * 1000000 + 0.5) / 1000000.0 AS zero_frac
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q187_embed_dim_corr" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(i AS INT) AS i,
+        |    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, embedding,
+        |    unnest(range(len(embedding))) AS i FROM embeddings)),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    floor((avg(a.v * b.v) - avg(a.v) * avg(b.v))
+        |      / sqrt((avg(a.v * a.v) - avg(a.v) * avg(a.v))
+        |        * (avg(b.v * b.v) - avg(b.v) * avg(b.v)))
+        |      * 1000000 + 0.5) / 1000000.0 AS corr
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+        |  GROUP BY 1, 2)
+        |SELECT i, j, corr FROM p
+        |ORDER BY abs(corr) DESC, i, j LIMIT 10""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
