@@ -752,6 +752,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(bhj.nonEmpty, "part dim must broadcast")
   }
 
+  test("q186/q187 dim stats: one Gram reduce, no joins, no explode " +
+      "of the corpus") {
+    // the whole point of DimStatsAgg is that the d×d surface comes
+    // off ONE aggregate — a join or a pre-aggregate explode in the
+    // plan means the N·d² posexplode shape crept back
+    for (q <- Seq("q186_embed_dim_profile", "q187_embed_dim_corr")) {
+      val p = plan(q)
+      val joins = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.isEmpty, s"$q grew a join:\n$p")
+      val scans = collectAll(p) { case f: FileSourceScanExec => f }
+      assert(scans.length === 1, s"$q scanned ${scans.length} times")
+    }
+  }
+
   test("q185 growth accounting: set algebra only — no windows, " +
       "equi-joins only") {
     val p = plan("q185_growth_accounting")
