@@ -4444,6 +4444,50 @@ object SparkEntry {
           Fns.roundU($"__q.corr", 6).as("corr"))
         .orderBy(abs($"corr").desc, $"i", $"j")
         .limit(10)
+    }),
+
+    // POSITION-BASED (U-SHAPED) ATTRIBUTION — completes the
+    // attribution trio (last-touch q107, time-decay q161): first and
+    // last touch take 40% each, the middle splits the remaining 20%
+    // evenly (k=1 → 100%, k=2 → 50/50). Same user-keyed 7-day window
+    // join as q161; first/last are ONE (min, max) aggregate over the
+    // total (touch-time, event-id) key — the event-id tiebreak makes
+    // same-timestamp paths deterministic on both engines, never a
+    // per-purchase window sort. Weights are exact small rationals
+    // from integer k, so value conservation survives the hash check.
+    "q188_position_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pur = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("__pid"),
+          unix_micros($"ts").as("__pt"), $"value")
+      val tch = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id".as("__u"), $"event_type",
+          $"event_id".as("__tid"), unix_micros($"ts").as("__tt"))
+      val j = pur.join(tch,
+        $"user_id" === $"__u" && $"__tt" <= $"__pt"
+          && $"__tt" > $"__pt" - lit(7L * 86400L * 1000000L))
+      val ext = j.groupBy($"__pid").agg(count(lit(1)).as("__k"),
+        min(struct($"__tt", $"__tid")).as("__first"),
+        max(struct($"__tt", $"__tid")).as("__last"))
+      val credited = j.join(ext, Seq("__pid"))
+        .withColumn("__w",
+          when($"__k" === 1, 1.0)
+            .when($"__k" === 2, 0.5)
+            .when(struct($"__tt", $"__tid") === $"__first", 0.4)
+            .when(struct($"__tt", $"__tid") === $"__last", 0.4)
+            .otherwise(lit(0.2) / ($"__k" - 2)))
+        .groupBy($"event_type".as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum($"value" * $"__w").as("__cv"))
+      val untouched = pur
+        .join(j.select($"__pid").distinct(), Seq("__pid"), "left_anti")
+        .agg(count(lit(1)).as("n_touches"), sum($"value").as("__cv"))
+        .select(lit("unattributed").as("channel"), $"n_touches",
+          $"__cv")
+      credited.unionByName(untouched)
+        .select($"channel", $"n_touches",
+          Fns.roundU($"__cv", 4).as("credited_value"))
+        .orderBy($"channel")
     })
   )
 
@@ -8637,7 +8681,45 @@ object SparkEntry {
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
         |  GROUP BY 1, 2)
         |SELECT i, j, corr FROM p
-        |ORDER BY abs(corr) DESC, i, j LIMIT 10""".stripMargin
+        |ORDER BY abs(corr) DESC, i, j LIMIT 10""".stripMargin,
+
+    "q188_position_attribution" ->
+      """WITH pur AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pt, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id AS u, event_type, event_id AS tid,
+        |    epoch_us(ts) AS tt
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT pid, value, event_type, tt, tid
+        |  FROM pur JOIN tch ON user_id = u AND tt <= pt
+        |    AND tt > pt - 604800000000),
+        |ext AS (
+        |  SELECT pid, CAST(count(*) AS BIGINT) AS k,
+        |    min(row(tt, tid)) AS frst, max(row(tt, tid)) AS lst
+        |  FROM j GROUP BY pid),
+        |w AS (
+        |  SELECT j.event_type, j.value,
+        |    CASE WHEN k = 1 THEN 1.0
+        |      WHEN k = 2 THEN 0.5
+        |      WHEN row(tt, tid) = frst THEN 0.4
+        |      WHEN row(tt, tid) = lst THEN 0.4
+        |      ELSE 0.2 / (k - 2) END AS w
+        |  FROM j JOIN ext USING (pid)),
+        |cr AS (
+        |  SELECT event_type AS channel,
+        |    CAST(count(*) AS BIGINT) AS n_touches,
+        |    sum(value * w) AS cv
+        |  FROM w GROUP BY 1),
+        |un AS (
+        |  SELECT 'unattributed' AS channel,
+        |    CAST(count(*) AS BIGINT) AS n_touches, sum(value) AS cv
+        |  FROM pur WHERE pid NOT IN (SELECT DISTINCT pid FROM j)),
+        |u AS (SELECT * FROM cr UNION ALL SELECT * FROM un)
+        |SELECT channel, n_touches,
+        |  floor(cv * 10000 + 0.5) / 10000.0 AS credited_value
+        |FROM u ORDER BY channel""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
