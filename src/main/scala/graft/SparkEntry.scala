@@ -4412,7 +4412,7 @@ object SparkEntry {
     // EMBEDDING DIMENSION PROFILE — the embedding-QA readout (dead or
     // collapsed dimensions, off-center means): per-dim mean/variance/
     // zero-fraction through DimStatsAgg, ONE typed hash aggregate
-    // whose buffer is (sums, Gram triangle, zero counts) — ~33 KB at
+    // whose buffer is (sums, Gram triangle, zero counts) — ~18 KB at
     // d=64 — with map-side combine, so |partitions| buffers cross the
     // wire however many vectors flow in. The composable alternative
     // (double posexplode self-join) shuffles N·d² rows — the plan
@@ -8679,7 +8679,9 @@ object SparkEntry {
         |        * (avg(b.v * b.v) - avg(b.v) * avg(b.v)))
         |      * 1000000 + 0.5) / 1000000.0 AS corr
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1, 2
+        |  HAVING (avg(a.v * a.v) - avg(a.v) * avg(a.v)) > 0
+        |    AND (avg(b.v * b.v) - avg(b.v) * avg(b.v)) > 0)
         |SELECT i, j, corr FROM p
         |ORDER BY abs(corr) DESC, i, j LIMIT 10""".stripMargin,
 

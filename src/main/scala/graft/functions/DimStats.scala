@@ -23,7 +23,7 @@ case class DimProfile(dims: Seq[DimStat], pairs: Seq[DimPair])
   * The composable alternative is a double posexplode self-join —
   * |rows|·d² narrow rows through a shuffle, the N·d² plan that dies
   * first at scale. This Aggregator keeps (sums[d], Gram upper
-  * triangle[d(d+1)/2], zero counts[d], n) — ~33 KB at d=64 —
+  * triangle[d(d+1)/2], zero counts[d], n) — ~18 KB at d=64 —
   * per partition with map-side combine, so only |partitions| buffers
   * cross the wire regardless of row count; every downstream consumer
   * works off the single reduced row (≤ d + d(d+1)/2 output cells).
@@ -45,7 +45,12 @@ class DimStatsAgg extends Aggregator[Seq[Float],
   override def reduce(b: (Long, Array[Double], Array[Double], Array[Long]),
                       a: Seq[Float])
       : (Long, Array[Double], Array[Double], Array[Long]) = {
-    if (a == null) b
+    // null AND empty both skip WITHOUT counting: an empty vector that
+    // incremented n would deflate every mean/variance by a factor that
+    // depends on which partition it landed in (count kept, moments
+    // dropped) — the partition-order-dependent output the determinism
+    // gate exists to catch
+    if (a == null || a.isEmpty) b
     else {
       val d = a.length
       val g = if (b._2.length == 0)
@@ -75,8 +80,10 @@ class DimStatsAgg extends Aggregator[Seq[Float],
   override def merge(x: (Long, Array[Double], Array[Double], Array[Long]),
                      y: (Long, Array[Double], Array[Double], Array[Long]))
       : (Long, Array[Double], Array[Double], Array[Long]) = {
-    if (y._2.length == 0) x
-    else if (x._2.length == 0) y
+    // an array-less buffer always carries n = 0 (empty vectors never
+    // count), but sum the counts anyway so no branch can drop one
+    if (y._2.length == 0) (x._1 + y._1, x._2, x._3, x._4)
+    else if (x._2.length == 0) (x._1 + y._1, y._2, y._3, y._4)
     else {
       require(x._2.length == y._2.length,
         s"DimStatsAgg: ragged vectors (${x._2.length} vs ${y._2.length})")
@@ -100,9 +107,15 @@ class DimStatsAgg extends Aggregator[Seq[Float],
         b._3(idx(i, i, d)) / n - mean(i) * mean(i))
       val dims = (0 until d).map(i =>
         DimStat(i, mean(i), vr(i), b._4(i) / n))
+      // degenerate (zero-variance) dimensions have no defined
+      // correlation — they surface in `dims` (variance 0, the q186
+      // signal) and are EXCLUDED from the pair tier rather than
+      // flooding it with NaN, which Spark sorts above every real
+      // value in q187's |corr| cut
       val pairs = for {
         i <- 0 until d
         j <- (i + 1) until d
+        if vr(i) > 0 && vr(j) > 0
       } yield DimPair(i, j,
         (b._3(idx(i, j, d)) / n - mean(i) * mean(j)) /
           math.sqrt(vr(i) * vr(j)))

@@ -35,6 +35,33 @@ class DimStatsSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("empty vectors never count — stats identical with and without " +
+      "them, in any partition order") {
+    val withEmpty: Seq[Seq[Float]] =
+      Seq(Seq.empty[Float]) ++ vecs ++ Seq(Seq.empty[Float])
+    for (parts <- Seq(1, 3)) {
+      val a = spark.createDataFrame(
+          spark.sparkContext.parallelize(withEmpty.map(Tuple1(_)), parts))
+        .toDF("embedding").agg(DimStatsAgg($"embedding")).collect()(0)
+      val b = vecs.toDF("embedding").coalesce(1)
+        .agg(DimStatsAgg($"embedding")).collect()(0)
+      assert(a === b, s"parts=$parts")
+    }
+  }
+
+  test("zero-variance dimensions report in dims but never emit NaN " +
+      "pairs") {
+    val p = vecs.toDF("embedding")
+      .agg(DimStatsAgg($"embedding").as("p"))
+      .select($"p.*").as[DimProfile].collect()(0)
+    // dim 2 is constant: it must appear in the profile with variance 0
+    assert(p.dims(2).variance === 0.0)
+    // and in no pair — 3 dims would give 3 pairs, dim-2 exclusion
+    // leaves exactly the (0,1) pair
+    assert(p.pairs.map(q => (q.i, q.j)) === Seq((0, 1)))
+    assert(!p.pairs.exists(_.corr.isNaN))
+  }
+
   test("ragged vectors fail loudly, never mis-index the triangle") {
     val e = intercept[org.apache.spark.SparkException] {
       Seq(Seq(1f, 2f), Seq(1f, 2f, 3f)).toDF("embedding")
