@@ -3463,15 +3463,21 @@ object SparkEntry {
         .agg(sum($"__n").as("__t"), count(lit(1)).as("n_types"),
           max($"__n").as("__mx"))
       cnt.join(tot, Seq("user_id"))
-        .select($"user_id", $"n_types", $"__mx", $"__t",
+        .select($"user_id", $"n_types", $"__mx", $"__t", $"__n",
           ($"__n" / $"__t").as("__p"))
         .groupBy($"user_id", $"n_types", $"__mx", $"__t")
+        // gini in EXACT integer form (t² − Σn²)/t², never 1 − Σp²: the
+        // float-sum form landed 1 ulp across a .0000005 boundary at
+        // sf0.1 (both engines compute the same longs here, so the one
+        // division — and its rounding — is bit-identical). Entropy has
+        // no integer form (ln), so it keeps the float sum.
         .agg(sum(-$"__p" * log($"__p")).as("__H"),
-          sum($"__p" * $"__p").as("__S"))
+          sum($"__n" * $"__n").as("__S2"))
         .select($"user_id", $"n_types",
           Fns.roundU($"__mx" / $"__t", 6).as("top_share"),
           Fns.roundU($"__H", 6).as("entropy"),
-          Fns.roundU(lit(1.0) - $"__S", 6).as("gini_impurity"))
+          Fns.roundU(($"__t" * $"__t" - $"__S2")
+            / ($"__t" * $"__t"), 6).as("gini_impurity"))
         .orderBy($"user_id")
     }),
 
@@ -7780,7 +7786,7 @@ object SparkEntry {
         |    CAST(max(n) AS BIGINT) AS mx
         |  FROM cnt GROUP BY 1),
         |p AS (
-        |  SELECT cnt.user_id, tot.n_types, tot.mx, tot.t,
+        |  SELECT cnt.user_id, tot.n_types, tot.mx, tot.t, n,
         |    CAST(n AS DOUBLE) / t AS p
         |  FROM cnt JOIN tot USING (user_id))
         |SELECT user_id, n_types,
@@ -7788,8 +7794,8 @@ object SparkEntry {
         |    / 1000000.0 AS top_share,
         |  floor(sum(-p * ln(p)) * 1000000 + 0.5)
         |    / 1000000.0 AS entropy,
-        |  floor((1.0 - sum(p * p)) * 1000000 + 0.5)
-        |    / 1000000.0 AS gini_impurity
+        |  floor((t * t - CAST(sum(n * n) AS BIGINT)) / (t * t)
+        |    * 1000000 + 0.5) / 1000000.0 AS gini_impurity
         |FROM p GROUP BY user_id, n_types, mx, t
         |ORDER BY user_id""".stripMargin,
 
