@@ -108,7 +108,7 @@ object SparkEntry {
       val w = Window.partitionBy($"o_orderpriority")
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
       Tables.orders(s, d)
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= 3)
         .select($"o_orderpriority", $"rk", $"o_orderkey", $"o_totalprice")
         .orderBy($"o_orderpriority", $"rk")
@@ -2345,7 +2345,8 @@ object SparkEntry {
             coalesce(lit(1.0) / (lit(60.0) + $"__rs"), lit(0.0)), 6))
       val wf = Window.partitionBy($"query_id")
         .orderBy($"rrf".desc, $"doc_id".asc)
-      fused.withColumn("rk", row_number().over(wf)).filter($"rk" <= 10)
+      fused.withColumn("rk", row_number().over(wf).cast("long"))
+        .filter($"rk" <= 10)
         .select($"query_id", $"rk", $"doc_id", $"rrf")
         .orderBy($"query_id", $"rk")
     }),
@@ -2727,7 +2728,7 @@ object SparkEntry {
       li.join(o, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(c), $"o_custkey" === $"c_custkey")
         .join(broadcast(amNations), $"c_nationkey" === $"n_nationkey")
-        .select(year($"o_orderdate").as("yr"),
+        .select(year($"o_orderdate").cast("long").as("yr"),
           ($"l_extendedprice" * (lit(1) - $"l_discount")).as("__v"),
           ($"n_name" === "BRAZIL").as("__tgt"))
         .groupBy($"yr")
@@ -3534,7 +3535,8 @@ object SparkEntry {
       val r = ord.join(first, Seq("o_custkey"))
         .groupBy(date_format($"__f", "yyyy-MM").as("cohort"),
           ((year($"o_orderdate") - year($"__f")) * 12
-            + (month($"o_orderdate") - month($"__f"))).as("age"))
+            + (month($"o_orderdate") - month($"__f")))
+            .cast("long").as("age"))
         .agg(sum($"o_totalprice".cast("decimal(18,2)"))
           .cast("double").as("__mrev"))
       val wc = Window.partitionBy($"cohort").orderBy($"age")
@@ -4283,15 +4285,16 @@ object SparkEntry {
       val cust = Tables.orders(s, d)
         .groupBy($"o_custkey")
         .agg(max($"o_orderdate").as("__last"),
-          count(lit(1)).as("__f"), sum($"o_totalprice").as("__m"),
-          // cell money reports as an EXACT decimal sum (q48's rule):
-          // a rounded double avg sat on a .005 boundary at sf0.01 and
-          // hash-mismatched on summation order alone
+          count(lit(1)).as("__f"),
+          // monetary is an EXACT decimal sum everywhere — both the
+          // reported cell total AND the quintile-bound input (a double
+          // sum is summation-order-dependent, so a customer sitting
+          // exactly on a bound could flip m_score between engines)
           sum($"o_totalprice".cast("decimal(18,2)")).as("__md"))
         .crossJoin(broadcast(mx))
         .select($"o_custkey",
           datediff($"__mx", $"__last").cast("long").as("__r"),
-          $"__f", $"__m", $"__md")
+          $"__f", $"__md")
       def qb(c: String) = Percentiles
         .exactQuantiles(cust.withColumn("__g", lit(1)), "__g", c,
           Seq(0.2, 0.4, 0.6, 0.8))
@@ -4302,11 +4305,15 @@ object SparkEntry {
           (acc, b) => acc + when(x > b, 1).otherwise(0))
       cust.crossJoin(broadcast(qb("__r")))
         .crossJoin(broadcast(qb("__f")))
-        .crossJoin(broadcast(qb("__m")))
-        // recency inverts: score 5 = most recent (smallest gap)
-        .select((lit(6) - score($"__r", $"__bs__r")).as("r_score"),
-          score($"__f", $"__bs__f").as("f_score"),
-          score($"__m", $"__bs__m").as("m_score"), $"__md")
+        .crossJoin(broadcast(qb("__md")))
+        // recency inverts: score 5 = most recent (smallest gap).
+        // Scores cast to long so the output type matches the oracle's
+        // BIGINT (the driver's hash is type-sensitive).
+        .select((lit(6) - score($"__r", $"__bs__r")).cast("long")
+            .as("r_score"),
+          score($"__f", $"__bs__f").cast("long").as("f_score"),
+          score($"__md", $"__bs__md").cast("long").as("m_score"),
+          $"__md")
         .groupBy($"r_score", $"f_score", $"m_score")
         .agg(count(lit(1)).as("n_cust"),
           sum($"__md").as("sum_monetary"))
@@ -4331,7 +4338,11 @@ object SparkEntry {
         .join(fc, Seq("__d"))
         .agg(count(lit(1)).as("n_days"),
           Fns.roundU(avg(abs($"__v" - $"__f")), 2).as("mae"),
-          Fns.roundU(avg(abs($"__v" - $"__f") / $"__v"), 6).as("mape"),
+          // MAPE averages only days with v > 0 (avg skips the nulls):
+          // a zero-revenue day would otherwise poison the scorecard
+          // with Inf on both engines
+          Fns.roundU(avg(when($"__v" > 0, abs($"__v" - $"__f") / $"__v")),
+            6).as("mape"),
           Fns.roundU(avg($"__v" - $"__f"), 2).as("bias"),
           Fns.roundU(sqrt(avg(pow($"__v" - $"__f", 2))), 2).as("rmse"))
     }),
@@ -4407,8 +4418,8 @@ object SparkEntry {
         .groupBy($"qi").agg(count(lit(1)).as("n_churned"))
       statused.join(churn, Seq("qi"), "left")
         .na.fill(0L, Seq("n_churned"))
-        .select((($"qi" / 4).cast("int")).as("year"),
-          ($"qi" % 4 + 1).as("quarter"),
+        .select((($"qi" / 4).cast("long")).as("year"),
+          ($"qi" % 4 + 1).cast("long").as("quarter"),
           $"n_active", $"n_new", $"n_retained", $"n_resurrected",
           $"n_churned",
           ($"n_new" + $"n_resurrected" - $"n_churned").as("net"))
@@ -6964,7 +6975,8 @@ object SparkEntry {
         |  FROM lineitem l LEFT JOIN
         |    (SELECT DISTINCT o_orderkey FROM orders) o
         |    ON l.l_orderkey = o.o_orderkey)
-        |SELECT rule, metric, threshold, raw <= threshold AS ok FROM (
+        |SELECT rule, metric, CAST(threshold AS DOUBLE) AS threshold,
+        |  raw <= threshold AS ok FROM (
         |  SELECT 'ship_date_not_null' AS rule,
         |    floor(ship_null / n * 1000000 + 0.5) / 1000000.0 AS metric,
         |    0.0 AS threshold, ship_null / n AS raw FROM rows_m
@@ -7030,7 +7042,8 @@ object SparkEntry {
         |              + ((((l_suppkey & 65535) >> u.i) & 1) << (2*u.i+1)))
         |     FROM range(0, 16) u(i)) AS zv
         |  FROM lineitem)
-        |SELECT zv >> 16 AS bucket_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |SELECT CAST(zv >> 16 AS BIGINT) AS bucket_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
         |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
         |FROM z GROUP BY bucket_id ORDER BY bucket_id""".stripMargin,
@@ -8007,7 +8020,7 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(p) AS BIGINT) AS tpall FROM g),
         |c AS (SELECT d, sum(p) OVER (ORDER BY d) AS tp,
         |        sum(nn) OVER (ORDER BY d) AS fp FROM g)
-        |SELECT CAST(10 - d AS INT) AS threshold_rank,
+        |SELECT CAST(10 - d AS BIGINT) AS threshold_rank,
         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
         |  CAST(tpall - tp AS BIGINT) AS fn,
         |  floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000 + 0.5)
@@ -8548,7 +8561,7 @@ object SparkEntry {
         |  SELECT o_custkey,
         |    date_diff('day', CAST(max(o_orderdate) AS DATE),
         |      CAST((SELECT m FROM mx) AS DATE)) AS r,
-        |    CAST(count(*) AS BIGINT) AS f, sum(o_totalprice) AS mny,
+        |    CAST(count(*) AS BIGINT) AS f,
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS md
         |  FROM orders GROUP BY 1),
         |qs AS (SELECT CAST(q AS DOUBLE) AS q
@@ -8565,14 +8578,17 @@ object SparkEntry {
         |  WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))),
         |mb AS (
         |  SELECT v AS b FROM (
-        |    SELECT mny AS v, row_number() OVER (ORDER BY mny) AS rn,
+        |    SELECT md AS v, row_number() OVER (ORDER BY md) AS rn,
         |      count(*) OVER () AS n FROM cust), qs
         |  WHERE rn = greatest(1, CAST(ceil(q * n) AS BIGINT))),
         |sc AS (
         |  SELECT
-        |    6 - (1 + (SELECT count(*) FROM rb WHERE c.r > b)) AS r_score,
-        |    1 + (SELECT count(*) FROM fb WHERE c.f > b) AS f_score,
-        |    1 + (SELECT count(*) FROM mb WHERE c.mny > b) AS m_score,
+        |    CAST(6 - (1 + (SELECT count(*) FROM rb WHERE c.r > b))
+        |      AS BIGINT) AS r_score,
+        |    CAST(1 + (SELECT count(*) FROM fb WHERE c.f > b)
+        |      AS BIGINT) AS f_score,
+        |    CAST(1 + (SELECT count(*) FROM mb WHERE c.md > b)
+        |      AS BIGINT) AS m_score,
         |    md
         |  FROM cust c)
         |SELECT r_score, f_score, m_score,
@@ -8591,8 +8607,8 @@ object SparkEntry {
         |  WHERE d.dd >= DATE '2000-01-01' AND d.dd < DATE '2001-01-01')
         |SELECT CAST(count(*) AS BIGINT) AS n_days,
         |  floor(avg(abs(v - f)) * 100 + 0.5) / 100.0 AS mae,
-        |  floor(avg(abs(v - f) / v) * 1000000 + 0.5)
-        |    / 1000000.0 AS mape,
+        |  floor(avg(CASE WHEN v > 0 THEN abs(v - f) / v END)
+        |    * 1000000 + 0.5) / 1000000.0 AS mape,
         |  floor(avg(v - f) * 100 + 0.5) / 100.0 AS bias,
         |  floor(sqrt(avg((v - f) * (v - f))) * 100 + 0.5)
         |    / 100.0 AS rmse
@@ -8651,7 +8667,8 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM act a
         |    WHERE a.c = s.c AND a.qi = s.qi)
         |  GROUP BY 1)
-        |SELECT CAST(st.qi // 4 AS INT) AS year, st.qi % 4 + 1 AS quarter,
+        |SELECT CAST(st.qi // 4 AS BIGINT) AS year,
+        |  CAST(st.qi % 4 + 1 AS BIGINT) AS quarter,
         |  n_active, n_new, n_retained, n_resurrected,
         |  coalesce(n_churned, 0) AS n_churned,
         |  n_new + n_resurrected - coalesce(n_churned, 0) AS net
@@ -8680,14 +8697,17 @@ object SparkEntry {
         |    unnest(range(len(embedding))) AS i FROM embeddings)),
         |p AS (
         |  SELECT a.i AS i, b.i AS j,
-        |    floor((avg(a.v * b.v) - avg(a.v) * avg(b.v))
+        |    floor(greatest(-1.0, least(1.0,
+        |      (avg(a.v * b.v) - avg(a.v) * avg(b.v))
         |      / sqrt((avg(a.v * a.v) - avg(a.v) * avg(a.v))
-        |        * (avg(b.v * b.v) - avg(b.v) * avg(b.v)))
+        |        * (avg(b.v * b.v) - avg(b.v) * avg(b.v)))))
         |      * 1000000 + 0.5) / 1000000.0 AS corr
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
         |  GROUP BY 1, 2
-        |  HAVING (avg(a.v * a.v) - avg(a.v) * avg(a.v)) > 0
-        |    AND (avg(b.v * b.v) - avg(b.v) * avg(b.v)) > 0)
+        |  HAVING (avg(a.v * a.v) - avg(a.v) * avg(a.v))
+        |      > 1e-12 * avg(a.v * a.v)
+        |    AND (avg(b.v * b.v) - avg(b.v) * avg(b.v))
+        |      > 1e-12 * avg(b.v * b.v))
         |SELECT i, j, corr FROM p
         |ORDER BY abs(corr) DESC, i, j LIMIT 10""".stripMargin,
 
@@ -8783,11 +8803,12 @@ object SparkEntry {
         valCol, (1 to 9).map(_ / 10.0))
       .agg(sort_array(collect_list($"value")).as("__bs"))
 
-  /** Decile 1 = top values: 10 − (#bounds strictly below x). */
+  /** Decile 1 = top values: 10 − (#bounds strictly below x). Long so
+    * the emitted column type matches the oracle's BIGINT exactly. */
   private def decileOf(x: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    lit(10) - aggregate($"__bs", lit(0),
-      (acc, b) => acc + when(x > b, 1).otherwise(0))
+    (lit(10) - aggregate($"__bs", lit(0),
+      (acc, b) => acc + when(x > b, 1).otherwise(0))).cast("long")
 
   private def cappedBaskets(s: SparkSession, d: String, cap: Int)
       : org.apache.spark.sql.DataFrame =

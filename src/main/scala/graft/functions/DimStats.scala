@@ -111,14 +111,23 @@ class DimStatsAgg extends Aggregator[Seq[Float],
       // correlation — they surface in `dims` (variance 0, the q186
       // signal) and are EXCLUDED from the pair tier rather than
       // flooding it with NaN, which Spark sorts above every real
-      // value in q187's |corr| cut
+      // value in q187's |corr| cut. The gate is a RELATIVE epsilon
+      // against the second moment, not `> 0`: the variance is the
+      // cancellation-prone G_ii/n − mean², and a near-constant dim
+      // can land a few ulps positive on one engine and non-positive
+      // on another (different summation paths), flipping inclusion
+      // at the boundary. Emitted corr is clamped to [−1, 1] so a
+      // tiny surviving variance can't push it outside the domain.
+      val msq = (0 until d).map(i => b._3(idx(i, i, d)) / n)
+      def live(i: Int) = vr(i) > 1e-12 * msq(i)
       val pairs = for {
         i <- 0 until d
         j <- (i + 1) until d
-        if vr(i) > 0 && vr(j) > 0
+        if live(i) && live(j)
       } yield DimPair(i, j,
-        (b._3(idx(i, j, d)) / n - mean(i) * mean(j)) /
-          math.sqrt(vr(i) * vr(j)))
+        math.max(-1.0, math.min(1.0,
+          (b._3(idx(i, j, d)) / n - mean(i) * mean(j)) /
+            math.sqrt(vr(i) * vr(j)))))
       DimProfile(dims, pairs)
     }
   }

@@ -549,7 +549,9 @@ object Streams {
     * already-counted quarter emit nothing, so replays are idempotent
     * per quarter. Matches the batch query whenever a user's quarters
     * arrive in nondecreasing order across batches (the funnelStages
-    * contract); CHURN is inherently an absence signal — noticing it
+    * contract); a quarter arriving BELOW the stored first breaks that
+    * contract and emits a loud `contract_violation` row rather than
+    * being silently absorbed as a replay. CHURN is inherently an absence signal — noticing it
     * requires a clock, not an event — and stays with the batch form
     * by design. */
   def lifecycleTransitions(events: Dataset[ActivityEvent])
@@ -570,7 +572,17 @@ object Streams {
               out += LifecycleTransition(user, qi,
                 if (qi == last + 1) "retained" else "resurrected")
               last = qi
-            } // qi <= last: replay/late observation — nothing to emit
+            } else if (qi < first) {
+              // a quarter BELOW the stored first violates the
+              // documented nondecreasing-arrival contract (the user's
+              // true "new" quarter was misclassified). Silently
+              // classifying it as a replay would hide the parity
+              // break — emit a loud marker row instead so the
+              // violation is observable downstream; `first` is not
+              // rewritten (Append mode can't retract the earlier
+              // "new" row)
+              out += LifecycleTransition(user, qi, "contract_violation")
+            } // first <= qi <= last: replay — nothing to emit
           }
           state.update((first, last))
           out.iterator

@@ -338,15 +338,19 @@ class StreamsSpec extends SparkSpec {
       assert(s1 === Set((1L, 1, "new"), (1L, 2, "retained"),
         (2L, 1, "new")))
       // batch 2: u1 jumps q2→q4 (resurrected); u2 replays q1 (no
-      // emission); u3 appears (new)
+      // emission) AND arrives at q0 BELOW its stored first — the
+      // nondecreasing contract is broken and must surface loudly,
+      // not be silently absorbed as a replay; u3 appears (new)
       dropFile(dir, "b2.json", Seq(
         """{"user_id":1,"qi":4}""",
         """{"user_id":2,"qi":1}""",
+        """{"user_id":2,"qi":0}""",
         """{"user_id":3,"qi":4}""").mkString("\n"))
       q.processAllAvailable()
       val s2 = spark.table("lifecycle").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
-      assert(s2 === s1 ++ Set((1L, 4, "resurrected"), (3L, 4, "new")))
+      assert(s2 === s1 ++ Set((1L, 4, "resurrected"), (3L, 4, "new"),
+        (2L, 0, "contract_violation")))
     } finally q.stop()
   }
 
