@@ -4505,6 +4505,31 @@ object SparkEntry {
         .select($"channel", $"n_touches",
           Fns.roundU($"__cv", 4).as("credited_value"))
         .orderBy($"channel")
+    }),
+
+    // JPEG PIXEL DECODE — the format the fake tier was "waiting on a
+    // native codec" for, decoded by the JDK's OWN javax.imageio codec
+    // (zero new dependencies). Lossiness is the oracle obstacle, so
+    // the fixtures are the exactly-round-tripping profile: GRAYSCALE
+    // images whose 8×8 blocks are each constant, quality 1.0 — every
+    // AC coefficient is zero, DC quantizes at step 1, no chroma math
+    // (see JpegPixels doc). DuckDB never parses a JPEG: it recomputes
+    // the decoded means from the block-generation formula. The
+    // fixture UDF is synthesis, bounded to 48 rows; decode is the
+    // real per-partition path (RGB/lossy profiles decode through the
+    // same path, tolerance-gated in MultimodalSpec).
+    "q189_jpeg_decode" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.JpegPixels
+        .encodeGrayBlocks((2 + id % 3).toInt, (1 + id % 4).toInt,
+          (bx, by) => ((id * 31 + bx * 17 + by * 7) % 256).toInt))
+      val imgs = Tables.documents(s, d).filter($"doc_id" < 48)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeJpegFeatures(imgs, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"width", $"height", $"channels",
+          Fns.roundU($"mean_r", 4).as("mean_r"),
+          Fns.roundU($"mean_luma", 4).as("mean_luma"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -8747,7 +8772,31 @@ object SparkEntry {
         |u AS (SELECT * FROM cr UNION ALL SELECT * FROM un)
         |SELECT channel, n_touches,
         |  floor(cv * 10000 + 0.5) / 10000.0 AS credited_value
-        |FROM u ORDER BY channel""".stripMargin
+        |FROM u ORDER BY channel""".stripMargin,
+
+    // q189: the oracle recomputes decoded means from the block
+    // formula — it never parses a JPEG; exactness comes from the
+    // round-trip-exact fixture profile (see JpegPixels doc). The mean
+    // is the same integer ratio on both engines: 64·Σv / (wb·hb·64).
+    "q189_jpeg_decode" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, 2 + doc_id % 3 AS wb,
+        |    1 + doc_id % 4 AS hb
+        |  FROM documents WHERE doc_id < 48),
+        |blocks AS (
+        |  SELECT d.id, d.wb, d.hb,
+        |    (d.id * 31 + bx.i * 17 + by.i * 7) % 256 AS v
+        |  FROM ids d, range(0, 4) bx(i), range(0, 4) by(i)
+        |  WHERE bx.i < d.wb AND by.i < d.hb),
+        |m AS (
+        |  SELECT id, wb, hb,
+        |    CAST(64 * sum(v) AS DOUBLE) / (wb * hb * 64) AS mean
+        |  FROM blocks GROUP BY 1, 2, 3)
+        |SELECT id AS doc_id, CAST(wb * 8 AS INT) AS width,
+        |  CAST(hb * 8 AS INT) AS height, CAST(1 AS INT) AS channels,
+        |  floor(mean * 10000 + 0.5) / 10000.0 AS mean_r,
+        |  floor(mean * 10000 + 0.5) / 10000.0 AS mean_luma
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

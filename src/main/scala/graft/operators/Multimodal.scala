@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    ([[decodeWavFeatures]]) and uncompressed YUV4MPEG2 video frames
   *    ([[decodeY4mFeatures]]) — all three modality tiers (image,
   *    audio, video) have a fake-free slice, including one COMPRESSED
-  *    format. Only formats that genuinely need native codecs (JPEG
-  *    pixels, compressed audio, coded video) keep the DETERMINISTIC
+  *    format — and baseline JPEG pixels are REAL too
+  *    ([[decodeJpegFeatures]], the JDK's own `javax.imageio` codec,
+  *    zero new dependencies). Only formats that genuinely need native
+  *    codecs (compressed audio, coded video) keep the DETERMINISTIC
   *    FAKE tier (clearly marked `fake*` below): features derived from
   *    xxhash64 of the payload. The surrounding plumbing —
   *    binary representation, schemas, batch shapes, per-partition codec
@@ -229,6 +231,36 @@ object Multimodal {
           graft.functions.Y4mFrames.decode(bytes).map(f =>
             Y4mFeatureRow(id, f.width, f.height, f.fpsNum, f.fpsDen,
               f.nFrames, f.meanY, f.meanCb, f.meanCr, f.motion))
+        }
+      }
+  }
+
+  /** Decoded pixel-feature record for payloads the JDK's `javax.imageio`
+    * JPEG codec handles; non-JPEG/corrupt payloads are dropped. */
+  case class JpegFeatureRow(id: Long, width: Int, height: Int,
+                            channels: Int, mean_r: Double, mean_g: Double,
+                            mean_b: Double, mean_luma: Double)
+
+  /** REAL pixel-tier decode for baseline JPEG payloads
+    * ([[graft.functions.JpegPixels]] — the JDK's own `javax.imageio`
+    * codec, stock in every JDK, no native library): per-image channel
+    * means + Rec.601 luma, partition-local, same batch shape as the
+    * other decoders. This retires JPEG from the fake tier — grayscale
+    * constant-block fixtures at quality 1.0 round-trip EXACTLY (see
+    * [[graft.functions.JpegPixels]]) and are DuckDB-oracled in q189;
+    * arbitrary lossy JPEGs decode through the same path with
+    * tolerance-gated spec coverage. */
+  def decodeJpegFeatures(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[JpegFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.JpegPixels.decode(bytes).map(f =>
+            JpegFeatureRow(id, f.width, f.height, f.channels, f.meanR,
+              f.meanG, f.meanB, f.meanLuma))
         }
       }
   }

@@ -273,4 +273,55 @@ class MultimodalSpec extends SparkSpec {
       queries, "id", "vec", k = 3).collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("decodeJpegFeatures: JDK-codec decode; gray constant-block " +
+      "fixtures round-trip EXACTLY (the q189 oracle contract)") {
+    import graft.functions.JpegPixels
+    // the oracle's exactness claim, exercised well beyond q189's 48
+    // fixtures: many shapes × value patterns, including 0 and 255
+    // block extremes — ANY quantization or level-shift slip breaks
+    // equality, not a tolerance
+    for (seed <- 0L until 20L) {
+      val (wb, hb) = ((1 + seed % 4).toInt, (1 + seed % 3).toInt)
+      def v(bx: Int, by: Int): Int =
+        if (seed == 0 && bx == 0) 0
+        else if (seed == 1 && bx == 0) 255
+        else ((seed * 31 + bx * 17 + by * 7) % 256).toInt
+      val bytes = JpegPixels.encodeGrayBlocks(wb, hb, v)
+      val f = JpegPixels.decode(bytes).get
+      assert((f.width, f.height, f.channels) === ((wb * 8, hb * 8, 1)))
+      val exp = (for (bx <- 0 until wb; by <- 0 until hb)
+        yield v(bx, by).toLong).sum * 64.0 / (wb * hb * 64)
+      assert(f.meanLuma === exp, s"seed=$seed") // EXACT, no epsilon
+      assert(f.meanR === exp && f.meanG === exp && f.meanB === exp)
+    }
+  }
+
+  test("decodeJpegFeatures: lossy RGB decodes for real (tolerance-" +
+      "gated) and corrupt payloads are data, not exceptions") {
+    import graft.functions.JpegPixels
+    // smooth gradient: subsampled chroma shifts means only slightly,
+    // so a ±2.5/channel tolerance separates "real decode" from any
+    // hash-fake while absorbing codec loss
+    val rgb = JpegPixels.encodeRgb(32, 24,
+      (x, y) => (x * 4, y * 5, 128 + (x - y)))
+    val gray = JpegPixels.encodeGrayBlocks(2, 2, (bx, by) => 60 + 50 * bx)
+    val df = Seq((1L, rgb), (2L, gray), (3L, rgb.take(10)),
+        (4L, null.asInstanceOf[Array[Byte]]),
+        (5L, Array[Byte](1, 2, 3, 4)))
+      .toDF("id", "payload")
+    val f = Multimodal.decodeJpegFeatures(df, "id", "payload")
+      .collect().map(r => r.id -> r).toMap
+    assert(f.keySet === Set(1L, 2L))
+    assert((f(1L).width, f(1L).height, f(1L).channels) === ((32, 24, 3)))
+    val px = for (x <- 0 until 32; y <- 0 until 24)
+      yield (x * 4, y * 5, 128 + (x - y))
+    assert(math.abs(f(1L).mean_r - px.map(_._1).sum / 768.0) < 2.5)
+    assert(math.abs(f(1L).mean_g - px.map(_._2).sum / 768.0) < 2.5)
+    assert(math.abs(f(1L).mean_b - px.map(_._3).sum / 768.0) < 2.5)
+    assert(f(2L).mean_luma === (60.0 + 110.0) / 2)
+    // the JPEG fixture also satisfies the existing header parser
+    assert(graft.functions.MediaHeaders.parse(rgb)
+      .map(m => (m.format, m.width, m.height)) === Some(("jpeg", 32, 24)))
+  }
 }
