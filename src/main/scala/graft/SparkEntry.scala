@@ -4530,6 +4530,146 @@ object SparkEntry {
           Fns.roundU($"mean_r", 4).as("mean_r"),
           Fns.roundU($"mean_luma", 4).as("mean_luma"))
         .orderBy($"doc_id")
+    }),
+
+    // GEO RADIUS JOIN — "suppliers within 60 km of each customer" per
+    // nation, through Geo.radiusJoin's grid-cell equi-join (shuffle
+    // |C| + 9·|S| keyed rows; NEVER the cartesian product Spark would
+    // plan for the raw inequality join — the oracle runs exactly that
+    // cross-join-filter and must agree row-for-row, which is the
+    // correctness proof of the 3×3 neighborhood). Coordinates are the
+    // engine-portable Knuth-hash fixtures; the planar metric is pure
+    // IEEE arithmetic so the d ≤ r predicate decides identically on
+    // both engines, and per-customer nearest distances integerize to
+    // metres before the nation-level average (exact long sums — no
+    // summation-order boundary).
+    "q190_geo_radius_join" -> ((s, d) => {
+      val (clat, clon) = Geo.syntheticPoint($"c_custkey")
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey",
+          clat.as("c_lat"), clon.as("c_lon"))
+      val (slat, slon) = Geo.syntheticPoint($"s_suppkey" + lit(500000L))
+      val sup = Tables.supplier(s, d)
+        .select($"s_suppkey", slat.as("s_lat"), slon.as("s_lon"))
+      val pairs = Geo.radiusJoin(cust, "c_lat", "c_lon",
+        sup, "s_lat", "s_lon", radiusKm = 60.0)
+      val per = pairs.groupBy($"c_custkey", $"c_nationkey")
+        .agg(count(lit(1)).as("__k"),
+          floor(min($"dist_km") * 1000 + 0.5).as("__nm"))
+      val base = cust.groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val nat = per.groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_matched"), sum($"__k").as("n_pairs"),
+          Fns.roundU(sum($"__nm").cast("double") / count(lit(1))
+            / 1000.0, 4).as("avg_nearest_km"),
+          max($"__k").as("max_within"))
+      base.join(nat, Seq("c_nationkey"), "left")
+        .na.fill(0L, Seq("n_matched", "n_pairs", "max_within"))
+        .select($"c_nationkey", $"n_cust", $"n_matched", $"n_pairs",
+          $"avg_nearest_km", $"max_within")
+        .orderBy($"c_nationkey")
+    }),
+
+    // WAITING SUPPLIERS (TPC-H Q21's plan shape): the sole-blame
+    // pattern — a supplier was LATE on a finished multi-supplier order
+    // while every OTHER supplier was on time. Two correlated
+    // subqueries against the same derived table become one LEFT SEMI
+    // (another supplier exists) and one LEFT ANTI (no other late
+    // supplier) hash join, both keyed on the order with the
+    // same-supplier inequality as residual condition — never a
+    // cartesian, never a per-order loop. "Late" = shipped > 90 days
+    // after order date (this schema carries no commit/receipt dates).
+    "q191_waiting_suppliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderkey".as("__o"), $"l_suppkey".as("__s"),
+          (to_date($"l_shipdate") >
+            date_add(to_date($"o_orderdate"), 90)).as("__late"))
+      // distinct (order, supplier) sets: blame is per supplier, not
+      // per line — persisted, both feed two joins each
+      val sups = li.select($"__o", $"__s").distinct().persist()
+      val lateS = li.filter($"__late").select($"__o", $"__s")
+        .distinct().persist()
+      val waiting = lateS.as("a")
+        .join(sups.as("o2"), col("a.__o") === col("o2.__o")
+          && col("a.__s") =!= col("o2.__s"), "left_semi")
+        .join(lateS.as("l2"), col("a.__o") === col("l2.__o")
+          && col("a.__s") =!= col("l2.__s"), "left_anti")
+      waiting.groupBy($"__s")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select($"s_suppkey", $"s_name")),
+          $"__s" === $"s_suppkey")
+        .select($"s_name", $"numwait")
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    }),
+
+    // MIN-COST SUPPLIER (TPC-H Q2's plan shape): for each qualifying
+    // part, the cheapest regional supplier — the groupwise-argmin-
+    // against-a-correlated-aggregate pattern. Supply costs derive from
+    // observed lineitem unit prices (this schema has no partsupp);
+    // the argmin is ONE min(struct(cost, suppkey)) hash aggregate —
+    // total order, engine-exact tie-break, no window sort — and every
+    // dimension join is a broadcast.
+    "q192_min_cost_supplier" -> ((s, d) => {
+      val eur = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val costs = Tables.lineitem(s, d)
+        .join(broadcast(eur.select($"s_suppkey".as("__sk"))),
+          $"l_suppkey" === $"__sk", "left_semi")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min($"l_extendedprice" / $"l_quantity").as("__c"))
+      val best = costs
+        .groupBy($"l_partkey")
+        .agg(min(struct($"__c", $"l_suppkey")).as("__b"))
+        .select($"l_partkey", $"__b.__c".as("__c"),
+          $"__b.l_suppkey".as("__sk"))
+      best
+        .join(broadcast(Tables.part(s, d)
+          .filter($"p_type" === "PROMO" && $"p_size" % 5 === 0)
+          .select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .join(broadcast(eur), $"__sk" === $"s_suppkey")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
+          $"p_brand", Fns.roundU($"__c", 4).as("supply_cost"))
+        .orderBy($"s_acctbal".desc, $"s_name", $"p_partkey")
+        .limit(50)
+    }),
+
+    // IMPORTANT PARTS (TPC-H Q11's plan shape): parts holding an
+    // outsized share of one nation's supplied value — the group-
+    // aggregate-vs-global-aggregate correlated HAVING. INTEGER-EXACT:
+    // line values become cents (floor(x·100+0.5), identical doubles
+    // both engines), per-part and national totals are long sums, and
+    // the share gate is the cross-multiplied integer test
+    // 1000·part_cents > total_cents — no floating threshold anywhere.
+    "q193_important_parts" -> ((s, d) => {
+      val natSup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter($"n_name" === "NATION_7")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey".as("__sk"))
+      val cents = Tables.lineitem(s, d)
+        .join(broadcast(natSup), $"l_suppkey" === $"__sk", "left_semi")
+        .select($"l_partkey",
+          floor($"l_extendedprice" * 100 + 0.5).as("__cents"))
+      val perPart = cents.groupBy($"l_partkey")
+        .agg(sum($"__cents").as("__pc"))
+      val tot = perPart.agg(sum($"__pc").as("__tc"))
+      perPart.crossJoin(broadcast(tot))
+        .filter($"__pc" * 1000 > $"__tc")
+        .select($"l_partkey".as("p_partkey"),
+          ($"__pc".cast("double") / 100.0).as("value"))
+        .orderBy($"value".desc, $"p_partkey")
     })
   )
 
@@ -8796,7 +8936,127 @@ object SparkEntry {
         |  CAST(hb * 8 AS INT) AS height, CAST(1 AS INT) AS channels,
         |  floor(mean * 10000 + 0.5) / 10000.0 AS mean_r,
         |  floor(mean * 10000 + 0.5) / 10000.0 AS mean_luma
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q190: the oracle IS the cartesian product + distance filter the
+    // grid join replaces — row-for-row agreement proves the 3×3 cell
+    // neighborhood loses no within-radius pair. Same Knuth-hash
+    // coordinates, same IEEE-exact planar metric, same operation order.
+    "q190_geo_radius_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    40.0 + ((c_custkey % 2147483647) * 2654435761 % 4294967296)
+        |      / 4294967296.0 * 10.0 AS lat,
+        |    -80.0 + (((c_custkey + 1000003) % 2147483647) * 2654435761
+        |      % 4294967296) / 4294967296.0 * 10.0 AS lon
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    40.0 + (((s_suppkey + 500000) % 2147483647) * 2654435761
+        |      % 4294967296) / 4294967296.0 * 10.0 AS lat,
+        |    -80.0 + (((s_suppkey + 500000 + 1000003) % 2147483647)
+        |      * 2654435761 % 4294967296) / 4294967296.0 * 10.0 AS lon
+        |  FROM supplier),
+        |w AS (
+        |  SELECT c.c_custkey, c.c_nationkey,
+        |    sqrt(((c.lat - s.lat) * 111.0) * ((c.lat - s.lat) * 111.0)
+        |       + ((c.lon - s.lon) * 85.0) * ((c.lon - s.lon) * 85.0))
+        |      AS d
+        |  FROM c, s
+        |  WHERE sqrt(((c.lat - s.lat) * 111.0)
+        |        * ((c.lat - s.lat) * 111.0)
+        |       + ((c.lon - s.lon) * 85.0) * ((c.lon - s.lon) * 85.0))
+        |      <= 60.0),
+        |per AS (
+        |  SELECT c_custkey, c_nationkey, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(floor(min(d) * 1000 + 0.5) AS BIGINT) AS nm
+        |  FROM w GROUP BY 1, 2),
+        |base AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust
+        |  FROM c GROUP BY 1),
+        |agg AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_matched,
+        |    CAST(sum(k) AS BIGINT) AS n_pairs,
+        |    floor(CAST(sum(nm) AS DOUBLE) / count(*) / 1000.0 * 10000
+        |      + 0.5) / 10000.0 AS avg_nearest_km,
+        |    CAST(max(k) AS BIGINT) AS max_within
+        |  FROM per GROUP BY 1)
+        |SELECT b.c_nationkey, b.n_cust,
+        |  coalesce(n_matched, 0) AS n_matched,
+        |  coalesce(n_pairs, 0) AS n_pairs, avg_nearest_km,
+        |  coalesce(max_within, 0) AS max_within
+        |FROM base b LEFT JOIN agg USING (c_nationkey)
+        |ORDER BY c_nationkey""".stripMargin,
+
+    // q191: the EXISTS/NOT EXISTS pair verbatim — DuckDB plans the
+    // correlated subqueries its own way; the Spark side must reach the
+    // same rows through its semi/anti joins
+    "q191_waiting_suppliers" ->
+      """WITH l AS (
+        |  SELECT o_orderkey AS o, l_suppkey AS sk,
+        |    CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+        |      AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |sups AS (SELECT DISTINCT o, sk FROM l),
+        |lates AS (SELECT DISTINCT o, sk FROM l WHERE late),
+        |w AS (
+        |  SELECT * FROM lates a
+        |  WHERE EXISTS (SELECT 1 FROM sups o2
+        |                WHERE o2.o = a.o AND o2.sk <> a.sk)
+        |    AND NOT EXISTS (SELECT 1 FROM lates l2
+        |                    WHERE l2.o = a.o AND l2.sk <> a.sk))
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM w JOIN supplier ON sk = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    // q192: argmin via row_number over (cost, suppkey) — the same
+    // total order as Spark's min(struct(...))
+    "q192_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |costs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS c
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM eur)
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT l_partkey, c, l_suppkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY c, l_suppkey) AS rn FROM costs)
+        |  WHERE rn = 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  floor(c * 10000 + 0.5) / 10000.0 AS supply_cost
+        |FROM best
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN eur ON l_suppkey = s_suppkey
+        |WHERE p_type = 'PROMO' AND p_size % 5 = 0
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 50"""
+        .stripMargin,
+
+    // q193: integer-cents share gate, cross-multiplied — no floating
+    // threshold on either engine
+    "q193_important_parts" ->
+      """WITH cents AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_7')),
+        |pp AS (SELECT l_partkey, CAST(sum(c) AS BIGINT) AS pc
+        |       FROM cents GROUP BY 1),
+        |t AS (SELECT CAST(sum(pc) AS BIGINT) AS tc FROM pp)
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(pc AS DOUBLE) / 100.0 AS value
+        |FROM pp, t WHERE pc * 1000 > tc
+        |ORDER BY value DESC, p_partkey""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -781,4 +781,47 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"non-equi join in q185: $bad")
   }
+
+  test("q190 geo radius join: grid equi-join, never the cartesian the " +
+      "raw distance predicate would plan") {
+    val p = plan("q190_geo_radius_join")
+    val bad = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        j.nodeName
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi join in q190: $bad")
+  }
+
+  test("q191 waiting suppliers: blame subqueries are hash semi/anti " +
+      "joins keyed on the order (inequality stays residual)") {
+    val p = plan("q191_waiting_suppliers")
+    val bad = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        j.nodeName
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi join in q191: $bad")
+    val semiAnti = collectAll(p) {
+      case j: BroadcastHashJoinExec
+        if j.joinType.toString.matches("LeftSemi|LeftAnti") => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType.toString.matches("LeftSemi|LeftAnti") => j
+      case j: SortMergeJoinExec
+        if j.joinType.toString.matches("LeftSemi|LeftAnti") => j
+    }
+    assert(semiAnti.length >= 2,
+      s"expected semi+anti hash joins, got ${semiAnti.length}")
+  }
+
+  test("q192 min-cost supplier: every dimension broadcasts; argmin is " +
+      "an aggregate, not a window sort") {
+    val p = plan("q192_min_cost_supplier")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, "q192 argmin grew a window")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.length >= 3, s"expected ≥3 broadcast joins, got ${bhj.length}")
+  }
 }
