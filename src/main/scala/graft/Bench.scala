@@ -84,7 +84,23 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only the tail of the sbt log, so with ~200
+    // queries the per-query map can be truncated in BENCH_r{N}.json.
+    // Persist the full artifact (long names, all timings) in the repo so
+    // round-over-round regression checks never depend on the log window.
+    try {
+      val full = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val payload =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"errors":$errs,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_last.json"),
+        payload.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -4670,6 +4670,187 @@ object SparkEntry {
         .select($"l_partkey".as("p_partkey"),
           ($"__pc".cast("double") / 100.0).as("value"))
         .orderBy($"value".desc, $"p_partkey")
+    }),
+
+    // IMA ADPCM DECODE — COMPRESSED audio under the ORACLE: build
+    // valid mono IMA/DVI ADPCM WAVs directly from closed-form
+    // COMPRESSED content (per-block predictor/index + per-nibble
+    // values — the fixture is a formula, not an encoder run; UDF is
+    // bounded fixture synthesis), decode them with the real integer
+    // state machine (Multimodal.decodeAdpcmFeatures), and report
+    // amplitude stats plus the LAST decoded sample — which depends on
+    // every state transition, so decode order is pinned, not just
+    // moments. DuckDB never parses a WAV: it replays the exact
+    // public-table recurrence as a recursive CTE joined to the step/
+    // index tables. Any nibble-order, clamp, or table bug breaks the
+    // hash. With this the audio tier has a compressed fake-free slice
+    // (PCM: q95); only perceptual codecs (MP3/AAC) stay injected.
+    "q194_adpcm_decode" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.AdpcmWav.encodeRaw(
+        8000 + (id % 3).toInt * 4000,
+        12 + (id % 2).toInt * 4,
+        2 + (id % 3).toInt,
+        blk => ((id * 131 + blk * 71) % 2001).toInt - 1000,
+        blk => ((id * 11 + blk * 17) % 89).toInt,
+        (blk, j) => ((id * 7 + blk * 5 + j * 3) % 16).toInt))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeAdpcmFeatures(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"sample_rate", $"n_blocks",
+          $"n_samples",
+          Fns.roundU($"mean_amp", 4).as("mean_amp"),
+          Fns.roundU($"rms", 4).as("rms"), $"peak", $"last_sample")
+        .orderBy($"doc_id")
+    }),
+
+    // MJPEG VIDEO DECODE — CODED video under the ORACLE: build real
+    // Motion-JPEG AVI files (RIFF container, per-frame baseline JPEG)
+    // from the exactly-round-tripping grayscale constant-block profile
+    // (q189's proof), walk the AVI LIST structure and decode every
+    // frame with the JDK's own javax.imageio codec
+    // (Multimodal.decodeMjpegFeatures). mean luma and inter-frame
+    // motion are integer pixel sums with ONE final double division, so
+    // DuckDB recomputes both from the block formula without parsing a
+    // byte — container-walk, frame-boundary, or codec bugs break the
+    // hash. With q104 (uncompressed Y4M) the video tier now has both
+    // an uncompressed and a CODED fake-free slice; only inter-frame
+    // codecs (H.264/VP9) stay on the injected-codec path.
+    "q195_mjpeg_decode" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.MjpegAvi.encodeGrayBlocks(
+        1 + (id % 3).toInt, 1 + (id % 2).toInt, 2 + (id % 3).toInt,
+        (f, bx, by) => ((id * 31 + f * 29 + bx * 7 + by * 13) % 256).toInt))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeMjpegFeatures(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"n_frames", $"width", $"height",
+          $"channels",
+          Fns.roundU($"mean_luma", 4).as("mean_luma"),
+          Fns.roundU($"motion", 4).as("motion"))
+        .orderBy($"doc_id")
+    }),
+
+    // CLAMPED RUNNING BALANCE — the inventory ledger recurrence
+    // b_t = max(0, b_{t-1} + delta_t), which is NOT a linear window
+    // aggregate, computed distributed anyway via the prefix-sum
+    // identity  b_t = S_t - min(0, min_{k<=t} S_k): one running sum
+    // and one running min over the same (partkey, event-order) window
+    // — same shuffle, same sort, no iteration. Returns ('R') restock,
+    // everything else issues; lost (unserved) units fall out of the
+    // same identity as -min(0, global min prefix). All-integer:
+    // quantities are exact BIGINTs, so no float boundary anywhere.
+    // Scales as one hash-partition by partkey + per-key sort — the
+    // 100 TB shape of every per-entity ledger replay.
+    "q196_clamped_balance" -> ((s, d) => {
+      val w = Window.partitionBy($"l_partkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_shipdate", $"l_orderkey",
+          $"l_linenumber",
+          when($"l_returnflag" === "R", $"l_quantity".cast("long"))
+            .otherwise(-$"l_quantity".cast("long")).as("__d"))
+        .withColumn("__s", sum($"__d").over(w))
+        .withColumn("__m", min($"__s").over(w))
+        .withColumn("__bal", $"__s" - least($"__m", lit(0L)))
+        .groupBy($"l_partkey")
+        // every aggregate below is ORDER-FREE (sum/min/max/count over
+        // the window-derived columns) — end balance comes from the
+        // same identity (total sum minus clamped global min prefix),
+        // never from a row-order-dependent last()
+        .agg(count(lit(1)).as("n_events"),
+          (sum($"__d") - least(min($"__s"), lit(0L)))
+            .as("end_balance"),
+          max($"__bal").as("max_balance"),
+          sum(when($"__bal" === 0 && $"__d" < 0, 1L).otherwise(0L))
+            .as("n_stockout_events"),
+          greatest(-min($"__s"), lit(0L)).as("lost_units"))
+        .select($"l_partkey".as("p_partkey"), $"n_events",
+          $"end_balance", $"max_balance", $"n_stockout_events",
+          $"lost_units")
+        .orderBy($"p_partkey")
+    }),
+
+    // LARGEST-REMAINDER (Hamilton) APPORTIONMENT — allocate a fixed
+    // integer budget (1000 promo slots) across nations proportional
+    // to revenue. ALL-INTEGER: revenue in cents (exact long), floor
+    // share = (SEATS*cents) // total, remainder = the exact modulo,
+    // leftover seats go to the largest remainders (tie: nation name).
+    // No floating quota anywhere, so no boundary class. The final
+    // rank runs over 25 one-row-per-nation aggregates — global-window
+    //-on-aggregate, not on data (the q192 pattern).
+    "q197_apportionment" -> ((s, d) => {
+      val seats = 1000L
+      val cents = Tables.orders(s, d)
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("__c"))
+      // `div` is LONG integer division (Spark's `/` is always double —
+      // a quotient one ulp above an integer would floor wrong)
+      val withTot = cents.crossJoin(broadcast(
+        cents.agg(sum($"__c").as("__t"))))
+        .withColumn("__floor", expr(s"($seats * __c) div __t"))
+        .withColumn("__rem", lit(seats) * $"__c" % $"__t")
+      val leftover = withTot.agg(
+        (lit(seats) - sum($"__floor")).as("__l"))
+      withTot.crossJoin(broadcast(leftover))
+        .withColumn("__rk", row_number().over(
+          Window.orderBy($"__rem".desc, $"n_name")))
+        .select($"n_name",
+          ($"__c".cast("double") / 100.0).as("revenue"),
+          $"__floor".as("floor_seats"),
+          when($"__rk" <= $"__l", 1L).otherwise(0L).as("bonus_seat"),
+          ($"__floor" + when($"__rk" <= $"__l", 1L).otherwise(0L))
+            .as("seats"))
+        .orderBy($"n_name")
+    }),
+
+    // THEIL-SEN ROBUST TREND — the median-of-pairwise-slopes
+    // estimator over daily revenue, the outlier-immune counterpart to
+    // q179's OLS. Day pairs are pairs of DAILY AGGREGATES (bounded by
+    // the calendar, not by data volume — ~n_days²/2 rows, never
+    // data×data), and each slope is ONE double division of exact
+    // integer cent/day differences, so the slope multiset is
+    // bit-identical across engines. Median = the LOWER median (the
+    // ⌈n/2⌉-th smallest ELEMENT, selected by rank) on BOTH sides —
+    // never interpolated: percentile()'s midpoint average is
+    // 0.5a+0.5b on Spark but a+0.5(b-a) on DuckDB, a last-ulp
+    // divergence this selection-based definition removes by
+    // construction. Intercept = lower median over days of
+    // (cents - slope*day), the standard Theil-Sen pairing. The rank
+    // windows run over day-pair aggregates (calendar-bounded), not
+    // data rows.
+    "q198_theil_sen" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("__day"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("__c"))
+        .select(datediff($"__day", to_date(lit("1970-01-01")))
+          .cast("long").as("__x"), $"__c")
+      val a = daily.select($"__x".as("__x1"), $"__c".as("__c1"))
+      val b = daily.select($"__x".as("__x2"), $"__c".as("__c2"))
+      val slopes = a.join(b, $"__x1" < $"__x2")
+        .select((($"__c2" - $"__c1").cast("double") /
+          ($"__x2" - $"__x1")).as("__slope"))
+      val np = slopes.agg(count(lit(1)).as("n_pairs"))
+      val slope = slopes.crossJoin(broadcast(np))
+        .withColumn("__rk", row_number().over(
+          Window.orderBy($"__slope")))
+        .filter($"__rk" === expr("(n_pairs + 1) div 2"))
+        .select($"n_pairs", $"__slope".as("__m"))
+      val resid = daily.crossJoin(broadcast(slope))
+        .select($"n_pairs", $"__m",
+          ($"__c".cast("double") - $"__m" * $"__x").as("__r"))
+      val nd = resid.agg(count(lit(1)).as("n_days"))
+      resid.crossJoin(broadcast(nd))
+        .withColumn("__rk", row_number().over(Window.orderBy($"__r")))
+        .filter($"__rk" === expr("(n_days + 1) div 2"))
+        .select($"n_days", $"n_pairs",
+          Fns.roundU($"__m", 4).as("slope_cents_per_day"),
+          Fns.roundU($"__r", 4).as("intercept_cents"))
     })
   )
 
@@ -9056,7 +9237,200 @@ object SparkEntry {
         |SELECT l_partkey AS p_partkey,
         |  CAST(pc AS DOUBLE) / 100.0 AS value
         |FROM pp, t WHERE pc * 1000 > tc
-        |ORDER BY value DESC, p_partkey""".stripMargin
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    // q194: the oracle replays the public IMA ADPCM decode recurrence
+    // as a recursive CTE joined to the step/index-adjust tables — it
+    // never parses a WAV byte. j=0 is the block-header predictor
+    // sample; each iteration advances every (doc, block) one nibble.
+    // All stats ride exact-integer partial sums (order-independent),
+    // rounded once like q95.
+    "q194_adpcm_decode" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |    12 + (doc_id % 2) * 4 AS ba,
+        |    CAST(2 + doc_id % 3 AS INT) AS nblocks
+        |  FROM documents WHERE doc_id < 40),
+        |steps AS (
+        |  SELECT CAST(r.i AS INT) AS si, list_extract([
+        |    7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+        |    50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        |    230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+        |    876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+        |    2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+        |    7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+        |    20350,22385,24623,27086,29794,32767], r.i + 1) AS stp
+        |  FROM range(0, 89) r(i)),
+        |adj AS (
+        |  SELECT CAST(r.i AS INT) AS nb, list_extract(
+        |    [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8], r.i + 1) AS dlt
+        |  FROM range(0, 16) r(i)),
+        |blk AS (
+        |  SELECT doc_id, b.i AS blk, (ba - 4) * 2 AS nib
+        |  FROM d, unnest(range(0, nblocks)) b(i)),
+        |dec AS (
+        |  SELECT doc_id, blk, nib, 0 AS j,
+        |    CAST((doc_id * 131 + blk * 71) % 2001 - 1000 AS INT) AS pred,
+        |    CAST((doc_id * 11 + blk * 17) % 89 AS INT) AS idx
+        |  FROM blk
+        |  UNION ALL
+        |  SELECT dec.doc_id, dec.blk, dec.nib, dec.j + 1,
+        |    CAST(GREATEST(-32768, LEAST(32767, dec.pred +
+        |      (CASE WHEN adj.nb >= 8 THEN -1 ELSE 1 END) *
+        |      (steps.stp // 8
+        |       + CASE WHEN adj.nb % 8 >= 4 THEN steps.stp ELSE 0 END
+        |       + CASE WHEN adj.nb % 4 >= 2 THEN steps.stp // 2 ELSE 0 END
+        |       + CASE WHEN adj.nb % 2 = 1 THEN steps.stp // 4 ELSE 0 END)
+        |      )) AS INT),
+        |    CAST(GREATEST(0, LEAST(88, dec.idx + adj.dlt)) AS INT)
+        |  FROM dec
+        |  JOIN steps ON steps.si = dec.idx
+        |  JOIN adj ON adj.nb =
+        |    CAST((dec.doc_id * 7 + dec.blk * 5 + dec.j * 3) % 16 AS INT)
+        |  WHERE dec.j < dec.nib),
+        |m AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    avg(CAST(pred AS DOUBLE)) AS ma,
+        |    sqrt(avg(CAST(pred AS DOUBLE) * pred)) AS r,
+        |    CAST(max(abs(pred)) AS INT) AS peak
+        |  FROM dec GROUP BY doc_id),
+        |l AS (
+        |  SELECT doc_id, CAST(pred AS INT) AS last_sample FROM dec
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY blk DESC, j DESC) = 1)
+        |SELECT d.doc_id, d.sample_rate, d.nblocks AS n_blocks,
+        |  m.n_samples,
+        |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
+        |  floor(r * 10000 + 0.5) / 10000.0 AS rms, m.peak,
+        |  l.last_sample
+        |FROM d JOIN m USING (doc_id) JOIN l USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q195: the oracle recomputes frame stats from the constant-block
+    // formula (the q189 exact-round-trip profile): per-frame pixel
+    // sums are exact integers (64 px per constant block), mean luma
+    // and motion are one double division each — it never parses a
+    // container or JPEG byte.
+    "q195_mjpeg_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS wb,
+        |    CAST(1 + doc_id % 2 AS INT) AS hb,
+        |    CAST(2 + doc_id % 3 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 40),
+        |fs AS (
+        |  SELECT doc_id, f.i AS f, 64 * sum(
+        |      (doc_id * 31 + f.i * 29 + bx.i * 7 + by.i * 13) % 256) AS s
+        |  FROM d, unnest(range(0, nf)) f(i),
+        |    unnest(range(0, wb)) bx(i), unnest(range(0, hb)) by(i)
+        |  GROUP BY doc_id, f.i),
+        |w AS (
+        |  SELECT doc_id, f, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS ps
+        |  FROM fs),
+        |agg AS (
+        |  SELECT doc_id, sum(s) AS tot,
+        |    sum(CASE WHEN f > 0 THEN abs(s - ps) ELSE 0 END) AS mo
+        |  FROM w GROUP BY doc_id)
+        |SELECT d.doc_id, d.nf AS n_frames,
+        |  CAST(d.wb * 8 AS INT) AS width, CAST(d.hb * 8 AS INT) AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  floor(CAST(tot AS DOUBLE) / (nf * wb * 8 * hb * 8) * 10000
+        |    + 0.5) / 10000.0 AS mean_luma,
+        |  floor((CASE WHEN nf < 2 THEN 0.0 ELSE
+        |    CAST(mo AS DOUBLE) / ((nf - 1) * wb * 8 * hb * 8) END)
+        |    * 10000 + 0.5) / 10000.0 AS motion
+        |FROM d JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q196: same prefix-sum identity, same windows — all-integer so
+    // the balances are exact on both engines
+    "q196_clamped_balance" ->
+      """WITH e AS (
+        |  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+        |    CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+        |         ELSE -CAST(l_quantity AS BIGINT) END AS d
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT l_partkey, d, l_shipdate, l_orderkey, l_linenumber,
+        |    sum(d) OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS s
+        |  FROM e),
+        |w2 AS (
+        |  SELECT l_partkey, d, s,
+        |    min(s) OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS m
+        |  FROM w),
+        |b AS (SELECT *, s - LEAST(m, 0) AS bal FROM w2)
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(d) - LEAST(min(s), 0) AS BIGINT) AS end_balance,
+        |  CAST(max(bal) AS BIGINT) AS max_balance,
+        |  CAST(sum(CASE WHEN bal = 0 AND d < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stockout_events,
+        |  CAST(GREATEST(-min(s), 0) AS BIGINT) AS lost_units
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q197: identical integer quota arithmetic — // is DuckDB's
+    // integer division, matching Spark's `div`
+    "q197_apportionment" ->
+      """WITH c AS (
+        |  SELECT n_name,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+        |f AS (
+        |  SELECT n_name, c, CAST((1000 * c) // t AS BIGINT) AS fl,
+        |    (1000 * c) % t AS rem
+        |  FROM c, t),
+        |l AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS lf FROM f),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, n_name)
+        |        AS rk FROM f)
+        |SELECT n_name, CAST(c AS DOUBLE) / 100.0 AS revenue,
+        |  fl AS floor_seats,
+        |  CAST(CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT)
+        |    AS bonus_seat,
+        |  CAST(fl + CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT)
+        |    AS seats
+        |FROM r, l ORDER BY n_name""".stripMargin,
+
+    // q198: identical slope/residual doubles (one division of exact
+    // ints), LOWER median selected by rank on both engines — no
+    // interpolation formula to diverge
+    "q198_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(b.c - a.c AS DOUBLE) / (b.x - a.x) AS slope
+        |  FROM daily a, daily b WHERE a.x < b.x),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |ms AS (
+        |  SELECT n_pairs, slope AS m
+        |  FROM (SELECT slope, row_number() OVER (ORDER BY slope) AS rk
+        |        FROM p), np
+        |  WHERE rk = (n_pairs + 1) // 2),
+        |res AS (
+        |  SELECT n_pairs, m, CAST(c AS DOUBLE) - m * x AS r
+        |  FROM daily, ms),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM res),
+        |mi AS (
+        |  SELECT n_days, n_pairs, m, r
+        |  FROM (SELECT *, row_number() OVER (ORDER BY r) AS rk
+        |        FROM res), nd
+        |  WHERE rk = (n_days + 1) // 2)
+        |SELECT n_days, n_pairs,
+        |  floor(m * 10000 + 0.5) / 10000.0 AS slope_cents_per_day,
+        |  floor(r * 10000 + 0.5) / 10000.0 AS intercept_cents
+        |FROM mi""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

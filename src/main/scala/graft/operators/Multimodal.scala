@@ -265,6 +265,65 @@ object Multimodal {
       }
   }
 
+  /** Decoded audio-feature record for payloads the pure-JVM IMA ADPCM
+    * codec handles; perceptual codecs (MP3/AAC) and corrupt payloads
+    * are dropped. */
+  case class AdpcmFeatureRow(id: Long, sample_rate: Int, n_blocks: Int,
+                             n_samples: Long, mean_amp: Double,
+                             rms: Double, peak: Int, last_sample: Int)
+
+  /** REAL sample-tier decode for COMPRESSED audio: mono IMA/DVI ADPCM
+    * WAV payloads ([[graft.functions.AdpcmWav]] — a pure integer state
+    * machine over the two public tables, no codec library). The
+    * compressed-audio proof that the sample tier's fake boundary is a
+    * codec-availability line, not a plumbing line; partition-local,
+    * same batch shape as the other decoders. Only perceptual-transform
+    * codecs (MP3/AAC) remain on [[decodePartitions]]'s injected-codec
+    * path. */
+  def decodeAdpcmFeatures(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[AdpcmFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.AdpcmWav.decode(bytes).map(f =>
+            AdpcmFeatureRow(id, f.sampleRate, f.nBlocks, f.nSamples,
+              f.meanAmp, f.rms, f.peak, f.lastSample))
+        }
+      }
+  }
+
+  /** Decoded coded-video-feature record for payloads the pure-JVM
+    * MJPEG/AVI path handles; inter-frame-coded video (H.264/VP9) and
+    * corrupt payloads are dropped. */
+  case class MjpegFeatureRow(id: Long, n_frames: Int, width: Int,
+                             height: Int, channels: Int,
+                             mean_luma: Double, motion: Double)
+
+  /** REAL frame-tier decode for CODED video: Motion-JPEG AVI payloads
+    * ([[graft.functions.MjpegAvi]] — RIFF/AVI chunk walk in plain byte
+    * arithmetic, per-frame baseline JPEG through the JDK's own
+    * `javax.imageio` codec). With [[decodeAdpcmFeatures]] this leaves
+    * only inter-frame/perceptual codecs (H.264, VP9, MP3, AAC) on the
+    * injected-codec path — every modality now has BOTH an uncompressed
+    * and a compressed/coded fake-free decode slice. */
+  def decodeMjpegFeatures(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[MjpegFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.MjpegAvi.decode(bytes).map(f =>
+            MjpegFeatureRow(id, f.nFrames, f.width, f.height,
+              f.channels, f.meanLuma, f.motion))
+        }
+      }
+  }
+
   /** STUB codec for environments without media libraries: deterministic
     * header fake from the payload bytes. */
   def stubCodec(bytes: Array[Byte]): (Int, Int, Int) = {

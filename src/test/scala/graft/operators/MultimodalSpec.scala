@@ -324,4 +324,109 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.functions.MediaHeaders.parse(rgb)
       .map(m => (m.format, m.width, m.height)) === Some(("jpeg", 32, 24)))
   }
+
+  test("decodeAdpcmFeatures: hand-traced IMA recurrence decodes exactly") {
+    import graft.functions.AdpcmWav
+    // one block, blockAlign=5 → header sample + 2 nibbles (one byte,
+    // LOW nibble first). Hand trace from (pred=0, idx=0):
+    //   n=5: step=7, diff=0+7+1=8, pred=8,  idx=0+4=4
+    //   n=9: step=11 (idx 4), diff=1+2=3,  pred=8-3=5, idx=4-1=3
+    val b = AdpcmWav.encodeRaw(8000, 5, 1, _ => 0, _ => 0,
+      (_, j) => if (j == 0) 5 else 9)
+    val f = AdpcmWav.decode(b).get
+    assert(f.sampleRate === 8000)
+    assert(f.nBlocks === 1)
+    assert(f.nSamples === 3)
+    assert(f.meanAmp === (0.0 + 8 + 5) / 3)
+    assert(f.peak === 8)
+    assert(f.lastSample === 5)
+    assert(f.rms === math.sqrt((64.0 + 25) / 3))
+  }
+
+  test("decodeAdpcmFeatures: predictor and index CLAMP at the spec " +
+      "bounds; blocks reset state independently") {
+    import graft.functions.AdpcmWav
+    // start at pred=32000 on the top step (32767): one max-positive
+    // nibble (7) overshoots int16 and must clamp to 32767, and the
+    // index must pin at 88 (not run off the table)
+    val up = AdpcmWav.encodeRaw(8000, 5, 1, _ => 32000, _ => 88,
+      (_, j) => if (j == 0) 7 else 15)
+    val f = AdpcmWav.decode(up).get
+    assert(f.peak === 32767)
+    // nibble 15 then walks DOWN from the clamped peak
+    assert(f.lastSample < 32767)
+    // two blocks with identical content decode identically (block
+    // independence — the seekability contract): per-block stats equal
+    val two = AdpcmWav.encodeRaw(8000, 5, 2, _ => 0, _ => 0,
+      (_, j) => if (j == 0) 5 else 9)
+    val f2 = AdpcmWav.decode(two).get
+    assert(f2.nSamples === 6)
+    assert(f2.meanAmp === (0.0 + 8 + 5) / 3) // same mean as one block
+    assert(f2.lastSample === 5)
+  }
+
+  test("ADPCM and PCM WAV route to their own decoders, never cross") {
+    import graft.functions.{AdpcmWav, WavPcm}
+    val adpcm = AdpcmWav.encodeRaw(8000, 12, 2, b => b * 100, _ => 30,
+      (b, j) => (b + j) % 16)
+    val pcm = WavPcm.encode(8000, 1, 10, (t, _) => t * 100)
+    assert(AdpcmWav.decode(pcm).isEmpty)   // format tag 1 ≠ 0x11
+    assert(WavPcm.decode(adpcm).isEmpty)   // format tag 0x11 ≠ 1
+    assert(AdpcmWav.decode(adpcm).isDefined)
+    assert(WavPcm.decode(pcm).isDefined)
+    // corrupt payloads are data, not exceptions
+    assert(AdpcmWav.decode(adpcm.take(30)).isEmpty)
+    assert(AdpcmWav.decode(null).isEmpty)
+    assert(AdpcmWav.decode(Array[Byte](1, 2, 3)).isEmpty)
+    // dataset path drops the non-ADPCM rows
+    val df = Seq((1L, adpcm), (2L, pcm), (3L, adpcm.take(20)))
+      .toDF("id", "payload")
+    val rows = Multimodal.decodeAdpcmFeatures(df, "id", "payload")
+      .collect()
+    assert(rows.map(_.id).toSet === Set(1L))
+    assert(rows(0).n_blocks === 2 && rows(0).n_samples === 34)
+  }
+
+  test("decodeMjpegFeatures: AVI walk + per-frame JDK JPEG decode; " +
+      "gray constant-block fixtures yield EXACT means and motion") {
+    import graft.functions.MjpegAvi
+    def blk(f: Int, bx: Int, by: Int): Int =
+      (7 + f * 29 + bx * 17 + by * 13) % 256
+    val avi = MjpegAvi.encodeGrayBlocks(3, 2, 4, blk)
+    val f = MjpegAvi.decode(avi).get
+    assert((f.nFrames, f.width, f.height, f.channels) === ((4, 24, 16, 1)))
+    // exact expectations straight from the block formula (64 px/block)
+    val sums = (0 until 4).map(fr =>
+      (for (bx <- 0 until 3; by <- 0 until 2)
+        yield blk(fr, bx, by).toLong).sum * 64)
+    assert(f.meanLuma === sums.sum.toDouble / (4L * 24 * 16)) // EXACT
+    val motion = (1 until 4).map(i => math.abs(sums(i) - sums(i - 1))).sum
+    assert(f.motion === motion.toDouble / (3L * 24 * 16))     // EXACT
+    // single-frame video: motion is defined as 0
+    val one = MjpegAvi.decode(
+      MjpegAvi.encodeGrayBlocks(1, 1, 1, (_, _, _) => 99)).get
+    assert(one.nFrames === 1 && one.motion === 0.0 && one.meanLuma === 99.0)
+  }
+
+  test("decodeMjpegFeatures: corrupt containers and non-AVI payloads " +
+      "are data, not exceptions") {
+    import graft.functions.{AdpcmWav, MjpegAvi}
+    val avi = MjpegAvi.encodeGrayBlocks(2, 2, 2, (f, bx, by) => f * 50 + bx)
+    assert(MjpegAvi.decode(avi).isDefined)
+    assert(MjpegAvi.decode(null).isEmpty)
+    assert(MjpegAvi.decode(avi.take(40)).isEmpty)        // movi truncated
+    assert(MjpegAvi.decode("RIFFxxxxWAVE".getBytes).isEmpty) // not AVI
+    assert(MjpegAvi.decode(
+      AdpcmWav.encodeRaw(8000, 5, 1, _ => 0, _ => 0, (_, _) => 3)).isEmpty)
+    // a frame chunk whose JPEG bytes are damaged → whole clip is None
+    // (dimension/codec consistency is part of the decode contract)
+    val broken = avi.clone()
+    val soi = broken.indexOfSlice(Array(0xff.toByte, 0xd8.toByte))
+    broken(soi) = 0x00
+    assert(MjpegAvi.decode(broken).isEmpty)
+    val df = Seq((1L, avi), (2L, broken)).toDF("id", "payload")
+    val rows = Multimodal.decodeMjpegFeatures(df, "id", "payload")
+      .collect()
+    assert(rows.map(_.id).toSet === Set(1L))
+  }
 }
