@@ -4851,6 +4851,114 @@ object SparkEntry {
         .select($"n_days", $"n_pairs",
           Fns.roundU($"__m", 4).as("slope_cents_per_day"),
           Fns.roundU($"__r", 4).as("intercept_cents"))
+    }),
+
+    // BOM EXPLOSION — the recursive-query operator class (parts/
+    // assemblies, org charts, account rollups): weighted transitive
+    // closure over a synthesized part-containment DAG (child p hangs
+    // under parents p div 3 and p div 5 — acyclic because both
+    // parents are strictly smaller). Graph.bomExplode aggregates the
+    // frontier per (root, node) EVERY round in the (+,×) semiring, so
+    // path-level rows never materialize — a reconvergent diamond
+    // ladder has 2^depth paths but only depth·|roots| frontier rows.
+    // The oracle (WITH RECURSIVE) enumerates paths — fine at oracle
+    // scale, and distributivity makes the two reductions provably
+    // equal, which is exactly what the hash checks.
+    "q199_bom_explosion" -> ((s, d) => {
+      val part = Tables.part(s, d).select($"p_partkey")
+      val kids = part.filter($"p_partkey" >= 10)
+      val edges = kids.select(expr("p_partkey div 3").as("parent"),
+          $"p_partkey".as("child"),
+          (lit(1) + $"p_partkey" % 4).cast("long").as("qty"))
+        .unionAll(kids.select(expr("p_partkey div 5").as("parent"),
+          $"p_partkey".as("child"),
+          (lit(1) + $"p_partkey" % 3).cast("long").as("qty")))
+      val roots = part.filter($"p_partkey" < 30)
+      Graph.bomExplode(edges, "parent", "child", "qty",
+          roots, "p_partkey")
+        .select($"root", $"node", $"total_mult", $"min_depth",
+          $"n_paths")
+        .orderBy($"root", $"node")
+    }),
+
+    // POISSON-BOOTSTRAP CI — resampling-based uncertainty without
+    // moving data: each (order, replica) draws a Poisson(1) count
+    // from an ENGINE-INDEPENDENT multiplicative hash (the q101
+    // uniform, fixed inverse-CDF thresholds identical on both
+    // sides), replica means ride exact integer cent sums with one
+    // division, and the 95% CI is the 5th/196th ORDER STATISTIC of
+    // the 200 replica means — selected by rank (the q198 discipline,
+    // no interpolation). The scale shape: B×N rows but the aggregate
+    // is 200 groups with map-side partial sums — the shuffle carries
+    // 200·partitions rows, not B×N; this is the textbook cluster
+    // bootstrap (Poisson counts avoid coordinating a true
+    // N-out-of-N resample across executors).
+    "q200_bootstrap_ci" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select($"o_orderkey",
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("__cents"))
+      val rep = ord
+        .select($"o_orderkey", $"__cents",
+          explode(sequence(lit(0), lit(199))).as("__b"))
+        .withColumn("__x",
+          ($"o_orderkey" * 1009 + $"__b" * 9176) % 2147483647L)
+        .withColumn("__k", ($"__x" * 2654435761L) % 4294967296L)
+        .withColumn("__u", $"__k".cast("double") / 4294967296.0)
+        .withColumn("__c",
+          when($"__u" < 0.36787944117144233, 0L)
+            .when($"__u" < 0.7357588823428847, 1L)
+            .when($"__u" < 0.9196986029286058, 2L)
+            .when($"__u" < 0.9810118431238462, 3L)
+            .when($"__u" < 0.9963401531726563, 4L)
+            .when($"__u" < 0.9994058151824183, 5L)
+            .otherwise(6L))
+      val means = rep.groupBy($"__b")
+        .agg((sum($"__c" * $"__cents").cast("double") / sum($"__c"))
+          .as("__m"))
+      val ci = means
+        .withColumn("__rk", row_number().over(Window.orderBy($"__m")))
+        .agg(count(lit(1)).as("b_replicas"),
+          min(when($"__rk" === 5, $"__m")).as("__lo"),
+          min(when($"__rk" === 196, $"__m")).as("__hi"))
+      ord.agg(count(lit(1)).as("n_orders"),
+          (sum($"__cents").cast("double") / count(lit(1))).as("__pm"))
+        .crossJoin(broadcast(ci))
+        .select($"n_orders", $"b_replicas",
+          Fns.roundU($"__pm" / 100.0, 4).as("mean_price"),
+          Fns.roundU($"__lo" / 100.0, 4).as("ci_lo"),
+          Fns.roundU($"__hi" / 100.0, 4).as("ci_hi"))
+    }),
+
+    // DIFFERENCE-IN-DIFFERENCES — the two-group two-period causal
+    // readout (CUPED q137's observational sibling): treated nations
+    // (even nationkey) vs control, pre/post 1996, outcome = mean
+    // order value. Four cell means from ONE grouped scan (each an
+    // exact long cent sum with one division), pivoted to a single
+    // row by conditional aggregation; the estimate is the standard
+    // (T,post − T,pre) − (C,post − C,pre). An absent cell yields
+    // NULL (a data fact at tiny SFs), never a fabricated zero.
+    "q201_diff_in_diff" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select(($"c_nationkey" % 2 === 0).as("__treat"),
+          ($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+            .as("__post"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("__cents"))
+        .groupBy($"__treat", $"__post")
+        .agg(count(lit(1)).as("__n"),
+          (sum($"__cents").cast("double") / count(lit(1))).as("__m"))
+      cells.agg(
+          sum($"__n").as("n_orders"),
+          min(when($"__treat" && $"__post", $"__m")).as("__tp"),
+          min(when($"__treat" && !$"__post", $"__m")).as("__tq"),
+          min(when(!$"__treat" && $"__post", $"__m")).as("__cp"),
+          min(when(!$"__treat" && !$"__post", $"__m")).as("__cq"))
+        .select($"n_orders",
+          Fns.roundU(($"__tp" - $"__tq") / 100.0, 4).as("treat_delta"),
+          Fns.roundU(($"__cp" - $"__cq") / 100.0, 4)
+            .as("control_delta"),
+          Fns.roundU((($"__tp" - $"__tq") - ($"__cp" - $"__cq")) / 100.0,
+            4).as("did"))
     })
   )
 
@@ -9430,7 +9538,102 @@ object SparkEntry {
         |SELECT n_days, n_pairs,
         |  floor(m * 10000 + 0.5) / 10000.0 AS slope_cents_per_day,
         |  floor(r * 10000 + 0.5) / 10000.0 AS intercept_cents
-        |FROM mi""".stripMargin
+        |FROM mi""".stripMargin,
+
+    // q199: the oracle ENUMERATES paths with WITH RECURSIVE and
+    // aggregates once at the end; the engine aggregates per level —
+    // distributivity of × over + makes them equal, which is what the
+    // hash checks
+    "q199_bom_explosion" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey // 3 AS parent, p_partkey AS child,
+        |    CAST(1 + p_partkey % 4 AS BIGINT) AS q
+        |  FROM part WHERE p_partkey >= 10
+        |  UNION ALL
+        |  SELECT p_partkey // 5, p_partkey,
+        |    CAST(1 + p_partkey % 3 AS BIGINT)
+        |  FROM part WHERE p_partkey >= 10),
+        |paths AS (
+        |  SELECT parent AS root, child AS node, q AS mult, 1 AS depth
+        |  FROM e WHERE parent < 30
+        |    AND parent IN (SELECT p_partkey FROM part)
+        |  UNION ALL
+        |  SELECT p.root, e.child, p.mult * e.q, p.depth + 1
+        |  FROM paths p JOIN e ON e.parent = p.node)
+        |SELECT root, node, CAST(sum(mult) AS BIGINT) AS total_mult,
+        |  CAST(min(depth) AS INT) AS min_depth,
+        |  CAST(count(*) AS BIGINT) AS n_paths
+        |FROM paths GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q200: identical hash, thresholds and rank selection — the
+    // replica means are bit-identical doubles on both engines
+    "q200_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |rep AS (
+        |  SELECT cents, b.i AS b,
+        |    ((o_orderkey * 1009 + b.i * 9176) % 2147483647)
+        |      * 2654435761 % 4294967296 AS k
+        |  FROM o, range(0, 200) b(i)),
+        |cnt AS (
+        |  SELECT b, cents,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         ELSE 6 END AS c
+        |  FROM (SELECT b, cents, CAST(k AS DOUBLE) / 4294967296.0 AS u
+        |        FROM rep)),
+        |means AS (
+        |  SELECT b, CAST(sum(c * cents) AS DOUBLE)
+        |    / CAST(sum(c) AS BIGINT) AS m
+        |  FROM cnt GROUP BY b),
+        |r AS (SELECT m, row_number() OVER (ORDER BY m) AS rk FROM means),
+        |ci AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS b_replicas,
+        |    min(CASE WHEN rk = 5 THEN m END) AS lo,
+        |    min(CASE WHEN rk = 196 THEN m END) AS hi
+        |  FROM r),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(cents) AS DOUBLE) / count(*) AS pm
+        |  FROM o)
+        |SELECT n_orders, b_replicas,
+        |  floor((pm / 100.0) * 10000 + 0.5) / 10000.0 AS mean_price,
+        |  floor((lo / 100.0) * 10000 + 0.5) / 10000.0 AS ci_lo,
+        |  floor((hi / 100.0) * 10000 + 0.5) / 10000.0 AS ci_hi
+        |FROM base, ci""".stripMargin,
+
+    // q201: the same four cell means (one division each) and the
+    // same subtraction order
+    "q201_diff_in_diff" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey % 2 = 0 AS tr,
+        |    o_orderdate >= TIMESTAMP '1996-01-01' AS post,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / count(*) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_orders,
+        |    min(CASE WHEN tr AND post THEN m END) AS tp,
+        |    min(CASE WHEN tr AND NOT post THEN m END) AS tq,
+        |    min(CASE WHEN NOT tr AND post THEN m END) AS cp,
+        |    min(CASE WHEN NOT tr AND NOT post THEN m END) AS cq
+        |  FROM cells)
+        |SELECT n_orders,
+        |  floor(((tp - tq) / 100.0) * 10000 + 0.5) / 10000.0
+        |    AS treat_delta,
+        |  floor(((cp - cq) / 100.0) * 10000 + 0.5) / 10000.0
+        |    AS control_delta,
+        |  floor((((tp - tq) - (cp - cq)) / 100.0) * 10000 + 0.5)
+        |    / 10000.0 AS did
+        |FROM p""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -302,4 +302,81 @@ object Graph {
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
     dist
   }
+
+  /** BOM EXPLOSION — weighted transitive closure over a DAG: for each
+    * root, every reachable descendant with its TOTAL effective
+    * multiplicity (sum over all paths of the product of edge
+    * quantities), minimum depth, and path count. The recursive-query
+    * operator class (SQL's `WITH RECURSIVE` over parts/assemblies,
+    * org charts, account rollups), computed level-synchronously.
+    *
+    * The scale property that matters: the frontier is aggregated per
+    * (root, node) EVERY round — multiplicity sums, path counts, and
+    * min-depth all combine in the (+, ×) / (+) / (min, +1) semirings,
+    * so path-level rows never materialize. A path-enumerating plan is
+    * exponential in depth on reconvergent DAGs (a diamond ladder of
+    * depth d has 2^d paths but only d·|roots| aggregated rows); this
+    * one is bounded by |roots| × |nodes| per round regardless of path
+    * structure. Each round is one hash join (frontier ⋈ edges on the
+    * node key — the same partitioning every round, so the exchange
+    * reuses) + one hash aggregate; frontiers are localCheckpoint'ed
+    * and freed on the [[pageRank]] discipline.
+    *
+    * THROWS if `maxDepth` rounds leave a non-empty frontier: on a DAG
+    * that means the depth bound is too small; on a cyclic input the
+    * closure is infinite and returning the partial sum would be a
+    * plausible-looking wrong answer (same contract as [[kCore]]).
+    *
+    * Returns (root, node, total_mult, min_depth, n_paths) — one row
+    * per reachable (root, descendant) pair, roots excluded. */
+  def bomExplode(edges: DataFrame, parentCol: String, childCol: String,
+                 qtyCol: String, roots: DataFrame, rootCol: String,
+                 maxDepth: Int = 32): DataFrame = {
+    require(maxDepth >= 1)
+    val e = edges.select(col(parentCol).as("__p"), col(childCol).as("__c"),
+        col(qtyCol).cast("long").as("__q"))
+      .localCheckpoint()
+    val r = roots.select(col(rootCol).as("__root")).distinct()
+    // fixed column order throughout: unionAll is position-based
+    var frontier = e
+      .join(broadcast(r), col("__p") === col("__root"), "left_semi")
+      .groupBy(col("__p").as("root"), col("__c").as("node"))
+      .agg(sum(col("__q")).as("mult"), count(lit(1)).as("n_paths"))
+      .select(col("root"), col("node"), col("mult"),
+        lit(1).as("depth"), col("n_paths"))
+      .localCheckpoint()
+    var acc = frontier
+    var depth = 1
+    while (!frontier.isEmpty && depth < maxDepth) {
+      val next = frontier
+        .join(e, col("node") === col("__p"))
+        .groupBy(col("root"), col("__c").as("__node"))
+        .agg(sum(col("mult") * col("__q")).as("mult"),
+          sum(col("n_paths")).as("n_paths"))
+        .select(col("root"), col("__node").as("node"), col("mult"),
+          lit(depth + 1).as("depth"), col("n_paths"))
+        .localCheckpoint()
+      // round 1 aliases acc and frontier — freeing the shared blocks
+      // here would yank them out from under the accumulator's union
+      if (frontier ne acc)
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
+      frontier = next
+      if (!frontier.isEmpty) {
+        val na = acc.unionAll(frontier).localCheckpoint()
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(acc)
+        acc = na
+      }
+      depth += 1
+    }
+    if (!frontier.isEmpty) throw new IllegalStateException(
+      s"bomExplode did not exhaust the DAG in $maxDepth rounds; " +
+        "raise maxDepth (or the input has a cycle — the closure of a " +
+        "cyclic graph is infinite)")
+    // different rounds reach the same (root, node) by paths of
+    // different lengths; the final combine is the same semiring
+    acc.groupBy(col("root"), col("node"))
+      .agg(sum(col("mult")).as("total_mult"),
+        min(col("depth")).as("min_depth"),
+        sum(col("n_paths")).as("n_paths"))
+  }
 }

@@ -146,4 +146,63 @@ class GraphSpec extends SparkSpec {
     // early exit: nothing improves after round 3 even with slack cap
     assert(run(10) === Map("a" -> 0, "b" -> 2, "c" -> 1, "d" -> 3))
   }
+
+  test("bomExplode: diamond DAG sums path products in the semiring") {
+    // A→B(2), A→C(3), B→D(5), C→D(7), D→E(1): D's effective qty from
+    // A is 2·5 + 3·7 = 31 over TWO paths (the reconvergence the
+    // per-level aggregation must combine, not enumerate); E inherits
+    // 31·1 at min depth 3
+    val edges = Seq(("A", "B", 2L), ("A", "C", 3L), ("B", "D", 5L),
+      ("C", "D", 7L), ("D", "E", 1L)).toDF("parent", "child", "qty")
+    val roots = Seq("A", "B").toDF("r")
+    val out = Graph.bomExplode(edges, "parent", "child", "qty",
+        roots, "r")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getInt(3), x.getLong(4)))).toMap
+    assert(out(("A", "B")) === ((2L, 1, 1L)))
+    assert(out(("A", "C")) === ((3L, 1, 1L)))
+    assert(out(("A", "D")) === ((31L, 2, 2L)))
+    assert(out(("A", "E")) === ((31L, 3, 2L)))
+    // B is ALSO a root: its own sub-explosion is independent
+    assert(out(("B", "D")) === ((5L, 1, 1L)))
+    assert(out(("B", "E")) === ((5L, 2, 1L)))
+    assert(out.size === 6) // roots never appear as their own descendant
+  }
+
+  test("bomExplode: multi-depth reconvergence reaches the same (root, " +
+      "node) in different rounds and still combines") {
+    // A→D direct (depth 1) AND A→B→C→D (depth 3): mult 10 + 2·3·4=34,
+    // min depth 1, 2 paths — the accumulator's final re-aggregation
+    val edges = Seq(("A", "D", 10L), ("A", "B", 2L), ("B", "C", 3L),
+      ("C", "D", 4L)).toDF("parent", "child", "qty")
+    val roots = Seq("A").toDF("r")
+    val out = Graph.bomExplode(edges, "parent", "child", "qty",
+        roots, "r")
+      .collect()
+      .map(x => (x.getString(1),
+        (x.getLong(2), x.getInt(3), x.getLong(4)))).toMap
+    assert(out("D") === ((34L, 1, 2L)))
+  }
+
+  test("bomExplode THROWS on a cycle / exhausted depth instead of " +
+      "returning a partial closure") {
+    val cyc = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("p", "c", "q")
+    val roots = Seq("A").toDF("r")
+    intercept[IllegalStateException] {
+      Graph.bomExplode(cyc, "p", "c", "q", roots, "r", maxDepth = 8)
+        .collect()
+    }
+    // a legitimate chain deeper than maxDepth also refuses loudly
+    val chain = (0 until 6).map(i => (s"n$i", s"n${i + 1}", 1L))
+      .toDF("p", "c", "q")
+    val r0 = Seq("n0").toDF("r")
+    intercept[IllegalStateException] {
+      Graph.bomExplode(chain, "p", "c", "q", r0, "r", maxDepth = 3)
+        .collect()
+    }
+    // and succeeds once the bound covers the depth
+    assert(Graph.bomExplode(chain, "p", "c", "q", r0, "r", maxDepth = 8)
+      .count() === 6L)
+  }
 }
