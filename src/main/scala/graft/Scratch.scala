@@ -570,6 +570,69 @@ object Scratch {
       r
     }
 
+    /** q196 clamped-balance ledger: lineitem replicated with disjoint
+      * part spaces (more entities, same per-entity history) — the
+      * windowed prefix-sum + running-min + order-free aggregate must
+      * grow linearly: one hash partition by partkey, per-key sort of
+      * constant-size histories. */
+    def ledgerChain(mult: Int): Double = {
+      val base = Tables.lineitem(spark, d)
+        .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"),
+          when(col("l_returnflag") === "R",
+            col("l_quantity").cast("long"))
+            .otherwise(-col("l_quantity").cast("long")).as("dlt"))
+        .persist(MEMORY_AND_DISK)
+      base.count()
+      val rep = (0 until mult).map { k =>
+        base.select((col("l_partkey") + lit(k * 10000000L))
+          .as("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("dlt"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_partkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"))
+        val n = rep
+          .withColumn("s", sum(col("dlt")).over(w))
+          .withColumn("m", min(col("s")).over(w))
+          .withColumn("bal", col("s") - least(col("m"), lit(0L)))
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(col("dlt")) - least(min(col("s")), lit(0L)))
+              .as("end_balance"),
+            max(col("bal")).as("max_balance"))
+          .count()
+        println(s"[scratch]   ledger mult=$mult parts=$n")
+      }
+      base.unpersist()
+      r
+    }
+
+    /** q199 BOM explosion: the div3/div5 DAG extended to mult× the
+      * node count with the SAME fixed root set — every node is
+      * reachable (parent chains terminate below 10), so the result
+      * grows linearly in nodes while depth grows only as log₃(N);
+      * the per-level semiring aggregation must keep the whole run
+      * near-linear (a path-enumerating plan would grow with the 2^d
+      * path count instead). */
+    def bomChain(mult: Int): Double = {
+      val n = 20000L * mult
+      val part = spark.range(0, n).select(col("id").as("p"))
+      val kids = part.filter(col("p") >= 10)
+      val edges = kids.select(expr("p div 3").as("parent"),
+          col("p").as("child"), (lit(1) + col("p") % 4).as("qty"))
+        .unionAll(kids.select(expr("p div 5").as("parent"),
+          col("p").as("child"), (lit(1) + col("p") % 3).as("qty")))
+      val roots = part.filter(col("p") < 30)
+      timed {
+        val out = operators.Graph.bomExplode(edges, "parent", "child",
+          "qty", roots, "p").count()
+        println(s"[scratch]   bom mult=$mult pairs=$out")
+      }
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
       "lcc" -> lccChain, "itemcf" -> itemcfChain,
       "growth" -> growthChain,
@@ -579,7 +642,8 @@ object Scratch {
       "qualityGate" -> qualityGateChain, "bpe" -> bpeChain,
       "pmi" -> pmiChain, "pagerank" -> pagerankChain,
       "triangles" -> triangleChain, "sweep" -> sweepChain,
-      "bfs" -> bfsChain, "sssp" -> ssspChain)
+      "bfs" -> bfsChain, "sssp" -> ssspChain,
+      "ledger" -> ledgerChain, "bom" -> bomChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm

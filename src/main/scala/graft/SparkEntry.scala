@@ -4832,21 +4832,35 @@ object SparkEntry {
           .cast("long").as("__x"), $"__c")
       val a = daily.select($"__x".as("__x1"), $"__c".as("__c1"))
       val b = daily.select($"__x".as("__x2"), $"__c".as("__c2"))
+      // median SELECTION rides the distributed prefix-sum rank (the
+      // q98 machinery: range partition + local sort + boundary
+      // offsets), not a one-task row_number window — ~n_days²/2 pair
+      // rows sort on every core (measured 3.5 → 1.8 s at sf0.1); with
+      // duplicate slope values ranks are still unique per ROW, and
+      // the VALUE at the median rank is what both engines agree on
+      // persisted because THREE executions read it (the count, the
+      // range-partitioner's sample pass, the ranked pass) — without
+      // this the pair join re-runs each time; released by the
+      // session-level cache clear (Bench/Verify per query)
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val slopes = a.join(b, $"__x1" < $"__x2")
         .select((($"__c2" - $"__c1").cast("double") /
           ($"__x2" - $"__x1")).as("__slope"))
+        .withColumn("__g", lit(1))
+        .persist(MEMORY_AND_DISK)
       val np = slopes.agg(count(lit(1)).as("n_pairs"))
-      val slope = slopes.crossJoin(broadcast(np))
-        .withColumn("__rk", row_number().over(
-          Window.orderBy($"__slope")))
+      val slope = Packing.prefixSum(slopes, Seq("__g"), Seq("__slope"),
+          "__g", "__rk")
+        .crossJoin(broadcast(np))
         .filter($"__rk" === expr("(n_pairs + 1) div 2"))
         .select($"n_pairs", $"__slope".as("__m"))
       val resid = daily.crossJoin(broadcast(slope))
         .select($"n_pairs", $"__m",
           ($"__c".cast("double") - $"__m" * $"__x").as("__r"))
+        .withColumn("__g", lit(1))
       val nd = resid.agg(count(lit(1)).as("n_days"))
-      resid.crossJoin(broadcast(nd))
-        .withColumn("__rk", row_number().over(Window.orderBy($"__r")))
+      Packing.prefixSum(resid, Seq("__g"), Seq("__r"), "__g", "__rk")
+        .crossJoin(broadcast(nd))
         .filter($"__rk" === expr("(n_days + 1) div 2"))
         .select($"n_days", $"n_pairs",
           Fns.roundU($"__m", 4).as("slope_cents_per_day"),
@@ -4959,7 +4973,34 @@ object SparkEntry {
             .as("control_delta"),
           Fns.roundU((($"__tp" - $"__tq") - ($"__cp" - $"__cq")) / 100.0,
             4).as("did"))
-    })
+    }),
+
+    // SMALL-QUANTITY PARTS (TPC-H Q17's plan shape): revenue lost to
+    // below-one-fifth-of-average orders of one brand's parts — the
+    // correlated SCALAR-AVG subquery, decorrelated into a per-part
+    // aggregate joined back onto the same scan. The 0.2·avg gate is
+    // the cross-multiplied INTEGER test 5·qty·cnt < sum_qty (q193's
+    // discipline — no floating threshold), so the row set is exact;
+    // only the final /7.0 yearly average is a double, and it divides
+    // an exact cent sum once. Brand-filtered parts broadcast; the
+    // per-part stats come from the UNfiltered lineitem (the Q17
+    // semantics) but only survive the join for the brand's parts.
+    "q202_small_qty_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val stats = li.groupBy($"l_partkey".as("__pk"))
+        .agg(count(lit(1)).as("__cnt"),
+          sum($"l_quantity".cast("long")).as("__sq"))
+      val brand = Tables.part(s, d).filter($"p_brand" === "Brand#23")
+        .select($"p_partkey")
+      li.join(broadcast(brand), $"l_partkey" === $"p_partkey")
+        .join(stats, $"l_partkey" === $"__pk")
+        .filter($"l_quantity".cast("long") * 5 * $"__cnt" < $"__sq")
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(floor($"l_extendedprice" * 100 + 0.5).cast("long"))
+            .cast("double") / 700.0).as("__a"))
+        .select($"n_lines", Fns.roundU($"__a", 4).as("avg_yearly"))
+    }),
+
   )
 
   // ---------------------------------------------------------------------
@@ -9633,7 +9674,26 @@ object SparkEntry {
         |    AS control_delta,
         |  floor((((tp - tq) - (cp - cq)) / 100.0) * 10000 + 0.5)
         |    / 10000.0 AS did
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // q202: the same cross-multiplied integer gate — 5·qty·cnt <
+    // sum_qty — so the row set is exact; one double division at the end
+    "q202_small_qty_revenue" ->
+      """WITH st AS (
+        |  SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 700.0 AS a
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+        |  JOIN st ON l_partkey = pk
+        |  WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sq)
+        |SELECT n_lines,
+        |  floor(a * 10000 + 0.5) / 10000.0 AS avg_yearly
+        |FROM r""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
