@@ -5001,6 +5001,36 @@ object SparkEntry {
         .select($"n_lines", Fns.roundU($"__a", 4).as("avg_yearly"))
     }),
 
+    // FLAC DECODE — LOSSLESS compressed audio under the ORACLE,
+    // completing the audio compression triad (q95 PCM uncompressed,
+    // q194 ADPCM lossy, this lossless): conformant mono 16-bit FLAC
+    // streams with FIXED-prediction subframes, Rice-coded residuals
+    // and VERIFIED CRC-8/CRC-16, built from closed-form warmup/
+    // residual formulas (the fixture writes the compressed stream
+    // directly — no encoder search) and decoded by the real
+    // bit-arithmetic codec (Multimodal.decodeFlacFeatures). Because
+    // FLAC is lossless, the decoded samples ARE the fixed-predictor
+    // recurrence over the residuals — which DuckDB replays as a
+    // recursive CTE (the q194 discipline; order varies per doc, so
+    // all three predictor forms are exercised). Any Rice, bit-order,
+    // CRC or predictor bug breaks the hash. LPC subframes stay on the
+    // injected-codec seam.
+    "q204_flac_decode" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.FlacAudio.encodeFixed(
+        8000 + (id % 3).toInt * 4000, 48, 1 + (id % 2).toInt,
+        (id % 3).toInt, 4,
+        (f, j) => ((id * 13 + f * 3 + j * 7) % 65).toInt - 32,
+        (f, i) => ((id * 7 + f * 11 + i * 5) % 17).toInt - 8))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeFlacFeatures(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"sample_rate", $"n_frames",
+          $"n_samples",
+          Fns.roundU($"mean_amp", 4).as("mean_amp"),
+          Fns.roundU($"rms", 4).as("rms"), $"peak", $"last_sample")
+        .orderBy($"doc_id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -9693,7 +9723,81 @@ object SparkEntry {
         |  WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sq)
         |SELECT n_lines,
         |  floor(a * 10000 + 0.5) / 10000.0 AS avg_yearly
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // q204: FLAC is lossless, so the oracle replays the fixed-
+    // predictor recurrence over the closed-form warmup/residual
+    // formulas as a recursive CTE — it never parses a FLAC byte. The
+    // per-doc order (0/1/2) selects the predictor form; warmup rows
+    // come straight from the formula, recurrence rows advance one
+    // sample per iteration carrying (p1, p2). The p1-update expression
+    // is duplicated into the emitted sample column because SQL select
+    // lists cannot self-reference aliases.
+    "q204_flac_decode" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS nf,
+        |    CAST(doc_id % 3 AS INT) AS o
+        |  FROM documents WHERE doc_id < 40),
+        |fr AS (
+        |  SELECT doc_id, o, fx.i AS f
+        |  FROM d, unnest(range(0, nf)) fx(i)),
+        |warm AS (
+        |  SELECT doc_id, f, CAST(j.i AS INT) AS i,
+        |    CAST((doc_id * 13 + f * 3 + j.i * 7) % 65 - 32 AS INT) AS s
+        |  FROM fr, unnest(range(0, o)) j(i)),
+        |dec AS (
+        |  SELECT doc_id, f, o, o - 1 AS i,
+        |    CAST(CASE WHEN o >= 1 THEN
+        |        (doc_id * 13 + f * 3 + (o - 1) * 7) % 65 - 32
+        |      ELSE 0 END AS INT) AS p1,
+        |    CAST(CASE WHEN o >= 2 THEN
+        |        (doc_id * 13 + f * 3 + (o - 2) * 7) % 65 - 32
+        |      ELSE 0 END AS INT) AS p2,
+        |    CAST(NULL AS INT) AS s
+        |  FROM fr
+        |  UNION ALL
+        |  SELECT doc_id, f, o, i + 1,
+        |    CAST(CASE WHEN o = 0 THEN
+        |        (doc_id * 7 + f * 11 + (i + 1) * 5) % 17 - 8
+        |      WHEN o = 1 THEN
+        |        p1 + ((doc_id * 7 + f * 11 + (i + 1 - o) * 5) % 17 - 8)
+        |      ELSE
+        |        2 * p1 - p2
+        |          + ((doc_id * 7 + f * 11 + (i + 1 - o) * 5) % 17 - 8)
+        |      END AS INT) AS p1,
+        |    p1 AS p2,
+        |    CAST(CASE WHEN o = 0 THEN
+        |        (doc_id * 7 + f * 11 + (i + 1) * 5) % 17 - 8
+        |      WHEN o = 1 THEN
+        |        p1 + ((doc_id * 7 + f * 11 + (i + 1 - o) * 5) % 17 - 8)
+        |      ELSE
+        |        2 * p1 - p2
+        |          + ((doc_id * 7 + f * 11 + (i + 1 - o) * 5) % 17 - 8)
+        |      END AS INT) AS s
+        |  FROM dec WHERE i < 47),
+        |alls AS (
+        |  SELECT doc_id, f, i, s FROM warm
+        |  UNION ALL
+        |  SELECT doc_id, f, i, s FROM dec WHERE i >= o AND s IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    avg(CAST(s AS DOUBLE)) AS ma,
+        |    sqrt(avg(CAST(s AS DOUBLE) * s)) AS r,
+        |    CAST(max(abs(s)) AS INT) AS peak
+        |  FROM alls GROUP BY doc_id),
+        |l AS (
+        |  SELECT doc_id, s AS last_sample FROM alls
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY f DESC, i DESC) = 1)
+        |SELECT d.doc_id, d.sample_rate, d.nf AS n_frames, m.n_samples,
+        |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
+        |  floor(r * 10000 + 0.5) / 10000.0 AS rms, m.peak,
+        |  l.last_sample
+        |FROM d JOIN m USING (doc_id) JOIN l USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -1,0 +1,439 @@
+package graft.functions
+
+/** REAL sample decode for LOSSLESS compressed audio: FLAC, restricted
+  * to the subset a pure-JVM integer decoder can own completely — mono
+  * 16-bit streams whose subframes are CONSTANT, VERBATIM, or
+  * FIXED-prediction (orders 0–4) with Rice-coded residuals. This is
+  * the third compression tier of the audio story: PCM ([[WavPcm]]) is
+  * uncompressed, IMA ADPCM ([[AdpcmWav]]) is lossy-compressed, FLAC is
+  * lossless-compressed — and losslessness is what makes it exactly
+  * oracle-able: the decoded samples equal the fixed-predictor
+  * recurrence over the residuals, bit for bit. LPC-coded subframes
+  * (the other half of real-world FLAC) and multi-channel decorrelation
+  * return None and route to the injected-codec seam
+  * ([[graft.operators.Multimodal.decodePartitions]]).
+  *
+  * Everything here is the public FLAC format specification:
+  *  - container: "fLaC" magic, metadata blocks ([is-last:1|type:7] +
+  *    u24 length), STREAMINFO (type 0, 34 bytes) carrying block sizes,
+  *    20-bit sample rate, channels-1, bps-1, 36-bit total samples;
+  *  - frame: 14-bit sync 0b11111111111110, reserved bit, blocking
+  *    strategy, 4+4 bits block-size/sample-rate codes, 4 bits channel
+  *    assignment, 3 bits sample size, UTF-8-style coded frame number,
+  *    optional trailing block-size/sample-rate fields, CRC-8 (poly
+  *    0x07) of the header;
+  *  - subframe: [pad:1|type:6|wasted:1], warmup samples at stream bps,
+  *    residual block: 2-bit method (4- or 5-bit Rice params), 4-bit
+  *    partition order, per partition a Rice parameter (escape code →
+  *    raw n-bit residuals), residuals zigzag-folded, quotient in unary
+  *    (q zeros then a one), remainder in k raw bits;
+  *  - fixed predictors: s[i] = r[i];  s[i-1]+r[i];  2s[i-1]-s[i-2]+r[i];
+  *    3s[i-1]-3s[i-2]+s[i-3]+r[i];  4s[i-1]-6s[i-2]+4s[i-3]-s[i-4]+r[i];
+  *  - frame footer: CRC-16 (poly 0x8005) of the whole byte-aligned
+  *    frame. Both CRCs are VERIFIED — a flipped bit anywhere in a
+  *    frame makes the row None (data, not an exception), exactly what
+  *    a 100 TB ingest wants from a checksummed format.
+  */
+object FlacAudio {
+
+  /** Per-clip decoded-sample statistics (mirrors [[AdpcmWav.Features]]:
+    * `lastSample` pins decode order through every recurrence step). */
+  case class Features(sampleRate: Int, nFrames: Int, nSamples: Long,
+                      meanAmp: Double, rms: Double, peak: Int,
+                      lastSample: Int)
+
+  /** Internal parse-abort signal; never escapes [[decode]]. */
+  private final class ParseEx extends RuntimeException(null, null, false, false)
+  private def bail(): Nothing = throw new ParseEx
+
+  private def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+              else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** MSB-first bit reader over a byte range; every read is bounds-
+    * checked and aborts the parse (→ None) on exhaustion. */
+  private final class BitReader(b: Array[Byte], startByte: Int,
+                                endByte: Int) {
+    private var bit = startByte * 8L
+    private val endBit = endByte * 8L
+    def bytePos: Int = ((bit + 7) / 8).toInt
+    def aligned: Boolean = bit % 8 == 0
+    def readBits(n: Int): Long = {
+      if (n == 0) return 0L
+      if (bit + n > endBit) bail()
+      var v = 0L
+      var k = 0
+      while (k < n) {
+        val by = (bit >> 3).toInt
+        val off = 7 - (bit & 7).toInt
+        v = (v << 1) | ((b(by) >> off) & 1)
+        bit += 1; k += 1
+      }
+      v
+    }
+    def readSigned(n: Int): Int = {
+      val v = readBits(n)
+      ((v << (64 - n)) >> (64 - n)).toInt // sign-extend
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while ({ if (bit >= endBit) bail(); true } &&
+        ((b((bit >> 3).toInt) >> (7 - (bit & 7).toInt)) & 1) == 0) {
+        bit += 1; q += 1
+      }
+      bit += 1 // consume the terminating 1
+      q
+    }
+    def alignToByte(): Unit = {
+      // padding bits must be zero per spec; a nonzero pad means the
+      // stream is out of sync
+      while (bit % 8 != 0) { if (readBits(1) != 0L) bail() }
+    }
+  }
+
+  private val FixedCoef: Array[Array[Int]] = Array(
+    Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
+
+  /** Decode a mono 16-bit fixed-prediction FLAC stream to sample
+    * statistics; None for LPC/multichannel/other-depth streams,
+    * non-FLAC payloads, CRC failures, and any corruption. */
+  def decode(b: Array[Byte]): Option[Features] = {
+    if (b == null || b.length < 42) return None
+    if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
+      return None
+    try {
+      var i = 4
+      var sampleRate = -1; var channels = -1; var bits = -1
+      var totalSamples = -1L
+      var haveInfo = false
+      var last = false
+      while (!last) {
+        if (i + 4 > b.length) return None
+        val hdr = b(i) & 0xff
+        last = (hdr & 0x80) != 0
+        val btype = hdr & 0x7f
+        val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) |
+          (b(i + 3) & 0xff)
+        if (i + 4 + len > b.length) return None
+        if (btype == 0) {
+          if (len < 34) return None
+          val p = i + 4
+          sampleRate = ((b(p + 10) & 0xff) << 12) |
+            ((b(p + 11) & 0xff) << 4) | ((b(p + 12) & 0xff) >> 4)
+          channels = ((b(p + 12) >> 1) & 0x7) + 1
+          bits = (((b(p + 12) & 1) << 4) | ((b(p + 13) & 0xff) >> 4)) + 1
+          totalSamples = ((b(p + 13) & 0xfL) << 32) |
+            ((b(p + 14) & 0xffL) << 24) | ((b(p + 15) & 0xffL) << 16) |
+            ((b(p + 16) & 0xffL) << 8) | (b(p + 17) & 0xffL)
+          haveInfo = true
+        }
+        i += 4 + len
+      }
+      if (!haveInfo || channels != 1 || bits != 16 || sampleRate <= 0)
+        return None
+      var sum = 0.0; var sumSq = 0.0; var peak = 0; var lastS = 0
+      var nSamples = 0L; var nFrames = 0
+      while (i < b.length) {
+        val frameStart = i
+        if (i + 5 > b.length) return None
+        if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xfe) != 0xf8)
+          return None // sync (we write/accept fixed-blocksize streams)
+        val bsCode = (b(i + 2) & 0xff) >> 4
+        val srCode = b(i + 2) & 0x0f
+        val chanAsn = (b(i + 3) & 0xff) >> 4
+        val ssCode = (b(i + 3) >> 1) & 0x7
+        if ((b(i + 3) & 1) != 0) return None // reserved bit
+        if (chanAsn != 0) return None        // mono only
+        if (ssCode != 0x4) return None       // 16-bit only
+        i += 4
+        // UTF-8-style coded frame number (value unused; length matters)
+        val first = b(i) & 0xff
+        val extra =
+          if (first < 0x80) 0
+          else if ((first & 0xe0) == 0xc0) 1
+          else if ((first & 0xf0) == 0xe0) 2
+          else if ((first & 0xf8) == 0xf0) 3
+          else if ((first & 0xfc) == 0xf8) 4
+          else if ((first & 0xfe) == 0xfc) 5
+          else if (first == 0xfe) 6
+          else return None
+        if (i + 1 + extra + 1 > b.length) return None
+        var e = 0
+        while (e < extra) {
+          if ((b(i + 1 + e) & 0xc0) != 0x80) return None
+          e += 1
+        }
+        i += 1 + extra
+        val blockSize = bsCode match {
+          case 0x0 => return None // reserved
+          case 0x1 => 192
+          case n if n >= 0x2 && n <= 0x5 => 576 << (n - 2)
+          case 0x6 =>
+            if (i + 1 > b.length) return None
+            val v = (b(i) & 0xff) + 1; i += 1; v
+          case 0x7 =>
+            if (i + 2 > b.length) return None
+            val v = (((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)) + 1
+            i += 2; v
+          case n => 256 << (n - 8)
+        }
+        srCode match {
+          case 0x0 => // from STREAMINFO
+          case 0xc => if (i + 1 > b.length) return None else i += 1
+          case 0xd | 0xe => if (i + 2 > b.length) return None else i += 2
+          case 0xf => return None // invalid
+          case _ => // table-coded rate, no extra bytes
+        }
+        if (i + 1 > b.length) return None
+        if (crc8(b, frameStart, i) != (b(i) & 0xff)) return None
+        i += 1
+        // subframe (bit level from here)
+        val br = new BitReader(b, i, b.length)
+        if (br.readBits(1) != 0L) return None // padding bit
+        val sfType = br.readBits(6).toInt
+        val wastedFlag = br.readBits(1)
+        val wasted =
+          if (wastedFlag == 0L) 0
+          else br.readUnary() + 1 // coded as (wasted-1) in unary
+        val bps = 16 - wasted
+        if (bps <= 0) return None
+        val samples = new Array[Int](blockSize)
+        if (sfType == 0) {
+          val v = br.readSigned(bps)
+          java.util.Arrays.fill(samples, v << wasted)
+        } else if (sfType == 1) {
+          var k = 0
+          while (k < blockSize) {
+            samples(k) = br.readSigned(bps) << wasted; k += 1
+          }
+        } else if (sfType >= 8 && sfType <= 12) {
+          val order = sfType - 8
+          if (order > blockSize) return None
+          var k = 0
+          while (k < order) {
+            samples(k) = br.readSigned(bps); k += 1
+          }
+          // residual block
+          val method = br.readBits(2).toInt
+          if (method > 1) return None
+          val pBits = if (method == 0) 4 else 5
+          val escape = if (method == 0) 15 else 31
+          val partOrder = br.readBits(4).toInt
+          val nParts = 1 << partOrder
+          if (blockSize % nParts != 0) return None
+          var idx = order
+          var part = 0
+          while (part < nParts) {
+            val n = (blockSize >> partOrder) - (if (part == 0) order else 0)
+            if (n < 0) return None
+            val param = br.readBits(pBits).toInt
+            if (param == escape) {
+              val raw = br.readBits(5).toInt
+              var j = 0
+              while (j < n) {
+                val r = if (raw == 0) 0 else br.readSigned(raw)
+                samples(idx) = r; idx += 1; j += 1
+              }
+            } else {
+              var j = 0
+              while (j < n) {
+                val q = br.readUnary()
+                val m = (q.toLong << param) | br.readBits(param)
+                samples(idx) = ((m >>> 1) ^ -(m & 1L)).toInt
+                idx += 1; j += 1
+              }
+            }
+            part += 1
+          }
+          // reconstruct through the fixed predictor
+          val coef = FixedCoef(order)
+          var t = order
+          while (t < blockSize) {
+            var acc = samples(t).toLong
+            var c = 0
+            while (c < order) {
+              acc += coef(c).toLong * samples(t - 1 - c); c += 1
+            }
+            samples(t) = acc.toInt
+            t += 1
+          }
+          if (wasted > 0) {
+            var w = 0
+            while (w < blockSize) { samples(w) <<= wasted; w += 1 }
+          }
+        } else return None // LPC (32+) and reserved types
+        br.alignToByte()
+        val footerAt = br.bytePos
+        if (footerAt + 2 > b.length) return None
+        val crc = ((b(footerAt) & 0xff) << 8) | (b(footerAt + 1) & 0xff)
+        if (crc16(b, frameStart, footerAt) != crc) return None
+        i = footerAt + 2
+        var s = 0
+        while (s < blockSize) {
+          val v = samples(s)
+          sum += v; sumSq += v.toDouble * v
+          val a = math.abs(v); if (a > peak) peak = a
+          lastS = v; s += 1
+        }
+        nSamples += blockSize
+        nFrames += 1
+      }
+      if (nFrames == 0) return None
+      if (totalSamples > 0 && totalSamples != nSamples) return None
+      val n = math.max(1L, nSamples).toDouble
+      Some(Features(sampleRate, nFrames, nSamples, sum / n,
+        math.sqrt(sumSq / n), peak, lastS))
+    } catch { case _: ParseEx => None }
+  }
+
+  /** MSB-first bit writer (fixture side). */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0; private var nbits = 0
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1L).toInt
+        nbits += 1
+        if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+        i -= 1
+      }
+    }
+    def writeUnary(q: Int): Unit = { writeBits(0, q); writeBits(1, 1) }
+    def alignZero(): Unit =
+      if (nbits > 0) { out.write(cur << (8 - nbits)); cur = 0; nbits = 0 }
+    def bytes: Array[Byte] = { require(nbits == 0); out.toByteArray }
+  }
+
+  /** FIXTURE synthesis (bounded; test/oracle side only): a conformant
+    * mono 16-bit FLAC stream of `nFrames` equal fixed-blocksize frames,
+    * each one FIXED-prediction subframe of the given order — warmup
+    * samples and residuals come straight from closed-form formulas, so
+    * q204's oracle can replay the predictor recurrence in SQL. Rice
+    * parameter `riceK` is used verbatim (no estimation); requires
+    * nFrames ≤ 128 (1-byte coded number) and blockSize ≤ 256 (8-bit
+    * block-size field). Both CRCs are computed for real — the decoder
+    * VERIFIES them, so the encoder cannot cheat. */
+  def encodeFixed(sampleRate: Int, blockSize: Int, nFrames: Int,
+                  order: Int, riceK: Int,
+                  warmup: (Int, Int) => Int,
+                  resid: (Int, Int) => Int): Array[Byte] = {
+    require(order >= 0 && order <= 4 && order <= blockSize,
+      "fixed order 0-4 within the block")
+    require(riceK >= 0 && riceK < 15, "4-bit rice parameter")
+    encodeStream(sampleRate, blockSize, nFrames) { (bw, f) =>
+      bw.writeBits(0, 1); bw.writeBits(8 + order, 6); bw.writeBits(0, 1)
+      var j = 0
+      while (j < order) {
+        bw.writeBits(warmup(f, j).toLong & 0xffff, 16); j += 1
+      }
+      bw.writeBits(0, 2)     // residual method: 4-bit rice
+      bw.writeBits(0, 4)     // partition order 0
+      bw.writeBits(riceK, 4)
+      var t = order
+      while (t < blockSize) {
+        val v = resid(f, t - order)
+        val m = ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL
+        bw.writeUnary((m >>> riceK).toInt)
+        bw.writeBits(m & ((1L << riceK) - 1), riceK)
+        t += 1
+      }
+    }
+  }
+
+  /** FIXTURE: CONSTANT subframes — one 16-bit value per frame. */
+  def encodeConstant(sampleRate: Int, blockSize: Int, nFrames: Int,
+                     value: Int => Int): Array[Byte] =
+    encodeStream(sampleRate, blockSize, nFrames) { (bw, f) =>
+      bw.writeBits(0, 1); bw.writeBits(0, 6); bw.writeBits(0, 1)
+      bw.writeBits(value(f).toLong & 0xffff, 16)
+    }
+
+  /** FIXTURE: VERBATIM subframes — raw 16-bit samples, no prediction. */
+  def encodeVerbatim(sampleRate: Int, blockSize: Int, nFrames: Int,
+                     sample: (Int, Int) => Int): Array[Byte] =
+    encodeStream(sampleRate, blockSize, nFrames) { (bw, f) =>
+      bw.writeBits(0, 1); bw.writeBits(1, 6); bw.writeBits(0, 1)
+      var t = 0
+      while (t < blockSize) {
+        bw.writeBits(sample(f, t).toLong & 0xffff, 16); t += 1
+      }
+    }
+
+  /** Shared container/frame writer: "fLaC" + STREAMINFO + `nFrames`
+    * frames whose subframe bits come from `body`, CRC-8/16 computed
+    * for real over exactly the bytes the decoder verifies. */
+  private def encodeStream(sampleRate: Int, blockSize: Int, nFrames: Int)
+                          (body: (BitWriter, Int) => Unit): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "20-bit rate")
+    require(blockSize >= 1 && blockSize <= 256, "8-bit block-size field")
+    require(nFrames >= 1 && nFrames <= 128, "1-byte coded number")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO, is-last
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val total = nFrames.toLong * blockSize
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    w16(blockSize); w16(blockSize)       // min/max block size
+    out.write(0); out.write(0); out.write(0) // min frame size unknown
+    out.write(0); out.write(0); out.write(0) // max frame size unknown
+    out.write((sampleRate >> 12) & 0xff)
+    out.write((sampleRate >> 4) & 0xff)
+    out.write(((sampleRate & 0xf) << 4) | (0 << 1) | (15 >> 4)) // mono, bps-1=15
+    out.write(((15 & 0xf) << 4) | ((total >> 32) & 0xf).toInt)
+    out.write(((total >> 24) & 0xff).toInt)
+    out.write(((total >> 16) & 0xff).toInt)
+    out.write(((total >> 8) & 0xff).toInt)
+    out.write((total & 0xff).toInt)
+    (0 until 16).foreach(_ => out.write(0)) // MD5 unknown
+    var f = 0
+    while (f < nFrames) {
+      val frame = new java.io.ByteArrayOutputStream()
+      frame.write(0xff); frame.write(0xf8) // sync + fixed blocksize
+      frame.write((0x6 << 4) | 0x0)        // bs: 8-bit at end; sr: STREAMINFO
+      frame.write((0x0 << 4) | (0x4 << 1) | 0) // mono, 16-bit, reserved
+      frame.write(f)                       // coded number (< 0x80)
+      frame.write(blockSize - 1)           // 8-bit block size - 1
+      val hdr = frame.toByteArray
+      frame.write(crc8(hdr, 0, hdr.length))
+      val bw = new BitWriter
+      body(bw, f)
+      bw.alignZero()
+      frame.write(bw.bytes, 0, bw.bytes.length)
+      val whole = frame.toByteArray
+      val c16 = crc16(whole, 0, whole.length)
+      frame.write((c16 >> 8) & 0xff); frame.write(c16 & 0xff)
+      out.write(frame.toByteArray, 0, frame.size())
+      f += 1
+    }
+    out.toByteArray
+  }
+}

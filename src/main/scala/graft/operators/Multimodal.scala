@@ -324,6 +324,35 @@ object Multimodal {
       }
   }
 
+  /** Decoded audio-feature record for payloads the pure-JVM FLAC
+    * (fixed-prediction subset) codec handles; LPC-coded/multichannel
+    * FLAC and corrupt payloads are dropped. */
+  case class FlacFeatureRow(id: Long, sample_rate: Int, n_frames: Int,
+                            n_samples: Long, mean_amp: Double,
+                            rms: Double, peak: Int, last_sample: Int)
+
+  /** REAL sample-tier decode for LOSSLESS compressed audio: mono
+    * 16-bit fixed-prediction FLAC ([[graft.functions.FlacAudio]] —
+    * Rice decoding, fixed predictors, verified CRC-8/CRC-16, all plain
+    * integer/bit arithmetic). Completes the audio compression triad
+    * (PCM uncompressed / ADPCM lossy / FLAC lossless); LPC subframes
+    * and multichannel decorrelation route to [[decodePartitions]]'s
+    * injected codec, same batch shape. */
+  def decodeFlacFeatures(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[FlacFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.FlacAudio.decode(bytes).map(f =>
+            FlacFeatureRow(id, f.sampleRate, f.nFrames, f.nSamples,
+              f.meanAmp, f.rms, f.peak, f.lastSample))
+        }
+      }
+  }
+
   /** STUB codec for environments without media libraries: deterministic
     * header fake from the payload bytes. */
   def stubCodec(bytes: Array[Byte]): (Int, Int, Int) = {

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Properties for the FLAC fixed-prediction-subset decoder: exact
+  * roundtrips against an independent predictor replay for every
+  * subframe type and order, CRC tamper detection (a flipped byte
+  * anywhere in a frame must yield None, never a wrong number), and
+  * never-throws fuzz. Pure byte-array functions — no SparkSession.
+  */
+object FlacAudioProps extends Properties("graft.flac") {
+
+  /** Independent fixed-predictor replay (plain Scala, coefficient
+    * form written separately from the decoder's loop). */
+  private def replay(order: Int, blockSize: Int, nFrames: Int,
+                     warmup: (Int, Int) => Int,
+                     resid: (Int, Int) => Int): Seq[Int] =
+    (0 until nFrames).flatMap { f =>
+      val s = new Array[Int](blockSize)
+      (0 until order).foreach(j => s(j) = warmup(f, j))
+      (order until blockSize).foreach { t =>
+        val r = resid(f, t - order)
+        s(t) = order match {
+          case 0 => r
+          case 1 => s(t - 1) + r
+          case 2 => 2 * s(t - 1) - s(t - 2) + r
+          case 3 => 3 * s(t - 1) - 3 * s(t - 2) + s(t - 3) + r
+          case 4 =>
+            4 * s(t - 1) - 6 * s(t - 2) + 4 * s(t - 3) - s(t - 4) + r
+        }
+      }
+      s.toSeq
+    }
+
+  private def statsMatch(f: FlacAudio.Features, all: Seq[Int],
+                         rate: Int, nFrames: Int): Boolean = {
+    val n = all.length.toDouble
+    f.sampleRate == rate && f.nFrames == nFrames &&
+      f.nSamples == all.length.toLong &&
+      math.abs(f.meanAmp - all.map(_.toLong).sum / n) < 1e-9 &&
+      f.peak == all.map(math.abs).max && f.lastSample == all.last
+  }
+
+  property("fixed orders 0-4 roundtrip exactly vs independent replay") =
+    forAll(Gen.choose(0, 4), Gen.choose(8, 64), Gen.choose(1, 4),
+      Gen.choose(0, 6), Gen.choose(0, 99)) { (o, bsRaw, nf, k, seed) =>
+      val bs = math.max(bsRaw, o + 1)
+      // keep residuals small so high orders stay in int16-ish range
+      def w(f: Int, j: Int) = (seed * 3 + f * 5 + j * 7) % 9 - 4
+      def r(f: Int, i: Int) = (seed * 7 + f * 11 + i * 5) % 5 - 2
+      val b = FlacAudio.encodeFixed(44100, bs, nf, o, k, w, r)
+      val dec = FlacAudio.decode(b)
+      dec.exists(statsMatch(_, replay(o, bs, nf, w, r), 44100, nf))
+    }
+
+  property("constant and verbatim subframes roundtrip exactly") =
+    forAll(Gen.choose(1, 128), Gen.choose(1, 4),
+      Gen.choose(-32768, 32767)) { (bs, nf, v) =>
+      // floorMod keeps the synthetic samples inside int16 (Scala's %
+      // of a negative would leave the valid range)
+      def cv(f: Int) = math.floorMod(v + f, 65536) - 32768
+      val c = FlacAudio.decode(FlacAudio.encodeConstant(8000, bs, nf, cv))
+      def sm(f: Int, t: Int) =
+        math.floorMod(v + f * 31 + t * 17, 65536) - 32768
+      val vb = FlacAudio.decode(FlacAudio.encodeVerbatim(8000, bs, nf, sm))
+      val cAll = (0 until nf).flatMap(f => Seq.fill(bs)(cv(f)))
+      val vAll = (0 until nf).flatMap(f => (0 until bs).map(sm(f, _)))
+      c.exists(statsMatch(_, cAll, 8000, nf)) &&
+        vb.exists(statsMatch(_, vAll, 8000, nf))
+    }
+
+  property("a flipped byte anywhere past the magic yields None (CRC " +
+      "or structural guard), never a wrong answer") =
+    forAll(Gen.choose(0, 99), Gen.choose(Byte.MinValue, Byte.MaxValue)) {
+      (seed, nv) =>
+      val b = FlacAudio.encodeFixed(16000, 32, 2, 2, 3,
+        (f, j) => f + j, (f, i) => (seed + f + i) % 7 - 3)
+      val good = FlacAudio.decode(b).get
+      val at = 4 + seed % (b.length - 4)
+      if (b(at) == nv) true // not a corruption
+      else {
+        val bad = b.clone(); bad(at) = nv
+        FlacAudio.decode(bad) match {
+          case None => true
+          // STREAMINFO bytes are not CRC-protected (the format relies
+          // on frame CRCs); a flip there may legally decode — but it
+          // must never silently corrupt the SAMPLES themselves
+          case Some(f) => at < 42 &&
+            f.nSamples == good.nSamples && f.peak == good.peak &&
+            f.lastSample == good.lastSample
+        }
+      }
+    }
+
+  private val arbitraryBytes: Gen[Array[Byte]] =
+    Gen.choose(0, 256).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray))
+
+  private val flacSoup: Gen[Array[Byte]] = for {
+    n <- Gen.choose(0, 128)
+    body <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield "fLaC".getBytes("ISO-8859-1") ++ body.toArray
+
+  private val truncated: Gen[Array[Byte]] = for {
+    seed <- Gen.choose(0, 99)
+    full = FlacAudio.encodeFixed(8000, 48, 2, seed % 3, 4,
+      (f, j) => f + j, (f, i) => (seed + f * 3 + i) % 9 - 4)
+    keep <- Gen.choose(0, full.length)
+  } yield full.take(keep)
+
+  private def safe(b: Array[Byte]): Boolean = { FlacAudio.decode(b); true }
+
+  property("decode never throws on arbitrary bytes") =
+    forAll(arbitraryBytes)(safe)
+
+  property("decode never throws on fLaC-magic soup") =
+    forAll(flacSoup)(safe)
+
+  property("decode never throws on truncated real streams") =
+    forAll(truncated)(safe)
+}
