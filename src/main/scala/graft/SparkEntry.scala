@@ -5030,6 +5030,50 @@ object SparkEntry {
           Fns.roundU($"mean_amp", 4).as("mean_amp"),
           Fns.roundU($"rms", 4).as("rms"), $"peak", $"last_sample")
         .orderBy($"doc_id")
+    }),
+
+    // UNICODE NORMALIZATION + CLEANING — the canonicalization pass
+    // every multi-source corpus needs before dedup/hashing (the same
+    // document arrives precomposed from one crawler and with
+    // combining marks from another; every fingerprint disagrees until
+    // code points are canonical). NFC runs as the native
+    // `nfc_normalize` Catalyst expression (whole-stage codegen, with
+    // an isNormalized zero-allocation fast path for the ASCII
+    // majority), then control-strip + whitespace-collapse + trim via
+    // builtin regexes with EXPLICIT character classes ([ \t\n\r]
+    // spelled out — Java's \s includes \x0B, RE2's does not, so the
+    // shorthand class would silently diverge between engines). The
+    // fixture decorates real document text with combining sequences,
+    // control bytes and ragged whitespace; DuckDB rebuilds the same
+    // raw string via chr() and runs its own utf8proc NFC — md5 of the
+    // cleaned text pins byte-exact agreement between two INDEPENDENT
+    // Unicode implementations (ICU-style JDK vs utf8proc).
+    "q205_unicode_norm" -> ((s, d) => {
+      // DECOMPOSED sequences (letter + combining mark: \u0301 acute,
+      // \u030A ring, \u0308 diaeresis - written as escapes so the
+      // fixture is visibly non-canonical), plus a BEL control byte
+      // and ragged whitespace. NOTE: escapes are built with '\\u'+code
+      // concatenation below because scalac expands \uXXXX even in
+      // comments and would silently precompose a source literal.
+      val cAcute = "\u0301"; val cRing = "\u030A"
+      val cDia = "\u0308"; val bel = "\u0007"
+      val deco = when($"doc_id" % 4 === 1, lit(" e" + cAcute + "cole"))
+        .when($"doc_id" % 4 === 2,
+          lit(" A" + cRing + "ngstro" + cDia + "m" + bel + "test"))
+        .when($"doc_id" % 4 === 3,
+          lit("\tmix   e" + cAcute + bel + "  end "))
+        .otherwise(lit(""))
+      Tables.documents(s, d).filter($"doc_id" < 200)
+        .select($"doc_id",
+          concat(substring($"text", 1, 40), deco).as("__raw"))
+        .select($"doc_id", length($"__raw").as("n_raw"),
+          trim(regexp_replace(regexp_replace(
+            expr("nfc_normalize(__raw)"),
+            "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+            "[ \\t\\n\\r]+", " ")).as("__c"))
+        .select($"doc_id", $"n_raw", length($"__c").as("n_clean"),
+          md5($"__c").as("md5_clean"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -9797,7 +9841,33 @@ object SparkEntry {
         |  floor(r * 10000 + 0.5) / 10000.0 AS rms, m.peak,
         |  l.last_sample
         |FROM d JOIN m USING (doc_id) JOIN l USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q205: DuckDB rebuilds the identical decomposed raw string via
+    // chr() (769 acute / 778 ring / 776 diaeresis / 7 BEL / 9 TAB)
+    // and normalizes with ITS OWN utf8proc NFC — md5 equality means
+    // two independent Unicode implementations agree byte-for-byte.
+    // Character classes are spelled out, never \s (Java's includes
+    // \x0B, RE2's does not).
+    "q205_unicode_norm" ->
+      """WITH r AS (
+        |  SELECT doc_id, substr(text, 1, 40) ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' e' || chr(769) || 'cole'
+        |         WHEN doc_id % 4 = 2 THEN ' A' || chr(778) || 'ngstro'
+        |           || chr(776) || 'm' || chr(7) || 'test'
+        |         WHEN doc_id % 4 = 3 THEN chr(9) || 'mix   e'
+        |           || chr(769) || chr(7) || '  end '
+        |         ELSE '' END AS raw
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (
+        |  SELECT doc_id, CAST(length(raw) AS INT) AS n_raw,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+        |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS cl
+        |  FROM r)
+        |SELECT doc_id, n_raw, CAST(length(cl) AS INT) AS n_clean,
+        |  md5(cl) AS md5_clean
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -29,6 +29,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("mh") === 8)
   }
 
+  test("nfc_normalize recomposes combining marks and passes canonical " +
+      "text through untouched") {
+    import spark.implicits._
+    // "e" + U+0301 must compose to U+00E9; already-canonical and pure
+    // ASCII strings are identity (the zero-allocation fast path)
+    val df = Seq("école", "école", "plain ascii", "Å")
+      .toDF("s")
+      .selectExpr("s", "nfc_normalize(s) AS n", "length(s) AS ls",
+        "length(nfc_normalize(s)) AS ln")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getInt(2), r.getInt(3)))
+    assert(rows(0)._2 === "école" && rows(0)._3 === 6 &&
+      rows(0)._4 === 5)
+    assert(rows(1)._2 === "école" && rows(1)._4 === 5)
+    assert(rows(2)._2 === "plain ascii")
+    assert(rows(3)._2 === "Å" && rows(3)._4 === 1)
+    // null-safe
+    assert(spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS n")
+      .collect()(0).isNullAt(0))
+  }
+
   test("register injects the top-k strategy and pushdown rule (idempotent)") {
     GraftFunctions.register(spark) // second call must not duplicate
     GraftFunctions.register(spark)
