@@ -491,6 +491,47 @@ object Streams {
       }
   }
 
+  /** Inventory ledger input event (shape of q196's batch input). */
+  case class LedgerEvent(key: String, ts: Long, delta: Long)
+
+  /** Per-key ledger state: the five running scalars of q196. */
+  case class LedgerState(key: String, n_events: Long, balance: Long,
+                         max_balance: Long, n_stockouts: Long,
+                         lost_units: Long)
+
+  /** STREAMING clamped-balance ledger — the incremental twin of batch
+    * q196. Sequentially the recurrence b' = max(0, b + δ) is trivial
+    * (per-key state is five scalars, independent of stream length);
+    * the batch twin computes the SAME function via the prefix-sum /
+    * running-min identity b_t = S_t − min(0, min_{k≤t} S_k), with
+    * total lost units = −min(0, min S) = the sum of per-event
+    * shortfalls this fold accumulates. StreamsSpec pins stream/batch
+    * equality on a shared event log — a machine-checked proof of the
+    * identity itself, not just of this applier. Same-timestamp events
+    * fold in (ts, delta) order (the drainAlerts tiebreak), so emitted
+    * state is deterministic across runs; cross-batch order follows
+    * the usual nondecreasing-event-time streaming contract. */
+  def ledgerMonitor(events: Dataset[LedgerEvent]): Dataset[LedgerState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[LedgerState, LedgerState](
+        GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[LedgerState]) =>
+          var s = state.getOption.getOrElse(
+            LedgerState(key, 0L, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(e => (e.ts, e.delta)).foreach { e =>
+            val raw = s.balance + e.delta
+            val bal = math.max(0L, raw)
+            s = LedgerState(key, s.n_events + 1, bal,
+              math.max(s.max_balance, bal),
+              s.n_stockouts + (if (bal == 0L && e.delta < 0L) 1L else 0L),
+              s.lost_units + (if (raw < 0L) -raw else 0L))
+          }
+          state.update(s)
+          s
+      }
+  }
+
   /** Funnel input event (micro timestamp; shape of q82's batch input). */
   case class FunnelEvent(user_id: Long, event_type: String, ts: Long)
 

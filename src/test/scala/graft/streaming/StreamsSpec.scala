@@ -213,6 +213,62 @@ class StreamsSpec extends SparkSpec {
     assert(math.abs(r.value.head - 50.0) <= 3.0)
   }
 
+  test("ledgerMonitor: streaming clamp fold EQUALS the batch prefix-" +
+      "sum/running-min identity (q196) on a shared event log") {
+    // pseudo-random ledger with guaranteed stockouts (issues outweigh
+    // restocks); unique ts per key so fold order is unambiguous
+    val evs = (0 until 300).map { i =>
+      val key = s"p${i % 7}"
+      val delta = ((i * 37) % 19) - 11L // range [-11, 7]
+      Streams.LedgerEvent(key, i.toLong, delta)
+    }
+    // batch form: the q196 identity, verbatim
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"ts")
+    val batch = evs.toDF("key", "ts", "delta")
+      .withColumn("s", sum($"delta").over(w))
+      .withColumn("m", min($"s").over(w))
+      .withColumn("bal", $"s" - least($"m", lit(0L)))
+      .groupBy($"key")
+      .agg(count(lit(1)).as("n_events"),
+        (sum($"delta") - least(min($"s"), lit(0L))).as("balance"),
+        max($"bal").as("max_balance"),
+        sum(when($"bal" === 0 && $"delta" < 0, 1L).otherwise(0L))
+          .as("n_stockouts"),
+        greatest(-min($"s"), lit(0L)).as("lost_units"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // streaming form: two micro-batches split mid-key-history
+    val dir = Files.createTempDirectory("graft-ledger").toFile
+    val stream = spark.readStream
+      .schema("key STRING, ts LONG, delta LONG")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      .as[Streams.LedgerEvent]
+    val q = Streams.ledgerMonitor(stream)
+      .writeStream.format("memory").queryName("ledger")
+      .outputMode("update").start()
+    try {
+      def js(e: Streams.LedgerEvent): String =
+        s"""{"key":"${e.key}","ts":${e.ts},"delta":${e.delta}}"""
+      dropFile(dir, "b1.json", evs.take(150).map(js).mkString("\n"))
+      q.processAllAvailable()
+      dropFile(dir, "b2.json", evs.drop(150).map(js).mkString("\n"))
+      q.processAllAvailable()
+      val got = spark.table("ledger")
+        .groupBy($"key")
+        .agg(max(struct($"n_events", $"balance", $"max_balance",
+          $"n_stockouts", $"lost_units")).as("s"))
+        .select($"key", $"s.*").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got === batch,
+        "stream fold and batch identity must agree per key")
+      // sanity: the data actually exercised the clamp
+      assert(batch.values.exists(_._5 > 0), "no stockouts — weak data")
+    } finally q.stop()
+  }
+
   test("funnelStages: per-user funnel advances across micro-batches") {
     val dir = Files.createTempDirectory("graft-funnel").toFile
     val stream = spark.readStream
