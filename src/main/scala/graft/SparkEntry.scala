@@ -4248,9 +4248,15 @@ object SparkEntry {
     // fanout; per-level leaders ride the bounded heap, and the cut
     // sits on the ROUNDED total (the q148 rule).
     "q181_hierarchy_rollup" -> ((s, d) => {
+      // revenue in INTEGER CENTS from the first aggregate on: the
+      // per-row product is one identical double on both engines,
+      // floored to cents BEFORE any summation — the double subtree
+      // sum hit a .005 rounding boundary at sf0.1 (summation order
+      // flipped the last cent between engines), the q48/q154 class
       val rev = Tables.lineitem(s, d)
         .groupBy($"l_partkey")
-        .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount"))
+        .agg(sum(floor($"l_extendedprice" * (lit(1) - $"l_discount")
+            * 100 + 0.5).cast("long"))
           .as("__rev"), count(lit(1)).as("__nl"))
       val anc = rev.select(explode(array(
           struct(lit(1).as("level"),
@@ -4263,7 +4269,7 @@ object SparkEntry {
         .select($"a.level".as("level"), $"a.node".as("node"),
           $"__rev", $"__nl")
       val sub = anc.groupBy($"level", $"node")
-        .agg(Fns.roundU(sum($"__rev"), 2).as("subtree_rev"),
+        .agg((sum($"__rev").cast("double") / 100.0).as("subtree_rev"),
           sum($"__nl").as("n_lines"), count(lit(1)).as("n_parts"))
       graft.plans.TopKPerKey(sub, Seq("level"),
           Seq($"subtree_rev".desc, $"node".asc), 5)
@@ -5074,6 +5080,37 @@ object SparkEntry {
         .select($"doc_id", $"n_raw", length($"__c").as("n_clean"),
           md5($"__c").as("md5_clean"))
         .orderBy($"doc_id")
+    }),
+
+    // SCENE-CUT DETECTION — the PER-FRAME multimodal decode surface
+    // (one row per video frame, not one aggregate per clip), feeding
+    // the standard shot-boundary gate: a cut where the inter-frame
+    // luma delta exceeds a threshold. Fixtures change content every
+    // 2 frames ((f div 2) in the block formula), so ground-truth cuts
+    // are structural. Frame sums are EXACT integers and the gate is
+    // the cross-multiplied integer test |dS| > 40*w*h (mean delta
+    // > 40) -- no float threshold; only the reported per-frame mean
+    // divides once. The oracle recomputes sums from the block formula
+    // and applies the same lag + gate.
+    "q206_scene_cuts" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.MjpegAvi.encodeGrayBlocks(
+        2 + (id % 2).toInt, 2, 4 + (id % 3).toInt * 2,
+        (f, bx, by) =>
+          ((id * 31 + (f / 2) * 97 + bx * 7 + by * 13) % 256).toInt))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      val frames = Multimodal.decodeMjpegFrames(clips, "doc_id", "payload")
+        .toDF()
+      val w = Window.partitionBy($"id").orderBy($"frame_idx")
+      frames
+        .withColumn("__prev", lag($"luma_sum", 1).over(w))
+        .select($"id".as("doc_id"), $"frame_idx",
+          Fns.roundU($"luma_sum".cast("double")
+            / ($"width" * $"height"), 4).as("mean_luma"),
+          ($"frame_idx" > 0 &&
+            abs($"luma_sum" - $"__prev") > lit(40L) * $"width" * $"height")
+            .as("is_cut"))
+        .orderBy($"doc_id", $"frame_idx")
     })
   )
 
@@ -9102,7 +9139,8 @@ object SparkEntry {
     "q181_hierarchy_rollup" ->
       """WITH rev AS (
         |  SELECT l_partkey,
-        |    sum(l_extendedprice * (1 - l_discount)) AS r,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r,
         |    CAST(count(*) AS BIGINT) AS nl
         |  FROM lineitem GROUP BY 1),
         |anc AS (
@@ -9113,7 +9151,7 @@ object SparkEntry {
         |  SELECT 3, l_partkey // 10, r, nl FROM rev),
         |sub AS (
         |  SELECT level, node,
-        |    floor(sum(r) * 100 + 0.5) / 100.0 AS subtree_rev,
+        |    CAST(sum(r) AS DOUBLE) / 100.0 AS subtree_rev,
         |    CAST(sum(nl) AS BIGINT) AS n_lines,
         |    CAST(count(*) AS BIGINT) AS n_parts
         |  FROM anc GROUP BY 1, 2),
@@ -9867,7 +9905,32 @@ object SparkEntry {
         |  FROM r)
         |SELECT doc_id, n_raw, CAST(length(cl) AS INT) AS n_clean,
         |  md5(cl) AS md5_clean
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q206: per-frame sums from the block formula, same lag + the
+    // same cross-multiplied integer cut gate
+    "q206_scene_cuts" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 2 AS INT) AS wb, 2 AS hb,
+        |    CAST(4 + (doc_id % 3) * 2 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 40),
+        |fs AS (
+        |  SELECT doc_id, CAST(f.i AS INT) AS frame_idx,
+        |    wb * 8 AS w, hb * 8 AS h,
+        |    64 * sum((doc_id * 31 + (f.i // 2) * 97 + bx.i * 7
+        |      + by.i * 13) % 256) AS s
+        |  FROM d, unnest(range(0, nf)) f(i), unnest(range(0, wb)) bx(i),
+        |    unnest(range(0, hb)) by(i)
+        |  GROUP BY doc_id, f.i, wb, hb),
+        |lg AS (
+        |  SELECT *, lag(s) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |    AS ps
+        |  FROM fs)
+        |SELECT doc_id, frame_idx,
+        |  floor(CAST(s AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000.0
+        |    AS mean_luma,
+        |  frame_idx > 0 AND abs(s - ps) > 40 * w * h AS is_cut
+        |FROM lg ORDER BY doc_id, frame_idx""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

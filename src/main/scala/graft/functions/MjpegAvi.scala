@@ -130,6 +130,43 @@ object MjpegAvi {
     Some(Features(nf, w, h, ch, meanLuma, motion))
   }
 
+  /** Per-frame GRAYSCALE pixel sums — the multi-ROW decode surface
+    * (one output row per frame) that scene-cut detection, per-frame
+    * sampling and frame-level dedup build on. Exact integers: each
+    * sum is Σ of 8-bit samples, so downstream thresholds can be
+    * integer-exact. None for non-AVI, undecodable or non-grayscale
+    * frames (RGB goes through [[decode]]'s aggregate path — per-frame
+    * RGB rows would force a lossy luma weighting here). */
+  def grayFrameSums(b: Array[Byte]): Option[(Int, Int, Seq[Long])] = {
+    if (b == null || b.length < 24) return None
+    val frames = frameChunks(b)
+    if (frames.isEmpty) return None
+    var w = -1; var h = -1
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val it = frames.iterator
+    while (it.hasNext) {
+      val (off, len) = it.next()
+      val payload = java.util.Arrays.copyOfRange(b, off, off + len)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) return None
+      if (w < 0) { w = img.getWidth; h = img.getHeight }
+      else if (img.getWidth != w || img.getHeight != h) return None
+      val raster = img.getRaster
+      if (raster.getNumBands != 1) return None
+      var s = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      sums += s
+    }
+    if (w <= 0 || h <= 0) None else Some((w, h, sums.toSeq))
+  }
+
   private def be(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
   /** FIXTURE synthesis (bounded; test/oracle side only): a minimal

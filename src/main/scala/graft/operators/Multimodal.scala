@@ -324,6 +324,36 @@ object Multimodal {
       }
   }
 
+  /** One decoded video FRAME row (the multi-row decode surface);
+    * `luma_sum` is the exact integer pixel sum, so downstream
+    * thresholds (scene cuts, black-frame gates) stay integer-exact. */
+  case class MjpegFrameRow(id: Long, frame_idx: Int, width: Int,
+                           height: Int, luma_sum: Long)
+
+  /** REAL per-frame decode for grayscale MJPEG AVI payloads: one
+    * output row per frame — the shape scene-cut detection, frame
+    * sampling and frame-level dedup consume. Partition-local like
+    * every decoder here; a clip's frames land in its row's partition
+    * (no shuffle to explode), and the per-frame row count is bounded
+    * by the container's own frame count. */
+  def decodeMjpegFrames(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[MjpegFrameRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.MjpegAvi.grayFrameSums(bytes).toSeq.flatMap {
+            case (w, h, sums) =>
+              sums.iterator.zipWithIndex.map { case (s, i) =>
+                MjpegFrameRow(id, i, w, h, s)
+              }
+          }
+        }
+      }
+  }
+
   /** Decoded audio-feature record for payloads the pure-JVM FLAC
     * (fixed-prediction subset) codec handles; LPC-coded/multichannel
     * FLAC and corrupt payloads are dropped. */

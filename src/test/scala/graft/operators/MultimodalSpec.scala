@@ -429,4 +429,24 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(rows.map(_.id).toSet === Set(1L))
   }
+
+  test("decodeMjpegFrames: one exact-integer row per frame; corrupt " +
+      "clips drop whole") {
+    import graft.functions.MjpegAvi
+    def blk(f: Int, bx: Int, by: Int): Int = (f * 80 + bx * 3 + by) % 256
+    val avi = MjpegAvi.encodeGrayBlocks(2, 1, 3, blk)
+    val broken = avi.clone()
+    val soi = broken.indexOfSlice(Array(0xff.toByte, 0xd8.toByte))
+    broken(soi) = 0x00
+    val df = Seq((1L, avi), (2L, broken)).toDF("id", "payload")
+    val rows = Multimodal.decodeMjpegFrames(df, "id", "payload")
+      .collect().sortBy(_.frame_idx)
+    assert(rows.forall(_.id == 1L) && rows.length === 3)
+    rows.foreach { r =>
+      assert((r.width, r.height) === ((16, 8)))
+      val exp = (for (bx <- 0 until 2; by <- 0 until 1)
+        yield blk(r.frame_idx, bx, by).toLong).sum * 64
+      assert(r.luma_sum === exp, s"frame ${r.frame_idx}") // EXACT
+    }
+  }
 }
