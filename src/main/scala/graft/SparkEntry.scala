@@ -5111,6 +5111,81 @@ object SparkEntry {
             abs($"luma_sum" - $"__prev") > lit(40L) * $"width" * $"height")
             .as("is_cut"))
         .orderBy($"doc_id", $"frame_idx")
+    }),
+
+    // FD-BASED DATA REPAIR -- the cleaning step after q151's FD
+    // profiling: rows with a corrupted attribute are imputed from the
+    // MODE of their functional-dependency group (nationkey ->
+    // mktsegment here), with the deterministic (count desc, value
+    // asc) tie-break. Corruption is synthetic (custkey % 7) so ground
+    // truth is KNOWN, and the report scores the repair: per nation,
+    // the imputed mode, how many rows were repaired, and how many
+    // matched the true value. The mode ranks over the (nation,
+    // segment) AGGREGATE (bounded cells), never over rows.
+    "q207_fd_repair" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+          ($"c_custkey" % 7 === 0).as("__corrupt"))
+      val mode = cust.filter(!$"__corrupt")
+        .groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy($"c_nationkey")
+            .orderBy($"__n".desc, $"c_mktsegment")))
+        .filter($"__rk" === 1)
+        .select($"c_nationkey", $"c_mktsegment".as("__mode"),
+          $"__n".as("__mode_n"))
+      cust.filter($"__corrupt")
+        .join(broadcast(mode), Seq("c_nationkey"))
+        .groupBy($"c_nationkey")
+        .agg(min($"__mode").as("mode_segment"),
+          count(lit(1)).as("n_repaired"),
+          sum(when($"c_mktsegment" === $"__mode", 1L).otherwise(0L))
+            .as("n_correct"))
+        .orderBy($"c_nationkey")
+    }),
+
+    // LINEAR-INTERPOLATION GAP FILL -- q120's forward-fill sibling
+    // for quantities where a step function is wrong (prices, rates):
+    // missing days get the straight line between the LAST previous
+    // and FIRST next observed value (edges clamp to the nearest
+    // observation). Two ignore-nulls window passes over the calendar
+    // spine -- same partition, opposite frames, one sort. The
+    // interpolant is exact ints into ONE double expression written
+    // identically on both engines.
+    "q208_interpolate" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .filter($"c_nationkey" < 10)
+      val daily = ord.groupBy($"c_nationkey", to_date($"o_orderdate")
+          .as("day"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("__v"))
+      val cal = Tables.orders(s, d)
+        .agg(min(to_date($"o_orderdate")).as("__lo"),
+          max(to_date($"o_orderdate")).as("__hi"))
+        .select(explode(sequence($"__lo", $"__hi")).as("day"))
+      val spine = ord.select($"c_nationkey").distinct()
+        .crossJoin(broadcast(cal))
+      val wB = Window.partitionBy($"c_nationkey").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy($"c_nationkey").orderBy($"day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("c_nationkey", "day"), "left")
+        .withColumn("__pv", last($"__v", ignoreNulls = true).over(wB))
+        .withColumn("__pd", last(when($"__v".isNotNull, $"day"),
+          ignoreNulls = true).over(wB))
+        .withColumn("__nv", first($"__v", ignoreNulls = true).over(wF))
+        .withColumn("__nd", first(when($"__v".isNotNull, $"day"),
+          ignoreNulls = true).over(wF))
+        .select($"c_nationkey", $"day", $"__v".isNull.as("interpolated"),
+          Fns.roundU(when($"__v".isNotNull, $"__v".cast("double"))
+            .when($"__pv".isNull, $"__nv".cast("double"))
+            .when($"__nv".isNull, $"__pv".cast("double"))
+            .otherwise($"__pv" + ($"__nv" - $"__pv").cast("double")
+              * datediff($"day", $"__pd")
+              / datediff($"__nd", $"__pd")) / 100.0, 4).as("cents"))
+        .orderBy($"c_nationkey", $"day")
     })
   )
 
@@ -9930,7 +10005,77 @@ object SparkEntry {
         |  floor(CAST(s AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000.0
         |    AS mean_luma,
         |  frame_idx > 0 AND abs(s - ps) > 40 * w * h AS is_cut
-        |FROM lg ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM lg ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q207: same mode with the same (count desc, segment asc)
+    // tie-break, scored against the known truth
+    "q207_fd_repair" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    c_custkey % 7 = 0 AS corrupt
+        |  FROM customer),
+        |m AS (
+        |  SELECT c_nationkey, c_mktsegment AS md, n FROM (
+        |    SELECT c_nationkey, c_mktsegment,
+        |      CAST(count(*) AS BIGINT) AS n,
+        |      row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY count(*) DESC, c_mktsegment) AS rk
+        |    FROM c WHERE NOT corrupt GROUP BY 1, 2)
+        |  WHERE rk = 1)
+        |SELECT c_nationkey, min(md) AS mode_segment,
+        |  CAST(count(*) AS BIGINT) AS n_repaired,
+        |  CAST(sum(CASE WHEN c_mktsegment = md THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct
+        |FROM c JOIN m USING (c_nationkey)
+        |WHERE corrupt GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q208: identical spine, identical ignore-nulls frames, identical
+    // interpolant expression
+    "q208_interpolate" ->
+      """WITH o AS (
+        |  SELECT c_nationkey, CAST(o_orderdate AS DATE) AS day,
+        |    o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey < 10),
+        |daily AS (
+        |  SELECT c_nationkey, day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM o GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(CAST(o_orderdate AS DATE)) FROM orders),
+        |    (SELECT max(CAST(o_orderdate AS DATE)) FROM orders),
+        |    INTERVAL 1 DAY))::DATE AS day),
+        |spine AS (
+        |  SELECT n.c_nationkey, cal.day
+        |  FROM (SELECT DISTINCT c_nationkey FROM o) n, cal),
+        |j AS (
+        |  SELECT s.c_nationkey, s.day, d.v,
+        |    last_value(d.v IGNORE NULLS) OVER (
+        |      PARTITION BY s.c_nationkey ORDER BY s.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN d.v IS NOT NULL THEN s.day END
+        |      IGNORE NULLS) OVER (
+        |      PARTITION BY s.c_nationkey ORDER BY s.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(d.v IGNORE NULLS) OVER (
+        |      PARTITION BY s.c_nationkey ORDER BY s.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN d.v IS NOT NULL THEN s.day END
+        |      IGNORE NULLS) OVER (
+        |      PARTITION BY s.c_nationkey ORDER BY s.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM spine s LEFT JOIN daily d
+        |    ON s.c_nationkey = d.c_nationkey AND s.day = d.day)
+        |SELECT c_nationkey, day, v IS NULL AS interpolated,
+        |  floor((CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |    WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+        |    WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+        |    ELSE pv + CAST(nv - pv AS DOUBLE)
+        |      * date_diff('day', pd, day) / date_diff('day', pd, nd)
+        |    END) / 100.0 * 10000 + 0.5) / 10000.0 AS cents
+        |FROM j ORDER BY c_nationkey, day""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
