@@ -5172,12 +5172,17 @@ object SparkEntry {
       val wF = Window.partitionBy($"c_nationkey").orderBy($"day")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       spine.join(daily, Seq("c_nationkey", "day"), "left")
-        .withColumn("__pv", last($"__v", ignoreNulls = true).over(wB))
-        .withColumn("__pd", last(when($"__v".isNotNull, $"day"),
-          ignoreNulls = true).over(wB))
-        .withColumn("__nv", first($"__v", ignoreNulls = true).over(wF))
-        .withColumn("__nd", first(when($"__v".isNotNull, $"day"),
-          ignoreNulls = true).over(wF))
+        // all four window expressions in ONE projection: same-frame
+        // pairs fuse into a single WindowExec each (chained
+        // withColumns interleave projects and planned a third window
+        // pass — PlanShapeSpec guards the fused shape)
+        .select($"c_nationkey", $"day", $"__v",
+          last($"__v", ignoreNulls = true).over(wB).as("__pv"),
+          last(when($"__v".isNotNull, $"day"), ignoreNulls = true)
+            .over(wB).as("__pd"),
+          first($"__v", ignoreNulls = true).over(wF).as("__nv"),
+          first(when($"__v".isNotNull, $"day"), ignoreNulls = true)
+            .over(wF).as("__nd"))
         .select($"c_nationkey", $"day", $"__v".isNull.as("interpolated"),
           Fns.roundU(when($"__v".isNotNull, $"__v".cast("double"))
             .when($"__pv".isNull, $"__nv".cast("double"))

@@ -824,4 +824,56 @@ class PlanShapeSpec extends SparkSpec {
     val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
     assert(bhj.length >= 3, s"expected ≥3 broadcast joins, got ${bhj.length}")
   }
+
+  test("q196 ledger: both window passes share ONE exchange+sort on " +
+      "(partkey, event order)") {
+    // the nonlinear-clamp identity costs two stacked windows — but
+    // they have identical partitioning and ordering, so a second
+    // shuffle or sort would be pure waste at 100 TB
+    val p = plan("q196_clamped_balance")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.length == 2, s"expected 2 window passes, got ${wins.length}")
+    val exchanges = collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one exchange for the window partitioning + one for the final
+    // groupBy (same key — AQE may still plan it; ≤2 total)
+    assert(exchanges.length <= 2,
+      s"ledger shuffled ${exchanges.length}× — windows not sharing:\n$p")
+    val sorts = collectAll(p) { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.length <= 2, s"expected ≤2 sorts, got ${sorts.length}")
+  }
+
+  test("q202 small-qty: brand parts broadcast; the per-part stats join " +
+      "is the only fact shuffle pair") {
+    val p = plan("q202_small_qty_revenue")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "brand filter must broadcast onto lineitem")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "correlated avg decorrelated into an aggregate, not a window")
+  }
+
+  test("q208 interpolation: both ignore-nulls frames run in ONE window " +
+      "pass over one exchange") {
+    // forward and backward frames share (partition, order) — Spark
+    // fuses same-spec window functions into a single WindowExec;
+    // regressing to two passes doubles the sort at scale
+    val p = plan("q208_interpolate")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.length <= 2,
+      s"expected fused window passes (≤2 for the two frames), got ${wins.length}")
+    val cartesian = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cartesian.isEmpty, "spine must broadcast, not cartesian")
+  }
+
+  test("q207 repair: mode ranks over the bounded aggregate and " +
+      "broadcasts back — the fact never sort-merges") {
+    val p = plan("q207_fd_repair")
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"repair join sort-merged:\n$p")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "mode table must broadcast")
+  }
 }
