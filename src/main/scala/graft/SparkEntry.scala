@@ -5157,15 +5157,23 @@ object SparkEntry {
       val ord = Tables.orders(s, d)
         .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
         .filter($"c_nationkey" < 10)
+      // persisted: the nation spine AND the left join both read it,
+      // and it is the ~24k-row aggregate — without this the
+      // orders⋈customer join underneath runs twice (measured 3.4 s →
+      // the join, not the windows, dominated)
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val daily = ord.groupBy($"c_nationkey", to_date($"o_orderdate")
           .as("day"))
         .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
           .as("__v"))
+        .persist(MEMORY_AND_DISK)
       val cal = Tables.orders(s, d)
         .agg(min(to_date($"o_orderdate")).as("__lo"),
           max(to_date($"o_orderdate")).as("__hi"))
         .select(explode(sequence($"__lo", $"__hi")).as("day"))
-      val spine = ord.select($"c_nationkey").distinct()
+      // any nation with >=1 order has a daily row, so the spine's
+      // nation set from `daily` equals the one from `ord`
+      val spine = daily.select($"c_nationkey").distinct()
         .crossJoin(broadcast(cal))
       val wB = Window.partitionBy($"c_nationkey").orderBy($"day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -5191,6 +5199,53 @@ object SparkEntry {
               * datediff($"day", $"__pd")
               / datediff($"__nd", $"__pd")) / 100.0, 4).as("cents"))
         .orderBy($"c_nationkey", $"day")
+    }),
+
+    // CAPPED SESSIONIZATION -- the sequential split rule windows
+    // cannot express: a session breaks on a 30-min gap OR when the
+    // span since the CURRENT session's start exceeds 4h (forced
+    // rotation under continuous activity). Split points depend on
+    // earlier splits, so q37's gap-indicator prefix sum does not
+    // apply; Sessionize.cappedSessions runs the secondary-sort
+    // streaming scan (one shuffle, within-partition sort, O(1)
+    // state). The oracle replays the recurrence as a recursive CTE
+    // walking each user's event sequence one step per iteration.
+    "q209_capped_sessions" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter($"user_id" < 100)
+        .select($"user_id", $"ts".cast("long").as("__ts"), $"event_id")
+      Sessionize.cappedSessions(ev, "user_id", "__ts", "event_id",
+          gapSec = 1800L, capSec = 14400L)
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min($"__ts").as("start_ts"), max($"__ts").as("end_ts"))
+        .withColumn("duration_sec", $"end_ts" - $"start_ts")
+        .orderBy($"user_id", $"session_idx")
+    }),
+
+    // GIF DECODE -- the LZW tier of the compression spectrum (PNG =
+    // DEFLATE, FLAC = Rice, ADPCM = delta-PCM, JPEG = DCT): real
+    // GIF89a files with a REAL greedy-LZW-compressed frame over the
+    // identity grayscale palette, decoded by the pure bit-arithmetic
+    // codec (LSB-first code packing -- the opposite bit order of
+    // FLAC/PNG, its own bug class -- dictionary chain-walk, KwKwK
+    // case, CLEAR resets). GIF is lossless, so the oracle recomputes
+    // channel means AND the position-weighted index checksum straight
+    // from the pixel formula: a transposed, shifted, or
+    // off-by-one-dictionary decode breaks the hash, not just the
+    // moments.
+    "q210_gif_decode" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.GifPixels.encodeGray(
+        (6 + id % 7).toInt, (5 + id % 5).toInt,
+        (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+      val imgs = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeGifFeatures(imgs, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"width", $"height",
+          Fns.roundU($"mean_r", 4).as("mean_r"),
+          Fns.roundU($"mean_g", 4).as("mean_g"),
+          Fns.roundU($"mean_b", 4).as("mean_b"), $"ord_ck")
+        .orderBy($"doc_id")
     })
   )
 
@@ -10080,7 +10135,66 @@ object SparkEntry {
         |    ELSE pv + CAST(nv - pv AS DOUBLE)
         |      * date_diff('day', pd, day) / date_diff('day', pd, nd)
         |    END) / 100.0 * 10000 + 0.5) / 10000.0 AS cents
-        |FROM j ORDER BY c_nationkey, day""".stripMargin
+        |FROM j ORDER BY c_nationkey, day""".stripMargin,
+
+    // q209: the oracle WALKS the same recurrence -- anchor at each
+    // user's first event (session 0), each iteration advances one
+    // event carrying (session, session_start); identical break
+    // predicate, identical (ts, event_id) order
+    "q209_capped_sessions" ->
+      """WITH RECURSIVE
+        |e AS (
+        |  -- floor, not CAST: DuckDB CAST(double->BIGINT) ROUNDS the
+        |  -- fractional seconds where Spark's timestamp->long cast
+        |  -- truncates; the ORDER BY must use the same truncated value
+        |  -- or sub-second ties sort differently on the two engines
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY floor(epoch(ts)), event_id) AS rn
+        |  FROM events WHERE user_id < 100),
+        |walk AS (
+        |  SELECT user_id, rn, t, CAST(0 AS BIGINT) AS sess,
+        |    t AS sess_start
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.t,
+        |    CASE WHEN e.t - w.t > 1800 OR e.t - w.sess_start > 14400
+        |         THEN w.sess + 1 ELSE w.sess END,
+        |    CASE WHEN e.t - w.t > 1800 OR e.t - w.sess_start > 14400
+        |         THEN e.t ELSE w.sess_start END
+        |  FROM walk w JOIN e ON e.user_id = w.user_id
+        |    AND e.rn = w.rn + 1)
+        |SELECT user_id, sess AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(t) AS BIGINT) AS start_ts,
+        |  CAST(max(t) AS BIGINT) AS end_ts,
+        |  CAST(max(t) - min(t) AS BIGINT) AS duration_sec
+        |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q210: identity-gray palette means all three channel means equal
+    // the index mean; the checksum weights each pixel by its
+    // row-major position mod 97 -- recomputed from the formula, never
+    // from a GIF byte
+    "q210_gif_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(6 + doc_id % 7 AS INT) AS w,
+        |    CAST(5 + doc_id % 5 AS INT) AS h
+        |  FROM documents WHERE doc_id < 40),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS v,
+        |    y.i * w + x.i AS p
+        |  FROM d, unnest(range(0, w)) x(i), unnest(range(0, h)) y(i)),
+        |m AS (
+        |  SELECT doc_id, w, h, avg(CAST(v AS DOUBLE)) AS mv,
+        |    CAST(sum(v * (p % 97 + 1)) AS BIGINT) AS ck
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, w AS width, h AS height,
+        |  floor(mv * 10000 + 0.5) / 10000.0 AS mean_r,
+        |  floor(mv * 10000 + 0.5) / 10000.0 AS mean_g,
+        |  floor(mv * 10000 + 0.5) / 10000.0 AS mean_b,
+        |  ck AS ord_ck
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -383,6 +383,34 @@ object Multimodal {
       }
   }
 
+  /** Decoded pixel-feature record for payloads the pure-JVM GIF/LZW
+    * codec handles; interlaced frames and corrupt payloads drop. */
+  case class GifFeatureRow(id: Long, width: Int, height: Int,
+                           mean_r: Double, mean_g: Double,
+                           mean_b: Double, ord_ck: Long)
+
+  /** REAL pixel-tier decode for GIF payloads
+    * ([[graft.functions.GifPixels]] — LZW with LSB-first code packing,
+    * dictionary chain-walk, KwKwK, CLEAR resets; plain bit arithmetic,
+    * no codec library). The LZW member of the compression spectrum
+    * (DEFLATE/Rice/ADPCM/DCT already real). `ord_ck` is a
+    * position-weighted index checksum, so spatial layout is part of
+    * the decode contract, not just channel moments. */
+  def decodeGifFeatures(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[GifFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.GifPixels.decode(bytes).map(f =>
+            GifFeatureRow(id, f.width, f.height, f.meanR, f.meanG,
+              f.meanB, f.ordCk))
+        }
+      }
+  }
+
   /** STUB codec for environments without media libraries: deterministic
     * header fake from the payload bytes. */
   def stubCodec(bytes: Array[Byte]): (Int, Int, Int) = {

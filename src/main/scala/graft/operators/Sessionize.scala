@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sessionization operators beyond the built-in `session_window`.
+  *
+  * The gap-only rule (q37) is a prefix sum over break indicators —
+  * windows handle it. The CAPPED rule here (break on gap OR on span
+  * since the current session's start) is a genuinely SEQUENTIAL
+  * recurrence: whether an event opens a session depends on where the
+  * previous session started, which depends on every earlier split.
+  * No window/prefix-sum form exists, so this is the batch home of the
+  * secondary-sort streaming scan ([[ChangeSuppression.suppress]]'s
+  * discipline): one shuffle on the key, a within-partition sort on
+  * (key, ts, id), and an O(1)-state pass — a key's history is never
+  * materialized (the external sorter spills; the scan holds four
+  * scalars), which is what survives unbounded per-key history at
+  * 100 TB. Oracle-able because the recurrence replays in SQL as a
+  * recursive CTE (one event per key per iteration).
+  */
+object Sessionize {
+
+  /** One row per event: (key, ts, id, session_idx, is_start).
+    * A session BREAKS before event t when
+    *   t - prev_t  > gapSec   (inactivity), or
+    *   t - session_start > capSec  (max session span — forces rotation
+    *   even under continuous activity, the rule that defeats windows).
+    * `session_idx` is 0-based per key; ids break ts ties
+    * deterministically. */
+  def cappedSessions(df: DataFrame, keyCol: String, tsCol: String,
+                     idCol: String, gapSec: Long, capSec: Long)
+      : DataFrame = {
+    require(gapSec > 0 && capSec > 0, "positive gap and cap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("__k"),
+        col(tsCol).cast("long").as("__t"),
+        col(idCol).cast("long").as("__i"))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"), col("__i"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        var curKey = Long.MinValue
+        var haveKey = false
+        var sess = -1L
+        var sessStart = 0L
+        var prevT = 0L
+        rows.map { case (k, t, i) =>
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; sess = -1L
+          }
+          val isStart = sess < 0L || (t - prevT) > gapSec ||
+            (t - sessStart) > capSec
+          if (isStart) { sess += 1L; sessStart = t }
+          prevT = t
+          (k, t, i, sess, isStart)
+        }
+      }
+      .toDF(keyCol, tsCol, idCol, "session_idx", "is_start")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, Long, Long)], gap: Long, cap: Long)
+      : Seq[(Long, Long, Long, Long, Boolean)] =
+    Sessionize.cappedSessions(rows.toDF("k", "t", "i"), "k", "t", "i",
+        gap, cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .sortBy(x => (x._1, x._2, x._3))
+
+  test("cap forces rotation under CONTINUOUS activity — the case the " +
+      "gap-indicator prefix sum cannot express") {
+    // one event every 600 s for 10 h: no gap ever exceeds 1800, yet
+    // cap=7200 must split. Session 0 holds t=0..7200 (t-start <= cap),
+    // breaks at 7800; session 1 holds 7800..15000; session 2 from 15600
+    val evs = (0 until 60).map(j => (1L, j * 600L, j.toLong))
+    val out = run(evs, gap = 1800L, cap = 7200L)
+    val bySess = out.groupBy(_._4).view.mapValues(_.map(_._2)).toMap
+    assert(bySess(0L) === (0 to 12).map(_ * 600L))  // 0..7200
+    assert(bySess(1L).head === 7800L && bySess(1L).last === 15000L)
+    assert(out.filter(_._5).map(_._2).take(3) === Seq(0L, 7800L, 15600L))
+    // every session's span respects the cap
+    bySess.values.foreach(ts => assert(ts.last - ts.head <= 7200L))
+  }
+
+  test("gap rule still breaks, keys reset independently, ties resolve " +
+      "by id") {
+    val evs = Seq(
+      (1L, 0L, 1L), (1L, 100L, 2L), (1L, 5000L, 3L),  // gap 4900 > 1800
+      (2L, 0L, 1L),                                   // fresh key
+      (3L, 50L, 2L), (3L, 50L, 1L))                   // tie → id order
+    val out = run(evs, gap = 1800L, cap = 100000L)
+    val k1 = out.filter(_._1 == 1L)
+    assert(k1.map(_._4) === Seq(0L, 0L, 1L))
+    assert(out.filter(_._1 == 2L).head._4 === 0L)
+    val k3 = out.filter(_._1 == 3L).sortBy(_._3)
+    assert(k3.map(_._4) === Seq(0L, 0L)) // one session, both ties in it
+    assert(k3.find(_._3 == 1L).get._5, "lower id is the session start")
+  }
+
+  test("matches an independent sequential replay on a seeded log") {
+    val rnd = new scala.util.Random(7)
+    val evs = (0 until 500).map { j =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100000).toLong, j.toLong)
+    }
+    val (gap, cap) = (900L, 3600L)
+    val got = run(evs, gap, cap)
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+      var sess = -1L; var start = 0L; var prev = 0L
+      es.sortBy(e => (e._2, e._3)).map { case (_, t, i) =>
+        val isNew = sess < 0 || t - prev > gap || t - start > cap
+        if (isNew) { sess += 1; start = t }
+        prev = t
+        (k, t, i, sess, isNew)
+      }
+    }.sortBy(x => (x._1, x._2, x._3))
+    assert(got === expect)
+  }
+}
