@@ -5234,9 +5234,13 @@ object SparkEntry {
     // off-by-one-dictionary decode breaks the hash, not just the
     // moments.
     "q210_gif_decode" -> ((s, d) => {
+      // odd docs store INTERLACED (the 4-pass row order) — decode
+      // output is identical, so the oracle needs no branch; a
+      // de-interlace slip breaks ord_ck
       val mk = udf((id: Long) => graft.functions.GifPixels.encodeGray(
         (6 + id % 7).toInt, (5 + id % 5).toInt,
-        (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+        (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt,
+        interlaced = id % 2 == 1))
       val imgs = Tables.documents(s, d).filter($"doc_id" < 40)
         .select($"doc_id", mk($"doc_id").as("payload"))
       Multimodal.decodeGifFeatures(imgs, "doc_id", "payload")

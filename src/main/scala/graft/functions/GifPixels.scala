@@ -22,8 +22,9 @@ package graft.functions
   * The decoder handles the first (non-interlaced) frame: palette
   * lookup, per-channel means, and a position-weighted index checksum
   * so a transposed or shifted decode breaks the hash, not just the
-  * moments. Interlaced frames return None (route to an injected
-  * codec); corrupt payloads are data (None), never exceptions.
+  * moments. Interlaced frames de-permute through the
+  * public 4-pass row order; corrupt payloads are data (None), never
+  * exceptions.
   */
 object GifPixels {
 
@@ -66,7 +67,7 @@ object GifPixels {
             val w = le16(b, i + 5); val h = le16(b, i + 7)
             val ipacked = u8(b, i + 9)
             i += 10
-            if ((ipacked & 0x40) != 0) return None // interlaced
+            val interlaced = (ipacked & 0x40) != 0
             var pal = gct
             if ((ipacked & 0x80) != 0) {
               val n = 2 << (ipacked & 0x7)
@@ -83,8 +84,21 @@ object GifPixels {
               data.write(b, i + 1, len)
               i += 1 + len; len = u8(b, i)
             }
-            val idx = lzwDecode(data.toByteArray, minCode, w * h)
-            if (idx == null) return None
+            val stored = lzwDecode(data.toByteArray, minCode, w * h)
+            if (stored == null) return None
+            // interlace: stored row k is actual row interlaceRows(h)(k)
+            val idx =
+              if (!interlaced) stored
+              else {
+                val rows = interlaceRows(h)
+                val out = new Array[Int](w * h)
+                var k = 0
+                while (k < h) {
+                  System.arraycopy(stored, k * w, out, rows(k) * w, w)
+                  k += 1
+                }
+                out
+              }
             var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
             var p = 0
             while (p < w * h) {
@@ -102,6 +116,20 @@ object GifPixels {
       }
       None
     } catch { case _: ParseEx => None }
+  }
+
+  /** The 4-pass interlace row order (public spec): pass 1 every 8th
+    * row from 0, pass 2 every 8th from 4, pass 3 every 4th from 2,
+    * pass 4 every 2nd from 1 — position k in the stream is actual row
+    * `interlaceRows(h)(k)`. */
+  private[functions] def interlaceRows(h: Int): Array[Int] = {
+    val out = new Array[Int](h)
+    var k = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var r = start
+      while (r < h) { out(k) = r; k += 1; r += step }
+    }
+    out
   }
 
   private def readPalette(b: Array[Byte], at: Int, n: Int): Array[Int] = {
@@ -208,7 +236,8 @@ object GifPixels {
     * with a REAL greedy-longest-match LZW encoder (hash-chained
     * dictionary, CLEAR on overflow) so the decoder's chain-walk and
     * KwKwK paths see genuine back-references. */
-  def encodeGray(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+  def encodeGray(w: Int, h: Int, px: (Int, Int) => Int,
+                 interlaced: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 1024 && h <= 1024, "sane dims")
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -219,7 +248,8 @@ object GifPixels {
     w8(0); w8(0)   // bg index, aspect
     var k = 0
     while (k < 256) { w8(k); w8(k); w8(k); k += 1 } // identity gray GCT
-    w8(0x2c); w16(0); w16(0); w16(w); w16(h); w8(0) // image descriptor
+    w8(0x2c); w16(0); w16(0); w16(w); w16(h)
+    w8(if (interlaced) 0x40 else 0) // image descriptor packed
     val minCode = 8
     w8(minCode)
     // LZW encode (LSB-first packing)
@@ -236,8 +266,12 @@ object GifPixels {
     var next = end + 1
     putCode(clear)
     var cur = -1
-    var y = 0
-    while (y < h) {
+    // interlaced streams store rows in the 4-pass order
+    val rowOrder =
+      if (interlaced) interlaceRows(h) else Array.range(0, h)
+    var yi = 0
+    while (yi < h) {
+      val y = rowOrder(yi)
       var x = 0
       while (x < w) {
         val c = px(x, y) & 0xff
@@ -263,7 +297,7 @@ object GifPixels {
         }
         x += 1
       }
-      y += 1
+      yi += 1
     }
     if (cur >= 0) putCode(cur)
     putCode(end)

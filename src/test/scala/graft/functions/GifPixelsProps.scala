@@ -78,6 +78,39 @@ object GifPixelsProps extends Properties("graft.gif") {
       }
     }
 
+  property("INTERLACED frames de-permute through the 4-pass order — " +
+      "checksum equality proves row placement, and the JDK reader " +
+      "agrees pixel-for-pixel") =
+    forAll(Gen.choose(8, 100), Gen.choose(8, 80), Gen.choose(0, 999)) {
+      (w, h, seed) =>
+      // row-dependent content: any interlace slip moves rows and
+      // breaks the position-weighted checksum
+      def px(x: Int, y: Int) = (seed + x * 3 + y * 29) % 256
+      val bytes = GifPixels.encodeGray(w, h, px, interlaced = true)
+      val f = GifPixels.decode(bytes).get
+      val (mean, ck) = formulaFeatures(w, h, px)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      f.ordCk == ck && math.abs(f.meanR - mean) < 1e-9 &&
+        img != null && {
+          val raster = img.getRaster
+          (0 until h).forall(y => (0 until w).forall { x =>
+            raster.getSample(x, y, 0) == (px(x, y) & 0xff)
+          })
+        }
+    }
+
+  property("interlaced and progressive encodings of the same image " +
+      "decode identically") =
+    forAll(Gen.choose(9, 60), Gen.choose(9, 60), Gen.choose(0, 99)) {
+      (w, h, seed) =>
+      def px(x: Int, y: Int) = (seed * 7 + x + y * 31) % 256
+      val a = GifPixels.decode(GifPixels.encodeGray(w, h, px)).get
+      val b = GifPixels.decode(
+        GifPixels.encodeGray(w, h, px, interlaced = true)).get
+      a == b
+    }
+
   private val arbitraryBytes: Gen[Array[Byte]] =
     Gen.choose(0, 256).flatMap(n =>
       Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
