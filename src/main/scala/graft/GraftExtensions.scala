@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{CosineSim, MinHashSig, NfcNormalize, RollingFingerprint, SimHash64, WordShingles}
+import graft.functions.{CosineSim, JaroSim, JaroWinklerSim, MinHashSig, NfcNormalize, RollingFingerprint, SimHash64, WordShingles}
 
 /** SQL registration of graft's native expressions, two ways:
   *  - [[GraftExtensions]] for session build time
@@ -28,6 +28,9 @@ object GraftFunctions {
       ((args: Seq[Expression]) => RollingFingerprint(args.head)),
     "nfc_normalize" -> ((args: Seq[Expression]) => NfcNormalize(args.head)),
     "cosine_sim" -> ((args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    "jaro_sim" -> ((args: Seq[Expression]) => JaroSim(args(0), args(1))),
+    "jaro_winkler_sim" ->
+      ((args: Seq[Expression]) => JaroWinklerSim(args(0), args(1))),
     "word_shingles" -> ((args: Seq[Expression]) =>
       WordShingles(args(0), intArg(args(1), "word_shingles(n)"))),
     "minhash_sig" -> ((args: Seq[Expression]) =>

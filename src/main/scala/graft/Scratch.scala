@@ -633,6 +633,47 @@ object Scratch {
       }
     }
 
+    /** q211 fuzzy linkage: replicas rotate the letter alphabet per k
+      * (translate), so every replica keeps the ORIGINAL block-size
+      * distribution (prefix/length structure is preserved under a
+      * bijective character map) while blocks are DISJOINT across
+      * replicas — 10× entities at constant per-block density, the
+      * shape a 10× crawl produces. Pairs and time must grow ~mult×;
+      * superlinear growth would mean the blocked join is leaking
+      * cross-block comparisons. */
+    def linkageChain(mult: Int): Double = {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val base = Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .persist(MEMORY_AND_DISK)
+      base.count()
+      val rep = (0 until mult).map { k =>
+        val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+        base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          col("lang"),
+          translate(col("text"), alpha, rot).as("text"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val kd = rep.select(col("doc_id"), col("lang"),
+            trim(col("text")).as("t"))
+          .filter(length(col("t")) >= 32)
+          .select(col("doc_id"), col("lang"),
+            substring(col("t"), 1, 32).as("k"),
+            substring(col("t"), 1, 4).as("blk"),
+            floor(length(col("t")) / 64).cast("long").as("lb"))
+        val a = kd.toDF("a_id", "lang", "ka", "blk", "lb")
+        val b = kd.toDF("b_id", "lang2", "kb", "blk2", "lb2")
+        val n = a.join(b, col("lang") === col("lang2") &&
+            col("blk") === col("blk2") && col("lb") === col("lb2") &&
+            col("a_id") < col("b_id"))
+          .filter(expr("jaro_winkler_sim(ka, kb)") >= 0.8)
+          .count()
+        println(s"[scratch]   linkage mult=$mult pairs=$n")
+      }
+      base.unpersist()
+      r
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
       "lcc" -> lccChain, "itemcf" -> itemcfChain,
       "growth" -> growthChain,
@@ -643,7 +684,8 @@ object Scratch {
       "pmi" -> pmiChain, "pagerank" -> pagerankChain,
       "triangles" -> triangleChain, "sweep" -> sweepChain,
       "bfs" -> bfsChain, "sssp" -> ssspChain,
-      "ledger" -> ledgerChain, "bom" -> bomChain)
+      "ledger" -> ledgerChain, "bom" -> bomChain,
+      "linkage" -> linkageChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm

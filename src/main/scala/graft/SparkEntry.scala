@@ -5250,6 +5250,204 @@ object SparkEntry {
           Fns.roundU($"mean_g", 4).as("mean_g"),
           Fns.roundU($"mean_b", 4).as("mean_b"), $"ord_ck")
         .orderBy($"doc_id")
+    }),
+
+    // FUZZY RECORD LINKAGE — the blocked-join + Jaro-Winkler scorer
+    // every entity-resolution pipeline runs (name/title matching,
+    // near-identical crawl URLs). Candidates come from BLOCKING, not
+    // all-pairs: equi-join on (lang, 4-char prefix, length bucket)
+    // bounds each block however large the corpus grows — the same
+    // shape as LSH banding, but with human-legible keys. Scoring is
+    // the native `jaro_winkler_sim` expression (UTF-8 BYTE semantics,
+    // boost threshold 0.7, 4-byte prefix cap), and the oracle re-runs
+    // the identical blocking with DuckDB's OWN independent
+    // jaro_winkler_similarity — a genuine cross-implementation check:
+    // any window/transposition/boost bug lands as a hash mismatch.
+    "q211_fuzzy_linkage" -> ((s, d) => {
+      val k = Tables.documents(s, d)
+        .select($"doc_id", $"lang", trim($"text").as("__t"))
+        .filter(length($"__t") >= 32)
+        .select($"doc_id", $"lang", substring($"__t", 1, 32).as("__k"),
+          substring($"__t", 1, 4).as("__blk"),
+          floor(length($"__t") / 64).cast("long").as("__lb"))
+      val a = k.toDF("a_id", "lang", "ka", "blk", "lb")
+      val b = k.toDF("b_id", "lang2", "kb", "blk2", "lb2")
+      a.join(b, $"lang" === $"lang2" && $"blk" === $"blk2" &&
+          $"lb" === $"lb2" && $"a_id" < $"b_id")
+        .filter(expr("jaro_winkler_sim(ka, kb)") >= 0.8)
+        .select($"a_id", $"b_id", $"lang",
+          Fns.roundU(expr("jaro_sim(ka, kb)"), 6).as("jaro"),
+          Fns.roundU(expr("jaro_winkler_sim(ka, kb)"), 6).as("jw"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // MANN-WHITNEY U — the nonparametric two-sample location test
+    // (click vs purchase spend), with the TIE-CORRECTED normal
+    // approximation. Pooled fractional ranks come from Stats.avgRanks
+    // (the compacted two-phase prefix scan — never a one-task global
+    // sort), and every input to the z formula is EXACT: ranks are
+    // multiples of 0.5 below 2^53 (order-independent double sums),
+    // counts and the tie term Σ(t³−t) are integers — so the one final
+    // double expression evaluates bit-identically on both engines.
+    "q212_mann_whitney" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_type", $"value")
+      val pooled = ev.withColumn("__g", lit(1))
+      val st = pooled.join(Stats.avgRanks(pooled, "__g", "value"),
+          Seq("__g", "value"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("__n"), sum($"__rk_value").as("__rs"))
+      val ties = pooled.groupBy($"value")
+        .agg(count(lit(1)).as("__t"))
+        .agg(sum($"__t" * $"__t" * $"__t" - $"__t").as("__ts"))
+      val piv = st.agg(
+          max(when($"event_type" === "click", $"__n")).as("n1"),
+          max(when($"event_type" === "purchase", $"__n")).as("n2"),
+          max(when($"event_type" === "click", $"__rs")).as("__r1"))
+        .crossJoin(broadcast(ties))
+      val u1 = $"__r1" - $"n1" * ($"n1" + 1) / 2.0
+      val nn = $"n1" + $"n2"
+      piv.select($"n1", $"n2",
+        Fns.roundU(u1, 2).as("u1"),
+        Fns.roundU((u1 - $"n1" * $"n2" / 2.0) /
+          sqrt($"n1" * $"n2" / 12.0 *
+            ((nn + 1) - $"__ts" / (nn * (nn - 1.0)))), 6).as("z"),
+        Fns.roundU(u1 / ($"n1" * $"n2"), 6).as("auc"),
+        $"__ts".as("tie_term"))
+    }),
+
+    // BENJAMINI-HOCHBERG FDR — the multiple-testing layer every
+    // metric sweep needs: a one-vs-rest Welch battery (each event
+    // type's spend against all others) whose p-values are BH-adjusted
+    // (p_adj_i = min over j≥i of p_j·m/j) and gated at q=0.05.
+    // Scale split: the battery is ONE grouped scan (k rows out of any
+    // row count) with rest-moments by EXACT decimal subtraction from
+    // the broadcast total — order-independent — and the BH window
+    // runs over the HYPOTHESIS table (m rows, bounded by group
+    // cardinality, not data). p comes from the Abramowitz-Stegun
+    // 7.1.26 erfc polynomial spelled identically in both engines
+    // (neither Spark nor DuckDB exposes erf), so the doubles match
+    // bit-for-bit from exact integer/decimal inputs.
+    "q213_bh_fdr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select($"event_type", $"value".cast("decimal(18,2)").as("__v"))
+      val g = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("__n"), sum($"__v").as("__s"),
+          sum($"__v" * $"__v").as("__q"))
+      val tot = g.agg(sum($"__n").as("__nn"), sum($"__s").as("__ss"),
+        sum($"__q").as("__qq"))
+      val m = g.crossJoin(broadcast(tot)).select($"event_type",
+        $"__n", ($"__nn" - $"__n").as("__nr"),
+        $"__s".cast("double").as("__sd"),
+        $"__q".cast("double").as("__qd"),
+        ($"__ss" - $"__s").cast("double").as("__sr"),
+        ($"__qq" - $"__q").cast("double").as("__qr"))
+      val mg = $"__sd" / $"__n"
+      val mr = $"__sr" / $"__nr"
+      val vg = ($"__qd" - $"__sd" * $"__sd" / $"__n") / ($"__n" - 1)
+      val vr = ($"__qr" - $"__sr" * $"__sr" / $"__nr") / ($"__nr" - 1)
+      val tS = (mg - mr) / sqrt(vg / $"__n" + vr / $"__nr")
+      // two-sided p = erfc(|t|/√2), A&S 7.1.26 (|err| < 1.5e-7);
+      // Horner order mirrored character-for-character in the oracle
+      val x = abs($"t_stat_full") / sqrt(lit(2.0))
+      val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = tt * (lit(0.254829592) + tt * (lit(-0.284496736) +
+        tt * (lit(1.421413741) + tt * (lit(-1.453152027) +
+          tt * lit(1.061405429)))))
+      val hyp = m.select($"event_type", $"__n".as("n"),
+          Fns.roundU(mg, 4).as("mean_g"), tS.as("t_stat_full"))
+        .withColumn("__p", poly * exp(-x * x))
+      import org.apache.spark.sql.expressions.Window
+      // hypothesis-table windows: m rows total (one per event type) —
+      // bounded by group cardinality, so a global sort is fine here
+      val wRank = Window.orderBy($"__p", $"event_type")
+      val wTail = Window.orderBy($"__p", $"event_type")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      hyp
+        .withColumn("__m", count(lit(1)).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("__i", row_number().over(wRank))
+        .withColumn("p_adj_raw",
+          min($"__p" * $"__m" / $"__i").over(wTail))
+        .select($"event_type", $"n", $"mean_g",
+          Fns.roundU($"t_stat_full", 6).as("t_stat"),
+          Fns.roundU($"__p", 8).as("p_value"),
+          Fns.roundU(least(lit(1.0), $"p_adj_raw"), 8).as("p_adj"),
+          (least(lit(1.0), $"p_adj_raw") <= 0.05).as("reject"))
+        .orderBy($"event_type")
+    }),
+
+    // HEAVY HITTERS via SPACE-SAVING + EXACT RECOUNT — the two-pass
+    // shape that finds >1%-frequency tokens at 100 TB without ever
+    // shuffling the key domain: the sketch aggregate carries at most
+    // 512 counters per partial (O(m) shuffle regardless of vocabulary
+    // size) and is GUARANTEED to retain every item with true count >
+    // N/512; the ≤512 candidates broadcast back and are re-counted
+    // exactly, with the 1% gate in cross-multiplied integers. False
+    // positives die in the recount; the guarantee forbids false
+    // negatives — so the output equals the plain GROUP BY/HAVING the
+    // oracle runs, while the distributed plan never materializes it.
+    "q214_heavy_hitters" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+        .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      val cand = words
+        .agg(graft.functions.SpaceSavingAgg(512)($"w").as("__cand"))
+        .select(explode($"__cand").as("w"))
+      val total = words.agg(count(lit(1)).as("__n"))
+      words.join(broadcast(cand), Seq("w"), "left_semi")
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter($"cnt" * 100 > $"__n")
+        .select($"w", $"cnt",
+          Fns.roundU($"cnt".cast("double") / $"__n", 6).as("frac"))
+        .orderBy($"cnt".desc, $"w")
+    }),
+
+    // PER-GROUP OLS TREND — slope/intercept/R² of daily revenue vs
+    // day index for each market segment over 1995: the least-squares
+    // complement of q198's robust Theil-Sen. Two bounded aggregates
+    // (days per segment, then 5 moment rows) — no window, no sort.
+    // Numeric determinism: y is exact CENTS (the q193 floor idiom), x
+    // an exact day index, and all five moments accumulate as
+    // DECIMAL(20,0) products — order-independent integer sums (Σy²
+    // overflows a BIGINT; decimal keeps it exact) — converted to
+    // double ONCE before the closed-form fit, which both engines then
+    // evaluate with the identical operation sequence.
+    "q215_ols_trend" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .filter($"o_orderdate" >= "1995-01-01" &&
+          $"o_orderdate" < "1996-01-01")
+        .join(Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment",
+          datediff($"o_orderdate", to_date(lit("1995-01-01")))
+            .as("__x"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("__y"))
+      val m = daily.select($"c_mktsegment",
+          $"__x".cast("decimal(20,0)").as("__xd"),
+          $"__y".cast("decimal(20,0)").as("__yd"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"__xd").cast("double").as("__sx"),
+          sum($"__yd").cast("double").as("__sy"),
+          sum($"__xd" * $"__yd").cast("double").as("__sxy"),
+          sum($"__xd" * $"__xd").cast("double").as("__sx2"),
+          sum($"__yd" * $"__yd").cast("double").as("__sy2"))
+      val n = $"n_days".cast("double")
+      val sxx = n * $"__sx2" - $"__sx" * $"__sx"
+      val sxy = n * $"__sxy" - $"__sx" * $"__sy"
+      val syy = n * $"__sy2" - $"__sy" * $"__sy"
+      m.select($"c_mktsegment", $"n_days",
+          Fns.roundU(sxy / sxx, 4).as("slope_cents_per_day"),
+          Fns.roundU(($"__sy" - sxy / sxx * $"__sx") / n, 2)
+            .as("intercept_cents"),
+          Fns.roundU(sxy * sxy / (sxx * syy), 6).as("r2"))
+        .orderBy($"c_mktsegment")
     })
   )
 
@@ -10198,7 +10396,148 @@ object SparkEntry {
         |  floor(mv * 10000 + 0.5) / 10000.0 AS mean_g,
         |  floor(mv * 10000 + 0.5) / 10000.0 AS mean_b,
         |  ck AS ord_ck
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q211_fuzzy_linkage" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, substr(trim(text), 1, 32) AS key,
+        |    substr(trim(text), 1, 4) AS blk,
+        |    length(trim(text)) // 64 AS lb
+        |  FROM documents WHERE length(trim(text)) >= 32)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang AS lang,
+        |  floor(jaro_similarity(a.key, b.key) * 1000000 + 0.5)
+        |    / 1000000.0 AS jaro,
+        |  floor(jaro_winkler_similarity(a.key, b.key) * 1000000 + 0.5)
+        |    / 1000000.0 AS jw
+        |FROM k a JOIN k b
+        |  ON a.lang = b.lang AND a.blk = b.blk AND a.lb = b.lb
+        |  AND a.doc_id < b.doc_id
+        |WHERE jaro_winkler_similarity(a.key, b.key) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q212_mann_whitney" ->
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |r AS (
+        |  SELECT event_type,
+        |    rank() OVER (ORDER BY value)
+        |      + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS rk
+        |  FROM ev),
+        |st AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS BIGINT) AS n2,
+        |    sum(CASE WHEN event_type = 'click' THEN rk END) AS r1
+        |  FROM r),
+        |t AS (
+        |  SELECT CAST(sum(c * c * c - c) AS BIGINT) AS ts
+        |  FROM (SELECT count(*) AS c FROM ev GROUP BY value))
+        |SELECT n1, n2,
+        |  floor((r1 - n1 * (n1 + 1) / 2.0) * 100 + 0.5) / 100.0 AS u1,
+        |  floor(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0) /
+        |    sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+        |      - ts / ((n1 + n2) * (n1 + n2 - 1.0))))
+        |    * 1000000 + 0.5) / 1000000.0 AS z,
+        |  floor((r1 - n1 * (n1 + 1) / 2.0) / (n1 * n2)
+        |    * 1000000 + 0.5) / 1000000.0 AS auc,
+        |  ts AS tie_term
+        |FROM st, t""".stripMargin,
+
+    "q213_bh_fdr" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, count(*) AS n, sum(v) AS s,
+        |    sum(v * v) AS q
+        |  FROM ev GROUP BY event_type),
+        |tot AS (SELECT sum(n) AS nn, sum(s) AS ss, sum(q) AS qq
+        |  FROM g),
+        |m AS (
+        |  SELECT event_type, CAST(n AS BIGINT) AS n,
+        |    CAST(nn - n AS BIGINT) AS nr,
+        |    CAST(s AS DOUBLE) AS sd, CAST(q AS DOUBLE) AS qd,
+        |    CAST(ss - s AS DOUBLE) AS sr, CAST(qq - q AS DOUBLE) AS qr
+        |  FROM g, tot),
+        |h AS (
+        |  SELECT event_type, n, sd / n AS mg,
+        |    ((sd / n) - (sr / nr)) /
+        |      sqrt(((qd - sd * sd / n) / (n - 1)) / n
+        |        + ((qr - sr * sr / nr) / (nr - 1)) / nr) AS tf
+        |  FROM m),
+        |px AS (
+        |  SELECT event_type, n, mg, tf, abs(tf) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(tf) / sqrt(2.0))) AS t1
+        |  FROM h),
+        |pp AS (
+        |  SELECT event_type, n, mg, tf,
+        |    t1 * (0.254829592 + t1 * (-0.284496736 + t1 * (1.421413741
+        |      + t1 * (-1.453152027 + t1 * 1.061405429))))
+        |      * exp(-x * x) AS p
+        |  FROM px),
+        |b AS (
+        |  SELECT event_type, n, mg, tf, p, count(*) OVER () AS m,
+        |    row_number() OVER (ORDER BY p, event_type) AS i
+        |  FROM pp),
+        |a AS (
+        |  SELECT *, min(p * m / i) OVER (ORDER BY p, event_type
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS praw
+        |  FROM b)
+        |SELECT event_type, n,
+        |  floor(mg * 10000 + 0.5) / 10000.0 AS mean_g,
+        |  floor(tf * 1000000 + 0.5) / 1000000.0 AS t_stat,
+        |  floor(p * 100000000 + 0.5) / 100000000.0 AS p_value,
+        |  floor(least(1.0, praw) * 100000000 + 0.5) / 100000000.0
+        |    AS p_adj,
+        |  least(1.0, praw) <= 0.05 AS reject
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q214_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT count(*) AS n FROM w),
+        |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w)
+        |SELECT w, CAST(cnt AS BIGINT) AS cnt,
+        |  floor(CAST(cnt AS DOUBLE) / n * 1000000 + 0.5) / 1000000.0
+        |    AS frac
+        |FROM c, n WHERE cnt * 100 > n
+        |ORDER BY cnt DESC, w""".stripMargin,
+
+    "q215_ols_trend" ->
+      """WITH daily AS (
+        |  SELECT c_mktsegment,
+        |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS x,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c_mktsegment,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CAST(x AS DECIMAL(20,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(20,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(20,0)) * CAST(y AS DECIMAL(20,0)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS DECIMAL(20,0)) * CAST(x AS DECIMAL(20,0)))
+        |      AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(y AS DECIMAL(20,0)) * CAST(y AS DECIMAL(20,0)))
+        |      AS DOUBLE) AS sy2
+        |  FROM daily GROUP BY 1)
+        |SELECT c_mktsegment, n_days,
+        |  floor((n * sxy - sx * sy) / (n * sx2 - sx * sx)
+        |    * 10000 + 0.5) / 10000.0 AS slope_cents_per_day,
+        |  floor((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx)
+        |    / n * 100 + 0.5) / 100.0 AS intercept_cents,
+        |  floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+        |    * 1000000 + 0.5) / 1000000.0 AS r2
+        |FROM m ORDER BY c_mktsegment""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

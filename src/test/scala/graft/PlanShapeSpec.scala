@@ -876,4 +876,26 @@ class PlanShapeSpec extends SparkSpec {
     val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty, "mode table must broadcast")
   }
+
+  test("q211 fuzzy linkage: candidates come from an EQUI-join on the " +
+      "blocking keys — never a cartesian/nested-loop pair generation") {
+    val p = plan("q211_fuzzy_linkage")
+    val loops = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        c.nodeName
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(loops.isEmpty, s"pair generation degenerated to $loops:\n$p")
+  }
+
+  test("q212 Mann-Whitney: rank machinery stays compacted — no window " +
+      "over the pooled fact rows") {
+    // Stats.avgRanks is the two-phase prefix scan; the only acceptable
+    // windows are inside it (over the COMPACTED per-value table).
+    // A rank() over the raw pooled rows would be a one-task sort.
+    val p = plan("q212_mann_whitney")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.size <= 1, s"expected ≤1 compacted-scan window, got ${wins.size}")
+  }
 }
