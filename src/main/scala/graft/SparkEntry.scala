@@ -5448,6 +5448,298 @@ object SparkEntry {
             .as("intercept_cents"),
           Fns.roundU(sxy * sxy / (sxx * syy), 6).as("r2"))
         .orderBy($"c_mktsegment")
+    }),
+
+    // MARKOV TRANSITION ENTROPY — per event type: where does the NEXT
+    // event go, and how predictable is it? Successor pairs come from
+    // one lead() window PARTITIONED BY USER (millions of small
+    // partitions at scale — the scalable window shape, unlike a
+    // global sort), ordered by (ts, event_id) so ties are
+    // deterministic. Transition counts are exact; the conditional
+    // entropy −Σ p·ln p and the top-successor pick (min of the
+    // (−count, successor) struct — largest count, lexicographic
+    // tie-break) are the q168 entropy idiom.
+    "q216_markov_entropy" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      val tr = Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id",
+          $"event_type".as("cur"))
+        .withColumn("nxt", lead($"cur", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .groupBy($"cur", $"nxt").agg(count(lit(1)).as("__c"))
+      val tot = tr.groupBy($"cur").agg(sum($"__c").as("__n"),
+        count(lit(1)).as("n_successors"))
+      tr.join(broadcast(tot), Seq("cur"))
+        .select($"cur", $"__n", $"n_successors",
+          (($"__c" / $"__n") * log($"__c" / $"__n")).as("__t"),
+          struct((-$"__c").as("nc"), $"nxt".as("nx")).as("__top"))
+        .groupBy($"cur", $"__n", $"n_successors")
+        .agg((-sum($"__t")).as("__h"), min($"__top").as("__tp"))
+        .select($"cur".as("event_type"), $"__n".as("n_trans"),
+          $"n_successors",
+          Fns.roundU($"__h", 6).as("entropy_nats"),
+          $"__tp.nx".as("top_next"),
+          Fns.roundU((-$"__tp.nc") / $"__n", 4).as("top_frac"))
+        .orderBy($"event_type")
+    }),
+
+    // COHEN'S KAPPA — chance-corrected agreement between the corpus's
+    // DECLARED language and the heuristic language-ID (both collapsed
+    // to en/other, the detector's range): the standard QA number for
+    // any labeling pipeline (is the detector better than chance?).
+    // One 2×2 contingency aggregate; po/pe/κ are a single double
+    // formula over exact integer cells.
+    "q217_cohens_kappa" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(
+        when($"lang" === "en", "en").otherwise("other").as("a"),
+        TextAnalysis.langIdHeuristic($"text").as("b"))
+      val agg = t.groupBy($"a", $"b").agg(count(lit(1)).as("__c"))
+        .agg(sum($"__c").as("n"),
+          sum(when($"a" === $"b", $"__c").otherwise(0L)).as("n_agree"),
+          sum(when($"a" === "en", $"__c").otherwise(0L)).as("__ae"),
+          sum(when($"b" === "en", $"__c").otherwise(0L)).as("__be"))
+      val po = $"n_agree".cast("double") / $"n"
+      val pe = ($"__ae" * $"__be" +
+        ($"n" - $"__ae") * ($"n" - $"__be")).cast("double") /
+        ($"n" * $"n")
+      agg.select($"n", $"n_agree",
+        Fns.roundU(po, 6).as("po"),
+        Fns.roundU(pe, 6).as("pe"),
+        Fns.roundU((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }),
+
+    // CUSUM CHANGE-POINT — where does the daily-revenue level shift?
+    // dev_t = S_t − t·μ over the exact-cents prefix sum; the change
+    // point is the |dev| argmax. S_t and t come from ONE distributed
+    // prefix scan (Packing.prefixSum — never a one-task window over
+    // the raw facts), μ is the exact total over exact n, and the
+    // before/after means are recovered FROM THE PREFIX VALUES at the
+    // argmax (no second pass over the data). The last day is excluded
+    // from the argmax on both engines: its deviation is ~0 by
+    // construction and its "after" side is empty.
+    "q218_cusum_changepoint" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("__c"))
+        .withColumn("__g", lit(1)).withColumn("__one", lit(1L))
+      val withS = Packing.prefixSum(daily, Seq("__g"), Seq("day"),
+        "__c", "__s")
+      val withRk = Packing.prefixSum(withS, Seq("__g"), Seq("day"),
+        "__one", "__rk")
+      val tot = daily.agg(sum($"__c").as("__st"),
+        count(lit(1)).as("__n"))
+      val dev = withRk.crossJoin(broadcast(tot))
+        .withColumn("__dv",
+          $"__s" - $"__rk" * ($"__st".cast("double") / $"__n"))
+        .filter($"__rk" < $"__n")
+      dev.orderBy(abs($"__dv").desc, $"day").limit(1)
+        .select($"day".as("cp_day"), $"__n".as("n_days"),
+          Fns.roundU(abs($"__dv"), 2).as("max_abs_cusum"),
+          Fns.roundU($"__s".cast("double") / $"__rk", 2)
+            .as("mean_before_cents"),
+          Fns.roundU(($"__st" - $"__s").cast("double") /
+            ($"__n" - $"__rk"), 2).as("mean_after_cents"))
+    }),
+
+    // ADDITIVE SEASONAL DECOMPOSITION — daily revenue split into
+    // trend (centered 7-day moving average over exact cents; edge
+    // days without a full window are excluded on both engines),
+    // per-weekday seasonal index (mean detrended), and remainder
+    // (mean |detr − seasonal|). The moving average windows over the
+    // BOUNDED daily aggregate (one row per day, not per fact) — the
+    // q117 shape; weekday is Spark's weekday()/DuckDB's isodow()−1
+    // (0 = Monday), aligned explicitly because the engines' default
+    // dow origins differ.
+    "q219_seasonal_decomp" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("__c"))
+      val w = Window.orderBy($"day").rowsBetween(-3, 3)
+      val detr = daily
+        .withColumn("__wn", count($"__c").over(w))
+        .withColumn("__ws", sum($"__c").over(w))
+        .filter($"__wn" === 7)
+        .select(weekday($"day").cast("long").as("dow"),
+          ($"__c" - $"__ws" / 7.0).as("__detr"))
+      val seas = detr.groupBy($"dow")
+        .agg(count(lit(1)).as("n_days"), avg($"__detr").as("__seas"))
+      detr.join(broadcast(seas), Seq("dow"))
+        .groupBy($"dow", $"n_days", $"__seas")
+        .agg(avg(abs($"__detr" - $"__seas")).as("__mar"))
+        .select($"dow", $"n_days",
+          Fns.roundU($"__seas", 2).as("seasonal_cents"),
+          Fns.roundU($"__mar", 2).as("mean_abs_remainder"))
+        .orderBy($"dow")
+    }),
+
+    // QOI DECODE — the dictionary-by-hash + delta member of the
+    // compression spectrum (PNG=DEFLATE, GIF=LZW, FLAC=Rice,
+    // ADPCM=delta-PCM, JPEG=DCT): real QOI files built by a real
+    // greedy encoder (runs, hash-table hits, wrapping diffs, luma
+    // deltas, raw RGB all exercised — the fixture formula has
+    // palette-quantized block regions and gradient rows on purpose),
+    // decoded by the pure byte-arithmetic codec. QOI is lossless, so
+    // the oracle recomputes channel means AND the position-weighted
+    // checksum straight from the pixel formula: a wrong hash slot,
+    // un-wrapped diff, or shifted run breaks the hash, not just the
+    // moments.
+    "q220_qoi_decode" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.QoiPixels.encodeRgb(
+        (8 + id % 5).toInt, (6 + id % 4).toInt,
+        (x, y) => if (y % 4 == 3) {
+          val r = ((x * 3 + id) % 256).toInt
+          (r, ((r + 2) % 256).toInt, ((x + id) % 256).toInt)
+        } else {
+          val v = (((id * 7 + (x / 3) * 5 + (y / 2) * 11) % 8) * 36).toInt
+          (v, (v * 2) % 256, 255 - v)
+        }))
+      val imgs = Tables.documents(s, d).filter($"doc_id" < 48)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeQoiFeatures(imgs, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"width", $"height",
+          Fns.roundU($"mean_r", 4).as("mean_r"),
+          Fns.roundU($"mean_g", 4).as("mean_g"),
+          Fns.roundU($"mean_b", 4).as("mean_b"), $"ord_ck")
+        .orderBy($"doc_id")
+    }),
+
+    // KENDALL'S TAU-B — the rank-correlation complement of Spearman
+    // (q143): does view volume move with purchase volume day-over-day?
+    // Concordant/discordant/tie counts come from the CALENDAR-BOUNDED
+    // day-pair join (the q198 Theil-Sen model: pairs grow with days²,
+    // not data², however many fact rows feed a day) over exact long
+    // counts; tau-b's tie-corrected denominator is one double formula
+    // over those exact integers.
+    "q221_kendall_tau" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date($"ts").as("day"))
+        .agg(sum(when($"event_type" === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val a = daily.select($"day".as("d1"), $"x".as("x1"), $"y".as("y1"))
+      val b = daily.select($"day".as("d2"), $"x".as("x2"), $"y".as("y2"))
+      val st = a.join(b, $"d1" < $"d2")
+        .select((($"x2" - $"x1") * ($"y2" - $"y1")).as("__p"),
+          ($"x1" === $"x2").cast("long").as("__tx"),
+          ($"y1" === $"y2").cast("long").as("__ty"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(($"__p" > 0).cast("long")).as("nc"),
+          sum(($"__p" < 0).cast("long")).as("nd"),
+          sum($"__tx").as("ties_x"), sum($"__ty").as("ties_y"))
+      st.select($"n_pairs", $"nc", $"nd", $"ties_x", $"ties_y",
+        Fns.roundU(($"nc" - $"nd").cast("double") /
+          sqrt(($"n_pairs" - $"ties_x").cast("double") *
+            ($"n_pairs" - $"ties_y")), 6).as("tau_b"))
+    }),
+
+    // BENFORD FIRST-DIGIT TEST — the classic fabricated-data screen:
+    // leading digit of every order's exact-cents amount vs the
+    // Benford distribution. The digit comes from an INTEGER magnitude
+    // ladder (div by powers of 10 in a CASE chain — never
+    // floor(log10(x)), whose 2.999... boundary at exact powers of 10
+    // differs per libm), and the nine Benford probabilities are
+    // HARDCODED 17-digit literals so both engines parse identical
+    // doubles instead of calling their own log implementations.
+    "q222_benford" -> ((s, d) => {
+      val c = floor($"o_totalprice" * 100 + 0.5).cast("long")
+      val mags = Seq(1000000000L, 100000000L, 10000000L, 1000000L,
+        100000L, 10000L, 1000L, 100L, 10L)
+      val digit = mags.foldLeft(when(lit(false), lit(0L))) { (acc, m) =>
+        acc.when($"__c" >= m, expr(s"__c div $m"))
+      }.otherwise($"__c")
+      val probs = Map(1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514)
+      val p = probs.foldLeft(when(lit(false), lit(0.0))) {
+        case (acc, (dd, pp)) => acc.when($"digit" === dd, lit(pp))
+      }
+      Tables.orders(s, d).select(c.as("__c"))
+        .select($"__c", digit.as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(Tables.orders(s, d)
+          .agg(count(lit(1)).as("__n"))))
+        .select($"digit", $"n_obs",
+          Fns.roundU($"__n" * p, 2).as("expected"),
+          Fns.roundU(($"n_obs" - $"__n" * p) * ($"n_obs" - $"__n" * p)
+            / ($"__n" * p), 4).as("chi2_term"))
+        .orderBy($"digit")
+    }),
+
+    // FLESCH READING EASE — the readability filter real corpus
+    // pipelines run: 206.835 − 1.015·(words/sentences) −
+    // 84.6·(syllables/words), with syllables as vowel-GROUP counts
+    // and sentences as [.!?]+ group counts (floored at 1). All three
+    // counts are exact integers from regex group-collapsing (the
+    // marker trick: collapse to a sentinel character outside the
+    // kept alphabet, then count sentinels by length difference), so
+    // the score is one deterministic double formula. DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all — a known cross-engine trap, handled in the oracle.
+    "q223_flesch" -> ((s, d) => {
+      val clean = regexp_replace(lower($"text"), "[^a-z ]", " ")
+      val sylMark = regexp_replace(clean, "[aeiouy]+", "#")
+      // collapse every [.!?]+ group to a single '.', so counting '.'
+      // counts GROUPS (any original ./!/? was itself part of a group)
+      val sentMark = regexp_replace($"text", "[.!?]+", ".")
+      val words = size(split(trim(clean), " +"))
+      val docs = Tables.documents(s, d).filter($"doc_id" < 300)
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id",
+          words.cast("long").as("n_words"),
+          greatest(
+            (length(sentMark) -
+              length(regexp_replace(sentMark, "\\.", ""))).cast("long"),
+            lit(1L)).as("n_sentences"),
+          (length(sylMark) - length(regexp_replace(sylMark, "#", "")))
+            .cast("long").as("n_syllables"))
+      docs.select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+          Fns.roundU(lit(206.835)
+            - lit(1.015) * ($"n_words".cast("double") / $"n_sentences")
+            - lit(84.6) * ($"n_syllables".cast("double") / $"n_words"),
+            3).as("flesch"))
+        .orderBy($"doc_id")
+    }),
+
+    // DEBOUNCE / IDEMPOTENCY-WINDOW DEDUP — keep an event only if ≥
+    // 600 s after the last KEPT event of its (user, type): the
+    // retry/duplicate-webhook suppression rule. Eligibility depends
+    // on which earlier events were kept — a sequential recurrence
+    // (the q209 class; "distinct per 10-min bucket" is a DIFFERENT,
+    // boundary-artifacted rule) — run as Sessionize.debounce's
+    // secondary-sort O(1)-state scan and replayed by the oracle as a
+    // recursive CTE. The composite key packs the 5 event types into
+    // 3 bits of the user key; the readout unpacks with the same CASE
+    // on both engines.
+    "q224_debounce" -> ((s, d) => {
+      val code = when($"event_type" === "click", 0L)
+        .when($"event_type" === "error", 1L)
+        .when($"event_type" === "purchase", 2L)
+        .when($"event_type" === "signup", 3L).otherwise(4L)
+      val ev = Tables.events(s, d)
+        .select(($"user_id" * 8 + code).as("__k"),
+          $"ts".cast("long").as("__t"), $"event_id")
+      Sessionize.debounce(ev, "__k", "__t", "event_id", 600L)
+        .select(($"__k" % 8).as("__code"), $"kept")
+        .groupBy(when($"__code" === 0, "click")
+          .when($"__code" === 1, "error")
+          .when($"__code" === 2, "purchase")
+          .when($"__code" === 3, "signup").otherwise("view")
+          .as("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum($"kept".cast("long")).as("n_kept"))
+        .select($"event_type", $"n_events", $"n_kept",
+          Fns.roundU(lit(1.0) -
+            $"n_kept".cast("double") / $"n_events", 4).as("drop_frac"))
+        .orderBy($"event_type")
     })
   )
 
@@ -10537,7 +10829,273 @@ object SparkEntry {
         |  floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |    / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
         |    * 1000000 + 0.5) / 1000000.0 AS r2
-        |FROM m ORDER BY c_mktsegment""".stripMargin
+        |FROM m ORDER BY c_mktsegment""".stripMargin,
+
+    "q216_markov_entropy" ->
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |tr AS (
+        |  SELECT cur, nxt, count(*) AS c FROM seq
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT cur, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_successors
+        |  FROM tr GROUP BY 1),
+        |top AS (
+        |  SELECT cur, nxt AS top_next, c AS top_c,
+        |    row_number() OVER (PARTITION BY cur
+        |      ORDER BY c DESC, nxt) AS rk
+        |  FROM tr)
+        |SELECT t.cur AS event_type, t.n AS n_trans, t.n_successors,
+        |  floor(-(SELECT sum((tr.c / t.n) * ln(tr.c / t.n)) FROM tr
+        |      WHERE tr.cur = t.cur) * 1000000 + 0.5) / 1000000.0
+        |    AS entropy_nats,
+        |  p.top_next,
+        |  floor(CAST(p.top_c AS DOUBLE) / t.n * 10000 + 0.5) / 10000.0
+        |    AS top_frac
+        |FROM tot t JOIN top p ON p.cur = t.cur AND p.rk = 1
+        |ORDER BY event_type""".stripMargin,
+
+    "q217_cohens_kappa" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS a,
+        |    CASE WHEN CAST(len(list_filter(
+        |        string_split_regex(trim(text), '\s+'),
+        |        x -> x IN ('the','a','an','and','of','to','in','is',
+        |        'it','that'))) AS DOUBLE)
+        |        / len(string_split_regex(trim(text), '\s+')) >= 0.03
+        |      THEN 'en' ELSE 'other' END AS b
+        |  FROM documents),
+        |ct AS (SELECT a, b, count(*) AS c FROM t GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_agree,
+        |    CAST(sum(CASE WHEN a = 'en' THEN c ELSE 0 END) AS BIGINT)
+        |      AS ae,
+        |    CAST(sum(CASE WHEN b = 'en' THEN c ELSE 0 END) AS BIGINT)
+        |      AS be
+        |  FROM ct)
+        |SELECT n, n_agree,
+        |  floor(CAST(n_agree AS DOUBLE) / n * 1000000 + 0.5)
+        |    / 1000000.0 AS po,
+        |  floor(CAST(ae * be + (n - ae) * (n - be) AS DOUBLE)
+        |    / (n * n) * 1000000 + 0.5) / 1000000.0 AS pe,
+        |  floor((CAST(n_agree AS DOUBLE) / n
+        |      - CAST(ae * be + (n - ae) * (n - be) AS DOUBLE) / (n * n))
+        |    / (1.0 - CAST(ae * be + (n - ae) * (n - be) AS DOUBLE)
+        |      / (n * n)) * 1000000 + 0.5) / 1000000.0 AS kappa
+        |FROM agg""".stripMargin,
+
+    "q218_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT day, c,
+        |    CAST(sum(c) OVER (ORDER BY day) AS BIGINT) AS s,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk
+        |  FROM daily),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS st,
+        |  CAST(count(*) AS BIGINT) AS n FROM daily),
+        |dev AS (
+        |  SELECT day, s, rk, st, n,
+        |    s - rk * (CAST(st AS DOUBLE) / n) AS dv
+        |  FROM t, tot WHERE rk < n)
+        |SELECT day AS cp_day, n AS n_days,
+        |  floor(abs(dv) * 100 + 0.5) / 100.0 AS max_abs_cusum,
+        |  floor(CAST(s AS DOUBLE) / rk * 100 + 0.5) / 100.0
+        |    AS mean_before_cents,
+        |  floor(CAST(st - s AS DOUBLE) / (n - rk) * 100 + 0.5) / 100.0
+        |    AS mean_after_cents
+        |FROM dev ORDER BY abs(dv) DESC, day LIMIT 1""".stripMargin,
+
+    "q219_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM orders GROUP BY 1),
+        |ma AS (
+        |  SELECT day, c,
+        |    count(c) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+        |    CAST(sum(c) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+        |      AS ws
+        |  FROM daily),
+        |detr AS (
+        |  SELECT CAST(isodow(day) - 1 AS BIGINT) AS dow,
+        |    c - ws / 7.0 AS detr
+        |  FROM ma WHERE wn = 7),
+        |seas AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+        |    avg(detr) AS s
+        |  FROM detr GROUP BY 1)
+        |SELECT d.dow, s.n_days,
+        |  floor(s.s * 100 + 0.5) / 100.0 AS seasonal_cents,
+        |  floor(avg(abs(d.detr - s.s)) * 100 + 0.5) / 100.0
+        |    AS mean_abs_remainder
+        |FROM detr d JOIN seas s ON d.dow = s.dow
+        |GROUP BY d.dow, s.n_days, s.s
+        |ORDER BY d.dow""".stripMargin,
+
+    "q220_qoi_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
+        |    CAST(6 + doc_id % 4 AS INT) AS h
+        |  FROM documents WHERE doc_id < 48),
+        |px AS (
+        |  SELECT doc_id, w, h, y.i * w + x.i AS p,
+        |    CASE WHEN y.i % 4 = 3 THEN (x.i * 3 + doc_id) % 256
+        |      ELSE ((doc_id * 7 + (x.i // 3) * 5 + (y.i // 2) * 11)
+        |        % 8) * 36 END AS r,
+        |    CASE WHEN y.i % 4 = 3
+        |      THEN ((x.i * 3 + doc_id) % 256 + 2) % 256
+        |      ELSE (((doc_id * 7 + (x.i // 3) * 5 + (y.i // 2) * 11)
+        |        % 8) * 36 * 2) % 256 END AS g,
+        |    CASE WHEN y.i % 4 = 3 THEN (x.i + doc_id) % 256
+        |      ELSE 255 - ((doc_id * 7 + (x.i // 3) * 5 + (y.i // 2)
+        |        * 11) % 8) * 36 END AS b
+        |  FROM d, unnest(range(0, w)) x(i), unnest(range(0, h)) y(i)),
+        |m AS (
+        |  SELECT doc_id, w, h,
+        |    avg(CAST(r AS DOUBLE)) AS mr, avg(CAST(g AS DOUBLE)) AS mg,
+        |    avg(CAST(b AS DOUBLE)) AS mb,
+        |    CAST(sum((r + 2 * g + 3 * b) * (p % 97 + 1)) AS BIGINT)
+        |      AS ck
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, w AS width, h AS height,
+        |  floor(mr * 10000 + 0.5) / 10000.0 AS mean_r,
+        |  floor(mg * 10000 + 0.5) / 10000.0 AS mean_g,
+        |  floor(mb * 10000 + 0.5) / 10000.0 AS mean_b,
+        |  ck AS ord_ck
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q221_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_x,
+        |    CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_y
+        |  FROM daily a JOIN daily b ON a.day < b.day)
+        |SELECT n_pairs, nc, nd, ties_x, ties_y,
+        |  floor(CAST(nc - nd AS DOUBLE) /
+        |    sqrt(CAST(n_pairs - ties_x AS DOUBLE) * (n_pairs - ties_y))
+        |    * 1000000 + 0.5) / 1000000.0 AS tau_b
+        |FROM st""".stripMargin,
+
+    "q222_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |dg AS (
+        |  SELECT CASE
+        |    WHEN c >= 1000000000 THEN c // 1000000000
+        |    WHEN c >= 100000000 THEN c // 100000000
+        |    WHEN c >= 10000000 THEN c // 10000000
+        |    WHEN c >= 1000000 THEN c // 1000000
+        |    WHEN c >= 100000 THEN c // 100000
+        |    WHEN c >= 10000 THEN c // 10000
+        |    WHEN c >= 1000 THEN c // 1000
+        |    WHEN c >= 100 THEN c // 100
+        |    WHEN c >= 10 THEN c // 10
+        |    ELSE c END AS digit
+        |  FROM c),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM dg
+        |  GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |p AS (
+        |  SELECT digit, n_obs, n, CAST(CASE digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    WHEN 9 THEN 0.04575749056067514 END AS DOUBLE) AS pr
+        |  FROM g, n)
+        |SELECT digit, n_obs,
+        |  floor(n * pr * 100 + 0.5) / 100.0 AS expected,
+        |  floor((n_obs - n * pr) * (n_obs - n * pr) / (n * pr)
+        |    * 10000 + 0.5) / 10000.0 AS chi2_term
+        |FROM p ORDER BY digit""".stripMargin,
+
+    "q223_flesch" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(text), '[^a-z ]', ' ', 'g') AS clean
+        |  FROM documents
+        |  WHERE doc_id < 300 AND length(trim(text)) > 0),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(clean), ' +'))
+        |      AS BIGINT) AS n_words,
+        |    greatest(CAST(
+        |      length(regexp_replace(text, '[.!?]+', '.', 'g'))
+        |      - length(regexp_replace(regexp_replace(text, '[.!?]+',
+        |        '.', 'g'), '\.', '', 'g')) AS BIGINT), 1)
+        |      AS n_sentences,
+        |    CAST(length(regexp_replace(clean, '[aeiouy]+', '#', 'g'))
+        |      - length(regexp_replace(regexp_replace(clean,
+        |        '[aeiouy]+', '#', 'g'), '#', '', 'g')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  floor((206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+        |    * 1000 + 0.5) / 1000.0 AS flesch
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q224_debounce" ->
+      """WITH RECURSIVE
+        |e AS (
+        |  SELECT user_id * 8 + CASE event_type
+        |      WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+        |      ELSE 4 END AS k,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+        |    row_number() OVER (PARTITION BY user_id * 8 + CASE
+        |        event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |        WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END
+        |      ORDER BY floor(epoch(ts)), event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT k, rn, t, TRUE AS kept, t AS last_kept
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.k, e.rn, e.t, e.t - w.last_kept >= 600,
+        |    CASE WHEN e.t - w.last_kept >= 600 THEN e.t
+        |         ELSE w.last_kept END
+        |  FROM walk w JOIN e ON e.k = w.k AND e.rn = w.rn + 1)
+        |SELECT CASE k % 8 WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+        |    WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+        |    ELSE 'view' END AS event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  floor((1.0 - CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0
+        |    AS drop_frac
+        |FROM walk GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

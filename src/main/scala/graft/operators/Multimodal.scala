@@ -411,6 +411,34 @@ object Multimodal {
       }
   }
 
+  /** Decoded pixel-feature record for payloads the pure-JVM QOI codec
+    * handles; corrupt payloads drop. */
+  case class QoiFeatureRow(id: Long, width: Int, height: Int,
+                           mean_r: Double, mean_g: Double,
+                           mean_b: Double, ord_ck: Long)
+
+  /** REAL pixel-tier decode for QOI payloads
+    * ([[graft.functions.QoiPixels]] — the 2022 public spec's hash-table
+    * / wrapping-diff / luma-delta / run op-codes; plain byte
+    * arithmetic, no codec library). The dictionary-by-hash + delta
+    * member of the compression spectrum (DEFLATE/LZW/Rice/ADPCM/DCT
+    * already real). `ord_ck` is a position-weighted channel checksum,
+    * so spatial layout is part of the decode contract. */
+  def decodeQoiFeatures(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[QoiFeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.QoiPixels.decode(bytes).map(f =>
+            QoiFeatureRow(id, f.width, f.height, f.meanR, f.meanG,
+              f.meanB, f.ordCk))
+        }
+      }
+  }
+
   /** STUB codec for environments without media libraries: deterministic
     * header fake from the payload bytes. */
   def stubCodec(bytes: Array[Byte]): (Int, Int, Int) = {

@@ -59,4 +59,41 @@ object Sessionize {
       }
       .toDF(keyCol, tsCol, idCol, "session_idx", "is_start")
   }
+
+  /** Debounce / idempotency-window dedup: an event is KEPT iff it is
+    * its key's first, or at least `minGapSec` after the last KEPT
+    * event. Like [[cappedSessions]] this is a genuinely SEQUENTIAL
+    * recurrence — eligibility depends on which earlier events were
+    * kept, which depends on every prior decision — so no
+    * window/prefix-sum form exists ("distinct on 10-minute buckets"
+    * is a different, boundary-artifacted rule). Same secondary-sort
+    * O(1)-state scan: one shuffle on the key, within-partition
+    * (key, ts, id) sort, two scalars of state. Oracle-able as a
+    * recursive-CTE replay of the recurrence. */
+  def debounce(df: DataFrame, keyCol: String, tsCol: String,
+               idCol: String, minGapSec: Long): DataFrame = {
+    require(minGapSec > 0, "positive window")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("__k"),
+        col(tsCol).cast("long").as("__t"),
+        col(idCol).cast("long").as("__i"))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"), col("__i"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        var curKey = Long.MinValue
+        var haveKey = false
+        var lastKept = 0L
+        rows.map { case (k, t, i) =>
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; lastKept = Long.MinValue
+          }
+          val kept = lastKept == Long.MinValue || t - lastKept >= minGapSec
+          if (kept) lastKept = t
+          (k, t, i, kept)
+        }
+      }
+      .toDF(keyCol, tsCol, idCol, "kept")
+  }
 }

@@ -532,6 +532,43 @@ object Streams {
       }
   }
 
+  /** Debounce input event (shape of q224's batch input). */
+  case class StampedEvent(key: Long, ts: Long, id: Long)
+
+  /** A debounce decision: was this event kept? */
+  case class DebounceDecision(key: Long, ts: Long, id: Long,
+                              kept: Boolean)
+
+  /** STREAMING debounce — the incremental twin of batch
+    * [[graft.operators.Sessionize.debounce]]: keep an event iff ≥
+    * `minGapSec` after the last KEPT event of its key. Per-key state
+    * is ONE scalar (the last kept timestamp) regardless of stream
+    * length; within a batch events fold in (ts, id) order so the
+    * decision sequence is deterministic under whatever order the
+    * shuffle delivers, and cross-batch continuity follows the usual
+    * nondecreasing-event-time contract. StreamsSpec pins
+    * stream/batch parity on a shared log split across batches — the
+    * chain-dependence (an event's fate depends on which EARLIER
+    * events were kept, possibly in a previous batch) is exactly what
+    * the parity check exercises. */
+  def debounceStream(events: Dataset[StampedEvent], minGapSec: Long)
+      : Dataset[DebounceDecision] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, DebounceDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(e => (e.ts, e.id)).map { e =>
+            val kept = last == Long.MinValue || e.ts - last >= minGapSec
+            if (kept) last = e.ts
+            DebounceDecision(key, e.ts, e.id, kept)
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   /** Funnel input event (micro timestamp; shape of q82's batch input). */
   case class FunnelEvent(user_id: Long, event_type: String, ts: Long)
 

@@ -898,4 +898,23 @@ class PlanShapeSpec extends SparkSpec {
     val wins = collectAll(p) { case w: WindowExec => w }
     assert(wins.size <= 1, s"expected ≤1 compacted-scan window, got ${wins.size}")
   }
+
+  test("q214 heavy hitters: candidates broadcast back onto the token " +
+      "stream — the recount never sort-merges") {
+    val p = plan("q214_heavy_hitters")
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"recount join sort-merged:\n$p")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "candidate set must broadcast")
+  }
+
+  test("q218 CUSUM: prefix machinery only — no window over the daily " +
+      "series, no data-sized sort") {
+    // both prefix sums ride Packing.prefixSum (range repartition +
+    // per-partition scan); a sum() OVER (ORDER BY day) window here
+    // would be the one-task pattern the operator exists to avoid
+    val p = plan("q218_cusum_changepoint")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, s"expected no WindowExec, got ${wins.size}:\n$p")
+  }
 }

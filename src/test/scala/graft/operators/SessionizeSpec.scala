@@ -62,4 +62,41 @@ class SessionizeSpec extends SparkSpec {
     }.sortBy(x => (x._1, x._2, x._3))
     assert(got === expect)
   }
+
+  private def runDebounce(rows: Seq[(Long, Long, Long)], w: Long)
+      : Seq[(Long, Long, Long, Boolean)] =
+    Sessionize.debounce(rows.toDF("k", "t", "i"), "k", "t", "i", w)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+      .sortBy(x => (x._1, x._2, x._3))
+
+  test("debounce keeps relative to the last KEPT event — the chain " +
+      "case a bucket-distinct gets wrong") {
+    // window 600: t=0 kept; 300 dropped; 650 kept (650-0 >= 600);
+    // 1200 DROPPED (1200-650 = 550 < 600, though a 600-bucket
+    // distinct would keep it); 1250 kept.
+    val out = runDebounce(Seq((1L, 0L, 0L), (1L, 300L, 1L),
+      (1L, 650L, 2L), (1L, 1200L, 3L), (1L, 1250L, 4L)), 600L)
+    assert(out.map(_._4) === Seq(true, false, true, false, true))
+  }
+
+  test("debounce matches an independent sequential replay; ties " +
+      "resolve by id; keys independent") {
+    val rnd = new scala.util.Random(11)
+    val evs = (0 until 600).map { j =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(5000).toLong, j.toLong)
+    }
+    val w = 250L
+    val got = runDebounce(evs, w)
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+      var last = Long.MinValue
+      es.sortBy(e => (e._2, e._3)).map { case (_, t, i) =>
+        val kept = last == Long.MinValue || t - last >= w
+        if (kept) last = t
+        (k, t, i, kept)
+      }
+    }.sortBy(x => (x._1, x._2, x._3))
+    assert(got === expect)
+  }
 }

@@ -269,6 +269,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("debounceStream: decisions EQUAL batch Sessionize.debounce on " +
+      "a shared log split across micro-batches mid-chain") {
+    // events per key every ~170 s with jitter so some gaps straddle
+    // the 300 s window; the batch split lands mid-key-history, so a
+    // kept-timestamp carried across batches decides later events
+    val evs = (0 until 240).map { i =>
+      Streams.StampedEvent((i % 5).toLong,
+        (i / 5).toLong * 170 + (i * 29) % 120, i.toLong)
+    }
+    val batch = graft.operators.Sessionize
+      .debounce(evs.toDF("key", "ts", "id"), "key", "ts", "id", 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))
+        -> r.getBoolean(3)).toMap
+    val dir = Files.createTempDirectory("graft-debounce").toFile
+    val stream = spark.readStream
+      .schema("key LONG, ts LONG, id LONG")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      .as[Streams.StampedEvent]
+    val q = Streams.debounceStream(stream, 300L)
+      .writeStream.format("memory").queryName("debounce")
+      .outputMode("append").start()
+    try {
+      def js(e: Streams.StampedEvent): String =
+        s"""{"key":${e.key},"ts":${e.ts},"id":${e.id}}"""
+      // sort by ts so the cross-batch split respects event time
+      val ordered = evs.sortBy(e => (e.ts, e.id))
+      dropFile(dir, "b1.json", ordered.take(120).map(js).mkString("\n"))
+      q.processAllAvailable()
+      dropFile(dir, "b2.json", ordered.drop(120).map(js).mkString("\n"))
+      q.processAllAvailable()
+      val got = spark.table("debounce").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))
+          -> r.getBoolean(3)).toMap
+      assert(got === batch,
+        "stream decisions and batch scan must agree per event")
+      // sanity: both keeps and drops occurred
+      assert(batch.values.exists(identity) && batch.values.exists(!_))
+    } finally q.stop()
+  }
+
   test("funnelStages: per-user funnel advances across micro-batches") {
     val dir = Files.createTempDirectory("graft-funnel").toFile
     val stream = spark.readStream
