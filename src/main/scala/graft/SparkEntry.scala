@@ -5740,6 +5740,109 @@ object SparkEntry {
           Fns.roundU(lit(1.0) -
             $"n_kept".cast("double") / $"n_events", 4).as("drop_frac"))
         .orderBy($"event_type")
+    }),
+
+    // ZIPF FIT — the corpus-law fingerprint: log-log OLS of word
+    // frequency vs frequency rank (natural text slopes ≈ −1; a
+    // templated/spammy corpus bends the curve). Ranks come from the
+    // distributed prefix scan over the COMPACTED (word, count) table
+    // ordered by (−count, word) — deterministic ties, never a
+    // one-task row_number over the vocabulary — and the fit reuses
+    // q215's closed-form moments (here over ln pairs; exact integer
+    // inputs, ln parity per the q168 precedent).
+    "q225_zipf_fit" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+        .select(explode(split(trim($"text"), "\\s+")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("__c"))
+        .filter($"__c" >= 5)
+        .withColumn("__g", lit(1))
+        .withColumn("__neg", -$"__c")
+        .withColumn("__one", lit(1L))
+      val pts = Packing.prefixSum(cnt, Seq("__g"), Seq("__neg", "w"),
+          "__one", "__rk")
+        .select(log($"__rk".cast("double")).as("__x"),
+          log($"__c".cast("double")).as("__y"))
+      val m = pts.agg(count(lit(1)).as("n_words"),
+        sum($"__x").as("__sx"), sum($"__y").as("__sy"),
+        sum($"__x" * $"__y").as("__sxy"),
+        sum($"__x" * $"__x").as("__sx2"),
+        sum($"__y" * $"__y").as("__sy2"))
+      val n = $"n_words".cast("double")
+      val sxx = n * $"__sx2" - $"__sx" * $"__sx"
+      val sxy = n * $"__sxy" - $"__sx" * $"__sy"
+      val syy = n * $"__sy2" - $"__sy" * $"__sy"
+      m.select($"n_words",
+        Fns.roundU(sxy / sxx, 4).as("zipf_slope"),
+        Fns.roundU(($"__sy" - sxy / sxx * $"__sx") / n, 4)
+          .as("zipf_intercept"),
+        Fns.roundU(sxy * sxy / (sxx * syy), 4).as("r2"))
+    }),
+
+    // HEAPS FIT — the other corpus law: vocabulary growth V ≈ K·T^β
+    // (β ≈ 0.4–0.6 for natural text; saturated synthetic vocabularies
+    // flatten). Per-doc token counts and per-doc NEW-word counts
+    // (first occurrence = min doc_id per word) are two bounded
+    // aggregates; both cumulatives ride the distributed prefix scan
+    // over doc order, and the log-log OLS is the q225 machinery.
+    "q226_heaps_fit" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
+      // "__tok"/"__nw", not "__t": Packing.prefixSum uses "__t" for
+      // its internal partition totals and a caller column of the same
+      // name is AMBIGUOUS_REFERENCE
+      val perDoc = toks.groupBy($"doc_id").agg(count(lit(1)).as("__tok"))
+      val newW = toks.groupBy($"w").agg(min($"doc_id").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("__v0"))
+      val base = perDoc.join(newW, Seq("doc_id"), "left")
+        .select($"doc_id", $"__tok", coalesce($"__v0", lit(0L)).as("__nw"))
+        .withColumn("__g", lit(1))
+      val cum = Packing.prefixSum(Packing.prefixSum(base, Seq("__g"),
+        Seq("doc_id"), "__tok", "__T"), Seq("__g"), Seq("doc_id"),
+        "__nw", "__V")
+      val pts = cum.select(log($"__T".cast("double")).as("__x"),
+        log($"__V".cast("double")).as("__y"))
+      val m = pts.agg(count(lit(1)).as("n_docs"),
+        sum($"__x").as("__sx"), sum($"__y").as("__sy"),
+        sum($"__x" * $"__y").as("__sxy"),
+        sum($"__x" * $"__x").as("__sx2"),
+        sum($"__y" * $"__y").as("__sy2"))
+      val n = $"n_docs".cast("double")
+      val sxx = n * $"__sx2" - $"__sx" * $"__sx"
+      val sxy = n * $"__sxy" - $"__sx" * $"__sy"
+      val syy = n * $"__sy2" - $"__sy" * $"__sy"
+      m.select($"n_docs",
+        Fns.roundU(sxy / sxx, 4).as("heaps_beta"),
+        Fns.roundU(exp(($"__sy" - sxy / sxx * $"__sx") / n), 4)
+          .as("heaps_k"),
+        Fns.roundU(sxy * sxy / (sxx * syy), 4).as("r2"))
+    }),
+
+    // INTERVAL JOIN WITHOUT AN EQUI-KEY — every order matched to every
+    // OVERLAPPING promo window (IP-range/tax-bracket shape): the naive
+    // plan is a cartesian with a BETWEEN residual; the scalable plan
+    // is Joins.bucketedRangeJoin — day → bucket, each interval
+    // replicated across the buckets it overlaps, pair generation as an
+    // EQUI-join on bucket id (the 1-D sibling of q190's geo grid).
+    // Promos derive deterministically from the nation table (spans
+    // 10–69 days, bucket 32 → ≤3 copies each); the oracle runs the
+    // plain BETWEEN join, and JoinsSpec pins bucketed == brute-force
+    // on a fixture.
+    "q227_interval_join" -> ((s, d) => {
+      val promos = Tables.nation(s, d)
+        .select($"n_nationkey".cast("long").as("promo_id"))
+        .select($"promo_id", (($"promo_id" * 137) % 2400).as("lo"))
+        .select($"promo_id", $"lo",
+          ($"lo" + 10 + ($"promo_id" * 37) % 60).as("hi"))
+      val ord = Tables.orders(s, d).select(
+        datediff($"o_orderdate", to_date(lit("1992-01-01")))
+          .cast("long").as("day"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      Joins.bucketedRangeJoin(ord, $"day", promos, $"lo", $"hi", 32L)
+        .groupBy($"promo_id", $"lo", $"hi")
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").as("rev_cents"))
+        .orderBy($"promo_id")
     })
   )
 
@@ -11095,7 +11198,87 @@ object SparkEntry {
         |  floor((1.0 - CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0
         |    AS drop_frac
-        |FROM walk GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM walk GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q225_zipf_fit" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT w, count(*) AS c FROM w GROUP BY w
+        |  HAVING count(*) >= 5),
+        |r AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+        |      AS DOUBLE)) AS x,
+        |    ln(CAST(c AS DOUBLE)) AS y
+        |  FROM c),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sx2, sum(y * y) AS sy2
+        |  FROM r)
+        |SELECT n_words,
+        |  floor((n * sxy - sx * sy) / (n * sx2 - sx * sx)
+        |    * 10000 + 0.5) / 10000.0 AS zipf_slope,
+        |  floor((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx)
+        |    / n * 10000 + 0.5) / 10000.0 AS zipf_intercept,
+        |  floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+        |    * 10000 + 0.5) / 10000.0 AS r2
+        |FROM m""".stripMargin,
+
+    "q226_heaps_fit" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS t FROM toks GROUP BY 1),
+        |neww AS (
+        |  SELECT doc_id, count(*) AS v FROM (
+        |    SELECT w, min(doc_id) AS doc_id FROM toks GROUP BY w)
+        |  GROUP BY 1),
+        |base AS (
+        |  SELECT p.doc_id, p.t, coalesce(n.v, 0) AS v
+        |  FROM per_doc p LEFT JOIN neww n ON p.doc_id = n.doc_id),
+        |cum AS (
+        |  SELECT ln(CAST(sum(t) OVER (ORDER BY doc_id) AS DOUBLE))
+        |      AS x,
+        |    ln(CAST(sum(v) OVER (ORDER BY doc_id) AS DOUBLE)) AS y
+        |  FROM base),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sx2, sum(y * y) AS sy2
+        |  FROM cum)
+        |SELECT n_docs,
+        |  floor((n * sxy - sx * sy) / (n * sx2 - sx * sx)
+        |    * 10000 + 0.5) / 10000.0 AS heaps_beta,
+        |  floor(exp((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+        |    * sx) / n) * 10000 + 0.5) / 10000.0 AS heaps_k,
+        |  floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+        |    * 10000 + 0.5) / 10000.0 AS r2
+        |FROM m""".stripMargin,
+
+    "q227_interval_join" ->
+      """WITH promos AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS promo_id,
+        |    CAST((n_nationkey * 137) % 2400 AS BIGINT) AS lo,
+        |    CAST((n_nationkey * 137) % 2400
+        |      + 10 + (n_nationkey * 37) % 60 AS BIGINT) AS hi
+        |  FROM nation),
+        |ord AS (
+        |  SELECT date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+        |      AS day,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT promo_id, lo, hi,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM ord JOIN promos ON day >= lo AND day <= hi
+        |GROUP BY 1, 2, 3 ORDER BY promo_id""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

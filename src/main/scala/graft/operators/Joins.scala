@@ -105,6 +105,36 @@ object Joins {
                 leftVal: Column, lo: Column, hi: Column): DataFrame =
     left.join(right, equi && leftVal >= lo && leftVal <= hi)
 
+  /** Interval lookup WITHOUT an equi-key — the IP-range/tax-bracket/
+    * promo-window shape: every left value must find every right
+    * interval containing it, and nothing equi-joins naturally, so the
+    * naive plan is a cartesian with a residual filter (dead at scale).
+    * This is the 1-D sibling of [[Geo]]'s grid-cell join: values map
+    * to `floor(v / bucketSize)`, each interval REPLICATES across the
+    * buckets it overlaps (sequence(floor(lo/B), floor(hi/B))), and the
+    * pair generation becomes an EQUI-join on the bucket id with the
+    * exact [lo, hi] containment as a cheap residual. Replication
+    * factor = interval span / bucketSize (+1); pick bucketSize near
+    * the median interval width so typical intervals copy 1–2×. A
+    * pathological interval spanning the whole domain replicates
+    * domain/B times — cap spans upstream or route those few to a
+    * broadcast branch. Join column names: caller guarantees `left`
+    * and `right` share no column names (same contract as rangeJoin).
+    */
+  def bucketedRangeJoin(left: DataFrame, leftVal: Column,
+                        right: DataFrame, lo: Column, hi: Column,
+                        bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "positive bucket size")
+    val lb = left.withColumn("__lb",
+      floor(leftVal / bucketSize).cast("long"))
+    val rb = right.withColumn("__rb",
+      explode(sequence(floor(lo / bucketSize).cast("long"),
+        floor(hi / bucketSize).cast("long"))))
+    lb.join(rb, col("__lb") === col("__rb") &&
+        leftVal >= lo && leftVal <= hi)
+      .drop("__lb", "__rb")
+  }
+
   /** Skew-resistant join of a big fact against a small dim: the dim is
     * replicated `salts` times and the fact picks a deterministic salt, so a
     * single hot key spreads over `salts` reducers. Result set is identical

@@ -917,4 +917,16 @@ class PlanShapeSpec extends SparkSpec {
     val wins = collectAll(p) { case w: WindowExec => w }
     assert(wins.isEmpty, s"expected no WindowExec, got ${wins.size}:\n$p")
   }
+
+  test("q227 interval join: pair generation is an equi-join on the " +
+      "bucket id — never a cartesian/nested-loop BETWEEN") {
+    val p = plan("q227_interval_join")
+    val loops = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        c.nodeName
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(loops.isEmpty, s"interval join degenerated to $loops:\n$p")
+  }
 }

@@ -63,6 +63,27 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
       (3L, None)))         // ts=5 → nothing before
   }
 
+  test("Joins.bucketedRangeJoin equals the brute cross+filter, " +
+      "including intervals spanning many buckets and exact endpoints") {
+    val vals = (0L until 200L).map(v => (v, s"v$v")).toDF("x", "tag")
+    // overlapping intervals, one spanning 8 buckets, endpoints ON
+    // bucket boundaries (the off-by-one class), one empty-range [60,59]
+    val ivs = Seq((1L, 0L, 15L), (2L, 10L, 90L), (3L, 32L, 32L),
+      (4L, 31L, 33L), (5L, 60L, 59L), (6L, 150L, 199L))
+      .toDF("iv", "lo", "hi")
+    val got = Joins.bucketedRangeJoin(vals, $"x", ivs, $"lo", $"hi", 10L)
+      .select($"iv", $"x").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val want = (for {
+      v <- 0L until 200L
+      (iv, lo, hi) <- Seq((1L, 0L, 15L), (2L, 10L, 90L), (3L, 32L, 32L),
+        (4L, 31L, 33L), (5L, 60L, 59L), (6L, 150L, 199L))
+      if v >= lo && v <= hi
+    } yield (iv, v)).toSet
+    assert(got === want)
+    assert(!want.exists(_._1 == 5L), "empty interval matches nothing")
+  }
+
   test("PrePostMerge.mergeAgg last-write-wins and full-outer") {
     val tagged = Seq(
       ("k1", "pre", 1.0, 1), ("k1", "pre", 2.0, 2), // LWW → 2.0
