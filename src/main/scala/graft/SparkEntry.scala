@@ -5843,6 +5843,84 @@ object SparkEntry {
         .groupBy($"promo_id", $"lo", $"hi")
         .agg(count(lit(1)).as("n_orders"), sum($"cents").as("rev_cents"))
         .orderBy($"promo_id")
+    }),
+
+    // KAPLAN-MEIER SURVIVAL — customer-lifetime churn with CENSORING,
+    // the estimator naive retention curves get wrong (dropping
+    // still-active customers biases survival down). Churn = no order
+    // in the final 365 days (event at last order); otherwise censored
+    // at observation end. Lifetimes quantize to 30-day months, so the
+    // curve is a BOUNDED month-level table (two aggregates out of any
+    // order count); at-risk counts come from cumulative event+censor
+    // sums, and the survival product Π(1 − d/n) evaluates as
+    // exp(Σ ln(·)) over the month order — the one float chain, same
+    // spelling both engines (q168 ln-parity precedent).
+    "q228_kaplan_meier" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val obs = Tables.orders(s, d)
+        .agg(max(to_date($"o_orderdate")).as("__e"))
+      val cust = Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(min(to_date($"o_orderdate")).as("__f"),
+          max(to_date($"o_orderdate")).as("__l"))
+        .crossJoin(broadcast(obs))
+        .select(
+          (datediff($"__e", $"__l") > 365).as("__churned"),
+          when(datediff($"__e", $"__l") > 365,
+            expr("datediff(__l, __f) div 30"))
+            .otherwise(expr("datediff(__e, __f) div 30"))
+            .cast("long").as("__m"))
+      val months = cust.groupBy($"__m")
+        .agg(sum($"__churned".cast("long")).as("n_events"),
+          sum((!$"__churned").cast("long")).as("__cens"))
+      val tot = cust.agg(count(lit(1)).as("__n"))
+      val w = Window.orderBy($"__m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wS = Window.orderBy($"__m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      months.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          $"__n" - coalesce(sum($"n_events" + $"__cens").over(w),
+            lit(0L)))
+        .withColumn("__lnterm",
+          log(lit(1.0) - $"n_events".cast("double") / $"n_risk"))
+        .withColumn("survival", exp(sum($"__lnterm").over(wS)))
+        .select($"__m".as("month"), $"n_risk", $"n_events",
+          $"__cens".as("n_censored"),
+          Fns.roundU($"survival", 6).as("survival"))
+        .orderBy($"month")
+    }),
+
+    // TOP CONVERSION PATHS — the path-analysis readout behind every
+    // attribution model: the ordered touch SEQUENCE (view/click) in
+    // each purchase's 7-day window, capped at the first 8 touches,
+    // ranked by conversion count. The path string is built from a
+    // SORTED struct array ((touch-time, event-id) — the q188
+    // tiebreak, so equal-timestamp touches order identically on both
+    // engines; collect_list alone would be shuffle-order roulette),
+    // and the top-15 is a TakeOrdered, never a full sort.
+    "q229_conversion_paths" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pur = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("__pid"),
+          unix_micros($"ts").as("__pt"), $"value")
+      val tch = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id".as("__u"), $"event_type",
+          $"event_id".as("__tid"), unix_micros($"ts").as("__tt"))
+      val j = pur.join(tch,
+        $"user_id" === $"__u" && $"__tt" <= $"__pt"
+          && $"__tt" > $"__pt" - lit(7L * 86400L * 1000000L))
+      j.groupBy($"__pid")
+        .agg(min($"value").as("__v"),
+          concat_ws(">", slice(transform(
+            sort_array(collect_list(struct($"__tt", $"__tid",
+              $"event_type"))),
+            x => x.getField("event_type")), 1, 8)).as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_conversions"),
+          Fns.roundU(sum($"__v"), 2).as("conv_value"))
+        .orderBy($"n_conversions".desc, $"path")
+        .limit(15)
     })
   )
 
@@ -11278,7 +11356,68 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS rev_cents
         |FROM ord JOIN promos ON day >= lo AND day <= hi
-        |GROUP BY 1, 2, 3 ORDER BY promo_id""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY promo_id""".stripMargin,
+
+    "q228_kaplan_meier" ->
+      """WITH obs AS (
+        |  SELECT CAST(max(o_orderdate) AS DATE) AS e FROM orders),
+        |cust AS (
+        |  SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS f,
+        |    CAST(max(o_orderdate) AS DATE) AS l
+        |  FROM orders GROUP BY 1),
+        |lt AS (
+        |  SELECT date_diff('day', l, e) > 365 AS churned,
+        |    CASE WHEN date_diff('day', l, e) > 365
+        |      THEN date_diff('day', f, l) // 30
+        |      ELSE date_diff('day', f, e) // 30 END AS m
+        |  FROM cust, obs),
+        |months AS (
+        |  SELECT m,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS cens
+        |  FROM lt GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lt),
+        |risk AS (
+        |  SELECT m, n_events, cens,
+        |    n - coalesce(sum(n_events + cens) OVER (ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM months, tot),
+        |surv AS (
+        |  SELECT m, n_risk, n_events, cens,
+        |    exp(sum(ln(1.0 - CAST(n_events AS DOUBLE) / n_risk))
+        |      OVER (ORDER BY m
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS s
+        |  FROM risk)
+        |SELECT m AS month, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+        |  cens AS n_censored,
+        |  floor(s * 1000000 + 0.5) / 1000000.0 AS survival
+        |FROM surv ORDER BY month""".stripMargin,
+
+    "q229_conversion_paths" ->
+      """WITH pur AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pt, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id AS u, event_type, event_id AS tid,
+        |    epoch_us(ts) AS tt
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT pid, value, event_type, tt, tid
+        |  FROM pur JOIN tch ON user_id = u AND tt <= pt
+        |    AND tt > pt - CAST(7 AS BIGINT) * 86400 * 1000000),
+        |paths AS (
+        |  SELECT pid, min(value) AS v,
+        |    array_to_string(list_slice(
+        |      list(event_type ORDER BY tt, tid), 1, 8), '>') AS path
+        |  FROM j GROUP BY pid)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  floor(sum(v) * 100 + 0.5) / 100.0 AS conv_value
+        |FROM paths GROUP BY path
+        |ORDER BY n_conversions DESC, path LIMIT 15""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
