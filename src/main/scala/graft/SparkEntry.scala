@@ -5921,6 +5921,61 @@ object SparkEntry {
           Fns.roundU(sum($"__v"), 2).as("conv_value"))
         .orderBy($"n_conversions".desc, $"path")
         .limit(15)
+    }),
+
+    // TPC-H Q22 SHAPE — rich-but-dormant customers: above their
+    // nation's average POSITIVE balance yet orderless. The schema has
+    // no phone, so the country-code group is the nation; the plan
+    // shape is Q22's: a bounded per-nation aggregate broadcast back,
+    // the threshold as CROSS-MULTIPLIED integer cents (cents·n >
+    // sum_cents — no double avg at the gate), and a LEFT ANTI against
+    // RECENT orders (dormant = nothing since 2000 — the date-pruned
+    // anti probe side). Readout per nation in exact cents divided
+    // once.
+    "q230_dormant_rich" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select($"c_custkey",
+        $"c_nationkey".cast("long").as("nation"),
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("__cents"))
+      val pos = cust.filter($"__cents" > 0).groupBy($"nation")
+        .agg(sum($"__cents").as("__s"), count(lit(1)).as("__n"))
+      cust.join(broadcast(pos), Seq("nation"))
+        .filter($"__cents" * $"__n" > $"__s")
+        .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= "2000-01-01")
+          .select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"nation")
+        .agg(count(lit(1)).as("n_cust"),
+          Fns.roundU(sum($"__cents").cast("double") / 100, 2)
+            .as("total_bal"))
+        .orderBy($"nation")
+    }),
+
+    // TPC-H Q20 SHAPE — dominant suppliers of SMALL-type parts: a
+    // supplier qualifies when its 1995 shipped share of some small
+    // part exceeds 30% (cross-multiplied integers: 10·q > 3·total —
+    // quantities are exact small ints). Nested-semi-join plan:
+    // per-(part,supp) aggregate → per-part total joined back → the
+    // qualifying supplier set LEFT SEMI-joins the supplier dim; the
+    // part-type filter broadcasts onto the fact scan.
+    "q231_dominant_suppliers" -> ((s, d) => {
+      val small = Tables.part(s, d).filter($"p_type" === "SMALL")
+        .select($"p_partkey")
+      val qty = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= "1995-01-01" &&
+          $"l_shipdate" < "1996-01-01")
+        .join(broadcast(small), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"l_quantity".cast("long")).as("__q"))
+      val tot = qty.groupBy($"l_partkey").agg(sum($"__q").as("__tq"))
+      val dom = qty.join(tot, Seq("l_partkey"))
+        .filter($"__q" * 10 > $"__tq" * 3)
+        .select($"l_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(dom, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name", $"s_nationkey".cast("long")
+          .as("nation"))
+        .orderBy($"s_suppkey")
     })
   )
 
@@ -11417,7 +11472,49 @@ object SparkEntry {
         |SELECT path, CAST(count(*) AS BIGINT) AS n_conversions,
         |  floor(sum(v) * 100 + 0.5) / 100.0 AS conv_value
         |FROM paths GROUP BY path
-        |ORDER BY n_conversions DESC, path LIMIT 15""".stripMargin
+        |ORDER BY n_conversions DESC, path LIMIT 15""".stripMargin,
+
+    "q230_dormant_rich" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |pos AS (
+        |  SELECT nation, CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM cust WHERE cents > 0 GROUP BY 1),
+        |rich AS (
+        |  SELECT c.c_custkey, c.nation, c.cents
+        |  FROM cust c JOIN pos p ON c.nation = p.nation
+        |  WHERE c.cents * p.n > p.s),
+        |dormant AS (
+        |  SELECT * FROM rich r WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+        |SELECT nation, CAST(count(*) AS BIGINT) AS n_cust,
+        |  floor(CAST(sum(cents) AS DOUBLE) / 100 * 100 + 0.5) / 100.0
+        |    AS total_bal
+        |FROM dormant GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "q231_dominant_suppliers" ->
+      """WITH qty AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'SMALL'
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq
+        |  FROM qty GROUP BY 1),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey
+        |  FROM qty JOIN tot USING (l_partkey)
+        |  WHERE q * 10 > tq * 3)
+        |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nation
+        |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_suppkey""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
