@@ -674,6 +674,47 @@ object Scratch {
       r
     }
 
+    /** q227 bucketed interval join: orders replicated over disjoint
+      * day ranges (each replica shifts by the full domain), promos
+      * replicated to cover each replica's range — entities and
+      * intervals both grow mult×, per-bucket density constant. Time
+      * and matched pairs must grow ~linearly; superlinear growth
+      * would mean interval replication or bucket skew is leaking. */
+    def intervalChain(mult: Int): Double = {
+      val span = 4000L
+      val base = Tables.orders(spark, d)
+        .select(datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+          .cast("long").as("day"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("cents"))
+        .persist(MEMORY_AND_DISK)
+      base.count()
+      val ord = (0 until mult).map { k =>
+        base.select((col("day") + lit(k * span)).as("day"), col("cents"))
+      }.reduce(_.unionByName(_))
+      val promos = (0 until mult).map { k =>
+        Tables.nation(spark, d)
+          .select((col("n_nationkey").cast("long") + lit(k * 100L))
+            .as("promo_id"))
+          .select(col("promo_id"),
+            ((col("promo_id") % 100) * 137 % 2400 + lit(k * span))
+              .as("lo"))
+          .select(col("promo_id"), col("lo"),
+            (col("lo") + 10 + (col("promo_id") % 100) * 37 % 60)
+              .as("hi"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val n = operators.Joins.bucketedRangeJoin(ord, col("day"),
+            promos, col("lo"), col("hi"), 32L)
+          .groupBy(col("promo_id"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+          .count()
+        println(s"[scratch]   interval mult=$mult promos_hit=$n")
+      }
+      base.unpersist()
+      r
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
       "lcc" -> lccChain, "itemcf" -> itemcfChain,
       "growth" -> growthChain,
@@ -685,7 +726,7 @@ object Scratch {
       "triangles" -> triangleChain, "sweep" -> sweepChain,
       "bfs" -> bfsChain, "sssp" -> ssspChain,
       "ledger" -> ledgerChain, "bom" -> bomChain,
-      "linkage" -> linkageChain)
+      "linkage" -> linkageChain, "interval" -> intervalChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm
