@@ -918,6 +918,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(wins.isEmpty, s"expected no WindowExec, got ${wins.size}:\n$p")
   }
 
+  test("q231 dominant suppliers: the part-type filter broadcasts onto " +
+      "the fact scan and the qualifying set semi-joins") {
+    val p = plan("q231_dominant_suppliers")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"small-part filter must broadcast:\n$p")
+  }
+
   test("q227 interval join: pair generation is an equi-join on the " +
       "bucket id — never a cartesian/nested-loop BETWEEN") {
     val p = plan("q227_interval_join")

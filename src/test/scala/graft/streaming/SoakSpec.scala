@@ -75,6 +75,45 @@ class SoakSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("soak debounceStream: 55 batches, state is exactly one scalar " +
+      "per key and decisions chain across the whole run") {
+    val dir = Files.createTempDirectory("soak-debounce").toFile
+    // 6 keys, 4 events per key per batch at 100 s spacing, window
+    // 250 s: every decision depends on the previous KEPT timestamp,
+    // so a state reset anywhere in 55 batches would flip later keeps
+    (0 until 55).foreach { b =>
+      val lines = (0 until 6).flatMap { k =>
+        (0 until 4).map { j =>
+          val ts = (b * 4 + j) * 100L
+          val id = (b * 24 + k * 4 + j).toLong
+          s"""{"key":$k,"ts":$ts,"id":$id}"""
+        }
+      }
+      dropFile(dir, f"b$b%03d.json", b, lines.mkString("\n"))
+    }
+    val stream = spark.readStream
+      .schema("key LONG, ts LONG, id LONG")
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      .as[Streams.StampedEvent]
+    val q = Streams.debounceStream(stream, 250L)
+      .writeStream.format("memory").queryName("soak_debounce")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val (stateRows, batches) = stateRowsAndBatches(q)
+      assert(batches >= 50, s"only $batches micro-batches ran")
+      assert(stateRows === 6L,
+        s"state grew to $stateRows rows for 6 keys")
+      // 100 s spacing under a 250 s window keeps every 3rd event:
+      // 220 timestamps per key → ceil(220/3) = 74 keeps
+      val kept = spark.table("soak_debounce")
+        .groupBy($"key").agg(org.apache.spark.sql.functions
+          .sum($"kept".cast("long")).as("nk"))
+        .collect().map(_.getLong(1)).toSeq
+      assert(kept === Seq.fill(6)(74L), s"per-key keeps: $kept")
+    } finally q.stop()
+  }
+
   test("soak priceBars: 55 hourly batches, only open windows in state") {
     val dir = Files.createTempDirectory("soak-bars").toFile
     val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
