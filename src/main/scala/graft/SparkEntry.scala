@@ -5560,20 +5560,28 @@ object SparkEntry {
         .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
           .as("__c"))
       val w = Window.orderBy($"day").rowsBetween(-3, 3)
+      // detrending in ×7 INTEGER space: 7·c − Σwindow is an exact
+      // long, so the per-dow seasonal mean is an exact-sum / count —
+      // order-independent — divided by 7 exactly once at the end (the
+      // avg-of-doubles form here was the one order-dependent sum left
+      // in the q211+ tail; residual magnitudes made a rounded-cent
+      // boundary hit plausible at sf0.1)
       val detr = daily
         .withColumn("__wn", count($"__c").over(w))
         .withColumn("__ws", sum($"__c").over(w))
         .filter($"__wn" === 7)
         .select(weekday($"day").cast("long").as("dow"),
-          ($"__c" - $"__ws" / 7.0).as("__detr"))
+          ($"__c" * 7 - $"__ws").as("__d7"))
       val seas = detr.groupBy($"dow")
-        .agg(count(lit(1)).as("n_days"), avg($"__detr").as("__seas"))
+        .agg(count(lit(1)).as("n_days"), sum($"__d7").as("__s7"))
       detr.join(broadcast(seas), Seq("dow"))
-        .groupBy($"dow", $"n_days", $"__seas")
-        .agg(avg(abs($"__detr" - $"__seas")).as("__mar"))
+        .groupBy($"dow", $"n_days", $"__s7")
+        .agg(avg(abs($"__d7" - $"__s7".cast("double") / $"n_days"))
+          .as("__mar7"))
         .select($"dow", $"n_days",
-          Fns.roundU($"__seas", 2).as("seasonal_cents"),
-          Fns.roundU($"__mar", 2).as("mean_abs_remainder"))
+          Fns.roundU($"__s7".cast("double") / $"n_days" / 7, 2)
+            .as("seasonal_cents"),
+          Fns.roundU($"__mar7" / 7, 2).as("mean_abs_remainder"))
         .orderBy($"dow")
     }),
 
@@ -11165,18 +11173,19 @@ object SparkEntry {
         |  FROM daily),
         |detr AS (
         |  SELECT CAST(isodow(day) - 1 AS BIGINT) AS dow,
-        |    c - ws / 7.0 AS detr
+        |    CAST(c * 7 - ws AS BIGINT) AS d7
         |  FROM ma WHERE wn = 7),
         |seas AS (
         |  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
-        |    avg(detr) AS s
+        |    CAST(sum(d7) AS BIGINT) AS s7
         |  FROM detr GROUP BY 1)
         |SELECT d.dow, s.n_days,
-        |  floor(s.s * 100 + 0.5) / 100.0 AS seasonal_cents,
-        |  floor(avg(abs(d.detr - s.s)) * 100 + 0.5) / 100.0
-        |    AS mean_abs_remainder
+        |  floor(CAST(s.s7 AS DOUBLE) / s.n_days / 7 * 100 + 0.5)
+        |    / 100.0 AS seasonal_cents,
+        |  floor(avg(abs(d.d7 - CAST(s.s7 AS DOUBLE) / s.n_days)) / 7
+        |    * 100 + 0.5) / 100.0 AS mean_abs_remainder
         |FROM detr d JOIN seas s ON d.dow = s.dow
-        |GROUP BY d.dow, s.n_days, s.s
+        |GROUP BY d.dow, s.n_days, s.s7
         |ORDER BY d.dow""".stripMargin,
 
     "q220_qoi_decode" ->
