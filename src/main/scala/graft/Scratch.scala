@@ -633,25 +633,33 @@ object Scratch {
       }
     }
 
-    /** q211 fuzzy linkage: replicas rotate the letter alphabet per k
-      * (translate), so every replica keeps the ORIGINAL block-size
-      * distribution (prefix/length structure is preserved under a
-      * bijective character map) while blocks are DISJOINT across
-      * replicas — 10× entities at constant per-block density, the
-      * shape a 10× crawl produces. Pairs and time must grow ~mult×;
-      * superlinear growth would mean the blocked join is leaking
-      * cross-block comparisons. */
+    /** q211 fuzzy linkage: each replica applies a DISTINCT affine
+      * cipher to the letter alphabet (j → a·j + b mod 26, a coprime
+      * to 26 — 312 distinct bijections, enough for a 100× probe; a
+      * plain rotation repeats at k=26 and same-rotation replicas
+      * cross-match, which the first 100× run of this probe measured
+      * as 56× pair growth — a replication-model artifact, not an
+      * operator leak). A bijective character map preserves every
+      * replica's block-size distribution while making blocks disjoint
+      * across replicas — mult× entities at constant per-block
+      * density, the shape a bigger crawl produces. Pairs and time
+      * must grow ~mult×; superlinear growth would mean the blocked
+      * join is leaking cross-block comparisons. */
     def linkageChain(mult: Int): Double = {
+      require(mult <= 312, "affine maps exhausted")
       val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val coprime = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
       val base = Tables.documents(spark, d)
         .select(col("doc_id"), col("lang"), col("text"))
         .persist(MEMORY_AND_DISK)
       base.count()
       val rep = (0 until mult).map { k =>
-        val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+        val a = coprime(k / 26); val b = k % 26
+        val mapped = (0 until 26).map(j => alpha((a * j + b) % 26))
+          .mkString
         base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
           col("lang"),
-          translate(col("text"), alpha, rot).as("text"))
+          translate(col("text"), alpha, mapped).as("text"))
       }.reduce(_.unionByName(_))
       val r = timed {
         val kd = rep.select(col("doc_id"), col("lang"),
@@ -734,6 +742,17 @@ object Scratch {
       val t10 = f(10)
       println(f"[scratch] $name: 1x=$t1%.2f s  10x=$t10%.2f s  " +
         f"=> ${t10 / t1}%.1fx time")
+    }
+    // two-decade variant: 1x -> 10x -> 100x in one run pair, for the
+    // "does the growth factor itself stay flat a decade further" check
+    if (wanted.contains("linkage100")) {
+      linkageChain(1); linkageChain(1)
+      val t1 = linkageChain(1)
+      val t10 = linkageChain(10)
+      val t100 = linkageChain(100)
+      println(f"[scratch] linkage100: 1x=$t1%.2f s  10x=$t10%.2f s  " +
+        f"100x=$t100%.2f s  => ${t10 / t1}%.1fx then " +
+        f"${t100 / t10}%.1fx per decade")
     }
     spark.stop()
   }

@@ -5984,6 +5984,55 @@ object SparkEntry {
         .select($"s_suppkey", $"s_name", $"s_nationkey".cast("long")
           .as("nation"))
         .orderBy($"s_suppkey")
+    }),
+
+    // LOG-LINE FIELD EXTRACTION — the grok/log-analytics shape: an
+    // Apache-combined-style access line per event (synthesized with
+    // concat, the codec-fixture pattern) parsed BACK into typed
+    // fields with one codegen'd regexp_extract pass, then the
+    // standard status/bytes rollup. The regex sticks to ASCII classes
+    // ([0-9], [^ ], [^\]]) that Java regex and RE2 agree on — \d/\s
+    // class divergence is the documented cross-engine trap (q205).
+    "q232_log_parse" -> ((s, d) => {
+      val line = concat(
+        lit("10."), ($"user_id" % 256).cast("string"),
+        lit(".0.1 - - ["), date_format($"ts", "dd/MMM/yyyy:HH:mm:ss"),
+        lit(" +0000] \"GET /p/"), $"event_id".cast("string"),
+        lit(" HTTP/1.1\" "),
+        when($"event_type" === "error", 500)
+          .when($"event_type" === "purchase", 201).otherwise(200)
+          .cast("string"),
+        lit(" "), floor($"value" * 10).cast("long").cast("string"))
+      val pat = "^([0-9.]+) - - \\[([^\\]]+)\\] \"([A-Z]+) ([^ ]+)" +
+        " [^\"]+\" ([0-9]+) ([0-9]+)$"
+      Tables.events(s, d).select(line.as("__line"))
+        .select(
+          regexp_extract($"__line", pat, 1).as("ip"),
+          regexp_extract($"__line", pat, 3).as("method"),
+          regexp_extract($"__line", pat, 5).cast("long").as("status"),
+          regexp_extract($"__line", pat, 6).cast("long").as("bytes"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_requests"),
+          countDistinct($"ip").as("n_ips"),
+          sum($"bytes").as("total_bytes"))
+        .orderBy($"status")
+    }),
+
+    // SEMI-STRUCTURED PROPS — the JSON-column path every event table
+    // grows: `props` holds a JSON object; extract $.k typed and roll
+    // up per event type. One get_json_object (codegen'd) — no
+    // from_json schema needed for a single path — and the readout is
+    // exact ints plus one rounded mean.
+    "q233_props_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("__k"))
+        .groupBy($"event_type")
+        .agg(count($"__k").as("n_with_k"),
+          min($"__k").as("k_min"), max($"__k").as("k_max"),
+          sum($"__k").as("k_sum"),
+          Fns.roundU(avg($"__k"), 4).as("k_avg"))
+        .orderBy($"event_type")
     })
   )
 
@@ -11523,7 +11572,47 @@ object SparkEntry {
         |  WHERE q * 10 > tq * 3)
         |SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nation
         |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q232_log_parse" ->
+      """WITH l AS (
+        |  SELECT concat('10.', CAST(user_id % 256 AS VARCHAR),
+        |    '.0.1 - - [', strftime(ts, '%d/%b/%Y:%H:%M:%S'),
+        |    ' +0000] "GET /p/', CAST(event_id AS VARCHAR),
+        |    ' HTTP/1.1" ',
+        |    CASE WHEN event_type = 'error' THEN '500'
+        |      WHEN event_type = 'purchase' THEN '201'
+        |      ELSE '200' END,
+        |    ' ', CAST(CAST(floor(value * 10) AS BIGINT) AS VARCHAR))
+        |    AS line
+        |  FROM events),
+        |p AS (
+        |  SELECT
+        |    regexp_extract(line, '^([0-9.]+) - - \[([^\]]+)\] ' ||
+        |      '"([A-Z]+) ([^ ]+) [^"]+" ([0-9]+) ([0-9]+)$', 1) AS ip,
+        |    CAST(regexp_extract(line, '^([0-9.]+) - - \[([^\]]+)\] '
+        |      || '"([A-Z]+) ([^ ]+) [^"]+" ([0-9]+) ([0-9]+)$', 5)
+        |      AS BIGINT) AS status,
+        |    CAST(regexp_extract(line, '^([0-9.]+) - - \[([^\]]+)\] '
+        |      || '"([A-Z]+) ([^ ]+) [^"]+" ([0-9]+) ([0-9]+)$', 6)
+        |      AS BIGINT) AS bytes
+        |  FROM l)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_requests,
+        |  CAST(count(DISTINCT ip) AS BIGINT) AS n_ips,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes
+        |FROM p GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q233_props_json" ->
+      """WITH k AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k,
+        |  CAST(min(k) AS BIGINT) AS k_min,
+        |  CAST(max(k) AS BIGINT) AS k_max,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  floor(avg(k) * 10000 + 0.5) / 10000.0 AS k_avg
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

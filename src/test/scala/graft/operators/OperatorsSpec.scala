@@ -84,6 +84,29 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(!want.exists(_._1 == 5L), "empty interval matches nothing")
   }
 
+  test("Joins.bucketedRangeJoin: seeded random trials across bucket " +
+      "sizes equal the brute force") {
+    val rnd = new scala.util.Random(13)
+    (0 until 12).foreach { trial =>
+      val bucket = 1L << rnd.nextInt(7) // 1..64
+      val vals = (0 until 120).map(_ => rnd.nextInt(400).toLong)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val ivs = (0 until 25).map { i =>
+        val lo = rnd.nextInt(400).toLong
+        (i.toLong, lo, lo + rnd.nextInt(80) - 5) // some inverted/empty
+      }
+      val got = Joins.bucketedRangeJoin(vals.toDF("vid", "x"), $"x",
+          ivs.toDF("iv", "lo", "hi"), $"lo", $"hi", bucket)
+        .select($"iv", $"vid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (vid, v) <- vals; (iv, lo, hi) <- ivs
+        if v >= lo && v <= hi
+      } yield (iv, vid)).toSet
+      assert(got === want, s"trial $trial bucket=$bucket")
+    }
+  }
+
   test("PrePostMerge.mergeAgg last-write-wins and full-outer") {
     val tagged = Seq(
       ("k1", "pre", 1.0, 1), ("k1", "pre", 2.0, 2), // LWW → 2.0
