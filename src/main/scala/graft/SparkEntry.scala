@@ -6033,6 +6033,28 @@ object SparkEntry {
           sum($"__k").as("k_sum"),
           Fns.roundU(avg($"__k"), 4).as("k_avg"))
         .orderBy($"event_type")
+    }),
+
+    // CUSTOM DATASOURCE V2 CONNECTOR — the reference's block feed as
+    // a first-class TableProvider (graft.sources.BlocksSource) with
+    // REAL filter pushdown (height ranges prune planned partitions —
+    // BlocksSourceSpec asserts 1-of-8 shards planned) and column
+    // pruning (the reader materializes only the projected schema).
+    // Rows are a pure formula of height, so the connector query sits
+    // under a DuckDB oracle that rebuilds the same rows from range()
+    // — plumbing and semantics checked end-to-end. The height band
+    // below lands entirely in the source as pushed bounds; the miner
+    // rollup is one hash aggregate over 10k generated rows.
+    "q234_blocks_connector" -> ((s, d) => {
+      s.read.format(classOf[graft.sources.BlocksSource].getName)
+        .option("blocks", "20000").option("shards", "8").load()
+        .filter($"height" >= 5000L && $"height" < 15000L)
+        .groupBy($"miner")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum($"n_tx").as("total_tx"),
+          sum($"fee_cents").as("total_fee_cents"),
+          max($"ts").as("last_ts"))
+        .orderBy($"miner")
     })
   )
 
@@ -11612,7 +11634,20 @@ object SparkEntry {
         |  CAST(max(k) AS BIGINT) AS k_max,
         |  CAST(sum(k) AS BIGINT) AS k_sum,
         |  floor(avg(k) * 10000 + 0.5) / 10000.0 AS k_avg
-        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q234_blocks_connector" ->
+      """WITH b AS (
+        |  SELECT i AS height, 1600000000 + 12 * i AS ts,
+        |    1 + (i * 7919) % 50 AS n_tx,
+        |    (i * 104729) % 100000 AS fee_cents,
+        |    'm' || CAST(i % 97 AS VARCHAR) AS miner
+        |  FROM range(5000, 15000) t(i))
+        |SELECT miner, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(n_tx) AS BIGINT) AS total_tx,
+        |  CAST(sum(fee_cents) AS BIGINT) AS total_fee_cents,
+        |  CAST(max(ts) AS BIGINT) AS last_ts
+        |FROM b GROUP BY 1 ORDER BY miner""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
