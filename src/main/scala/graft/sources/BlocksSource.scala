@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -70,13 +71,16 @@ private class BlocksTable(blocks: Long, shards: Int)
   override def name(): String = s"graft_blocks($blocks)"
   override def schema(): StructType = BlocksSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new BlocksScanBuilder(blocks, shards)
+      : ScanBuilder = new BlocksScanBuilder(blocks, shards,
+    Option(options.get("perTrigger")).map(_.toLong).getOrElse(1000L))
 }
 
-private class BlocksScanBuilder(blocks: Long, shards: Int)
+private class BlocksScanBuilder(blocks: Long, shards: Int,
+                                perTrigger: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -112,17 +116,28 @@ private class BlocksScanBuilder(blocks: Long, shards: Int)
     required = requiredSchema
 
   override def build(): Scan = new BlocksScan(blocks, shards, lo, hi,
-    required)
+    required, perTrigger)
 }
 
 private case class BlocksPartition(lo: Long, hi: Long)
     extends InputPartition
 
 private class BlocksScan(blocks: Long, shards: Int, lo: Long, hi: Long,
-                         required: StructType)
+                         required: StructType, perTrigger: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** STREAMING read path: the block feed as a rate-limited
+    * micro-batch source (the reference's O1 source + O2 micro-batch
+    * boundary in connector form). Offsets are plain heights; each
+    * trigger admits `perTrigger` more blocks ([[SupportsAdmissionControl]]
+    * — without it a bounded source drains in ONE batch and the
+    * boundary semantics go untested). Exactly-once coverage across
+    * batches and checkpoint-restart behavior are spec-pinned. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new BlocksMicroBatchStream(blocks, shards, required, perTrigger)
 
   /** Shards cover [0, blocks); a shard is PLANNED only if its height
     * range intersects the pushed [lo, hi) — partition-level pruning,
@@ -138,6 +153,57 @@ private class BlocksScan(blocks: Long, shards: Int, lo: Long, hi: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BlocksReaderFactory(required)
+}
+
+/** Height-watermark offset: "how many blocks have been admitted". */
+private case class BlocksOffset(height: Long) extends Offset {
+  override def json(): String = height.toString
+}
+
+private class BlocksMicroBatchStream(blocks: Long, shards: Int,
+                                     required: StructType,
+                                     perTrigger: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = BlocksOffset(0L)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(perTrigger)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[BlocksOffset].height
+    val step = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        r.maxRows()
+      case _ => perTrigger
+    }
+    BlocksOffset(math.min(blocks, s + step))
+  }
+
+  // plain MicroBatchStream latestOffset: unreached when admission
+  // control is in play, but the contract requires it total
+  override def latestOffset(): Offset = BlocksOffset(blocks)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[BlocksOffset].height
+    val hi = end.asInstanceOf[BlocksOffset].height
+    val per = math.max(1L, (hi - lo + shards - 1) / shards)
+    (0 until shards).iterator
+      .map(i => BlocksPartition(lo + i * per,
+        math.min(lo + (i + 1) * per, hi)))
+      .filter(p => p.lo < p.hi)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BlocksReaderFactory(required)
+
+  override def deserializeOffset(json: String): Offset =
+    BlocksOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private class BlocksReaderFactory(required: StructType)
