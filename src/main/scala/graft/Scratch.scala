@@ -743,17 +743,20 @@ object Scratch {
       println(f"[scratch] $name: 1x=$t1%.2f s  10x=$t10%.2f s  " +
         f"=> ${t10 / t1}%.1fx time")
     }
-    // two-decade variant: 1x -> 10x -> 100x in one run pair, for the
-    // "does the growth factor itself stay flat a decade further" check
-    if (wanted.contains("linkage100")) {
-      linkageChain(1); linkageChain(1)
-      val t1 = linkageChain(1)
-      val t10 = linkageChain(10)
-      val t100 = linkageChain(100)
-      println(f"[scratch] linkage100: 1x=$t1%.2f s  10x=$t10%.2f s  " +
-        f"100x=$t100%.2f s  => ${t10 / t1}%.1fx then " +
-        f"${t100 / t10}%.1fx per decade")
-    }
+    // two-decade variant: "<name>100" runs 1x -> 10x -> 100x in one
+    // run pair — the "does the growth factor itself stay flat a
+    // decade further" check
+    wanted.filter(_.endsWith("100"))
+      .flatMap(w => probes.find(_._1 == w.dropRight(3)))
+      .foreach { case (name, f) =>
+        f(1); f(1)
+        val t1 = f(1)
+        val t10 = f(10)
+        val t100 = f(100)
+        println(f"[scratch] ${name}100: 1x=$t1%.2f s  10x=$t10%.2f s " +
+          f" 100x=$t100%.2f s  => ${t10 / t1}%.1fx then " +
+          f"${t100 / t10}%.1fx per decade")
+      }
     spark.stop()
   }
 }

@@ -6055,6 +6055,36 @@ object SparkEntry {
           sum($"fee_cents").as("total_fee_cents"),
           max($"ts").as("last_ts"))
         .orderBy($"miner")
+    }),
+
+    // SLIDING DISTINCT (DAU/WAU stickiness) — exact trailing-7-day
+    // active users per day, the sliding-window DISTINCT that a plain
+    // window frame cannot express (count(DISTINCT) over a frame is
+    // unsupported, and approximation changes the answer). The
+    // scalable shape: dedup to (user, day), EXPLODE each user-day
+    // into the 7 trailing windows it covers (bounded 7× growth of the
+    // already-deduped table), dedup (user, window), count — never a
+    // per-day rescan of the raw events. Stickiness = DAU/WAU, the
+    // product-health ratio this exists for; WAU days with no same-day
+    // events keep DAU=0 via the left join.
+    "q235_sliding_distinct" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("__d")).distinct()
+      val mx = ud.agg(max($"__d").as("__m"))
+      val wau = ud
+        .select($"user_id",
+          explode(sequence($"__d", date_add($"__d", 6))).as("day"))
+        .distinct()
+        .crossJoin(broadcast(mx))
+        .filter($"day" <= $"__m")
+        .groupBy($"day").agg(count(lit(1)).as("wau"))
+      val dau = ud.groupBy($"__d".as("day"))
+        .agg(count(lit(1)).as("__dau"))
+      wau.join(dau, Seq("day"), "left")
+        .select($"day", coalesce($"__dau", lit(0L)).as("dau"), $"wau",
+          Fns.roundU(coalesce($"__dau", lit(0L)).cast("double") /
+            $"wau", 4).as("stickiness"))
+        .orderBy($"day")
     })
   )
 
@@ -11647,7 +11677,27 @@ object SparkEntry {
         |  CAST(sum(n_tx) AS BIGINT) AS total_tx,
         |  CAST(sum(fee_cents) AS BIGINT) AS total_fee_cents,
         |  CAST(max(ts) AS BIGINT) AS last_ts
-        |FROM b GROUP BY 1 ORDER BY miner""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY miner""".stripMargin,
+
+    "q235_sliding_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |mx AS (SELECT max(d) AS m FROM ud),
+        |win AS (
+        |  SELECT DISTINCT user_id,
+        |    d + CAST(x.i AS INT) AS w
+        |  FROM ud, unnest(range(0, 7)) x(i)),
+        |wau AS (
+        |  SELECT w AS day, CAST(count(*) AS BIGINT) AS wau
+        |  FROM win, mx WHERE w <= m GROUP BY 1),
+        |dau AS (
+        |  SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1)
+        |SELECT w.day, coalesce(d.dau, 0) AS dau, w.wau,
+        |  floor(CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau
+        |    * 10000 + 0.5) / 10000.0 AS stickiness
+        |FROM wau w LEFT JOIN dau d ON w.day = d.day
+        |ORDER BY w.day""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
