@@ -6085,6 +6085,52 @@ object SparkEntry {
           Fns.roundU(coalesce($"__dau", lit(0L)).cast("double") /
             $"wau", 4).as("stickiness"))
         .orderBy($"day")
+    }),
+
+    // FIFO INVENTORY MATCHING — which receipt satisfied which issue,
+    // first-in-first-out: the classic "hard in SQL" allocation that
+    // naive solutions loop over. The scalable identity: order each
+    // part's receipts and issues by time and give every line its
+    // CUMULATIVE-quantity interval [cum−q, cum); FIFO matched
+    // quantity between a receipt and an issue is EXACTLY the overlap
+    // of their intervals, so the whole allocation becomes one
+    // part-keyed join with an overlap predicate — per part the
+    // matched pairs are chain-structured (≤ receipts+issues, never
+    // receipts×issues), and every quantity is an exact integer. The
+    // per-part windows partition by partkey (scalable), the join is
+    // equi-keyed on part with the overlap as residual.
+    "q236_fifo_match" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"l_partkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      val li = Tables.lineitem(s, d).select($"l_partkey",
+        $"l_shipdate", $"l_orderkey", $"l_linenumber",
+        $"l_quantity".cast("long").as("__q"),
+        ($"l_returnflag" === "R").as("__isR"))
+      def side(isR: Boolean, tag: String) = li.filter($"__isR" === isR)
+        .withColumn("__hi", sum($"__q").over(w))
+        .select($"l_partkey".as(s"${tag}_part"),
+          ($"__hi" - $"__q").as(s"${tag}_lo"), $"__hi".as(s"${tag}_hi"))
+      val r = side(isR = true, "r")
+      val i = side(isR = false, "i")
+      val matched = r.join(i, $"r_part" === $"i_part" &&
+          $"r_lo" < $"i_hi" && $"i_lo" < $"r_hi")
+        .select($"r_part".as("l_partkey"),
+          (least($"r_hi", $"i_hi") - greatest($"r_lo", $"i_lo"))
+            .as("__m"))
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n_matches"), sum($"__m").as("matched_qty"))
+      val totals = li.groupBy($"l_partkey").agg(
+        sum(when($"__isR", $"__q").otherwise(0L)).as("received_qty"),
+        sum(when(!$"__isR", $"__q").otherwise(0L)).as("issued_qty"))
+      totals.join(matched, Seq("l_partkey"), "left")
+        .select($"l_partkey", $"received_qty", $"issued_qty",
+          coalesce($"n_matches", lit(0L)).as("n_matches"),
+          coalesce($"matched_qty", lit(0L)).as("matched_qty"),
+          ($"issued_qty" - coalesce($"matched_qty", lit(0L)))
+            .as("unfilled_qty"))
+        .orderBy($"matched_qty".desc, $"l_partkey")
+        .limit(100)
     })
   )
 
@@ -11697,7 +11743,54 @@ object SparkEntry {
         |  floor(CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau
         |    * 10000 + 0.5) / 10000.0 AS stickiness
         |FROM wau w LEFT JOIN dau d ON w.day = d.day
-        |ORDER BY w.day""".stripMargin
+        |ORDER BY w.day""".stripMargin,
+
+    "q236_fifo_match" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    l_returnflag = 'R' AS isr
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(sum(q) OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) - q
+        |      AS BIGINT) AS lo,
+        |    CAST(sum(q) OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |      AS BIGINT) AS hi
+        |  FROM li WHERE isr),
+        |i AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(sum(q) OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) - q
+        |      AS BIGINT) AS lo,
+        |    CAST(sum(q) OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |      AS BIGINT) AS hi
+        |  FROM li WHERE NOT isr),
+        |m AS (
+        |  SELECT r.part,
+        |    least(r.hi, i.hi) - greatest(r.lo, i.lo) AS mq
+        |  FROM r JOIN i ON r.part = i.part
+        |    AND r.lo < i.hi AND i.lo < r.hi),
+        |mm AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS n_matches,
+        |    CAST(sum(mq) AS BIGINT) AS matched_qty
+        |  FROM m GROUP BY 1),
+        |t AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CASE WHEN isr THEN q ELSE 0 END) AS BIGINT)
+        |      AS received_qty,
+        |    CAST(sum(CASE WHEN NOT isr THEN q ELSE 0 END) AS BIGINT)
+        |      AS issued_qty
+        |  FROM li GROUP BY 1)
+        |SELECT t.l_partkey, t.received_qty, t.issued_qty,
+        |  coalesce(mm.n_matches, 0) AS n_matches,
+        |  coalesce(mm.matched_qty, 0) AS matched_qty,
+        |  t.issued_qty - coalesce(mm.matched_qty, 0) AS unfilled_qty
+        |FROM t LEFT JOIN mm ON t.l_partkey = mm.part
+        |ORDER BY matched_qty DESC, l_partkey LIMIT 100""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
