@@ -6131,6 +6131,32 @@ object SparkEntry {
             .as("unfilled_qty"))
         .orderBy($"matched_qty".desc, $"l_partkey")
         .limit(100)
+    }),
+
+    // SKYLINE / PARETO FRONTIER — parts where nothing is both cheaper
+    // AND bigger (minimize price, maximize size): the dominance query
+    // whose naive form is an all-pairs NOT EXISTS. The scalable sweep
+    // rides the NEW distributed exclusive prefix-max
+    // (Packing.prefixMaxExclusive — prefixSum's two-phase scan for
+    // the max monoid): a part is on the frontier iff its size equals
+    // its PRICE LEVEL's max and strictly exceeds the max size over
+    // all strictly-cheaper levels. Equal (price, size) twins both
+    // stay (neither strictly dominates) — matching the oracle's
+    // NOT EXISTS semantics exactly; all comparisons exact integers.
+    "q237_skyline" -> ((s, d) => {
+      val p = Tables.part(s, d).select($"p_partkey",
+        floor($"p_retailprice" * 100 + 0.5).cast("long").as("__pc"),
+        $"p_size".cast("long").as("__sz"))
+      val levels = p.groupBy($"__pc").agg(max($"__sz").as("__lmax"))
+        .withColumn("__g", lit(1))
+      val pm = Packing.prefixMaxExclusive(levels, Seq("__g"),
+        Seq("__pc"), "__lmax", "__before")
+      p.join(pm.select($"__pc", $"__lmax", $"__before"), Seq("__pc"))
+        .filter($"__sz" === $"__lmax" && $"__sz" > $"__before")
+        .select($"p_partkey",
+          Fns.roundU($"__pc".cast("double") / 100, 2).as("price"),
+          $"__sz".as("psize"))
+        .orderBy($"p_partkey")
     })
   )
 
@@ -11790,7 +11816,22 @@ object SparkEntry {
         |  coalesce(mm.matched_qty, 0) AS matched_qty,
         |  t.issued_qty - coalesce(mm.matched_qty, 0) AS unfilled_qty
         |FROM t LEFT JOIN mm ON t.l_partkey = mm.part
-        |ORDER BY matched_qty DESC, l_partkey LIMIT 100""".stripMargin
+        |ORDER BY matched_qty DESC, l_partkey LIMIT 100""".stripMargin,
+
+    "q237_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc,
+        |    CAST(p_size AS BIGINT) AS sz
+        |  FROM part)
+        |SELECT p_partkey,
+        |  floor(CAST(pc AS DOUBLE) / 100 * 100 + 0.5) / 100.0
+        |    AS price,
+        |  sz AS psize
+        |FROM p a WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b WHERE b.pc <= a.pc AND b.sz >= a.sz
+        |    AND (b.pc < a.pc OR b.sz > a.sz))
+        |ORDER BY p_partkey""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

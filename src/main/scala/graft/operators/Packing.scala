@@ -116,6 +116,77 @@ object Packing {
     res.drop("__pid")
   }
 
+  /** Distributed EXCLUSIVE prefix-max — the same two-phase scan as
+    * [[prefixSum]] (range repartition + per-partition pass + boundary
+    * offsets; never a one-task window) for the MAX monoid, emitting
+    * the running max over STRICTLY EARLIER rows (identity
+    * Long.MinValue for each group's first row — callers test
+    * `out < value` style dominance, where MinValue correctly means
+    * "nothing before me"). Built for skyline/Pareto sweeps (q237):
+    * a point dominates forward iff it exceeds everything strictly
+    * cheaper, which is exactly this exclusive scan. Nulls in
+    * `valCol` are treated as MinValue (they never raise the max). */
+  def prefixMaxExclusive(df: DataFrame, grpCols: Seq[String],
+                         ordCols: Seq[String], valCol: String,
+                         outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val keyCols = (grpCols ++ ordCols).map(col)
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df
+      .repartitionByRange(n, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grpIdx = grpCols.indices
+    val wg = Window.partitionBy(grpCols.map(col): _*)
+    val totals = sorted
+      .groupBy((col("__pid") +: grpCols.map(col)): _*)
+      .agg(max(col(valCol).cast("long")).as("__t"))
+      .withColumn("__npid", count(lit(1)).over(wg))
+      .filter(col("__npid") > 1)
+      .select((col("__pid") +: grpCols.map(col)) :+ col("__t"): _*)
+      .collect()
+      .map(r => (r.getInt(0), grpIdx.map(i => r.get(i + 1)).toVector,
+        if (r.isNullAt(grpIdx.size + 1)) Long.MinValue
+        else r.getLong(grpIdx.size + 1)))
+    val offsets: Map[(Vector[Any], Int), Long] = totals
+      .groupBy(_._2)
+      .flatMap { case (g, parts) =>
+        val byPid = parts.sortBy(_._1)
+        var acc = Long.MinValue
+        byPid.flatMap { case (pid, _, t) =>
+          val r = if (acc != Long.MinValue) Some(((g, pid), acc)) else None
+          acc = math.max(acc, t); r
+        }
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val inSchema = sorted.schema
+    val outSchema = inSchema.add(outCol, LongType, nullable = false)
+    val pidPos = inSchema.fieldIndex("__pid")
+    val valPos = inSchema.fieldIndex(valCol)
+    val grpPos = grpCols.map(inSchema.fieldIndex)
+    val res = sorted.mapPartitions { it =>
+      var curGrp: Vector[Any] = null
+      var running = Long.MinValue
+      it.map { row =>
+        val g = grpPos.map(row.get).toVector
+        if (g != curGrp) {
+          curGrp = g
+          running = bc.value.getOrElse((g, row.getInt(pidPos)),
+            Long.MinValue)
+        }
+        val before = running // EXCLUSIVE: emit before folding this row
+        val v = row.get(valPos) match {
+          case null => Long.MinValue
+          case x: Number => x.longValue()
+        }
+        running = math.max(running, v)
+        Row.fromSeq(row.toSeq :+ before)
+      }
+    }(Encoders.row(outSchema))
+    res.drop("__pid")
+  }
+
   /** Token-stream packing stats per context window: documents concatenate
     * in `ordCol` order within each `grpCol` stream and split at every
     * `budget`-token boundary (the GPT-style pretraining layout — documents

@@ -107,6 +107,28 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("Packing.prefixMaxExclusive equals a local exclusive scan, " +
+      "groups independent, first row gets MinValue") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 400).map(j =>
+      (rnd.nextInt(3).toLong, j.toLong, rnd.nextInt(1000).toLong))
+    val got = Packing.prefixMaxExclusive(
+        rows.toDF("g", "ord", "v").repartition(7),
+        Seq("g"), Seq("ord"), "v", "pm")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      var run = Long.MinValue
+      rs.sortBy(_._2).map { case (_, o, v) =>
+        val before = run; run = math.max(run, v)
+        (g, o) -> before
+      }
+    }
+    assert(got === want)
+    assert(want.count(_._2 == Long.MinValue) === 3,
+      "exactly one identity row per group")
+  }
+
   test("PrePostMerge.mergeAgg last-write-wins and full-outer") {
     val tagged = Seq(
       ("k1", "pre", 1.0, 1), ("k1", "pre", 2.0, 2), // LWW → 2.0
