@@ -6093,12 +6093,16 @@ object SparkEntry {
     // part's receipts and issues by time and give every line its
     // CUMULATIVE-quantity interval [cum−q, cum); FIFO matched
     // quantity between a receipt and an issue is EXACTLY the overlap
-    // of their intervals, so the whole allocation becomes one
-    // part-keyed join with an overlap predicate — per part the
-    // matched pairs are chain-structured (≤ receipts+issues, never
-    // receipts×issues), and every quantity is an exact integer. The
-    // per-part windows partition by partkey (scalable), the join is
-    // equi-keyed on part with the overlap as residual.
+    // of their intervals (FifoProps proves the identity against a
+    // queue simulation). Pair generation is the q227 grid trick on
+    // the CUMULATIVE axis: each interval explodes to the ≤2 64-unit
+    // buckets it spans (line qty ≤ 50 < 64), the join is equi-keyed
+    // on (part, bucket), and the canonical-bucket gate (overlap
+    // start's bucket) emits each pair once — a hot part with 100k
+    // lines pairs per-bucket neighbors, never R×I. A join on part
+    // alone would enumerate R·I pairs per part before the residual;
+    // this shape is what survives the hot key. Every quantity is an
+    // exact integer.
     "q236_fifo_match" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"l_partkey")
@@ -6111,10 +6115,14 @@ object SparkEntry {
         .withColumn("__hi", sum($"__q").over(w))
         .select($"l_partkey".as(s"${tag}_part"),
           ($"__hi" - $"__q").as(s"${tag}_lo"), $"__hi".as(s"${tag}_hi"))
+        .withColumn(s"${tag}_b", explode(expr(
+          s"sequence(${tag}_lo div 64, (${tag}_hi - 1) div 64)")))
       val r = side(isR = true, "r")
       val i = side(isR = false, "i")
       val matched = r.join(i, $"r_part" === $"i_part" &&
-          $"r_lo" < $"i_hi" && $"i_lo" < $"r_hi")
+          $"r_b" === $"i_b" &&
+          $"r_lo" < $"i_hi" && $"i_lo" < $"r_hi" &&
+          $"r_b" === expr("greatest(r_lo, i_lo) div 64"))
         .select($"r_part".as("l_partkey"),
           (least($"r_hi", $"i_hi") - greatest($"r_lo", $"i_lo"))
             .as("__m"))

@@ -925,6 +925,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(bhj.nonEmpty, s"small-part filter must broadcast:\n$p")
   }
 
+  test("q236 FIFO: the matching join is keyed on (part, bucket) — " +
+      "a bare-part key would enumerate R×I pairs on a hot part") {
+    val p = plan("q236_fifo_match")
+    val keys =
+      collectAll(p) { case j: SortMergeJoinExec => j.leftKeys } ++
+      collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.leftKeys
+      } ++
+      collectAll(p) { case j: BroadcastHashJoinExec => j.leftKeys }
+    assert(keys.nonEmpty, s"expected an equi match join:\n$p")
+    assert(keys.exists(_.length >= 2),
+      s"match join must key on (part, bucket): ${keys.map(_.length)}")
+  }
+
   test("q227 interval join: pair generation is an equi-join on the " +
       "bucket id — never a cartesian/nested-loop BETWEEN") {
     val p = plan("q227_interval_join")
