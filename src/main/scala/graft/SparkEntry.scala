@@ -6165,6 +6165,301 @@ object SparkEntry {
           Fns.roundU($"__pc".cast("double") / 100, 2).as("price"),
           $"__sz".as("psize"))
         .orderBy($"p_partkey")
+    }),
+
+    // TPC-H Q4 shape — ORDER PRIORITY CHECKING: orders in a one-year
+    // window that had at least one returned line, counted by priority.
+    // The EXISTS is a LEFT-SEMI join on the order key: the lineitem
+    // side is pre-filtered to returnflag='R' (scan-level pushdown)
+    // and deduplicates inside the semi-join build — never a join-then-
+    // distinct. Both sides shuffle once on l_orderkey; the aggregate
+    // is 5 groups with map-side combine.
+    "q238_priority_semi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      val ret = Tables.lineitem(s, d)
+        .filter($"l_returnflag" === "R").select($"l_orderkey")
+      o.join(ret, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // TPC-H Q7 shape — VOLUME SHIPPING between a nation pair, by ship
+    // year, in both directions. Supplier/nation broadcast (bounded
+    // dims at this schema's scale); orders and customer are scaling
+    // dims, so the fact reaches them through shuffle hash joins on
+    // their own keys — never broadcast-by-hope. Revenue rides the
+    // EXACT integer path: cents(extprice) × (100 − pct(discount)) is
+    // a lossless long in 1e-4 currency units, so the per-group sum is
+    // summation-order-independent and the final double division is
+    // bit-identical on both engines (no rounding boundary to sit on).
+    "q239_volume_shipping" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey",
+        year($"l_shipdate").as("l_year"),
+        (floor($"l_extendedprice" * 100 + 0.5).cast("long") *
+          (lit(100L) - floor($"l_discount" * 100 + 0.5).cast("long")))
+          .as("__rev4"))
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val cn = Tables.customer(s, d)
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cust_nation"))
+      val oc = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+        .join(cn, $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"cust_nation")
+      li.join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
+        .join(oc, $"l_orderkey" === $"o_orderkey")
+        .filter(($"supp_nation" === "NATION_1" &&
+            $"cust_nation" === "NATION_2") ||
+          ($"supp_nation" === "NATION_2" &&
+            $"cust_nation" === "NATION_1"))
+        .groupBy($"supp_nation", $"cust_nation", $"l_year")
+        .agg(sum($"__rev4").as("__r"))
+        .select($"supp_nation", $"cust_nation", $"l_year",
+          ($"__r".cast("double") / 10000.0).as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
+    // TPC-H Q9 shape — PRODUCT TYPE PROFIT by supplier nation and
+    // order year. No partsupp/supplycost in this schema, so cost is
+    // the deterministic proxy 50% of retail per unit — kept EXACT:
+    // profit4 = cents(extprice)·(100−pct) − cents(retail)·qty·50,
+    // all integer. The part filter (name contains 'widget') prunes at
+    // the scan before the partkey shuffle join; supplier+nation
+    // broadcast; the order-date lookup is a second fact shuffle on
+    // the order key.
+    "q240_product_profit" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter($"p_name".contains("widget"))
+        .select($"p_partkey",
+          floor($"p_retailprice" * 100 + 0.5).cast("long").as("__rc"))
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name")
+      val o = Tables.orders(s, d)
+        .select($"o_orderkey", year($"o_orderdate").as("o_year"))
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+          $"l_quantity".cast("long").as("__q"),
+          (floor($"l_extendedprice" * 100 + 0.5).cast("long") *
+            (lit(100L) - floor($"l_discount" * 100 + 0.5).cast("long")))
+            .as("__rev4"))
+        .join(p, $"l_partkey" === $"p_partkey")
+        .join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name", $"o_year")
+        .agg(sum($"__rev4" - $"__rc" * $"__q" * 50L).as("__p"))
+        .select($"n_name", $"o_year",
+          ($"__p".cast("double") / 10000.0).as("profit"))
+        .orderBy($"n_name", $"o_year".desc)
+    }),
+
+    // TPC-H Q10 shape — RETURNED ITEM REPORTING: top 20 customers by
+    // revenue lost to returns in a quarter. Ranking and the reported
+    // value both ride the exact 1e-4-unit long sum, so the top-20 cut
+    // can never flip on a summation-order ulp; custkey breaks exact
+    // ties. TakeOrdered(20) — a bounded per-partition heap, no global
+    // sort at any scale.
+    "q241_returned_items" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-10-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey")
+      val li = Tables.lineitem(s, d)
+        .filter($"l_returnflag" === "R")
+        .select($"l_orderkey",
+          (floor($"l_extendedprice" * 100 + 0.5).cast("long") *
+            (lit(100L) - floor($"l_discount" * 100 + 0.5).cast("long")))
+            .as("__rev4"))
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey").agg(sum($"__rev4").as("__r"))
+        .join(Tables.customer(s, d),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"c_mktsegment",
+          ($"__r".cast("double") / 10000.0).as("revenue"), $"__r")
+        .orderBy($"__r".desc, $"c_custkey")
+        .limit(20)
+        .drop("__r")
+    }),
+
+    // TPC-H Q12 shape — LINE PRIORITY AUDIT (no shipmode column here;
+    // returnflag plays the mode bucket): lines shipped in 1996,
+    // counting high- vs low-priority orders per bucket. One fact
+    // shuffle on the order key, conditional map-side aggregate.
+    "q242_shipmode_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority")
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_returnflag")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(sum(when($"o_orderpriority" === "1-URGENT" ||
+            $"o_orderpriority" === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when($"o_orderpriority" =!= "1-URGENT" &&
+            $"o_orderpriority" =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // TPC-H Q13 shape — CUSTOMER ORDER-COUNT DISTRIBUTION: how many
+    // customers placed exactly k qualifying orders, INCLUDING k=0 —
+    // the left-outer join whose unmatched rows are the point of the
+    // query (count(o_orderkey) skips the nulls). Two aggregations:
+    // per-customer (fact-sized shuffle) then per-count (≤ a few
+    // hundred groups).
+    "q243_cust_distribution" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter($"o_orderpriority" =!= "4-NOT SPECIFIED")
+        .select($"o_orderkey", $"o_custkey")
+      Tables.customer(s, d).select($"c_custkey")
+        .join(o, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    // TPC-H Q14 shape — PROMOTION EFFECT: the share of one month's
+    // revenue from PROMO-type parts. Both the numerator and the
+    // denominator are exact 1e-4-unit longs, so the single division
+    // (and hence the single output row) is bit-identical across
+    // engines — a ratio of two doubles summed in engine-specific
+    // order would not be. Part lookup is a partkey shuffle join after
+    // the one-month scan prune.
+    "q244_promo_revenue" -> ((s, d) => {
+      val p = Tables.part(s, d).select($"p_partkey", $"p_type")
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-09-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-10-01").cast("timestamp"))
+        .select($"l_partkey",
+          (floor($"l_extendedprice" * 100 + 0.5).cast("long") *
+            (lit(100L) - floor($"l_discount" * 100 + 0.5).cast("long")))
+            .as("__rev4"))
+        .join(p, $"l_partkey" === $"p_partkey")
+        .agg(sum(when($"p_type" === "PROMO", $"__rev4").otherwise(0L))
+            .as("__pr"),
+          sum($"__rev4").as("__tr"), count(lit(1)).as("n_lines"))
+        .select((lit(100.0) * $"__pr".cast("double") /
+            $"__tr".cast("double")).as("promo_pct"),
+          $"n_lines")
+    }),
+
+    // TPC-H Q15 shape — TOP SUPPLIER(S) by quarterly revenue, ties
+    // kept: per-supplier exact revenue, the maximum as a broadcast
+    // 1-row aggregate (the view+subquery of the original), equality
+    // join back. No global sort; the max is order-independent because
+    // the sum is an integer.
+    "q248_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long") *
+          (lit(100L) - floor($"l_discount" * 100 + 0.5).cast("long")))
+          .as("__r4"))
+      val mx = rev.agg(max($"__r4").as("__mx"))
+      rev.crossJoin(broadcast(mx)).filter($"__r4" === $"__mx")
+        .join(broadcast(Tables.supplier(s, d)),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          ($"__r4".cast("double") / 10000.0).as("total_revenue"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // TPC-H Q16 shape — PARTS/SUPPLIER RELATIONSHIP: how many
+    // distinct suppliers can supply each surviving (brand, type,
+    // size) combo. The supplies relation is lineitem's DISTINCT
+    // (part, supp) pairs (no partsupp table in this schema); the
+    // supplier denylist (negative balance, the complaints stand-in)
+    // is a broadcast LEFT-ANTI; count(DISTINCT) rides Spark's expand
+    // path on already-distinct pairs.
+    "q245_parts_supplier" -> ((s, d) => {
+      val sizes = Seq(1, 4, 9, 16, 25, 36, 49)
+      val p = Tables.part(s, d)
+        .filter($"p_brand" =!= "Brand#3" && $"p_type" =!= "PROMO" &&
+          $"p_size".isin(sizes: _*))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      val bad = Tables.supplier(s, d)
+        .filter($"s_acctbal" < 0).select($"s_suppkey")
+      Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_suppkey").distinct()
+        .join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .join(p, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    }),
+
+    // TPC-H Q18 shape — LARGE-VOLUME CUSTOMERS: orders whose total
+    // quantity clears a threshold, with customer attribution. The
+    // qualifying set is a fact aggregate (quantities are integral
+    // doubles — the long sum is exact), joined back to orders and
+    // customer on their natural keys; top 100 by a pass-through
+    // totalprice (identical bits on both engines) with key tiebreaks
+    // via TakeOrdered.
+    "q246_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast("long")).as("total_qty"))
+        .filter($"total_qty" > 300L)
+      Tables.orders(s, d)
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"),
+          $"o_totalprice", $"total_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    }),
+
+    // TPC-H Q19 shape — DISJUNCTIVE DISCOUNTED REVENUE: three
+    // (brand, size-range, quantity-range) OR branches. The join is a
+    // plain partkey equi-join; the disjunction is a post-join filter
+    // whose part-side conjuncts (brand ∈ {..}, size ≤ 15) still
+    // prune the part scan — the plan guard asserts the pushed
+    // filter. Single exact-integer output row.
+    "q247_disjunctive_revenue" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter($"p_brand".isin("Brand#12", "Brand#23", "Brand#34") &&
+          $"p_size" >= 1 && $"p_size" <= 15)
+        .select($"p_partkey", $"p_brand", $"p_size")
+      Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_quantity",
+          (floor($"l_extendedprice" * 100 + 0.5).cast("long") *
+            (lit(100L) - floor($"l_discount" * 100 + 0.5).cast("long")))
+            .as("__rev4"))
+        .join(p, $"l_partkey" === $"p_partkey")
+        .filter(($"p_brand" === "Brand#12" && $"p_size" <= 5 &&
+            $"l_quantity" >= 1 && $"l_quantity" <= 11) ||
+          ($"p_brand" === "Brand#23" && $"p_size" <= 10 &&
+            $"l_quantity" >= 10 && $"l_quantity" <= 20) ||
+          ($"p_brand" === "Brand#34" && $"p_size" <= 15 &&
+            $"l_quantity" >= 20 && $"l_quantity" <= 30))
+        .agg(sum($"__rev4").as("__r"), count(lit(1)).as("n_lines"))
+        .select(($"__r".cast("double") / 10000.0).as("revenue"),
+          $"n_lines")
+    }),
+
+    // EXACT similarity self-join via prefix filtering (AllPairs/PPJoin
+    // candidate scheme): ALL document pairs with word-3-gram Jaccard
+    // ≥ 1/2 — no sampling, no fixed pair set, no probabilistic recall.
+    // The oracle computes ground truth by brute force, so this query
+    // also machine-checks the prefix-filter COMPLETENESS lemma on real
+    // data at every SF. τ compares as integers (2·i ≥ u) — the cut can
+    // never sit on a float boundary; the reported jaccard is a single
+    // division of two exact longs (bit-identical across engines).
+    "q249_prefix_filter_join" -> ((s, d) => {
+      Dedup.prefixFilterJoin(Tables.documents(s, d), "text", "doc_id",
+          tauNum = 1, tauDen = 2, shingleWords = 3)
+        .orderBy($"id_a", $"id_b")
     })
   )
 
@@ -11839,7 +12134,199 @@ object SparkEntry {
         |FROM p a WHERE NOT EXISTS (
         |  SELECT 1 FROM p b WHERE b.pc <= a.pc AND b.sz >= a.sz
         |    AND (b.pc < a.pc OR b.sz > a.sz))
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q238_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q239_volume_shipping" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      AS rev4
+        |  FROM lineitem)
+        |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  l_year, CAST(CAST(sum(rev4) AS BIGINT) AS DOUBLE) / 10000.0
+        |    AS revenue
+        |FROM li
+        |JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q240_product_profit" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      AS rev4
+        |  FROM lineitem)
+        |SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  CAST(CAST(sum(li.rev4 -
+        |    CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+        |    * li.q * 50) AS BIGINT) AS DOUBLE) / 10000.0 AS profit
+        |FROM li
+        |JOIN part p ON li.l_partkey = p.p_partkey
+        |JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q241_returned_items" ->
+      """WITH r AS (
+        |  SELECT o_custkey, CAST(sum(
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |    (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS r4
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(r4 AS DOUBLE) / 10000.0 AS revenue
+        |FROM r JOIN customer ON o_custkey = c_custkey
+        |ORDER BY r4 DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q242_shipmode_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN
+        |    ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q243_cust_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q244_promo_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      AS rev4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT 100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN rev4 ELSE 0 END) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(sum(rev4) AS BIGINT) AS DOUBLE) AS promo_pct,
+        |  count(*) AS n_lines
+        |FROM li JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q245_parts_supplier" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q246_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q247_disjunctive_revenue" ->
+      """WITH j AS (
+        |  SELECT p_brand, p_size, l_quantity,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      AS rev4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+        |    AND p_size BETWEEN 1 AND 15)
+        |SELECT CAST(CAST(sum(rev4) AS BIGINT) AS DOUBLE) / 10000.0
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM j
+        |WHERE (p_brand = 'Brand#12' AND p_size <= 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size <= 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size <= 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q248_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, CAST(sum(
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |    (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS r4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(r4 AS DOUBLE) / 10000.0
+        |  AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r4 = (SELECT max(r4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Ground-truth brute force: every pair sharing ANY token — the
+    // quadratic join the Spark side's prefix filter exists to avoid.
+    // Shingling mirrors WordShingles: i in 1..max(len-2, 1), window
+    // clipped at the text end (a 1-2 word doc yields one short
+    // shingle), distinct per doc.
+    "q249_prefix_filter_join" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(w[i:least(i + 2, len(w))], ' ') AS tok
+        |  FROM t, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS g(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |xi AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM xi JOIN sz sa ON xi.id_a = sa.doc_id
+        |JOIN sz sb ON xi.id_b = sb.doc_id
+        |WHERE 2 * i >= sa.n + sb.n - i
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -734,4 +734,66 @@ object Dedup {
         (size(col("__ja")) + size(col("__jb")) - ni).cast("double"), 4))
       .drop("__ja", "__jb")
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin candidate scheme, Bayardo et al. WWW'07 / Xiao et
+    * al. WWW'08 — public literature): every pair of documents whose
+    * word-shingle Jaccard is ≥ tauNum/tauDen, with NO approximation —
+    * the complete complement to the recall-bounded MinHash path (q23).
+    *
+    * Scale shape: tokens are globally ordered by (document frequency,
+    * token) ascending; each document keeps only its PREFIX — the
+    * |x| − ⌈τ·|x|⌉ + 1 rarest tokens. The prefix-filtering lemma
+    * guarantees any qualifying pair shares a prefix token, so candidate
+    * generation is an equi-join ON THE PREFIX TOKENS ONLY (rare by
+    * construction — Σ df_prefix² stays near-linear where the naive
+    * shared-any-token join pays Σ df² on stopword shingles), plus the
+    * lossless size filter den·min ≥ num·max (J ≤ min/max). Verification
+    * is a counted intersection join on candidate pairs. Every stage is
+    * a hash shuffle; the per-document prefix rank window partitions by
+    * doc (bounded by document length, never corpus-sized). The τ cut is
+    * INTEGER (den·i ≥ num·u) — no float boundary to disagree on.
+    */
+  def prefixFilterJoin(df: DataFrame, textCol: String, idCol: String,
+                       tauNum: Int, tauDen: Int,
+                       shingleWords: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("__pid"),
+        explode(wordShingles(col(textCol), shingleWords)).as("__tok"))
+    val sizes = sh.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    val dfreq = sh.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // prefix length L = n − ⌈τ·n⌉ + 1, all-integer ceil
+    val pref = sh.join(dfreq, Seq("__tok")).join(sizes, Seq("__pid"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col("__df"), col("__tok"))))
+      .filter(col("__rk") <=
+        col("__n") - expr(s"($tauNum * __n + $tauDen - 1) div $tauDen")
+          + lit(1))
+      .select(col("__pid"), col("__tok"), col("__n"))
+    val a = pref.select(col("__pid").as("id_a"), col("__tok"),
+      col("__n").as("__na"))
+    val b = pref.select(col("__pid").as("id_b"), col("__tok"),
+      col("__n").as("__nb"))
+    val cands = a.join(b, Seq("__tok"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(tauDen) * least(col("__na"), col("__nb")) >=
+          lit(tauNum) * greatest(col("__na"), col("__nb")))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact verify: counted intersection on the full token sets
+    val i = cands
+      .join(sh.select(col("__pid").as("id_a"), col("__tok")), Seq("id_a"))
+      .join(sh.select(col("__pid").as("id_b"), col("__tok")),
+        Seq("id_b", "__tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__i"))
+    i.join(sizes.select(col("__pid").as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(sizes.select(col("__pid").as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
+      .withColumn("__u", col("__na") + col("__nb") - col("__i"))
+      .filter(lit(tauDen) * col("__i") >= lit(tauNum) * col("__u"))
+      .select(col("id_a"), col("id_b"),
+        (col("__i").cast("double") / col("__u").cast("double"))
+          .as("jaccard"))
+  }
 }

@@ -940,6 +940,44 @@ class PlanShapeSpec extends SparkSpec {
       s"match join must key on (part, bucket): ${keys.map(_.length)}")
   }
 
+  test("q238 priority check: the EXISTS is a semi join keyed on the " +
+      "order key — no join-then-distinct, no nested loop") {
+    val p = plan("q238_priority_semi")
+    val semis = collectAll(p) {
+      case j: SortMergeJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType.sql == "LEFT SEMI" => j
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.nonEmpty, s"expected a LEFT SEMI join:\n$p")
+    val loops = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(loops.isEmpty)
+  }
+
+  test("q241 returned items: top-20 is TakeOrdered (bounded heap), " +
+      "and the returnflag filter reaches the lineitem scan") {
+    val p = plan("q241_returned_items")
+    val tops = collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(tops.nonEmpty, s"expected TakeOrderedAndProject:\n$p")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    assert(scans.exists(_.metadata("PushedFilters").contains("l_returnflag")),
+      scans.map(_.metadata("PushedFilters")).mkString("\n"))
+  }
+
+  test("q247 disjunctive revenue: the part-side brand/size conjuncts " +
+      "prune the part scan before the join") {
+    val p = plan("q247_disjunctive_revenue")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    assert(scans.exists { f =>
+      val pf = f.metadata("PushedFilters")
+      pf.contains("p_brand") && pf.contains("p_size")
+    }, scans.map(_.metadata("PushedFilters")).mkString("\n"))
+  }
+
   test("q227 interval join: pair generation is an equi-join on the " +
       "bucket id — never a cartesian/nested-loop BETWEEN") {
     val p = plan("q227_interval_join")
