@@ -723,7 +723,34 @@ object Scratch {
       r
     }
 
+    /** q249 prefix-filter exact similarity join. Replication model:
+      * per-replica TOKEN SUFFIX (every word gets "_k") — replicas are
+      * vocabulary-disjoint, so per-replica pair structure and the df
+      * distribution are preserved while no cross-replica candidate can
+      * form (exact doc copies would be degenerate: every doc J=1 with
+      * its 9 copies, a quadratic pair blowup that measures data
+      * pathology, not the plan). Qualifying pairs must scale exactly
+      * 10x; time should stay near-linear. */
+    def prefixChain(mult: Int): Double = {
+      val docs = replicate(Tables.documents(spark, d), "doc_id", mult) {
+        (k, df) =>
+          val text = if (k == 0) col("text")
+            else array_join(transform(split(trim(col("text")), "\\s+"),
+              t => concat(t, lit(s"_$k"))), " ")
+          df.select(col("doc_id"), text.as("text"))
+      }.persist(MEMORY_AND_DISK)
+      docs.count()
+      val r = timed {
+        val n = operators.Dedup.prefixFilterJoin(docs, "text", "doc_id",
+          tauNum = 1, tauDen = 2).count()
+        println(s"[scratch]   prefix mult=$mult pairs=$n")
+      }
+      docs.unpersist()
+      r
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
+      "prefix" -> prefixChain,
       "lcc" -> lccChain, "itemcf" -> itemcfChain,
       "growth" -> growthChain,
       "dedup" -> dedupChain, "leakage" -> leakageChain,

@@ -758,9 +758,13 @@ object Dedup {
                        tauNum: Int, tauDen: Int,
                        shingleWords: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: five downstream scans (sizes, df, prefix, verify×2)
+    // would each re-run the explode; released by the per-query session
+    // cache clear (Verify/Bench) like the other call-site persists
     val sh = df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("__pid"),
         explode(wordShingles(col(textCol), shingleWords)).as("__tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
     val dfreq = sh.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     // prefix length L = n − ⌈τ·n⌉ + 1, all-integer ceil

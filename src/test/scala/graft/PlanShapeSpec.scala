@@ -978,6 +978,23 @@ class PlanShapeSpec extends SparkSpec {
     }, scans.map(_.metadata("PushedFilters")).mkString("\n"))
   }
 
+  test("q249 prefix-filter join: candidate generation is an equi-join " +
+      "on the prefix token — never a cartesian all-pairs") {
+    val p = plan("q249_prefix_filter_join")
+    val loops = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        c.nodeName
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j.nodeName
+    }
+    assert(loops.isEmpty, s"candidate join degenerated to $loops:\n$p")
+    // the per-doc prefix rank window partitions by doc id — a global
+    // (unpartitioned) window here would be the one-task pattern
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in prefix rank:\n$p")
+  }
+
   test("q227 interval join: pair generation is an equi-join on the " +
       "bucket id — never a cartesian/nested-loop BETWEEN") {
     val p = plan("q227_interval_join")

@@ -1323,4 +1323,55 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(out.map(_.getDouble(1)).toSeq === Seq(10.5, 2.0))
     assert(out.map(_.getString(2)).toSeq === Seq("*", "*"))
   }
+
+  // Brute-force reference for prefixFilterJoin: exact Jaccard over ALL
+  // pairs, computed from the same WordShingles sets.
+  private def bruteJaccardPairs(docs: org.apache.spark.sql.DataFrame,
+      tauNum: Int, tauDen: Int): Set[(Long, Long, Double)] = {
+    val sets = docs.filter(length(trim($"text")) > 0)
+      .select($"doc_id", Dedup.wordShingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toSet).toSeq
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      i = (sa intersect sb).size; u = (sa union sb).size
+      if u > 0 && tauDen * i >= tauNum * u
+    } yield (ia, ib, i.toDouble / u)).toSet
+  }
+
+  test("Dedup.prefixFilterJoin equals brute-force exact Jaccard, " +
+      "including short-doc (clipped-shingle) and exact-dup edges") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),          // exact dup of 1 (J = 1)
+      (3L, "a b c d e f z"),          // near dup of 1/2
+      (4L, "z y x w v u t"),          // unrelated
+      (5L, "a b"),                    // short doc: one clipped shingle
+      (6L, "a b"),                    // its exact dup
+      (7L, ""),                       // empty: excluded entirely
+      (8L, "q")                       // single word
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(docs, "text", "doc_id", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === bruteJaccardPairs(docs, 1, 2))
+    assert(got.contains((1L, 2L, 1.0)) && got.contains((5L, 6L, 1.0)))
+  }
+
+  test("Dedup.prefixFilterJoin completeness holds across thresholds " +
+      "on a messy corpus (property vs brute force)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 40L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((num, den) <- Seq((1, 2), (3, 5), (4, 5), (9, 10))) {
+      val got = Dedup.prefixFilterJoin(docs, "text", "doc_id", num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === bruteJaccardPairs(docs, num, den),
+        s"mismatch at tau=$num/$den")
+    }
+  }
 }
