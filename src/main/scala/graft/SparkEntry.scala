@@ -6460,6 +6460,44 @@ object SparkEntry {
       Dedup.prefixFilterJoin(Tables.documents(s, d), "text", "doc_id",
           tauNum = 1, tauDen = 2, shingleWords = 3)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // KMV (k-minimum-values) DISTINCT-COUNT SKETCH, fully oracled —
+    // the mergeable distinct estimator (Bar-Yossef et al. 2002,
+    // public) whose sketch is just the k smallest hash values: merge =
+    // k-min of a union, estimate = (k−1)·p/h_k. Unlike HLL (q31,
+    // engine-specific hash → rows-only check), the hash here is a
+    // UNIVERSAL integer hash (a·x+b mod p, Mersenne prime 2³¹−1) both
+    // engines compute bit-identically, so the estimates themselves are
+    // oracle-checked. Scale: distinct(flag, part) is one map-side-
+    // combine shuffle; the k smallest per group ride TopKPerKey's
+    // bounded per-partition heap (never a per-group sort — the oracle
+    // uses the window form, DuckDB's problem); everything after is
+    // ≤ k·groups rows. The 'ALL' row demonstrates the merge property:
+    // k-min over the union equals the merged per-group sketches.
+    "q250_kmv_distinct" -> ((s, d) => {
+      val (a, b, p, k) = (1000003L, 12345L, 2147483647L, 128)
+      val li = Tables.lineitem(s, d).select($"l_returnflag", $"l_partkey")
+      val keyed = li.union(li.select(lit("ALL"), $"l_partkey"))
+      val dp = keyed.distinct()
+        .select($"l_returnflag",
+          (($"l_partkey" * a + b) % p).as("__hv"))
+        .distinct()
+      val mins = graft.plans.TopKPerKey(dp, Seq("l_returnflag"),
+        Seq($"__hv".asc), k)
+      val sk = mins.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("__nk"), max($"__hv").as("__hk"))
+      val exact = keyed.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_exact"))
+      exact.join(sk, Seq("l_returnflag"))
+        .select($"l_returnflag", $"n_exact",
+          when($"__nk" < k, $"__nk".cast("double"))
+            .otherwise(lit(((k - 1).toLong * p).toDouble) /
+              $"__hk".cast("double")).as("kmv_est"))
+        .withColumn("rel_err_pct", Fns.roundU(
+          abs($"kmv_est" - $"n_exact".cast("double")) /
+            $"n_exact".cast("double") * 100, 4))
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -12326,7 +12364,40 @@ object SparkEntry {
         |FROM xi JOIN sz sa ON xi.id_a = sa.doc_id
         |JOIN sz sb ON xi.id_b = sb.doc_id
         |WHERE 2 * i >= sa.n + sb.n - i
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // KMV oracle: same universal hash, k-th smallest via a window
+    // (correctness-only engine — the Spark side uses the bounded heap)
+    "q250_kmv_distinct" ->
+      """WITH keyed AS (
+        |  SELECT l_returnflag, l_partkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ALL', l_partkey FROM lineitem),
+        |dp AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    (l_partkey * 1000003 + 12345) % 2147483647 AS hv
+        |  FROM (SELECT DISTINCT l_returnflag, l_partkey FROM keyed)),
+        |rk AS (
+        |  SELECT l_returnflag, hv, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY hv) AS r
+        |  FROM dp),
+        |sk AS (
+        |  SELECT l_returnflag, count(*) AS nk,
+        |    max(CASE WHEN r = 128 THEN hv END) AS hk
+        |  FROM rk WHERE r <= 128 GROUP BY 1),
+        |ex AS (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+        |  FROM keyed GROUP BY 1)
+        |SELECT ex.l_returnflag, n_exact,
+        |  CASE WHEN nk < 128 THEN CAST(nk AS DOUBLE)
+        |    ELSE CAST(127 * CAST(2147483647 AS BIGINT) AS DOUBLE) / CAST(hk AS DOUBLE)
+        |  END AS kmv_est,
+        |  floor(abs(CASE WHEN nk < 128 THEN CAST(nk AS DOUBLE)
+        |      ELSE CAST(127 * CAST(2147483647 AS BIGINT) AS DOUBLE) / CAST(hk AS DOUBLE)
+        |      END - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+        |    * 100 * 10000 + 0.5) / 10000.0 AS rel_err_pct
+        |FROM ex JOIN sk ON ex.l_returnflag = sk.l_returnflag
+        |ORDER BY 1""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -995,6 +995,17 @@ class PlanShapeSpec extends SparkSpec {
       s"unpartitioned window in prefix rank:\n$p")
   }
 
+  test("q250 KMV sketch: the k smallest hashes per group ride the " +
+      "bounded TopKPerKey heap, never a per-group sort window") {
+    val p = plan("q250_kmv_distinct")
+    val topk = collectAll(p) {
+      case t: graft.plans.TopKPerKeyExec => t
+    }
+    assert(topk.nonEmpty, s"expected TopKPerKeyExec:\n$p")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, s"unexpected window (per-group sort):\n$p")
+  }
+
   test("q227 interval join: pair generation is an equi-join on the " +
       "bucket id — never a cartesian/nested-loop BETWEEN") {
     val p = plan("q227_interval_join")
