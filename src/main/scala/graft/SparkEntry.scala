@@ -6498,6 +6498,77 @@ object SparkEntry {
           abs($"kmv_est" - $"n_exact".cast("double")) /
             $"n_exact".cast("double") * 100, 4))
         .orderBy($"l_returnflag")
+    }),
+
+    // BM25 RANKED RETRIEVAL — the canonical tf·idf scoring function
+    // (Robertson/Spärck Jones, public) over the inverted-index shape
+    // q118 builds: fixed query terms, k1=1.2, b=0.75. Scale shape: tf
+    // is one (doc, term) hash aggregate; df and avgdl are term-/
+    // corpus-level broadcasts; only postings of the QUERY terms join
+    // back (never the full index); top-15 is TakeOrdered. Numeric
+    // determinism: each per-term contribution is computed with an
+    // identical expression tree on both engines, integer-ized to
+    // nano-units BEFORE the per-doc sum, so the sum is exact and
+    // summation-order-independent (the ln() inside idf is the one
+    // library call the engines could disagree on — same accepted
+    // 1-ulp-at-a-rounding-boundary residual as the q66/q139 ln
+    // chains).
+    "q251_bm25_topk" -> ((s, d) => {
+      val qterms = Seq("table", "query", "fast", "row")
+      val tok = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id",
+          explode(split(trim($"text"), "\\s+")).as("term"))
+      val tf = tok.filter($"term".isin(qterms: _*))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("__tf"))
+      val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("__dl"))
+      val stats = dl.agg(count(lit(1)).as("__nd"), sum($"__dl").as("__tl"))
+      val df = tok.filter($"term".isin(qterms: _*))
+        .select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("__df"))
+      val contrib = tf
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("__avgdl",
+          $"__tl".cast("double") / $"__nd".cast("double"))
+        .withColumn("__idf",
+          log(lit(1.0) + ($"__nd".cast("double") - $"__df".cast("double")
+            + 0.5) / ($"__df".cast("double") + 0.5)))
+        .withColumn("__c", floor($"__idf" *
+          ($"__tf".cast("double") * 2.2 /
+            ($"__tf".cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * $"__dl".cast("double") /
+                $"__avgdl"))) * 1e9 + 0.5).cast("long"))
+      contrib.groupBy($"doc_id")
+        .agg(sum($"__c").as("__s"), count(lit(1)).as("n_terms_hit"))
+        .orderBy($"__s".desc, $"doc_id").limit(15)
+        .select($"doc_id", $"n_terms_hit",
+          Fns.roundU($"__s".cast("double") / 1e9, 4).as("bm25"))
+    }),
+
+    // GROUP-WISE MODE (argmax) — the most frequent order priority per
+    // customer nation, by the ONE-AGGREGATE argmax pattern:
+    // max(struct(count, key)) picks the winner inside the hash
+    // aggregate with map-side combine — no per-group sort, no window,
+    // no second shuffle of the counted table. Tiebreak is part of the
+    // struct ordering (largest key among equal counts), mirrored in
+    // the oracle's window ORDER BY. Two bounded shuffles total:
+    // (nation, priority) counts, then 25-row argmax.
+    "q252_group_mode" -> ((s, d) => {
+      val cn = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name")
+      val counts = Tables.orders(s, d)
+        .join(cn, $"o_custkey" === $"c_custkey")
+        .groupBy($"n_name", $"o_orderpriority")
+        .agg(count(lit(1)).as("__c"))
+      counts.groupBy($"n_name")
+        .agg(max(struct($"__c", $"o_orderpriority")).as("__m"))
+        .select($"n_name", $"__m.o_orderpriority".as("mode_priority"),
+          $"__m.__c".as("n_orders"))
+        .orderBy($"n_name")
     })
   )
 
@@ -12397,7 +12468,58 @@ object SparkEntry {
         |      END - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
         |    * 100 * 10000 + 0.5) / 10000.0 AS rel_err_pct
         |FROM ex JOIN sk ON ex.l_returnflag = sk.l_returnflag
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q251_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text),
+        |    '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('table', 'query', 'fast', 'row')
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS nd,
+        |  CAST(sum(dl) AS BIGINT) AS tl FROM dl),
+        |df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |  WHERE term IN ('table', 'query', 'fast', 'row') GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df.df AS DOUBLE)
+        |        + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
+        |      (CAST(tf.tf AS DOUBLE) * 2.2 /
+        |        (CAST(tf.tf AS DOUBLE) + 1.2 *
+        |          (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |            (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE)))))
+        |      * 1e9 + 0.5) AS BIGINT) AS ci
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN df ON tf.term = df.term CROSS JOIN st),
+        |s AS (
+        |  SELECT doc_id, CAST(sum(ci) AS BIGINT) AS s,
+        |    count(*) AS n_terms_hit
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_terms_hit,
+        |  floor(CAST(s AS DOUBLE) / 1e9 * 10000 + 0.5) / 10000.0
+        |    AS bm25
+        |FROM s ORDER BY s DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q252_group_mode" ->
+      """WITH counts AS (
+        |  SELECT n_name, o_orderpriority, count(*) AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT n_name, o_orderpriority, c, row_number() OVER (
+        |    PARTITION BY n_name
+        |    ORDER BY c DESC, o_orderpriority DESC) AS r
+        |  FROM counts)
+        |SELECT n_name, o_orderpriority AS mode_priority, c AS n_orders
+        |FROM rk WHERE r = 1 ORDER BY n_name""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -1006,6 +1006,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(wins.isEmpty, s"unexpected window (per-group sort):\n$p")
   }
 
+  test("q252 group mode: argmax is one hash aggregate — no window, " +
+      "no per-group sort") {
+    val p = plan("q252_group_mode")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, s"expected no WindowExec:\n$p")
+  }
+
   test("q227 interval join: pair generation is an equi-join on the " +
       "bucket id — never a cartesian/nested-loop BETWEEN") {
     val p = plan("q227_interval_join")
