@@ -6569,6 +6569,53 @@ object SparkEntry {
         .select($"n_name", $"__m.o_orderpriority".as("mode_priority"),
           $"__m.__c".as("n_orders"))
         .orderBy($"n_name")
+    }),
+
+    // KMV SET ALGEBRA — the point of a mergeable sketch: union and
+    // intersection distinct-count ESTIMATES for two part sets
+    // (returned vs non-returned) from their k-min sketches alone.
+    // Merge = k smallest of the two sketches' union (never re-scans
+    // the data); intersection rides the standard ρ·û estimator where
+    // ρ is the fraction of the union sketch present in BOTH input
+    // sketches. After the two bounded TopKPerKey heaps everything is
+    // ≤ 2k rows. Same cross-engine universal hash as q250, so all
+    // four estimates sit under the oracle.
+    "q253_kmv_setops" -> ((s, d) => {
+      val (ha, hb, p, k) = (1000003L, 12345L, 2147483647L, 128)
+      def sketch(flag: String) =
+        graft.plans.TopKPerKey(
+          Tables.lineitem(s, d).filter($"l_returnflag" === flag)
+            .select((($"l_partkey" * ha + hb) % p).as("__hv"))
+            .distinct().withColumn("__g", lit(1)),
+          Seq("__g"), Seq($"__hv".asc), k)
+          .select($"__hv")
+      val ka = sketch("R").withColumn("__inA", lit(1L))
+      val kb = sketch("N").withColumn("__inB", lit(1L))
+      val ku = graft.plans.TopKPerKey(
+        ka.select($"__hv").union(kb.select($"__hv")).distinct()
+          .withColumn("__g", lit(1)),
+        Seq("__g"), Seq($"__hv".asc), k)
+        .select($"__hv")
+      val sk = ku.join(broadcast(ka), Seq("__hv"), "left")
+        .join(broadcast(kb), Seq("__hv"), "left")
+        .agg(count(lit(1)).as("__nk"), max($"__hv").as("__hk"),
+          sum(when($"__inA".isNotNull && $"__inB".isNotNull, 1L)
+            .otherwise(0L)).as("__both"))
+      val exact = Tables.lineitem(s, d)
+        .filter($"l_returnflag".isin("R", "N"))
+        .select($"l_partkey", $"l_returnflag").distinct()
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("__nf"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when($"__nf" === 2, 1L).otherwise(0L)).as("exact_inter"))
+      exact.crossJoin(broadcast(sk))
+        .withColumn("__eu", when($"__nk" < k, $"__nk".cast("double"))
+          .otherwise(lit(((k - 1).toLong * p).toDouble) /
+            $"__hk".cast("double")))
+        .select($"exact_union", $"exact_inter",
+          Fns.roundU($"__eu", 2).as("kmv_union"),
+          Fns.roundU($"__both".cast("double") / k * $"__eu", 2)
+            .as("kmv_inter"))
     })
   )
 
@@ -12519,7 +12566,44 @@ object SparkEntry {
         |    ORDER BY c DESC, o_orderpriority DESC) AS r
         |  FROM counts)
         |SELECT n_name, o_orderpriority AS mode_priority, c AS n_orders
-        |FROM rk WHERE r = 1 ORDER BY n_name""".stripMargin
+        |FROM rk WHERE r = 1 ORDER BY n_name""".stripMargin,
+
+    "q253_kmv_setops" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT (l_partkey * 1000003 + 12345) % 2147483647
+        |    AS hv FROM lineitem WHERE l_returnflag = 'R'),
+        |ka AS (SELECT hv FROM (SELECT hv,
+        |  row_number() OVER (ORDER BY hv) AS r FROM ha) WHERE r <= 128),
+        |hb AS (
+        |  SELECT DISTINCT (l_partkey * 1000003 + 12345) % 2147483647
+        |    AS hv FROM lineitem WHERE l_returnflag = 'N'),
+        |kb AS (SELECT hv FROM (SELECT hv,
+        |  row_number() OVER (ORDER BY hv) AS r FROM hb) WHERE r <= 128),
+        |cu AS (SELECT DISTINCT hv FROM
+        |  (SELECT hv FROM ka UNION ALL SELECT hv FROM kb) u),
+        |ku AS (SELECT hv FROM (SELECT hv,
+        |  row_number() OVER (ORDER BY hv) AS r FROM cu) WHERE r <= 128),
+        |ag AS (SELECT count(*) AS nk, max(hv) AS hk,
+        |  CAST(sum(CASE WHEN hv IN (SELECT hv FROM ka)
+        |    AND hv IN (SELECT hv FROM kb) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bo
+        |  FROM ku),
+        |ex AS (SELECT count(*) AS exact_union,
+        |  CAST(sum(CASE WHEN nf = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS exact_inter
+        |  FROM (SELECT l_partkey, count(DISTINCT l_returnflag) AS nf
+        |    FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        |    GROUP BY 1)),
+        |eu AS (SELECT nk, hk, bo,
+        |  CASE WHEN nk < 128 THEN CAST(nk AS DOUBLE)
+        |    ELSE CAST(127 * CAST(2147483647 AS BIGINT) AS DOUBLE)
+        |      / CAST(hk AS DOUBLE) END AS euv
+        |  FROM ag)
+        |SELECT exact_union, exact_inter,
+        |  floor(euv * 100 + 0.5) / 100.0 AS kmv_union,
+        |  floor(CAST(bo AS DOUBLE) / 128 * euv * 100 + 0.5) / 100.0
+        |    AS kmv_inter
+        |FROM ex CROSS JOIN eu""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

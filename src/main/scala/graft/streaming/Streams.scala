@@ -679,4 +679,46 @@ object Streams {
          |$rightTs <= $leftTs""".stripMargin))
       .drop(s"__r_$keyCol")
   }
+
+  /** Keyed row for [[kmvDistinctStream]]. */
+  case class KeyedId(group: String, id: Long)
+
+  /** Per-batch KMV readout: the running distinct estimate after this
+    * micro-batch (`n_mins` = current sketch fill, < k until the group
+    * has seen k distinct hashes; `n_seen` = cumulative input rows, the
+    * strictly-monotonic batch cursor that identifies the latest
+    * readout). */
+  case class KmvUpdate(group: String, n_seen: Long, n_mins: Int,
+                       estimate: Double)
+
+  /** STREAMING KMV distinct-count — the incremental twin of batch q250:
+    * per-group state is the k smallest universal-hash values seen so
+    * far (k longs, BOUNDED regardless of stream length — the whole
+    * point of the sketch as stream state), updated per micro-batch by
+    * the same merge the batch side's set algebra uses (q253): k-min of
+    * union. Same hash constants as q250, so after any batch split the
+    * final estimate equals the batch query's — KMV merge is
+    * associative and order-insensitive, which the parity spec checks
+    * by re-feeding the same rows in different splits. */
+  def kmvDistinctStream(rows: Dataset[KeyedId], k: Int)
+      : Dataset[KmvUpdate] = {
+    import rows.sparkSession.implicits._
+    val (a, b, p) = (1000003L, 12345L, 2147483647L)
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState[(Array[Long], Long), KmvUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (g, it, state: GroupState[(Array[Long], Long)]) =>
+          val (cur, seen) = state.getOption
+            .getOrElse((Array.empty[Long], 0L))
+          var n = 0L
+          val merged = (cur.toSet ++
+            it.map { r => n += 1; (r.id * a + b) % p })
+            .toArray.sorted.take(k)
+          state.update((merged, seen + n))
+          val est =
+            if (merged.length < k) merged.length.toDouble
+            else ((k - 1).toLong * p).toDouble / merged(k - 1)
+          Iterator(KmvUpdate(g, seen + n, merged.length, est))
+      }
+  }
 }

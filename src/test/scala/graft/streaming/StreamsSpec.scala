@@ -1053,4 +1053,49 @@ class StreamsSpec extends SparkSpec {
         (3L, "*", "*", false)))   // absent from census → size 0
     } finally q.stop()
   }
+
+  test("kmvDistinctStream: final estimate equals the one-shot batch " +
+      "sketch under any micro-batch split (merge associativity)") {
+    val (a, b, p, k) = (1000003L, 12345L, 2147483647L, 16)
+    // ids with repeats across and within batches; group B stays below
+    // k distinct so its estimate must be EXACT (= sketch fill)
+    val ids = (0 until 400).map(i => ("A", (i * 7 % 120).toLong)) ++
+      (0 until 40).map(i => ("B", (i % 9).toLong))
+    def expected(g: String): (Int, Double) = {
+      val hs = ids.filter(_._1 == g).map(_._2).distinct
+        .map(x => (x * a + b) % p).sorted.take(k)
+      (hs.length, if (hs.length < k) hs.length.toDouble
+        else ((k - 1).toLong * p).toDouble / hs(k - 1))
+    }
+    for ((split, tag) <- Seq(100 -> "s100", 317 -> "s317")) {
+      val dir = Files.createTempDirectory(s"graft-kmv-$tag").toFile
+      val stream = spark.readStream
+        .schema("group STRING, id LONG")
+        .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+        .as[Streams.KeyedId]
+      val q = Streams.kmvDistinctStream(stream, k)
+        .writeStream.format("memory").queryName(s"kmv$tag")
+        .outputMode("append").start()
+      try {
+        def js(r: (String, Long)) =
+          s"""{"group":"${r._1}","id":${r._2}}"""
+        dropFile(dir, "b1.json",
+          ids.take(split).map(js).mkString("\n"))
+        q.processAllAvailable()
+        dropFile(dir, "b2.json",
+          ids.drop(split).map(js).mkString("\n"))
+        q.processAllAvailable()
+        // final state = the row with the largest n_seen cursor
+        val rows = spark.table(s"kmv$tag").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+            r.getDouble(3)))
+        for (g <- Seq("A", "B")) {
+          val fin = rows.filter(_._1 == g).maxBy(_._2)
+          assert((fin._3, fin._4) === expected(g),
+            s"group $g split $split")
+        }
+        assert(rows.filter(_._1 == "B").maxBy(_._2)._3 === 9)
+      } finally q.stop()
+    }
+  }
 }
