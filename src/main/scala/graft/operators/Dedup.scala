@@ -784,18 +784,26 @@ object Dedup {
         lit(tauDen) * least(col("__na"), col("__nb")) >=
           lit(tauNum) * greatest(col("__na"), col("__nb")))
       .select(col("id_a"), col("id_b")).distinct()
-    // exact verify: counted intersection on the full token sets
+    // exact verify on per-doc HASHED token sets (one row per doc, ~8 B
+    // per token on the wire) rather than a counted intersection over
+    // the exploded token table — the token table would shuffle twice
+    // at full |tokens| width; the set table shuffles at |docs|. Token
+    // hashing is collision-free in practice (64-bit over a corpus
+    // vocabulary; same precedent as exactJaccardCounts/q24) and
+    // cancels out of the Jaccard VALUE either way.
+    val hsets = sh.select(col("__pid"), xxhash64(col("__tok")).as("__h"))
+      .groupBy(col("__pid")).agg(collect_list(col("__h")).as("__set"))
     val i = cands
-      .join(sh.select(col("__pid").as("id_a"), col("__tok")), Seq("id_a"))
-      .join(sh.select(col("__pid").as("id_b"), col("__tok")),
-        Seq("id_b", "__tok"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__i"))
-    i.join(sizes.select(col("__pid").as("id_a"), col("__n").as("__na")),
-        Seq("id_a"))
-      .join(sizes.select(col("__pid").as("id_b"), col("__n").as("__nb")),
-        Seq("id_b"))
-      .withColumn("__u", col("__na") + col("__nb") - col("__i"))
-      .filter(lit(tauDen) * col("__i") >= lit(tauNum) * col("__u"))
+      .join(hsets.select(col("__pid").as("id_a"),
+        col("__set").as("__sa")), Seq("id_a"))
+      .join(hsets.select(col("__pid").as("id_b"),
+        col("__set").as("__sb")), Seq("id_b"))
+      .withColumn("__i",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("__u",
+        size(col("__sa")).cast("long") + size(col("__sb")) - col("__i"))
+      .drop("__sa", "__sb")
+    i.filter(lit(tauDen) * col("__i") >= lit(tauNum) * col("__u"))
       .select(col("id_a"), col("id_b"),
         (col("__i").cast("double") / col("__u").cast("double"))
           .as("jaccard"))
