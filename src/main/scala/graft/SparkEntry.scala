@@ -6616,6 +6616,47 @@ object SparkEntry {
           Fns.roundU($"__eu", 2).as("kmv_union"),
           Fns.roundU($"__both".cast("double") / k * $"__eu", 2)
             .as("kmv_inter"))
+    }),
+
+    // HILBERT vs Z-ORDER LOCALITY — the measured half of the storage-
+    // layout story: q100 lays files out on the Morton curve; this
+    // query WALKS the data's own occupied grid cells in each curve's
+    // index order and measures the spatial (Manhattan) jump between
+    // consecutive cells — exactly the "how far apart on disk-order are
+    // my next rows in space" number a clustered layout is chosen for.
+    // Hilbert's defining property (consecutive indices are always
+    // grid-adjacent; Morton jumps across power-of-two seams) shows up
+    // as a smaller mean jump. The Hilbert index is a native integer
+    // expression (`functions.HilbertIndexExpr`); the oracle replays
+    // the public xy→d loop as a recursive CTE. Occupied cells are
+    // ≤ 64×64 regardless of data size, so the walk window is bounded
+    // by the GRID, not the table (the unpartitioned window is
+    // bounded by construction).
+    "q254_hilbert_locality" -> ((s, d) => {
+      import graft.operators.Layout
+      val cells = Tables.part(s, d)
+        .select(($"p_size".cast("long") % 64).as("x"),
+          expr("(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)" +
+            " div 100) % 64").as("y"))
+        .distinct()
+        .withColumn("h", Layout.hilbertValue($"x", $"y", 6))
+        .withColumn("z", Layout.zValue($"x", $"y", 6))
+      def walk(curve: String, idx: String) = {
+        val w = Window.orderBy(col(idx))
+        cells
+          .withColumn("__px", lag($"x", 1).over(w))
+          .withColumn("__py", lag($"y", 1).over(w))
+          .filter($"__px".isNotNull)
+          .select((abs($"x" - $"__px") + abs($"y" - $"__py")).as("__j"))
+          .agg(count(lit(1)).as("n_steps"), sum($"__j").as("__s"),
+            max($"__j").as("max_jump"))
+          .select(lit(curve).as("curve"), $"n_steps",
+            Fns.roundU($"__s".cast("double") / $"n_steps", 4)
+              .as("mean_jump"),
+            $"max_jump")
+      }
+      walk("hilbert", "h").unionByName(walk("zorder", "z"))
+        .orderBy($"curve")
     })
   )
 
@@ -12603,7 +12644,59 @@ object SparkEntry {
         |  floor(euv * 100 + 0.5) / 100.0 AS kmv_union,
         |  floor(CAST(bo AS DOUBLE) / 128 * euv * 100 + 0.5) / 100.0
         |    AS kmv_inter
-        |FROM ex CROSS JOIN eu""".stripMargin
+        |FROM ex CROSS JOIN eu""".stripMargin,
+
+    // Hilbert index replayed as the public xy→d loop in a recursive
+    // CTE (6 levels, s = 32 → 1); Morton as q100's bit-interleave sum
+    "q254_hilbert_locality" ->
+      """WITH RECURSIVE cells AS (
+        |  SELECT DISTINCT CAST(p_size AS BIGINT) % 64 AS x,
+        |    ((CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) // 100)
+        |      % 64) AS y
+        |  FROM part),
+        |hh(x0, y0, x, y, d, s) AS (
+        |  SELECT x, y, x, y, CAST(0 AS BIGINT), CAST(32 AS BIGINT)
+        |  FROM cells
+        |  UNION ALL
+        |  SELECT x0, y0,
+        |    CASE WHEN (y & s) > 0 THEN x
+        |         WHEN (x & s) > 0 THEN s - 1 - y ELSE y END,
+        |    CASE WHEN (y & s) > 0 THEN y
+        |         WHEN (x & s) > 0 THEN s - 1 - x ELSE x END,
+        |    d + s * s * xor(
+        |      3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+        |      CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+        |    s // 2
+        |  FROM hh WHERE s > 0),
+        |hidx AS (SELECT x0 AS x, y0 AS y, d AS h FROM hh WHERE s = 0),
+        |zidx AS (SELECT x, y,
+        |  (SELECT sum(((((x & 63) >> u.i) & 1) << (2*u.i))
+        |            + ((((y & 63) >> u.i) & 1) << (2*u.i+1)))
+        |   FROM range(0, 6) u(i)) AS z
+        |  FROM cells),
+        |idx AS (SELECT c.x, c.y, h.h, z.z FROM cells c
+        |  JOIN hidx h ON c.x = h.x AND c.y = h.y
+        |  JOIN zidx z ON c.x = z.x AND c.y = z.y),
+        |hw AS (
+        |  SELECT abs(x - lag(x) OVER (ORDER BY h))
+        |       + abs(y - lag(y) OVER (ORDER BY h)) AS j
+        |  FROM idx),
+        |zw AS (
+        |  SELECT abs(x - lag(x) OVER (ORDER BY z))
+        |       + abs(y - lag(y) OVER (ORDER BY z)) AS j
+        |  FROM idx)
+        |SELECT 'hilbert' AS curve, count(j) AS n_steps,
+        |  floor(CAST(CAST(sum(j) AS BIGINT) AS DOUBLE)
+        |    / count(j) * 10000 + 0.5) / 10000.0 AS mean_jump,
+        |  CAST(max(j) AS BIGINT) AS max_jump
+        |FROM hw
+        |UNION ALL
+        |SELECT 'zorder', count(j),
+        |  floor(CAST(CAST(sum(j) AS BIGINT) AS DOUBLE)
+        |    / count(j) * 10000 + 0.5) / 10000.0,
+        |  CAST(max(j) AS BIGINT)
+        |FROM zw
+        |ORDER BY curve""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -32,6 +32,18 @@ object Layout {
     }
   }
 
+  /** Hilbert-curve index of (x, y) over a 2^bits grid — the
+    * locality-superior sibling of [[zValue]] (consecutive indices are
+    * always spatially adjacent; Morton jumps diagonals at power-of-two
+    * seams). Native expression: the per-level reflect+swap rotation is
+    * conditional, so a composed when() column would duplicate the
+    * operand tree 4× per level under projection collapse. */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(graft.functions.HilbertIndexExpr(
+      B.toCatalyst(x.cast("long")), B.toCatalyst(y.cast("long")), bits))
+  }
+
   /** Bucket rows by z-value prefix (bucket = z >> shift) and report each
     * bucket's row count and BOTH dimensions' min/max — the per-file
     * stats a z-ordered write would expose to pruning. The audit form of

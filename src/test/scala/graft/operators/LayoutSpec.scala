@@ -166,4 +166,38 @@ class LayoutSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("HilbertIndex: bijective over the full grid and consecutive " +
+      "indices are always grid-adjacent (the defining property)") {
+    import graft.functions.HilbertIndex
+    for (bits <- Seq(2, 4, 6)) {
+      val n = 1 << bits
+      val byD = new Array[(Int, Int)](n * n)
+      for (x <- 0 until n; y <- 0 until n) {
+        val d = HilbertIndex.compute(x, y, bits).toInt
+        assert(d >= 0 && d < n * n, s"d=$d out of range at ($x,$y)")
+        assert(byD(d) == null, s"collision at d=$d: ($x,$y) vs ${byD(d)}")
+        byD(d) = (x, y)
+      }
+      for (d <- 1 until n * n) {
+        val (x0, y0) = byD(d - 1)
+        val (x1, y1) = byD(d)
+        assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1,
+          s"bits=$bits step $d jumps from ($x0,$y0) to ($x1,$y1)")
+      }
+    }
+  }
+
+  test("hilbertValue column form matches the static compute and " +
+      "masks coordinates to the grid") {
+    val rows = Seq((0L, 0L), (63L, 63L), (17L, 42L), (64L, 65L))
+      .toDF("x", "y")
+      .withColumn("h", Layout.hilbertValue($"x", $"y", 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((x, y, h) <- rows)
+      assert(h === graft.functions.HilbertIndex.compute(x, y, 6))
+    // 64,65 masks to 0,1 — same cell as an in-grid (0,1)
+    assert(rows.find(r => r._1 == 64L).get._3 ===
+      graft.functions.HilbertIndex.compute(0, 1, 6))
+  }
 }
