@@ -6657,6 +6657,237 @@ object SparkEntry {
       }
       walk("hilbert", "h").unionByName(walk("zorder", "z"))
         .orderBy($"curve")
+    }),
+
+    // CRITICAL-PATH METHOD — the project-scheduling readout of the
+    // longest-path problem, q199's recursive-query class run in the
+    // (max,+) semiring instead of (+,×): per task the earliest finish
+    // (forward closure from sources), the longest remaining tail
+    // (backward closure from sinks), total float, and the critical
+    // flag. Same div3/div5 part-containment DAG as q199 (acyclic:
+    // both parents strictly smaller), durations 1 + key % 7 days —
+    // all integer, so the level-synchronous max-aggregation here and
+    // the oracle's path-enumerating recursive CTE agree EXACTLY (the
+    // (max,+) distributivity max-of-sums = max-of-maxes is what the
+    // hash certifies). Top 25 by float, earliest-finish, key.
+    "q255_critical_path" -> ((s, d) => {
+      val part = Tables.part(s, d)
+        .select($"p_partkey".cast("long").as("node"))
+      val nodes = part.select($"node",
+        (lit(1L) + $"node" % 7).as("dur"))
+      val kids = part.filter($"node" >= 10)
+      val edges = kids.select(expr("node div 3").as("pred"),
+          $"node".as("succ"))
+        .unionAll(kids.select(expr("node div 5").as("pred"),
+          $"node".as("succ")))
+      Graph.criticalPath(nodes, "node", "dur", edges, "pred", "succ")
+        .orderBy($"slack", $"ef".desc, $"node")
+        .limit(25)
+    }),
+
+    // GEOFENCING — point-in-polygon classification, the missing
+    // companion to q190's radius join: which customers sit inside
+    // each operating zone, with zone balance rollups. Crossing-number
+    // parity in PURE INT64 (coordinates in micro-degrees, the PNPOLY
+    // (y1>py)≠(y2>py) half-open rule skips horizontal edges and
+    // counts ray-through-vertex hits exactly once; the "px left of
+    // the edge at py" test is cross-multiplied by (y2−y1) with the
+    // sign flip spelled out, so no division and no float anywhere —
+    // both engines evaluate the identical integer predicate, shared
+    // vertex-y collisions included). Plan shape: the polygon set is a
+    // DIMENSION — broadcast nested-loop of points × 13 edge rows with
+    // the crossing predicate inline, map-side partial counts, then a
+    // shuffle of only the CROSSING rows (≈2 per inside point), never
+    // |points|×|edges|. At a million-edge polygon layer the same
+    // operator grid-buckets edges by y-band first (the Geo.radiusJoin
+    // discipline); the parity math is unchanged.
+    "q256_geofence" -> ((s, d) => {
+      val polys: Seq[(String, Seq[(Long, Long)])] = Seq(
+        // (zone, vertices as (x=lon, y=lat) micro-degrees, CCW-ish,
+        // closed implicitly) — tri/quad convex, "ell" CONCAVE so the
+        // parity count genuinely exceeds 1 on real rows
+        "ell" -> Seq((-79000000L, 45000000L), (-76000000L, 45000000L),
+          (-76000000L, 46000000L), (-78000000L, 46000000L),
+          (-78000000L, 48500000L), (-79000000L, 48500000L)),
+        "quad" -> Seq((-75000000L, 45000000L), (-72000000L, 45500000L),
+          (-71500000L, 48000000L), (-74500000L, 47500000L)),
+        "tri" -> Seq((-79500000L, 41000000L), (-76000000L, 41500000L),
+          (-78000000L, 44000000L)))
+      val edges = { // scoped: the object's $-sugar stays unambiguous
+        import s.implicits._
+        polys.flatMap { case (z, vs) =>
+          vs.zip(vs.tail :+ vs.head).map { case ((x1, y1), (x2, y2)) =>
+            (z, x1, y1, x2, y2) } }
+          .toDF("zone", "x1", "y1", "x2", "y2")
+      }
+      val pts = Tables.customer(s, d).select($"c_custkey",
+        (lit(40000000L) +
+          Sampling.consistentHash($"c_custkey") % 10000000L).as("py"),
+        (lit(-80000000L) +
+          Sampling.consistentHash($"c_custkey" + lit(1000003))
+            % 10000000L).as("px"),
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("__cents"))
+      Geo.pointInPolygons(pts, "c_custkey", "px", "py", edges)
+        .groupBy($"zone")
+        .agg(count(lit(1)).as("n_inside"),
+          sum($"__cents").as("balance_cents"))
+        .orderBy($"zone")
+    }),
+
+    // L-DIVERSITY AUDIT — q152's k-anonymity bounds re-identification
+    // by class SIZE, but a class whose members all share the
+    // SENSITIVE value still leaks it (the homogeneity attack).
+    // Distinct-l diversity per equivalence class over the same
+    // quasi-identifiers (nation, balance band), sensitive = market
+    // segment — computed as TWO STACKED hash aggregates (class+value,
+    // then class) instead of count(distinct)'s EXPAND: the q31
+    // discipline, one shuffle each, partials map-side. Per nation:
+    // classes and rows below l = 3 and the worst class's diversity.
+    "q257_l_diversity" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy($"c_nationkey", floor($"c_acctbal" / 1000).as("__b"),
+          $"c_mktsegment")
+        .agg(count(lit(1)).as("__n"))
+        .groupBy($"c_nationkey", $"__b")
+        .agg(count(lit(1)).as("__l"), sum($"__n").as("__rows"))
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when($"__l" < 3, 1L).otherwise(0L))
+            .as("n_risky_classes"),
+          sum(when($"__l" < 3, $"__rows").otherwise(0L))
+            .as("n_risky_rows"),
+          min($"__l").as("min_l"))
+        .orderBy($"c_nationkey")
+    }),
+
+    // TRADE AREAS — q190's radius join taken to its assignment
+    // readout: every customer is assigned to its NEAREST depot within
+    // 60 km (argmin), then depots roll up their captured demand. The
+    // argmin rides min(struct(µkm, depot)) over INTEGER micro-km —
+    // the distance is floored to int64 BEFORE the comparison, so the
+    // selection never compares raw doubles and a µkm TIE breaks on
+    // the depot key identically in both engines. Per-depot averages
+    // ride exact integer sums. Top 15 depots by captured customers.
+    "q258_trade_areas" -> ((s, d) => {
+      val (clat, clon) = Geo.syntheticPoint($"c_custkey")
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", clat.as("c_lat"), clon.as("c_lon"))
+      val (slat, slon) = Geo.syntheticPoint($"s_suppkey" + lit(500000L))
+      val sup = Tables.supplier(s, d)
+        .select($"s_suppkey", slat.as("s_lat"), slon.as("s_lon"))
+      Geo.radiusJoin(cust, "c_lat", "c_lon",
+          sup, "s_lat", "s_lon", radiusKm = 60.0)
+        .select($"c_custkey",
+          struct(floor($"dist_km" * 1000000 + 0.5).cast("long")
+            .as("um"), $"s_suppkey").as("__p"))
+        .groupBy($"c_custkey").agg(min($"__p").as("__p"))
+        .select($"c_custkey", $"__p.um".as("__um"),
+          $"__p.s_suppkey".as("depot"))
+        .groupBy($"depot")
+        .agg(count(lit(1)).as("n_customers"),
+          Fns.roundU(sum($"__um").cast("double") / count(lit(1))
+            / 1000000.0, 4).as("avg_km"))
+        .orderBy($"n_customers".desc, $"depot")
+        .limit(15)
+    }),
+
+    // V-SHAPE PATTERN SCAN — MATCH_RECOGNIZE-class sequence
+    // detection over per-desk daily revenue: a maximal strictly-DOWN
+    // run of ≥ 2 moves immediately followed by a maximal strictly-UP
+    // run of ≥ 2 moves. Moves classify day-over-day on EXACT integer
+    // cents (flat days are their own class so they break both runs);
+    // maximal runs come from the gaps-and-islands double
+    // row_number; the pattern itself is a self-join of CONSECUTIVE
+    // runs (up.start = down.end + 1 in the desk's row sequence) —
+    // the regex "D{2,}U{2,}" as one equi-join. V depth = peak cents
+    // (the value BEFORE the first down move, carried on each move
+    // row by the lag) minus valley cents. Every window partitions by
+    // desk — never a one-task window; the run table is ~runs-sized,
+    // so the pattern join is tiny.
+    "q259_vshape_patterns" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(($"o_custkey" % 97).cast("long").as("desk"),
+          $"o_orderdate".as("dt"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("c"))
+      val wd = Window.partitionBy($"desk").orderBy($"dt")
+      val mv = daily
+        .withColumn("__pc", lag($"c", 1).over(wd))
+        .filter($"__pc".isNotNull)
+        .withColumn("mv", when($"c" > $"__pc", 1)
+          .when($"c" < $"__pc", -1).otherwise(0))
+        .withColumn("__ra", row_number().over(wd))
+        .withColumn("__rm", row_number().over(
+          Window.partitionBy($"desk", $"mv").orderBy($"dt")))
+      val runs = mv
+        .groupBy($"desk", $"mv", ($"__ra" - $"__rm").as("__g"))
+        .agg(count(lit(1)).as("len"),
+          min($"__ra").as("srn"), max($"__ra").as("ern"),
+          min(struct($"__ra", $"__pc")).getField("__pc").as("openv"),
+          max(struct($"__ra", $"c")).getField("c").as("closev"))
+      val dn = runs.filter($"mv" === -1 && $"len" >= 2)
+        .select($"desk", $"ern".as("__de"), $"len".as("__dl"),
+          ($"openv" - $"closev").as("__fall"))
+      val up = runs.filter($"mv" === 1 && $"len" >= 2)
+        .select($"desk".as("__k2"), $"srn".as("__us"),
+          $"len".as("__ul"))
+      dn.join(up, $"desk" === $"__k2" && $"__us" === $"__de" + 1)
+        .groupBy($"desk")
+        .agg(count(lit(1)).as("n_v"),
+          max($"__fall").as("max_fall_cents"),
+          max($"__dl" + $"__ul").as("max_span"))
+        .orderBy($"n_v".desc, $"desk")
+        .limit(20)
+    }),
+
+    // LOG-LINEAR QUANTILE SKETCH — the MERGEABLE bounded-error
+    // sibling of q33/q50's exact rank statistics (the DDSketch/HDR
+    // histogram idea): bucket = decade·1000 + leading two digits,
+    // with the decade as an integer CASE ladder (q123's libm-free
+    // discipline — log10 would put each engine's math library in the
+    // hash path). Bucket width ≤ 1/10 of its lower bound ⇒ every
+    // reported quantile carries a ≤ 10 % relative-error guarantee;
+    // state is ≤ ~90 buckets per decade PER GROUP — constant
+    // regardless of row count, so shards/streams/pre-agg tiers merge
+    // by summing counts. The oracle replays the identical ladder.
+    "q260_quantile_sketch" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select($"l_returnflag".as("flag"),
+          floor($"l_extendedprice" * 100 + 0.5).cast("long").as("c"))
+      val sk = Percentiles.logHistSketch(li, "flag", "c")
+      Percentiles.logHistQuantiles(sk, "flag", Seq(50, 90, 99))
+        .orderBy($"flag")
+    }),
+
+    // TEXTRANK KEYWORDS — graph-based keyword extraction (Mihalcea &
+    // Tarau's TextRank): terms are nodes, an edge links terms
+    // ADJACENT anywhere in the corpus (window 1), and q121's
+    // PageRank (dangling-corrected, 3 fixed iterations) ranks them.
+    // The pair build is one zip_with over each doc's token array
+    // (map-side — no explode-then-self-join), deduped to an
+    // undirected edge set; the oracle replays tokenization, pair
+    // build, and all three iterations in SQL. Corpus scale: the edge
+    // set is VOCABULARY-sized (not corpus-sized) after the distinct,
+    // so the iteration cost is bounded by the lexicon — the
+    // whole-corpus scan happens exactly once.
+    "q261_textrank" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+        .select(split(trim($"text"), "\\s+").as("t"))
+      val pairs = toks
+        .select(explode(zip_with($"t", slice($"t", 2, 1000000),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .filter($"b".isNotNull && $"a" =!= $"b")
+        .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+        .distinct()
+      val edges = pairs.select($"u".as("src"), $"v".as("dst"))
+        .unionAll(pairs.select($"v".as("src"), $"u".as("dst")))
+      Graph.pageRank(edges, "src", "dst", damping = 0.85, iters = 3)
+        .select($"node".as("term"),
+          Fns.roundU($"rank" * 1000, 6).as("rank_pm"))
+        .orderBy($"rank_pm".desc, $"term")
+        .limit(20)
     })
   )
 
@@ -12696,7 +12927,266 @@ object SparkEntry {
         |    / count(j) * 10000 + 0.5) / 10000.0,
         |  CAST(max(j) AS BIGINT)
         |FROM zw
-        |ORDER BY curve""".stripMargin
+        |ORDER BY curve""".stripMargin,
+
+    // q255: both CPM passes as path-enumerating recursive CTEs — the
+    // max over enumerated path sums equals the engine's per-round
+    // max-aggregation by (max,+) distributivity
+    "q255_critical_path" ->
+      """WITH RECURSIVE
+        |nodes AS (SELECT CAST(p_partkey AS BIGINT) AS node,
+        |  CAST(1 + p_partkey % 7 AS BIGINT) AS dur FROM part),
+        |edges AS (
+        |  SELECT DISTINCT CAST(p_partkey // 3 AS BIGINT) AS p,
+        |    CAST(p_partkey AS BIGINT) AS c FROM part
+        |  WHERE p_partkey >= 10
+        |  UNION
+        |  SELECT CAST(p_partkey // 5 AS BIGINT),
+        |    CAST(p_partkey AS BIGINT) FROM part WHERE p_partkey >= 10),
+        |fwd(node, len) AS (
+        |  SELECT n.node, n.dur FROM nodes n
+        |  WHERE n.node NOT IN (SELECT c FROM edges)
+        |  UNION ALL
+        |  SELECT e.c, f.len + n2.dur
+        |  FROM fwd f JOIN edges e ON f.node = e.p
+        |  JOIN nodes n2 ON n2.node = e.c),
+        |ef AS (SELECT node, max(len) AS ef FROM fwd GROUP BY 1),
+        |bwd(node, len) AS (
+        |  SELECT n.node, CAST(0 AS BIGINT) FROM nodes n
+        |  WHERE n.node NOT IN (SELECT p FROM edges)
+        |  UNION ALL
+        |  SELECT e.p, b.len + n2.dur
+        |  FROM bwd b JOIN edges e ON b.node = e.c
+        |  JOIN nodes n2 ON n2.node = e.c),
+        |lt AS (SELECT node, max(len) AS lt FROM bwd GROUP BY 1),
+        |t AS (SELECT max(ef) AS t FROM ef)
+        |SELECT n.node, n.dur, ef.ef, lt.lt,
+        |  t.t - ef.ef - lt.lt AS slack,
+        |  (t.t = ef.ef + lt.lt) AS is_critical
+        |FROM nodes n JOIN ef USING (node) JOIN lt USING (node)
+        |CROSS JOIN t
+        |ORDER BY slack, ef DESC, node LIMIT 25""".stripMargin,
+
+    // q256: the identical integer PNPOLY predicate over the same
+    // VALUES edge list — parity per (zone, customer), then the rollup
+    "q256_geofence" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |    40000000 + ((c_custkey % 2147483647) * 2654435761
+        |      % 4294967296) % 10000000 AS py,
+        |    -80000000 + (((c_custkey + 1000003) % 2147483647)
+        |      * 2654435761 % 4294967296) % 10000000 AS px,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |e(zone, x1, y1, x2, y2) AS (VALUES
+        |  ('ell', -79000000, 45000000, -76000000, 45000000),
+        |  ('ell', -76000000, 45000000, -76000000, 46000000),
+        |  ('ell', -76000000, 46000000, -78000000, 46000000),
+        |  ('ell', -78000000, 46000000, -78000000, 48500000),
+        |  ('ell', -78000000, 48500000, -79000000, 48500000),
+        |  ('ell', -79000000, 48500000, -79000000, 45000000),
+        |  ('quad', -75000000, 45000000, -72000000, 45500000),
+        |  ('quad', -72000000, 45500000, -71500000, 48000000),
+        |  ('quad', -71500000, 48000000, -74500000, 47500000),
+        |  ('quad', -74500000, 47500000, -75000000, 45000000),
+        |  ('tri', -79500000, 41000000, -76000000, 41500000),
+        |  ('tri', -76000000, 41500000, -78000000, 44000000),
+        |  ('tri', -78000000, 44000000, -79500000, 41000000)),
+        |cr AS (
+        |  SELECT e.zone, p.c_custkey, count(*) AS k,
+        |    max(cents) AS cents
+        |  FROM p JOIN e ON ((y1 > py) <> (y2 > py)) AND
+        |    (CASE WHEN y2 > y1
+        |      THEN (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1) > 0
+        |      ELSE (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1) < 0
+        |     END)
+        |  GROUP BY 1, 2)
+        |SELECT zone, CAST(count(*) AS BIGINT) AS n_inside,
+        |  CAST(sum(cents) AS BIGINT) AS balance_cents
+        |FROM cr WHERE k % 2 = 1 GROUP BY zone ORDER BY zone""".stripMargin,
+
+    // q257: the same two stacked aggregates, spelled out
+    "q257_l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, floor(c_acctbal / 1000) AS b,
+        |    c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |dv AS (
+        |  SELECT c_nationkey, b, CAST(count(*) AS BIGINT) AS l,
+        |    CAST(sum(n) AS BIGINT) AS nr
+        |  FROM cls GROUP BY 1, 2)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_classes,
+        |  CAST(sum(CASE WHEN l < 3 THEN nr ELSE 0 END) AS BIGINT)
+        |    AS n_risky_rows,
+        |  min(l) AS min_l
+        |FROM dv GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    // q258: q190's cross-join-filter world, argmin by (µkm, depot)
+    // via row_number — the deterministic-tie mirror of min(struct)
+    "q258_trade_areas" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    40.0 + ((c_custkey % 2147483647) * 2654435761 % 4294967296)
+        |      / 4294967296.0 * 10.0 AS lat,
+        |    -80.0 + (((c_custkey + 1000003) % 2147483647) * 2654435761
+        |      % 4294967296) / 4294967296.0 * 10.0 AS lon
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    40.0 + (((s_suppkey + 500000) % 2147483647) * 2654435761
+        |      % 4294967296) / 4294967296.0 * 10.0 AS lat,
+        |    -80.0 + (((s_suppkey + 500000 + 1000003) % 2147483647)
+        |      * 2654435761 % 4294967296) / 4294967296.0 * 10.0 AS lon
+        |  FROM supplier),
+        |w AS (
+        |  SELECT c.c_custkey, s.s_suppkey,
+        |    CAST(floor(sqrt(((c.lat - s.lat) * 111.0)
+        |        * ((c.lat - s.lat) * 111.0)
+        |      + ((c.lon - s.lon) * 85.0) * ((c.lon - s.lon) * 85.0))
+        |      * 1000000 + 0.5) AS BIGINT) AS um
+        |  FROM c, s
+        |  WHERE sqrt(((c.lat - s.lat) * 111.0)
+        |        * ((c.lat - s.lat) * 111.0)
+        |      + ((c.lon - s.lon) * 85.0) * ((c.lon - s.lon) * 85.0))
+        |      <= 60.0),
+        |near AS (
+        |  SELECT c_custkey, um, s_suppkey AS depot,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY um, s_suppkey) AS rn
+        |  FROM w)
+        |SELECT depot, CAST(count(*) AS BIGINT) AS n_customers,
+        |  floor(CAST(sum(um) AS DOUBLE) / count(*) / 1000000.0
+        |    * 10000 + 0.5) / 10000.0 AS avg_km
+        |FROM near WHERE rn = 1 GROUP BY depot
+        |ORDER BY n_customers DESC, depot LIMIT 15""".stripMargin,
+
+    // q259: the same move classification, double row_number islands,
+    // and consecutive-run join; run opens/closes via min_by/max_by
+    "q259_vshape_patterns" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_custkey % 97 AS BIGINT) AS desk,
+        |    o_orderdate AS dt,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT desk, dt, c,
+        |    lag(c) OVER (PARTITION BY desk ORDER BY dt) AS pc
+        |  FROM daily),
+        |mv AS (
+        |  SELECT desk, dt, c, pc,
+        |    CASE WHEN c > pc THEN 1 WHEN c < pc THEN -1 ELSE 0 END
+        |      AS m,
+        |    row_number() OVER (PARTITION BY desk ORDER BY dt) AS ra
+        |  FROM lagged WHERE pc IS NOT NULL),
+        |mv2 AS (
+        |  SELECT *, ra - row_number() OVER (PARTITION BY desk, m
+        |    ORDER BY dt) AS g FROM mv),
+        |runs AS (
+        |  SELECT desk, m, g, CAST(count(*) AS BIGINT) AS len,
+        |    min(ra) AS srn, max(ra) AS ern,
+        |    min_by(pc, ra) AS openv, max_by(c, ra) AS closev
+        |  FROM mv2 GROUP BY 1, 2, 3),
+        |dn AS (SELECT desk, ern, len AS dl, openv - closev AS fall
+        |  FROM runs WHERE m = -1 AND len >= 2),
+        |up AS (SELECT desk, srn, len AS ul
+        |  FROM runs WHERE m = 1 AND len >= 2)
+        |SELECT d.desk, CAST(count(*) AS BIGINT) AS n_v,
+        |  CAST(max(d.fall) AS BIGINT) AS max_fall_cents,
+        |  CAST(max(d.dl + u.ul) AS BIGINT) AS max_span
+        |FROM dn d JOIN up u ON d.desk = u.desk AND u.srn = d.ern + 1
+        |GROUP BY 1 ORDER BY n_v DESC, d.desk LIMIT 20""".stripMargin,
+
+    // q260: the identical decade ladder, cumulative window, and
+    // ceil-rank pick — DuckDB's // is exact int64 division here
+    "q260_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT flag,
+        |    CASE WHEN c >= 10000000 THEN 8000 + c // 1000000
+        |         WHEN c >= 1000000 THEN 7000 + c // 100000
+        |         WHEN c >= 100000 THEN 6000 + c // 10000
+        |         WHEN c >= 10000 THEN 5000 + c // 1000
+        |         WHEN c >= 1000 THEN 4000 + c // 100
+        |         WHEN c >= 100 THEN 3000 + c // 10
+        |         WHEN c >= 10 THEN 2000 + c
+        |         ELSE 1000 + c END AS bk
+        |  FROM v),
+        |sk AS (SELECT flag, bk, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT flag, bk, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bk
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM sk),
+        |low AS (
+        |  SELECT *,
+        |    CASE bk // 1000 WHEN 8 THEN (bk % 1000) * 1000000
+        |      WHEN 7 THEN (bk % 1000) * 100000
+        |      WHEN 6 THEN (bk % 1000) * 10000
+        |      WHEN 5 THEN (bk % 1000) * 1000
+        |      WHEN 4 THEN (bk % 1000) * 100
+        |      WHEN 3 THEN (bk % 1000) * 10
+        |      ELSE bk % 1000 END AS lo
+        |  FROM cum)
+        |SELECT flag, max(n) AS n, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  min(CASE WHEN cm >= (n * 50 + 99) // 100
+        |    AND cm - cnt < (n * 50 + 99) // 100 THEN lo END)
+        |    AS p50_cents,
+        |  min(CASE WHEN cm >= (n * 90 + 99) // 100
+        |    AND cm - cnt < (n * 90 + 99) // 100 THEN lo END)
+        |    AS p90_cents,
+        |  min(CASE WHEN cm >= (n * 99 + 99) // 100
+        |    AND cm - cnt < (n * 99 + 99) // 100 THEN lo END)
+        |    AS p99_cents
+        |FROM low GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // q261: same tokenization as q63, adjacent pairs via a list
+    // comprehension, then q121's three-iteration PageRank replay
+    "q261_textrank" ->
+      """WITH tok AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pr AS (
+        |  SELECT unnest([{'a': t[i], 'b': t[i+1]}
+        |    for i in range(1, len(t))]) AS p
+        |  FROM tok),
+        |p2 AS (SELECT p.a AS a, p.b AS b FROM pr WHERE p.a <> p.b),
+        |e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM p2),
+        |e AS (SELECT u AS src, v AS dst FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / nn.n AS r
+        |  FROM deg CROSS JOIN nn),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 / max(nn.n) + 0.85 * sum(p.r / deg.deg) AS r
+        |  FROM e JOIN r0 p ON e.src = p.node
+        |  JOIN deg ON e.src = deg.src CROSS JOIN nn
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 / max(nn.n) + 0.85 * sum(p.r / deg.deg) AS r
+        |  FROM e JOIN r1 p ON e.src = p.node
+        |  JOIN deg ON e.src = deg.src CROSS JOIN nn
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 / max(nn.n) + 0.85 * sum(p.r / deg.deg) AS r
+        |  FROM e JOIN r2 p ON e.src = p.node
+        |  JOIN deg ON e.src = deg.src CROSS JOIN nn
+        |  GROUP BY e.dst)
+        |SELECT node AS term,
+        |  floor(r * 1000 * 1000000 + 0.5) / 1000000.0 AS rank_pm
+        |FROM r3 ORDER BY rank_pm DESC, term LIMIT 20""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

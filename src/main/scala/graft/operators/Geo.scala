@@ -98,4 +98,44 @@ object Geo {
       .withColumn("dist_km", d)
       .drop("__gx", "__gy")
   }
+
+  /** Point-in-polygon classification (geofencing): one output row per
+    * (point, containing polygon), all point columns carried through
+    * plus the polygon's `zone`.
+    *
+    * `edges` must have columns (zone, x1, y1, x2, y2) — one row per
+    * polygon edge, integer coordinates (micro-degrees), polygons
+    * closed by the caller. Containment is the crossing-number parity
+    * of a +x ray in PURE INT64: the PNPOLY half-open rule
+    * `(y1>py) ≠ (y2>py)` skips horizontal edges and counts a
+    * ray-through-vertex hit exactly once, and the "px left of the
+    * edge at height py" test is cross-multiplied by (y2−y1) with the
+    * sign flip spelled out — no division, no float, so any two
+    * engines (and the q256 oracle) evaluate the identical predicate,
+    * boundary collisions included. Coordinate budget: |coord| ≤ 2³¹
+    * keeps every product under 2⁶² — int64-exact.
+    *
+    * Plan shape: polygon layers are DIMENSIONS — broadcast
+    * nested-loop of points × edges with the crossing predicate
+    * inline (map-side, no pair shuffle), partial counts combine
+    * map-side, and the one shuffle carries only CROSSING rows (≈2
+    * per inside point). A million-edge layer grid-buckets edges by
+    * y-band first (the [[radiusJoin]] discipline) and the parity
+    * math is unchanged. */
+  def pointInPolygons(points: DataFrame, idCol: String,
+                      pxCol: String, pyCol: String,
+                      edges: DataFrame): DataFrame = {
+    val px = col(pxCol); val py = col(pyCol)
+    val t = (py - col("y1")) * (col("x2") - col("x1")) -
+      (px - col("x1")) * (col("y2") - col("y1"))
+    val carries = points.columns.filterNot(_ == idCol).toSeq
+    points.join(broadcast(edges),
+        ((col("y1") > py) =!= (col("y2") > py)) &&
+          when(col("y2") > col("y1"), t > 0).otherwise(t < 0))
+      .groupBy(col(idCol), col("zone"))
+      .agg(count(lit(1)).as("__k"),
+        carries.map(c => max(col(c)).as(c)): _*)
+      .filter(col("__k") % 2 === 1)
+      .drop("__k")
+  }
 }

@@ -379,4 +379,112 @@ object Graph {
         min(col("depth")).as("min_depth"),
         sum(col("n_paths")).as("n_paths"))
   }
+
+  /** CRITICAL-PATH METHOD (CPM / PERT) over a task DAG: per task the
+    * earliest finish, the longest remaining tail, total float (slack),
+    * and the critical flag — the longest-path problem, which is
+    * [[bomExplode]]'s closure run in the (max, +) SEMIRING instead of
+    * (+, ×): per round the frontier aggregates `max(len + dur)` per
+    * node, so path-level rows never materialize (a reconvergent
+    * diamond ladder has 2^depth paths but at most |nodes| frontier
+    * rows per round). Two passes share one edge table annotated with
+    * the successor's duration:
+    *
+    *   ef(n) = dur(n) + max over predecessors p of ef(p)   (0 at sources)
+    *   lt(n) = max over successors c of (lt(c) + dur(c))   (0 at sinks)
+    *
+    * then with T = max ef over all nodes (attained at a sink — ef is
+    * monotone along edges), slack(n) = T − ef(n) − lt(n) ≥ 0, and the
+    * critical tasks are exactly slack = 0. Pure integer arithmetic:
+    * durations are cast to long, so two engines computing the same
+    * recurrences agree exactly (the q255 oracle replays both passes as
+    * path-enumerating recursive CTEs — max-of-sums equals the
+    * level-synchronous max-aggregation by the (max,+) distributivity,
+    * which is precisely what the hash compare certifies).
+    *
+    * Propagation is level-synchronous over ALL of a round's arrivals
+    * (not Bellman-Ford's improved-only frontier): on a DAG the round
+    * count is the hop depth, and re-proposals from non-final values
+    * are monotonically absorbed by the final per-node max — one hash
+    * join + one hash aggregate per round, frontiers checkpointed and
+    * freed on the [[pageRank]] discipline, nothing on the driver.
+    *
+    * THROWS if `maxDepth` rounds leave a non-empty frontier — on a
+    * cyclic input the longest path is infinite and a partial answer
+    * would be a plausible-looking wrong one (the [[bomExplode]]
+    * contract).
+    *
+    * Returns (node, dur, ef, lt, slack, is_critical). */
+  def criticalPath(nodes: DataFrame, nodeCol: String, durCol: String,
+                   edges: DataFrame, predCol: String, succCol: String,
+                   maxDepth: Int = 64): DataFrame = {
+    require(maxDepth >= 1)
+    val n = nodes.select(col(nodeCol).as("node"),
+        col(durCol).cast("long").as("dur"))
+      .localCheckpoint()
+    // one edge table for both passes, successor duration riding along:
+    // forward adds __cd on arrival at __c, backward adds __cd leaving __c
+    val e = edges.select(col(predCol).as("__p"), col(succCol).as("__c"))
+      .distinct()
+      .join(n.select(col("node").as("__c"), col("dur").as("__cd")),
+        Seq("__c"))
+      .localCheckpoint()
+
+    // one (max,+) closure, shared by both passes: from `start` rows
+    // (node, len), repeatedly len' = max(len + dur(step-target)) per
+    // node along `fromCol`→`toCol`, accumulating every round's
+    // arrivals; final answer = max per node over all rounds
+    def closure(start: DataFrame, fromCol: String, toCol: String,
+                outCol: String): DataFrame = {
+      var frontier = start.localCheckpoint()
+      var acc = frontier
+      var depth = 1
+      while (!frontier.isEmpty && depth < maxDepth) {
+        val next = frontier
+          .withColumnRenamed("node", fromCol)
+          .join(e, Seq(fromCol))
+          .groupBy(col(toCol).as("node"))
+          .agg(max(col("len") + col("__cd")).as("len"))
+          .localCheckpoint()
+        if (frontier ne acc)
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
+        frontier = next
+        if (!frontier.isEmpty) {
+          val na = acc.unionAll(frontier).localCheckpoint()
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(acc)
+          acc = na
+        }
+        depth += 1
+      }
+      if (!frontier.isEmpty) throw new IllegalStateException(
+        s"criticalPath did not exhaust the DAG in $maxDepth rounds; " +
+          "raise maxDepth (or the input has a cycle — the longest " +
+          "path of a cyclic graph is infinite)")
+      acc.groupBy(col("node")).agg(max(col("len")).as(outCol))
+    }
+
+    // forward: sources (no incoming edge) start at their own duration
+    val ef = closure(
+      n.join(e.select(col("__c").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .select(col("node"), col("dur").as("len")),
+      "__p", "__c", "ef")
+    // backward: sinks (no outgoing edge) start at tail 0; the step
+    // pred ← succ adds the SUCCESSOR's duration — the same __cd
+    val lt = closure(
+      n.join(e.select(col("__p").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .select(col("node"), lit(0L).as("len")),
+      "__c", "__p", "lt")
+    // project duration: 1-row aggregate, broadcast onto every node
+    val t = ef.agg(max(col("ef")).as("__t"))
+    // n and e stay checkpointed — the returned plan still reads n, and
+    // truncated lineage cannot rebuild dropped blocks; the session-level
+    // cache clear (Bench/Verify per query) reclaims them
+    n.join(ef, Seq("node")).join(lt, Seq("node"))
+      .crossJoin(broadcast(t))
+      .select(col("node"), col("dur"), col("ef"), col("lt"),
+        (col("__t") - col("ef") - col("lt")).as("slack"),
+        (col("__t") === col("ef") + col("lt")).as("is_critical"))
+  }
 }

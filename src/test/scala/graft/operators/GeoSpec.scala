@@ -74,4 +74,65 @@ class GeoSpec extends SparkSpec {
     val again = df.select($"k", la.as("a"), lo.as("b")).collect().toSeq
     assert(once.map(_.toSeq) === again.map(_.toSeq))
   }
+
+  /** q256's zone fixtures as (zone, closed vertex list). */
+  private val zones: Seq[(String, Seq[(Long, Long)])] = Seq(
+    "ell" -> Seq((-79000000L, 45000000L), (-76000000L, 45000000L),
+      (-76000000L, 46000000L), (-78000000L, 46000000L),
+      (-78000000L, 48500000L), (-79000000L, 48500000L)),
+    "quad" -> Seq((-75000000L, 45000000L), (-72000000L, 45500000L),
+      (-71500000L, 48000000L), (-74500000L, 47500000L)),
+    "tri" -> Seq((-79500000L, 41000000L), (-76000000L, 41500000L),
+      (-78000000L, 44000000L)))
+
+  private def zoneEdges = zones.flatMap { case (z, vs) =>
+    vs.zip(vs.tail :+ vs.head).map { case ((x1, y1), (x2, y2)) =>
+      (z, x1, y1, x2, y2) } }.toDF("zone", "x1", "y1", "x2", "y2")
+
+  test("pointInPolygons: hand-picked interior / exterior / concave-" +
+      "notch points classify exactly") {
+    // the ell notch: x ∈ (−78°, −76°), y ∈ (46°, 48.5°) is OUTSIDE
+    // the L even though it's inside the bounding box
+    val pts = Seq(
+      (1L, -78500000L, 46000000L + 500000L), // ell arm interior
+      (2L, -77000000L, 45500000L),           // ell base interior
+      (3L, -77000000L, 47000000L),           // bbox yes, notch → outside
+      (4L, -73500000L, 46500000L),           // quad interior
+      (5L, -78000000L - 500000L, 42000000L), // tri interior
+      (6L, -70500000L, 41000000L)            // nowhere
+    ).toDF("id", "px", "py")
+    val got = Geo.pointInPolygons(pts, "id", "px", "py", zoneEdges)
+      .select($"id", $"zone").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "ell"), (2L, "ell"), (4L, "quad"),
+      (5L, "tri")))
+  }
+
+  test("pointInPolygons matches the JDK's independent Path2D winding " +
+      "test on a pseudo-random cloud (off-boundary points)") {
+    import java.awt.geom.Path2D
+    val paths = zones.map { case (z, vs) =>
+      val p = new Path2D.Double()
+      p.moveTo(vs.head._1.toDouble, vs.head._2.toDouble)
+      vs.tail.foreach { case (x, y) => p.lineTo(x.toDouble, y.toDouble) }
+      p.closePath(); z -> p
+    }
+    // hash-scattered points over the band; odd micro-degree offsets
+    // keep them off every axis-aligned edge so the two boundary
+    // conventions (PNPOLY half-open vs Path2D) can never disagree
+    val pts = (0 until 400).map { i =>
+      (i.toLong, (-80000000L + i * 2654435761L % 10000000L) | 1L,
+        (40000000L + i * 40503L * 40503L % 10000000L) | 1L)
+    }
+    val got = Geo.pointInPolygons(pts.toDF("id", "px", "py"),
+        "id", "px", "py", zoneEdges)
+      .select($"id", $"zone").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (for {
+      (i, x, y) <- pts
+      (z, p) <- paths if p.contains(x.toDouble, y.toDouble)
+    } yield (i, z)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must land points inside zones")
+  }
 }

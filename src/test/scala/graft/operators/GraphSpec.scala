@@ -205,4 +205,64 @@ class GraphSpec extends SparkSpec {
     assert(Graph.bomExplode(chain, "p", "c", "q", r0, "r", maxDepth = 8)
       .count() === 6L)
   }
+
+  test("criticalPath reproduces the hand-worked PERT example") {
+    // A(3) B(2) sources; A→C, B→C, C→D, C→E, B→E; C(4) D(2) E(3).
+    // ef: A 3, B 2, C 7, D 9, E 10; T = 10; lt: C 3, A 7, B 7;
+    // slack: A 0, B 1, C 0, D 1, E 0 — critical chain A→C→E.
+    val nodes = Seq(("A", 3L), ("B", 2L), ("C", 4L), ("D", 2L),
+      ("E", 3L)).toDF("n", "w")
+    val edges = Seq(("A", "C"), ("B", "C"), ("C", "D"), ("C", "E"),
+      ("B", "E")).toDF("p", "c")
+    val got = Graph.criticalPath(nodes, "n", "w", edges, "p", "c")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got === Map(
+      "A" -> ((3L, 7L, 0L, true)),
+      "B" -> ((2L, 7L, 1L, false)),
+      "C" -> ((7L, 3L, 0L, true)),
+      "D" -> ((9L, 0L, 1L, false)),
+      "E" -> ((10L, 0L, 0L, true))))
+  }
+
+  test("criticalPath invariants vs an independent memoized reference " +
+      "on a random DAG") {
+    val rnd = new scala.util.Random(23)
+    // DAG on 0..59: edges only low → high, so acyclicity is structural
+    val edges = Seq.fill(150)((rnd.nextInt(59), rnd.nextInt(60)))
+      .collect { case (a, b) if a < b => (s"n$a", s"n$b") }.distinct
+    val durs = (0 until 60).map(i => s"n$i" -> (1L + rnd.nextInt(9)))
+    val nodeSet = (edges.map(_._1) ++ edges.map(_._2)).toSet
+    val nd = durs.filter(x => nodeSet(x._1))
+    // memoized longest path INTO each node (inclusive of its duration)
+    val preds = edges.groupBy(_._2)
+    val durMap = nd.toMap
+    val memo = collection.mutable.Map[String, Long]()
+    def efRef(n: String): Long = memo.getOrElseUpdate(n,
+      durMap(n) + preds.get(n).map(_.map(e => efRef(e._1)).max)
+        .getOrElse(0L))
+    val got = Graph.criticalPath(nd.toDF("n", "w"),
+        "n", "w", edges.toDF("p", "c"), "p", "c")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val t = got.values.map(x => x._2).max
+    got.foreach { case (n, (dur, ef, lt, slack)) =>
+      assert(ef === efRef(n), s"ef($n)")
+      assert(slack === t - ef - lt && slack >= 0, s"slack($n)")
+    }
+    // the critical chain is connected: every critical non-sink node
+    // has a critical successor tight on both passes
+    val succs = edges.groupBy(_._1)
+    got.filter { case (_, (_, _, lt, slack)) => slack == 0 && lt > 0 }
+      .foreach { case (n, (_, ef, lt, _)) =>
+        assert(succs(n).exists { case (_, c) =>
+          val (cd, cef, clt, cslack) = got(c)
+          cslack == 0 && cef == ef + cd && lt == clt + cd
+        }, s"critical $n must have a tight critical successor")
+      }
+  }
 }

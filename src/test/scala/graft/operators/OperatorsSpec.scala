@@ -1374,4 +1374,38 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
         s"mismatch at tau=$num/$den")
     }
   }
+
+  test("logHistSketch quantiles honor the 10% relative-error bound " +
+      "vs exact nearest-rank, and sketches MERGE by summing") {
+    val rnd = new scala.util.Random(41)
+    // log-uniform cents over 5 decades — every ladder tier exercised
+    val vals = (1 to 3000).map { _ =>
+      ("g", math.floor(math.pow(10.0, 2 + rnd.nextDouble() * 5))
+        .toLong)
+    }
+    val df = vals.toDF("g", "c")
+    val qs = Seq(50, 90, 99)
+    val got = Percentiles.logHistQuantiles(
+        Percentiles.logHistSketch(df, "g", "c"), "g", qs)
+      .head()
+    val sorted = vals.map(_._2).sorted
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val exact = sorted((sorted.size * q + 99) / 100 - 1).toDouble
+      val est = got.getLong(3 + i).toDouble
+      // estimate = bucket LOWER bound: est ≤ exact < est·1.1 (+1 digit)
+      assert(est <= exact && exact < est * 1.1 + 1,
+        s"p$q: est $est vs exact $exact")
+    }
+    // mergeability: sketch(A ∪ B) == per-bucket sum of the two halves
+    val (a, b) = vals.splitAt(1500)
+    val merged = Percentiles.logHistSketch(a.toDF("g", "c"), "g", "c")
+      .unionAll(Percentiles.logHistSketch(b.toDF("g", "c"), "g", "c"))
+      .groupBy($"__g", $"__b").agg(sum($"__cnt").as("__cnt"))
+    val whole = Percentiles.logHistSketch(df, "g", "c")
+    assert(merged.collect().map(_.toSeq).toSet ===
+      whole.collect().map(_.toSeq).toSet)
+    // and quantiles read identically off the merged sketch
+    assert(Percentiles.logHistQuantiles(merged, "g", qs).head().toSeq
+      === got.toSeq)
+  }
 }
