@@ -6888,6 +6888,104 @@ object SparkEntry {
           Fns.roundU($"rank" * 1000, 6).as("rank_pm"))
         .orderBy($"rank_pm".desc, $"term")
         .limit(20)
+    }),
+
+    // FRACTIONAL-KNAPSACK BUDGET ALLOCATION — the greedy-selection
+    // operator class at scale: spend 1 % of total catalog cost on the
+    // best value-per-cost items (densest first, one fractional item
+    // at the cut — optimal for the fractional relaxation). The
+    // ENTIRE selection is integer-exact: value density ranks by
+    // (v·10⁶ div c) — an int64 rational, never a float ratio — and
+    // the "sort + running total + cut" rides the DISTRIBUTED
+    // two-phase prefix scan (q76/q198's operator), so one global
+    // greedy order costs a range shuffle, not a single-task window.
+    // The budget, the cut item, and its awarded ppm fraction are all
+    // exact integers; the oracle replays the identical arithmetic
+    // with a window scan.
+    "q262_budget_allocation" -> ((s, d) => {
+      val items = Tables.part(s, d)
+        .select($"p_partkey".cast("long").as("key"),
+          floor($"p_retailprice" * 100 + 0.5).cast("long").as("c"))
+        .filter($"c" > 0)
+        .withColumn("u", Sampling.consistentHash($"key") % 100L)
+        .withColumn("v", $"c" + expr("(c * u) div 100"))
+        .withColumn("nr", -expr("(v * 1000000) div c"))
+        .withColumn("__g", lit(1))
+      val cum = Packing.prefixSum(items, Seq("__g"), Seq("nr", "key"),
+        "c", "cumc")
+      val bud = items.agg(expr("sum(c) div 100").as("bud"))
+      val j = cum.crossJoin(broadcast(bud))
+      val full = j.filter($"cumc" <= $"bud")
+        .agg(max($"bud").as("budget_cents"),
+          count(lit(1)).as("n_full"),
+          sum($"v").as("value_full"),
+          max($"cumc").as("spent_full"))
+      val partial = j.filter($"cumc" > $"bud" && $"cumc" - $"c" < $"bud")
+        .select($"key".as("__pk"),
+          expr("((bud - (cumc - c)) * 1000000) div c").as("__ppm"),
+          expr("(v * (((bud - (cumc - c)) * 1000000) div c))" +
+            " div 1000000").as("__pv"))
+      full.join(partial, lit(true), "left")
+        .select($"budget_cents", $"n_full", $"value_full",
+          $"spent_full",
+          coalesce($"__pk", lit(0L)).as("partial_key"),
+          coalesce($"__ppm", lit(0L)).as("partial_ppm"),
+          ($"value_full" + coalesce($"__pv", lit(0L)))
+            .as("total_value"))
+    }),
+
+    // INTERVAL SCHEDULING — activity selection per desk: the maximum
+    // set of non-overlapping order-service windows, by the
+    // earliest-deadline-first greedy (optimal by the exchange
+    // argument). Like q209/q224 this is a genuinely SEQUENTIAL
+    // recurrence — no window/prefix-sum form — run as the
+    // secondary-sort O(1)-state scan sorted on interval END
+    // (Sessionize.greedySchedule), and replayed by the oracle as a
+    // one-interval-per-iteration recursive CTE. Half-open [s, e):
+    // touching windows are compatible. One staffing year keeps the
+    // oracle's recursion depth bounded; the engine side has no such
+    // limit — state is two scalars however long a desk's history.
+    "q263_interval_scheduling" -> ((s, d) => {
+      val iv = Tables.orders(s, d)
+        .filter($"o_orderdate" >= "1995-01-01" &&
+          $"o_orderdate" < "1996-01-01")
+        .select(($"o_custkey" % 23).cast("long").as("desk"),
+          datediff($"o_orderdate", lit("1992-01-01")).cast("long")
+            .as("st"),
+          $"o_orderkey".cast("long").as("oid"))
+        .withColumn("en", $"st" + lit(1L) + $"oid" % 14)
+      Sessionize.greedySchedule(iv, "desk", "st", "en", "oid")
+        .groupBy($"desk")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when($"accepted", 1L).otherwise(0L)).as("n_accepted"),
+          min(when($"accepted", $"st")).as("first_start"),
+          max(when($"accepted", $"en")).as("last_end"))
+        .orderBy($"desk")
+    }),
+
+    // HITS HUBS & AUTHORITIES — Kleinberg's coupled power iteration
+    // over the directed customer→supplier trade graph, run
+    // UNNORMALIZED so every score is an INTEGER PATH COUNT
+    // (a₁ = in-degree, h₁(c) = Σ_{c→s} a₁(s), a₂(s) = Σ_{c→s} h₁(c)
+    // — the number of c→s'→c'→s walk completions): normalization
+    // divides every score by the same global scalar, so the ranking
+    // is identical and the integer readout is the cross-engine-exact
+    // form (no float in the hash path — the q123 discipline applied
+    // to a graph algorithm). Two hash-join + hash-aggregate rounds
+    // on the edge partitioning; top 20 authorities.
+    "q264_hits_authorities" -> ((s, d) => {
+      val e = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
+        .distinct()
+      val a1 = e.groupBy($"supp").agg(count(lit(1)).as("a1"))
+      val h1 = e.join(a1, Seq("supp"))
+        .groupBy($"cust").agg(sum($"a1").as("h1"))
+      e.join(h1, Seq("cust"))
+        .groupBy($"supp")
+        .agg(count(lit(1)).as("indeg"), sum($"h1").as("a2"))
+        .orderBy($"a2".desc, $"supp")
+        .limit(20)
     })
   )
 
@@ -13186,7 +13284,94 @@ object SparkEntry {
         |  GROUP BY e.dst)
         |SELECT node AS term,
         |  floor(r * 1000 * 1000000 + 0.5) / 1000000.0 AS rank_pm
-        |FROM r3 ORDER BY rank_pm DESC, term LIMIT 20""".stripMargin
+        |FROM r3 ORDER BY rank_pm DESC, term LIMIT 20""".stripMargin,
+
+    // q262: the same integer density rank and running-total cut as a
+    // single window scan (fine at oracle scale; the engine side uses
+    // the distributed two-phase prefix sum)
+    "q262_budget_allocation" ->
+      """WITH it AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS key,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM part WHERE floor(p_retailprice * 100 + 0.5) > 0),
+        |iv AS (
+        |  SELECT key, c,
+        |    ((key % 2147483647) * 2654435761 % 4294967296) % 100 AS u
+        |  FROM it),
+        |vv AS (SELECT key, c, c + (c * u) // 100 AS v FROM iv),
+        |rr AS (SELECT *, -((v * 1000000) // c) AS nr FROM vv),
+        |cum AS (
+        |  SELECT *, CAST(sum(c) OVER (ORDER BY nr, key
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc FROM rr),
+        |b AS (SELECT CAST(sum(c) // 100 AS BIGINT) AS bud FROM rr),
+        |f AS (
+        |  SELECT max(bud) AS budget_cents,
+        |    CAST(count(*) AS BIGINT) AS n_full,
+        |    CAST(sum(v) AS BIGINT) AS value_full,
+        |    CAST(max(cumc) AS BIGINT) AS spent_full
+        |  FROM cum CROSS JOIN b WHERE cumc <= bud),
+        |p AS (
+        |  SELECT key AS pk,
+        |    ((bud - (cumc - c)) * 1000000) // c AS ppm,
+        |    (v * (((bud - (cumc - c)) * 1000000) // c)) // 1000000
+        |      AS pv
+        |  FROM cum CROSS JOIN b WHERE cumc > bud AND cumc - c < bud)
+        |SELECT f.budget_cents, f.n_full, f.value_full, f.spent_full,
+        |  CAST(coalesce(p.pk, 0) AS BIGINT) AS partial_key,
+        |  CAST(coalesce(p.ppm, 0) AS BIGINT) AS partial_ppm,
+        |  CAST(f.value_full + coalesce(p.pv, 0) AS BIGINT)
+        |    AS total_value
+        |FROM f LEFT JOIN p ON TRUE""".stripMargin,
+
+    // q263: the greedy replayed one interval per iteration in
+    // (end, start, id) rank order — q224's walk pattern with the
+    // accept-iff-start-clears-last-end recurrence
+    "q263_interval_scheduling" ->
+      """WITH RECURSIVE iv0 AS (
+        |  SELECT o_custkey % 23 AS k,
+        |    date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS s,
+        |    o_orderkey AS i
+        |  FROM orders
+        |  WHERE o_orderdate >= '1995-01-01'
+        |    AND o_orderdate < '1996-01-01'),
+        |iv AS (
+        |  SELECT k, s, s + 1 + i % 14 AS e, i,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY s + 1 + i % 14, s, i) AS rn
+        |  FROM iv0),
+        |walk AS (
+        |  SELECT k, rn, s, e, TRUE AS acc, e AS last_end
+        |  FROM iv WHERE rn = 1
+        |  UNION ALL
+        |  SELECT iv.k, iv.rn, iv.s, iv.e, iv.s >= w.last_end,
+        |    CASE WHEN iv.s >= w.last_end THEN iv.e
+        |         ELSE w.last_end END
+        |  FROM walk w JOIN iv ON iv.k = w.k AND iv.rn = w.rn + 1)
+        |SELECT CAST(k AS BIGINT) AS desk,
+        |  CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(CASE WHEN acc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_accepted,
+        |  CAST(min(CASE WHEN acc THEN s END) AS BIGINT)
+        |    AS first_start,
+        |  CAST(max(CASE WHEN acc THEN e END) AS BIGINT) AS last_end
+        |FROM walk GROUP BY 1 ORDER BY desk""".stripMargin,
+
+    // q264: the two unnormalized HITS steps as plain aggregation
+    // rounds — every score an integer walk count
+    "q264_hits_authorities" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a1 AS (SELECT supp, CAST(count(*) AS BIGINT) AS a1
+        |  FROM e GROUP BY 1),
+        |h1 AS (
+        |  SELECT e.cust, CAST(sum(a1.a1) AS BIGINT) AS h1
+        |  FROM e JOIN a1 ON e.supp = a1.supp GROUP BY 1)
+        |SELECT e.supp, CAST(count(*) AS BIGINT) AS indeg,
+        |  CAST(sum(h1.h1) AS BIGINT) AS a2
+        |FROM e JOIN h1 ON e.cust = h1.cust
+        |GROUP BY 1 ORDER BY a2 DESC, supp LIMIT 20""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -96,4 +96,44 @@ object Sessionize {
       }
       .toDF(keyCol, tsCol, idCol, "kept")
   }
+
+  /** INTERVAL-SCHEDULING maximization (activity selection): per key,
+    * scan intervals in (end, start, id) order and ACCEPT one iff its
+    * start ≥ the last ACCEPTED interval's end (half-open [s, e) —
+    * touching intervals are compatible). The earliest-deadline-first
+    * greedy is optimal by the classic exchange argument, and like
+    * [[debounce]] it is a genuinely sequential recurrence (whether an
+    * interval is accepted depends on every prior acceptance), so no
+    * window/prefix-sum form exists. Same secondary-sort O(1)-state
+    * scan — the only difference from the session family is that the
+    * within-partition sort runs on the interval END. Oracle-able as a
+    * recursive-CTE replay (q263). Returns one row per interval:
+    * (key, start, end, id, accepted). */
+  def greedySchedule(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("__k"),
+        col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"),
+        col(idCol).cast("long").as("__i"))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__e"), col("__s"),
+        col("__i"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { rows =>
+        var curKey = Long.MinValue
+        var haveKey = false
+        var lastEnd = Long.MinValue
+        rows.map { case (k, s, e, i) =>
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; lastEnd = Long.MinValue
+          }
+          val ok = lastEnd == Long.MinValue || s >= lastEnd
+          if (ok) lastEnd = e
+          (k, s, e, i, ok)
+        }
+      }
+      .toDF(keyCol, startCol, endCol, idCol, "accepted")
+  }
 }

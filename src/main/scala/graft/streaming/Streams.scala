@@ -721,4 +721,69 @@ object Streams {
           Iterator(KmvUpdate(g, seen + n, merged.length, est))
       }
   }
+
+  /** Keyed cents row for [[logHistStream]]. */
+  case class CentsRow(group: String, cents: Long)
+
+  /** Per-batch sketch readout: running n, bucket fill, and the three
+    * quantile estimates (bucket lower bounds, cents). `n_seen` is the
+    * monotone batch cursor identifying the latest readout. */
+  case class HistQuantiles(group: String, n_seen: Long, n_buckets: Int,
+                           p50_cents: Long, p90_cents: Long,
+                           p99_cents: Long)
+
+  /** STREAMING log-linear quantile sketch — the incremental twin of
+    * batch q260 ([[graft.operators.Percentiles.logHistSketch]]):
+    * per-group state is the bucket→count map of the SAME integer
+    * decade ladder, so state is bounded by the bucket space (≤ ~90
+    * per decade), never by stream length — and because the sketch
+    * merges by summing counts, the readout after any micro-batch
+    * split equals the one-shot batch readout exactly (the parity
+    * property StreamsSpec pins against the batch operator itself).
+    * Quantiles are read per batch by the same ceil-rank walk. */
+  def logHistStream(rows: Dataset[CentsRow]): Dataset[HistQuantiles] = {
+    import rows.sparkSession.implicits._
+    // plain-Scala mirror of Percentiles.logBucket / logBucketLow —
+    // spec-pinned equal to the Column ladder via the batch parity
+    def bucket(c: Long): Long =
+      if (c >= 10000000L) 8000L + c / 1000000L
+      else if (c >= 1000000L) 7000L + c / 100000L
+      else if (c >= 100000L) 6000L + c / 10000L
+      else if (c >= 10000L) 5000L + c / 1000L
+      else if (c >= 1000L) 4000L + c / 100L
+      else if (c >= 100L) 3000L + c / 10L
+      else if (c >= 10L) 2000L + c
+      else 1000L + c
+    def low(b: Long): Long = {
+      val sub = b % 1000L
+      (b / 1000L) match {
+        case 8 => sub * 1000000L; case 7 => sub * 100000L
+        case 6 => sub * 10000L;   case 5 => sub * 1000L
+        case 4 => sub * 100L;     case 3 => sub * 10L
+        case _ => sub
+      }
+    }
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState[Map[Long, Long], HistQuantiles](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (g, it, state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { r =>
+            val b = bucket(r.cents)
+            m = m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          state.update(m)
+          val n = m.valuesIterator.sum
+          val sorted = m.toArray.sortBy(_._1)
+          def q(p: Int): Long = {
+            val t = (n * p + 99L) / 100L
+            var cum = 0L; var res = 0L; var i = 0
+            while (i < sorted.length && cum < t) {
+              cum += sorted(i)._2; res = low(sorted(i)._1); i += 1
+            }
+            res
+          }
+          Iterator(HistQuantiles(g, n, m.size, q(50), q(90), q(99)))
+      }
+  }
 }

@@ -99,4 +99,43 @@ class SessionizeSpec extends SparkSpec {
     }.sortBy(x => (x._1, x._2, x._3))
     assert(got === expect)
   }
+
+  test("greedySchedule accepts an OPTIMAL-size set per key (vs an " +
+      "independent DP) and accepted intervals never overlap") {
+    val rnd = new scala.util.Random(31)
+    val ivs = (1L to 300L).map { i =>
+      val k = i % 7
+      val s = rnd.nextInt(200).toLong
+      (k, s, s + 1 + rnd.nextInt(30), i)
+    }
+    val got = Sessionize.greedySchedule(
+        ivs.toDF("k", "s", "e", "i"), "k", "s", "e", "i")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // optimal count by the classic DP: sort by end; opt(j) =
+    // max(opt(j-1), 1 + opt(last compatible before j))
+    def optCount(xs: Seq[(Long, Long)]): Int = {
+      val by = xs.sortBy(x => (x._2, x._1))
+      val opt = Array.ofDim[Int](by.length + 1)
+      for (j <- 1 to by.length) {
+        val (s, _) = by(j - 1)
+        val p = by.take(j - 1).lastIndexWhere(_._2 <= s) + 1
+        opt(j) = math.max(opt(j - 1), 1 + opt(p))
+      }
+      if (by.isEmpty) 0 else opt(by.length)
+    }
+    for (k <- 0L until 7L) {
+      val mine = got.filter(_._1 == k)
+      val acc = mine.filter(_._5).sortBy(_._2)
+      // no two accepted intervals overlap (half-open)
+      acc.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 >= a._3, s"overlap in key $k")
+        case _ =>
+      }
+      assert(acc.length ===
+        optCount(ivs.filter(_._1 == k).map(x => (x._2, x._3))),
+        s"greedy must be optimal for key $k")
+    }
+  }
 }

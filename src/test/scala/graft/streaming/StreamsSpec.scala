@@ -1098,4 +1098,50 @@ class StreamsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("logHistStream: final quantile readout equals the batch " +
+      "logHistSketch operator under any micro-batch split") {
+    val rnd = new scala.util.Random(59)
+    // two groups, 5 decades of log-uniform cents — every ladder tier
+    val rows = (0 until 600).map { i =>
+      (if (i % 3 == 0) "A" else "B",
+        math.floor(math.pow(10.0, 2 + rnd.nextDouble() * 5)).toLong)
+    }
+    // batch truth straight from the operator the stream mirrors
+    val batch = graft.operators.Percentiles.logHistQuantiles(
+        graft.operators.Percentiles.logHistSketch(
+          rows.toDF("g", "c"), "g", "c"), "g", Seq(50, 90, 99))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    for ((split, tag) <- Seq(150 -> "h150", 413 -> "h413")) {
+      val dir = Files.createTempDirectory(s"graft-hist-$tag").toFile
+      val stream = spark.readStream
+        .schema("group STRING, cents LONG")
+        .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+        .as[Streams.CentsRow]
+      val q = Streams.logHistStream(stream)
+        .writeStream.format("memory").queryName(s"hist$tag")
+        .outputMode("append").start()
+      try {
+        def js(r: (String, Long)) =
+          s"""{"group":"${r._1}","cents":${r._2}}"""
+        dropFile(dir, "b1.json",
+          rows.take(split).map(js).mkString("\n"))
+        q.processAllAvailable()
+        dropFile(dir, "b2.json",
+          rows.drop(split).map(js).mkString("\n"))
+        q.processAllAvailable()
+        val got = spark.table(s"hist$tag").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+        for (g <- Seq("A", "B")) {
+          val fin = got.filter(_._1 == g).maxBy(_._2)
+          assert((fin._2, fin._3.toLong, fin._4, fin._5, fin._6)
+            === batch(g), s"group $g split $split")
+        }
+      } finally q.stop()
+    }
+  }
 }
