@@ -633,6 +633,30 @@ object Scratch {
       }
     }
 
+    /** q255 critical path: the div3/div5 DAG at mult× nodes, the same
+      * growth model as [[bomChain]] — node count scales, DEPTH grows
+      * only logarithmically (one level per 3×), so the expected curve
+      * is linear-in-nodes with the per-round fixed overhead amortizing
+      * — the honest test that the (max,+) closure never enumerates
+      * paths (2^depth of them at any scale). */
+    def cpmChain(mult: Int): Double = {
+      val n = 20000L * mult
+      val part = spark.range(0, n).select(col("id").as("p"))
+      val nodes = part.select(col("p").as("node"),
+        (lit(1L) + col("p") % 7).as("dur"))
+      val kids = part.filter(col("p") >= 10)
+      val edges = kids.select(expr("p div 3").as("pred"),
+          col("p").as("succ"))
+        .unionAll(kids.select(expr("p div 5").as("pred"),
+          col("p").as("succ")))
+      timed {
+        val crit = operators.Graph.criticalPath(nodes, "node", "dur",
+            edges, "pred", "succ")
+          .filter(col("is_critical")).count()
+        println(s"[scratch]   cpm mult=$mult critical=$crit")
+      }
+    }
+
     /** q211 fuzzy linkage: each replica applies a DISTINCT affine
       * cipher to the letter alphabet (j → a·j + b mod 26, a coprime
       * to 26 — 312 distinct bijections, enough for a 100× probe; a
@@ -761,7 +785,8 @@ object Scratch {
       "triangles" -> triangleChain, "sweep" -> sweepChain,
       "bfs" -> bfsChain, "sssp" -> ssspChain,
       "ledger" -> ledgerChain, "bom" -> bomChain,
-      "linkage" -> linkageChain, "interval" -> intervalChain)
+      "linkage" -> linkageChain, "interval" -> intervalChain,
+      "cpm" -> cpmChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm
