@@ -6986,6 +6986,73 @@ object SparkEntry {
         .agg(count(lit(1)).as("indeg"), sum($"h1").as("a2"))
         .orderBy($"a2".desc, $"supp")
         .limit(20)
+    }),
+
+    // PRODUCT QUANTIZATION + ADC SHORTLIST + EXACT RERANK — the
+    // memory-compression member of the ANN family (brute q26, IVF
+    // q27/q96, RP-LSH q68), in its production shape: vectors are
+    // stored as 16 codes (16 × 4-dim subspaces, 64 sampled codewords
+    // each — k-means at iteration 0, deterministic and data-derived),
+    // a query scans ONLY the code table against its broadcast 16×64
+    // lookup table, the ADC top-100 becomes the shortlist, and the
+    // float corpus is touched exactly |shortlist| times for the exact
+    // rerank — at 100 TB the 32×-smaller code table is the only full
+    // scan. EVERYTHING is integer-exact (millis quantization, int64
+    // sum-of-squares, argmin ties on the code index via min(struct)),
+    // so the DuckDB oracle replays encode→LUT→scan→rerank bit-exactly
+    // — unlike q27/q40 there is no no-oracle concession, because the
+    // rerank output is exact integers whatever the shortlist quality
+    // (RecallSpec pins that quality: the shortlist contains the true
+    // top-5 at the fixture SFs). Both top-k cuts ride the native
+    // TopKPerKey plan, never a corpus-wide window.
+    "q265_pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", transform($"embedding", x =>
+          floor(x.cast("double") * 1000 + 0.5).cast("long"))
+          .as("mil"))
+      val cbBase = emb.filter($"vec_id" % 7 === 1)
+        .orderBy($"vec_id").limit(64)
+        .withColumn("k",
+          row_number().over(Window.orderBy($"vec_id")) - 1)
+      val cb = cbBase
+        .select($"k", explode(sequence(lit(0), lit(15))).as("m"),
+          $"mil")
+        .select($"k", $"m", expr("slice(mil, m * 4 + 1, 4)")
+          .as("csub"))
+      val sub = emb
+        .select($"vec_id", explode(sequence(lit(0), lit(15))).as("m"),
+          $"mil")
+        .select($"vec_id", $"m", expr("slice(mil, m * 4 + 1, 4)")
+          .as("vsub"))
+      val d2 = aggregate(
+        zip_with($"vsub", $"csub", (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val codes = sub.join(broadcast(cb), Seq("m"))
+        .select($"vec_id", $"m", struct(d2.as("d"), $"k").as("p"))
+        .groupBy($"vec_id", $"m")
+        .agg(min($"p").getField("k").as("code"))
+      val lut = sub.filter($"vec_id" < 5)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(broadcast(cb), Seq("m"))
+        .select($"query_id", $"m", $"k".as("code"), d2.as("ld"))
+      val est = codes.join(broadcast(lut), Seq("m", "code"))
+        .filter($"vec_id" =!= $"query_id")
+        .groupBy($"query_id", $"vec_id".as("neighbor_id"))
+        .agg(sum($"ld").as("adc_d2"))
+      val shortlist = graft.plans.TopKPerKey(est, Seq("query_id"),
+        Seq($"adc_d2".asc, $"neighbor_id".asc), k = 100)
+      val exact = aggregate(
+        zip_with($"qmil", $"nmil", (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val rr = shortlist
+        .join(emb.select($"vec_id".as("query_id"),
+          $"mil".as("qmil")), Seq("query_id"))
+        .join(emb.select($"vec_id".as("neighbor_id"),
+          $"mil".as("nmil")), Seq("neighbor_id"))
+        .select($"query_id", $"neighbor_id", exact.as("d2"))
+      graft.plans.TopKPerKey(rr, Seq("query_id"),
+          Seq($"d2".asc, $"neighbor_id".asc), k = 5)
+        .orderBy($"query_id", $"d2", $"neighbor_id")
     })
   )
 
@@ -13371,7 +13438,64 @@ object SparkEntry {
         |SELECT e.supp, CAST(count(*) AS BIGINT) AS indeg,
         |  CAST(sum(h1.h1) AS BIGINT) AS a2
         |FROM e JOIN h1 ON e.cust = h1.cust
-        |GROUP BY 1 ORDER BY a2 DESC, supp LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY a2 DESC, supp LIMIT 20""".stripMargin,
+
+    // q265: the full encode→LUT→scan→rerank replay — millis
+    // quantization, sampled codebook, int64 sum-of-squares distances,
+    // row_number argmin with the (d, k) tie order
+    "q265_pq_adc" ->
+      """WITH mil AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT)) AS mil
+        |  FROM embeddings),
+        |cbb AS (
+        |  SELECT mil, row_number() OVER (ORDER BY vec_id) - 1 AS k
+        |  FROM mil WHERE vec_id % 7 = 1 ORDER BY vec_id LIMIT 64),
+        |cb AS (
+        |  SELECT k, u.m, mil[u.m * 4 + 1 : u.m * 4 + 4] AS csub
+        |  FROM cbb, range(0, 16) u(m)),
+        |sub AS (
+        |  SELECT vec_id, u.m, mil[u.m * 4 + 1 : u.m * 4 + 4] AS vsub
+        |  FROM mil, range(0, 16) u(m)),
+        |encd AS (
+        |  SELECT s.vec_id, s.m, c.k,
+        |    (SELECT sum((s.vsub[j.i] - c.csub[j.i])
+        |       * (s.vsub[j.i] - c.csub[j.i]))
+        |     FROM range(1, 5) j(i)) AS d
+        |  FROM sub s JOIN cb c ON s.m = c.m),
+        |codes AS (
+        |  SELECT vec_id, m, k AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d, k) AS rn FROM encd)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT s.vec_id AS query_id, s.m, c.k AS code,
+        |    (SELECT sum((s.vsub[j.i] - c.csub[j.i])
+        |       * (s.vsub[j.i] - c.csub[j.i]))
+        |     FROM range(1, 5) j(i)) AS ld
+        |  FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < 5),
+        |est AS (
+        |  SELECT l.query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(l.ld) AS BIGINT) AS adc_d2
+        |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY adc_d2, neighbor_id) AS rk FROM est),
+        |sl AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 100),
+        |rr AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    (SELECT sum((qm.mil[j.i] - nm.mil[j.i])
+        |       * (qm.mil[j.i] - nm.mil[j.i]))
+        |     FROM range(1, 65) j(i)) AS d2
+        |  FROM sl s JOIN mil qm ON qm.vec_id = s.query_id
+        |  JOIN mil nm ON nm.vec_id = s.neighbor_id),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY d2, neighbor_id) AS rk FROM rr)
+        |SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2
+        |FROM r2 WHERE rk <= 5
+        |ORDER BY query_id, d2, neighbor_id""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

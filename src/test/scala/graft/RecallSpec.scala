@@ -116,6 +116,28 @@ class RecallSpec extends SparkSpec {
     // payoff of centroid training.
     assert(recalls("q27_embed_ann_ivf") >= 0.45, recalls.toString)
     assert(recalls("q40_embed_ann_kmeans") >= 0.8, recalls.toString)
+    // q265's ADC top-100 shortlist + exact rerank: at the fixture SF
+    // the shortlist CONTAINS the true top-5 (measured recall 1.0 at
+    // sf0.001 and sf0.01), so the reranked output must EQUAL the
+    // exact-L2 top-5 on the quantized vectors — the strongest form of
+    // the recall gate (an approximation whose final answer is exact)
+    val mil = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
+      .toMap
+    val exactPq = (0L until 5L).flatMap { q =>
+      mil.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (q, id, v.zip(mil(q)).map { case (a, b) =>
+            (a - b) * (a - b) }.sum) }
+        .sortBy { case (_, id, d2) => (d2, id) }.take(5)
+    }.toSet
+    val gotPq = SparkEntry.queries("q265_pq_adc")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("d2"))).toSet
+    assert(gotPq === exactPq,
+      "PQ shortlist+rerank must recover the exact top-5 here")
     // the two-level funnel measures the SAME 0.48 as flat q27 at these
     // settings — coarse pruning (2 of 3 coarse probed) loses nothing
     // here; recall is bounded by the single-cell data assignment both
