@@ -1024,4 +1024,46 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(loops.isEmpty, s"interval join degenerated to $loops:\n$p")
   }
+
+  test("q256 geofence: the polygon edge table rides a BROADCAST " +
+      "nested loop (a dimension), never a shuffled cartesian") {
+    val p = plan("q256_geofence")
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        c.nodeName
+    }
+    assert(cart.isEmpty, s"edge join shuffled a cartesian:\n$p")
+    val bnl = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.nonEmpty, s"expected broadcast nested loop on edges:\n$p")
+  }
+
+  test("q262 budget allocation: the greedy order is the distributed " +
+      "prefix scan — no global (unpartitioned) data-sized window") {
+    val p = plan("q262_budget_allocation")
+    // prefixSum's windows are per-partition-id or per-group; any
+    // window over the full item set with empty partitioning would be
+    // the one-task pattern this query exists to avoid
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in greedy order:\n$p")
+  }
+
+  test("q265 PQ: codebook and LUT broadcast; both top-k cuts ride " +
+      "TopKPerKeyExec, never a corpus-wide sort window") {
+    val p = plan("q265_pq_adc")
+    val topk = collectAll(p) {
+      case t: graft.plans.TopKPerKeyExec => t
+    }
+    assert(topk.size >= 2, s"expected two TopKPerKeyExec cuts:\n$p")
+    val bhj = collectAll(p) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, s"expected broadcast joins on cb/lut:\n$p")
+    // the only windows allowed are over the 64-row codebook build
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.size <= 2, s"unexpected data-sized window:\n$p")
+  }
 }
