@@ -7053,6 +7053,114 @@ object SparkEntry {
       graft.plans.TopKPerKey(rr, Seq("query_id"),
           Seq($"d2".asc, $"neighbor_id".asc), k = 5)
         .orderBy($"query_id", $"d2", $"neighbor_id")
+    }),
+
+    // DATA-QUALITY SUITE — the dbt-test/Great-Expectations operator
+    // class as ONE scan-bounded audit: a battery of integrity checks
+    // (PK uniqueness as a two-level aggregate — never a
+    // count-distinct EXPAND; FK orphans as left joins with the dim
+    // broadcast; domain/range membership) plus policy checks that
+    // flag real rows (quantity/price caps, freshness), emitted as a
+    // uniform (check, n_checked, n_violations, pass) scorecard. Each
+    // check is a one-row aggregate with map-side partials; the fact
+    // tables are scanned once per check family, dimensions broadcast.
+    "q266_dq_suite" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      def named(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("check"), $"n_checked", $"n_violations")
+      val checks = Seq(
+        named("customer_pk_unique",
+          cust.groupBy($"c_custkey").agg(count(lit(1)).as("__n"))
+            .agg(sum($"__n").as("n_checked"),
+              sum($"__n" - 1).as("n_violations"))),
+        named("customer_segment_domain",
+          cust.agg(count(lit(1)).as("n_checked"),
+            sum(when(!$"c_mktsegment".isin("AUTOMOBILE", "HOUSEHOLD",
+              "BUILDING", "FURNITURE", "MACHINERY"), 1L)
+              .otherwise(0L)).as("n_violations"))),
+        named("orders_custkey_fk",
+          ord.select($"o_custkey")
+            .join(broadcast(cust.select($"c_custkey")),
+              $"o_custkey" === $"c_custkey", "left")
+            .agg(count(lit(1)).as("n_checked"),
+              sum(when($"c_custkey".isNull, 1L).otherwise(0L))
+                .as("n_violations"))),
+        named("orders_price_positive",
+          ord.agg(count(lit(1)).as("n_checked"),
+            sum(when($"o_totalprice" <= 0, 1L).otherwise(0L))
+              .as("n_violations"))),
+        named("orders_price_leq_500k_policy",
+          ord.agg(count(lit(1)).as("n_checked"),
+            sum(when($"o_totalprice" > 500000, 1L).otherwise(0L))
+              .as("n_violations"))),
+        named("orders_fresh_before_2001h2_policy",
+          ord.agg(count(lit(1)).as("n_checked"),
+            sum(when($"o_orderdate" >= "2001-07-01", 1L)
+              .otherwise(0L)).as("n_violations"))),
+        named("lineitem_orderkey_fk",
+          li.select($"l_orderkey")
+            .join(ord.select($"o_orderkey"),
+              $"l_orderkey" === $"o_orderkey", "left")
+            .agg(count(lit(1)).as("n_checked"),
+              sum(when($"o_orderkey".isNull, 1L).otherwise(0L))
+                .as("n_violations"))),
+        named("lineitem_qty_in_1_50",
+          li.agg(count(lit(1)).as("n_checked"),
+            sum(when($"l_quantity" < 1 || $"l_quantity" > 50, 1L)
+              .otherwise(0L)).as("n_violations"))),
+        named("lineitem_qty_leq_45_policy",
+          li.agg(count(lit(1)).as("n_checked"),
+            sum(when($"l_quantity" > 45, 1L).otherwise(0L))
+              .as("n_violations"))),
+        named("lineitem_discount_in_0_10pct",
+          li.agg(count(lit(1)).as("n_checked"),
+            sum(when($"l_discount" < 0 || $"l_discount" > 0.10001, 1L)
+              .otherwise(0L)).as("n_violations"))))
+      checks.reduce(_ unionAll _)
+        .withColumn("pass", $"n_violations" === 0)
+        .orderBy($"check")
+    }),
+
+    // HYPERPARAMETER GRID SCORING — model selection as a data-
+    // parallel operator: five blend weights α for the one-step daily
+    // revenue forecast ŷ_t = (α·y_{t−7} + (100−α)·y_{t−1}) div 100
+    // are scored per order-priority segment on EXACT integer-cent
+    // absolute error over the year-2000 eval window, and the winner
+    // is the one-aggregate argmin min(struct(loss, α)) — ties to the
+    // smaller α inside the struct order. The 5-row grid broadcasts
+    // onto the lagged daily series (scan × |grid| map-side rows, one
+    // (segment, α) aggregate, |segments| output rows) — the shape a
+    // 10 000-configuration sweep needs at 100 TB: params are a
+    // dimension, data is scanned once.
+    "q267_grid_search" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy($"o_orderpriority".as("seg"),
+          $"o_orderdate".cast("date").as("dt"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("c"))
+      val w = Window.partitionBy($"seg").orderBy($"dt")
+      val lagged = daily
+        .withColumn("__l1", lag($"c", 1).over(w))
+        .withColumn("__l7", lag($"c", 7).over(w))
+        .filter($"__l1".isNotNull && $"__l7".isNotNull &&
+          $"dt" >= "2000-01-01" && $"dt" < "2001-01-01")
+      val grid = { import s.implicits._
+        Seq(0L, 25L, 50L, 75L, 100L).toDF("alpha") }
+      lagged.crossJoin(broadcast(grid))
+        .select($"seg", $"alpha",
+          abs($"c" - expr("(alpha * __l7 + (100 - alpha) * __l1)" +
+            " div 100")).as("__e"))
+        .groupBy($"seg", $"alpha")
+        .agg(sum($"__e").as("__loss"), count(lit(1)).as("__n"))
+        .groupBy($"seg")
+        .agg(min(struct($"__loss", $"alpha")).getField("alpha")
+          .as("best_alpha"),
+          min(struct($"__loss", $"alpha")).getField("__loss")
+            .as("best_loss_cents"),
+          max($"__n").as("n_days"))
+        .orderBy($"seg")
     })
   )
 
@@ -13495,7 +13603,99 @@ object SparkEntry {
         |  ORDER BY d2, neighbor_id) AS rk FROM rr)
         |SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2
         |FROM r2 WHERE rk <= 5
-        |ORDER BY query_id, d2, neighbor_id""".stripMargin
+        |ORDER BY query_id, d2, neighbor_id""".stripMargin,
+
+    // q266: the same ten checks as one UNION ALL battery
+    "q266_dq_suite" ->
+      """WITH all_checks AS (
+        |  SELECT 'customer_pk_unique' AS chk,
+        |    CAST(sum(n) AS BIGINT) AS n_checked,
+        |    CAST(sum(n - 1) AS BIGINT) AS n_violations
+        |  FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
+        |  UNION ALL
+        |  SELECT 'customer_segment_domain', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE',
+        |      'HOUSEHOLD', 'BUILDING', 'FURNITURE', 'MACHINERY')
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c
+        |    ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'orders_price_positive', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_price_leq_500k_policy',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_totalprice > 500000 THEN 1 ELSE 0
+        |      END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_fresh_before_2001h2_policy',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderdate >= '2001-07-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
+        |      END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_in_1_50', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_leq_45_policy',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_in_0_10pct',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.10001
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT chk AS "check", n_checked, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM all_checks ORDER BY chk""".stripMargin,
+
+    // q267: the same lagged blend grid as a window + cross join +
+    // rank — argmin tie to the smaller alpha, mirrored
+    "q267_grid_search" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS seg, CAST(o_orderdate AS DATE)
+        |      AS dt,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT seg, dt, c,
+        |    lag(c, 1) OVER (PARTITION BY seg ORDER BY dt) AS l1,
+        |    lag(c, 7) OVER (PARTITION BY seg ORDER BY dt) AS l7
+        |  FROM daily),
+        |ev AS (SELECT * FROM lagged
+        |  WHERE l1 IS NOT NULL AND l7 IS NOT NULL
+        |    AND dt >= DATE '2000-01-01' AND dt < DATE '2001-01-01'),
+        |g(alpha) AS (VALUES (0), (25), (50), (75), (100)),
+        |sc AS (
+        |  SELECT seg, alpha,
+        |    CAST(sum(abs(c - (alpha * l7 + (100 - alpha) * l1)
+        |      // 100)) AS BIGINT) AS loss,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ev CROSS JOIN g GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY seg
+        |  ORDER BY loss, alpha) AS rn FROM sc)
+        |SELECT seg, CAST(alpha AS BIGINT) AS best_alpha,
+        |  loss AS best_loss_cents, n AS n_days
+        |FROM r WHERE rn = 1 ORDER BY seg""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
