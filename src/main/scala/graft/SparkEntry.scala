@@ -7161,6 +7161,81 @@ object SparkEntry {
             .as("best_loss_cents"),
           max($"__n").as("n_days"))
         .orderBy($"seg")
+    }),
+
+    // SEQUENCE-GAP AUDIT — the missing-invoice-numbers check over the
+    // finance extract (status 'F' orders): holes in the observed key
+    // sequence, found SHARD-LOCALLY. The scale shape is the point: a
+    // global lead() would be the one-task window, so keys bucket by
+    // range (k div 10000), adjacency inside a bucket is a PARTITIONED
+    // window, and the cross-bucket seams stitch through the
+    // bucket-summary table — metadata-sized (one row per non-empty
+    // bucket), where a global window is fine. Internal + seam gaps
+    // together are EXACTLY global adjacency (the oracle computes the
+    // global form — their equality is what the hash certifies).
+    "q268_sequence_gaps" -> ((s, d) => {
+      val k = Tables.orders(s, d).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey".as("k")).distinct()
+        .withColumn("bkt", expr("k div 10000"))
+      val wi = Window.partitionBy($"bkt").orderBy($"k")
+      val internal = k.withColumn("nx", lead($"k", 1).over(wi))
+        .filter($"nx".isNotNull && $"nx" - $"k" > 1)
+        .agg(count(lit(1)).as("__gi"),
+          coalesce(sum($"nx" - $"k" - 1), lit(0L)).as("__mi"),
+          coalesce(max($"nx" - $"k" - 1), lit(0L)).as("__xi"))
+      val summary = k.groupBy($"bkt")
+        .agg(min($"k").as("__mn"), max($"k").as("__mx"))
+      val ws = Window.orderBy($"bkt") // bucket-count rows: metadata
+      val seam = summary
+        .withColumn("__nmn", lead($"__mn", 1).over(ws))
+        .filter($"__nmn".isNotNull && $"__nmn" - $"__mx" > 1)
+        .agg(count(lit(1)).as("__gb"),
+          coalesce(sum($"__nmn" - $"__mx" - 1), lit(0L)).as("__mb"),
+          coalesce(max($"__nmn" - $"__mx" - 1), lit(0L)).as("__xb"))
+      val base = k.agg(count(lit(1)).as("n_present"))
+      base.crossJoin(broadcast(internal)).crossJoin(broadcast(seam))
+        .select($"n_present",
+          ($"__gi" + $"__gb").as("n_gaps"),
+          ($"__mi" + $"__mb").as("n_missing"),
+          greatest($"__xi", $"__xb").as("max_gap"))
+    }),
+
+    // AUDIO FIR DOWNSAMPLE — the DSP tier over the REAL sample-level
+    // WAV decode (WavPcm.samples): a boxcar low-pass of length 4
+    // fused with decimation by 2, entirely in INT64 (the divide is
+    // offset-shifted so the numerator is non-negative — floor and
+    // truncation agree, killing the cross-engine negative-division
+    // class at the root). The filter runs as Column arithmetic over
+    // the sample array (one transform over the output index range —
+    // whole-stage codegen, no per-sample UDF), and the readout is
+    // exact integers: output length, peak, total |amplitude|, and a
+    // position-weighted checksum so a shifted or truncated decode
+    // cannot slip through. The oracle reconstructs the known fixture
+    // waveform and replays the identical filter arithmetic.
+    "q269_audio_downsample" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.WavPcm.encode(
+        8000, 1, (200 + id % 50).toInt,
+        (t, _) => ((id * 31 + t * 1667) % 2001).toInt - 1000))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      val sm = Multimodal.decodeWavSamples(clips, "doc_id", "payload")
+      val y = expr(
+        """transform(
+          |  sequence(0, CAST((size(samples) - 2) div 2 - 1 AS INT)),
+          |  k -> ((element_at(samples, 2*k+1)
+          |    + element_at(samples, 2*k+2)
+          |    + element_at(samples, 2*k+3)
+          |    + element_at(samples, 2*k+4)
+          |    + 4000) div 4) - 1000)""".stripMargin)
+      sm.select($"id".as("doc_id"), size($"samples").as("n_in"), y.as("__y"))
+        .select($"doc_id", $"n_in".cast("long").as("n_in"),
+          size($"__y").cast("long").as("n_out"),
+          expr("aggregate(__y, 0L, (a, x) -> a + abs(x))").as("energy"),
+          expr("array_max(transform(__y, x -> abs(x)))").cast("long")
+            .as("peak"),
+          expr("aggregate(zip_with(__y, sequence(1, size(__y)), " +
+            "(v, i) -> v * i), 0L, (a, x) -> a + x)").as("ord_ck"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -13695,7 +13770,45 @@ object SparkEntry {
         |  ORDER BY loss, alpha) AS rn FROM sc)
         |SELECT seg, CAST(alpha AS BIGINT) AS best_alpha,
         |  loss AS best_loss_cents, n AS n_days
-        |FROM r WHERE rn = 1 ORDER BY seg""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY seg""".stripMargin,
+
+    // q268: the GLOBAL adjacency form — equality with the engine's
+    // bucket-local + seam-stitch decomposition is the audited claim
+    "q268_sequence_gaps" ->
+      """WITH k AS (
+        |  SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |dd AS (SELECT k, lead(k) OVER (ORDER BY k) AS nx FROM k),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(coalesce(sum(nx - k - 1), 0) AS BIGINT) AS n_missing,
+        |    CAST(coalesce(max(nx - k - 1), 0) AS BIGINT) AS max_gap
+        |  FROM dd WHERE nx IS NOT NULL AND nx - k > 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_present,
+        |  n_gaps, n_missing, max_gap
+        |FROM g""".stripMargin,
+
+    // q269: the fixture waveform reconstructed in SQL and the
+    // identical offset-shifted integer filter replayed per output tap
+    "q269_audio_downsample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 50 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 40),
+        |y AS (
+        |  SELECT doc_id, n, k.i AS k,
+        |    ((((doc_id * 31 + (2 * k.i) * 1667) % 2001 - 1000)
+        |     + ((doc_id * 31 + (2 * k.i + 1) * 1667) % 2001 - 1000)
+        |     + ((doc_id * 31 + (2 * k.i + 2) * 1667) % 2001 - 1000)
+        |     + ((doc_id * 31 + (2 * k.i + 3) * 1667) % 2001 - 1000)
+        |     + 4000) // 4) - 1000 AS v
+        |  FROM d, unnest(range(0, CAST((n - 2) // 2 AS INT)))
+        |    AS k(i))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_in,
+        |  CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(abs(v)) AS BIGINT) AS energy,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(v * (k + 1)) AS BIGINT) AS ord_ck
+        |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -86,6 +86,36 @@ object WavPcm {
       math.sqrt(sumSq / n), peak))
   }
 
+  /** SAMPLE-tier decode: the interleaved int16 samples themselves
+    * (sign-extended to Int), with the validated [[Features]] header —
+    * the input tier for DSP operators (q269's FIR downsample). Same
+    * chunk-walk validation as [[decode]]; None on anything invalid. */
+  def samples(b: Array[Byte]): Option[(Features, Array[Int])] =
+    decode(b).map { f =>
+      // decode re-ran the walk; re-locate data with the same logic by
+      // scanning chunks once more (cheap relative to the sample pass)
+      var dataAt = -1; var dataLen = 0L
+      var i = 12L
+      while (i + 8 <= b.length && dataAt < 0) {
+        val at = i.toInt
+        val size = le32(b, at + 4).toLong & 0xffffffffL
+        if (u8(b, at) == 'd' && u8(b, at + 1) == 'a' &&
+          u8(b, at + 2) == 't' && u8(b, at + 3) == 'a') {
+          dataAt = at + 8
+          dataLen = math.min(size, b.length.toLong - dataAt)
+        }
+        i += 8 + size + (size & 1)
+      }
+      val nSamples = (f.nFrames * f.channels).toInt
+      val out = new Array[Int](nSamples)
+      var k = 0; var p = dataAt
+      while (k < nSamples) {
+        out(k) = le16(b, p).toShort.toInt
+        k += 1; p += 2
+      }
+      (f, out)
+    }
+
   /** Build a valid 16-bit PCM WAV from a sample function
     * (frame, channel) → amplitude (int16 range) — fixture builder for
     * specs and oracled queries; the interleaving and chunk layout it

@@ -204,6 +204,27 @@ object Multimodal {
       }
   }
 
+  /** SAMPLE-tier WAV decode: one row per clip with the interleaved
+    * int16 samples as an array column — the DSP input tier (q269's
+    * FIR downsample runs Column arithmetic on this array, so the
+    * filter itself stays in whole-stage codegen). Invalid payloads
+    * drop, same contract as [[decodeWavFeatures]]. */
+  def decodeWavSamples(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.WavPcm.samples(bytes).map { case (f, s) =>
+            (id, f.sampleRate, f.channels, s)
+          }
+        }
+      }
+      .toDF("id", "sample_rate", "n_channels", "samples")
+  }
+
   /** Decoded video-frame-feature record for payloads the pure-JVM
     * YUV4MPEG2 codec handles; coded video (H.264/VP9/…) and corrupt
     * payloads are dropped (route them to [[decodePartitions]] with a

@@ -65,4 +65,19 @@ object WavPcmProps extends Properties("graft.wavpcm") {
         math.abs(f.rms - rms) < 1e-9 &&
         f.peak == nAmp.map(math.abs).max
     }
+
+  property("samples returns the exact interleaved int16 stream and " +
+      "never throws on corrupt input") =
+    forAll(Gen.choose(1, 96000), Gen.choose(1, 3), Gen.choose(0, 24),
+      Gen.choose(-32768, 32767)) { (rate, ch, frames, amp) =>
+      val gen = (t: Int, c: Int) =>
+        ((amp.toLong * (t + 1) * (c + 2)) % 65536 - 32768).toInt
+      val b = WavPcm.encode(rate, ch, frames, (t, c) =>
+        gen(t, c) & 0xffff)
+      val (f, s) = WavPcm.samples(b).get
+      val want = (0 until frames).flatMap(t => (0 until ch).map(c =>
+        (gen(t, c) & 0xffff).toShort.toInt))
+      WavPcm.samples(b.take(20)) // corrupt: must not throw
+      f.channels == ch && s.toSeq == want
+    }
 }
