@@ -7236,6 +7236,108 @@ object SparkEntry {
           expr("aggregate(zip_with(__y, sequence(1, size(__y)), " +
             "(v, i) -> v * i), 0L, (a, x) -> a + x)").as("ord_ck"))
         .orderBy($"doc_id")
+    }),
+
+    // FIM TRANSFORM — fill-in-the-middle training-sample construction
+    // (the code/infilling pretraining staple): each document splits at
+    // two HASH-DETERMINISTIC token positions into prefix/middle/suffix
+    // and re-emits in PSM order (suffix ⟨SEP⟩ prefix ⟨SEP⟩ middle).
+    // Split points ride the engine-portable Knuth hash, all slicing is
+    // token-array arithmetic (one projection — no shuffle at all), and
+    // the oracle certifies the REASSEMBLED BYTES via md5, not just the
+    // lengths — an off-by-one slice or a separator drift breaks the
+    // hash. Docs need ≥ 8 tokens (p2 ≤ 2n/3+2 < n holds from there);
+    // shorter docs pass through a training pipeline unsplit and are
+    // out of scope here.
+    "q270_fim_transform" -> ((s, d) => {
+      val t = split(trim($"text"), "\\s+")
+      val base = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", t.as("t"), size(t).as("n"))
+        .filter($"n" >= 8)
+        .withColumn("__d3", expr("CAST(n div 3 AS BIGINT)"))
+        .withColumn("p1", (lit(1L) +
+          Sampling.consistentHash($"doc_id") % $"__d3").cast("int"))
+        .withColumn("p2", ($"p1" + lit(1L) +
+          Sampling.consistentHash($"doc_id" + lit(7777)) % $"__d3")
+          .cast("int"))
+      base.select($"doc_id", $"n".cast("long").as("n_tokens"),
+          $"p1".cast("long").as("p1"), $"p2".cast("long").as("p2"),
+          md5(concat_ws(" <SEP> ",
+            array_join(expr("slice(t, p2 + 1, n - p2)"), " "),
+            array_join(expr("slice(t, 1, p1)"), " "),
+            array_join(expr("slice(t, p1 + 1, p2 - p1)"), " ")))
+            .as("fim_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE (join view) — the delta algebra
+    // for V = A ⋈ B aggregated, under BOTH a fact append (ΔA = 1996H1
+    // orders) and a dimension payload update (ΔB = +$100 balance on
+    // every custkey % 10 = 0, which can shift the balance BAND the
+    // view groups by). The engine answers INCREMENTALLY:
+    //   V' = V₀ + ΔA⋈B' − A₀[upd]⋈B_old + A₀[upd]⋈B_new
+    // four aggregates over deltas and the affected slice only — never
+    // a re-scan of unaffected history — folded with a sign column.
+    // The oracle computes V' by FULL recompute ((A₀ ∪ ΔA) ⋈ B'), so
+    // the hash equality IS the IVM correctness theorem on real data,
+    // boundary band-shifts included. At 100 TB this is the difference
+    // between touching |Δ| and touching everything.
+    "q271_join_ivm" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      val bOld = cust.withColumn("band",
+        floor($"c_acctbal" / 1000).cast("long"))
+      val bNew = cust.withColumn("c_acctbal",
+          when($"c_custkey" % 10 === 0, $"c_acctbal" + 100)
+            .otherwise($"c_acctbal"))
+        .withColumn("band", floor($"c_acctbal" / 1000).cast("long"))
+      val ords = Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderdate",
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("__c"))
+      val a0 = ords.filter($"o_orderdate" < "1996-01-01")
+      val dA = ords.filter($"o_orderdate" >= "1996-01-01" &&
+        $"o_orderdate" < "1996-07-01")
+      def grp(fact: DataFrame, dim: DataFrame, sign: Long) =
+        fact.join(broadcast(dim),
+            fact("o_custkey") === dim("c_custkey"))
+          .groupBy($"c_nationkey", $"band")
+          .agg((sum($"__c") * sign).as("__v"),
+            (count(lit(1)) * sign).as("__n"))
+      val upd = $"c_custkey" % 10 === 0
+      val terms = Seq(
+        grp(a0, bOld, 1L),                      // V0
+        grp(dA, bNew, 1L),                      // ΔA ⋈ B'
+        grp(a0, bOld.filter(upd), -1L),         // − A0[upd] ⋈ B_old
+        grp(a0, bNew.filter(upd), 1L))          // + A0[upd] ⋈ B_new
+      terms.reduce(_ unionAll _)
+        .groupBy($"c_nationkey", $"band")
+        .agg(sum($"__v").as("revenue_cents"), sum($"__n").as("n_rows"))
+        .filter($"n_rows" > 0)
+        .orderBy($"c_nationkey", $"band")
+    }),
+
+    // ERASURE CASCADE — the right-to-be-forgotten audit: for a
+    // requested delete set (every customer with custkey % 53 = 7),
+    // the exact blast radius across the referencing tables before
+    // any tombstone is written. Cascade membership is two broadcast
+    // semi-joins down the FK chain (customer → orders → lineitem);
+    // counts and the payment mass being erased are exact integers.
+    "q272_erasure_cascade" -> ((s, d) => {
+      val del = Tables.customer(s, d)
+        .filter($"c_custkey" % 53 === 7).select($"c_custkey")
+      val ords = Tables.orders(s, d)
+        .join(broadcast(del), $"o_custkey" === $"c_custkey",
+          "left_semi")
+      val li = Tables.lineitem(s, d)
+        .join(ords.select($"o_orderkey".as("__ok")),
+          $"l_orderkey" === $"__ok", "left_semi")
+      val a = del.agg(count(lit(1)).as("n_customers"))
+      val b = ords.agg(count(lit(1)).as("n_orders"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("erased_cents"))
+      val c = li.agg(count(lit(1)).as("n_lineitems"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(c))
     })
   )
 
@@ -13808,7 +13910,69 @@ object SparkEntry {
         |  CAST(sum(abs(v)) AS BIGINT) AS energy,
         |  CAST(max(abs(v)) AS BIGINT) AS peak,
         |  CAST(sum(v * (k + 1)) AS BIGINT) AS ord_ck
-        |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q270: the same hash splits and PSM reassembly; md5 certifies
+    // the exact rebuilt bytes on both engines
+    "q270_fim_transform" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |b AS (
+        |  SELECT doc_id, t, len(t) AS n, len(t) // 3 AS d3
+        |  FROM tok WHERE len(t) >= 8),
+        |p AS (
+        |  SELECT doc_id, t, n,
+        |    1 + ((doc_id % 2147483647) * 2654435761 % 4294967296)
+        |      % d3 AS p1,
+        |    2 + ((doc_id % 2147483647) * 2654435761 % 4294967296)
+        |      % d3
+        |      + (((doc_id + 7777) % 2147483647) * 2654435761
+        |        % 4294967296) % d3 AS p2
+        |  FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+        |  md5(array_to_string(t[p2 + 1 : n], ' ') || ' <SEP> ' ||
+        |    array_to_string(t[1 : p1], ' ') || ' <SEP> ' ||
+        |    array_to_string(t[p1 + 1 : p2], ' ')) AS fim_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // q271: FULL RECOMPUTE — (A0 ∪ ΔA) ⋈ B'; equality with the
+    // engine's incremental fold is the IVM theorem under test
+    "q271_join_ivm" ->
+      """WITH bnew AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor((CASE WHEN c_custkey % 10 = 0
+        |      THEN c_acctbal + 100 ELSE c_acctbal END) / 1000)
+        |      AS BIGINT) AS band
+        |  FROM customer),
+        |f AS (
+        |  SELECT o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderdate < '1996-07-01')
+        |SELECT b.c_nationkey, b.band,
+        |  CAST(sum(f.c) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM f JOIN bnew b ON f.o_custkey = b.c_custkey
+        |GROUP BY 1, 2 ORDER BY c_nationkey, band""".stripMargin,
+
+    // q272: the same two-hop cascade as joins
+    "q272_erasure_cascade" ->
+      """WITH del AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 53 = 7),
+        |o AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM del)),
+        |l AS (
+        |  SELECT 1 AS x FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM del)
+        |    AS n_customers,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_orders,
+        |  (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) FROM o) AS erased_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_lineitems"""
+        .stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
