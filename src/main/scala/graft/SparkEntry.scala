@@ -7338,6 +7338,87 @@ object SparkEntry {
           .as("erased_cents"))
       val c = li.agg(count(lit(1)).as("n_lineitems"))
       a.crossJoin(broadcast(b)).crossJoin(broadcast(c))
+    }),
+
+    // TEMPERATURE-WEIGHTED CORPUS MIX — the pretraining sampling
+    // recipe (sample source s ∝ n_s^τ, τ = 1/2, so small sources are
+    // UP-weighted relative to proportional): per-source weights ride
+    // sqrt(n) — the one libm-free irrational (IEEE sqrt is correctly
+    // rounded, so both engines get the identical double) — floored to
+    // integer micro-weights, and the 1000-doc budget splits by
+    // LARGEST REMAINDER (q197's apportionment) on PURE INTEGER quota
+    // arithmetic: no double ever reaches a comparison. Admission is
+    // the consistent-hash rank so the draw is deterministic and
+    // stable under corpus growth. Per source: size, integer weight,
+    // apportioned target, and the actually-admitted count.
+    "q273_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val B = 1000L
+      val src = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          floor(sqrt($"n_docs".cast("double")) * 1000000).cast("long"))
+      val tot = src.agg(sum($"w").as("__W"),
+        count(lit(1)).as("__k"))
+      val quota = src.crossJoin(broadcast(tot))
+        .withColumn("q", expr(s"($B * w) div __W"))
+        .withColumn("r", expr(s"($B * w) % __W"))
+      val wr = Window.orderBy($"r".desc, $"source") // k sources: tiny
+      val target = quota
+        .withColumn("__rk", row_number().over(wr))
+        .crossJoin(broadcast(
+          quota.agg((lit(B) - sum($"q")).as("__extra"))))
+        .withColumn("target",
+          $"q" + when($"__rk" <= $"__extra", 1L).otherwise(0L))
+        .select($"source", $"n_docs", $"w", $"target")
+      val adm = docs
+        .join(broadcast(target), Seq("source"))
+        .filter(Sampling.consistentHash($"doc_id") % $"n_docs"
+          < $"target")
+        .groupBy($"source").agg(count(lit(1)).as("n_admitted"))
+      target.join(adm, Seq("source"), "left")
+        .na.fill(0L, Seq("n_admitted"))
+        .orderBy($"source")
+    }),
+
+    // CONSISTENT-HASH RING REBALANCE — the shard-topology audit: 128
+    // virtual nodes (8 shards × 16 replicas) own hash-ring arcs; keys
+    // route to the vnode at minimal CLOCKWISE distance (pmod 2³²),
+    // ties broken (shard, replica) inside the min(struct). Adding
+    // shard 8 (16 more vnodes) re-routes ONLY keys whose arc the new
+    // vnodes split — the minimal-movement property measured exactly:
+    // both assignments come from ONE pass over keys × broadcast
+    // vnodes (the 9-shard argmin, and the 8-shard argmin as a
+    // conditional min over the same rows). Per shard: keys before,
+    // after, and moved-in count; all integer.
+    "q274_ring_rebalance" -> ((s, d) => {
+      val vn = { import s.implicits._
+        (for { sh <- 0 until 9; r <- 0 until 16 }
+          yield (sh.toLong, r.toLong)).toDF("shard", "r") }
+        .withColumn("vpos",
+          Sampling.consistentHash($"shard" * 1000 + $"r" * 17 + 5))
+      val keys = Tables.documents(s, d)
+        .select($"doc_id",
+          Sampling.consistentHash($"doc_id").as("kpos"))
+      val dist = pmod($"vpos" - $"kpos", lit(4294967296L))
+      val owners = keys.crossJoin(broadcast(vn))
+        .groupBy($"doc_id")
+        .agg(
+          min(struct(dist.as("d"), $"shard", $"r"))
+            .getField("shard").as("own9"),
+          min(when($"shard" < 8,
+            struct(dist.as("d"), $"shard", $"r")))
+            .getField("shard").as("own8"))
+      val before = owners.groupBy($"own8".as("shard"))
+        .agg(count(lit(1)).as("n_before"))
+      val after = owners.groupBy($"own9".as("shard"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when($"own8" =!= $"own9", 1L).otherwise(0L))
+            .as("n_moved_in"))
+      after.join(before, Seq("shard"), "left")
+        .na.fill(0L, Seq("n_before"))
+        .select($"shard", $"n_before", $"n_after", $"n_moved_in")
+        .orderBy($"shard")
     })
   )
 
@@ -13972,7 +14053,79 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
         |    AS BIGINT)) AS BIGINT) FROM o) AS erased_cents,
         |  (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_lineitems"""
-        .stripMargin
+        .stripMargin,
+
+    // q273: same integer quota/remainder apportionment after the
+    // IEEE-exact sqrt micro-weight
+    "q273_temperature_mix" ->
+      """WITH src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM src),
+        |q AS (
+        |  SELECT source, n_docs, w,
+        |    (1000 * w) // tw AS q, (1000 * w) % tw AS r
+        |  FROM src CROSS JOIN tot),
+        |ex AS (SELECT CAST(1000 - sum(q) AS BIGINT) AS extra FROM q),
+        |t AS (
+        |  SELECT source, n_docs, w,
+        |    CAST(q + CASE WHEN row_number()
+        |      OVER (ORDER BY r DESC, source) <= extra
+        |      THEN 1 ELSE 0 END AS BIGINT) AS target
+        |  FROM q CROSS JOIN ex),
+        |adm AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_admitted
+        |  FROM documents d JOIN t ON d.source = t.source
+        |  WHERE ((d.doc_id % 2147483647) * 2654435761 % 4294967296)
+        |    % t.n_docs < t.target
+        |  GROUP BY 1)
+        |SELECT t.source, t.n_docs, t.w, t.target,
+        |  CAST(coalesce(a.n_admitted, 0) AS BIGINT) AS n_admitted
+        |FROM t LEFT JOIN adm a ON t.source = a.source
+        |ORDER BY t.source""".stripMargin,
+
+    // q274: the two argmins replayed with row_number over the same
+    // (distance, shard, replica) order; pmod spelled out
+    "q274_ring_rebalance" ->
+      """WITH vn AS (
+        |  SELECT sh.s AS shard, rr.i AS r,
+        |    ((sh.s * 1000 + rr.i * 17 + 5) % 2147483647)
+        |      * 2654435761 % 4294967296 AS vpos
+        |  FROM range(0, 9) sh(s), range(0, 16) rr(i)),
+        |k AS (
+        |  SELECT doc_id,
+        |    (doc_id % 2147483647) * 2654435761 % 4294967296 AS kpos
+        |  FROM documents),
+        |j AS (
+        |  SELECT k.doc_id, vn.shard, vn.r,
+        |    ((vn.vpos - k.kpos) % 4294967296 + 4294967296)
+        |      % 4294967296 AS dd
+        |  FROM k CROSS JOIN vn),
+        |o9 AS (SELECT doc_id, shard AS own9 FROM (
+        |  SELECT doc_id, shard, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY dd, shard, r) AS rn
+        |  FROM j) WHERE rn = 1),
+        |o8 AS (SELECT doc_id, shard AS own8 FROM (
+        |  SELECT doc_id, shard, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY dd, shard, r) AS rn
+        |  FROM (SELECT * FROM j WHERE shard < 8)) WHERE rn = 1),
+        |own AS (SELECT o9.doc_id, own9, own8
+        |  FROM o9 JOIN o8 ON o9.doc_id = o8.doc_id),
+        |bef AS (SELECT own8 AS shard,
+        |    CAST(count(*) AS BIGINT) AS n_before
+        |  FROM own GROUP BY 1),
+        |aft AS (SELECT own9 AS shard,
+        |    CAST(count(*) AS BIGINT) AS n_after,
+        |    CAST(sum(CASE WHEN own8 <> own9 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_moved_in
+        |  FROM own GROUP BY 1)
+        |SELECT a.shard, CAST(coalesce(b.n_before, 0) AS BIGINT)
+        |    AS n_before,
+        |  a.n_after, a.n_moved_in
+        |FROM aft a LEFT JOIN bef b ON a.shard = b.shard
+        |ORDER BY a.shard""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
