@@ -7419,6 +7419,29 @@ object SparkEntry {
         .na.fill(0L, Seq("n_before"))
         .select($"shard", $"n_before", $"n_after", $"n_moved_in")
         .orderBy($"shard")
+    }),
+
+    // TOKEN-BUCKET RATE LIMITER — the API-throttling replay audit:
+    // cap 3 tokens, refill 1 per 10 min, cost 1 per event, in
+    // integer MILLI-tokens. The two-sided clamp plus the
+    // allow-conditional deduction is a genuinely sequential
+    // recurrence (q196's prefix identity handles only the one-sided
+    // clamp), so it runs as the q209-family secondary-sort
+    // O(1)-state scan (Sessionize.rateLimit — two longs of state per
+    // key) and the oracle replays it one event per iteration as a
+    // recursive CTE. Per user: events, allowed, denied.
+    "q275_rate_limit" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter($"user_id" < 100)
+        .select($"user_id", $"ts".cast("long").as("__ts"),
+          $"event_id")
+      Sessionize.rateLimit(ev, "user_id", "__ts", "event_id",
+          capMilli = 3000L, costMilli = 1000L,
+          refillNumer = 1000L, refillDenom = 600L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"allowed", 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(!$"allowed", 1L).otherwise(0L)).as("n_denied"))
+        .orderBy($"user_id")
     })
   )
 
@@ -14125,7 +14148,38 @@ object SparkEntry {
         |    AS n_before,
         |  a.n_after, a.n_moved_in
         |FROM aft a LEFT JOIN bef b ON a.shard = b.shard
-        |ORDER BY a.shard""".stripMargin
+        |ORDER BY a.shard""".stripMargin,
+
+    // q275: the q224 walk pattern with the token-bucket recurrence —
+    // refill, two-sided clamp, allow-conditional deduction
+    "q275_rate_limit" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id AS k,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY floor(epoch(ts)), event_id) AS rn
+        |  FROM events WHERE user_id < 100),
+        |walk AS (
+        |  SELECT k, rn, t, TRUE AS ok, CAST(2000 AS BIGINT) AS tok,
+        |    t AS lt
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.k, e.rn, e.t,
+        |    least(3000, w.tok + (e.t - w.lt) * 1000 // 600) >= 1000,
+        |    CASE WHEN least(3000, w.tok + (e.t - w.lt) * 1000 // 600)
+        |        >= 1000
+        |      THEN least(3000, w.tok + (e.t - w.lt) * 1000 // 600)
+        |        - 1000
+        |      ELSE least(3000, w.tok + (e.t - w.lt) * 1000 // 600)
+        |    END,
+        |    e.t
+        |  FROM walk w JOIN e ON e.k = w.k AND e.rn = w.rn + 1)
+        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_allowed,
+        |  CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_denied
+        |FROM walk GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

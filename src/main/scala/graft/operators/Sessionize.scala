@@ -136,4 +136,51 @@ object Sessionize {
       }
       .toDF(keyCol, startCol, endCol, idCol, "accepted")
   }
+
+  /** TOKEN-BUCKET RATE LIMITER replay (API throttling audit): per
+    * key, a bucket of `capMilli` milli-tokens starts full, refills at
+    * `refillNumer/refillDenom` milli-tokens per second of elapsed
+    * time (integer arithmetic: `(Δt · numer) div denom`, truncation
+    * == floor on the non-negative Δt), and an event is ALLOWED iff
+    * `costMilli` tokens are available (then deducted; denied events
+    * deduct nothing). The two-sided clamp (cap above, cost-gated
+    * floor below) plus the allow-conditional deduction make this a
+    * genuinely sequential recurrence — not expressible as q196's
+    * prefix-sum/running-min identity, which handles only the
+    * one-sided clamp — so it runs as the [[cappedSessions]]
+    * secondary-sort O(1)-state scan (state: two longs per key) and
+    * replays in SQL as a one-event-per-iteration recursive CTE.
+    * Returns (key, ts, id, allowed). */
+  def rateLimit(df: DataFrame, keyCol: String, tsCol: String,
+                idCol: String, capMilli: Long, costMilli: Long,
+                refillNumer: Long, refillDenom: Long): DataFrame = {
+    require(capMilli > 0 && costMilli > 0 && refillNumer >= 0 &&
+      refillDenom > 0, "positive cap/cost, non-negative refill")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("__k"),
+        col(tsCol).cast("long").as("__t"),
+        col(idCol).cast("long").as("__i"))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"), col("__i"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        var curKey = Long.MinValue
+        var haveKey = false
+        var tokens = 0L
+        var lastT = 0L
+        rows.map { case (k, t, i) =>
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; tokens = capMilli; lastT = t
+          }
+          tokens = math.min(capMilli,
+            tokens + (t - lastT) * refillNumer / refillDenom)
+          lastT = t
+          val ok = tokens >= costMilli
+          if (ok) tokens -= costMilli
+          (k, t, i, ok)
+        }
+      }
+      .toDF(keyCol, tsCol, idCol, "allowed")
+  }
 }

@@ -138,4 +138,38 @@ class SessionizeSpec extends SparkSpec {
         s"greedy must be optimal for key $k")
     }
   }
+
+  test("rateLimit matches an independent sequential replay; bursts " +
+      "drain the bucket, idle time refills it, cap binds") {
+    val rnd = new scala.util.Random(47)
+    // bursts (same-second packs) and idle stretches per key
+    val evs = (1L to 400L).map { i =>
+      val k = i % 5
+      (k, (i / 5) * (if (k == 0) 1L else 700L) + rnd.nextInt(3),
+        i)
+    }
+    val (cap, cost, num, den) = (3000L, 1000L, 1000L, 600L)
+    val got = Sessionize.rateLimit(evs.toDF("k", "t", "i"),
+        "k", "t", "i", cap, cost, num, den)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+      var tok = cap; var lt = Long.MinValue
+      es.sortBy(e => (e._2, e._3)).map { case (_, t, i) =>
+        if (lt == Long.MinValue) lt = t
+        tok = math.min(cap, tok + (t - lt) * num / den)
+        lt = t
+        val ok = tok >= cost
+        if (ok) tok -= cost
+        (k, t, i, ok)
+      }
+    }.toSet
+    assert(got === expect)
+    // key 0 fires every ~second against a 1-token-per-600 s refill:
+    // denials must occur; keys spaced 700 s refill ≥ cost per gap,
+    // so they never drain below one token
+    assert(got.exists(e => e._1 == 0L && !e._4))
+    assert(got.filter(_._1 == 1L).forall(_._4))
+  }
 }
