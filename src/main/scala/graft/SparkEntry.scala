@@ -7442,6 +7442,39 @@ object SparkEntry {
           sum(when($"allowed", 1L).otherwise(0L)).as("n_allowed"),
           sum(when(!$"allowed", 1L).otherwise(0L)).as("n_denied"))
         .orderBy($"user_id")
+    }),
+
+    // BITEMPORAL SLICE — the valid-time × transaction-time matrix
+    // that q93's single-axis time travel cannot answer: "what did we
+    // BELIEVE on date TT about the state valid on date VT?" Records
+    // are orders with valid_from = order date and recorded_at lagged
+    // by a few days (late-arriving bookkeeping), and the slice picks
+    // per customer the LATEST valid_from ≤ VT among records KNOWN by
+    // TT — one argmax via max(struct(valid_from, recorded_at, key)),
+    // no window over the fact. Two (VT, TT) corners are answered in
+    // one scan (conditional aggregates), and their DIFFERENCE is the
+    // audit readout: how much the TT₂ knowledge revises the TT₁
+    // belief about the same VT — the restatement report.
+    "q276_bitemporal" -> ((s, d) => {
+      val rec = Tables.orders(s, d)
+        .select($"o_custkey",
+          $"o_orderdate".cast("date").as("vf"),
+          date_add($"o_orderdate".cast("date"),
+            ($"o_orderkey" % 5).cast("int")).as("ra"),
+          $"o_orderkey",
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("__c"))
+        .filter($"vf" <= "2000-06-30")
+      def slice(tt: String, tag: String) =
+        rec.filter($"ra" <= tt)
+          .groupBy($"o_custkey")
+          .agg(max(struct($"vf", $"ra", $"o_orderkey", $"__c"))
+            .getField("__c").as("__bal"))
+          .agg(lit(tag).as("slice"),
+            count(lit(1)).as("n_customers"),
+            sum($"__bal").as("believed_cents"))
+      slice("2000-07-01", "tt1_naive")
+        .unionAll(slice("2000-07-15", "tt2_settled"))
+        .orderBy($"slice")
     })
   )
 
@@ -14179,7 +14212,37 @@ object SparkEntry {
         |    AS n_allowed,
         |  CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_denied
-        |FROM walk GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM walk GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // q276: both corners via the row_number mirror of max(struct)
+    "q276_bitemporal" ->
+      """WITH rec AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS vf,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT)
+        |      AS ra,
+        |    o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) <= DATE '2000-06-30'),
+        |p1 AS (
+        |  SELECT o_custkey, c FROM (
+        |    SELECT o_custkey, c, row_number() OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY vf DESC, ra DESC, o_orderkey DESC) AS rn
+        |    FROM rec WHERE ra <= DATE '2000-07-01') WHERE rn = 1),
+        |p2 AS (
+        |  SELECT o_custkey, c FROM (
+        |    SELECT o_custkey, c, row_number() OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY vf DESC, ra DESC, o_orderkey DESC) AS rn
+        |    FROM rec WHERE ra <= DATE '2000-07-15') WHERE rn = 1)
+        |SELECT 'tt1_naive' AS slice,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(c) AS BIGINT) AS believed_cents FROM p1
+        |UNION ALL
+        |SELECT 'tt2_settled', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT) FROM p2
+        |ORDER BY slice""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
