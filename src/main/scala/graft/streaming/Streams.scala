@@ -786,4 +786,45 @@ object Streams {
           Iterator(HistQuantiles(g, n, m.size, q(50), q(90), q(99)))
       }
   }
+
+  /** Keyed timestamped event for [[rateLimitStream]]. */
+  case class KeyedTs(key: Long, ts: Long, id: Long)
+
+  /** Per-event throttling decision. */
+  case class RateDecision(key: Long, ts: Long, id: Long,
+                          allowed: Boolean)
+
+  /** STREAMING token-bucket rate limiter — the live twin of batch
+    * q275 ([[graft.operators.Sessionize.rateLimit]]): per-key state
+    * is exactly the scan's two longs (milli-tokens, last event time)
+    * plus an initialized flag, so a restart resumes mid-stream with
+    * no history. Events inside a micro-batch are ordered (ts, id)
+    * before replay (a batch's group buffers once — bounded by batch
+    * size, not stream length); ACROSS batches the usual
+    * nondecreasing-event-time contract applies, under which the
+    * decisions equal the batch scan's on any split — StreamsSpec
+    * pins that parity against the batch operator itself. */
+  def rateLimitStream(rows: Dataset[KeyedTs], capMilli: Long,
+                      costMilli: Long, refillNumer: Long,
+                      refillDenom: Long): Dataset[RateDecision] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Boolean), RateDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k, it, state: GroupState[(Long, Long, Boolean)]) =>
+          var (tok, lt, init) = state.getOption
+            .getOrElse((capMilli, 0L, false))
+          val out = it.toArray.sortBy(e => (e.ts, e.id)).map { e =>
+            if (!init) { init = true; lt = e.ts }
+            tok = math.min(capMilli,
+              tok + (e.ts - lt) * refillNumer / refillDenom)
+            lt = e.ts
+            val ok = tok >= costMilli
+            if (ok) tok -= costMilli
+            RateDecision(k, e.ts, e.id, ok)
+          }
+          state.update((tok, lt, init))
+          out.iterator
+      }
+  }
 }

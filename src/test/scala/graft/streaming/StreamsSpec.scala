@@ -1144,4 +1144,44 @@ class StreamsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("rateLimitStream decisions equal the batch scan under any " +
+      "nondecreasing micro-batch split") {
+    val rnd = new scala.util.Random(67)
+    // keys with mixed burst/idle cadence, ts nondecreasing per key
+    val evs = (1L to 300L).map { i =>
+      val k = i % 4
+      (k, (i / 4) * (if (k == 0) 2L else 500L) + rnd.nextInt(2), i)
+    }.sortBy(e => (e._2, e._3)) // global arrival order for splitting
+    val (cap, cost, num, den) = (3000L, 1000L, 1000L, 600L)
+    val want = graft.operators.Sessionize.rateLimit(
+        evs.toDF("k", "t", "i"), "k", "t", "i", cap, cost, num, den)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    for ((split, tag) <- Seq(80 -> "r80", 211 -> "r211")) {
+      val dir = Files.createTempDirectory(s"graft-rl-$tag").toFile
+      val stream = spark.readStream
+        .schema("key LONG, ts LONG, id LONG")
+        .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+        .as[Streams.KeyedTs]
+      val q = Streams.rateLimitStream(stream, cap, cost, num, den)
+        .writeStream.format("memory").queryName(s"rl$tag")
+        .outputMode("append").start()
+      try {
+        def js(r: (Long, Long, Long)) =
+          s"""{"key":${r._1},"ts":${r._2},"id":${r._3}}"""
+        dropFile(dir, "b1.json",
+          evs.take(split).map(js).mkString("\n"))
+        q.processAllAvailable()
+        dropFile(dir, "b2.json",
+          evs.drop(split).map(js).mkString("\n"))
+        q.processAllAvailable()
+        val got = spark.table(s"rl$tag").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getBoolean(3))).toSet
+        assert(got === want, s"split $split")
+      } finally q.stop()
+    }
+  }
 }
