@@ -7475,6 +7475,48 @@ object SparkEntry {
       slice("2000-07-01", "tt1_naive")
         .unionAll(slice("2000-07-15", "tt2_settled"))
         .orderBy($"slice")
+    }),
+
+    // ABC-XYZ INVENTORY CLASSIFICATION — the planner's 3×3 matrix:
+    // ABC by cumulative revenue share (A ≤ 80 %, B ≤ 95 % — the
+    // running total rides the DISTRIBUTED prefix scan in revenue-desc
+    // order, and every share test is CROSS-MULTIPLIED integer cents:
+    // 5·cum ≤ 4·T, 20·cum ≤ 19·T — no percentage float ever exists),
+    // XYZ by demand variability (weekly quantity CV² against 1/4 and
+    // 1, again cross-multiplied: 4·w·Σq² < 5·(Σq)² etc., exact in
+    // int64 because quantities are small integers). Weeks are
+    // calendar-free day div 7 buckets so both engines bucket
+    // identically. Output: the 9-cell matrix with part counts and
+    // exact revenue mass.
+    "q277_abc_xyz" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select($"l_partkey".as("pk"),
+          floor($"l_extendedprice" * 100 + 0.5).cast("long").as("c"),
+          $"l_quantity".cast("long").as("q"),
+          expr("datediff(l_shipdate, date'1995-01-01') div 7")
+            .as("wk"))
+      val wq = li.groupBy($"pk", $"wk").agg(sum($"q").as("wq"))
+      val xyz = wq.groupBy($"pk")
+        .agg(count(lit(1)).as("w"), sum($"wq").as("sq"),
+          sum($"wq" * $"wq").as("sq2"))
+        .select($"pk", when(
+            lit(4L) * $"w" * $"sq2" < lit(5L) * $"sq" * $"sq", "X")
+          .when($"w" * $"sq2" < lit(2L) * $"sq" * $"sq", "Y")
+          .otherwise("Z").as("xyz"))
+      val rev = li.groupBy($"pk").agg(sum($"c").as("r"))
+        .withColumn("__nr", -$"r").withColumn("__g", lit(1))
+      val tot = rev.agg(sum($"r").as("__t"))
+      val abc = Packing.prefixSum(rev, Seq("__g"), Seq("__nr", "pk"),
+          "r", "cum")
+        .crossJoin(broadcast(tot))
+        .select($"pk", $"r",
+          when(lit(5L) * $"cum" <= lit(4L) * $"__t", "A")
+            .when(lit(20L) * $"cum" <= lit(19L) * $"__t", "B")
+            .otherwise("C").as("abc"))
+      abc.join(xyz, Seq("pk"))
+        .groupBy($"abc", $"xyz")
+        .agg(count(lit(1)).as("n_parts"), sum($"r").as("revenue_cents"))
+        .orderBy($"abc", $"xyz")
     })
   )
 
@@ -14242,7 +14284,42 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'tt2_settled', CAST(count(*) AS BIGINT),
         |  CAST(sum(c) AS BIGINT) FROM p2
-        |ORDER BY slice""".stripMargin
+        |ORDER BY slice""".stripMargin,
+
+    // q277: same cross-multiplied class boundaries; the prefix runs
+    // as one window at oracle scale
+    "q277_abc_xyz" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(l_shipdate AS DATE)) // 7 AS wk
+        |  FROM lineitem),
+        |wq AS (SELECT pk, wk, CAST(sum(q) AS BIGINT) AS wq
+        |  FROM li GROUP BY 1, 2),
+        |x AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS w,
+        |    CAST(sum(wq) AS BIGINT) AS sq,
+        |    CAST(sum(wq * wq) AS BIGINT) AS sq2
+        |  FROM wq GROUP BY 1),
+        |xyz AS (
+        |  SELECT pk, CASE WHEN 4 * w * sq2 < 5 * sq * sq THEN 'X'
+        |    WHEN w * sq2 < 2 * sq * sq THEN 'Y' ELSE 'Z' END AS xyz
+        |  FROM x),
+        |rev AS (SELECT pk, CAST(sum(c) AS BIGINT) AS r
+        |  FROM li GROUP BY 1),
+        |t AS (SELECT CAST(sum(r) AS BIGINT) AS tt FROM rev),
+        |cm AS (SELECT pk, r, CAST(sum(r) OVER (ORDER BY -r, pk
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM rev),
+        |abc AS (
+        |  SELECT pk, r, CASE WHEN 5 * cum <= 4 * tt THEN 'A'
+        |    WHEN 20 * cum <= 19 * tt THEN 'B' ELSE 'C' END AS abc
+        |  FROM cm CROSS JOIN t)
+        |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(r) AS BIGINT) AS revenue_cents
+        |FROM abc JOIN xyz USING (pk)
+        |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
