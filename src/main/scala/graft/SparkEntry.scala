@@ -7517,6 +7517,82 @@ object SparkEntry {
         .groupBy($"abc", $"xyz")
         .agg(count(lit(1)).as("n_parts"), sum($"r").as("revenue_cents"))
         .orderBy($"abc", $"xyz")
+    }),
+
+    // ROUNDING-POLICY AUDIT — the finance-consolidation drift report:
+    // the same per-order 7 % fee computed under three rounding
+    // policies (truncate, half-up, half-even/banker's), each as pure
+    // integer arithmetic on cents×100 fixed-point (half-even decides
+    // the tie on the QUOTIENT's parity — spelled out, no library
+    // rounding mode anywhere), then the per-nation totals and the
+    // policy drift: Σhalf-up − Σhalf-even is the number an auditor
+    // asks for, and it is exact here because every policy is a pure
+    // int64 function both engines evaluate identically.
+    "q278_rounding_policy" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_nationkey",
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
+        // fee = 7% of cents → numerator n = 7·c over denominator 100
+        .withColumn("__q", expr("(7 * c) div 100"))
+        .withColumn("__r", expr("(7 * c) % 100"))
+      val trunc = $"__q"
+      val halfUp = $"__q" + when($"__r" >= 50, 1L).otherwise(0L)
+      val halfEven = $"__q" + when($"__r" > 50, 1L)
+        .when($"__r" === 50 && $"__q" % 2 === 1, 1L).otherwise(0L)
+      ord.groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(trunc).as("fee_trunc"),
+          sum(halfUp).as("fee_halfup"),
+          sum(halfEven).as("fee_halfeven"),
+          sum(halfUp - halfEven).as("policy_drift"))
+        .orderBy($"c_nationkey")
+    }),
+
+    // JOIN-CARDINALITY ESTIMATION — the cost-based-optimizer
+    // estimator as a first-class query, on a genuinely m:n join
+    // (1995-96 lines ⋈ 1997+ lines per part — the cross-year
+    // co-occurrence join): the MCV + uniform-tail model every CBO
+    // keeps. Top-20 heavy keys ride the bounded TopKPerKey heap and
+    // contribute Σ a_k·b_k EXACTLY; the tail uses System-R's
+    // ta·tb div max(da, db) on the remaining mass. Everything is
+    // integer to the end (the error is a floored ppm ratio), so the
+    // (actual, estimate, err_ppm) readout — the number a CBO
+    // regression suite tracks — is hash-exact across engines.
+    "q279_join_cardinality" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select($"l_partkey".as("k"), $"l_shipdate")
+      val a = li.filter($"l_shipdate" < "1997-01-01")
+        .groupBy($"k").agg(count(lit(1)).as("ca"))
+      val b = li.filter($"l_shipdate" >= "1997-01-01")
+        .groupBy($"k").agg(count(lit(1)).as("cb"))
+      val topB = graft.plans.TopKPerKey(
+        b.withColumn("__g", lit(1)), Seq("__g"),
+        Seq($"cb".desc, $"k".asc), k = 20).drop("__g")
+      val top = topB.join(a, Seq("k"), "left")
+        .agg(coalesce(sum($"ca" * $"cb"), lit(0L)).as("__top"),
+          coalesce(sum($"cb"), lit(0L)).as("__btop"),
+          coalesce(sum($"ca"), lit(0L)).as("__atop"),
+          count(lit(1)).as("__ktop"))
+      val sa = a.agg(sum($"ca").as("__ta"),
+        count(lit(1)).as("__da"))
+      val sb = b.agg(sum($"cb").as("__tb"),
+        count(lit(1)).as("__db"))
+      val actual = a.join(b, Seq("k"))
+        .agg(coalesce(sum($"ca" * $"cb"), lit(0L)).as("actual"))
+      top.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .crossJoin(broadcast(actual))
+        .select($"actual",
+          ($"__top" + expr("((__ta - __atop) * (__tb - __btop)) div " +
+            "greatest(1L, greatest(__da - __ktop, __db - __ktop))"))
+            .as("estimate"))
+        // sign × |diff| quotient: the numerator stays non-negative so
+        // Spark's trunc-div and DuckDB's floor-div agree
+        .withColumn("err_ppm",
+          expr("((abs(estimate - actual) * 1000000) div actual) * " +
+            "(CASE WHEN estimate >= actual THEN 1L ELSE -1L END)"))
     })
   )
 
@@ -14319,7 +14395,65 @@ object SparkEntry {
         |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(sum(r) AS BIGINT) AS revenue_cents
         |FROM abc JOIN xyz USING (pk)
-        |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin
+        |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin,
+
+    // q278: the three integer rounding policies spelled out
+    "q278_rounding_policy" ->
+      """WITH o AS (
+        |  SELECT c.c_nationkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders JOIN customer c ON o_custkey = c_custkey),
+        |f AS (
+        |  SELECT c_nationkey, (7 * c) // 100 AS q, (7 * c) % 100 AS r
+        |  FROM o)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(q) AS BIGINT) AS fee_trunc,
+        |  CAST(sum(q + CASE WHEN r >= 50 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fee_halfup,
+        |  CAST(sum(q + CASE WHEN r > 50 THEN 1
+        |    WHEN r = 50 AND q % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fee_halfeven,
+        |  CAST(sum(CASE WHEN r >= 50 THEN 1 ELSE 0 END
+        |    - CASE WHEN r > 50 THEN 1
+        |      WHEN r = 50 AND q % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS policy_drift
+        |FROM f GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    // q279: MCV top-20 via row_number, the same System-R tail
+    "q279_join_cardinality" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS k, l_shipdate FROM lineitem),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS ca FROM li
+        |  WHERE l_shipdate < '1997-01-01' GROUP BY 1),
+        |b AS (SELECT k, CAST(count(*) AS BIGINT) AS cb FROM li
+        |  WHERE l_shipdate >= '1997-01-01' GROUP BY 1),
+        |tb AS (SELECT k, cb FROM (
+        |  SELECT k, cb, row_number() OVER (ORDER BY cb DESC, k) AS rn
+        |  FROM b) WHERE rn <= 20),
+        |top AS (
+        |  SELECT CAST(coalesce(sum(a.ca * tb.cb), 0) AS BIGINT)
+        |      AS topsum,
+        |    CAST(coalesce(sum(tb.cb), 0) AS BIGINT) AS btop,
+        |    CAST(coalesce(sum(a.ca), 0) AS BIGINT) AS atop,
+        |    CAST(count(*) AS BIGINT) AS ktop
+        |  FROM tb LEFT JOIN a ON tb.k = a.k),
+        |sa AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+        |  CAST(count(*) AS BIGINT) AS da FROM a),
+        |sb AS (SELECT CAST(sum(cb) AS BIGINT) AS tbb,
+        |  CAST(count(*) AS BIGINT) AS db FROM b),
+        |act AS (SELECT CAST(coalesce(sum(a.ca * b.cb), 0) AS BIGINT)
+        |  AS actual FROM a JOIN b ON a.k = b.k),
+        |e AS (
+        |  SELECT act.actual,
+        |    topsum + ((ta - atop) * (tbb - btop))
+        |      // greatest(1, greatest(da - ktop, db - ktop))
+        |      AS estimate
+        |  FROM top CROSS JOIN sa CROSS JOIN sb CROSS JOIN act)
+        |SELECT actual, CAST(estimate AS BIGINT) AS estimate,
+        |  CAST(((abs(estimate - actual) * 1000000) // actual)
+        |    * (CASE WHEN estimate >= actual THEN 1 ELSE -1 END)
+        |    AS BIGINT) AS err_ppm
+        |FROM e""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
