@@ -7593,6 +7593,187 @@ object SparkEntry {
         .withColumn("err_ppm",
           expr("((abs(estimate - actual) * 1000000) div actual) * " +
             "(CASE WHEN estimate >= actual THEN 1L ELSE -1L END)"))
+    }),
+
+    // OLAP CUBE — the multi-level rollup surface itself (every BI tool
+    // emits it): all four grouping levels of (priority, returnflag) in
+    // ONE pass (Catalyst expands the cube in the aggregate, not by
+    // rescanning per level), revenue on the exact-cents integer path,
+    // the level tagged by grouping_id so subtotal rows are first-class
+    // addressable output. NULLs in grouping columns are the rollup
+    // marker; the ORDER BY pins their position identically on both
+    // engines (ASC NULLS FIRST).
+    "q280_cube_grouping" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority", $"l_returnflag",
+          floor($"l_extendedprice" * 100 + 0.5).cast("long").as("__c"))
+        .cube($"o_orderpriority", $"l_returnflag")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_lines"),
+          sum($"__c").as("revenue_cents"))
+        .orderBy($"gid", $"o_orderpriority".asc_nulls_first,
+          $"l_returnflag".asc_nulls_first)
+    }),
+
+    // COMMUNITY DETECTION — synchronous min-label propagation over the
+    // q121 customer↔supplier co-transaction graph, 3 fixed rounds
+    // through [[operators.Graph.labelPropagate]]: per round one
+    // labels⋈edges join + one per-destination min aggregate, state one
+    // (node, label) row per node, lineage checkpointed per round. The
+    // synchronous fixed-round rule (unlike randomized-order LPA) is a
+    // deterministic graph function, so the rounds unroll as oracle
+    // CTEs; at round 3 every label has flooded its 3-hop ball — the
+    // bounded-frontier community view, converging to connected
+    // components as rounds → diameter. Edges are REPEAT relationships
+    // only (pairs co-transacting in ≥ 2 distinct orders) — the raw
+    // bipartite graph is so hub-dense its diameter is ~4 and one label
+    // floods everything by round 3; the repeat filter is the standard
+    // noise cut that leaves genuine community structure. Top 20
+    // communities by size.
+    "q281_label_propagation" -> ((s, d) => {
+      val eDir = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .groupBy(concat(lit("c"), $"o_custkey").as("cust"),
+          concat(lit("s"), $"l_suppkey").as("supp"))
+        .agg(countDistinct($"o_orderkey").as("__no"))
+        .filter($"__no" >= 2)
+        .select($"cust", $"supp")
+      val edges = eDir.select($"cust".as("src"), $"supp".as("dst"))
+        .union(eDir.select($"supp".as("src"), $"cust".as("dst")))
+      Graph.labelPropagate(edges, "src", "dst", iters = 3)
+        .groupBy($"label".as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"n_nodes".desc, $"community")
+        .limit(20)
+    }),
+
+    // WILDER RSI — the technical-analysis smoothing recurrence
+    // AG' = (AG·13 + gain) div 14 over per-flag daily revenue, kept in
+    // pure int64 cents end-to-end ([[operators.Sessionize.wilderSmooth]]:
+    // the exponentially-weighted state at day t depends on every
+    // earlier day once the div floors each step, so no window/prefix
+    // form exists — the same secondary-sort O(1)-state scan as
+    // q209/q275, oracled by a recursive CTE advancing every series one
+    // day per iteration). The RSI readout is the exact integer
+    // (10⁶·AG) div (AG+AL); all operands non-negative, so Spark's
+    // trunc-div and DuckDB's floor-div agree everywhere.
+    "q282_wilder_rsi" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", to_date($"l_shipdate").as("__day"))
+        .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long"))
+          .as("__v"))
+        .select($"l_returnflag",
+          datediff($"__day", lit("1992-01-01").cast("date"))
+            .cast("long").as("__t"),
+          $"__v")
+      Sessionize.wilderSmooth(daily, "l_returnflag", "__t", "__v", n = 14)
+        .select($"l_returnflag",
+          date_add(lit("1992-01-01").cast("date"), $"__t".cast("int"))
+            .as("day"),
+          $"__v".as("revenue_cents"), $"avg_gain", $"avg_loss",
+          $"rsi_ppm")
+        .orderBy($"l_returnflag", $"day")
+    }),
+
+    // BOLLINGER BREAKOUT — 20-day rolling mean ± 2σ on per-flag daily
+    // quantity, the band test CROSS-MULTIPLIED to integers so no
+    // sqrt/float exists anywhere: x − μ > 2σ over the frame
+    // ⟺ (n·x − S)² > 4·(n·Q − S²) with S = Σx, Q = Σx² — every
+    // operand an int64 the two engines compute identically. One
+    // window pass (rows frame, count-complete days only), breakout
+    // days emitted with direction.
+    "q283_bollinger" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", to_date($"l_shipdate").as("day"))
+        .agg(sum(floor($"l_quantity").cast("long")).as("v"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"day")
+        .rowsBetween(-19, 0)
+      val dev = lit(20) * $"v" - $"__s"
+      val varTerm = lit(4) * (lit(20) * $"__q" - $"__s" * $"__s")
+      daily.select($"l_returnflag", $"day", $"v",
+          sum($"v").over(w).as("__s"),
+          sum($"v" * $"v").over(w).as("__q"),
+          count(lit(1)).over(w).as("__n"))
+        .filter($"__n" === 20)
+        .withColumn("dir",
+          when(dev > 0 && dev * dev > varTerm, "up")
+            .when(dev < 0 && dev * dev > varTerm, "down"))
+        .filter($"dir".isNotNull)
+        .select($"l_returnflag", $"day", $"v", $"__s".as("win_sum"),
+          $"__q".as("win_sumsq"), $"dir")
+        .orderBy($"l_returnflag", $"day")
+    }),
+
+    // MULTI-CLASS EVAL — confusion-derived per-class metrics for the
+    // plurality-rule classifier (predict each customer's segment as
+    // their nation's modal segment; mode via one max(struct) pass,
+    // tie broken on (count, segment) — no window): tp / n_actual /
+    // n_predicted per class, precision/recall/F1 as exact integer ppm
+    // (F1's harmonic mean as (2·P·R) div (P+R) on the ppm integers),
+    // so the scorecard a model-eval suite tracks is hash-exact.
+    "q284_multiclass_eval" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
+      val mode = c.groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("__n"))
+        .groupBy($"c_nationkey")
+        .agg(max(struct($"__n", $"c_mktsegment")).as("__m"))
+        .select($"c_nationkey", $"__m.c_mktsegment".as("__pred"))
+      val scored = c.join(broadcast(mode), "c_nationkey")
+        .select($"c_mktsegment".as("actual"), $"__pred".as("predicted"))
+      val classes = scored.select($"actual".as("cls")).distinct()
+      val tp = scored.filter($"actual" === $"predicted")
+        .groupBy($"actual".as("cls")).agg(count(lit(1)).as("tp"))
+      val act = scored.groupBy($"actual".as("cls"))
+        .agg(count(lit(1)).as("n_actual"))
+      val prd = scored.groupBy($"predicted".as("cls"))
+        .agg(count(lit(1)).as("n_predicted"))
+      classes.join(act, Seq("cls"), "left")
+        .join(prd, Seq("cls"), "left")
+        .join(tp, Seq("cls"), "left")
+        .select($"cls", coalesce($"n_actual", lit(0L)).as("n_actual"),
+          coalesce($"n_predicted", lit(0L)).as("n_predicted"),
+          coalesce($"tp", lit(0L)).as("tp"))
+        .withColumn("precision_ppm", when($"n_predicted" > 0,
+          expr("(tp * 1000000) div n_predicted")).otherwise(0L))
+        .withColumn("recall_ppm", when($"n_actual" > 0,
+          expr("(tp * 1000000) div n_actual")).otherwise(0L))
+        .withColumn("f1_ppm",
+          when($"precision_ppm" + $"recall_ppm" > 0,
+            expr("(2 * precision_ppm * recall_ppm) div " +
+              "(precision_ppm + recall_ppm)")).otherwise(0L))
+        .orderBy($"cls")
+    }),
+
+    // PHRASE SEARCH — positional posting-list intersection, the
+    // inverted-index operation q127's presence postings can't answer:
+    // find every document containing the corpus's top bigram (q79's
+    // count, deterministic (n, a, b) tie-break) by joining adjacent
+    // positions, with per-doc occurrence counts and the first match
+    // position. The 1-row phrase is broadcast; positions ride the same
+    // in-scan pair projection as q79 — no self-join of the token
+    // table on p+1 (that form shuffles |tokens| twice).
+    "q285_phrase_search" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", TextAnalysis.wsTokens($"text").as("__t"))
+        .filter(size($"__t") >= 2)
+      val pairs = toks.select($"doc_id", explode(transform(
+          sequence(lit(0), size($"__t") - 2),
+          i => struct(element_at($"__t", i + 1).as("a"),
+            element_at($"__t", i + 2).as("b"),
+            i.cast("long").as("p")))).as("g"))
+        .select($"doc_id", $"g.a", $"g.b", $"g.p")
+      val top = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("__n"))
+        .orderBy($"__n".desc, $"a", $"b").limit(1)
+        .select($"a".as("__ta"), $"b".as("__tb"))
+      pairs.join(broadcast(top),
+          $"a" === $"__ta" && $"b" === $"__tb")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_occurrences"),
+          min($"p").as("first_pos"))
+        .orderBy($"n_occurrences".desc, $"doc_id")
+        .limit(20)
     })
   )
 
@@ -14453,7 +14634,167 @@ object SparkEntry {
         |  CAST(((abs(estimate - actual) * 1000000) // actual)
         |    * (CASE WHEN estimate >= actual THEN 1 ELSE -1 END)
         |    AS BIGINT) AS err_ppm
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    // q280: GROUPING(a)*2 + GROUPING(b) is Spark's grouping_id bit
+    // order (first cube column = MSB)
+    "q280_cube_grouping" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority, l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, l_returnflag,
+        |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(l_returnflag)
+        |    AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(c) AS BIGINT) AS revenue_cents
+        |FROM j GROUP BY CUBE (o_orderpriority, l_returnflag)
+        |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
+        |  l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    // q281: the three synchronous min-label rounds unrolled; least()
+    // with the left-join coalesce is exactly the Spark-side update
+    "q281_label_propagation" ->
+      """WITH ed AS (
+        |  SELECT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT l_orderkey) >= 2),
+        |e AS (SELECT cust AS src, supp AS dst FROM ed
+        |  UNION ALL SELECT supp, cust FROM ed),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |m1 AS (SELECT e.dst AS node, min(p.label) AS nl
+        |  FROM e JOIN l0 p ON e.src = p.node GROUP BY 1),
+        |l1 AS (SELECT l0.node,
+        |    least(l0.label, coalesce(m1.nl, l0.label)) AS label
+        |  FROM l0 LEFT JOIN m1 USING (node)),
+        |m2 AS (SELECT e.dst AS node, min(p.label) AS nl
+        |  FROM e JOIN l1 p ON e.src = p.node GROUP BY 1),
+        |l2 AS (SELECT l1.node,
+        |    least(l1.label, coalesce(m2.nl, l1.label)) AS label
+        |  FROM l1 LEFT JOIN m2 USING (node)),
+        |m3 AS (SELECT e.dst AS node, min(p.label) AS nl
+        |  FROM e JOIN l2 p ON e.src = p.node GROUP BY 1),
+        |l3 AS (SELECT l2.node,
+        |    least(l2.label, coalesce(m3.nl, l2.label)) AS label
+        |  FROM l2 LEFT JOIN m3 USING (node))
+        |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM l3 GROUP BY 1
+        |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin,
+
+    // q282: the Wilder recurrence replayed one day per key per
+    // recursive iteration; // = div on the non-negative operands
+    "q282_wilder_rsi" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT l_returnflag AS k,
+        |    CAST(datediff('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (SELECT k, t, v,
+        |    row_number() OVER (PARTITION BY k ORDER BY t) AS rn
+        |  FROM d),
+        |rec AS (
+        |  SELECT k, rn, t, v, CAST(0 AS BIGINT) AS ag,
+        |    CAST(0 AS BIGINT) AS al
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.rn, s.t, s.v,
+        |    (r.ag * 13 + greatest(s.v - r.v, 0)) // 14,
+        |    (r.al * 13 + greatest(r.v - s.v, 0)) // 14
+        |  FROM rec r JOIN s ON s.k = r.k AND s.rn = r.rn + 1)
+        |SELECT k AS l_returnflag,
+        |  DATE '1992-01-01' + CAST(t AS INTEGER) AS day,
+        |  v AS revenue_cents, CAST(ag AS BIGINT) AS avg_gain,
+        |  CAST(al AS BIGINT) AS avg_loss,
+        |  CASE WHEN ag + al > 0
+        |    THEN CAST((1000000 * ag) // (ag + al) AS BIGINT) END
+        |    AS rsi_ppm
+        |FROM rec ORDER BY l_returnflag, day""".stripMargin,
+
+    // q283: identical frame, identical cross-multiplied band test
+    "q283_bollinger" ->
+      """WITH d AS (
+        |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT l_returnflag, day, v,
+        |    CAST(sum(v) OVER fr AS BIGINT) AS s,
+        |    CAST(sum(v * v) OVER fr AS BIGINT) AS q,
+        |    count(*) OVER fr AS n
+        |  FROM d WINDOW fr AS (PARTITION BY l_returnflag ORDER BY day
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT l_returnflag, day, v, s, q,
+        |    20 * v - s AS dev, 4 * (20 * q - s * s) AS vt
+        |  FROM w WHERE n = 20)
+        |SELECT l_returnflag, day, v, s AS win_sum, q AS win_sumsq,
+        |  CASE WHEN dev > 0 THEN 'up' ELSE 'down' END AS dir
+        |FROM b WHERE dev * dev > vt AND dev <> 0
+        |ORDER BY l_returnflag, day""".stripMargin,
+
+    // q284: the same plurality rule (row_number on (n DESC, seg DESC)
+    // = Spark's max(struct)), the same ppm integer metrics
+    "q284_multiclass_eval" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment FROM customer),
+        |cnt AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM c GROUP BY 1, 2),
+        |md AS (SELECT c_nationkey, c_mktsegment AS pred FROM (
+        |  SELECT c_nationkey, c_mktsegment, row_number() OVER (
+        |    PARTITION BY c_nationkey
+        |    ORDER BY n DESC, c_mktsegment DESC) AS rn
+        |  FROM cnt) WHERE rn = 1),
+        |sc AS (SELECT c.c_mktsegment AS actual, md.pred AS predicted
+        |  FROM c JOIN md USING (c_nationkey)),
+        |cls AS (SELECT DISTINCT actual AS cls FROM sc),
+        |tp AS (SELECT actual AS cls, CAST(count(*) AS BIGINT) AS tp
+        |  FROM sc WHERE actual = predicted GROUP BY 1),
+        |na AS (SELECT actual AS cls,
+        |  CAST(count(*) AS BIGINT) AS n_actual FROM sc GROUP BY 1),
+        |np AS (SELECT predicted AS cls,
+        |  CAST(count(*) AS BIGINT) AS n_predicted FROM sc GROUP BY 1),
+        |j AS (SELECT cls.cls,
+        |    CAST(coalesce(n_actual, 0) AS BIGINT) AS n_actual,
+        |    CAST(coalesce(n_predicted, 0) AS BIGINT) AS n_predicted,
+        |    CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp
+        |  FROM cls LEFT JOIN na USING (cls)
+        |  LEFT JOIN np USING (cls) LEFT JOIN tp USING (cls)),
+        |m AS (SELECT cls, n_actual, n_predicted, tp,
+        |    CAST(CASE WHEN n_predicted > 0
+        |      THEN (tp * 1000000) // n_predicted ELSE 0 END
+        |      AS BIGINT) AS precision_ppm,
+        |    CAST(CASE WHEN n_actual > 0
+        |      THEN (tp * 1000000) // n_actual ELSE 0 END
+        |      AS BIGINT) AS recall_ppm
+        |  FROM j)
+        |SELECT cls, n_actual, n_predicted, tp, precision_ppm,
+        |  recall_ppm,
+        |  CAST(CASE WHEN precision_ppm + recall_ppm > 0
+        |    THEN (2 * precision_ppm * recall_ppm)
+        |      // (precision_ppm + recall_ppm) ELSE 0 END
+        |    AS BIGINT) AS f1_ppm
+        |FROM m ORDER BY cls""".stripMargin,
+
+    // q285: q79's pair construction with the 0-based position riding
+    // along (DuckDB arrays are 1-based: first_pos = i - 1)
+    "q285_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |p AS (
+        |  SELECT doc_id, t[i] AS a, t[i+1] AS b,
+        |    CAST(i - 1 AS BIGINT) AS p
+        |  FROM t, unnest(range(1, len(t))) AS u(i)),
+        |top AS (SELECT a, b FROM (
+        |  SELECT a, b, count(*) AS n FROM p GROUP BY 1, 2
+        |  ORDER BY n DESC, a, b LIMIT 1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(p.p) AS BIGINT) AS first_pos
+        |FROM p JOIN top USING (a, b)
+        |GROUP BY doc_id
+        |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

@@ -499,4 +499,49 @@ object Graph {
         (col("__t") - col("ef") - col("lt")).as("slack"),
         (col("__t") === col("ef") + col("lt")).as("is_critical"))
   }
+
+  /** Synchronous min-label propagation over a DIRECTED edge list (pass
+    * both directions for an undirected graph), fixed `iters` rounds:
+    *
+    *   l_{r+1}(v) = min( l_r(v), min_{(u,v)∈E} l_r(u) )
+    *
+    * with l_0(v) = v (the node's own id; labels order lexicographically
+    * — both engines compare strings bytewise). The synchronous rule
+    * with a fixed round count is a deterministic function of the graph
+    * (unlike the usual randomized-order LPA), so it oracle-checks by
+    * unrolling the rounds as SQL CTEs; run to the graph's diameter it
+    * converges to connected components — at a fixed small `iters` it is
+    * the bounded-frontier community view (each label has flooded its
+    * `iters`-hop ball), the per-round cost one labels⋈edges join + one
+    * per-destination min aggregate, both hash-partitioned on the node
+    * key. Per-round state is one (node, label) row per node,
+    * localCheckpoint'ed eagerly and freed once the next round has
+    * materialized (the [[pageRank]] lineage discipline — a lazy chain
+    * re-derives round r 2^r times). */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                     iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct().localCheckpoint()
+    var labels = e.select(col("__src").as("node"))
+      .unionAll(e.select(col("__dst").as("node")))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var prevCk = labels
+    for (_ <- 1 to iters) {
+      val nbrMin = labels.join(e, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(min(col("label")).as("__nl"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__nl"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(prevCk)
+      prevCk = labels
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
+    labels
+  }
 }

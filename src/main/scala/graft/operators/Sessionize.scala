@@ -183,4 +183,60 @@ object Sessionize {
       }
       .toDF(keyCol, tsCol, idCol, "allowed")
   }
+
+  /** Wilder exponential smoothing of per-step gains/losses — the RSI
+    * recurrence, kept in pure int64 so both engines replay it exactly:
+    * per key, rows sorted on `tsCol` (a long; caller pre-aggregates to
+    * one row per (key, ts)), with v = `valCol` (long units, e.g. cents),
+    *
+    *   g_t = max(v_t − v_{t−1}, 0),  l_t = max(v_{t−1} − v_t, 0)
+    *   AG_t = (AG_{t−1}·(n−1) + g_t) div n      (AG_first = 0)
+    *   AL_t = (AL_{t−1}·(n−1) + l_t) div n
+    *
+    * where div is integer division — all operands non-negative, so
+    * Spark's trunc-div and DuckDB's floor-div agree. The classic RSI
+    * readout 100·AG/(AG+AL) is emitted as the exact integer
+    * rsi_ppm = (1 000 000·AG) div (AG+AL), NULL while AG+AL = 0.
+    * Like [[rateLimit]], the smoothing state at t depends on every
+    * earlier row (an exponentially-weighted sum has no window/prefix
+    * form once the div floors each step), so this is the same
+    * secondary-sort O(1)-state scan: one shuffle on the key, a
+    * within-partition sort, four longs of state — per-key history is
+    * never materialized, which is what survives unbounded series at
+    * 100 TB. Oracle: one event per key per recursive-CTE iteration. */
+  def wilderSmooth(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, n: Int): DataFrame = {
+    require(n >= 2, "smoothing period >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(tsCol).cast("long").as("__t"),
+        col(valCol).cast("long").as("__v"))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"))
+      .as[(String, Long, Long)]
+      .mapPartitions { rows =>
+        var curKey: String = null
+        var prevV = 0L
+        var havePrev = false
+        var ag = 0L
+        var al = 0L
+        rows.map { case (k, t, v) =>
+          if (curKey == null || k != curKey) {
+            curKey = k; havePrev = false; ag = 0L; al = 0L
+          }
+          if (havePrev) {
+            val g = math.max(v - prevV, 0L)
+            val l = math.max(prevV - v, 0L)
+            ag = (ag * (n - 1) + g) / n
+            al = (al * (n - 1) + l) / n
+          }
+          prevV = v; havePrev = true
+          val rsi = if (ag + al > 0) Some(1000000L * ag / (ag + al))
+            else None
+          (k, t, v, ag, al, rsi)
+        }
+      }
+      .toDF(keyCol, tsCol, valCol, "avg_gain", "avg_loss", "rsi_ppm")
+  }
 }

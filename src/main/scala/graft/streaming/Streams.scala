@@ -827,4 +827,46 @@ object Streams {
           out.iterator
       }
   }
+
+  /** Keyed (ts, value) observation for [[wilderStream]]. */
+  case class KeyedVal(key: String, ts: Long, v: Long)
+
+  /** Per-observation Wilder smoothing snapshot. */
+  case class WilderState(key: String, ts: Long, v: Long,
+                         avg_gain: Long, avg_loss: Long,
+                         rsi_ppm: Option[Long])
+
+  /** STREAMING Wilder smoothing / RSI — the live twin of batch q282
+    * ([[graft.operators.Sessionize.wilderSmooth]]): per-key state is
+    * exactly the scan's three longs (prev value, AG, AL) plus an
+    * initialized flag, so a restart resumes mid-series with no
+    * history. A micro-batch's group is ordered by ts before replay
+    * (buffering bounded by batch size); ACROSS batches the usual
+    * nondecreasing-event-time contract applies, under which the
+    * emitted states equal the batch scan's on any split —
+    * StreamsSpec pins that parity against the batch operator. */
+  def wilderStream(rows: Dataset[KeyedVal], n: Int)
+      : Dataset[WilderState] = {
+    require(n >= 2, "smoothing period >= 2")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Long, Boolean), WilderState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k, it, state: GroupState[(Long, Long, Long, Boolean)]) =>
+          var (prev, ag, al, init) = state.getOption
+            .getOrElse((0L, 0L, 0L, false))
+          val out = it.toArray.sortBy(_.ts).map { e =>
+            if (init) {
+              ag = (ag * (n - 1) + math.max(e.v - prev, 0L)) / n
+              al = (al * (n - 1) + math.max(prev - e.v, 0L)) / n
+            }
+            prev = e.v; init = true
+            val rsi = if (ag + al > 0) Some(1000000L * ag / (ag + al))
+              else None
+            WilderState(k, e.ts, e.v, ag, al, rsi)
+          }
+          state.update((prev, ag, al, init))
+          out.iterator
+      }
+  }
 }

@@ -1066,4 +1066,31 @@ class PlanShapeSpec extends SparkSpec {
     val wins = collectAll(p) { case w: WindowExec => w }
     assert(wins.size <= 2, s"unexpected data-sized window:\n$p")
   }
+
+  test("q280 cube: all four grouping levels expand inside ONE " +
+      "aggregate over one scan pair — no per-level rescan") {
+    val p = plan("q280_cube_grouping")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    // one lineitem scan + one orders scan; a union-of-levels plan
+    // would read each table once per level
+    assert(scans.size == 2, s"cube rescanned its inputs:\n$p")
+  }
+
+  test("q285 phrase search: the 1-row phrase joins BROADCAST onto the " +
+      "pair stream — no shuffle of |pairs| rows on the bigram key") {
+    val p = plan("q285_phrase_search")
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"phrase join sort-merged the pair table:\n$p")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected broadcast phrase join:\n$p")
+  }
+
+  test("q284 multiclass eval: the nation→modal-segment dimension " +
+      "broadcasts onto customers; mode is max(struct), no window") {
+    val p = plan("q284_multiclass_eval")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, s"expected no WindowExec:\n$p")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected broadcast mode join:\n$p")
+  }
 }

@@ -265,4 +265,47 @@ class GraphSpec extends SparkSpec {
         }, s"critical $n must have a tight critical successor")
       }
   }
+
+  /** Independent synchronous min-label reference (plain Scala maps). */
+  private def lpaRef(edges: Seq[(String, String)], iters: Int)
+      : Map[String, String] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var l = nodes.map(v => v -> v).toMap
+    (1 to iters).foreach { _ =>
+      val nbr = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(x => l(x._1)).min
+      }
+      l = l.map { case (v, lab) =>
+        v -> Seq(lab, nbr.getOrElse(v, lab)).min }
+    }
+    l
+  }
+
+  test("labelPropagate matches the synchronous reference per round; " +
+      "run to diameter it yields connected components") {
+    // two components: a 6-node path (diameter 5 — exposes the
+    // synchronous frontier: labels flood exactly one hop per round)
+    // and a 3-node triangle, both passed in both directions
+    val und = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "e" -> "f", "x" -> "y", "y" -> "z", "z" -> "x")
+    val e = und ++ und.map(_.swap)
+    for (iters <- Seq(1, 2, 5)) {
+      val got = Graph.labelPropagate(e.toDF("src", "dst"),
+          "src", "dst", iters)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got === lpaRef(e, iters), s"iters=$iters")
+    }
+    // at diameter rounds the min label owns each component
+    val conv = Graph.labelPropagate(e.toDF("src", "dst"),
+        "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a", "b", "c", "d", "e", "f").forall(conv(_) == "a"))
+    assert(Seq("x", "y", "z").forall(conv(_) == "x"))
+    // one round on the path: only direct neighbors of 'a' have 'a'
+    val one = Graph.labelPropagate(e.toDF("src", "dst"),
+        "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(one("b") == "a" && one("c") == "b" && one("f") == "e")
+  }
 }

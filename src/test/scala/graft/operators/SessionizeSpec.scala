@@ -172,4 +172,48 @@ class SessionizeSpec extends SparkSpec {
     assert(got.exists(e => e._1 == 0L && !e._4))
     assert(got.filter(_._1 == 1L).forall(_._4))
   }
+
+  test("wilderSmooth matches an independent sequential replay; state " +
+      "resets per key; RSI pins to 1e6/0 on monotone series") {
+    val rnd = new scala.util.Random(53)
+    val evs = (0L until 300L).map { i =>
+      val k = (i % 4).toString
+      // keys 0-1 random walks; key 2 strictly rising; key 3 falling
+      // slopes must exceed n=14 per step or the integer smoothing
+      // floors every increment to 0 and AG/AL never move
+      val v = (i % 4) match {
+        case 2 => 1000L + (i / 4) * 1000L
+        case 3 => 900000L - (i / 4) * 1000L
+        case _ => 5000L + rnd.nextInt(2000)
+      }
+      (k, i / 4, v)
+    }
+    val n = 14
+    val got = Sessionize.wilderSmooth(evs.toDF("k", "t", "v"),
+        "k", "t", "v", n)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+      var ag = 0L; var al = 0L; var prev = 0L; var have = false
+      es.sortBy(_._2).map { case (_, t, v) =>
+        if (have) {
+          ag = (ag * (n - 1) + math.max(v - prev, 0L)) / n
+          al = (al * (n - 1) + math.max(prev - v, 0L)) / n
+        }
+        prev = v; have = true
+        val rsi = if (ag + al > 0) Some(1000000L * ag / (ag + al))
+          else None
+        (k, t, v, ag, al, rsi)
+      }
+    }.toSet
+    assert(got === expect)
+    // monotone-up key: every loss is 0, so once a gain lands RSI is
+    // exactly 1e6; monotone-down the dual 0
+    val up = got.filter(e => e._1 == "2" && e._6.isDefined)
+    assert(up.nonEmpty && up.forall(_._6.contains(1000000L)))
+    val dn = got.filter(e => e._1 == "3" && e._6.isDefined)
+    assert(dn.nonEmpty && dn.forall(_._6.contains(0L)))
+  }
 }

@@ -1184,4 +1184,45 @@ class StreamsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("wilderStream smoothing states equal the batch scan under any " +
+      "nondecreasing micro-batch split") {
+    val rnd = new scala.util.Random(71)
+    // per-key series with jumps big enough that div-14 registers
+    val evs = (0L until 240L).map { i =>
+      val k = (i % 3).toString
+      (k, i / 3, 50000L + rnd.nextInt(40000))
+    }.sortBy(e => (e._2, e._1)) // global arrival order for splitting
+    val want = graft.operators.Sessionize.wilderSmooth(
+        evs.toDF("k", "t", "v"), "k", "t", "v", 14)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    for ((split, tag) <- Seq(70 -> "w70", 171 -> "w171")) {
+      val dir = Files.createTempDirectory(s"graft-wl-$tag").toFile
+      val stream = spark.readStream
+        .schema("key STRING, ts LONG, v LONG")
+        .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+        .as[Streams.KeyedVal]
+      val q = Streams.wilderStream(stream, 14)
+        .writeStream.format("memory").queryName(s"wl$tag")
+        .outputMode("append").start()
+      try {
+        def js(r: (String, Long, Long)) =
+          s"""{"key":"${r._1}","ts":${r._2},"v":${r._3}}"""
+        dropFile(dir, "b1.json",
+          evs.take(split).map(js).mkString("\n"))
+        q.processAllAvailable()
+        dropFile(dir, "b2.json",
+          evs.drop(split).map(js).mkString("\n"))
+        q.processAllAvailable()
+        val got = spark.table(s"wl$tag").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+        assert(got === want, s"split $split")
+      } finally q.stop()
+    }
+  }
 }
