@@ -7774,6 +7774,100 @@ object SparkEntry {
           min($"p").as("first_pos"))
         .orderBy($"n_occurrences".desc, $"doc_id")
         .limit(20)
+    }),
+
+    // PIVOT — the long→wide reshape every BI export runs: segment ×
+    // order-year revenue matrix in exact cents. The year values are
+    // ENUMERATED (`.pivot(col, values)`), which skips Spark's extra
+    // distinct-collection job AND fixes the output schema at plan
+    // time — at 100 TB a discovery pass over the fact table just to
+    // learn 7 known column names is a full scan wasted. Missing cells
+    // are 0 (na.fill), matching the oracle's coalesce.
+    "q286_pivot" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select($"o_custkey",
+          concat(lit("y"), year($"o_orderdate")).as("__yr"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("__c"))
+      val c = Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment")
+      o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .pivot("__yr", Seq("y1992", "y1993", "y1994", "y1995",
+          "y1996", "y1997", "y1998"))
+        .agg(sum($"__c"))
+        .na.fill(0L)
+        .orderBy($"c_mktsegment")
+    }),
+
+    // UNPIVOT — the wide→long dual (Spark's Dataset.unpivot / SQL
+    // UNPIVOT): per-brand part metrics melted to (brand, metric,
+    // value) rows. All three measures ride int64 so the melted value
+    // column has one exact type; the oracle is the UNION ALL
+    // expansion the operator replaces.
+    "q287_unpivot" -> ((s, d) => {
+      Tables.part(s, d)
+        .groupBy($"p_brand")
+        .agg(sum(floor($"p_retailprice" * 100 + 0.5).cast("long"))
+            .as("retail_cents"),
+          sum($"p_size".cast("long")).as("total_size"),
+          count(lit(1)).as("n_parts"))
+        .unpivot(Array(col("p_brand")),
+          Array(col("retail_cents"), col("total_size"),
+            col("n_parts")),
+          "metric", "value")
+        .orderBy($"p_brand", $"metric")
+    }),
+
+    // ITEM-ITEM COLLABORATIVE SIMILARITY — the recommender staple
+    // over the q111 capped basket pairs: cosine²(a,b) =
+    // co²/(n_a·n_b) emitted as the exact integer
+    // (co²·10⁶) div (n_a·n_b) — monotone in cosine, so the top-20
+    // ranking is float-free and hash-exact. Support floor co ≥ 2
+    // (a single co-purchase is noise, and it keeps the pair table
+    // bounded); basket caps keep hub orders from going quadratic —
+    // the same guarantee the whole graph family rides.
+    "q288_item_cosine" -> ((s, d) => {
+      val baskets = cappedBaskets(s, d, cap = 8)
+      val co = basketPairs(baskets)
+        .groupBy($"a", $"b").agg(count(lit(1)).as("co"))
+        .filter($"co" >= 2)
+      val n = baskets.select(explode($"__items").as("item"))
+        .groupBy($"item").agg(count(lit(1)).as("n"))
+      co.join(n.select($"item".as("a"), $"n".as("__na")), Seq("a"))
+        .join(n.select($"item".as("b"), $"n".as("__nb")), Seq("b"))
+        .select($"a".as("part_a"), $"b".as("part_b"), $"co",
+          $"__na".as("n_a"), $"__nb".as("n_b"),
+          expr("(co * co * 1000000) div (__na * __nb)")
+            .as("cosine2_ppm"))
+        .orderBy($"cosine2_ppm".desc, $"part_a", $"part_b")
+        .limit(20)
+    }),
+
+    // RUNNING DISTINCT — cumulative distinct customers per segment by
+    // month, the "total logos to date" curve. COUNT(DISTINCT) over an
+    // expanding window is inexpressible/explosive in both engines; the
+    // scale form is first-occurrence semantics: distinct collapses to
+    // each customer's FIRST month (one hash aggregate over (segment,
+    // customer)), then a prefix sum over the ≤84-row month spine per
+    // segment — the window runs over month counts, never customer
+    // rows.
+    "q289_running_distinct" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment")
+      val fm = Tables.orders(s, d)
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment", $"o_custkey",
+          ((year($"o_orderdate") - 1992) * 12 +
+            month($"o_orderdate") - 1).cast("long").as("__m"))
+        .groupBy($"c_mktsegment", $"o_custkey")
+        .agg(min($"__m").as("month_idx"))
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"month_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      fm.groupBy($"c_mktsegment", $"month_idx")
+        .agg(count(lit(1)).as("n_new"))
+        .select($"c_mktsegment", $"month_idx", $"n_new",
+          sum($"n_new").over(w).as("cum_distinct"))
+        .orderBy($"c_mktsegment", $"month_idx")
     })
   )
 
@@ -14794,7 +14888,91 @@ object SparkEntry {
         |  CAST(min(p.p) AS BIGINT) AS first_pos
         |FROM p JOIN top USING (a, b)
         |GROUP BY doc_id
-        |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q286: the conditional-aggregation expansion pivot replaces
+    "q286_pivot" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, year(o_orderdate) AS yr,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1992 THEN c END), 0)
+        |    AS BIGINT) AS y1992,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1993 THEN c END), 0)
+        |    AS BIGINT) AS y1993,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1994 THEN c END), 0)
+        |    AS BIGINT) AS y1994,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1995 THEN c END), 0)
+        |    AS BIGINT) AS y1995,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1996 THEN c END), 0)
+        |    AS BIGINT) AS y1996,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1997 THEN c END), 0)
+        |    AS BIGINT) AS y1997,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1998 THEN c END), 0)
+        |    AS BIGINT) AS y1998
+        |FROM j GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // q287: the UNION ALL expansion unpivot replaces
+    "q287_unpivot" ->
+      """WITH a AS (
+        |  SELECT p_brand,
+        |    CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS retail_cents,
+        |    CAST(sum(p_size) AS BIGINT) AS total_size,
+        |    CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1)
+        |SELECT p_brand, 'retail_cents' AS metric,
+        |  retail_cents AS value FROM a
+        |UNION ALL
+        |SELECT p_brand, 'total_size', total_size FROM a
+        |UNION ALL
+        |SELECT p_brand, 'n_parts', n_parts FROM a
+        |ORDER BY p_brand, metric""".stripMargin,
+
+    // q288: q111's capped-basket self-join with per-item basket
+    // counts; the same integer cosine² ranking
+    "q288_item_cosine" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM items) WHERE rn <= 8),
+        |co AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS co
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |n AS (SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS n
+        |  FROM capped GROUP BY 1)
+        |SELECT co.pa AS part_a, co.pb AS part_b, co.co,
+        |  na.n AS n_a, nb.n AS n_b,
+        |  CAST((co.co * co.co * 1000000) // (na.n * nb.n) AS BIGINT)
+        |    AS cosine2_ppm
+        |FROM co JOIN n na ON co.pa = na.item
+        |JOIN n nb ON co.pb = nb.item
+        |ORDER BY cosine2_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // q289: first-month collapse + prefix sum over the month spine
+    "q289_running_distinct" ->
+      """WITH fm AS (
+        |  SELECT c_mktsegment, o_custkey,
+        |    min(CAST((year(o_orderdate) - 1992) * 12
+        |      + month(o_orderdate) - 1 AS BIGINT)) AS month_idx
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |n AS (SELECT c_mktsegment, month_idx,
+        |    CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fm GROUP BY 1, 2)
+        |SELECT c_mktsegment, month_idx, n_new,
+        |  CAST(sum(n_new) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY month_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_distinct
+        |FROM n ORDER BY c_mktsegment, month_idx""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):

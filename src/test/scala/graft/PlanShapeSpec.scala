@@ -1085,6 +1085,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(bhj.nonEmpty, s"expected broadcast phrase join:\n$p")
   }
 
+  test("q286 pivot: enumerated values fix the schema at plan time — " +
+      "one scan pair, no distinct-discovery pass over the fact") {
+    val p = plan("q286_pivot")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    assert(scans.size == 2, s"pivot added a discovery scan:\n$p")
+  }
+
+  test("q289 running distinct: the prefix sum windows over the month " +
+      "spine per segment — partitioned, never a global window") {
+    val p = plan("q289_running_distinct")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window:\n$p")
+  }
+
   test("q284 multiclass eval: the nation→modal-segment dimension " +
       "broadcasts onto customers; mode is max(struct), no window") {
     val p = plan("q284_multiclass_eval")
