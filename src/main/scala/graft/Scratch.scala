@@ -268,6 +268,39 @@ object Scratch {
       }
     }
 
+    /** q281 label propagation: the q121 disconnected-copies model —
+      * node/edge volume scales 10× at fixed per-node degree and fixed
+      * round count (3), so the per-round join + min-aggregate must
+      * grow linearly; distinct final labels scale exactly 10× (each
+      * replica floods independently). */
+    def lpaChain(mult: Int): Double = {
+      val eDir = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("cust"),
+          concat(lit("s"), col("l_suppkey")).as("supp"))
+        .agg(countDistinct(col("o_orderkey")).as("no"))
+        .filter(col("no") >= 2).select(col("cust"), col("supp"))
+        .persist(MEMORY_AND_DISK)
+      eDir.count()
+      val rep = (0 until mult).map { k =>
+        eDir.select(concat(col("cust"), lit(s"_$k")).as("cust"),
+          concat(col("supp"), lit(s"_$k")).as("supp"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val edges = rep.select(col("cust").as("src"),
+            col("supp").as("dst"))
+          .union(rep.select(col("supp").as("src"),
+            col("cust").as("dst")))
+        val n = operators.Graph.labelPropagate(edges, "src", "dst",
+            iters = 3)
+          .select(col("label")).distinct().count()
+        println(s"[scratch]   lpa mult=$mult communities=$n")
+      }
+      eDir.unpersist()
+      r
+    }
+
     /** q131 triangles: disconnected graph copies (node ids suffixed
       * per replica, the q121 model) — triangle/wedge counts scale
       * exactly 10×, so the probe isolates how the oriented wedge join
@@ -786,7 +819,7 @@ object Scratch {
       "bfs" -> bfsChain, "sssp" -> ssspChain,
       "ledger" -> ledgerChain, "bom" -> bomChain,
       "linkage" -> linkageChain, "interval" -> intervalChain,
-      "cpm" -> cpmChain)
+      "cpm" -> cpmChain, "lpa" -> lpaChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm

@@ -7868,6 +7868,79 @@ object SparkEntry {
         .select($"c_mktsegment", $"month_idx", $"n_new",
           sum($"n_new").over(w).as("cum_distinct"))
         .orderBy($"c_mktsegment", $"month_idx")
+    }),
+
+    // APRIORI TRIPLES — frequent 3-itemsets over per-document token
+    // baskets, with the level-wise CANDIDATE PRUNE that makes Apriori
+    // scale: triples are counted only when all three constituent
+    // pairs are frequent (the frequent-pair set broadcasts — it is
+    // support-bounded however large the corpus is). The prune is pure
+    // performance: by downward closure support(abc) ≤ support(any
+    // pair), so the oracle computes triples DIRECTLY with the same
+    // HAVING — hash equality is the closure lemma itself. The support
+    // threshold (≥ 5 % of baskets) is the cross-multiplied integer
+    // test 20·s ≥ N; tokens per doc are capped 8 sorted, so triple
+    // generation is ≤ C(8,3) per basket, never vocabulary-quadratic.
+    "q290_apriori_triples" -> ((s, d) => {
+      val baskets = Tables.documents(s, d)
+        .select($"doc_id",
+          explode(TextAnalysis.wsTokens($"text")).as("__tok"))
+        .groupBy($"doc_id")
+        .agg(slice(sort_array(collect_set($"__tok")), 1, 8)
+          .as("__items"))
+      val nB = baskets.agg(count(lit(1)).as("__n"))
+      val pairs = basketPairs(baskets)
+        .groupBy($"a", $"b").agg(count(lit(1)).as("__s"))
+      val freqPairs = pairs.crossJoin(broadcast(nB))
+        .filter($"__s" * 20 >= $"__n")
+        .select($"a", $"b")
+      val triples = baskets.select(explode(flatten(flatten(
+          transform($"__items", (x, i) =>
+            transform(slice($"__items", i + 2, size($"__items")),
+              (y, j) => transform(
+                slice($"__items", i + j + 3, size($"__items")),
+                z => struct(x.as("a"), y.as("b"), z.as("c"))))))))
+          .as("t"))
+        .select($"t.a".as("a"), $"t.b".as("b"), $"t.c".as("c"))
+      val pruned = triples
+        .join(broadcast(freqPairs), Seq("a", "b"), "left_semi")
+        .join(broadcast(freqPairs
+          .select($"a", $"b".as("c"))), Seq("a", "c"), "left_semi")
+        .join(broadcast(freqPairs
+          .select($"a".as("b"), $"b".as("c"))), Seq("b", "c"),
+          "left_semi")
+      pruned.groupBy($"a".as("item_a"), $"b".as("item_b"),
+          $"c".as("item_c"))
+        .agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nB))
+        .filter($"support" * 20 >= $"__n")
+        .select($"item_a", $"item_b", $"item_c", $"support")
+        .orderBy($"support".desc, $"item_a", $"item_b", $"item_c")
+        .limit(20)
+    }),
+
+    // ROLLUP — the hierarchy-subtotal dual of q280's CUBE: region →
+    // nation revenue with per-region subtotals and the grand total,
+    // one Expand+aggregate pass, levels tagged by grouping_id. The
+    // dims chain down broadcast joins onto orders; revenue rides
+    // exact cents.
+    "q291_rollup" -> ((s, d) => {
+      val c = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
+      val n = Tables.nation(s, d)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+      val r = Tables.region(s, d).select($"r_regionkey", $"r_name")
+      Tables.orders(s, d)
+        .select($"o_custkey",
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("__c"))
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum($"__c").as("revenue_cents"))
+        .orderBy($"gid", $"r_name".asc_nulls_first,
+          $"n_name".asc_nulls_first)
     })
   )
 
@@ -14972,7 +15045,51 @@ object SparkEntry {
         |    ORDER BY month_idx
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS cum_distinct
-        |FROM n ORDER BY c_mktsegment, month_idx""".stripMargin
+        |FROM n ORDER BY c_mktsegment, month_idx""".stripMargin,
+
+    // q290: triples computed DIRECTLY (no prune) with the same
+    // HAVING — equality with the pruned Spark plan is downward
+    // closure: support(abc) ≤ support of every constituent pair
+    "q290_apriori_triples" ->
+      """WITH b AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents WHERE length(trim(text)) > 0)),
+        |capped AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tok) AS rn FROM b) WHERE rn <= 8),
+        |nb AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM capped),
+        |t AS (
+        |  SELECT x.tok AS item_a, y.tok AS item_b, z.tok AS item_c,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM capped x
+        |  JOIN capped y ON x.doc_id = y.doc_id AND x.tok < y.tok
+        |  JOIN capped z ON y.doc_id = z.doc_id AND y.tok < z.tok
+        |  GROUP BY 1, 2, 3)
+        |SELECT item_a, item_b, item_c, support
+        |FROM t CROSS JOIN nb WHERE support * 20 >= nb.n
+        |ORDER BY support DESC, item_a, item_b, item_c
+        |LIMIT 20""".stripMargin,
+
+    // q291: GROUP BY ROLLUP, same grouping_id bit order as q280
+    "q291_rollup" ->
+      """WITH j AS (
+        |  SELECT r_name, n_name,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT)
+        |    AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(c) AS BIGINT) AS revenue_cents
+        |FROM j GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name ASC NULLS FIRST,
+        |  n_name ASC NULLS FIRST""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
