@@ -7941,6 +7941,90 @@ object SparkEntry {
           sum($"__c").as("revenue_cents"))
         .orderBy($"gid", $"r_name".asc_nulls_first,
           $"n_name".asc_nulls_first)
+    }),
+
+    // GRID-DENSITY CLUSTERING — the DBSCAN point taxonomy
+    // (core / border / noise) on the grid approximation that scales:
+    // one hash aggregate folds N points to ≤1600 cells, and ALL
+    // density logic (3×3 neighborhood sums, the core test, core
+    // adjacency for border cells) runs on the metadata-sized cell
+    // table — the 9× neighbor replication multiplies cells, never
+    // points. Core ⟺ 1600·nbhd ≥ 9·N (density ≥ the uniform
+    // expectation, cross-multiplied to integers); border = non-core
+    // cell with a core cell among its 9 neighbors; the rest is
+    // noise. Coordinates are CHAINED Knuth hashes (cy hashes cx's
+    // hash, not the key) — two affine-in-key hashes land every point
+    // on one line of the grid (u2 − u1 is constant mod 2³²), which
+    // collapses the taxonomy to all-core; the chained form breaks
+    // the linearity through the mod-p reduction between multiplies.
+    "q292_dbscan_grid" -> ((s, d) => {
+      val u1 = Sampling.consistentHash($"c_custkey")
+      val u2 = Sampling.consistentHash(u1 + lit(1000003L))
+      val cells = Tables.customer(s, d)
+        .select(
+          floor(u1.cast("double") / 4294967296.0 * 40.0)
+            .cast("long").as("cx"),
+          floor(u2.cast("double") / 4294967296.0 * 40.0)
+            .cast("long").as("cy"))
+        .groupBy($"cx", $"cy").agg(count(lit(1)).as("cnt"))
+      val offs = { import s.implicits._
+        (for (dx <- -1 to 1; dy <- -1 to 1) yield (dx.toLong, dy.toLong))
+          .toDF("dx", "dy") }
+      val nbhd = cells.crossJoin(broadcast(offs))
+        .groupBy(($"cx" + $"dx").as("cx"), ($"cy" + $"dy").as("cy"))
+        .agg(sum($"cnt").as("nbhd"))
+      val nPts = cells.agg(sum($"cnt").as("__n"))
+      val tab = cells.join(nbhd, Seq("cx", "cy"))
+        .crossJoin(broadcast(nPts))
+        .withColumn("__core", $"nbhd" * 1600 >= $"__n" * 9)
+      val coreCells = tab.filter($"__core").select($"cx", $"cy")
+      val borderCells = tab.filter(!$"__core")
+        .crossJoin(broadcast(offs))
+        .select(($"cx" + $"dx").as("cx"), ($"cy" + $"dy").as("cy"),
+          $"cx".as("__ox"), $"cy".as("__oy"))
+        .join(coreCells, Seq("cx", "cy"), "left_semi")
+        .select($"__ox".as("cx"), $"__oy".as("cy")).distinct()
+      tab.join(borderCells.withColumn("__b", lit(true)),
+          Seq("cx", "cy"), "left")
+        .select($"cnt",
+          when($"__core", "core").when($"__b", "border")
+            .otherwise("noise").as("cls"))
+        .groupBy($"cls")
+        .agg(count(lit(1)).as("n_cells"), sum($"cnt").as("n_points"))
+        .orderBy($"cls")
+    }),
+
+    // GEO k-NN — each customer's 3 nearest depots within 60 km,
+    // through the radius-join grid (candidates only from the 3×3
+    // cell neighborhood) and the bounded-heap TopKPerKey cut — never
+    // a per-customer sort of the full candidate list. Distances
+    // compare as exact integer micro-km (ties broken on depot id
+    // inside the struct), and the readout — how many customers rank
+    // each depot in their top 3 / at rank 1 — is the site-planning
+    // number the k=1 assignment (q258) cannot see.
+    "q293_geo_knn" -> ((s, d) => {
+      val (clat, clon) = Geo.syntheticPoint($"c_custkey")
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", clat.as("c_lat"), clon.as("c_lon"))
+      val (slat, slon) = Geo.syntheticPoint($"s_suppkey" + lit(500000L))
+      val sup = Tables.supplier(s, d)
+        .select($"s_suppkey", slat.as("s_lat"), slon.as("s_lon"))
+      val cand = Geo.radiusJoin(cust, "c_lat", "c_lon",
+          sup, "s_lat", "s_lon", radiusKm = 60.0)
+        .select($"c_custkey", $"s_suppkey",
+          floor($"dist_km" * 1000000 + 0.5).cast("long").as("um"))
+      val top3 = graft.plans.TopKPerKey(cand, Seq("c_custkey"),
+        Seq($"um".asc, $"s_suppkey".asc), k = 3)
+      val r1 = cand.groupBy($"c_custkey")
+        .agg(min(struct($"um", $"s_suppkey")).as("__m"))
+        .select($"__m.s_suppkey".as("s_suppkey"))
+        .groupBy($"s_suppkey").agg(count(lit(1)).as("n_rank1"))
+      top3.groupBy($"s_suppkey").agg(count(lit(1)).as("n_top3"))
+        .join(r1, Seq("s_suppkey"), "left")
+        .select($"s_suppkey".as("depot"), $"n_top3",
+          coalesce($"n_rank1", lit(0L)).as("n_rank1"))
+        .orderBy($"n_top3".desc, $"depot")
+        .limit(15)
     })
   )
 
@@ -15089,7 +15173,86 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) AS revenue_cents
         |FROM j GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, r_name ASC NULLS FIRST,
-        |  n_name ASC NULLS FIRST""".stripMargin
+        |  n_name ASC NULLS FIRST""".stripMargin,
+
+    // q292: same chained Knuth-hash cells, same cross-multiplied core
+    // test, border via core adjacency
+    "q292_dbscan_grid" ->
+      """WITH h AS (
+        |  SELECT (c_custkey % 2147483647) * 2654435761 % 4294967296
+        |    AS u1 FROM customer),
+        |pts AS (
+        |  SELECT
+        |    CAST(floor(u1 / 4294967296.0 * 40.0) AS BIGINT) AS cx,
+        |    CAST(floor(((u1 + 1000003) % 2147483647) * 2654435761
+        |      % 4294967296 / 4294967296.0 * 40.0) AS BIGINT) AS cy
+        |  FROM h),
+        |cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pts GROUP BY 1, 2),
+        |nbhd AS (
+        |  SELECT c.cx + o1.dx AS cx, c.cy + o2.dy AS cy,
+        |    CAST(sum(cnt) AS BIGINT) AS nbhd
+        |  FROM cells c, range(-1, 2) o1(dx), range(-1, 2) o2(dy)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+        |tab AS (
+        |  SELECT cells.cx, cells.cy, cells.cnt, nbhd.nbhd,
+        |    nbhd.nbhd * 1600 >= n.n * 9 AS core
+        |  FROM cells JOIN nbhd USING (cx, cy) CROSS JOIN n),
+        |cc AS (SELECT cx, cy FROM tab WHERE core),
+        |bd AS (
+        |  SELECT DISTINCT t.cx, t.cy
+        |  FROM tab t, range(-1, 2) o1(dx), range(-1, 2) o2(dy)
+        |  JOIN cc ON cc.cx = t.cx + o1.dx AND cc.cy = t.cy + o2.dy
+        |  WHERE NOT t.core)
+        |SELECT CASE WHEN t.core THEN 'core'
+        |    WHEN bd.cx IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS cls,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(t.cnt) AS BIGINT) AS n_points
+        |FROM tab t LEFT JOIN bd ON t.cx = bd.cx AND t.cy = bd.cy
+        |GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    // q293: the oracle ranks the cartesian + radius filter (q190's
+    // model) with the identical (um, depot) tie order
+    "q293_geo_knn" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    40.0 + ((c_custkey % 2147483647) * 2654435761 % 4294967296)
+        |      / 4294967296.0 * 10.0 AS lat,
+        |    -80.0 + (((c_custkey + 1000003) % 2147483647) * 2654435761
+        |      % 4294967296) / 4294967296.0 * 10.0 AS lon
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    40.0 + (((s_suppkey + 500000) % 2147483647) * 2654435761
+        |      % 4294967296) / 4294967296.0 * 10.0 AS lat,
+        |    -80.0 + (((s_suppkey + 500000 + 1000003) % 2147483647)
+        |      * 2654435761 % 4294967296) / 4294967296.0 * 10.0 AS lon
+        |  FROM supplier),
+        |w AS (
+        |  SELECT c.c_custkey, s.s_suppkey,
+        |    CAST(floor(sqrt(((c.lat - s.lat) * 111.0)
+        |        * ((c.lat - s.lat) * 111.0)
+        |      + ((c.lon - s.lon) * 85.0) * ((c.lon - s.lon) * 85.0))
+        |      * 1000000 + 0.5) AS BIGINT) AS um
+        |  FROM c, s
+        |  WHERE sqrt(((c.lat - s.lat) * 111.0)
+        |      * ((c.lat - s.lat) * 111.0)
+        |    + ((c.lon - s.lon) * 85.0) * ((c.lon - s.lon) * 85.0))
+        |    <= 60.0),
+        |r AS (
+        |  SELECT c_custkey, s_suppkey, um, row_number() OVER (
+        |    PARTITION BY c_custkey ORDER BY um, s_suppkey) AS rn
+        |  FROM w),
+        |t3 AS (SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_top3
+        |  FROM r WHERE rn <= 3 GROUP BY 1),
+        |r1 AS (SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_rank1
+        |  FROM r WHERE rn = 1 GROUP BY 1)
+        |SELECT t3.s_suppkey AS depot, n_top3,
+        |  CAST(coalesce(n_rank1, 0) AS BIGINT) AS n_rank1
+        |FROM t3 LEFT JOIN r1 USING (s_suppkey)
+        |ORDER BY n_top3 DESC, depot LIMIT 15""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
