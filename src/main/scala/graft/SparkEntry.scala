@@ -8025,6 +8025,89 @@ object SparkEntry {
           coalesce($"n_rank1", lit(0L)).as("n_rank1"))
         .orderBy($"n_top3".desc, $"depot")
         .limit(15)
+    }),
+
+    // INTERVAL MERGE — gaps-and-islands on real intervals (each
+    // line's [order, ship] fulfillment window per supplier): islands
+    // form where an interval's start exceeds the running max end of
+    // everything before it in (start, end DESC) order — the end-DESC
+    // tiebreak matters for determinism: with equal starts, end-ASC
+    // first would let the short interval's end under-seed the prefix
+    // max and the tie ORDER would decide island starts. Coverage
+    // (busy days), idle days and the overlap ratio are the
+    // utilization numbers interval UNION answers and q125's
+    // concurrency histogram cannot. One partitioned window pass +
+    // two hash aggregates; ratios are floored ppm integers.
+    "q294_interval_merge" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey",
+          datediff($"o_orderdate", lit("1992-01-01").cast("date"))
+            .cast("long").as("d1"),
+          datediff($"l_shipdate", lit("1992-01-01").cast("date"))
+            .cast("long").as("d2"))
+        .filter($"d2" >= $"d1")
+      val ord = Window.partitionBy($"l_suppkey")
+        .orderBy($"d1", $"d2".desc)
+      val flagged = iv
+        .withColumn("__pm", max($"d2").over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("__st",
+          when($"__pm".isNull || $"d1" > $"__pm", 1L).otherwise(0L))
+        .withColumn("__isl", sum($"__st").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val islands = flagged.groupBy($"l_suppkey", $"__isl")
+        .agg(min($"d1").as("__s"), max($"d2").as("__e"),
+          count(lit(1)).as("__n"),
+          sum($"d2" - $"d1" + 1).as("__ivdays"))
+      islands.groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n_islands"),
+          sum($"__e" - $"__s" + 1).as("coverage_days"),
+          max($"__e" - $"__s" + 1).as("max_island_days"),
+          sum($"__ivdays").as("__tot"))
+        .select($"l_suppkey".as("supplier"), $"n_islands",
+          $"coverage_days", $"max_island_days",
+          expr("((__tot - coverage_days) * 1000000) div __tot")
+            .as("overlap_ppm"))
+        .orderBy($"coverage_days".desc, $"supplier")
+        .limit(20)
+    }),
+
+    // EXACT-INTEGER NEAREST NEIGHBOR — q258's assignment with the
+    // final sqrt kept OUT of float space: coordinates quantized to
+    // integer micro-degrees, the axis-scaled squared distance summed
+    // in int64, and the root taken by the native `isqrt` expression
+    // (functions.IntMath — floor(√x) exact for every int64, where
+    // floor(sqrt(double)) mis-floors near perfect squares and above
+    // 2⁵³). The oracle seeds from DuckDB's own floor(sqrt) and
+    // applies the same ±1 integer correction, so hash equality
+    // certifies the native expression against an independent
+    // implementation on every candidate pair.
+    "q295_exact_int_nn" -> ((s, d) => {
+      val (clat, clon) = Geo.syntheticPoint($"c_custkey")
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", clat.as("c_lat"), clon.as("c_lon"))
+      val (slat, slon) = Geo.syntheticPoint($"s_suppkey" + lit(500000L))
+      val sup = Tables.supplier(s, d)
+        .select($"s_suppkey", slat.as("s_lat"), slon.as("s_lon"))
+      val cand = Geo.radiusJoin(cust, "c_lat", "c_lon",
+          sup, "s_lat", "s_lon", radiusKm = 60.0)
+        .select($"c_custkey", $"s_suppkey",
+          (floor($"c_lat" * 1000000).cast("long") -
+            floor($"s_lat" * 1000000).cast("long")).as("__dx"),
+          (floor($"c_lon" * 1000000).cast("long") -
+            floor($"s_lon" * 1000000).cast("long")).as("__dy"))
+        .select($"c_custkey", $"s_suppkey",
+          expr("isqrt((111 * __dx) * (111 * __dx) + " +
+            "(85 * __dy) * (85 * __dy))").as("um"))
+      cand.groupBy($"c_custkey")
+        .agg(min(struct($"um", $"s_suppkey")).as("__m"))
+        .select($"__m.um".as("um"), $"__m.s_suppkey".as("depot"))
+        .groupBy($"depot")
+        .agg(count(lit(1)).as("n_customers"), sum($"um").as("sum_um"))
+        .withColumn("mean_um", expr("sum_um div n_customers"))
+        .orderBy($"n_customers".desc, $"depot")
+        .limit(15)
     })
   )
 
@@ -15252,7 +15335,102 @@ object SparkEntry {
         |SELECT t3.s_suppkey AS depot, n_top3,
         |  CAST(coalesce(n_rank1, 0) AS BIGINT) AS n_rank1
         |FROM t3 LEFT JOIN r1 USING (s_suppkey)
-        |ORDER BY n_top3 DESC, depot LIMIT 15""".stripMargin
+        |ORDER BY n_top3 DESC, depot LIMIT 15""".stripMargin,
+
+    // q294: identical (d1, d2 DESC) order, identical prefix-max
+    // island derivation
+    "q294_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey,
+        |    CAST(datediff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d1,
+        |    CAST(datediff('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS d2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE CAST(l_shipdate AS DATE)
+        |    >= CAST(o_orderdate AS DATE)),
+        |f AS (
+        |  SELECT l_suppkey, d1, d2,
+        |    max(d2) OVER (PARTITION BY l_suppkey ORDER BY d1, d2 DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pm
+        |  FROM iv),
+        |g AS (
+        |  SELECT l_suppkey, d1, d2,
+        |    CASE WHEN pm IS NULL OR d1 > pm THEN 1 ELSE 0 END AS st
+        |  FROM f),
+        |h AS (
+        |  SELECT l_suppkey, d1, d2,
+        |    sum(st) OVER (PARTITION BY l_suppkey ORDER BY d1, d2 DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS isl
+        |  FROM g),
+        |islands AS (
+        |  SELECT l_suppkey, isl, min(d1) AS s, max(d2) AS e,
+        |    CAST(sum(d2 - d1 + 1) AS BIGINT) AS ivdays
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT l_suppkey AS supplier,
+        |    CAST(count(*) AS BIGINT) AS n_islands,
+        |    CAST(sum(e - s + 1) AS BIGINT) AS coverage_days,
+        |    CAST(max(e - s + 1) AS BIGINT) AS max_island_days,
+        |    CAST(sum(ivdays) AS BIGINT) AS tot
+        |  FROM islands GROUP BY 1)
+        |SELECT supplier, n_islands, coverage_days, max_island_days,
+        |  CAST(((tot - coverage_days) * 1000000) // tot AS BIGINT)
+        |    AS overlap_ppm
+        |FROM agg ORDER BY coverage_days DESC, supplier
+        |LIMIT 20""".stripMargin,
+
+    // q295: DuckDB's floor(sqrt) seed + the same ±1 integer
+    // correction = an independent exact isqrt
+    "q295_exact_int_nn" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    40.0 + ((c_custkey % 2147483647) * 2654435761 % 4294967296)
+        |      / 4294967296.0 * 10.0 AS lat,
+        |    -80.0 + (((c_custkey + 1000003) % 2147483647) * 2654435761
+        |      % 4294967296) / 4294967296.0 * 10.0 AS lon
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    40.0 + (((s_suppkey + 500000) % 2147483647) * 2654435761
+        |      % 4294967296) / 4294967296.0 * 10.0 AS lat,
+        |    -80.0 + (((s_suppkey + 500000 + 1000003) % 2147483647)
+        |      * 2654435761 % 4294967296) / 4294967296.0 * 10.0 AS lon
+        |  FROM supplier),
+        |w AS (
+        |  SELECT c.c_custkey, s.s_suppkey,
+        |    CAST(floor(c.lat * 1000000) AS BIGINT)
+        |      - CAST(floor(s.lat * 1000000) AS BIGINT) AS dx,
+        |    CAST(floor(c.lon * 1000000) AS BIGINT)
+        |      - CAST(floor(s.lon * 1000000) AS BIGINT) AS dy
+        |  FROM c, s
+        |  WHERE sqrt(((c.lat - s.lat) * 111.0)
+        |      * ((c.lat - s.lat) * 111.0)
+        |    + ((c.lon - s.lon) * 85.0) * ((c.lon - s.lon) * 85.0))
+        |    <= 60.0),
+        |e AS (SELECT c_custkey, s_suppkey,
+        |    (111 * dx) * (111 * dx) + (85 * dy) * (85 * dy) AS d2
+        |  FROM w),
+        |f AS (SELECT c_custkey, s_suppkey, d2,
+        |    CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS f0
+        |  FROM e),
+        |q AS (SELECT c_custkey, s_suppkey,
+        |    CASE WHEN (f0 + 1) * (f0 + 1) <= d2 THEN f0 + 1
+        |      WHEN f0 > 0 AND f0 * f0 > d2 THEN f0 - 1
+        |      ELSE f0 END AS um
+        |  FROM f),
+        |a AS (SELECT c_custkey, s_suppkey, um, row_number() OVER (
+        |    PARTITION BY c_custkey ORDER BY um, s_suppkey) AS rn
+        |  FROM q)
+        |SELECT s_suppkey AS depot, CAST(count(*) AS BIGINT)
+        |    AS n_customers,
+        |  CAST(sum(um) AS BIGINT) AS sum_um,
+        |  CAST(CAST(sum(um) AS BIGINT) // count(*) AS BIGINT)
+        |    AS mean_um
+        |FROM a WHERE rn = 1 GROUP BY 1
+        |ORDER BY n_customers DESC, depot LIMIT 15""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
