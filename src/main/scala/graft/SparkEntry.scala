@@ -8108,6 +8108,40 @@ object SparkEntry {
         .withColumn("mean_um", expr("sum_um div n_customers"))
         .orderBy($"n_customers".desc, $"depot")
         .limit(15)
+    }),
+
+    // AUDIO RMS WINDOWS — loudness profiling over the REAL
+    // sample-level WAV decode (q269's tier): 64-sample windows, each
+    // window's RMS as the exact integer isqrt(Σx² div 64) — the q295
+    // native expression inside a higher-order lambda, so the whole
+    // feature extraction (decode → window → sum-of-squares → root)
+    // never touches a float. Hot-window count (the clipping/loudness
+    // gate a normalization pipeline keys on) and a position-weighted
+    // checksum pin window ORDER, not just the multiset; the oracle
+    // reconstructs the fixture waveform and replays every window
+    // with its own corrected floor(sqrt).
+    "q296_audio_rms" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.WavPcm.encode(
+        8000, 1, (300 + id % 80).toInt,
+        (t, _) => ((id * 37 + t * 997) % 2001).toInt - 1000))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      val sm = Multimodal.decodeWavSamples(clips, "doc_id", "payload")
+      val rms = expr(
+        """transform(
+          |  sequence(0, CAST(size(samples) div 64 - 1 AS INT)),
+          |  w -> isqrt(aggregate(slice(samples, 64*w+1, 64), 0L,
+          |    (a, x) -> a + CAST(x AS BIGINT) * x) div 64))"""
+          .stripMargin)
+      sm.select($"id".as("doc_id"), rms.as("__r"))
+        .select($"doc_id",
+          size($"__r").cast("long").as("n_windows"),
+          expr("array_max(__r)").as("rms_peak"),
+          expr("aggregate(__r, 0L, (a, x) -> a + " +
+            "(CASE WHEN x >= 560 THEN 1L ELSE 0L END))").as("n_hot"),
+          expr("aggregate(zip_with(__r, sequence(1, size(__r)), " +
+            "(v, i) -> v * i), 0L, (a, x) -> a + x)").as("ord_ck"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -15430,7 +15464,40 @@ object SparkEntry {
         |  CAST(CAST(sum(um) AS BIGINT) // count(*) AS BIGINT)
         |    AS mean_um
         |FROM a WHERE rn = 1 GROUP BY 1
-        |ORDER BY n_customers DESC, depot LIMIT 15""".stripMargin
+        |ORDER BY n_customers DESC, depot LIMIT 15""".stripMargin,
+
+    // q296: the fixture waveform rebuilt per (window, tap) and every
+    // window's RMS replayed with the corrected floor(sqrt) isqrt
+    "q296_audio_rms" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(300 + doc_id % 80 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 40),
+        |w AS (
+        |  SELECT doc_id, n, wi.i AS w
+        |  FROM d, unnest(range(0, CAST(n // 64 AS INT))) AS wi(i)),
+        |sq AS (
+        |  SELECT doc_id, w,
+        |    sum(((doc_id * 37 + (64 * w + t.j) * 997) % 2001 - 1000)
+        |      * ((doc_id * 37 + (64 * w + t.j) * 997) % 2001 - 1000))
+        |      AS sqsum
+        |  FROM w, unnest(range(0, 64)) AS t(j)
+        |  GROUP BY 1, 2),
+        |m AS (SELECT doc_id, w, CAST(sqsum // 64 AS BIGINT) AS m
+        |  FROM sq),
+        |f AS (SELECT doc_id, w, m,
+        |    CAST(floor(sqrt(CAST(m AS DOUBLE))) AS BIGINT) AS f0
+        |  FROM m),
+        |q AS (SELECT doc_id, w,
+        |    CASE WHEN (f0 + 1) * (f0 + 1) <= m THEN f0 + 1
+        |      WHEN f0 > 0 AND f0 * f0 > m THEN f0 - 1
+        |      ELSE f0 END AS rms
+        |  FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(max(rms) AS BIGINT) AS rms_peak,
+        |  CAST(sum(CASE WHEN rms >= 560 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hot,
+        |  CAST(sum(rms * (w + 1)) AS BIGINT) AS ord_ck
+        |FROM q GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
