@@ -8142,6 +8142,112 @@ object SparkEntry {
           expr("aggregate(zip_with(__r, sequence(1, size(__r)), " +
             "(v, i) -> v * i), 0L, (a, x) -> a + x)").as("ord_ck"))
         .orderBy($"doc_id")
+    }),
+
+    // RANGE-INTERVAL FRAME — the window semantics ROWS frames get
+    // WRONG on sparse time series: RANGE BETWEEN 29 PRECEDING uses
+    // VALUE distance, so calendar gaps shrink the trailing window
+    // instead of silently reaching further back in time (a ROWS
+    // BETWEEN 29 PRECEDING over gappy days spans >30 calendar days).
+    // Peak trailing-30-day revenue per nation, exact cents, the
+    // (value, day) argmax via one max(struct) — ties resolved on the
+    // later day identically on both engines.
+    "q297_range_frame" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey",
+          datediff($"o_orderdate", lit("1992-01-01").cast("date"))
+            .cast("long").as("__day"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("__c"))
+      val w = Window.partitionBy($"c_nationkey").orderBy($"__day")
+        .rangeBetween(-29, 0)
+      daily.select($"c_nationkey", $"__day",
+          sum($"__c").over(w).as("__t30"))
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_days"),
+          max(struct($"__t30", $"__day")).as("__m"))
+        .select($"c_nationkey", $"n_days",
+          $"__m.__t30".as("peak_30d_cents"),
+          $"__m.__day".as("peak_day"))
+        .orderBy($"c_nationkey")
+    }),
+
+    // HIERARCHY PATH MATERIALIZATION — the org-chart/category-tree
+    // flatten: every node of a synthetic 3-ary tree (parent(k) =
+    // max(1, k div 3) over part keys ≤ 1000) gets its root path as a
+    // breadcrumb string plus its depth, built by a FIXED-depth
+    // iterative parent join (7 rounds ≥ log₃ 1000) — each round one
+    // broadcast-sized join of the frontier onto the parent map,
+    // never a driver-side walk; the oracle is the recursive CTE
+    // building identical paths. Materialized paths are what turn
+    // subtree queries into prefix filters at 100 TB.
+    "q298_tree_paths" -> ((s, d) => {
+      val nodes = Tables.part(s, d)
+        .filter($"p_partkey" <= 1000)
+        .select($"p_partkey".cast("long").as("node"))
+      val edges = nodes.filter($"node" > 1)
+        .select($"node", greatest(lit(1L), expr("node div 3"))
+          .as("parent"))
+      var paths = nodes.filter($"node" === 1)
+        .select($"node", lit("1").as("path"), lit(0L).as("depth"))
+      for (_ <- 1 to 7) {
+        val next = edges
+          .join(paths.select($"node".as("parent"),
+            $"path".as("__pp"), $"depth".as("__pd")), Seq("parent"))
+          .select($"node", concat($"__pp", lit("/"),
+            $"node".cast("string")).as("path"),
+            ($"__pd" + 1).as("depth"))
+        paths = paths.unionByName(
+          next.join(paths.select($"node"), Seq("node"), "left_anti"))
+      }
+      paths.orderBy($"node")
+    }),
+
+    // CIDR CONTAINMENT — the log-analytics network join: q232's
+    // synthetic client IPs as int64, a 12-block CIDR dimension
+    // (prefix ⟹ [lo, hi] integer range) BROADCAST onto the event
+    // stream, longest-prefix match per IP via one max(struct(prefix
+    // length, network)) — never a shuffled range join for a
+    // metadata-sized dimension. Unmatched traffic lands in the
+    // explicit 'unassigned' bucket so the rollup accounts for every
+    // event.
+    "q299_cidr_match" -> ((s, d) => {
+      // collapse to DISTINCT ip + event count BEFORE the range join:
+      // the dimension probe then touches |ips| rows, not |events|
+      val ip = Tables.events(s, d)
+        .select(expr("CAST(10 * 16777216 + (user_id % 256) * 65536 " +
+          "+ ((event_id div 7) % 256) * 256 + (event_id % 256) " +
+          "AS BIGINT)").as("__ip"))
+        .groupBy($"__ip").agg(count(lit(1)).as("__n"))
+      val cidrs = { import s.implicits._
+        ((for (b <- 0 until 8) yield
+          (s"10.$b.0.0/16",
+            10L * 16777216L + b.toLong * 65536L,
+            10L * 16777216L + b.toLong * 65536L + 65535L, 16L)) ++
+        Seq(("10.0.128.0/17",
+          10L * 16777216L + 32768L,
+          10L * 16777216L + 65535L, 17L),
+          ("10.1.0.0/24", 10L * 16777216L + 65536L,
+            10L * 16777216L + 65536L + 255L, 24L),
+          ("10.2.4.0/22", 10L * 16777216L + 2L * 65536L + 1024L,
+            10L * 16777216L + 2L * 65536L + 2047L, 22L),
+          ("10.0.0.0/8", 10L * 16777216L,
+            11L * 16777216L - 1L, 8L)))
+          .toDF("network", "lo", "hi", "plen") }
+      ip.join(broadcast(cidrs),
+          $"__ip" >= $"lo" && $"__ip" <= $"hi", "left")
+        .groupBy($"__ip")
+        .agg(max(when($"network".isNotNull,
+          struct($"plen", $"network"))).as("__m"),
+          max($"__n").as("__n"))
+        .select(coalesce($"__m.network", lit("unassigned"))
+          .as("network"), $"__n")
+        .groupBy($"network")
+        .agg(count(lit(1)).as("n_ips"), sum($"__n").as("n_events"))
+        .orderBy($"network")
     })
   )
 
@@ -15497,7 +15603,82 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rms >= 560 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_hot,
         |  CAST(sum(rms * (w + 1)) AS BIGINT) AS ord_ck
-        |FROM q GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM q GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // q297: identical RANGE value-frame, identical (t30, day) argmax
+    "q297_range_frame" ->
+      """WITH daily AS (
+        |  SELECT c.c_nationkey,
+        |    CAST(datediff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders JOIN customer c ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT c_nationkey, day,
+        |    CAST(sum(c) OVER (PARTITION BY c_nationkey ORDER BY day
+        |      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS t30
+        |  FROM daily),
+        |r AS (
+        |  SELECT c_nationkey, day, t30, row_number() OVER (
+        |    PARTITION BY c_nationkey ORDER BY t30 DESC, day DESC)
+        |    AS rn,
+        |    count(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM w)
+        |SELECT c_nationkey, CAST(n AS BIGINT) AS n_days,
+        |  t30 AS peak_30d_cents, day AS peak_day
+        |FROM r WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
+
+    // q298: the recursive CTE builds the same breadcrumbs
+    "q298_tree_paths" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS node FROM part
+        |  WHERE p_partkey <= 1000),
+        |t AS (
+        |  SELECT node, '1' AS path, CAST(0 AS BIGINT) AS depth
+        |  FROM n WHERE node = 1
+        |  UNION ALL
+        |  SELECT n.node, t.path || '/' || CAST(n.node AS VARCHAR),
+        |    t.depth + 1
+        |  FROM n JOIN t ON greatest(1, n.node // 3) = t.node
+        |  WHERE n.node > 1)
+        |SELECT node, path, depth FROM t ORDER BY node""".stripMargin,
+
+    // q299: same distinct-ip collapse, same longest-prefix argmax
+    "q299_cidr_match" ->
+      """WITH ip AS (
+        |  SELECT 10 * 16777216 + (user_id % 256) * 65536
+        |    + ((event_id // 7) % 256) * 256 + (event_id % 256) AS ip,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |cidrs AS (
+        |  SELECT * FROM (VALUES
+        |    ('10.0.0.0/16', 167772160, 167837695, 16),
+        |    ('10.1.0.0/16', 167837696, 167903231, 16),
+        |    ('10.2.0.0/16', 167903232, 167968767, 16),
+        |    ('10.3.0.0/16', 167968768, 168034303, 16),
+        |    ('10.4.0.0/16', 168034304, 168099839, 16),
+        |    ('10.5.0.0/16', 168099840, 168165375, 16),
+        |    ('10.6.0.0/16', 168165376, 168230911, 16),
+        |    ('10.7.0.0/16', 168230912, 168296447, 16),
+        |    ('10.0.128.0/17', 167804928, 167837695, 17),
+        |    ('10.1.0.0/24', 167837696, 167837951, 24),
+        |    ('10.2.4.0/22', 167904256, 167905279, 22),
+        |    ('10.0.0.0/8', 167772160, 184549375, 8))
+        |    AS v(network, lo, hi, plen)),
+        |j AS (
+        |  SELECT ip.ip, ip.n, c.network, row_number() OVER (
+        |    PARTITION BY ip.ip
+        |    ORDER BY c.plen DESC NULLS LAST,
+        |      c.network DESC NULLS LAST) AS rn
+        |  FROM ip LEFT JOIN cidrs c
+        |    ON ip.ip >= c.lo AND ip.ip <= c.hi)
+        |SELECT coalesce(network, 'unassigned') AS network,
+        |  CAST(count(*) AS BIGINT) AS n_ips,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY network""".stripMargin
   )
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
