@@ -301,6 +301,101 @@ object Scratch {
       r
     }
 
+    /** q290 Apriori triples: exact doc copies (doc_id offset per
+      * replica) — N and every support scale 10× together, so the
+      * relative 5 % threshold admits the IDENTICAL itemsets with 10×
+      * supports; time must grow linearly in basket volume (the pair
+      * broadcast and candidate semi-joins are support-bounded and
+      * size-invariant). */
+    def aprioriChain(mult: Int): Double = {
+      val base = Tables.documents(spark, d)
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.functions.split(
+            trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("doc_id"))
+        .agg(slice(sort_array(collect_set(col("tok"))), 1, 8)
+          .as("items"))
+        .persist(MEMORY_AND_DISK)
+      base.count()
+      val rep = (0 until mult).map { k =>
+        base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          col("items"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val nB = rep.agg(count(lit(1)).as("n"))
+        val pairs = rep.select(explode(flatten(transform(col("items"),
+            (x, i) => transform(
+              slice(col("items"), i + 2, size(col("items"))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
+        val freq = pairs.crossJoin(broadcast(nB))
+          .filter(col("s") * 20 >= col("n")).select(col("a"), col("b"))
+        val triples = rep.select(explode(flatten(flatten(
+            transform(col("items"), (x, i) =>
+              transform(slice(col("items"), i + 2, size(col("items"))),
+                (y, j) => transform(
+                  slice(col("items"), i + j + 3, size(col("items"))),
+                  z => struct(x.as("a"), y.as("b"), z.as("c"))))))))
+            .as("t"))
+          .select(col("t.a").as("a"), col("t.b").as("b"),
+            col("t.c").as("c"))
+        val pruned = triples
+          .join(broadcast(freq), Seq("a", "b"), "left_semi")
+          .join(broadcast(freq.select(col("a"), col("b").as("c"))),
+            Seq("a", "c"), "left_semi")
+          .join(broadcast(freq.select(col("a").as("b"),
+            col("b").as("c"))), Seq("b", "c"), "left_semi")
+        val n = pruned.groupBy(col("a"), col("b"), col("c"))
+          .agg(count(lit(1)).as("s"))
+          .crossJoin(broadcast(nB))
+          .filter(col("s") * 20 >= col("n")).count()
+        println(s"[scratch]   apriori mult=$mult frequent_triples=$n")
+      }
+      base.unpersist()
+      r
+    }
+
+    /** q294 interval merge: suppliers replicated under offset keys
+      * with identical interval sets — 10× keys at constant per-key
+      * history; the partitioned window + two hash aggregates must be
+      * linear, and merged-island counts scale exactly 10×. */
+    def intervalMergeChain(mult: Int): Double = {
+      val base = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          datediff(col("o_orderdate"),
+            lit("1992-01-01").cast("date")).cast("long").as("d1"),
+          datediff(col("l_shipdate"),
+            lit("1992-01-01").cast("date")).cast("long").as("d2"))
+        .filter(col("d2") >= col("d1"))
+        .persist(MEMORY_AND_DISK)
+      base.count()
+      val rep = (0 until mult).map { k =>
+        base.select((col("l_suppkey") + lit(k * 1000000L))
+          .as("l_suppkey"), col("d1"), col("d2"))
+      }.reduce(_.unionByName(_))
+      val r = timed {
+        val ord = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_suppkey"))
+          .orderBy(col("d1"), col("d2").desc)
+        val flagged = rep
+          .withColumn("pm", max(col("d2")).over(ord.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)))
+          .withColumn("st", when(col("pm").isNull ||
+            col("d1") > col("pm"), 1L).otherwise(0L))
+        val n = flagged.groupBy(col("l_suppkey"))
+          .agg(sum(col("st")).as("ni")).agg(sum(col("ni"))).collect()(0)
+          .getLong(0)
+        println(s"[scratch]   intervalmerge mult=$mult islands=$n")
+      }
+      base.unpersist()
+      r
+    }
+
     /** q131 triangles: disconnected graph copies (node ids suffixed
       * per replica, the q121 model) — triangle/wedge counts scale
       * exactly 10×, so the probe isolates how the oriented wedge join
@@ -819,7 +914,8 @@ object Scratch {
       "bfs" -> bfsChain, "sssp" -> ssspChain,
       "ledger" -> ledgerChain, "bom" -> bomChain,
       "linkage" -> linkageChain, "interval" -> intervalChain,
-      "cpm" -> cpmChain, "lpa" -> lpaChain)
+      "cpm" -> cpmChain, "lpa" -> lpaChain,
+      "apriori" -> aprioriChain, "intervalmerge" -> intervalMergeChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm

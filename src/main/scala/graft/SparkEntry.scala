@@ -8248,6 +8248,110 @@ object SparkEntry {
         .groupBy($"network")
         .agg(count(lit(1)).as("n_ips"), sum($"__n").as("n_events"))
         .orderBy($"network")
+    }),
+
+    // LUHN VALIDATION — the checksum format gate every account/card
+    // ingest runs: 12-digit synthetic account numbers, the Luhn sum
+    // UNROLLED over fixed digit positions as pure int64 arithmetic
+    // (digit d_i = (a div 10^i) mod 10; odd positions doubled with
+    // the >9 fold as 2d − 9·(d≥5)) — identical closed form on both
+    // engines, no loop construct needed. Per-segment validity rates
+    // as floored ppm; the deliberate corruption (every 7th account
+    // gets +1) pins that the validator actually rejects.
+    "q300_luhn" -> ((s, d) => {
+      // Luhn digit term: double at the flagged positions, fold >9 as
+      // 2d − 9 (the standard sum-of-digits shortcut)
+      def term(col: String, i: Int, double: Boolean): String = {
+        val p = "1" + "0" * i
+        if (double)
+          s"(2 * (($col div $p) % 10) - 9 * " +
+            s"(CASE WHEN ($col div $p) % 10 >= 5 THEN 1 ELSE 0 END))"
+        else s"(($col div $p) % 10)"
+      }
+      // payload digits sit at final positions 1..11 → doubled when
+      // their payload index is EVEN; the full 12-digit account
+      // doubles ODD positions
+      val s11 = (0 to 10).map(i => term("__p", i, i % 2 == 0))
+        .mkString(" + ")
+      val s12 = (0 to 11).map(i => term("__a", i, i % 2 == 1))
+        .mkString(" + ")
+      Tables.customer(s, d)
+        .select($"c_mktsegment", $"c_custkey")
+        .withColumn("__p", expr("CAST(10000000000 + c_custkey * 9973" +
+          " + (c_custkey % 97) AS BIGINT)"))
+        .withColumn("__a0",
+          expr(s"__p * 10 + (10 - (($s11) % 10)) % 10"))
+        // corrupt every 7th account: rotate the last digit (+1 mod
+        // 10, no carry) — always breaks the checksum
+        .withColumn("__a", expr("CASE WHEN c_custkey % 7 = 0 " +
+          "THEN __a0 - (__a0 % 10) + ((__a0 % 10) + 1) % 10 " +
+          "ELSE __a0 END"))
+        .withColumn("__ok",
+          when(expr(s"($s12) % 10") === 0, 1L).otherwise(0L))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_accounts"),
+          sum($"__ok").as("n_valid"))
+        .withColumn("valid_ppm",
+          expr("(n_valid * 1000000) div n_accounts"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // RANK WITH TIES — the top-N-per-group cut where VALUE ties must
+    // all surface (rank() ≤ 3, not row_number ≤ 3): top revenue
+    // brands per segment on exact cents. The tie semantics make the
+    // output a deterministic function of the DATA — no tiebreak
+    // column needed for hash stability, which is exactly when
+    // rank() is the right cut and row_number would silently drop
+    // tied peers. Window runs over the bounded (segment, brand)
+    // aggregate, never the fact.
+    "q301_rank_ties" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.part(s, d)
+          .select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"c_mktsegment", $"p_brand")
+        .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long"))
+          .as("revenue_cents"))
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"revenue_cents".desc)
+      rev.withColumn("rk", rank().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .orderBy($"c_mktsegment", $"rk", $"p_brand")
+    }),
+
+    // DESEASONALIZATION — ratio-to-moving-average, the classical
+    // decomposition a seasonality-aware forecast starts from:
+    // monthly revenue over a centered 12-month MA, the ratio as a
+    // floored ppm integer, the month-of-year seasonal index as the
+    // integer mean of those ratios, and the deseasonalized series as
+    // rev·10⁶ div index — every division floored on non-negative
+    // operands so both engines agree bit-for-bit. All windows run on
+    // the ≤84-row monthly spine (metadata-sized by construction).
+    "q302_deseasonalize" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(((year($"o_orderdate") - 1992) * 12 +
+          month($"o_orderdate") - 1).cast("long").as("m"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("rev"))
+      val w = Window.orderBy($"m").rowsBetween(-6, 5)
+      val ma = monthly
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__s", sum($"rev").over(w))
+        .filter($"__n" === 12)
+        .withColumn("ma", expr("__s div 12"))
+        .withColumn("ratio_ppm", expr("(rev * 1000000) div ma"))
+      val idx = ma.groupBy(($"m" % 12).as("moy"))
+        .agg(expr("sum(ratio_ppm) div count(*)").as("seas_idx_ppm"))
+      ma.join(broadcast(idx), ($"m" % 12) === $"moy")
+        .select($"m", $"rev".as("revenue_cents"), $"ma".as("ma_cents"),
+          $"ratio_ppm", $"seas_idx_ppm",
+          expr("(rev * 1000000) div seas_idx_ppm")
+            .as("deseason_cents"))
+        .orderBy($"m")
     })
   )
 
@@ -15678,8 +15782,101 @@ object SparkEntry {
         |SELECT coalesce(network, 'unassigned') AS network,
         |  CAST(count(*) AS BIGINT) AS n_ips,
         |  CAST(sum(n) AS BIGINT) AS n_events
-        |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY network""".stripMargin
+        |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY network""".stripMargin,
+
+    // q300: the identical unrolled Luhn closed form (construct +
+    // corrupt + validate), // for div
+    "q300_luhn" ->
+      (s300OracleSql),
+
+    // q301: the same rank() value-tie cut
+    "q301_rank_ties" ->
+      """WITH rev AS (
+        |  SELECT c.c_mktsegment, p.p_brand,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer c ON o_custkey = c_custkey
+        |  JOIN part p ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_mktsegment, p_brand, revenue_cents,
+        |    CAST(rank() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY revenue_cents DESC) AS BIGINT) AS rk
+        |  FROM rev)
+        |SELECT c_mktsegment, p_brand, revenue_cents, rk
+        |FROM r WHERE rk <= 3
+        |ORDER BY c_mktsegment, rk, p_brand""".stripMargin,
+
+    // q302: identical centered MA frame, identical floored ppm chain
+    "q302_deseasonalize" ->
+      """WITH monthly AS (
+        |  SELECT CAST((year(o_orderdate) - 1992) * 12
+        |      + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT m, rev,
+        |    count(*) OVER fr AS n,
+        |    CAST(sum(rev) OVER fr AS BIGINT) AS s
+        |  FROM monthly WINDOW fr AS (ORDER BY m
+        |    ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)),
+        |ma AS (
+        |  SELECT m, rev, s // 12 AS ma,
+        |    (rev * 1000000) // (s // 12) AS ratio_ppm
+        |  FROM w WHERE n = 12),
+        |idx AS (
+        |  SELECT m % 12 AS moy,
+        |    CAST(sum(ratio_ppm) // count(*) AS BIGINT)
+        |      AS seas_idx_ppm
+        |  FROM ma GROUP BY 1)
+        |SELECT m, rev AS revenue_cents, CAST(ma AS BIGINT)
+        |    AS ma_cents,
+        |  CAST(ratio_ppm AS BIGINT) AS ratio_ppm, seas_idx_ppm,
+        |  CAST((rev * 1000000) // seas_idx_ppm AS BIGINT)
+        |    AS deseason_cents
+        |FROM ma JOIN idx ON m % 12 = moy
+        |ORDER BY m""".stripMargin
   )
+
+  /** q300's oracle assembled from the same position terms the Spark
+    * side unrolls (kept in one place so the two cannot drift). */
+  private def s300OracleSql: String = {
+    def term(col: String, i: Int, double: Boolean): String = {
+      val p = "1" + "0" * i
+      if (double)
+        s"(2 * (($col // $p) % 10) - 9 * " +
+          s"(CASE WHEN ($col // $p) % 10 >= 5 THEN 1 ELSE 0 END))"
+      else s"(($col // $p) % 10)"
+    }
+    val s11 = (0 to 10).map(i => term("p", i, i % 2 == 0))
+      .mkString(" + ")
+    val s12 = (0 to 11).map(i => term("a", i, i % 2 == 1))
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT c_mktsegment, c_custkey,
+       |    CAST(10000000000 + c_custkey * 9973 + (c_custkey % 97)
+       |      AS BIGINT) AS p
+       |  FROM customer),
+       |a0 AS (
+       |  SELECT c_mktsegment, c_custkey,
+       |    p * 10 + (10 - (($s11) % 10)) % 10 AS a0
+       |  FROM b),
+       |ac AS (
+       |  SELECT c_mktsegment,
+       |    CASE WHEN c_custkey % 7 = 0
+       |      THEN a0 - (a0 % 10) + ((a0 % 10) + 1) % 10
+       |      ELSE a0 END AS a
+       |  FROM a0)
+       |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_accounts,
+       |  CAST(sum(CASE WHEN ($s12) % 10 = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_valid,
+       |  CAST((sum(CASE WHEN ($s12) % 10 = 0 THEN 1 ELSE 0 END)
+       |    * 1000000) // count(*) AS BIGINT) AS valid_ppm
+       |FROM ac GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+  }
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
     * customer as the day-0 open snapshot, orders-derived changes
