@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{CosineSim, IntSqrt, JaroSim, JaroWinklerSim, MinHashSig, NfcNormalize, RollingFingerprint, SimHash64, WordShingles}
+import graft.functions.{CosineSim, Gunzip, IntSqrt, JaroSim, JaroWinklerSim, MinHashSig, NfcNormalize, RollingFingerprint, SimHash64, WordShingles}
 
 /** SQL registration of graft's native expressions, two ways:
   *  - [[GraftExtensions]] for session build time
@@ -34,6 +34,7 @@ object GraftFunctions {
     "word_shingles" -> ((args: Seq[Expression]) =>
       WordShingles(args(0), intArg(args(1), "word_shingles(n)"))),
     "isqrt" -> ((args: Seq[Expression]) => IntSqrt(args.head)),
+    "gunzip" -> ((args: Seq[Expression]) => Gunzip(args.head)),
     "minhash_sig" -> ((args: Seq[Expression]) =>
       MinHashSig(args(0), intArg(args(1), "minhash_sig(k)"))))
 

@@ -8352,6 +8352,42 @@ object SparkEntry {
           expr("(rev * 1000000) div seas_idx_ppm")
             .as("deseason_cents"))
         .orderBy($"m")
+    }),
+
+    // GZIP PAYLOAD INGESTION — compressed columns inflated INSIDE
+    // the scan projection via the native `gunzip` expression
+    // (functions.GzipCodec: JDK GZIPInputStream, NULL on malformed —
+    // the try_cast convention, a poisoned payload must not fail a
+    // 100 TB job). The fixture gzips each document's text (udf,
+    // fixture-side only) and corrupts every 11th payload by
+    // truncation; the query decodes, counts the rejects, and
+    // profiles the DECODED text — which is all the oracle checks,
+    // computed straight from `documents.text` (compressed BYTES are
+    // JDK-version-specific and never cross the oracle).
+    "q303_gzip_ingest" -> ((s, d) => {
+      val gz = udf((t: String) =>
+        graft.functions.GzipCodec.gzip(
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val payloads = Tables.documents(s, d)
+        .filter($"text".isNotNull)
+        .select($"doc_id", gz($"text").as("__gz"))
+        // corrupt every 11th payload by truncation — a gzip stream
+        // without its trailer ALWAYS rejects (EOF before the CRC),
+        // so the reject set is exactly the corrupted set
+        .withColumn("__p",
+          when($"doc_id" % 11 === 0,
+            expr("substring(__gz, 1, CAST(length(__gz) div 2 AS INT))"))
+          .otherwise($"__gz"))
+      payloads.select($"doc_id",
+          expr("gunzip(__p)").cast("string").as("__t"))
+        .groupBy(($"doc_id" % 16).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"__t".isNull, 1L).otherwise(0L)).as("n_rejected"),
+          sum(length($"__t").cast("long")).as("sum_chars"),
+          countDistinct(md5($"__t")).as("n_distinct_md5"),
+          sum(length($"__t").cast("long") * ($"doc_id" + 1))
+            .as("ord_ck"))
+        .orderBy($"bucket")
     })
   )
 
@@ -15838,7 +15874,11 @@ object SparkEntry {
         |  CAST((rev * 1000000) // seas_idx_ppm AS BIGINT)
         |    AS deseason_cents
         |FROM ma JOIN idx ON m % 12 = moy
-        |ORDER BY m""".stripMargin
+        |ORDER BY m""".stripMargin,
+
+    // q303: decoded-side profile from the source text (see
+    // q303OracleSql doc)
+    "q303_gzip_ingest" -> q303OracleSql
   )
 
   /** q300's oracle assembled from the same position terms the Spark
@@ -15877,6 +15917,25 @@ object SparkEntry {
        |    * 1000000) // count(*) AS BIGINT) AS valid_ppm
        |FROM ac GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
   }
+
+  /** q303's oracle: only the DECODED side is checkable — a healthy
+    * payload round-trips to its source text, a truncated one is
+    * NULL, so the profile computes straight from `documents.text`. */
+  private def q303OracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END AS t
+      |  FROM b)
+      |SELECT doc_id % 16 AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_rejected,
+      |  CAST(sum(length(t)) AS BIGINT) AS sum_chars,
+      |  CAST(count(DISTINCT md5(t)) AS BIGINT) AS n_distinct_md5,
+      |  CAST(sum(length(t) * (doc_id + 1)) AS BIGINT) AS ord_ck
+      |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** Shared SCD-2 fixture for q92 (apply) and q93 (point-in-time read):
     * customer as the day-0 open snapshot, orders-derived changes
