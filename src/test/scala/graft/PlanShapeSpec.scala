@@ -1100,6 +1100,39 @@ class PlanShapeSpec extends SparkSpec {
       s"unpartitioned window:\n$p")
   }
 
+  test("q290 Apriori: the frequent-pair prune rides BROADCAST " +
+      "semi-joins — candidate triples never shuffle on pair keys") {
+    val p = plan("q290_apriori_triples")
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"prune shuffled the triple stream:\n$p")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3, s"expected three broadcast prunes:\n$p")
+  }
+
+  test("q293 geo k-NN: the per-customer cut is the bounded " +
+      "TopKPerKey heap, not a per-key sort window") {
+    val p = plan("q293_geo_knn")
+    val topk = collectAll(p) { case t: graft.plans.TopKPerKeyExec => t }
+    assert(topk.nonEmpty, s"expected TopKPerKeyExec:\n$p")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, s"unexpected window in the k-NN cut:\n$p")
+  }
+
+  test("q299 CIDR: the range dimension probes via broadcast nested " +
+      "loop — the fact is never shuffled for a 12-row dimension") {
+    val p = plan("q299_cidr_match")
+    val cart = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        c.nodeName
+    }
+    assert(cart.isEmpty, s"CIDR join shuffled a cartesian:\n$p")
+    val bnl = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.nonEmpty, s"expected broadcast nested loop:\n$p")
+  }
+
   test("q284 multiclass eval: the nation→modal-segment dimension " +
       "broadcasts onto customers; mode is max(struct), no window") {
     val p = plan("q284_multiclass_eval")
