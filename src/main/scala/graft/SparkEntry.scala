@@ -8188,11 +8188,19 @@ object SparkEntry {
       val nodes = Tables.part(s, d)
         .filter($"p_partkey" <= 1000)
         .select($"p_partkey".cast("long").as("node"))
+      // edges checkpoint once, paths once per round (the pageRank
+      // lineage discipline): each round references `paths` THREE
+      // times (frontier join, anti-join, union) — a lazy chain
+      // re-derives round r 3^r times and the 7-round plan blew the
+      // bench run to 36 s before this materialization
       val edges = nodes.filter($"node" > 1)
         .select($"node", greatest(lit(1L), expr("node div 3"))
           .as("parent"))
+        .localCheckpoint()
       var paths = nodes.filter($"node" === 1)
         .select($"node", lit("1").as("path"), lit(0L).as("depth"))
+        .localCheckpoint()
+      var prevCk = paths
       for (_ <- 1 to 7) {
         val next = edges
           .join(paths.select($"node".as("parent"),
@@ -8202,7 +8210,11 @@ object SparkEntry {
             ($"__pd" + 1).as("depth"))
         paths = paths.unionByName(
           next.join(paths.select($"node"), Seq("node"), "left_anti"))
+          .localCheckpoint()
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(prevCk)
+        prevCk = paths
       }
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(edges)
       paths.orderBy($"node")
     }),
 
