@@ -8400,6 +8400,61 @@ object SparkEntry {
           sum(length($"__t").cast("long") * ($"doc_id" + 1))
             .as("ord_ck"))
         .orderBy($"bucket")
+    }),
+
+    // PII SCAN — the DLP pass a corpus runs before release: detect
+    // card-shaped 12-digit runs in free text (regexp_extract_all),
+    // then VALIDATE each hit with the Luhn closed form — a checksum
+    // gate cuts the false-positive rate of the regex alone, which is
+    // the whole point of a production scanner. The fixture plants a
+    // Luhn-VALID account in every 5th doc and a Luhn-INVALID decoy
+    // in every 7th (doc 0, 35, 70 … carry both), so precision of the
+    // validator is observable: hits split exactly into valid and
+    // decoy. The per-hit Luhn runs inside a higher-order filter over
+    // the extracted array — one scan, no explode shuffle.
+    "q304_pii_scan" -> ((s, d) => {
+      def luhnTerm(col: String, i: Int, double: Boolean): String = {
+        val p = "1" + "0" * i
+        if (double)
+          s"(2 * (($col div $p) % 10) - 9 * " +
+            s"(CASE WHEN ($col div $p) % 10 >= 5 THEN 1 ELSE 0 END))"
+        else s"(($col div $p) % 10)"
+      }
+      val s11 = (0 to 10).map(i => luhnTerm("__p", i, i % 2 == 0))
+        .mkString(" + ")
+      val s12v = (0 to 11).map(i => luhnTerm("v", i, i % 2 == 1))
+        .mkString(" + ")
+      val docs = Tables.documents(s, d)
+        .filter($"text".isNotNull)
+        .withColumn("__p", expr("CAST(10000000000 + doc_id * 9973 " +
+          "+ (doc_id % 97) AS BIGINT)"))
+        .withColumn("__acct",
+          expr(s"__p * 10 + (10 - (($s11) % 10)) % 10"))
+        // decoy: rotate the valid account's last digit (+1 mod 10)
+        .withColumn("__body", concat($"text",
+          when($"doc_id" % 5 === 0,
+            concat(lit(" card "), $"__acct".cast("string")))
+            .otherwise(lit("")),
+          when($"doc_id" % 7 === 0,
+            concat(lit(" ref "),
+              expr("CAST(__acct - (__acct % 10) + " +
+                "((__acct % 10) + 1) % 10 AS STRING)")))
+            .otherwise(lit(""))))
+      docs.select($"doc_id",
+          expr("regexp_extract_all(__body, '[0-9]{12}', 0)")
+            .as("__hits"))
+        .select($"doc_id", size($"__hits").cast("long").as("__nh"),
+          expr("size(filter(transform(__hits, " +
+            "h -> CAST(h AS BIGINT)), " +
+            s"v -> ($s12v) % 10 = 0))").cast("long").as("__nv"))
+        .groupBy(($"doc_id" % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"__nh" > 0, 1L).otherwise(0L))
+            .as("n_docs_with_hits"),
+          sum($"__nh").as("n_hits"),
+          sum($"__nv").as("n_valid_cards"),
+          sum($"__nh" - $"__nv").as("n_decoys"))
+        .orderBy($"bucket")
     })
   )
 
@@ -15890,8 +15945,66 @@ object SparkEntry {
 
     // q303: decoded-side profile from the source text (see
     // q303OracleSql doc)
-    "q303_gzip_ingest" -> q303OracleSql
+    "q303_gzip_ingest" -> q303OracleSql,
+
+    // q304: same planted accounts, same regex, same shared-generator
+    // Luhn validation per hit
+    "q304_pii_scan" -> q304OracleSql
   )
+
+  /** q304's oracle — the Luhn terms come from the same generator as
+    * the Spark side (the q300 discipline). */
+  private def q304OracleSql: String = {
+    def term(col: String, i: Int, double: Boolean): String = {
+      val p = "1" + "0" * i
+      if (double)
+        s"(2 * (($col // $p) % 10) - 9 * " +
+          s"(CASE WHEN ($col // $p) % 10 >= 5 THEN 1 ELSE 0 END))"
+      else s"(($col // $p) % 10)"
+    }
+    val s11 = (0 to 10).map(i => term("p", i, i % 2 == 0))
+      .mkString(" + ")
+    val s12 = (0 to 11).map(i => term("v", i, i % 2 == 1))
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    CAST(10000000000 + doc_id * 9973 + (doc_id % 97)
+       |      AS BIGINT) AS p
+       |  FROM documents WHERE text IS NOT NULL),
+       |a AS (
+       |  SELECT doc_id, text,
+       |    p * 10 + (10 - (($s11) % 10)) % 10 AS acct
+       |  FROM b),
+       |body AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 5 = 0
+       |      THEN ' card ' || CAST(acct AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0
+       |      THEN ' ref ' || CAST(acct - (acct % 10)
+       |        + ((acct % 10) + 1) % 10 AS VARCHAR) ELSE '' END
+       |      AS body
+       |  FROM a),
+       |hits AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(body, '[0-9]{12}')) AS h
+       |  FROM body),
+       |vh AS (SELECT doc_id, CAST(h AS BIGINT) AS v FROM hits),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nh,
+       |    CAST(sum(CASE WHEN ($s12) % 10 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nv
+       |  FROM vh GROUP BY 1)
+       |SELECT b.doc_id % 8 AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN coalesce(nh, 0) > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_with_hits,
+       |  CAST(sum(coalesce(nh, 0)) AS BIGINT) AS n_hits,
+       |  CAST(sum(coalesce(nv, 0)) AS BIGINT) AS n_valid_cards,
+       |  CAST(sum(coalesce(nh, 0)) - sum(coalesce(nv, 0)) AS BIGINT)
+       |    AS n_decoys
+       |FROM b LEFT JOIN per ON b.doc_id = per.doc_id
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
 
   /** q300's oracle assembled from the same position terms the Spark
     * side unrolls (kept in one place so the two cannot drift). */
