@@ -2498,11 +2498,12 @@ object SparkEntry {
     // K-CORE — the dense-subgraph extraction next to q121/q122's
     // PageRank and q52's connected components: iterative peeling of
     // sub-k-degree nodes over the parts co-purchase graph until the
-    // surviving subgraph is everywhere ≥ k. NO ORACLE: the fixpoint
-    // iteration isn't SQL-expressible; the deterministic gate is
-    // GraphSpec's independent reference peeling (clique + cascading
-    // path fixture, k ∈ {2,3,5}, empty-core termination, idempotence)
-    // — the q23/q25/q40 treatment. Output is the core membership
+    // surviving subgraph is everywhere ≥ k. ORACLED since r8: the
+    // fixpoint replays as a DuckDB recursive CTE at the fixed k=40
+    // (see the oracle's comment); GraphSpec's independent reference
+    // peeling (clique + cascading path fixture, k ∈ {2,3,5},
+    // empty-core termination, idempotence) stays as the unit gate.
+    // Output is the core membership
     // histogram: how many nodes survive at each in-core degree. The
     // cap-5 graph's degree distribution is SF-stable (parts grow with
     // orders), so k=40 peels real cascades at every test SF without
@@ -4322,7 +4323,13 @@ object SparkEntry {
           $"__md")
         .groupBy($"r_score", $"f_score", $"m_score")
         .agg(count(lit(1)).as("n_cust"),
-          sum($"__md").as("sum_monetary"))
+          // emit EXACT INTEGER CENTS, not the raw decimal sum: a wide
+          // DECIMAL(38,2) final column proved comparator-fragile across
+          // DuckDB versions (r6/r7 driver hash reds with bit-identical
+          // values locally) — the house idiom (q238-q248) is a BIGINT
+          // cents column, which hashes identically everywhere. __md is
+          // DECIMAL(18,2) so *100 and the long cast are both exact.
+          sum(($"__md" * lit(100)).cast("long")).as("sum_monetary"))
         .orderBy($"r_score", $"f_score", $"m_score")
     }),
 
@@ -5019,8 +5026,8 @@ object SparkEntry {
     // recurrence over the residuals — which DuckDB replays as a
     // recursive CTE (the q194 discipline; order varies per doc, so
     // all three predictor forms are exercised). Any Rice, bit-order,
-    // CRC or predictor bug breaks the hash. LPC subframes stay on the
-    // injected-codec seam.
+    // CRC or predictor bug breaks the hash. LPC subframes get the
+    // same treatment in q305.
     "q204_flac_decode" -> ((s, d) => {
       val mk = udf((id: Long) => graft.functions.FlacAudio.encodeFixed(
         8000 + (id % 3).toInt * 4000, 48, 1 + (id % 2).toInt,
@@ -7894,7 +7901,26 @@ object SparkEntry {
       val freqPairs = pairs.crossJoin(broadcast(nB))
         .filter($"__s" * 20 >= $"__n")
         .select($"a", $"b")
-      val triples = baskets.select(explode(flatten(flatten(
+      // LEVEL-1 PRUNE BEFORE EXPANSION: the r7 two-decade probe showed
+      // the C(8,3) candidate stream itself (56·N rows pre-prune) is
+      // what spills at fixed cores — the semi-joins below only shrink
+      // it AFTER it exists. So first shrink each basket to the items
+      // that participate in ANY frequent pair (a support-bounded set:
+      // ≤ C(8,2)/0.05 = 560 pairs → ≤ 1120 items, however large the
+      // corpus), via explode → broadcast semi-join → regroup. The
+      // regroup shuffles only SURVIVING items (≤ 8·N worst case,
+      // typically a small fraction), and the expansion then runs over
+      // the pruned arrays — candidates drop from 56·N to C(k',3)
+      // where k' counts pair-frequent items per basket.
+      val freqItems = freqPairs.select($"a".as("item"))
+        .unionAll(freqPairs.select($"b".as("item"))).distinct()
+      val prunedBaskets = baskets
+        .select($"doc_id", explode($"__items").as("item"))
+        .join(broadcast(freqItems), Seq("item"), "left_semi")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list($"item")).as("__items"))
+        .filter(size($"__items") >= 3)
+      val triples = prunedBaskets.select(explode(flatten(flatten(
           transform($"__items", (x, i) =>
             transform(slice($"__items", i + 2, size($"__items")),
               (y, j) => transform(
@@ -8289,8 +8315,14 @@ object SparkEntry {
         .mkString(" + ")
       Tables.customer(s, d)
         .select($"c_mktsegment", $"c_custkey")
-        .withColumn("__p", expr("CAST(10000000000 + c_custkey * 9973" +
-          " + (c_custkey % 97) AS BIGINT)"))
+        // key rides in MOD 9e6 so the payload tops out at
+        // 10^10 + 8999999·9973 + 96 < 10^11 — the account stays
+        // exactly 12 digits (check digit included) at EVERY scale
+        // factor; the raw key would overflow the 11-digit payload
+        // window past c_custkey ≈ 9.02M (TPC-H sf ≳ 60), silently
+        // breaking the planted valid/decoy semantics
+        .withColumn("__p", expr("CAST(10000000000 + (c_custkey % 9000000)" +
+          " * 9973 + (c_custkey % 97) AS BIGINT)"))
         .withColumn("__a0",
           expr(s"__p * 10 + (10 - (($s11) % 10)) % 10"))
         // corrupt every 7th account: rotate the last digit (+1 mod
@@ -8426,8 +8458,9 @@ object SparkEntry {
         .mkString(" + ")
       val docs = Tables.documents(s, d)
         .filter($"text".isNotNull)
-        .withColumn("__p", expr("CAST(10000000000 + doc_id * 9973 " +
-          "+ (doc_id % 97) AS BIGINT)"))
+        // doc_id % 9e6, the q300 12-digit bound — see q300's comment
+        .withColumn("__p", expr("CAST(10000000000 + (doc_id % 9000000) " +
+          "* 9973 + (doc_id % 97) AS BIGINT)"))
         .withColumn("__acct",
           expr(s"__p * 10 + (10 - (($s11) % 10)) % 10"))
         // decoy: rotate the valid account's last digit (+1 mod 10)
@@ -8455,6 +8488,35 @@ object SparkEntry {
           sum($"__nv").as("n_valid_cards"),
           sum($"__nh" - $"__nv").as("n_decoys"))
         .orderBy($"bucket")
+    }),
+
+    // FLAC LPC DECODE — the other half of real-world FLAC (q204
+    // covers the fixed predictors; actual encoders emit LPC for
+    // almost every frame): quantized-coefficient linear prediction,
+    // s[t] = r[t] + ((Σ cᵢ·s[t−1−i]) >> shift), with the coefficient
+    // vector (3, −1) at shift 2 — contractive (characteristic roots
+    // at modulus 0.5), so the closed-form residual stream produces a
+    // bounded signal any SQL engine can replay. The arithmetic right
+    // shift is the trap this query pins: DuckDB's `//` truncates
+    // toward zero while `>>` must floor, so the oracle spells the
+    // shift as floor(x / 4.0) — one wrong negative prediction breaks
+    // the hash. CRC-8/16 verified as always; the whole decode rides
+    // the same codec as q204, exercising the LPC branch end to end.
+    "q305_flac_lpc" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.FlacAudio.encodeLpc(
+        8000 + (id % 3).toInt * 4000, 48, 1 + (id % 2).toInt,
+        Array(3, -1), 4, 2, 4,
+        (f, j) => ((id * 13 + f * 3 + j * 7) % 65).toInt - 32,
+        (f, i) => ((id * 7 + f * 11 + i * 5) % 17).toInt - 8))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeFlacFeatures(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"sample_rate", $"n_frames",
+          $"n_samples",
+          Fns.roundU($"mean_amp", 4).as("mean_amp"),
+          Fns.roundU($"rms", 4).as("rms"), $"peak", $"last_sample")
+        .orderBy($"doc_id")
     })
   )
 
@@ -10687,6 +10749,52 @@ object SparkEntry {
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // q135: the k-core fixpoint replayed as a recursive CTE at the
+    // query's FIXED k=40 (DuckDB permits multiple self-references and
+    // aggregates in the recursive member, so each round joins the
+    // survivor set onto both edge endpoints, keeps degree ≥ k, and
+    // recurses only while the survivor count still shrinks — the
+    // window-sum nsurv vs the scalar count(*) of the working table is
+    // the stop test). Peel depth is data-dependent but the CTE runs
+    // to ITS OWN fixpoint, not a guessed depth; this is oracle-side
+    // only — the Spark operator stays the iterative checkpointed
+    // peel, which is the 100 TB-shaped plan.
+    "q135_kcore" ->
+      """WITH RECURSIVE
+        |bk AS (
+        |  SELECT l_orderkey,
+        |    list_slice(list_sort(list_distinct(list(l_partkey))), 1, 5)
+        |      AS items
+        |  FROM lineitem GROUP BY l_orderkey),
+        |e0 AS (
+        |  SELECT DISTINCT u1.a AS a, u2.b AS b
+        |  FROM bk, unnest(bk.items) u1(a), unnest(bk.items) u2(b)
+        |  WHERE u1.a < u2.b),
+        |e AS (SELECT a AS s, b AS d FROM e0
+        |      UNION ALL SELECT b AS s, a AS d FROM e0),
+        |peel(round, node) AS (
+        |  SELECT 0, s FROM e GROUP BY s
+        |  UNION ALL
+        |  SELECT round + 1, s FROM (
+        |    SELECT p1.round AS round, e.s AS s, count(*) AS deg,
+        |      sum(CASE WHEN count(*) >= 40 THEN 1 ELSE 0 END)
+        |        OVER () AS nsurv
+        |    FROM e
+        |    JOIN peel p1 ON e.s = p1.node
+        |    JOIN peel p2 ON e.d = p2.node
+        |    GROUP BY p1.round, e.s) q
+        |  WHERE deg >= 40 AND nsurv < (SELECT count(*) FROM peel)),
+        |mx AS (SELECT max(round) AS r FROM peel),
+        |core AS (SELECT node FROM peel, mx WHERE round = mx.r),
+        |dg AS (
+        |  SELECT e.s AS node, count(*) AS core_deg
+        |  FROM e JOIN core c1 ON e.s = c1.node
+        |  JOIN core c2 ON e.d = c2.node
+        |  GROUP BY e.s HAVING count(*) >= 40)
+        |SELECT CAST(core_deg AS BIGINT) AS core_deg,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM dg GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q136: q92's SCD-2 CTEs verbatim, then two interval snapshots
     // and the keyed diff — the oracle recomputes the whole history
     "q136_snapshot_diff" ->
@@ -12544,7 +12652,7 @@ object SparkEntry {
         |  FROM cust c)
         |SELECT r_score, f_score, m_score,
         |  CAST(count(*) AS BIGINT) AS n_cust,
-        |  sum(md) AS sum_monetary
+        |  CAST(sum(CAST(md * 100 AS BIGINT)) AS BIGINT) AS sum_monetary
         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q183_forecast_backtest" ->
@@ -15949,7 +16057,63 @@ object SparkEntry {
 
     // q304: same planted accounts, same regex, same shared-generator
     // Luhn validation per hit
-    "q304_pii_scan" -> q304OracleSql
+    "q304_pii_scan" -> q304OracleSql,
+
+    // q305: like q204, the oracle replays the predictor recurrence
+    // over the closed-form warmup/residual streams — never a FLAC
+    // byte. Order is fixed at 2 (coefs 3, −1, shift 2), so the CTE
+    // carries (p1, p2); the arithmetic shift is floor(x/4), written
+    // floor(x / 4.0) because DuckDB's integer `//`+`%` truncate
+    // toward zero (−7//4 = −1, but −7 >> 2 = −2).
+    "q305_flac_lpc" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 40),
+        |fr AS (
+        |  SELECT doc_id, fx.i AS f
+        |  FROM d, unnest(range(0, nf)) fx(i)),
+        |warm AS (
+        |  SELECT doc_id, f, CAST(j.i AS INT) AS i,
+        |    CAST((doc_id * 13 + f * 3 + j.i * 7) % 65 - 32 AS INT) AS s
+        |  FROM fr, unnest(range(0, 2)) j(i)),
+        |dec AS (
+        |  SELECT doc_id, f, 1 AS i,
+        |    CAST((doc_id * 13 + f * 3 + 7) % 65 - 32 AS INT) AS p1,
+        |    CAST((doc_id * 13 + f * 3) % 65 - 32 AS INT) AS p2,
+        |    CAST(NULL AS INT) AS s
+        |  FROM fr
+        |  UNION ALL
+        |  SELECT doc_id, f, i + 1,
+        |    CAST(((doc_id * 7 + f * 11 + (i - 1) * 5) % 17 - 8)
+        |      + floor((3 * p1 - p2) / 4.0) AS INT) AS p1,
+        |    p1 AS p2,
+        |    CAST(((doc_id * 7 + f * 11 + (i - 1) * 5) % 17 - 8)
+        |      + floor((3 * p1 - p2) / 4.0) AS INT) AS s
+        |  FROM dec WHERE i < 47),
+        |alls AS (
+        |  SELECT doc_id, f, i, s FROM warm
+        |  UNION ALL
+        |  SELECT doc_id, f, i, s FROM dec
+        |  WHERE i >= 2 AND s IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    avg(CAST(s AS DOUBLE)) AS ma,
+        |    sqrt(avg(CAST(s AS DOUBLE) * s)) AS r,
+        |    CAST(max(abs(s)) AS INT) AS peak
+        |  FROM alls GROUP BY doc_id),
+        |l AS (
+        |  SELECT doc_id, s AS last_sample FROM alls
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY f DESC, i DESC) = 1)
+        |SELECT d.doc_id, d.sample_rate, d.nf AS n_frames, m.n_samples,
+        |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
+        |  floor(r * 10000 + 0.5) / 10000.0 AS rms, m.peak,
+        |  l.last_sample
+        |FROM d JOIN m USING (doc_id) JOIN l USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** q304's oracle — the Luhn terms come from the same generator as
@@ -15968,7 +16132,7 @@ object SparkEntry {
       .mkString(" + ")
     s"""WITH b AS (
        |  SELECT doc_id, text,
-       |    CAST(10000000000 + doc_id * 9973 + (doc_id % 97)
+       |    CAST(10000000000 + (doc_id % 9000000) * 9973 + (doc_id % 97)
        |      AS BIGINT) AS p
        |  FROM documents WHERE text IS NOT NULL),
        |a AS (
@@ -16022,7 +16186,7 @@ object SparkEntry {
       .mkString(" + ")
     s"""WITH b AS (
        |  SELECT c_mktsegment, c_custkey,
-       |    CAST(10000000000 + c_custkey * 9973 + (c_custkey % 97)
+       |    CAST(10000000000 + (c_custkey % 9000000) * 9973 + (c_custkey % 97)
        |      AS BIGINT) AS p
        |  FROM customer),
        |a0 AS (

@@ -2,15 +2,19 @@ package graft.functions
 
 /** REAL sample decode for LOSSLESS compressed audio: FLAC, restricted
   * to the subset a pure-JVM integer decoder can own completely — mono
-  * 16-bit streams whose subframes are CONSTANT, VERBATIM, or
-  * FIXED-prediction (orders 0–4) with Rice-coded residuals. This is
-  * the third compression tier of the audio story: PCM ([[WavPcm]]) is
+  * 16-bit streams whose subframes are CONSTANT, VERBATIM,
+  * FIXED-prediction (orders 0–4), or LPC (quantized-coefficient
+  * linear prediction, orders 1–32 — the encoding real-world FLAC
+  * files overwhelmingly use) with Rice-coded residuals. This is the
+  * third compression tier of the audio story: PCM ([[WavPcm]]) is
   * uncompressed, IMA ADPCM ([[AdpcmWav]]) is lossy-compressed, FLAC is
   * lossless-compressed — and losslessness is what makes it exactly
-  * oracle-able: the decoded samples equal the fixed-predictor
-  * recurrence over the residuals, bit for bit. LPC-coded subframes
-  * (the other half of real-world FLAC) and multi-channel decorrelation
-  * return None and route to the injected-codec seam
+  * oracle-able: the decoded samples equal the predictor recurrence
+  * over the residuals, bit for bit (LPC prediction is pure integer
+  * math: a 64-bit coefficient dot product arithmetic-right-shifted by
+  * the quantization shift). Only multi-channel decorrelation and
+  * non-16-bit depths still return None and route to the
+  * injected-codec seam
   * ([[graft.operators.Multimodal.decodePartitions]]).
   *
   * Everything here is the public FLAC format specification:
@@ -234,13 +238,35 @@ object FlacAudio {
           while (k < blockSize) {
             samples(k) = br.readSigned(bps) << wasted; k += 1
           }
-        } else if (sfType >= 8 && sfType <= 12) {
-          val order = sfType - 8
+        } else if ((sfType >= 8 && sfType <= 12) ||
+            (sfType >= 32 && sfType <= 63)) {
+          val isLpc = sfType >= 32
+          val order = if (isLpc) (sfType & 0x1f) + 1 else sfType - 8
           if (order > blockSize) return None
           var k = 0
           while (k < order) {
             samples(k) = br.readSigned(bps); k += 1
           }
+          // LPC parameters: 4-bit quantized-coefficient precision
+          // (coded as precision−1; 0b1111 is invalid per spec), 5-bit
+          // SIGNED shift (negative values are reserved — libFLAC
+          // rejects them, so do we), then `order` signed coefficients
+          // at that precision. Fixed subframes take the spec's
+          // hardwired coefficient rows with shift 0 — after this
+          // point the two subframe families share one reconstruction.
+          val (coef, shift) =
+            if (isLpc) {
+              val precM1 = br.readBits(4).toInt
+              if (precM1 == 15) return None
+              val sh = ((br.readBits(5) << 59) >> 59).toInt // sign-ext
+              if (sh < 0) return None
+              val cs = new Array[Int](order)
+              var c = 0
+              while (c < order) {
+                cs(c) = br.readSigned(precM1 + 1); c += 1
+              }
+              (cs, sh)
+            } else (FixedCoef(order), 0)
           // residual block
           val method = br.readBits(2).toInt
           if (method > 1) return None
@@ -273,23 +299,24 @@ object FlacAudio {
             }
             part += 1
           }
-          // reconstruct through the fixed predictor
-          val coef = FixedCoef(order)
+          // reconstruct: s[t] = r[t] + ((Σ coef_j · s[t−1−j]) >> shift)
+          // — the spec's 64-bit accumulator with an ARITHMETIC right
+          // shift; fixed predictors are the shift-0 special case
           var t = order
           while (t < blockSize) {
-            var acc = samples(t).toLong
+            var acc = 0L
             var c = 0
             while (c < order) {
               acc += coef(c).toLong * samples(t - 1 - c); c += 1
             }
-            samples(t) = acc.toInt
+            samples(t) = (samples(t) + (acc >> shift)).toInt
             t += 1
           }
           if (wasted > 0) {
             var w = 0
             while (w < blockSize) { samples(w) <<= wasted; w += 1 }
           }
-        } else return None // LPC (32+) and reserved types
+        } else return None // reserved subframe types (2-7, 13-31)
         br.alignToByte()
         val footerAt = br.bytePos
         if (footerAt + 2 > b.length) return None
@@ -354,6 +381,57 @@ object FlacAudio {
       var j = 0
       while (j < order) {
         bw.writeBits(warmup(f, j).toLong & 0xffff, 16); j += 1
+      }
+      bw.writeBits(0, 2)     // residual method: 4-bit rice
+      bw.writeBits(0, 4)     // partition order 0
+      bw.writeBits(riceK, 4)
+      var t = order
+      while (t < blockSize) {
+        val v = resid(f, t - order)
+        val m = ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL
+        bw.writeUnary((m >>> riceK).toInt)
+        bw.writeBits(m & ((1L << riceK) - 1), riceK)
+        t += 1
+      }
+    }
+  }
+
+  /** FIXTURE: LPC subframes — quantized-coefficient prediction with
+    * the given coefficient vector, precision, and shift; residuals
+    * come from the closed-form `resid` exactly as [[encodeFixed]], so
+    * an oracle can replay s[t] = r[t] + ((Σ cᵢ·s[t−1−i]) >> shift)
+    * symbolically. Coefficients must fit signed `precision` bits;
+    * shift in [0, 15] (the positive half of the 5-bit field). */
+  def encodeLpc(sampleRate: Int, blockSize: Int, nFrames: Int,
+                coefs: Array[Int], precision: Int, shift: Int,
+                riceK: Int,
+                warmup: (Int, Int) => Int,
+                resid: (Int, Int) => Int): Array[Byte] = {
+    val order = coefs.length
+    require(order >= 1 && order <= 32 && order <= blockSize,
+      "LPC order 1-32 within the block")
+    require(precision >= 2 && precision <= 15,
+      "4-bit precision field, 15 invalid per spec")
+    require(shift >= 0 && shift <= 15, "non-negative 5-bit shift")
+    val lim = 1 << (precision - 1)
+    require(coefs.forall(c => c >= -lim && c < lim),
+      s"coefficients must fit signed $precision bits")
+    require(riceK >= 0 && riceK < 15, "4-bit rice parameter")
+    encodeStream(sampleRate, blockSize, nFrames) { (bw, f) =>
+      bw.writeBits(0, 1)
+      bw.writeBits(0x20L | (order - 1), 6)
+      bw.writeBits(0, 1)
+      var j = 0
+      while (j < order) {
+        bw.writeBits(warmup(f, j).toLong & 0xffff, 16); j += 1
+      }
+      bw.writeBits(precision - 1, 4)
+      bw.writeBits(shift, 5)
+      var c = 0
+      while (c < order) {
+        bw.writeBits(coefs(c).toLong & ((1L << precision) - 1),
+          precision)
+        c += 1
       }
       bw.writeBits(0, 2)     // residual method: 4-bit rice
       bw.writeBits(0, 4)     // partition order 0

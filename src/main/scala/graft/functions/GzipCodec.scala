@@ -28,16 +28,30 @@ object GzipCodec {
     bos.toByteArray
   }
 
+  /** Hard ceiling on inflated size: DEFLATE expands up to ~1032×, so a
+    * 100 KB poisoned payload could demand ~100 MB and OOM an executor
+    * instead of yielding NULL. 64 MiB comfortably covers any real row
+    * payload while bounding per-row memory; an over-limit payload is
+    * REJECTED (null), the same contract as malformed input. */
+  val MaxInflatedBytes: Int = 64 << 20
+
   /** Inflate, or null on any malformation (truncation, bad CRC,
-    * wrong magic). */
+    * wrong magic) or on exceeding [[MaxInflatedBytes]] — a
+    * decompression bomb is data-quality, not a job failure. */
   def gunzip(b: Array[Byte]): Array[Byte] =
     try {
       val in = new GZIPInputStream(
         new java.io.ByteArrayInputStream(b), 8192)
-      val out = new ByteArrayOutputStream(b.length * 3 + 64)
+      val out = new ByteArrayOutputStream(
+        math.min(b.length * 3 + 64, MaxInflatedBytes))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      var total = 0L
+      while (n >= 0) {
+        total += n
+        if (total > MaxInflatedBytes) { in.close(); return null }
+        out.write(buf, 0, n); n = in.read(buf)
+      }
       in.close()
       out.toByteArray
     } catch { case _: java.io.IOException => null }

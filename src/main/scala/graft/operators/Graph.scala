@@ -488,6 +488,23 @@ object Graph {
       "__c", "__p", "lt"))
     val ef = Await.result(efF, Duration.Inf)
     val lt = Await.result(ltF, Duration.Inf)
+    // CYCLE GUARD, part two: the in-loop maxDepth throw only fires for
+    // cycles REACHABLE from a source/sink. A component with no source
+    // at all (A→B plus B→A) never enters either start frontier, both
+    // closures exit cleanly, and the final inner joins would silently
+    // drop its nodes — a plausible-looking partial answer. Every node
+    // of a true DAG lies on a source→sink path, so ef/lt covering
+    // fewer nodes than the input is proof of a source-less (or
+    // sink-less) cycle. Three 1-row count jobs over checkpointed
+    // frames — driver-side constants, not data movement.
+    val nCount = n.count()
+    val efCount = ef.count()
+    val ltCount = lt.count()
+    if (efCount < nCount || ltCount < nCount) throw new IllegalStateException(
+      s"criticalPath input is not a DAG: ${nCount - math.min(efCount, ltCount)} " +
+        "node(s) unreachable from any source/sink — a source-less or " +
+        "sink-less cycle (e.g. A→B plus B→A); the longest path of a " +
+        "cyclic graph is infinite")
     // project duration: 1-row aggregate, broadcast onto every node
     val t = ef.agg(max(col("ef")).as("__t"))
     // n and e stay checkpointed — the returned plan still reads n, and

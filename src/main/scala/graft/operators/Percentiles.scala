@@ -344,13 +344,19 @@ object Percentiles {
     * family's contract. Values ≥ 10⁸ cents saturate the top decade's
     * sub-bucket; extend the ladder before pointing this at values
     * past $1 M. */
-  // int64 division via floor(double): exact for |a| < 2^46 (both
-  // operands representable, the true quotient is ≥ 1e-6 away from
-  // any wrong integer while the rounding error is ~1e-14 relative) —
-  // the Column API's `/` is double division and `div` only exists in
-  // SQL text; the documented < $1M domain sits far inside the bound
+  // TRUE int64 division (catalyst IntegralDivide — SQL's `div`, the
+  // same op DuckDB's `//` lowers to): exact over the whole int64
+  // domain. The previous floor(double) form was only exact for
+  // |a| < 2^46 — fine for the documented < $1M cents ladder, but
+  // logHistQuantiles also feeds it per-group ROW COUNTS, which at the
+  // advertised 100 TB scale (n ≳ 7e11 rows, ×100 for the rank target)
+  // can cross that bound and mis-round vs the oracle's exact `//`.
+  // The Column API has no `div`, so bridge to the expression directly.
   private def idiv(a: Column, k: Long): Column =
-    floor(a / lit(k)).cast("long")
+    org.apache.spark.sql.graft.Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.toCatalyst(a.cast("long")),
+        org.apache.spark.sql.graft.Bridge.toCatalyst(lit(k))))
 
   def logBucket(cents: Column): Column = {
     val c = cents.cast("long")

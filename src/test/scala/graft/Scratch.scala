@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-/** Throwaway profiling/debug harness (not part of the library surface).
+/** Throwaway profiling/debug harness (not part of the library surface;
+  * lives in TEST scope so the production jar is exactly the library +
+  * entry points — run with `sbt "Test/runMain graft.Scratch"`).
   * Scaling probes: the heavy query chains at 1× and 10× corpus size,
   * in-memory (no files written), growth factors printed for
   * ENGINE.md §measured-scaling.
@@ -332,7 +334,18 @@ object Scratch {
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
         val freq = pairs.crossJoin(broadcast(nB))
           .filter(col("s") * 20 >= col("n")).select(col("a"), col("b"))
-        val triples = rep.select(explode(flatten(flatten(
+        // r8: mirror q290's pre-expansion item prune — shrink baskets
+        // to pair-frequent items BEFORE the C(k,3) expansion, so the
+        // candidate stream that spilled at 100x never materializes
+        val freqItems = freq.select(col("a").as("item"))
+          .unionAll(freq.select(col("b").as("item"))).distinct()
+        val prunedB = rep
+          .select(col("doc_id"), explode(col("items")).as("item"))
+          .join(broadcast(freqItems), Seq("item"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("item"))).as("items"))
+          .filter(size(col("items")) >= 3)
+        val triples = prunedB.select(explode(flatten(flatten(
             transform(col("items"), (x, i) =>
               transform(slice(col("items"), i + 2, size(col("items"))),
                 (y, j) => transform(

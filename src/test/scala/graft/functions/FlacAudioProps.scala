@@ -54,6 +54,66 @@ object FlacAudioProps extends Properties("graft.flac") {
       dec.exists(statsMatch(_, replay(o, bs, nf, w, r), 44100, nf))
     }
 
+  /** Independent LPC replay: s[t] = r[t] + ((Σ cᵢ·s[t−1−i]) >> shift),
+    * written with its own accumulator, separate from the decoder. */
+  private def replayLpc(coefs: Array[Int], shift: Int, blockSize: Int,
+                        nFrames: Int, warmup: (Int, Int) => Int,
+                        resid: (Int, Int) => Int): Seq[Int] =
+    (0 until nFrames).flatMap { f =>
+      val s = new Array[Int](blockSize)
+      val o = coefs.length
+      (0 until o).foreach(j => s(j) = warmup(f, j))
+      (o until blockSize).foreach { t =>
+        var acc = 0L
+        (0 until o).foreach(j => acc += coefs(j).toLong * s(t - 1 - j))
+        s(t) = resid(f, t - o) + (acc >> shift).toInt
+      }
+      s.toSeq
+    }
+
+  // stable-by-construction coefficient vectors (bounded signal over a
+  // ≤64-sample block with small residuals): shifted first-difference,
+  // two-tap average, damped taps, and the order-2/4 fixed predictors
+  // re-expressed through the LPC path (shift 0) so LPC reconstruction
+  // is pinned against the independently-tested fixed recurrences
+  private val lpcVectors: Gen[(Array[Int], Int, Int)] = Gen.oneOf(
+    (Array(2), 4, 1),        // (coefs, precision, shift)
+    (Array(8), 5, 3),
+    (Array(1, 1), 3, 1),
+    (Array(3, -1), 4, 2),
+    (Array(2, -1), 4, 0),
+    (Array(5, -3, 1), 5, 2),
+    (Array(4, -6, 4, -1), 5, 0),
+    (Array(7, -5, 3, -1, 1, -1), 5, 3))
+
+  property("LPC subframes roundtrip exactly vs independent replay " +
+      "(orders 1-6, shifts 0-3)") =
+    forAll(lpcVectors, Gen.choose(8, 64), Gen.choose(1, 4),
+      Gen.choose(0, 6), Gen.choose(0, 99)) { (cv, bsRaw, nf, k, seed) =>
+      val (coefs, prec, shift) = cv
+      val bs = math.max(bsRaw, coefs.length + 1)
+      def w(f: Int, j: Int) = (seed * 3 + f * 5 + j * 7) % 9 - 4
+      def r(f: Int, i: Int) = (seed * 7 + f * 11 + i * 5) % 5 - 2
+      val b = FlacAudio.encodeLpc(44100, bs, nf, coefs, prec, shift,
+        k, w, r)
+      FlacAudio.decode(b).exists(
+        statsMatch(_, replayLpc(coefs, shift, bs, nf, w, r), 44100, nf))
+    }
+
+  property("LPC with shift reproduces the arithmetic-shift floor on " +
+      "NEGATIVE accumulators (the >> vs truncating-division trap)") =
+    forAll(Gen.choose(1, 3), Gen.choose(0, 99)) { (shift, seed) =>
+      // single tap c=−1 with a positive ramp signal forces Σc·s < 0
+      // at every step, so every prediction exercises the negative
+      // branch: (−v) >> s must floor (−7>>1 = −4), never truncate (−3)
+      def w(f: Int, j: Int) = 7 + (seed % 5) + f
+      def r(f: Int, i: Int) = (seed + f * 3 + i) % 3
+      val b = FlacAudio.encodeLpc(8000, 24, 2, Array(-1), 4, shift,
+        3, w, r)
+      FlacAudio.decode(b).exists(
+        statsMatch(_, replayLpc(Array(-1), shift, 24, 2, w, r), 8000, 2))
+    }
+
   property("constant and verbatim subframes roundtrip exactly") =
     forAll(Gen.choose(1, 128), Gen.choose(1, 4),
       Gen.choose(-32768, 32767)) { (bs, nf, v) =>
@@ -105,10 +165,34 @@ object FlacAudioProps extends Properties("graft.flac") {
 
   private val truncated: Gen[Array[Byte]] = for {
     seed <- Gen.choose(0, 99)
-    full = FlacAudio.encodeFixed(8000, 48, 2, seed % 3, 4,
-      (f, j) => f + j, (f, i) => (seed + f * 3 + i) % 9 - 4)
+    full = if (seed % 2 == 0)
+      FlacAudio.encodeFixed(8000, 48, 2, seed % 3, 4,
+        (f, j) => f + j, (f, i) => (seed + f * 3 + i) % 9 - 4)
+    else
+      FlacAudio.encodeLpc(8000, 48, 2, Array(3, -1), 4, 2, 4,
+        (f, j) => f + j, (f, i) => (seed + f * 3 + i) % 9 - 4)
     keep <- Gen.choose(0, full.length)
   } yield full.take(keep)
+
+  property("a flipped byte in an LPC stream yields None or intact " +
+      "samples, never silent corruption") =
+    forAll(Gen.choose(0, 99), Gen.choose(Byte.MinValue, Byte.MaxValue)) {
+      (seed, nv) =>
+      val b = FlacAudio.encodeLpc(16000, 32, 2, Array(1, 1), 3, 1, 3,
+        (f, j) => f + j, (f, i) => (seed + f + i) % 7 - 3)
+      val good = FlacAudio.decode(b).get
+      val at = 4 + seed % (b.length - 4)
+      if (b(at) == nv) true
+      else {
+        val bad = b.clone(); bad(at) = nv
+        FlacAudio.decode(bad) match {
+          case None => true
+          case Some(f) => at < 42 &&
+            f.nSamples == good.nSamples && f.peak == good.peak &&
+            f.lastSample == good.lastSample
+        }
+      }
+    }
 
   private def safe(b: Array[Byte]): Boolean = { FlacAudio.decode(b); true }
 
