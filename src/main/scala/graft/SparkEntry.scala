@@ -7895,30 +7895,34 @@ object SparkEntry {
         .groupBy($"doc_id")
         .agg(slice(sort_array(collect_set($"__tok")), 1, 8)
           .as("__items"))
-      val nB = baskets.agg(count(lit(1)).as("__n"))
-      val pairs = basketPairs(baskets)
+      // BOUNDED COLLECT of the frequent-pair set: ≤ C(8,2)/0.05 = 560
+      // rows by the support threshold alone, corpus-size-independent
+      // (Σ pair support ≤ 28·N and each frequent pair carries ≥ N/20)
+      // — the same class as the suite's 1-row aggregates. Pulling it
+      // to the driver once means (a) the basket derivation is computed
+      // twice total (supports + expansion) instead of once per
+      // broadcast semi-join, and (b) the frequent-ITEM alphabet
+      // becomes a literal array_intersect that prunes each basket
+      // MAP-SIDE before the C(k,3) expansion — no added shuffle. The
+      // r7 two-decade probe showed the 56·N-row pre-prune candidate
+      // stream is what goes super-linear at fixed cores; an explode→
+      // semi-join→regroup cure was measured WORSE (the item shuffle
+      // cost more than the prune saved — 93.5 % of capped-basket items
+      // are pair-frequent on this Zipfian corpus), so the prune must
+      // be shuffle-free to pay.
+      val nBv = baskets.count()
+      val fpArr = basketPairs(baskets)
         .groupBy($"a", $"b").agg(count(lit(1)).as("__s"))
-      val freqPairs = pairs.crossJoin(broadcast(nB))
-        .filter($"__s" * 20 >= $"__n")
+        .filter($"__s" * 20 >= nBv)
         .select($"a", $"b")
-      // LEVEL-1 PRUNE BEFORE EXPANSION: the r7 two-decade probe showed
-      // the C(8,3) candidate stream itself (56·N rows pre-prune) is
-      // what spills at fixed cores — the semi-joins below only shrink
-      // it AFTER it exists. So first shrink each basket to the items
-      // that participate in ANY frequent pair (a support-bounded set:
-      // ≤ C(8,2)/0.05 = 560 pairs → ≤ 1120 items, however large the
-      // corpus), via explode → broadcast semi-join → regroup. The
-      // regroup shuffles only SURVIVING items (≤ 8·N worst case,
-      // typically a small fraction), and the expansion then runs over
-      // the pruned arrays — candidates drop from 56·N to C(k',3)
-      // where k' counts pair-frequent items per basket.
-      val freqItems = freqPairs.select($"a".as("item"))
-        .unionAll(freqPairs.select($"b".as("item"))).distinct()
-      val prunedBaskets = baskets
-        .select($"doc_id", explode($"__items").as("item"))
-        .join(broadcast(freqItems), Seq("item"), "left_semi")
-        .groupBy($"doc_id")
-        .agg(sort_array(collect_list($"item")).as("__items"))
+        .as[(String, String)](org.apache.spark.sql.Encoders
+          .tuple(org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.STRING))
+        .collect().sortBy(identity)
+      val freqPairs = s.createDataFrame(fpArr.toSeq).toDF("a", "b")
+      val fiArr = fpArr.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val prunedBaskets = baskets.select($"doc_id",
+          array_intersect($"__items", typedLit(fiArr)).as("__items"))
         .filter(size($"__items") >= 3)
       val triples = prunedBaskets.select(explode(flatten(flatten(
           transform($"__items", (x, i) =>
@@ -7938,8 +7942,7 @@ object SparkEntry {
       pruned.groupBy($"a".as("item_a"), $"b".as("item_b"),
           $"c".as("item_c"))
         .agg(count(lit(1)).as("support"))
-        .crossJoin(broadcast(nB))
-        .filter($"support" * 20 >= $"__n")
+        .filter($"support" * 20 >= nBv)
         .select($"item_a", $"item_b", $"item_c", $"support")
         .orderBy($"support".desc, $"item_a", $"item_b", $"item_c")
         .limit(20)

@@ -325,25 +325,31 @@ object Scratch {
           col("items"))
       }.reduce(_.unionByName(_))
       val r = timed {
-        val nB = rep.agg(count(lit(1)).as("n"))
-        val pairs = rep.select(explode(flatten(transform(col("items"),
+        // r8 (second cut): q290's bounded-collect shape — the frequent
+        // pair set (≤560 rows by the support bound) re-enters the plan
+        // as a LocalRelation, and the frequent-item alphabet prunes
+        // baskets MAP-SIDE via a literal array_intersect before the
+        // C(k,3) expansion. The first r8 cut (explode→semi-join→
+        // regroup) measured WORSE at 100x: 93.5% of capped-basket
+        // items are pair-frequent, so the regroup shuffle cost more
+        // than the prune saved.
+        val nBv = rep.count()
+        val fpArr = rep.select(explode(flatten(transform(col("items"),
             (x, i) => transform(
               slice(col("items"), i + 2, size(col("items"))),
               y => struct(x.as("a"), y.as("b")))))).as("p"))
           .select(col("p.a").as("a"), col("p.b").as("b"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
-        val freq = pairs.crossJoin(broadcast(nB))
-          .filter(col("s") * 20 >= col("n")).select(col("a"), col("b"))
-        // r8: mirror q290's pre-expansion item prune — shrink baskets
-        // to pair-frequent items BEFORE the C(k,3) expansion, so the
-        // candidate stream that spilled at 100x never materializes
-        val freqItems = freq.select(col("a").as("item"))
-          .unionAll(freq.select(col("b").as("item"))).distinct()
-        val prunedB = rep
-          .select(col("doc_id"), explode(col("items")).as("item"))
-          .join(broadcast(freqItems), Seq("item"), "left_semi")
-          .groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(col("item"))).as("items"))
+          .filter(col("s") * 20 >= nBv)
+          .select(col("a"), col("b"))
+          .as[(String, String)](org.apache.spark.sql.Encoders
+            .tuple(org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.STRING))
+          .collect().sortBy(identity)
+        val freq = spark.createDataFrame(fpArr.toSeq).toDF("a", "b")
+        val fiArr = fpArr.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        val prunedB = rep.select(col("doc_id"),
+            array_intersect(col("items"), typedLit(fiArr)).as("items"))
           .filter(size(col("items")) >= 3)
         val triples = prunedB.select(explode(flatten(flatten(
             transform(col("items"), (x, i) =>
@@ -362,8 +368,7 @@ object Scratch {
             col("b").as("c"))), Seq("b", "c"), "left_semi")
         val n = pruned.groupBy(col("a"), col("b"), col("c"))
           .agg(count(lit(1)).as("s"))
-          .crossJoin(broadcast(nB))
-          .filter(col("s") * 20 >= col("n")).count()
+          .filter(col("s") * 20 >= nBv).count()
         println(s"[scratch]   apriori mult=$mult frequent_triples=$n")
       }
       base.unpersist()
