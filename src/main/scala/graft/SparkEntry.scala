@@ -8520,6 +8520,34 @@ object SparkEntry {
           Fns.roundU($"mean_amp", 4).as("mean_amp"),
           Fns.roundU($"rms", 4).as("rms"), $"peak", $"last_sample")
         .orderBy($"doc_id")
+    }),
+
+    // STEREO FLAC with inter-channel decorrelation — the remaining
+    // structural half of real-world FLAC after q305's LPC: each doc
+    // encodes the SAME closed-form L/R waveform under a doc-selected
+    // channel assignment (independent, left/side, side/right,
+    // mid/side — side at 17 bits, mid = (l+r)>>1 with the lost low
+    // bit restored from side's parity), so the oracle replays the raw
+    // L/R formulas with NO knowledge of the assignment: hash equality
+    // proves all three decorrelation inverses are exact. Subframes
+    // are VERBATIM so no recurrence exists — the decorrelation
+    // arithmetic alone is under test; CRC-8/16 verified as always.
+    "q306_flac_stereo" -> ((s, d) => {
+      val asns = Array(1, 8, 9, 10)
+      val mk = udf((id: Long) => graft.functions.FlacAudio
+        .encodeStereoVerbatim(22050, 48, 1 + (id % 2).toInt,
+          asns((id % 4).toInt),
+          (f, t) => ((id * 37 + f * 3 + t * 997) % 2001).toInt - 1000,
+          (f, t) => ((id * 53 + f * 7 + t * 613) % 2001).toInt - 1000))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeFlacFeatures(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"sample_rate", $"n_frames",
+          $"n_samples",
+          Fns.roundU($"mean_amp", 4).as("mean_amp"),
+          Fns.roundU($"rms", 4).as("rms"), $"peak", $"last_sample")
+        .orderBy($"doc_id")
     })
   )
 
@@ -16116,6 +16144,44 @@ object SparkEntry {
         |  floor(r * 10000 + 0.5) / 10000.0 AS rms, m.peak,
         |  l.last_sample
         |FROM d JOIN m USING (doc_id) JOIN l USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q306: verbatim stereo means the decoded interleaved stream IS
+    // the raw L/R closed forms — the oracle never sees the channel
+    // assignment (independent vs left/side vs side/right vs mid/side
+    // is the Spark side's per-doc choice), so hash equality certifies
+    // every decorrelation inverse. last_sample = R of the final
+    // (frame, t) by the interleaved t-major/channel-minor order.
+    "q306_flac_stereo" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 40),
+        |s AS (
+        |  SELECT doc_id, nf, fx.f, tx.t,
+        |    CAST((doc_id * 37 + fx.f * 3 + tx.t * 997) % 2001 - 1000
+        |      AS INT) AS l,
+        |    CAST((doc_id * 53 + fx.f * 7 + tx.t * 613) % 2001 - 1000
+        |      AS INT) AS r
+        |  FROM d, unnest(range(0, nf)) fx(f), unnest(range(0, 48)) tx(t)),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(2 * count(*) AS BIGINT) AS n_samples,
+        |    (sum(CAST(l AS DOUBLE)) + sum(CAST(r AS DOUBLE)))
+        |      / (2 * count(*)) AS ma,
+        |    sqrt((sum(CAST(l AS DOUBLE) * l) + sum(CAST(r AS DOUBLE) * r))
+        |      / (2 * count(*))) AS rm,
+        |    CAST(greatest(max(abs(l)), max(abs(r))) AS INT) AS peak
+        |  FROM s GROUP BY doc_id),
+        |ls AS (
+        |  SELECT doc_id, r AS last_sample FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY f DESC, t DESC) = 1)
+        |SELECT d.doc_id, CAST(22050 AS INT) AS sample_rate,
+        |  d.nf AS n_frames, m.n_samples,
+        |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
+        |  floor(rm * 10000 + 0.5) / 10000.0 AS rms, m.peak,
+        |  ls.last_sample
+        |FROM d JOIN m USING (doc_id) JOIN ls USING (doc_id)
         |ORDER BY doc_id""".stripMargin
   )
 

@@ -126,9 +126,13 @@ object FlacAudio {
   private val FixedCoef: Array[Array[Int]] = Array(
     Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
 
-  /** Decode a mono 16-bit fixed-prediction FLAC stream to sample
-    * statistics; None for LPC/multichannel/other-depth streams,
-    * non-FLAC payloads, CRC failures, and any corruption. */
+  /** Decode a mono or STEREO 16-bit FLAC stream (subframes CONSTANT /
+    * VERBATIM / FIXED / LPC; stereo via independent channels or any of
+    * the three inter-channel decorrelation modes — left/side,
+    * right/side, mid/side, the side channel at bps+1 per spec) to
+    * sample statistics over the interleaved sample stream; None for
+    * >2-channel / non-16-bit streams, non-FLAC payloads, CRC
+    * failures, and any corruption. */
   def decode(b: Array[Byte]): Option[Features] = {
     if (b == null || b.length < 42) return None
     if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
@@ -161,10 +165,11 @@ object FlacAudio {
         }
         i += 4 + len
       }
-      if (!haveInfo || channels != 1 || bits != 16 || sampleRate <= 0)
+      if (!haveInfo || channels < 1 || channels > 2 || bits != 16 ||
+          sampleRate <= 0)
         return None
       var sum = 0.0; var sumSq = 0.0; var peak = 0; var lastS = 0
-      var nSamples = 0L; var nFrames = 0
+      var nSamplesPerCh = 0L; var nFrames = 0
       while (i < b.length) {
         val frameStart = i
         if (i + 5 > b.length) return None
@@ -175,7 +180,12 @@ object FlacAudio {
         val chanAsn = (b(i + 3) & 0xff) >> 4
         val ssCode = (b(i + 3) >> 1) & 0x7
         if ((b(i + 3) & 1) != 0) return None // reserved bit
-        if (chanAsn != 0) return None        // mono only
+        // channel assignment must agree with STREAMINFO: mono → 0;
+        // stereo → 1 (independent) or 8/9/10 (left-side, right-side,
+        // mid-side decorrelation)
+        if (channels == 1 && chanAsn != 0) return None
+        if (channels == 2 && chanAsn != 1 && (chanAsn < 8 ||
+            chanAsn > 10)) return None
         if (ssCode != 0x4) return None       // 16-bit only
         i += 4
         // UTF-8-style coded frame number (value unused; length matters)
@@ -219,126 +229,183 @@ object FlacAudio {
         if (i + 1 > b.length) return None
         if (crc8(b, frameStart, i) != (b(i) & 0xff)) return None
         i += 1
-        // subframe (bit level from here)
+        // subframes (bit level from here) — one per channel, byte
+        // alignment only AFTER the last one; decorrelated side
+        // channels carry bps+1 per spec (the side signal l−r needs
+        // 17 bits)
         val br = new BitReader(b, i, b.length)
-        if (br.readBits(1) != 0L) return None // padding bit
-        val sfType = br.readBits(6).toInt
-        val wastedFlag = br.readBits(1)
-        val wasted =
-          if (wastedFlag == 0L) 0
-          else br.readUnary() + 1 // coded as (wasted-1) in unary
-        val bps = 16 - wasted
-        if (bps <= 0) return None
-        val samples = new Array[Int](blockSize)
-        if (sfType == 0) {
-          val v = br.readSigned(bps)
-          java.util.Arrays.fill(samples, v << wasted)
-        } else if (sfType == 1) {
-          var k = 0
-          while (k < blockSize) {
-            samples(k) = br.readSigned(bps) << wasted; k += 1
+        val chans = new Array[Array[Int]](channels)
+        var ch = 0
+        while (ch < channels) {
+          val sideBit = chanAsn match {
+            case 8  => if (ch == 1) 1 else 0 // left/side: side second
+            case 9  => if (ch == 0) 1 else 0 // side/right: side first
+            case 10 => if (ch == 1) 1 else 0 // mid/side:  side second
+            case _  => 0
           }
-        } else if ((sfType >= 8 && sfType <= 12) ||
-            (sfType >= 32 && sfType <= 63)) {
-          val isLpc = sfType >= 32
-          val order = if (isLpc) (sfType & 0x1f) + 1 else sfType - 8
-          if (order > blockSize) return None
-          var k = 0
-          while (k < order) {
-            samples(k) = br.readSigned(bps); k += 1
-          }
-          // LPC parameters: 4-bit quantized-coefficient precision
-          // (coded as precision−1; 0b1111 is invalid per spec), 5-bit
-          // SIGNED shift (negative values are reserved — libFLAC
-          // rejects them, so do we), then `order` signed coefficients
-          // at that precision. Fixed subframes take the spec's
-          // hardwired coefficient rows with shift 0 — after this
-          // point the two subframe families share one reconstruction.
-          val (coef, shift) =
-            if (isLpc) {
-              val precM1 = br.readBits(4).toInt
-              if (precM1 == 15) return None
-              val sh = ((br.readBits(5) << 59) >> 59).toInt // sign-ext
-              if (sh < 0) return None
-              val cs = new Array[Int](order)
-              var c = 0
-              while (c < order) {
-                cs(c) = br.readSigned(precM1 + 1); c += 1
-              }
-              (cs, sh)
-            } else (FixedCoef(order), 0)
-          // residual block
-          val method = br.readBits(2).toInt
-          if (method > 1) return None
-          val pBits = if (method == 0) 4 else 5
-          val escape = if (method == 0) 15 else 31
-          val partOrder = br.readBits(4).toInt
-          val nParts = 1 << partOrder
-          if (blockSize % nParts != 0) return None
-          var idx = order
-          var part = 0
-          while (part < nParts) {
-            val n = (blockSize >> partOrder) - (if (part == 0) order else 0)
-            if (n < 0) return None
-            val param = br.readBits(pBits).toInt
-            if (param == escape) {
-              val raw = br.readBits(5).toInt
-              var j = 0
-              while (j < n) {
-                val r = if (raw == 0) 0 else br.readSigned(raw)
-                samples(idx) = r; idx += 1; j += 1
-              }
-            } else {
-              var j = 0
-              while (j < n) {
-                val q = br.readUnary()
-                val m = (q.toLong << param) | br.readBits(param)
-                samples(idx) = ((m >>> 1) ^ -(m & 1L)).toInt
-                idx += 1; j += 1
-              }
+          chans(ch) = decodeSubframe(br, blockSize, bits + sideBit)
+          ch += 1
+        }
+        // inter-channel reconstruction (pure integer, exactly the
+        // spec's inverse transforms)
+        chanAsn match {
+          case 8 => // left/side: right = left − side
+            var t = 0
+            while (t < blockSize) {
+              chans(1)(t) = chans(0)(t) - chans(1)(t); t += 1
             }
-            part += 1
-          }
-          // reconstruct: s[t] = r[t] + ((Σ coef_j · s[t−1−j]) >> shift)
-          // — the spec's 64-bit accumulator with an ARITHMETIC right
-          // shift; fixed predictors are the shift-0 special case
-          var t = order
-          while (t < blockSize) {
-            var acc = 0L
-            var c = 0
-            while (c < order) {
-              acc += coef(c).toLong * samples(t - 1 - c); c += 1
+          case 9 => // side/right: left = right + side
+            var t = 0
+            while (t < blockSize) {
+              chans(0)(t) = chans(1)(t) + chans(0)(t); t += 1
             }
-            samples(t) = (samples(t) + (acc >> shift)).toInt
-            t += 1
-          }
-          if (wasted > 0) {
-            var w = 0
-            while (w < blockSize) { samples(w) <<= wasted; w += 1 }
-          }
-        } else return None // reserved subframe types (2-7, 13-31)
+          case 10 => // mid/side: mid = (l+r)>>1 lost the low bit,
+            // which side's parity restores: m2 = (mid<<1)|(side&1),
+            // l = (m2+side)>>1, r = (m2−side)>>1
+            var t = 0
+            while (t < blockSize) {
+              val side = chans(1)(t)
+              val m2 = (chans(0)(t) << 1) | (side & 1)
+              chans(0)(t) = (m2 + side) >> 1
+              chans(1)(t) = (m2 - side) >> 1
+              t += 1
+            }
+          case _ =>
+        }
         br.alignToByte()
         val footerAt = br.bytePos
         if (footerAt + 2 > b.length) return None
         val crc = ((b(footerAt) & 0xff) << 8) | (b(footerAt + 1) & 0xff)
         if (crc16(b, frameStart, footerAt) != crc) return None
         i = footerAt + 2
+        // stats over the INTERLEAVED stream (t-major, channel-minor) —
+        // fixes lastSample deterministically to the last channel's
+        // final sample
         var s = 0
         while (s < blockSize) {
-          val v = samples(s)
-          sum += v; sumSq += v.toDouble * v
-          val a = math.abs(v); if (a > peak) peak = a
-          lastS = v; s += 1
+          var c = 0
+          while (c < channels) {
+            val v = chans(c)(s)
+            sum += v; sumSq += v.toDouble * v
+            val a = math.abs(v); if (a > peak) peak = a
+            lastS = v; c += 1
+          }
+          s += 1
         }
-        nSamples += blockSize
+        nSamplesPerCh += blockSize
         nFrames += 1
       }
       if (nFrames == 0) return None
-      if (totalSamples > 0 && totalSamples != nSamples) return None
+      if (totalSamples > 0 && totalSamples != nSamplesPerCh) return None
+      val nSamples = nSamplesPerCh * channels
       val n = math.max(1L, nSamples).toDouble
       Some(Features(sampleRate, nFrames, nSamples, sum / n,
         math.sqrt(sumSq / n), peak, lastS))
     } catch { case _: ParseEx => None }
+  }
+
+  /** Decode ONE subframe (header, warmup/params, Rice residuals,
+    * predictor reconstruction) at stream bps `bpsIn`; aborts the
+    * parse (→ None at [[decode]]) on any malformation. */
+  private def decodeSubframe(br: BitReader, blockSize: Int,
+                             bpsIn: Int): Array[Int] = {
+    if (br.readBits(1) != 0L) bail() // padding bit
+    val sfType = br.readBits(6).toInt
+    val wastedFlag = br.readBits(1)
+    val wasted =
+      if (wastedFlag == 0L) 0
+      else br.readUnary() + 1 // coded as (wasted-1) in unary
+    val bps = bpsIn - wasted
+    if (bps <= 0) bail()
+    val samples = new Array[Int](blockSize)
+    if (sfType == 0) {
+      val v = br.readSigned(bps)
+      java.util.Arrays.fill(samples, v << wasted)
+    } else if (sfType == 1) {
+      var k = 0
+      while (k < blockSize) {
+        samples(k) = br.readSigned(bps) << wasted; k += 1
+      }
+    } else if ((sfType >= 8 && sfType <= 12) ||
+        (sfType >= 32 && sfType <= 63)) {
+      val isLpc = sfType >= 32
+      val order = if (isLpc) (sfType & 0x1f) + 1 else sfType - 8
+      if (order > blockSize) bail()
+      var k = 0
+      while (k < order) {
+        samples(k) = br.readSigned(bps); k += 1
+      }
+      // LPC parameters: 4-bit quantized-coefficient precision
+      // (coded as precision−1; 0b1111 is invalid per spec), 5-bit
+      // SIGNED shift (negative values are reserved — libFLAC
+      // rejects them, so do we), then `order` signed coefficients
+      // at that precision. Fixed subframes take the spec's
+      // hardwired coefficient rows with shift 0 — after this
+      // point the two subframe families share one reconstruction.
+      val (coef, shift) =
+        if (isLpc) {
+          val precM1 = br.readBits(4).toInt
+          if (precM1 == 15) bail()
+          val sh = ((br.readBits(5) << 59) >> 59).toInt // sign-ext
+          if (sh < 0) bail()
+          val cs = new Array[Int](order)
+          var c = 0
+          while (c < order) {
+            cs(c) = br.readSigned(precM1 + 1); c += 1
+          }
+          (cs, sh)
+        } else (FixedCoef(order), 0)
+      // residual block
+      val method = br.readBits(2).toInt
+      if (method > 1) bail()
+      val pBits = if (method == 0) 4 else 5
+      val escape = if (method == 0) 15 else 31
+      val partOrder = br.readBits(4).toInt
+      val nParts = 1 << partOrder
+      if (blockSize % nParts != 0) bail()
+      var idx = order
+      var part = 0
+      while (part < nParts) {
+        val n = (blockSize >> partOrder) - (if (part == 0) order else 0)
+        if (n < 0) bail()
+        val param = br.readBits(pBits).toInt
+        if (param == escape) {
+          val raw = br.readBits(5).toInt
+          var j = 0
+          while (j < n) {
+            val r = if (raw == 0) 0 else br.readSigned(raw)
+            samples(idx) = r; idx += 1; j += 1
+          }
+        } else {
+          var j = 0
+          while (j < n) {
+            val q = br.readUnary()
+            val m = (q.toLong << param) | br.readBits(param)
+            samples(idx) = ((m >>> 1) ^ -(m & 1L)).toInt
+            idx += 1; j += 1
+          }
+        }
+        part += 1
+      }
+      // reconstruct: s[t] = r[t] + ((Σ coef_j · s[t−1−j]) >> shift)
+      // — the spec's 64-bit accumulator with an ARITHMETIC right
+      // shift; fixed predictors are the shift-0 special case
+      var t = order
+      while (t < blockSize) {
+        var acc = 0L
+        var c = 0
+        while (c < order) {
+          acc += coef(c).toLong * samples(t - 1 - c); c += 1
+        }
+        samples(t) = (samples(t) + (acc >> shift)).toInt
+        t += 1
+      }
+      if (wasted > 0) {
+        var w = 0
+        while (w < blockSize) { samples(w) <<= wasted; w += 1 }
+      }
+    } else bail() // reserved subframe types (2-7, 13-31)
+    samples
   }
 
   /** MSB-first bit writer (fixture side). */
@@ -467,25 +534,30 @@ object FlacAudio {
     }
 
   /** Shared container/frame writer: "fLaC" + STREAMINFO + `nFrames`
-    * frames whose subframe bits come from `body`, CRC-8/16 computed
-    * for real over exactly the bytes the decoder verifies. */
-  private def encodeStream(sampleRate: Int, blockSize: Int, nFrames: Int)
-                          (body: (BitWriter, Int) => Unit): Array[Byte] = {
+    * frames whose subframe bits come from `body` (which must write ALL
+    * `channels` subframes), CRC-8/16 computed for real over exactly
+    * the bytes the decoder verifies. */
+  private def encodeStreamCh(sampleRate: Int, blockSize: Int,
+                             nFrames: Int, channels: Int, chanAsn: Int)
+                            (body: (BitWriter, Int) => Unit)
+      : Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20), "20-bit rate")
     require(blockSize >= 1 && blockSize <= 256, "8-bit block-size field")
     require(nFrames >= 1 && nFrames <= 128, "1-byte coded number")
+    require(channels == 1 || channels == 2, "mono or stereo")
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO, is-last
     out.write(0x80); out.write(0); out.write(0); out.write(34)
-    val total = nFrames.toLong * blockSize
+    val total = nFrames.toLong * blockSize // per-channel samples
     def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     w16(blockSize); w16(blockSize)       // min/max block size
     out.write(0); out.write(0); out.write(0) // min frame size unknown
     out.write(0); out.write(0); out.write(0) // max frame size unknown
     out.write((sampleRate >> 12) & 0xff)
     out.write((sampleRate >> 4) & 0xff)
-    out.write(((sampleRate & 0xf) << 4) | (0 << 1) | (15 >> 4)) // mono, bps-1=15
+    out.write(((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      (15 >> 4)) // channels-1, bps-1=15 (high bit)
     out.write(((15 & 0xf) << 4) | ((total >> 32) & 0xf).toInt)
     out.write(((total >> 24) & 0xff).toInt)
     out.write(((total >> 16) & 0xff).toInt)
@@ -497,7 +569,7 @@ object FlacAudio {
       val frame = new java.io.ByteArrayOutputStream()
       frame.write(0xff); frame.write(0xf8) // sync + fixed blocksize
       frame.write((0x6 << 4) | 0x0)        // bs: 8-bit at end; sr: STREAMINFO
-      frame.write((0x0 << 4) | (0x4 << 1) | 0) // mono, 16-bit, reserved
+      frame.write((chanAsn << 4) | (0x4 << 1) | 0) // chan-asn, 16-bit
       frame.write(f)                       // coded number (< 0x80)
       frame.write(blockSize - 1)           // 8-bit block size - 1
       val hdr = frame.toByteArray
@@ -513,5 +585,50 @@ object FlacAudio {
       f += 1
     }
     out.toByteArray
+  }
+
+  private def encodeStream(sampleRate: Int, blockSize: Int, nFrames: Int)
+                          (body: (BitWriter, Int) => Unit): Array[Byte] =
+    encodeStreamCh(sampleRate, blockSize, nFrames, 1, 0)(body)
+
+  /** FIXTURE: STEREO streams via any channel assignment — 1
+    * (independent L/R), 8 (left/side), 9 (side/right), 10 (mid/side)
+    * — with VERBATIM subframes, the decorrelated channel written from
+    * the exact integer transforms the decoder must invert (side =
+    * l − r at 17 bits; mid = (l+r) >> 1). Because verbatim carries no
+    * prediction, the decoded samples are pure closed forms of
+    * (`left`, `right`) — SQL-replayable with no recurrence, so the
+    * decorrelation arithmetic itself sits under the hash oracle. */
+  def encodeStereoVerbatim(sampleRate: Int, blockSize: Int, nFrames: Int,
+                           chanAsn: Int,
+                           left: (Int, Int) => Int,
+                           right: (Int, Int) => Int): Array[Byte] = {
+    require(chanAsn == 1 || (chanAsn >= 8 && chanAsn <= 10),
+      "stereo channel assignment")
+    encodeStreamCh(sampleRate, blockSize, nFrames, 2, chanAsn) {
+      (bw, f) =>
+        def verbatim(bits: Int, sample: Int => Int): Unit = {
+          bw.writeBits(0, 1); bw.writeBits(1, 6); bw.writeBits(0, 1)
+          var t = 0
+          while (t < blockSize) {
+            bw.writeBits(sample(t).toLong & ((1L << bits) - 1), bits)
+            t += 1
+          }
+        }
+        chanAsn match {
+          case 1 =>
+            verbatim(16, t => left(f, t))
+            verbatim(16, t => right(f, t))
+          case 8 => // left + side
+            verbatim(16, t => left(f, t))
+            verbatim(17, t => left(f, t) - right(f, t))
+          case 9 => // side + right
+            verbatim(17, t => left(f, t) - right(f, t))
+            verbatim(16, t => right(f, t))
+          case 10 => // mid + side
+            verbatim(16, t => (left(f, t) + right(f, t)) >> 1)
+            verbatim(17, t => left(f, t) - right(f, t))
+        }
+    }
   }
 }

@@ -376,21 +376,21 @@ object Multimodal {
   }
 
   /** Decoded audio-feature record for payloads the pure-JVM FLAC
-    * codec handles (mono 16-bit, CONSTANT/VERBATIM/FIXED/LPC
-    * subframes); multichannel FLAC, other bit depths, and corrupt
-    * payloads are dropped. */
+    * codec handles (mono/stereo 16-bit, CONSTANT/VERBATIM/FIXED/LPC
+    * subframes, all three stereo decorrelation modes); >2-channel
+    * FLAC, other bit depths, and corrupt payloads are dropped. */
   case class FlacFeatureRow(id: Long, sample_rate: Int, n_frames: Int,
                             n_samples: Long, mean_amp: Double,
                             rms: Double, peak: Int, last_sample: Int)
 
-  /** REAL sample-tier decode for LOSSLESS compressed audio: mono
-    * 16-bit FLAC ([[graft.functions.FlacAudio]] — Rice decoding,
-    * fixed AND quantized-coefficient LPC predictors, verified
-    * CRC-8/CRC-16, all plain integer/bit arithmetic). Completes the
-    * audio compression triad (PCM uncompressed / ADPCM lossy / FLAC
-    * lossless); only multichannel decorrelation and non-16-bit depths
-    * route to [[decodePartitions]]'s injected codec, same batch
-    * shape. */
+  /** REAL sample-tier decode for LOSSLESS compressed audio: mono and
+    * STEREO 16-bit FLAC ([[graft.functions.FlacAudio]] — Rice
+    * decoding, fixed AND quantized-coefficient LPC predictors, all
+    * three inter-channel decorrelation modes, verified CRC-8/CRC-16,
+    * all plain integer/bit arithmetic). Completes the audio
+    * compression triad (PCM uncompressed / ADPCM lossy / FLAC
+    * lossless); only >2-channel layouts and non-16-bit depths route
+    * to [[decodePartitions]]'s injected codec, same batch shape. */
   def decodeFlacFeatures(df: DataFrame, idCol: String, payloadCol: String)
       : Dataset[FlacFeatureRow] = {
     val spark = df.sparkSession

@@ -114,6 +114,54 @@ object FlacAudioProps extends Properties("graft.flac") {
         statsMatch(_, replayLpc(Array(-1), shift, 24, 2, w, r), 8000, 2))
     }
 
+  property("stereo: all four channel assignments reconstruct the " +
+      "interleaved l/r stream exactly") =
+    forAll(Gen.oneOf(1, 8, 9, 10), Gen.choose(1, 64), Gen.choose(1, 4),
+      Gen.choose(0, 99)) { (asn, bs, nf, seed) =>
+      def l(f: Int, t: Int) =
+        math.floorMod(seed * 31 + f * 17 + t * 13, 65536) - 32768
+      def r(f: Int, t: Int) =
+        math.floorMod(seed * 47 + f * 5 + t * 29, 65536) - 32768
+      val b = FlacAudio.encodeStereoVerbatim(22050, bs, nf, asn, l, r)
+      val all = (0 until nf).flatMap(f =>
+        (0 until bs).flatMap(t => Seq(l(f, t), r(f, t))))
+      FlacAudio.decode(b).exists(statsMatch(_, all, 22050, nf))
+    }
+
+  property("the four stereo assignments of the same l/r decode to " +
+      "identical features (decorrelation is lossless)") =
+    forAll(Gen.choose(1, 32), Gen.choose(1, 3), Gen.choose(0, 99)) {
+      (bs, nf, seed) =>
+      def l(f: Int, t: Int) =
+        math.floorMod(seed * 13 + f * 7 + t * 11, 65536) - 32768
+      def r(f: Int, t: Int) =
+        math.floorMod(seed * 29 + f * 3 + t * 19, 65536) - 32768
+      val fs = Seq(1, 8, 9, 10).map(a => FlacAudio.decode(
+        FlacAudio.encodeStereoVerbatim(8000, bs, nf, a, l, r)))
+      fs.forall(_.isDefined) && fs.distinct.size == 1
+    }
+
+  property("a flipped byte in a stereo stream yields None or intact " +
+      "samples, never silent corruption") =
+    forAll(Gen.oneOf(8, 9, 10), Gen.choose(0, 99),
+      Gen.choose(Byte.MinValue, Byte.MaxValue)) { (asn, seed, nv) =>
+      val b = FlacAudio.encodeStereoVerbatim(16000, 24, 2, asn,
+        (f, t) => (seed + f * 3 + t * 7) % 2000 - 1000,
+        (f, t) => (seed * 3 + f * 5 + t * 11) % 2000 - 1000)
+      val good = FlacAudio.decode(b).get
+      val at = 4 + seed % (b.length - 4)
+      if (b(at) == nv) true
+      else {
+        val bad = b.clone(); bad(at) = nv
+        FlacAudio.decode(bad) match {
+          case None => true
+          case Some(f) => at < 42 &&
+            f.nSamples == good.nSamples && f.peak == good.peak &&
+            f.lastSample == good.lastSample
+        }
+      }
+    }
+
   property("constant and verbatim subframes roundtrip exactly") =
     forAll(Gen.choose(1, 128), Gen.choose(1, 4),
       Gen.choose(-32768, 32767)) { (bs, nf, v) =>
