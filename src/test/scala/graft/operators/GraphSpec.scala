@@ -95,6 +95,71 @@ class GraphSpec extends SparkSpec {
     assert(again === core3)
   }
 
+  /** Independent reference truss peeling (plain Scala sets): drop
+    * edges whose triangle support within the survivors is < k−2. */
+  private def kTrussRef(edges: Seq[(String, String)], k: Int)
+      : Map[(String, String), Int] = {
+    def norm(e: (String, String)) =
+      if (e._1 < e._2) e else (e._2, e._1)
+    var es = edges.filter(e => e._1 != e._2).map(norm).distinct.toSet
+    var changed = true
+    var sup = Map.empty[(String, String), Int]
+    while (changed && es.nonEmpty) {
+      val nbr = (es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+        .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+      sup = es.toSeq.map { case (a, b) =>
+        (a, b) -> (nbr(a) intersect nbr(b)).size
+      }.toMap
+      val keep = es.filter(e => sup(e) >= k - 2)
+      changed = keep.size != es.size
+      es = keep
+    }
+    es.toSeq.map(e => e -> sup(e)).toMap
+  }
+
+  test("kTruss matches reference peeling; star has no truss; truss of " +
+      "truss is itself") {
+    val rnd = new scala.util.Random(13)
+    // two 4-cliques sharing an edge + a pendant triangle + noise: the
+    // 4-truss is exactly the two cliques (every clique edge closes ≥2
+    // triangles; the pendant triangle's edges close 1 and peel)
+    def clique(p: String, n: Int) = for {
+      i <- 0 until n; j <- (i + 1) until n
+    } yield (s"$p$i", s"$p$j")
+    val c1 = clique("a", 4)
+    val c2 = clique("b", 4).map { case (x, y) =>
+      // share the edge (a0, a1) by aliasing b0 -> a0, b1 -> a1
+      def m(v: String) = if (v == "b0") "a0" else if (v == "b1") "a1" else v
+      (m(x), m(y))
+    }
+    val tri = Seq(("t0", "t1"), ("t1", "t2"), ("t0", "t2"), ("a2", "t0"))
+    val noise = Seq.fill(30)(
+      (s"x${rnd.nextInt(12)}", s"x${rnd.nextInt(12)}"))
+      .filter { case (p, q) => p != q }.distinct
+    val edges = (c1 ++ c2 ++ tri ++ noise).distinct
+    for (k <- Seq(3, 4, 5)) {
+      val ref = kTrussRef(edges, k)
+      val got = Graph.kTruss(edges.toDF("src", "dst"), "src", "dst", k)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toInt)
+        .toMap
+      assert(got === ref, s"k=$k")
+    }
+    // a star is the canonical core-vs-truss separator: hub degree is
+    // huge but NO edge closes a triangle — 3-truss empty
+    val star = (0 until 8).map(i => ("hub", s"s$i"))
+    assert(Graph.kTruss(star.toDF("src", "dst"), "src", "dst", 3)
+      .count() === 0L)
+    // idempotence: the 4-truss of the 4-truss is itself
+    val t4 = kTrussRef(edges, 4).keySet
+    val again = Graph.kTruss(
+        t4.toSeq.toDF("src", "dst"), "src", "dst", 4)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toInt)
+      .toMap
+    assert(again === kTrussRef(edges, 4))
+  }
+
   test("kCore throws on a peel deeper than maxIters (no silent non-core)") {
     // a 14-node path at k=2 peels exactly one layer from each end per
     // round (7 rounds to empty); maxIters=3 must throw, not return the
