@@ -8633,6 +8633,172 @@ object SparkEntry {
         .withColumn("dup_ppm",
           expr("(n_urls - n_pages) * 1000000 div n_urls"))
         .orderBy($"canonical_host")
+    }),
+
+    // WINNOWING FINGERPRINTS — the MOSS document-fingerprint scheme
+    // (Schleimer/Wilkerson/Aiken): hash every char 8-gram with a
+    // PORTABLE polynomial rolling hash (h = fold h·257 + code mod
+    // 1e9+7 — both engines on identical int64 ops, unlike the
+    // xxhash64-based q23/q25 family, so the fingerprints themselves
+    // sit under the hash oracle), then keep each 4-window's MINIMUM —
+    // the winnowing guarantee: any shared substring of length ≥
+    // k+w−1 = 11 yields at least one shared fingerprint, with a
+    // w-fold density cut. The whole selection runs INSIDE the scan
+    // projection as higher-order lambdas (no explode until the
+    // bounded per-doc fingerprint SET exists); the per-source rollup
+    // then counts distinct and cross-doc-shared fingerprints — the
+    // dedup-overlap signal a crawl pipeline actually keys on. Text
+    // capped at 200 chars per doc (documented fixture bound, same
+    // class as q205's substr).
+    //
+    // SHAPE LESSON (measured): the tempting nested-lambda form
+    // (transform over windows of an array-of-gram-hashes column) is
+    // quadratic in disguise — CollapseProject inlines the whole
+    // hash-array expression into EVERY window element, and
+    // higher-order lambdas run interpreted, so 5k docs took >13 min.
+    // The relational form below is linear and fully codegen'd:
+    // explode the gram index, hash each gram with an UNROLLED 8-term
+    // polynomial (plain expression tree, no lambda), take the
+    // 4-window minimum as a per-doc window frame (rowsBetween 0..3 —
+    // short per-doc sequences, the sessionize-class partitioned
+    // window), distinct per doc.
+    "q309_winnowing" -> ((s, d) => {
+      // h = fold (h·257 + code) mod 1e9+7 over the gram's 8 chars,
+      // unrolled so the whole thing is one codegen'd expression
+      def gramHash(t: org.apache.spark.sql.Column,
+                   i: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        (0 until 8).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+          (h, o) => (h * 257 + ascii(t.substr(i + lit(o), lit(1)))
+            .cast("long")) % 1000000007L
+        }
+      val base = Tables.documents(s, d)
+        .filter($"text".isNotNull && length($"text") >= 11)
+        .select($"doc_id", $"source",
+          substring($"text", 1, 200).as("__t"))
+      val grams = base
+        .select($"doc_id", $"source",
+          (length($"__t") - 7).as("__m"),
+          explode(sequence(lit(1), length($"__t") - 7)).as("__i"),
+          $"__t")
+        // slice the 8-char gram ONCE per row: UTF8String position
+        // lookups are O(i) (char-boundary scans from the string
+        // head), so hashing through __t directly costs 8 full scans
+        // per gram — through the 8-char slice it's 8 scans of 8
+        .select($"doc_id", $"source", $"__m", $"__i",
+          $"__t".substr($"__i", lit(8)).as("__g"))
+        .select($"doc_id", $"source", $"__m", $"__i",
+          gramHash($"__g", lit(1)).as("__h"))
+      val w = Window.partitionBy($"doc_id").orderBy($"__i")
+        .rowsBetween(0, 3)
+      val fps = grams
+        .select($"doc_id", $"source", $"__m", $"__i",
+          min($"__h").over(w).as("__wm"))
+        .filter($"__i" <= $"__m" - 3)
+        .select($"source", $"doc_id", $"__wm")
+        .distinct()
+      val nd = base.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      val perSrc = fps.groupBy($"source", $"__wm")
+        .agg(count(lit(1)).as("__nd"))
+        .groupBy($"source")
+        .agg(sum($"__nd").as("n_fp_occurrences"),
+          count(lit(1)).as("n_distinct_fp"),
+          sum(when($"__nd" >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+      perSrc.join(broadcast(nd), Seq("source"))
+        .select($"source", $"n_docs", $"n_fp_occurrences",
+          $"n_distinct_fp", $"n_shared_fp")
+        .orderBy($"source")
+    }),
+
+    // MULTICHANNEL FLAC — the surround/multitrack layout tier after
+    // q306's stereo decorrelation: 1-8 INDEPENDENT channels (channel
+    // assignment = channels−1 per spec), each doc a different channel
+    // count, stats over the t-major/channel-minor interleaved stream.
+    // Verbatim subframes keep the decode a pure closed form of
+    // (channel, frame, t), so the oracle replays the formula with the
+    // per-doc channel count and hash equality pins the per-frame
+    // subframe sequencing (all channels' subframes share one
+    // bit-reader between the header CRC-8 and the frame CRC-16 — an
+    // off-by-one-bit in any channel breaks every later channel and
+    // the CRC). The codec seam is now only non-16-bit depths and
+    // perceptual/inter-frame codecs.
+    "q310_flac_multichannel" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.FlacAudio
+        .encodeMultiVerbatim(48000, 48, 1 + (id % 2).toInt,
+          1 + (id % 8).toInt,
+          (ch, f, t) =>
+            ((id * 31 + ch * 101 + f * 13 + t * 37) % 2001).toInt
+              - 1000))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeFlacFeatures(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"sample_rate", $"n_frames",
+          $"n_samples",
+          Fns.roundU($"mean_amp", 4).as("mean_amp"),
+          Fns.roundU($"rms", 4).as("rms"), $"peak", $"last_sample")
+        .orderBy($"doc_id")
+    }),
+
+    // G.711 μ-LAW / A-LAW — the LOSSY-companded telephony tier
+    // (WAVE format tags 7/6). The first genuinely lossy codec in the
+    // audio family, and still fully SQL-oracled: expanding a codeword
+    // back to linear PCM is a pure CLOSED FORM of the byte (sign +
+    // 3-bit segment + 4-bit mantissa, ITU-T G.711), so the oracle
+    // replays the expansion arithmetic itself — hash equality
+    // certifies both formulas byte-for-byte, not just the plumbing.
+    // Each doc picks a codec by parity and 1-3 channels; stats ride
+    // the interleaved expanded stream like the other audio tiers.
+    "q311_g711_decode" -> ((s, d) => {
+      val mk = udf((id: Long) => graft.functions.G711Wav.encode(
+        id % 2 == 0, 8000, 1 + (id % 3).toInt, 50,
+        (t, c) => ((id * 17 + t * 29 + c * 7) % 256).toInt))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeG711Features(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"codec", $"sample_rate",
+          $"n_channels", $"n_frames",
+          Fns.roundU($"mean_amp", 4).as("mean_amp"),
+          Fns.roundU($"rms", 4).as("rms"), $"peak", $"last_sample")
+        .orderBy($"doc_id")
+    }),
+
+    // MS-RLE8 AVI — INTER-FRAME-coded video becomes real. Each clip
+    // is a keyframe (absolute-coded full repaint) followed by delta
+    // frames that patch ONE row (reached via the 00 02 dx dy delta
+    // escape; odd frames run-coded, even frames absolute-coded) and
+    // end the bitmap early — every untouched pixel must persist from
+    // the previous frame, so the decoder's cross-frame buffer carry
+    // is exactly what the oracle's closed-form replay checks: pixel
+    // (f,x,y) = the latest row-patch at y on or before f, else the
+    // keyframe value. final_ck position-weights the last buffer
+    // (Σ val·(y·w+x+1)), pinning the delta-escape cursor arithmetic —
+    // a plain sum would accept transposed rows.
+    "q312_rle8_video" -> ((s, d) => {
+      val mk = udf((id: Long) => {
+        import graft.functions.Rle8Avi._
+        val nf = 16 + (id % 8).toInt
+        val frames: Seq[Frame] = Full((x, y) =>
+          ((id * 7 + x * 3 + y * 5) % 200).toInt) +:
+          (1 until nf).map { f =>
+            if (f % 2 == 1)
+              RowPatch(f % 8, run = true,
+                _ => ((id * 7 + f * 11) % 200).toInt)
+            else
+              RowPatch(f % 8, run = false,
+                x => ((id * 7 + f * 11 + x * 3) % 200).toInt)
+          }
+        encode(16, 8, frames)
+      })
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeRle8Features(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"n_frames", $"width", $"height",
+          Fns.roundU($"mean_val", 4).as("mean_val"),
+          Fns.roundU($"motion", 4).as("motion"), $"final_ck")
+        .orderBy($"doc_id")
     })
   )
 
@@ -16400,7 +16566,129 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_pages,
         |  CAST((sum(n) - count(*)) * 1000000 // sum(n) AS BIGINT)
         |    AS dup_ppm
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q309: DuckDB replays the identical polynomial hash (its
+    // list_reduce without an init seeds with the first element —
+    // equal to the 0-seeded fold since 0·257+c₁ = c₁) and the same
+    // window-min selection; list_slice/list_min/list_distinct mirror
+    // slice/array_min/array_distinct 1-based and bytewise.
+    "q309_winnowing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, substr(text, 1, 200) AS s
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 11),
+        |hs AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(1, length(s) - 7 + 1),
+        |      i -> list_reduce(
+        |        list_transform(range(i, i + 8),
+        |          p -> CAST(ascii(substr(s, CAST(p AS INT), 1))
+        |            AS BIGINT)),
+        |        (a, c) -> (a * 257 + c) % 1000000007)) AS h
+        |  FROM t),
+        |fps AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(h) - 3 + 1),
+        |      j -> list_min(list_slice(h, j, j + 3)))) AS f
+        |  FROM hs),
+        |nd AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(f)) AS BIGINT) AS n_fp_occurrences
+        |  FROM fps GROUP BY source),
+        |ex AS (
+        |  SELECT source, u.fp, count(*) AS ndocs
+        |  FROM fps, unnest(fps.f) u(fp) GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_fp,
+        |    CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_shared_fp
+        |  FROM ex GROUP BY source)
+        |SELECT source, n_docs, n_fp_occurrences, n_distinct_fp,
+        |  n_shared_fp
+        |FROM ag JOIN nd USING (source) ORDER BY source""".stripMargin,
+
+    // q310: per-doc channel count, the same closed-form replay as
+    // q306; last_sample = the LAST channel's final sample by the
+    // t-major/channel-minor interleave.
+    "q310_flac_multichannel" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS nf,
+        |    CAST(1 + doc_id % 8 AS INT) AS nch
+        |  FROM documents WHERE doc_id < 40),
+        |s AS (
+        |  SELECT doc_id, nf, nch, fx.f, tx.t, cx.ch,
+        |    CAST((doc_id * 31 + cx.ch * 101 + fx.f * 13 + tx.t * 37)
+        |      % 2001 - 1000 AS INT) AS v
+        |  FROM d, unnest(range(0, nf)) fx(f),
+        |    unnest(range(0, 48)) tx(t), unnest(range(0, nch)) cx(ch)),
+        |m AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    avg(CAST(v AS DOUBLE)) AS ma,
+        |    sqrt(avg(CAST(v AS DOUBLE) * v)) AS rm,
+        |    CAST(max(abs(v)) AS INT) AS peak
+        |  FROM s GROUP BY doc_id),
+        |ls AS (
+        |  SELECT doc_id, v AS last_sample FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY f DESC, t DESC, ch DESC) = 1)
+        |SELECT d.doc_id, CAST(48000 AS INT) AS sample_rate,
+        |  d.nf AS n_frames, m.n_samples,
+        |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
+        |  floor(rm * 10000 + 0.5) / 10000.0 AS rms, m.peak,
+        |  ls.last_sample
+        |FROM d JOIN m USING (doc_id) JOIN ls USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q311: DuckDB replays the G.711 expansion formulas themselves
+    // (μ-law: complement, segment shift of mantissa+bias 0x84; A-law:
+    // 0x55 toggle, segment 0 special case; both per ITU-T G.711) over
+    // the same generated codewords — ~k & 0xff spelled 255 - k, sign
+    // bit tests spelled >= 128.
+    "q311_g711_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 2 = 0 AS mu,
+        |    CAST(1 + doc_id % 3 AS INT) AS nch
+        |  FROM documents WHERE doc_id < 40),
+        |s AS (
+        |  SELECT doc_id, mu, nch, tx.t, cx.c,
+        |    (doc_id * 17 + tx.t * 29 + cx.c * 7) % 256 AS k
+        |  FROM d, unnest(range(0, 50)) tx(t),
+        |    unnest(range(0, nch)) cx(c)),
+        |e AS (
+        |  SELECT doc_id, mu, nch, t, c,
+        |    CASE WHEN mu THEN
+        |      CASE WHEN 255 - k >= 128
+        |        THEN 132 - (((255 - k) & 15) * 8 + 132)
+        |          * (1 << (((255 - k) >> 4) & 7))
+        |        ELSE (((255 - k) & 15) * 8 + 132)
+        |          * (1 << (((255 - k) >> 4) & 7)) - 132 END
+        |    ELSE
+        |      (CASE WHEN xor(k, 85) >= 128 THEN 1 ELSE -1 END) *
+        |      (CASE WHEN ((xor(k, 85) >> 4) & 7) = 0
+        |        THEN (xor(k, 85) & 15) * 16 + 8
+        |        ELSE ((xor(k, 85) & 15) * 16 + 264)
+        |          * (1 << (((xor(k, 85) >> 4) & 7) - 1)) END)
+        |    END AS v
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, avg(CAST(v AS DOUBLE)) AS ma,
+        |    sqrt(avg(CAST(v AS DOUBLE) * v)) AS rm,
+        |    CAST(max(abs(v)) AS INT) AS peak
+        |  FROM e GROUP BY doc_id),
+        |ls AS (
+        |  SELECT doc_id, CAST(v AS INT) AS last_sample FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY t DESC, c DESC) = 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.mu THEN 'ulaw' ELSE 'alaw' END AS codec,
+        |  CAST(8000 AS INT) AS sample_rate, d.nch AS n_channels,
+        |  CAST(50 AS BIGINT) AS n_frames,
+        |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
+        |  floor(rm * 10000 + 0.5) / 10000.0 AS rms, m.peak,
+        |  ls.last_sample
+        |FROM d JOIN m USING (doc_id) JOIN ls USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** q304's oracle — the Luhn terms come from the same generator as

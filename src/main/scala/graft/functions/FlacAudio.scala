@@ -126,12 +126,12 @@ object FlacAudio {
   private val FixedCoef: Array[Array[Int]] = Array(
     Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
 
-  /** Decode a mono or STEREO 16-bit FLAC stream (subframes CONSTANT /
-    * VERBATIM / FIXED / LPC; stereo via independent channels or any of
-    * the three inter-channel decorrelation modes — left/side,
-    * right/side, mid/side, the side channel at bps+1 per spec) to
-    * sample statistics over the interleaved sample stream; None for
-    * >2-channel / non-16-bit streams, non-FLAC payloads, CRC
+  /** Decode a 16-bit FLAC stream of 1-8 channels (subframes CONSTANT /
+    * VERBATIM / FIXED / LPC; 3-8 channels independent, stereo either
+    * independent or any of the three inter-channel decorrelation
+    * modes — left/side, right/side, mid/side, the side channel at
+    * bps+1 per spec) to sample statistics over the interleaved sample
+    * stream; None for non-16-bit depths, non-FLAC payloads, CRC
     * failures, and any corruption. */
   def decode(b: Array[Byte]): Option[Features] = {
     if (b == null || b.length < 42) return None
@@ -165,7 +165,7 @@ object FlacAudio {
         }
         i += 4 + len
       }
-      if (!haveInfo || channels < 1 || channels > 2 || bits != 16 ||
+      if (!haveInfo || channels < 1 || channels > 8 || bits != 16 ||
           sampleRate <= 0)
         return None
       var sum = 0.0; var sumSq = 0.0; var peak = 0; var lastS = 0
@@ -180,12 +180,13 @@ object FlacAudio {
         val chanAsn = (b(i + 3) & 0xff) >> 4
         val ssCode = (b(i + 3) >> 1) & 0x7
         if ((b(i + 3) & 1) != 0) return None // reserved bit
-        // channel assignment must agree with STREAMINFO: mono → 0;
-        // stereo → 1 (independent) or 8/9/10 (left-side, right-side,
-        // mid-side decorrelation)
-        if (channels == 1 && chanAsn != 0) return None
-        if (channels == 2 && chanAsn != 1 && (chanAsn < 8 ||
-            chanAsn > 10)) return None
+        // channel assignment must agree with STREAMINFO: 0-7 means
+        // chanAsn+1 INDEPENDENT channels; 8/9/10 are the stereo
+        // decorrelation modes (left-side, side-right, mid-side) and
+        // require exactly 2 channels; 11+ reserved
+        if (chanAsn <= 7 && chanAsn != channels - 1) return None
+        if (chanAsn >= 8 && (channels != 2 || chanAsn > 10))
+          return None
         if (ssCode != 0x4) return None       // 16-bit only
         i += 4
         // UTF-8-style coded frame number (value unused; length matters)
@@ -544,7 +545,7 @@ object FlacAudio {
     require(sampleRate > 0 && sampleRate < (1 << 20), "20-bit rate")
     require(blockSize >= 1 && blockSize <= 256, "8-bit block-size field")
     require(nFrames >= 1 && nFrames <= 128, "1-byte coded number")
-    require(channels == 1 || channels == 2, "mono or stereo")
+    require(channels >= 1 && channels <= 8, "1-8 channels")
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO, is-last
@@ -599,6 +600,27 @@ object FlacAudio {
     * prediction, the decoded samples are pure closed forms of
     * (`left`, `right`) — SQL-replayable with no recurrence, so the
     * decorrelation arithmetic itself sits under the hash oracle. */
+  /** FIXTURE: N INDEPENDENT channels (1-8; channel assignment
+    * channels−1 per spec), VERBATIM subframes from the closed form
+    * `sample(ch, frame, t)` — the surround/multitrack layout tier. */
+  def encodeMultiVerbatim(sampleRate: Int, blockSize: Int, nFrames: Int,
+                          channels: Int,
+                          sample: (Int, Int, Int) => Int)
+      : Array[Byte] = {
+    encodeStreamCh(sampleRate, blockSize, nFrames, channels,
+      channels - 1) { (bw, f) =>
+      var ch = 0
+      while (ch < channels) {
+        bw.writeBits(0, 1); bw.writeBits(1, 6); bw.writeBits(0, 1)
+        var t = 0
+        while (t < blockSize) {
+          bw.writeBits(sample(ch, f, t).toLong & 0xffff, 16); t += 1
+        }
+        ch += 1
+      }
+    }
+  }
+
   def encodeStereoVerbatim(sampleRate: Int, blockSize: Int, nFrames: Int,
                            chanAsn: Int,
                            left: (Int, Int) => Int,

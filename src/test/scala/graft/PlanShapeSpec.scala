@@ -1141,4 +1141,30 @@ class PlanShapeSpec extends SparkSpec {
     val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty, s"expected broadcast mode join:\n$p")
   }
+
+  test("q308 URL canon: pure map-side canonicalization — the scan " +
+      "reads ONLY doc_id, no join machinery at all") {
+    val p = plan("q308_url_canon")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    // every canonicalization input derives from doc_id; a scan that
+    // reads text/source would mean the projection stopped pruning
+    assert(scans.head.schema.fieldNames.toSeq === Seq("doc_id"),
+      scans.head.schema.fieldNames.mkString(","))
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"unexpected shuffle join:\n$p")
+  }
+
+  test("q309 winnowing: ONE partitioned window (the 4-gram min frame)" +
+      " and a broadcast doc-count join — nothing global") {
+    val p = plan("q309_winnowing")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.size === 1, s"expected exactly one WindowExec:\n$p")
+    assert(wins.head.partitionSpec.nonEmpty,
+      "window must partition by doc, never a global sort")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected broadcast n_docs join:\n$p")
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"unexpected shuffle join:\n$p")
+  }
 }

@@ -162,6 +162,19 @@ object FlacAudioProps extends Properties("graft.flac") {
       }
     }
 
+  property("multichannel (1-8 independent) roundtrips the interleaved " +
+      "stream exactly") =
+    forAll(Gen.choose(1, 8), Gen.choose(1, 32), Gen.choose(1, 3),
+      Gen.choose(0, 99)) { (nch, bs, nf, seed) =>
+      def sm(ch: Int, f: Int, t: Int) =
+        math.floorMod(seed * 7 + ch * 101 + f * 13 + t * 37, 65536) -
+          32768
+      val b = FlacAudio.encodeMultiVerbatim(48000, bs, nf, nch, sm)
+      val all = (0 until nf).flatMap(f => (0 until bs).flatMap(t =>
+        (0 until nch).map(ch => sm(ch, f, t))))
+      FlacAudio.decode(b).exists(statsMatch(_, all, 48000, nf))
+    }
+
   property("constant and verbatim subframes roundtrip exactly") =
     forAll(Gen.choose(1, 128), Gen.choose(1, 4),
       Gen.choose(-32768, 32767)) { (bs, nf, v) =>
