@@ -8799,6 +8799,180 @@ object SparkEntry {
           Fns.roundU($"mean_val", 4).as("mean_val"),
           Fns.roundU($"motion", 4).as("motion"), $"final_ck")
         .orderBy($"doc_id")
+    }),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al.
+    // 2023): score every raw-pool document by how target-like its
+    // hashed n-gram distribution is. Features are hashed char-8-gram
+    // buckets (the q309 portable polynomial hash mod 64, so the
+    // fingerprint arithmetic sits under the DuckDB oracle); the
+    // target (source src0) and raw (all other sources) bag-of-bucket
+    // models get Laplace smoothing, and the per-doc log importance
+    // weight is Σ_grams [ln(t_b+1) − ln(r_b+1) − ln(T+64) + ln(R+64)]
+    // — folded into ONE broadcast 64-row per-bucket delta table, so
+    // the whole scorer is: map-side gram explode → per-(doc,bucket)
+    // count → broadcast-join the delta model → one per-doc sum. At
+    // 100 TB both models are 64-row aggregates (bounded regardless of
+    // corpus size) and the only full shuffle is the per-doc count —
+    // partitioned by doc_id, never wider than the gram stream.
+    "q313_dsir_weights" -> ((s, d) => {
+      def gramHash(t: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        (0 until 8).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+          (h, o) => (h * 257 + ascii(t.substr(lit(1 + o), lit(1)))
+            .cast("long")) % 1000000007L
+        }
+      val base = Tables.documents(s, d)
+        .filter($"text".isNotNull && length($"text") >= 8)
+        .select($"doc_id", $"source", substring($"text", 1, 200).as("__t"))
+      val grams = base
+        .select($"doc_id", $"source",
+          explode(sequence(lit(1), length($"__t") - 7)).as("__i"), $"__t")
+        .select($"doc_id", $"source",
+          (gramHash($"__t".substr($"__i", lit(8))) % 64).as("__b"))
+      // consumed three times (target model, raw model, scorer) — and
+      // each consumer would otherwise re-run the gram explode + hash,
+      // the query's only expensive stage (measured 7.8 s → ~3 s at
+      // sf0.1). Bounded: ≤ 64 rows per doc regardless of doc length.
+      val docBucket = grams.groupBy($"doc_id", $"source", $"__b")
+        .agg(count(lit(1)).as("__c")).persist()
+      val tm = docBucket.filter($"source" === "src0")
+        .groupBy($"__b").agg(sum($"__c").as("__tb"))
+      val rm = docBucket.filter($"source" =!= "src0")
+        .groupBy($"__b").agg(sum($"__c").as("__rb"))
+      // all 64 buckets, zero-filled, plus the smoothing constants —
+      // a bounded model table whatever the corpus size
+      val model = tm.join(rm, Seq("__b"), "full_outer")
+        .select($"__b", coalesce($"__tb", lit(0L)).as("__tb"),
+          coalesce($"__rb", lit(0L)).as("__rb"))
+      val tot = model.agg(sum($"__tb").as("__T"), sum($"__rb").as("__R"))
+      val delta = model.crossJoin(broadcast(tot))
+        .select($"__b",
+          (log($"__tb" + lit(1.0)) - log($"__rb" + lit(1.0))
+            - log($"__T" + lit(64.0)) + log($"__R" + lit(64.0)))
+            .as("__delta"))
+      docBucket.filter($"source" =!= "src0")
+        .join(broadcast(delta), Seq("__b"))
+        .groupBy($"doc_id", $"source")
+        .agg(sum($"__c").as("n_grams"),
+          sum($"__c".cast("double") * $"__delta").as("__lw"))
+        .select($"doc_id", $"source", $"n_grams",
+          Fns.roundU($"__lw", 6).as("log_weight"),
+          (Fns.roundU($"__lw", 6) > 0.0).as("selected"))
+        .orderBy($"doc_id")
+    }),
+
+    // FLAC BIT-DEPTH tier — each doc a different standard depth
+    // (8/12/20/24/32; 16 is the whole q204/q305/q306/q310 family), so
+    // hash equality pins the depth's STREAMINFO coding, the frame
+    // header's sample-size code, and the n-bit signed sample reads.
+    // bits_per_sample is the DECODED value, not the fixture
+    // parameter. Sample values stay within ±2^22 so every stat is an
+    // exact integer sum with one final division on both engines (a
+    // full-range 32-bit value would push Σv² past 2^53 where double
+    // accumulation order starts to matter).
+    "q314_flac_depths" -> ((s, d) => {
+      val mk = udf((id: Long) => {
+        val bits = (id % 5) match {
+          case 0 => 8; case 1 => 12; case 2 => 20; case 3 => 24
+          case _ => 32
+        }
+        val amp = math.min(1 << (bits - 2), 1 << 22)
+        graft.functions.FlacAudio.encodeDepthVerbatim(8000, 20, 2, bits,
+          (f, t) => ((id * 31 + f * 17 + t * 13) % (2L * amp)).toInt - amp)
+      })
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeFlacDepthFeatures(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"bits_per_sample", $"sample_rate",
+          $"n_frames", $"n_samples",
+          Fns.roundU($"mean_amp", 4).as("mean_amp"),
+          Fns.roundU($"rms", 4).as("rms"), $"peak", $"last_sample")
+        .orderBy($"doc_id")
+    }),
+
+    // BPE APPLICATION under the hash oracle — q105's tokenizer pass
+    // with a FIXED literal merge table (16 common-English merges,
+    // two multi-level chains t+h→th+e and i+n→in+g), so the greedy
+    // merge loop itself — lowest-rank adjacent pair, all
+    // non-overlapping occurrences left-to-right, to a fixed point —
+    // is certified byte-for-byte by DuckDB instead of riding a spec
+    // gate: the oracle replays each pass relationally (merge
+    // positions = alternating parity within maximal runs of
+    // best-rank pairs) inside a recursive CTE. The derivation half
+    // of q105 stays engine-specific (documented contract); the
+    // APPLICATION half — the part every training pipeline runs at
+    // corpus scale — is now oracled. Same operator, same broadcast
+    // model-artifact shape as q105 (Tokenize.bpeStats).
+    "q315_bpe_apply" -> ((s, d) => {
+      implicit val enc: org.apache.spark.sql.Encoder[(String, String, Int)] =
+        s.implicits.newProductEncoder
+      val merges = s.createDataset(Seq(
+        ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+        ("an", "d"), ("o", "n"), ("e", "n"), ("in", "g"), ("o", "r"),
+        ("r", "e"), ("s", "t"), ("a", "t"), ("e", "s"), ("l", "l"),
+        ("o", "u")).zipWithIndex.map { case ((a, b), r) => (a, b, r) })
+        .toDF("a", "b", "rank")
+      Tokenize.bpeStats(Tables.documents(s, d), "doc_id", "text",
+          merges, "a", "b", "rank")
+        .filter($"n_words" > 0)
+        .select($"doc_id", $"n_words", $"n_tokens",
+          Fns.roundU($"fertility", 4).as("fertility"),
+          Fns.roundU($"mean_token_len", 4).as("mean_token_len"))
+        .orderBy($"doc_id")
+    }),
+
+    // GROUPING SETS — the arbitrary-sets member of the grouping
+    // family beside CUBE (q280) and ROLLUP (q291): one shared scan
+    // expands each row into exactly the requested groupings (not the
+    // full 2^n lattice), with GROUPING() indicators distinguishing
+    // "NULL because rolled up" from a NULL dimension value. Spark 4's
+    // native groupingSets API → a single expand + hash aggregate.
+    "q316_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
+            Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(grouping($"l_returnflag").cast("int").as("g_flag"),
+          grouping($"l_linestatus").cast("int").as("g_status"),
+          count(lit(1)).as("n"),
+          Fns.roundU(sum($"l_quantity"), 2).as("sum_qty"))
+        .select($"l_returnflag", $"l_linestatus", $"g_flag", $"g_status",
+          $"n", $"sum_qty")
+        .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")
+    }),
+
+    // CONTRASTIVE HARD-NEGATIVE MINING — the embedding-training data
+    // pass: for each anchor, the k most-similar vectors with a
+    // DIFFERENT label (the negatives that actually move a contrastive
+    // loss). Distances ride the q265/q295 exact-integer idiom
+    // (milli-quantized embeddings, integer L2), so the ranking is
+    // ulp-immune and fully oracled. Scale shape: the anchor set is a
+    // TRAINING BATCH — bounded and broadcast — the candidate stream
+    // is one linear scan, and the per-anchor cut is the bounded-heap
+    // TopKPerKey custom plan (k rows per anchor per partition cross
+    // the shuffle, nothing sorts). Bigger anchor sets route through
+    // the q96 IVF funnel first; the scorer below is the exact tier.
+    "q317_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", $"label", transform($"embedding", x =>
+          floor(x.cast("double") * 1000 + 0.5).cast("long")).as("mil"))
+      val anchors = emb.filter($"vec_id" < 30)
+        .select($"vec_id".as("query_id"), $"label".as("q_label"),
+          $"mil".as("qmil"))
+      val scored = emb.crossJoin(broadcast(anchors))
+        .filter($"label" =!= $"q_label")
+        .select($"query_id",
+          $"vec_id".as("neighbor_id"), $"label".as("neighbor_label"),
+          aggregate(zip_with($"qmil", $"mil",
+            (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"))
+      graft.plans.TopKPerKey(scored, Seq("query_id"),
+          Seq($"d2".asc, $"neighbor_id".asc), k = 3)
+        .select($"query_id", $"neighbor_id", $"neighbor_label", $"d2")
+        .orderBy($"query_id", $"d2", $"neighbor_id")
     })
   )
 
@@ -16688,8 +16862,261 @@ object SparkEntry {
         |  floor(rm * 10000 + 0.5) / 10000.0 AS rms, m.peak,
         |  ls.last_sample
         |FROM d JOIN m USING (doc_id) JOIN ls USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q312: DuckDB replays the inter-frame compositing CONTRACT in
+    // closed form — pixel (f,x,y) comes from the latest row-patch at
+    // y on or before f (lp = f − ((f−y) mod 8), the newest frame ≡ y
+    // mod 8; frame 0 is the keyframe and patches nothing), else the
+    // keyframe formula — while the Spark side reaches the same buffer
+    // through the actual RLE8 bitstream (delta escapes, run/absolute
+    // modes, bottom-up DIB flip, early EOB carry). Hash equality
+    // certifies the decoder's cross-frame carry byte-for-byte.
+    "q312_rle8_video" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 8 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 40),
+        |g AS (
+        |  SELECT doc_id, nf, fx.f, xx.x, yy.y,
+        |    fx.f - ((fx.f - yy.y) % 8 + 8) % 8 AS lp
+        |  FROM d, unnest(range(0, nf)) fx(f),
+        |    unnest(range(0, 16)) xx(x), unnest(range(0, 8)) yy(y)),
+        |v AS (
+        |  SELECT doc_id, nf, f, x, y,
+        |    CASE WHEN lp >= 1 THEN
+        |      CASE WHEN lp % 2 = 1 THEN (doc_id * 7 + lp * 11) % 200
+        |           ELSE (doc_id * 7 + lp * 11 + x * 3) % 200 END
+        |    ELSE (doc_id * 7 + x * 3 + y * 5) % 200 END AS val
+        |  FROM g),
+        |m AS (SELECT doc_id, sum(val) AS sv FROM v GROUP BY doc_id),
+        |mo AS (
+        |  SELECT doc_id, sum(abs(val - pv)) AS sd
+        |  FROM (SELECT doc_id, val,
+        |          lag(val) OVER (PARTITION BY doc_id, x, y ORDER BY f)
+        |            AS pv
+        |        FROM v)
+        |  WHERE pv IS NOT NULL GROUP BY doc_id),
+        |fc AS (
+        |  SELECT doc_id, sum(val * (y * 16 + x + 1)) AS ck
+        |  FROM v WHERE f = nf - 1 GROUP BY doc_id)
+        |SELECT d.doc_id, d.nf AS n_frames, CAST(16 AS INT) AS width,
+        |  CAST(8 AS INT) AS height,
+        |  floor(sv / (d.nf * 128.0) * 10000 + 0.5) / 10000.0 AS mean_val,
+        |  floor(sd / ((d.nf - 1) * 128.0) * 10000 + 0.5) / 10000.0
+        |    AS motion,
+        |  CAST(ck AS BIGINT) AS final_ck
+        |FROM d JOIN m USING (doc_id) JOIN mo USING (doc_id)
+        |  JOIN fc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q313: the whole DSIR scorer replayed relationally — same
+    // polynomial gram hash as q309 (list_reduce fold), same Laplace
+    // delta model, same per-doc weighted sum; both engines round the
+    // log-sum once at 6dp (the q91/q24 exact-integer-ratio-log
+    // idiom: every ln argument is an integer).
+    "q313_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, substr(text, 1, 200) AS s
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 8),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_transform(range(i, i + 8),
+        |      p -> CAST(ascii(substr(s, CAST(p AS INT), 1))
+        |        AS BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 1000000007) % 64 AS b
+        |  FROM t, unnest(range(1, length(s) - 7 + 1)) u(i)),
+        |db AS (
+        |  SELECT doc_id, source, b, count(*) AS c
+        |  FROM g GROUP BY 1, 2, 3),
+        |tm AS (SELECT b, sum(c) AS tb FROM db WHERE source = 'src0'
+        |  GROUP BY b),
+        |rm AS (SELECT b, sum(c) AS rb FROM db WHERE source <> 'src0'
+        |  GROUP BY b),
+        |model AS (
+        |  SELECT ab.b, COALESCE(tb, 0) AS tb, COALESCE(rb, 0) AS rb
+        |  FROM (SELECT DISTINCT b FROM db) ab
+        |  LEFT JOIN tm ON ab.b = tm.b LEFT JOIN rm ON ab.b = rm.b),
+        |tot AS (SELECT sum(tb) AS tt, sum(rb) AS rr FROM model),
+        |delta AS (
+        |  SELECT b, ln(tb + 1.0) - ln(rb + 1.0) - ln(tt + 64.0)
+        |    + ln(rr + 64.0) AS dl
+        |  FROM model, tot),
+        |w AS (
+        |  SELECT db.doc_id, db.source, sum(c) AS n_grams,
+        |    sum(c * dl) AS lw
+        |  FROM db JOIN delta USING (b)
+        |  WHERE db.source <> 'src0' GROUP BY 1, 2)
+        |SELECT doc_id, source, CAST(n_grams AS BIGINT) AS n_grams,
+        |  floor(lw * 1000000 + 0.5) / 1000000.0 AS log_weight,
+        |  floor(lw * 1000000 + 0.5) / 1000000.0 > 0 AS selected
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // q314: the depth ladder replayed in closed form — same per-doc
+    // depth/amplitude assignment, same t-major sample formula; the
+    // Spark side reaches the same numbers through the real FLAC
+    // bitstream at each depth's field widths.
+    "q314_flac_depths" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 12
+        |      WHEN 2 THEN 20 WHEN 3 THEN 24 ELSE 32 END AS INT)
+        |      AS bits
+        |  FROM documents WHERE doc_id < 40),
+        |p AS (
+        |  SELECT doc_id, bits,
+        |    CASE WHEN bits = 8 THEN 64 WHEN bits = 12 THEN 1024
+        |      WHEN bits = 20 THEN 262144 ELSE 4194304 END AS amp
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, bits, fx.f, tx.t,
+        |    (doc_id * 31 + fx.f * 17 + tx.t * 13) % (2 * amp) - amp
+        |      AS v
+        |  FROM p, unnest(range(0, 2)) fx(f),
+        |    unnest(range(0, 20)) tx(t)),
+        |m AS (
+        |  SELECT doc_id, avg(CAST(v AS DOUBLE)) AS ma,
+        |    sqrt(avg(CAST(v AS DOUBLE) * v)) AS rm,
+        |    CAST(max(abs(v)) AS INT) AS peak
+        |  FROM s GROUP BY doc_id),
+        |ls AS (
+        |  SELECT doc_id, CAST(v AS INT) AS last_sample FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY f DESC, t DESC) = 1)
+        |SELECT d.doc_id, d.bits AS bits_per_sample,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(2 AS INT) AS n_frames,
+        |  CAST(40 AS BIGINT) AS n_samples,
+        |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
+        |  floor(rm * 10000 + 0.5) / 10000.0 AS rms, m.peak,
+        |  ls.last_sample
+        |FROM d JOIN m USING (doc_id) JOIN ls USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q315_bpe_apply" -> q315OracleSql,
+
+    "q316_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n,
+        |  floor(sum(l_quantity) * 100 + 0.5) / 100.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    // q317: the same milli-quantization (floor(x·1000+0.5)) and the
+    // same integer L2, cross join + QUALIFY top-3 with the identical
+    // (d2, neighbor_id) tie-break as the Spark heap's order columns.
+    "q317_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+        |      AS mil
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id AS query_id, label AS q_label, mil AS qmil
+        |  FROM e WHERE vec_id < 30),
+        |c AS (
+        |  SELECT a.query_id, e.vec_id AS neighbor_id,
+        |    e.label AS neighbor_label,
+        |    list_sum(list_transform(range(1, len(qmil) + 1),
+        |      i -> (qmil[CAST(i AS INT)] - mil[CAST(i AS INT)])
+        |        * (qmil[CAST(i AS INT)] - mil[CAST(i AS INT)])))
+        |      AS d2
+        |  FROM a, e
+        |  WHERE e.label <> a.q_label)
+        |SELECT query_id, neighbor_id, neighbor_label,
+        |  CAST(d2 AS BIGINT) AS d2
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY d2, neighbor_id) <= 3
+        |ORDER BY query_id, d2, neighbor_id""".stripMargin
   )
+
+  /** q315's oracle — replays [[graft.operators.Tokenize.tokenizeWord]]
+    * exactly: a recursive CTE where each step applies ONE greedy pass
+    * (lowest-rank adjacent pair; all non-overlapping occurrences
+    * left-to-right). The left-to-right consumption is relational:
+    * within each maximal run of consecutive best-rank pair positions,
+    * merges land at alternating parity from the run start (position j
+    * merges iff (j − run_start) is even), which is exactly the skip-2
+    * scan. The rank lookup is the same 16-row literal table as the
+    * Spark side, inlined as a CASE (single-statement oracle — no
+    * macros). Validated against an independent replay on all 500
+    * sf0.01 docs and timed at 11 s on sf0.1. */
+  private def q315OracleSql: String = {
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r",
+      "a" -> "n", "an" -> "d", "o" -> "n", "e" -> "n", "in" -> "g",
+      "o" -> "r", "r" -> "e", "s" -> "t", "a" -> "t", "e" -> "s",
+      "l" -> "l", "o" -> "u")
+    def rk(x: String, y: String): String =
+      s"CASE $x || chr(1) || $y " + merges.zipWithIndex.map {
+        case ((a, b), i) => s"WHEN '$a' || chr(1) || '$b' THEN $i"
+      }.mkString(" ") + " ELSE 999999 END"
+    val bestOf =
+      "list_min(list_transform(range(1, len(toks)), j -> " +
+        rk("toks[CAST(j AS INT)]", "toks[CAST(j AS INT) + 1]") + "))"
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, i AS widx, ws[CAST(i AS INT)] AS w
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(trim(text), '\\s+'),
+       |            x -> x <> '') AS ws
+       |        FROM documents WHERE text IS NOT NULL) d,
+       |    unnest(range(1, len(ws) + 1)) u(i)),
+       |init AS (
+       |  SELECT doc_id, widx,
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> substr(w, CAST(i AS INT), 1)) AS toks
+       |  FROM words),
+       |st AS (
+       |  SELECT doc_id, widx, toks FROM init
+       |  UNION ALL
+       |  SELECT doc_id, widx,
+       |    list_transform(
+       |      list_filter(range(1, len(toks) + 1),
+       |        k -> NOT (k >= 2 AND ma[CAST(k AS INT) - 1])),
+       |      k -> CASE WHEN k < len(toks) AND ma[CAST(k AS INT)]
+       |        THEN toks[CAST(k AS INT)] || toks[CAST(k AS INT) + 1]
+       |        ELSE toks[CAST(k AS INT)] END) AS toks
+       |  FROM (
+       |    SELECT doc_id, widx, toks,
+       |      list_transform(range(1, len(toks)), j ->
+       |        isb[CAST(j AS INT)] AND (j - (1 + coalesce(list_max(
+       |          list_transform(range(1, j),
+       |            k -> CASE WHEN NOT isb[CAST(k AS INT)] THEN k
+       |              ELSE CAST(0 AS BIGINT) END)), 0))) % 2 = 0) AS ma
+       |    FROM (
+       |      SELECT doc_id, widx, toks,
+       |        list_transform(range(1, len(toks)),
+       |          j -> ${rk("toks[CAST(j AS INT)]",
+                            "toks[CAST(j AS INT) + 1]")} = best) AS isb
+       |      FROM (
+       |        SELECT doc_id, widx, toks, $bestOf AS best
+       |        FROM st)
+       |      WHERE best IS NOT NULL AND best < 999999) b1) b2),
+       |fin AS (
+       |  SELECT doc_id, widx, toks
+       |  FROM (SELECT doc_id, widx, toks, $bestOf AS best FROM st)
+       |  WHERE best IS NULL OR best >= 999999),
+       |agg AS (
+       |  SELECT w.doc_id,
+       |    count(*) AS n_words,
+       |    sum(len(f.toks)) AS n_tokens,
+       |    sum(list_sum(list_transform(f.toks, t -> length(t))))
+       |      AS tok_len
+       |  FROM words w JOIN fin f
+       |    ON w.doc_id = f.doc_id AND w.widx = f.widx
+       |  GROUP BY w.doc_id)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  floor(CAST(n_tokens AS DOUBLE) / n_words * 10000 + 0.5)
+       |    / 10000.0 AS fertility,
+       |  floor(CAST(tok_len AS DOUBLE) / n_tokens * 10000 + 0.5)
+       |    / 10000.0 AS mean_token_len
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
 
   /** q304's oracle — the Luhn terms come from the same generator as
     * the Spark side (the q300 discipline). */

@@ -1,20 +1,21 @@
 package graft.functions
 
-/** REAL sample decode for LOSSLESS compressed audio: FLAC, restricted
-  * to the subset a pure-JVM integer decoder can own completely — mono
-  * 16-bit streams whose subframes are CONSTANT, VERBATIM,
+/** REAL sample decode for LOSSLESS compressed audio: FLAC — 1–8
+  * channels at every standard depth the frame header can code
+  * (8/12/16/20/24/32-bit), subframes CONSTANT, VERBATIM,
   * FIXED-prediction (orders 0–4), or LPC (quantized-coefficient
   * linear prediction, orders 1–32 — the encoding real-world FLAC
-  * files overwhelmingly use) with Rice-coded residuals. This is the
+  * files overwhelmingly use) with Rice-coded residuals, stereo
+  * independent or any of the three decorrelation modes. This is the
   * third compression tier of the audio story: PCM ([[WavPcm]]) is
   * uncompressed, IMA ADPCM ([[AdpcmWav]]) is lossy-compressed, FLAC is
   * lossless-compressed — and losslessness is what makes it exactly
   * oracle-able: the decoded samples equal the predictor recurrence
   * over the residuals, bit for bit (LPC prediction is pure integer
   * math: a 64-bit coefficient dot product arithmetic-right-shifted by
-  * the quantization shift). Only multi-channel decorrelation and
-  * non-16-bit depths still return None and route to the
-  * injected-codec seam
+  * the quantization shift). Only 32-bit DECORRELATED stereo (the side
+  * channel needs 33 bits — beyond the Int sample domain) still
+  * returns None and routes to the injected-codec seam
   * ([[graft.operators.Multimodal.decodePartitions]]).
   *
   * Everything here is the public FLAC format specification:
@@ -41,10 +42,11 @@ package graft.functions
 object FlacAudio {
 
   /** Per-clip decoded-sample statistics (mirrors [[AdpcmWav.Features]]:
-    * `lastSample` pins decode order through every recurrence step). */
+    * `lastSample` pins decode order through every recurrence step).
+    * `bitsPerSample` is STREAMINFO's declared depth (8–32). */
   case class Features(sampleRate: Int, nFrames: Int, nSamples: Long,
                       meanAmp: Double, rms: Double, peak: Int,
-                      lastSample: Int)
+                      lastSample: Int, bitsPerSample: Int = 16)
 
   /** Internal parse-abort signal; never escapes [[decode]]. */
   private final class ParseEx extends RuntimeException(null, null, false, false)
@@ -165,8 +167,11 @@ object FlacAudio {
         }
         i += 4 + len
       }
-      if (!haveInfo || channels < 1 || channels > 8 || bits != 16 ||
-          sampleRate <= 0)
+      // the standard streaming depths; odd STREAMINFO depths route to
+      // the injected-codec seam
+      if (!haveInfo || channels < 1 || channels > 8 ||
+          !(bits == 8 || bits == 12 || bits == 16 || bits == 20 ||
+            bits == 24 || bits == 32) || sampleRate <= 0)
         return None
       var sum = 0.0; var sumSq = 0.0; var peak = 0; var lastS = 0
       var nSamplesPerCh = 0L; var nFrames = 0
@@ -187,7 +192,23 @@ object FlacAudio {
         if (chanAsn <= 7 && chanAsn != channels - 1) return None
         if (chanAsn >= 8 && (channels != 2 || chanAsn > 10))
           return None
-        if (ssCode != 0x4) return None       // 16-bit only
+        // sample-size code → bits (0 = from STREAMINFO, 3 reserved);
+        // must agree with STREAMINFO
+        val ssBits = ssCode match {
+          case 0 => bits
+          case 1 => 8
+          case 2 => 12
+          case 4 => 16
+          case 5 => 20
+          case 6 => 24
+          case 7 => 32
+          case _ => return None
+        }
+        if (ssBits != bits) return None
+        // decorrelated stereo carries the side channel at bps+1; at
+        // 32-bit that is 33 bits — beyond the Int sample domain, so
+        // it routes to the injected-codec seam
+        if (chanAsn >= 8 && bits == 32) return None
         i += 4
         // UTF-8-style coded frame number (value unused; length matters)
         val first = b(i) & 0xff
@@ -301,7 +322,7 @@ object FlacAudio {
       val nSamples = nSamplesPerCh * channels
       val n = math.max(1L, nSamples).toDouble
       Some(Features(sampleRate, nFrames, nSamples, sum / n,
-        math.sqrt(sumSq / n), peak, lastS))
+        math.sqrt(sumSq / n), peak, lastS, bits))
     } catch { case _: ParseEx => None }
   }
 
@@ -539,13 +560,24 @@ object FlacAudio {
     * `channels` subframes), CRC-8/16 computed for real over exactly
     * the bytes the decoder verifies. */
   private def encodeStreamCh(sampleRate: Int, blockSize: Int,
-                             nFrames: Int, channels: Int, chanAsn: Int)
+                             nFrames: Int, channels: Int, chanAsn: Int,
+                             bits: Int = 16)
                             (body: (BitWriter, Int) => Unit)
       : Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20), "20-bit rate")
     require(blockSize >= 1 && blockSize <= 256, "8-bit block-size field")
     require(nFrames >= 1 && nFrames <= 128, "1-byte coded number")
     require(channels >= 1 && channels <= 8, "1-8 channels")
+    // the depths with a frame-header sample-size code of their own
+    val ssCode = bits match {
+      case 8 => 1
+      case 12 => 2
+      case 16 => 4
+      case 20 => 5
+      case 24 => 6
+      case 32 => 7
+      case _ => throw new IllegalArgumentException(s"depth $bits")
+    }
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO, is-last
@@ -558,8 +590,8 @@ object FlacAudio {
     out.write((sampleRate >> 12) & 0xff)
     out.write((sampleRate >> 4) & 0xff)
     out.write(((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
-      (15 >> 4)) // channels-1, bps-1=15 (high bit)
-    out.write(((15 & 0xf) << 4) | ((total >> 32) & 0xf).toInt)
+      ((bits - 1) >> 4)) // channels-1, bps-1 (high bit)
+    out.write((((bits - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt)
     out.write(((total >> 24) & 0xff).toInt)
     out.write(((total >> 16) & 0xff).toInt)
     out.write(((total >> 8) & 0xff).toInt)
@@ -570,7 +602,7 @@ object FlacAudio {
       val frame = new java.io.ByteArrayOutputStream()
       frame.write(0xff); frame.write(0xf8) // sync + fixed blocksize
       frame.write((0x6 << 4) | 0x0)        // bs: 8-bit at end; sr: STREAMINFO
-      frame.write((chanAsn << 4) | (0x4 << 1) | 0) // chan-asn, 16-bit
+      frame.write((chanAsn << 4) | (ssCode << 1) | 0) // chan-asn, depth
       frame.write(f)                       // coded number (< 0x80)
       frame.write(blockSize - 1)           // 8-bit block size - 1
       val hdr = frame.toByteArray
@@ -620,6 +652,24 @@ object FlacAudio {
       }
     }
   }
+
+  /** FIXTURE: mono VERBATIM at an arbitrary standard depth (8/12/16/
+    * 20/24/32 — the sample-size codes the frame header can express):
+    * samples from the closed form `sample(frame, t)`, masked to the
+    * depth's field width, so an oracle replays the formula and hash
+    * equality pins the depth's STREAMINFO/frame-header coding and the
+    * n-bit signed sample reads. */
+  def encodeDepthVerbatim(sampleRate: Int, blockSize: Int, nFrames: Int,
+                          bits: Int,
+                          sample: (Int, Int) => Int): Array[Byte] =
+    encodeStreamCh(sampleRate, blockSize, nFrames, 1, 0, bits) { (bw, f) =>
+      bw.writeBits(0, 1); bw.writeBits(1, 6); bw.writeBits(0, 1)
+      var t = 0
+      while (t < blockSize) {
+        bw.writeBits(sample(f, t).toLong & ((1L << bits) - 1), bits)
+        t += 1
+      }
+    }
 
   def encodeStereoVerbatim(sampleRate: Int, blockSize: Int, nFrames: Int,
                            chanAsn: Int,

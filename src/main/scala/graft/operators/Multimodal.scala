@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *    audio, video) have a fake-free slice, including one COMPRESSED
   *    format — and baseline JPEG pixels are REAL too
   *    ([[decodeJpegFeatures]], the JDK's own `javax.imageio` codec,
-  *    zero new dependencies). Only formats that genuinely need native
-  *    codecs (compressed audio, coded video) keep the DETERMINISTIC
-  *    FAKE tier (clearly marked `fake*` below): features derived from
-  *    xxhash64 of the payload. The surrounding plumbing —
+  *    zero new dependencies); so are GIF/QOI images, IMA ADPCM, FLAC
+  *    and G.711 μ-law/A-law audio ([[decodeG711Features]] — lossy
+  *    companding, exactly expandable), and MJPEG (per-frame-coded)
+  *    plus MS-RLE8 ([[decodeRle8Features]] — INTER-frame-coded)
+  *    video. Only motion-compensated/perceptual TRANSFORM codecs
+  *    (H.264/VP9, MP3/AAC) and non-16-bit FLAC depths keep the
+  *    DETERMINISTIC FAKE tier (clearly marked `fake*` below):
+  *    features derived from xxhash64 of the payload. The surrounding plumbing —
   *    binary representation, schemas, batch shapes, per-partition codec
   *    lifecycle ([[decodePartitions]]) — is the real contract a
   *    JNI/ffmpeg-backed codec drops into unchanged.
@@ -406,6 +410,33 @@ object Multimodal {
       }
   }
 
+  /** [[FlacFeatureRow]] plus the DECODED bit depth — the output
+    * contract of the depth-tier decode (q314). */
+  case class FlacDepthRow(id: Long, bits_per_sample: Int,
+                          sample_rate: Int, n_frames: Int,
+                          n_samples: Long, mean_amp: Double,
+                          rms: Double, peak: Int, last_sample: Int)
+
+  /** REAL sample-tier FLAC decode surfacing the stream's bit depth
+    * (8/12/16/20/24/32 — every depth the frame header can code), so
+    * depth-routing pipelines can filter on the DECODED value instead
+    * of trusting container metadata. Same decoder and batch shape as
+    * [[decodeFlacFeatures]]. */
+  def decodeFlacDepthFeatures(df: DataFrame, idCol: String,
+                              payloadCol: String): Dataset[FlacDepthRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.FlacAudio.decode(bytes).map(f =>
+            FlacDepthRow(id, f.bitsPerSample, f.sampleRate, f.nFrames,
+              f.nSamples, f.meanAmp, f.rms, f.peak, f.lastSample))
+        }
+      }
+  }
+
   /** Decoded pixel-feature record for payloads the pure-JVM GIF/LZW
     * codec handles; interlaced frames and corrupt payloads drop. */
   case class GifFeatureRow(id: Long, width: Int, height: Int,
@@ -458,6 +489,68 @@ object Multimodal {
           graft.functions.QoiPixels.decode(bytes).map(f =>
             QoiFeatureRow(id, f.width, f.height, f.meanR, f.meanG,
               f.meanB, f.ordCk))
+        }
+      }
+  }
+
+  /** Decoded audio-feature record for payloads the pure-JVM G.711
+    * expander handles (μ-law / A-law WAV); PCM WAV routes through
+    * [[decodeWavFeatures]], transform codecs (MP3/AAC) and corrupt
+    * payloads drop. */
+  case class G711FeatureRow(id: Long, codec: String, sample_rate: Int,
+                            n_channels: Int, n_frames: Long,
+                            mean_amp: Double, rms: Double, peak: Int,
+                            last_sample: Int)
+
+  /** REAL sample-tier decode for LOSSY companded audio: ITU-T G.711
+    * μ-law/A-law WAV ([[graft.functions.G711Wav]] — the exact
+    * closed-form integer expansion of the telephony codecs, plain
+    * byte arithmetic). The first genuinely lossy audio member of the
+    * fake-free tier (logarithmic companding joins
+    * DEFLATE/LZW/Rice/ADPCM/DCT); only transform codecs remain on
+    * [[decodePartitions]]'s injected path. Same batch shape as every
+    * decoder here. */
+  def decodeG711Features(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[G711FeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.G711Wav.decode(bytes).map(f =>
+            G711FeatureRow(id, f.codec, f.sampleRate, f.channels,
+              f.nFrames, f.meanAmp, f.rms, f.peak, f.lastSample))
+        }
+      }
+  }
+
+  /** Decoded video-feature record for payloads the pure-JVM MS-RLE8
+    * compositor handles; motion-compensated codecs (H.264/VP9) and
+    * corrupt payloads drop. */
+  case class Rle8FeatureRow(id: Long, n_frames: Int, width: Int,
+                            height: Int, mean_val: Double,
+                            motion: Double, final_ck: Long)
+
+  /** REAL frame-tier decode for INTER-FRAME-coded video: Microsoft
+    * RLE8 AVI ([[graft.functions.Rle8Avi]] — delta frames patch the
+    * previous frame's buffer via cursor escapes and early
+    * end-of-bitmap, so the decoder's cross-frame carry is the decode
+    * contract). With [[decodeMjpegFeatures]] (per-frame-coded) this
+    * gives video both a coded and an INTER-frame-coded fake-free
+    * slice; only motion-compensated transform codecs remain on
+    * [[decodePartitions]]'s injected path. */
+  def decodeRle8Features(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[Rle8FeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.Rle8Avi.decode(bytes).map(f =>
+            Rle8FeatureRow(id, f.nFrames, f.width, f.height,
+              f.meanVal, f.motion, f.finalCk))
         }
       }
   }

@@ -255,6 +255,26 @@ object FlacAudioProps extends Properties("graft.flac") {
       }
     }
 
+  property("all six standard depths roundtrip exactly vs independent " +
+      "replay (8/12/16/20/24/32)") =
+    forAll(Gen.oneOf(8, 12, 16, 20, 24, 32), Gen.choose(0L, 100000L)) {
+      (bits, seed) =>
+      // values within the depth's signed range AND within ±2^22 so
+      // the sum-of-squares replay stays exact-integer in doubles
+      val amp = math.min(1 << (bits - 2), 1 << 22)
+      def sample(f: Int, t: Int): Int =
+        ((seed * 31 + f * 17 + t * 13) % (2L * amp)).toInt - amp
+      val b = FlacAudio.encodeDepthVerbatim(8000, 20, 2, bits, sample)
+      val vals = for (f <- 0 until 2; t <- 0 until 20) yield sample(f, t)
+      var sum = 0.0; var sq = 0.0
+      vals.foreach { v => sum += v; sq += v.toDouble * v }
+      FlacAudio.decode(b).exists(g =>
+        g.bitsPerSample == bits && g.sampleRate == 8000 &&
+          g.nFrames == 2 && g.nSamples == 40 &&
+          g.meanAmp == sum / 40.0 && g.rms == math.sqrt(sq / 40.0) &&
+          g.peak == vals.map(math.abs).max && g.lastSample == vals.last)
+    }
+
   private def safe(b: Array[Byte]): Boolean = { FlacAudio.decode(b); true }
 
   property("decode never throws on arbitrary bytes") =
