@@ -8973,6 +8973,125 @@ object SparkEntry {
           Seq($"d2".asc, $"neighbor_id".asc), k = 3)
         .select($"query_id", $"neighbor_id", $"neighbor_label", $"d2")
         .orderBy($"query_id", $"d2", $"neighbor_id")
+    }),
+
+    // MERGE INTO — the lakehouse upsert statement, realized at the
+    // engine level: ONE full-outer join between target and source
+    // batch, then a case-wise projection deciding
+    // matched+U → UPDATE, matched+D → DELETE, unmatched-by-target →
+    // INSERT, unmatched-by-source → keep. (Delta/Iceberg implement
+    // exactly this plan under their MERGE syntax; the join is the
+    // only shuffle and it's on the merge key, so the op scales as
+    // one co-partitioned join at any table size.) The source batch
+    // is derived deterministically from the target (update/delete/
+    // insert thirds on disjoint key classes, integer-cents balances)
+    // and the output is the per-action audit: row count, balance
+    // checksum, key range — which pins every row's routing without
+    // materializing the merged table in the result.
+    "q318_merge_into" -> ((s, d) => {
+      val cents = (c: Column) => floor(c * 100 + 0.5).cast("long")
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", cents($"c_acctbal").as("bal0"))
+      val upd = cust
+        .filter($"c_custkey" % 5 === 0 || $"c_custkey" % 11 === 0)
+        .select($"c_custkey".as("k"),
+          when($"c_custkey" % 11 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"),
+          ($"bal0" + ($"c_custkey" % 9700) - 4850).as("nb"))
+      val ins = cust.filter($"c_custkey" % 13 === 0)
+        .select(($"c_custkey" + 10000000L).as("k"), lit("I").as("op"),
+          (($"c_custkey" % 5000) * 100 + 99).as("nb"))
+      val merged = cust
+        .join(upd.unionByName(ins), $"c_custkey" === $"k", "full_outer")
+        .select(
+          coalesce($"c_custkey", $"k").as("key"),
+          when($"op".isNull, lit("kept"))
+            .when($"op" === "D", lit("deleted"))
+            .when($"op" === "U", lit("updated"))
+            .otherwise(lit("inserted")).as("action"),
+          // audit value: the post-merge balance (deleted rows audit
+          // their pre-image — the row leaves the table)
+          when($"op".isNull || $"op" === "D", $"bal0")
+            .otherwise($"nb").as("bal"))
+      merged.groupBy($"action")
+        .agg(count(lit(1)).as("n"), sum($"bal").as("sum_bal_cents"),
+          min($"key").as("min_key"), max($"key").as("max_key"))
+        .orderBy($"action")
+    }),
+
+    // MIXED-FORMAT ROUTER — the dispatch stage of a real multimodal
+    // corpus: ONE binary column carrying six different formats
+    // (image/audio/video; uncompressed, LZW, dictionary+delta,
+    // companded, inter-frame), each payload claimed by the codec
+    // whose magic/structure validates, all emitting one normalized
+    // schema so downstream routing is a plain groupBy(fmt). Every
+    // branch is a REAL decoder, so each doc's metric is a closed
+    // form of its fixture formula and the whole dispatch sits under
+    // the hash oracle. Partition-local (no shuffle to route);
+    // unclaimed payloads drop to the injected-codec tier.
+    "q319_format_router" -> ((s, d) => {
+      val mk = udf((id: Long) => ((id % 6).toInt: @unchecked) match {
+        case 0 => graft.functions.BmpPixels.encode(8, 6, (x, y) =>
+          (((id * 3 + x * 7 + y * 11) % 256).toInt,
+            ((id * 5 + x * 11 + y * 3) % 256).toInt,
+            ((id * 7 + x * 3 + y * 5) % 256).toInt))
+        case 1 => graft.functions.WavPcm.encode(8000, 1, 50,
+          (t, _) => ((id * 37 + t * 997) % 2001).toInt - 1000)
+        case 2 => graft.functions.GifPixels.encodeGray(8, 6,
+          (x, y) => ((id * 5 + x * 3 + y * 7) % 256).toInt)
+        case 3 => graft.functions.QoiPixels.encodeRgb(6, 6, (x, y) =>
+          (((id * 7 + x * 5 + y * 3) % 256).toInt,
+            ((id * 11 + x * 3 + y * 7) % 256).toInt,
+            ((id * 13 + x * 7 + y * 5) % 256).toInt))
+        case 4 => graft.functions.G711Wav.encode(mu = true, 8000, 1, 50,
+          (t, _) => ((id * 17 + t * 29) % 256).toInt)
+        case 5 => graft.functions.Rle8Avi.encode(16, 8, Seq(
+          graft.functions.Rle8Avi.Full((x, y) =>
+            ((id * 7 + x * 3 + y * 5) % 200).toInt)))
+      })
+      val mixed = Tables.documents(s, d).filter($"doc_id" < 60)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.routeMixedFeatures(mixed, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"fmt", $"n_units",
+          Fns.roundU($"metric", 4).as("metric"))
+        .orderBy($"doc_id")
+    }),
+
+    // ANN RECALL AUDIT — the quality-monitoring pass every production
+    // vector index needs: run the approximate funnel (q96's two-level
+    // IVF, unchanged) AND the exact brute force (q26's scorer,
+    // unchanged) over the same queries and report recall@5 per query.
+    // Set intersection is integer counting, so the audit itself is
+    // hash-oracled end to end — both funnels were already replicated
+    // in SQL (q96/q26), and this composes them. At scale the exact
+    // side runs on a SAMPLE of queries (it is the expensive leg — one
+    // corpus scan per audit, still a single broadcast-join pass);
+    // the recall estimate is what gates an index rebuild.
+    "q320_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cells = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val coarse = emb.filter($"vec_id" % 200 === 0)
+        .select($"vec_id".as("gid"), $"embedding".as("gvec"))
+      val queries = emb.filter($"vec_id" < 5)
+      val ann = Similarity.ivfTopKTwoLevel(emb, "vec_id", "embedding",
+          cells, "cid", "cvec", coarse, "gid", "gvec",
+          queries, "vec_id", "embedding",
+          k = 5, wCoarse = 2, nprobeCoarse = 2, nprobe = 3)
+        .select($"query_id", $"neighbor_id")
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        .select($"query_id", $"neighbor_id")
+      val hits = ann.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("__h"))
+      queries.select($"vec_id".as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"__h", lit(0L)).as("n_hits"),
+          Fns.roundU(coalesce($"__h", lit(0L)).cast("double") / 5.0, 4)
+            .as("recall_at_5"))
+        .orderBy($"query_id")
     })
   )
 
@@ -17032,7 +17151,170 @@ object SparkEntry {
         |FROM c
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY d2, neighbor_id) <= 3
-        |ORDER BY query_id, d2, neighbor_id""".stripMargin
+        |ORDER BY query_id, d2, neighbor_id""".stripMargin,
+
+    "q318_merge_into" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal0
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    bal0 + (c_custkey % 9700) - 4850 AS nb
+        |  FROM cust WHERE c_custkey % 5 = 0 OR c_custkey % 11 = 0),
+        |ins AS (
+        |  SELECT c_custkey + 10000000 AS k, 'I' AS op,
+        |    (c_custkey % 5000) * 100 + 99 AS nb
+        |  FROM cust WHERE c_custkey % 13 = 0),
+        |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |merged AS (
+        |  SELECT coalesce(c_custkey, k) AS key,
+        |    CASE WHEN op IS NULL THEN 'kept'
+        |         WHEN op = 'D' THEN 'deleted'
+        |         WHEN op = 'U' THEN 'updated'
+        |         ELSE 'inserted' END AS action,
+        |    CASE WHEN op IS NULL OR op = 'D' THEN bal0 ELSE nb END
+        |      AS bal
+        |  FROM cust FULL OUTER JOIN src ON c_custkey = k)
+        |SELECT action, count(*) AS n,
+        |  CAST(sum(bal) AS BIGINT) AS sum_bal_cents,
+        |  CAST(min(key) AS BIGINT) AS min_key,
+        |  CAST(max(key) AS BIGINT) AS max_key
+        |FROM merged GROUP BY action ORDER BY action""".stripMargin,
+
+    // q319: each format class replayed from its own fixture closed
+    // form — the router's dispatch (which codec claimed which doc,
+    // with which unit count) is what hash equality certifies.
+    "q319_format_router" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |b0 AS (
+        |  SELECT doc_id, 'bmp' AS fmt, CAST(48 AS BIGINT) AS n_units,
+        |    avg(CAST((doc_id * 3 + xx.x * 7 + yy.y * 11) % 256
+        |      AS DOUBLE)) AS metric
+        |  FROM d, unnest(range(0, 8)) xx(x), unnest(range(0, 6)) yy(y)
+        |  WHERE doc_id % 6 = 0 GROUP BY doc_id),
+        |b1 AS (
+        |  SELECT doc_id, 'pcm', CAST(50 AS BIGINT),
+        |    avg(CAST((doc_id * 37 + tt.t * 997) % 2001 - 1000
+        |      AS DOUBLE))
+        |  FROM d, unnest(range(0, 50)) tt(t)
+        |  WHERE doc_id % 6 = 1 GROUP BY doc_id),
+        |b2 AS (
+        |  SELECT doc_id, 'gif', CAST(48 AS BIGINT),
+        |    avg(CAST((doc_id * 5 + xx.x * 3 + yy.y * 7) % 256
+        |      AS DOUBLE))
+        |  FROM d, unnest(range(0, 8)) xx(x), unnest(range(0, 6)) yy(y)
+        |  WHERE doc_id % 6 = 2 GROUP BY doc_id),
+        |b3 AS (
+        |  SELECT doc_id, 'qoi', CAST(36 AS BIGINT),
+        |    avg(CAST((doc_id * 7 + xx.x * 5 + yy.y * 3) % 256
+        |      AS DOUBLE))
+        |  FROM d, unnest(range(0, 6)) xx(x), unnest(range(0, 6)) yy(y)
+        |  WHERE doc_id % 6 = 3 GROUP BY doc_id),
+        |b4 AS (
+        |  SELECT doc_id, 'ulaw', CAST(50 AS BIGINT),
+        |    avg(CAST(CASE WHEN 255 - k >= 128
+        |      THEN 132 - (((255 - k) & 15) * 8 + 132)
+        |        * (1 << (((255 - k) >> 4) & 7))
+        |      ELSE (((255 - k) & 15) * 8 + 132)
+        |        * (1 << (((255 - k) >> 4) & 7)) - 132 END AS DOUBLE))
+        |  FROM (SELECT doc_id, (doc_id * 17 + tt.t * 29) % 256 AS k
+        |        FROM d, unnest(range(0, 50)) tt(t)
+        |        WHERE doc_id % 6 = 4) s
+        |  GROUP BY doc_id),
+        |b5 AS (
+        |  SELECT doc_id, 'rle8', CAST(128 AS BIGINT),
+        |    avg(CAST((doc_id * 7 + xx.x * 3 + yy.y * 5) % 200
+        |      AS DOUBLE))
+        |  FROM d, unnest(range(0, 16)) xx(x), unnest(range(0, 8)) yy(y)
+        |  WHERE doc_id % 6 = 5 GROUP BY doc_id),
+        |u AS (
+        |  SELECT * FROM b0 UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+        |  UNION ALL SELECT * FROM b4 UNION ALL SELECT * FROM b5)
+        |SELECT doc_id, fmt, n_units,
+        |  floor(metric * 10000 + 0.5) / 10000.0 AS metric
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    // q320: q96's funnel CTEs verbatim + q26's exact scorer + an
+    // integer set intersection — recall@5 per query.
+    "q320_ann_recall" ->
+      """WITH c AS (SELECT vec_id AS cell_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |g AS (SELECT vec_id AS gid, embedding AS gvec
+        |  FROM embeddings WHERE vec_id % 200 = 0),
+        |cg AS (
+        |  SELECT cell_id, cvec, gid FROM (
+        |    SELECT c.cell_id, c.cvec, g.gid,
+        |      row_number() OVER (PARTITION BY c.cell_id ORDER BY
+        |        list_cosine_similarity(CAST(c.cvec AS DOUBLE[]),
+        |          CAST(g.gvec AS DOUBLE[])) DESC, g.gid ASC) AS grn
+        |    FROM c CROSS JOIN g)
+        |  WHERE grn <= 2),
+        |pg AS (
+        |  SELECT vec_id, embedding, gid FROM (
+        |    SELECT e.vec_id, e.embedding, g.gid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(g.gvec AS DOUBLE[])) DESC, g.gid ASC) AS prn
+        |    FROM embeddings e CROSS JOIN g)
+        |  WHERE prn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id, p.embedding, cg.cell_id, cg.cvec
+        |  FROM pg p JOIN cg ON p.gid = cg.gid),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell_id FROM (
+        |    SELECT vec_id, embedding, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY
+        |        list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |          CAST(cvec AS DOUBLE[])) DESC, cell_id ASC) AS arn
+        |    FROM cand)
+        |  WHERE arn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, cell_id FROM (
+        |    SELECT vec_id, embedding, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY
+        |        list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |          CAST(cvec AS DOUBLE[])) DESC, cell_id ASC) AS crk
+        |    FROM cand WHERE vec_id < 5)
+        |  WHERE crk <= 3),
+        |scored AS (
+        |  SELECT p.query_id, s.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+        |      CAST(p.qv AS DOUBLE[])) AS sim
+        |  FROM assigned s JOIN probes p ON s.cell_id = p.cell_id
+        |  WHERE s.vec_id <> p.query_id),
+        |annr AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+        |      AS rk
+        |    FROM scored)
+        |  WHERE rk <= 5),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id ASC)
+        |        AS rk
+        |    FROM embeddings e
+        |      CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+        |                  WHERE vec_id < 5) q
+        |    WHERE e.vec_id <> q.vec_id)
+        |  WHERE rk <= 5),
+        |hits AS (
+        |  SELECT query_id, count(*) AS h
+        |  FROM annr JOIN ex USING (query_id, neighbor_id)
+        |  GROUP BY query_id)
+        |SELECT q.vec_id AS query_id,
+        |  CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+        |  floor(CAST(coalesce(h, 0) AS DOUBLE) / 5.0 * 10000 + 0.5)
+        |    / 10000.0 AS recall_at_5
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+        |LEFT JOIN hits ON q.vec_id = hits.query_id
+        |ORDER BY query_id""".stripMargin
   )
 
   /** q315's oracle — replays [[graft.operators.Tokenize.tokenizeWord]]

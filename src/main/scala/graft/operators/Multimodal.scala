@@ -555,6 +555,49 @@ object Multimodal {
       }
   }
 
+  /** One routed row of a MIXED-format corpus decode: which pure-JVM
+    * codec claimed the payload, how many primitive units it decoded
+    * (pixels / samples / frame-pixels), and that format's canonical
+    * intensity metric (mean R channel / mean amplitude / mean index).
+    * Payloads no codec claims drop — they are [[decodePartitions]]'s
+    * injected-codec tier. */
+  case class RouteRow(id: Long, fmt: String, n_units: Long,
+                      metric: Double)
+
+  /** FORMAT ROUTER — the dispatch stage every real multimodal corpus
+    * pipeline runs first: one partition-local pass over an opaque
+    * binary column holding a MIX of formats, each payload claimed by
+    * the codec whose magic/structure validates (the decoders are
+    * mutually exclusive by construction: BM / GIF8 / qoif /
+    * RIFF+WAVE(fmt 1) / RIFF+WAVE(fmt 6|7) / RIFF+AVI). One output
+    * schema regardless of modality, so downstream routing is a plain
+    * groupBy(fmt) — no per-format branches in the plan. */
+  def routeMixedFeatures(df: DataFrame, idCol: String,
+                         payloadCol: String): Dataset[RouteRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, b) =>
+          BmpPixels.decode(b).map(f =>
+              RouteRow(id, "bmp", f.width.toLong * f.height, f.meanR))
+            .orElse(GifPixels.decode(b).map(f =>
+              RouteRow(id, "gif", f.width.toLong * f.height, f.meanR)))
+            .orElse(QoiPixels.decode(b).map(f =>
+              RouteRow(id, "qoi", f.width.toLong * f.height, f.meanR)))
+            .orElse(WavPcm.decode(b).map(f =>
+              RouteRow(id, "pcm", f.nFrames * f.channels, f.meanAmp)))
+            .orElse(G711Wav.decode(b).map(f =>
+              RouteRow(id, f.codec, f.nFrames * f.channels, f.meanAmp)))
+            .orElse(Rle8Avi.decode(b).map(f =>
+              RouteRow(id, "rle8",
+                f.nFrames.toLong * f.width * f.height, f.meanVal)))
+        }
+      }
+  }
+
   /** STUB codec for environments without media libraries: deterministic
     * header fake from the payload bytes. */
   def stubCodec(bytes: Array[Byte]): (Int, Int, Int) = {
