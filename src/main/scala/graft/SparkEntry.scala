@@ -8836,15 +8836,14 @@ object SparkEntry {
       // sf0.1). Bounded: ≤ 64 rows per doc regardless of doc length.
       val docBucket = grams.groupBy($"doc_id", $"source", $"__b")
         .agg(count(lit(1)).as("__c")).persist()
-      val tm = docBucket.filter($"source" === "src0")
-        .groupBy($"__b").agg(sum($"__c").as("__tb"))
-      val rm = docBucket.filter($"source" =!= "src0")
-        .groupBy($"__b").agg(sum($"__c").as("__rb"))
-      // all 64 buckets, zero-filled, plus the smoothing constants —
-      // a bounded model table whatever the corpus size
-      val model = tm.join(rm, Seq("__b"), "full_outer")
-        .select($"__b", coalesce($"__tb", lit(0L)).as("__tb"),
-          coalesce($"__rb", lit(0L)).as("__rb"))
+      // BOTH models in one conditional aggregate (zero-filled where a
+      // bucket has no target/raw grams) — no model-side join at all;
+      // a bounded 64-row table whatever the corpus size
+      val model = docBucket.groupBy($"__b").agg(
+        sum(when($"source" === "src0", $"__c").otherwise(0L))
+          .as("__tb"),
+        sum(when($"source" =!= "src0", $"__c").otherwise(0L))
+          .as("__rb"))
       val tot = model.agg(sum($"__tb").as("__T"), sum($"__rb").as("__R"))
       val delta = model.crossJoin(broadcast(tot))
         .select($"__b",

@@ -1167,4 +1167,59 @@ class PlanShapeSpec extends SparkSpec {
     val smj = collectAll(p) { case j: SortMergeJoinExec => j }
     assert(smj.isEmpty, s"unexpected shuffle join:\n$p")
   }
+
+  test("q313 DSIR: the delta model joins BROADCAST (64 rows at any " +
+      "corpus size) — no shuffle join anywhere in the scorer") {
+    val p = plan("q313_dsir_weights")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected the broadcast model join:\n$p")
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"model must never shuffle-join:\n$p")
+  }
+
+  test("q317 hard negatives: the anchor batch joins as a BROADCAST " +
+      "nested loop (bounded side), never a cartesian product") {
+    val p = plan("q317_hard_negatives")
+    val cart = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        j.nodeName
+    }
+    assert(cart.isEmpty, s"cartesian product in plan:\n$p")
+    val bnl = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.nonEmpty, s"expected broadcast anchor join:\n$p")
+  }
+
+  test("q318 merge-into: ONE join realizes the whole MERGE (full " +
+      "outer on the merge key)") {
+    val p = plan("q318_merge_into")
+    val joins = collectAll(p) {
+      case j: SortMergeJoinExec => j.nodeName
+      case j: BroadcastHashJoinExec => j.nodeName
+    }
+    assert(joins.size === 1, s"MERGE INTO must be exactly one join:\n$p")
+    val cart = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        j.nodeName
+    }
+    assert(cart.isEmpty, s"cartesian product in plan:\n$p")
+  }
+
+  test("q319 router: partition-local dispatch — no join, no window, " +
+      "scan reads only doc_id") {
+    val p = plan("q319_format_router")
+    val joins = collectAll(p) {
+      case j: SortMergeJoinExec => j.nodeName
+      case j: BroadcastHashJoinExec => j.nodeName
+    }
+    assert(joins.isEmpty, s"router must not join:\n$p")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty, s"router must not window:\n$p")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.schema.fieldNames.toSeq === Seq("doc_id"),
+      scans.head.schema.fieldNames.mkString(","))
+  }
 }
