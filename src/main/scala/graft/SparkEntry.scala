@@ -8922,12 +8922,12 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // GROUPING SETS — the arbitrary-sets member of the grouping
-    // family beside CUBE (q280) and ROLLUP (q291): one shared scan
-    // expands each row into exactly the requested groupings (not the
-    // full 2^n lattice), with GROUPING() indicators distinguishing
-    // "NULL because rolled up" from a NULL dimension value. Spark 4's
-    // native groupingSets API → a single expand + hash aggregate.
+    // GROUPING() indicators + the grand-total set — what q45's
+    // grouping-sets coverage left out: the GROUPING() discriminator
+    // is the only way to tell "NULL because rolled up" from a NULL
+    // dimension VALUE, and the empty set () exercises the all-rows
+    // grouping. Same single expand + hash aggregate plan as
+    // q45/q280/q291.
     "q316_grouping_sets" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupingSets(
@@ -9091,6 +9091,97 @@ object SparkEntry {
           Fns.roundU(coalesce($"__h", lit(0L)).cast("double") / 5.0, 4)
             .as("recall_at_5"))
         .orderBy($"query_id")
+    }),
+
+    // MMR DIVERSITY RERANK — the retrieval-diversity pass (Carbonell
+    // & Goldstein 1998) a RAG pipeline runs after ANN: greedily pick
+    // k results balancing query relevance against redundancy with
+    // what's already picked (score = 3·min-dist-to-selected −
+    // 7·dist-to-query, the λ=0.7 trade-off in integer tenths).
+    // Everything is milli-quantized integer L2 with (score, id)
+    // tie-breaks, so the greedy argmax chain — selection ORDER
+    // included — is byte-exact under the DuckDB oracle (a recursive
+    // CTE carrying the selected set replays all four steps; validated
+    // against an independent greedy replay). Scale shape: candidates
+    // come from a bounded per-query top-12 (the ANN funnel's output
+    // tier), so each greedy step is a join between two
+    // candidate-bounded sides — the loop never rescans the corpus.
+    "q321_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", transform($"embedding", x =>
+          floor(x.cast("double") * 1000 + 0.5).cast("long")).as("mil"))
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"mil".as("qmil"))
+      def dist(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+      val scoredAll = emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("cid"), $"mil",
+          dist($"qmil", $"mil").as("d2"))
+      // reused by every greedy step (4 joins) — bounded: 12/query
+      val cand = graft.plans.TopKPerKey(scoredAll, Seq("query_id"),
+        Seq($"d2".asc, $"cid".asc), k = 12).persist()
+      var selected = graft.plans.TopKPerKey(
+          cand.select($"query_id", $"cid", $"d2"),
+          Seq("query_id"), Seq($"d2".asc, $"cid".asc), k = 1)
+        .select($"query_id", $"cid", $"d2", lit(1).as("step"))
+      for (st <- 2 to 4) {
+        val selV = selected.select($"query_id", $"cid".as("scid"))
+          .join(cand.select($"query_id", $"cid".as("scid"),
+            $"mil".as("smil")), Seq("query_id", "scid"))
+        val remaining = cand.join(
+          selected.select($"query_id", $"cid"),
+          Seq("query_id", "cid"), "left_anti")
+        val scores = remaining.join(selV, Seq("query_id"))
+          .select($"query_id", $"cid", $"d2",
+            dist($"mil", $"smil").as("pd2"))
+          .groupBy($"query_id", $"cid", $"d2")
+          .agg(min($"pd2").as("minSel"))
+          .select($"query_id", $"cid", $"d2",
+            (lit(3L) * $"minSel" - lit(7L) * $"d2").as("score"))
+        val pick = graft.plans.TopKPerKey(scores, Seq("query_id"),
+            Seq($"score".desc, $"cid".asc), k = 1)
+          .select($"query_id", $"cid", $"d2", lit(st).as("step"))
+        selected = selected.unionByName(pick)
+      }
+      selected
+        .select($"query_id", $"step", $"cid".as("vec_id"),
+          $"d2".as("d2_query"))
+        .orderBy($"query_id", $"step")
+    }),
+
+    // FD-VIOLATION REPAIR — the data-cleaning pass beside the
+    // expectations report (q102) and FD profiling: a denormalized
+    // fact carries a redundant attribute that must be functionally
+    // determined by its key (custkey → nation), a deterministic
+    // corruption plants conflicting claims, and the repair picks each
+    // key's MAJORITY value (count desc, value asc — the
+    // HoloClean-style voting baseline). Scale shape: one
+    // (key, claim) count aggregate, one per-key argmax over a
+    // struct max (no sort, no window over the fact), one broadcast-
+    // size rollup — the fact shuffles once, on its key.
+    "q322_fd_repair" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey".cast("long").as("nat"))
+      val claims = Tables.orders(s, d)
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .select($"o_custkey".as("k"),
+          when($"o_orderkey" % 97 === 0,
+            ($"nat" + 1 + $"o_orderkey" % 7) % 25)
+            .otherwise($"nat").as("claim"))
+      val counted = claims.groupBy($"k", $"claim")
+        .agg(count(lit(1)).as("cnt"))
+      val majority = counted.groupBy($"k")
+        .agg(max(struct($"cnt", (-$"claim").as("negc"))).as("m"))
+        .select($"k", (-$"m.negc").as("maj"))
+      counted.join(majority, Seq("k"))
+        .groupBy($"maj".as("nation"))
+        .agg(countDistinct($"k").as("n_keys"),
+          sum($"cnt").as("n_rows"),
+          sum(when($"claim" =!= $"maj", $"cnt").otherwise(0L))
+            .as("n_repaired_rows"))
+        .orderBy($"nation")
     })
   )
 
@@ -17313,7 +17404,89 @@ object SparkEntry {
         |    / 10000.0 AS recall_at_5
         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
         |LEFT JOIN hits ON q.vec_id = hits.query_id
-        |ORDER BY query_id""".stripMargin
+        |ORDER BY query_id""".stripMargin,
+
+    // q321: the greedy MMR chain replayed in a recursive CTE that
+    // carries the selected set as a list; arg_min/arg_max on composite
+    // integer keys (score·1e6 ± cid) reproduce the exact tie-breaks.
+    "q321_mmr_rerank" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+        |    AS mil
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, mil AS qmil FROM e
+        |  WHERE vec_id < 5),
+        |d2q AS (
+        |  SELECT q.query_id, e.vec_id AS cid, e.mil,
+        |    list_sum(list_transform(range(1, len(qmil) + 1),
+        |      i -> (qmil[CAST(i AS INT)] - mil[CAST(i AS INT)])
+        |        * (qmil[CAST(i AS INT)] - mil[CAST(i AS INT)]))) AS d2
+        |  FROM q, e WHERE e.vec_id <> q.query_id),
+        |cand AS (
+        |  SELECT query_id, cid, mil, CAST(d2 AS BIGINT) AS d2
+        |  FROM d2q
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d2, cid) <= 12),
+        |pairs AS (
+        |  SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+        |    CAST(list_sum(list_transform(range(1, len(a.mil) + 1),
+        |      i -> (a.mil[CAST(i AS INT)] - b.mil[CAST(i AS INT)])
+        |        * (a.mil[CAST(i AS INT)] - b.mil[CAST(i AS INT)])))
+        |      AS BIGINT) AS d2
+        |  FROM cand a JOIN cand b
+        |    ON a.query_id = b.query_id AND a.cid <> b.cid),
+        |sel AS (
+        |  SELECT query_id, 1 AS step,
+        |    arg_min(cid, d2 * 1000000 + cid) AS pick,
+        |    [arg_min(cid, d2 * 1000000 + cid)] AS selset
+        |  FROM cand GROUP BY query_id
+        |  UNION ALL
+        |  SELECT query_id, step + 1, pick,
+        |    list_append(selset, pick) FROM (
+        |    WITH scores AS (
+        |      SELECT s.query_id, s.step, s.selset, c.cid,
+        |        3 * min(p.d2) - 7 * min(c.d2) AS score
+        |      FROM sel s
+        |      JOIN cand c ON c.query_id = s.query_id
+        |        AND NOT list_contains(s.selset, c.cid)
+        |      JOIN pairs p ON p.query_id = c.query_id
+        |        AND p.ca = c.cid AND list_contains(s.selset, p.cb)
+        |      WHERE s.step < 4
+        |      GROUP BY s.query_id, s.step, s.selset, c.cid)
+        |    SELECT query_id, step, selset,
+        |      arg_max(cid, score * 1000000 - cid) AS pick
+        |    FROM scores GROUP BY query_id, step, selset) t)
+        |SELECT sel.query_id AS query_id, CAST(sel.step AS INT) AS step,
+        |  sel.pick AS vec_id, cand.d2 AS d2_query
+        |FROM sel JOIN cand
+        |  ON cand.query_id = sel.query_id AND cand.cid = sel.pick
+        |ORDER BY sel.query_id, step""".stripMargin,
+
+    // q322: same planted corruption, same majority vote — the argmax
+    // tie-break (count desc, claim asc) spelled as the composite
+    // integer key cnt·100 − claim (claims are < 25 < 100).
+    "q322_fd_repair" ->
+      """WITH claims AS (
+        |  SELECT o_custkey AS k,
+        |    CASE WHEN o_orderkey % 97 = 0
+        |      THEN (CAST(c_nationkey AS BIGINT) + 1 + o_orderkey % 7)
+        |        % 25
+        |      ELSE CAST(c_nationkey AS BIGINT) END AS claim
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |counted AS (
+        |  SELECT k, claim, count(*) AS cnt
+        |  FROM claims GROUP BY k, claim),
+        |majority AS (
+        |  SELECT k, arg_max(claim, cnt * 100 - claim) AS maj
+        |  FROM counted GROUP BY k)
+        |SELECT maj AS nation,
+        |  CAST(count(DISTINCT counted.k) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN claim <> maj THEN cnt ELSE 0 END)
+        |    AS BIGINT) AS n_repaired_rows
+        |FROM counted JOIN majority ON counted.k = majority.k
+        |GROUP BY maj ORDER BY nation""".stripMargin
   )
 
   /** q315's oracle — replays [[graft.operators.Tokenize.tokenizeWord]]
