@@ -449,4 +449,43 @@ class MultimodalSpec extends SparkSpec {
       assert(r.luma_sum === exp, s"frame ${r.frame_idx}") // EXACT
     }
   }
+
+  test("routeMixedFeatures: the six codecs are mutually exclusive — " +
+      "each fixture payload is claimed by exactly its own decoder") {
+    import graft.functions._
+    val payloads: Seq[(String, Array[Byte])] = Seq(
+      "bmp" -> BmpPixels.encode(8, 6, (x, y) => (x * 7 % 256, y, x)),
+      "pcm" -> WavPcm.encode(8000, 1, 20, (t, _) => t * 100 - 800),
+      "gif" -> GifPixels.encodeGray(8, 6, (x, y) => (x * 3 + y * 7) % 256),
+      "qoi" -> QoiPixels.encodeRgb(6, 6, (x, y) => (x * 5, y * 3, x + y)),
+      "ulaw" -> G711Wav.encode(mu = true, 8000, 1, 20, (t, _) => t % 256),
+      "alaw" -> G711Wav.encode(mu = false, 8000, 1, 20, (t, _) => t % 256),
+      "rle8" -> Rle8Avi.encode(16, 8,
+        Seq(Rle8Avi.Full((x, y) => (x * 3 + y * 5) % 200))))
+    // direct decoder-level exclusivity: every payload decodes under its
+    // own codec and under NO other of the six
+    for ((fmt, b) <- payloads) {
+      val claims = Seq(
+        "bmp" -> BmpPixels.decode(b).isDefined,
+        "pcm" -> WavPcm.decode(b).isDefined,
+        "gif" -> GifPixels.decode(b).isDefined,
+        "qoi" -> QoiPixels.decode(b).isDefined,
+        "g711" -> G711Wav.decode(b).isDefined,
+        "rle8" -> Rle8Avi.decode(b).isDefined)
+      val expected = if (fmt == "ulaw" || fmt == "alaw") "g711" else fmt
+      assert(claims.collect { case (f, true) => f } === Seq(expected),
+        s"payload $fmt claimed by: ${claims.filter(_._2).map(_._1)}")
+    }
+    // and through the Spark router: one row per payload, right fmt
+    val df = payloads.zipWithIndex
+      .map { case ((f, b), i) => (i.toLong, f, b) }
+      .toDF("id", "expected", "payload")
+    val routed = Multimodal.routeMixedFeatures(df, "id", "payload")
+      .toDF().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(routed.size === payloads.size)
+    for (((f, _), i) <- payloads.zipWithIndex) {
+      val exp = if (f == "pcm") "pcm" else f
+      assert(routed(i.toLong) === exp, s"row $i")
+    }
+  }
 }
