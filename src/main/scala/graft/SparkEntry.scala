@@ -9182,6 +9182,105 @@ object SparkEntry {
           sum(when($"claim" =!= $"maj", $"cnt").otherwise(0L))
             .as("n_repaired_rows"))
         .orderBy($"nation")
+    }),
+
+    // DIFFERENCE-IN-DIFFERENCES — the workhorse causal estimator
+    // beside CUPED (q140-era): treatment group × pre/post period cell
+    // means on exact integer cents, estimate = (postT − preT) −
+    // (postC − preC). One scan, one 4-group aggregate, one 1-row
+    // reduction — each mean is an exact-integer ratio divided once,
+    // so the whole readout (estimate included) is deterministic on
+    // both engines. Output = the four cells plus the 'did' row, all
+    // at the same (cell, n_orders, value) grain.
+    "q323_diff_in_diff" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .join(Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .select(
+          when($"c_nationkey" < 12, lit("treat")).otherwise(lit("ctrl"))
+            .as("grp"),
+          when($"o_orderdate" >= lit("1998-01-01").cast("timestamp"),
+            lit("post")).otherwise(lit("pre")).as("period"),
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+        .groupBy($"grp", $"period")
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").as("sc"))
+        .select($"grp", $"period", $"n_orders",
+          ($"sc".cast("double") / $"n_orders").as("mean_cents"))
+      val w = cells.agg(
+        max(when($"grp" === "treat" && $"period" === "pre",
+          $"mean_cents")).as("tp"),
+        max(when($"grp" === "treat" && $"period" === "post",
+          $"mean_cents")).as("ta"),
+        max(when($"grp" === "ctrl" && $"period" === "pre",
+          $"mean_cents")).as("cp"),
+        max(when($"grp" === "ctrl" && $"period" === "post",
+          $"mean_cents")).as("ca"),
+        sum($"n_orders").as("n"))
+      cells
+        .select(concat($"period", lit("_"), $"grp").as("cell"),
+          $"n_orders", Fns.roundU($"mean_cents", 4).as("value"))
+        .unionByName(w.select(lit("did").as("cell"),
+          $"n".as("n_orders"),
+          Fns.roundU(($"ta" - $"tp") - ($"ca" - $"cp"), 4).as("value")))
+        .orderBy($"cell")
+    }),
+
+    // INTEGER HAAR WAVELET (S-transform) — the multi-resolution
+    // member of the signal tier beside q269's FIR and q296's RMS
+    // windows: per-nation spend series (32 buckets, exact cents)
+    // through 3 levels of the LIFTING scheme — d_i = a−b, s_i =
+    // b + (d_i >> 1) — which is exactly invertible in integers (the
+    // compression/denoising transform). The Spark side is pure
+    // Column array arithmetic inside one projection (shiftright is
+    // the arithmetic shift, exact at ANY magnitude); the oracle
+    // replays the lifting with the shift spelled floor(d/2.0)
+    // (exact below 2^53 — these SFs' cent sums are ≤ ~1e11; the
+    // q305 >>-vs-truncating-division lesson applied). Per-level
+    // detail energy (Σ|d|) and the final approx checksum pin every
+    // coefficient.
+    "q324_haar_dwt" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey".as("nation"),
+          ($"o_orderkey" % 32).as("b"))
+        .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("sc"))
+      val arr = base.groupBy($"nation")
+        .agg(map_from_entries(collect_list(struct($"b", $"sc")))
+          .as("m"))
+        .select($"nation", transform(sequence(lit(0L), lit(31L)),
+          i => coalesce(element_at($"m", i), lit(0L))).as("s0"))
+      def dOf(sv: Column, half: Int): Column =
+        transform(sequence(lit(0), lit(half - 1)), i =>
+          element_at(sv, i * 2 + 1) - element_at(sv, i * 2 + 2))
+      def sOf(sv: Column, half: Int): Column =
+        transform(sequence(lit(0), lit(half - 1)), i =>
+          element_at(sv, i * 2 + 2) + shiftright(
+            element_at(sv, i * 2 + 1) - element_at(sv, i * 2 + 2), 1))
+      val lifted = arr
+        .withColumn("d1", dOf($"s0", 16)).withColumn("s1", sOf($"s0", 16))
+        .withColumn("d2", dOf($"s1", 8)).withColumn("s2", sOf($"s1", 8))
+        .withColumn("d3", dOf($"s2", 4)).withColumn("s3", sOf($"s2", 4))
+      def sumAbs(c: Column): Column =
+        aggregate(c, lit(0L), (acc, x) => acc + abs(x))
+      val nullCk = lit(null).cast("long")
+      lifted.select($"nation", explode(array(
+          struct(lit(1).as("level"), lit(16).as("n_coeffs"),
+            sumAbs($"d1").as("sum_abs_d"), nullCk.as("approx_ck")),
+          struct(lit(2).as("level"), lit(8).as("n_coeffs"),
+            sumAbs($"d2").as("sum_abs_d"), nullCk.as("approx_ck")),
+          struct(lit(3).as("level"), lit(4).as("n_coeffs"),
+            sumAbs($"d3").as("sum_abs_d"),
+            aggregate(zip_with($"s3",
+              sequence(lit(1L), lit(4L)), (v, i) => v * i),
+              lit(0L), (acc, x) => acc + x).as("approx_ck"))))
+          .as("r"))
+        .select($"nation", $"r.level", $"r.n_coeffs", $"r.sum_abs_d",
+          $"r.approx_ck")
+        .orderBy($"nation", $"level")
     })
   )
 
@@ -17486,7 +17585,115 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN claim <> maj THEN cnt ELSE 0 END)
         |    AS BIGINT) AS n_repaired_rows
         |FROM counted JOIN majority ON counted.k = majority.k
-        |GROUP BY maj ORDER BY nation""".stripMargin
+        |GROUP BY maj ORDER BY nation""".stripMargin,
+
+    "q323_diff_in_diff" ->
+      """WITH j AS (
+        |  SELECT CASE WHEN c_nationkey < 12 THEN 'treat'
+        |      ELSE 'ctrl' END AS grp,
+        |    CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      THEN 'post' ELSE 'pre' END AS period,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (
+        |  SELECT grp, period, count(*) AS n_orders,
+        |    CAST(sum(cents) AS DOUBLE) / count(*) AS mean_cents
+        |  FROM j GROUP BY grp, period),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN grp = 'treat' AND period = 'pre'
+        |      THEN mean_cents END) AS tp,
+        |    max(CASE WHEN grp = 'treat' AND period = 'post'
+        |      THEN mean_cents END) AS ta,
+        |    max(CASE WHEN grp = 'ctrl' AND period = 'pre'
+        |      THEN mean_cents END) AS cp,
+        |    max(CASE WHEN grp = 'ctrl' AND period = 'post'
+        |      THEN mean_cents END) AS ca,
+        |    CAST(sum(n_orders) AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT period || '_' || grp AS cell,
+        |  CAST(n_orders AS BIGINT) AS n_orders,
+        |  floor(mean_cents * 10000 + 0.5) / 10000.0 AS value
+        |FROM cells
+        |UNION ALL
+        |SELECT 'did', n,
+        |  floor(((ta - tp) - (ca - cp)) * 10000 + 0.5) / 10000.0
+        |FROM w
+        |ORDER BY cell""".stripMargin,
+
+    // q324: the lifting replayed with the arithmetic shift spelled
+    // floor(d/2.0) — exact below 2^53, which these SFs' cent sums
+    // respect (the Spark side's shiftright is exact at any scale).
+    "q324_haar_dwt" ->
+      """WITH nb AS (
+        |  SELECT c_nationkey AS nation, o_orderkey % 32 AS b,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS sc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT n.nation, r.i AS b
+        |  FROM (SELECT DISTINCT nation FROM nb) n,
+        |    unnest(range(0, 32)) r(i)),
+        |dense AS (
+        |  SELECT spine.nation, spine.b, coalesce(sc, 0) AS v
+        |  FROM spine LEFT JOIN nb
+        |    ON spine.nation = nb.nation AND spine.b = nb.b),
+        |arr AS (
+        |  SELECT nation, list(v ORDER BY b) AS s0
+        |  FROM dense GROUP BY nation),
+        |l1 AS (
+        |  SELECT nation,
+        |    list_transform(range(0, 16), i ->
+        |      s0[2 * CAST(i AS INT) + 1] - s0[2 * CAST(i AS INT) + 2])
+        |      AS d1,
+        |    list_transform(range(0, 16), i ->
+        |      s0[2 * CAST(i AS INT) + 2] + CAST(floor(
+        |        (s0[2 * CAST(i AS INT) + 1]
+        |          - s0[2 * CAST(i AS INT) + 2]) / 2.0) AS BIGINT))
+        |      AS s1
+        |  FROM arr),
+        |l2 AS (
+        |  SELECT nation,
+        |    list_transform(range(0, 8), i ->
+        |      s1[2 * CAST(i AS INT) + 1] - s1[2 * CAST(i AS INT) + 2])
+        |      AS d2,
+        |    list_transform(range(0, 8), i ->
+        |      s1[2 * CAST(i AS INT) + 2] + CAST(floor(
+        |        (s1[2 * CAST(i AS INT) + 1]
+        |          - s1[2 * CAST(i AS INT) + 2]) / 2.0) AS BIGINT))
+        |      AS s2
+        |  FROM l1),
+        |l3 AS (
+        |  SELECT nation,
+        |    list_transform(range(0, 4), i ->
+        |      s2[2 * CAST(i AS INT) + 1] - s2[2 * CAST(i AS INT) + 2])
+        |      AS d3,
+        |    list_transform(range(0, 4), i ->
+        |      s2[2 * CAST(i AS INT) + 2] + CAST(floor(
+        |        (s2[2 * CAST(i AS INT) + 1]
+        |          - s2[2 * CAST(i AS INT) + 2]) / 2.0) AS BIGINT))
+        |      AS s3
+        |  FROM l2),
+        |u AS (
+        |  SELECT nation, 1 AS level, 16 AS n_coeffs,
+        |    CAST(list_sum(list_transform(d1, x -> abs(x)))
+        |      AS BIGINT) AS sum_abs_d,
+        |    CAST(NULL AS BIGINT) AS approx_ck
+        |  FROM l1
+        |  UNION ALL
+        |  SELECT nation, 2, 8,
+        |    CAST(list_sum(list_transform(d2, x -> abs(x))) AS BIGINT),
+        |    CAST(NULL AS BIGINT)
+        |  FROM l2
+        |  UNION ALL
+        |  SELECT l3.nation, 3, 4,
+        |    CAST(list_sum(list_transform(d3, x -> abs(x))) AS BIGINT),
+        |    CAST(list_sum(list_transform(range(1, 5),
+        |      i -> s3[CAST(i AS INT)] * i)) AS BIGINT)
+        |  FROM l3)
+        |SELECT nation, level, n_coeffs, sum_abs_d, approx_ck
+        |FROM u ORDER BY nation, level""".stripMargin
   )
 
   /** q315's oracle — replays [[graft.operators.Tokenize.tokenizeWord]]
