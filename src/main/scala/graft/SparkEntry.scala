@@ -9281,6 +9281,45 @@ object SparkEntry {
         .select($"nation", $"r.level", $"r.n_coeffs", $"r.sum_abs_d",
           $"r.approx_ck")
         .orderBy($"nation", $"level")
+    }),
+
+    // N-GRAM NOVELTY — the memorization-risk audit beside the dedup
+    // family: per document, the fraction of its DISTINCT char-8-grams
+    // that appear in no other document (novel) vs shared with the
+    // rest of the corpus. Dedup asks "is this doc a copy"; novelty
+    // asks "how much of this doc is boilerplate" — the signal
+    // memorization/contamination screens key on. Portable polynomial
+    // gram hash (the q309 scheme) so the whole audit sits under the
+    // DuckDB oracle. Scale shape: distinct (doc, gram) pairs → one
+    // count-by-gram aggregate (map-side partial) → one co-partitioned
+    // join back on the gram hash → per-doc rollup; every stage is
+    // linear in grams and shuffles on the gram key only once.
+    "q325_ngram_novelty" -> ((s, d) => {
+      def gramHash(t: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        (0 until 8).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+          (h, o) => (h * 257 + ascii(t.substr(lit(1 + o), lit(1)))
+            .cast("long")) % 1000000007L
+        }
+      val grams = Tables.documents(s, d)
+        .filter($"text".isNotNull && length($"text") >= 8)
+        .select($"doc_id", substring($"text", 1, 200).as("__t"))
+        .select($"doc_id",
+          explode(sequence(lit(1), length($"__t") - 7)).as("__i"),
+          $"__t")
+        .select($"doc_id",
+          gramHash($"__t".substr($"__i", lit(8))).as("__h"))
+        .distinct()
+      val freq = grams.groupBy($"__h")
+        .agg(count(lit(1)).as("__nd"))
+      grams.join(freq, Seq("__h"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"__nd" === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_grams", $"n_novel",
+          Fns.roundU($"n_novel".cast("double") / $"n_grams", 4)
+            .as("novelty"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -17693,7 +17732,31 @@ object SparkEntry {
         |      i -> s3[CAST(i AS INT)] * i)) AS BIGINT)
         |  FROM l3)
         |SELECT nation, level, n_coeffs, sum_abs_d, approx_ck
-        |FROM u ORDER BY nation, level""".stripMargin
+        |FROM u ORDER BY nation, level""".stripMargin,
+
+    // q325: the same portable gram hash (q309/q313 scheme), same
+    // distinct-gram novelty accounting.
+    "q325_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 200) AS s
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 8),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_reduce(list_transform(range(i, i + 8),
+        |      p -> CAST(ascii(substr(s, CAST(p AS INT), 1))
+        |        AS BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 1000000007) AS h
+        |  FROM t, unnest(range(1, length(s) - 7 + 1)) u(i)),
+        |freq AS (SELECT h, count(*) AS nd FROM g GROUP BY h)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  floor(CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS novelty
+        |FROM g JOIN freq USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** q315's oracle — replays [[graft.operators.Tokenize.tokenizeWord]]
