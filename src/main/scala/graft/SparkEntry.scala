@@ -9310,15 +9310,24 @@ object SparkEntry {
         .select($"doc_id",
           gramHash($"__t".substr($"__i", lit(8))).as("__h"))
         .distinct()
-      val freq = grams.groupBy($"__h")
-        .agg(count(lit(1)).as("__nd"))
-      grams.join(freq, Seq("__h"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when($"__nd" === 1, 1L).otherwise(0L)).as("n_novel"))
-        .select($"doc_id", $"n_grams", $"n_novel",
-          Fns.roundU($"n_novel".cast("double") / $"n_grams", 4)
-            .as("novelty"))
+      // a NOVEL gram (count 1) has exactly one owner, so min(doc_id)
+      // inside the frequency aggregate IS that owner — this replaces
+      // the gram-key join back (big-big at corpus scale) with two
+      // doc-keyed aggregates and one doc-keyed (small-small) join:
+      // one standalone sf0.1 run each, ~8 s → ~3 s (Verify wall
+      // 31.0 → 26.3 s over a ~23 s fixed floor)
+      val perDoc = grams.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"))
+      val novel = grams.groupBy($"__h")
+        .agg(count(lit(1)).as("__nd"), min($"doc_id").as("__doc"))
+        .filter($"__nd" === 1)
+        .groupBy($"__doc".as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_grams",
+          coalesce($"n_novel", lit(0L)).as("n_novel"),
+          Fns.roundU(coalesce($"n_novel", lit(0L)).cast("double")
+            / $"n_grams", 4).as("novelty"))
         .orderBy($"doc_id")
     })
   )
