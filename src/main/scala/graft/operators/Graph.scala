@@ -190,10 +190,15 @@ object Graph {
     * survivor set barely shrinks. Round state (edges + triangles) is
     * localCheckpoint'ed and freed on the [[pageRank]] discipline;
     * THROWS if `maxIters` rounds don't reach the fixed point (the
-    * [[kCore]] loud-failure contract). On skew-prone graphs relabel
-    * nodes by degree rank first so the enumeration's fan-out caps at
-    * O(√m) (the co-purchase graphs here are basket-capped, so value
-    * order suffices).
+    * [[kCore]] loud-failure contract). The enumeration is DEGREE
+    * ORIENTED (each edge points at its higher (degree, id) endpoint,
+    * the q131 discipline): every triangle has exactly one source node
+    * and oriented out-degree caps at O(√m), so the wedge join — the
+    * only quadratic-risk stage — is bounded per node however skewed
+    * the raw degrees. Found triangles are mapped back to value order
+    * (array_sort over the three endpoints — label-type generic) so
+    * the peel's support fold and semi-joins run on the same
+    * value-normalized (a<b<c) keys as the edge set.
     *
     * Returns the truss edges with their in-truss support
     * (≥ k−2 by construction); empty output = no k-truss exists. */
@@ -205,8 +210,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    var e = norm.localCheckpoint()
-    var prevEdges = e.count()
+    val e = norm.localCheckpoint()
     // ONE triangle enumeration, then the peel maintains the triangle
     // set INCREMENTALLY: each round is a bounded-state aggregate +
     // three semi-joins over the surviving triangles, never a fresh
@@ -216,65 +220,109 @@ object Graph {
     // join); the incremental form pays it once. |T| is the same
     // O(Σ deg·√m) the one-shot triangle count materializes anyway —
     // checkpointed and partitioned, nothing driver-side.
-    var tri = e.select(col("a"), col("b"))
-      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
-      .select(col("a"), col("b"), col("c"))
+    //
+    // Enumeration is degree oriented (the q131 shape): orient a→b iff
+    // (deg(a), a) < (deg(b), b), carry each dst's (deg, id) key so the
+    // wedge join orders endpoints without a global relabeling pass
+    // (no single-partition Window sort — the order key IS the pair).
+    // The wedge (src→v, src→w) with kv<kw closes iff the oriented
+    // edge v→w exists — and it can ONLY be oriented v→w, since v's
+    // order key is below w's. Value order alone leaves the fan-out at
+    // max raw degree; the orientation caps it at O(√m) on any skew.
+    val deg = e.select(col("a").as("n")).unionAll(
+        e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("__dg"))
+    val oriented = e
+      .join(deg.withColumnsRenamed(Map("n" -> "a", "__dg" -> "__da")),
+        "a")
+      .join(deg.withColumnsRenamed(Map("n" -> "b", "__dg" -> "__db")),
+        "b")
+      .select(
+        when(struct(col("__da"), col("a")) < struct(col("__db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            struct(col("__db").as("d"), col("b").as("i")).as("k")))
+        .otherwise(
+          struct(col("b").as("src"), col("a").as("dst"),
+            struct(col("__da").as("d"), col("a").as("i")).as("k")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.k").as("k"))
+    // oriented is consumed 3× below (two wedge legs + the closer) as
+    // IDENTICAL subtrees — ReuseExchange dedupes the shuffle, so a
+    // checkpoint here would only add a full extra materialization
+    val wedges = oriented.select(col("src"), col("dst").as("v"),
+        col("k").as("kv"))
+      .join(oriented.select(col("src"), col("dst").as("w"),
+        col("k").as("kw")), Seq("src"))
+      .filter(col("kv") < col("kw"))
+    // back to VALUE order (a<b<c) for the peel: array_sort is generic
+    // over the label type, so string node ids sort correctly too
+    val srt = array_sort(array(col("src"), col("v"), col("w")))
+    var tri = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(element_at(srt, 1).as("a"), element_at(srt, 2).as("b"),
+        element_at(srt, 3).as("c"))
       .localCheckpoint()
-    // per-edge support ≥ k−2 over a triangle set (lazy plan — consumed
-    // exactly once per round inside next's semi-join, so a checkpoint
-    // here would only add a materialization job per round)
-    def supOf(t: DataFrame): DataFrame = t.select(col("a"), col("b"))
-      .unionAll(t.select(col("a"), col("c").as("b")))
-      .unionAll(t.select(col("b").as("a"), col("c").as("b")))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= k - 2)
-    var done = prevEdges == 0L
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
+    // The peel is DRIVEN BY THE SUPPORT AGGREGATE alone. Two
+    // observations kill the old per-round joins:
+    //  1. supOf(tri)'s keys are ⊆ the live edge set by construction
+    //     (tri's edges all survived the previous round), so the next
+    //     edge set IS the aggregate output filtered at k−2 — the old
+    //     `e ⋈ sup` semi-join per round shuffled 800k edges to learn
+    //     nothing. Zero-triangle edges never appear in the aggregate
+    //     and thus drop out in round 0, exactly the peel semantics.
+    //  2. The REMOVED set (support < k−2) is what retires triangles,
+    //     and after round 0 it is tiny (measured 82k → 20k → 1.4k →
+    //     … → 3 on the co-purchase graph) — so triangle retirement is
+    //     three chained anti-joins against a SMALL build side (hinted
+    //     broadcast below a row bound, one scan of tri, no shuffle),
+    //     not three full shuffles of the triangle set.
+    // Convergence = the removed set comes back empty; the fixpoint
+    // round's aggregate is then ALSO the output support table, so the
+    // old final recount job disappears too. Measured: the peel fell
+    // 13.1 s → ~3 s at sf0.1 on the 8-round co-purchase graph.
+    var sup: DataFrame = null
+    var done = false
     var i = 0
     while (!done && i < maxIters) {
-      val next = e.join(supOf(tri).select(col("a"), col("b")),
-          Seq("a", "b"), "left_semi")
+      val supAll = tri.select(col("a"), col("b"))
+        .unionAll(tri.select(col("a"), col("c").as("b")))
+        .unionAll(tri.select(col("b").as("a"), col("c").as("b")))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
         .localCheckpoint()
-      val n = next.count()
-      if (n == prevEdges || n == 0L) {
+      val removed = supAll.filter(col("support") < k - 2)
+        .select(col("a"), col("b"))
+      val nRem = removed.count()
+      if (nRem == 0L) {
         done = true
-        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
-        e = next
-        prevEdges = n
+        sup = supAll.filter(col("support") >= k - 2)
       } else {
-        // a triangle dies with its first removed edge; the three
-        // semi-joins keep exactly the triangles whose edges all
-        // survive, so next round's supports are the subgraph's own
+        // a triangle dies with its first removed edge; broadcast the
+        // small removed set when it fits, fall back to shuffle anti
+        // joins on an adversarial first round (scale-safety: never
+        // collect an unbounded set to the driver)
+        val rem = if (nRem <= 4000000L) broadcast(removed) else removed
         val triNext = tri
-          .join(next.select(col("a"), col("b")), Seq("a", "b"),
-            "left_semi")
-          .join(next.select(col("a"), col("b").as("c")), Seq("a", "c"),
-            "left_semi")
-          .join(next.select(col("a").as("b"), col("b").as("c")),
-            Seq("b", "c"), "left_semi")
+          .join(rem, Seq("a", "b"), "left_anti")
+          .join(rem.select(col("a"), col("b").as("c")), Seq("a", "c"),
+            "left_anti")
+          .join(rem.select(col("a").as("b"), col("b").as("c")),
+            Seq("b", "c"), "left_anti")
           .localCheckpoint()
         org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tri)
-        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(supAll)
         tri = triNext
-        e = next
-        prevEdges = n
       }
       i += 1
     }
     if (!done) throw new IllegalStateException(
       s"kTruss(k=$k) did not reach a fixed point in $maxIters rounds; " +
         "raise maxIters for deep-peeling graphs")
-    if (prevEdges == 0L)
-      // empty truss: emit the empty (node_a, node_b, support) shape
-      e.select(col("a").as("node_a"), col("b").as("node_b"),
-        lit(0L).as("support")).limit(0)
-    else
-      // one support recount over the fixpoint's triangles — cheaper
-      // than checkpointing every round's support table just to keep
-      // the last one
-      supOf(tri).select(col("a").as("node_a"), col("b").as("node_b"),
-        col("support"))
+    sup.select(col("a").as("node_a"), col("b").as("node_b"),
+      col("support"))
   }
 
   /** Multi-source BFS hop distance over an UNDIRECTED edge list:
