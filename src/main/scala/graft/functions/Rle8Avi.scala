@@ -56,18 +56,29 @@ object Rle8Avi {
     new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
 
   /** (width, height, frame chunk ranges) from the RIFF walk: the strf
-    * BITMAPINFOHEADER (8 bpp, biCompression=1, bottom-up) anywhere
-    * under hdrl, the '##dc' chunks under movi (one level of 'rec '
-    * nesting allowed). None unless both are present and valid. */
+    * BITMAPINFOHEADER (8 bpp, biCompression=1, bottom-up) bound to the
+    * FIRST 'vids'/'MRLE' strh (a later audio/second-stream strf can
+    * neither overwrite w/h nor reject the file), the compressed '##dc'
+    * chunks under movi ('##db' is an UNCOMPRESSED DIB — never an RLE8
+    * frame). LIST nesting is DEPTH-BOUNDED: valid AVIs need 3 levels
+    * (RIFF → hdrl/movi → strl/'rec '), so the walk stops past depth 4
+    * rather than recursing into a crafted payload of thousands of
+    * nested LIST headers (a ~100 KB bomb would otherwise overflow the
+    * stack — 'data, never exceptions' includes adversarial bytes).
+    * None unless both header and frames are present and valid. */
   private def container(b: Array[Byte]): Option[(Int, Int, Seq[(Int, Int)])] = {
     if (b == null || b.length < 24) return None
     if (fourCc(b, 0) != "RIFF" || fourCc(b, 8) != "AVI ") return None
     var w = -1; var h = -1; var badFmt = false
+    // strf binding state: the strf that counts is the one inside the
+    // strl whose strh declares fccType='vids', handler='MRLE'; first
+    // such stream wins and later strf chunks are ignored
+    var expectVideoStrf = false; var bound = false
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     def isFrameId(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
-        id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
-    def walk(from: Long, to: Long, inMovi: Boolean): Unit = {
+        id(2) == 'd' && id(3) == 'c'
+    def walk(from: Long, to: Long, inMovi: Boolean, depth: Int): Unit = {
       var i = from
       while (i + 8 <= to) {
         val at = i.toInt
@@ -76,19 +87,27 @@ object Rle8Avi {
         val end = math.min(to, at + 8 + size)
         if (id == "LIST" && i + 12 <= to) {
           val lt = fourCc(b, at + 8)
-          walk(at + 12L, end, inMovi || lt == "movi")
+          if (depth < 4) walk(at + 12L, end, inMovi || lt == "movi",
+            depth + 1)
+        } else if (id == "strh" && size >= 8 && at + 16 <= b.length) {
+          expectVideoStrf = !bound && fourCc(b, at + 8) == "vids" &&
+            fourCc(b, at + 12) == "MRLE"
         } else if (id == "strf" && size >= 40 && at + 48 <= b.length) {
-          if (le16(b, at + 8 + 14) != 8 || le32(b, at + 8 + 16) != 1)
-            badFmt = true // not 8bpp BI_RLE8
-          else {
-            w = le32(b, at + 8 + 4); h = le32(b, at + 8 + 8)
+          if (expectVideoStrf) {
+            if (le16(b, at + 8 + 14) != 8 || le32(b, at + 8 + 16) != 1)
+              badFmt = true // the MRLE stream's format is not 8bpp BI_RLE8
+            else {
+              w = le32(b, at + 8 + 4); h = le32(b, at + 8 + 8)
+            }
+            bound = true; expectVideoStrf = false
           }
         } else if (inMovi && isFrameId(id) && at + 8 + size <= b.length)
           frames += ((at + 8, size.toInt))
         i += 8 + size + (size & 1)
       }
     }
-    walk(12L, math.min(b.length.toLong, 8L + (le32(b, 4).toLong & 0xffffffffL)), inMovi = false)
+    walk(12L, math.min(b.length.toLong, 8L + (le32(b, 4).toLong & 0xffffffffL)),
+      inMovi = false, depth = 1)
     if (badFmt || w <= 0 || h <= 0 || w > 4096 || h > 4096 || frames.isEmpty)
       None
     else Some((w, h, frames.toSeq))

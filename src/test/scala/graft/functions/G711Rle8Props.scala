@@ -203,4 +203,66 @@ object G711Rle8Props extends Properties("graft.g711_rle8") {
         (f * 37 + bx * 11 + by * 29) % 256)
       Rle8Avi.decode(avi).isEmpty
     }
+
+  // --- container-hardening regressions (the round-8 static findings) ---
+
+  private def le32b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def asc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  property("rle8: a 10k-deep nested-LIST bomb decodes to None, no " +
+    "StackOverflow (the walk is depth-bounded)") =
+    org.scalacheck.Prop {
+      // RIFF('AVI ' LIST(x LIST(x LIST(... )))): each nested LIST claims
+      // the rest of the payload — unbounded recursion would take a stack
+      // frame per level
+      val depth = 10000
+      val bos = new java.io.ByteArrayOutputStream()
+      var inner = Array.emptyByteArray
+      // build innermost-out so sizes are consistent
+      for (_ <- 1 to depth)
+        inner = asc("LIST") ++ le32b(inner.length + 4) ++ asc("movi") ++ inner
+      val body = asc("AVI ") ++ inner
+      bos.write(asc("RIFF")); bos.write(le32b(body.length)); bos.write(body)
+      Rle8Avi.decode(bos.toByteArray).isEmpty // no frames → None, no throw
+    }
+
+  property("rle8: a second stream's strf neither overwrites w/h nor " +
+    "rejects the file (strf binds to the first vids/MRLE strh)") =
+    org.scalacheck.Prop {
+      val base = Rle8Avi.encode(8, 4, frames(8, 4, 3, 7L))
+      // append an 'auds' strl whose strf is NOT a BI_RLE8 bitmap header:
+      // pre-fix it would set badFmt (16 bpp ≠ 8) and reject the file
+      val strh = asc("strh") ++ le32b(48) ++ asc("auds") ++ asc("NONE") ++
+        Array.fill(40)(0.toByte)
+      val bogusStrf = asc("strf") ++ le32b(40) ++ le32b(40) ++ le32b(999) ++
+        le32b(999) ++ Array[Byte](1, 0) ++ Array[Byte](16, 0) ++ le32b(0) ++
+        Array.fill(16)(0.toByte)
+      val extra = asc("LIST") ++
+        le32b(4 + strh.length + bogusStrf.length) ++ asc("strl") ++
+        strh ++ bogusStrf
+      // splice before movi: rebuild RIFF = AVI  + hdrl+extra + movi tail
+      // (simplest valid placement: append as a top-level LIST after movi —
+      // the walk visits it either way)
+      val body = java.util.Arrays.copyOfRange(base, 8, base.length) ++ extra
+      val rebuilt = asc("RIFF") ++ le32b(body.length) ++ body
+      val a = Rle8Avi.decode(base); val b = Rle8Avi.decode(rebuilt)
+      b.isDefined && a == b
+    }
+
+  property("rle8: '##db' (uncompressed DIB) chunks are not RLE8 frames") =
+    org.scalacheck.Prop {
+      val base = Rle8Avi.encode(8, 4, frames(8, 4, 2, 11L))
+      // flip every frame id 00dc → 00db: no compressed frames remain
+      val mut = base.clone()
+      var i = 0
+      var flipped = 0
+      while (i + 4 <= mut.length) {
+        if (mut(i) == '0' && mut(i + 1) == '0' && mut(i + 2) == 'd' &&
+            mut(i + 3) == 'c') { mut(i + 3) = 'b'; flipped += 1 }
+        i += 1
+      }
+      flipped == 2 && Rle8Avi.decode(mut).isEmpty
+    }
 }
