@@ -13,9 +13,12 @@ package graft.functions
   * oracle-able: the decoded samples equal the predictor recurrence
   * over the residuals, bit for bit (LPC prediction is pure integer
   * math: a 64-bit coefficient dot product arithmetic-right-shifted by
-  * the quantization shift). Only 32-bit DECORRELATED stereo (the side
-  * channel needs 33 bits — beyond the Int sample domain) still
-  * returns None and routes to the injected-codec seam
+  * the quantization shift). Subframe samples decode in the LONG
+  * domain so decorrelated stereo works at every depth — the side
+  * channel carries bps+1 bits, which at 32-bit depth is a 33-bit
+  * signal past Int range; the reconstructed L/R always fit the
+  * declared ≤32-bit depth again. Nothing FLAC-shaped remains on the
+  * injected-codec seam
   * ([[graft.operators.Multimodal.decodePartitions]]).
   *
   * Everything here is the public FLAC format specification:
@@ -109,6 +112,13 @@ object FlacAudio {
       val v = readBits(n)
       ((v << (64 - n)) >> (64 - n)).toInt // sign-extend
     }
+    // Long-domain signed read: decorrelated stereo carries the side
+    // channel at bps+1, which at a 32-bit depth is 33 bits — past the
+    // Int sample domain, so subframe samples decode as Long throughout
+    def readSignedL(n: Int): Long = {
+      val v = readBits(n)
+      (v << (64 - n)) >> (64 - n)
+    }
     def readUnary(): Int = {
       var q = 0
       while ({ if (bit >= endBit) bail(); true } &&
@@ -128,13 +138,14 @@ object FlacAudio {
   private val FixedCoef: Array[Array[Int]] = Array(
     Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
 
-  /** Decode a 16-bit FLAC stream of 1-8 channels (subframes CONSTANT /
-    * VERBATIM / FIXED / LPC; 3-8 channels independent, stereo either
-    * independent or any of the three inter-channel decorrelation
-    * modes — left/side, right/side, mid/side, the side channel at
-    * bps+1 per spec) to sample statistics over the interleaved sample
-    * stream; None for non-16-bit depths, non-FLAC payloads, CRC
-    * failures, and any corruption. */
+  /** Decode a FLAC stream — 1-8 channels at any standard depth
+    * (8/12/16/20/24/32-bit; subframes CONSTANT / VERBATIM / FIXED /
+    * LPC; 3-8 channels independent, stereo either independent or any
+    * of the three inter-channel decorrelation modes — left/side,
+    * right/side, mid/side, the side channel at bps+1 per spec, which
+    * at 32-bit depth is 33 bits and decodes through the Long sample
+    * domain) to sample statistics over the interleaved sample stream;
+    * None for non-FLAC payloads, CRC failures, and any corruption. */
   def decode(b: Array[Byte]): Option[Features] = {
     if (b == null || b.length < 42) return None
     if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
@@ -205,10 +216,6 @@ object FlacAudio {
           case _ => return None
         }
         if (ssBits != bits) return None
-        // decorrelated stereo carries the side channel at bps+1; at
-        // 32-bit that is 33 bits — beyond the Int sample domain, so
-        // it routes to the injected-codec seam
-        if (chanAsn >= 8 && bits == 32) return None
         i += 4
         // UTF-8-style coded frame number (value unused; length matters)
         val first = b(i) & 0xff
@@ -254,9 +261,10 @@ object FlacAudio {
         // subframes (bit level from here) — one per channel, byte
         // alignment only AFTER the last one; decorrelated side
         // channels carry bps+1 per spec (the side signal l−r needs
-        // 17 bits)
+        // 17 bits at 16-bit depth, 33 at 32-bit — hence the Long
+        // sample domain)
         val br = new BitReader(b, i, b.length)
-        val chans = new Array[Array[Int]](channels)
+        val chans = new Array[Array[Long]](channels)
         var ch = 0
         while (ch < channels) {
           val sideBit = chanAsn match {
@@ -287,7 +295,7 @@ object FlacAudio {
             var t = 0
             while (t < blockSize) {
               val side = chans(1)(t)
-              val m2 = (chans(0)(t) << 1) | (side & 1)
+              val m2 = (chans(0)(t) << 1) | (side & 1L)
               chans(0)(t) = (m2 + side) >> 1
               chans(1)(t) = (m2 - side) >> 1
               t += 1
@@ -307,7 +315,11 @@ object FlacAudio {
         while (s < blockSize) {
           var c = 0
           while (c < channels) {
-            val v = chans(c)(s)
+            // a valid stream's RECONSTRUCTED channels fit the declared
+            // depth (≤ 32 bits) — only the side-channel intermediate
+            // needed the Long domain — so stats stay in the Int range
+            // the Features contract declares
+            val v = chans(c)(s).toInt
             sum += v; sumSq += v.toDouble * v
             val a = math.abs(v); if (a > peak) peak = a
             lastS = v; c += 1
@@ -330,7 +342,7 @@ object FlacAudio {
     * predictor reconstruction) at stream bps `bpsIn`; aborts the
     * parse (→ None at [[decode]]) on any malformation. */
   private def decodeSubframe(br: BitReader, blockSize: Int,
-                             bpsIn: Int): Array[Int] = {
+                             bpsIn: Int): Array[Long] = {
     if (br.readBits(1) != 0L) bail() // padding bit
     val sfType = br.readBits(6).toInt
     val wastedFlag = br.readBits(1)
@@ -339,14 +351,14 @@ object FlacAudio {
       else br.readUnary() + 1 // coded as (wasted-1) in unary
     val bps = bpsIn - wasted
     if (bps <= 0) bail()
-    val samples = new Array[Int](blockSize)
+    val samples = new Array[Long](blockSize)
     if (sfType == 0) {
-      val v = br.readSigned(bps)
+      val v = br.readSignedL(bps)
       java.util.Arrays.fill(samples, v << wasted)
     } else if (sfType == 1) {
       var k = 0
       while (k < blockSize) {
-        samples(k) = br.readSigned(bps) << wasted; k += 1
+        samples(k) = br.readSignedL(bps) << wasted; k += 1
       }
     } else if ((sfType >= 8 && sfType <= 12) ||
         (sfType >= 32 && sfType <= 63)) {
@@ -355,7 +367,7 @@ object FlacAudio {
       if (order > blockSize) bail()
       var k = 0
       while (k < order) {
-        samples(k) = br.readSigned(bps); k += 1
+        samples(k) = br.readSignedL(bps); k += 1
       }
       // LPC parameters: 4-bit quantized-coefficient precision
       // (coded as precision−1; 0b1111 is invalid per spec), 5-bit
@@ -395,7 +407,7 @@ object FlacAudio {
           val raw = br.readBits(5).toInt
           var j = 0
           while (j < n) {
-            val r = if (raw == 0) 0 else br.readSigned(raw)
+            val r = if (raw == 0) 0L else br.readSignedL(raw)
             samples(idx) = r; idx += 1; j += 1
           }
         } else {
@@ -403,7 +415,7 @@ object FlacAudio {
           while (j < n) {
             val q = br.readUnary()
             val m = (q.toLong << param) | br.readBits(param)
-            samples(idx) = ((m >>> 1) ^ -(m & 1L)).toInt
+            samples(idx) = (m >>> 1) ^ -(m & 1L)
             idx += 1; j += 1
           }
         }
@@ -419,7 +431,7 @@ object FlacAudio {
         while (c < order) {
           acc += coef(c).toLong * samples(t - 1 - c); c += 1
         }
-        samples(t) = (samples(t) + (acc >> shift)).toInt
+        samples(t) = samples(t) + (acc >> shift)
         t += 1
       }
       if (wasted > 0) {
@@ -674,32 +686,39 @@ object FlacAudio {
   def encodeStereoVerbatim(sampleRate: Int, blockSize: Int, nFrames: Int,
                            chanAsn: Int,
                            left: (Int, Int) => Int,
-                           right: (Int, Int) => Int): Array[Byte] = {
+                           right: (Int, Int) => Int,
+                           bits: Int = 16): Array[Byte] = {
     require(chanAsn == 1 || (chanAsn >= 8 && chanAsn <= 10),
       "stereo channel assignment")
-    encodeStreamCh(sampleRate, blockSize, nFrames, 2, chanAsn) {
+    // the side channel is bps+1 — a 33-bit field at 32-bit depth, so
+    // all transform arithmetic here runs in Long (l−r on extreme
+    // 32-bit samples overflows Int); the decoder must invert exactly
+    encodeStreamCh(sampleRate, blockSize, nFrames, 2, chanAsn, bits) {
       (bw, f) =>
-        def verbatim(bits: Int, sample: Int => Int): Unit = {
+        def verbatim(width: Int, sample: Int => Long): Unit = {
           bw.writeBits(0, 1); bw.writeBits(1, 6); bw.writeBits(0, 1)
           var t = 0
           while (t < blockSize) {
-            bw.writeBits(sample(t).toLong & ((1L << bits) - 1), bits)
+            val mask = if (width == 64) -1L else (1L << width) - 1
+            bw.writeBits(sample(t) & mask, width)
             t += 1
           }
         }
+        def l(t: Int): Long = left(f, t).toLong
+        def r(t: Int): Long = right(f, t).toLong
         chanAsn match {
           case 1 =>
-            verbatim(16, t => left(f, t))
-            verbatim(16, t => right(f, t))
+            verbatim(bits, l)
+            verbatim(bits, r)
           case 8 => // left + side
-            verbatim(16, t => left(f, t))
-            verbatim(17, t => left(f, t) - right(f, t))
+            verbatim(bits, l)
+            verbatim(bits + 1, t => l(t) - r(t))
           case 9 => // side + right
-            verbatim(17, t => left(f, t) - right(f, t))
-            verbatim(16, t => right(f, t))
+            verbatim(bits + 1, t => l(t) - r(t))
+            verbatim(bits, r)
           case 10 => // mid + side
-            verbatim(16, t => (left(f, t) + right(f, t)) >> 1)
-            verbatim(17, t => left(f, t) - right(f, t))
+            verbatim(bits, t => (l(t) + r(t)) >> 1)
+            verbatim(bits + 1, t => l(t) - r(t))
         }
     }
   }

@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
   *    and G.711 μ-law/A-law audio ([[decodeG711Features]] — lossy
   *    companding, exactly expandable), and MJPEG (per-frame-coded)
   *    plus MS-RLE8 ([[decodeRle8Features]] — INTER-frame-coded)
-  *    video. Only motion-compensated/perceptual TRANSFORM codecs
-  *    (H.264/VP9, MP3/AAC) and non-16-bit FLAC depths keep the
+  *    video. FLAC is real at every standard depth (8–32 bit), channel
+  *    count (1–8) and stereo decorrelation mode, including 32-bit
+  *    decorrelated stereo's 33-bit side channel. Only motion-
+  *    compensated/perceptual TRANSFORM codecs
+  *    (H.264/VP9, MP3/AAC) keep the
   *    DETERMINISTIC FAKE tier (clearly marked `fake*` below):
   *    features derived from xxhash64 of the payload. The surrounding plumbing —
   *    binary representation, schemas, batch shapes, per-partition codec
@@ -387,14 +390,16 @@ object Multimodal {
                             n_samples: Long, mean_amp: Double,
                             rms: Double, peak: Int, last_sample: Int)
 
-  /** REAL sample-tier decode for LOSSLESS compressed audio: mono and
-    * STEREO 16-bit FLAC ([[graft.functions.FlacAudio]] — Rice
-    * decoding, fixed AND quantized-coefficient LPC predictors, all
-    * three inter-channel decorrelation modes, verified CRC-8/CRC-16,
-    * all plain integer/bit arithmetic). Completes the audio
-    * compression triad (PCM uncompressed / ADPCM lossy / FLAC
-    * lossless); only >2-channel layouts and non-16-bit depths route
-    * to [[decodePartitions]]'s injected codec, same batch shape. */
+  /** REAL sample-tier decode for LOSSLESS compressed audio: FLAC at
+    * 1-8 channels and every standard depth (8-32 bit)
+    * ([[graft.functions.FlacAudio]] — Rice decoding, fixed AND
+    * quantized-coefficient LPC predictors, all three inter-channel
+    * decorrelation modes including 32-bit stereo's 33-bit side
+    * channel, verified CRC-8/CRC-16, all plain integer/bit
+    * arithmetic). Completes the audio compression triad (PCM
+    * uncompressed / ADPCM lossy / FLAC lossless); only perceptual
+    * transform codecs (MP3/AAC) route to [[decodePartitions]]'s
+    * injected codec, same batch shape. */
   def decodeFlacFeatures(df: DataFrame, idCol: String, payloadCol: String)
       : Dataset[FlacFeatureRow] = {
     val spark = df.sparkSession

@@ -128,6 +128,36 @@ object FlacAudioProps extends Properties("graft.flac") {
       FlacAudio.decode(b).exists(statsMatch(_, all, 22050, nf))
     }
 
+  property("32-bit stereo: every assignment reconstructs extreme-range " +
+      "l/r exactly (the 33-bit side channel — Long-domain reads)") =
+    forAll(Gen.oneOf(1, 8, 9, 10), Gen.choose(1, 48), Gen.choose(1, 4),
+      Gen.choose(0, 99)) { (asn, bs, nf, seed) =>
+      // parity-alternating extremes: |l − r| ≈ 2^32, so a 32-bit (Int)
+      // side-channel path would wrap and decode WRONG samples while
+      // every CRC still verifies — exactly the bug class under test
+      def l(f: Int, t: Int) = {
+        val x = 1 + math.floorMod(seed * 31 + f * 17 + t * 13, 999)
+        if ((seed + f + t) % 2 == 0) Int.MaxValue - x else Int.MinValue + x
+      }
+      def r(f: Int, t: Int) = {
+        val y = 1 + math.floorMod(seed * 47 + f * 5 + t * 29, 999)
+        if ((seed + f + t) % 2 == 0) Int.MinValue + y else Int.MaxValue - y
+      }
+      val b = FlacAudio.encodeStereoVerbatim(44100, bs, nf, asn, l, r,
+        bits = 32)
+      val all = (0 until nf).flatMap(f =>
+        (0 until bs).flatMap(t => Seq(l(f, t), r(f, t))))
+      // integer-exact fields only (Σv² at 2^62 magnitudes is summation-
+      // order-dependent in doubles; meanAmp's Σv < 2^39 stays exact)
+      var sum = 0.0
+      all.foreach(sum += _)
+      FlacAudio.decode(b).exists(g =>
+        g.bitsPerSample == 32 && g.sampleRate == 44100 &&
+          g.nFrames == nf && g.nSamples == all.size.toLong &&
+          g.meanAmp == sum / all.size &&
+          g.peak == all.map(math.abs).max && g.lastSample == all.last)
+    }
+
   property("the four stereo assignments of the same l/r decode to " +
       "identical features (decorrelation is lossless)") =
     forAll(Gen.choose(1, 32), Gen.choose(1, 3), Gen.choose(0, 99)) {
