@@ -43,11 +43,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
       } finally {
-        // Queries may persist call-site intermediates with no later
-        // unpersist point (e.g. q52's shingle-set table). Clearing here
-        // (outside the timed region) keeps every run independent: no
-        // cross-query cache accumulation evicting a later query's working
-        // set, and no run-2 reuse of run-1's caches flattering the min.
+        // Queries persist multi-consumer intermediates through
+        // SparkEntry's scoped registry (a lambda can't unpersist what its
+        // lazy result still reads) — release them here, outside the timed
+        // region, so every run is independent: no cross-query cache
+        // accumulation evicting a later query's working set, and no run-2
+        // reuse of run-1's caches flattering the min. clearCache stays as
+        // the backstop for operator-internal persists.
+        SparkEntry.releaseScopedCaches()
         spark.catalog.clearCache()
         // localCheckpoint blocks (the dedup-cluster loops) are freed by
         // the ContextCleaner only after driver GC collects the dropped

@@ -22,6 +22,27 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TokenFlows.eventLedger(spark, "/root/testdata/sf0.001")
 
+  // Query-scoped persisted intermediates. A query lambda cannot unpersist
+  // what its (still lazy) result reads, so multi-consumer intermediates
+  // persist through [[scoped]] and the CONSUMER releases them once the
+  // result is materialized — Bench and Verify call [[releaseScopedCaches]]
+  // after every query; external callers should do the same. A queue, not a
+  // set: best-of-2 bench runs build the same query twice, registering two
+  // independent cache handles.
+  private val scopedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private def scoped(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scopedCaches.add(p)
+    p
+  }
+  /** Unpersist every intermediate registered by query builders since the
+    * last call. Safe to call at any time: queries re-persist on rebuild. */
+  def releaseScopedCaches(): Unit = {
+    var d = scopedCaches.poll()
+    while (d != null) { d.unpersist(blocking = false); d = scopedCaches.poll() }
+  }
+
   // ---------------------------------------------------------------------
   // Queries. Names are stable ids the judge matches against SURVEY.md §2.
   // ---------------------------------------------------------------------
@@ -707,7 +728,7 @@ object SparkEntry {
       // (Bench/Verify clear the session cache between queries, which is
       // this table's release point.)
       val sets = Dedup.hashedShingleSets(Tables.documents(s, d),
-        "text", "doc_id", shingleWords = 3).persist(MEMORY_AND_DISK)
+        "text", "doc_id", shingleWords = 3).transform(scoped)
       val cands = Dedup.rareShinglePairsFromSets(sets, maxDf = 10)
       // array-attach verification (hashed-long arrays): this corpus has
       // near-uniform doc lengths, so the (lossless) sizeCompatiblePairs
@@ -852,7 +873,7 @@ object SparkEntry {
       // hashedShingleSets calls would scan and shingle the corpus twice)
       val sets = Dedup.hashedShingleSets(Tables.documents(s, d),
           "text", "doc_id", 3, carryCols = Seq("source"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(scoped)
       val train = sets.filter($"source" =!= "src0").select($"id", $"sh")
       val eval = sets.filter($"source" === "src0").select($"id", $"sh")
       Dedup.containment(train, eval)
@@ -1014,7 +1035,7 @@ object SparkEntry {
           TextAnalysis.tokenCountWs($"text").cast("long"))
       val sets = Dedup.hashedShingleSets(docs, "text", "doc_id",
         shingleWords = 3, carryCols = Seq("n_tok"))
-        .persist(MEMORY_AND_DISK)
+        .transform(scoped)
       val pairSets = sets.select($"id", $"sh")
       val near = Dedup
         .jaccardFromSets(pairSets,
@@ -1135,7 +1156,7 @@ object SparkEntry {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val sets = Dedup.hashedShingleSets(Tables.documents(s, d),
           "text", "doc_id", 3, carryCols = Seq("source"))
-        .persist(MEMORY_AND_DISK)
+        .transform(scoped)
       val pairs = Dedup.crossCorpusPairsFromSets(
         sets.filter($"source" === "src0").select($"id", $"sh"),
         sets.filter($"source" =!= "src0").select($"id", $"sh"),
@@ -1210,7 +1231,7 @@ object SparkEntry {
       // probe selection runs once
       val probed = Similarity.assignCellsMulti(emb, "vec_id", "embedding",
           cents, "cell_id", "cvec", nprobe = 3)
-        .persist(MEMORY_AND_DISK)
+        .transform(scoped)
       val prim = probed.groupBy($"vec_id")
         .agg(max_by($"cell_id", struct($"cell_sim",
             (-$"cell_id").as("__n"))).as("cell_id"),
@@ -1291,7 +1312,7 @@ object SparkEntry {
         TextAnalysis.tokenCountWs($"text").cast("long"))
       val sets = Dedup.hashedShingleSets(docs, "text", "doc_id",
         shingleWords = 3, carryCols = Seq("n_tok"))
-        .persist(MEMORY_AND_DISK)
+        .transform(scoped)
       val pairSets = sets.select($"id", $"sh")
       val near = Dedup
         .jaccardFromSets(pairSets,
@@ -2156,7 +2177,7 @@ object SparkEntry {
       // persisted because three branches (count, supports, pairs)
       // share it within the returned plan; released by the session
       // cache clear Verify/Bench run per query
-      val items = cappedBaskets(s, d, cap = 8).persist()
+      val items = cappedBaskets(s, d, cap = 8).transform(scoped)
       val nBaskets = items.count()
       val itemSupp = items.select(explode($"__items").as("item"))
         .groupBy($"item").agg(count(lit(1)).as("__n"))
@@ -2313,7 +2334,7 @@ object SparkEntry {
       // clear (Verify/Bench), per the call-site-persist convention
       val toks = docs.select($"doc_id",
           explode(array_distinct(split(trim($"text"), "\\s+"))).as("t"))
-        .persist()
+        .transform(scoped)
       val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("__sz"))
       val qt = toks.filter($"doc_id" < 3)
         .select($"doc_id".as("query_id"), $"t")
@@ -2529,7 +2550,7 @@ object SparkEntry {
       // persisted: both interval snapshots prune from this one pass;
       // released by the per-query session cache clear
       val hist = Merge.applyScd2(target, changes, Seq("c_custkey"),
-        Seq("val"), "ts", "valid_from", "valid_to").persist()
+        Seq("val"), "ts", "valid_from", "valid_to").transform(scoped)
       // integer div on BOTH sides: a double-division + cast would
       // truncate here but ROUND in DuckDB's BIGINT cast, skewing the
       // derived snapshot times by one
@@ -2613,7 +2634,7 @@ object SparkEntry {
       val byDur = u.groupBy($"dur")
         .agg(sum(when($"__cens", 0L).otherwise(1L)).as("n_deaths"),
           sum(when($"__cens", 1L).otherwise(0L)).as("n_censored"))
-        .persist()
+        .transform(scoped)
       val tot = byDur.agg(sum($"n_deaths" + $"n_censored").as("__n"))
       val wPrev = Window.orderBy($"dur")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -2652,7 +2673,7 @@ object SparkEntry {
         .filter(length(trim($"text")) > 0)
         .select($"lang", explode(split(trim($"text"), "\\s+")).as("t"))
       val cl = toks.groupBy($"lang", $"t").agg(count(lit(1)).as("__cl"))
-        .persist()
+        .transform(scoped)
       val ct = cl.groupBy($"t").agg(sum($"__cl").as("__ct"))
       val nl = cl.groupBy($"lang").agg(sum($"__cl").as("__nl"))
       val tot = ct.agg(sum($"__ct").as("__nt"),
@@ -4080,7 +4101,7 @@ object SparkEntry {
     // the cut must sit on a value both engines agree on, not a raw
     // double whose last ulp depends on reduction order).
     "q176_item_cf" -> ((s, d) => {
-      val capped = cappedBaskets(s, d, cap = 8).persist()
+      val capped = cappedBaskets(s, d, cap = 8).transform(scoped)
       val cnt = capped.select(explode($"__items").as("n"))
         .groupBy($"n").agg(count(lit(1)).as("__cn"))
       val cooc = basketPairs(capped)
@@ -4138,7 +4159,7 @@ object SparkEntry {
     // means something; the cut rides the rounded coefficient.
     "q178_local_clustering" -> ((s, d) => {
       val edges = basketPairs(cappedBaskets(s, d, cap = 5))
-        .distinct().persist()
+        .distinct().transform(scoped)
       val deg = edges.select($"a".as("n")).unionAll(
           edges.select($"b".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("degree"))
@@ -4156,7 +4177,7 @@ object SparkEntry {
               struct($"__da".as("d"), $"a".as("i")).as("k")))
           .as("e"))
         .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.k".as("k"))
-        .persist()
+        .transform(scoped)
       val e1 = oriented.select($"src", $"dst".as("v"), $"k".as("kv"))
       val e2 = oriented.select($"src", $"dst".as("w"), $"k".as("kw"))
       val closing = oriented.select($"src".as("v"), $"dst".as("w"))
@@ -4413,7 +4434,7 @@ object SparkEntry {
         .select($"o_custkey".as("c"),
           (year($"o_orderdate") * 4 + quarter($"o_orderdate") - 1)
             .as("qi"))
-        .distinct().persist()
+        .distinct().transform(scoped)
       val firstq = act.groupBy($"c").agg(min($"qi").as("__fq"))
       val shifted = act.select($"c", ($"qi" + 1).as("qi"))
       // shifted is distinct by construction (act is), so the left
@@ -4602,9 +4623,9 @@ object SparkEntry {
             date_add(to_date($"o_orderdate"), 90)).as("__late"))
       // distinct (order, supplier) sets: blame is per supplier, not
       // per line — persisted, both feed two joins each
-      val sups = li.select($"__o", $"__s").distinct().persist()
+      val sups = li.select($"__o", $"__s").distinct().transform(scoped)
       val lateS = li.filter($"__late").select($"__o", $"__s")
-        .distinct().persist()
+        .distinct().transform(scoped)
       val waiting = lateS.as("a")
         .join(sups.as("o2"), col("a.__o") === col("o2.__o")
           && col("a.__s") =!= col("o2.__s"), "left_semi")
@@ -4860,7 +4881,7 @@ object SparkEntry {
         .select((($"__c2" - $"__c1").cast("double") /
           ($"__x2" - $"__x1")).as("__slope"))
         .withColumn("__g", lit(1))
-        .persist(MEMORY_AND_DISK)
+        .transform(scoped)
       val np = slopes.agg(count(lit(1)).as("n_pairs"))
       val slope = Packing.prefixSum(slopes, Seq("__g"), Seq("__slope"),
           "__g", "__rk")
@@ -5173,7 +5194,7 @@ object SparkEntry {
           .as("day"))
         .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
           .as("__v"))
-        .persist(MEMORY_AND_DISK)
+        .transform(scoped)
       val cal = Tables.orders(s, d)
         .agg(min(to_date($"o_orderdate")).as("__lo"),
           max(to_date($"o_orderdate")).as("__hi"))
@@ -8835,7 +8856,7 @@ object SparkEntry {
       // the query's only expensive stage (measured 7.8 s → ~3 s at
       // sf0.1). Bounded: ≤ 64 rows per doc regardless of doc length.
       val docBucket = grams.groupBy($"doc_id", $"source", $"__b")
-        .agg(count(lit(1)).as("__c")).persist()
+        .agg(count(lit(1)).as("__c")).transform(scoped)
       // BOTH models in one conditional aggregate (zero-filled where a
       // bucket has no target/raw grams) — no model-side join at all;
       // a bounded 64-row table whatever the corpus size
@@ -8997,8 +9018,16 @@ object SparkEntry {
           when($"c_custkey" % 11 === 0, lit("D")).otherwise(lit("U"))
             .as("op"),
           ($"bal0" + ($"c_custkey" % 9700) - 4850).as("nb"))
+      // insert keys derive from max(c_custkey), not a literal offset:
+      // a fixed +10M would collide with real custkeys once SF ≥ ~67
+      // (TPC-H custkey max = 150000·SF) and silently reclassify
+      // matched rows as inserts — the broadcast 1-row max keeps the
+      // fixture collision-free at ANY table size, which is what the
+      // "scales at any size" claim requires
+      val mx = cust.agg(max($"c_custkey").as("__mx"))
       val ins = cust.filter($"c_custkey" % 13 === 0)
-        .select(($"c_custkey" + 10000000L).as("k"), lit("I").as("op"),
+        .crossJoin(broadcast(mx))
+        .select(($"c_custkey" + $"__mx").as("k"), lit("I").as("op"),
           (($"c_custkey" % 5000) * 100 + 99).as("nb"))
       val merged = cust
         .join(upd.unionByName(ins), $"c_custkey" === $"k", "full_outer")
@@ -9121,7 +9150,7 @@ object SparkEntry {
           dist($"qmil", $"mil").as("d2"))
       // reused by every greedy step (4 joins) — bounded: 12/query
       val cand = graft.plans.TopKPerKey(scoredAll, Seq("query_id"),
-        Seq($"d2".asc, $"cid".asc), k = 12).persist()
+        Seq($"d2".asc, $"cid".asc), k = 12).transform(scoped)
       var selected = graft.plans.TopKPerKey(
           cand.select($"query_id", $"cid", $"d2"),
           Seq("query_id"), Seq($"d2".asc, $"cid".asc), k = 1)
@@ -9329,6 +9358,123 @@ object SparkEntry {
           Fns.roundU(coalesce($"n_novel", lit(0L)).cast("double")
             / $"n_grams", 4).as("novelty"))
         .orderBy($"doc_id")
+    }),
+
+    // 32-BIT DECORRELATED STEREO FLAC — the last lossless-codec slice:
+    // the side channel carries bps+1 = 33 bits, past the Int sample
+    // domain, so these fixtures put L/R within 999 of the 32-bit
+    // extremes ON OPPOSITE SIDES (parity-alternating), making every
+    // side sample |l−r| ≈ 2^32 — a value that only decodes correctly
+    // through the decoder's Long-domain subframe reads and Long
+    // inverse transforms (Int arithmetic would wrap and the CRC-clean
+    // stream would still decode to WRONG samples — exactly what the
+    // hash oracle catches). Offsets start at 1 so |sample| ≤ 2^31−1
+    // and peak/last_sample stay in INT on both sides. Subframes are
+    // VERBATIM: the decoded interleaved stream IS the closed forms,
+    // so the oracle never sees the channel assignment — hash equality
+    // certifies all three 33-bit decorrelation inverses. Depth comes
+    // from the DECODED stream (bits_per_sample = 32), not metadata.
+    // No rms column: at 2^31 magnitudes v² needs 62 mantissa bits, so
+    // the double Σv² depends on summation ORDER (Spark sums samples
+    // sequentially, DuckDB in scan order — ±1e-4 flips possible at
+    // the 4-decimal rounding boundary); every emitted column is an
+    // exact integer or an exactly-representable mean (|Σv| < 2^39,
+    // integer-exact in double on both sides). q306/q314 keep rms
+    // where magnitudes make it exact.
+    "q326_flac32_stereo" -> ((s, d) => {
+      val asns = Array(1, 8, 9, 10)
+      val mk = udf((id: Long) => graft.functions.FlacAudio
+        .encodeStereoVerbatim(44100, 48, 1 + (id % 2).toInt,
+          asns((id % 4).toInt),
+          (f, t) => {
+            val x = (1 + (id * 37 + f * 3 + t * 997) % 999).toInt
+            if ((id + f + t) % 2 == 0) Int.MaxValue - x
+            else Int.MinValue + x
+          },
+          (f, t) => {
+            val y = (1 + (id * 53 + f * 7 + t * 613) % 999).toInt
+            if ((id + f + t) % 2 == 0) Int.MinValue + y
+            else Int.MaxValue - y
+          },
+          bits = 32))
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeFlacDepthFeatures(clips, "doc_id", "payload")
+        .toDF()
+        .select($"id".as("doc_id"), $"bits_per_sample", $"sample_rate",
+          $"n_frames", $"n_samples",
+          Fns.roundU($"mean_amp", 4).as("mean_amp"),
+          $"peak", $"last_sample")
+        .orderBy($"doc_id")
+    }),
+
+    // MINHASH-LSH UNDER THE HASH ORACLE — q23's banded near-dup
+    // pipeline rebuilt on a PORTABLE hash family so every stage
+    // replays in DuckDB: gram hash = the q309/q325 polynomial rolling
+    // hash over 8-char shingles (mod p = 1e9+7), MinHash family
+    // h_i(g) = ((2i+1)·g + 7919·i) mod p (odd multipliers — injective
+    // mod 2^64 slices of the gram domain), band key = the same
+    // polynomial fold over each 4-row band. q23 keeps xxhash64 as the
+    // production-speed form (one codegen'd native expression per
+    // row); this twin certifies the PIPELINE — signatures, banding,
+    // bucket-cap pruning, candidate pairs, signature-agreement
+    // estimate, exact gram-set Jaccard verify — end to end by hash
+    // equality, shrinking the no_oracle set to engine-specific
+    // float/hash internals (q25/q40/q105). Scale shape is q23's: one
+    // shuffle on (band, bkey), window bucket cap (stop-shingle skew
+    // guard), bounded bucket self-join, signatures joined back once
+    // per unique pair; signatures/grams build MAP-SIDE as per-doc
+    // array ops (~6k fused ops/row), never an exploded 32× shuffle.
+    "q327_minhash_portable" -> ((s, d) => {
+      val P = 1000000007L
+      def gram8(t: Column, i: Column): Column =
+        (0 until 8).foldLeft(lit(0L): Column) { (h, o) =>
+          (h * 257 + ascii(t.substr(i + lit(o), lit(1))).cast("long")) % P
+        }
+      val docs = Tables.documents(s, d)
+        .filter($"text".isNotNull && length($"text") >= 8)
+        .select($"doc_id", substring($"text", 1, 200).as("__t"))
+      val withG = docs.select($"doc_id",
+        array_distinct(transform(sequence(lit(1), length($"__t") - 7),
+          i => gram8($"__t", i))).as("gh"))
+      val withSig = withG.select($"doc_id", $"gh",
+        transform(sequence(lit(0), lit(31)), i =>
+          array_min(transform($"gh", g =>
+            ((lit(2L) * i + lit(1L)) * g + lit(7919L) * i) % P)))
+          .as("sig"))
+      // consumed by the banded explode and joined back twice (est +
+      // exact verify) — scoped persist, released by the runner
+      val sigs = scoped(withSig)
+      val banded = sigs.select($"doc_id",
+          explode(transform(sequence(lit(0), lit(7)), b =>
+            struct(b.as("band"),
+              (0 until 4).foldLeft(lit(0L): Column) { (acc, r) =>
+                (acc * 1000003L +
+                  element_at($"sig", (b * 4 + r + 1).cast("int"))) % P
+              }.as("bkey")))).as("bk"))
+        .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+      val wB = Window.partitionBy($"band", $"bkey")
+      val pruned = banded.withColumn("__bsz", count(lit(1)).over(wB))
+        .filter($"__bsz" > 1 && $"__bsz" <= 64).drop("__bsz")
+      val pairs = pruned.select($"band", $"bkey", $"doc_id".as("id_a"))
+        .join(pruned.select($"band", $"bkey", $"doc_id".as("id_b")),
+          Seq("band", "bkey"))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b").distinct()
+      val scored = pairs
+        .join(sigs.select($"doc_id".as("id_a"), $"sig".as("sa"),
+          $"gh".as("ga")), Seq("id_a"))
+        .join(sigs.select($"doc_id".as("id_b"), $"sig".as("sb"),
+          $"gh".as("gb")), Seq("id_b"))
+        .select($"id_a", $"id_b",
+          (size(filter(zip_with($"sa", $"sb", (x, y) => x === y),
+            p => p)).cast("double") / 32).as("est_jaccard"),
+          size(array_intersect($"ga", $"gb")).as("__i"),
+          (size($"ga") + size($"gb")).as("__ab"))
+        .select($"id_a", $"id_b", $"est_jaccard",
+          ($"__i".cast("double") / ($"__ab" - $"__i")).as("jaccard"))
+      scored.orderBy($"est_jaccard".desc, $"id_a", $"id_b").limit(200)
+        .orderBy($"jaccard".desc, $"id_a", $"id_b").limit(100)
     })
   )
 
@@ -17401,7 +17547,8 @@ object SparkEntry {
         |    bal0 + (c_custkey % 9700) - 4850 AS nb
         |  FROM cust WHERE c_custkey % 5 = 0 OR c_custkey % 11 = 0),
         |ins AS (
-        |  SELECT c_custkey + 10000000 AS k, 'I' AS op,
+        |  SELECT c_custkey + (SELECT max(c_custkey) FROM cust) AS k,
+        |    'I' AS op,
         |    (c_custkey % 5000) * 100 + 99 AS nb
         |  FROM cust WHERE c_custkey % 13 = 0),
         |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
@@ -17556,6 +17703,13 @@ object SparkEntry {
     // q321: the greedy MMR chain replayed in a recursive CTE that
     // carries the selected set as a list; arg_min/arg_max on composite
     // integer keys (score·1e6 ± cid) reproduce the exact tie-breaks.
+    // q321: greedy-step tie-breaks (d2 asc, cid asc; score desc, cid
+    // asc) are spelled as the composite integer keys d2·1e6 + cid and
+    // score·1e6 − cid, which assumes vec_id < 1e6 — true of every
+    // testdata SF (embeddings has ~1k rows at sf0.1, vec_id dense from
+    // 0) and asserted here: on a table where vec_id could reach 1e6,
+    // widen the multiplier or switch to arg_min over a struct. The
+    // q322 oracle documents its claim<100 bound the same way.
     "q321_mmr_rerank" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, list_transform(embedding, x ->
@@ -17765,7 +17919,107 @@ object SparkEntry {
         |  floor(CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0 AS novelty
         |FROM g JOIN freq USING (h)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q326: verbatim stereo at 32-bit depth — the decoded interleaved
+    // stream is the raw closed forms (the Spark side's channel
+    // assignment and its 33-bit side-channel inverses are invisible
+    // here, which is the point: hash equality certifies them). All
+    // arithmetic BIGINT; only exactly-representable columns emitted
+    // (see the Spark-side comment on why rms is excluded).
+    "q326_flac32_stereo" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 40),
+        |s AS (
+        |  SELECT doc_id, nf, fx.f, tx.t,
+        |    CASE WHEN (doc_id + fx.f + tx.t) % 2 = 0
+        |      THEN 2147483647 - (1 + (doc_id * 37 + fx.f * 3 + tx.t * 997) % 999)
+        |      ELSE -2147483648 + (1 + (doc_id * 37 + fx.f * 3 + tx.t * 997) % 999)
+        |    END AS l,
+        |    CASE WHEN (doc_id + fx.f + tx.t) % 2 = 0
+        |      THEN -2147483648 + (1 + (doc_id * 53 + fx.f * 7 + tx.t * 613) % 999)
+        |      ELSE 2147483647 - (1 + (doc_id * 53 + fx.f * 7 + tx.t * 613) % 999)
+        |    END AS r
+        |  FROM d, unnest(range(0, nf)) fx(f), unnest(range(0, 48)) tx(t)),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(2 * count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(l) + sum(r) AS DOUBLE) / (2 * count(*)) AS ma,
+        |    CAST(greatest(max(abs(l)), max(abs(r))) AS INT) AS peak
+        |  FROM s GROUP BY doc_id),
+        |ls AS (
+        |  SELECT doc_id, CAST(r AS INT) AS last_sample FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY f DESC, t DESC) = 1)
+        |SELECT d.doc_id, CAST(32 AS INT) AS bits_per_sample,
+        |  CAST(44100 AS INT) AS sample_rate,
+        |  d.nf AS n_frames, m.n_samples,
+        |  floor(ma * 10000 + 0.5) / 10000.0 AS mean_amp,
+        |  m.peak, ls.last_sample
+        |FROM d JOIN m USING (doc_id) JOIN ls USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q327: the whole MinHash-LSH pipeline replayed — polynomial gram
+    // hash (q325's list_reduce spelling), 32 affine min-hashes, 4-row
+    // polynomial band keys, window bucket cap, bucket self-join,
+    // signature-agreement estimate and exact gram-set Jaccard. Both
+    // doubles are single divisions of small exact integers (x/32 and
+    // inter/union), so no rounding is needed for hash parity; ORDER
+    // BY is totally ordered (ties broken by id_a, id_b) so both
+    // LIMITs cut identically.
+    "q327_minhash_portable" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 200) AS s
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(s) - 7 + 1),
+        |      i -> list_reduce(list_transform(range(i, i + 8),
+        |        p -> CAST(ascii(substr(s, CAST(p AS INT), 1))
+        |          AS BIGINT)),
+        |        (a, c) -> (a * 257 + c) % 1000000007))) AS gh
+        |  FROM t),
+        |sg AS (
+        |  SELECT doc_id, gh, list_transform(range(0, 32), i ->
+        |    list_min(list_transform(gh, h ->
+        |      ((2 * i + 1) * h + 7919 * i) % 1000000007))) AS sig
+        |  FROM g),
+        |bk AS (
+        |  SELECT doc_id, bx.band,
+        |    ((((sig[CAST(bx.band * 4 + 1 AS INT)] * 1000003
+        |        + sig[CAST(bx.band * 4 + 2 AS INT)]) % 1000000007)
+        |      * 1000003
+        |        + sig[CAST(bx.band * 4 + 3 AS INT)]) % 1000000007
+        |      * 1000003
+        |        + sig[CAST(bx.band * 4 + 4 AS INT)]) % 1000000007
+        |      AS bkey
+        |  FROM sg, unnest(range(0, 8)) bx(band)),
+        |pr AS (
+        |  SELECT doc_id, band, bkey FROM (
+        |    SELECT doc_id, band, bkey,
+        |      count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bk) z
+        |  WHERE bsz > 1 AND bsz <= 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pr a JOIN pr b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id),
+        |sc AS (
+        |  SELECT id_a, id_b,
+        |    CAST(list_sum(list_transform(range(1, 33), i ->
+        |      CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]
+        |        THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est_jaccard,
+        |    len(list_filter(sa.gh, x -> list_contains(sb.gh, x))) AS ic,
+        |    len(sa.gh) + len(sb.gh) AS ab
+        |  FROM pairs
+        |  JOIN sg sa ON sa.doc_id = id_a
+        |  JOIN sg sb ON sb.doc_id = id_b),
+        |cand AS (
+        |  SELECT id_a, id_b, est_jaccard,
+        |    CAST(ic AS DOUBLE) / (ab - ic) AS jaccard
+        |  FROM sc ORDER BY est_jaccard DESC, id_a, id_b LIMIT 200)
+        |SELECT id_a, id_b, est_jaccard, jaccard
+        |FROM cand ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
   )
 
   /** q315's oracle — replays [[graft.operators.Tokenize.tokenizeWord]]

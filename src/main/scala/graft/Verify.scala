@@ -31,7 +31,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.catalog.clearCache() // release call-site persists
+      } finally {
+        // release query-scoped persists (registry), then any
+        // operator-internal leftovers (catalog backstop)
+        SparkEntry.releaseScopedCaches()
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
