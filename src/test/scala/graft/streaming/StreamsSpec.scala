@@ -545,6 +545,133 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FLAGSHIP PARITY: tokenFlowsStream over multi-batch out-of-order " +
+      "block files equals batch Rugpull.tokenFlows row for row") {
+    import graft.domain.Rugpull
+    val dir = Files.createTempDirectory("graft-flagship-parity").toFile
+    def qt(s: String) = "\"" + s + "\""
+    def bal(idx: Int, mint: String, owner: String,
+            amt: Option[String]): String = {
+      val ui = amt.map(a => s""","uiTokenAmount":{"uiAmountString":"$a"}""")
+        .getOrElse("")
+      s"""{"accountIndex":$idx,"mint":"$mint","owner":"$owner"$ui}"""
+    }
+    def tx(keys: Seq[String], writable: Seq[String], readonly: Seq[String],
+           pre: String, post: String): String =
+      s"""{"transaction":{"message":{"accountKeys":[${keys.map(qt).mkString(",")}]}},
+         |"meta":{"loadedAddresses":{"writable":[${writable.map(qt).mkString(",")}],
+         |"readonly":[${readonly.map(qt).mkString(",")}]},
+         |"preTokenBalances":$pre,"postTokenBalances":$post,
+         |"logMessages":[]}}""".stripMargin.replaceAll("\n", "")
+    def blk(bt: Long, txs: Seq[String]): String =
+      s"""{"result":{"blockTime":$bt,"transactions":[${txs.mkString(",")}]}}"""
+    // three files = three micro-batches (maxFilesPerTrigger=1), with
+    // blockTimes DELIBERATELY out of arrival order (newest name-first,
+    // oldest last) — the flagship is stateless per block, so arrival
+    // order must not matter, and the union over batches must equal the
+    // one-shot batch run over the same directory. Cases per FIXTURES.md
+    // §1: hot in readonly/writable/accountKeys, non-hot filtered,
+    // pre-only / post-only / both, dup (owner, mint) LWW, missing
+    // uiAmountString ⇒ NULL, positional owner override.
+    dropFile(dir, "a.json", blk(1700000050L, Seq(
+      tx(Seq("X1"), Nil, Seq("VAULT_A"), // hot only in readonly; pre-only
+        s"[${bal(0, "MINT_B", "W1", Some("10"))}]", "[]"),
+      tx(Seq("COLD1", "COLD2"), Nil, Nil, // not hot — filtered
+        s"[${bal(0, "MINT_B", "W9", Some("1"))}]", "[]"))))
+    dropFile(dir, "b.json", blk(1700000010L, Seq(
+      tx(Seq("X2"), Seq("VAULT_Q"), Nil, // hot in writable; post-only
+        "[]", s"[${bal(0, "MINT_Q", "W2", Some("7"))}]"),
+      tx(Seq("VAULT_A", "X3"), Nil, Nil, // hot in accountKeys; missing
+        // pre uiTokenAmount ⇒ NULL pre; dup (owner, mint) in post —
+        // LAST wins (42)
+        s"[${bal(1, "MINT_B", "W3", None)}]",
+        s"[${bal(1, "MINT_B", "W3", Some("41"))},${
+          bal(1, "MINT_B", "W3", Some("42"))}]"))))
+    dropFile(dir, "c.json", blk(1700000005L, Seq( // LATE oldest block
+      tx(Seq("X4", "VAULT_A"), Nil, Seq("VAULT_A"), // positional
+        // override: accountIndex 1 = VAULT_A, owner says OTHER
+        "[]", s"[${bal(1, "MINT_B", "OTHER", Some("99"))}]"))))
+    val hot = Seq("VAULT_A", "VAULT_Q").toDF("addr")
+    val watchlists = Seq(
+      ("BASE_VAULTS", "VAULT_A"), ("QUOTE_VAULTS", "VAULT_Q"),
+      ("BASE_MINTS", "MINT_B"), ("QUOTE_MINTS", "MINT_Q"))
+      .toDF("kind", "addr")
+    val prices = Seq(("VAULT_A", "base", 1.25), ("VAULT_Q", "quote", 0.5))
+      .toDF("vault", "side", "price_usd")
+    var batches = Vector.empty[Array[org.apache.spark.sql.Row]]
+    val q = Streams.tokenFlowsStream(spark, dir.getAbsolutePath,
+      hot, watchlists, prices) { (df: DataFrame, _: Long) =>
+      batches :+= df.collect()
+    }
+    q.awaitTermination(120000)
+    assert(batches.size === 3) // genuinely multi-batch
+    val streamed = batches.flatten.map(_.toString).sorted.toSeq
+    val batch = Rugpull.tokenFlows(
+        Rugpull.parseBlocks(spark, dir.getAbsolutePath),
+        hot, watchlists, prices)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+    // spot-check the hard cases landed (not just an empty == empty)
+    val all = batches.flatten
+    val w3 = all.filter(_.getAs[String]("wallet") == "W3")
+    assert(w3.length === 1 &&
+      w3(0).getAs[String]("post_balance") === "42" && // LWW
+      w3(0).getAs[String]("pre_balance") == null) // missing amt ⇒ NULL
+    val w2 = all.filter(_.getAs[String]("wallet") == "W2")
+    assert(w2.length === 1 &&
+      w2(0).getAs[String]("post_balance") === "7" &&
+      w2(0).getAs[String]("pre_balance") == null) // post-only
+    val pos = all.filter(_.getAs[String]("signature") == "1700000005-0-1")
+    assert(pos.length === 1 &&
+      pos(0).getAs[String]("wallet") === "VAULT_A") // positional override
+    assert(!all.exists(_.getAs[String]("wallet") == "W9")) // semi-join
+  }
+
+  test("watermark bounds late blocks: within-delay late data lands in " +
+      "its window, beyond-watermark late data is dropped") {
+    import graft.domain.BlockSchema
+    val dir = Files.createTempDirectory("graft-late-blocks").toFile
+    def blk(bt: Long, nTx: Int): String =
+      s"""{"result":{"blockTime":$bt,"transactions":[${
+        List.fill(nTx)("{}").mkString(",")}]}}"""
+    val stream = spark.readStream.schema(BlockSchema.block)
+      .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+    val events = stream.select(
+      to_timestamp(from_unixtime(col("result.blockTime"))).as("ts"),
+      lit("flows").as("k"),
+      size(coalesce(col("result.transactions"),
+        array())).cast("double").as("v"))
+    val agg = Streams.windowedEventStats(events, "ts", "k", "v",
+      "10 seconds", "15 seconds")
+    val q = agg.writeStream.format("memory").queryName("latewin")
+      .outputMode("append").start()
+    try {
+      // t=100 (2 txs): window [100,110) opens
+      dropFile(dir, "b1.json", blk(100, 2)); q.processAllAvailable()
+      // t=104 (1 tx): LATE but within the 15 s watermark delay
+      // (watermark is still 100−15=85 < 110) — must LAND in [100,110)
+      dropFile(dir, "b2.json", blk(104, 1)); q.processAllAvailable()
+      // t=140: advances the watermark to 125 ⇒ [100,110) finalizes
+      dropFile(dir, "b3.json", blk(140, 1)); q.processAllAvailable()
+      // t=103 (5 txs): BEYOND the watermark (103 < 125) — dropped;
+      // the already-finalized [100,110) must NOT change
+      dropFile(dir, "b4.json", blk(103, 5)); q.processAllAvailable()
+      // two forward blocks flush the remaining windows through append
+      dropFile(dir, "b5.json", blk(200, 1)); q.processAllAvailable()
+      dropFile(dir, "b6.json", blk(300, 1)); q.processAllAvailable()
+      val rows = spark.table("latewin")
+        .select(col("window.start").cast("long").as("ws"),
+          col("n"), col("sum_value"))
+        .orderBy("ws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // [100,110): b1 + the within-delay b2, NEVER the dropped b4
+      // (n=2 rows, 3 txs); [140,150) and [200,210) finalized clean;
+      // [300,310) is still open (no later watermark) — absent
+      assert(rows === Seq((100L, 2L, 3.0), (140L, 1L, 1.0),
+        (200L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("tokenFlowsStream runs the flagship per micro-batch") {
     val dir = Files.createTempDirectory("graft-stream-blocks").toFile
     val block =
