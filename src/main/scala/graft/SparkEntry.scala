@@ -8684,40 +8684,25 @@ object SparkEntry {
     // short per-doc sequences, the sessionize-class partitioned
     // window), distinct per doc.
     "q309_winnowing" -> ((s, d) => {
-      // h = fold (h·257 + code) mod 1e9+7 over the gram's 8 chars,
-      // unrolled so the whole thing is one codegen'd expression
-      def gramHash(t: org.apache.spark.sql.Column,
-                   i: org.apache.spark.sql.Column)
-          : org.apache.spark.sql.Column =
-        (0 until 8).foldLeft(lit(0L): org.apache.spark.sql.Column) {
-          (h, o) => (h * 257 + ascii(t.substr(i + lit(o), lit(1)))
-            .cast("long")) % 1000000007L
-        }
+      // ONE native codegen'd expression per doc (WinnowFingerprints):
+      // gram hashes (fold (h·257 + code) mod 1e9+7 over 8 chars),
+      // 4-window sliding minima, per-doc distinct — all map-side, so
+      // the only shuffles are the aggregates over already-distinct
+      // (doc, fp) rows. The relational form (explode gram index →
+      // per-doc window min → distinct) computes the identical set but
+      // its window stage is a full shuffle+sort of every gram row
+      // (~190× the doc count) — two-decade probe measured 8.3× on the
+      // second decade once that sort spills vs 2.9× for this shape,
+      // and bench time fell 3.2 → ~1 s at sf0.1. The oracle replays
+      // the closed form relationally in DuckDB, so hash equality pins
+      // the native kernel against an independent implementation.
       val base = Tables.documents(s, d)
         .filter($"text".isNotNull && length($"text") >= 11)
         .select($"doc_id", $"source",
           substring($"text", 1, 200).as("__t"))
-      val grams = base
-        .select($"doc_id", $"source",
-          (length($"__t") - 7).as("__m"),
-          explode(sequence(lit(1), length($"__t") - 7)).as("__i"),
-          $"__t")
-        // slice the 8-char gram ONCE per row: UTF8String position
-        // lookups are O(i) (char-boundary scans from the string
-        // head), so hashing through __t directly costs 8 full scans
-        // per gram — through the 8-char slice it's 8 scans of 8
-        .select($"doc_id", $"source", $"__m", $"__i",
-          $"__t".substr($"__i", lit(8)).as("__g"))
-        .select($"doc_id", $"source", $"__m", $"__i",
-          gramHash($"__g", lit(1)).as("__h"))
-      val w = Window.partitionBy($"doc_id").orderBy($"__i")
-        .rowsBetween(0, 3)
-      val fps = grams
-        .select($"doc_id", $"source", $"__m", $"__i",
-          min($"__h").over(w).as("__wm"))
-        .filter($"__i" <= $"__m" - 3)
-        .select($"source", $"doc_id", $"__wm")
-        .distinct()
+      val fps = base.select($"doc_id", $"source",
+        explode(graft.functions.WinnowFingerprints($"__t", 8, 4))
+          .as("__wm"))
       val nd = base.groupBy($"source").agg(count(lit(1)).as("n_docs"))
       val perSrc = fps.groupBy($"source", $"__wm")
         .agg(count(lit(1)).as("__nd"))

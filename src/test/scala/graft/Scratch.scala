@@ -919,7 +919,208 @@ object Scratch {
       r
     }
 
+    /** q309 winnowing fingerprints: exact doc copies under a FIXED
+      * source set (the crawl shape — more documents, same provenance
+      * buckets). Per-doc work (gram hash + 4-row window min) is
+      * independent across docs, so time should stay near-linear;
+      * fingerprint OCCURRENCES must scale exactly with the corpus
+      * (the replica-validity check), while distinct fingerprints per
+      * source stay constant (copies mint no new fingerprints). */
+    def winnowChain(mult: Int): Double = {
+      val docs = replicate(
+        Tables.documents(spark, d)
+          .filter(col("text").isNotNull && length(col("text")) >= 11)
+          .select(col("doc_id"), col("source"), col("text")),
+        "doc_id", mult)((_, df) => df)
+        .persist(MEMORY_AND_DISK)
+      docs.count()
+      val r = timed {
+        def gramHash(t: org.apache.spark.sql.Column,
+                     i: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          (0 until 8).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+            (h, o) => (h * 257 + ascii(t.substr(i + lit(o), lit(1)))
+              .cast("long")) % 1000000007L
+          }
+        val base = docs.select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 200).as("__t"))
+        val grams = base
+          .select(col("doc_id"),
+            (length(col("__t")) - 7).as("__m"),
+            explode(sequence(lit(1), length(col("__t")) - 7)).as("__i"),
+            col("__t"))
+          .select(col("doc_id"), col("__m"), col("__i"),
+            col("__t").substr(col("__i"), lit(8)).as("__g"))
+          .select(col("doc_id"), col("__m"), col("__i"),
+            gramHash(col("__g"), lit(1)).as("__h"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("__i"))
+          .rowsBetween(0, 3)
+        val fps = grams
+          .select(col("doc_id"), col("__m"), col("__i"),
+            min(col("__h")).over(w).as("__wm"))
+          .filter(col("__i") <= col("__m") - 3)
+          .select(col("doc_id"), col("__wm"))
+          .distinct()
+          .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+        val perSrc = fps.groupBy(col("source"), col("__wm"))
+          .agg(count(lit(1)).as("__nd"))
+          .groupBy(col("source"))
+          .agg(sum(col("__nd")).as("occ"),
+            count(lit(1)).as("dfp"))
+        val tot = perSrc.agg(sum(col("occ")), sum(col("dfp"))).collect()(0)
+        println(s"[scratch]   winnow mult=$mult occ=${tot.getLong(0)} " +
+          s"distinct=${tot.getLong(1)}")
+      }
+      docs.unpersist()
+      r
+    }
+
+    /** winnowChain's window stage re-expressed MAP-SIDE: the per-doc
+      * hash array materializes once per row (4 slice references at
+      * projection level — CollapseProject only inlines single-reference
+      * expensive expressions), sliding minima = zip_with-least over 4
+      * shifted slices, fingerprints = array_distinct, THEN explode.
+      * No window sort at all: the only shuffles are the aggregates
+      * over the already-distinct (doc, fp) rows. */
+    def least2(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+      zip_with(a, b, (x, y) => least(x, y))
+
+    def winnow2Chain(mult: Int): Double = {
+      val docs = replicate(
+        Tables.documents(spark, d)
+          .filter(col("text").isNotNull && length(col("text")) >= 11)
+          .select(col("doc_id"), col("source"), col("text")),
+        "doc_id", mult)((_, df) => df)
+        .persist(MEMORY_AND_DISK)
+      docs.count()
+      val r = timed {
+        val base = docs.select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 200).as("__t"))
+        val P = 1000000007L
+        val withH = base.select(col("doc_id"), col("source"),
+          transform(sequence(lit(1), length(col("__t")) - 7), i =>
+            (0 until 8).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+              (h, o) => (h * 257 +
+                ascii(col("__t").substr(i + lit(o), lit(1))).cast("long")) % P
+            }).as("__hs"))
+        val m3 = size(col("__hs")) - 3
+        val wm = least2(
+          least2(slice(col("__hs"), lit(1), m3),
+            slice(col("__hs"), lit(2), m3)),
+          least2(slice(col("__hs"), lit(3), m3),
+            slice(col("__hs"), lit(4), m3)))
+        val fps = withH
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(wm)).as("__wm"))
+        val perSrc = fps.groupBy(col("source"), col("__wm"))
+          .agg(count(lit(1)).as("__nd"))
+          .groupBy(col("source"))
+          .agg(sum(col("__nd")).as("occ"), count(lit(1)).as("dfp"))
+        val tot = perSrc.agg(sum(col("occ")), sum(col("dfp"))).collect()(0)
+        println(s"[scratch]   winnow2 mult=$mult occ=${tot.getLong(0)} " +
+          s"distinct=${tot.getLong(1)}")
+      }
+      docs.unpersist()
+      r
+    }
+
+    /** The q309 PRODUCTION shape: the native WinnowFingerprints
+      * expression — codegen-resident single pass per doc, no shuffle
+      * before the aggregates. */
+    def winnow3Chain(mult: Int): Double = {
+      val docs = replicate(
+        Tables.documents(spark, d)
+          .filter(col("text").isNotNull && length(col("text")) >= 11)
+          .select(col("doc_id"), col("source"), col("text")),
+        "doc_id", mult)((_, df) => df)
+        .persist(MEMORY_AND_DISK)
+      docs.count()
+      val r = timed {
+        val base = docs.select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 200).as("__t"))
+        val fps = base.select(col("doc_id"), col("source"),
+          explode(functions.WinnowFingerprints(col("__t"), 8, 4))
+            .as("__wm"))
+        val perSrc = fps.groupBy(col("source"), col("__wm"))
+          .agg(count(lit(1)).as("__nd"))
+          .groupBy(col("source"))
+          .agg(sum(col("__nd")).as("occ"), count(lit(1)).as("dfp"))
+        val tot = perSrc.agg(sum(col("occ")), sum(col("dfp"))).collect()(0)
+        println(s"[scratch]   winnow3 mult=$mult occ=${tot.getLong(0)} " +
+          s"distinct=${tot.getLong(1)}")
+      }
+      docs.unpersist()
+      r
+    }
+
+    /** q321 MMR rerank: sign-flip replicated corpus (the semantic-chain
+      * isometry model) against the FIXED 5-query batch — the realistic
+      * shape: the training-batch side stays bounded while the candidate
+      * corpus grows. The broadcast-scan + bounded-heap cut is the
+      * linear part; the greedy 4-step loop runs over ≤12 candidates per
+      * query regardless of corpus size, so its cost must stay constant.
+      * Replica-validity check: output is EXACTLY 5 queries × 4 steps at
+      * every scale. */
+    def mmrChain(mult: Int): Double = {
+      val embAll = replicateEmb(mult).persist(MEMORY_AND_DISK)
+      embAll.count()
+      val r = timed {
+        val emb = embAll.select(col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * 1000 + 0.5).cast("long")).as("mil"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("mil").as("qmil"))
+        def dist(a: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v)
+        val scoredAll = emb.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cid"), col("mil"),
+            dist(col("qmil"), col("mil")).as("d2"))
+        val cand = plans.TopKPerKey(scoredAll, Seq("query_id"),
+          Seq(col("d2").asc, col("cid").asc), k = 12)
+          .persist(MEMORY_AND_DISK)
+        var selected = plans.TopKPerKey(
+            cand.select(col("query_id"), col("cid"), col("d2")),
+            Seq("query_id"), Seq(col("d2").asc, col("cid").asc), k = 1)
+          .select(col("query_id"), col("cid"), col("d2"),
+            lit(1).as("step"))
+        for (st <- 2 to 4) {
+          val selV = selected.select(col("query_id"),
+              col("cid").as("scid"))
+            .join(cand.select(col("query_id"), col("cid").as("scid"),
+              col("mil").as("smil")), Seq("query_id", "scid"))
+          val remaining = cand.join(
+            selected.select(col("query_id"), col("cid")),
+            Seq("query_id", "cid"), "left_anti")
+          val scores = remaining.join(selV, Seq("query_id"))
+            .select(col("query_id"), col("cid"), col("d2"),
+              dist(col("mil"), col("smil")).as("pd2"))
+            .groupBy(col("query_id"), col("cid"), col("d2"))
+            .agg(min(col("pd2")).as("minSel"))
+            .select(col("query_id"), col("cid"), col("d2"),
+              (lit(3L) * col("minSel") - lit(7L) * col("d2"))
+                .as("score"))
+          val pick = plans.TopKPerKey(scores, Seq("query_id"),
+              Seq(col("score").desc, col("cid").asc), k = 1)
+            .select(col("query_id"), col("cid"), col("d2"),
+              lit(st).as("step"))
+          selected = selected.unionByName(pick)
+        }
+        val n = selected.count()
+        println(s"[scratch]   mmr mult=$mult rows=$n (want 20)")
+      }
+      embAll.unpersist()
+      r
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
+      "winnow" -> winnowChain, "winnow2" -> winnow2Chain,
+      "winnow3" -> winnow3Chain,
+      "mmr" -> mmrChain,
       "prefix" -> prefixChain,
       "lcc" -> lccChain, "itemcf" -> itemcfChain,
       "growth" -> growthChain,

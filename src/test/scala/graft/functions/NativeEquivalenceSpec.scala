@@ -49,6 +49,39 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("WinnowFingerprints == composable gram-hash/slice-minima form " +
+      "(incl. multibyte: ascii = the full code point)") {
+    val texts = Seq.fill(200)(randText()) ++ Seq(
+      "", "short", "exactly11ch", // below/at the full-window boundary
+      "déjà vu déjà vu déjà vu encore une fois",
+      "日本語のテキストです、もう少し長くします",
+      "aaaaaaaaaaaaaaaaaaaa") // constant grams → one fingerprint
+    val df = texts.toDF("t")
+    for ((g, w) <- Seq((8, 4), (5, 3))) {
+      def gramHash(i: org.apache.spark.sql.Column) =
+        (0 until g).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+          (h, o) => (h * 257 + ascii($"t".substr(i + lit(o), lit(1)))
+            .cast("long")) % 1000000007L
+        }
+      val hs = transform(sequence(lit(1),
+        greatest(length($"t") - (g - 1), lit(0))), i => gramHash(i))
+      val m = size(hs) - (w - 1)
+      def least2(a: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column) =
+        zip_with(a, b, (x, y) => least(x, y))
+      val wm = (2 to w).foldLeft(slice(hs, lit(1), m)) { (acc, r) =>
+        least2(acc, slice(hs, lit(r), m))
+      }
+      val composable = when(m >= 1, array_distinct(wm))
+        .otherwise(array().cast("array<bigint>"))
+      val diff = df.select(
+          array_sort(WinnowFingerprints($"t", g, w)).as("nat"),
+          array_sort(composable).as("sql"))
+        .filter(not($"nat" === $"sql")).count()
+      assert(diff === 0, s"gram=$g window=$w")
+    }
+  }
+
   test("CharShingleCount == size(array_distinct(transform(substr))) form") {
     val texts = Seq.fill(200)(randText()) ++
       Seq("", "ab", "aaaa", "déjà vu déjà", "日本語のテキストです")
