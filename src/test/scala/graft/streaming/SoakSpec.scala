@@ -181,4 +181,54 @@ class SoakSpec extends SparkSpec {
         === 275)
     } finally q.stop()
   }
+
+  test("swapSnapshot crash-safety: an interrupt at every mid-swap point " +
+      "recovers to old or new state, never torn and never empty-reset") {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Registry
+    val dir = Files.createTempDirectory("graft-swap-kill").toFile
+    val snap = s"${dir.getAbsolutePath}/reg"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val upserter = Registry.snapshotUpserter(snap, Seq("k"), "ts")
+    def batch(rows: (String, Double, Long)*) =
+      rows.toSeq.toDF("k", "v", "ts")
+    def state(): Seq[(String, Double)] = spark.read.parquet(snap)
+      .orderBy("k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Double]("v"))).toSeq
+
+    upserter(batch(("a", 1.0, 1L)), 0L)
+    assert(state() === Seq(("a", 1.0)))
+
+    // CRASH POINT 1: .writing completed, stage rename never ran. A
+    // reader sees the OLD snapshot; the next batch overwrites the
+    // orphan and the crashed batch's content never leaks (the engine
+    // replays that batch — at-least-once from the source).
+    batch(("zz", 9.0, 9L)).write.mode("overwrite")
+      .parquet(snap + ".writing")
+    assert(state() === Seq(("a", 1.0))) // reader: old, not torn
+    upserter(batch(("b", 2.0, 2L)), 1L)
+    assert(state() === Seq(("a", 1.0), ("b", 2.0))) // no zz
+
+    // CRASH POINT 2: .staged completed, live not yet deleted. Reader
+    // sees OLD; the next swap DISCARDS the stale .staged (the failed
+    // batch gets replayed) rather than promoting it over live.
+    batch(("zz", 7.0, 7L)).write.parquet(snap + ".staged")
+    assert(state() === Seq(("a", 1.0), ("b", 2.0))) // reader: old
+    upserter(batch(("c", 3.0, 3L)), 2L)
+    assert(state() === Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))) // no zz
+    assert(!fs.exists(new Path(snap + ".staged")))
+
+    // CRASH POINT 3: live deleted, completed .staged not yet renamed —
+    // the one window with no live dir. A reader fails loudly (missing
+    // path — no torn read is possible); recovery must PROMOTE the
+    // staged snapshot, not treat the run as first-batch (which would
+    // silently reset the registry to the incoming batch alone).
+    assert(fs.rename(new Path(snap), new Path(snap + ".staged")))
+    assert(!fs.exists(new Path(snap)))
+    intercept[Exception](state()) // loud, not torn
+    upserter(batch(("d", 4.0, 4L)), 3L)
+    assert(state() === Seq(("a", 1.0), ("b", 2.0), ("c", 3.0),
+      ("d", 4.0))) // full history survived the interrupted promote
+  }
 }
