@@ -9409,24 +9409,20 @@ object SparkEntry {
     // shuffle on (band, bkey), window bucket cap (stop-shingle skew
     // guard), bounded bucket self-join, signatures joined back once
     // per unique pair; signatures/grams build MAP-SIDE as per-doc
-    // array ops (~6k fused ops/row), never an exploded 32× shuffle.
+    // native kernels (GramHashSet / AffineMinHash — the composable
+    // higher-order forms compute identical values but run interpreted
+    // at ~6k lambda ops/row, measured 16 s of the sf0.1 bench on this
+    // query alone; NativeEquivalenceSpec pins the equivalence), never
+    // an exploded 32× shuffle.
     "q327_minhash_portable" -> ((s, d) => {
       val P = 1000000007L
-      def gram8(t: Column, i: Column): Column =
-        (0 until 8).foldLeft(lit(0L): Column) { (h, o) =>
-          (h * 257 + ascii(t.substr(i + lit(o), lit(1))).cast("long")) % P
-        }
       val docs = Tables.documents(s, d)
         .filter($"text".isNotNull && length($"text") >= 8)
         .select($"doc_id", substring($"text", 1, 200).as("__t"))
       val withG = docs.select($"doc_id",
-        array_distinct(transform(sequence(lit(1), length($"__t") - 7),
-          i => gram8($"__t", i))).as("gh"))
+        graft.functions.GramHashSet($"__t", 8).as("gh"))
       val withSig = withG.select($"doc_id", $"gh",
-        transform(sequence(lit(0), lit(31)), i =>
-          array_min(transform($"gh", g =>
-            ((lit(2L) * i + lit(1L)) * g + lit(7919L) * i) % P)))
-          .as("sig"))
+        graft.functions.AffineMinHash($"gh", 32).as("sig"))
       // consumed by the banded explode and joined back twice (est +
       // exact verify) — scoped persist, released by the runner
       val sigs = scoped(withSig)

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** q327's portable-hash kernels as native expressions. The pipeline is
+  * the ORACLED MinHash-LSH twin, so the hash family must stay exactly
+  * the DuckDB-replayable closed forms — these expressions change only
+  * the execution: the composable forms
+  * (`array_distinct(transform(sequence(...), i -> fold(...)))` and
+  * `transform(sequence(0,31), i -> array_min(transform(gh, ...)))`)
+  * run as interpreted higher-order lambdas, ~6k ops per document
+  * (measured 16 s of the sf0.1 bench on q327 alone); the native pair
+  * runs the same arithmetic in tight codegen-resident loops.
+  */
+object PolyHash {
+  private[functions] val P = 1000000007L
+}
+
+/** DISTINCT polynomial gram hashes of a string — exactly
+  * `array_distinct(transform(sequence(1, len-n+1), i ->
+  * fold_{o<n} (h·257 + ascii(char at i+o)) mod 1e9+7))`, first-
+  * occurrence order, code-point semantics (Spark's ascii = the full
+  * code point; see [[WinnowFingerprints]]). Empty array when the
+  * string has fewer than `gramLen` codepoints. */
+case class GramHashSet(child: Expression, gramLen: Int)
+    extends UnaryExpression {
+  require(gramLen >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hash_set"
+
+  override def nullSafeEval(input: Any): Any =
+    GramHashSet.compute(input.asInstanceOf[UTF8String], gramLen)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cls = GramHashSet.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = $cls.compute($t, $gramLen);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramHashSet =
+    copy(child = c)
+}
+
+object GramHashSet {
+  /** Shared eval/codegen kernel (public only for generated code). */
+  def compute(s: UTF8String, gramLen: Int): GenericArrayData = {
+    val cv = s.toString.codePoints().toArray
+    val nGrams = cv.length - gramLen + 1
+    if (nGrams < 1) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < nGrams) {
+      var h = 0L
+      var o = 0
+      while (o < gramLen) { h = (h * 257 + cv(i + o)) % PolyHash.P; o += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def apply(text: Column, gramLen: Int): Column =
+    Bridge.column(GramHashSet(Bridge.expression(text), gramLen))
+}
+
+/** MinHash signature over a long-array column under the PORTABLE
+  * affine family h_i(g) = ((2i+1)·g + 7919·i) mod 1e9+7 — exactly
+  * `transform(sequence(0, k-1), i -> array_min(transform(gh, ...)))`
+  * in one pass (element-outer, seed-inner). Null elements are skipped
+  * like the builtin array_min; an empty/all-null input yields
+  * Long.MaxValue per position (array_min of empty is NULL — callers
+  * filter empty gram sets first, as q327 does via its length guard). */
+case class AffineMinHash(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "affine_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    AffineMinHash.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cls = AffineMinHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $cls.compute($a, $k);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): AffineMinHash =
+    copy(child = c)
+}
+
+object AffineMinHash {
+  /** Shared eval/codegen kernel (public only for generated code). */
+  def compute(arr: ArrayData, k: Int): GenericArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val g = arr.getLong(i)
+        var s = 0
+        while (s < k) {
+          val h = ((2L * s + 1L) * g + 7919L * s) % PolyHash.P
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def apply(grams: Column, k: Int): Column =
+    Bridge.column(AffineMinHash(Bridge.expression(grams), k))
+}

@@ -82,6 +82,46 @@ class NativeEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("GramHashSet == array_distinct(transform(gram-hash)) form; " +
+      "AffineMinHash == nested transform/array_min form") {
+    val texts = Seq.fill(200)(randText()) ++ Seq(
+      "", "short!", "exactly8", "déjà vu déjà vu déjà vu encore",
+      "aaaaaaaaaaaaaaaa")
+    val df = texts.toDF("t")
+    val P = 1000000007L
+    val g = 8
+    def gramHash(i: org.apache.spark.sql.Column) =
+      (0 until g).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+        (h, o) => (h * 257 + ascii($"t".substr(i + lit(o), lit(1)))
+          .cast("long")) % P
+      }
+    // the composable reference is only well-formed at length >= g
+    // (sequence(1, 0) is DESCENDING in Spark — q327 guards with the
+    // same length filter); below g the native form must return empty
+    val ghSql = array_distinct(transform(
+      sequence(lit(1), length($"t") - (g - 1)), i => gramHash(i)))
+    val diffG = df.filter(length($"t") >= g)
+      .select(GramHashSet($"t", g).as("nat"), ghSql.as("sql"))
+      .filter(not($"nat" === $"sql")).count()
+    assert(diffG === 0)
+    val shortBad = df.filter(length($"t") < g)
+      .select(GramHashSet($"t", g).as("nat"))
+      .filter(size($"nat") =!= 0).count()
+    assert(shortBad === 0)
+    // signature parity on non-empty gram sets (array_min of an empty
+    // array is NULL in SQL; q327 filters empties before signing)
+    val withG = df.select(GramHashSet($"t", g).as("gh"))
+      .filter(size($"gh") > 0)
+    val k = 32
+    val sigSql = transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform($"gh", x =>
+        ((lit(2L) * i + lit(1L)) * x + lit(7919L) * i) % P)))
+    val diffS = withG.select(AffineMinHash($"gh", k).as("nat"),
+        sigSql.as("sql"))
+      .filter(not($"nat" === $"sql")).count()
+    assert(diffS === 0)
+  }
+
   test("CharShingleCount == size(array_distinct(transform(substr))) form") {
     val texts = Seq.fill(200)(randText()) ++
       Seq("", "ab", "aaaa", "déjà vu déjà", "日本語のテキストです")
