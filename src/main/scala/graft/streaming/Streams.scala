@@ -22,14 +22,23 @@ object Streams {
     * run the flagship query per micro-batch, hand each batch to `sink`.
     * Dimensions are re-read per batch via the closure — the stream–static
     * join semantics of the reference (dims re-fetched every chunk, O9).
+    *
+    * `blocksPerTrigger` is the latency/throughput dial: 1 (default)
+    * reproduces the reference's per-block cadence (its mailbox hands the
+    * parser one block at a time) and pays a fixed per-trigger cost
+    * (source listing, incremental planning, per-batch dim broadcast —
+    * measured ~0.6 s/block on this box, see StreamBench); larger values
+    * amortize that cost across blocks, and ≤ 0 removes the cap entirely
+    * (each trigger takes everything available — the backfill shape).
     */
   def tokenFlowsStream(spark: SparkSession, blocksDir: String,
                        hot: DataFrame, watchlists: DataFrame,
-                       prices: DataFrame)
+                       prices: DataFrame, blocksPerTrigger: Int = 1)
                       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val blocks = spark.readStream
-      .schema(BlockSchema.block)
-      .option("maxFilesPerTrigger", 1) // one block file per micro-batch
+    val reader = spark.readStream.schema(BlockSchema.block)
+    val blocks = (if (blocksPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", blocksPerTrigger)
+      else reader)
       .json(blocksDir)
     blocks.writeStream
       .outputMode(OutputMode.Append())

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-flagship throughput probe (test scope, like [[Scratch]]):
+  * measures blocks/s and MB/s of `Streams.tokenFlowsStream` — the full
+  * per-micro-batch flagship (parse → hot semi-join → pre/post merge →
+  * tag/price enrichment) — over synthetic MB-scale Solana block files,
+  * one block per micro-batch, the reference's own cadence shape.
+  *
+  * The reference's only citable performance envelope (BASELINE.md) is
+  * its real-time target: ≈1 block / 0.4 s sustained (6 staggered RPC
+  * workers at Solana slot time; 2.5 blocks/s) with a 10 MB/block cap.
+  * This probe produces the comparable number for the Spark engine on
+  * one node. Fixture realism: ~500 txs/block, ~10 account keys per tx,
+  * 4 pre + 4 post token balances, ~8 % of txs touching the hot set —
+  * ≈1 MB of JSON per block.
+  *
+  * Run: sbt "Test/runMain graft.StreamBench [nBlocks] [txPerBlock]"
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val nBlocks = if (args.length > 0) args(0).toInt else 120
+    val txPer = if (args.length > 1) args(1).toInt else 500
+    // Micro-batch tuning knob: AQE is DISABLED under streaming, so a
+    // per-block trigger pays `shuffle.partitions` near-empty tasks per
+    // shuffle stage — a real per-block deployment sizes this to the
+    // block, not to the batch backfill (where AQE coalesces anyway)
+    val shufP = if (args.length > 2) args(2).toInt else 8
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", shufP.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    spark.range(100000).selectExpr("sum(id % 7)").collect() // warm
+
+    // --- deterministic block synthesis (no RNG: round-tripable) -----
+    val hotAddrs = (0 until 100).map(i => f"HOTVAULT$i%04d")
+    def addr(j: Long): String = f"ADDR${j % 50000}%08d"
+    def tx(b: Int, t: Int): String = {
+      val hot = (b * 31 + t) % 12 == 0 // ~8% of txs touch the hot set
+      val keys = (0 until 10).map(k => addr(b * 7919L + t * 31L + k)) ++
+        (if (hot) Seq(hotAddrs((b + t) % hotAddrs.size)) else Nil)
+      val bals = (0 until 4).map { k =>
+        val owner = addr(b * 104729L + t * 13L + k)
+        val mint = f"MINT${(b + t + k) % 500}%05d"
+        (owner, mint)
+      }
+      def balJson(side: Int) = bals.zipWithIndex.map { case ((o, m), k) =>
+        s"""{"accountIndex":${k % keys.size},"mint":"$m","owner":"$o",""" +
+          s""""uiTokenAmount":{"uiAmountString":"${b * 100 + t + k + side}"}}"""
+      }.mkString("[", ",", "]")
+      s"""{"transaction":{"message":{"accountKeys":[${
+        keys.map("\"" + _ + "\"").mkString(",")}]}},""" +
+        s""""meta":{"loadedAddresses":{"writable":[],"readonly":[]},""" +
+        s""""preTokenBalances":${balJson(0)},""" +
+        s""""postTokenBalances":${balJson(1)},"logMessages":[]}}"""
+    }
+    val dir = Files.createTempDirectory("graft-streambench").toFile
+    var totalBytes = 0L
+    (0 until nBlocks).foreach { b =>
+      val body = (0 until txPer).map(t => tx(b, t)).mkString(",")
+      val block =
+        s"""{"result":{"blockTime":${1700000000L + b},"transactions":[$body]}}"""
+      val p = Paths.get(dir.getAbsolutePath, f"b$b%05d.json")
+      Files.writeString(p, block)
+      totalBytes += block.length
+    }
+    println(f"[streambench] fixture: $nBlocks blocks, $txPer tx/block, " +
+      f"${totalBytes / 1e6}%.1f MB total (${totalBytes / 1e6 / nBlocks}%.2f MB/block)")
+
+    val hot = hotAddrs.toDF("addr")
+    val watchlists = hotAddrs.zipWithIndex.map { case (a, i) =>
+      (if (i % 2 == 0) "BASE_VAULTS" else "QUOTE_VAULTS", a)
+    }.toDF("kind", "addr")
+    val prices = hotAddrs.zipWithIndex.map { case (a, i) =>
+      (a, if (i % 2 == 0) "base" else "quote", 1.0 + i * 0.01)
+    }.toDF("vault", "side", "price_usd")
+
+    // --- streaming modes: per-block trigger (the reference's cadence —
+    // its mailbox hands the parser one block at a time), grouped
+    // triggers (the engine's natural micro-batching), and uncapped
+    // (the backfill shape)
+    for (bpt <- Seq(1, 4, 0)) {
+      var rows = 0L
+      var batches = 0
+      val sinkTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val t0 = System.nanoTime()
+      val q = streaming.Streams.tokenFlowsStream(spark,
+        dir.getAbsolutePath, hot, watchlists, prices,
+        blocksPerTrigger = bpt) { (df: DataFrame, _: Long) =>
+        val s0 = System.nanoTime()
+        rows += df.count(); batches += 1
+        sinkTimes += (System.nanoTime() - s0) / 1e9
+      }
+      q.awaitTermination(600000)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val st = sinkTimes.toSeq
+      val label = if (bpt > 0) s"$bpt block(s)/trigger" else "uncapped"
+      println(f"[streambench] STREAM [$label]: $batches batches, $rows " +
+        f"rows, $dt%.1f s -> ${nBlocks / dt}%.1f blocks/s, " +
+        f"${totalBytes / 1e6 / dt}%.1f MB/s  (sink first=${st.head}%.2f " +
+        f"median=${st.sorted.apply(st.size / 2)}%.3f sum=${st.sum}%.1f s)")
+    }
+    // --- batch mode: the same flagship over all blocks in ONE job —
+    // the amortized form (what catch-up/backfill runs look like)
+    val t1 = System.nanoTime()
+    val n2 = graft.domain.Rugpull.tokenFlows(
+      graft.domain.Rugpull.parseBlocks(spark, dir.getAbsolutePath),
+      hot, watchlists, prices).count()
+    val dt2 = (System.nanoTime() - t1) / 1e9
+    println(f"[streambench] BATCH: $n2 ledger rows, $dt2%.1f s -> " +
+      f"${nBlocks / dt2}%.1f blocks/s, ${totalBytes / 1e6 / dt2}%.1f MB/s")
+    spark.stop()
+  }
+}
