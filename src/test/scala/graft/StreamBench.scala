@@ -107,6 +107,29 @@ object StreamBench {
         f"${totalBytes / 1e6 / dt}%.1f MB/s  (sink first=${st.head}%.2f " +
         f"median=${st.sorted.apply(st.size / 2)}%.3f sum=${st.sum}%.1f s)")
     }
+    // --- engine floor: the same per-block trigger with a TRIVIAL sink
+    // (raw count, no flagship plan) — isolates the streaming machinery
+    // (source listing, offset/commit logs, incremental planning of a
+    // scan) from the flagship's per-batch analysis+broadcast cost
+    locally {
+      val t0 = System.nanoTime()
+      var batches = 0
+      val raw = spark.readStream.schema(domain.BlockSchema.block)
+        .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      val q = raw.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.count(); batches += 1; ()
+        }
+        .start()
+      q.awaitTermination(600000)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[streambench] FLOOR [1 block/trigger, raw-count sink]: " +
+        f"$batches batches, $dt%.1f s -> ${nBlocks / dt}%.1f blocks/s " +
+        "(streaming machinery alone, no flagship plan)")
+    }
+
     // --- batch mode: the same flagship over all blocks in ONE job —
     // the amortized form (what catch-up/backfill runs look like)
     val t1 = System.nanoTime()
