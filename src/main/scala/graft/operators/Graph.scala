@@ -190,15 +190,18 @@ object Graph {
     * survivor set barely shrinks. Round state (edges + triangles) is
     * localCheckpoint'ed and freed on the [[pageRank]] discipline;
     * THROWS if `maxIters` rounds don't reach the fixed point (the
-    * [[kCore]] loud-failure contract). The enumeration is DEGREE
-    * ORIENTED (each edge points at its higher (degree, id) endpoint,
-    * the q131 discipline): every triangle has exactly one source node
-    * and oriented out-degree caps at O(√m), so the wedge join — the
-    * only quadratic-risk stage — is bounded per node however skewed
-    * the raw degrees. Found triangles are mapped back to value order
+    * [[kCore]] loud-failure contract). The enumeration is ADAPTIVE: a
+    * bounded 1-row degree aggregate picks the plain value-ordered
+    * wedge join on low-skew graphs (two joins, no degree machinery)
+    * and switches to DEGREE ORIENTATION (each edge points at its
+    * higher (degree, id) endpoint, the q131 discipline — oriented
+    * out-degree caps at O(√m)) once the hub degree crosses 2·√(2m),
+    * so the wedge join — the only quadratic-risk stage — stays
+    * bounded per node however skewed the raw degrees, without taxing
+    * the common case. Oriented triangles map back to value order
     * (array_sort over the three endpoints — label-type generic) so
-    * the peel's support fold and semi-joins run on the same
-    * value-normalized (a<b<c) keys as the edge set.
+    * the peel's support fold and anti-joins run on the same
+    * value-normalized (a<b<c) keys as the edge set either way.
     *
     * Returns the truss edges with their in-truss support
     * (≥ k−2 by construction); empty output = no k-truss exists. */
@@ -221,49 +224,73 @@ object Graph {
     // O(Σ deg·√m) the one-shot triangle count materializes anyway —
     // checkpointed and partitioned, nothing driver-side.
     //
-    // Enumeration is degree oriented (the q131 shape): orient a→b iff
-    // (deg(a), a) < (deg(b), b), carry each dst's (deg, id) key so the
-    // wedge join orders endpoints without a global relabeling pass
-    // (no single-partition Window sort — the order key IS the pair).
-    // The wedge (src→v, src→w) with kv<kw closes iff the oriented
-    // edge v→w exists — and it can ONLY be oriented v→w, since v's
-    // order key is below w's. Value order alone leaves the fan-out at
-    // max raw degree; the orientation caps it at O(√m) on any skew.
+    // Enumeration is ADAPTIVE between two plans that produce the same
+    // triangle set:
+    //  - VALUE order (e ⋈ e ⋈ e on a<b<c): two shuffle joins, no
+    //    degree machinery — but its wedge fan-out scales with the max
+    //    raw degree, quadratic at a hub node.
+    //  - DEGREE orientation (the q131 shape): orient a→b iff
+    //    (deg(a), a) < (deg(b), b), carrying each dst's (deg, id) key
+    //    so the wedge join orders endpoints without a global
+    //    relabeling pass; fan-out caps at O(√m) on ANY skew. The
+    //    orientation costs two degree-attach joins + a wider wedge
+    //    payload — measured 8.4 s vs 3.8 s on the bounded-degree
+    //    co-purchase graph, i.e. on a LOW-skew graph it pays ~2× for
+    //    a bound it never needs.
+    // The choice is a bounded 1-row aggregate (max degree + edge
+    // count): orientation only when the hub degree exceeds 2·√(2m) —
+    // past that point the value-order wedge stream (Σ over middle
+    // nodes of lower-deg·upper-deg) outgrows the orientation's fixed
+    // join overhead. Exactly the adaptive-planning posture AQE takes
+    // for join strategies, applied to a shape AQE cannot see.
     val deg = e.select(col("a").as("n")).unionAll(
         e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("__dg"))
-    val oriented = e
-      .join(deg.withColumnsRenamed(Map("n" -> "a", "__dg" -> "__da")),
-        "a")
-      .join(deg.withColumnsRenamed(Map("n" -> "b", "__dg" -> "__db")),
-        "b")
-      .select(
-        when(struct(col("__da"), col("a")) < struct(col("__db"), col("b")),
-          struct(col("a").as("src"), col("b").as("dst"),
-            struct(col("__db").as("d"), col("b").as("i")).as("k")))
-        .otherwise(
-          struct(col("b").as("src"), col("a").as("dst"),
-            struct(col("__da").as("d"), col("a").as("i")).as("k")))
-        .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.k").as("k"))
-    // oriented is consumed 3× below (two wedge legs + the closer) as
-    // IDENTICAL subtrees — ReuseExchange dedupes the shuffle, so a
-    // checkpoint here would only add a full extra materialization
-    val wedges = oriented.select(col("src"), col("dst").as("v"),
-        col("k").as("kv"))
-      .join(oriented.select(col("src"), col("dst").as("w"),
-        col("k").as("kw")), Seq("src"))
-      .filter(col("kv") < col("kw"))
-    // back to VALUE order (a<b<c) for the peel: array_sort is generic
-    // over the label type, so string node ids sort correctly too
-    val srt = array_sort(array(col("src"), col("v"), col("w")))
-    var tri = wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"), "left_semi")
-      .select(element_at(srt, 1).as("a"), element_at(srt, 2).as("b"),
-        element_at(srt, 3).as("c"))
-      .localCheckpoint()
+    val degStats = deg.agg(max(col("__dg")).as("mx"),
+      sum(col("__dg")).as("tot")).collect()(0)
+    val skewed = !degStats.isNullAt(0) && {
+      val m = degStats.getLong(1) / 2 // each edge counted at both ends
+      degStats.getLong(0).toDouble > 2.0 * math.sqrt(2.0 * m)
+    }
+    var tri = (if (!skewed) {
+      e.select(col("a"), col("b"))
+        .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .select(col("a"), col("b"), col("c"))
+    } else {
+      val oriented = e
+        .join(deg.withColumnsRenamed(Map("n" -> "a", "__dg" -> "__da")),
+          "a")
+        .join(deg.withColumnsRenamed(Map("n" -> "b", "__dg" -> "__db")),
+          "b")
+        .select(
+          when(struct(col("__da"), col("a")) <
+              struct(col("__db"), col("b")),
+            struct(col("a").as("src"), col("b").as("dst"),
+              struct(col("__db").as("d"), col("b").as("i")).as("k")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"),
+              struct(col("__da").as("d"), col("a").as("i")).as("k")))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.k").as("k"))
+      // oriented is consumed 3× (two wedge legs + the closer) as
+      // IDENTICAL subtrees — ReuseExchange dedupes the shuffle, so a
+      // checkpoint here would only add a full extra materialization
+      val wedges = oriented.select(col("src"), col("dst").as("v"),
+          col("k").as("kv"))
+        .join(oriented.select(col("src"), col("dst").as("w"),
+          col("k").as("kw")), Seq("src"))
+        .filter(col("kv") < col("kw"))
+      // back to VALUE order (a<b<c) for the peel: array_sort is
+      // generic over the label type, so string node ids sort too
+      val srt = array_sort(array(col("src"), col("v"), col("w")))
+      wedges
+        .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"), "left_semi")
+        .select(element_at(srt, 1).as("a"), element_at(srt, 2).as("b"),
+          element_at(srt, 3).as("c"))
+    }).localCheckpoint()
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
     // The peel is DRIVEN BY THE SUPPORT AGGREGATE alone. Two
     // observations kill the old per-round joins:

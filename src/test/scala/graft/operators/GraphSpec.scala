@@ -160,6 +160,32 @@ class GraphSpec extends SparkSpec {
     assert(again === kTrussRef(edges, 4))
   }
 
+  test("kTruss SKEWED path: a hub past 2·√(2m) forces the oriented " +
+      "enumeration and matches the reference peel") {
+    // 40-leaf star (hub degree 40) + a K5 hung off one leaf:
+    // m = 50, threshold 2·√100 = 20 < 40 ⇒ the adaptive enumeration
+    // takes the degree-ORIENTED branch. Expected 4-truss: exactly the
+    // K5 (every K5 edge closes 3 triangles; star edges close none)
+    val star = (0 until 40).map(i => ("hub", f"leaf$i%02d"))
+    val k5 = for {
+      i <- 0 until 5; j <- (i + 1) until 5
+    } yield (s"k$i", s"k$j")
+    val bridge = Seq(("leaf00", "k0"))
+    val edges = star ++ k5 ++ bridge
+    for (k <- Seq(3, 4, 5)) {
+      val ref = kTrussRef(edges, k)
+      val got = Graph.kTruss(edges.toDF("src", "dst"), "src", "dst", k)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toInt)
+        .toMap
+      assert(got === ref, s"k=$k")
+    }
+    // and the K5 is what survives at k=4 (10 edges, support 3 each)
+    val t4 = Graph.kTruss(edges.toDF("src", "dst"), "src", "dst", 4)
+      .collect()
+    assert(t4.length === 10 && t4.forall(_.getLong(2) === 3L))
+  }
+
   test("kCore throws on a peel deeper than maxIters (no silent non-core)") {
     // a 14-node path at k=2 peels exactly one layer from each end per
     // round (7 rounds to empty); maxIters=3 must throw, not return the
