@@ -8583,7 +8583,9 @@ object SparkEntry {
     // fixed k — no guessed depth. Spark side is the checkpointed
     // iterative peel (Graph.kTruss), the 100 TB-shaped plan.
     "q307_ktruss" -> ((s, d) => {
-      val edges = basketPairs(cappedBaskets(s, d, cap = 5)).distinct()
+      // no .distinct() here: kTruss value-normalizes and distincts its
+      // input itself, so the outer one was a second full edge shuffle
+      val edges = basketPairs(cappedBaskets(s, d, cap = 5))
       Graph.kTruss(edges, "a", "b", k = 4)
         .groupBy($"support").agg(count(lit(1)).as("n_edges"))
         .orderBy($"support")
@@ -9456,6 +9458,115 @@ object SparkEntry {
           ($"__i".cast("double") / ($"__ab" - $"__i")).as("jaccard"))
       scored.orderBy($"est_jaccard".desc, $"id_a", $"id_b").limit(200)
         .orderBy($"jaccard".desc, $"id_a", $"id_b").limit(100)
+    }),
+
+    // SIMHASH UNDER THE HASH ORACLE — q25's fingerprint+hamming chain
+    // rebuilt on the q327 portable family so DuckDB replays it bit for
+    // bit: gram hashes are the same polynomial 8-gram set, and bit s
+    // of the fingerprint is the sign of Σ over grams of ±1 votes,
+    // +1 iff h_s(g) = ((2s+1)·g + 7919·s) mod 1e9+7 is odd (parity of
+    // an affine image mod an odd prime ~halves the gram domain per
+    // seed — all the per-bit projection simhash needs). q25 keeps
+    // xxhash64 bit-slices as the production form; this twin certifies
+    // fingerprint construction, per-language neighbor hamming, and the
+    // near-dup verdict by hash equality, leaving only float internals
+    // (q40) and the derivation fixpoint (q105) unoracled. One codegen
+    // pass per row (AffineSimHash kernel), one keyed window — no
+    // shuffle beyond the lang partition, same shape as q25.
+    "q328_simhash_portable" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter($"text".isNotNull && length($"text") >= 8)
+        .select($"doc_id", $"lang", substring($"text", 1, 200).as("__t"))
+      val fp = docs.select($"doc_id", $"lang",
+        graft.functions.AffineSimHash(
+          graft.functions.GramHashSet($"__t", 8), 32).as("simhash"))
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      fp.withColumn("next_hash", lead($"simhash", 1).over(w))
+        .withColumn("hamming_next",
+          when($"next_hash".isNotNull,
+            bit_count($"simhash".bitwiseXOR($"next_hash"))
+              .cast("long")))
+        .withColumn("near_dup",
+          when($"hamming_next".isNotNull, $"hamming_next" <= 3))
+        .drop("next_hash")
+        .orderBy($"doc_id")
+    }),
+
+    // LLOYD'S K-MEANS UNDER THE HASH ORACLE — q40's trained-IVF chain
+    // rebuilt in FIXED-POINT integer arithmetic so both Lloyd
+    // iterations, the cell assignment, and the probed top-k replay in
+    // DuckDB exactly. Vectors quantize once (round(x·1000), Long);
+    // a centroid is the pair (component-sum vector, member count) —
+    // never a float mean — and the assignment metric compares
+    // Σ_j (n·v_j − S_j)² / n², whose numerator and denominator are
+    // Longs < 2^53 so the ONE double division is bit-identical IEEE on
+    // both engines; ties break by cell_id, scores are exact integer
+    // dot products. q40 keeps float Lloyd as the production form;
+    // this twin certifies the ALGORITHM (both iterations, empty-cell
+    // carry-over, probe routing, top-k) by hash equality, leaving only
+    // q105's derivation fixpoint unoracled. Scale shape: centroids are
+    // a k-row driver loop (the classic broadcast-kmeans contract — the
+    // per-iteration collect is exactly k=8 rows); the corpus is
+    // scanned once per iteration and never collected.
+    "q329_kmeans_fixedpoint" -> ((s, d) => {
+      val k = 8
+      val emb = scoped(Tables.embeddings(s, d).select($"vec_id",
+        transform($"embedding", x =>
+          floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qv")))
+      def centArr(cs: Seq[(Long, Long, Seq[Long])]): Column =
+        array(cs.map { case (cid, n, sv) => struct(
+          lit(cid).as("cell_id"), lit(n).as("n"),
+          array(sv.map(lit): _*).as("sv")) }: _*)
+      def distTo(c: Column): Column =
+        aggregate(zip_with($"qv", c.getField("sv"),
+            (x, sj) => (c.getField("n") * x - sj) *
+              (c.getField("n") * x - sj)),
+          lit(0L), (a, b) => a + b).cast("double") /
+          (c.getField("n") * c.getField("n")).cast("double")
+      def bestCell(cs: Seq[(Long, Long, Seq[Long])]): Column =
+        array_min(transform(centArr(cs), c =>
+          struct(distTo(c).as("dist"),
+            c.getField("cell_id").as("cell_id")))).getField("cell_id")
+      // init: first k vectors by id as singleton cells
+      var cents: Seq[(Long, Long, Seq[Long])] =
+        emb.orderBy($"vec_id").limit(k).collect().toSeq.zipWithIndex
+          .map { case (r, i) => ((i + 1).toLong, 1L, r.getSeq[Long](1)) }
+      for (_ <- 1 to 2) {
+        val assigned = emb.select($"vec_id", $"qv",
+          bestCell(cents).as("cell_id"))
+        val sums = assigned
+          .select($"cell_id", posexplode($"qv"))
+          .groupBy($"cell_id", $"pos").agg(sum($"col").as("sj"))
+          .groupBy($"cell_id")
+          .agg(transform(array_sort(collect_list(
+            struct($"pos", $"sj"))), p => p.getField("sj")).as("sv"))
+        val ns = assigned.groupBy($"cell_id").agg(count(lit(1)).as("n"))
+        // bounded collect: exactly k rows (cells)
+        val upd = sums.join(ns, Seq("cell_id")).collect()
+          .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2))))
+          .toMap
+        cents = cents.map { case (cid, n0, sv0) =>
+          upd.get(cid).map { case (sv, n) => (cid, n, sv) }
+            .getOrElse((cid, n0, sv0)) }
+      }
+      val av = emb.select($"vec_id", $"qv", bestCell(cents).as("cell_id"))
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"qv".as("qqv"),
+          explode(slice(array_sort(transform(centArr(cents), c =>
+            struct(distTo(c).as("dist"),
+              c.getField("cell_id").as("cell_id")))), 1, 2)).as("pc"))
+        .select($"query_id", $"qqv", $"pc.cell_id".as("cell_id"))
+      val scoredC = av.join(broadcast(queries), Seq("cell_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          aggregate(zip_with($"qqv", $"qv", (a, b) => a * b),
+            lit(0L), (x, y) => x + y).as("score"))
+      val wq = Window.partitionBy($"query_id")
+        .orderBy($"score".desc, $"vec_id")
+      scoredC.withColumn("rk", row_number().over(wq))
+        .filter($"rk" <= 5)
+        .select($"query_id", $"rk", $"vec_id", $"score")
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -17476,6 +17587,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q315_bpe_apply" -> q315OracleSql,
+    "q105_bpe_tokenize" -> q105OracleSql,
 
     "q316_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
@@ -18000,8 +18112,236 @@ object SparkEntry {
         |    CAST(ic AS DOUBLE) / (ab - ic) AS jaccard
         |  FROM sc ORDER BY est_jaccard DESC, id_a, id_b LIMIT 200)
         |SELECT id_a, id_b, est_jaccard, jaccard
-        |FROM cand ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+        |FROM cand ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+
+    // q328: portable simhash — the q327 gram CTE, then bit s votes by
+    // parity of the affine image, fingerprint as Σ 2^s over positive
+    // accumulators, neighbor hamming via xor+bit_count in the same
+    // per-language window as the Spark side.
+    "q328_simhash_portable" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, substr(text, 1, 200) AS s
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, length(s) - 7 + 1),
+        |      i -> list_reduce(list_transform(range(i, i + 8),
+        |        p -> CAST(ascii(substr(s, CAST(p AS INT), 1))
+        |          AS BIGINT)),
+        |        (a, c) -> (a * 257 + c) % 1000000007))) AS gh
+        |  FROM t),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(range(0, 32), s ->
+        |      CASE WHEN list_sum(list_transform(gh, h ->
+        |          CASE WHEN (((2 * s + 1) * h + 7919 * s) % 1000000007)
+        |            % 2 = 1 THEN 1 ELSE -1 END)) > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(s AS INT))
+        |        ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM g),
+        |hn AS (
+        |  SELECT doc_id, lang, simhash,
+        |    lead(simhash) OVER (PARTITION BY lang ORDER BY doc_id)
+        |      AS nh
+        |  FROM sh)
+        |SELECT doc_id, lang, simhash,
+        |  CASE WHEN nh IS NOT NULL
+        |    THEN CAST(bit_count(xor(simhash, nh)) AS BIGINT)
+        |  END AS hamming_next,
+        |  CASE WHEN nh IS NOT NULL
+        |    THEN bit_count(xor(simhash, nh)) <= 3
+        |  END AS near_dup
+        |FROM hn ORDER BY doc_id""".stripMargin,
+
+    // q329: both Lloyd iterations unrolled as chained CTEs (the
+    // iteration count is part of the algorithm contract, so no
+    // recursion is needed); centroids are (sum-vector, count) pairs,
+    // the assignment ratio is the one IEEE double division both
+    // engines compute from identical sub-2^53 integers, scores are
+    // exact integer dot products, every ORDER BY totally ordered.
+    "q329_kmeans_fixedpoint" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell_id,
+        |    qv AS sv, CAST(1 AS BIGINT) AS n
+        |  FROM v ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, qv, cell_id FROM (
+        |    SELECT v.vec_id, v.qv, c.cell_id, row_number() OVER (
+        |      PARTITION BY v.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65), j ->
+        |      (c.n * v.qv[CAST(j AS INT)] - c.sv[CAST(j AS INT)])
+        |      * (c.n * v.qv[CAST(j AS INT)] - c.sv[CAST(j AS INT)])))
+        |      AS DOUBLE) / CAST(c.n * c.n AS DOUBLE),
+        |      c.cell_id) AS rn
+        |    FROM v, c0 c) z WHERE rn = 1),
+        |s1 AS (
+        |  SELECT cell_id, list(sj ORDER BY j) AS sv FROM (
+        |    SELECT cell_id, j, CAST(sum(qv[CAST(j AS INT)]) AS BIGINT) AS sj
+        |    FROM a1, unnest(range(1, 65)) u(j)
+        |    GROUP BY cell_id, j) z GROUP BY cell_id),
+        |n1 AS (
+        |  SELECT cell_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM a1 GROUP BY cell_id),
+        |c1 AS (
+        |  SELECT p.cell_id, COALESCE(s1.sv, p.sv) AS sv,
+        |    COALESCE(n1.n, p.n) AS n
+        |  FROM c0 p LEFT JOIN s1 USING (cell_id)
+        |  LEFT JOIN n1 USING (cell_id)),
+        |a2 AS (
+        |  SELECT vec_id, qv, cell_id FROM (
+        |    SELECT v.vec_id, v.qv, c.cell_id, row_number() OVER (
+        |      PARTITION BY v.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65), j ->
+        |      (c.n * v.qv[CAST(j AS INT)] - c.sv[CAST(j AS INT)])
+        |      * (c.n * v.qv[CAST(j AS INT)] - c.sv[CAST(j AS INT)])))
+        |      AS DOUBLE) / CAST(c.n * c.n AS DOUBLE),
+        |      c.cell_id) AS rn
+        |    FROM v, c1 c) z WHERE rn = 1),
+        |s2 AS (
+        |  SELECT cell_id, list(sj ORDER BY j) AS sv FROM (
+        |    SELECT cell_id, j, CAST(sum(qv[CAST(j AS INT)]) AS BIGINT) AS sj
+        |    FROM a2, unnest(range(1, 65)) u(j)
+        |    GROUP BY cell_id, j) z GROUP BY cell_id),
+        |n2 AS (
+        |  SELECT cell_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM a2 GROUP BY cell_id),
+        |c2 AS (
+        |  SELECT p.cell_id, COALESCE(s2.sv, p.sv) AS sv,
+        |    COALESCE(n2.n, p.n) AS n
+        |  FROM c1 p LEFT JOIN s2 USING (cell_id)
+        |  LEFT JOIN n2 USING (cell_id)),
+        |a3 AS (
+        |  SELECT vec_id, qv, cell_id FROM (
+        |    SELECT v.vec_id, v.qv, c.cell_id, row_number() OVER (
+        |      PARTITION BY v.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65), j ->
+        |      (c.n * v.qv[CAST(j AS INT)] - c.sv[CAST(j AS INT)])
+        |      * (c.n * v.qv[CAST(j AS INT)] - c.sv[CAST(j AS INT)])))
+        |      AS DOUBLE) / CAST(c.n * c.n AS DOUBLE),
+        |      c.cell_id) AS rn
+        |    FROM v, c2 c) z WHERE rn = 1),
+        |qs AS (
+        |  SELECT vec_id AS query_id, qv AS qqv, cell_id FROM (
+        |    SELECT v.vec_id, v.qv, c.cell_id, row_number() OVER (
+        |      PARTITION BY v.vec_id ORDER BY
+        |      CAST(list_sum(list_transform(range(1, 65), j ->
+        |      (c.n * v.qv[CAST(j AS INT)] - c.sv[CAST(j AS INT)])
+        |      * (c.n * v.qv[CAST(j AS INT)] - c.sv[CAST(j AS INT)])))
+        |      AS DOUBLE) / CAST(c.n * c.n AS DOUBLE),
+        |      c.cell_id) AS rn
+        |    FROM v, c2 c WHERE v.vec_id < 5) z WHERE rn <= 2),
+        |sc AS (
+        |  SELECT q.query_id, a.vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65), j ->
+        |      q.qqv[CAST(j AS INT)] * a.qv[CAST(j AS INT)])) AS BIGINT) AS score
+        |  FROM qs q JOIN a3 a USING (cell_id)
+        |  WHERE a.vec_id <> q.query_id)
+        |SELECT query_id, CAST(rk AS INT) AS rk, vec_id, score FROM (
+        |  SELECT query_id, vec_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+        |  FROM sc) z WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   )
+
+  /** q105's oracle — the FULL BPE pipeline under the hash oracle:
+    * the merge table is DERIVED relationally (adjacent-char pair
+    * counts → rank by (count desc, pair asc) → top 20 — exactly
+    * [[graft.operators.Tokenize.deriveCharMerges]]), packed into one
+    * scalar MAP, and the greedy application loop is q315's recursive
+    * CTE with the literal CASE rank lookup swapped for map probes
+    * (`mm[a||chr(1)||b][1]`). Per-language aggregation mirrors the
+    * Spark side, including zero-word documents via the LEFT JOIN
+    * (fertility/mean 0.0). Validated against an independent Python
+    * replay of tokenizeWord+deriveCharMerges on all 500 sf0.01 docs
+    * (5/5 language rows identical) and timed at 0.6 s at sf0.01.
+    * With this, q105's derivation loop — the last algorithmic
+    * no_oracle contract — is DuckDB-replayed end to end. */
+  private def q105OracleSql: String =
+    """WITH RECURSIVE wsrc AS (
+       |  SELECT unnest(string_split_regex(text, '\s+')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |pc AS (
+       |  SELECT substr(w, CAST(i AS INT), 1) AS a,
+       |    substr(w, CAST(i AS INT) + 1, 1) AS b, count(*) AS cnt
+       |  FROM wsrc, unnest(range(1, length(w))) u(i)
+       |  WHERE length(w) >= 2 GROUP BY 1, 2),
+       |mt AS (
+       |  SELECT a, b, CAST(row_number() OVER (ORDER BY cnt DESC, a, b) - 1
+       |    AS BIGINT) AS rnk
+       |  FROM pc ORDER BY cnt DESC, a, b LIMIT 20),
+       |mtl AS (
+       |  SELECT map_from_entries(list(struct_pack(
+       |    k := a || chr(1) || b, v := rnk))) AS mm FROM mt),
+       |words AS (
+       |  SELECT doc_id, i AS widx, ws[CAST(i AS INT)] AS w
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(trim(text), '\s+'),
+       |            x -> x <> '') AS ws
+       |        FROM documents WHERE text IS NOT NULL) d,
+       |    unnest(range(1, len(ws) + 1)) u(i)),
+       |init AS (
+       |  SELECT doc_id, widx,
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> substr(w, CAST(i AS INT), 1)) AS toks
+       |  FROM words),
+       |st AS (
+       |  SELECT doc_id, widx, toks FROM init
+       |  UNION ALL
+       |  SELECT doc_id, widx,
+       |    list_transform(
+       |      list_filter(range(1, len(toks) + 1),
+       |        k -> NOT (k >= 2 AND ma[CAST(k AS INT) - 1])),
+       |      k -> CASE WHEN k < len(toks) AND ma[CAST(k AS INT)]
+       |        THEN toks[CAST(k AS INT)] || toks[CAST(k AS INT) + 1]
+       |        ELSE toks[CAST(k AS INT)] END) AS toks
+       |  FROM (
+       |    SELECT doc_id, widx, toks,
+       |      list_transform(range(1, len(toks)), j ->
+       |        isb[CAST(j AS INT)] AND (j - (1 + coalesce(list_max(
+       |          list_transform(range(1, j),
+       |            k -> CASE WHEN NOT isb[CAST(k AS INT)] THEN k
+       |              ELSE CAST(0 AS BIGINT) END)), 0))) % 2 = 0) AS ma
+       |    FROM (
+       |      SELECT doc_id, widx, toks,
+       |        list_transform(range(1, len(toks)),
+       |          j -> coalesce(mm[toks[CAST(j AS INT)] || chr(1) || toks[CAST(j AS INT) + 1]][1], 999999)
+       |            = best) AS isb
+       |      FROM (
+       |        SELECT doc_id, widx, toks, mm, list_min(list_transform(range(1, len(toks)), j -> coalesce(mm[toks[CAST(j AS INT)] || chr(1) || toks[CAST(j AS INT) + 1]][1], 999999))) AS best
+       |        FROM st, mtl)
+       |      WHERE best IS NOT NULL AND best < 999999) b1) b2),
+       |fin AS (
+       |  SELECT doc_id, widx, toks
+       |  FROM (SELECT doc_id, widx, toks, list_min(list_transform(range(1, len(toks)), j -> coalesce(mm[toks[CAST(j AS INT)] || chr(1) || toks[CAST(j AS INT) + 1]][1], 999999))) AS best FROM st, mtl)
+       |  WHERE best IS NULL OR best >= 999999),
+       |perdoc AS (
+       |  SELECT w.doc_id,
+       |    count(*) AS n_words,
+       |    sum(len(f.toks)) AS n_tokens,
+       |    sum(list_sum(list_transform(f.toks, t -> length(t)))) AS tok_len
+       |  FROM words w JOIN fin f
+       |    ON w.doc_id = f.doc_id AND w.widx = f.widx
+       |  GROUP BY w.doc_id),
+       |alldocs AS (
+       |  SELECT d.doc_id, d.lang,
+       |    coalesce(p.n_words, 0) AS n_words,
+       |    coalesce(p.n_tokens, 0) AS n_tokens,
+       |    CASE WHEN coalesce(p.n_words, 0) > 0
+       |      THEN CAST(p.n_tokens AS DOUBLE) / p.n_words ELSE 0.0
+       |      END AS fertility,
+       |    CASE WHEN coalesce(p.n_tokens, 0) > 0
+       |      THEN CAST(p.tok_len AS DOUBLE) / p.n_tokens ELSE 0.0
+       |      END AS mean_token_len
+       |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  floor(avg(fertility) * 10000 + 0.5) / 10000.0 AS avg_fertility,
+       |  floor(avg(mean_token_len) * 10000 + 0.5) / 10000.0 AS avg_token_len
+       |FROM alldocs GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q315's oracle — replays [[graft.operators.Tokenize.tokenizeWord]]
     * exactly: a recursive CTE where each step applies ONE greedy pass

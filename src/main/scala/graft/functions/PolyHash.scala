@@ -128,3 +128,67 @@ object AffineMinHash {
   def apply(grams: Column, k: Int): Column =
     Bridge.column(AffineMinHash(Bridge.expression(grams), k))
 }
+
+/** Portable SimHash over a gram-hash array under the SAME affine
+  * family as [[AffineMinHash]]: bit s of the fingerprint is set iff
+  * Σ_{g ∈ gh} (+1 if h_s(g) is odd else −1) > 0, with
+  * h_s(g) = ((2s+1)·g + 7919·s) mod 1e9+7. Parity of an affine image
+  * mod an odd prime splits the gram domain ~evenly per seed, which is
+  * all simhash needs from its per-bit projections — and unlike
+  * xxhash64 bit-slices (q25's production form) every vote replays in
+  * DuckDB as closed-form integer arithmetic, so the fingerprint, the
+  * hamming distances, and any downstream near-dup verdict are
+  * hash-oracle-able end to end (q328). Equivalent composable form
+  * (pinned by NativeEquivalenceSpec):
+  * `aggregate(transform(sequence(0,k-1), s -> CASE sign CASE), ...)`
+  * — interpreted lambdas, k·|gh| ops/row; this kernel is the same
+  * arithmetic codegen-resident. Empty/all-null input → 0L. */
+case class AffineSimHash(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 63)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "affine_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    AffineSimHash.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cls = AffineSimHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $cls.compute($a, $k);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): AffineSimHash =
+    copy(child = c)
+}
+
+object AffineSimHash {
+  /** Shared eval/codegen kernel (public only for generated code). */
+  def compute(arr: ArrayData, k: Int): Long = {
+    val acc = new Array[Long](k)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val g = arr.getLong(i)
+        var s = 0
+        while (s < k) {
+          val h = ((2L * s + 1L) * g + 7919L * s) % PolyHash.P
+          acc(s) += (if ((h & 1L) == 1L) 1L else -1L)
+          s += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var s = 0
+    while (s < k) { if (acc(s) > 0L) fp |= (1L << s); s += 1 }
+    fp
+  }
+
+  def apply(grams: Column, k: Int): Column =
+    Bridge.column(AffineSimHash(Bridge.expression(grams), k))
+}

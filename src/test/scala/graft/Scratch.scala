@@ -1117,6 +1117,114 @@ object Scratch {
       r
     }
 
+    // One-off phase breakdown for q307 kTruss (arg "ktrussphase"):
+    // times edge derivation, triangle enumeration, the round-0 support
+    // aggregate, and each peel round separately so optimization effort
+    // lands on the phase that actually costs.
+    if (args.contains("ktrussphase")) {
+      def tmr[T](label: String)(body: => T): T = {
+        val t0 = System.nanoTime(); val r = body
+        println(f"[ktruss] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val items = Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, 5)
+          .as("__items"))
+      val pairs = items.select(explode(flatten(transform(col("__items"),
+          (x, i) => transform(slice(col("__items"), i + 2,
+            size(col("__items"))), y => struct(x.as("a"), y.as("b"))))))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+      val k = 4
+      val e = tmr("edges")(pairs.select(
+          least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint())
+      println(s"[ktruss] |E| = ${e.count()}")
+      val triOld = tmr("enumerate-wedge")(e.select(col("a"), col("b"))
+        .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"),
+          "left_semi")
+        .select(col("a"), col("b"), col("c")).localCheckpoint())
+      println(s"[ktruss] |T|wedge = ${triOld.count()}")
+      val adjHi = e.groupBy(col("a"))
+        .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      val tri = tmr("enumerate-intersect")(e
+        .join(adjHi.select(col("a"), col("nbrs").as("__na")), Seq("a"))
+        .join(adjHi.select(col("a").as("b"), col("nbrs").as("__nb")),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          explode(array_intersect(col("__na"), col("__nb"))).as("c"))
+        .localCheckpoint())
+      println(s"[ktruss] |T| = ${tri.count()}")
+      val sup0 = tmr("round0-agg")(tri.select(col("a"), col("b"))
+        .unionAll(tri.select(col("a"), col("c").as("b")))
+        .unionAll(tri.select(col("b").as("a"), col("c").as("b")))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support")).localCheckpoint())
+      var sup = sup0
+      val aF = sup.schema("a"); val bF = sup.schema("b")
+      val ledger = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      def remDf(c1: String, c2: String, rr: String): DataFrame = {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(ledger.asJava,
+          org.apache.spark.sql.types.StructType(Seq(aF.copy(name = c1),
+            bF.copy(name = c2), org.apache.spark.sql.types.StructField(
+              rr, org.apache.spark.sql.types.IntegerType,
+              nullable = false))))
+      }
+      var round = 1
+      var done = false
+      while (!done && round <= 50) {
+        val t0 = System.nanoTime()
+        val remNew = sup.filter(col("support") < k - 2)
+          .select(col("a"), col("b"))
+        val rows = remNew.limit(1000001).collect()
+        val tColl = (System.nanoTime()-t0)/1e9
+        if (rows.isEmpty) { done = true; println(f"[ktruss] round$round collect=$tColl%.2f s (empty)") }
+        else {
+          rows.foreach(r => ledger += org.apache.spark.sql.Row(
+            r.get(0), r.get(1), round))
+          val t1 = System.nanoTime()
+          def isNew(c: org.apache.spark.sql.Column) =
+            coalesce(c === lit(round), lit(false))
+          def isOld(c: org.apache.spark.sql.Column) =
+            coalesce(c < lit(round), lit(false))
+          val flagged = tri
+            .join(broadcast(remDf("a", "b", "__r1")), Seq("a", "b"), "left")
+            .join(broadcast(remDf("a", "c", "__r2")), Seq("a", "c"), "left")
+            .join(broadcast(remDf("b", "c", "__r3")), Seq("b", "c"), "left")
+          val retired = flagged.filter(
+              (isNew(col("__r1")) || isNew(col("__r2")) ||
+                isNew(col("__r3"))) &&
+              !(isOld(col("__r1")) || isOld(col("__r2")) ||
+                isOld(col("__r3"))))
+            .select(col("a"), col("b"), col("c"))
+          val dec = retired.select(col("a"), col("b"))
+            .unionAll(retired.select(col("a"), col("c").as("b")))
+            .unionAll(retired.select(col("b").as("a"), col("c").as("b")))
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__dec"))
+          val supNext = sup
+            .join(broadcast(remDf("a", "b", "__rr")), Seq("a", "b"), "left")
+            .filter(col("__rr").isNull)
+            .join(dec, Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("support") - coalesce(col("__dec"), lit(0L)))
+                .as("support"))
+            .localCheckpoint()
+          sup = supNext
+          val tSup = (System.nanoTime()-t1)/1e9
+          println(f"[ktruss] round$round (rem=${rows.length}) collect=$tColl%.2f s sup=$tSup%.2f s")
+        }
+        round += 1
+      }
+      println(s"[ktruss] fixpoint, |truss| = ${sup.count()}")
+      spark.stop(); return
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
       "winnow" -> winnowChain, "winnow2" -> winnow2Chain,
       "winnow3" -> winnow3Chain,

@@ -120,6 +120,25 @@ class NativeEquivalenceSpec extends SparkSpec {
         sigSql.as("sql"))
       .filter(not($"nat" === $"sql")).count()
     assert(diffS === 0)
+    // simhash parity: per-bit vote = sign of Σ ±1 by parity of the
+    // affine image; fingerprint folds positive accumulators into 2^s
+    val simSql = aggregate(
+      transform(sequence(lit(0), lit(k - 1)), s =>
+        when(aggregate($"gh", lit(0L), (acc, x) =>
+            acc + when((((lit(2L) * s + lit(1L)) * x + lit(7919L) * s)
+              % P) % 2 === 1, lit(1L)).otherwise(lit(-1L))) > 0,
+          pow(lit(2.0), s).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+    val diffH = withG.select(AffineSimHash($"gh", k).as("nat"),
+        simSql.as("sql"))
+      .filter(not($"nat" <=> $"sql")).count()
+    assert(diffH === 0)
+    // empty input -> 0L fingerprint
+    val emptyFp = df.filter(length($"t") < g)
+      .select(AffineSimHash(GramHashSet($"t", g), k).as("nat"))
+      .filter($"nat" =!= 0L).count()
+    assert(emptyFp === 0)
   }
 
   test("CharShingleCount == size(array_distinct(transform(substr))) form") {
