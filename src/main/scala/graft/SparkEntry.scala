@@ -2385,47 +2385,26 @@ object SparkEntry {
     // (deg·(deg−1)/2), the clustering-coefficient denominator.
     "q131_triangles" -> ((s, d) => {
       // cap 5 (vs q111's 8): triangle cost grows ~m^1.5, so the edge
-      // cap is the query's cost dial — exercises the identical plan
-      // on a 2.5× sparser graph
+      // cap is the query's cost dial. Enumeration is the adaptive
+      // Graph.triangles plan (value-order adjacency-intersect on this
+      // low-skew graph — no wedge stream shuffled; degree-oriented
+      // wedge join past the hub threshold); the old hardcoded wedge
+      // join sorted/probed tens of millions of wedge rows to count
+      // the same 811k triangles.
       val edges = basketPairs(cappedBaskets(s, d, cap = 5))
-        .distinct().persist()
-      val deg = edges.select($"a".as("n")).unionAll(
-          edges.select($"b".as("n")))
+      val eN = edges.select(least($"a", $"b").as("a"),
+          greatest($"a", $"b").as("b"))
+        .filter($"a" =!= $"b").distinct().transform(scoped)
+      val nTri = Graph.triangles(eN).count()
+      val deg = eN.select($"a".as("n")).unionAll(
+          eN.select($"b".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
-      // orient a→b iff (deg(a), a) < (deg(b), b); carry the dst's
-      // (deg, id) key so the wedge join can order endpoints without a
-      // global relabeling pass
-      val withDeg = edges
-        .join(deg.withColumnsRenamed(Map("n" -> "a", "deg" -> "__da")),
-          "a")
-        .join(deg.withColumnsRenamed(Map("n" -> "b", "deg" -> "__db")),
-          "b")
-      val oriented = withDeg.select(
-          when(struct($"__da", $"a") < struct($"__db", $"b"),
-            struct($"a".as("src"), $"b".as("dst"),
-              struct($"__db".as("d"), $"b".as("i")).as("k")))
-          .otherwise(
-            struct($"b".as("src"), $"a".as("dst"),
-              struct($"__da".as("d"), $"a".as("i")).as("k")))
-          .as("e"))
-        .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.k".as("k"))
-        .persist()
-      val e1 = oriented.select($"src", $"dst".as("v"), $"k".as("kv"))
-      val e2 = oriented.select($"src", $"dst".as("w"), $"k".as("kw"))
-      val wedges = e1.join(e2, Seq("src")).filter($"kv" < $"kw")
-      val closing = oriented.select($"src".as("v"), $"dst".as("w"))
-      val nTri = wedges.join(closing, Seq("v", "w"), "left_semi").count()
       // deg·(deg−1) is even, so the /2 is exact in double; cast to
       // long per row BEFORE the sum so the total stays integer-exact
       val nWedge = deg.agg(
         sum(($"deg" * ($"deg" - 1) / 2).cast("long"))).collect()(0)
         .getLong(0)
       val cc = if (nWedge > 0) 3.0 * nTri / nWedge else 0.0
-      // both actions have run — release the two persists NOW rather
-      // than leaving 841k-edge tables squatting until the session
-      // cache clear (the review-documented q52 cache-pressure mode)
-      edges.unpersist()
-      oriented.unpersist()
       import s.implicits._
       Seq((nTri, nWedge,
           math.floor(cc * 1e6 + 0.5) / 1e6))
@@ -4158,38 +4137,18 @@ object SparkEntry {
     // Degree ≥4 keeps the report on nodes where the denominator
     // means something; the cut rides the rounded coefficient.
     "q178_local_clustering" -> ((s, d) => {
+      // per-node triangle counts via the adaptive adjacency
+      // intersect (Graph.trianglesIntersect): each (a,b,c) row credits
+      // its three nodes — no wedge stream, no shuffle_hash tuning of a
+      // sort-merge over tens of millions of wedge rows (the old plan).
       val edges = basketPairs(cappedBaskets(s, d, cap = 5))
-        .distinct().transform(scoped)
+        .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+        .filter($"a" =!= $"b").distinct().transform(scoped)
       val deg = edges.select($"a".as("n")).unionAll(
           edges.select($"b".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("degree"))
-      val withDeg = edges
-        .join(deg.withColumnsRenamed(Map("n" -> "a", "degree" -> "__da")),
-          "a")
-        .join(deg.withColumnsRenamed(Map("n" -> "b", "degree" -> "__db")),
-          "b")
-      val oriented = withDeg.select(
-          when(struct($"__da", $"a") < struct($"__db", $"b"),
-            struct($"a".as("src"), $"b".as("dst"),
-              struct($"__db".as("d"), $"b".as("i")).as("k")))
-          .otherwise(
-            struct($"b".as("src"), $"a".as("dst"),
-              struct($"__da".as("d"), $"a".as("i")).as("k")))
-          .as("e"))
-        .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.k".as("k"))
-        .transform(scoped)
-      val e1 = oriented.select($"src", $"dst".as("v"), $"k".as("kv"))
-      val e2 = oriented.select($"src", $"dst".as("w"), $"k".as("kw"))
-      val closing = oriented.select($"src".as("v"), $"dst".as("w"))
-      // shuffle_hash on the closing side: left to itself Spark sort-
-      // merges this join, i.e. SORTS the full wedge stream (tens of
-      // millions of rows) to meet an 841k-row build side — the hint
-      // swaps that for a hash build of the small side and a streaming
-      // probe of the wedges (measured 8.8 → 5.8 s on the sf0.1 tail;
-      // q131's left_semi gets the hash plan without being asked)
-      val triPerNode = e1.join(e2, Seq("src")).filter($"kv" < $"kw")
-        .join(closing.hint("shuffle_hash"), Seq("v", "w"))
-        .select(explode(array($"src", $"v", $"w")).as("n"))
+      val triPerNode = Graph.triangles(edges)
+        .select(explode(array($"a", $"b", $"c")).as("n"))
         .groupBy($"n").agg(count(lit(1)).as("n_tri"))
       val scored = deg.filter($"degree" >= 4)
         .join(triPerNode, Seq("n"), "left")

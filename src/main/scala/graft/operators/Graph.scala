@@ -221,102 +221,15 @@ object Graph {
       .distinct()
     val e = norm.localCheckpoint()
     __lap("edges")
-    // ONE triangle enumeration, then the peel maintains the triangle
-    // set INCREMENTALLY: each round is a bounded-state aggregate +
-    // three semi-joins over the surviving triangles, never a fresh
-    // wedge join. Re-enumerating per round was measured 56 s at sf0.1
-    // (the survivor set stays ~600k edges for 8 rounds on this
-    // triangle-dense graph, so every round paid the full q131-scale
-    // join); the incremental form pays it once. |T| is the same
-    // O(Σ deg·√m) the one-shot triangle count materializes anyway —
-    // checkpointed and partitioned, nothing driver-side.
-    //
-    // Enumeration is ADAPTIVE between two plans that produce the same
-    // triangle set:
-    //  - VALUE order (e ⋈ e ⋈ e on a<b<c): two shuffle joins, no
-    //    degree machinery — but its wedge fan-out scales with the max
-    //    raw degree, quadratic at a hub node.
-    //  - DEGREE orientation (the q131 shape): orient a→b iff
-    //    (deg(a), a) < (deg(b), b), carrying each dst's (deg, id) key
-    //    so the wedge join orders endpoints without a global
-    //    relabeling pass; fan-out caps at O(√m) on ANY skew. The
-    //    orientation costs two degree-attach joins + a wider wedge
-    //    payload — measured 8.4 s vs 3.8 s on the bounded-degree
-    //    co-purchase graph, i.e. on a LOW-skew graph it pays ~2× for
-    //    a bound it never needs.
-    // The choice is a bounded 1-row aggregate (max degree + edge
-    // count): orientation only when the hub degree exceeds 2·√(2m) —
-    // past that point the value-order wedge stream (Σ over middle
-    // nodes of lower-deg·upper-deg) outgrows the orientation's fixed
-    // join overhead. Exactly the adaptive-planning posture AQE takes
-    // for join strategies, applied to a shape AQE cannot see.
-    // the skew statistic is the max HIGHER-degree (value order): it is
-    // exactly what bounds the intersect branch below — both the
-    // collect_list payloads and the per-edge merge cost are O(max
-    // |adjHi|) — and it is computable in one aggregate over |E| rows
-    // (raw degree needed 2|E|). Σ hi-degree = |E| = m for free.
-    val degStats = e.groupBy(col("a")).agg(count(lit(1)).as("__dg"))
-      .agg(max(col("__dg")).as("mx"), sum(col("__dg")).as("tot"))
-      .collect()(0)
-    __lap("deg-stats")
-    val skewed = !degStats.isNullAt(0) && {
-      val m = degStats.getLong(1)
-      degStats.getLong(0).toDouble > 2.0 * math.sqrt(2.0 * m)
-    }
-    var tri = (if (!skewed) {
-      // adjacency-intersect enumeration: one groupBy builds each
-      // node's sorted HIGHER-neighbor list, two joins attach both
-      // endpoints' lists to every edge, and array_intersect emits the
-      // closing nodes. No wedge set ever materializes or shuffles —
-      // measured 2.1 s vs 3.9 s for the e ⋈ e ⋈ e wedge form on the
-      // 841k-edge co-purchase graph, same 811,516 triangles. Array
-      // payloads are bounded by the max higher-degree, which is what
-      // the !skewed test just certified; hub graphs take the oriented
-      // branch below.
-      val adjHi = e.groupBy(col("a"))
-        .agg(sort_array(collect_list(col("b"))).as("__nbrs"))
-      e.join(adjHi.select(col("a"), col("__nbrs").as("__na")), Seq("a"))
-        .join(adjHi.select(col("a").as("b"), col("__nbrs").as("__nb")),
-          Seq("b"))
-        .select(col("a"), col("b"),
-          explode(array_intersect(col("__na"), col("__nb"))).as("c"))
-    } else {
-      val deg = e.select(col("a").as("n")).unionAll(
-          e.select(col("b").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("__dg"))
-      val oriented = e
-        .join(deg.withColumnsRenamed(Map("n" -> "a", "__dg" -> "__da")),
-          "a")
-        .join(deg.withColumnsRenamed(Map("n" -> "b", "__dg" -> "__db")),
-          "b")
-        .select(
-          when(struct(col("__da"), col("a")) <
-              struct(col("__db"), col("b")),
-            struct(col("a").as("src"), col("b").as("dst"),
-              struct(col("__db").as("d"), col("b").as("i")).as("k")))
-          .otherwise(
-            struct(col("b").as("src"), col("a").as("dst"),
-              struct(col("__da").as("d"), col("a").as("i")).as("k")))
-          .as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"),
-          col("e.k").as("k"))
-      // oriented is consumed 3× (two wedge legs + the closer) as
-      // IDENTICAL subtrees — ReuseExchange dedupes the shuffle, so a
-      // checkpoint here would only add a full extra materialization
-      val wedges = oriented.select(col("src"), col("dst").as("v"),
-          col("k").as("kv"))
-        .join(oriented.select(col("src"), col("dst").as("w"),
-          col("k").as("kw")), Seq("src"))
-        .filter(col("kv") < col("kw"))
-      // back to VALUE order (a<b<c) for the peel: array_sort is
-      // generic over the label type, so string node ids sort too
-      val srt = array_sort(array(col("src"), col("v"), col("w")))
-      wedges
-        .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-          Seq("v", "w"), "left_semi")
-        .select(element_at(srt, 1).as("a"), element_at(srt, 2).as("b"),
-          element_at(srt, 3).as("c"))
-    }).localCheckpoint()
+    // ONE triangle enumeration (the adaptive [[triangles]] plan),
+    // then the peel works off the checkpointed set — re-enumerating
+    // per round was measured 56 s at sf0.1 (the survivor set stays
+    // ~600k edges for 8 rounds on this triangle-dense graph, so every
+    // round paid the full q131-scale join); the one-shot form pays it
+    // once. |T| is the same O(Σ deg·√m) the one-shot triangle count
+    // materializes anyway — checkpointed and partitioned, nothing
+    // driver-side.
+    val tri = triangles(e).localCheckpoint()
     __lap("enumerate")
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
     // The peel is a DRIVER-COORDINATED CASCADE. Profiling killed two
@@ -575,6 +488,89 @@ object Graph {
     }
     sup.select(col("a").as("node_a"), col("b").as("node_b"),
       col("support"))
+  }
+
+  /** Adaptive triangle enumeration over a value-NORMALIZED distinct
+    * edge list `e` (columns a < b, no duplicates — callers prep with
+    * least/greatest + distinct). Two plans produce the same triangle
+    * set, chosen by a bounded 1-row aggregate (max HIGHER-degree +
+    * edge count — the statistic that bounds the intersect branch):
+    *
+    *  - VALUE-ORDER ADJACENCY INTERSECT (default): one groupBy packs
+    *    each node's sorted higher-neighbor list, two joins attach both
+    *    endpoints' lists to every edge, array_intersect emits the
+    *    closing nodes. No wedge stream ever materializes or shuffles —
+    *    measured 2.1 s vs 3.9 s for the e ⋈ e ⋈ e wedge join on the
+    *    841k-edge co-purchase graph (same 811,516 triangles), and it
+    *    replaced the oriented wedge join in q131/q178 (whose dominant
+    *    cost was sorting/probing tens of millions of wedge rows). A
+    *    degree-ORIENTED intersect variant was measured ~2× slower
+    *    here: the two degree-attach shuffles cost more than the
+    *    O(√m) list bound buys on a low-skew graph.
+    *  - DEGREE-ORIENTED WEDGE JOIN (hub graphs): orient a→b iff
+    *    (deg(a), a) < (deg(b), b), carrying each dst's (deg, id) key
+    *    so the wedge join orders endpoints without a global
+    *    relabeling pass; fan-out caps at O(√m) on ANY skew. Engaged
+    *    only when the max higher-degree exceeds 2·√(2m) — past that
+    *    point the value-order adjacency payloads (and the intersect
+    *    merge cost) grow with the hub, while orientation's fixed join
+    *    overhead stays flat. The adaptive-planning posture AQE takes
+    *    for join strategies, applied to a shape AQE cannot see.
+    *
+    * Returns one (a, b, c) row per triangle in VALUE order (a<b<c). */
+  def triangles(e: DataFrame): DataFrame = {
+    val degStats = e.groupBy(col("a")).agg(count(lit(1)).as("__dg"))
+      .agg(max(col("__dg")).as("mx"), sum(col("__dg")).as("tot"))
+      .collect()(0)
+    val skewed = !degStats.isNullAt(0) && {
+      val m = degStats.getLong(1)
+      degStats.getLong(0).toDouble > 2.0 * math.sqrt(2.0 * m)
+    }
+    if (!skewed) {
+      val adjHi = e.groupBy(col("a"))
+        .agg(sort_array(collect_list(col("b"))).as("__nbrs"))
+      e.join(adjHi.select(col("a"), col("__nbrs").as("__na")), Seq("a"))
+        .join(adjHi.select(col("a").as("b"), col("__nbrs").as("__nb")),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          explode(array_intersect(col("__na"), col("__nb"))).as("c"))
+    } else {
+      val deg = e.select(col("a").as("n")).unionAll(
+          e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("__dg"))
+      val oriented = e
+        .join(deg.withColumnsRenamed(Map("n" -> "a", "__dg" -> "__da")),
+          "a")
+        .join(deg.withColumnsRenamed(Map("n" -> "b", "__dg" -> "__db")),
+          "b")
+        .select(
+          when(struct(col("__da"), col("a")) <
+              struct(col("__db"), col("b")),
+            struct(col("a").as("src"), col("b").as("dst"),
+              struct(col("__db").as("d"), col("b").as("i")).as("k")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"),
+              struct(col("__da").as("d"), col("a").as("i")).as("k")))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.k").as("k"))
+      // oriented is consumed 3× (two wedge legs + the closer) as
+      // IDENTICAL subtrees — ReuseExchange dedupes the shuffle, so a
+      // checkpoint here would only add a full extra materialization
+      val wedges = oriented.select(col("src"), col("dst").as("v"),
+          col("k").as("kv"))
+        .join(oriented.select(col("src"), col("dst").as("w"),
+          col("k").as("kw")), Seq("src"))
+        .filter(col("kv") < col("kw"))
+      // back to VALUE order (a<b<c): array_sort is generic over the
+      // label type, so string node ids sort too
+      val srt = array_sort(array(col("src"), col("v"), col("w")))
+      wedges
+        .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"), "left_semi")
+        .select(element_at(srt, 1).as("a"), element_at(srt, 2).as("b"),
+          element_at(srt, 3).as("c"))
+    }
   }
 
   /** Multi-source BFS hop distance over an UNDIRECTED edge list:
