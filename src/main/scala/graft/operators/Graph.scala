@@ -613,10 +613,21 @@ object Graph {
     var h = 1
     var done = false
     while (!done && h <= maxHops) {
+      // shuffle_hash on the frontier: once the frontier outgrows the
+      // broadcast threshold (measured at the 100× probe decade) Spark
+      // would otherwise SORT-MERGE this join — i.e. sort the full
+      // cached adjacency EVERY round (17.6× on the second probe
+      // decade). The hint builds a hash table of the (small) frontier
+      // per partition and streams adj in place — adj is already
+      // hash-partitioned on __w from before its checkpoint, so only
+      // the frontier moves. Same hint on the visited anti-join, whose
+      // sort grew with the visited set the same way.
       val next = adj
-        .join(frontier.withColumnRenamed("node", "__w"), Seq("__w"))
+        .join(frontier.withColumnRenamed("node", "__w")
+          .hint("shuffle_hash"), Seq("__w"))
         .select(col("__n").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .join(visited.select(col("node")).hint("shuffle_hash"),
+          Seq("node"), "left_anti")
         .localCheckpoint()
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
       frontier = next
@@ -674,11 +685,15 @@ object Graph {
     while (!done && h <= maxHops) {
       // proposals from the frontier only; min per node, then keep
       // strict improvements vs the current distance table
+      // shuffle_hash for the same reason as [[bfsHops]]: past the
+      // broadcast threshold the un-hinted plan sort-merges, sorting
+      // the cached adjacency (and the distance table) every round
       val next = adj
-        .join(frontier.withColumnRenamed("node", "__s"), Seq("__s"))
+        .join(frontier.withColumnRenamed("node", "__s")
+          .hint("shuffle_hash"), Seq("__s"))
         .groupBy(col("__n").as("node"))
         .agg(min(col("dist") + col("__w")).as("__cand"))
-        .join(dist, Seq("node"), "left")
+        .join(dist.hint("shuffle_hash"), Seq("node"), "left")
         .filter(col("dist").isNull || col("__cand") < col("dist"))
         .select(col("node"), col("__cand").as("dist"))
         .localCheckpoint()

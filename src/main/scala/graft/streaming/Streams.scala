@@ -33,7 +33,8 @@ object Streams {
     */
   def tokenFlowsStream(spark: SparkSession, blocksDir: String,
                        hot: DataFrame, watchlists: DataFrame,
-                       prices: DataFrame, blocksPerTrigger: Int = 1)
+                       prices: DataFrame, blocksPerTrigger: Int = 1,
+                       trigger: Trigger = Trigger.AvailableNow())
                       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val reader = spark.readStream.schema(BlockSchema.block)
     val blocks = (if (blocksPerTrigger > 0)
@@ -42,7 +43,7 @@ object Streams {
       .json(blocksDir)
     blocks.writeStream
       .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(Rugpull.tokenFlows(batch, hot, watchlists, prices), id)
       }

@@ -435,33 +435,13 @@ object Scratch {
           concat(col("b"), lit(s"_$k")).as("b"))
       }.reduce(_.unionByName(_))
       val r = timed {
+        // the production plan: Graph.triangles' adaptive enumeration
+        // (value-order adjacency intersect on this low-skew graph)
         val edges = rep.persist(MEMORY_AND_DISK)
-        val deg = edges.select(col("a").as("n")).unionAll(
-            edges.select(col("b").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-        val withDeg = edges
-          .join(deg.withColumnsRenamed(Map("n" -> "a", "deg" -> "da")), "a")
-          .join(deg.withColumnsRenamed(Map("n" -> "b", "deg" -> "db")), "b")
-        val oriented = withDeg.select(
-            when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-              struct(col("a").as("src"), col("b").as("dst"),
-                struct(col("db").as("d"), col("b").as("i")).as("k")))
-            .otherwise(struct(col("b").as("src"), col("a").as("dst"),
-              struct(col("da").as("d"), col("a").as("i")).as("k")))
-            .as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"),
-            col("e.k").as("k"))
-          .persist(MEMORY_AND_DISK)
-        val e1 = oriented.select(col("src"), col("dst").as("v"),
-          col("k").as("kv"))
-        val e2 = oriented.select(col("src"), col("dst").as("w"),
-          col("k").as("kw"))
-        val wedges = e1.join(e2, Seq("src")).filter(col("kv") < col("kw"))
-        val closing = oriented.select(col("src").as("v"),
-          col("dst").as("w"))
-        val n = wedges.join(closing, Seq("v", "w"), "left_semi").count()
+        edges.count()
+        val n = operators.Graph.triangles(edges).count()
         println(s"[scratch]   triangles mult=$mult n=$n")
-        edges.unpersist(); oriented.unpersist()
+        edges.unpersist()
       }
       base.unpersist()
       r
@@ -586,43 +566,15 @@ object Scratch {
           concat(col("b"), lit(s"_$k")).as("b"))
       }.reduce(_.unionByName(_))
       val r = timed {
+        // the production q178 plan: Graph.triangles → explode →
+        // per-node counts
         val edges = rep.persist(MEMORY_AND_DISK)
-        val deg = edges.select(col("a").as("n")).unionAll(
-            edges.select(col("b").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("degree"))
-        val withDeg = edges
-          .join(deg.withColumnsRenamed(
-            Map("n" -> "a", "degree" -> "da")), "a")
-          .join(deg.withColumnsRenamed(
-            Map("n" -> "b", "degree" -> "db")), "b")
-        val oriented = withDeg.select(
-            when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-              struct(col("a").as("src"), col("b").as("dst"),
-                struct(col("db").as("d"), col("b").as("i")).as("k")))
-            .otherwise(struct(col("b").as("src"), col("a").as("dst"),
-              struct(col("da").as("d"), col("a").as("i")).as("k")))
-            .as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"),
-            col("e.k").as("k"))
-          .persist(MEMORY_AND_DISK)
-        val t0 = System.nanoTime()
-        oriented.count()
-        val tCore = (System.nanoTime() - t0) / 1e9
-        val e1 = oriented.select(col("src"), col("dst").as("v"),
-          col("k").as("kv"))
-        val e2 = oriented.select(col("src"), col("dst").as("w"),
-          col("k").as("kw"))
-        val closing = oriented.select(col("src").as("v"),
-          col("dst").as("w"))
-        val t1 = System.nanoTime()
-        val nNodes = e1.join(e2, Seq("src")).filter(col("kv") < col("kw"))
-          .join(closing.hint("shuffle_hash"), Seq("v", "w"))
-          .select(explode(array(col("src"), col("v"), col("w"))).as("n"))
+        edges.count()
+        val nNodes = operators.Graph.triangles(edges)
+          .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
           .groupBy(col("n")).agg(count(lit(1)).as("t")).count()
-        val tTail = (System.nanoTime() - t1) / 1e9
-        println(f"[scratch]   lcc mult=$mult nodesWithTri=$nNodes " +
-          f"core=$tCore%.2f s tail=$tTail%.2f s")
-        edges.unpersist(); oriented.unpersist()
+        println(f"[scratch]   lcc mult=$mult nodesWithTri=$nNodes")
+        edges.unpersist()
       }
       base.unpersist()
       r

@@ -23,13 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val nBlocks = if (args.length > 0) args(0).toInt else 120
-    val txPer = if (args.length > 1) args(1).toInt else 500
+    val sustained = args.headOption.contains("sustained")
+    val nBlocks =
+      if (sustained || args.length < 1) 120 else args(0).toInt
+    val txPer = if (sustained || args.length < 2) 500 else args(1).toInt
     // Micro-batch tuning knob: AQE is DISABLED under streaming, so a
     // per-block trigger pays `shuffle.partitions` near-empty tasks per
     // shuffle stage — a real per-block deployment sizes this to the
     // block, not to the batch backfill (where AQE coalesces anyway)
-    val shufP = if (args.length > 2) args(2).toInt else 8
+    val shufP = if (sustained || args.length < 3) 8 else args(2).toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", shufP.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -63,7 +65,9 @@ object StreamBench {
     }
     val dir = Files.createTempDirectory("graft-streambench").toFile
     var totalBytes = 0L
-    (0 until nBlocks).foreach { b =>
+    // the batch fixture feeds the trigger/floor/batch modes; the
+    // sustained mode lands its own files at arrival cadence
+    (0 until (if (sustained) 0 else nBlocks)).foreach { b =>
       val body = (0 until txPer).map(t => tx(b, t)).mkString(",")
       val block =
         s"""{"result":{"blockTime":${1700000000L + b},"transactions":[$body]}}"""
@@ -81,6 +85,82 @@ object StreamBench {
     val prices = hotAddrs.zipWithIndex.map { case (a, i) =>
       (a, if (i % 2 == 0) "base" else "quote", 1.0 + i * 0.01)
     }.toDF("vault", "side", "price_usd")
+
+    // --- SUSTAINED mode (`sbt "Test/runMain graft.StreamBench
+    // sustained [rate] [secs]"`): a feeder thread delivers blocks at a
+    // fixed arrival rate (default = the reference's real-time envelope,
+    // 1 block / 0.4 s = 2.5 blocks/s) for a multi-minute window while
+    // the flagship stream consumes them on a 200 ms ProcessingTime
+    // trigger. Per-BLOCK latency = (micro-batch completion) − (file
+    // land time), measured for every block via the ledger's blockTime;
+    // p50/p99/max over the whole run is the number a real-time
+    // deployment cares about (a backlogged consumer shows up as
+    // latency growth, not just a lower rate). Files land via atomic
+    // rename so the source never reads a partial block.
+    if (sustained) {
+      val rate = if (args.length > 1) args(1).toDouble else 2.5
+      val secs = if (args.length > 2) args(2).toInt else 180
+      val n = math.max(1, (rate * secs).toInt)
+      val sdir = Files.createTempDirectory("graft-streambench-sus")
+      val landT = new Array[Long](n)
+      val lats = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      @volatile var seen = 0L
+      @volatile var lastDone = 0L
+      val q = streaming.Streams.tokenFlowsStream(spark,
+        sdir.toString, hot, watchlists, prices, blocksPerTrigger = 0,
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds")) { (df: DataFrame, _) =>
+        val ids = df.select(col("timestamp")).distinct().collect()
+          .map(_.getLong(0) - 1700000000L)
+        if (ids.nonEmpty) {
+          val done = System.nanoTime()
+          // lats/seen are touched only here: foreachBatch sinks run
+          // serially on the query thread
+          ids.foreach(b => lats += (done - landT(b.toInt)) / 1e9)
+          batchSizes += ids.length
+          seen += ids.length
+          lastDone = done
+        }
+      }
+      val tick = (1e9 / rate).toLong
+      val tStart = System.nanoTime()
+      var b = 0
+      while (b < n) {
+        val due = tStart + b.toLong * tick
+        var now = System.nanoTime()
+        while (now < due) {
+          Thread.sleep(math.max(1L, (due - now) / 2000000L)); now = System.nanoTime()
+        }
+        val body = (0 until txPer).map(t => tx(b, t)).mkString(",")
+        val block = s"""{"result":{"blockTime":${1700000000L + b},""" +
+          s""""transactions":[$body]}}"""
+        val tmp = Paths.get(sdir.toString, f".b$b%06d.json.tmp")
+        Files.writeString(tmp, block)
+        landT(b) = System.nanoTime()
+        Files.move(tmp, Paths.get(sdir.toString, f"b$b%06d.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        b += 1
+      }
+      val feedEnd = System.nanoTime()
+      // drain: everything fed must come out; 120 s grace
+      val deadline = feedEnd + 120L * 1000000000L
+      while (seen < n && System.nanoTime() < deadline) Thread.sleep(100)
+      q.stop(); q.awaitTermination(60000)
+      val sorted = lats.sorted
+      def pct(p: Double) =
+        sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+      val consumedRate = seen.toDouble /
+        ((lastDone - tStart) / 1e9)
+      println(f"[streambench] SUSTAINED [$rate%.1f blocks/s arrival, " +
+        f"$secs s]: fed $n, consumed $seen in ${batchSizes.size} " +
+        f"batches (max ${if (batchSizes.isEmpty) 0 else batchSizes.max}" +
+        f"/batch) -> $consumedRate%.2f blocks/s, latency " +
+        f"p50=${pct(0.50)}%.2f s p99=${pct(0.99)}%.2f s " +
+        f"max=${sorted.last}%.2f s")
+      require(seen == n, s"sustained run dropped blocks: $seen of $n")
+      spark.stop(); return
+    }
 
     // --- streaming modes: per-block trigger (the reference's cadence —
     // its mailbox hands the parser one block at a time), grouped
