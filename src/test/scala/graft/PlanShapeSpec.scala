@@ -647,19 +647,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, s"non-equi join in q148: $bad")
   }
 
-  test("q178 local clustering: closing join hash-builds, never sorts " +
-      "the wedge stream") {
-    // the shuffle_hash hint is the query's scale property: without it
-    // Spark sort-merges the closing join, i.e. SORTS every wedge (the
-    // 10x replication probe measured 16.9x growth from that sort vs
-    // 4.4x with the hash build). A refactor dropping the hint must
-    // fail here, not in a future bench.
+  test("q178 local clustering: no wedge stream — the plan carries no " +
+      "sort-merge join and no non-equi join") {
+    // round 10 replaced the oriented wedge join (whose closing join
+    // needed a shuffle_hash hint to avoid sorting tens of millions of
+    // wedge rows — the 10x probe measured 16.9x growth from that
+    // sort) with Graph.triangles' adjacency-intersect: the triangle
+    // work is two equi-joins attaching neighbor arrays plus one
+    // codegen intersect, so NO join in the plan may sort-merge (a
+    // regression back to a sorting join shape must fail here, not in
+    // a future bench).
     val p = plan("q178_local_clustering")
-    val shj = collectAll(p) {
-      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
-        => j
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.nodeName
     }
-    assert(shj.nonEmpty, s"closing join lost its hash build:\n$p")
+    assert(smj.isEmpty, s"q178 regressed to a sort-merge join:\n$p")
     val bad = collectAll(p) {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
         j.nodeName
