@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Distributed graph analytics over edge DataFrames.
   *
@@ -14,6 +17,46 @@ import org.apache.spark.sql.functions._
   * nothing ever collects to the driver.
   */
 object Graph {
+
+  /** Max frontier size for which the per-round Bloom pushdown is built
+    * (8M keys at 2% fpp ≈ 8 MB of filter — one aggregate over the
+    * frontier plus a driver round-trip; past this the filter itself
+    * becomes the shipping cost and the plain join is the right plan). */
+  private val BloomMaxItems = 8000000L
+
+  /** Row-count bound under which the visited/dist side of a traversal
+    * join keeps the `shuffle_hash` hint. ShuffledHashJoin builds an
+    * in-memory per-partition hash map of the build side; visited/dist
+    * grow toward O(V) over rounds, so past this bound the hint is
+    * DROPPED and Spark falls back to sort-merge — slower per round but
+    * spill-safe, the right trade once the table no longer fits
+    * per-partition memory (round-10 advice item). The frontier-side
+    * hint has no such gate: the frontier is the small side by
+    * construction and is bloom-bounded anyway. */
+  private val HashHintMaxRows = 64000000L
+
+  /** Serialized Bloom filter over `xxhash64(keyCol)` of a (small,
+    * already-materialized) frontier, built with the grouped
+    * [[graft.functions.BloomAgg]] — map-side partials, one binary row
+    * collected. Returns the `might_contain` predicate to push into the
+    * adjacency scan: Spark's own codegen'd BloomFilterMightContain over
+    * the same xxhash64 key, deserialized once per task. False
+    * positives only leak extra rows into the (exact) join behind it —
+    * the filter never changes the result, it makes the join machinery
+    * (probe output, distinct, anti-join) track the FRONTIER's
+    * neighborhood instead of Θ(|E|) per round. */
+  private def frontierBloomFilter(frontier: DataFrame, keyCol: String,
+                                  nItems: Long, probeKey: Column): Column = {
+    val bytes = frontier
+      .agg(graft.functions.BloomAgg(math.max(nItems, 1024L), 0.02)(
+        xxhash64(col(keyCol))).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // build side put xxhash64(key) longs; probe with the same hash of
+    // the adjacency's key — one codegen'd mightContainLong per row
+    Bridge.column(BloomFilterMightContain(
+      Literal.create(bytes, BinaryType),
+      Bridge.toCatalyst(xxhash64(probeKey))))
+  }
 
   /** PageRank over a DIRECTED edge list (pass both directions for an
     * undirected graph). Fixed `iters` power iterations of
@@ -291,14 +334,20 @@ object Graph {
       } else spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
     // classic all-shuffle peel: the scale fallback, and the round-for
-    // -round shape a cluster run degrades to past the driver caps
-    def peelShuffle(t0: DataFrame): DataFrame = {
+    // -round shape a cluster run degrades to past the driver caps.
+    // `sup0First` seeds round 0 with an ALREADY-materialized support
+    // table (the cascade's sup0) so the fallback doesn't re-aggregate
+    // 3·|tri| rows it just paid for; the normal unpersist-after-round
+    // discipline then frees it like any other round's table.
+    def peelShuffle(t0: DataFrame,
+                    sup0First: Option[DataFrame] = None): DataFrame = {
       var t = t0
       var sup: DataFrame = null
       var done = false
       var i = 0
       while (!done && i < maxIters) {
-        val supAll = supportAgg(t).localCheckpoint()
+        val supAll = if (i == 0 && sup0First.isDefined) sup0First.get
+          else supportAgg(t).localCheckpoint()
         val removed = supAll.filter(col("support") < k - 2)
           .select(col("a"), col("b"))
         val nRem = removed.count()
@@ -327,9 +376,50 @@ object Graph {
     }
     val weak0 = sup0.filter(col("support") < k - 2)
       .limit(1000001).collect()
-    __lap("weak0-collect")
-    val sup: DataFrame = if (weak0.length > 1000000) peelShuffle(tri)
+    // SUPPORT-BUCKETED PREFETCH (round 11): edges in [k−2, k−2+Δ) are
+    // not dying yet but are within Δ decrements of dying — the profile
+    // showed the cascade's rounds 2..7 paging in exactly these edges'
+    // neighborhoods one death-wave at a time (18.8k, 1.3k, 412, 60,
+    // 15, 3 edges — each a full probe job over the triangle set).
+    // Paging them WITH probe 1 makes their triangle knowledge complete
+    // up front, so a later death retires driver-locally and the probe
+    // count collapses to the deep-cascade tail (edges that fall > Δ).
+    // Δ is chosen FROM THE SUPPORT HISTOGRAM (≤ 6 rows collected):
+    // the widest Δ ≤ 4 whose bucket stays within ~2× the dying set —
+    // a fixed Δ was measured WORSE on this triangle-dense graph
+    // (Δ=4 swept in 500k+ edges ≈ the whole triangle set, 13.1 s vs
+    // 12.0 s solo); bounding it keeps probe 1 proportional to the
+    // peel's actual working set. Truncation/skip-safe: prefetch only
+    // ADDS knowledge — fewer paged edges just means more probes
+    // later, never a wrong answer.
+    val fragile0 = if (weak0.length > 1000000) Array.empty[
+      org.apache.spark.sql.Row]
     else {
+      val hist = sup0.filter(col("support") >= k - 2 &&
+          col("support") < k - 2 + 4)
+        .groupBy(col("support")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (__dbg) println(s"[ktruss-dbg] hist=${hist.toSeq.sortBy(_._1)}")
+      val budget = math.max(50000L, 3L * weak0.length)
+      var delta = 0
+      var cum = 0L
+      while (delta < 4 &&
+          cum + hist.getOrElse((k - 2 + delta).toLong, 0L) <= budget) {
+        cum += hist.getOrElse((k - 2 + delta).toLong, 0L)
+        delta += 1
+      }
+      if (delta == 0) Array.empty[org.apache.spark.sql.Row]
+      else sup0.filter(col("support") >= k - 2 &&
+          col("support") < k - 2 + delta)
+        .limit(1000001).collect()
+    }
+    __lap(s"weak0-collect (weak=${weak0.length} fragile=${fragile0.length})")
+    val sup: DataFrame = if (weak0.length > 1000000) {
+      // all-shuffle fallback: seed round 0 with the sup0 aggregate
+      // already materialized above (peelShuffle frees it after its
+      // first round like any round table — the round-10 advice leak)
+      peelShuffle(tri, Some(sup0))
+    } else {
       import scala.collection.mutable
       // Demand-paged peel state. Knowledge is CUMULATIVE: every
       // triangle a probe ever returns is indexed by its three edges,
@@ -358,6 +448,14 @@ object Graph {
       weak0.foreach { r =>
         val e = (r.get(0), r.get(1))
         baseSup(e) = r.getLong(2); removedAt(e) = 0; work += e
+      }
+      // fragile edges: page-in only — probed with round 1 but NEVER
+      // retired from (they are not dying); their complete triangle
+      // lists make later deaths driver-local
+      val pageSet = mutable.ArrayBuffer.empty[(Any, Any)]
+      fragile0.foreach { r =>
+        val e = (r.get(0), r.get(1))
+        baseSup(e) = r.getLong(2); pageSet += e
       }
       // retire t: decrement ALL its edges (removed ones too — their
       // counters must keep tracking live-triangle counts, or a dead
@@ -390,7 +488,11 @@ object Graph {
         }
         if (probeSet.nonEmpty) {
           probes += 1
-          val remRel = localDf(probeSet.map(e =>
+          // first probe also pages the fragile bucket (prefetch);
+          // retirement below still runs over the DYING edges only
+          val probeRows = probeSet ++ pageSet
+          pageSet.clear()
+          val remRel = localDf(probeRows.map(e =>
             org.apache.spark.sql.Row(e._1, e._2)).toSeq, pairSchema())
           def probe(c1: String, c2: String, flag: String) = broadcast(
             remRel.select(col("a").as(c1), col("b").as(c2))
@@ -404,20 +506,26 @@ object Graph {
               coalesce(col("__h3"), lit(false)))
             .select(col("a"), col("b"), col("c"))
             .limit(4000001).collect()
-          __lap(s"probe $probes (edges=${probeSet.length} cand=${cand.length})")
+          __lap(s"probe $probes (edges=${probeRows.length} cand=${cand.length})")
           if (cand.length > 4000000 || knownTri.size > 4000000) {
             // touched-triangle volume outgrew the driver budget:
             // rebuild the live triangle set (minus everything removed
             // so far) and finish on the all-shuffle path
             val remAll = localDf(removedAt.keysIterator.map(e =>
               org.apache.spark.sql.Row(e._1, e._2)).toSeq, pairSchema())
-            escaped = peelShuffle(tri
+            val liveTri = tri
               .join(broadcast(remAll), Seq("a", "b"), "left_anti")
               .join(broadcast(remAll.select(col("a"),
                 col("b").as("c"))), Seq("a", "c"), "left_anti")
               .join(broadcast(remAll.select(col("a").as("b"),
                 col("b").as("c"))), Seq("b", "c"), "left_anti")
-              .localCheckpoint())
+              .localCheckpoint()
+            // the escape re-aggregates from liveTri: the cascade's
+            // sup0 and the full triangle checkpoint are dead weight
+            // from here (the round-10 advice leak on this path)
+            org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(sup0)
+            org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tri)
+            escaped = peelShuffle(liveTri)
           } else {
             val fresh = mutable.ArrayBuffer.empty[(Any, Any, Any)]
             cand.foreach { r =>
@@ -607,12 +715,32 @@ object Graph {
         col("__lo").as("__n")))
       .repartition(col("__w"))
       .localCheckpoint()
+    val adjRows = adj.count()
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
       .localCheckpoint()
+    var frontierN = frontier.count()
     var visited = frontier.withColumn("hops", lit(0)).localCheckpoint()
+    var visitedN = frontierN
     var h = 1
-    var done = false
+    var done = frontierN == 0L
     while (!done && h <= maxHops) {
+      // FRONTIER BLOOM PUSHDOWN: a 2%-fpp filter over the frontier's
+      // keys, probed inside the adjacency scan BEFORE the join — one
+      // codegen'd mightContainLong per row, so the join machinery
+      // (hash probe output, distinct shuffle, anti-join) processes the
+      // frontier's neighborhood instead of Θ(|E|) rows every round.
+      // The Θ(|E|) scan+filter pass itself remains (the honest
+      // Spark-SQL floor on a flat edge table), but it is the CHEAP
+      // part; the 100× probe decade measured the join/distinct volume
+      // as the growing term. Exactness is untouched: false positives
+      // only leak rows into the exact hash join behind the filter.
+      // Skipped when the frontier is dense (prunes nothing) or too
+      // big to ship (BloomMaxItems) — the plain join is right there.
+      val fAdj = if (frontierN <= BloomMaxItems &&
+          frontierN * 4 <= adjRows)
+        adj.filter(frontierBloomFilter(frontier, "node", frontierN,
+          col("__w")))
+      else adj
       // shuffle_hash on the frontier: once the frontier outgrows the
       // broadcast threshold (measured at the 100× probe decade) Spark
       // would otherwise SORT-MERGE this join — i.e. sort the full
@@ -620,24 +748,30 @@ object Graph {
       // decade). The hint builds a hash table of the (small) frontier
       // per partition and streams adj in place — adj is already
       // hash-partitioned on __w from before its checkpoint, so only
-      // the frontier moves. Same hint on the visited anti-join, whose
-      // sort grew with the visited set the same way.
-      val next = adj
+      // the frontier moves. The visited anti-join keeps the same hint
+      // only while visited is provably hash-table-sized
+      // (HashHintMaxRows); past that it reverts to sort-merge, whose
+      // spill path is the correct behavior for an O(V) build side.
+      val vis = visited.select(col("node"))
+      val visSide = if (visitedN <= HashHintMaxRows)
+        vis.hint("shuffle_hash") else vis
+      val next = fAdj
         .join(frontier.withColumnRenamed("node", "__w")
           .hint("shuffle_hash"), Seq("__w"))
         .select(col("__n").as("node")).distinct()
-        .join(visited.select(col("node")).hint("shuffle_hash"),
-          Seq("node"), "left_anti")
+        .join(visSide, Seq("node"), "left_anti")
         .localCheckpoint()
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
       frontier = next
-      if (frontier.isEmpty) { done = true }
+      frontierN = frontier.count()
+      if (frontierN == 0L) { done = true }
       else {
         val nv = visited
           .unionAll(frontier.withColumn("hops", lit(h)))
           .localCheckpoint()
         org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(visited)
         visited = nv
+        visitedN += frontierN
       }
       h += 1
     }
@@ -677,30 +811,46 @@ object Graph {
         col("__lo").as("__n"), col("__w")))
       .repartition(col("__s"))
       .localCheckpoint()
+    val adjRows = adj.count()
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = dist
+    var frontierN = frontier.count()
+    // upper bound on |dist| for the hint gate: dist gains at most the
+    // frontier's rows per round (improved rows replace, new rows add)
+    var distN = frontierN
     var h = 1
-    var done = false
+    var done = frontierN == 0L
     while (!done && h <= maxHops) {
       // proposals from the frontier only; min per node, then keep
-      // strict improvements vs the current distance table
-      // shuffle_hash for the same reason as [[bfsHops]]: past the
-      // broadcast threshold the un-hinted plan sort-merges, sorting
-      // the cached adjacency (and the distance table) every round
-      val next = adj
+      // strict improvements vs the current distance table.
+      // FRONTIER BLOOM PUSHDOWN + gated shuffle_hash: see [[bfsHops]]
+      // — the bloom keeps the proposal join + min-aggregate volume
+      // proportional to the frontier's neighborhood (false positives
+      // only leak rows into the exact join), and the distance-table
+      // hint reverts to spill-safe sort-merge once dist outgrows a
+      // per-partition hash table.
+      val fAdj = if (frontierN <= BloomMaxItems &&
+          frontierN * 4 <= adjRows)
+        adj.filter(frontierBloomFilter(frontier, "node", frontierN,
+          col("__s")))
+      else adj
+      val distSide = if (distN <= HashHintMaxRows)
+        dist.hint("shuffle_hash") else dist
+      val next = fAdj
         .join(frontier.withColumnRenamed("node", "__s")
           .hint("shuffle_hash"), Seq("__s"))
         .groupBy(col("__n").as("node"))
         .agg(min(col("dist") + col("__w")).as("__cand"))
-        .join(dist.hint("shuffle_hash"), Seq("node"), "left")
+        .join(distSide, Seq("node"), "left")
         .filter(col("dist").isNull || col("__cand") < col("dist"))
         .select(col("node"), col("__cand").as("dist"))
         .localCheckpoint()
       if (frontier ne dist)
         org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
       frontier = next
-      if (frontier.isEmpty) { done = true }
+      frontierN = frontier.count()
+      if (frontierN == 0L) { done = true }
       else {
         val nd = dist.join(frontier.select(col("node")), Seq("node"),
             "left_anti")
@@ -708,6 +858,7 @@ object Graph {
           .localCheckpoint()
         org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(dist)
         dist = nd
+        distN += frontierN
       }
       h += 1
     }
