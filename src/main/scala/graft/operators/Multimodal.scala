@@ -28,9 +28,15 @@ import org.apache.spark.sql.functions._
   *    plus MS-RLE8 ([[decodeRle8Features]] — INTER-frame-coded)
   *    video. FLAC is real at every standard depth (8–32 bit), channel
   *    count (1–8) and stereo decorrelation mode, including 32-bit
-  *    decorrelated stereo's 33-bit side channel. Only motion-
-  *    compensated/perceptual TRANSFORM codecs
-  *    (H.264/VP9, MP3/AAC) keep the
+  *    decorrelated stereo's 33-bit side channel. MPEG-1 Audio
+  *    Layer I is real to the exact subband-sample tier
+  *    ([[decodeMpeg1Features]] — headers, frame sizing, allocation,
+  *    intensity bound, scalefactors, spec dequantization, all
+  *    integer-exact). Only motion-compensated/perceptual TRANSFORM
+  *    codecs (H.264/VP9, MP3/AAC) — plus MPEG-1 Layer II's
+  *    allocation tables and the subband→PCM synthesis window, which
+  *    are spec DATA rather than spec math (see
+  *    [[graft.functions.Mpeg1Audio]]) — keep the
   *    DETERMINISTIC FAKE tier (clearly marked `fake*` below):
   *    features derived from xxhash64 of the payload. The surrounding plumbing —
   *    binary representation, schemas, batch shapes, per-partition codec
@@ -526,6 +532,40 @@ object Multimodal {
           graft.functions.G711Wav.decode(bytes).map(f =>
             G711FeatureRow(id, f.codec, f.sampleRate, f.channels,
               f.nFrames, f.meanAmp, f.rms, f.peak, f.lastSample))
+        }
+      }
+  }
+
+  case class Mpeg1FeatureRow(id: Long, sample_rate: Int,
+                             bitrate_kbps: Int, mode_code: Int,
+                             n_channels: Int, n_frames: Int,
+                             n_samples: Long, n_active: Long,
+                             sum_abs_fp: Long, peak_fp: Long,
+                             last_fp: Long)
+
+  /** REAL bitstream-tier decode for PERCEPTUAL subband audio: MPEG-1
+    * Audio Layer I (ISO/IEC 11172-3) down to exact fixed-point
+    * subband samples ([[graft.functions.Mpeg1Audio]]) — header
+    * fields, frame sizing, bit allocation, intensity-stereo bound,
+    * scalefactors and the spec dequantization are all integer-exact
+    * and hash-oracled (q330). The remaining audio seam is DATA, not
+    * structure: Layer II's allocation tables and the 512-coefficient
+    * synthesis window exist only as numeric tables in the spec, so
+    * Layer II/III payloads and the subband→PCM stage stay on
+    * [[decodePartitions]]'s injected path. Same batch shape as every
+    * decoder here. */
+  def decodeMpeg1Features(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[Mpeg1FeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.Mpeg1Audio.decode(bytes).map(f =>
+            Mpeg1FeatureRow(id, f.sampleRate, f.bitrateKbps, f.modeCode,
+              f.nChannels, f.nFrames, f.nSamples, f.nActive, f.sumAbsFp,
+              f.peakFp, f.lastFp))
         }
       }
   }
