@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{CosineSim, Gunzip, IntSqrt, JaroSim, JaroWinklerSim, MinHashSig, NfcNormalize, RollingFingerprint, SimHash64, WordShingles}
+import graft.functions.{AffineMinHash, AffineSimHash, CosineSim, GramHashSet, Gunzip, IntSqrt, JaroSim, JaroWinklerSim, NfcNormalize, PolyHashArr, PolyStrHash, WordShingles}
 
 /** SQL registration of graft's native expressions, two ways:
   *  - [[GraftExtensions]] for session build time
@@ -23,9 +23,18 @@ object GraftFunctions {
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash64" -> ((args: Seq[Expression]) => SimHash64(args.head)),
-    "rolling_fingerprint" ->
-      ((args: Seq[Expression]) => RollingFingerprint(args.head)),
+    // portable hash family (round 11: THE production fingerprint/
+    // minhash/simhash family — closed-form mod-P arithmetic every SQL
+    // engine replays; the xxhash64 kernels it replaced measured within
+    // noise of it and were deleted)
+    "poly_str_hash" -> ((args: Seq[Expression]) => PolyStrHash(args.head)),
+    "poly_hash_arr" -> ((args: Seq[Expression]) => PolyHashArr(args.head)),
+    "gram_hash_set" -> ((args: Seq[Expression]) =>
+      GramHashSet(args(0), intArg(args(1), "gram_hash_set(n)"))),
+    "affine_minhash" -> ((args: Seq[Expression]) =>
+      AffineMinHash(args(0), intArg(args(1), "affine_minhash(k)"))),
+    "affine_simhash" -> ((args: Seq[Expression]) =>
+      AffineSimHash(args(0), intArg(args(1), "affine_simhash(k)"))),
     "nfc_normalize" -> ((args: Seq[Expression]) => NfcNormalize(args.head)),
     "cosine_sim" -> ((args: Seq[Expression]) => CosineSim(args(0), args(1))),
     "jaro_sim" -> ((args: Seq[Expression]) => JaroSim(args(0), args(1))),
@@ -34,9 +43,7 @@ object GraftFunctions {
     "word_shingles" -> ((args: Seq[Expression]) =>
       WordShingles(args(0), intArg(args(1), "word_shingles(n)"))),
     "isqrt" -> ((args: Seq[Expression]) => IntSqrt(args.head)),
-    "gunzip" -> ((args: Seq[Expression]) => Gunzip(args.head)),
-    "minhash_sig" -> ((args: Seq[Expression]) =>
-      MinHashSig(args(0), intArg(args(1), "minhash_sig(k)"))))
+    "gunzip" -> ((args: Seq[Expression]) => Gunzip(args.head)))
 
   /** Make all graft SQL functions, the custom planner strategy and the
     * optimizer rule available in a live session (idempotent — safe to

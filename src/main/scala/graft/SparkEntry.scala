@@ -299,8 +299,13 @@ object SparkEntry {
         .orderBy($"content_hash")
     }),
 
-    // MinHash+LSH near-dup candidates (rows-only check: hash family is
-    // engine-specific). est_jaccard = signature agreement fraction.
+    // MinHash+LSH near-dup candidates. est_jaccard = signature
+    // agreement fraction. FULLY ORACLED since round 11: the signature
+    // family is the portable polynomial/affine one (promoted from the
+    // q327 twin after measuring it within noise of xxhash64 — see
+    // Dedup.minHashSignature), so DuckDB replays shingling, signatures,
+    // banding, bucket pruning, candidacy, and the exact-Jaccard verify
+    // stage for stage.
     "q23_dedup_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // candidates via threshold-tuned banded MinHash (lshParams picks
@@ -329,14 +334,23 @@ object SparkEntry {
         .orderBy($"id_a")
     }),
 
-    // SimHash fingerprints via a native Catalyst Expression (rows-only:
-    // engine-specific hash). Emits fingerprint + hamming distance to the
-    // next doc — the building block of simhash near-dup clustering.
+    // SimHash fingerprints via native Catalyst Expressions. FULLY
+    // ORACLED since round 11: the per-bit projections are the portable
+    // affine family (promoted from the q328 twin — measured 0.97× of
+    // the xxhash64 form on this exact pipeline at sf0.1) and the
+    // document fingerprint is the mod-P polynomial (PolyStrHash —
+    // closed-form integer arithmetic, unlike the wrapping base-31
+    // Horner it replaces, which no overflow-checked engine could
+    // follow). Emits fingerprint + hamming distance to the next doc —
+    // the building block of simhash near-dup clustering. k=32 bits:
+    // the q328 separation spec holds at 32, and doubling to 63 would
+    // double the per-token vote work for margin the verdicts don't use.
     "q25_simhash" -> ((s, d) => {
       import graft.functions.TextHashes
       val fp = Tables.documents(s, d).select($"doc_id", $"lang",
-        TextHashes.simhash64(split(trim($"text"), "\\s+")).as("simhash"),
-        TextHashes.rollingFingerprint($"text").as("fingerprint"),
+        graft.functions.AffineSimHash(graft.functions.PolyHashArr(
+          split(trim($"text"), "\\s+")), 32).as("simhash"),
+        graft.functions.PolyStrHash($"text").as("fingerprint"),
         TextHashes.charShingleCount($"text", 5).as("n_char_shingles"))
       // partitioned window: hamming distance to the next doc in the same
       // language — keyed, so the sort distributes (no global window).
@@ -2064,6 +2078,15 @@ object SparkEntry {
     // 3-row med table broadcast on. The robust-statistics alternative
     // to q90's winsorized mean.
     "q122_mad_outliers" -> ((s, d) => {
+      // Deliberately NOT scoped-persisted despite three downstream
+      // scans (median pass, deviation-median pass, fence aggregate):
+      // measured at sf0.1 solo, persisting this 2-column projection
+      // was 10.8 s vs 4.5 s without — building the columnar
+      // InMemoryRelation for 6M rows costs more than two extra
+      // column-pruned parquet scans (dictionary-decoded doubles are
+      // nearly free to re-read; the q208 persist pays off only when
+      // the REUSED subtree contains a shuffle or wide decode, which
+      // this one doesn't).
       val li = Tables.lineitem(s, d)
         .select($"l_returnflag", $"l_extendedprice")
       val med = Percentiles.exactMedian(li, "l_returnflag",
@@ -9490,6 +9513,27 @@ object SparkEntry {
       var cents: Seq[(Long, Long, Seq[Long])] =
         emb.orderBy($"vec_id").limit(k).collect().toSeq.zipWithIndex
           .map { case (r, i) => ((i + 1).toLong, 1L, r.getSeq[Long](1)) }
+      // SCALE BOUND, checked not assumed (round-10 advice): the
+      // assignment metric sums d terms (n·x − S_j)², each ≤ (2nM)²
+      // with M = max|qv| (|S_j| ≤ n·M), so the numerator is exact in
+      // a double — and the oracle division bit-identical — only while
+      // d·(2nM)² < 2^53. Past that Spark would silently wrap Longs
+      // where DuckDB raises on BIGINT overflow; THROW here instead of
+      // letting the contract fail downstream. Two 1-row bounded jobs
+      // (M; n is the max cell size, checked per iteration below).
+      val dims = cents.head._3.length
+      val maxAbsQ = emb.agg(max(aggregate($"qv", lit(0L), (a, x) =>
+        greatest(a, abs(x))))).head().getLong(0)
+      def checkBound(cs: Seq[(Long, Long, Seq[Long])]): Unit = {
+        val nMax = cs.map(_._2).max.toDouble
+        val term = 2.0 * nMax * maxAbsQ
+        require(dims.toDouble * term * term < math.pow(2, 53),
+          s"q329 fixed-point bound exceeded: d=$dims, max cell n=$nMax" +
+            s", max|qv|=$maxAbsQ -> d*(2nM)^2 >= 2^53; the exact-" +
+            "integer contract does not hold at this scale (re-quantize " +
+            "with a coarser factor or center the vectors)")
+      }
+      checkBound(cents)
       for (_ <- 1 to 2) {
         val assigned = emb.select($"vec_id", $"qv",
           bestCell(cents).as("cell_id"))
@@ -9507,6 +9551,7 @@ object SparkEntry {
         cents = cents.map { case (cid, n0, sv0) =>
           upd.get(cid).map { case (sv, n) => (cid, n, sv) }
             .getOrElse((cid, n0, sv0)) }
+        checkBound(cents)
       }
       val av = emb.select($"vec_id", $"qv", bestCell(cents).as("cell_id"))
       val queries = emb.filter($"vec_id" < 5)
@@ -9526,6 +9571,43 @@ object SparkEntry {
         .filter($"rk" <= 5)
         .select($"query_id", $"rk", $"vec_id", $"score")
         .orderBy($"query_id", $"rk")
+    }),
+
+    // MPEG-1 AUDIO LAYER I (ISO 11172-3) — real bitstream decode to
+    // the exact subband-sample tier (headers, frame sizing, bit
+    // allocation, intensity-stereo bound, scalefactors, spec
+    // dequantization as one integer multiply per sample — see
+    // functions/Mpeg1Audio.scala for the seam argument: Layer II
+    // tables and the synthesis window are spec DATA, everything here
+    // is spec MATH). Fixtures are conformant frames synthesized from
+    // closed forms of (doc, frame, t, subband, channel) across mono /
+    // stereo / intensity-joint modes and 1–2 frames; the oracle
+    // recomputes the generators symbolically and replays the
+    // dequantization with the decoder's own fixed-point QSF constants
+    // (embedded into the SQL from the same Scala array), so hash
+    // equality certifies the full parse: a one-bit misread of any
+    // allocation, scalefactor or sample code shifts every later field.
+    "q330_mpeg1_layer1" -> ((s, d) => {
+      val mk = udf((id: Long) => {
+        val kind = (id % 3).toInt
+        val mode = kind match { case 0 => 3; case 1 => 0; case _ => 1 }
+        graft.functions.Mpeg1Audio.encodeLayer1(
+          nFrames = 1 + (id % 2).toInt, brIdx = 14, fsIdx = 2,
+          mode = mode, modeExt = (id % 4).toInt,
+          allocCode = (ch, sb) => if ((id + sb) % 3 == 0) 0
+            else 1 + ((id * 5 + sb * 7) % 8).toInt,
+          scfIdx = (ch, sb) => ((id * 7 + sb * 11 + ch * 3) % 63).toInt,
+          code = (f, t, ch, sb) =>
+            ((id * 97 + f * 31 + t * 13 + sb * 17 + ch * 29) % 65536)
+              .toInt)
+      })
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeMpeg1Features(clips, "doc_id", "payload").toDF()
+        .select($"id".as("doc_id"), $"sample_rate", $"bitrate_kbps",
+          $"mode_code", $"n_channels", $"n_frames", $"n_samples",
+          $"n_active", $"sum_abs_fp", $"peak_fp", $"last_fp")
+        .orderBy($"doc_id")
     })
   )
 
@@ -9716,6 +9798,80 @@ object SparkEntry {
         |  count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
+    // q23: the FULL production MinHash-LSH pipeline replayed stage for
+    // stage — word-3 shingles (the q24 CTE), portable polynomial
+    // shingle hashes, the affine 32-position signatures, the
+    // 1000003-fold band keys, bucket pruning (1 < size <= 64),
+    // distinct candidate pairs, signature-agreement estimates, the
+    // est-top-200 cut, exact word-shingle Jaccard verification, and
+    // the jaccard-top-100 cut. Promoted from the q327 twin in round
+    // 11 (hash family measured within noise of xxhash64), making LSH
+    // candidacy itself hash-oracle-able.
+    "q23_dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+        |  FROM toks),
+        |hs AS (
+        |  SELECT doc_id, gs,
+        |    list_transform(gs, g -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(g) + 1), p ->
+        |          CAST(ascii(substr(g, CAST(p AS INT), 1)) AS BIGINT))),
+        |      (a, c) -> (a * 257 + c) % 1000000007)) AS gh
+        |  FROM shl WHERE len(gs) > 0),
+        |sg AS (
+        |  SELECT doc_id, gs,
+        |    list_transform(range(0, 32), i ->
+        |      list_min(list_transform(gh, h ->
+        |        ((2 * i + 1) * h + 7919 * i) % 1000000007))) AS sig
+        |  FROM hs),
+        |bk AS (
+        |  SELECT doc_id, bx.band,
+        |    ((((sig[CAST(bx.band * 4 + 1 AS INT)] * 1000003
+        |        + sig[CAST(bx.band * 4 + 2 AS INT)]) % 1000000007)
+        |      * 1000003
+        |        + sig[CAST(bx.band * 4 + 3 AS INT)]) % 1000000007
+        |      * 1000003
+        |        + sig[CAST(bx.band * 4 + 4 AS INT)]) % 1000000007
+        |      AS bkey
+        |  FROM sg, unnest(range(0, 8)) bx(band)),
+        |pr AS (
+        |  SELECT doc_id, band, bkey FROM (
+        |    SELECT doc_id, band, bkey,
+        |      count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bk) z
+        |  WHERE bsz > 1 AND bsz <= 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pr a JOIN pr b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT id_a, id_b,
+        |    CAST(list_sum(list_transform(range(1, 33), i ->
+        |      CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]
+        |        THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est_jaccard
+        |  FROM pairs
+        |  JOIN sg sa ON sa.doc_id = id_a
+        |  JOIN sg sb ON sb.doc_id = id_b),
+        |cand AS (
+        |  SELECT id_a, id_b, est_jaccard FROM est
+        |  ORDER BY est_jaccard DESC, id_a, id_b LIMIT 200),
+        |ver AS (
+        |  SELECT c.id_a, c.id_b, c.est_jaccard,
+        |    floor((CAST(len(list_filter(sa.gs, x ->
+        |          list_contains(sb.gs, x))) AS DOUBLE) /
+        |        (len(sa.gs) + len(sb.gs)
+        |          - len(list_filter(sa.gs, x -> list_contains(sb.gs, x)))))
+        |      * 10000 + 0.5) / 10000.0 AS jaccard
+        |  FROM cand c
+        |  JOIN sg sa ON sa.doc_id = c.id_a
+        |  JOIN sg sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b, est_jaccard, jaccard
+        |FROM ver ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+
     "q24_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -9743,6 +9899,56 @@ object SparkEntry {
         |JOIN sizes za ON za.doc_id = p.id_a
         |JOIN sizes zb ON zb.doc_id = p.id_b
         |ORDER BY id_a""".stripMargin,
+
+    // q25: production simhash replayed in full — whitespace tokens,
+    // portable polynomial token hashes (multiset: votes repeat with
+    // token frequency, exactly PolyHashArr's no-distinct semantics),
+    // 32 affine-parity per-bit votes, the mod-P polynomial document
+    // fingerprint, the distinct-5-char-shingle count, and the
+    // per-language neighbor hamming. Promoted from the q328 twin in
+    // round 11; the old wrapping base-31 fingerprint (which no
+    // overflow-checked engine could replay) became the closed-form
+    // polynomial.
+    "q25_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(t, w -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(w) + 1), p ->
+        |          CAST(ascii(substr(w, CAST(p AS INT), 1)) AS BIGINT))),
+        |      (a, c) -> (a * 257 + c) % 1000000007)) AS th,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(text) + 1), p ->
+        |          CAST(ascii(substr(text, CAST(p AS INT), 1)) AS BIGINT))),
+        |      (a, c) -> (a * 257 + c) % 1000000007) AS fingerprint,
+        |    CAST(len(list_distinct([substr(text, i, 5)
+        |      for i in range(1, greatest(length(text) - 5, 0) + 2)]))
+        |      AS INT) AS n_char_shingles
+        |  FROM d),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(range(0, 32), s ->
+        |      CASE WHEN list_sum(list_transform(th, g ->
+        |          CASE WHEN (((2 * s + 1) * g + 7919 * s) % 1000000007)
+        |            % 2 = 1 THEN 1 ELSE -1 END)) > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(s AS INT))
+        |        ELSE 0 END)) AS BIGINT) AS simhash,
+        |    fingerprint, n_char_shingles
+        |  FROM h),
+        |hn AS (
+        |  SELECT doc_id, lang, simhash, fingerprint, n_char_shingles,
+        |    lead(simhash) OVER (PARTITION BY lang ORDER BY doc_id) AS nh
+        |  FROM sh)
+        |SELECT doc_id, lang, simhash, fingerprint, n_char_shingles,
+        |  CASE WHEN nh IS NOT NULL
+        |    THEN CAST(bit_count(xor(simhash, nh)) AS INT)
+        |  END AS hamming_next
+        |FROM hn ORDER BY doc_id""".stripMargin,
 
     // Full IVF mirror: deterministic centroids (vec_id % 50 = 0), argmax
     // cell assignment, top-3 probe, exact scoring inside probed cells —
@@ -18202,8 +18408,85 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS INT) AS rk, vec_id, score FROM (
         |  SELECT query_id, vec_id, score, row_number() OVER (
         |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
-        |  FROM sc) z WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+        |  FROM sc) z WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // q330: MPEG-1 Layer I replayed symbolically — the fixture
+    // generators (mode/frames/allocation/scalefactor/code closed
+    // forms) re-derive every decoded sample instance, and the
+    // dequantization uses THE DECODER'S OWN fixed-point constants:
+    // `q330Qsf` below is the Mpeg1Audio.QSF slice for nb 2..9,
+    // interpolated into this SQL from the same Scala array the
+    // kernel multiplies with, so the two engines share the table by
+    // construction (the q329 shared-constants pattern). Joint docs
+    // (kind 2) share the channel-0 code above the intensity bound
+    // but keep per-channel scalefactors — exactly the decoder's
+    // sample loop. All columns integer-exact.
+    "q330_mpeg1_layer1" -> s"""WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
+        |    CAST(1 + doc_id % 2 AS INT) AS nfr,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN (1 + doc_id % 4) * 4
+        |      ELSE 32 END AS INT) AS bound,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+        |      AS nch
+        |  FROM documents WHERE doc_id < 40),
+        |sbs AS (
+        |  SELECT doc_id, kind, nfr, bound, nch, sbx.sb,
+        |    CAST(2 + ((doc_id * 5 + sbx.sb * 7) % 8) AS INT) AS nb
+        |  FROM d, unnest(range(0, 32)) sbx(sb)
+        |  WHERE (doc_id + sbx.sb) % 3 <> 0),
+        |smp AS (
+        |  SELECT s.doc_id, fx.f, tx.t, s.sb, chx.ch, s.nb,
+        |    CAST((s.doc_id * 7 + s.sb * 11 + chx.ch * 3) % 63 AS INT)
+        |      AS scf,
+        |    CASE WHEN s.sb >= s.bound
+        |      THEN (s.doc_id * 97 + fx.f * 31 + tx.t * 13 + s.sb * 17)
+        |        % (1 << s.nb)
+        |      ELSE (s.doc_id * 97 + fx.f * 31 + tx.t * 13 + s.sb * 17
+        |        + chx.ch * 29) % (1 << s.nb)
+        |    END AS c
+        |  FROM sbs s, unnest(range(0, s.nfr)) fx(f),
+        |    unnest(range(0, 12)) tx(t), unnest(range(0, s.nch)) chx(ch)),
+        |dq AS (
+        |  SELECT doc_id, f, t, sb, ch,
+        |    (2 * c + 2 - (1 << nb)) *
+        |      ($q330Qsf)[scf * 8 + nb - 1] AS sfp
+        |  FROM smp),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(abs(sfp)) AS BIGINT) AS sum_abs_fp,
+        |    CAST(max(abs(sfp)) AS BIGINT) AS peak_fp
+        |  FROM dq GROUP BY doc_id),
+        |lastv AS (
+        |  SELECT doc_id, sfp AS last_fp FROM dq
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY f DESC, t DESC, sb DESC, ch DESC) = 1),
+        |act AS (
+        |  SELECT doc_id,
+        |    CAST(max(nfr) * max(nch) * count(DISTINCT sb) AS BIGINT)
+        |      AS n_active
+        |  FROM sbs GROUP BY doc_id)
+        |SELECT d.doc_id, 32000 AS sample_rate, 448 AS bitrate_kbps,
+        |  CAST(CASE d.kind WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 1 END
+        |    AS INT) AS mode_code,
+        |  d.nch AS n_channels, d.nfr AS n_frames,
+        |  a.n_samples, c.n_active, a.sum_abs_fp, a.peak_fp, l.last_fp
+        |FROM d
+        |JOIN agg a ON a.doc_id = d.doc_id
+        |JOIN lastv l ON l.doc_id = d.doc_id
+        |JOIN act c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
+
+  /** The [[graft.functions.Mpeg1Audio.QSF]] slice q330's oracle
+    * multiplies with — nb 2..9 per scalefactor index, flattened
+    * idx-major so `[...][scf*8 + nb - 1]` (1-based) lands on
+    * QSF(scf)(nb). Interpolated into the SQL so decoder and oracle
+    * share the constants by construction. */
+  private lazy val q330Qsf: String =
+    (for (idx <- 0 until 63; nb <- 2 to 9)
+      yield graft.functions.Mpeg1Audio.QSF(idx)(nb).toString)
+      .mkString("[", ",", "]")
 
   /** q105's oracle — the FULL BPE pipeline under the hash oracle:
     * the merge table is DERIVED relationally (adjacent-char pair

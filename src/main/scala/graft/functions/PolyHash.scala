@@ -75,6 +75,91 @@ object GramHashSet {
     Bridge.column(GramHashSet(Bridge.expression(text), gramLen))
 }
 
+/** Portable polynomial hash of ONE string — the [[GramHashSet]] fold
+  * applied to the whole value: h = fold over code points of
+  * (h·257 + cp) mod 1e9+7. Replays in DuckDB as
+  * `list_reduce(list_transform(range(1, length(s)+1), p ->
+  * ascii(substr(s, p, 1))), (a, c) -> (a*257 + c) % 1000000007)` —
+  * closed-form integer arithmetic, no wrapping (every intermediate
+  * < 257·1e9+0x10FFFF < 2^38), unlike [[RollingFingerprint]]'s
+  * wrapping base-31 Horner which no overflow-checked engine can
+  * follow. Empty string hashes to 0. */
+case class PolyStrHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_str_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyStrHash.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cls = PolyStrHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $cls.compute($t);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PolyStrHash =
+    copy(child = c)
+}
+
+object PolyStrHash {
+  /** Shared eval/codegen kernel (public only for generated code). */
+  def compute(s: UTF8String): Long = {
+    val cv = s.toString.codePoints().toArray
+    var h = 0L
+    var i = 0
+    while (i < cv.length) { h = (h * 257 + cv(i)) % PolyHash.P; i += 1 }
+    h
+  }
+
+  def apply(text: Column): Column =
+    Bridge.column(PolyStrHash(Bridge.expression(text)))
+}
+
+/** [[PolyStrHash]] mapped over an array<string> in one codegen pass —
+  * element order preserved, null elements pass through as null (the
+  * shape `transform(arr, x -> poly_str_hash(x))` would have, but
+  * `transform` is a CodegenFallback higher-order function that would
+  * de-compile the enclosing stage; this kernel keeps the hot dedup
+  * pipelines codegen-resident, the [[GramHashSet]] rationale). */
+case class PolyHashArr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "poly_hash_arr"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHashArr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cls = PolyHashArr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PolyHashArr =
+    copy(child = c)
+}
+
+object PolyHashArr {
+  /** Shared eval/codegen kernel (public only for generated code). */
+  def compute(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        out(i) = PolyStrHash.compute(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(tokens: Column): Column =
+    Bridge.column(PolyHashArr(Bridge.expression(tokens)))
+}
+
 /** MinHash signature over a long-array column under the PORTABLE
   * affine family h_i(g) = ((2i+1)·g + 7919·i) mod 1e9+7 — exactly
   * `transform(sequence(0, k-1), i -> array_min(transform(gh, ...)))`

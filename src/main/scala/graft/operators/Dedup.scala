@@ -36,22 +36,36 @@ object Dedup {
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.WordShingles(text, n)
 
-  /** MinHash signature: k independent min-hashes over the shingle set.
-    * Hash family: xxhash64(seed_i, shingle). Delegates to the native
-    * [[graft.functions.MinHashSig]] expression — the equivalent pure-SQL
-    * nested-transform form re-evaluates the shingle expression k× per row
-    * after projection collapse (see that file's scaladoc). */
+  /** MinHash signature: k independent min-hashes over the shingle set,
+    * under the PORTABLE polynomial family — shingle strings hash once
+    * through [[graft.functions.PolyHashArr]] (Horner base 257 mod
+    * 1e9+7 per string, one codegen pass) and the k positions are
+    * [[graft.functions.AffineMinHash]]'s affine images
+    * h_i(g) = ((2i+1)·g + 7919·i) mod 1e9+7. Promoted from the q327
+    * twin to THE production family in round 11: measured head-to-head
+    * against the previous xxhash64-seed family on the identical
+    * full-text q23 pipeline at sf0.1, portable/xxhash64 = 1.02× — the
+    * engine-specific family bought nothing, and the closed-form
+    * arithmetic makes every signature (hence LSH candidacy itself)
+    * replayable in any SQL engine, so the near-dup pipeline is
+    * hash-oracle-able end to end. */
   def minHashSignature(shingles: Column, k: Int): Column =
-    graft.functions.MinHashSig(shingles, k)
+    graft.functions.AffineMinHash(graft.functions.PolyHashArr(shingles), k)
 
   /** LSH band keys: split the k-length signature into `bands` bands of
-    * `rowsPerBand` and hash each band. Two docs sharing any band key are
-    * candidates. */
+    * `rowsPerBand` and reduce each band to one key. Two docs sharing
+    * any band key are candidates. The band key is the same portable
+    * fold the signatures use (acc·1000003 + sig[i] mod 1e9+7 — a
+    * closed-form combine both engines replay; collisions only ADD
+    * candidates, which downstream exact verification removes). */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
-        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))
-          .as("bkey")))
+        (0 until rowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
+          (acc * 1000003L +
+            element_at(sig, (b * rowsPerBand + r + 1).cast("int"))) %
+            1000000007L
+        }.as("bkey")))
 
   /** Pick (bands, rowsPerBand) for a target Jaccard threshold: an LSH
     * banding (b, r) has its S-curve inflection at t ≈ (1/b)^(1/r) —
@@ -781,25 +795,42 @@ object Dedup {
       col("__n").as("__nb"), col("__rk").as("__rb"))
     // candidate pruning = length filter (den·min ≥ num·max, exactly
     // the overlap requirement α = ⌈num·(na+nb)/(den+num)⌉ applied to
-    // min(na,nb)) PLUS the PPJoin POSITIONAL filter: a shared token at
-    // ranks (ra, rb) of the df-sorted token lists bounds the overlap
-    // by min(ra−1, rb−1) + 1 + min(na−ra, nb−rb) — commons split into
-    // before-t, t itself, and after-t. Per-occurrence with ANY-pass
-    // semantics is LOSSLESS: a pair with true overlap ≥ α has every
-    // occurrence's bound ≥ the true overlap ≥ α. All-integer test
-    // ((den+num)·bound ≥ num·(na+nb)); prunes far-apart-position
-    // candidates BEFORE the distinct shuffle and the verify joins —
-    // the stage the decade audit flagged growing 4.9×/decade.
+    // min(na,nb), per-row BEFORE the shuffle) PLUS the CUMULATIVE
+    // positional filter (round 11, replacing the per-occurrence
+    // ANY-pass bound): the distinct-per-pair aggregate now also counts
+    // the shared prefix tokens c and takes the LAST shared ranks
+    // (ra*, rb*) — shared tokens appear in the same relative order in
+    // both df-sorted lists (one global (df, token) total order), so
+    // max(ra) and max(rb) name the same token. Every common token
+    // at global order ≤ t* lies inside BOTH prefixes (rank < prefix
+    // length on each side) and is therefore counted in c, and commons
+    // after t* number at most min(na−ra*, nb−rb*), so
+    //   overlap ≤ c + min(na − ra*, nb − rb*)
+    // — lossless, and strictly tighter than the old per-occurrence
+    // min(ra−1, rb−1)+1+min(...) bound (c ≤ min(ra*, rb*) always,
+    // with equality only when the prefixes agree completely). This is
+    // the PPJoin positional filter at full strength; the PPJoin+
+    // hierarchical suffix probe is deliberately NOT implemented — it
+    // needs the suffix token lists at candidate time, which would
+    // shuffle full documents into the candidate join and defeat the
+    // prefix design (the verify stage's hashed-set intersection plays
+    // that role at one row per doc). All-integer test
+    // ((den+num)·bound ≥ num·(na+nb)); the groupBy combines map-side,
+    // so the shuffle stays ~one row per (pair, partition) like the
+    // distinct it replaces.
     val cands = a.join(b, Seq("__tok"))
       .filter(col("id_a") < col("id_b") &&
         lit(tauDen) * least(col("__na"), col("__nb")) >=
-          lit(tauNum) * greatest(col("__na"), col("__nb")) &&
-        lit(tauDen + tauNum) *
-          (least(col("__ra") - 1, col("__rb") - 1) + 1 +
-            least(col("__na") - col("__ra"),
-              col("__nb") - col("__rb"))) >=
-          lit(tauNum) * (col("__na") + col("__nb")))
-      .select(col("id_a"), col("id_b")).distinct()
+          lit(tauNum) * greatest(col("__na"), col("__nb")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__c"),
+        max(col("__ra")).as("__mra"), max(col("__rb")).as("__mrb"),
+        first(col("__na")).as("__cna"), first(col("__nb")).as("__cnb"))
+      .filter(lit(tauDen + tauNum) *
+          (col("__c") + least(col("__cna") - col("__mra"),
+            col("__cnb") - col("__mrb"))) >=
+        lit(tauNum) * (col("__cna") + col("__cnb")))
+      .select(col("id_a"), col("id_b"))
     // exact verify on per-doc HASHED token sets (one row per doc, ~8 B
     // per token on the wire) rather than a counted intersection over
     // the exploded token table — the token table would shuffle twice

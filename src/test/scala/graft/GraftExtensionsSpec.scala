@@ -17,16 +17,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("custom expressions are callable from SQL") {
     val r = spark.sql(
       """SELECT
-        |  simhash64(array('a', 'b')) AS sh,
-        |  rolling_fingerprint('abc') AS fp,
+        |  affine_simhash(poly_hash_arr(array('a', 'b')), 32) AS sh,
+        |  poly_str_hash('abc') AS fp,
         |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
         |  word_shingles('a b c d', 2) AS ws,
-        |  size(minhash_sig(array('x', 'y'), 8)) AS mh
+        |  size(affine_minhash(poly_hash_arr(array('x', 'y')), 8)) AS mh,
+        |  size(gram_hash_set('abcdefgh', 3)) AS gh
         |""".stripMargin).collect()(0)
-    assert(r.getAs[Long]("fp") != 0L)
+    // 'abc' -> ((0*257+97)*257+98)*257+99 mod P = 6436961*257+99... the
+    // closed form: 97*257^2 + 98*257 + 99
+    assert(r.getAs[Long]("fp") ===
+      (97L * 257 * 257 + 98L * 257 + 99L) % 1000000007L)
     assert(math.abs(r.getAs[Double]("cs") - 1.0) < 1e-12)
     assert(r.getAs[Seq[String]]("ws") === Seq("a b", "b c", "c d"))
     assert(r.getAs[Int]("mh") === 8)
+    assert(r.getAs[Int]("gh") === 6)
   }
 
   test("nfc_normalize recomposes combining marks and passes canonical " +
@@ -74,15 +79,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .contains(graft.plans.PushFilterThroughTopK))
   }
 
-  test("SQL simhash64 equals the Column API form") {
-    import graft.functions.TextHashes
+  test("SQL affine_simhash equals the Column API form") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.sql(
-      "SELECT simhash64(array('spark', 'catalyst')) AS h").collect()(0)
+      "SELECT affine_simhash(poly_hash_arr(array('spark', 'catalyst'))," +
+        " 32) AS h").collect()(0)
       .getLong(0)
     val viaCol = spark.range(1)
-      .select(TextHashes.simhash64(
-        array(lit("spark"), lit("catalyst"))).as("h"))
+      .select(graft.functions.AffineSimHash(graft.functions.PolyHashArr(
+        array(lit("spark"), lit("catalyst"))), 32).as("h"))
       .collect()(0).getLong(0)
     assert(viaSql === viaCol)
   }

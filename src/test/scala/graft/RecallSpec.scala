@@ -54,17 +54,20 @@ class RecallSpec extends SparkSpec {
   }
 
   test("q25 SimHash hamming distance tracks true text similarity") {
-    // the semantic gate behind q25's rows-only status: near-duplicate
-    // pairs (word-3-gram Jaccard >= 0.7, the q23 ground truth) must sit
-    // at SMALL hamming distance, and unrelated pairs at ~32 bits (the
-    // random-64-bit expectation). Deterministic: fixed data, fixed hash.
-    import graft.functions.TextHashes
+    // the semantic gate on q25's fingerprints (now the production
+    // portable 32-bit affine family — q25 itself is hash-oracled since
+    // round 11, but the ORACLE proves replayability, not that the
+    // fingerprint separates near-dups from unrelated text; this does):
+    // near-duplicate pairs (word-3-gram Jaccard >= 0.7, the q23 ground
+    // truth) must sit at SMALL hamming distance and clearly below the
+    // unrelated baseline. Deterministic: fixed data, fixed hash.
     val docs = Tables.documents(spark, sf)
     val near = trueNearDupPairs(docs)
     assert(near.count() > 0, "ground truth empty — test is vacuous")
 
     val fp = docs.select($"doc_id",
-      TextHashes.simhash64(split(trim($"text"), "\\s+")).as("h"))
+      graft.functions.AffineSimHash(graft.functions.PolyHashArr(
+        split(trim($"text"), "\\s+")), 32).as("h"))
     def hamming(pairsDf: org.apache.spark.sql.DataFrame): Seq[Long] =
       pairsDf
         .join(fp.select($"doc_id".as("id_a"), $"h".as("ha")), "id_a")
@@ -87,13 +90,13 @@ class RecallSpec extends SparkSpec {
     val nearAvg = nearD.sum.toDouble / nearD.size
     val unrelAvg = unrelD.sum.toDouble / unrelD.size
     // NOTE: unrelated same-corpus pairs do NOT sit at the random-64-bit
-    // expectation (~32): every doc draws from the same small vocabulary,
-    // so fingerprints correlate (~18 bits here). That is exactly why a
+    // expectation (~16 of 32 bits): every doc draws from the same small
+    // vocabulary, so fingerprints correlate. That is exactly why a
     // simhash near-dup THRESHOLD must be calibrated per corpus — the
     // gate asserts the property that matters: true near-dups sit low in
     // absolute terms AND clearly below the unrelated baseline.
-    assert(nearAvg < 16.0, s"near-dup avg hamming $nearAvg")
-    assert(nearAvg < unrelAvg - 6.0,
+    assert(nearAvg < 8.0, s"near-dup avg hamming $nearAvg")
+    assert(nearAvg < unrelAvg - 3.0,
       s"no separation: near=$nearAvg unrelated=$unrelAvg")
   }
 

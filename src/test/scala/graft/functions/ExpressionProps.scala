@@ -47,45 +47,66 @@ object ExpressionProps extends Properties("graft.functions") {
     new GenericArrayData(
       words.map(w => UTF8String.fromString(w): Any).toArray)
 
-  property("minHashSig: signature of a superset is elementwise <=") =
+  // the production MinHash family (round 11: portable polynomial
+  // string hashes + affine per-position images — see
+  // Dedup.minHashSignature): the MinHash guarantees must hold over
+  // the COMPOSED pipeline PolyHashArr -> AffineMinHash
+  private def portableSig(words: Seq[String], k: Int): Seq[Long] = {
+    val hashed = PolyHashArr(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+      .nullSafeEval(utf8Array(words)).asInstanceOf[ArrayData]
+    AffineMinHash(org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), k)
+      .nullSafeEval(hashed).asInstanceOf[ArrayData].toLongArray().toSeq
+  }
+
+  property("portable minhash: signature of a superset is elementwise <=") =
     forAll(Gen.nonEmptyListOf(word), Gen.listOf(word)) { (base, extra) =>
-      val k = 8
-      val e = MinHashSig(org.apache.spark.sql.catalyst.expressions.Literal(
-        null, org.apache.spark.sql.types.StringType), k)
-      val s1 = e.nullSafeEval(utf8Array(base)).asInstanceOf[ArrayData]
-        .toLongArray()
-      val s2 = e.nullSafeEval(utf8Array(base ++ extra))
-        .asInstanceOf[ArrayData].toLongArray()
+      val s1 = portableSig(base, 8)
+      val s2 = portableSig(base ++ extra, 8)
       s1.zip(s2).forall { case (a, b) => b <= a }
     }
 
-  property("minHashSig is order- and duplicate-insensitive") =
+  property("portable minhash is order- and duplicate-insensitive") =
     forAll(Gen.nonEmptyListOf(word)) { words =>
-      val k = 8
-      val e = MinHashSig(org.apache.spark.sql.catalyst.expressions.Literal(
-        null, org.apache.spark.sql.types.StringType), k)
-      val a = e.nullSafeEval(utf8Array(words)).asInstanceOf[ArrayData]
-        .toLongArray().toSeq
-      val b = e.nullSafeEval(utf8Array(
-        scala.util.Random.shuffle(words ++ words)))
-        .asInstanceOf[ArrayData].toLongArray().toSeq
-      a == b
+      portableSig(words, 8) ==
+        portableSig(scala.util.Random.shuffle(words ++ words), 8)
     }
 
-  property("simhash64 of identical token lists is identical") =
+  property("affine simhash of identical hashed token lists is identical") =
     forAll(Gen.nonEmptyListOf(word)) { words =>
-      val e = SimHash64(org.apache.spark.sql.catalyst.expressions.Literal(
-        null, org.apache.spark.sql.types.StringType))
-      e.nullSafeEval(utf8Array(words)) == e.nullSafeEval(utf8Array(words))
+      def fp(): Long = {
+        val hashed = PolyHashArr(
+          org.apache.spark.sql.catalyst.expressions.Literal(null,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))
+          .nullSafeEval(utf8Array(words)).asInstanceOf[ArrayData]
+        AffineSimHash(org.apache.spark.sql.catalyst.expressions.Literal(
+            null, org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)), 32)
+          .nullSafeEval(hashed).asInstanceOf[Long]
+      }
+      fp() == fp()
     }
 
-  property("rollingFingerprint: distinct for distinct short strings") =
+  property("polyStrHash: distinct for distinct short strings") =
+    // mod-P collisions are possible in principle (the range is 1e9+7);
+    // at ScalaCheck volume over <=8-char lowercase words the expected
+    // collision count is ~1e-7 per run — a failure here means a real
+    // determinism/aliasing bug, not hash bad luck
     forAll(word, word) { (a, b) =>
-      val e = RollingFingerprint(
-        org.apache.spark.sql.catalyst.expressions.Literal(
-          null, org.apache.spark.sql.types.StringType))
-      (a == b) == (e.nullSafeEval(UTF8String.fromString(a)) ==
-        e.nullSafeEval(UTF8String.fromString(b)))
+      (a == b) == (PolyStrHash.compute(UTF8String.fromString(a)) ==
+        PolyStrHash.compute(UTF8String.fromString(b)))
+    }
+
+  property("polyStrHash matches the codepoint Horner model") =
+    forAll(text) { s =>
+      val model = s.codePoints().toArray
+        .foldLeft(0L)((h, c) => (h * 257 + c) % 1000000007L)
+      PolyStrHash.compute(UTF8String.fromString(s)) == model
     }
 
   property("cosineSim is symmetric and bounded") = {

@@ -37,13 +37,21 @@ class NativeEquivalenceSpec extends SparkSpec {
     }
   }
 
-  test("MinHashSig == nested-transform xxhash64 form") {
+  test("production minhash (PolyHashArr -> AffineMinHash) == composable " +
+      "poly-hash/affine-min form over word shingles") {
     val df = Seq.fill(100)(randText()).toDF("t")
       .select(WordShingles($"t", 2).as("sh"))
+    val P = 1000000007L
     val k = 16
-    val composable = transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform($"sh", x => xxhash64(s, x))))
-    val diff = df.select(MinHashSig($"sh", k).as("nat"),
+    // composable PolyStrHash: Horner base 257 over code points, mod P
+    def polyStr(x: org.apache.spark.sql.Column) =
+      aggregate(sequence(lit(1), length(x)), lit(0L),
+        (h, i) => (h * 257 + ascii(x.substr(i, lit(1))).cast("long")) % P)
+    val composable = transform(sequence(lit(0), lit(k - 1)), s =>
+      array_min(transform($"sh", x =>
+        ((lit(2L) * s + lit(1L)) * polyStr(x) + lit(7919L) * s) % P)))
+    val diff = df.select(
+        graft.operators.Dedup.minHashSignature($"sh", k).as("nat"),
         composable.as("sql"))
       .filter(not($"nat" === $"sql")).count()
     assert(diff === 0)
@@ -121,10 +129,14 @@ class NativeEquivalenceSpec extends SparkSpec {
       .filter(not($"nat" === $"sql")).count()
     assert(diffS === 0)
     // simhash parity: per-bit vote = sign of Σ ±1 by parity of the
-    // affine image; fingerprint folds positive accumulators into 2^s
+    // affine image; fingerprint folds positive accumulators into 2^s.
+    // The aggregate runs over filter(gh, NOT NULL) — the kernel SKIPS
+    // null elements (a null gram is no vote, not a -1 vote), and the
+    // twin must encode the same rule to be the pinned semantics
     val simSql = aggregate(
       transform(sequence(lit(0), lit(k - 1)), s =>
-        when(aggregate($"gh", lit(0L), (acc, x) =>
+        when(aggregate(filter($"gh", x => x.isNotNull), lit(0L),
+            (acc, x) =>
             acc + when((((lit(2L) * s + lit(1L)) * x + lit(7919L) * s)
               % P) % 2 === 1, lit(1L)).otherwise(lit(-1L))) > 0,
           pow(lit(2.0), s).cast("long"))
@@ -134,6 +146,14 @@ class NativeEquivalenceSpec extends SparkSpec {
         simSql.as("sql"))
       .filter(not($"nat" <=> $"sql")).count()
     assert(diffH === 0)
+    // null elements: kernel and twin agree on arrays WITH nulls (the
+    // null contributes nothing — dropping it leaves the other votes)
+    val withNulls = df.select(array(lit(5L), lit(null).cast("long"),
+        lit(123456789L)).as("gh")).limit(5)
+    val diffN = withNulls.select(AffineSimHash($"gh", k).as("nat"),
+        simSql.as("sql"))
+      .filter(not($"nat" <=> $"sql")).count()
+    assert(diffN === 0)
     // empty input -> 0L fingerprint
     val emptyFp = df.filter(length($"t") < g)
       .select(AffineSimHash(GramHashSet($"t", g), k).as("nat"))

@@ -1037,13 +1037,13 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
   }
 
   test("SimHash: similar token sets have low hamming distance") {
-    import graft.functions.TextHashes
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog entirely today"),
       ("b", "the quick brown fox jumps over the lazy dog entirely"),
       ("c", "completely unrelated words about spark catalyst execution"))
       .toDF("id", "t")
-      .select($"id", TextHashes.simhash64(split($"t", " ")).as("h"))
+      .select($"id", graft.functions.AffineSimHash(
+        graft.functions.PolyHashArr(split($"t", " ")), 32).as("h"))
     val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
