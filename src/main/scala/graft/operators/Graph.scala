@@ -24,6 +24,21 @@ object Graph {
     * becomes the shipping cost and the plain join is the right plan). */
   private val BloomMaxItems = 8000000L
 
+  /** The Bloom pushdown engages ONLY in the sort-merge regime (when
+    * the visited/dist table outgrows [[HashHintMaxRows]] and the
+    * shuffle_hash hint is dropped). A same-box A/B in the HASH regime
+    * measured the filter as pure overhead — SSSP probe at 10×:
+    * 16.8 s without vs 20.7 s with (+23%) — because the adjacency is
+    * pre-partitioned and build-side-probed there, so the join already
+    * emits only frontier-adjacent rows and the bloom check duplicates
+    * the O(1) hash probe while adding a per-round build job. In the
+    * sort-merge regime the economics invert: the un-hinted plan SORTS
+    * the full adjacency every round (measured 17.6× on the r10 100×
+    * BFS decade before the hint), and the pushdown cuts that sort's
+    * input from Θ(|E|) to the frontier's neighborhood. `bloomForce`
+    * lets the spec pin the Bloom path's exactness at fixture scale. */
+  private[graft] var bloomForce = false
+
   /** Row-count bound under which the visited/dist side of a traversal
     * join keeps the `shuffle_hash` hint. ShuffledHashJoin builds an
     * in-memory per-partition hash map of the build side; visited/dist
@@ -724,23 +739,6 @@ object Graph {
     var h = 1
     var done = frontierN == 0L
     while (!done && h <= maxHops) {
-      // FRONTIER BLOOM PUSHDOWN: a 2%-fpp filter over the frontier's
-      // keys, probed inside the adjacency scan BEFORE the join — one
-      // codegen'd mightContainLong per row, so the join machinery
-      // (hash probe output, distinct shuffle, anti-join) processes the
-      // frontier's neighborhood instead of Θ(|E|) rows every round.
-      // The Θ(|E|) scan+filter pass itself remains (the honest
-      // Spark-SQL floor on a flat edge table), but it is the CHEAP
-      // part; the 100× probe decade measured the join/distinct volume
-      // as the growing term. Exactness is untouched: false positives
-      // only leak rows into the exact hash join behind the filter.
-      // Skipped when the frontier is dense (prunes nothing) or too
-      // big to ship (BloomMaxItems) — the plain join is right there.
-      val fAdj = if (frontierN <= BloomMaxItems &&
-          frontierN * 4 <= adjRows)
-        adj.filter(frontierBloomFilter(frontier, "node", frontierN,
-          col("__w")))
-      else adj
       // shuffle_hash on the frontier: once the frontier outgrows the
       // broadcast threshold (measured at the 100× probe decade) Spark
       // would otherwise SORT-MERGE this join — i.e. sort the full
@@ -751,10 +749,24 @@ object Graph {
       // the frontier moves. The visited anti-join keeps the same hint
       // only while visited is provably hash-table-sized
       // (HashHintMaxRows); past that it reverts to sort-merge, whose
-      // spill path is the correct behavior for an O(V) build side.
+      // spill path is the correct behavior for an O(V) build side —
+      // and THAT is where the FRONTIER BLOOM PUSHDOWN engages: a
+      // 2%-fpp filter over the frontier's keys probed inside the
+      // adjacency scan, cutting the sort-merge's adjacency-side sort
+      // input from Θ(|E|) to the frontier's neighborhood. In the hash
+      // regime the filter is measured pure overhead (see [[bloomForce]])
+      // — the hinted join already probes an O(1) hash per row.
+      // Exactness is untouched either way: false positives only leak
+      // rows into the exact join behind the filter.
+      val sortMergeRegime = visitedN > HashHintMaxRows
+      val fAdj = if ((sortMergeRegime || bloomForce) &&
+          frontierN <= BloomMaxItems && frontierN * 4 <= adjRows)
+        adj.filter(frontierBloomFilter(frontier, "node", frontierN,
+          col("__w")))
+      else adj
       val vis = visited.select(col("node"))
-      val visSide = if (visitedN <= HashHintMaxRows)
-        vis.hint("shuffle_hash") else vis
+      val visSide = if (!sortMergeRegime) vis.hint("shuffle_hash")
+        else vis
       val next = fAdj
         .join(frontier.withColumnRenamed("node", "__w")
           .hint("shuffle_hash"), Seq("__w"))
@@ -824,18 +836,20 @@ object Graph {
     while (!done && h <= maxHops) {
       // proposals from the frontier only; min per node, then keep
       // strict improvements vs the current distance table.
-      // FRONTIER BLOOM PUSHDOWN + gated shuffle_hash: see [[bfsHops]]
-      // — the bloom keeps the proposal join + min-aggregate volume
-      // proportional to the frontier's neighborhood (false positives
-      // only leak rows into the exact join), and the distance-table
-      // hint reverts to spill-safe sort-merge once dist outgrows a
-      // per-partition hash table.
-      val fAdj = if (frontierN <= BloomMaxItems &&
-          frontierN * 4 <= adjRows)
+      // Gated shuffle_hash + sort-merge-regime Bloom: see [[bfsHops]]
+      // — while dist fits a per-partition hash table the hinted plan
+      // is measured best (a bloom there was +23% at the 10× probe);
+      // past the gate the plan reverts to spill-safe sort-merge and
+      // the frontier Bloom cuts the adjacency-side sort input to the
+      // frontier's neighborhood (false positives only leak rows into
+      // the exact join).
+      val sortMergeRegime = distN > HashHintMaxRows
+      val fAdj = if ((sortMergeRegime || bloomForce) &&
+          frontierN <= BloomMaxItems && frontierN * 4 <= adjRows)
         adj.filter(frontierBloomFilter(frontier, "node", frontierN,
           col("__s")))
       else adj
-      val distSide = if (distN <= HashHintMaxRows)
+      val distSide = if (!sortMergeRegime)
         dist.hint("shuffle_hash") else dist
       val next = fAdj
         .join(frontier.withColumnRenamed("node", "__s")

@@ -39,6 +39,15 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
     spark.range(100000).selectExpr("sum(id % 7)").collect()
+    // A/B knob for the traversal Bloom pushdown (probe-only): the
+    // production default engages only in the sort-merge regime; set
+    // GRAFT_BLOOM_FORCE=1 to force it on in the hash regime for a
+    // controlled same-box comparison (the round-11 A/B that scoped it:
+    // SSSP 10× probe 16.8 s without vs 20.7 s with)
+    if (sys.env.get("GRAFT_BLOOM_FORCE").contains("1")) {
+      operators.Graph.bloomForce = true
+      println("[scratch] bloomForce=true")
+    }
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()

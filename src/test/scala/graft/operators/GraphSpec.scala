@@ -221,6 +221,31 @@ class GraphSpec extends SparkSpec {
       "p2" -> 2, "p4" -> 2, "p3" -> 3))
   }
 
+  test("bfsHops/ssspHops: the frontier Bloom pushdown path is " +
+      "result-identical (forced via bloomForce)") {
+    // the Bloom filter only engages in the sort-merge regime (visited/
+    // dist past the hash-hint gate) — force it on fixture scale so
+    // the pushdown's exactness (false positives leak INTO an exact
+    // join, never out of it) is pinned by a result comparison
+    val path = (0 until 6).map(i => (s"p$i", s"p${i + 1}"))
+    val tri = Seq(("t0", "t1"), ("t1", "t2"), ("t0", "t2"))
+    val edges = (path ++ tri).toDF("src", "dst")
+    val seeds = Seq("p0", "t1").toDF("node")
+    val wEdges = Seq(("a", "b", 10L), ("a", "c", 1L), ("c", "b", 1L),
+      ("b", "d", 1L)).toDF("src", "dst", "w")
+    def bfs() = Graph.bfsHops(edges, "src", "dst", seeds, "node", 6)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    def sssp() = Graph.ssspHops(wEdges, "src", "dst", "w",
+        Seq("a").toDF("node"), "node", 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (plainB, plainS) = (bfs(), sssp())
+    Graph.bloomForce = true
+    try {
+      assert(bfs() === plainB)
+      assert(sssp() === plainS)
+    } finally Graph.bloomForce = false
+  }
+
   test("ssspHops: relaxation beats the direct edge; hop cap binds") {
     // a-b direct costs 10, but a-c-b costs 2 — the cheap route needs
     // 2 hops, so maxHops=1 must report 10 and maxHops>=2 report 2.
