@@ -62,13 +62,36 @@ object CharShingleCount {
     * undercounts one distinct gram). Window semantics unchanged:
     * numChars >= n → every full n-gram; shorter input → one window,
     * the whole string (substr end-clipping). */
+  /** Hard bound on the open-addressed table (2^28 slots = 2 GiB of
+    * longs): a document with more windows than half this is already
+    * a >100M-char single row — reject it with a clear error instead
+    * of the former behavior, where `wins * 2` overflowed Int around
+    * a 1G-char document and the doubling loop either spun forever or
+    * exited with an undersized table whose full-table linear probe
+    * then hung the executor (round-11 advice item). */
+  val MaxTableCap: Int = 1 << 28
+
+  /** Table capacity for `wins` windows, computed in Long so the
+    * doubling can never wrap. ≥ 2× `wins` keeps load factor ≤ 0.5, so
+    * the table always has empty slots and probes stay O(1). Factored
+    * out (vs inline in [[compute]]) so the overflow boundary is unit-
+    * testable without allocating a 100M-char fixture string. */
+  def tableCap(wins: Int): Int = {
+    val need = wins.toLong * 2L
+    require(need <= MaxTableCap,
+      s"char_shingle_count: $wins shingle windows in a single document " +
+        s"exceeds the ${MaxTableCap / 2} per-document bound")
+    var cap = 16
+    while (cap < need) cap <<= 1
+    cap
+  }
+
   def compute(s: UTF8String, n: Int): Int = {
     val cp = s.toString.codePoints().toArray
     val len = cp.length
     val wins = math.max(len - n, 0) + 1
     val wLen = math.min(n, len) // the single short window is clipped
-    var cap = 16
-    while (cap < wins * 2) cap <<= 1
+    val cap = tableCap(wins)
     val table = new Array[Long](cap)
     val mask = cap - 1
     var count = 0

@@ -56,8 +56,17 @@ object Dedup {
     * `rowsPerBand` and reduce each band to one key. Two docs sharing
     * any band key are candidates. The band key is the same portable
     * fold the signatures use (acc·1000003 + sig[i] mod 1e9+7 — a
-    * closed-form combine both engines replay; collisions only ADD
-    * candidates, which downstream exact verification removes). */
+    * closed-form combine both engines replay). Collision honesty
+    * (round-11 advice): a fold collision usually only ADDS spurious
+    * candidates (downstream exact verification removes them), but it
+    * can ALSO inflate a bucket past [[minHashCandidates]]'s
+    * `maxBucket` skew cap, and a pruned bucket drops its GENUINE
+    * pairs too — under this ~2^30 key space, collisions are a small
+    * recall term, not pure noise. Deterministic and oracle-mirrored,
+    * so correctness checks never diverge; at corpus scale where
+    * ~sqrt(2^30) ≈ 33k populated buckets per band makes birthday
+    * collisions routine, widen the key (combine two independent
+    * mod-P folds with different bases) before trading recall. */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),

@@ -35,9 +35,16 @@ object Graph {
     * sort-merge regime the economics invert: the un-hinted plan SORTS
     * the full adjacency every round (measured 17.6× on the r10 100×
     * BFS decade before the hint), and the pushdown cuts that sort's
-    * input from Θ(|E|) to the frontier's neighborhood. `bloomForce`
-    * lets the spec pin the Bloom path's exactness at fixture scale. */
-  private[graft] var bloomForce = false
+    * input from Θ(|E|) to the frontier's neighborhood. The
+    * [[BloomForceKey]] session conf lets the spec pin the Bloom
+    * path's exactness at fixture scale — a PER-SESSION conf key, not
+    * a JVM-global var, so a parallel test or concurrent session can
+    * never observe another session's flipped plan (round-11 advice:
+    * shared mutable planner state was a cross-test hazard). */
+  private[graft] val BloomForceKey = "graft.graph.bloomForce"
+
+  private def bloomForced(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(BloomForceKey).exists(_.toBoolean)
 
   /** Row-count bound under which the visited/dist side of a traversal
     * join keeps the `shuffle_hash` hint. ShuffledHashJoin builds an
@@ -754,12 +761,12 @@ object Graph {
       // 2%-fpp filter over the frontier's keys probed inside the
       // adjacency scan, cutting the sort-merge's adjacency-side sort
       // input from Θ(|E|) to the frontier's neighborhood. In the hash
-      // regime the filter is measured pure overhead (see [[bloomForce]])
+      // regime the filter is measured pure overhead (see [[BloomForceKey]])
       // — the hinted join already probes an O(1) hash per row.
       // Exactness is untouched either way: false positives only leak
       // rows into the exact join behind the filter.
       val sortMergeRegime = visitedN > HashHintMaxRows
-      val fAdj = if ((sortMergeRegime || bloomForce) &&
+      val fAdj = if ((sortMergeRegime || bloomForced(adj)) &&
           frontierN <= BloomMaxItems && frontierN * 4 <= adjRows)
         adj.filter(frontierBloomFilter(frontier, "node", frontierN,
           col("__w")))
@@ -844,7 +851,7 @@ object Graph {
       // frontier's neighborhood (false positives only leak rows into
       // the exact join).
       val sortMergeRegime = distN > HashHintMaxRows
-      val fAdj = if ((sortMergeRegime || bloomForce) &&
+      val fAdj = if ((sortMergeRegime || bloomForced(adj)) &&
           frontierN <= BloomMaxItems && frontierN * 4 <= adjRows)
         adj.filter(frontierBloomFilter(frontier, "node", frontierN,
           col("__s")))

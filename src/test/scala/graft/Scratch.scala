@@ -45,8 +45,8 @@ object Scratch {
     // controlled same-box comparison (the round-11 A/B that scoped it:
     // SSSP 10× probe 16.8 s without vs 20.7 s with)
     if (sys.env.get("GRAFT_BLOOM_FORCE").contains("1")) {
-      operators.Graph.bloomForce = true
-      println("[scratch] bloomForce=true")
+      spark.conf.set(operators.Graph.BloomForceKey, "true")
+      println("[scratch] bloomForce=true (session conf)")
     }
 
     def timed(body: => Unit): Double = {

@@ -177,6 +177,25 @@ class NativeEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("CharShingleCount.tableCap: Long arithmetic at the overflow " +
+      "boundary; pathological window counts fail fast, never hang") {
+    // small counts: next power of two >= 2*wins, floor 16 (load <= 0.5)
+    assert(CharShingleCount.tableCap(1) === 16)
+    assert(CharShingleCount.tableCap(100) === 256)
+    assert(CharShingleCount.tableCap(1 << 20) === (1 << 21))
+    // exact bound: wins*2 == MaxTableCap is the largest admissible
+    val maxWins = CharShingleCount.MaxTableCap / 2
+    assert(CharShingleCount.tableCap(maxWins) ===
+      CharShingleCount.MaxTableCap)
+    // past the bound — including the shapes where `wins * 2` used to
+    // overflow Int (wins >= 2^30 → negative, doubling loop spun or
+    // exited with an undersized table) — the kernel must THROW with a
+    // clear message, not hang an executor on a ~1G-char document
+    for (wins <- Seq(maxWins + 1, 1 << 30, Int.MaxValue))
+      assertThrows[IllegalArgumentException](
+        CharShingleCount.tableCap(wins))
+  }
+
   test("VectorMean == posexplode/avg-per-position form") {
     val vecs = Seq.tabulate(50)(i =>
       (i % 3).toLong -> Array.fill(8)(rnd.nextFloat()))

@@ -222,7 +222,7 @@ class GraphSpec extends SparkSpec {
   }
 
   test("bfsHops/ssspHops: the frontier Bloom pushdown path is " +
-      "result-identical (forced via bloomForce)") {
+      "result-identical (forced via the session conf)") {
     // the Bloom filter only engages in the sort-merge regime (visited/
     // dist past the hash-hint gate) — force it on fixture scale so
     // the pushdown's exactness (false positives leak INTO an exact
@@ -239,11 +239,13 @@ class GraphSpec extends SparkSpec {
         Seq("a").toDF("node"), "node", 6)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val (plainB, plainS) = (bfs(), sssp())
-    Graph.bloomForce = true
+    // per-session conf, not a JVM-global var (round-11 advice): only
+    // THIS session sees the flipped plan, parallel suites are immune
+    spark.conf.set(Graph.BloomForceKey, "true")
     try {
       assert(bfs() === plainB)
       assert(sssp() === plainS)
-    } finally Graph.bloomForce = false
+    } finally spark.conf.unset(Graph.BloomForceKey)
   }
 
   test("ssspHops: relaxation beats the direct edge; hop cap binds") {

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Mechanical derivation of the README's round-over-round bench numbers.
+
+Round-11 verdict item #7: the README's comparison claims (shared-query
+sum ratio, the original-47-query r1-subset sum, the per-query regression
+list) were hand-derived from artifacts, and two rounds shipped small
+discrepancies (r10: 0.95x vs 0.98x; r11: a 0.83x builder-pair vs 1.05x
+driver-pair divergence that needed a judge footnote). This tool computes
+them from the artifacts themselves so the README can paste a committed
+tool output verbatim.
+
+Usage:  python3 tools/bench_compare.py PREV_BENCH.json [CUR_BENCH.json]
+
+  PREV_BENCH.json  the previous round's bench artifact (typically
+                   `git show HEAD:bench_last.json` snapshotted before
+                   the fresh bench overwrites it)
+  CUR_BENCH.json   defaults to bench_last.json
+
+Both files are graft.Bench output lines: {"metric":"total","value":S,
+"queries":{name:sec,...},...}. Prints a fenced block; exit 0 always
+(regressions are REPORTED, not gated — box variance up to +/-50%
+between sessions is documented in ENGINE.md, so a sum ratio is context,
+not a failure).
+"""
+import json
+import sys
+
+# The r1 flagship constant the README has cited since round 2: the
+# round-1 driver bench summed 35.8 s over the original 47 queries
+# (BENCH_r01.json predates per-query output, so the total is recorded
+# here; the 47 names live in CORRECTNESS_r01.json and are read fresh).
+R1_TOTAL_SEC = 35.8
+R1_CORRECTNESS = "CORRECTNESS_r01.json"
+
+# A per-query move is only worth listing when it is BOTH large in ratio
+# and large in absolute time — sub-second jitter at ratio 2x is noise.
+REGRESS_RATIO = 1.5
+REGRESS_ABS_SEC = 1.0
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    prev_path = sys.argv[1]
+    cur_path = sys.argv[2] if len(sys.argv) > 2 else "bench_last.json"
+    with open(prev_path) as f:
+        prev = json.load(f)
+    with open(cur_path) as f:
+        cur = json.load(f)
+    pq, cq = prev["queries"], cur["queries"]
+    shared = sorted(set(pq) & set(cq))
+    psum = sum(pq[q] for q in shared)
+    csum = sum(cq[q] for q in shared)
+    with open(R1_CORRECTNESS) as f:
+        r1_names = sorted(json.load(f))
+    r1_missing = [q for q in r1_names if q not in cq]
+    r1_sum = sum(cq[q] for q in r1_names if q in cq)
+
+    regressed = sorted(
+        (q for q in shared
+         if cq[q] > pq[q] * REGRESS_RATIO and cq[q] - pq[q] > REGRESS_ABS_SEC),
+        key=lambda q: pq[q] - cq[q])
+    improved = sorted(
+        (q for q in shared
+         if pq[q] > cq[q] * REGRESS_RATIO and pq[q] - cq[q] > REGRESS_ABS_SEC),
+        key=lambda q: cq[q] - pq[q])
+
+    print("```")
+    print(f"bench_compare: {cur_path} vs {prev_path}")
+    print(f"  current : {cur['value']:.1f} s / {len(cq)} queries "
+          f"/ errors={cur.get('errors', [])}")
+    print(f"  previous: {prev['value']:.1f} s / {len(pq)} queries")
+    print(f"  shared-{len(shared)} sum: {csum:.1f} s vs {psum:.1f} s "
+          f"= {csum / psum:.2f}x")
+    print(f"  r1 {len(r1_names)}-query subset: {r1_sum:.1f} s vs "
+          f"{R1_TOTAL_SEC} s (r1) = {r1_sum / R1_TOTAL_SEC:.2f}x"
+          + (f"  [MISSING: {r1_missing}]" if r1_missing else ""))
+    print(f"  regressed >{REGRESS_RATIO}x & >{REGRESS_ABS_SEC}s: "
+          f"{len(regressed)}")
+    for q in regressed:
+        print(f"    {q}: {pq[q]:.2f} -> {cq[q]:.2f} s")
+    print(f"  improved >{REGRESS_RATIO}x & >{REGRESS_ABS_SEC}s: "
+          f"{len(improved)}")
+    for q in improved:
+        print(f"    {q}: {pq[q]:.2f} -> {cq[q]:.2f} s")
+    only_new = sorted(set(cq) - set(pq))
+    if only_new:
+        new_cost = sum(cq[q] for q in only_new)
+        print(f"  new queries ({len(only_new)}): {new_cost:.2f} s "
+              f"total: {only_new}")
+    print("```")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,19 +3,37 @@
 # working-tree artifacts MUST agree at judge time — two rounds shipped a
 # dirty tree). Run this as the LAST step of a round:
 #
-#   bash tools/round_close.sh            # bench + commit + clean-tree gate
-#   bash tools/round_close.sh --no-bench # just commit artifacts + gate
+#   bash tools/round_close.sh            # bench + compare + commit + gate
+#   bash tools/round_close.sh --no-bench # skip the bench re-run
 #
 # Steps:
-#  1. (unless --no-bench) run the full sf0.1 Bench — refreshes
+#  1. Snapshot the committed bench_last.json (the PREVIOUS round's
+#     artifact) before the fresh run overwrites it.
+#  2. (unless --no-bench) run the full sf0.1 Bench — refreshes
 #     bench_last.json, the artifact the round's README numbers cite.
-#  2. Commit every tracked-but-dirty artifact/doc (bench_last.json,
-#     LEAKCHECK.json, README.md, ENGINE.md, ...) in one closing commit.
-#  3. HARD-FAIL unless `git status --porcelain` is empty afterwards —
+#  3. Derive the README's comparison numbers MECHANICALLY
+#     (tools/bench_compare.py): shared-query sum ratio, the r1 47-query
+#     subset sum, the per-query regression/improvement lists. The block
+#     is written to ROUND_COMPARE.txt (committed) — the README pastes
+#     it verbatim instead of hand-deriving (round-11 verdict item #7:
+#     two rounds shipped hand-derivation discrepancies).
+#  4. Commit ONLY the allowlisted round artifacts. `git add -A` here
+#     previously swept arbitrary untracked scratch into the closing
+#     commit (round-11 advice item); now any file outside the allowlist
+#     is a HARD FAILURE to be inspected by hand, never auto-committed.
+#  5. HARD-FAIL unless `git status --porcelain` is empty afterwards —
 #     a non-empty tree here means an artifact the judge will read
 #     exists nowhere in history.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+# Files a round legitimately touches at close time. Anything else dirty
+# or untracked at step 4 fails the close.
+ARTIFACTS=(bench_last.json ROUND_COMPARE.txt LEAKCHECK.json
+  README.md ENGINE.md FIXTURES.md PROGRESS.jsonl)
+
+prev_bench="$(mktemp)"
+git show HEAD:bench_last.json > "$prev_bench"
 
 if [[ "${1:-}" != "--no-bench" ]]; then
   echo "[round_close] running full sf0.1 bench (~6 min)..."
@@ -23,11 +41,31 @@ if [[ "${1:-}" != "--no-bench" ]]; then
     sbt -batch "runMain graft.Bench" | tail -2
 fi
 
-if [[ -n "$(git status --porcelain)" ]]; then
+echo "[round_close] deriving round-over-round comparison:"
+python3 tools/bench_compare.py "$prev_bench" bench_last.json \
+  | tee ROUND_COMPARE.txt
+rm -f "$prev_bench"
+
+dirty="$(git status --porcelain)"
+if [[ -n "$dirty" ]]; then
+  # partition the dirty set: allowlisted artifacts vs everything else
+  unexpected=""
+  while IFS= read -r line; do
+    f="${line:3}"
+    ok=0
+    for a in "${ARTIFACTS[@]}"; do [[ "$f" == "$a" ]] && ok=1; done
+    [[ $ok -eq 0 ]] && unexpected+="$line"$'\n'
+  done <<< "$dirty"
+  if [[ -n "$unexpected" ]]; then
+    echo "[round_close] FATAL: non-artifact files dirty/untracked at" \
+      "close — inspect and commit (or remove) them EXPLICITLY:" >&2
+    printf '%s' "$unexpected" >&2
+    exit 1
+  fi
   echo "[round_close] committing round-close artifacts:"
   git status --porcelain
-  git add -A
-  git commit -m "Round close: refresh bench/leakcheck artifacts and docs"
+  git add "${ARTIFACTS[@]}"
+  git commit -m "Round close: refresh bench/compare artifacts and docs"
 fi
 
 if [[ -n "$(git status --porcelain)" ]]; then
