@@ -9608,6 +9608,55 @@ object SparkEntry {
           $"mode_code", $"n_channels", $"n_frames", $"n_samples",
           $"n_active", $"sum_abs_fp", $"peak_fp", $"last_fp")
         .orderBy($"doc_id")
+    }),
+
+    // MPEG-1 AUDIO LAYER II (ISO 11172-3) — the round-11 seam item
+    // crossed: allocation tables 3-B.2a–d are embedded spec DATA
+    // (fixture variant v = doc_id%4 hits each of the four tables via
+    // the spec's (sampling-frequency, bitrate-per-channel) selection),
+    // and the decode adds grouped samples (3 codes in one base-steps
+    // word), scfsi-compressed scalefactors and the 3-B.4
+    // dequantization, which collapses to (2c + 1 − steps)·QSF2 — one
+    // integer multiply per sample, exact. The oracle replays the
+    // closed-form generators against the SAME embedded tables
+    // (q331Nbal/Row/Cls/Steps/Bits/Grp/Qsf2 below are interpolated
+    // from the decoder's own arrays), so hash equality certifies the
+    // whole parse: allocation widths, scfsi branch, grouping digits,
+    // intensity bound and table selection included.
+    "q331_mpeg1_layer2" -> ((s, d) => {
+      val mk = udf((id: Long) => {
+        val kind = (id % 3).toInt
+        val v = (id % 4).toInt
+        val mode = kind match { case 0 => 3; case 1 => 0; case _ => 1 }
+        val fsIdx = Array(1, 0, 1, 2)(v)
+        val brIdx = if (mode == 3) Array(10, 10, 2, 2)(v)
+          else Array(14, 14, 6, 6)(v)
+        val M = graft.functions.Mpeg1Audio
+        val nCh = if (mode == 3) 1 else 2
+        val tab = M.l2AllocTable(fsIdx, M.BitrateL2(brIdx) / nCh)
+        def cap(nbal: Int) =
+          nbal match { case 2 => 2; case 3 => 6; case _ => 7 }
+        M.encodeLayer2(
+          nFrames = 1 + (id % 2).toInt, brIdx = brIdx, fsIdx = fsIdx,
+          mode = mode, modeExt = ((id / 3) % 4).toInt,
+          allocIdx = (ch, sb) => if ((id + sb) % 2 == 0) 0
+            else 1 + ((id * 5 + sb * 7 + ch * 3) %
+              cap(M.L2Nbal(tab)(sb))).toInt,
+          scfsiOf = (ch, sb) => ((id * 3 + sb * 5 + ch * 7) % 4).toInt,
+          scfIdx = (ch, sb, p) =>
+            ((id * 7 + sb * 11 + ch * 3 + p * 19) % 63).toInt,
+          code = (f, gr, i, ch, sb) =>
+            ((id * 97 + f * 31 + gr * 13 + i * 41 + sb * 17 + ch * 29) %
+              65536).toInt)
+      })
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeMpeg1L2Features(clips, "doc_id", "payload").toDF()
+        .select($"id".as("doc_id"), $"sample_rate", $"bitrate_kbps",
+          $"mode_code", $"n_channels", $"tab_id", $"sb_limit",
+          $"n_frames", $"n_samples", $"n_active", $"n_scf",
+          $"sum_abs_fp", $"peak_fp", $"last_fp")
+        .orderBy($"doc_id")
     })
   )
 
@@ -18475,7 +18524,110 @@ object SparkEntry {
         |JOIN agg a ON a.doc_id = d.doc_id
         |JOIN lastv l ON l.doc_id = d.doc_id
         |JOIN act c ON c.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q331: MPEG-1 Layer II replayed symbolically against the SAME
+    // embedded spec tables the decoder uses (the q330 pattern, now
+    // with the 3-B.2a–d allocation data): per allocated (doc, sb, ch)
+    // the quantizer class is looked up through nbal → row → class
+    // exactly as the decoder does, grouped samples take the generator
+    // mod steps (the decoder's degrouped digits by construction),
+    // ungrouped mask to the codeword width, and scfsi picks the
+    // effective scalefactor per 4-granule part. tab_id/sb_limit/n_scf
+    // pin table selection and the scfsi parse cross-engine.
+    "q331_mpeg1_layer2" -> s"""WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
+        |    CAST(doc_id % 4 AS INT) AS v,
+        |    CAST((doc_id // 3) % 4 AS INT) AS ext,
+        |    CAST(1 + doc_id % 2 AS INT) AS nfr,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+        |      AS nch
+        |  FROM documents WHERE doc_id < 40),
+        |d2 AS (
+        |  SELECT d.*, v AS tab,
+        |    CAST(([27,30,8,12])[v + 1] AS INT) AS sblimit,
+        |    CAST(CASE WHEN kind = 2
+        |      THEN least((ext + 1) * 4, ([27,30,8,12])[v + 1])
+        |      ELSE ([27,30,8,12])[v + 1] END AS INT) AS bound
+        |  FROM d),
+        |slots AS (
+        |  SELECT d2.doc_id, d2.nfr, d2.nch, d2.tab, d2.bound, sbx.sb,
+        |    chx.ch,
+        |    ($q331Cls)[ ($q331Row)[tab * 30 + sbx.sb + 1] * 16
+        |      + 1 + ((doc_id * 5 + sbx.sb * 7 +
+        |          (CASE WHEN sbx.sb >= bound AND nch = 2 THEN 0
+        |            ELSE chx.ch END) * 3)
+        |        % (CASE ($q331Nbal)[tab * 30 + sbx.sb + 1]
+        |            WHEN 2 THEN 2 WHEN 3 THEN 6 ELSE 7 END)) + 1 ]
+        |      AS cls,
+        |    CAST((doc_id * 3 + sbx.sb * 5 + chx.ch * 7) % 4 AS INT)
+        |      AS scfsi
+        |  FROM d2, unnest(range(0, d2.sblimit)) sbx(sb),
+        |    unnest(range(0, d2.nch)) chx(ch)
+        |  WHERE (doc_id + sbx.sb) % 2 = 1),
+        |slots2 AS (
+        |  SELECT s.*, ($q331Steps)[cls] AS steps,
+        |    ($q331Bits)[cls] AS bits, ($q331Grp)[cls] AS grp
+        |  FROM slots s),
+        |smp AS (
+        |  SELECT s.doc_id, fx.f, gx.gr, s.sb, s.ch, ix.i, s.cls,
+        |    s.steps,
+        |    CASE s.scfsi
+        |      WHEN 0 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3
+        |        + (gx.gr // 4) * 19) % 63
+        |      WHEN 1 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3
+        |        + (CASE WHEN gx.gr < 8 THEN 0 ELSE 2 END) * 19) % 63
+        |      WHEN 2 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3) % 63
+        |      ELSE (s.doc_id * 7 + s.sb * 11 + s.ch * 3
+        |        + (CASE WHEN gx.gr < 4 THEN 0 ELSE 1 END) * 19) % 63
+        |    END AS scf,
+        |    CASE WHEN s.grp = 1
+        |      THEN ((s.doc_id * 97 + fx.f * 31 + gx.gr * 13 + ix.i * 41
+        |        + s.sb * 17 + (CASE WHEN s.sb >= s.bound AND s.nch = 2
+        |          THEN 0 ELSE s.ch END) * 29) % 65536) % s.steps
+        |      ELSE ((s.doc_id * 97 + fx.f * 31 + gx.gr * 13 + ix.i * 41
+        |        + s.sb * 17 + (CASE WHEN s.sb >= s.bound AND s.nch = 2
+        |          THEN 0 ELSE s.ch END) * 29) % 65536) % (1 << s.bits)
+        |    END AS c
+        |  FROM slots2 s, unnest(range(0, s.nfr)) fx(f),
+        |    unnest(range(0, 12)) gx(gr), unnest(range(0, 3)) ix(i)),
+        |dq AS (
+        |  SELECT doc_id, f, gr, sb, ch, i,
+        |    (2 * c + 1 - steps) * ($q331Qsf2)[scf * 17 + cls] AS sfp
+        |  FROM smp),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(abs(sfp)) AS BIGINT) AS sum_abs_fp,
+        |    CAST(max(abs(sfp)) AS BIGINT) AS peak_fp
+        |  FROM dq GROUP BY doc_id),
+        |lastv AS (
+        |  SELECT doc_id, sfp AS last_fp FROM dq
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY f DESC, gr DESC, sb DESC, ch DESC, i DESC) = 1),
+        |act AS (
+        |  SELECT doc_id, CAST(max(nfr) * count(*) AS BIGINT)
+        |      AS n_active,
+        |    CAST(max(nfr) * sum(CASE scfsi WHEN 0 THEN 3 WHEN 2 THEN 1
+        |      ELSE 2 END) AS BIGINT) AS n_scf
+        |  FROM slots GROUP BY doc_id)
+        |SELECT d2.doc_id,
+        |  CAST(CASE v WHEN 0 THEN 48000 WHEN 1 THEN 44100
+        |    WHEN 2 THEN 48000 ELSE 32000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN v <= 1 THEN CASE WHEN kind = 0 THEN 192
+        |      ELSE 384 END
+        |    ELSE CASE WHEN kind = 0 THEN 48 ELSE 96 END END AS INT)
+        |    AS bitrate_kbps,
+        |  CAST(CASE kind WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 1 END
+        |    AS INT) AS mode_code,
+        |  d2.nch AS n_channels, CAST(d2.tab AS INT) AS tab_id,
+        |  d2.sblimit AS sb_limit, d2.nfr AS n_frames,
+        |  a.n_samples, c.n_active, c.n_scf, a.sum_abs_fp, a.peak_fp,
+        |  l.last_fp
+        |FROM d2
+        |JOIN agg a ON a.doc_id = d2.doc_id
+        |JOIN lastv l ON l.doc_id = d2.doc_id
+        |JOIN act c ON c.doc_id = d2.doc_id
+        |ORDER BY d2.doc_id""".stripMargin
   )
 
   /** The [[graft.functions.Mpeg1Audio.QSF]] slice q330's oracle
@@ -18486,6 +18638,40 @@ object SparkEntry {
   private lazy val q330Qsf: String =
     (for (idx <- 0 until 63; nb <- 2 to 9)
       yield graft.functions.Mpeg1Audio.QSF(idx)(nb).toString)
+      .mkString("[", ",", "]")
+
+  /** q331's embedded Layer II spec data, interpolated from the
+    * decoder's own arrays (the q330Qsf pattern) so both engines share
+    * tables 3-B.2a–d and 3-B.4 by construction. All 1-based for
+    * DuckDB list indexing: layout arrays as [tab*30 + sb + 1], the
+    * class rows as [row*16 + idx + 1], per-class constants as [cls],
+    * and QSF2 as [scf*17 + cls]. */
+  private lazy val q331Nbal: String =
+    (for (tab <- 0 until 4; sb <- 0 until 30)
+      yield graft.functions.Mpeg1Audio.L2Nbal(tab)(sb).toString)
+      .mkString("[", ",", "]")
+  private lazy val q331Row: String =
+    (for (tab <- 0 until 4; sb <- 0 until 30)
+      yield graft.functions.Mpeg1Audio.L2Row(tab)(sb).toString)
+      .mkString("[", ",", "]")
+  private lazy val q331Cls: String =
+    (for (row <- 0 until 5; idx <- 0 until 16) yield {
+      val r = graft.functions.Mpeg1Audio.AllocRows(row)
+      (if (idx < r.length) r(idx) else 0).toString
+    }).mkString("[", ",", "]")
+  private lazy val q331Steps: String =
+    (1 to 17).map(graft.functions.Mpeg1Audio.ClsSteps(_).toString)
+      .mkString("[", ",", "]")
+  private lazy val q331Bits: String =
+    (1 to 17).map(graft.functions.Mpeg1Audio.ClsBits(_).toString)
+      .mkString("[", ",", "]")
+  private lazy val q331Grp: String =
+    (1 to 17).map(c =>
+        if (graft.functions.Mpeg1Audio.ClsGrouped(c)) "1" else "0")
+      .mkString("[", ",", "]")
+  private lazy val q331Qsf2: String =
+    (for (scf <- 0 until 63; cls <- 1 to 17)
+      yield graft.functions.Mpeg1Audio.QSF2(scf)(cls).toString)
       .mkString("[", ",", "]")
 
   /** q105's oracle — the FULL BPE pipeline under the hash oracle:

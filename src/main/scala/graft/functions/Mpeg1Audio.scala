@@ -29,18 +29,36 @@ package graft.functions
   *    equality). Relative precision of the fixed-point grid is 2^-16
   *    of full scale — the quantizer's own step at nb=15.
   *
+  * LAYER II ([[decodeL2]], round 12) crosses the former "spec data"
+  * seam: the allocation tables 3-B.2a–d are embedded ([[L2Nbal]]/
+  * [[L2Row]]/[[L2ClsOfIdx]] — which quantizer each 2/3/4-bit
+  * allocation index selects per subband, per table, chosen from
+  * (sampling frequency, bitrate per channel) exactly as the spec's
+  * table headers prescribe), plus the Layer II machinery on top of
+  * Layer I's: 1152-sample frames (144·bitrate/fs byte slots),
+  * granule-grouped samples (3 samples of a 3/5/9-step quantizer in
+  * one 5/7/10-bit codeword, degrouped base-`steps` lowest digit
+  * first), scfsi (2 bits per allocated channel-subband selecting 1,
+  * 2 or 3 transmitted scalefactors for the frame's three 12-sample
+  * parts), and the table-3-B.4 dequantization — which collapses to
+  * ONE closed form shared with Layer I:
+  *    s_fp = (2c + 1 − steps) · QSF2(idx, cls),
+  *    QSF2(idx, cls) = round(2^16·SF(idx)/steps_cls)
+  * (for ungrouped steps = 2^nb−1 this is exactly Layer I's
+  * (2c+2−2^nb)·QSF; for grouped steps 3/5/9 the spec's C = 2^nb/steps,
+  * D = 1/2 reduce to the same 2c+1−steps numerator).
+  *
   * SEAM (documented, like the image-lib seam in
-  * [[graft.operators.Multimodal]]): Layers II/III and the PCM
-  * polyphase synthesis are NOT implemented, and the boundary is
-  * data, not math — Layer II needs the allocation tables 3-B.2a–d
-  * and synthesis needs the 512-coefficient window of Table 3-B.3,
-  * both of which exist only as numeric tables in the spec (the
-  * matrixing cosines are closed-form; the window is not). Everything
-  * on THIS side of the seam — sync walking, header fields, frame
-  * sizing, allocation/scalefactor/sample bit layout, intensity
-  * bound, exact dequantization — is closed-form spec semantics and
-  * is hash-oracled end to end by q330. A Layer II/III header parses
-  * (fields + frame length) but returns None from [[decode]].
+  * [[graft.operators.Multimodal]]): the PCM polyphase SYNTHESIS
+  * (Table 3-B.3's 512-coefficient window — a numeric table with no
+  * closed form) and the MDCT-class codecs (Layer III, AAC) are NOT
+  * implemented. Everything on THIS side — sync walking, header
+  * fields, frame sizing, allocation/scfsi/scalefactor/sample bit
+  * layout for BOTH layers, intensity bound, grouping, exact
+  * dequantization — is spec semantics with embedded public spec
+  * tables, hash-oracled end to end by q330 (Layer I) and q331
+  * (Layer II). A Layer III header parses (fields + frame length)
+  * but returns None.
   */
 object Mpeg1Audio {
 
@@ -309,6 +327,396 @@ object Mpeg1Audio {
       out ++= w.padToBytes(frameLen)
       require(out.length == (f + 1) * frameLen,
         s"fixture payload overflows the $frameLen-byte Layer I frame")
+    }
+    out.toArray
+  }
+
+  // -------------------------------------------------------------------
+  // Layer II (ISO/IEC 11172-3 §2.4.1.6, 2.4.2.2, tables 3-B.2a–d and
+  // 3-B.4). Spec DATA embedded below; everything else is spec math.
+  // -------------------------------------------------------------------
+
+  /** Layer II bitrates (kbit/s) by header index; 0 = free format
+    * (unsupported), 15 = forbidden. */
+  private[graft] val BitrateL2 =
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+      384)
+
+  /** The 17 Layer II quantizer classes (1-based; 0 = not allocated):
+    * number of steps, codeword bits, and whether three consecutive
+    * samples share one grouped codeword (steps 3/5/9 → one 5/7/10-bit
+    * base-`steps` number). Spec table 3-B.4's rows in step order. */
+  private[graft] val ClsSteps: Array[Int] =
+    Array(0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+      8191, 16383, 32767, 65535)
+  private[graft] val ClsBits: Array[Int] =
+    Array(0, 5, 7, 3, 10, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+  private[graft] val ClsGrouped: Array[Boolean] =
+    ClsSteps.map(s => s == 3 || s == 5 || s == 9)
+
+  /** Allocation-index → quantizer-class rows shared by tables
+    * 3-B.2a–d. Row 0 serves the 2-bit subbands of tables a/b, row 1
+    * their 3-bit subbands, rows 2/3 their 4-bit subbands, row 4 every
+    * subband of the low-rate tables c/d (its first 4/8/16 entries are
+    * the 2/3/4-bit column of those tables). Index 0 is always
+    * "no samples". */
+  private[graft] val AllocRows: Array[Array[Int]] = Array(
+    Array(0, 1, 2, 17),
+    Array(0, 1, 2, 3, 4, 5, 6, 17),
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 17),
+    Array(0, 1, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17),
+    Array(0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
+
+  /** Subband limits of tables 3-B.2a–d (tab ids 0–3). */
+  private[graft] val L2SbLimit = Array(27, 30, 8, 12)
+
+  /** Per-(table, subband) allocation-field width. Tables a/b: 4 bits
+    * for subbands 0–10, 3 for 11–22, 2 above; tables c/d: 4 bits for
+    * subbands 0–1, 3 above. */
+  private[graft] val L2Nbal: Array[Array[Int]] = Array.tabulate(4, 30) {
+    (tab, sb) =>
+      if (sb >= L2SbLimit(tab)) 0
+      else if (tab <= 1) { if (sb < 11) 4 else if (sb < 23) 3 else 2 }
+      else { if (sb < 2) 4 else 3 }
+  }
+
+  /** Per-(table, subband) [[AllocRows]] row. Tables a/b: row 3 for
+    * subbands 0–2 (the no-5/9-step high-resolution column), row 2 for
+    * 3–10, row 1 for 11–22, row 0 above; tables c/d: row 4 throughout. */
+  private[graft] val L2Row: Array[Array[Int]] = Array.tabulate(4, 30) {
+    (tab, sb) =>
+      if (sb >= L2SbLimit(tab)) 0
+      else if (tab <= 1) { if (sb < 3) 3 else if (sb < 11) 2
+        else if (sb < 23) 1 else 0 }
+      else 4
+  }
+
+  /** Quantizer class for (table, subband, allocation index). */
+  private[graft] def l2ClsOfIdx(tab: Int, sb: Int, idx: Int): Int =
+    AllocRows(L2Row(tab)(sb))(idx)
+
+  /** Allocation-table selection from the 3-B.2a–d table headers:
+    * per-channel bitrate (total/2 for any two-channel mode) and
+    * sampling frequency pick the table; combinations outside the
+    * headers (e.g. mono above 192 kbit/s, stereo at 32 kbit/s total)
+    * have no table and are malformed (−1). */
+  private[graft] def l2AllocTable(fsIdx: Int, brPerCh: Int): Int =
+    fsIdx match {
+      case 1 => // 48 kHz: no 3-B.2b rates
+        if (brPerCh == 32 || brPerCh == 48) 2
+        else if (brPerCh >= 56 && brPerCh <= 192) 0
+        else -1
+      case 0 => // 44.1 kHz
+        if (brPerCh == 32 || brPerCh == 48) 2
+        else if (brPerCh >= 56 && brPerCh <= 80) 0
+        else if (brPerCh >= 96 && brPerCh <= 192) 1
+        else -1
+      case 2 => // 32 kHz: low rates use 3-B.2d
+        if (brPerCh == 32 || brPerCh == 48) 3
+        else if (brPerCh >= 56 && brPerCh <= 80) 0
+        else if (brPerCh >= 96 && brPerCh <= 192) 1
+        else -1
+      case _ => -1
+    }
+
+  /** QSF2(idx)(cls) = round(2^16 · 2·2^(−idx/3) / steps_cls) — the
+    * Layer II fixed-point constant per (scalefactor index, quantizer
+    * class). For ungrouped classes (steps = 2^nb − 1) this EQUALS
+    * [[QSF]](idx)(nb); built from StrictMath like QSF, and q331's
+    * oracle interpolates the same values. */
+  val QSF2: Array[Array[Long]] = Array.tabulate(63, 18) { (idx, cls) =>
+    if (cls == 0) 0L
+    else Math.round(65536.0 * 2.0 * StrictMath.pow(2.0, -idx / 3.0) /
+      ClsSteps(cls).toDouble)
+  }
+
+  /** Exact integer dequantization of one Layer II sample code: the
+    * 3-B.4 formula s'' = C·(s''' + D) with C = 2^nb/steps and
+    * D = 2^(1−nb) (ungrouped) or 1/2 (grouped) collapses in both
+    * cases to the rational (2c + 1 − steps)/steps, times SF(idx). */
+  def dequantFp2(c: Int, cls: Int, scfIdx: Int): Long =
+    (2L * c + 1L - ClsSteps(cls)) * QSF2(scfIdx)(cls)
+
+  /** Per-clip Layer II decoded-subband statistics, all integer-exact
+    * in the 2^16 fixed-point domain. Beyond [[Features]]' fields:
+    * `tabId`/`sbLimit` pin the 3-B.2 table selection, `nScf` counts
+    * TRANSMITTED scalefactors (3/2/1 per allocated channel-subband
+    * depending on scfsi — a mis-parsed scfsi cannot hide). */
+  case class Features2(sampleRate: Int, bitrateKbps: Int, modeCode: Int,
+                       nChannels: Int, tabId: Int, sbLimit: Int,
+                       nFrames: Int, nSamples: Long, nActive: Long,
+                       nScf: Long, sumAbsFp: Long, peakFp: Long,
+                       lastFp: Long)
+
+  /** Decode a payload of back-to-back Layer II frames. Same contract
+    * as [[decode]]: None for anything malformed or beyond the seam
+    * (Layer I/III headers included — one payload, one layer). */
+  def decodeL2(b: Array[Byte]): Option[Features2] =
+    try {
+      var off = 0
+      var nFrames = 0
+      var nSamples = 0L
+      var nActive = 0L
+      var nScf = 0L
+      var sumAbs = 0L
+      var peak = 0L
+      var last = 0L
+      var sampleRate = 0
+      var bitrate = 0
+      var modeCode = -1
+      var nCh = 0
+      var tabId = -1
+      while (off + 4 <= b.length) {
+        val h = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if ((h >>> 20) != 0xfff) bail()
+        if (((h >>> 19) & 1) != 1) bail() // MPEG-1 only
+        if (((h >>> 17) & 3) != 2) return None // Layer II code = 0b10
+        val protection = (h >>> 16) & 1
+        val brIdx = (h >>> 12) & 0xf
+        val fsIdx = (h >>> 10) & 3
+        val padding = (h >>> 9) & 1
+        val mode = (h >>> 6) & 3
+        val modeExt = (h >>> 4) & 3
+        if (brIdx == 0 || brIdx == 15 || fsIdx == 3) bail()
+        val fs = SampleRate(fsIdx)
+        val br = BitrateL2(brIdx) * 1000
+        val ch = if (mode == 3) 1 else 2
+        val tab = l2AllocTable(fsIdx, BitrateL2(brIdx) / ch)
+        if (tab < 0) bail()
+        if (nFrames == 0) {
+          sampleRate = fs; bitrate = BitrateL2(brIdx); modeCode = mode
+          nCh = ch; tabId = tab
+        } else if (fs != sampleRate || mode != modeCode || tab != tabId)
+          bail()
+        val sbLimit = L2SbLimit(tab)
+        // Layer II slots are BYTES: 144·bitrate/fs (+padding)
+        val frameLen = 144 * br / fs + padding
+        if (off + frameLen > b.length) bail()
+        val r = new BitReader(b, off + 4, off + frameLen)
+        if (protection == 0) r.bits(16) // crc_check present; not verified
+        val bound = math.min(
+          if (mode == 1) (modeExt + 1) * 4 else sbLimit, sbLimit)
+        // bit allocation: per channel below the intensity bound, one
+        // shared field above it; the (tab, sb) row maps the index to
+        // a quantizer class (every index is defined — no forbidden
+        // codes in Layer II allocation)
+        val cls = Array.ofDim[Int](2, 30)
+        var sb = 0
+        while (sb < sbLimit) {
+          val nbal = L2Nbal(tab)(sb)
+          if (sb < bound || nCh == 1) {
+            var c = 0
+            while (c < nCh) {
+              cls(c)(sb) = l2ClsOfIdx(tab, sb, r.bits(nbal))
+              if (cls(c)(sb) != 0) nActive += 1
+              c += 1
+            }
+          } else {
+            cls(0)(sb) = l2ClsOfIdx(tab, sb, r.bits(nbal))
+            cls(1)(sb) = cls(0)(sb)
+            if (cls(0)(sb) != 0) nActive += 2
+          }
+          sb += 1
+        }
+        // scfsi: 2 bits per allocated (subband, channel) — above the
+        // bound samples are shared but scalefactors stay per-channel,
+        // so BOTH channels transmit scfsi and scalefactors
+        val scfsi = Array.ofDim[Int](2, 30)
+        sb = 0
+        while (sb < sbLimit) {
+          var c = 0
+          while (c < nCh) {
+            if (cls(c)(sb) != 0) scfsi(c)(sb) = r.bits(2)
+            c += 1
+          }
+          sb += 1
+        }
+        // scalefactors: scfsi selects how many of the frame's three
+        // 12-sample parts share a transmitted value —
+        //   0: three values (one per part)   1: two (parts 01, part 2)
+        //   2: one (all parts)               3: two (part 0, parts 12)
+        val scf = Array.ofDim[Int](2, 30, 3)
+        sb = 0
+        while (sb < sbLimit) {
+          var c = 0
+          while (c < nCh) {
+            if (cls(c)(sb) != 0) {
+              def rd(): Int = {
+                val s = r.bits(6)
+                if (s == 63) bail() // index 63 illegal, as in Layer I
+                nScf += 1
+                s
+              }
+              scfsi(c)(sb) match {
+                case 0 =>
+                  scf(c)(sb)(0) = rd(); scf(c)(sb)(1) = rd()
+                  scf(c)(sb)(2) = rd()
+                case 1 =>
+                  val a = rd(); val z = rd()
+                  scf(c)(sb)(0) = a; scf(c)(sb)(1) = a; scf(c)(sb)(2) = z
+                case 2 =>
+                  val a = rd()
+                  scf(c)(sb)(0) = a; scf(c)(sb)(1) = a; scf(c)(sb)(2) = a
+                case _ =>
+                  val a = rd(); val z = rd()
+                  scf(c)(sb)(0) = a; scf(c)(sb)(1) = z; scf(c)(sb)(2) = z
+              }
+            }
+            c += 1
+          }
+          sb += 1
+        }
+        // samples: 12 granules of 3 samples; grouped classes pack the
+        // triplet into one base-`steps` codeword (lowest digit =
+        // first sample); shared subbands decode channel 0's codes and
+        // apply each channel's own scalefactor (channel-major, so the
+        // sample-instance order is (granule, sb, channel, i) for
+        // every subband)
+        val tmp = new Array[Int](3)
+        var gr = 0
+        while (gr < 12) {
+          val part = gr >> 2
+          sb = 0
+          while (sb < sbLimit) {
+            val shared = sb >= bound && nCh == 2
+            val nStreams = if (shared) 1 else nCh
+            var s = 0
+            while (s < nStreams) {
+              val k = cls(s)(sb)
+              if (k != 0) {
+                if (ClsGrouped(k)) {
+                  var g = r.bits(ClsBits(k))
+                  val st = ClsSteps(k)
+                  tmp(0) = g % st; g /= st
+                  tmp(1) = g % st; tmp(2) = g / st
+                  if (tmp(2) >= st) bail() // codeword ≥ steps^3
+                } else {
+                  tmp(0) = r.bits(ClsBits(k)); tmp(1) = r.bits(ClsBits(k))
+                  tmp(2) = r.bits(ClsBits(k))
+                }
+                val applyCh = if (shared) 2 else 1
+                var a = 0
+                while (a < applyCh) {
+                  val c = if (shared) a else s
+                  var i = 0
+                  while (i < 3) {
+                    val v = dequantFp2(tmp(i), k, scf(c)(sb)(part))
+                    nSamples += 1
+                    sumAbs += math.abs(v)
+                    if (math.abs(v) > peak) peak = math.abs(v)
+                    last = v
+                    i += 1
+                  }
+                  a += 1
+                }
+              }
+              s += 1
+            }
+            sb += 1
+          }
+          gr += 1
+        }
+        nFrames += 1
+        off += frameLen // remaining frame bits are ancillary data
+      }
+      if (nFrames == 0 || off != b.length) bail()
+      Some(Features2(sampleRate, bitrate, modeCode, nCh, tabId,
+        L2SbLimit(tabId), nFrames, nSamples, nActive, nScf, sumAbs,
+        peak, last))
+    } catch { case _: ParseEx | _: ArrayIndexOutOfBoundsException => None }
+
+  /** Synthesize a conformant Layer II frame sequence from closed-form
+    * generators (the [[encodeLayer1]] fixture pattern). Generators:
+    *
+    *  - `allocIdx(ch, sb)`: allocation index, bounded by the (table,
+    *    subband) field width; above the intensity bound channel 0's
+    *    value is used.
+    *  - `scfsiOf(ch, sb)`: 0..3, read only where allocated.
+    *  - `scfIdx(ch, sb, part)`: 0..62 per 12-sample part; scfsi
+    *    decides which parts' values are transmitted (1 → parts 0 and
+    *    2; 3 → parts 0 and 1's... see [[decodeL2]]: the TRANSMITTED
+    *    values are part 0('s shared run) first, so scfsi 1 sends
+    *    (part01, part2) = (scfIdx(·,·,0), scfIdx(·,·,2)) and scfsi 3
+    *    sends (part0, part12) = (scfIdx(·,·,0), scfIdx(·,·,1)) — the
+    *    oracle's effective-scalefactor CASE mirrors this exactly.
+    *  - `code(f, gr, i, ch, sb)`: raw sample value; grouped classes
+    *    take it mod `steps` per sample and pack the base-steps
+    *    triplet, ungrouped mask it to the codeword width. Above the
+    *    bound channel 0's stream is shared.
+    *
+    * Throws if the payload overflows the frame — a fixture bug. */
+  def encodeLayer2(nFrames: Int, brIdx: Int, fsIdx: Int, mode: Int,
+                   modeExt: Int,
+                   allocIdx: (Int, Int) => Int,
+                   scfsiOf: (Int, Int) => Int,
+                   scfIdx: (Int, Int, Int) => Int,
+                   code: (Int, Int, Int, Int, Int) => Int): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14 && fsIdx >= 0 && fsIdx <= 2)
+    val nCh = if (mode == 3) 1 else 2
+    val tab = l2AllocTable(fsIdx, BitrateL2(brIdx) / nCh)
+    require(tab >= 0,
+      s"no 3-B.2 table for fsIdx=$fsIdx brIdx=$brIdx nCh=$nCh")
+    val sbLimit = L2SbLimit(tab)
+    val bound = math.min(
+      if (mode == 1) (modeExt + 1) * 4 else sbLimit, sbLimit)
+    val frameLen = 144 * (BitrateL2(brIdx) * 1000) / SampleRate(fsIdx)
+    val out = collection.mutable.ArrayBuffer.empty[Byte]
+    def clsAt(ch: Int, sb: Int): Int = {
+      val src = if (sb >= bound && nCh == 2) 0 else ch
+      l2ClsOfIdx(tab, sb, allocIdx(src, sb) & ((1 << L2Nbal(tab)(sb)) - 1))
+    }
+    for (f <- 0 until nFrames) {
+      val w = new BitWriter
+      w.put(0xfff, 12); w.put(1, 1) // sync, ID=MPEG-1
+      w.put(2, 2) // layer II
+      w.put(1, 1) // protection_bit=1: no CRC
+      w.put(brIdx, 4); w.put(fsIdx, 2)
+      w.put(0, 1); w.put(0, 1) // padding, private
+      w.put(mode, 2); w.put(modeExt, 2)
+      w.put(0, 1); w.put(1, 1); w.put(0, 2) // copyright, original, emph
+      for (sb <- 0 until sbLimit) {
+        val nbal = L2Nbal(tab)(sb)
+        if (sb < bound || nCh == 1)
+          for (ch <- 0 until nCh) w.put(allocIdx(ch, sb) & ((1 << nbal) - 1),
+            nbal)
+        else w.put(allocIdx(0, sb) & ((1 << nbal) - 1), nbal)
+      }
+      for (sb <- 0 until sbLimit; ch <- 0 until nCh)
+        if (clsAt(ch, sb) != 0) w.put(scfsiOf(ch, sb) & 3, 2)
+      for (sb <- 0 until sbLimit; ch <- 0 until nCh) {
+        if (clsAt(ch, sb) != 0) {
+          (scfsiOf(ch, sb) & 3) match {
+            case 0 => for (p <- 0 to 2) w.put(scfIdx(ch, sb, p) % 63, 6)
+            case 1 => w.put(scfIdx(ch, sb, 0) % 63, 6)
+              w.put(scfIdx(ch, sb, 2) % 63, 6)
+            case 2 => w.put(scfIdx(ch, sb, 0) % 63, 6)
+            case _ => w.put(scfIdx(ch, sb, 0) % 63, 6)
+              w.put(scfIdx(ch, sb, 1) % 63, 6)
+          }
+        }
+      }
+      for (gr <- 0 until 12; sb <- 0 until sbLimit) {
+        val shared = sb >= bound && nCh == 2
+        val nStreams = if (shared) 1 else nCh
+        for (s <- 0 until nStreams) {
+          val k = clsAt(s, sb)
+          if (k != 0) {
+            if (ClsGrouped(k)) {
+              val st = ClsSteps(k)
+              val g = (code(f, gr, 0, s, sb) % st) +
+                st * ((code(f, gr, 1, s, sb) % st) +
+                  st * (code(f, gr, 2, s, sb) % st))
+              w.put(g, ClsBits(k))
+            } else for (i <- 0 until 3)
+              w.put(code(f, gr, i, s, sb) & ((1 << ClsBits(k)) - 1),
+                ClsBits(k))
+          }
+        }
+      }
+      out ++= w.padToBytes(frameLen)
+      require(out.length == (f + 1) * frameLen,
+        s"fixture payload overflows the $frameLen-byte Layer II frame")
     }
     out.toArray
   }

@@ -548,10 +548,11 @@ object Multimodal {
     * subband samples ([[graft.functions.Mpeg1Audio]]) — header
     * fields, frame sizing, bit allocation, intensity-stereo bound,
     * scalefactors and the spec dequantization are all integer-exact
-    * and hash-oracled (q330). The remaining audio seam is DATA, not
-    * structure: Layer II's allocation tables and the 512-coefficient
-    * synthesis window exist only as numeric tables in the spec, so
-    * Layer II/III payloads and the subband→PCM stage stay on
+    * and hash-oracled (q330). Layer II rides the same machinery via
+    * [[decodeMpeg1L2Features]] with the spec's allocation tables
+    * 3-B.2a–d embedded (q331); the remaining audio seam is the
+    * subband→PCM polyphase SYNTHESIS (Table 3-B.3's 512-coefficient
+    * window) and MDCT-class codecs (Layer III/AAC), which stay on
     * [[decodePartitions]]'s injected path. Same batch shape as every
     * decoder here. */
   def decodeMpeg1Features(df: DataFrame, idCol: String, payloadCol: String)
@@ -566,6 +567,38 @@ object Multimodal {
             Mpeg1FeatureRow(id, f.sampleRate, f.bitrateKbps, f.modeCode,
               f.nChannels, f.nFrames, f.nSamples, f.nActive, f.sumAbsFp,
               f.peakFp, f.lastFp))
+        }
+      }
+  }
+
+  case class Mpeg1L2FeatureRow(id: Long, sample_rate: Int,
+                               bitrate_kbps: Int, mode_code: Int,
+                               n_channels: Int, tab_id: Int,
+                               sb_limit: Int, n_frames: Int,
+                               n_samples: Long, n_active: Long,
+                               n_scf: Long, sum_abs_fp: Long,
+                               peak_fp: Long, last_fp: Long)
+
+  /** MPEG-1 Audio LAYER II ([[graft.functions.Mpeg1Audio.decodeL2]]):
+    * the former "spec data" seam crossed — allocation tables
+    * 3-B.2a–d are embedded, and granule grouping, scfsi and the
+    * 3-B.4 dequantization decode to exact fixed-point subband
+    * samples, hash-oracled by q331. `tab_id`/`sb_limit`/`n_scf` pin
+    * table selection and the scfsi parse cross-engine. */
+  def decodeMpeg1L2Features(df: DataFrame, idCol: String,
+                            payloadCol: String)
+      : Dataset[Mpeg1L2FeatureRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.Mpeg1Audio.decodeL2(bytes).map(f =>
+            Mpeg1L2FeatureRow(id, f.sampleRate, f.bitrateKbps,
+              f.modeCode, f.nChannels, f.tabId, f.sbLimit, f.nFrames,
+              f.nSamples, f.nActive, f.nScf, f.sumAbsFp, f.peakFp,
+              f.lastFp))
         }
       }
   }

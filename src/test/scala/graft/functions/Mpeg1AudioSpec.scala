@@ -92,6 +92,149 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     assert(Mpeg1Audio.decode(l3).isEmpty)
   }
 
+  // ---------------- Layer II ----------------
+
+  private def l2Cap(nbal: Int): Int =
+    nbal match { case 2 => 2; case 3 => 6; case _ => 7 }
+
+  /** The q331 fixture plan: variant v = id%4 picks the 3-B.2 table
+    * (a/b/c/d via fs + bitrate-per-channel), kind = id%3 the mode. */
+  private def l2Params(id: Long): (Int, Int, Int, Int) = {
+    val kind = (id % 3).toInt
+    val v = (id % 4).toInt
+    val mode = kind match { case 0 => 3; case 1 => 0; case _ => 1 }
+    val fsIdx = Array(1, 0, 1, 2)(v)
+    val brIdx =
+      if (mode == 3) Array(10, 10, 2, 2)(v) else Array(14, 14, 6, 6)(v)
+    (mode, ((id / 3) % 4).toInt, fsIdx, brIdx)
+  }
+
+  private def l2Alloc(id: Long, tab: Int)(ch: Int, sb: Int): Int =
+    if ((id + sb) % 2 == 0) 0
+    else 1 + ((id * 5 + sb * 7 + ch * 3) %
+      l2Cap(Mpeg1Audio.L2Nbal(tab)(sb))).toInt
+  private def l2Scfsi(id: Long)(ch: Int, sb: Int): Int =
+    ((id * 3 + sb * 5 + ch * 7) % 4).toInt
+  private def l2Scf(id: Long)(ch: Int, sb: Int, p: Int): Int =
+    ((id * 7 + sb * 11 + ch * 3 + p * 19) % 63).toInt
+  private def l2Code(id: Long)(f: Int, gr: Int, i: Int, ch: Int,
+                               sb: Int): Int =
+    ((id * 97 + f * 31 + gr * 13 + i * 41 + sb * 17 + ch * 29) %
+      65536).toInt
+
+  private def l2Fixture(id: Long): Array[Byte] = {
+    val (mode, ext, fsIdx, brIdx) = l2Params(id)
+    val nCh = if (mode == 3) 1 else 2
+    val tab = Mpeg1Audio.l2AllocTable(fsIdx,
+      Mpeg1Audio.BitrateL2(brIdx) / nCh)
+    Mpeg1Audio.encodeLayer2(1 + (id % 2).toInt, brIdx, fsIdx, mode, ext,
+      l2Alloc(id, tab), l2Scfsi(id), l2Scf(id), l2Code(id))
+  }
+
+  /** Independent model of every Layer II sample instance in decode
+    * order (f, gr, sb, ch, i), plus (nActive, nScf) per frame. */
+  private def l2Model(id: Long): (Seq[Long], Long, Long, Int) = {
+    val (mode, ext, fsIdx, brIdx) = l2Params(id)
+    val nCh = if (mode == 3) 1 else 2
+    val tab = Mpeg1Audio.l2AllocTable(fsIdx,
+      Mpeg1Audio.BitrateL2(brIdx) / nCh)
+    val sbLimit = Mpeg1Audio.L2SbLimit(tab)
+    val bound =
+      math.min(if (mode == 1) (ext + 1) * 4 else sbLimit, sbLimit)
+    val nFr = 1 + (id % 2).toInt
+    def cls(ch: Int, sb: Int): Int = {
+      val src = if (sb >= bound && nCh == 2) 0 else ch
+      Mpeg1Audio.l2ClsOfIdx(tab, sb, l2Alloc(id, tab)(src, sb))
+    }
+    def eff(ch: Int, sb: Int, p: Int): Int = l2Scfsi(id)(ch, sb) match {
+      case 0 => l2Scf(id)(ch, sb, p)
+      case 1 => l2Scf(id)(ch, sb, if (p < 2) 0 else 2)
+      case 2 => l2Scf(id)(ch, sb, 0)
+      case _ => l2Scf(id)(ch, sb, if (p == 0) 0 else 1)
+    }
+    val vals = for {
+      f <- 0 until nFr
+      gr <- 0 until 12
+      sb <- 0 until sbLimit
+      ch <- 0 until nCh
+      k = cls(ch, sb)
+      if k != 0
+      i <- 0 until 3
+    } yield {
+      val srcCh = if (sb >= bound && nCh == 2) 0 else ch
+      val raw = l2Code(id)(f, gr, i, srcCh, sb)
+      val c = if (Mpeg1Audio.ClsGrouped(k)) raw % Mpeg1Audio.ClsSteps(k)
+        else raw & ((1 << Mpeg1Audio.ClsBits(k)) - 1)
+      Mpeg1Audio.dequantFp2(c, k, eff(ch, sb, gr >> 2))
+    }
+    val slots = for (sb <- 0 until sbLimit; ch <- 0 until nCh
+                     if cls(ch, sb) != 0) yield (ch, sb)
+    val nScfPerFrame = slots.map { case (ch, sb) =>
+      l2Scfsi(id)(ch, sb) match { case 0 => 3; case 2 => 1; case _ => 2 }
+    }.sum
+    (vals, nFr.toLong * slots.size, nFr.toLong * nScfPerFrame, tab)
+  }
+
+  test("Layer II round-trip: all four 3-B.2 tables, mono / stereo / " +
+      "joint, grouping, scfsi, 1-2 frames, all stats") {
+    var tabsSeen = Set.empty[Int]
+    var scfsiSeen = Set.empty[Int]
+    for (id <- 0L until 24L) {
+      val f = Mpeg1Audio.decodeL2(l2Fixture(id))
+        .getOrElse(fail(s"decodeL2 failed for id=$id"))
+      val (m, nAct, nScf, tab) = l2Model(id)
+      tabsSeen += tab
+      for (sb <- 0 until Mpeg1Audio.L2SbLimit(tab); ch <- 0 until
+          f.nChannels) scfsiSeen += l2Scfsi(id)(ch, sb)
+      assert(f.tabId === tab, s"id=$id")
+      assert(f.sbLimit === Mpeg1Audio.L2SbLimit(tab))
+      assert(f.nChannels === (if (id % 3 == 0) 1 else 2))
+      assert(f.nFrames === 1 + (id % 2).toInt)
+      assert(f.nSamples === m.size.toLong, s"id=$id")
+      assert(f.nActive === nAct, s"id=$id")
+      assert(f.nScf === nScf, s"id=$id")
+      assert(f.sumAbsFp === m.map(math.abs).sum, s"id=$id")
+      assert(f.peakFp === m.map(math.abs).max, s"id=$id")
+      assert(f.lastFp === m.last, s"id=$id")
+    }
+    assert(tabsSeen === Set(0, 1, 2, 3), "all four 3-B.2 tables hit")
+    assert(scfsiSeen === Set(0, 1, 2, 3), "all scfsi modes hit")
+  }
+
+  test("Layer II: malformed payloads and the Layer III seam drop") {
+    val good = l2Fixture(5L)
+    assert(Mpeg1Audio.decodeL2(Array.empty[Byte]).isEmpty)
+    assert(Mpeg1Audio.decodeL2(good.take(9)).isEmpty) // truncated
+    val badSync = good.clone(); badSync(0) = 0x21
+    assert(Mpeg1Audio.decodeL2(badSync).isEmpty)
+    // a Layer I payload is not Layer II (and vice versa — one layer
+    // per decoder, the seam stays explicit)
+    assert(Mpeg1Audio.decodeL2(fixture(5L)).isEmpty)
+    assert(Mpeg1Audio.decode(good).isEmpty)
+    val l3 = good.clone() // layer bits 10 -> 01
+    l3(1) = ((l3(1) & 0xf9) | 0x02).toByte
+    assert(Mpeg1Audio.decodeL2(l3).isEmpty)
+    // free-format bitrate (index 0) has no 3-B.2 table
+    val free = good.clone(); free(2) = (free(2) & 0x0f).toByte
+    assert(Mpeg1Audio.decodeL2(free).isEmpty)
+    assert(Mpeg1Audio.decodeL2(good ++ Array[Byte](7)).isEmpty)
+  }
+
+  test("Layer II dequant: grouped and ungrouped collapse to " +
+      "(2c + 1 - steps) * QSF2, QSF2 matches QSF on ungrouped classes") {
+    // ungrouped class 5 (15 steps, 4 bits) == Layer I nb=4
+    for (idx <- 0 until 63)
+      assert(Mpeg1Audio.QSF2(idx)(5) === Mpeg1Audio.QSF(idx)(4))
+    // grouped 3-step class: codes 0,1,2 -> -2,0,+2 over 3 (symmetric)
+    assert(Mpeg1Audio.dequantFp2(0, 1, 0) === -2 * Mpeg1Audio.QSF2(0)(1))
+    assert(Mpeg1Audio.dequantFp2(1, 1, 0) === 0L)
+    assert(Mpeg1Audio.dequantFp2(2, 1, 0) === 2 * Mpeg1Audio.QSF2(0)(1))
+    // grouped 9-step: symmetric around code 4
+    assert(Mpeg1Audio.dequantFp2(4, 4, 7) === 0L)
+    assert(Mpeg1Audio.dequantFp2(0, 4, 7) ===
+      -Mpeg1Audio.dequantFp2(8, 4, 7))
+  }
+
   test("QSF table: positive, decreasing in scf index, spec magnitudes") {
     for (nb <- 2 to 15) {
       assert(Mpeg1Audio.QSF(0)(nb) > 0)
