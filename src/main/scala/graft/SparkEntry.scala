@@ -387,13 +387,34 @@ object SparkEntry {
     }),
 
     // Text quality scoring + token counting (C4/Gopher-style filters).
+    // Round 12: the five metrics' composable forms each re-tokenized
+    // the document (4 split() arrays + regexp_extract_all +
+    // regexp_replace — the decade audit's worst row at 4.8×/10×);
+    // TextQualityStats computes every underlying counter in ONE
+    // native scan, and the ratios/score are derived here with the
+    // exact original guard semantics (n_ws==0 ⇔ empty trim). The
+    // DuckDB oracle is byte-identical to before the rewrite, so the
+    // hash compare certifies the fused kernel.
     "q28_text_quality" -> ((s, d) => {
-      Tables.documents(s, d).select($"doc_id",
-          TextAnalysis.tokenCountWs($"text").as("n_tokens_ws"),
-          TextAnalysis.tokenCountBpe($"text").as("n_tokens_bpe"),
-          Fns.roundU(TextAnalysis.stopwordRatio($"text"), 4).as("stopword_ratio"),
-          Fns.roundU(TextAnalysis.meanWordLen($"text"), 4).as("mean_word_len"),
-          TextAnalysis.qualityScore($"text").as("quality"))
+      val withSt = Tables.documents(s, d).select($"doc_id", $"text",
+        graft.functions.TextStats.textQualityStats($"text").as("st"))
+      val nWsD = $"st.n_ws".cast("double")
+      val stopR = when($"st.n_ws" === 0, 0.0)
+        .otherwise($"st.n_stop".cast("double") / nWsD)
+      val lenD = length($"text").cast("double")
+      val punctR = when(length($"text") === 0, 0.0)
+        .otherwise($"st.n_punct".cast("double") / lenD)
+      withSt.select($"doc_id",
+          $"st.n_ws".as("n_tokens_ws"),
+          $"st.n_bpe".as("n_tokens_bpe"),
+          Fns.roundU(stopR, 4).as("stopword_ratio"),
+          Fns.roundU(when($"st.n_ws" === 0, 0.0)
+            .otherwise($"st.sum_wlen".cast("double") / nWsD), 4)
+            .as("mean_word_len"),
+          Fns.roundU(least(lenD / 500.0, lit(1.0)) * 0.5 +
+              least(stopR * 5.0, lit(1.0)) * 0.3 +
+              (lit(1.0) - least(punctR * 5.0, lit(1.0))) * 0.2, 4)
+            .as("quality"))
         .orderBy($"doc_id")
     }),
 

@@ -177,6 +177,46 @@ class NativeEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("TextQualityStats == the five composable q28 forms it fused") {
+    import graft.operators.TextAnalysis
+    // seeded-random docs plus the shapes that exercise every branch:
+    // empty, space-only, mixed-\s separators with leading/trailing
+    // runs (Java split keeps those empty fields), punctuation runs,
+    // digits/letters/other BPE transitions, unicode, >4-char and
+    // uppercase stopword near-misses
+    val texts = Seq.fill(300)(randText()) ++ Seq(
+      "", " ", "   ", "\t", " \tthe and\t ", "a\tb\ncd\fe\rf",
+      "the a an and of to in is it that", "The THE thee that. that",
+      "ab1c2,3.4!?(x)-y'z\";:", "déjà vu 42 naïve—dash", "和 the 或",
+      "  leading", "trailing  ", "a  b   c", "one.two,three",
+      "12 345 6a7", "----", "...", "'''", "x", "that")
+    val df = texts.toDF("t")
+    val st = TextStats.textQualityStats($"t").as("st")
+    val guardedStop = when(length(trim($"t")) === 0, 0.0)
+      .otherwise(TextAnalysis.stopwordRatio($"t"))
+    val diff = df.select($"t", st,
+        TextAnalysis.tokenCountWs($"t").as("ws"),
+        TextAnalysis.tokenCountBpe($"t").as("bpe"),
+        guardedStop.as("stop"),
+        TextAnalysis.meanWordLen($"t").as("mwl"),
+        TextAnalysis.punctRatio($"t").as("pr"))
+      .filter(
+        not($"st.n_ws" === $"ws") ||
+        not($"st.n_bpe" === $"bpe") ||
+        not(when($"st.n_ws" === 0, 0.0)
+          .otherwise($"st.n_stop".cast("double") /
+            $"st.n_ws".cast("double")) <=> $"stop") ||
+        not(when($"st.n_ws" === 0, 0.0)
+          .otherwise($"st.sum_wlen".cast("double") /
+            $"st.n_ws".cast("double")) <=> $"mwl") ||
+        not(when(length($"t") === 0, 0.0)
+          .otherwise($"st.n_punct".cast("double") /
+            length($"t").cast("double")) <=> $"pr"))
+      .collect()
+    assert(diff.isEmpty,
+      diff.take(3).map(_.toString).mkString("; "))
+  }
+
   test("CharShingleCount.tableCap: Long arithmetic at the overflow " +
       "boundary; pathological window counts fail fast, never hang") {
     // small counts: next power of two >= 2*wins, floor 16 (load <= 0.5)
