@@ -516,16 +516,33 @@ object Graph {
           pageSet.clear()
           val remRel = localDf(probeRows.map(e =>
             org.apache.spark.sql.Row(e._1, e._2)).toSeq, pairSchema())
-          def probe(c1: String, c2: String, flag: String) = broadcast(
-            remRel.select(col("a").as(c1), col("b").as(c2))
-              .withColumn(flag, lit(true)))
+          // ONE broadcast, not three: the round-12 profile put probe 1
+          // at 1.8-2.0 s, and the three same-relation probes (left
+          // join per edge position) each built their OWN broadcast of
+          // the 200k-row frontier — 3× the driver serialize/ship cost
+          // per probe. Exploding the triangle's three edge incidences
+          // (2.4M cheap codegen rows at sf0.1) and inner-joining the
+          // single broadcast returns the same touched-triangle set,
+          // with a triangle appearing once PER probed edge it
+          // contains (≤3×); the driver's knownTri dedup absorbs the
+          // multiplicity. Same-box A/B at sf0.1: probe 1 warm
+          // 1.77 → 1.03 s (cold 1.99 → 1.41), q307 solo 8.44 → 7.56 s.
+          // Completeness is untouched: each incidence row of a
+          // triangle meets the frontier set independently, so every
+          // triangle containing a probed edge survives the join. The
+          // 4M cand cap below now counts WITH multiplicity (sf0.1
+          // measures 2.1×), so the shuffle escape fires earlier than
+          // before — a safe-direction shift (the escape is the
+          // always-correct path).
           val cand = tri
-            .join(probe("a", "b", "__h1"), Seq("a", "b"), "left")
-            .join(probe("a", "c", "__h2"), Seq("a", "c"), "left")
-            .join(probe("b", "c", "__h3"), Seq("b", "c"), "left")
-            .filter(coalesce(col("__h1"), lit(false)) ||
-              coalesce(col("__h2"), lit(false)) ||
-              coalesce(col("__h3"), lit(false)))
+            .select(col("a"), col("b"), col("c"), explode(array(
+              struct(col("a").as("x"), col("b").as("y")),
+              struct(col("a").as("x"), col("c").as("y")),
+              struct(col("b").as("x"), col("c").as("y")))).as("__e"))
+            .select(col("a"), col("b"), col("c"),
+              col("__e.x").as("x"), col("__e.y").as("y"))
+            .join(broadcast(remRel.select(col("a").as("x"),
+              col("b").as("y"))), Seq("x", "y"))
             .select(col("a"), col("b"), col("c"))
             .limit(4000001).collect()
           __lap(s"probe $probes (edges=${probeRows.length} cand=${cand.length})")
