@@ -13,40 +13,52 @@ object TextAnalysis {
   val StopWords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
-  /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column =
-    when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+  /** The five scalar metrics below all derive from ONE native
+    * single-pass kernel ([[graft.functions.TextQualityStats]] —
+    * round 12: the composable forms re-tokenized the document per
+    * metric, which made q28 the decade audit's worst row at 4.8×).
+    * Multiple metrics over the same text column in one projection
+    * collapse to a single kernel evaluation per row: the kernel
+    * instances are equal deterministic expressions, so whole-stage
+    * codegen's subexpression elimination dedups them. Semantics are
+    * UNCHANGED — per-field equivalence with the original
+    * split/regexp forms is pinned in NativeEquivalenceSpec, and
+    * every consumer query's DuckDB oracle still states the
+    * composable formulation. */
+  private def stats(text: Column): Column =
+    graft.functions.TextStats.textQualityStats(text)
+
+  /** Whitespace token count (empty-trim → 0; otherwise Java split
+    * field count, leading/trailing empty fields included). */
+  def tokenCountWs(text: Column): Column = stats(text).getField("n_ws")
 
   /** BPE-ish token count: runs of letters, runs of digits, or runs of
     * other non-space symbols, each with an optional leading space — the
     * GPT-2 pre-tokenizer shape without the merges table. */
-  def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(text,
-      lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0)))
+  def tokenCountBpe(text: Column): Column = stats(text).getField("n_bpe")
 
-  /** Fraction of whitespace tokens that are stopwords. (Guard is on the
-    * trimmed length: split of an empty string yields [""], so a
-    * size(toks)==0 check would never fire.) */
+  /** Fraction of whitespace tokens that are stopwords. (n_ws == 0 is
+    * exactly the old length(trim(text)) == 0 guard: a nonempty trim
+    * always yields ≥ 1 split field.) */
   def stopwordRatio(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    val stops = filter(toks, t => t.isin(StopWords: _*))
-    when(length(trim(text)) === 0, 0.0)
-      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+    val st = stats(text)
+    when(st.getField("n_ws") === 0, 0.0)
+      .otherwise(st.getField("n_stop").cast("double") /
+        st.getField("n_ws").cast("double"))
   }
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      (length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\-]", "")))
-        .cast("double") / length(text).cast("double"))
+      stats(text).getField("n_punct").cast("double") /
+        length(text).cast("double"))
 
   /** Mean word length over whitespace tokens. */
   def meanWordLen(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    when(length(trim(text)) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(toks).cast("double"))
+    val st = stats(text)
+    when(st.getField("n_ws") === 0, 0.0)
+      .otherwise(st.getField("sum_wlen").cast("double") /
+        st.getField("n_ws").cast("double"))
   }
 
   /** Composite quality score in [0, 1]: length sweet-spot, low punctuation,

@@ -87,7 +87,7 @@ object StreamBench {
     }.toDF("vault", "side", "price_usd")
 
     // --- SUSTAINED mode (`sbt "Test/runMain graft.StreamBench
-    // sustained [rate] [secs]"`): a feeder thread delivers blocks at a
+    // sustained [rate] [secs] [writers]"`): feeder threads deliver blocks at a
     // fixed arrival rate (default = the reference's real-time envelope,
     // 1 block / 0.4 s = 2.5 blocks/s) for a multi-minute window while
     // the flagship stream consumes them on a 200 ms ProcessingTime
@@ -100,9 +100,23 @@ object StreamBench {
     if (sustained) {
       val rate = if (args.length > 1) args(1).toDouble else 2.5
       val secs = if (args.length > 2) args(2).toInt else 180
+      // Round 12 (verdict #6): the single feeder thread hit its own
+      // ceiling near 40 blocks/s (~40 MB/s of JSON string assembly +
+      // write per block), leaving the ENGINE's knee unmeasured. The
+      // feeder now shards block production across `writers` threads
+      // (block b belongs to thread b mod writers; every thread paces
+      // against the same global schedule tStart + b·tick, so the
+      // arrival process is unchanged) and draws transaction bodies
+      // from a 64-entry prebuilt pool — the body is the expensive
+      // build, the header (unique blockTime, the latency key) stays
+      // per-block. Downstream parses every byte either way (nothing
+      // caches JSON content), so engine-side work per block is
+      // unchanged; only the feeder ceiling moves.
+      val writers = if (args.length > 3) args(3).toInt
+        else math.min(4, math.max(1, math.ceil(rate / 15.0).toInt))
       val n = math.max(1, (rate * secs).toInt)
       val sdir = Files.createTempDirectory("graft-streambench-sus")
-      val landT = new Array[Long](n)
+      val landT = new java.util.concurrent.atomic.AtomicLongArray(n)
       val lats = scala.collection.mutable.ArrayBuffer.empty[Double]
       val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
       @volatile var seen = 0L
@@ -117,31 +131,43 @@ object StreamBench {
           val done = System.nanoTime()
           // lats/seen are touched only here: foreachBatch sinks run
           // serially on the query thread
-          ids.foreach(b => lats += (done - landT(b.toInt)) / 1e9)
+          ids.foreach(b => lats += (done - landT.get(b.toInt)) / 1e9)
           batchSizes += ids.length
           seen += ids.length
           lastDone = done
         }
       }
       val tick = (1e9 / rate).toLong
+      val bodyPool = (0 until 64).map(b =>
+        (0 until txPer).map(t => tx(b, t)).mkString(","))
+      val latch = new java.util.concurrent.CountDownLatch(writers)
       val tStart = System.nanoTime()
-      var b = 0
-      while (b < n) {
-        val due = tStart + b.toLong * tick
-        var now = System.nanoTime()
-        while (now < due) {
-          Thread.sleep(math.max(1L, (due - now) / 2000000L)); now = System.nanoTime()
-        }
-        val body = (0 until txPer).map(t => tx(b, t)).mkString(",")
-        val block = s"""{"result":{"blockTime":${1700000000L + b},""" +
-          s""""transactions":[$body]}}"""
-        val tmp = Paths.get(sdir.toString, f".b$b%06d.json.tmp")
-        Files.writeString(tmp, block)
-        landT(b) = System.nanoTime()
-        Files.move(tmp, Paths.get(sdir.toString, f"b$b%06d.json"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        b += 1
+      (0 until writers).foreach { w =>
+        val th = new Thread(() => {
+          var b = w
+          while (b < n) {
+            val due = tStart + b.toLong * tick
+            var now = System.nanoTime()
+            while (now < due) {
+              Thread.sleep(math.max(1L, (due - now) / 2000000L))
+              now = System.nanoTime()
+            }
+            val block = s"""{"result":{"blockTime":${1700000000L + b},""" +
+              s""""transactions":[${bodyPool(b % 64)}]}}"""
+            val tmp = Paths.get(sdir.toString, f".b$b%06d.json.tmp")
+            Files.writeString(tmp, block)
+            landT.set(b, System.nanoTime())
+            Files.move(tmp, Paths.get(sdir.toString, f"b$b%06d.json"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            b += writers
+          }
+          latch.countDown()
+        })
+        th.setDaemon(true)
+        th.setName(s"streambench-feeder-$w")
+        th.start()
       }
+      latch.await()
       val feedEnd = System.nanoTime()
       // drain: everything fed must come out; 120 s grace
       val deadline = feedEnd + 120L * 1000000000L
@@ -153,7 +179,8 @@ object StreamBench {
       val consumedRate = seen.toDouble /
         ((lastDone - tStart) / 1e9)
       println(f"[streambench] SUSTAINED [$rate%.1f blocks/s arrival, " +
-        f"$secs s]: fed $n, consumed $seen in ${batchSizes.size} " +
+        f"$secs s, $writers writer(s)]: fed $n, consumed $seen in " +
+        f"${batchSizes.size} " +
         f"batches (max ${if (batchSizes.isEmpty) 0 else batchSizes.max}" +
         f"/batch) -> $consumedRate%.2f blocks/s, latency " +
         f"p50=${pct(0.50)}%.2f s p99=${pct(0.99)}%.2f s " +

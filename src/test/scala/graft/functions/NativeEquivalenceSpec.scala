@@ -192,14 +192,30 @@ class NativeEquivalenceSpec extends SparkSpec {
       "12 345 6a7", "----", "...", "'''", "x", "that")
     val df = texts.toDF("t")
     val st = TextStats.textQualityStats($"t").as("st")
-    val guardedStop = when(length(trim($"t")) === 0, 0.0)
-      .otherwise(TextAnalysis.stopwordRatio($"t"))
+    // the ORIGINAL composable formulations, stated inline — since
+    // round 12 TextAnalysis itself derives these metrics from the
+    // kernel, so referencing it here would compare kernel to kernel
+    val toks = split(trim($"t"), "\\s+")
+    val wsC = when(length(trim($"t")) === 0, 0)
+      .otherwise(size(toks))
+    val bpeC = size(regexp_extract_all($"t",
+      lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0)))
+    val stopC = when(length(trim($"t")) === 0, 0.0)
+      .otherwise(size(filter(toks,
+          t => t.isin(TextAnalysis.StopWords: _*))).cast("double") /
+        size(toks).cast("double"))
+    val mwlC = when(length(trim($"t")) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(toks).cast("double"))
+    val prC = when(length($"t") === 0, 0.0).otherwise(
+      (length($"t") - length(regexp_replace($"t", "[.,!?;:'\"()\\-]",
+        ""))).cast("double") / length($"t").cast("double"))
     val diff = df.select($"t", st,
-        TextAnalysis.tokenCountWs($"t").as("ws"),
-        TextAnalysis.tokenCountBpe($"t").as("bpe"),
-        guardedStop.as("stop"),
-        TextAnalysis.meanWordLen($"t").as("mwl"),
-        TextAnalysis.punctRatio($"t").as("pr"))
+        wsC.as("ws"),
+        bpeC.as("bpe"),
+        stopC.as("stop"),
+        mwlC.as("mwl"),
+        prC.as("pr"))
       .filter(
         not($"st.n_ws" === $"ws") ||
         not($"st.n_bpe" === $"bpe") ||
