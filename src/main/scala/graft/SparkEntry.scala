@@ -9403,8 +9403,8 @@ object SparkEntry {
     // replays in DuckDB: gram hash = the q309/q325 polynomial rolling
     // hash over 8-char shingles (mod p = 1e9+7), MinHash family
     // h_i(g) = ((2i+1)·g + 7919·i) mod p (odd multipliers — injective
-    // mod 2^64 slices of the gram domain), band key = the same
-    // polynomial fold over each 4-row band. q23 keeps xxhash64 as the
+    // mod 2^64 slices of the gram domain), band key = the production
+    // dual-base fold pair over each 4-row band (round-12 recall fix). q23 keeps xxhash64 as the
     // production-speed form (one codegen'd native expression per
     // row); this twin certifies the PIPELINE — signatures, banding,
     // bucket-cap pruning, candidate pairs, signature-agreement
@@ -9431,13 +9431,19 @@ object SparkEntry {
       // consumed by the banded explode and joined back twice (est +
       // exact verify) — scoped persist, released by the runner
       val sigs = scoped(withSig)
+      // the production lshBandKeys fold pair (two independent bases
+      // packed into 60 bits — the round-12 recall fix; see
+      // Dedup.lshBandKeys)
+      def bandFold(b: Column, base: Long): Column =
+        (0 until 4).foldLeft(lit(0L): Column) { (acc, r) =>
+          (acc * base +
+            element_at($"sig", (b * 4 + r + 1).cast("int"))) % P
+        }
       val banded = sigs.select($"doc_id",
           explode(transform(sequence(lit(0), lit(7)), b =>
             struct(b.as("band"),
-              (0 until 4).foldLeft(lit(0L): Column) { (acc, r) =>
-                (acc * 1000003L +
-                  element_at($"sig", (b * 4 + r + 1).cast("int"))) % P
-              }.as("bkey")))).as("bk"))
+              (bandFold(b, 1000003L) * 1073741824L +
+                bandFold(b, 1000033L)).as("bkey")))).as("bk"))
         .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
       val wB = Window.partitionBy($"band", $"bkey")
       val pruned = banded.withColumn("__bsz", count(lit(1)).over(wB))
@@ -9871,7 +9877,8 @@ object SparkEntry {
     // q23: the FULL production MinHash-LSH pipeline replayed stage for
     // stage — word-3 shingles (the q24 CTE), portable polynomial
     // shingle hashes, the affine 32-position signatures, the
-    // 1000003-fold band keys, bucket pruning (1 < size <= 64),
+    // dual-base (1000003/1000033) 60-bit band keys, bucket
+    // pruning (1 < size <= 64),
     // distinct candidate pairs, signature-agreement estimates, the
     // est-top-200 cut, exact word-shingle Jaccard verification, and
     // the jaccard-top-100 cut. Promoted from the q327 twin in round
@@ -9906,6 +9913,13 @@ object SparkEntry {
         |      * 1000003
         |        + sig[CAST(bx.band * 4 + 3 AS INT)]) % 1000000007
         |      * 1000003
+        |        + sig[CAST(bx.band * 4 + 4 AS INT)]) % 1000000007
+        |      * 1073741824 +
+        |    ((((sig[CAST(bx.band * 4 + 1 AS INT)] * 1000033
+        |        + sig[CAST(bx.band * 4 + 2 AS INT)]) % 1000000007)
+        |      * 1000033
+        |        + sig[CAST(bx.band * 4 + 3 AS INT)]) % 1000000007
+        |      * 1000033
         |        + sig[CAST(bx.band * 4 + 4 AS INT)]) % 1000000007
         |      AS bkey
         |  FROM sg, unnest(range(0, 8)) bx(band)),
@@ -18320,6 +18334,13 @@ object SparkEntry {
         |      * 1000003
         |        + sig[CAST(bx.band * 4 + 3 AS INT)]) % 1000000007
         |      * 1000003
+        |        + sig[CAST(bx.band * 4 + 4 AS INT)]) % 1000000007
+        |      * 1073741824 +
+        |    ((((sig[CAST(bx.band * 4 + 1 AS INT)] * 1000033
+        |        + sig[CAST(bx.band * 4 + 2 AS INT)]) % 1000000007)
+        |      * 1000033
+        |        + sig[CAST(bx.band * 4 + 3 AS INT)]) % 1000000007
+        |      * 1000033
         |        + sig[CAST(bx.band * 4 + 4 AS INT)]) % 1000000007
         |      AS bkey
         |  FROM sg, unnest(range(0, 8)) bx(band)),

@@ -55,26 +55,32 @@ object Dedup {
   /** LSH band keys: split the k-length signature into `bands` bands of
     * `rowsPerBand` and reduce each band to one key. Two docs sharing
     * any band key are candidates. The band key is the same portable
-    * fold the signatures use (acc·1000003 + sig[i] mod 1e9+7 — a
-    * closed-form combine both engines replay). Collision honesty
-    * (round-11 advice): a fold collision usually only ADDS spurious
-    * candidates (downstream exact verification removes them), but it
-    * can ALSO inflate a bucket past [[minHashCandidates]]'s
-    * `maxBucket` skew cap, and a pruned bucket drops its GENUINE
-    * pairs too — under this ~2^30 key space, collisions are a small
-    * recall term, not pure noise. Deterministic and oracle-mirrored,
-    * so correctness checks never diverge; at corpus scale where
-    * ~sqrt(2^30) ≈ 33k populated buckets per band makes birthday
-    * collisions routine, widen the key (combine two independent
-    * mod-P folds with different bases) before trading recall. */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    * fold family the signatures use, WIDENED to two independent
+    * mod-P folds (bases 1000003 and 1000033, both mod 1e9+7) packed
+    * into one 60-bit value: bkey = fold1·2^30 + fold2 (P < 2^30, so
+    * the packing is injective and overflow-free in any BIGINT
+    * engine). Round-12 fix of a round-11 advice item: a single
+    * ~2^30-key fold makes birthday collisions routine once a band
+    * has ~33k populated buckets, and a collision doesn't just ADD
+    * spurious candidates (harmless — exact verification removes
+    * them), it can also inflate a bucket past
+    * [[minHashCandidates]]'s `maxBucket` skew cap, and a PRUNED
+    * bucket drops its genuine pairs — a silent recall term at corpus
+    * scale. Two independent folds put collisions at ~P^-2 ≈ 1e-18
+    * per pair: gone in practice, still a closed form both engines
+    * replay exactly. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    def fold(b: Column, base: Long): Column =
+      (0 until rowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
+        (acc * base +
+          element_at(sig, (b * rowsPerBand + r + 1).cast("int"))) %
+          1000000007L
+      }
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
-        (0 until rowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
-          (acc * 1000003L +
-            element_at(sig, (b * rowsPerBand + r + 1).cast("int"))) %
-            1000000007L
-        }.as("bkey")))
+        (fold(b, 1000003L) * 1073741824L + fold(b, 1000033L))
+          .as("bkey")))
+  }
 
   /** Pick (bands, rowsPerBand) for a target Jaccard threshold: an LSH
     * banding (b, r) has its S-curve inflection at t ≈ (1/b)^(1/r) —
