@@ -9618,9 +9618,13 @@ object SparkEntry {
       val mk = udf((id: Long) => {
         val kind = (id % 3).toInt
         val mode = kind match { case 0 => 3; case 1 => 0; case _ => 1 }
+        // every 5th clip carries a real CRC-16 (protection_bit=0):
+        // the decoder VERIFIES it over header+allocation, and the
+        // oracle is untouched — a correct CRC must be transparent
         graft.functions.Mpeg1Audio.encodeLayer1(
           nFrames = 1 + (id % 2).toInt, brIdx = 14, fsIdx = 2,
           mode = mode, modeExt = (id % 4).toInt,
+          withCrc = id % 5 == 0,
           allocCode = (ch, sb) => if ((id + sb) % 3 == 0) 0
             else 1 + ((id * 5 + sb * 7) % 8).toInt,
           scfIdx = (ch, sb) => ((id * 7 + sb * 11 + ch * 3) % 63).toInt,
@@ -9663,9 +9667,11 @@ object SparkEntry {
         val tab = M.l2AllocTable(fsIdx, M.BitrateL2(brIdx) / nCh)
         def cap(nbal: Int) =
           nbal match { case 2 => 2; case 3 => 6; case _ => 7 }
+        // every 5th clip carries a verified CRC-16 (see q330)
         M.encodeLayer2(
           nFrames = 1 + (id % 2).toInt, brIdx = brIdx, fsIdx = fsIdx,
           mode = mode, modeExt = ((id / 3) % 4).toInt,
+          withCrc = id % 5 == 0,
           allocIdx = (ch, sb) => if ((id + sb) % 2 == 0) 0
             else 1 + ((id * 5 + sb * 7 + ch * 3) %
               cap(M.L2Nbal(tab)(sb))).toInt,

@@ -100,6 +100,28 @@ object Mpeg1Audio {
     null, null, false, false)
   private def bail(): Nothing = throw new ParseEx
 
+  /** ISO 11172-3 §2.4.3.1 CRC-16: generator X^16 + X^15 + X^2 + 1
+    * (0x8005 msb-first), initial state 0xFFFF, fed the PROTECTED
+    * bits — header bits 16..31 plus, for Layer I, the bit-allocation
+    * field and, for Layer II, the allocation and scfsi fields. The
+    * same accumulator runs in the decoder (verify) and the fixture
+    * encoder (emit), so the spec's bit order is pinned by the
+    * round-trip rather than assumed twice. */
+  private[graft] final class Crc16 {
+    private var c = 0xffff
+    def feed(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        val b = (v >>> i) & 1
+        val msb = (c >>> 15) & 1
+        c = (c << 1) & 0xffff
+        if ((b ^ msb) == 1) c ^= 0x8005
+        i -= 1
+      }
+    }
+    def value: Int = c
+  }
+
   /** MSB-first bit reader over a byte range. */
   private final class BitReader(b: Array[Byte], from: Int, until: Int) {
     private var pos = from.toLong * 8
@@ -160,7 +182,9 @@ object Mpeg1Audio {
         val frameLen = slots * 4
         if (off + frameLen > b.length) bail()
         val r = new BitReader(b, off + 4, off + frameLen)
-        if (protection == 0) r.bits(16) // crc_check present; not verified
+        val crcRead = if (protection == 0) r.bits(16) else -1
+        val crc = if (protection == 0) new Crc16 else null
+        if (crc != null) crc.feed(h & 0xffff, 16)
         val bound = if (mode == 1) (modeExt + 1) * 4 else 32
         // bit allocation: per channel below the bound, shared above
         val alloc = Array.ofDim[Int](2, 32)
@@ -170,6 +194,7 @@ object Mpeg1Audio {
             var ch = 0
             while (ch < nCh) {
               val a = r.bits(4)
+              if (crc != null) crc.feed(a, 4)
               if (a == 15) bail()
               alloc(ch)(sb) = if (a == 0) 0 else a + 1
               if (a != 0) nActive += 1
@@ -177,6 +202,7 @@ object Mpeg1Audio {
             }
           } else {
             val a = r.bits(4)
+            if (crc != null) crc.feed(a, 4)
             if (a == 15) bail()
             alloc(0)(sb) = if (a == 0) 0 else a + 1
             alloc(1)(sb) = alloc(0)(sb)
@@ -184,6 +210,9 @@ object Mpeg1Audio {
           }
           sb += 1
         }
+        // Layer I protects header bits 16-31 + the allocation field;
+        // a mismatch means a corrupt frame -> the whole-payload drop
+        if (crc != null && crc.value != crcRead) bail()
         // scalefactors: one per allocated (subband, channel) — joint
         // bands share samples but keep PER-CHANNEL scalefactors
         val scf = Array.ofDim[Int](2, 32)
@@ -284,7 +313,8 @@ object Mpeg1Audio {
                    modeExt: Int,
                    allocCode: (Int, Int) => Int,
                    scfIdx: (Int, Int) => Int,
-                   code: (Int, Int, Int, Int) => Int): Array[Byte] = {
+                   code: (Int, Int, Int, Int) => Int,
+                   withCrc: Boolean = false): Array[Byte] = {
     require(brIdx >= 1 && brIdx <= 14 && fsIdx >= 0 && fsIdx <= 2)
     val nCh = if (mode == 3) 1 else 2
     val bound = if (mode == 1) (modeExt + 1) * 4 else 32
@@ -293,19 +323,27 @@ object Mpeg1Audio {
     val out = collection.mutable.ArrayBuffer.empty[Byte]
     for (f <- 0 until nFrames) {
       val w = new BitWriter
+      val crc = if (withCrc) new Crc16 else null
+      def hdr16(v: Int, n: Int): Unit = { // header bits 16-31: protected
+        w.put(v, n); if (crc != null) crc.feed(v, n)
+      }
       w.put(0xfff, 12); w.put(1, 1) // sync, ID=MPEG-1
       w.put(3, 2) // layer I
-      w.put(1, 1) // protection_bit=1: no CRC
-      w.put(brIdx, 4); w.put(fsIdx, 2)
-      w.put(0, 1) // padding
-      w.put(0, 1) // private
-      w.put(mode, 2); w.put(modeExt, 2)
-      w.put(0, 1); w.put(1, 1) // copyright, original
-      w.put(0, 2) // emphasis
+      w.put(if (withCrc) 0 else 1, 1) // protection_bit: 0 = CRC present
+      hdr16(brIdx, 4); hdr16(fsIdx, 2)
+      hdr16(0, 1) // padding
+      hdr16(0, 1) // private
+      hdr16(mode, 2); hdr16(modeExt, 2)
+      hdr16(0, 1); hdr16(1, 1) // copyright, original
+      hdr16(0, 2) // emphasis
+      if (withCrc) w.put(0, 16) // CRC placeholder, patched below
       for (sb <- 0 until 32) {
+        def putA(v: Int): Unit = {
+          w.put(v, 4); if (crc != null) crc.feed(v, 4)
+        }
         if (sb < bound || nCh == 1)
-          for (ch <- 0 until nCh) w.put(allocCode(ch, sb) & 0xf, 4)
-        else w.put(allocCode(0, sb) & 0xf, 4)
+          for (ch <- 0 until nCh) putA(allocCode(ch, sb) & 0xf)
+        else putA(allocCode(0, sb) & 0xf)
       }
       for (sb <- 0 until 32; ch <- 0 until nCh) {
         val a = if (sb < bound || nCh == 1) allocCode(ch, sb)
@@ -324,7 +362,12 @@ object Mpeg1Audio {
           w.put(code(f, t, 0, sb) & ((1 << (a + 1)) - 1), a + 1)
         }
       }
-      out ++= w.padToBytes(frameLen)
+      val bytes = w.padToBytes(frameLen)
+      if (crc != null) { // CRC lives in the two bytes after the header
+        bytes(4) = ((crc.value >>> 8) & 0xff).toByte
+        bytes(5) = (crc.value & 0xff).toByte
+      }
+      out ++= bytes
       require(out.length == (f + 1) * frameLen,
         s"fixture payload overflows the $frameLen-byte Layer I frame")
     }
@@ -494,7 +537,9 @@ object Mpeg1Audio {
         val frameLen = 144 * br / fs + padding
         if (off + frameLen > b.length) bail()
         val r = new BitReader(b, off + 4, off + frameLen)
-        if (protection == 0) r.bits(16) // crc_check present; not verified
+        val crcRead = if (protection == 0) r.bits(16) else -1
+        val crc = if (protection == 0) new Crc16 else null
+        if (crc != null) crc.feed(h & 0xffff, 16)
         val bound = math.min(
           if (mode == 1) (modeExt + 1) * 4 else sbLimit, sbLimit)
         // bit allocation: per channel below the intensity bound, one
@@ -508,12 +553,16 @@ object Mpeg1Audio {
           if (sb < bound || nCh == 1) {
             var c = 0
             while (c < nCh) {
-              cls(c)(sb) = l2ClsOfIdx(tab, sb, r.bits(nbal))
+              val av = r.bits(nbal)
+              if (crc != null) crc.feed(av, nbal)
+              cls(c)(sb) = l2ClsOfIdx(tab, sb, av)
               if (cls(c)(sb) != 0) nActive += 1
               c += 1
             }
           } else {
-            cls(0)(sb) = l2ClsOfIdx(tab, sb, r.bits(nbal))
+            val av = r.bits(nbal)
+            if (crc != null) crc.feed(av, nbal)
+            cls(0)(sb) = l2ClsOfIdx(tab, sb, av)
             cls(1)(sb) = cls(0)(sb)
             if (cls(0)(sb) != 0) nActive += 2
           }
@@ -527,11 +576,17 @@ object Mpeg1Audio {
         while (sb < sbLimit) {
           var c = 0
           while (c < nCh) {
-            if (cls(c)(sb) != 0) scfsi(c)(sb) = r.bits(2)
+            if (cls(c)(sb) != 0) {
+              val sv = r.bits(2)
+              if (crc != null) crc.feed(sv, 2)
+              scfsi(c)(sb) = sv
+            }
             c += 1
           }
           sb += 1
         }
+        // Layer II protects header bits 16-31 + allocation + scfsi
+        if (crc != null && crc.value != crcRead) bail()
         // scalefactors: scfsi selects how many of the frame's three
         // 12-sample parts share a transmitted value —
         //   0: three values (one per part)   1: two (parts 01, part 2)
@@ -651,7 +706,8 @@ object Mpeg1Audio {
                    allocIdx: (Int, Int) => Int,
                    scfsiOf: (Int, Int) => Int,
                    scfIdx: (Int, Int, Int) => Int,
-                   code: (Int, Int, Int, Int, Int) => Int): Array[Byte] = {
+                   code: (Int, Int, Int, Int, Int) => Int,
+                   withCrc: Boolean = false): Array[Byte] = {
     require(brIdx >= 1 && brIdx <= 14 && fsIdx >= 0 && fsIdx <= 2)
     val nCh = if (mode == 3) 1 else 2
     val tab = l2AllocTable(fsIdx, BitrateL2(brIdx) / nCh)
@@ -668,22 +724,32 @@ object Mpeg1Audio {
     }
     for (f <- 0 until nFrames) {
       val w = new BitWriter
+      val crc = if (withCrc) new Crc16 else null
+      def hdr16(v: Int, n: Int): Unit = {
+        w.put(v, n); if (crc != null) crc.feed(v, n)
+      }
       w.put(0xfff, 12); w.put(1, 1) // sync, ID=MPEG-1
       w.put(2, 2) // layer II
-      w.put(1, 1) // protection_bit=1: no CRC
-      w.put(brIdx, 4); w.put(fsIdx, 2)
-      w.put(0, 1); w.put(0, 1) // padding, private
-      w.put(mode, 2); w.put(modeExt, 2)
-      w.put(0, 1); w.put(1, 1); w.put(0, 2) // copyright, original, emph
+      w.put(if (withCrc) 0 else 1, 1) // protection_bit: 0 = CRC present
+      hdr16(brIdx, 4); hdr16(fsIdx, 2)
+      hdr16(0, 1); hdr16(0, 1) // padding, private
+      hdr16(mode, 2); hdr16(modeExt, 2)
+      hdr16(0, 1); hdr16(1, 1); hdr16(0, 2) // copyright, original, emph
+      if (withCrc) w.put(0, 16) // CRC placeholder, patched below
       for (sb <- 0 until sbLimit) {
         val nbal = L2Nbal(tab)(sb)
+        def putA(v: Int): Unit = {
+          w.put(v, nbal); if (crc != null) crc.feed(v, nbal)
+        }
         if (sb < bound || nCh == 1)
-          for (ch <- 0 until nCh) w.put(allocIdx(ch, sb) & ((1 << nbal) - 1),
-            nbal)
-        else w.put(allocIdx(0, sb) & ((1 << nbal) - 1), nbal)
+          for (ch <- 0 until nCh) putA(allocIdx(ch, sb) & ((1 << nbal) - 1))
+        else putA(allocIdx(0, sb) & ((1 << nbal) - 1))
       }
       for (sb <- 0 until sbLimit; ch <- 0 until nCh)
-        if (clsAt(ch, sb) != 0) w.put(scfsiOf(ch, sb) & 3, 2)
+        if (clsAt(ch, sb) != 0) {
+          val sv = scfsiOf(ch, sb) & 3
+          w.put(sv, 2); if (crc != null) crc.feed(sv, 2)
+        }
       for (sb <- 0 until sbLimit; ch <- 0 until nCh) {
         if (clsAt(ch, sb) != 0) {
           (scfsiOf(ch, sb) & 3) match {
@@ -714,7 +780,12 @@ object Mpeg1Audio {
           }
         }
       }
-      out ++= w.padToBytes(frameLen)
+      val bytes = w.padToBytes(frameLen)
+      if (crc != null) {
+        bytes(4) = ((crc.value >>> 8) & 0xff).toByte
+        bytes(5) = (crc.value & 0xff).toByte
+      }
+      out ++= bytes
       require(out.length == (f + 1) * frameLen,
         s"fixture payload overflows the $frameLen-byte Layer II frame")
     }

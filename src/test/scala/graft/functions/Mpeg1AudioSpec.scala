@@ -235,6 +235,44 @@ class Mpeg1AudioSpec extends AnyFunSuite {
       -Mpeg1Audio.dequantFp2(8, 4, 7))
   }
 
+  test("CRC-16 (ISO 11172-3 §2.4.3.1): transparent when correct, " +
+      "detects protected-field corruption both layers") {
+    for (id <- Seq(1L, 4L, 7L, 10L)) {
+      // Layer I: a CRC'd frame decodes to the SAME features
+      val kind = (id % 3).toInt
+      val mode = kind match { case 0 => 3; case 1 => 0; case _ => 1 }
+      def enc(c: Boolean) = Mpeg1Audio.encodeLayer1(1, 14, 2, mode,
+        (id % 4).toInt, alloc(id), scf(id), code(id), withCrc = c)
+      val plain = Mpeg1Audio.decode(enc(false)).get
+      val crcd = enc(true)
+      assert(Mpeg1Audio.decode(crcd).contains(plain), s"L1 id=$id")
+      // corrupt one allocation bit (byte 6 sits in the alloc field
+      // past header+CRC): without CRC this would silently decode to
+      // DIFFERENT features; with CRC the frame must drop
+      val corrupt = crcd.clone()
+      corrupt(6) = (corrupt(6) ^ 0x10).toByte
+      assert(Mpeg1Audio.decode(corrupt).isEmpty, s"L1 corrupt id=$id")
+      // corrupt the CRC itself -> drop
+      val badCrc = crcd.clone()
+      badCrc(4) = (badCrc(4) ^ 0x01).toByte
+      assert(Mpeg1Audio.decode(badCrc).isEmpty, s"L1 badcrc id=$id")
+
+      // Layer II: same contract
+      val (m2, ext2, fs2, br2) = l2Params(id)
+      val tab = Mpeg1Audio.l2AllocTable(fs2,
+        Mpeg1Audio.BitrateL2(br2) / (if (m2 == 3) 1 else 2))
+      def enc2(c: Boolean) = Mpeg1Audio.encodeLayer2(1, br2, fs2, m2,
+        ext2, l2Alloc(id, tab), l2Scfsi(id), l2Scf(id), l2Code(id),
+        withCrc = c)
+      val plain2 = Mpeg1Audio.decodeL2(enc2(false)).get
+      val crcd2 = enc2(true)
+      assert(Mpeg1Audio.decodeL2(crcd2).contains(plain2), s"L2 id=$id")
+      val corrupt2 = crcd2.clone()
+      corrupt2(6) = (corrupt2(6) ^ 0x10).toByte
+      assert(Mpeg1Audio.decodeL2(corrupt2).isEmpty, s"L2 corrupt id=$id")
+    }
+  }
+
   test("QSF table: positive, decreasing in scf index, spec magnitudes") {
     for (nb <- 2 to 15) {
       assert(Mpeg1Audio.QSF(0)(nb) > 0)
