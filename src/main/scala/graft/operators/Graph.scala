@@ -57,6 +57,55 @@ object Graph {
     * construction and is bloom-bounded anyway. */
   private val HashHintMaxRows = 64000000L
 
+  /** Opt-in DISK-BUCKETED adjacency for traversals — the round-12
+    * probe's winner at scale, productionized behind a conf. When
+    * [[AdjScratchKey]] names a scratch directory (local path in
+    * local mode; shared storage on a cluster) and the doubled
+    * adjacency exceeds [[AdjDiskMinRows]] rows (or
+    * [[AdjDiskForceKey]] is set, for the fixture-scale equality
+    * spec), the adjacency is written ONCE as parquet directory-
+    * partitioned by `__bk = pmod(xxhash64(key), 64)` and every round
+    * joins on (__bk, key): with a broadcastable frontier, dynamic
+    * partition pruning pushes the frontier's bucket-id set into the
+    * FILE SCAN, and the columnar-compressed layout replaces the
+    * in-memory doubled-row checkpoint. Measured same-box on the
+    * q149 probe model (ENGINE.md round-12): the in-memory form reads
+    * 2.95/15.9/191.9 s over 1×/10×/100× (12.0× second decade), the
+    * bucketed form 18.2/30.2/159.0 s (5.3×) — it loses 6× at small
+    * scale and wins past the memory comfort zone, hence the row
+    * gate. Default OFF (no scratch dir): nothing changes for
+    * existing callers; results are identical either way (the spec
+    * pins forced-path equality like the Bloom's). */
+  private[graft] val AdjScratchKey = "graft.graph.adjacencyScratchDir"
+  private[graft] val AdjDiskForceKey = "graft.graph.adjacencyDiskForce"
+  private val AdjDiskMinRows = 16000000L
+  private val AdjBuckets = 64L
+
+  /** Write `adjMem` bucketed to the configured scratch dir if the
+    * disk path is engaged; returns the parquet-backed frame and the
+    * directory to delete when the traversal finishes. */
+  private def diskAdjacency(adjMem: DataFrame, keyCol: String,
+                            adjRows: Long): Option[(DataFrame, String)] = {
+    val spark = adjMem.sparkSession
+    val scratch = spark.conf.getOption(AdjScratchKey)
+    val force = spark.conf.getOption(AdjDiskForceKey).exists(_.toBoolean)
+    if (scratch.isEmpty || (!force && adjRows < AdjDiskMinRows)) None
+    else {
+      val dir = scratch.get.stripSuffix("/") +
+        s"/graft_adj_${java.util.UUID.randomUUID().toString.take(12)}"
+      adjMem
+        .withColumn("__bk", pmod(xxhash64(col(keyCol)), lit(AdjBuckets)))
+        .write.partitionBy("__bk").mode("overwrite").parquet(dir)
+      Some((spark.read.parquet(dir), dir))
+    }
+  }
+
+  private def deleteScratch(df: DataFrame, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+
   /** Serialized Bloom filter over `xxhash64(keyCol)` of a (small,
     * already-materialized) frontier, built with the grouped
     * [[graft.functions.BloomAgg]] — map-side partials, one binary row
@@ -749,12 +798,19 @@ object Graph {
     // checkpoint: LogicalRDD keeps the partitioning, so when a round's
     // frontier is too big to broadcast the join reuses this layout and
     // only the frontier shuffles — the graph never moves again
-    val adj = norm.select(col("__lo").as("__w"), col("__hi").as("__n"))
+    val adjMem = norm.select(col("__lo").as("__w"), col("__hi").as("__n"))
       .unionAll(norm.select(col("__hi").as("__w"),
         col("__lo").as("__n")))
       .repartition(col("__w"))
       .localCheckpoint()
-    val adjRows = adj.count()
+    val adjRows = adjMem.count()
+    // opt-in disk-bucketed adjacency (see [[AdjScratchKey]]): the
+    // checkpoint is freed once the parquet copy exists — rounds then
+    // scan the compressed bucketed files instead of the doubled rows
+    val disk = diskAdjacency(adjMem, "__w", adjRows)
+    val adj = disk.map(_._1).getOrElse(adjMem)
+    if (disk.isDefined)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adjMem)
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
       .localCheckpoint()
     var frontierN = frontier.count()
@@ -783,17 +839,28 @@ object Graph {
       // Exactness is untouched either way: false positives only leak
       // rows into the exact join behind the filter.
       val sortMergeRegime = visitedN > HashHintMaxRows
-      val fAdj = if ((sortMergeRegime || bloomForced(adj)) &&
-          frontierN <= BloomMaxItems && frontierN * 4 <= adjRows)
-        adj.filter(frontierBloomFilter(frontier, "node", frontierN,
-          col("__w")))
-      else adj
       val vis = visited.select(col("node"))
       val visSide = if (!sortMergeRegime) vis.hint("shuffle_hash")
         else vis
-      val next = fAdj
-        .join(frontier.withColumnRenamed("node", "__w")
+      val probed = if (disk.isDefined) {
+        // disk-bucketed regime: join on (__bk, __w); a broadcastable
+        // frontier lets DPP prune the file scan to its buckets, a
+        // bigger frontier still gets the compressed columnar scan
+        val fB = frontier
+          .withColumn("__bk", pmod(xxhash64(col("node")), lit(AdjBuckets)))
+          .withColumnRenamed("node", "__w")
+        val fSide = if (frontierN <= BloomMaxItems) broadcast(fB) else fB
+        adj.join(fSide, Seq("__bk", "__w"))
+      } else {
+        val fAdj = if ((sortMergeRegime || bloomForced(adj)) &&
+            frontierN <= BloomMaxItems && frontierN * 4 <= adjRows)
+          adj.filter(frontierBloomFilter(frontier, "node", frontierN,
+            col("__w")))
+        else adj
+        fAdj.join(frontier.withColumnRenamed("node", "__w")
           .hint("shuffle_hash"), Seq("__w"))
+      }
+      val next = probed
         .select(col("__n").as("node")).distinct()
         .join(visSide, Seq("node"), "left_anti")
         .localCheckpoint()
@@ -811,7 +878,11 @@ object Graph {
       }
       h += 1
     }
-    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adj)
+    if (disk.isEmpty)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adj)
+    // the returned visited table is checkpointed per round, so the
+    // scratch layout is droppable the moment the loop exits
+    disk.foreach { case (_, dir) => deleteScratch(visited, dir) }
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
     // the final visited checkpoint is the return value, caller-owned
     visited
@@ -841,13 +912,18 @@ object Graph {
       .filter(col("__lo") =!= col("__hi") && col("__w") >= 0)
       .groupBy(col("__lo"), col("__hi"))
       .agg(min(col("__w")).as("__w")) // parallel edges: cheapest wins
-    val adj = norm.select(col("__lo").as("__s"), col("__hi").as("__n"),
+    val adjMem = norm.select(col("__lo").as("__s"), col("__hi").as("__n"),
         col("__w"))
       .unionAll(norm.select(col("__hi").as("__s"),
         col("__lo").as("__n"), col("__w")))
       .repartition(col("__s"))
       .localCheckpoint()
-    val adjRows = adj.count()
+    val adjRows = adjMem.count()
+    // opt-in disk-bucketed adjacency — see [[AdjScratchKey]]/bfsHops
+    val disk = diskAdjacency(adjMem, "__s", adjRows)
+    val adj = disk.map(_._1).getOrElse(adjMem)
+    if (disk.isDefined)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adjMem)
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = dist
@@ -868,16 +944,24 @@ object Graph {
       // frontier's neighborhood (false positives only leak rows into
       // the exact join).
       val sortMergeRegime = distN > HashHintMaxRows
-      val fAdj = if ((sortMergeRegime || bloomForced(adj)) &&
-          frontierN <= BloomMaxItems && frontierN * 4 <= adjRows)
-        adj.filter(frontierBloomFilter(frontier, "node", frontierN,
-          col("__s")))
-      else adj
       val distSide = if (!sortMergeRegime)
         dist.hint("shuffle_hash") else dist
-      val next = fAdj
-        .join(frontier.withColumnRenamed("node", "__s")
+      val probed = if (disk.isDefined) {
+        val fB = frontier
+          .withColumn("__bk", pmod(xxhash64(col("node")), lit(AdjBuckets)))
+          .withColumnRenamed("node", "__s")
+        val fSide = if (frontierN <= BloomMaxItems) broadcast(fB) else fB
+        adj.join(fSide, Seq("__bk", "__s"))
+      } else {
+        val fAdj = if ((sortMergeRegime || bloomForced(adj)) &&
+            frontierN <= BloomMaxItems && frontierN * 4 <= adjRows)
+          adj.filter(frontierBloomFilter(frontier, "node", frontierN,
+            col("__s")))
+        else adj
+        fAdj.join(frontier.withColumnRenamed("node", "__s")
           .hint("shuffle_hash"), Seq("__s"))
+      }
+      val next = probed
         .groupBy(col("__n").as("node"))
         .agg(min(col("dist") + col("__w")).as("__cand"))
         .join(distSide, Seq("node"), "left")
@@ -900,7 +984,9 @@ object Graph {
       }
       h += 1
     }
-    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adj)
+    if (disk.isEmpty)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adj)
+    disk.foreach { case (_, dir) => deleteScratch(dist, dir) }
     if (frontier ne dist)
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
     dist

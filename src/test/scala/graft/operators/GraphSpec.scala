@@ -246,6 +246,25 @@ class GraphSpec extends SparkSpec {
       assert(bfs() === plainB)
       assert(sssp() === plainS)
     } finally spark.conf.unset(Graph.BloomForceKey)
+    // disk-bucketed adjacency (round 12, opt-in via scratch-dir conf):
+    // force it at fixture scale and pin result equality — the layout
+    // and (__bk, key) join must be invisible to the answer
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-adj-spec").toString
+    spark.conf.set(Graph.AdjScratchKey, scratch)
+    spark.conf.set(Graph.AdjDiskForceKey, "true")
+    try {
+      assert(bfs() === plainB)
+      assert(sssp() === plainS)
+    } finally {
+      spark.conf.unset(Graph.AdjScratchKey)
+      spark.conf.unset(Graph.AdjDiskForceKey)
+      // traversals delete their own layout; only the root remains
+      val left = new java.io.File(scratch).list()
+      assert(left == null || left.isEmpty,
+        s"scratch not cleaned: ${left.mkString(",")}")
+      new java.io.File(scratch).delete()
+    }
   }
 
   test("ssspHops: relaxation beats the direct edge; hop cap binds") {
