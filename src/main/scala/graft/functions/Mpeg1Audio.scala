@@ -314,14 +314,21 @@ object Mpeg1Audio {
                    allocCode: (Int, Int) => Int,
                    scfIdx: (Int, Int) => Int,
                    code: (Int, Int, Int, Int) => Int,
-                   withCrc: Boolean = false): Array[Byte] = {
+                   withCrc: Boolean = false,
+                   padOf: Int => Int = _ => 0): Array[Byte] = {
     require(brIdx >= 1 && brIdx <= 14 && fsIdx >= 0 && fsIdx <= 2)
     val nCh = if (mode == 3) 1 else 2
     val bound = if (mode == 1) (modeExt + 1) * 4 else 32
-    val slots = 12 * (BitrateL1(brIdx) * 1000) / SampleRate(fsIdx)
-    val frameLen = slots * 4
     val out = collection.mutable.ArrayBuffer.empty[Byte]
+    var lenSoFar = 0
     for (f <- 0 until nFrames) {
+      // per-frame padding (the 44.1 kHz cadence pattern): one extra
+      // 32-bit slot when padOf(f) = 1, exactly what the decoder's
+      // slot arithmetic consumes — padding bytes are ancillary, so
+      // decoded features must match the unpadded stream (spec-pinned)
+      val pad = padOf(f) & 1
+      val slots = 12 * (BitrateL1(brIdx) * 1000) / SampleRate(fsIdx) + pad
+      val frameLen = slots * 4
       val w = new BitWriter
       val crc = if (withCrc) new Crc16 else null
       def hdr16(v: Int, n: Int): Unit = { // header bits 16-31: protected
@@ -331,7 +338,7 @@ object Mpeg1Audio {
       w.put(3, 2) // layer I
       w.put(if (withCrc) 0 else 1, 1) // protection_bit: 0 = CRC present
       hdr16(brIdx, 4); hdr16(fsIdx, 2)
-      hdr16(0, 1) // padding
+      hdr16(pad, 1) // padding
       hdr16(0, 1) // private
       hdr16(mode, 2); hdr16(modeExt, 2)
       hdr16(0, 1); hdr16(1, 1) // copyright, original
@@ -368,7 +375,8 @@ object Mpeg1Audio {
         bytes(5) = (crc.value & 0xff).toByte
       }
       out ++= bytes
-      require(out.length == (f + 1) * frameLen,
+      lenSoFar += frameLen
+      require(out.length == lenSoFar,
         s"fixture payload overflows the $frameLen-byte Layer I frame")
     }
     out.toArray
@@ -707,7 +715,8 @@ object Mpeg1Audio {
                    scfsiOf: (Int, Int) => Int,
                    scfIdx: (Int, Int, Int) => Int,
                    code: (Int, Int, Int, Int, Int) => Int,
-                   withCrc: Boolean = false): Array[Byte] = {
+                   withCrc: Boolean = false,
+                   padOf: Int => Int = _ => 0): Array[Byte] = {
     require(brIdx >= 1 && brIdx <= 14 && fsIdx >= 0 && fsIdx <= 2)
     val nCh = if (mode == 3) 1 else 2
     val tab = l2AllocTable(fsIdx, BitrateL2(brIdx) / nCh)
@@ -716,13 +725,16 @@ object Mpeg1Audio {
     val sbLimit = L2SbLimit(tab)
     val bound = math.min(
       if (mode == 1) (modeExt + 1) * 4 else sbLimit, sbLimit)
-    val frameLen = 144 * (BitrateL2(brIdx) * 1000) / SampleRate(fsIdx)
+    val baseLen = 144 * (BitrateL2(brIdx) * 1000) / SampleRate(fsIdx)
     val out = collection.mutable.ArrayBuffer.empty[Byte]
+    var lenSoFar = 0
     def clsAt(ch: Int, sb: Int): Int = {
       val src = if (sb >= bound && nCh == 2) 0 else ch
       l2ClsOfIdx(tab, sb, allocIdx(src, sb) & ((1 << L2Nbal(tab)(sb)) - 1))
     }
     for (f <- 0 until nFrames) {
+      val pad = padOf(f) & 1 // Layer II pads by ONE byte slot
+      val frameLen = baseLen + pad
       val w = new BitWriter
       val crc = if (withCrc) new Crc16 else null
       def hdr16(v: Int, n: Int): Unit = {
@@ -732,7 +744,7 @@ object Mpeg1Audio {
       w.put(2, 2) // layer II
       w.put(if (withCrc) 0 else 1, 1) // protection_bit: 0 = CRC present
       hdr16(brIdx, 4); hdr16(fsIdx, 2)
-      hdr16(0, 1); hdr16(0, 1) // padding, private
+      hdr16(pad, 1); hdr16(0, 1) // padding, private
       hdr16(mode, 2); hdr16(modeExt, 2)
       hdr16(0, 1); hdr16(1, 1); hdr16(0, 2) // copyright, original, emph
       if (withCrc) w.put(0, 16) // CRC placeholder, patched below
@@ -786,7 +798,8 @@ object Mpeg1Audio {
         bytes(5) = (crc.value & 0xff).toByte
       }
       out ++= bytes
-      require(out.length == (f + 1) * frameLen,
+      lenSoFar += frameLen
+      require(out.length == lenSoFar,
         s"fixture payload overflows the $frameLen-byte Layer II frame")
     }
     out.toArray

@@ -273,6 +273,36 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     }
   }
 
+  test("padding bit: padded frames decode to IDENTICAL features " +
+      "(padding bytes are ancillary), both layers, with and without CRC") {
+    for (id <- Seq(2L, 5L, 9L); crc <- Seq(false, true)) {
+      val kind = (id % 3).toInt
+      val mode = kind match { case 0 => 3; case 1 => 0; case _ => 1 }
+      def enc1(pad: Int => Int) = Mpeg1Audio.encodeLayer1(3, 14, 2,
+        mode, (id % 4).toInt, alloc(id), scf(id), code(id),
+        withCrc = crc, padOf = pad)
+      val plain1 = Mpeg1Audio.decode(enc1(_ => 0)).get
+      val padded1 = enc1(f => f % 2) // the alternating 44.1-style shape
+      assert(padded1.length === enc1(_ => 0).length + 4,
+        "L1 pads one 32-bit slot")
+      assert(Mpeg1Audio.decode(padded1).contains(plain1),
+        s"L1 id=$id crc=$crc")
+
+      val (m2, ext2, fs2, br2) = l2Params(id)
+      val tab = Mpeg1Audio.l2AllocTable(fs2,
+        Mpeg1Audio.BitrateL2(br2) / (if (m2 == 3) 1 else 2))
+      def enc2(pad: Int => Int) = Mpeg1Audio.encodeLayer2(3, br2, fs2,
+        m2, ext2, l2Alloc(id, tab), l2Scfsi(id), l2Scf(id), l2Code(id),
+        withCrc = crc, padOf = pad)
+      val plain2 = Mpeg1Audio.decodeL2(enc2(_ => 0)).get
+      val padded2 = enc2(f => f % 2)
+      assert(padded2.length === enc2(_ => 0).length + 1,
+        "L2 pads one byte slot")
+      assert(Mpeg1Audio.decodeL2(padded2).contains(plain2),
+        s"L2 id=$id crc=$crc")
+    }
+  }
+
   test("QSF table: positive, decreasing in scf index, spec magnitudes") {
     for (nb <- 2 to 15) {
       assert(Mpeg1Audio.QSF(0)(nb) > 0)
