@@ -3,8 +3,12 @@
 # working-tree artifacts MUST agree at judge time — two rounds shipped a
 # dirty tree). Run this as the LAST step of a round:
 #
-#   bash tools/round_close.sh            # bench + compare + commit + gate
-#   bash tools/round_close.sh --no-bench # skip the bench re-run
+#   bash tools/round_close.sh                  # bench + compare + commit + gate
+#   bash tools/round_close.sh --no-bench       # skip the bench re-run
+#   PREV_BENCH=path bash tools/round_close.sh  # explicit baseline artifact
+#     (default: the bench_last.json committed at HEAD — override when a
+#     mid-round commit already refreshed it, so the compare still reads
+#     round-over-round, not close-over-interim)
 #
 # Steps:
 #  1. Snapshot the committed bench_last.json (the PREVIOUS round's
@@ -33,7 +37,11 @@ ARTIFACTS=(bench_last.json ROUND_COMPARE.txt LEAKCHECK.json
   README.md ENGINE.md FIXTURES.md PROGRESS.jsonl)
 
 prev_bench="$(mktemp)"
-git show HEAD:bench_last.json > "$prev_bench"
+if [[ -n "${PREV_BENCH:-}" ]]; then
+  cp "$PREV_BENCH" "$prev_bench"
+else
+  git show HEAD:bench_last.json > "$prev_bench"
+fi
 
 if [[ "${1:-}" != "--no-bench" ]]; then
   echo "[round_close] running full sf0.1 bench (~6 min)..."
