@@ -34,7 +34,7 @@ cd "$(dirname "$0")/.."
 # Files a round legitimately touches at close time. Anything else dirty
 # or untracked at step 4 fails the close.
 ARTIFACTS=(bench_last.json ROUND_COMPARE.txt LEAKCHECK.json
-  README.md ENGINE.md FIXTURES.md PROGRESS.jsonl)
+  README.md ENGINE.md FIXTURES.md)
 
 prev_bench="$(mktemp)"
 if [[ -n "${PREV_BENCH:-}" ]]; then
@@ -72,7 +72,11 @@ if [[ -n "$dirty" ]]; then
   fi
   echo "[round_close] committing round-close artifacts:"
   git status --porcelain
-  git add "${ARTIFACTS[@]}"
+  # add only the artifacts that are actually dirty/untracked — a clean
+  # allowlist entry must not fail the add (and never add -f anything)
+  while IFS= read -r line; do
+    git add "${line:3}"
+  done <<< "$dirty"
   git commit -m "Round close: refresh bench/compare artifacts and docs"
 fi
 
