@@ -81,22 +81,35 @@ object Graph {
   private val AdjDiskMinRows = 16000000L
   private val AdjBuckets = 64L
 
-  /** Write `adjMem` bucketed to the configured scratch dir if the
-    * disk path is engaged; returns the parquet-backed frame and the
-    * directory to delete when the traversal finishes. */
-  private def diskAdjacency(adjMem: DataFrame, keyCol: String,
-                            adjRows: Long): Option[(DataFrame, String)] = {
-    val spark = adjMem.sparkSession
+  /** Plan the traversal adjacency: the in-memory hash-partitioned
+    * checkpoint (default), or the opt-in disk-bucketed parquet layout
+    * (see [[AdjScratchKey]]). The disk path writes STRAIGHT from the
+    * doubled union — an earlier form materialized the in-memory
+    * checkpoint first and then copied it to parquet, which held the
+    * adjacency TWICE and OOM'd the 100× probe under a 4g heap; the
+    * distinct shuffle behind `doubled` is computed once (the gate's
+    * pre-count) and its shuffle files are reused by the write, so
+    * nothing is resident twice. Returns (adjacency frame, row count,
+    * scratch dir to delete when the traversal finishes). */
+  private def planAdjacency(doubled: DataFrame, keyCol: String)
+      : (DataFrame, Long, Option[String]) = {
+    val spark = doubled.sparkSession
     val scratch = spark.conf.getOption(AdjScratchKey)
     val force = spark.conf.getOption(AdjDiskForceKey).exists(_.toBoolean)
-    if (scratch.isEmpty || (!force && adjRows < AdjDiskMinRows)) None
-    else {
+    lazy val preCount = doubled.count() // only the opt-in path pays it
+    val useDisk =
+      scratch.isDefined && (force || preCount >= AdjDiskMinRows)
+    if (useDisk) {
       val dir = scratch.get.stripSuffix("/") +
         s"/graft_adj_${java.util.UUID.randomUUID().toString.take(12)}"
-      adjMem
+      doubled
         .withColumn("__bk", pmod(xxhash64(col(keyCol)), lit(AdjBuckets)))
         .write.partitionBy("__bk").mode("overwrite").parquet(dir)
-      Some((spark.read.parquet(dir), dir))
+      val adj = spark.read.parquet(dir)
+      (adj, adj.count(), Some(dir)) // parquet count: metadata-cheap
+    } else {
+      val adj = doubled.repartition(col(keyCol)).localCheckpoint()
+      (adj, adj.count(), None)
     }
   }
 
@@ -798,19 +811,11 @@ object Graph {
     // checkpoint: LogicalRDD keeps the partitioning, so when a round's
     // frontier is too big to broadcast the join reuses this layout and
     // only the frontier shuffles — the graph never moves again
-    val adjMem = norm.select(col("__lo").as("__w"), col("__hi").as("__n"))
+    val doubled = norm
+      .select(col("__lo").as("__w"), col("__hi").as("__n"))
       .unionAll(norm.select(col("__hi").as("__w"),
         col("__lo").as("__n")))
-      .repartition(col("__w"))
-      .localCheckpoint()
-    val adjRows = adjMem.count()
-    // opt-in disk-bucketed adjacency (see [[AdjScratchKey]]): the
-    // checkpoint is freed once the parquet copy exists — rounds then
-    // scan the compressed bucketed files instead of the doubled rows
-    val disk = diskAdjacency(adjMem, "__w", adjRows)
-    val adj = disk.map(_._1).getOrElse(adjMem)
-    if (disk.isDefined)
-      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adjMem)
+    val (adj, adjRows, disk) = planAdjacency(doubled, "__w")
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
       .localCheckpoint()
     var frontierN = frontier.count()
@@ -882,7 +887,7 @@ object Graph {
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adj)
     // the returned visited table is checkpointed per round, so the
     // scratch layout is droppable the moment the loop exits
-    disk.foreach { case (_, dir) => deleteScratch(visited, dir) }
+    disk.foreach(dir => deleteScratch(visited, dir))
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
     // the final visited checkpoint is the return value, caller-owned
     visited
@@ -912,18 +917,12 @@ object Graph {
       .filter(col("__lo") =!= col("__hi") && col("__w") >= 0)
       .groupBy(col("__lo"), col("__hi"))
       .agg(min(col("__w")).as("__w")) // parallel edges: cheapest wins
-    val adjMem = norm.select(col("__lo").as("__s"), col("__hi").as("__n"),
-        col("__w"))
+    val doubled = norm
+      .select(col("__lo").as("__s"), col("__hi").as("__n"), col("__w"))
       .unionAll(norm.select(col("__hi").as("__s"),
         col("__lo").as("__n"), col("__w")))
-      .repartition(col("__s"))
-      .localCheckpoint()
-    val adjRows = adjMem.count()
     // opt-in disk-bucketed adjacency — see [[AdjScratchKey]]/bfsHops
-    val disk = diskAdjacency(adjMem, "__s", adjRows)
-    val adj = disk.map(_._1).getOrElse(adjMem)
-    if (disk.isDefined)
-      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adjMem)
+    val (adj, adjRows, disk) = planAdjacency(doubled, "__s")
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = dist
@@ -986,7 +985,7 @@ object Graph {
     }
     if (disk.isEmpty)
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adj)
-    disk.foreach { case (_, dir) => deleteScratch(dist, dir) }
+    disk.foreach(dir => deleteScratch(dist, dir))
     if (frontier ne dist)
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
     dist
