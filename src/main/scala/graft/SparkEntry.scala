@@ -9431,20 +9431,12 @@ object SparkEntry {
       // consumed by the banded explode and joined back twice (est +
       // exact verify) — scoped persist, released by the runner
       val sigs = scoped(withSig)
-      // the production lshBandKeys fold pair (two independent bases
-      // packed into 60 bits — the round-12 recall fix; see
-      // Dedup.lshBandKeys)
-      def bandFold(b: Column, base: Long): Column =
-        (0 until 4).foldLeft(lit(0L): Column) { (acc, r) =>
-          (acc * base +
-            element_at($"sig", (b * 4 + r + 1).cast("int"))) % P
-        }
+      // the production lshBandKeys dual-base 60-bit fold pair (the
+      // round-12 recall fix), via the NATIVE kernel — the composable
+      // HOF form is interpreted and the dual fold doubled its tree
       val banded = sigs.select($"doc_id",
-          explode(transform(sequence(lit(0), lit(7)), b =>
-            struct(b.as("band"),
-              (bandFold(b, 1000003L) * 1073741824L +
-                bandFold(b, 1000033L)).as("bkey")))).as("bk"))
-        .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+          posexplode(graft.functions.LshBandKeys($"sig", 8, 4)))
+        .select($"doc_id", $"pos".as("band"), $"col".as("bkey"))
       val wB = Window.partitionBy($"band", $"bkey")
       val pruned = banded.withColumn("__bsz", count(lit(1)).over(wB))
         .filter($"__bsz" > 1 && $"__bsz" <= 64).drop("__bsz")

@@ -53,34 +53,29 @@ object Dedup {
     graft.functions.AffineMinHash(graft.functions.PolyHashArr(shingles), k)
 
   /** LSH band keys: split the k-length signature into `bands` bands of
-    * `rowsPerBand` and reduce each band to one key. Two docs sharing
-    * any band key are candidates. The band key is the same portable
-    * fold family the signatures use, WIDENED to two independent
-    * mod-P folds (bases 1000003 and 1000033, both mod 1e9+7) packed
-    * into one 60-bit value: bkey = fold1·2^30 + fold2 (P < 2^30, so
-    * the packing is injective and overflow-free in any BIGINT
-    * engine). Round-12 fix of a round-11 advice item: a single
-    * ~2^30-key fold makes birthday collisions routine once a band
-    * has ~33k populated buckets, and a collision doesn't just ADD
-    * spurious candidates (harmless — exact verification removes
+    * `rowsPerBand` and reduce each band to one key (the key of band b
+    * at array index b — consumers posexplode into (band, bkey)). Two
+    * docs sharing any band key are candidates. The key is the same
+    * portable fold family the signatures use, WIDENED to two
+    * independent mod-P folds (bases 1000003 and 1000033, both mod
+    * 1e9+7) packed into one 60-bit value: bkey = fold1·2^30 + fold2
+    * (P < 2^30, so the packing is injective and overflow-free in any
+    * BIGINT engine). Round-12 fix of a round-11 advice item: a
+    * single ~2^30-key fold makes birthday collisions routine once a
+    * band has ~33k populated buckets, and a collision doesn't just
+    * ADD spurious candidates (harmless — exact verification removes
     * them), it can also inflate a bucket past
     * [[minHashCandidates]]'s `maxBucket` skew cap, and a PRUNED
     * bucket drops its genuine pairs — a silent recall term at corpus
     * scale. Two independent folds put collisions at ~P^-2 ≈ 1e-18
     * per pair: gone in practice, still a closed form both engines
-    * replay exactly. */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
-    def fold(b: Column, base: Long): Column =
-      (0 until rowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
-        (acc * base +
-          element_at(sig, (b * rowsPerBand + r + 1).cast("int"))) %
-          1000000007L
-      }
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        (fold(b, 1000003L) * 1073741824L + fold(b, 1000033L))
-          .as("bkey")))
-  }
+    * replay exactly. Computed by the NATIVE
+    * [[graft.functions.LshBandKeys]] kernel — the composable
+    * transform/fold form is a higher-order function (interpreted),
+    * and the dual fold doubled its tree: q23 solo 3.37 s composable
+    * vs the kernel's single codegen pass per signature. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    graft.functions.LshBandKeys(sig, bands, rowsPerBand)
 
   /** Pick (bands, rowsPerBand) for a target Jaccard threshold: an LSH
     * banding (b, r) has its S-curve inflection at t ≈ (1/b)^(1/r) —
@@ -127,9 +122,8 @@ object Dedup {
     // band multiplicity; candidate generation works on (band, bkey, id)
     // triples only, and signatures are joined back ONCE per unique pair.
     val banded = withSig.select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"),
-        col("bk.bkey").as("bkey"))
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
     // Skew guard: a band key shared by a huge fraction of the corpus (a
     // stop-shingle) would make the bucket join quadratic in that bucket.
     // Cap bucket size — oversized buckets carry no dedup signal anyway.

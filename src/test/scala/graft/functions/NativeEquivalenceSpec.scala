@@ -2,6 +2,7 @@ package graft.functions
 
 import scala.util.Random
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -174,6 +175,27 @@ class NativeEquivalenceSpec extends SparkSpec {
           composable.as("sql"))
         .filter($"nat" =!= $"sql").count()
       assert(diff === 0, s"n=$n")
+    }
+  }
+
+  test("LshBandKeys == the composable dual-base transform/fold form") {
+    val sigs = Seq.fill(100)(Array.fill(32)(
+      math.abs(rnd.nextLong()) % 1000000007L)).map(Tuple1(_))
+    val df = sigs.toDF("sig")
+    for ((bands, rpb) <- Seq((8, 4), (4, 8), (16, 2))) {
+      def fold(b: Column, base: Long): Column =
+        (0 until rpb).foldLeft(lit(0L): Column) { (acc, r) =>
+          (acc * base +
+            element_at($"sig", (b * rpb + r + 1).cast("int"))) %
+            1000000007L
+        }
+      val composable = transform(sequence(lit(0), lit(bands - 1)),
+        b => fold(b, 1000003L) * 1073741824L + fold(b, 1000033L))
+      val diff = df.select(
+          LshBandKeys($"sig", bands, rpb).as("nat"),
+          composable.as("sql"))
+        .filter(not($"nat" === $"sql")).count()
+      assert(diff === 0, s"bands=$bands rpb=$rpb")
     }
   }
 
