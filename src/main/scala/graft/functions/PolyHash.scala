@@ -300,6 +300,20 @@ case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
     ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_band_keys"
 
+  // ArrayData.getLong on an array<int> (or a too-short array) reads
+  // raw UnsafeArrayData bytes — garbage, not an error — so reject the
+  // wrong element type at ANALYSIS time and short inputs at RUN time
+  // (the replaced element_at form degraded to null instead).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.sql}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     LshBandKeys.compute(input.asInstanceOf[ArrayData], bands, rowsPerBand)
 
@@ -320,6 +334,10 @@ object LshBandKeys {
   /** Shared eval/codegen kernel (public only for generated code). */
   def compute(sig: ArrayData, bands: Int,
               rowsPerBand: Int): GenericArrayData = {
+    if (sig.numElements < bands * rowsPerBand)
+      throw new IllegalArgumentException(
+        s"lsh_band_keys: signature has ${sig.numElements} elements, " +
+          s"needs bands*rowsPerBand = ${bands * rowsPerBand}")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {

@@ -823,6 +823,7 @@ object Graph {
     var visitedN = frontierN
     var h = 1
     var done = frontierN == 0L
+    try {
     while (!done && h <= maxHops) {
       // shuffle_hash on the frontier: once the frontier outgrows the
       // broadcast threshold (measured at the 100× probe decade) Spark
@@ -885,12 +886,16 @@ object Graph {
     }
     if (disk.isEmpty)
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adj)
-    // the returned visited table is checkpointed per round, so the
-    // scratch layout is droppable the moment the loop exits
-    disk.foreach(dir => deleteScratch(visited, dir))
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
     // the final visited checkpoint is the return value, caller-owned
     visited
+    } finally {
+      // the returned visited table is checkpointed per round, so the
+      // scratch layout is droppable the moment the loop exits — and
+      // it must not LEAK if the loop throws (job cancellation,
+      // executor loss), hence the finally (round-12 advice item)
+      disk.foreach(dir => deleteScratch(visited, dir))
+    }
   }
 
   /** Bounded-hop single/multi-source shortest path over an UNDIRECTED
@@ -932,6 +937,7 @@ object Graph {
     var distN = frontierN
     var h = 1
     var done = frontierN == 0L
+    try {
     while (!done && h <= maxHops) {
       // proposals from the frontier only; min per node, then keep
       // strict improvements vs the current distance table.
@@ -985,10 +991,13 @@ object Graph {
     }
     if (disk.isEmpty)
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(adj)
-    disk.foreach(dir => deleteScratch(dist, dir))
     if (frontier ne dist)
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(frontier)
     dist
+    } finally {
+      // scratch must not leak when the loop throws — see bfsHops
+      disk.foreach(dir => deleteScratch(dist, dir))
+    }
   }
 
   /** BOM EXPLOSION — weighted transitive closure over a DAG: for each

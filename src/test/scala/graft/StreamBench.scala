@@ -142,32 +142,45 @@ object StreamBench {
         (0 until txPer).map(t => tx(b, t)).mkString(","))
       val latch = new java.util.concurrent.CountDownLatch(writers)
       val tStart = System.nanoTime()
+      // a writer that dies on an uncaught IO exception must still
+      // count down (finally) and surface its error — otherwise the
+      // await below would hang forever instead of failing loudly
+      val writerErr =
+        new java.util.concurrent.atomic.AtomicReference[Throwable](null)
       (0 until writers).foreach { w =>
         val th = new Thread(() => {
-          var b = w
-          while (b < n) {
-            val due = tStart + b.toLong * tick
-            var now = System.nanoTime()
-            while (now < due) {
-              Thread.sleep(math.max(1L, (due - now) / 2000000L))
-              now = System.nanoTime()
+          try {
+            var b = w
+            while (b < n) {
+              val due = tStart + b.toLong * tick
+              var now = System.nanoTime()
+              while (now < due) {
+                Thread.sleep(math.max(1L, (due - now) / 2000000L))
+                now = System.nanoTime()
+              }
+              val block = s"""{"result":{"blockTime":${1700000000L + b},""" +
+                s""""transactions":[${bodyPool(b % 64)}]}}"""
+              val tmp = Paths.get(sdir.toString, f".b$b%06d.json.tmp")
+              Files.writeString(tmp, block)
+              landT.set(b, System.nanoTime())
+              Files.move(tmp, Paths.get(sdir.toString, f"b$b%06d.json"),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              b += writers
             }
-            val block = s"""{"result":{"blockTime":${1700000000L + b},""" +
-              s""""transactions":[${bodyPool(b % 64)}]}}"""
-            val tmp = Paths.get(sdir.toString, f".b$b%06d.json.tmp")
-            Files.writeString(tmp, block)
-            landT.set(b, System.nanoTime())
-            Files.move(tmp, Paths.get(sdir.toString, f"b$b%06d.json"),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            b += writers
-          }
-          latch.countDown()
+          } catch {
+            case t: Throwable => writerErr.compareAndSet(null, t)
+          } finally latch.countDown()
         })
         th.setDaemon(true)
         th.setName(s"streambench-feeder-$w")
         th.start()
       }
-      latch.await()
+      // feed takes ~secs by construction; 5 min of slack before we
+      // call the run wedged rather than slow
+      require(latch.await(secs + 300L, java.util.concurrent.TimeUnit.SECONDS),
+        s"feeder did not finish within ${secs + 300} s")
+      if (writerErr.get != null)
+        throw new RuntimeException("feeder thread failed", writerErr.get)
       val feedEnd = System.nanoTime()
       // drain: everything fed must come out; 120 s grace
       val deadline = feedEnd + 120L * 1000000000L
