@@ -9607,23 +9607,7 @@ object SparkEntry {
     // equality certifies the full parse: a one-bit misread of any
     // allocation, scalefactor or sample code shifts every later field.
     "q330_mpeg1_layer1" -> ((s, d) => {
-      val mk = udf((id: Long) => {
-        val kind = (id % 3).toInt
-        val mode = kind match { case 0 => 3; case 1 => 0; case _ => 1 }
-        // every 5th clip carries a real CRC-16 (protection_bit=0):
-        // the decoder VERIFIES it over header+allocation, and the
-        // oracle is untouched — a correct CRC must be transparent
-        graft.functions.Mpeg1Audio.encodeLayer1(
-          nFrames = 1 + (id % 2).toInt, brIdx = 14, fsIdx = 2,
-          mode = mode, modeExt = (id % 4).toInt,
-          withCrc = id % 5 == 0,
-          allocCode = (ch, sb) => if ((id + sb) % 3 == 0) 0
-            else 1 + ((id * 5 + sb * 7) % 8).toInt,
-          scfIdx = (ch, sb) => ((id * 7 + sb * 11 + ch * 3) % 63).toInt,
-          code = (f, t, ch, sb) =>
-            ((id * 97 + f * 31 + t * 13 + sb * 17 + ch * 29) % 65536)
-              .toInt)
-      })
+      val mk = udf(SparkEntry.l1FixturePayload _)
       val clips = Tables.documents(s, d).filter($"doc_id" < 40)
         .select($"doc_id", mk($"doc_id").as("payload"))
       Multimodal.decodeMpeg1Features(clips, "doc_id", "payload").toDF()
@@ -9631,6 +9615,30 @@ object SparkEntry {
           $"mode_code", $"n_channels", $"n_frames", $"n_samples",
           $"n_active", $"sum_abs_fp", $"peak_fp", $"last_fp")
         .orderBy($"doc_id")
+    }),
+
+    // MPEG-1 PCM TIER (round 13): the polyphase-synthesis seam
+    // crossed for everything that is MATH — §2.4.3.2.2's 64×32
+    // matrixing (closed-form cosines, fixed-pointed once as
+    // Mpeg1Audio.Nfp), the 1024-value V shift register's time
+    // alignment (generation 2m feeds U's low half, 2m+1 the high
+    // half) and the 16-tap windowed sum, run per channel over q330's
+    // EXACT fixture (same generator function). The 512-coefficient
+    // window is the documented structural stand-in for Table 3-B.3
+    // (spec literals unavailable offline; spec grid, peak, symmetry
+    // classes kept — see Mpeg1Audio.WindowD). The oracle replays the
+    // whole convolution RELATIONALLY against the decoder's own
+    // Nfp/WindowD integers (q332Nfp/q332Win below), so hash equality
+    // certifies matrixing, the shift-register alignment, the U index
+    // map and the windowed sum for every 32-sample group.
+    "q332_mpeg1_pcm" -> ((s, d) => {
+      val mk = udf(SparkEntry.l1FixturePayload _)
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeMpeg1Pcm(clips, "doc_id", "payload").toDF()
+        .select($"id".as("doc_id"), $"ch", $"t", $"sum_abs_pcm",
+          $"peak_pcm", $"last_pcm")
+        .orderBy($"doc_id", $"ch", $"t")
     }),
 
     // MPEG-1 AUDIO LAYER II (ISO 11172-3) — the round-11 seam item
@@ -9647,33 +9655,7 @@ object SparkEntry {
     // whole parse: allocation widths, scfsi branch, grouping digits,
     // intensity bound and table selection included.
     "q331_mpeg1_layer2" -> ((s, d) => {
-      val mk = udf((id: Long) => {
-        val kind = (id % 3).toInt
-        val v = (id % 4).toInt
-        val mode = kind match { case 0 => 3; case 1 => 0; case _ => 1 }
-        val fsIdx = Array(1, 0, 1, 2)(v)
-        val brIdx = if (mode == 3) Array(10, 10, 2, 2)(v)
-          else Array(14, 14, 6, 6)(v)
-        val M = graft.functions.Mpeg1Audio
-        val nCh = if (mode == 3) 1 else 2
-        val tab = M.l2AllocTable(fsIdx, M.BitrateL2(brIdx) / nCh)
-        def cap(nbal: Int) =
-          nbal match { case 2 => 2; case 3 => 6; case _ => 7 }
-        // every 5th clip carries a verified CRC-16 (see q330)
-        M.encodeLayer2(
-          nFrames = 1 + (id % 2).toInt, brIdx = brIdx, fsIdx = fsIdx,
-          mode = mode, modeExt = ((id / 3) % 4).toInt,
-          withCrc = id % 5 == 0,
-          allocIdx = (ch, sb) => if ((id + sb) % 2 == 0) 0
-            else 1 + ((id * 5 + sb * 7 + ch * 3) %
-              cap(M.L2Nbal(tab)(sb))).toInt,
-          scfsiOf = (ch, sb) => ((id * 3 + sb * 5 + ch * 7) % 4).toInt,
-          scfIdx = (ch, sb, p) =>
-            ((id * 7 + sb * 11 + ch * 3 + p * 19) % 63).toInt,
-          code = (f, gr, i, ch, sb) =>
-            ((id * 97 + f * 31 + gr * 13 + i * 41 + sb * 17 + ch * 29) %
-              65536).toInt)
-      })
+      val mk = udf(SparkEntry.l2FixturePayload _)
       val clips = Tables.documents(s, d).filter($"doc_id" < 40)
         .select($"doc_id", mk($"doc_id").as("payload"))
       Multimodal.decodeMpeg1L2Features(clips, "doc_id", "payload").toDF()
@@ -9682,6 +9664,23 @@ object SparkEntry {
           $"n_frames", $"n_samples", $"n_active", $"n_scf",
           $"sum_abs_fp", $"peak_fp", $"last_fp")
         .orderBy($"doc_id")
+    }),
+
+    // Layer II PCM (round 13, q332's twin): the SAME SynthState — one
+    // V register per channel, 36 groups per frame (granule·3 + i) —
+    // over q331's exact fixture, so the synthesis machinery is
+    // certified against BOTH layers' sample layouts (grouped
+    // codewords, scfsi parts and the 3-B.2 tables all feed the
+    // matrixing input here). Oracle = q331's symbolic replay prefix +
+    // q332's relational convolution suffix.
+    "q333_mpeg1_l2_pcm" -> ((s, d) => {
+      val mk = udf(SparkEntry.l2FixturePayload _)
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      Multimodal.decodeMpeg1L2Pcm(clips, "doc_id", "payload").toDF()
+        .select($"id".as("doc_id"), $"ch", $"t", $"sum_abs_pcm",
+          $"peak_pcm", $"last_pcm")
+        .orderBy($"doc_id", $"ch", $"t")
     })
   )
 
@@ -18667,8 +18666,228 @@ object SparkEntry {
         |JOIN agg a ON a.doc_id = d2.doc_id
         |JOIN lastv l ON l.doc_id = d2.doc_id
         |JOIN act c ON c.doc_id = d2.doc_id
-        |ORDER BY d2.doc_id""".stripMargin
+        |ORDER BY d2.doc_id""".stripMargin,
+
+    // q332: the PCM tier replayed RELATIONALLY. The d/sbs/smp/dq
+    // prefix is q330's fixture replay verbatim (same generators, same
+    // QSF constants) with the global group index tau = f·12 + t; then
+    // the synthesis becomes a finite convolution: matrixing is a
+    // 64-position × allocated-subband join-free aggregate against the
+    // embedded Nfp integers (shifted >> 16 exactly as the decoder —
+    // DuckDB's BIGINT >> is arithmetic/floor, verified identical to
+    // Java's), and each output group's 16-tap windowed sum reads V
+    // generations tau−2m (low half, positions j) and tau−2m−1 (high
+    // half, positions 32+j) through LEFT JOINs with COALESCE 0 — the
+    // spec's zero-seeded shift register. One row per (clip, channel,
+    // group): a one-position misalignment of ANY V generation, window
+    // tap or U index shifts every downstream hash.
+    "q332_mpeg1_pcm" -> s"""WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
+        |    CAST(1 + doc_id % 2 AS INT) AS nfr,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN (1 + doc_id % 4) * 4
+        |      ELSE 32 END AS INT) AS bound,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+        |      AS nch
+        |  FROM documents WHERE doc_id < 40),
+        |sbs AS (
+        |  SELECT doc_id, kind, nfr, bound, nch, sbx.sb,
+        |    CAST(2 + ((doc_id * 5 + sbx.sb * 7) % 8) AS INT) AS nb
+        |  FROM d, unnest(range(0, 32)) sbx(sb)
+        |  WHERE (doc_id + sbx.sb) % 3 <> 0),
+        |smp AS (
+        |  SELECT s.doc_id, fx.f * 12 + tx.t AS tau, s.sb, chx.ch, s.nb,
+        |    CAST((s.doc_id * 7 + s.sb * 11 + chx.ch * 3) % 63 AS INT)
+        |      AS scf,
+        |    CASE WHEN s.sb >= s.bound
+        |      THEN (s.doc_id * 97 + fx.f * 31 + tx.t * 13 + s.sb * 17)
+        |        % (1 << s.nb)
+        |      ELSE (s.doc_id * 97 + fx.f * 31 + tx.t * 13 + s.sb * 17
+        |        + chx.ch * 29) % (1 << s.nb)
+        |    END AS c
+        |  FROM sbs s, unnest(range(0, s.nfr)) fx(f),
+        |    unnest(range(0, 12)) tx(t), unnest(range(0, s.nch)) chx(ch)),
+        |dq AS (
+        |  SELECT doc_id, tau, sb, ch,
+        |    (2 * c + 2 - (1 << nb)) *
+        |      ($q330Qsf)[scf * 8 + nb - 1] AS sfp
+        |  FROM smp),
+        |vg AS (
+        |  SELECT doc_id, ch, tau, ix.i,
+        |    (CAST(sum(($q332Nfp)[ix.i * 32 + sb + 1] * sfp) AS BIGINT)
+        |      >> 16) AS v
+        |  FROM dq, unnest(range(0, 64)) ix(i)
+        |  GROUP BY doc_id, ch, tau, ix.i),
+        |grid AS (
+        |  SELECT d.doc_id, chx.ch, tx.tau, jx.j, mx.m
+        |  FROM d, unnest(range(0, d.nch)) chx(ch),
+        |    unnest(range(0, d.nfr * 12)) tx(tau),
+        |    unnest(range(0, 32)) jx(j), unnest(range(0, 8)) mx(m)),
+        |pcm AS (
+        |  SELECT g.doc_id, g.ch, g.tau, g.j,
+        |    sum(($q332Win)[g.j + 64 * g.m + 1] * COALESCE(va.v, 0)
+        |      + ($q332Win)[g.j + 64 * g.m + 33] * COALESCE(vb.v, 0))
+        |      AS p
+        |  FROM grid g
+        |  LEFT JOIN vg va ON va.doc_id = g.doc_id AND va.ch = g.ch
+        |    AND va.tau = g.tau - 2 * g.m AND va.i = g.j
+        |  LEFT JOIN vg vb ON vb.doc_id = g.doc_id AND vb.ch = g.ch
+        |    AND vb.tau = g.tau - 2 * g.m - 1 AND vb.i = 32 + g.j
+        |  GROUP BY g.doc_id, g.ch, g.tau, g.j)
+        |SELECT doc_id, CAST(ch AS INT) AS ch, CAST(tau AS INT) AS t,
+        |  CAST(sum(abs(p)) AS BIGINT) AS sum_abs_pcm,
+        |  CAST(max(abs(p)) AS BIGINT) AS peak_pcm,
+        |  CAST(max(CASE WHEN j = 31 THEN p END) AS BIGINT) AS last_pcm
+        |FROM pcm GROUP BY doc_id, ch, tau
+        |ORDER BY doc_id, ch, tau""".stripMargin,
+
+    // q333: Layer II PCM — q331's symbolic fixture replay (allocation
+    // tables, scfsi parts, grouped-codeword digits, 3-B.4 dequant)
+    // down to dq, with the global group index tau = f·36 + gr·3 + i,
+    // then q332's relational synthesis convolution verbatim. Subbands
+    // at or above the table's sblimit carry no rows — the decoder
+    // zero-pads them into the matrixing, and an absent row sums as 0
+    // on this side too.
+    "q333_mpeg1_l2_pcm" -> s"""WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
+        |    CAST(doc_id % 4 AS INT) AS v,
+        |    CAST((doc_id // 3) % 4 AS INT) AS ext,
+        |    CAST(1 + doc_id % 2 AS INT) AS nfr,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+        |      AS nch
+        |  FROM documents WHERE doc_id < 40),
+        |d2 AS (
+        |  SELECT d.*, v AS tab,
+        |    CAST(([27,30,8,12])[v + 1] AS INT) AS sblimit,
+        |    CAST(CASE WHEN kind = 2
+        |      THEN least((ext + 1) * 4, ([27,30,8,12])[v + 1])
+        |      ELSE ([27,30,8,12])[v + 1] END AS INT) AS bound
+        |  FROM d),
+        |slots AS (
+        |  SELECT d2.doc_id, d2.nfr, d2.nch, d2.tab, d2.bound, sbx.sb,
+        |    chx.ch,
+        |    ($q331Cls)[ ($q331Row)[tab * 30 + sbx.sb + 1] * 16
+        |      + 1 + ((doc_id * 5 + sbx.sb * 7 +
+        |          (CASE WHEN sbx.sb >= bound AND nch = 2 THEN 0
+        |            ELSE chx.ch END) * 3)
+        |        % (CASE ($q331Nbal)[tab * 30 + sbx.sb + 1]
+        |            WHEN 2 THEN 2 WHEN 3 THEN 6 ELSE 7 END)) + 1 ]
+        |      AS cls,
+        |    CAST((doc_id * 3 + sbx.sb * 5 + chx.ch * 7) % 4 AS INT)
+        |      AS scfsi
+        |  FROM d2, unnest(range(0, d2.sblimit)) sbx(sb),
+        |    unnest(range(0, d2.nch)) chx(ch)
+        |  WHERE (doc_id + sbx.sb) % 2 = 1),
+        |slots2 AS (
+        |  SELECT s.*, ($q331Steps)[cls] AS steps,
+        |    ($q331Bits)[cls] AS bits, ($q331Grp)[cls] AS grp
+        |  FROM slots s),
+        |smp AS (
+        |  SELECT s.doc_id, fx.f * 36 + gx.gr * 3 + ix.i AS tau, s.sb,
+        |    s.ch, s.cls, s.steps,
+        |    CASE s.scfsi
+        |      WHEN 0 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3
+        |        + (gx.gr // 4) * 19) % 63
+        |      WHEN 1 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3
+        |        + (CASE WHEN gx.gr < 8 THEN 0 ELSE 2 END) * 19) % 63
+        |      WHEN 2 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3) % 63
+        |      ELSE (s.doc_id * 7 + s.sb * 11 + s.ch * 3
+        |        + (CASE WHEN gx.gr < 4 THEN 0 ELSE 1 END) * 19) % 63
+        |    END AS scf,
+        |    CASE WHEN s.grp = 1
+        |      THEN ((s.doc_id * 97 + fx.f * 31 + gx.gr * 13 + ix.i * 41
+        |        + s.sb * 17 + (CASE WHEN s.sb >= s.bound AND s.nch = 2
+        |          THEN 0 ELSE s.ch END) * 29) % 65536) % s.steps
+        |      ELSE ((s.doc_id * 97 + fx.f * 31 + gx.gr * 13 + ix.i * 41
+        |        + s.sb * 17 + (CASE WHEN s.sb >= s.bound AND s.nch = 2
+        |          THEN 0 ELSE s.ch END) * 29) % 65536) % (1 << s.bits)
+        |    END AS c
+        |  FROM slots2 s, unnest(range(0, s.nfr)) fx(f),
+        |    unnest(range(0, 12)) gx(gr), unnest(range(0, 3)) ix(i)),
+        |dq AS (
+        |  SELECT doc_id, tau, sb, ch,
+        |    (2 * c + 1 - steps) * ($q331Qsf2)[scf * 17 + cls] AS sfp
+        |  FROM smp),
+        |vg AS (
+        |  SELECT doc_id, ch, tau, ix.i,
+        |    (CAST(sum(($q332Nfp)[ix.i * 32 + sb + 1] * sfp) AS BIGINT)
+        |      >> 16) AS v
+        |  FROM dq, unnest(range(0, 64)) ix(i)
+        |  GROUP BY doc_id, ch, tau, ix.i),
+        |grid AS (
+        |  SELECT d.doc_id, chx.ch, tx.tau, jx.j, mx.m
+        |  FROM d, unnest(range(0, d.nch)) chx(ch),
+        |    unnest(range(0, d.nfr * 36)) tx(tau),
+        |    unnest(range(0, 32)) jx(j), unnest(range(0, 8)) mx(m)),
+        |pcm AS (
+        |  SELECT g.doc_id, g.ch, g.tau, g.j,
+        |    sum(($q332Win)[g.j + 64 * g.m + 1] * COALESCE(va.v, 0)
+        |      + ($q332Win)[g.j + 64 * g.m + 33] * COALESCE(vb.v, 0))
+        |      AS p
+        |  FROM grid g
+        |  LEFT JOIN vg va ON va.doc_id = g.doc_id AND va.ch = g.ch
+        |    AND va.tau = g.tau - 2 * g.m AND va.i = g.j
+        |  LEFT JOIN vg vb ON vb.doc_id = g.doc_id AND vb.ch = g.ch
+        |    AND vb.tau = g.tau - 2 * g.m - 1 AND vb.i = 32 + g.j
+        |  GROUP BY g.doc_id, g.ch, g.tau, g.j)
+        |SELECT doc_id, CAST(ch AS INT) AS ch, CAST(tau AS INT) AS t,
+        |  CAST(sum(abs(p)) AS BIGINT) AS sum_abs_pcm,
+        |  CAST(max(abs(p)) AS BIGINT) AS peak_pcm,
+        |  CAST(max(CASE WHEN j = 31 THEN p END) AS BIGINT) AS last_pcm
+        |FROM pcm GROUP BY doc_id, ch, tau
+        |ORDER BY doc_id, ch, tau""".stripMargin
   )
+
+  /** q330/q332's SHARED Layer I fixture generator — one function so
+    * the subband-tier and PCM-tier queries decode the SAME bytes by
+    * construction. Every 5th clip carries a real CRC-16
+    * (protection_bit = 0): the decoder VERIFIES it over
+    * header+allocation, and the oracle is untouched — a correct CRC
+    * must be transparent. */
+  private[graft] def l1FixturePayload(id: Long): Array[Byte] = {
+    val kind = (id % 3).toInt
+    val mode = kind match { case 0 => 3; case 1 => 0; case _ => 1 }
+    graft.functions.Mpeg1Audio.encodeLayer1(
+      nFrames = 1 + (id % 2).toInt, brIdx = 14, fsIdx = 2,
+      mode = mode, modeExt = (id % 4).toInt,
+      withCrc = id % 5 == 0,
+      allocCode = (ch, sb) => if ((id + sb) % 3 == 0) 0
+        else 1 + ((id * 5 + sb * 7) % 8).toInt,
+      scfIdx = (ch, sb) => ((id * 7 + sb * 11 + ch * 3) % 63).toInt,
+      code = (f, t, ch, sb) =>
+        ((id * 97 + f * 31 + t * 13 + sb * 17 + ch * 29) % 65536)
+          .toInt)
+  }
+
+  /** q331/q333's SHARED Layer II fixture generator (the
+    * [[l1FixturePayload]] pattern): variant v = id%4 hits each of the
+    * four 3-B.2 tables via the spec's (fs, bitrate/channel) table
+    * selection; every 5th clip carries a verified CRC-16. */
+  private[graft] def l2FixturePayload(id: Long): Array[Byte] = {
+    val kind = (id % 3).toInt
+    val v = (id % 4).toInt
+    val mode = kind match { case 0 => 3; case 1 => 0; case _ => 1 }
+    val fsIdx = Array(1, 0, 1, 2)(v)
+    val brIdx = if (mode == 3) Array(10, 10, 2, 2)(v)
+      else Array(14, 14, 6, 6)(v)
+    val M = graft.functions.Mpeg1Audio
+    val nCh = if (mode == 3) 1 else 2
+    val tab = M.l2AllocTable(fsIdx, M.BitrateL2(brIdx) / nCh)
+    def cap(nbal: Int) =
+      nbal match { case 2 => 2; case 3 => 6; case _ => 7 }
+    M.encodeLayer2(
+      nFrames = 1 + (id % 2).toInt, brIdx = brIdx, fsIdx = fsIdx,
+      mode = mode, modeExt = ((id / 3) % 4).toInt,
+      withCrc = id % 5 == 0,
+      allocIdx = (ch, sb) => if ((id + sb) % 2 == 0) 0
+        else 1 + ((id * 5 + sb * 7 + ch * 3) %
+          cap(M.L2Nbal(tab)(sb))).toInt,
+      scfsiOf = (ch, sb) => ((id * 3 + sb * 5 + ch * 7) % 4).toInt,
+      scfIdx = (ch, sb, p) =>
+        ((id * 7 + sb * 11 + ch * 3 + p * 19) % 63).toInt,
+      code = (f, gr, i, ch, sb) =>
+        ((id * 97 + f * 31 + gr * 13 + i * 41 + sb * 17 + ch * 29) %
+          65536).toInt)
+  }
 
   /** The [[graft.functions.Mpeg1Audio.QSF]] slice q330's oracle
     * multiplies with — nb 2..9 per scalefactor index, flattened
@@ -18712,6 +18931,22 @@ object SparkEntry {
   private lazy val q331Qsf2: String =
     (for (scf <- 0 until 63; cls <- 1 to 17)
       yield graft.functions.Mpeg1Audio.QSF2(scf)(cls).toString)
+      .mkString("[", ",", "]")
+
+  /** q332's synthesis constants, interpolated from the decoder's own
+    * arrays (the q330Qsf pattern): the 64×32 matrixing integers
+    * flattened i-major (`[i*32 + sb + 1]`, 1-based) and the 512
+    * window taps (`[pos + 1]`). Decoder and oracle share BOTH tables
+    * by construction — including the Table 3-B.3 stand-in, so the
+    * two engines cannot disagree with each other even while the
+    * window literals await the spec's (see
+    * [[graft.functions.Mpeg1Audio.WindowD]]). */
+  private lazy val q332Nfp: String =
+    (for (i <- 0 until 64; k <- 0 until 32)
+      yield graft.functions.Mpeg1Audio.Nfp(i)(k).toString)
+      .mkString("[", ",", "]")
+  private lazy val q332Win: String =
+    (0 until 512).map(graft.functions.Mpeg1Audio.WindowD(_).toString)
       .mkString("[", ",", "]")
 
   /** q105's oracle — the FULL BPE pipeline under the hash oracle:

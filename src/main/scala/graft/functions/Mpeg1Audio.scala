@@ -48,17 +48,36 @@ package graft.functions
   * (2c+2−2^nb)·QSF; for grouped steps 3/5/9 the spec's C = 2^nb/steps,
   * D = 1/2 reduce to the same 2c+1−steps numerator).
   *
+  * PCM TIER (round 13): the polyphase SYNTHESIS of §2.4.3.2.2 is
+  * implemented in exact integer arithmetic ([[SynthState]],
+  * [[decodePcm]]/[[decodeL2Pcm]]): the 64×32 matrixing
+  * N(i,k) = cos((16+i)(2k+1)π/64) is CLOSED-FORM spec math,
+  * fixed-pointed once as [[Nfp]] = round(2^16·N) (StrictMath, bit-
+  * deterministic, argument reduced mod 128 half-turns first), the
+  * V/U shift-register and the 16-tap windowed sum follow the spec
+  * figure verbatim, and every intermediate is a Long with proven
+  * headroom (see [[SynthState.processGroup]]). q332 hash-oracles the
+  * whole tier: the DuckDB oracle replays matrixing + windowing as a
+  * relational convolution against the SAME embedded Nfp/[[WindowD]]
+  * integer tables.
+  *
   * SEAM (documented, like the image-lib seam in
-  * [[graft.operators.Multimodal]]): the PCM polyphase SYNTHESIS
-  * (Table 3-B.3's 512-coefficient window — a numeric table with no
-  * closed form) and the MDCT-class codecs (Layer III, AAC) are NOT
-  * implemented. Everything on THIS side — sync walking, header
-  * fields, frame sizing, allocation/scfsi/scalefactor/sample bit
-  * layout for BOTH layers, intensity bound, grouping, exact
-  * dequantization — is spec semantics with embedded public spec
-  * tables, hash-oracled end to end by q330 (Layer I) and q331
-  * (Layer II). A Layer III header parses (fields + frame length)
-  * but returns None.
+  * [[graft.operators.Multimodal]]), now narrowed to DATA ONLY: the
+  * LITERAL 512 coefficient values of Table 3-B.3 are a numeric table
+  * with no closed form, and they are not reproducible in this
+  * offline build environment — so [[WindowD]] ships a clearly-marked
+  * deterministic STAND-IN with the spec table's structure (multiples
+  * of 2^-16, D[0] = 0, peak 75038/2^16 at the center, the half-table
+  * symmetry D[512−i] = −D[i] except at i ≡ 0 mod 64): swap the 257
+  * half-table values for the spec's and every downstream number is
+  * bit-true ISO output with NO code change. MDCT-class codecs
+  * (Layer III, AAC) remain out of scope. Everything else — sync
+  * walking, header fields, frame sizing, allocation/scfsi/
+  * scalefactor/sample bit layout for BOTH layers, intensity bound,
+  * grouping, exact dequantization, matrixing, windowing — is spec
+  * semantics, hash-oracled end to end by q330/q331 (subband tier)
+  * and q332 (PCM tier). A Layer III header parses (fields + frame
+  * length) but returns None.
   */
 object Mpeg1Audio {
 
@@ -141,23 +160,33 @@ object Mpeg1Audio {
     }
   }
 
-  /** Decode a payload of back-to-back Layer I frames (byte-aligned
-    * sync, the shape real .mp1/.mp2 streams have). Returns None for
-    * anything malformed or beyond the Layer I seam — data, not an
-    * exception (the [[FlacAudio.decode]] contract). */
-  def decode(b: Array[Byte]): Option[Features] =
+  /** One parsed Layer I frame: the intensity bound, the per-(channel,
+    * subband) sample width (0 = silent), and the DENSE dequantized
+    * fixed-point samples `sfp(t)(sb)(ch)` (0 where silent) — the
+    * common input of the stats walk ([[decode]]) and the polyphase
+    * synthesis ([[decodePcm]]). */
+  private final class L1Frame(val bound: Int,
+                              val alloc: Array[Array[Int]],
+                              val sfp: Array[Array[Array[Long]]])
+
+  private final class L1Parsed(val sampleRate: Int, val bitrate: Int,
+                               val modeCode: Int, val nCh: Int,
+                               val frames: Vector[L1Frame])
+
+  /** Shared Layer I frame walker — header fields, frame sizing, CRC
+    * verification, allocation / scalefactor / sample bit layout and
+    * the exact dequantization, exactly as before the round-13 split
+    * (the [[decode]] stats derived from the dense arrays are pinned
+    * byte-identical by the q330 hash oracle across the refactor). */
+  private def parseL1(b: Array[Byte]): Option[L1Parsed] =
     try {
       var off = 0
-      var nFrames = 0
-      var nSamples = 0L
-      var nActive = 0L
-      var sumAbs = 0L
-      var peak = 0L
-      var last = 0L
       var sampleRate = 0
       var bitrate = 0
       var modeCode = -1
       var nCh = 0
+      val frames = Vector.newBuilder[L1Frame]
+      var nFrames = 0
       while (off + 4 <= b.length) {
         val h = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
           ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
@@ -197,7 +226,6 @@ object Mpeg1Audio {
               if (crc != null) crc.feed(a, 4)
               if (a == 15) bail()
               alloc(ch)(sb) = if (a == 0) 0 else a + 1
-              if (a != 0) nActive += 1
               ch += 1
             }
           } else {
@@ -206,7 +234,6 @@ object Mpeg1Audio {
             if (a == 15) bail()
             alloc(0)(sb) = if (a == 0) 0 else a + 1
             alloc(1)(sb) = alloc(0)(sb)
-            if (a != 0) nActive += 2
           }
           sb += 1
         }
@@ -231,6 +258,7 @@ object Mpeg1Audio {
         }
         // samples: 12 granule steps × subbands × channels (shared
         // codes above the intensity bound)
+        val sfp = Array.ofDim[Long](12, 32, 2)
         var t = 0
         while (t < 12) {
           sb = 0
@@ -239,14 +267,8 @@ object Mpeg1Audio {
               var ch = 0
               while (ch < nCh) {
                 val nb = alloc(ch)(sb)
-                if (nb != 0) {
-                  val c = r.bits(nb)
-                  val s = dequantFp(c, nb, scf(ch)(sb))
-                  nSamples += 1
-                  sumAbs += math.abs(s)
-                  if (math.abs(s) > peak) peak = math.abs(s)
-                  last = s
-                }
+                if (nb != 0)
+                  sfp(t)(sb)(ch) = dequantFp(r.bits(nb), nb, scf(ch)(sb))
                 ch += 1
               }
             } else if (alloc(0)(sb) != 0) {
@@ -254,11 +276,7 @@ object Mpeg1Audio {
               val c = r.bits(nb)
               var ch = 0
               while (ch < 2) { // both channels, own scalefactor each
-                val s = dequantFp(c, nb, scf(ch)(sb))
-                nSamples += 1
-                sumAbs += math.abs(s)
-                if (math.abs(s) > peak) peak = math.abs(s)
-                last = s
+                sfp(t)(sb)(ch) = dequantFp(c, nb, scf(ch)(sb))
                 ch += 1
               }
             }
@@ -266,13 +284,208 @@ object Mpeg1Audio {
           }
           t += 1
         }
+        frames += new L1Frame(bound, alloc, sfp)
         nFrames += 1
         off += frameLen // remaining frame bits are ancillary data
       }
       if (nFrames == 0 || off != b.length) bail()
-      Some(Features(sampleRate, bitrate, modeCode, nCh, nFrames,
-        nSamples, nActive, sumAbs, peak, last))
+      Some(new L1Parsed(sampleRate, bitrate, modeCode, nCh,
+        frames.result()))
     } catch { case _: ParseEx | _: ArrayIndexOutOfBoundsException => None }
+
+  /** Decode a payload of back-to-back Layer I frames (byte-aligned
+    * sync, the shape real .mp1/.mp2 streams have) to the subband-
+    * sample stats tier. Returns None for anything malformed or beyond
+    * the seam — data, not an exception (the [[FlacAudio.decode]]
+    * contract). Stats walk the dense arrays in the original sample-
+    * instance order (t, sb, ch-innermost), so `lastFp` and the counts
+    * are bit-identical to the pre-refactor single pass. */
+  def decode(b: Array[Byte]): Option[Features] =
+    parseL1(b).map { p =>
+      var nSamples = 0L
+      var nActive = 0L
+      var sumAbs = 0L
+      var peak = 0L
+      var last = 0L
+      p.frames.foreach { fr =>
+        var sb = 0
+        while (sb < 32) { // allocated slot count: shared bands copied
+          var ch = 0     // alloc(1) = alloc(0), so the loop counts 2
+          while (ch < p.nCh) {
+            if (fr.alloc(ch)(sb) != 0) nActive += 1
+            ch += 1
+          }
+          sb += 1
+        }
+        var t = 0
+        while (t < 12) {
+          sb = 0
+          while (sb < 32) {
+            var ch = 0
+            while (ch < p.nCh) {
+              if (fr.alloc(ch)(sb) != 0) {
+                val s = fr.sfp(t)(sb)(ch)
+                nSamples += 1
+                sumAbs += math.abs(s)
+                if (math.abs(s) > peak) peak = math.abs(s)
+                last = s
+              }
+              ch += 1
+            }
+            sb += 1
+          }
+          t += 1
+        }
+      }
+      Features(p.sampleRate, p.bitrate, p.modeCode, p.nCh,
+        p.frames.length, nSamples, nActive, sumAbs, peak, last)
+    }
+
+  // -------------------------------------------------------------------
+  // Polyphase synthesis (ISO/IEC 11172-3 §2.4.3.2.2) — the PCM tier.
+  // -------------------------------------------------------------------
+
+  /** Matrixing constants Nfp(i)(k) = round(2^16 · cos((16+i)(2k+1)π/64))
+    * — the spec's 64×32 matrix N, CLOSED-FORM spec math fixed-pointed
+    * at 2^16. The integer argument (16+i)(2k+1) is reduced mod 128
+    * half-π/64-turns BEFORE the double multiply (cos has period 128 in
+    * these units), so StrictMath.cos sees arguments in [0, 2π) — bit-
+    * deterministic on every JVM and free of large-argument reduction
+    * error. q332's oracle interpolates these very integers. */
+  val Nfp: Array[Array[Long]] = Array.tabulate(64, 32) { (i, k) =>
+    val a = ((16 + i) * (2 * k + 1)) % 128
+    Math.round(65536.0 * StrictMath.cos(a * (Math.PI / 64.0)))
+  }
+
+  /** The 512-coefficient synthesis window, 2^16 fixed-point.
+    *
+    * DOCUMENTED DATA STAND-IN — this is the ONE piece of the audio
+    * tier that is not the ISO table verbatim: Table 3-B.3's literal
+    * values have no closed form and are not reproducible in this
+    * offline build environment (no spec text, no codec library to
+    * read them from). The stand-in keeps every STRUCTURAL property of
+    * the spec table so it is drop-in replaceable: all values are
+    * integer multiples of 2^-16 (the spec table's own grid), D(0) = 0,
+    * the peak is 75038 = round(1.144989014·2^16) at the center tap,
+    * and the second half obeys the spec's symmetry classes
+    * D(512−i) = −D(i) for i ≢ 0 (mod 64), D(512−i) = +D(i) for
+    * i ≡ 0 (mod 64). The half-table body is a Hann-windowed sinc at
+    * the filterbank's nominal prototype cutoff π/64 — the same filter
+    * class the spec window is a (ripple-optimized) member of. Swap
+    * the 257 half-table values for the spec's and decoder AND oracle
+    * are bit-true ISO (the oracle embeds THIS array, so the two can
+    * never disagree with each other). */
+  val WindowD: Array[Long] = {
+    val d = new Array[Long](512)
+    var i = 0
+    while (i <= 256) {
+      val x = (i - 256) / 64.0
+      val sinc =
+        if (i == 256) 1.0
+        else StrictMath.sin(Math.PI * x) / (Math.PI * x)
+      val hann = 0.5 * (1.0 - StrictMath.cos(2.0 * Math.PI * i / 512.0))
+      d(i) = Math.round(75038.0 * sinc * hann)
+      i += 1
+    }
+    i = 1
+    while (i < 256) {
+      d(512 - i) = if (i % 64 == 0) d(i) else -d(i)
+      i += 1
+    }
+    d
+  }
+
+  /** Per-channel synthesis state: the spec's 1024-value V shift
+    * register. [[processGroup]] is §2.4.3.2.2 verbatim in exact
+    * integer arithmetic:
+    *
+    *  1. shift V by 64;
+    *  2. matrixing V(i) = (Σ_k Nfp(i,k)·S(k)) >> 16 — the >> 16
+    *     (arithmetic = floor, replayed in the oracle as DuckDB's
+    *     BIGINT `>>`, verified floor-identical) drops the matrix's
+    *     2^16 scale so V stays in the subband samples' own 2^16
+    *     fixed-point domain. Headroom: |S| ≤ 2^18, so
+    *     |Σ| ≤ 32·2^16·2^18 = 2^39 — exact in a Long;
+    *  3. the U map U(64m+j) = V(128m+j), U(64m+32+j) = V(128m+96+j)
+    *     and the windowed 16-tap sum
+    *     pcm(j) = Σ_{m<8} D(j+64m)·V(128m+j) + D(j+64m+32)·V(128m+96+j)
+    *     fused into one loop. Headroom: |V| ≤ 2^23, |D| ≤ 2^17, 16
+    *     terms → |pcm| ≤ 2^44 — exact in a Long, in the 2^32
+    *     fixed-point domain (sample 2^16 × window 2^16).
+    */
+  final class SynthState {
+    private val v = new Array[Long](1024)
+    def processGroup(s: Array[Long], out: Array[Long]): Unit = {
+      System.arraycopy(v, 0, v, 64, 960)
+      var i = 0
+      while (i < 64) {
+        val n = Nfp(i)
+        var acc = 0L
+        var k = 0
+        while (k < 32) { acc += n(k) * s(k); k += 1 }
+        v(i) = acc >> 16
+        i += 1
+      }
+      var j = 0
+      while (j < 32) {
+        var acc = 0L
+        var m = 0
+        while (m < 8) {
+          acc += WindowD(j + 64 * m) * v(128 * m + j)
+          acc += WindowD(j + 64 * m + 32) * v(128 * m + 96 + j)
+          m += 1
+        }
+        out(j) = acc
+        j += 1
+      }
+    }
+  }
+
+  /** Per-(channel, group) PCM statistics in the 2^32 fixed-point
+    * domain, integer-exact: one row per 32-sample synthesis output.
+    * `t` is the GLOBAL group index (frame·12 + granule for Layer I),
+    * `last` is pcm(31) — with sum/peak it pins the full 64×32-tap +
+    * 16-tap convolution cross-engine. */
+  case class PcmGroup(ch: Int, t: Int, sumAbs: Long, peak: Long,
+                      last: Long)
+
+  /** Layer I decode THROUGH the polyphase synthesis: one [[PcmGroup]]
+    * per (channel, 32-sample group), groups in stream order per
+    * channel (each channel runs its own V register, seeded zero as
+    * the spec prescribes). None exactly when [[decode]] is None. */
+  def decodePcm(b: Array[Byte]): Option[Seq[PcmGroup]] =
+    parseL1(b).map { p =>
+      val out = Vector.newBuilder[PcmGroup]
+      var ch = 0
+      while (ch < p.nCh) {
+        val st = new SynthState
+        val s = new Array[Long](32)
+        val pcm = new Array[Long](32)
+        var tau = 0
+        p.frames.foreach { fr =>
+          var t = 0
+          while (t < 12) {
+            var sb = 0
+            while (sb < 32) { s(sb) = fr.sfp(t)(sb)(ch); sb += 1 }
+            st.processGroup(s, pcm)
+            var sumAbs = 0L
+            var peak = 0L
+            var j = 0
+            while (j < 32) {
+              val a = math.abs(pcm(j))
+              sumAbs += a
+              if (a > peak) peak = a
+              j += 1
+            }
+            out += PcmGroup(ch, tau, sumAbs, peak, pcm(31))
+            tau += 1
+            t += 1
+          }
+        }
+        ch += 1
+      }
+      out.result()
+    }
 
   /** MSB-first bit writer (fixture synthesis). */
   private final class BitWriter {
@@ -499,24 +712,36 @@ object Mpeg1Audio {
                        nScf: Long, sumAbsFp: Long, peakFp: Long,
                        lastFp: Long)
 
-  /** Decode a payload of back-to-back Layer II frames. Same contract
-    * as [[decode]]: None for anything malformed or beyond the seam
-    * (Layer I/III headers included — one payload, one layer). */
-  def decodeL2(b: Array[Byte]): Option[Features2] =
+  /** One parsed Layer II frame: quantizer classes per (channel,
+    * subband) and the DENSE dequantized samples `sfp(g)(sb)(ch)` for
+    * the frame's 36 sample groups g = granule·3 + i — the common
+    * input of [[decodeL2]]'s stats walk and [[decodeL2Pcm]]'s
+    * synthesis. */
+  private final class L2Frame(val cls: Array[Array[Int]],
+                              val sfp: Array[Array[Array[Long]]])
+
+  private final class L2Parsed(val sampleRate: Int, val bitrate: Int,
+                               val modeCode: Int, val nCh: Int,
+                               val tabId: Int, val nActive: Long,
+                               val nScf: Long,
+                               val frames: Vector[L2Frame])
+
+  /** Shared Layer II frame walker — identical bit layout, CRC, table
+    * selection, grouping and dequantization as before the round-13
+    * split (q331's hash oracle pins the derived stats across the
+    * refactor). */
+  private def parseL2(b: Array[Byte]): Option[L2Parsed] =
     try {
       var off = 0
       var nFrames = 0
-      var nSamples = 0L
       var nActive = 0L
       var nScf = 0L
-      var sumAbs = 0L
-      var peak = 0L
-      var last = 0L
       var sampleRate = 0
       var bitrate = 0
       var modeCode = -1
       var nCh = 0
       var tabId = -1
+      val frames = Vector.newBuilder[L2Frame]
       while (off + 4 <= b.length) {
         val h = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
           ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
@@ -636,6 +861,7 @@ object Mpeg1Audio {
         // apply each channel's own scalefactor (channel-major, so the
         // sample-instance order is (granule, sb, channel, i) for
         // every subband)
+        val sfp = Array.ofDim[Long](36, 30, 2)
         val tmp = new Array[Int](3)
         var gr = 0
         while (gr < 12) {
@@ -664,11 +890,8 @@ object Mpeg1Audio {
                   val c = if (shared) a else s
                   var i = 0
                   while (i < 3) {
-                    val v = dequantFp2(tmp(i), k, scf(c)(sb)(part))
-                    nSamples += 1
-                    sumAbs += math.abs(v)
-                    if (math.abs(v) > peak) peak = math.abs(v)
-                    last = v
+                    sfp(gr * 3 + i)(sb)(c) =
+                      dequantFp2(tmp(i), k, scf(c)(sb)(part))
                     i += 1
                   }
                   a += 1
@@ -680,14 +903,100 @@ object Mpeg1Audio {
           }
           gr += 1
         }
+        frames += new L2Frame(cls, sfp) // both allocated per frame
         nFrames += 1
         off += frameLen // remaining frame bits are ancillary data
       }
       if (nFrames == 0 || off != b.length) bail()
-      Some(Features2(sampleRate, bitrate, modeCode, nCh, tabId,
-        L2SbLimit(tabId), nFrames, nSamples, nActive, nScf, sumAbs,
-        peak, last))
+      Some(new L2Parsed(sampleRate, bitrate, modeCode, nCh, tabId,
+        nActive, nScf, frames.result()))
     } catch { case _: ParseEx | _: ArrayIndexOutOfBoundsException => None }
+
+  /** Decode a payload of back-to-back Layer II frames to the subband-
+    * sample stats tier. Same contract as [[decode]]: None for
+    * anything malformed or beyond the seam (Layer I/III headers
+    * included — one payload, one layer). Stats walk the dense arrays
+    * in the original instance order (granule, sb, channel, i-inner),
+    * so `lastFp` and the counts are bit-identical to the
+    * pre-refactor single pass. */
+  def decodeL2(b: Array[Byte]): Option[Features2] =
+    parseL2(b).map { p =>
+      val sbLimit = L2SbLimit(p.tabId)
+      var nSamples = 0L
+      var sumAbs = 0L
+      var peak = 0L
+      var last = 0L
+      p.frames.foreach { fr =>
+        var gr = 0
+        while (gr < 12) {
+          var sb = 0
+          while (sb < sbLimit) {
+            var ch = 0
+            while (ch < p.nCh) { // shared bands: cls(1) copied = emit 2
+              if (fr.cls(ch)(sb) != 0) {
+                var i = 0
+                while (i < 3) {
+                  val v = fr.sfp(gr * 3 + i)(sb)(ch)
+                  nSamples += 1
+                  sumAbs += math.abs(v)
+                  if (math.abs(v) > peak) peak = math.abs(v)
+                  last = v
+                  i += 1
+                }
+              }
+              ch += 1
+            }
+            sb += 1
+          }
+          gr += 1
+        }
+      }
+      Features2(p.sampleRate, p.bitrate, p.modeCode, p.nCh, p.tabId,
+        sbLimit, p.frames.length, nSamples, p.nActive, p.nScf, sumAbs,
+        peak, last)
+    }
+
+  /** Layer II decode THROUGH the polyphase synthesis — [[decodePcm]]'s
+    * exact contract with 36 groups per frame (granule·3 + i): one
+    * [[PcmGroup]] per (channel, group), per-channel zero-seeded V
+    * registers, hash-oracled by q333. */
+  def decodeL2Pcm(b: Array[Byte]): Option[Seq[PcmGroup]] =
+    parseL2(b).map { p =>
+      val sbLimit = L2SbLimit(p.tabId)
+      val out = Vector.newBuilder[PcmGroup]
+      var ch = 0
+      while (ch < p.nCh) {
+        val st = new SynthState
+        val s = new Array[Long](32)
+        val pcm = new Array[Long](32)
+        var tau = 0
+        p.frames.foreach { fr =>
+          var g = 0
+          while (g < 36) {
+            var sb = 0
+            while (sb < 32) {
+              s(sb) = if (sb < sbLimit) fr.sfp(g)(sb)(ch) else 0L
+              sb += 1
+            }
+            st.processGroup(s, pcm)
+            var sumAbs = 0L
+            var peak = 0L
+            var j = 0
+            while (j < 32) {
+              val a = math.abs(pcm(j))
+              sumAbs += a
+              if (a > peak) peak = a
+              j += 1
+            }
+            out += PcmGroup(ch, tau, sumAbs, peak, pcm(31))
+            tau += 1
+            g += 1
+          }
+        }
+        ch += 1
+      }
+      out.result()
+    }
 
   /** Synthesize a conformant Layer II frame sequence from closed-form
     * generators (the [[encodeLayer1]] fixture pattern). Generators:

@@ -29,15 +29,18 @@ import org.apache.spark.sql.functions._
   *    video. FLAC is real at every standard depth (8–32 bit), channel
   *    count (1–8) and stereo decorrelation mode, including 32-bit
   *    decorrelated stereo's 33-bit side channel. MPEG-1 Audio
-  *    Layer I is real to the exact subband-sample tier
-  *    ([[decodeMpeg1Features]] — headers, frame sizing, allocation,
-  *    intensity bound, scalefactors, spec dequantization, all
-  *    integer-exact). Only motion-compensated/perceptual TRANSFORM
-  *    codecs (H.264/VP9, MP3/AAC) — plus MPEG-1 Layer II's
-  *    allocation tables and the subband→PCM synthesis window, which
-  *    are spec DATA rather than spec math (see
-  *    [[graft.functions.Mpeg1Audio]]) — keep the
-  *    DETERMINISTIC FAKE tier (clearly marked `fake*` below):
+  *    Layers I AND II are real THROUGH the polyphase synthesis to
+  *    windowed PCM ([[decodeMpeg1Features]]/[[decodeMpeg1L2Features]]
+  *    for the subband-sample tier, [[decodeMpeg1Pcm]]/
+  *    [[decodeMpeg1L2Pcm]] for PCM — headers, frame sizing,
+  *    allocation incl. the 3-B.2 tables, intensity bound, scfsi,
+  *    scalefactors, spec dequantization, §2.4.3.2.2 matrixing and
+  *    the 16-tap windowed sum, all integer-exact; the one remaining
+  *    DATA gap is Table 3-B.3's literal window values, shipped as a
+  *    documented structural stand-in — see
+  *    [[graft.functions.Mpeg1Audio.WindowD]]). Only motion-
+  *    compensated/perceptual TRANSFORM codecs (H.264/VP9, MP3/AAC)
+  *    keep the DETERMINISTIC FAKE tier (clearly marked `fake*` below):
   *    features derived from xxhash64 of the payload. The surrounding plumbing —
   *    binary representation, schemas, batch shapes, per-partition codec
   *    lifecycle ([[decodePartitions]]) — is the real contract a
@@ -567,6 +570,50 @@ object Multimodal {
             Mpeg1FeatureRow(id, f.sampleRate, f.bitrateKbps, f.modeCode,
               f.nChannels, f.nFrames, f.nSamples, f.nActive, f.sumAbsFp,
               f.peakFp, f.lastFp))
+        }
+      }
+  }
+
+  case class Mpeg1PcmRow(id: Long, ch: Int, t: Int, sum_abs_pcm: Long,
+                         peak_pcm: Long, last_pcm: Long)
+
+  /** MPEG-1 Layer I decode THROUGH the §2.4.3.2.2 polyphase synthesis
+    * to windowed PCM ([[graft.functions.Mpeg1Audio.decodePcm]]): one
+    * row per (clip, channel, 32-sample group) with integer-exact
+    * 2^32-fixed-point stats, hash-oracled by q332 (the oracle replays
+    * matrixing + windowing relationally against the decoder's own
+    * Nfp/WindowD integer tables). The remaining audio seam is DATA
+    * only — Table 3-B.3's literal values (the shipped window is a
+    * documented structural stand-in, see
+    * [[graft.functions.Mpeg1Audio.WindowD]]) — plus MDCT-class
+    * codecs. */
+  def decodeMpeg1Pcm(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[Mpeg1PcmRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.Mpeg1Audio.decodePcm(bytes).toSeq.flatMap(_.map(
+            g => Mpeg1PcmRow(id, g.ch, g.t, g.sumAbs, g.peak, g.last)))
+        }
+      }
+  }
+
+  /** Layer II through the same synthesis ([[decodeMpeg1Pcm]]'s
+    * contract, 36 groups per frame), hash-oracled by q333. */
+  def decodeMpeg1L2Pcm(df: DataFrame, idCol: String, payloadCol: String)
+      : Dataset[Mpeg1PcmRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.Mpeg1Audio.decodeL2Pcm(bytes).toSeq.flatMap(
+            _.map(g =>
+              Mpeg1PcmRow(id, g.ch, g.t, g.sumAbs, g.peak, g.last)))
         }
       }
   }

@@ -313,4 +313,100 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     assert(Mpeg1Audio.QSF(0)(2) === Math.round(131072.0 / 3))
     assert(Mpeg1Audio.QSF(0)(15) === Math.round(131072.0 / 32767))
   }
+
+  test("matrixing table: closed-form anchors and cosine bounds") {
+    for (i <- 0 until 64; k <- 0 until 32)
+      assert(math.abs(Mpeg1Audio.Nfp(i)(k)) <= 65536L)
+    // 16+i = 32: cos((2k+1)π/2) = 0 for every k
+    for (k <- 0 until 32) assert(Mpeg1Audio.Nfp(16)(k) === 0L)
+    // 16+i = 64: cos((2k+1)π) = -1 for every k
+    for (k <- 0 until 32) assert(Mpeg1Audio.Nfp(48)(k) === -65536L)
+    // i = 0: cos((2k+1)π/4) alternates ±√2/2, 2-periodic in k pairs
+    val r = Math.round(65536.0 * StrictMath.sqrt(0.5))
+    assert(Mpeg1Audio.Nfp(0)(0) === r)
+    assert(Mpeg1Audio.Nfp(0)(1) === -r)
+  }
+
+  test("synthesis window: spec grid, zero head, peak, symmetry classes") {
+    val d = Mpeg1Audio.WindowD
+    assert(d.length === 512)
+    assert(d(0) === 0L)
+    assert(d(256) === 75038L) // round(1.144989014 · 2^16), the spec peak
+    assert(d.map(math.abs).max === 75038L)
+    for (i <- 1 until 256)
+      assert(d(512 - i) === (if (i % 64 == 0) d(i) else -d(i)), s"i=$i")
+  }
+
+  /** Independent synthesis model: the spec text TRANSCRIBED — build
+    * V/U/W as separate arrays with the literal index formulas, no
+    * fusion — checked against SynthState's fused loop. */
+  private def modelSynth(groups: Seq[Array[Long]]): Seq[Array[Long]] = {
+    val v = Array.fill(1024)(0L)
+    groups.map { s =>
+      for (i <- 1023 to 64 by -1) v(i) = v(i - 64)
+      for (i <- 0 until 64)
+        v(i) = (0 until 32).map(k => Mpeg1Audio.Nfp(i)(k) * s(k)).sum >> 16
+      val u = new Array[Long](512)
+      for (i <- 0 until 8; j <- 0 until 32) {
+        u(i * 64 + j) = v(i * 128 + j)
+        u(i * 64 + 32 + j) = v(i * 128 + 96 + j)
+      }
+      val w = Array.tabulate(512)(i => u(i) * Mpeg1Audio.WindowD(i))
+      Array.tabulate(32)(j => (0 until 16).map(i => w(j + 32 * i)).sum)
+    }
+  }
+
+  test("SynthState matches the transcribed spec model, incl. history") {
+    val groups = (0 until 40).map(g =>
+      Array.tabulate(32)(k =>
+        (((g * 131 + k * 17) % 997) - 498) * 131L)) // signed, 2^16-ish
+    val st = new Mpeg1Audio.SynthState
+    val out = new Array[Long](32)
+    val expected = modelSynth(groups)
+    groups.zipWithIndex.foreach { case (s, gi) =>
+      st.processGroup(s, out)
+      assert(out.toSeq === expected(gi).toSeq, s"group $gi")
+    }
+  }
+
+  test("decodePcm: defined iff decode is; impulse history crosses " +
+      "group and frame boundaries; silence synthesizes to zero") {
+    for (id <- 0L until 24L) {
+      val b = fixture(id)
+      val pcm = Mpeg1Audio.decodePcm(b)
+        .getOrElse(fail(s"decodePcm failed for id=$id"))
+      val f = Mpeg1Audio.decode(b).get
+      // one group row per (channel, frame·12 + t)
+      assert(pcm.size === f.nChannels * f.nFrames * 12, s"id=$id")
+      assert(pcm.map(g => (g.ch, g.t)).distinct.size === pcm.size)
+    }
+    assert(Mpeg1Audio.decodePcm(Array[Byte](1, 2, 3)).isEmpty)
+    // all-silent frame: every subband unallocated -> PCM identically 0
+    val silent = Mpeg1Audio.encodeLayer1(2, 14, 2, 3, 0,
+      (_, _) => 0, (_, _) => 0, (_, _, _, _) => 0)
+    val sp = Mpeg1Audio.decodePcm(silent).get
+    assert(sp.forall(g => g.sumAbs == 0L && g.peak == 0L && g.last == 0L))
+    // a single group with one nonzero subband, then silence: the V
+    // register must keep producing windowed tails for 16 groups
+    val oneShot = Mpeg1Audio.encodeLayer1(1, 14, 2, 3, 0,
+      (_, sb) => if (sb == 0) 5 else 0, (_, _) => 0,
+      (_, t, _, _) => if (t == 0) 63 else 31) // t=0 loud, rest midscale
+    val op = Mpeg1Audio.decodePcm(oneShot).get
+    assert(op.head.sumAbs > 0L)
+    assert(op.drop(1).exists(_.sumAbs > 0L), "history carried forward")
+  }
+
+  test("decodeL2Pcm: 36 groups per (channel, frame), defined iff " +
+      "decodeL2 is, synthesis shared with Layer I") {
+    for (id <- 0L until 24L) {
+      val b = l2Fixture(id)
+      val pcm = Mpeg1Audio.decodeL2Pcm(b)
+        .getOrElse(fail(s"decodeL2Pcm failed for id=$id"))
+      val f = Mpeg1Audio.decodeL2(b).get
+      assert(pcm.size === f.nChannels * f.nFrames * 36, s"id=$id")
+      assert(pcm.map(g => (g.ch, g.t)).distinct.size === pcm.size)
+      assert(pcm.exists(_.sumAbs > 0L), s"id=$id")
+    }
+    assert(Mpeg1Audio.decodeL2Pcm(Array[Byte](7, 7, 7)).isEmpty)
+  }
 }
