@@ -9,15 +9,26 @@ driver-pair divergence that needed a judge footnote). This tool computes
 them from the artifacts themselves so the README can paste a committed
 tool output verbatim.
 
+Round-12 verdict item #3: a single baseline mixed boxes — the r12
+README's 0.94x headline compared the builder's close against the
+DRIVER's artifact, while the builder's own close-to-close pair read
+1.04x. Per the repo's measurement discipline (cross-box sums are noise;
+same-lineage pairs are the signal), the tool now emits BOTH blocks when
+given both baselines, same-box first — the README quotes the same-box
+number as the headline and the cross-box one as context.
+
 Usage:  python3 tools/bench_compare.py PREV_BENCH.json [CUR_BENCH.json]
+                [--samebox SAMEBOX_BENCH.json]
 
-  PREV_BENCH.json  the previous round's bench artifact (typically
-                   `git show HEAD:bench_last.json` snapshotted before
-                   the fresh bench overwrites it)
-  CUR_BENCH.json   defaults to bench_last.json
+  PREV_BENCH.json     the previous round's artifact as committed by the
+                      DRIVER (cross-box context)
+  CUR_BENCH.json      defaults to bench_last.json
+  SAMEBOX_BENCH.json  this box's previous round-close artifact (the last
+                      `Round close:` commit before the driver's last
+                      `round N:` commit — round_close.sh digs it out)
 
-Both files are graft.Bench output lines: {"metric":"total","value":S,
-"queries":{name:sec,...},...}. Prints a fenced block; exit 0 always
+All files are graft.Bench output lines: {"metric":"total","value":S,
+"queries":{name:sec,...},...}. Prints one fenced block; exit 0 always
 (regressions are REPORTED, not gated — box variance up to +/-50%
 between sessions is documented in ENGINE.md, so a sum ratio is context,
 not a failure).
@@ -38,24 +49,12 @@ REGRESS_RATIO = 1.5
 REGRESS_ABS_SEC = 1.0
 
 
-def main() -> int:
-    if len(sys.argv) < 2:
-        print(__doc__, file=sys.stderr)
-        return 2
-    prev_path = sys.argv[1]
-    cur_path = sys.argv[2] if len(sys.argv) > 2 else "bench_last.json"
-    with open(prev_path) as f:
-        prev = json.load(f)
-    with open(cur_path) as f:
-        cur = json.load(f)
+def compare(prev: dict, cur: dict, label: str, cur_path: str,
+            prev_path: str) -> None:
     pq, cq = prev["queries"], cur["queries"]
     shared = sorted(set(pq) & set(cq))
     psum = sum(pq[q] for q in shared)
     csum = sum(cq[q] for q in shared)
-    with open(R1_CORRECTNESS) as f:
-        r1_names = sorted(json.load(f))
-    r1_missing = [q for q in r1_names if q not in cq]
-    r1_sum = sum(cq[q] for q in r1_names if q in cq)
 
     regressed = sorted(
         (q for q in shared
@@ -66,16 +65,12 @@ def main() -> int:
          if pq[q] > cq[q] * REGRESS_RATIO and pq[q] - cq[q] > REGRESS_ABS_SEC),
         key=lambda q: cq[q] - pq[q])
 
-    print("```")
-    print(f"bench_compare: {cur_path} vs {prev_path}")
+    print(f"[{label}] {cur_path} vs {prev_path}")
     print(f"  current : {cur['value']:.1f} s / {len(cq)} queries "
           f"/ errors={cur.get('errors', [])}")
     print(f"  previous: {prev['value']:.1f} s / {len(pq)} queries")
     print(f"  shared-{len(shared)} sum: {csum:.1f} s vs {psum:.1f} s "
           f"= {csum / psum:.2f}x")
-    print(f"  r1 {len(r1_names)}-query subset: {r1_sum:.1f} s vs "
-          f"{R1_TOTAL_SEC} s (r1) = {r1_sum / R1_TOTAL_SEC:.2f}x"
-          + (f"  [MISSING: {r1_missing}]" if r1_missing else ""))
     print(f"  regressed >{REGRESS_RATIO}x & >{REGRESS_ABS_SEC}s: "
           f"{len(regressed)}")
     for q in regressed:
@@ -89,6 +84,47 @@ def main() -> int:
         new_cost = sum(cq[q] for q in only_new)
         print(f"  new queries ({len(only_new)}): {new_cost:.2f} s "
               f"total: {only_new}")
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    samebox_path = None
+    if "--samebox" in args:
+        i = args.index("--samebox")
+        samebox_path = args[i + 1]
+        del args[i:i + 2]
+    if not args:
+        print(__doc__, file=sys.stderr)
+        return 2
+    prev_path = args[0]
+    cur_path = args[1] if len(args) > 1 else "bench_last.json"
+    with open(prev_path) as f:
+        prev = json.load(f)
+    with open(cur_path) as f:
+        cur = json.load(f)
+
+    print("```")
+    if samebox_path:
+        with open(samebox_path) as f:
+            samebox = json.load(f)
+        compare(samebox, cur, "SAME-BOX close-over-close (headline)",
+                cur_path, samebox_path)
+        print()
+        compare(prev, cur, "cross-box vs driver artifact (context)",
+                cur_path, prev_path)
+    else:
+        compare(prev, cur, "round-over-round", cur_path, prev_path)
+
+    # the r1 flagship subset is a property of the CURRENT artifact only
+    cq = cur["queries"]
+    with open(R1_CORRECTNESS) as f:
+        r1_names = sorted(json.load(f))
+    r1_missing = [q for q in r1_names if q not in cq]
+    r1_sum = sum(cq[q] for q in r1_names if q in cq)
+    print()
+    print(f"  r1 {len(r1_names)}-query subset: {r1_sum:.1f} s vs "
+          f"{R1_TOTAL_SEC} s (r1) = {r1_sum / R1_TOTAL_SEC:.2f}x"
+          + (f"  [MISSING: {r1_missing}]" if r1_missing else ""))
     print("```")
     return 0
 

@@ -43,6 +43,24 @@ else
   git show HEAD:bench_last.json > "$prev_bench"
 fi
 
+# SAME-BOX baseline (round-12 verdict item #3): this box's previous
+# round-close artifact — the last `Round close:` commit reachable from
+# the driver's last `round N:` commit. The cross-box PREV_BENCH sum is
+# context; the same-box pair is the headline (cross-box sums swing
+# +/-10% with the box, per ENGINE.md's measurement discipline).
+samebox_bench="$(mktemp)"
+samebox_args=()
+driver_commit="$(git log --format=%H --grep='^round [0-9]*:' -1 || true)"
+if [[ -n "$driver_commit" ]]; then
+  samebox_commit="$(git log --format=%H --grep='^Round close:' -1 \
+    "$driver_commit" || true)"
+  if [[ -n "$samebox_commit" ]] && \
+      git show "$samebox_commit:bench_last.json" > "$samebox_bench" 2>/dev/null; then
+    samebox_args=(--samebox "$samebox_bench")
+    echo "[round_close] same-box baseline: $samebox_commit"
+  fi
+fi
+
 if [[ "${1:-}" != "--no-bench" ]]; then
   echo "[round_close] running full sf0.1 bench (~6 min)..."
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
@@ -51,8 +69,8 @@ fi
 
 echo "[round_close] deriving round-over-round comparison:"
 python3 tools/bench_compare.py "$prev_bench" bench_last.json \
-  | tee ROUND_COMPARE.txt
-rm -f "$prev_bench"
+  "${samebox_args[@]}" | tee ROUND_COMPARE.txt
+rm -f "$prev_bench" "$samebox_bench"
 
 dirty="$(git status --porcelain)"
 if [[ -n "$dirty" ]]; then
