@@ -9681,6 +9681,38 @@ object SparkEntry {
         .select($"id".as("doc_id"), $"ch", $"t", $"sum_abs_pcm",
           $"peak_pcm", $"last_pcm")
         .orderBy($"doc_id", $"ch", $"t")
+    }),
+
+    // PCM CONSUMED DOWNSTREAM (q269's FIR-downsample shape over the
+    // SYNTHESIZED stream): decodeMpeg1PcmSamples exposes the raw
+    // 2^32-fp PCM as an array column and the 4-tap 2:1 box filter
+    // runs as codegen Column arithmetic (shiftright = arithmetic
+    // shift = floor, replayed as DuckDB's BIGINT >>), certifying the
+    // decode→synthesis→DSP chain end to end — the pipeline shape the
+    // PCM tier exists for. ord_ck is order-sensitive (Σ (y>>16)·k),
+    // so a permuted or shifted output cannot hash-collide.
+    "q334_pcm_downsample" -> ((s, d) => {
+      val mk = udf(SparkEntry.l1FixturePayload _)
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      val sm = Multimodal.decodeMpeg1PcmSamples(clips, "doc_id",
+        "payload")
+      val y = expr(
+        """transform(
+          |  sequence(0, CAST(size(pcm) div 2 - 2 AS INT)),
+          |  k -> shiftright(element_at(pcm, 2*k+1)
+          |    + element_at(pcm, 2*k+2) + element_at(pcm, 2*k+3)
+          |    + element_at(pcm, 2*k+4), 2))""".stripMargin)
+      sm.select($"id".as("doc_id"), $"ch",
+          size($"pcm").cast("long").as("n_in"), y.as("__y"))
+        .select($"doc_id", $"ch", $"n_in",
+          size($"__y").cast("long").as("n_out"),
+          expr("aggregate(__y, 0L, (a, x) -> a + abs(x))").as("energy"),
+          expr("array_max(transform(__y, x -> abs(x)))").as("peak"),
+          expr("aggregate(zip_with(__y, sequence(1, size(__y)), " +
+            "(v, i) -> shiftright(v, 16) * i), 0L, (a, x) -> a + x)")
+            .as("ord_ck"))
+        .orderBy($"doc_id", $"ch")
     })
   )
 
@@ -18739,6 +18771,91 @@ object SparkEntry {
         |  CAST(max(CASE WHEN j = 31 THEN p END) AS BIGINT) AS last_pcm
         |FROM pcm GROUP BY doc_id, ch, tau
         |ORDER BY doc_id, ch, tau""".stripMargin,
+
+    // q334: the q332 replay carried ONE stage further — the synthesis
+    // output flattened to a per-channel sample stream (pos = tau·32+j)
+    // and pushed through the 4-tap 2:1 box filter exactly as the
+    // Spark side's Column arithmetic (>> 2 = floor on both engines),
+    // with the order-sensitive checksum pinning sample order.
+    "q334_pcm_downsample" -> s"""WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
+        |    CAST(1 + doc_id % 2 AS INT) AS nfr,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN (1 + doc_id % 4) * 4
+        |      ELSE 32 END AS INT) AS bound,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+        |      AS nch
+        |  FROM documents WHERE doc_id < 40),
+        |sbs AS (
+        |  SELECT doc_id, kind, nfr, bound, nch, sbx.sb,
+        |    CAST(2 + ((doc_id * 5 + sbx.sb * 7) % 8) AS INT) AS nb
+        |  FROM d, unnest(range(0, 32)) sbx(sb)
+        |  WHERE (doc_id + sbx.sb) % 3 <> 0),
+        |smp AS (
+        |  SELECT s.doc_id, fx.f * 12 + tx.t AS tau, s.sb, chx.ch, s.nb,
+        |    CAST((s.doc_id * 7 + s.sb * 11 + chx.ch * 3) % 63 AS INT)
+        |      AS scf,
+        |    CASE WHEN s.sb >= s.bound
+        |      THEN (s.doc_id * 97 + fx.f * 31 + tx.t * 13 + s.sb * 17)
+        |        % (1 << s.nb)
+        |      ELSE (s.doc_id * 97 + fx.f * 31 + tx.t * 13 + s.sb * 17
+        |        + chx.ch * 29) % (1 << s.nb)
+        |    END AS c
+        |  FROM sbs s, unnest(range(0, s.nfr)) fx(f),
+        |    unnest(range(0, 12)) tx(t), unnest(range(0, s.nch)) chx(ch)),
+        |dq AS (
+        |  SELECT doc_id, tau, sb, ch,
+        |    (2 * c + 2 - (1 << nb)) *
+        |      ($q330Qsf)[scf * 8 + nb - 1] AS sfp
+        |  FROM smp),
+        |vg AS (
+        |  SELECT doc_id, ch, tau, ix.i,
+        |    (CAST(sum(($q332Nfp)[ix.i * 32 + sb + 1] * sfp) AS BIGINT)
+        |      >> 16) AS v
+        |  FROM dq, unnest(range(0, 64)) ix(i)
+        |  GROUP BY doc_id, ch, tau, ix.i),
+        |grid AS (
+        |  SELECT d.doc_id, chx.ch, tx.tau, jx.j, mx.m
+        |  FROM d, unnest(range(0, d.nch)) chx(ch),
+        |    unnest(range(0, d.nfr * 12)) tx(tau),
+        |    unnest(range(0, 32)) jx(j), unnest(range(0, 8)) mx(m)),
+        |pcm AS (
+        |  SELECT g.doc_id, g.ch, g.tau, g.j,
+        |    sum(($q332Win)[g.j + 64 * g.m + 1] * COALESCE(va.v, 0)
+        |      + ($q332Win)[g.j + 64 * g.m + 33] * COALESCE(vb.v, 0))
+        |      AS p
+        |  FROM grid g
+        |  LEFT JOIN vg va ON va.doc_id = g.doc_id AND va.ch = g.ch
+        |    AND va.tau = g.tau - 2 * g.m AND va.i = g.j
+        |  LEFT JOIN vg vb ON vb.doc_id = g.doc_id AND vb.ch = g.ch
+        |    AND vb.tau = g.tau - 2 * g.m - 1 AND vb.i = 32 + g.j
+        |  GROUP BY g.doc_id, g.ch, g.tau, g.j),
+        |ds AS (
+        |  SELECT doc_id, ch, tau * 32 + j AS pos, CAST(p AS BIGINT) AS p
+        |  FROM pcm),
+        |kg AS (
+        |  SELECT d.doc_id, chx.ch, kx.k, d.nfr * 384 AS n_in
+        |  FROM d, unnest(range(0, d.nch)) chx(ch),
+        |    unnest(range(0, d.nfr * 192 - 1)) kx(k)),
+        |y AS (
+        |  SELECT kg.doc_id, kg.ch, kg.k, kg.n_in,
+        |    ((p0.p + p1.p + p2.p + p3.p) >> 2) AS y
+        |  FROM kg
+        |  JOIN ds p0 ON p0.doc_id = kg.doc_id AND p0.ch = kg.ch
+        |    AND p0.pos = 2 * kg.k
+        |  JOIN ds p1 ON p1.doc_id = kg.doc_id AND p1.ch = kg.ch
+        |    AND p1.pos = 2 * kg.k + 1
+        |  JOIN ds p2 ON p2.doc_id = kg.doc_id AND p2.ch = kg.ch
+        |    AND p2.pos = 2 * kg.k + 2
+        |  JOIN ds p3 ON p3.doc_id = kg.doc_id AND p3.ch = kg.ch
+        |    AND p3.pos = 2 * kg.k + 3)
+        |SELECT doc_id, CAST(ch AS INT) AS ch,
+        |  CAST(n_in AS BIGINT) AS n_in,
+        |  CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(abs(y)) AS BIGINT) AS energy,
+        |  CAST(max(abs(y)) AS BIGINT) AS peak,
+        |  CAST(sum((y >> 16) * (k + 1)) AS BIGINT) AS ord_ck
+        |FROM y GROUP BY doc_id, ch, n_in
+        |ORDER BY doc_id, ch""".stripMargin,
 
     // q333: Layer II PCM — q331's symbolic fixture replay (allocation
     // tables, scfsi parts, grouped-codeword digits, 3-B.4 dequant)

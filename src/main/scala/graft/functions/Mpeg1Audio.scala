@@ -487,6 +487,36 @@ object Mpeg1Audio {
       out.result()
     }
 
+  /** Layer I decode to the RAW PCM sample tier: per channel, the
+    * concatenated 2^32-fixed-point PCM (nFrames·384 values) — the DSP
+    * input tier ([[graft.operators.Multimodal.decodeWavSamples]]'
+    * analog for synthesized audio:
+    * q334 runs its FIR downsample as codegen Column arithmetic over
+    * this array, certifying that downstream operators consume the
+    * synthesis output end-to-end). */
+  def decodePcmSamples(b: Array[Byte]): Option[Seq[(Int, Array[Long])]] =
+    parseL1(b).map { p =>
+      (0 until p.nCh).map { ch =>
+        val st = new SynthState
+        val s = new Array[Long](32)
+        val pcm = new Array[Long](32)
+        val all = new Array[Long](p.frames.length * 384)
+        var off = 0
+        p.frames.foreach { fr =>
+          var t = 0
+          while (t < 12) {
+            var sb = 0
+            while (sb < 32) { s(sb) = fr.sfp(t)(sb)(ch); sb += 1 }
+            st.processGroup(s, pcm)
+            System.arraycopy(pcm, 0, all, off, 32)
+            off += 32
+            t += 1
+          }
+        }
+        (ch, all)
+      }
+    }
+
   /** MSB-first bit writer (fixture synthesis). */
   private final class BitWriter {
     private val buf = collection.mutable.ArrayBuffer.empty[Byte]

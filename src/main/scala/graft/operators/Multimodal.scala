@@ -601,6 +601,25 @@ object Multimodal {
       }
   }
 
+  /** RAW-PCM-tier Layer I decode: one row per (clip, channel) with
+    * the full synthesized 2^32-fixed-point PCM as an array column —
+    * [[decodeWavSamples]]' analog for coded audio, so DSP stays in
+    * whole-stage codegen downstream (q334's FIR downsample). */
+  def decodeMpeg1PcmSamples(df: DataFrame, idCol: String,
+                            payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.Mpeg1Audio.decodePcmSamples(bytes).toSeq
+            .flatMap(_.map { case (ch, pcm) => (id, ch, pcm) })
+        }
+      }
+      .toDF("id", "ch", "pcm")
+  }
+
   /** Layer II through the same synthesis ([[decodeMpeg1Pcm]]'s
     * contract, 36 groups per frame), hash-oracled by q333. */
   def decodeMpeg1L2Pcm(df: DataFrame, idCol: String, payloadCol: String)
