@@ -1067,36 +1067,12 @@ object Scratch {
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("cid"), col("mil"),
             dist(col("qmil"), col("mil")).as("d2"))
+        // production form: the greedy loop is per-query-local inside
+        // one flatMapGroups (operators.Similarity.mmrSelect) — the
+        // probe exercises the same code path the query ships
         val cand = plans.TopKPerKey(scoredAll, Seq("query_id"),
           Seq(col("d2").asc, col("cid").asc), k = 12)
-          .persist(MEMORY_AND_DISK)
-        var selected = plans.TopKPerKey(
-            cand.select(col("query_id"), col("cid"), col("d2")),
-            Seq("query_id"), Seq(col("d2").asc, col("cid").asc), k = 1)
-          .select(col("query_id"), col("cid"), col("d2"),
-            lit(1).as("step"))
-        for (st <- 2 to 4) {
-          val selV = selected.select(col("query_id"),
-              col("cid").as("scid"))
-            .join(cand.select(col("query_id"), col("cid").as("scid"),
-              col("mil").as("smil")), Seq("query_id", "scid"))
-          val remaining = cand.join(
-            selected.select(col("query_id"), col("cid")),
-            Seq("query_id", "cid"), "left_anti")
-          val scores = remaining.join(selV, Seq("query_id"))
-            .select(col("query_id"), col("cid"), col("d2"),
-              dist(col("mil"), col("smil")).as("pd2"))
-            .groupBy(col("query_id"), col("cid"), col("d2"))
-            .agg(min(col("pd2")).as("minSel"))
-            .select(col("query_id"), col("cid"), col("d2"),
-              (lit(3L) * col("minSel") - lit(7L) * col("d2"))
-                .as("score"))
-          val pick = plans.TopKPerKey(scores, Seq("query_id"),
-              Seq(col("score").desc, col("cid").asc), k = 1)
-            .select(col("query_id"), col("cid"), col("d2"),
-              lit(st).as("step"))
-          selected = selected.unionByName(pick)
-        }
+        val selected = operators.Similarity.mmrSelect(cand, steps = 4)
         val n = selected.count()
         println(s"[scratch]   mmr mult=$mult rows=$n (want 20)")
       }
