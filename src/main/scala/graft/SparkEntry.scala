@@ -4326,24 +4326,41 @@ object SparkEntry {
         .select($"o_custkey",
           datediff($"__mx", $"__last").cast("long").as("__r"),
           $"__f", $"__md")
-      def qb(c: String) = Percentiles
-        .exactQuantiles(cust.withColumn("__g", lit(1)), "__g", c,
-          Seq(0.2, 0.4, 0.6, 0.8))
-        .agg(sort_array(collect_list($"value")).as("__bs" + c))
+      // ONE exact-quantile pass for all three metrics, grouped by
+      // metric name, instead of three independent job chains (each a
+      // histogram cascade + its own broadcast): the quantile operator
+      // is already per-group, so the metric axis IS a group key. The
+      // selected bounds are rank-exact (value at ceil(q·n)), hence
+      // bit-identical to the per-column calls — the oracle and the
+      // output hash are untouched. Values unify as double exactly as
+      // before (exactQuantiles works in double internally; the
+      // decimal discipline above protects the SUM, and the one
+      // exact-sum→double conversion is order-independent).
+      val metrics = cust.select(explode(map(
+          lit("r"), $"__r".cast("double"),
+          lit("f"), $"__f".cast("double"),
+          lit("m"), $"__md".cast("double"))))
+        .toDF("__metric", "__value")
+      val bounds = Percentiles.exactQuantiles(metrics, "__metric",
+          "__value", Seq(0.2, 0.4, 0.6, 0.8))
+        .groupBy($"__metric")
+        .agg(sort_array(collect_list($"value")).as("__bs"))
+        .agg(map_from_entries(collect_list(struct($"__metric", $"__bs")))
+          .as("__bm"))
       def score(x: org.apache.spark.sql.Column,
           bs: org.apache.spark.sql.Column) =
         lit(1) + aggregate(bs, lit(0),
           (acc, b) => acc + when(x > b, 1).otherwise(0))
-      cust.crossJoin(broadcast(qb("__r")))
-        .crossJoin(broadcast(qb("__f")))
-        .crossJoin(broadcast(qb("__md")))
+      cust.crossJoin(broadcast(bounds))
         // recency inverts: score 5 = most recent (smallest gap).
         // Scores cast to long so the output type matches the oracle's
         // BIGINT (the driver's hash is type-sensitive).
-        .select((lit(6) - score($"__r", $"__bs__r")).cast("long")
-            .as("r_score"),
-          score($"__f", $"__bs__f").cast("long").as("f_score"),
-          score($"__md", $"__bs__md").cast("long").as("m_score"),
+        .select((lit(6) - score($"__r", element_at($"__bm", "r")))
+            .cast("long").as("r_score"),
+          score($"__f", element_at($"__bm", "f")).cast("long")
+            .as("f_score"),
+          score($"__md", element_at($"__bm", "m")).cast("long")
+            .as("m_score"),
           $"__md")
         .groupBy($"r_score", $"f_score", $"m_score")
         .agg(count(lit(1)).as("n_cust"),
