@@ -199,6 +199,26 @@ class NativeEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("LshBandKeys input validation: wrong element type fails " +
+      "analysis; short signature fails loudly, not as garbage") {
+    // array<int> would read raw UnsafeArrayData bytes under getLong —
+    // must be rejected at ANALYSIS time (r12 advice item)
+    val ints = Seq(Tuple1(Array(1, 2, 3, 4))).toDF("sig")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(LshBandKeys($"sig", 2, 2)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<bigint>"))
+    // a too-short array<long> must throw the explicit length error
+    val short = Seq(Tuple1(Array(1L, 2L, 3L))).toDF("sig")
+    val t = intercept[Throwable] {
+      short.select(LshBandKeys($"sig", 2, 2)).collect()
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(t).exists(c =>
+      Option(c.getMessage).exists(_.contains("lsh_band_keys"))))
+  }
+
   test("TextQualityStats == the five composable q28 forms it fused") {
     import graft.operators.TextAnalysis
     // seeded-random docs plus the shapes that exercise every branch:
