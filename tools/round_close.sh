@@ -6,9 +6,9 @@
 #   bash tools/round_close.sh                  # bench + compare + commit + gate
 #   bash tools/round_close.sh --no-bench       # skip the bench re-run
 #   PREV_BENCH=path bash tools/round_close.sh  # explicit baseline artifact
-#     (default: the bench_last.json committed at HEAD — override when a
-#     mid-round commit already refreshed it, so the compare still reads
-#     round-over-round, not close-over-interim)
+#     (default: the bench_last.json at the driver's last `round N:`
+#     commit — NOT HEAD's, which after a first close is this round's
+#     own artifact and would silently self-compare on a re-close)
 #
 # Steps:
 #  1. Snapshot the committed bench_last.json (the PREVIOUS round's
@@ -36,9 +36,17 @@ cd "$(dirname "$0")/.."
 ARTIFACTS=(bench_last.json ROUND_COMPARE.txt LEAKCHECK.json
   README.md ENGINE.md FIXTURES.md)
 
-prev_bench="$(mktemp)"
+driver_commit="$(git log --format=%H --grep='^round [0-9]*:' -1 || true)"
+
+prev_bench=/tmp/graft_prev_bench.json
 if [[ -n "${PREV_BENCH:-}" ]]; then
   cp "$PREV_BENCH" "$prev_bench"
+elif [[ -n "$driver_commit" ]]; then
+  # default cross-box baseline = the DRIVER's artifact (its last
+  # `round N:` commit), NOT HEAD's: once a close has committed a fresh
+  # bench_last.json, HEAD's copy is this round's own artifact and a
+  # re-close would silently self-compare (caught in round 13)
+  git show "$driver_commit:bench_last.json" > "$prev_bench"
 else
   git show HEAD:bench_last.json > "$prev_bench"
 fi
@@ -48,9 +56,8 @@ fi
 # the driver's last `round N:` commit. The cross-box PREV_BENCH sum is
 # context; the same-box pair is the headline (cross-box sums swing
 # +/-10% with the box, per ENGINE.md's measurement discipline).
-samebox_bench="$(mktemp)"
+samebox_bench=/tmp/graft_samebox_bench.json
 samebox_args=()
-driver_commit="$(git log --format=%H --grep='^round [0-9]*:' -1 || true)"
 if [[ -n "$driver_commit" ]]; then
   samebox_commit="$(git log --format=%H --grep='^Round close:' -1 \
     "$driver_commit" || true)"
