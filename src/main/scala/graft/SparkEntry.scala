@@ -9713,6 +9713,34 @@ object SparkEntry {
             "(v, i) -> shiftright(v, 16) * i), 0L, (a, x) -> a + x)")
             .as("ord_ck"))
         .orderBy($"doc_id", $"ch")
+    }),
+
+    // q334's Layer II twin: the SAME codegen FIR over the Layer II
+    // synthesis output (36 groups per frame — n_in = nFrames·1152 per
+    // channel), so BOTH layers feed DSP end to end at the samples
+    // tier. Oracle = q333's replay prefix + q334's downsample suffix.
+    "q335_l2_pcm_downsample" -> ((s, d) => {
+      val mk = udf(SparkEntry.l2FixturePayload _)
+      val clips = Tables.documents(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", mk($"doc_id").as("payload"))
+      val sm = Multimodal.decodeMpeg1L2PcmSamples(clips, "doc_id",
+        "payload")
+      val y = expr(
+        """transform(
+          |  sequence(0, CAST(size(pcm) div 2 - 2 AS INT)),
+          |  k -> shiftright(element_at(pcm, 2*k+1)
+          |    + element_at(pcm, 2*k+2) + element_at(pcm, 2*k+3)
+          |    + element_at(pcm, 2*k+4), 2))""".stripMargin)
+      sm.select($"id".as("doc_id"), $"ch",
+          size($"pcm").cast("long").as("n_in"), y.as("__y"))
+        .select($"doc_id", $"ch", $"n_in",
+          size($"__y").cast("long").as("n_out"),
+          expr("aggregate(__y, 0L, (a, x) -> a + abs(x))").as("energy"),
+          expr("array_max(transform(__y, x -> abs(x)))").as("peak"),
+          expr("aggregate(zip_with(__y, sequence(1, size(__y)), " +
+            "(v, i) -> shiftright(v, 16) * i), 0L, (a, x) -> a + x)")
+            .as("ord_ck"))
+        .orderBy($"doc_id", $"ch")
     })
   )
 
@@ -18864,94 +18892,46 @@ object SparkEntry {
     // at or above the table's sblimit carry no rows — the decoder
     // zero-pads them into the matrixing, and an absent row sums as 0
     // on this side too.
-    "q333_mpeg1_l2_pcm" -> s"""WITH d AS (
-        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
-        |    CAST(doc_id % 4 AS INT) AS v,
-        |    CAST((doc_id // 3) % 4 AS INT) AS ext,
-        |    CAST(1 + doc_id % 2 AS INT) AS nfr,
-        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
-        |      AS nch
-        |  FROM documents WHERE doc_id < 40),
-        |d2 AS (
-        |  SELECT d.*, v AS tab,
-        |    CAST(([27,30,8,12])[v + 1] AS INT) AS sblimit,
-        |    CAST(CASE WHEN kind = 2
-        |      THEN least((ext + 1) * 4, ([27,30,8,12])[v + 1])
-        |      ELSE ([27,30,8,12])[v + 1] END AS INT) AS bound
-        |  FROM d),
-        |slots AS (
-        |  SELECT d2.doc_id, d2.nfr, d2.nch, d2.tab, d2.bound, sbx.sb,
-        |    chx.ch,
-        |    ($q331Cls)[ ($q331Row)[tab * 30 + sbx.sb + 1] * 16
-        |      + 1 + ((doc_id * 5 + sbx.sb * 7 +
-        |          (CASE WHEN sbx.sb >= bound AND nch = 2 THEN 0
-        |            ELSE chx.ch END) * 3)
-        |        % (CASE ($q331Nbal)[tab * 30 + sbx.sb + 1]
-        |            WHEN 2 THEN 2 WHEN 3 THEN 6 ELSE 7 END)) + 1 ]
-        |      AS cls,
-        |    CAST((doc_id * 3 + sbx.sb * 5 + chx.ch * 7) % 4 AS INT)
-        |      AS scfsi
-        |  FROM d2, unnest(range(0, d2.sblimit)) sbx(sb),
-        |    unnest(range(0, d2.nch)) chx(ch)
-        |  WHERE (doc_id + sbx.sb) % 2 = 1),
-        |slots2 AS (
-        |  SELECT s.*, ($q331Steps)[cls] AS steps,
-        |    ($q331Bits)[cls] AS bits, ($q331Grp)[cls] AS grp
-        |  FROM slots s),
-        |smp AS (
-        |  SELECT s.doc_id, fx.f * 36 + gx.gr * 3 + ix.i AS tau, s.sb,
-        |    s.ch, s.cls, s.steps,
-        |    CASE s.scfsi
-        |      WHEN 0 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3
-        |        + (gx.gr // 4) * 19) % 63
-        |      WHEN 1 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3
-        |        + (CASE WHEN gx.gr < 8 THEN 0 ELSE 2 END) * 19) % 63
-        |      WHEN 2 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3) % 63
-        |      ELSE (s.doc_id * 7 + s.sb * 11 + s.ch * 3
-        |        + (CASE WHEN gx.gr < 4 THEN 0 ELSE 1 END) * 19) % 63
-        |    END AS scf,
-        |    CASE WHEN s.grp = 1
-        |      THEN ((s.doc_id * 97 + fx.f * 31 + gx.gr * 13 + ix.i * 41
-        |        + s.sb * 17 + (CASE WHEN s.sb >= s.bound AND s.nch = 2
-        |          THEN 0 ELSE s.ch END) * 29) % 65536) % s.steps
-        |      ELSE ((s.doc_id * 97 + fx.f * 31 + gx.gr * 13 + ix.i * 41
-        |        + s.sb * 17 + (CASE WHEN s.sb >= s.bound AND s.nch = 2
-        |          THEN 0 ELSE s.ch END) * 29) % 65536) % (1 << s.bits)
-        |    END AS c
-        |  FROM slots2 s, unnest(range(0, s.nfr)) fx(f),
-        |    unnest(range(0, 12)) gx(gr), unnest(range(0, 3)) ix(i)),
-        |dq AS (
-        |  SELECT doc_id, tau, sb, ch,
-        |    (2 * c + 1 - steps) * ($q331Qsf2)[scf * 17 + cls] AS sfp
-        |  FROM smp),
-        |vg AS (
-        |  SELECT doc_id, ch, tau, ix.i,
-        |    (CAST(sum(($q332Nfp)[ix.i * 32 + sb + 1] * sfp) AS BIGINT)
-        |      >> 16) AS v
-        |  FROM dq, unnest(range(0, 64)) ix(i)
-        |  GROUP BY doc_id, ch, tau, ix.i),
-        |grid AS (
-        |  SELECT d.doc_id, chx.ch, tx.tau, jx.j, mx.m
-        |  FROM d, unnest(range(0, d.nch)) chx(ch),
-        |    unnest(range(0, d.nfr * 36)) tx(tau),
-        |    unnest(range(0, 32)) jx(j), unnest(range(0, 8)) mx(m)),
-        |pcm AS (
-        |  SELECT g.doc_id, g.ch, g.tau, g.j,
-        |    sum(($q332Win)[g.j + 64 * g.m + 1] * COALESCE(va.v, 0)
-        |      + ($q332Win)[g.j + 64 * g.m + 33] * COALESCE(vb.v, 0))
-        |      AS p
-        |  FROM grid g
-        |  LEFT JOIN vg va ON va.doc_id = g.doc_id AND va.ch = g.ch
-        |    AND va.tau = g.tau - 2 * g.m AND va.i = g.j
-        |  LEFT JOIN vg vb ON vb.doc_id = g.doc_id AND vb.ch = g.ch
-        |    AND vb.tau = g.tau - 2 * g.m - 1 AND vb.i = 32 + g.j
-        |  GROUP BY g.doc_id, g.ch, g.tau, g.j)
+    "q333_mpeg1_l2_pcm" -> (q333OraclePrefix + s"""
         |SELECT doc_id, CAST(ch AS INT) AS ch, CAST(tau AS INT) AS t,
         |  CAST(sum(abs(p)) AS BIGINT) AS sum_abs_pcm,
         |  CAST(max(abs(p)) AS BIGINT) AS peak_pcm,
         |  CAST(max(CASE WHEN j = 31 THEN p END) AS BIGINT) AS last_pcm
         |FROM pcm GROUP BY doc_id, ch, tau
-        |ORDER BY doc_id, ch, tau""".stripMargin
+        |ORDER BY doc_id, ch, tau""".stripMargin),
+
+    // q335: q333's Layer II replay carried through q334's downsample
+    // suffix — flatten pos = tau·32 + j over the 36-group frames
+    // (n_in = nfr·1152 per channel), four positional self-joins,
+    // >> 2, order-sensitive checksum.
+    "q335_l2_pcm_downsample" -> (q333OraclePrefix + s""",
+        |ds AS (
+        |  SELECT doc_id, ch, tau * 32 + j AS pos, CAST(p AS BIGINT) AS p
+        |  FROM pcm),
+        |kg AS (
+        |  SELECT d.doc_id, chx.ch, kx.k, d.nfr * 1152 AS n_in
+        |  FROM d, unnest(range(0, d.nch)) chx(ch),
+        |    unnest(range(0, d.nfr * 576 - 1)) kx(k)),
+        |y AS (
+        |  SELECT kg.doc_id, kg.ch, kg.k, kg.n_in,
+        |    ((p0.p + p1.p + p2.p + p3.p) >> 2) AS y
+        |  FROM kg
+        |  JOIN ds p0 ON p0.doc_id = kg.doc_id AND p0.ch = kg.ch
+        |    AND p0.pos = 2 * kg.k
+        |  JOIN ds p1 ON p1.doc_id = kg.doc_id AND p1.ch = kg.ch
+        |    AND p1.pos = 2 * kg.k + 1
+        |  JOIN ds p2 ON p2.doc_id = kg.doc_id AND p2.ch = kg.ch
+        |    AND p2.pos = 2 * kg.k + 2
+        |  JOIN ds p3 ON p3.doc_id = kg.doc_id AND p3.ch = kg.ch
+        |    AND p3.pos = 2 * kg.k + 3)
+        |SELECT doc_id, CAST(ch AS INT) AS ch,
+        |  CAST(n_in AS BIGINT) AS n_in,
+        |  CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(abs(y)) AS BIGINT) AS energy,
+        |  CAST(max(abs(y)) AS BIGINT) AS peak,
+        |  CAST(sum((y >> 16) * (k + 1)) AS BIGINT) AS ord_ck
+        |FROM y GROUP BY doc_id, ch, n_in
+        |ORDER BY doc_id, ch""".stripMargin)
   )
 
   /** q330/q332's SHARED Layer I fixture generator — one function so
@@ -19058,6 +19038,93 @@ object SparkEntry {
     * two engines cannot disagree with each other even while the
     * window literals await the spec's (see
     * [[graft.functions.Mpeg1Audio.WindowD]]). */
+  /** q333/q335's shared Layer II PCM replay prefix: the q331
+    * symbolic fixture CTEs with tau = f*36 + gr*3 + i, then the q332
+    * relational synthesis convolution, ending at the per-(doc, ch,
+    * tau, j) sample table `pcm`. */
+  private lazy val q333OraclePrefix: String = s"""WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
+        |    CAST(doc_id % 4 AS INT) AS v,
+        |    CAST((doc_id // 3) % 4 AS INT) AS ext,
+        |    CAST(1 + doc_id % 2 AS INT) AS nfr,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+        |      AS nch
+        |  FROM documents WHERE doc_id < 40),
+        |d2 AS (
+        |  SELECT d.*, v AS tab,
+        |    CAST(([27,30,8,12])[v + 1] AS INT) AS sblimit,
+        |    CAST(CASE WHEN kind = 2
+        |      THEN least((ext + 1) * 4, ([27,30,8,12])[v + 1])
+        |      ELSE ([27,30,8,12])[v + 1] END AS INT) AS bound
+        |  FROM d),
+        |slots AS (
+        |  SELECT d2.doc_id, d2.nfr, d2.nch, d2.tab, d2.bound, sbx.sb,
+        |    chx.ch,
+        |    ($q331Cls)[ ($q331Row)[tab * 30 + sbx.sb + 1] * 16
+        |      + 1 + ((doc_id * 5 + sbx.sb * 7 +
+        |          (CASE WHEN sbx.sb >= bound AND nch = 2 THEN 0
+        |            ELSE chx.ch END) * 3)
+        |        % (CASE ($q331Nbal)[tab * 30 + sbx.sb + 1]
+        |            WHEN 2 THEN 2 WHEN 3 THEN 6 ELSE 7 END)) + 1 ]
+        |      AS cls,
+        |    CAST((doc_id * 3 + sbx.sb * 5 + chx.ch * 7) % 4 AS INT)
+        |      AS scfsi
+        |  FROM d2, unnest(range(0, d2.sblimit)) sbx(sb),
+        |    unnest(range(0, d2.nch)) chx(ch)
+        |  WHERE (doc_id + sbx.sb) % 2 = 1),
+        |slots2 AS (
+        |  SELECT s.*, ($q331Steps)[cls] AS steps,
+        |    ($q331Bits)[cls] AS bits, ($q331Grp)[cls] AS grp
+        |  FROM slots s),
+        |smp AS (
+        |  SELECT s.doc_id, fx.f * 36 + gx.gr * 3 + ix.i AS tau, s.sb,
+        |    s.ch, s.cls, s.steps,
+        |    CASE s.scfsi
+        |      WHEN 0 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3
+        |        + (gx.gr // 4) * 19) % 63
+        |      WHEN 1 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3
+        |        + (CASE WHEN gx.gr < 8 THEN 0 ELSE 2 END) * 19) % 63
+        |      WHEN 2 THEN (s.doc_id * 7 + s.sb * 11 + s.ch * 3) % 63
+        |      ELSE (s.doc_id * 7 + s.sb * 11 + s.ch * 3
+        |        + (CASE WHEN gx.gr < 4 THEN 0 ELSE 1 END) * 19) % 63
+        |    END AS scf,
+        |    CASE WHEN s.grp = 1
+        |      THEN ((s.doc_id * 97 + fx.f * 31 + gx.gr * 13 + ix.i * 41
+        |        + s.sb * 17 + (CASE WHEN s.sb >= s.bound AND s.nch = 2
+        |          THEN 0 ELSE s.ch END) * 29) % 65536) % s.steps
+        |      ELSE ((s.doc_id * 97 + fx.f * 31 + gx.gr * 13 + ix.i * 41
+        |        + s.sb * 17 + (CASE WHEN s.sb >= s.bound AND s.nch = 2
+        |          THEN 0 ELSE s.ch END) * 29) % 65536) % (1 << s.bits)
+        |    END AS c
+        |  FROM slots2 s, unnest(range(0, s.nfr)) fx(f),
+        |    unnest(range(0, 12)) gx(gr), unnest(range(0, 3)) ix(i)),
+        |dq AS (
+        |  SELECT doc_id, tau, sb, ch,
+        |    (2 * c + 1 - steps) * ($q331Qsf2)[scf * 17 + cls] AS sfp
+        |  FROM smp),
+        |vg AS (
+        |  SELECT doc_id, ch, tau, ix.i,
+        |    (CAST(sum(($q332Nfp)[ix.i * 32 + sb + 1] * sfp) AS BIGINT)
+        |      >> 16) AS v
+        |  FROM dq, unnest(range(0, 64)) ix(i)
+        |  GROUP BY doc_id, ch, tau, ix.i),
+        |grid AS (
+        |  SELECT d.doc_id, chx.ch, tx.tau, jx.j, mx.m
+        |  FROM d, unnest(range(0, d.nch)) chx(ch),
+        |    unnest(range(0, d.nfr * 36)) tx(tau),
+        |    unnest(range(0, 32)) jx(j), unnest(range(0, 8)) mx(m)),
+        |pcm AS (
+        |  SELECT g.doc_id, g.ch, g.tau, g.j,
+        |    sum(($q332Win)[g.j + 64 * g.m + 1] * COALESCE(va.v, 0)
+        |      + ($q332Win)[g.j + 64 * g.m + 33] * COALESCE(vb.v, 0))
+        |      AS p
+        |  FROM grid g
+        |  LEFT JOIN vg va ON va.doc_id = g.doc_id AND va.ch = g.ch
+        |    AND va.tau = g.tau - 2 * g.m AND va.i = g.j
+        |  LEFT JOIN vg vb ON vb.doc_id = g.doc_id AND vb.ch = g.ch
+        |    AND vb.tau = g.tau - 2 * g.m - 1 AND vb.i = 32 + g.j
+        |  GROUP BY g.doc_id, g.ch, g.tau, g.j)""".stripMargin
+
   private lazy val q332Nfp: String =
     (for (i <- 0 until 64; k <- 0 until 32)
       yield graft.functions.Mpeg1Audio.Nfp(i)(k).toString)

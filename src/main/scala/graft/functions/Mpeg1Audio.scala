@@ -1028,6 +1028,39 @@ object Mpeg1Audio {
       out.result()
     }
 
+  /** Layer II decode to the RAW PCM sample tier ([[decodePcmSamples]]'
+    * contract with 36 groups per frame): per channel, the concatenated
+    * 2^32-fixed-point PCM (nFrames·1152 values). q335 runs the FIR
+    * downsample over this array — both layers now feed DSP end to
+    * end. */
+  def decodeL2PcmSamples(b: Array[Byte])
+      : Option[Seq[(Int, Array[Long])]] =
+    parseL2(b).map { p =>
+      val sbLimit = L2SbLimit(p.tabId)
+      (0 until p.nCh).map { ch =>
+        val st = new SynthState
+        val s = new Array[Long](32)
+        val pcm = new Array[Long](32)
+        val all = new Array[Long](p.frames.length * 1152)
+        var off = 0
+        p.frames.foreach { fr =>
+          var g = 0
+          while (g < 36) {
+            var sb = 0
+            while (sb < 32) {
+              s(sb) = if (sb < sbLimit) fr.sfp(g)(sb)(ch) else 0L
+              sb += 1
+            }
+            st.processGroup(s, pcm)
+            System.arraycopy(pcm, 0, all, off, 32)
+            off += 32
+            g += 1
+          }
+        }
+        (ch, all)
+      }
+    }
+
   /** Synthesize a conformant Layer II frame sequence from closed-form
     * generators (the [[encodeLayer1]] fixture pattern). Generators:
     *

@@ -620,6 +620,24 @@ object Multimodal {
       .toDF("id", "ch", "pcm")
   }
 
+  /** Layer II raw-PCM-tier decode ([[decodeMpeg1PcmSamples]]' exact
+    * contract, 36 groups per frame): one row per (clip, channel) with
+    * the full synthesized PCM array — q335's DSP input. */
+  def decodeMpeg1L2PcmSamples(df: DataFrame, idCol: String,
+                              payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.Mpeg1Audio.decodeL2PcmSamples(bytes).toSeq
+            .flatMap(_.map { case (ch, pcm) => (id, ch, pcm) })
+        }
+      }
+      .toDF("id", "ch", "pcm")
+  }
+
   /** Layer II through the same synthesis ([[decodeMpeg1Pcm]]'s
     * contract, 36 groups per frame), hash-oracled by q333. */
   def decodeMpeg1L2Pcm(df: DataFrame, idCol: String, payloadCol: String)

@@ -412,6 +412,22 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeL2PcmSamples: concatenation agrees with decodeL2Pcm's " +
+      "per-group stats, slice by slice") {
+    for (id <- 0L until 12L) {
+      val b = l2Fixture(id)
+      val samples = Mpeg1Audio.decodeL2PcmSamples(b).get.toMap
+      val groups = Mpeg1Audio.decodeL2Pcm(b).get
+      groups.foreach { g =>
+        val slice = samples(g.ch).slice(g.t * 32, g.t * 32 + 32)
+        assert(slice.length === 32)
+        assert(slice.map(math.abs).sum === g.sumAbs, s"id=$id g=$g")
+        assert(slice.map(math.abs).max === g.peak)
+        assert(slice.last === g.last)
+      }
+    }
+  }
+
   test("decodeL2Pcm: 36 groups per (channel, frame), defined iff " +
       "decodeL2 is, synthesis shared with Layer I") {
     for (id <- 0L until 24L) {
