@@ -396,6 +396,32 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     assert(op.drop(1).exists(_.sumAbs > 0L), "history carried forward")
   }
 
+  test("synthesis register mechanics: zero-prefix time invariance " +
+      "and constant-input steady state (both EXACT)") {
+    val sig = (0 until 20).map(g =>
+      Array.tabulate(32)(k => (((g * 37 + k * 101) % 513) - 256) * 257L))
+    def run(groups: Seq[Array[Long]]): Seq[Seq[Long]] = {
+      val st = new Mpeg1Audio.SynthState
+      val out = new Array[Long](32)
+      groups.map { s => st.processGroup(s, out); out.toSeq }
+    }
+    // zeros contribute exactly 0 through matrixing, floor and window,
+    // so k zero groups only delay the signal: out(0^k ++ S)[k..] ==
+    // out(S) — the shift register carries no other state
+    val plain = run(sig)
+    for (k <- Seq(1, 5, 16, 20)) {
+      val delayed = run(Seq.fill(k)(new Array[Long](32)) ++ sig)
+      assert(delayed.drop(k) === plain, s"k=$k")
+      assert(delayed.take(k).forall(_.forall(_ == 0L)), s"k=$k head")
+    }
+    // a constant input saturates the 16-generation register: outputs
+    // from group 16 onward must be IDENTICAL, exactly
+    val const = Array.tabulate(32)(k => (k - 16) * 4097L)
+    val steady = run(Seq.fill(24)(const))
+    assert(steady.drop(16).distinct.size === 1)
+    assert(steady.drop(15).head === steady.last) // already steady at 15
+  }
+
   test("decodePcmSamples: concatenation agrees with decodePcm's " +
       "per-group stats, slice by slice") {
     for (id <- 0L until 12L) {
