@@ -9741,6 +9741,34 @@ object SparkEntry {
             "(v, i) -> shiftright(v, 16) * i), 0L, (a, x) -> a + x)")
             .as("ord_ck"))
         .orderBy($"doc_id", $"ch")
+    }),
+
+    // BITEXT MINING (LASER/CCMatrix margin criterion) — the parallel-
+    // corpus miner behind the public CCMatrix/WikiMatrix datasets:
+    // each source's best target, scored by cosine NORMALIZED by the
+    // two sides' k-NN neighborhood averages (hubness suppression —
+    // see Similarity.marginMine), plus the mutual-best flag. The
+    // synthetic bitext model splits embeddings by vec_id parity: a
+    // bounded batch of 100 even-id sources mined against the full
+    // odd-id corpus — the per-shard shape real mining runs, with the
+    // candidate stage (here a broadcast cross-score, q26's pattern)
+    // swappable for ivfTopK both ways at corpus×corpus scale. Means
+    // are explicit ordered sums, so the oracle replays the doubles
+    // term for term.
+    "q336_bitext_margin" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val src = emb.filter($"vec_id" % 2 === 0 && $"vec_id" < 200)
+        .select($"vec_id".as("src_id"), $"embedding".as("__sv"))
+      val tgt = emb.filter($"vec_id" % 2 === 1)
+        .select($"vec_id".as("tgt_id"), $"embedding".as("__tv"))
+      val scored = tgt.crossJoin(broadcast(src))
+        .select($"src_id", $"tgt_id",
+          Similarity.cosine($"__tv", $"__sv").as("s"))
+      Similarity.marginMine(scored, k = 4)
+        .select($"src_id", $"tgt_id",
+          Fns.roundU($"sim", 4).as("sim"),
+          Fns.roundU($"margin", 4).as("margin"), $"mutual")
+        .orderBy($"src_id")
     })
   )
 
@@ -18931,7 +18959,58 @@ object SparkEntry {
         |  CAST(max(abs(y)) AS BIGINT) AS peak,
         |  CAST(sum((y >> 16) * (k + 1)) AS BIGINT) AS ord_ck
         |FROM y GROUP BY doc_id, ch, n_in
-        |ORDER BY doc_id, ch""".stripMargin)
+        |ORDER BY doc_id, ch""".stripMargin),
+
+    // q336: the margin criterion replayed term for term — same
+    // cosine builtin and argument order as q26's oracle, the two
+    // rank windows with the same tie-breaks, the neighborhood means
+    // as the SAME explicit ordered sum (s1+s2+s3+s4)/4.0 the Spark
+    // side reduces, and the margin division in the same shape.
+    "q336_bitext_margin" ->
+      """WITH src AS (
+        |  SELECT vec_id AS src_id, embedding AS sv FROM embeddings
+        |  WHERE vec_id % 2 = 0 AND vec_id < 200),
+        |tgt AS (
+        |  SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings
+        |  WHERE vec_id % 2 = 1),
+        |sc AS (
+        |  SELECT src_id, tgt_id,
+        |    list_cosine_similarity(
+        |      CAST(tv AS DOUBLE[]), CAST(sv AS DOUBLE[])) AS s
+        |  FROM tgt, src),
+        |r AS (
+        |  SELECT src_id, tgt_id, s,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY s DESC, tgt_id) AS fr,
+        |    row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY s DESC, src_id) AS br
+        |  FROM sc),
+        |ax AS (
+        |  SELECT src_id,
+        |    (max(CASE WHEN fr = 1 THEN s END)
+        |     + max(CASE WHEN fr = 2 THEN s END)
+        |     + max(CASE WHEN fr = 3 THEN s END)
+        |     + max(CASE WHEN fr = 4 THEN s END)) / 4.0 AS ax
+        |  FROM r WHERE fr <= 4 GROUP BY src_id),
+        |ay AS (
+        |  SELECT tgt_id,
+        |    (max(CASE WHEN br = 1 THEN s END)
+        |     + max(CASE WHEN br = 2 THEN s END)
+        |     + max(CASE WHEN br = 3 THEN s END)
+        |     + max(CASE WHEN br = 4 THEN s END)) / 4.0 AS ay
+        |  FROM r WHERE br <= 4 GROUP BY tgt_id),
+        |bb AS (SELECT tgt_id, src_id AS bsrc FROM r WHERE br = 1)
+        |SELECT f.src_id, f.tgt_id,
+        |  floor((f.s) * 10000 + 0.5) / 10000.0 AS sim,
+        |  floor((f.s / ((ax.ax + ay.ay) / 2.0)) * 10000 + 0.5)
+        |    / 10000.0 AS margin,
+        |  (bb.bsrc = f.src_id) AS mutual
+        |FROM r f
+        |JOIN ax ON ax.src_id = f.src_id
+        |JOIN ay ON ay.tgt_id = f.tgt_id
+        |JOIN bb ON bb.tgt_id = f.tgt_id
+        |WHERE f.fr = 1
+        |ORDER BY f.src_id""".stripMargin
   )
 
   /** q330/q332's SHARED Layer I fixture generator — one function so

@@ -407,6 +407,60 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Margin-based bitext mining (the LASER/CCMatrix criterion): score
+    * each candidate pair by its cosine NORMALIZED by the two sides'
+    * k-NN neighborhood averages,
+    *
+    *   margin(x, y) = cos(x, y) / ((avgTopK_x + avgTopK_y) / 2),
+    *
+    * which suppresses hubness (a vector globally close to everything
+    * scores high raw cosine against many partners but its
+    * neighborhood average rises too, so its margins stay flat) — the
+    * selection rule behind the public CCMatrix/WikiMatrix mined
+    * corpora. Input is a SCORED candidate pair table (src_id, tgt_id,
+    * s) — the scoring stage is the CALLER's choice, which is the
+    * point at 100 TB: brute-force cross-scoring for a bounded batch
+    * (q336's shape), or [[ivfTopK]] in both directions for
+    * corpus×corpus mining, margins unchanged. Returns each src's
+    * best target with `sim`, `margin` and `mutual` (is the source
+    * also that target's best?). Ranks tie-break by id; the top-k
+    * means are EXPLICIT ordered sums (s1+..+sk)/k so a SQL oracle
+    * reproduces the double arithmetic term for term. Every src needs
+    * ≥ k candidates (the bounded-batch contract). */
+  def marginMine(scored: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val wF = Window.partitionBy(col("src_id"))
+      .orderBy(col("s").desc, col("tgt_id"))
+    val wB = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("s").desc, col("src_id"))
+    // both rank columns in ONE projection, persisted: four consumers
+    // (two neighborhood means, the backward best, the forward best)
+    // read it, and the upstream scoring stage must not recompute —
+    // released by the caller's cache clear (the Stats.spearman
+    // contract)
+    val r = scored.select(col("src_id"), col("tgt_id"), col("s"),
+      row_number().over(wF).as("__fr"),
+      row_number().over(wB).as("__br"))
+    r.persist()
+    def orderedMean(rankCol: String): Column =
+      (1 to k).map(i => max(when(col(rankCol) === i, col("s"))))
+        .reduce(_ + _) / k.toDouble
+    val ax = r.filter(col("__fr") <= k).groupBy(col("src_id"))
+      .agg(orderedMean("__fr").as("__ax"))
+    val ay = r.filter(col("__br") <= k).groupBy(col("tgt_id"))
+      .agg(orderedMean("__br").as("__ay"))
+    val bwdBest = r.filter(col("__br") === 1)
+      .select(col("tgt_id"), col("src_id").as("__bsrc"))
+    r.filter(col("__fr") === 1)
+      .join(ax, Seq("src_id"))
+      .join(ay, Seq("tgt_id"))
+      .join(bwdBest, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        col("s").as("sim"),
+        (col("s") / ((col("__ax") + col("__ay")) / 2.0)).as("margin"),
+        (col("__bsrc") === col("src_id")).as("mutual"))
+  }
+
   /** Greedy MMR selection over a BOUNDED per-query candidate set —
     * PER-QUERY-LOCAL by construction, so the whole greedy loop runs
     * inside one flatMapGroups job instead of `steps` rounds of

@@ -548,6 +548,29 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("Similarity.marginMine: mutual-best pairs, margins above the " +
+      "neighborhood average, hub suppressed") {
+    // s0 pairs with t1, s2 with t3; t5 is a HUB (diagonal — close to
+    // both sources) that must win neither source despite decent raw
+    // cosine, and every true pair's margin must exceed 1 (its cosine
+    // beats its own neighborhood average by construction)
+    val src = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("src_id", "__sv")
+    val tgt = Seq((1L, Array(1.0f, 0.1f)), (3L, Array(0.1f, 1.0f)),
+        (5L, Array(0.7f, 0.7f)))
+      .toDF("tgt_id", "__tv")
+    val scored = tgt.crossJoin(broadcast(src))
+      .select($"src_id", $"tgt_id",
+        Similarity.cosine($"__tv", $"__sv").as("s"))
+    val out = Similarity.marginMine(scored, k = 2)
+      .orderBy($"src_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 1L), (2L, 3L)))
+    assert(out.forall(_.getBoolean(4)), "both true pairs are mutual")
+    assert(out.forall(_.getDouble(3) > 1.0), "margins > 1")
+    spark.catalog.clearCache() // release marginMine's rank persist
+  }
+
   test("Similarity.kmeans separates two obvious clusters") {
     // two tight cosine clusters: near (1,0,...) and near (0,1,...)
     val mk = (base: Int, j: Int) => {
