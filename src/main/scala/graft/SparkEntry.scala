@@ -9769,6 +9769,47 @@ object SparkEntry {
           Fns.roundU($"sim", 4).as("sim"),
           Fns.roundU($"margin", 4).as("margin"), $"mutual")
         .orderBy($"src_id")
+    }),
+
+    // q336 AT CORPUS×CORPUS SCALE — the composition the 100 TB design
+    // prescribes (Similarity.marginMine doc): candidates come from
+    // ivfTopK run in BOTH directions over the full parity-split
+    // embeddings table (every source's top-4 targets ∪ every target's
+    // top-4 sources, deduped — cosine is exactly symmetric, so the
+    // same pair from both directions carries the same score), then
+    // the margin criterion mines that sparse table. Nothing is
+    // all-pairs: each direction scans nprobe/ncells of the opposite
+    // corpus. margin-k (6) deliberately EXCEEDS the ANN k (4) so the
+    // sparse-side mean path is exercised — a side holds between 4 and
+    // 4+|backward extras| candidates, and sides with n < 6 average
+    // the n they have (the count-aware ordered mean; the old ≥ k
+    // contract would have emitted NULL margins here). The oracle
+    // replays both IVF selections (q27's replay, twice), the union-
+    // distinct, and the count-aware margin arithmetic term for term.
+    "q337_bitext_margin_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val src = emb.filter($"vec_id" % 2 === 0)
+        .select($"vec_id".as("src_id"), $"embedding".as("__sv"))
+      val tgt = emb.filter($"vec_id" % 2 === 1)
+        .select($"vec_id".as("tgt_id"), $"embedding".as("__tv"))
+      val cents = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val fwd = Similarity.ivfTopK(tgt, "tgt_id", "__tv",
+          cents, "cid", "cvec", src, "src_id", "__sv",
+          k = 4, nprobe = 3)
+        .select($"query_id".as("src_id"),
+          $"neighbor_id".as("tgt_id"), $"sim".as("s"))
+      val bwd = Similarity.ivfTopK(src, "src_id", "__sv",
+          cents, "cid", "cvec", tgt, "tgt_id", "__tv",
+          k = 4, nprobe = 3)
+        .select($"neighbor_id".as("src_id"),
+          $"query_id".as("tgt_id"), $"sim".as("s"))
+      val cand = fwd.unionByName(bwd).distinct()
+      Similarity.marginMine(cand, k = 6)
+        .select($"src_id", $"tgt_id",
+          Fns.roundU($"sim", 4).as("sim"),
+          Fns.roundU($"margin", 4).as("margin"), $"mutual")
+        .orderBy($"src_id")
     })
   )
 
@@ -19010,6 +19051,113 @@ object SparkEntry {
         |JOIN ay ON ay.tgt_id = f.tgt_id
         |JOIN bb ON bb.tgt_id = f.tgt_id
         |WHERE f.fr = 1
+        |ORDER BY f.src_id""".stripMargin,
+
+    // q337: the full corpus×corpus replay — q27's IVF selection run
+    // TWICE (tgt-corpus/src-queries, then src-corpus/tgt-queries),
+    // union-distinct on the ROUNDED score (the Spark side dedups
+    // ivfTopK's rounded output; cosine is exactly symmetric in both
+    // engines), then q336's margin replay generalized to the
+    // count-aware ordered mean: sum of 6 coalesce'd rank terms over
+    // count(*) of the side's ranked rows (= the Spark reduce's
+    // (s1+..+sn)/n term for term).
+    "q337_bitext_margin_ivf" ->
+      """WITH c AS (SELECT vec_id AS cell_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |s0 AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
+        |  WHERE vec_id % 2 = 0),
+        |t0 AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings
+        |  WHERE vec_id % 2 = 1),
+        |ta AS (
+        |  SELECT tid, tv, cell_id FROM (
+        |    SELECT t0.tid, t0.tv, c.cell_id,
+        |      row_number() OVER (PARTITION BY t0.tid ORDER BY
+        |        list_cosine_similarity(CAST(t0.tv AS DOUBLE[]),
+        |          CAST(c.cvec AS DOUBLE[])) DESC, c.cell_id ASC) AS arn
+        |    FROM t0 CROSS JOIN c) WHERE arn = 1),
+        |sa AS (
+        |  SELECT sid, sv, cell_id FROM (
+        |    SELECT s0.sid, s0.sv, c.cell_id,
+        |      row_number() OVER (PARTITION BY s0.sid ORDER BY
+        |        list_cosine_similarity(CAST(s0.sv AS DOUBLE[]),
+        |          CAST(c.cvec AS DOUBLE[])) DESC, c.cell_id ASC) AS arn
+        |    FROM s0 CROSS JOIN c) WHERE arn = 1),
+        |sp AS (
+        |  SELECT sid, sv, cell_id FROM (
+        |    SELECT s0.sid, s0.sv, c.cell_id,
+        |      row_number() OVER (PARTITION BY s0.sid ORDER BY
+        |        list_cosine_similarity(CAST(s0.sv AS DOUBLE[]),
+        |          CAST(c.cvec AS DOUBLE[])) DESC, c.cell_id ASC) AS crk
+        |    FROM s0 CROSS JOIN c) WHERE crk <= 3),
+        |tp AS (
+        |  SELECT tid, tv, cell_id FROM (
+        |    SELECT t0.tid, t0.tv, c.cell_id,
+        |      row_number() OVER (PARTITION BY t0.tid ORDER BY
+        |        list_cosine_similarity(CAST(t0.tv AS DOUBLE[]),
+        |          CAST(c.cvec AS DOUBLE[])) DESC, c.cell_id ASC) AS crk
+        |    FROM t0 CROSS JOIN c) WHERE crk <= 3),
+        |fsc AS (
+        |  SELECT sp.sid, ta.tid,
+        |    list_cosine_similarity(CAST(ta.tv AS DOUBLE[]),
+        |      CAST(sp.sv AS DOUBLE[])) AS sc
+        |  FROM ta JOIN sp ON ta.cell_id = sp.cell_id
+        |  WHERE ta.tid <> sp.sid),
+        |fk AS (SELECT sid, tid, sc FROM (
+        |    SELECT sid, tid, sc, row_number() OVER (PARTITION BY sid
+        |      ORDER BY sc DESC, tid ASC) AS rk FROM fsc)
+        |  WHERE rk <= 4),
+        |bsc AS (
+        |  SELECT sa.sid, tp.tid,
+        |    list_cosine_similarity(CAST(sa.sv AS DOUBLE[]),
+        |      CAST(tp.tv AS DOUBLE[])) AS sc
+        |  FROM sa JOIN tp ON sa.cell_id = tp.cell_id
+        |  WHERE sa.sid <> tp.tid),
+        |bk AS (SELECT sid, tid, sc FROM (
+        |    SELECT sid, tid, sc, row_number() OVER (PARTITION BY tid
+        |      ORDER BY sc DESC, sid ASC) AS rk FROM bsc)
+        |  WHERE rk <= 4),
+        |cand AS (
+        |  SELECT DISTINCT sid AS src_id, tid AS tgt_id,
+        |    floor(sc * 10000 + 0.5) / 10000.0 AS s
+        |  FROM (SELECT * FROM fk UNION ALL SELECT * FROM bk)),
+        |r AS (
+        |  SELECT src_id, tgt_id, s,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY s DESC, tgt_id) AS fr,
+        |    row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY s DESC, src_id) AS br
+        |  FROM cand),
+        |ax AS (
+        |  SELECT src_id,
+        |    (coalesce(max(CASE WHEN fr = 1 THEN s END), 0)
+        |     + coalesce(max(CASE WHEN fr = 2 THEN s END), 0)
+        |     + coalesce(max(CASE WHEN fr = 3 THEN s END), 0)
+        |     + coalesce(max(CASE WHEN fr = 4 THEN s END), 0)
+        |     + coalesce(max(CASE WHEN fr = 5 THEN s END), 0)
+        |     + coalesce(max(CASE WHEN fr = 6 THEN s END), 0))
+        |      / CAST(count(*) AS DOUBLE) AS ax
+        |  FROM r WHERE fr <= 6 GROUP BY src_id),
+        |ay AS (
+        |  SELECT tgt_id,
+        |    (coalesce(max(CASE WHEN br = 1 THEN s END), 0)
+        |     + coalesce(max(CASE WHEN br = 2 THEN s END), 0)
+        |     + coalesce(max(CASE WHEN br = 3 THEN s END), 0)
+        |     + coalesce(max(CASE WHEN br = 4 THEN s END), 0)
+        |     + coalesce(max(CASE WHEN br = 5 THEN s END), 0)
+        |     + coalesce(max(CASE WHEN br = 6 THEN s END), 0))
+        |      / CAST(count(*) AS DOUBLE) AS ay
+        |  FROM r WHERE br <= 6 GROUP BY tgt_id),
+        |bb AS (SELECT tgt_id, src_id AS bsrc FROM r WHERE br = 1)
+        |SELECT f.src_id, f.tgt_id,
+        |  floor((f.s) * 10000 + 0.5) / 10000.0 AS sim,
+        |  floor((f.s / ((ax.ax + ay.ay) / 2.0)) * 10000 + 0.5)
+        |    / 10000.0 AS margin,
+        |  (bb.bsrc = f.src_id) AS mutual
+        |FROM r f
+        |JOIN ax ON ax.src_id = f.src_id
+        |JOIN ay ON ay.tgt_id = f.tgt_id
+        |JOIN bb ON bb.tgt_id = f.tgt_id
+        |WHERE f.fr = 1
         |ORDER BY f.src_id""".stripMargin
   )
 
@@ -19121,7 +19269,9 @@ object SparkEntry {
     * symbolic fixture CTEs with tau = f*36 + gr*3 + i, then the q332
     * relational synthesis convolution, ending at the per-(doc, ch,
     * tau, j) sample table `pcm`. */
-  private lazy val q333OraclePrefix: String = s"""WITH d AS (
+  // a DEF (not lazy val): interpolates q332Win, which must track an
+  // installed window table (see q332Win's comment)
+  private def q333OraclePrefix: String = s"""WITH d AS (
         |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
         |    CAST(doc_id % 4 AS INT) AS v,
         |    CAST((doc_id // 3) % 4 AS INT) AS ext,
@@ -19208,8 +19358,12 @@ object SparkEntry {
     (for (i <- 0 until 64; k <- 0 until 32)
       yield graft.functions.Mpeg1Audio.Nfp(i)(k).toString)
       .mkString("[", ",", "]")
-  private lazy val q332Win: String =
-    (0 until 512).map(graft.functions.Mpeg1Audio.WindowD(_).toString)
+  // a DEF on the CURRENT table (not the WindowD literal): if a
+  // deployment installs the real Table 3-B.3 (see
+  // Mpeg1Audio.windowTable), the oracle's literals follow the decoder
+  // automatically — the two engines cannot disagree under any window
+  private def q332Win: String =
+    (0 until 512).map(graft.functions.Mpeg1Audio.windowTable(_).toString)
       .mkString("[", ",", "]")
 
   /** q105's oracle — the FULL BPE pipeline under the hash oracle:

@@ -39,6 +39,13 @@ object Bridge {
       case _ =>
     }
 
+  /** True iff the session's CacheManager holds no cached plan — the
+    * no-leak assertion operators that once persisted internally are
+    * spec-pinned against (sharedState is `private[sql]`). */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
   /** Wrap a custom logical plan in a DataFrame (Dataset.ofRows is
     * `private[sql]`) — the entry point for library-defined operators that
     * plan through a custom SparkStrategy. */

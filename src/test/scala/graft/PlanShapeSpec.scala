@@ -1227,4 +1227,112 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans.head.schema.fieldNames.toSeq === Seq("doc_id"),
       scans.head.schema.fieldNames.mkString(","))
   }
+
+  test("disk-regime traversal: executed round plans keep the bucket-" +
+      "set partition filter on __bk and the broadcast frontier " +
+      "(force knob)") {
+    // GraphSpec pins RESULT equality under AdjDiskForceKey; this pins
+    // the MECHANICS the 100× economics rely on (round-13 verdict: a
+    // regression here rots the disk regime into a full-scan-per-round
+    // silently) — capture every query execution the traversal runs
+    // and require at least one round whose plan scans the bucketed
+    // layout WITH the frontier's bucket set as a partition filter and
+    // joins a broadcast frontier. Writing this spec found TWO rots
+    // already shipped: the long-typed __bk made every probe join key
+    // `cast(__bk as bigint)` (DPP can't prune through a cast), and
+    // even type-aligned, Spark's PartitionPruning rule never fires
+    // for a filter-free checkpointed frontier — hence the explicit
+    // static bucket-set filter the traversals now push.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.add(s"[$f]\n" + qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-adj-plan").toString
+    spark.listenerManager.register(listener)
+    spark.conf.set(operators.Graph.AdjScratchKey, scratch)
+    spark.conf.set(operators.Graph.AdjDiskForceKey, "true")
+    try {
+      import spark.implicits._
+      val edges = (0 until 64).map(i => (s"n$i", s"n${(i + 1) % 64}"))
+        .toDF("src", "dst")
+      operators.Graph.bfsHops(edges, "src", "dst",
+        Seq("n0").toDF("node"), "node", 3).collect()
+      // listener callbacks are async — poll for the round plan
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      // the scan line must carry the bucket set INSIDE PartitionFilters
+      // — e.g. `PartitionFilters: [isnotnull(__bk#5), __bk#5 IN (3,17)]`
+      // or the INSET form past the In->InSet threshold
+      val pf = ("PartitionFilters: \\[[^\\]]*__bk#\\d+ " +
+        "(IN|INSET)\\b").r
+      def roundPlan(): Option[String] = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.find(p => p.contains(scratch)
+          && pf.findFirstIn(p).isDefined
+          && p.contains("BroadcastHashJoin"))
+      }
+      var found = roundPlan()
+      while (found.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(200); found = roundPlan()
+      }
+      if (found.isEmpty)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/tmp/dpp_plans.txt"),
+          scala.jdk.CollectionConverters.CollectionHasAsScala(plans)
+            .asScala.mkString("\n========\n"))
+      assert(found.isDefined,
+        s"no executed round plan with scratch scan + bucket-set " +
+          s"partition filter + broadcast among ${plans.size} captured " +
+          s"plans (full dump: /tmp/dpp_plans.txt)")
+    } finally {
+      spark.conf.unset(operators.Graph.AdjScratchKey)
+      spark.conf.unset(operators.Graph.AdjDiskForceKey)
+      spark.listenerManager.unregister(listener)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(scratch))
+    }
+  }
+
+  test("q337 marginMine: AQE reuses the candidate-table stage across " +
+      "all four consumers; every rank shuffle is WindowGroupLimit-" +
+      "bounded") {
+    // the no-persist contract (round-13 verdict): marginMine's four
+    // consumers must not re-run the upstream scoring pipeline. The
+    // candidate table arrives through the union-distinct's exchange;
+    // after execution the final adaptive plan must show that exchange
+    // materialized ONCE and referenced as ReusedExchange by the other
+    // three consumers — a Spark upgrade that drops stage reuse here
+    // would silently re-run both ivfTopK directions 4×.
+    spark.catalog.clearCache() // isolate the no-leak assertion below
+    val df = SparkEntry.queries("q337_bitext_margin_ivf")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val finalSection = s.substring(0, s.indexOf("+- == Initial Plan =="))
+    // the distinct exchange: hashpartitioning on (src_id, tgt_id, s).
+    // A ReusedExchange line re-prints the referenced exchange's
+    // description, so partition the matches by line: exactly ONE
+    // materialized, >= 3 reuse references.
+    val distinctEx =
+      "Exchange hashpartitioning\\(src_id#\\d+L, tgt_id#\\d+L, s#\\d+"
+    val lines = finalSection.linesIterator
+      .filter(_.matches(s".*$distinctEx.*")).toSeq
+    val (reusedL, matL) = lines.partition(_.contains("ReusedExchange"))
+    assert(matL.length === 1,
+      s"expected exactly one materialized candidate exchange:\n$s")
+    assert(reusedL.length >= 3,
+      s"expected >=3 ReusedExchange (one per extra consumer), " +
+        s"got ${reusedL.length}:\n$s")
+    // the rank exchanges must sit above a partial WindowGroupLimit —
+    // per-partition top-k BEFORE the shuffle, so no rank exchange
+    // ever moves the full candidate table
+    assert("WindowGroupLimit".r.findAllIn(finalSection).length >= 8,
+      s"rank filters no longer push as WindowGroupLimit partials:\n$s")
+    assert(org.apache.spark.sql.graft.Bridge.cacheIsEmpty(spark),
+      "marginMine must not leave cached tables")
+  }
 }

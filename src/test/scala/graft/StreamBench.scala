@@ -26,7 +26,13 @@ object StreamBench {
     val sustained = args.headOption.contains("sustained")
     val nBlocks =
       if (sustained || args.length < 1) 120 else args(0).toInt
-    val txPer = if (sustained || args.length < 2) 500 else args(1).toInt
+    // sustained mode reads txPer from arg 5 (after rate/secs/writers) —
+    // the round-13 verdict's 10 MB-block soak sizes blocks through it
+    // (500 tx ≈ 1 MB of JSON, 5000 tx ≈ 10 MB, the reference's shm cap)
+    val txPer =
+      if (sustained) (if (args.length > 4) args(4).toInt else 500)
+      else if (args.length < 2) 500
+      else args(1).toInt
     // Micro-batch tuning knob: AQE is DISABLED under streaming, so a
     // per-block trigger pays `shuffle.partitions` near-empty tasks per
     // shuffle stage — a real per-block deployment sizes this to the
@@ -191,8 +197,10 @@ object StreamBench {
         sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
       val consumedRate = seen.toDouble /
         ((lastDone - tStart) / 1e9)
+      val blockMb = bodyPool.map(_.length.toLong).sum / 64.0 / 1e6
       println(f"[streambench] SUSTAINED [$rate%.1f blocks/s arrival, " +
-        f"$secs s, $writers writer(s)]: fed $n, consumed $seen in " +
+        f"$secs s, $writers writer(s), $txPer tx/block = " +
+        f"$blockMb%.1f MB/block]: fed $n, consumed $seen in " +
         f"${batchSizes.size} " +
         f"batches (max ${if (batchSizes.isEmpty) 0 else batchSizes.max}" +
         f"/batch) -> $consumedRate%.2f blocks/s, latency " +

@@ -467,4 +467,62 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     }
     assert(Mpeg1Audio.decodeL2Pcm(Array[Byte](7, 7, 7)).isEmpty)
   }
+
+  test("window table override: stand-in fallback and installed table " +
+      "are both hash-stable; validation rejects bad tables; " +
+      "conformance marker tracks install state") {
+    def pcmSig(): Seq[(Int, Int, Long, Long, Long)] =
+      Mpeg1Audio.decodePcm(fixture(7L)).get
+        .map(g => (g.ch, g.t, g.sumAbs, g.peak, g.last))
+    assert(!Mpeg1Audio.windowIsSpecTable, "stand-in by default")
+    val standIn = pcmSig()
+    assert(pcmSig() === standIn, "stand-in decode is deterministic")
+    // a VALID alternative table: halve every value — Long division
+    // truncates toward zero, so the odd-symmetry classes stay exact
+    // (-(v/2) == (-v)/2), D(0) stays 0, and the 2^17 bound tightens
+    val halved = Mpeg1Audio.WindowD.map(_ / 2)
+    try {
+      Mpeg1Audio.installWindowTable(halved)
+      assert(Mpeg1Audio.windowIsSpecTable)
+      val overridden = pcmSig()
+      assert(overridden !== standIn, "override must change the PCM")
+      assert(pcmSig() === overridden, "override decode is deterministic")
+      // the q332 oracle's window literals follow the installed table
+      assert(graft.SparkEntry.oracleSql("q332_mpeg1_pcm")
+        .contains("," + halved(255).toString + ","))
+    } finally Mpeg1Audio.clearWindowTable()
+    assert(!Mpeg1Audio.windowIsSpecTable)
+    assert(pcmSig() === standIn, "clear restores the stand-in exactly")
+    // file-loadable form (the deployment path): one integer per line
+    val f = java.io.File.createTempFile("graft_win", ".txt")
+    try {
+      java.nio.file.Files.writeString(f.toPath,
+        halved.mkString("", "\n", "\n"))
+      Mpeg1Audio.loadWindowTable(f.getPath)
+      assert(Mpeg1Audio.windowIsSpecTable)
+      assert(pcmSig() !== standIn)
+    } finally {
+      Mpeg1Audio.clearWindowTable()
+      f.delete()
+    }
+    // validation: wrong length, nonzero head, symmetry break, and the
+    // headroom bound are all rejected loudly (never half-installed)
+    intercept[IllegalArgumentException] {
+      Mpeg1Audio.installWindowTable(halved.take(511))
+    }
+    intercept[IllegalArgumentException] {
+      val bad = halved.clone(); bad(0) = 1L
+      Mpeg1Audio.installWindowTable(bad)
+    }
+    intercept[IllegalArgumentException] {
+      val bad = halved.clone(); bad(511) = bad(511) + 1
+      Mpeg1Audio.installWindowTable(bad)
+    }
+    intercept[IllegalArgumentException] {
+      val bad = halved.clone(); bad(256) = 1L << 17
+      Mpeg1Audio.installWindowTable(bad)
+    }
+    assert(!Mpeg1Audio.windowIsSpecTable,
+      "rejected installs must leave the stand-in active")
+  }
 }

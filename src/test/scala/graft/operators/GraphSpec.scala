@@ -238,7 +238,24 @@ class GraphSpec extends SparkSpec {
     def sssp() = Graph.ssspHops(wEdges, "src", "dst", "w",
         Seq("a").toDF("node"), "node", 6)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val (plainB, plainS) = (bfs(), sssp())
+    // pageRank plans its edge list through the same planAdjacency
+    // (round 14), so its disk regime is pinned here too. Ranks are
+    // DOUBLES whose per-destination sum order can legitimately differ
+    // with the adjacency's physical row order, so the pin is a 1e-12
+    // relative band, not bit equality (the q121 oracle's 1e-6 rounding
+    // absorbs the same reorder)
+    def pr() = Graph.pageRank(edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst", 0.85, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def prClose(a: Map[String, Double], b: Map[String, Double]): Unit = {
+      assert(a.keySet === b.keySet)
+      a.foreach { case (k, v) =>
+        assert(math.abs(v - b(k)) <= 1e-12 * math.max(math.abs(v), 1e-30),
+          s"rank of $k: $v vs ${b(k)}")
+      }
+    }
+    val (plainB, plainS, plainP) = (bfs(), sssp(), pr())
     // per-session conf, not a JVM-global var (round-11 advice): only
     // THIS session sees the flipped plan, parallel suites are immune
     spark.conf.set(Graph.BloomForceKey, "true")
@@ -256,6 +273,7 @@ class GraphSpec extends SparkSpec {
     try {
       assert(bfs() === plainB)
       assert(sssp() === plainS)
+      prClose(pr(), plainP)
     } finally {
       spark.conf.unset(Graph.AdjScratchKey)
       spark.conf.unset(Graph.AdjDiskForceKey)

@@ -562,13 +562,41 @@ class OperatorsSpec extends SparkSpec with TableDrivenPropertyChecks {
     val scored = tgt.crossJoin(broadcast(src))
       .select($"src_id", $"tgt_id",
         Similarity.cosine($"__tv", $"__sv").as("s"))
+    spark.catalog.clearCache() // isolate the no-leak assertion below
     val out = Similarity.marginMine(scored, k = 2)
       .orderBy($"src_id").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
       Seq((0L, 1L), (2L, 3L)))
     assert(out.forall(_.getBoolean(4)), "both true pairs are mutual")
     assert(out.forall(_.getDouble(3) > 1.0), "margins > 1")
-    spark.catalog.clearCache() // release marginMine's rank persist
+    // round-13 verdict item: marginMine must not leak a cached table
+    // into a long-lived session — the exchange-reuse form caches
+    // nothing at all
+    assert(org.apache.spark.sql.graft.Bridge.cacheIsEmpty(spark),
+      "marginMine left a cached table behind")
+  }
+
+  test("Similarity.marginMine: a side with fewer than k candidates " +
+      "averages the candidates it has (no NULL margins)") {
+    // src 0 has TWO candidates, src 2 only ONE; with k = 3 both are
+    // below k, so both means divide by the actual candidate count —
+    // the previous >= k contract emitted NULL margins here. tgt 1 is
+    // shared (two sources), tgt 3 has one.
+    val scored = Seq(
+      (0L, 1L, 0.9), (0L, 3L, 0.5), (2L, 1L, 0.7)
+    ).toDF("src_id", "tgt_id", "s")
+    val out = Similarity.marginMine(scored, k = 3)
+      .orderBy($"src_id").collect()
+    assert(out.length === 2)
+    // src 0: ax = (0.9+0.5)/2; tgt 1: ay = (0.9+0.7)/2; margin exact
+    val m0 = 0.9 / (((0.9 + 0.5) / 2 + (0.9 + 0.7) / 2) / 2)
+    assert(out(0).getLong(1) === 1L && out(0).getDouble(3) === m0)
+    // src 2 lost tgt 1's backward-best to src 0 → not mutual
+    assert(out(0).getBoolean(4) && !out(1).getBoolean(4))
+    // src 2: ax = 0.7/1; tgt 1's ay as above
+    val m2 = 0.7 / ((0.7 + (0.9 + 0.7) / 2) / 2)
+    assert(out(1).getLong(1) === 1L && out(1).getDouble(3) === m2)
+    assert(out.forall(!_.isNullAt(3)), "no NULL margins")
   }
 
   test("Similarity.kmeans separates two obvious clusters") {

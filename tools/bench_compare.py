@@ -48,6 +48,16 @@ R1_CORRECTNESS = "CORRECTNESS_r01.json"
 REGRESS_RATIO = 1.5
 REGRESS_ABS_SEC = 1.0
 
+# Recorded per-query variance bands (round-13 verdict item #7): queries
+# whose NATURAL same-box spread exceeds the 1.5x gate keep tripping it
+# and desensitize the regression list. A query earns an entry only with
+# a measured multi-rep record behind it (cite the ENGINE.md row); its
+# moves are reported separately and only flagged past the recorded band.
+#   q249: same-box solo reps 2.6/5.2/3.7 s with UNTOUCHED code
+#   (round-13 close, adjudicated by the r13 judge); r12->r13 in-suite
+#   2.04->3.16 s was the same band. Band +/-2x.
+VARIANCE_EXEMPT = {"q249_prefix_filter_join": 2.0}
+
 
 def compare(prev: dict, cur: dict, label: str, cur_path: str,
             prev_path: str) -> None:
@@ -56,14 +66,24 @@ def compare(prev: dict, cur: dict, label: str, cur_path: str,
     psum = sum(pq[q] for q in shared)
     csum = sum(cq[q] for q in shared)
 
+    def ratio_gate(q: str) -> float:
+        return VARIANCE_EXEMPT.get(q, REGRESS_RATIO)
+
     regressed = sorted(
         (q for q in shared
-         if cq[q] > pq[q] * REGRESS_RATIO and cq[q] - pq[q] > REGRESS_ABS_SEC),
+         if cq[q] > pq[q] * ratio_gate(q)
+         and cq[q] - pq[q] > REGRESS_ABS_SEC),
         key=lambda q: pq[q] - cq[q])
     improved = sorted(
         (q for q in shared
-         if pq[q] > cq[q] * REGRESS_RATIO and pq[q] - cq[q] > REGRESS_ABS_SEC),
+         if pq[q] > cq[q] * ratio_gate(q)
+         and pq[q] - cq[q] > REGRESS_ABS_SEC),
         key=lambda q: cq[q] - pq[q])
+    in_band = sorted(
+        q for q in shared if q in VARIANCE_EXEMPT
+        and q not in regressed and q not in improved
+        and (cq[q] > pq[q] * REGRESS_RATIO or pq[q] > cq[q] * REGRESS_RATIO)
+        and abs(cq[q] - pq[q]) > REGRESS_ABS_SEC)
 
     print(f"[{label}] {cur_path} vs {prev_path}")
     print(f"  current : {cur['value']:.1f} s / {len(cq)} queries "
@@ -79,6 +99,10 @@ def compare(prev: dict, cur: dict, label: str, cur_path: str,
           f"{len(improved)}")
     for q in improved:
         print(f"    {q}: {pq[q]:.2f} -> {cq[q]:.2f} s")
+    for q in in_band:
+        print(f"  within recorded variance band "
+              f"(±{VARIANCE_EXEMPT[q]}x, see ENGINE.md): "
+              f"{q}: {pq[q]:.2f} -> {cq[q]:.2f} s")
     only_new = sorted(set(cq) - set(pq))
     if only_new:
         new_cost = sum(cq[q] for q in only_new)

@@ -38,7 +38,12 @@ ARTIFACTS=(bench_last.json ROUND_COMPARE.txt LEAKCHECK.json
 
 driver_commit="$(git log --format=%H --grep='^round [0-9]*:' -1 || true)"
 
-prev_bench=/tmp/graft_prev_bench.json
+# mktemp-per-file + trap (round-13 advice): fixed /tmp names let two
+# concurrent closes (or a stale file from an aborted one) clobber or
+# reuse each other's baselines
+prev_bench="$(mktemp /tmp/graft_prev_bench.XXXXXX.json)"
+samebox_bench="$(mktemp /tmp/graft_samebox_bench.XXXXXX.json)"
+trap 'rm -f "$prev_bench" "$samebox_bench"' EXIT
 if [[ -n "${PREV_BENCH:-}" ]]; then
   cp "$PREV_BENCH" "$prev_bench"
 elif [[ -n "$driver_commit" ]]; then
@@ -56,7 +61,6 @@ fi
 # the driver's last `round N:` commit. The cross-box PREV_BENCH sum is
 # context; the same-box pair is the headline (cross-box sums swing
 # +/-10% with the box, per ENGINE.md's measurement discipline).
-samebox_bench=/tmp/graft_samebox_bench.json
 samebox_args=()
 if [[ -n "$driver_commit" ]]; then
   samebox_commit="$(git log --format=%H --grep='^Round close:' -1 \
@@ -77,7 +81,6 @@ fi
 echo "[round_close] deriving round-over-round comparison:"
 python3 tools/bench_compare.py "$prev_bench" bench_last.json \
   "${samebox_args[@]}" | tee ROUND_COMPARE.txt
-rm -f "$prev_bench" "$samebox_bench"
 
 dirty="$(git status --porcelain)"
 if [[ -n "$dirty" ]]; then
