@@ -112,8 +112,22 @@ object Graph {
     * pre-count) and its shuffle files are reused by the write, so
     * nothing is resident twice. Returns (adjacency frame, row count,
     * scratch dir to delete when the traversal finishes). */
-  private def planAdjacency(doubled: DataFrame, keyCol: String)
-      : PlannedAdj = {
+  /** `keyPartitionInMemory`: the traversals keep the in-memory
+    * checkpoint hash-partitioned on the probe key (their join's other
+    * side is a small frontier, so the graph never moving again is the
+    * win). pageRank passes FALSE — a measured refutation (round-14
+    * two-decade probe, reproduced twice): with the edge checkpoint
+    * pre-partitioned on __src AND ranks co-partitioned on node, the
+    * per-iteration join needs no exchange at all, fusing checkpoint
+    * scan + join + the __dst partial aggregate into ONE stage whose
+    * overlapped memory demands OOM the 117M-row 100× probe under a
+    * 16g heap (UNABLE_TO_ACQUIRE in the fused hashAgg) — while the
+    * exchange-per-iteration form completes it in 237 s: the exchange
+    * is a stage boundary that isolates the sort/agg memory phases and
+    * gives AQE a re-planning point. The 1× win it bought (q121 4.75 →
+    * 3.54 s) is not worth a memory cliff two decades up. */
+  private def planAdjacency(doubled: DataFrame, keyCol: String,
+      keyPartitionInMemory: Boolean = true): PlannedAdj = {
     val spark = doubled.sparkSession
     val scratch = spark.conf.getOption(AdjScratchKey)
     val force = spark.conf.getOption(AdjDiskForceKey).exists(_.toBoolean)
@@ -140,7 +154,9 @@ object Graph {
       val adj = spark.read.parquet(dir)
       PlannedAdj(adj, adj.count(), Some(dir), nb) // count: metadata-cheap
     } else {
-      val adj = doubled.repartition(col(keyCol)).localCheckpoint()
+      val adj = if (keyPartitionInMemory)
+        doubled.repartition(col(keyCol)).localCheckpoint()
+      else doubled.localCheckpoint()
       PlannedAdj(adj, adj.count(), None, 0L)
     }
   }
@@ -219,19 +235,38 @@ object Graph {
     // whatever lineage the caller handed in and keep the slim
     // (src, dst) projection instead of re-deriving it per round.
     // Planned like the traversals' adjacency (round-13 verdict item:
-    // pageRank is the same Θ(|E|)-per-round shape): the in-memory
-    // default hash-partitions on __src BEFORE the checkpoint so the
-    // contrib join never re-shuffles the edge list (LogicalRDD keeps
-    // the partitioning — only the rank table moves per iteration;
-    // the previous distinct-partitioned checkpoint re-shuffled
-    // Θ(|E|) every round), and the opt-in disk regime writes the
-    // bucketed parquet layout instead of holding doubled rows in
-    // block storage. No DPP here (every iteration touches every
-    // node), so the disk win is purely the columnar layout once the
-    // in-memory form outgrows executor storage.
-    val PlannedAdj(e, _, scratch, _) = planAdjacency(
-      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-        .distinct(), "__src")
+    // pageRank is the same Θ(|E|)-per-round shape), EXCEPT the
+    // in-memory checkpoint stays distinct-partitioned — see
+    // [[planAdjacency]]'s keyPartitionInMemory doc for the measured
+    // refutation of pre-partitioning it on __src (zero-exchange
+    // iterations fuse into one stage and OOM the 100× probe the
+    // exchange-per-iteration form completes). The opt-in disk regime
+    // writes the bucketed parquet layout instead of holding doubled
+    // rows in block storage; no bucket pruning applies here (every
+    // iteration touches every node), so the disk win is purely the
+    // columnar layout once the in-memory form outgrows executor
+    // storage.
+    // Default (no scratch dir configured): the r13-exact inline build.
+    // Round-14 A/B note, recorded because it cost three probe runs:
+    // routing the default path through [[planAdjacency]] — whose only
+    // code delta here was an extra count() action over the fresh
+    // checkpoint — made the 117M-row 100× probe OOM DETERMINISTICALLY
+    // (same stage, twice) where this exact inline form completes
+    // (166 s, same box, same hour; also 2/2 on the r13 tree). The
+    // macro A/B is conclusive even though the micro-mechanism is not
+    // understood; the default path therefore stays byte-identical to
+    // the proven form and pays no count. The disk regime only engages
+    // when the session names a scratch dir — that opt-in path accepts
+    // planAdjacency's gate count (it needs the row count anyway).
+    val eProj = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct()
+    val planned =
+      if (eProj.sparkSession.conf.getOption(AdjScratchKey).isDefined)
+        Some(planAdjacency(eProj, "__src", keyPartitionInMemory = false))
+      else None
+    val e = planned.map(_.adj).getOrElse(eProj.localCheckpoint())
+    val scratch = planned.flatMap(_.scratch)
     try {
     // node set and out-degree in ONE shuffle: src rows carry weight 1,
     // dst rows weight 0 (keeps pure sinks in the node set); a zero sum
@@ -928,8 +963,12 @@ object Graph {
         if (frontierN <= BloomMaxItems) {
           val bks = fB.select(col("__bk")).distinct()
             .collect().map(_.getInt(0))
-          adj.filter(col("__bk").isin(bks.map(Int.box): _*))
-            .join(broadcast(fB), Seq("__bk", "__w"))
+          // a frontier that covers every bucket prunes nothing — skip
+          // the degenerate IN(all) filter
+          val pruned = if (bks.length < nBuckets)
+            adj.filter(col("__bk").isin(bks.map(Int.box): _*))
+          else adj
+          pruned.join(broadcast(fB), Seq("__bk", "__w"))
         } else adj.join(fB, Seq("__bk", "__w"))
       } else {
         val fAdj = if ((sortMergeRegime || bloomForced(adj)) &&
@@ -1036,8 +1075,10 @@ object Graph {
         if (frontierN <= BloomMaxItems) {
           val bks = fB.select(col("__bk")).distinct()
             .collect().map(_.getInt(0))
-          adj.filter(col("__bk").isin(bks.map(Int.box): _*))
-            .join(broadcast(fB), Seq("__bk", "__s"))
+          val pruned = if (bks.length < nBuckets)
+            adj.filter(col("__bk").isin(bks.map(Int.box): _*))
+          else adj
+          pruned.join(broadcast(fB), Seq("__bk", "__s"))
         } else adj.join(fB, Seq("__bk", "__s"))
       } else {
         val fAdj = if ((sortMergeRegime || bloomForced(adj)) &&

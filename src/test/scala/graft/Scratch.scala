@@ -279,6 +279,27 @@ object Scratch {
       }
     }
 
+    /** Round-14 A/B (r13 verdict item #2): [[pagerankChain]] with the
+      * disk-bucketed adjacency forced — pageRank now plans its edge
+      * list through the same planAdjacency as the traversals. Unlike
+      * BFS/SSSP there is NO bucket pruning to win (every iteration
+      * touches every node), so this measures pure storage-regime
+      * substitution: columnar parquet re-scan + per-round shuffle vs
+      * the pre-partitioned in-memory checkpoint. */
+    def pagerankBucketChain(mult: Int): Double = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-adjpr").toString
+      spark.conf.set(operators.Graph.AdjScratchKey, dir)
+      spark.conf.set(operators.Graph.AdjDiskForceKey, "true")
+      try pagerankChain(mult)
+      finally {
+        spark.conf.unset(operators.Graph.AdjScratchKey)
+        spark.conf.unset(operators.Graph.AdjDiskForceKey)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir))
+      }
+    }
+
     /** q281 label propagation: the q121 disconnected-copies model —
       * node/edge volume scales 10× at fixed per-node degree and fixed
       * round count (3), so the per-round join + min-aggregate must
@@ -1200,6 +1221,7 @@ object Scratch {
       "semantic2" -> semanticChain2, "spanRemoval" -> spanRemovalChain,
       "qualityGate" -> qualityGateChain, "bpe" -> bpeChain,
       "pmi" -> pmiChain, "pagerank" -> pagerankChain,
+      "pagerankBucket" -> pagerankBucketChain,
       "triangles" -> triangleChain, "sweep" -> sweepChain,
       "bfs" -> bfsChain, "bfsBucket" -> bfsBucketChain,
       "sssp" -> ssspChain,
