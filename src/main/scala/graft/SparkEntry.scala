@@ -9810,6 +9810,132 @@ object SparkEntry {
           Fns.roundU($"sim", 4).as("sim"),
           Fns.roundU($"margin", 4).as("margin"), $"mutual")
         .orderBy($"src_id")
+    }),
+
+    // CLASSIFIER-BASED QUALITY FILTER — TRAINING UNDER THE HASH ORACLE.
+    // The CCNet/GPT-3 pipeline stage the suite lacked: a linear model
+    // over cheap surface statistics, TRAINED distributed (full-batch
+    // delta rule, Elliott fast-sigmoid link), in fixed-point Long
+    // arithmetic so every gradient of every iteration replays in DuckDB
+    // (the q329 k-means discipline — see [[Classify]] for the exactness
+    // proof obligations, checked per batch). The fixture target is
+    // y = 1 iff c_spark+c_query > c_slow+c_batch — LINEARLY SEPARABLE
+    // by design (w = (0,1,1,-1,-1) realizes it), which is what a
+    // trainer fixture should be: the oracle pins that the delta rule
+    // RECOVERS a separator from data (the q339 AUC hits 1.0), not that
+    // the corpus is interesting. Result = the whole weight trajectory,
+    // 9 rows × 6 exact Longs: hash equality certifies all 8 distributed
+    // gradient aggregates end to end. Scale shape: the model is 5 Longs
+    // broadcast as literals; each iteration is ONE codegen'd scan of
+    // the persisted feature table into a 5-column sum — at 100 TB,
+    // 8 passes and 8 single-row collects, nothing else moves.
+    "q338_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val f = scoped(classifierDocFeatures(s, d))
+      val t = Classify.trainDelta(f,
+        Seq("c_spark", "c_query", "c_slow", "c_batch"), "y",
+        iters = 8, etaNum = 2, etaDen = 1)
+      t.trace.zipWithIndex.map { case (w, i) =>
+        (i.toLong, w(0), w(1), w(2), w(3), w(4)) }
+        .toDF("iter", "w_bias", "w_spark", "w_query", "w_slow", "w_batch")
+        .orderBy(col("iter"))
+    }),
+
+    // CLASSIFIER SCORING + EXACT RANK AUC — q338's trained model turned
+    // back on the corpus: every document scored (one codegen'd pass,
+    // literals-broadcast model), then the model AUDITED with the exact
+    // Mann-Whitney rank statistic per language and overall, kept as an
+    // exact integer FRACTION (auc_num/auc_den = (2·Σranks⁺ − n⁺(n⁺+1))
+    // / 2n⁺n⁻, MIDRANKS for ties — the textbook tie-corrected U
+    // statistic) so the hash compares integers, never a float. No
+    // doc-grain sort or window ANYWHERE: scores are integers in
+    // [0, Q] (≤ 65537 distinct values by construction), so the corpus
+    // is touched once for a (group, score) HISTOGRAM and every output
+    // — counts, threshold counts, score sums, and the midrank sum
+    // 2·Σr⁺ = Σ_buckets np_b·(2·below_b + n_b + 1) — derives from
+    // that ≤65537-rows-per-group table (strictly-below counts via the
+    // Percentiles bounded-cum-window discipline). The oracle replays
+    // the CLASSIC window spelling (rank() + per-score tie counts) —
+    // the equality of the two formulations is part of what the hash
+    // pins. AUC = 1.0 (auc_num == auc_den) certifies the trained
+    // separator.
+    "q339_classifier_auc" -> ((s, d) => {
+      val f = scoped(classifierDocFeatures(s, d))
+      val t = Classify.trainDelta(f,
+        Seq("c_spark", "c_query", "c_slow", "c_batch"), "y",
+        iters = 8, etaNum = 2, etaDen = 1)
+      val feats = Seq($"c_spark", $"c_query", $"c_slow", $"c_batch")
+      val scored = scoped(f.select($"doc_id", $"lang", $"y",
+        Classify.scoreQ(t.weights, feats).as("score")))
+      def aucRows(grp: Seq[String], langOut: Column) = {
+        val grpScore = (grp :+ "score").map(col)
+        val wCum = Window.partitionBy(grp.map(col): _*).orderBy($"score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        scored.groupBy(grpScore: _*)
+          .agg(count(lit(1)).as("__nb"), sum($"y").as("__np"))
+          .withColumn("__below",
+            coalesce(sum($"__nb").over(wCum), lit(0L)))
+          .groupBy(langOut.as("lang"))
+          .agg(sum($"__nb").as("n_docs"),
+            sum($"__np").as("n_label_pos"),
+            sum(when($"score" >= lit(Classify.Q / 2), $"__nb")
+              .otherwise(lit(0L))).as("n_pred_pos"),
+            sum($"score" * $"__nb").as("sum_score"),
+            sum($"__np" * ($"__below" * 2 + $"__nb" + 1)).as("__sr2"))
+          .select($"lang", $"n_docs", $"n_label_pos", $"n_pred_pos",
+            $"sum_score",
+            ($"__sr2" - $"n_label_pos" * ($"n_label_pos" + 1))
+              .as("auc_num"),
+            ($"n_label_pos" * ($"n_docs" - $"n_label_pos") * 2)
+              .as("auc_den"))
+      }
+      aucRows(Seq("lang"), $"lang")
+        .unionByName(aucRows(Seq.empty, lit("ALL")))
+        .orderBy($"lang")
+    }),
+
+    // INTERPOLATED KNESER-NEY BIGRAM LM — the classic smoothed n-gram
+    // estimator (Chen & Goodman 1999) behind KenLM-style LM quality
+    // filtering; the suite had unigram surprisal (q44) and raw PMI
+    // (q114) but no smoothed conditional. Absolute discount D = 3/4
+    // keeps the whole estimate RATIONAL:
+    //   p_KN(w2|w1) = max(c−D,0)/c(w1) + D·N1+(w1,·)/c(w1) · p_cont(w2)
+    // with p_cont(w2) = N1+(·,w2)/B over B bigram types; for observed
+    // bigrams (c ≥ 1) this is exactly
+    //   ((4c−3)·B + 3·N1+(w1,·)·N1+(·,w2)) / (4·c(w1)·B)
+    // — emitted as the exact integer FRACTION (the q339 convention), so
+    // the hash compares Longs; the double is only the ORDER BY ranking
+    // key (one division of exact integers, bit-identical IEEE). Scale
+    // shape: bigrams are built MAP-SIDE from the token array (slice +
+    // arrays_zip — no per-doc window shuffle), then one (w1,w2) hash
+    // aggregate; the three marginals reuse that aggregate's output
+    // (vocabulary-sized, not corpus-sized) and the 1-row type count is
+    // broadcast. Nothing touches corpus grain twice.
+    "q340_kneser_ney" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .filter(length(trim($"text")) > 0)
+        .select(split(trim($"text"), "\\s+").as("tk"))
+        .filter(size($"tk") >= 2)
+      val bg = toks.select(explode(arrays_zip(
+          slice($"tk", lit(1), size($"tk") - 1).as("w1"),
+          slice($"tk", lit(2), size($"tk") - 1).as("w2"))).as("b"))
+        .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+      val bgc = scoped(bg.groupBy($"w1", $"w2")
+        .agg(count(lit(1)).as("c")))
+      val left = bgc.groupBy($"w1")
+        .agg(sum($"c").as("c1"), count(lit(1)).as("n1f"))
+      val right = bgc.groupBy($"w2").agg(count(lit(1)).as("n1p"))
+      val btot = bgc.agg(count(lit(1)).as("btypes"))
+      bgc.join(left, "w1").join(right, "w2")
+        .crossJoin(broadcast(btot))
+        .filter($"c" >= 3)
+        .select($"w1", $"w2", $"c", $"c1", $"n1f", $"n1p",
+          ((lit(4) * $"c" - 3) * $"btypes" +
+            lit(3) * $"n1f" * $"n1p").as("pkn_num"),
+          (lit(4) * $"c1" * $"btypes").as("pkn_den"))
+        .orderBy(($"pkn_num".cast("double") / $"pkn_den").desc,
+          $"w1", $"w2")
+        .limit(20)
     })
   )
 
@@ -19158,7 +19284,104 @@ object SparkEntry {
         |JOIN ay ON ay.tgt_id = f.tgt_id
         |JOIN bb ON bb.tgt_id = f.tgt_id
         |WHERE f.fr = 1
-        |ORDER BY f.src_id""".stripMargin
+        |ORDER BY f.src_id""".stripMargin,
+
+    // q338: the ENTIRE training replayed — feature/label CTEs, then the
+    // unrolled 8-iteration chain (one gradient CTE + one weight CTE per
+    // iteration, generated by [[classifierOracleCtes]] — the SQL
+    // spelling of Classify.trainDelta term for term); the trace rows
+    // are exact Longs, no rounding anywhere.
+    "q338_quality_classifier" ->
+      (classifierOracleCtes(8) + "\n" +
+        (0 to 8).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS iter, " +
+            "CAST(w[1] AS BIGINT) AS w_bias, " +
+            "CAST(w[2] AS BIGINT) AS w_spark, " +
+            "CAST(w[3] AS BIGINT) AS w_query, " +
+            "CAST(w[4] AS BIGINT) AS w_slow, " +
+            s"CAST(w[5] AS BIGINT) AS w_batch FROM w$k")
+          .mkString("", "\nUNION ALL\n", "\nORDER BY iter")),
+
+    // q339: the same training chain, then scoring from w8 and the
+    // tie-corrected Mann-Whitney statistic per lang + overall, every
+    // output an integer (sums cast back to BIGINT out of DuckDB's
+    // HUGEINT widening). Spelled with the CLASSIC window form —
+    // rank() gives below+1 for a tied run and count(*) per score its
+    // size, so 2·midrank = 2·(rk−1) + nb + 1 — deliberately a
+    // different formulation from the Spark side's histogram
+    // aggregation; the hash pins their equality.
+    "q339_classifier_auc" ->
+      (classifierOracleCtes(8) + ",\n" +
+        """sc AS (
+          |  SELECT doc_id, lang, y,
+          |    CAST(floor((65536 * (65536 + abs(z) + z)) /
+          |      (2.0 * (65536 + abs(z)))) AS BIGINT) AS score
+          |  FROM (SELECT doc_id, lang, y,
+          |      w[1] + w[2]*x1 + w[3]*x2 + w[4]*x3 + w[5]*x4 AS z
+          |    FROM fl, w8) t),
+          |rl AS (SELECT lang, y, score,
+          |    rank() OVER (PARTITION BY lang ORDER BY score) AS rk,
+          |    count(*) OVER (PARTITION BY lang, score) AS nb
+          |  FROM sc),
+          |pl AS (
+          |  SELECT lang, count(*) AS n_docs, sum(y) AS n_label_pos,
+          |    sum(CASE WHEN score >= 32768 THEN 1 ELSE 0 END)
+          |      AS n_pred_pos,
+          |    sum(score) AS sum_score,
+          |    sum(CASE WHEN y = 1 THEN 2*(rk - 1) + nb + 1
+          |      ELSE 0 END) AS sr2
+          |  FROM rl GROUP BY lang),
+          |rg AS (SELECT y, score,
+          |    rank() OVER (ORDER BY score) AS rk,
+          |    count(*) OVER (PARTITION BY score) AS nb
+          |  FROM sc),
+          |pg AS (
+          |  SELECT 'ALL' AS lang, count(*) AS n_docs,
+          |    sum(y) AS n_label_pos,
+          |    sum(CASE WHEN score >= 32768 THEN 1 ELSE 0 END)
+          |      AS n_pred_pos,
+          |    sum(score) AS sum_score,
+          |    sum(CASE WHEN y = 1 THEN 2*(rk - 1) + nb + 1
+          |      ELSE 0 END) AS sr2
+          |  FROM rg),
+          |u AS (SELECT * FROM pl UNION ALL SELECT * FROM pg)
+          |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+          |  CAST(n_label_pos AS BIGINT) AS n_label_pos,
+          |  CAST(n_pred_pos AS BIGINT) AS n_pred_pos,
+          |  CAST(sum_score AS BIGINT) AS sum_score,
+          |  CAST(sr2 - n_label_pos*(n_label_pos+1) AS BIGINT)
+          |    AS auc_num,
+          |  CAST(2*n_label_pos*(n_docs - n_label_pos) AS BIGINT)
+          |    AS auc_den
+          |FROM u ORDER BY lang""".stripMargin),
+
+    // q340: bigrams from the 1-based token list (tk[i], tk[i+1]); the
+    // three marginals and the type count replayed off the same bigram
+    // aggregate; the fraction is exact integers, the ORDER BY ranking
+    // division repeated in full (not via output aliases) so both
+    // engines rank the same doubles.
+    "q340_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |t2 AS (SELECT tk FROM toks WHERE len(tk) >= 2),
+        |bg AS (
+        |  SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+        |  FROM t2, unnest(range(1, len(tk))) r(i)),
+        |bgc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        |lft AS (SELECT w1, sum(c) AS c1, count(*) AS n1f
+        |  FROM bgc GROUP BY w1),
+        |rgt AS (SELECT w2, count(*) AS n1p FROM bgc GROUP BY w2),
+        |bt AS (SELECT count(*) AS btypes FROM bgc)
+        |SELECT w1, w2, CAST(c AS BIGINT) AS c, CAST(c1 AS BIGINT) AS c1,
+        |  CAST(n1f AS BIGINT) AS n1f, CAST(n1p AS BIGINT) AS n1p,
+        |  CAST((4*c - 3)*btypes + 3*n1f*n1p AS BIGINT) AS pkn_num,
+        |  CAST(4*c1*btypes AS BIGINT) AS pkn_den
+        |FROM bgc JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN bt
+        |WHERE c >= 3
+        |ORDER BY CAST((4*c - 3)*btypes + 3*n1f*n1p AS DOUBLE) /
+        |  (4*c1*btypes) DESC, w1, w2
+        |LIMIT 20""".stripMargin
   )
 
   /** q330/q332's SHARED Layer I fixture generator — one function so
@@ -19736,6 +19959,75 @@ object SparkEntry {
         transform(slice($"__items", i + 2, size($"__items")),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select($"p.a".as("a"), $"p.b".as("b"))
+
+  /** Integer surface features + the separable fixture label for the
+    * q338/q339 classifier. Token counts are substring counts — the
+    * length-difference is an exact multiple of the token length, so the
+    * division is exact in both engines — and the label
+    * y = 1 iff c_spark + c_query > c_slow + c_batch is LINEARLY
+    * SEPARABLE on purpose: a trainer fixture must have a recoverable
+    * separator (the way dupClustersStats' chain fixture has a known
+    * convergence depth), because the corpus text itself is synthetic
+    * with no learnable lang/source structure (measured: per-lang token
+    * means are uniform). */
+  private def classifierDocFeatures(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    def cnt(tok: String): org.apache.spark.sql.Column =
+      ((length($"text") - length(replace($"text", lit(tok), lit("")))) /
+        tok.length).cast("long")
+    Tables.documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"lang",
+        cnt("spark").as("c_spark"), cnt("query").as("c_query"),
+        cnt("slow").as("c_slow"), cnt("batch").as("c_batch"))
+      .withColumn("y",
+        when($"c_spark" + $"c_query" > $"c_slow" + $"c_batch", 1L)
+          .otherwise(0L))
+  }
+
+  /** Shared q338/q339 oracle prefix: the feature/label CTEs plus the
+    * unrolled training chain w0..w{iters} — per iteration one gradient
+    * CTE (the Elliott numerator floored through an exact double
+    * division, see [[graft.operators.Classify.elliottQ]]) and one
+    * weight CTE (DuckDB's truncating `//` == the driver's Java `/`).
+    * Generated, not hand-unrolled: 8 iterations of identical SQL is
+    * exactly the shape a typo hides in. */
+  private def classifierOracleCtes(iters: Int): String = {
+    val head =
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    (length(text)-length(replace(text,'spark','')))//5 AS x1,
+        |    (length(text)-length(replace(text,'query','')))//5 AS x2,
+        |    (length(text)-length(replace(text,'slow','')))//4 AS x3,
+        |    (length(text)-length(replace(text,'batch','')))//5 AS x4
+        |  FROM documents WHERE text IS NOT NULL),
+        |fl AS (
+        |  SELECT doc_id, lang, x1, x2, x3, x4,
+        |    CASE WHEN x1 + x2 > x3 + x4 THEN 1 ELSE 0 END AS y FROM f),
+        |nn AS (SELECT count(*) AS n FROM fl),
+        |w0 AS (SELECT [CAST(0 AS BIGINT),0,0,0,0] AS w)""".stripMargin
+    val its = (1 to iters).map { k =>
+      val p = k - 1
+      s""",
+         |g$k AS (
+         |  SELECT [
+         |    sum(p - y*65536),
+         |    sum((p - y*65536)*x1), sum((p - y*65536)*x2),
+         |    sum((p - y*65536)*x3), sum((p - y*65536)*x4)] AS g
+         |  FROM (
+         |    SELECT y, x1, x2, x3, x4,
+         |      CAST(floor((65536 * (65536 + abs(z) + z)) /
+         |        (2.0 * (65536 + abs(z)))) AS BIGINT) AS p
+         |    FROM (SELECT y, x1, x2, x3, x4,
+         |        w[1] + w[2]*x1 + w[3]*x2 + w[4]*x3 + w[5]*x4 AS z
+         |      FROM fl, w$p) zz) pp),
+         |w$k AS (
+         |  SELECT list_transform(range(1, 6), j ->
+         |    w[CAST(j AS INT)] - (g[CAST(j AS INT)]*2) // (n*1)) AS w
+         |  FROM w$p, g$k, nn)""".stripMargin
+    }
+    head + its.mkString
+  }
 
   // sugar so the query bodies read like notebook Spark
   private implicit class Sym(val sc: StringContext) {

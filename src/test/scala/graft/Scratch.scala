@@ -1209,6 +1209,45 @@ object Scratch {
       spark.stop(); return
     }
 
+    /** q338/q339 classifier chain: feature scan (persisted) + 8
+      * full-batch fixed-point delta-rule iterations + the scoring
+      * pass. The model is 5 Longs inlined as literals, so every stage
+      * is ONE corpus scan ending in a ≤5-column aggregate — the probe
+      * checks the 9 passes scale linearly and that replication leaves
+      * the learned weights EXACTLY unchanged (mean gradient is
+      * replication-invariant: same sums over k copies, k·n rows). */
+    def classifierChain(mult: Int): Double = {
+      val docs = replicate(Tables.documents(spark, d), "doc_id", mult)(
+        (_, df) => df.select(col("doc_id"), col("text")))
+      timed {
+        def cnt(tok: String) =
+          ((length(col("text")) - length(replace(col("text"), lit(tok),
+            lit("")))) / tok.length).cast("long")
+        val f = docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), cnt("spark").as("x1"),
+            cnt("query").as("x2"), cnt("slow").as("x3"),
+            cnt("batch").as("x4"))
+          .withColumn("y",
+            when(col("x1") + col("x2") > col("x3") + col("x4"), 1L)
+              .otherwise(0L))
+          .persist(MEMORY_AND_DISK)
+        val t = operators.Classify.trainDelta(f,
+          Seq("x1", "x2", "x3", "x4"), "y",
+          iters = 8, etaNum = 2, etaDen = 1)
+        val feats = Seq(col("x1"), col("x2"), col("x3"), col("x4"))
+        val acc = f.select(
+            ((operators.Classify.scoreQ(t.weights, feats) >=
+              lit(operators.Classify.Q / 2)).cast("long") === col("y"))
+              .cast("long").as("ok"))
+          .agg(sum(col("ok")).as("nok"), count(lit(1)).as("n"))
+          .collect()(0)
+        f.unpersist()
+        println(s"[scratch]   classifier mult=$mult " +
+          s"acc=${acc.getLong(0)}/${acc.getLong(1)} " +
+          s"w=${t.weights.mkString(",")}")
+      }
+    }
+
     val probes: Seq[(String, Int => Double)] = Seq(
       "winnow" -> winnowChain, "winnow2" -> winnow2Chain,
       "winnow3" -> winnow3Chain,
@@ -1228,7 +1267,8 @@ object Scratch {
       "ledger" -> ledgerChain, "bom" -> bomChain,
       "linkage" -> linkageChain, "interval" -> intervalChain,
       "cpm" -> cpmChain, "lpa" -> lpaChain,
-      "apriori" -> aprioriChain, "intervalmerge" -> intervalMergeChain)
+      "apriori" -> aprioriChain, "intervalmerge" -> intervalMergeChain,
+      "classifier" -> classifierChain)
     val wanted = if (args.isEmpty) probes.map(_._1) else args.toSeq
     probes.filter(p => wanted.contains(p._1)).foreach { case (name, f) =>
       f(1); f(1) // warm
