@@ -5225,8 +5225,19 @@ object SparkEntry {
         .crossJoin(broadcast(cal))
       val wB = Window.partitionBy($"c_nationkey").orderBy($"day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wF = Window.partitionBy($"c_nationkey").orderBy($"day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // The forward fill is expressed as a RUNNING frame over the
+      // DESCENDING day order — `last(x) over (desc, unboundedPreceding..
+      // current)` ≡ `first(x) over (asc, current..unboundedFollowing)`
+      // exactly (day is unique per nation, so the row sets match 1:1).
+      // NOT the textbook (currentRow, unboundedFollowing) frame:
+      // Spark's UnboundedFollowingWindowFunctionFrame re-aggregates
+      // from each row to the partition end — O(rows²) per partition,
+      // measured 2×~1 s single-task stages on 48k spine rows (SQL-tab
+      // metrics, round 14) where the two running frames are O(rows)
+      // incremental; at 100 TB a quadratic per-partition frame is the
+      // difference between a streaming pass and a dead executor.
+      val wF = Window.partitionBy($"c_nationkey").orderBy($"day".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(daily, Seq("c_nationkey", "day"), "left")
         // all four window expressions in ONE projection: same-frame
         // pairs fuse into a single WindowExec each (chained
@@ -5236,8 +5247,8 @@ object SparkEntry {
           last($"__v", ignoreNulls = true).over(wB).as("__pv"),
           last(when($"__v".isNotNull, $"day"), ignoreNulls = true)
             .over(wB).as("__pd"),
-          first($"__v", ignoreNulls = true).over(wF).as("__nv"),
-          first(when($"__v".isNotNull, $"day"), ignoreNulls = true)
+          last($"__v", ignoreNulls = true).over(wF).as("__nv"),
+          last(when($"__v".isNotNull, $"day"), ignoreNulls = true)
             .over(wF).as("__nd"))
         .select($"c_nationkey", $"day", $"__v".isNull.as("interpolated"),
           Fns.roundU(when($"__v".isNotNull, $"__v".cast("double"))
@@ -8844,20 +8855,22 @@ object SparkEntry {
     // corpus size) and the only full shuffle is the per-doc count —
     // partitioned by doc_id, never wider than the gram stream.
     "q313_dsir_weights" -> ((s, d) => {
-      def gramHash(t: org.apache.spark.sql.Column)
-          : org.apache.spark.sql.Column =
-        (0 until 8).foldLeft(lit(0L): org.apache.spark.sql.Column) {
-          (h, o) => (h * 257 + ascii(t.substr(lit(1 + o), lit(1)))
-            .cast("long")) % 1000000007L
-        }
+      // Gram hashing via the native GramHashes kernel (q325's rationale,
+      // occurrence-preserving variant: the per-(doc, bucket) counts
+      // below COUNT gram repeats, so the distinct kernel would be
+      // wrong). Identical arithmetic — fold (h·257 + codepoint) mod
+      // 1e9+7 per 8-char gram, then % 64 — but one codegen pass per doc
+      // instead of a per-gram-position explode through the 8-term
+      // substr/ascii chain (the documents file is one scan split, so
+      // that chain ran single-threaded: a measured 2.0 s
+      // WholeStageCodegen in the SQL-tab metrics, round 14).
       val base = Tables.documents(s, d)
         .filter($"text".isNotNull && length($"text") >= 8)
         .select($"doc_id", $"source", substring($"text", 1, 200).as("__t"))
       val grams = base
         .select($"doc_id", $"source",
-          explode(sequence(lit(1), length($"__t") - 7)).as("__i"), $"__t")
-        .select($"doc_id", $"source",
-          (gramHash($"__t".substr($"__i", lit(8))) % 64).as("__b"))
+          explode(graft.functions.GramHashes($"__t", 8)).as("__h"))
+        .select($"doc_id", $"source", ($"__h" % 64).as("__b"))
       // consumed three times (target model, raw model, scorer) — and
       // each consumer would otherwise re-run the gram explode + hash,
       // the query's only expensive stage (measured 7.8 s → ~3 s at
@@ -9314,21 +9327,22 @@ object SparkEntry {
     // join back on the gram hash → per-doc rollup; every stage is
     // linear in grams and shuffles on the gram key only once.
     "q325_ngram_novelty" -> ((s, d) => {
-      def gramHash(t: org.apache.spark.sql.Column)
-          : org.apache.spark.sql.Column =
-        (0 until 8).foldLeft(lit(0L): org.apache.spark.sql.Column) {
-          (h, o) => (h * 257 + ascii(t.substr(lit(1 + o), lit(1)))
-            .cast("long")) % 1000000007L
-        }
+      // Per-doc DISTINCT gram hashes via the native GramHashSet kernel
+      // (the q327 expression — identical arithmetic: fold (h·257 +
+      // codepoint) mod 1e9+7 over 8-char grams, first-occurrence
+      // distinct). The previous relational form exploded one row per
+      // gram POSITION (≈190×|docs|), ran the 8-term substr/ascii chain
+      // per row, then paid a full (doc_id, hash) distinct SHUFFLE to
+      // dedup within-doc repeats; the kernel dedups per doc inside the
+      // scan projection, so the explode emits exactly the distinct
+      // rows and the shuffle disappears (guide §2.4/§4 — measured in
+      // plans/r14/q325_*: Exchange count 4 → 3, the gram distinct
+      // exchange gone; the aggregates below are unchanged).
       val grams = Tables.documents(s, d)
         .filter($"text".isNotNull && length($"text") >= 8)
         .select($"doc_id", substring($"text", 1, 200).as("__t"))
         .select($"doc_id",
-          explode(sequence(lit(1), length($"__t") - 7)).as("__i"),
-          $"__t")
-        .select($"doc_id",
-          gramHash($"__t".substr($"__i", lit(8))).as("__h"))
-        .distinct()
+          explode(graft.functions.GramHashSet($"__t", 8)).as("__h"))
       // a NOVEL gram (count 1) has exactly one owner, so min(doc_id)
       // inside the frequency aggregate IS that owner — this replaces
       // the gram-key join back (big-big at corpus scale) with two

@@ -11,8 +11,41 @@ import org.apache.spark.sql.functions._
   * nothing here assumes single-file inputs.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-(session, path) cache of the RESOLVED relation. `spark.read
+    * .parquet(path)` re-lists the directory and re-infers the schema from
+    * file footers on EVERY call — measured 57–84 ms per call on this box
+    * (vs 5.9 ms with the resolution skipped), and every declared query
+    * rebuilds its table frames inside the timed region, so the suite paid
+    * that metadata work ~2× per query per run. Caching the resolved
+    * DataFrame (a logical plan — never row data; every execution still
+    * scans the parquet) is what Spark's own session catalog does for named
+    * tables, and at cluster scale it is the same win the guide's
+    * file-listing cache buys: object-store listings and footer reads
+    * happen once per session, not once per query.
+    *
+    * Contract (unchanged in practice): a path's files are immutable while
+    * a session uses it — true for the driver's fixed testdata and the
+    * deployment story (snapshot dirs). A session that rewrites a path
+    * mid-life must call [[invalidate]] (mirrors Spark's REFRESH TABLE).
+    * Keys hold the session WEAKLY so stopped test sessions free their
+    * entries. */
+  private val relCache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+
+  def invalidate(): Unit = relCache.synchronized(relCache.clear())
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = relCache.synchronized {
+      var m = relCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+        relCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet",
+      p => spark.read.parquet(p))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

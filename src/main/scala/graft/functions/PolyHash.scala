@@ -49,6 +49,57 @@ case class GramHashSet(child: Expression, gramLen: Int)
     copy(child = c)
 }
 
+/** ALL polynomial gram hashes of a string, position order, repeats
+  * kept — [[GramHashSet]] without the dedup: exactly
+  * `transform(sequence(1, len-n+1), i -> fold_{o<n} (h·257 +
+  * ascii(char at i+o)) mod 1e9+7)`. For consumers whose aggregates
+  * COUNT gram occurrences (q313's per-(doc, bucket) counts), where the
+  * distinct kernel would change the arithmetic. Empty array when the
+  * string has fewer than `gramLen` codepoints. */
+case class GramHashes(child: Expression, gramLen: Int)
+    extends UnaryExpression {
+  require(gramLen >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    GramHashes.compute(input.asInstanceOf[UTF8String], gramLen)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cls = GramHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = $cls.compute($t, $gramLen);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramHashes =
+    copy(child = c)
+}
+
+object GramHashes {
+  /** Shared eval/codegen kernel (public only for generated code). */
+  def compute(s: UTF8String, gramLen: Int): GenericArrayData = {
+    val cv = s.toString.codePoints().toArray
+    val nGrams = cv.length - gramLen + 1
+    if (nGrams < 1) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0L
+      var o = 0
+      while (o < gramLen) { h = (h * 257 + cv(i + o)) % PolyHash.P; o += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(text: Column, gramLen: Int): Column =
+    Bridge.column(GramHashes(Bridge.expression(text), gramLen))
+}
+
 object GramHashSet {
   /** Shared eval/codegen kernel (public only for generated code). */
   def compute(s: UTF8String, gramLen: Int): GenericArrayData = {

@@ -91,6 +91,32 @@ class NativeEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("GramHashes == transform(gram-hash) form (repeats kept, position " +
+      "order; the q313 occurrence-counting kernel)") {
+    val texts = Seq.fill(200)(randText()) ++ Seq(
+      "", "short!", "exactly8", "déjà vu déjà vu déjà vu encore",
+      "aaaaaaaaaaaaaaaa") // constant grams → repeated hashes KEPT
+    val df = texts.toDF("t")
+    val g = 8
+    def gramHash(i: org.apache.spark.sql.Column) =
+      (0 until g).foldLeft(lit(0L): org.apache.spark.sql.Column) {
+        (h, o) => (h * 257 + ascii($"t".substr(i + lit(o), lit(1)))
+          .cast("long")) % 1000000007L
+      }
+    val ghSql = transform(
+      sequence(lit(1), length($"t") - (g - 1)), i => gramHash(i))
+    // NO array_sort: position order is part of the contract
+    val diffG = df.filter(length($"t") >= g)
+      .select(graft.functions.GramHashes($"t", g).as("nat"),
+        ghSql.as("sql"))
+      .filter(not($"nat" === $"sql")).count()
+    assert(diffG === 0)
+    val shortBad = df.filter(length($"t") < g)
+      .select(graft.functions.GramHashes($"t", g).as("nat"))
+      .filter(size($"nat") =!= 0).count()
+    assert(shortBad === 0)
+  }
+
   test("GramHashSet == array_distinct(transform(gram-hash)) form; " +
       "AffineMinHash == nested transform/array_min form") {
     val texts = Seq.fill(200)(randText()) ++ Seq(
