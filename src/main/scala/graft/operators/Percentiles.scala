@@ -22,6 +22,10 @@ import org.apache.spark.sql.expressions.Window
   *      combine) → running count over ≤ `nBuckets` rows per key (bounded
   *      window) → the buckets holding the target ranks become the next
   *      level's active range. Each level narrows the range ~`nBuckets`×.
+  *      Level 1 builds ONE histogram per group (every target shares the
+  *      group-wide range at entry) and locates all targets on it — the
+  *      data never replicates per target; only deeper levels, whose
+  *      active ranges diverge per target, bucket per (key, target).
   *   3. resolve: rank-select over the distinct values inside the final
   *      range — ~n/nBuckets^levels rows. The default level count is
   *      AUTO-SIZED from the input's estimated size ([[AutoLevels]]): one
@@ -57,7 +61,9 @@ object Percentiles {
   /** Shared core: for state rows keyed (__g, __q) with global rank target
     * __r over the group's ascending values, return (__g, __q, __v) — the
     * value at that rank. `rows` must have (__g, __v double, non-null/NaN);
-    * `state0` must have (__g, __q, __lo, __hi, __off=0, __r). */
+    * `state0` must have (__g, __q, __lo, __hi, __off=0, __r), with every
+    * target of a group carrying the SAME group-wide (__lo, __hi) and
+    * __off = 0 (both callers derive state0 from [[groupStats]]). */
   private def rankSelect(rows: DataFrame, state0: DataFrame,
                          nBuckets: Int, levels: Int): DataFrame = {
     // null-safe group join: a NULL group key must keep matching its rows
@@ -67,8 +73,55 @@ object Percentiles {
         .drop("__gs")
         .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
 
+    // LEVEL 1 runs a single histogram PER GROUP, not per (group, target):
+    // at entry every target of a group shares the group-wide range (see
+    // contract above), so the per-(g,q) histograms the generic level
+    // would build are copies — the generic form replicated every data
+    // row × |targets| through the join AND the histogram aggregate
+    // (9 quantile targets = 9× aggregate input on q50's shape;
+    // guide §2.3 "shuffle fewer bytes / aggregate before you shuffle").
+    // Here rows join a ONE-ROW-PER-GROUP range dim, the (g, bucket)
+    // histogram aggregates each row once, and the per-target rank
+    // locate happens on the BOUNDED histogram (≤ nBuckets rows per
+    // group), where the replication is free. Arithmetic is identical
+    // expression-for-expression (same w, same bucket id, same running
+    // count), so the located (lo, hi, off) state — and therefore every
+    // downstream value — is unchanged.
     var state = state0
-    var level = 0
+    if (levels >= 1) {
+      val ranges = state0.groupBy(col("__g"))
+        .agg(min(col("__lo")).as("__lo"), max(col("__hi")).as("__hi"))
+      val w1 = (col("__hi") - col("__lo")) / nBuckets
+      val bucketed1 = rows
+        .join(ranges.withColumnRenamed("__g", "__gs"),
+          col("__g") <=> col("__gs"))
+        .drop("__gs")
+        .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .withColumn("__b",
+          when(w1 <= 0.0, 0).otherwise(least(
+            floor((col("__v") - col("__lo")) / w1).cast("int"),
+            lit(nBuckets - 1))))
+      val hist1 = bucketed1
+        .groupBy(col("__g"), col("__b"))
+        .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmin"),
+          max(col("__v")).as("__bmax"))
+      val wb1 = Window.partitionBy(col("__g"))
+        .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, 0)
+      val cum1 = hist1
+        .withColumn("__ce", sum(col("__c")).over(wb1))
+        .withColumn("__cs", col("__ce") - col("__c") + 1)
+        .select(col("__g").as("__gh"), col("__bmin"), col("__bmax"),
+          col("__cs"), col("__ce"))
+      state = state0
+        .select(col("__g"), col("__q"), col("__off"), col("__r"))
+        .join(cum1, col("__g") <=> col("__gh"))
+        .filter((col("__r") - col("__off"))
+          .between(col("__cs"), col("__ce")))
+        .select(col("__g"), col("__q"), col("__bmin").as("__lo"),
+          col("__bmax").as("__hi"),
+          (col("__off") + col("__cs") - 1).as("__off"), col("__r"))
+    }
+    var level = 1
     while (level < levels) {
       val w = (col("__hi") - col("__lo")) / nBuckets
       val bucketed = joined(state)
