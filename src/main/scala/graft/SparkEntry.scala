@@ -2440,8 +2440,8 @@ object SparkEntry {
           greatest($"a", $"b").as("b"))
         .filter($"a" =!= $"b").distinct().transform(scoped)
       val nTri = Graph.triangles(eN).count()
-      val deg = eN.select($"a".as("n")).unionAll(
-          eN.select($"b".as("n")))
+      // one scan of the cached edge list, not a two-scan union of ends
+      val deg = eN.select(explode(array($"a", $"b")).as("n"))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
       // deg·(deg−1) is even, so the /2 is exact in double; cast to
       // long per row BEFORE the sum so the total stays integer-exact
@@ -3379,7 +3379,10 @@ object SparkEntry {
     // the same cap: (node, walk-length) pairs are finite under the
     // cap, and min(walk length) = hop distance.
     "q149_bfs_hops" -> ((s, d) => {
-      val edges = basketPairs(cappedBaskets(s, d, 5)).distinct()
+      // no .distinct() here: bfsHops value-normalizes and distincts its
+      // input itself, so the outer one was a second full edge shuffle
+      // (the q307 lesson applied; seeds' own .distinct() is unaffected)
+      val edges = basketPairs(cappedBaskets(s, d, 5))
       val seeds = edges.select($"a".as("node"))
         .union(edges.select($"b".as("node")))
         .distinct().orderBy($"node").limit(10)
@@ -3861,7 +3864,11 @@ object SparkEntry {
     // keep every relaxation exact; the oracle is the same DP unrolled
     // (d_k = min(d_{k-1}, relax(d_{k-1}))), four explicit rounds.
     "q166_sssp" -> ((s, d) => {
-      val edges = basketPairs(cappedBaskets(s, d, 5)).distinct()
+      // no .distinct() here: ssspHops normalizes + min-aggregates
+      // parallel edges itself (and the weight is a pure function of
+      // (a, b), so duplicate pairs carry identical weights — the
+      // groupBy(lo, hi).min(w) collapses them to the same rows)
+      val edges = basketPairs(cappedBaskets(s, d, 5))
         .withColumn("w", lit(1L) + ($"a" + $"b") % 5)
       val seeds = edges.select($"a".as("node"))
         .union(edges.select($"b".as("node")))
@@ -4188,8 +4195,8 @@ object SparkEntry {
       val edges = basketPairs(cappedBaskets(s, d, cap = 5))
         .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
         .filter($"a" =!= $"b").distinct().transform(scoped)
-      val deg = edges.select($"a".as("n")).unionAll(
-          edges.select($"b".as("n")))
+      // one scan of the cached edge list, not a two-scan union of ends
+      val deg = edges.select(explode(array($"a", $"b")).as("n"))
         .groupBy($"n").agg(count(lit(1)).as("degree"))
       val triPerNode = Graph.triangles(edges)
         .select(explode(array($"a", $"b", $"c")).as("n"))

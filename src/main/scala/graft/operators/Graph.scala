@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** Distributed graph analytics over edge DataFrames.
   *
@@ -553,8 +553,20 @@ object Graph {
           "rounds; raise maxIters for deep-peeling graphs")
       sup
     }
-    val weak0 = sup0.filter(col("support") < k - 2)
-      .limit(1000001).collect()
+    // ONE collect of the WHOLE support table when it fits the same
+    // 1M-row driver budget the weak-set collect already had: the weak
+    // set, the prefetch histogram and the fragile bucket then all
+    // derive driver-locally (two jobs gone), and — because every
+    // edge's base support is known up front — the per-round
+    // base-support FETCH jobs below never fire (measured 1.7 s of
+    // fixed job latency per q307 run at sf0.1). Past the budget,
+    // the demand-paged path is exactly as before.
+    val supAll0 = sup0.limit(1000001).collect()
+    val fullSup = supAll0.length <= 1000000
+    if (__dbg) println(s"[ktruss-dbg] fullSup=$fullSup (${supAll0.length})")
+    val weak0 = if (fullSup) supAll0.filter(_.getLong(2) < k - 2)
+      else sup0.filter(col("support") < k - 2)
+        .limit(1000001).collect()
     // SUPPORT-BUCKETED PREFETCH (round 11): edges in [k−2, k−2+Δ) are
     // not dying yet but are within Δ decrements of dying — the profile
     // showed the cascade's rounds 2..7 paging in exactly these edges'
@@ -574,7 +586,12 @@ object Graph {
     val fragile0 = if (weak0.length > 1000000) Array.empty[
       org.apache.spark.sql.Row]
     else {
-      val hist = sup0.filter(col("support") >= k - 2 &&
+      val hist: Map[Long, Long] = if (fullSup)
+        supAll0.iterator.map(_.getLong(2))
+          .filter(s => s >= k - 2 && s < k - 2 + 4)
+          .toSeq.groupBy(identity)
+          .map { case (s, xs) => s -> xs.length.toLong }
+      else sup0.filter(col("support") >= k - 2 &&
           col("support") < k - 2 + 4)
         .groupBy(col("support")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -588,6 +605,8 @@ object Graph {
         delta += 1
       }
       if (delta == 0) Array.empty[org.apache.spark.sql.Row]
+      else if (fullSup) supAll0.filter(r =>
+        r.getLong(2) >= k - 2 && r.getLong(2) < k - 2 + delta)
       else sup0.filter(col("support") >= k - 2 &&
           col("support") < k - 2 + delta)
         .limit(1000001).collect()
@@ -624,6 +643,11 @@ object Graph {
       def cur(e: (Any, Any)): Long =
         baseSup(e) - decOf.getOrElse(e, 0L)
       val work = mutable.Queue.empty[(Any, Any)]
+      // full support table in hand: every edge's base support is known,
+      // so the per-round `unknown` fetch below is always empty
+      if (fullSup) supAll0.foreach { r =>
+        baseSup((r.get(0), r.get(1))) = r.getLong(2)
+      }
       weak0.foreach { r =>
         val e = (r.get(0), r.get(1))
         baseSup(e) = r.getLong(2); removedAt(e) = 0; work += e
@@ -833,11 +857,41 @@ object Graph {
     if (!skewed) {
       val adjHi = e.groupBy(col("a"))
         .agg(sort_array(collect_list(col("b"))).as("__nbrs"))
-      e.join(adjHi.select(col("a"), col("__nbrs").as("__na")), Seq("a"))
-        .join(adjHi.select(col("a").as("b"), col("__nbrs").as("__nb")),
-          Seq("b"))
+      // Edges re-derived FROM the adjacency (b = __nbrs[i]) instead of a
+      // join of e against adjHi: the old attach join was a full
+      // SortMergeJoin (exchange + two sorts) whose only product was a row
+      // the adjacency already contains. And the payload attached for the
+      // second endpoint is only the sorted SUFFIX past b: every element
+      // of L_b is > b, so elements of L_a ≤ b can never intersect —
+      // dropping them BEFORE the exchange (§2.3 project early) cuts the
+      // shuffled array bytes from Σ_edges |L_a| = Σ dh² to Σ_a C(dh,2)
+      // (measured 54M → 26.5M longs on the sf0.1 co-purchase graph, and
+      // the removed attach join was another 453 MiB exchange + sorts).
+      val withSfx = adjHi
+        .select(col("a"), col("__nbrs"),
+          posexplode(col("__nbrs")).as(Seq("__i", "b")))
         .select(col("a"), col("b"),
-          explode(array_intersect(col("__na"), col("__nb"))).as("c"))
+          slice(col("__nbrs"), col("__i") + lit(2),
+            size(col("__nbrs"))).as("__sa"))
+        .filter(size(col("__sa")) > 0)
+      // Both lists are sorted + distinct by construction, so on long node
+      // ids the intersect runs as the native merge-walk kernel
+      // (bit-identical result; array_intersect boxes every element into a
+      // per-row OpenHashSet — the measured GC driver of this family).
+      // shuffle_hash on the adjacency side: the build side is the packed
+      // per-partition adjacency (O(|E|/R) bytes with data-sized R), and
+      // the hint removes the TWO sorts a sort-merge join would run — one
+      // of them over the suffix stream, the plan's widest intermediate.
+      def intersect(x: Column, y: Column): Column =
+        e.schema("a").dataType match {
+          case LongType => graft.functions.SortedLongIntersect(x, y)
+          case _ => array_intersect(x, y)
+        }
+      withSfx
+        .join(adjHi.select(col("a").as("b"), col("__nbrs").as("__nb"))
+          .hint("shuffle_hash"), Seq("b"))
+        .select(col("a"), col("b"),
+          explode(intersect(col("__sa"), col("__nb"))).as("c"))
     } else {
       val deg = e.select(col("a").as("n")).unionAll(
           e.select(col("b").as("n")))

@@ -374,4 +374,21 @@ class NativeEquivalenceSpec extends SparkSpec {
     val r = df.select(Similarity.cosine($"a", $"b")).collect()(0).getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("SortedLongIntersect == array_intersect on sorted distinct long " +
+      "arrays (the Graph.triangles contract, incl. empty/disjoint)") {
+    def sortedDistinct(): Array[Long] =
+      Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+    val rows = Seq.fill(500)((sortedDistinct(), sortedDistinct())) ++
+      Seq((Array.empty[Long], sortedDistinct()),
+        (sortedDistinct(), Array.empty[Long]),
+        (Array(1L, 2L, 3L), Array(4L, 5L)), // disjoint
+        (Array(1L, 2L, 3L), Array(1L, 2L, 3L))) // identical
+    val df = rows.toDF("a", "b")
+    val diff = df.select(SortedLongIntersect($"a", $"b").as("nat"),
+        array_intersect($"a", $"b").as("sql"))
+      .filter(not($"nat" === $"sql")).count()
+    assert(diff === 0)
+  }
 }
