@@ -3381,10 +3381,13 @@ object SparkEntry {
     "q149_bfs_hops" -> ((s, d) => {
       // no .distinct() here: bfsHops value-normalizes and distincts its
       // input itself, so the outer one was a second full edge shuffle
-      // (the q307 lesson applied; seeds' own .distinct() is unaffected)
-      val edges = basketPairs(cappedBaskets(s, d, 5))
-      val seeds = edges.select($"a".as("node"))
-        .union(edges.select($"b".as("node")))
+      // (the q307 lesson applied; seeds' own .distinct() is unaffected).
+      // scoped-persisted: the pair stream is consumed by BOTH the seed
+      // chain and the traversal, and its subtree contains the basket
+      // shuffle — the case where a persist pays (q122's counter-lesson)
+      val edges = basketPairs(cappedBaskets(s, d, 5)).transform(scoped)
+      // one scan of the cached pair stream, not a two-scan union of ends
+      val seeds = edges.select(explode(array($"a", $"b")).as("node"))
         .distinct().orderBy($"node").limit(10)
       Graph.bfsHops(edges, "a", "b", seeds, "node", maxHops = 4)
         .groupBy($"hops")
@@ -3867,11 +3870,13 @@ object SparkEntry {
       // no .distinct() here: ssspHops normalizes + min-aggregates
       // parallel edges itself (and the weight is a pure function of
       // (a, b), so duplicate pairs carry identical weights — the
-      // groupBy(lo, hi).min(w) collapses them to the same rows)
-      val edges = basketPairs(cappedBaskets(s, d, 5))
+      // groupBy(lo, hi).min(w) collapses them to the same rows).
+      // scoped-persisted: consumed by both the seed chain and the
+      // traversal, and the subtree contains the basket shuffle
+      val edges = basketPairs(cappedBaskets(s, d, 5)).transform(scoped)
         .withColumn("w", lit(1L) + ($"a" + $"b") % 5)
-      val seeds = edges.select($"a".as("node"))
-        .union(edges.select($"b".as("node")))
+      // one scan of the cached pair stream, not a two-scan union of ends
+      val seeds = edges.select(explode(array($"a", $"b")).as("node"))
         .distinct().orderBy($"node").limit(10)
       Graph.ssspHops(edges, "a", "b", "w", seeds, "node", maxHops = 4)
         .groupBy($"dist")
@@ -19976,10 +19981,18 @@ object SparkEntry {
     * support per basket; graph consumers `.distinct()` to edges. */
   private def basketPairs(items: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    items.select(explode(flatten(transform($"__items", (x, i) =>
-        transform(slice($"__items", i + 2, size($"__items")),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select($"p.a".as("a"), $"p.b".as("b"))
+    // two Generates (posexplode + explode of the sorted suffix) instead
+    // of the nested transform/flatten/struct lambda chain: higher-order
+    // functions evaluate as interpreted lambdas OUTSIDE whole-stage
+    // codegen and allocate a struct per pair — measured ~14 µs/row on
+    // the 1.2M-pair basket stream every graph query derives. The two
+    // explodes emit the identical pair multiset (a at position i pairs
+    // with every later element) in the same order, in generated code,
+    // with no intermediate arrays-of-structs.
+    items
+      .select($"__items", posexplode($"__items").as(Seq("__i", "a")))
+      .select($"a", explode(slice($"__items", $"__i" + 2,
+        size($"__items"))).as("b"))
 
   /** Integer surface features + the separable fixture label for the
     * q338/q339 classifier. Token counts are substring counts — the

@@ -154,9 +154,30 @@ object Graph {
       val adj = spark.read.parquet(dir)
       PlannedAdj(adj, adj.count(), Some(dir), nb) // count: metadata-cheap
     } else {
-      val adj = if (keyPartitionInMemory)
-        doubled.repartition(col(keyCol)).localCheckpoint()
-      else doubled.localCheckpoint()
+      // The checkpoint's whole purpose is that the graph NEVER MOVES
+      // AGAIN — but two things silently broke that and every round was
+      // re-shuffling the full adjacency (round-15 QProf: four 19.8 MB
+      // adjacency re-exchanges per q166 run, one per round; CkptProbe
+      // reproduces it in isolation):
+      //  1. repartition(col) without a number is REPARTITION_BY_COL,
+      //     whose partition count AQE may coalesce — pin it to
+      //     spark.sql.shuffle.partitions so it matches what every
+      //     frontier join's other side exchanges to;
+      //  2. a localCheckpoint built UNDER AQE records no usable output
+      //     partitioning at all (the adaptive plan hides the final
+      //     exchange's partitioning from LogicalRDD), so EnsureRequirements
+      //     re-exchanges the checkpointed side in every consumer join.
+      //     Building this one query with AQE off restores the recorded
+      //     hash(key, n) and the consumer joins move only the frontier.
+      val sess = doubled.sparkSession
+      val nShuffle = sess.sessionState.conf.numShufflePartitions
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val adj = if (keyPartitionInMemory) {
+        val prevAqe = sess.conf.get(aqeKey)
+        sess.conf.set(aqeKey, "false")
+        try doubled.repartition(nShuffle, col(keyCol)).localCheckpoint()
+        finally sess.conf.set(aqeKey, prevAqe)
+      } else doubled.localCheckpoint()
       PlannedAdj(adj, adj.count(), None, 0L)
     }
   }
