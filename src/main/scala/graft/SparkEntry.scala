@@ -1263,10 +1263,21 @@ object SparkEntry {
       val cents = emb.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))
       // feeds the pair join AND the primary-cell report: persist so the
-      // probe selection runs once
-      val probed = Similarity.assignCellsMulti(emb, "vec_id", "embedding",
-          cents, "cell_id", "cvec", nprobe = 3)
-        .transform(scoped)
+      // probe selection runs once. Persisted at a DATA-SIZED width
+      // (planner stats, no job — ~64 MB per cache partition, coalesce
+      // only ever narrows): the r14/r15 A/Bs both show this query wins
+      // ~0.6 s when its cache stops materializing at shuffle-partition
+      // width (32 near-empty partitions = 32 per-consumer-stage task
+      // constants), and both its consumers re-shuffle anyway (prim's
+      // groupBy, blockedSelfJoin's chunk join), so a narrow cache
+      // cannot serialize their compute — unlike q65/q74, whose heavy
+      // verify runs ON the cache partitions and which therefore keep
+      // full width (the session-wide knob stays rejected).
+      val probedRaw = Similarity.assignCellsMulti(emb, "vec_id",
+        "embedding", cents, "cell_id", "cvec", nprobe = 3)
+      val pBytes = probedRaw.queryExecution.optimizedPlan.stats.sizeInBytes
+      val pWidth = ((pBytes / (64L << 20)) + 1).min(BigInt(1 << 20)).toInt
+      val probed = probedRaw.coalesce(pWidth).transform(scoped)
       val prim = probed.groupBy($"vec_id")
         .agg(max_by($"cell_id", struct($"cell_sim",
             (-$"cell_id").as("__n"))).as("cell_id"),
@@ -2110,13 +2121,35 @@ object SparkEntry {
       // this one doesn't).
       val li = Tables.lineitem(s, d)
         .select($"l_returnflag", $"l_extendedprice")
+      // ONE stats pass shared by both medians (one fewer full scan +
+      // aggregate in the plan): the price pass takes it verbatim, and
+      // the deviation pass derives its bounds from it — |v − med| is
+      // in [0, max(hi − med, med − lo)] and the counts are unchanged
+      // (prices are finite non-null, so |v − med| is too; the wider
+      // range is exactness-safe per the statsHint contract).
+      val stats0 = li
+        .filter($"l_extendedprice".isNotNull &&
+          !isnan($"l_extendedprice"))
+        .groupBy($"l_returnflag".as("__g"))
+        .agg(min($"l_extendedprice").cast("double").as("__lo"),
+          max($"l_extendedprice").cast("double").as("__hi"),
+          count(lit(1)).as("__n"))
+        .withColumn("__nneg", lit(0L)).withColumn("__npos", lit(0L))
+        .transform(scoped)
       val med = Percentiles.exactMedian(li, "l_returnflag",
-          "l_extendedprice")
+          "l_extendedprice", statsHint = Some(stats0))
         .select($"l_returnflag", $"median".as("__med"))
       val dev = li.join(broadcast(med), "l_returnflag")
         .select($"l_returnflag",
           abs($"l_extendedprice" - $"__med").as("__dev"))
-      val mad = Percentiles.exactMedian(dev, "l_returnflag", "__dev")
+      val devStats = stats0
+        .join(broadcast(med.withColumnRenamed("l_returnflag", "__g")),
+          Seq("__g"))
+        .select($"__g", lit(0.0).as("__lo"),
+          greatest($"__hi" - $"__med", $"__med" - $"__lo").as("__hi"),
+          $"__n", $"__nneg", $"__npos")
+      val mad = Percentiles.exactMedian(dev, "l_returnflag", "__dev",
+          statsHint = Some(devStats))
         .select($"l_returnflag", $"median".as("__mad"))
       li.join(broadcast(med), "l_returnflag")
         .join(broadcast(mad), "l_returnflag")
@@ -7095,10 +7128,17 @@ object SparkEntry {
           $"mil")
         .select($"vec_id", $"m", expr("slice(mil, m * 4 + 1, 4)")
           .as("vsub"))
-      val d2 = aggregate(
-        zip_with($"vsub", $"csub", (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      val codes = sub.join(broadcast(cb), Seq("m"))
+      // native integer L2 kernel (same arithmetic/null semantics as the
+      // zip_with/aggregate form — see SqDistLong) for the 64-per-row
+      // code-assignment loop, and a PINNED repartition so that loop's
+      // compute is not serialized onto the input's split count (the
+      // embeddings file is one split at fixture SF: the whole encode ran
+      // as ONE 2.5 s task; compute-dense stages deserve task counts set
+      // by the shuffle width, not by input bytes)
+      val d2 = graft.functions.SqDistLong($"vsub", $"csub")
+      val nP = s.sessionState.conf.numShufflePartitions
+      val codes = sub.repartition(nP, $"vec_id")
+        .join(broadcast(cb), Seq("m"))
         .select($"vec_id", $"m", struct(d2.as("d"), $"k").as("p"))
         .groupBy($"vec_id", $"m")
         .agg(min($"p").getField("k").as("code"))
@@ -7112,9 +7152,7 @@ object SparkEntry {
         .agg(sum($"ld").as("adc_d2"))
       val shortlist = graft.plans.TopKPerKey(est, Seq("query_id"),
         Seq($"adc_d2".asc, $"neighbor_id".asc), k = 100)
-      val exact = aggregate(
-        zip_with($"qmil", $"nmil", (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      val exact = graft.functions.SqDistLong($"qmil", $"nmil")
       val rr = shortlist
         .join(emb.select($"vec_id".as("query_id"),
           $"mil".as("qmil")), Seq("query_id"))
@@ -9018,9 +9056,7 @@ object SparkEntry {
         .filter($"label" =!= $"q_label")
         .select($"query_id",
           $"vec_id".as("neighbor_id"), $"label".as("neighbor_label"),
-          aggregate(zip_with($"qmil", $"mil",
-            (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d2"))
+          graft.functions.SqDistLong($"qmil", $"mil").as("d2"))
       graft.plans.TopKPerKey(scored, Seq("query_id"),
           Seq($"d2".asc, $"neighbor_id".asc), k = 3)
         .select($"query_id", $"neighbor_id", $"neighbor_label", $"d2")
@@ -9174,8 +9210,7 @@ object SparkEntry {
       val queries = emb.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"mil".as("qmil"))
       def dist(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
+        graft.functions.SqDistLong(a, b)
       val scoredAll = emb.crossJoin(broadcast(queries))
         .filter($"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id".as("cid"), $"mil",

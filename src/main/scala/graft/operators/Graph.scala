@@ -129,9 +129,41 @@ object Graph {
   private def planAdjacency(doubled: DataFrame, keyCol: String,
       keyPartitionInMemory: Boolean = true): PlannedAdj = {
     val spark = doubled.sparkSession
-    val scratch = spark.conf.getOption(AdjScratchKey)
+    val scratchConf = spark.conf.getOption(AdjScratchKey)
     val force = spark.conf.getOption(AdjDiskForceKey).exists(_.toBoolean)
-    lazy val preCount = doubled.count() // only the opt-in path pays it
+    lazy val preCount = doubled.count() // only the opt-in/auto path pays it
+    // AUTO-ENGAGE past the measured row gate (round-15, closing the r14
+    // "disk regime is opt-in only" gap): when no scratch dir is
+    // configured but the PLANNER-ESTIMATED adjacency size clears
+    // [[AdjDiskMinRows]] (stats only — no job; the exact preCount still
+    // confirms below, and is only paid once the estimate says the graph
+    // is big), default the scratch dir so the 100 TB survival path needs
+    // no operator knowledge. Local mode only: on a cluster a node-local
+    // path is NOT shared storage — executors would write buckets no
+    // reader can list — so there the conf stays required, loudly.
+    val estRows: BigInt = {
+      val st = doubled.queryExecution.optimizedPlan.stats
+      st.rowCount.getOrElse {
+        val sz = st.sizeInBytes
+        // stat-less sources report defaultSizeInBytes = Long.MaxValue —
+        // "unknown", not "huge"; stay in-memory rather than guess
+        if (sz >= BigInt(Long.MaxValue) / 2) BigInt(0) else sz / 16
+      }
+    }
+    val scratch = scratchConf.orElse {
+      if (estRows < AdjDiskMinRows) None
+      else if (spark.sparkContext.isLocal)
+        Some(spark.conf.getOption("spark.local.dir")
+          .getOrElse(System.getProperty("java.io.tmpdir", "/tmp")))
+      else {
+        System.err.println(
+          s"graft: adjacency estimated at ~$estRows rows exceeds the " +
+            s"disk-regime gate ($AdjDiskMinRows) but $AdjScratchKey is " +
+            "unset — staying in-memory; set it to shared storage to " +
+            "engage the bucketed layout")
+        None
+      }
+    }
     val useDisk =
       scratch.isDefined && (force || preCount >= AdjDiskMinRows)
     if (useDisk) {

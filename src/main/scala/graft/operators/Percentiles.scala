@@ -252,14 +252,25 @@ object Percentiles {
     * n_mid is how many rank targets were read (2 for even n, 1 for odd) —
     * median = avg of the values at ranks (n+1)/2 and n/2+1, the classic
     * definition. */
+  /** `statsHint`: a caller-supplied stand-in for the internal per-group
+    * stats pass — columns (__g, __lo, __hi, __n, __nneg, __npos) with
+    * the SAME semantics as [[groupStats]] except that [__lo, __hi] may
+    * be WIDER than the true finite range (the histogram only loses
+    * bucket balance, never exactness: ranks come from counts, and a
+    * wider range keeps every row). __n/__nneg/__npos must be exact over
+    * the cleanRows row set. Lets a caller that already knows the
+    * group's bounds (q122: the MAD pass, whose |v − med| is bounded by
+    * max(hi − med, med − lo) from the first pass's stats) skip one full
+    * scan + aggregate of the data. */
   def exactMedian(df: DataFrame, grpCol: String, valCol: String,
                   nBuckets: Int = 4096,
-                  levels: Int = AutoLevels): DataFrame = {
+                  levels: Int = AutoLevels,
+                  statsHint: Option[DataFrame] = None): DataFrame = {
     val rows = cleanRows(df, grpCol, valCol)
     val lv = if (levels < 0) autoLevels(rows, nBuckets) else levels
     // one state row per DISTINCT target rank (1 for odd n, 2 for even);
     // __q carries the rank itself so the core's keying stays unique
-    val state0 = groupStats(rows)
+    val state0 = statsHint.getOrElse(groupStats(rows))
       .select(col("__g"), col("__lo"), col("__hi"), col("__n"),
         col("__nneg"), col("__npos"),
         explode(array_distinct(array(expr("(__n + 1) div 2"),

@@ -375,6 +375,26 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("SqDistLong == aggregate(zip_with((x-y)^2)) incl. ragged/null-" +
+      "element poisoning (values in the non-overflowing range the " +
+      "callers' millis-quantized embeddings occupy)") {
+    def arr(n: Int): Array[java.lang.Long] =
+      Array.fill(n)(java.lang.Long.valueOf(
+        (rnd.nextInt(400000000) - 200000000).toLong))
+    val rows: Seq[(Array[java.lang.Long], Array[java.lang.Long])] =
+      Seq.fill(300)((arr(8), arr(8))) ++
+        Seq((arr(4), arr(7)), // ragged -> NULL
+          (Array[java.lang.Long](1L, null, 3L), arr(3)), // null el -> NULL
+          (Array.empty[java.lang.Long], Array.empty[java.lang.Long]))
+    val df = rows.toDF("a", "b")
+    val composable = aggregate(zip_with($"a", $"b",
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val diff = df.select(SqDistLong($"a", $"b").as("nat"),
+        composable.as("sql"))
+      .filter(not($"nat" <=> $"sql")).count()
+    assert(diff === 0)
+  }
+
   test("SortedLongIntersect == array_intersect on sorted distinct long " +
       "arrays (the Graph.triangles contract, incl. empty/disjoint)") {
     def sortedDistinct(): Array[Long] =
